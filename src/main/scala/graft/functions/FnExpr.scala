@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/**
+ * Spec for one scalar function: name, accepted arities (each with the expected
+ * Catalyst input types, which lets Spark's ImplicitTypeCasts coerce e.g.
+ * INT→DOUBLE exactly like the reference's overload resolution,
+ * /root/reference/spatial/src/spatial/core/functions/scalar/st_area.cpp:200-214),
+ * result type, and an eval factory.
+ *
+ * `make` sees the bound child expressions so a function can specialize for
+ * foldable (constant) arguments — the Spark analogue of the reference's
+ * prepared-geometry fast path (geos_executor.hpp:28-31).
+ */
+final case class FnSpec(
+    name: String,
+    arities: Map[Int, Seq[DataType]],
+    out: DataType,
+    make: Seq[Expression] => Array[Any] => Any)
+
+object FnRegistry {
+  private val specs = new java.util.concurrent.ConcurrentHashMap[String, FnSpec]()
+  @volatile private var loaded = false
+
+  private[functions] def add(s: FnSpec): Unit = specs.put(s.name, s)
+
+  private def ensureLoaded(): Unit = if (!loaded) synchronized {
+    if (!loaded) {
+      GeoFns.load()
+      TextFns.load()
+      VecFns.load()
+      loaded = true
+    }
+  }
+
+  def apply(name: String): FnSpec = {
+    ensureLoaded()
+    val s = specs.get(name)
+    if (s == null) throw new IllegalArgumentException(s"unknown graft function: $name")
+    s
+  }
+
+  def names: Seq[String] = { ensureLoaded(); import scala.jdk.CollectionConverters._; specs.keySet().asScala.toSeq.sorted }
+}
+
+/**
+ * The single scalar-expression shape for every registered graft function.
+ * Dispatch is by name through [[FnRegistry]] so Catalyst equality,
+ * canonicalization, and (de)serialization work structurally. All functions are
+ * null-intolerant (NULL in → NULL out), matching the reference's default
+ * function null semantics. `foldable` children make the whole call foldable, so
+ * Catalyst constant-folds literal geometry construction at plan time.
+ */
+case class FnExpr(fn: String, children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+
+  @transient private lazy val spec = FnRegistry(fn)
+  @transient private lazy val f: Array[Any] => Any = spec.make(children)
+
+  override def inputTypes: Seq[DataType] =
+    spec.arities.getOrElse(children.length, children.map(_.dataType))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!spec.arities.contains(children.length))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fn accepts ${spec.arities.keys.toSeq.sorted.mkString("/")} arguments, got ${children.length}")
+    else super.checkInputDataTypes()
+  }
+
+  override def dataType: DataType = spec.out
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      args(i) = v
+      i += 1
+    }
+    f(args)
+  }
+
+  override def prettyName: String = fn
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

@@ -1,0 +1,829 @@
+package graft.functions
+
+import graft.geom.{Curves, Geo, GeoJson, Wkb, Wkt}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.geom.util.GeometryEditor
+import org.locationtech.jts.operation.buffer.BufferOp
+import org.locationtech.jts.operation.distance.DistanceOp
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.operation.valid.IsValidOp
+import org.locationtech.jts.geom.util.GeometryFixer
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+import org.locationtech.jts.precision.GeometryPrecisionReducer
+
+/**
+ * The ST_* scalar function surface (reference inventory: SURVEY.md §2.2;
+ * registration lists /root/reference/spatial/include/spatial/core/functions/scalar.hpp:10-67
+ * and /root/reference/spatial/include/spatial/geos/functions/scalar.hpp:10-45).
+ *
+ * Everything operates on the `GEOMETRY` encoding — ISO WKB in a BinaryType
+ * column — with JTS (the Java original of the GEOS library the reference links)
+ * as the computational geometry kernel.
+ */
+object GeoFns {
+
+  private val B = BinaryType
+  private val D = DoubleType
+  private val I = IntegerType
+  private val S = StringType
+  private val BO = BooleanType
+  private val L = LongType
+
+  private def rg(a: Any): Geometry = Geo.read(a.asInstanceOf[Array[Byte]])
+  private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+  private def utf(s: String): UTF8String = UTF8String.fromString(s)
+  private def str(a: Any): String = a.asInstanceOf[UTF8String].toString
+  private def dbl(a: Any): Double = a.asInstanceOf[Double]
+  private def int(a: Any): Int = a.asInstanceOf[Int]
+  private val f: GeometryFactory = Geo.factory
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  private def fnSpec(name: String, out: DataType, in: Seq[DataType]*)(
+      make: Seq[Expression] => Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, make))
+
+  // geometry → X helpers
+  private def gD(name: String)(f0: Geometry => Any): Unit = fn(name, D, Seq(B))(a => f0(rg(a(0))))
+  private def gI(name: String)(f0: Geometry => Any): Unit = fn(name, I, Seq(B))(a => f0(rg(a(0))))
+  private def gB(name: String)(f0: Geometry => Any): Unit = fn(name, BO, Seq(B))(a => f0(rg(a(0))))
+  private def gS(name: String)(f0: Geometry => String): Unit = fn(name, S, Seq(B))(a => utf(f0(rg(a(0)))))
+  private def gG(name: String)(f0: Geometry => Geometry): Unit =
+    fn(name, B, Seq(B))(a => { val r = f0(rg(a(0))); if (r == null) null else w(r) })
+  private def ggG(name: String)(f0: (Geometry, Geometry) => Geometry): Unit =
+    fn(name, B, Seq(B, B))(a => { val r = f0(rg(a(0)), rg(a(1))); if (r == null) null else w(r) })
+
+  // ------------------------------------------------------------ predicates
+  // Prepared-geometry fast path when one side is a constant — the Spark
+  // analogue of the reference's geos_executor.hpp:28-31.
+  private val symmetric = Set("intersects", "disjoint", "touches", "equals", "overlaps", "crosses")
+  private def swapOf(op: String): String = op match {
+    case "contains" => "within"
+    case "within" => "contains"
+    case "covers" => "coveredby"
+    case "coveredby" => "covers"
+    case s if symmetric(s) => s
+    case _ => null
+  }
+  private def prepApply(op: String, p: PreparedGeometry, g: Geometry): Boolean = op match {
+    case "intersects" => p.intersects(g)
+    case "contains" => p.contains(g)
+    case "containsproperly" => p.containsProperly(g)
+    case "within" => p.within(g)
+    case "covers" => p.covers(g)
+    case "coveredby" => p.coveredBy(g)
+    case "crosses" => p.crosses(g)
+    case "disjoint" => p.disjoint(g)
+    case "touches" => p.touches(g)
+    case "overlaps" => p.overlaps(g)
+    case "equals" => p.getGeometry.equalsTopo(g)
+  }
+  private def plainApply(op: String, a: Geometry, b: Geometry): Boolean = op match {
+    case "intersects" => a.intersects(b)
+    case "contains" => a.contains(b)
+    case "containsproperly" => PreparedGeometryFactory.prepare(a).containsProperly(b)
+    case "within" => a.within(b)
+    case "covers" => a.covers(b)
+    case "coveredby" => a.coveredBy(b)
+    case "crosses" => a.crosses(b)
+    case "disjoint" => a.disjoint(b)
+    case "touches" => a.touches(b)
+    case "overlaps" => a.overlaps(b)
+    case "equals" => a.equalsTopo(b)
+  }
+  private def predicate(name: String, op: String): Unit =
+    fnSpec(name, BO, Seq(B, B)) { children =>
+      val fold0 = children.head.foldable
+      val fold1 = children(1).foldable && swapOf(op) != null
+      if (fold0 || fold1) {
+        val idx = if (fold0) 0 else 1
+        val effOp = if (fold0) op else swapOf(op)
+        var pk: AnyRef = null
+        var pv: PreparedGeometry = null
+        args => {
+          val cb = args(idx).asInstanceOf[Array[Byte]]
+          if (cb ne pk) { pk = cb; pv = PreparedGeometryFactory.prepare(Geo.read(cb)) }
+          prepApply(effOp, pv, rg(args(1 - idx)))
+        }
+      } else { args => plainApply(op, rg(args(0)), rg(args(1))) }
+    }
+
+  // ---------------------------------------------------- measures (pure math)
+  /** Sum of lengths of all LineString components (polygon rings excluded —
+   *  reference semantics: st_length.cpp returns 0 for polygons). */
+  private def lineLength(g: Geometry): Double = g match {
+    case l: LineString => l.getLength
+    case c: GeometryCollection =>
+      var s = 0.0; var i = 0
+      while (i < c.getNumGeometries) { s += lineLength(c.getGeometryN(i)); i += 1 }
+      s
+    case _ => 0.0
+  }
+  /** Sum of ring lengths of all Polygon components (reference st_perimeter.cpp). */
+  private def perimeter(g: Geometry): Double = g match {
+    case p: Polygon => p.getLength
+    case c: GeometryCollection =>
+      var s = 0.0; var i = 0
+      while (i < c.getNumGeometries) { s += perimeter(c.getGeometryN(i)); i += 1 }
+      s
+    case _ => 0.0
+  }
+
+  private def forceDims(g: Geometry, wantZ: Boolean, wantM: Boolean, z: Double, m: Double): Geometry = {
+    val ed = new GeometryEditor(f)
+    ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+        val dim = 2 + (if (wantZ) 1 else 0) + (if (wantM) 1 else 0)
+        val out = f.getCoordinateSequenceFactory.create(cs.size, dim, if (wantM) 1 else 0)
+        var i = 0
+        while (i < cs.size) {
+          out.setOrdinate(i, 0, cs.getX(i)); out.setOrdinate(i, 1, cs.getY(i))
+          if (wantZ) out.setOrdinate(i, 2, if (cs.hasZ && !cs.getZ(i).isNaN) cs.getZ(i) else z)
+          if (wantM) out.setOrdinate(i, if (wantZ) 3 else 2, if (cs.hasM && !cs.getM(i).isNaN) cs.getM(i) else m)
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
+  private def hasZ(g: Geometry): Boolean = {
+    var z = false
+    g.apply(new CoordinateSequenceFilter {
+      private var d = false
+      override def filter(cs: CoordinateSequence, i: Int): Unit = { if (cs.hasZ && !cs.getZ(i).isNaN) z = true; d = true }
+      override def isDone: Boolean = z || d
+      override def isGeometryChanged: Boolean = false
+    })
+    z
+  }
+  private def hasM(g: Geometry): Boolean = {
+    var m = false
+    g.apply(new CoordinateSequenceFilter {
+      private var d = false
+      override def filter(cs: CoordinateSequence, i: Int): Unit = { if (cs.hasM && !cs.getM(i).isNaN) m = true; d = true }
+      override def isDone: Boolean = m || d
+      override def isGeometryChanged: Boolean = false
+    })
+    m
+  }
+
+  private def collectGeoms(gs: Iterator[Geometry]): Geometry = {
+    val nonEmpty = gs.filter(g => g != null && !g.isEmpty).toArray
+    if (nonEmpty.isEmpty) f.createGeometryCollection()
+    else if (nonEmpty.forall(_.isInstanceOf[Point]))
+      f.createMultiPoint(nonEmpty.map(_.asInstanceOf[Point]))
+    else if (nonEmpty.forall(_.isInstanceOf[LineString]))
+      f.createMultiLineString(nonEmpty.map(_.asInstanceOf[LineString]))
+    else if (nonEmpty.forall(_.isInstanceOf[Polygon]))
+      f.createMultiPolygon(nonEmpty.map(_.asInstanceOf[Polygon]))
+    else f.createGeometryCollection(nonEmpty)
+  }
+
+  private def dumpInto(g: Geometry, path: List[Int], out: scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]): Unit =
+    g match {
+      case c: GeometryCollection =>
+        var i = 0
+        while (i < c.getNumGeometries) { dumpInto(c.getGeometryN(i), (i + 1) :: path, out); i += 1 }
+      case single => out += ((single, path.reverse.toArray))
+    }
+
+  // ------------------------------------------------------- geodesy (WGS84)
+  private val EarthR = 6371000.0 // mean radius, like reference st_distance_sphere.cpp
+  private val WgsA = 6378137.0
+  private val WgsF = 1.0 / 298.257223563
+
+  def haversine(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val la1 = math.toRadians(y1); val la2 = math.toRadians(y2)
+    val dLa = la2 - la1; val dLo = math.toRadians(x2 - x1)
+    val h = math.pow(math.sin(dLa / 2), 2) + math.cos(la1) * math.cos(la2) * math.pow(math.sin(dLo / 2), 2)
+    2 * EarthR * math.asin(math.sqrt(h))
+  }
+
+  /** Vincenty inverse geodesic distance on WGS84 (public formula); falls back
+   *  to haversine for the rare non-converging near-antipodal pairs. */
+  def vincenty(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val a = WgsA; val fl = WgsF; val b = a * (1 - fl)
+    val l = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - fl) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - fl) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = l; var lambdaP = 0.0; var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    do {
+      lambdaP = lambda
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.sqrt(math.pow(cosU2 * sinL, 2) + math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosL, 2))
+      if (sinSigma == 0) return 0.0
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0) 0 else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = fl / 16 * cosSqAlpha * (4 + fl * (4 - 3 * cosSqAlpha))
+      lambda = l + (1 - c) * fl * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      iter += 1
+    } while (math.abs(lambda - lambdaP) > 1e-12 && iter < 200)
+    if (iter >= 200) return haversine(lon1, lat1, lon2, lat2)
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 * (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+      bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - dSigma)
+  }
+
+  private def geodesicLength(g: Geometry): Double = {
+    var s = 0.0
+    def seg(cs: CoordinateSequence): Unit = {
+      var i = 1
+      while (i < cs.size) { s += vincenty(cs.getX(i - 1), cs.getY(i - 1), cs.getX(i), cs.getY(i)); i += 1 }
+    }
+    def walk(geom: Geometry, rings: Boolean): Unit = geom match {
+      case l: LineString => if (!rings) seg(l.getCoordinateSequence)
+      case p: Polygon =>
+        if (rings) {
+          seg(p.getExteriorRing.getCoordinateSequence)
+          var i = 0
+          while (i < p.getNumInteriorRing) { seg(p.getInteriorRingN(i).getCoordinateSequence); i += 1 }
+        }
+      case c: GeometryCollection =>
+        var i = 0
+        while (i < c.getNumGeometries) { walk(c.getGeometryN(i), rings); i += 1 }
+      case _ =>
+    }
+    walk(g, rings = false)
+    val lines = s
+    lines
+  }
+  private def geodesicPerimeter(g: Geometry): Double = {
+    var s = 0.0
+    def seg(cs: CoordinateSequence): Unit = {
+      var i = 1
+      while (i < cs.size) { s += vincenty(cs.getX(i - 1), cs.getY(i - 1), cs.getX(i), cs.getY(i)); i += 1 }
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case p: Polygon =>
+        seg(p.getExteriorRing.getCoordinateSequence)
+        var i = 0
+        while (i < p.getNumInteriorRing) { seg(p.getInteriorRingN(i).getCoordinateSequence); i += 1 }
+      case c: GeometryCollection =>
+        var i = 0
+        while (i < c.getNumGeometries) { walk(c.getGeometryN(i)); i += 1 }
+      case _ =>
+    }
+    walk(g)
+    s
+  }
+  /** Spherical-excess polygon area on the WGS84 authalic sphere (R=6371007.181 m).
+   *  Approximation of the reference's GeographicLib ellipsoidal area
+   *  (st_area_spheroid.cpp) — relative error < 1e-5 for sub-continental shapes. */
+  private def sphereArea(g: Geometry): Double = {
+    val R = 6371007.1809184747
+    def ringArea(cs: CoordinateSequence): Double = {
+      var total = 0.0
+      val n = cs.size
+      if (n < 3) return 0.0
+      var i = 0
+      while (i < n - 1) {
+        val l1 = math.toRadians(cs.getX(i)); val p1 = math.toRadians(cs.getY(i))
+        val l2 = math.toRadians(cs.getX(i + 1)); val p2 = math.toRadians(cs.getY(i + 1))
+        total += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
+        i += 1
+      }
+      math.abs(total * R * R / 2.0)
+    }
+    g match {
+      case p: Polygon =>
+        var a = ringArea(p.getExteriorRing.getCoordinateSequence)
+        var i = 0
+        while (i < p.getNumInteriorRing) { a -= ringArea(p.getInteriorRingN(i).getCoordinateSequence); i += 1 }
+        a
+      case c: GeometryCollection =>
+        var a = 0.0; var i = 0
+        while (i < c.getNumGeometries) { a += sphereArea(c.getGeometryN(i)); i += 1 }
+        a
+      case _ => 0.0
+    }
+  }
+
+  // ------------------------------------------------- CRS transforms (subset)
+  // Supported: EPSG:4326 (authority order lat/lon), OGC:CRS84 (lon/lat),
+  // EPSG:3857 web mercator. Axis-order semantics follow the reference
+  // (proj/functions.cpp:440-474): with always_xy=true, 4326 coordinates are
+  // treated as lon/lat regardless of authority order.
+  private def crsId(s: String): String = s.trim.toUpperCase match {
+    case "EPSG:4326" => "4326"
+    case "OGC:CRS84" | "CRS84" => "CRS84"
+    case "EPSG:3857" | "EPSG:900913" => "3857"
+    case other => throw new IllegalArgumentException(
+      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857)")
+  }
+  def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
+    // normalize input to lon/lat degrees
+    val (lon, lat) = from match {
+      case "4326" => if (alwaysXy) (x, y) else (y, x)
+      case "CRS84" => (x, y)
+      case "3857" =>
+        (x / 6378137.0 * 180.0 / math.Pi,
+         (2 * math.atan(math.exp(y / 6378137.0)) - math.Pi / 2) * 180.0 / math.Pi)
+    }
+    to match {
+      case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
+      case "CRS84" => (lon, lat)
+      case "3857" =>
+        (math.toRadians(lon) * 6378137.0,
+         6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    }
+  }
+  private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {
+    val sf = crsId(from); val st = crsId(to)
+    if (sf == st) return g
+    val ed = new GeometryEditor(f)
+    ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+        val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+        var i = 0
+        while (i < cs.size) {
+          val (nx, ny) = transformPoint(cs.getX(i), cs.getY(i), sf, st, alwaysXy)
+          out.setOrdinate(i, 0, nx); out.setOrdinate(i, 1, ny)
+          var d = 2
+          while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
+  // ---------------------------------------------------------------- loading
+  def load(): Unit = {
+    // ---- constructors
+    fn("st_point", B, Seq(D, D))(a => Wkb.writePointXY(dbl(a(0)), dbl(a(1))))
+    fn("st_makeenvelope", B, Seq(D, D, D, D))(a => w(Geo.box(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))))
+    fn("st_geomfromtext", B, Seq(S), Seq(S, BO)) { a =>
+      if (a.length == 2 && a(1).asInstanceOf[Boolean]) {
+        try w(Geo.fromWkt(str(a(0)))) catch { case _: Exception => null }
+      } else w(Geo.fromWkt(str(a(0))))
+    }
+    fn("st_geomfromwkb", B, Seq(B))(a => w(rg(a(0)))) // validates + canonicalizes
+    fn("st_geomfromhexwkb", B, Seq(S)) { a =>
+      val h = str(a(0))
+      val bytes = new Array[Byte](h.length / 2)
+      var i = 0
+      while (i < bytes.length) { bytes(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte; i += 1 }
+      w(Geo.read(bytes))
+    }
+    fn("st_geomfromgeojson", B, Seq(S))(a => w(GeoJson.parse(str(a(0)))))
+    fn("st_makeline", B, Seq(B, B), Seq(ArrayType(B))) { a =>
+      val pts: Array[Coordinate] =
+        if (a.length == 2) Array(rg(a(0)), rg(a(1))).flatMap(_.getCoordinates)
+        else a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(B).flatMap(b => if (b == null) Array.empty[Coordinate] else Geo.read(b.asInstanceOf[Array[Byte]]).getCoordinates)
+      if (pts.length < 2) w(f.createLineString()) else w(f.createLineString(pts))
+    }
+    fn("st_makepolygon", B, Seq(B), Seq(B, ArrayType(B))) { a =>
+      val shell = rg(a(0)) match {
+        case l: LineString if l.isClosed && l.getNumPoints >= 4 => f.createLinearRing(l.getCoordinateSequence)
+        case _ => throw new IllegalArgumentException("ST_MakePolygon: shell must be a closed LINESTRING with >= 4 points")
+      }
+      val holes: Array[LinearRing] =
+        if (a.length < 2) Array.empty
+        else a(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toObjectArray(B).collect {
+          case b if b != null => Geo.read(b.asInstanceOf[Array[Byte]]) match {
+            case l: LineString if l.isClosed => f.createLinearRing(l.getCoordinateSequence)
+            case _ => throw new IllegalArgumentException("ST_MakePolygon: holes must be closed LINESTRINGs")
+          }
+        }
+      w(f.createPolygon(shell, holes))
+    }
+    fn("st_collect", B, Seq(ArrayType(B))) { a =>
+      val arr = a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toObjectArray(B)
+      w(collectGeoms(arr.iterator.filter(_ != null).map(b => Geo.read(b.asInstanceOf[Array[Byte]]))))
+    }
+
+    // ---- output formats
+    gS("st_astext")(Wkt.write)
+    fn("st_aswkb", B, Seq(B))(a => a(0)) // stored encoding IS ISO WKB
+    fn("st_ashexwkb", S, Seq(B)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      val hex = "0123456789ABCDEF"
+      val out = new Array[Char](b.length * 2)
+      var i = 0
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        out(2 * i) = hex.charAt(v >>> 4)
+        out(2 * i + 1) = hex.charAt(v & 0xf)
+        i += 1
+      }
+      utf(new String(out))
+    }
+    gS("st_asgeojson")(GeoJson.write)
+    fn("st_assvg", S, Seq(B), Seq(B, BO), Seq(B, BO, I)) { a =>
+      val g = rg(a(0))
+      val rel = a.length > 1 && a(1).asInstanceOf[Boolean]
+      val prec = if (a.length > 2) int(a(2)) else 15
+      utf(Svg.render(g, rel, prec))
+    }
+
+    // ---- accessors
+    fn("st_x", D, Seq(B))(a => rg(a(0)) match { case p: Point if !p.isEmpty => p.getX; case _ => null })
+    fn("st_y", D, Seq(B))(a => rg(a(0)) match { case p: Point if !p.isEmpty => p.getY; case _ => null })
+    fn("st_z", D, Seq(B))(a => rg(a(0)) match {
+      case p: Point if !p.isEmpty && p.getCoordinateSequence.hasZ && !p.getCoordinateSequence.getZ(0).isNaN => p.getCoordinateSequence.getZ(0)
+      case _ => null
+    })
+    fn("st_m", D, Seq(B))(a => rg(a(0)) match {
+      case p: Point if !p.isEmpty && p.getCoordinateSequence.hasM && !p.getCoordinateSequence.getM(0).isNaN => p.getCoordinateSequence.getM(0)
+      case _ => null
+    })
+    gD("st_xmin")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMinX)
+    gD("st_xmax")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMaxX)
+    gD("st_ymin")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMinY)
+    gD("st_ymax")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMaxY)
+    gD("st_zmin") { g =>
+      var v = Double.PositiveInfinity
+      g.apply(new CoordinateSequenceFilter {
+        override def filter(cs: CoordinateSequence, i: Int): Unit =
+          if (cs.hasZ && !cs.getZ(i).isNaN && cs.getZ(i) < v) v = cs.getZ(i)
+        override def isDone = false
+        override def isGeometryChanged = false
+      })
+      if (v.isInfinite) null else v
+    }
+    gD("st_zmax") { g =>
+      var v = Double.NegativeInfinity
+      g.apply(new CoordinateSequenceFilter {
+        override def filter(cs: CoordinateSequence, i: Int): Unit =
+          if (cs.hasZ && !cs.getZ(i).isNaN && cs.getZ(i) > v) v = cs.getZ(i)
+        override def isDone = false
+        override def isGeometryChanged = false
+      })
+      if (v.isInfinite) null else v
+    }
+    gD("st_mmin") { g =>
+      var v = Double.PositiveInfinity
+      g.apply(new CoordinateSequenceFilter {
+        override def filter(cs: CoordinateSequence, i: Int): Unit =
+          if (cs.hasM && !cs.getM(i).isNaN && cs.getM(i) < v) v = cs.getM(i)
+        override def isDone = false
+        override def isGeometryChanged = false
+      })
+      if (v.isInfinite) null else v
+    }
+    gD("st_mmax") { g =>
+      var v = Double.NegativeInfinity
+      g.apply(new CoordinateSequenceFilter {
+        override def filter(cs: CoordinateSequence, i: Int): Unit =
+          if (cs.hasM && !cs.getM(i).isNaN && cs.getM(i) > v) v = cs.getM(i)
+        override def isDone = false
+        override def isGeometryChanged = false
+      })
+      if (v.isInfinite) null else v
+    }
+    gI("st_npoints")(_.getNumPoints)
+    gI("st_ngeometries")(g => if (g.isEmpty) 0 else g.getNumGeometries)
+    gI("st_ninteriorrings")(g => g match { case p: Polygon => p.getNumInteriorRing; case _ => null })
+    gI("st_dimension")(_.getDimension)
+    gS("st_geometrytype") { g =>
+      g match {
+        case _: Point => "POINT"
+        case _: LinearRing => "LINESTRING"
+        case _: LineString => "LINESTRING"
+        case _: Polygon => "POLYGON"
+        case _: MultiPoint => "MULTIPOINT"
+        case _: MultiLineString => "MULTILINESTRING"
+        case _: MultiPolygon => "MULTIPOLYGON"
+        case _: GeometryCollection => "GEOMETRYCOLLECTION"
+      }
+    }
+    // 0 = 2D, 1 = 3DM, 2 = 3DZ, 3 = 4D (reference st_has.cpp ZMFlag semantics)
+    fn("st_zmflag", I, Seq(B)) { a =>
+      val g = rg(a(0))
+      (if (hasZ(g)) 2 else 0) + (if (hasM(g)) 1 else 0)
+    }
+    gB("st_hasz")(hasZ)
+    gB("st_hasm")(hasM)
+    gB("st_isempty")(_.isEmpty)
+    gB("st_isclosed") {
+      case l: LineString => l.isClosed
+      case m: MultiLineString =>
+        !m.isEmpty && (0 until m.getNumGeometries).forall(i => m.getGeometryN(i).asInstanceOf[LineString].isClosed)
+      case _: Point => true
+      case _ => false
+    }
+    gB("st_isring")(g => g match { case l: LineString => l.isClosed && l.isSimple; case _ => false })
+    gB("st_issimple")(_.isSimple)
+    gB("st_isvalid")(g => new IsValidOp(g).isValid)
+    gG("st_startpoint")(g => g match { case l: LineString if !l.isEmpty => l.getStartPoint; case _ => null })
+    gG("st_endpoint")(g => g match { case l: LineString if !l.isEmpty => l.getEndPoint; case _ => null })
+    fn("st_pointn", B, Seq(B, I)) { a =>
+      rg(a(0)) match {
+        case l: LineString =>
+          val n = l.getNumPoints
+          val i0 = int(a(1))
+          val i = if (i0 < 0) n + i0 else i0 - 1
+          if (i < 0 || i >= n) null else w(l.getPointN(i))
+        case _ => null
+      }
+    }
+    gG("st_points")(g => f.createMultiPoint(g.getCoordinates.map(f.createPoint)))
+    gG("st_exteriorring")(g => g match {
+      case p: Polygon if !p.isEmpty => f.createLineString(p.getExteriorRing.getCoordinateSequence)
+      case _ => null
+    })
+    fn("st_dump", ArrayType(StructType(Seq(StructField("geom", B), StructField("path", ArrayType(I))))), Seq(B)) { a =>
+      val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
+      dumpInto(rg(a(0)), Nil, out)
+      new GenericArrayData(out.map { case (g, path) =>
+        new GenericInternalRow(Array[Any](w(g), new GenericArrayData(path.map(x => x: Any))))
+      }.toArray[Any])
+    }
+    fn("st_collectionextract", B, Seq(B), Seq(B, I)) { a =>
+      val g = rg(a(0))
+      val parts = {
+        val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
+        dumpInto(g, Nil, out)
+        out.map(_._1).filter(!_.isEmpty)
+      }
+      val wanted = if (a.length == 2) int(a(1)) else {
+        // highest topological dimension present
+        if (parts.isEmpty) 0 else parts.map(_.getDimension).max + 1
+      }
+      val sel = parts.filter { p =>
+        wanted match {
+          case 1 => p.isInstanceOf[Point]
+          case 2 => p.isInstanceOf[LineString]
+          case 3 => p.isInstanceOf[Polygon]
+          case _ => false
+        }
+      }
+      wanted match {
+        case 1 => w(f.createMultiPoint(sel.map(_.asInstanceOf[Point]).toArray))
+        case 2 => w(f.createMultiLineString(sel.map(_.asInstanceOf[LineString]).toArray))
+        case 3 => w(f.createMultiPolygon(sel.map(_.asInstanceOf[Polygon]).toArray))
+        case _ => w(f.createGeometryCollection())
+      }
+    }
+    gG("st_envelope")(_.getEnvelope)
+    fn("st_extent", StructType(Seq(
+      StructField("min_x", D), StructField("min_y", D),
+      StructField("max_x", D), StructField("max_y", D))), Seq(B)) { a =>
+      val g = rg(a(0))
+      if (g.isEmpty) null
+      else {
+        val e = g.getEnvelopeInternal
+        new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+      }
+    }
+
+    // ---- measures
+    gD("st_area")(_.getArea)
+    gD("st_length")(lineLength)
+    gD("st_perimeter")(perimeter)
+    fn("st_distance", D, Seq(B, B))(a => rg(a(0)).distance(rg(a(1))))
+    fn("st_dwithin", BO, Seq(B, B, D))(a => rg(a(0)).isWithinDistance(rg(a(1)), dbl(a(2))))
+    fn("st_maxdistance", D, Seq(B, B)) { a =>
+      // max over vertex-pairs of the two hulls (sufficient for max distance)
+      val ca = rg(a(0)).convexHull().getCoordinates
+      val cb = rg(a(1)).convexHull().getCoordinates
+      var mx = 0.0
+      ca.foreach(p => cb.foreach(q => { val d = p.distance(q); if (d > mx) mx = d }))
+      mx
+    }
+    gG("st_centroid")(_.getCentroid)
+    fn("st_haversine", D, Seq(D, D, D, D), Seq(B, B)) { a =>
+      if (a.length == 4) haversine(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))
+      else {
+        val p1 = rg(a(0)).asInstanceOf[Point]; val p2 = rg(a(1)).asInstanceOf[Point]
+        haversine(p1.getX, p1.getY, p2.getX, p2.getY)
+      }
+    }
+    fn("st_distance_sphere", D, Seq(B, B)) { a =>
+      val p1 = rg(a(0)).asInstanceOf[Point]; val p2 = rg(a(1)).asInstanceOf[Point]
+      haversine(p1.getX, p1.getY, p2.getX, p2.getY)
+    }
+    gD("st_area_spheroid")(sphereArea)
+    gD("st_length_spheroid")(geodesicLength)
+    gD("st_perimeter_spheroid")(geodesicPerimeter)
+    fn("st_distance_spheroid", D, Seq(B, B)) { a =>
+      val p1 = rg(a(0)).asInstanceOf[Point]; val p2 = rg(a(1)).asInstanceOf[Point]
+      vincenty(p1.getX, p1.getY, p2.getX, p2.getY)
+    }
+    fn("st_dwithin_spheroid", BO, Seq(B, B, D)) { a =>
+      val p1 = rg(a(0)).asInstanceOf[Point]; val p2 = rg(a(1)).asInstanceOf[Point]
+      vincenty(p1.getX, p1.getY, p2.getX, p2.getY) <= dbl(a(2))
+    }
+
+    // ---- predicates
+    predicate("st_intersects", "intersects")
+    predicate("st_contains", "contains")
+    predicate("st_containsproperly", "containsproperly")
+    predicate("st_within", "within")
+    predicate("st_covers", "covers")
+    predicate("st_coveredby", "coveredby")
+    predicate("st_crosses", "crosses")
+    predicate("st_disjoint", "disjoint")
+    predicate("st_touches", "touches")
+    predicate("st_overlaps", "overlaps")
+    predicate("st_equals", "equals")
+    fn("st_intersects_extent", BO, Seq(B, B))(a =>
+      rg(a(0)).getEnvelopeInternal.intersects(rg(a(1)).getEnvelopeInternal))
+
+    // ---- transforms / overlays (JTS-backed; reference module: geos)
+    gG("st_boundary")(g => g match { case _: GeometryCollection if g.getGeometryType == "GeometryCollection" => null; case _ => g.getBoundary })
+    fn("st_buffer", B, Seq(B, D), Seq(B, D, I)) { a =>
+      val segs = if (a.length > 2) int(a(2)) else 8
+      w(BufferOp.bufferOp(rg(a(0)), dbl(a(1)), segs))
+    }
+    gG("st_convexhull")(_.convexHull())
+    ggG("st_difference")(_.difference(_))
+    ggG("st_intersection")(_.intersection(_))
+    ggG("st_union")(_.union(_))
+    ggG("st_shortestline")((g1, g2) => f.createLineString(DistanceOp.nearestPoints(g1, g2)))
+    gG("st_flipcoordinates") { g =>
+      val ed = new GeometryEditor(f)
+      ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+        override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+          val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+          var i = 0
+          while (i < cs.size) {
+            out.setOrdinate(i, 0, cs.getY(i)); out.setOrdinate(i, 1, cs.getX(i))
+            var d = 2
+            while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+            i += 1
+          }
+          out
+        }
+      })
+    }
+    gG("st_force2d")(g => forceDims(g, wantZ = false, wantM = false, 0, 0))
+    fn("st_force3dz", B, Seq(B, D))(a => w(forceDims(rg(a(0)), wantZ = true, wantM = false, dbl(a(1)), 0)))
+    fn("st_force3dm", B, Seq(B, D))(a => w(forceDims(rg(a(0)), wantZ = false, wantM = true, 0, dbl(a(1)))))
+    fn("st_force4d", B, Seq(B, D, D))(a => w(forceDims(rg(a(0)), wantZ = true, wantM = true, dbl(a(1)), dbl(a(2)))))
+    gG("st_multi") {
+      case p: Point => f.createMultiPoint(Array(p))
+      case l: LineString => f.createMultiLineString(Array(l))
+      case p: Polygon => f.createMultiPolygon(Array(p))
+      case g => g
+    }
+    gG("st_normalize")(g => { val c = g.copy(); c.normalize(); c })
+    gG("st_reverse")(_.reverse())
+    fn("st_reduceprecision", B, Seq(B, D)) { a =>
+      val grid = dbl(a(1))
+      require(grid > 0, "ST_ReducePrecision: grid size must be > 0")
+      w(GeometryPrecisionReducer.reduce(rg(a(0)), new PrecisionModel(1.0 / grid)))
+    }
+    fn("st_removerepeatedpoints", B, Seq(B), Seq(B, D)) { a =>
+      val tol = if (a.length > 1) dbl(a(1)) else 0.0
+      val ed = new GeometryEditor(f)
+      w(ed.edit(rg(a(0)), new GeometryEditor.CoordinateSequenceOperation {
+        override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+          val keep = new scala.collection.mutable.ArrayBuffer[Coordinate](cs.size)
+          var i = 0
+          while (i < cs.size) {
+            val c = cs.getCoordinate(i).copy()
+            if (keep.isEmpty || keep.last.distance(c) > tol) keep += c
+            i += 1
+          }
+          val isRing = geom.isInstanceOf[LinearRing]
+          if (isRing) {
+            // keep rings closed and >= 4 points
+            if (keep.length > 1 && keep.head.distance(keep.last) <= tol) keep.remove(keep.length - 1)
+            keep += keep.head.copy()
+            while (keep.length < 4) keep.insert(keep.length - 1, keep.head.copy())
+          } else if (keep.length == 1 && cs.size > 1) keep += keep.head.copy()
+          f.getCoordinateSequenceFactory.create(keep.toArray)
+        }
+      }))
+    }
+    fn("st_simplify", B, Seq(B, D))(a => w(DouglasPeuckerSimplifier.simplify(rg(a(0)), dbl(a(1)))))
+    fn("st_simplifypreservetopology", B, Seq(B, D))(a => w(TopologyPreservingSimplifier.simplify(rg(a(0)), dbl(a(1)))))
+    gG("st_makevalid")(g => if (g.isValid) g else GeometryFixer.fix(g))
+    fn("st_linemerge", B, Seq(B), Seq(B, BO)) { a =>
+      val g = rg(a(0))
+      val m = new LineMerger()
+      m.add(g)
+      import scala.jdk.CollectionConverters._
+      val merged = m.getMergedLineStrings.asScala.toArray.map(_.asInstanceOf[LineString])
+      w(if (merged.length == 1) merged(0) else f.createMultiLineString(merged))
+    }
+    gG("st_pointonsurface")(_.getInteriorPoint)
+
+    // ---- CRS
+    fn("st_transform", B, Seq(B, S, S), Seq(B, S, S, BO)) { a =>
+      val alwaysXy = a.length > 3 && a(3).asInstanceOf[Boolean]
+      w(transformGeom(rg(a(0)), str(a(1)), str(a(2)), alwaysXy))
+    }
+
+    // ---- spatial keys (clustering / tiling — the R-tree replacement, SURVEY §4.3)
+    fn("st_hilbert", L, Seq(D, D, D, D, D, D), Seq(B, D, D, D, D)) { a =>
+      if (a.length == 6) Curves.hilbert(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)))
+      else {
+        val e = rg(a(0)).getEnvelopeInternal
+        Curves.hilbert((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
+          dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)))
+      }
+    }
+    fn("st_quadkey", S, Seq(D, D, I), Seq(B, I)) { a =>
+      if (a.length == 3) utf(Curves.quadKey(dbl(a(0)), dbl(a(1)), int(a(2))))
+      else {
+        val e = rg(a(0)).getEnvelopeInternal
+        utf(Curves.quadKey((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2, int(a(1))))
+      }
+    }
+
+    // Grid tiling for the distributed spatial join (graft.plans.SpatialJoinRule):
+    // tile id = (floor(x/cell) << 32) ^ (floor(y/cell) & 0xffffffff).
+    fn("st_tile_id", L, Seq(D, D, D))(a => tileId(math.floor(dbl(a(0)) / dbl(a(2))).toLong, math.floor(dbl(a(1)) / dbl(a(2))).toLong))
+    fn("st_tile_ids", ArrayType(L), Seq(B, D)) { a =>
+      val g = rg(a(0))
+      if (g.isEmpty) new GenericArrayData(Array.empty[Any])
+      else {
+        val cell = dbl(a(1))
+        val e = g.getEnvelopeInternal
+        val x0 = math.floor(e.getMinX / cell).toLong; val x1 = math.floor(e.getMaxX / cell).toLong
+        val y0 = math.floor(e.getMinY / cell).toLong; val y1 = math.floor(e.getMaxY / cell).toLong
+        val n = (x1 - x0 + 1) * (y1 - y0 + 1)
+        require(n <= (1 << 16),
+          s"st_tile_ids: geometry envelope covers $n tiles at cell size $cell; raise spark.graft.spatialJoin.cellSize")
+        val out = new Array[Any](n.toInt)
+        var i = 0; var x = x0
+        while (x <= x1) {
+          var y = y0
+          while (y <= y1) { out(i) = tileId(x, y); i += 1; y += 1 }
+          x += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+  }
+
+  private def tileId(ix: Long, iy: Long): Long = (ix << 32) ^ (iy & 0xffffffffL)
+}
+
+/** SVG path renderer (reference: st_assvg.cpp — PostGIS-compatible output). */
+private[functions] object Svg {
+  def render(g: Geometry, rel: Boolean, prec: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    def fmt(d: Double): String = {
+      val r = BigDecimal(d).setScale(prec, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      graft.geom.Geo.fmt(r)
+    }
+    def path(cs: CoordinateSequence): Unit = {
+      if (rel) {
+        var px = 0.0; var py = 0.0
+        var i = 0
+        while (i < cs.size) {
+          if (i == 0) { sb.append("M ").append(fmt(cs.getX(0))).append(' ').append(fmt(-cs.getY(0))) }
+          else {
+            if (i == 1) sb.append(" l ") else sb.append(' ')
+            sb.append(fmt(cs.getX(i) - px)).append(' ').append(fmt(-(cs.getY(i) - py)))
+          }
+          px = cs.getX(i); py = cs.getY(i)
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < cs.size) {
+          if (i == 0) sb.append("M ") else if (i == 1) sb.append(" L ") else sb.append(' ')
+          sb.append(fmt(cs.getX(i))).append(' ').append(fmt(-cs.getY(i)))
+          i += 1
+        }
+      }
+    }
+    def ringPath(cs: CoordinateSequence): Unit = { path(cs); sb.append(" Z") }
+    def walk(geom: Geometry, first: Boolean): Unit = geom match {
+      case p: Point if !p.isEmpty =>
+        if (!first) sb.append(' ')
+        if (rel) sb.append("x=\"").append(fmt(p.getX)).append("\" y=\"").append(fmt(-p.getY)).append('"')
+        else sb.append("cx=\"").append(fmt(p.getX)).append("\" cy=\"").append(fmt(-p.getY)).append('"')
+      case l: LineString if !l.isEmpty =>
+        if (!first) sb.append(' ')
+        path(l.getCoordinateSequence)
+      case p: Polygon if !p.isEmpty =>
+        if (!first) sb.append(' ')
+        ringPath(p.getExteriorRing.getCoordinateSequence)
+        var i = 0
+        while (i < p.getNumInteriorRing) { sb.append(' '); ringPath(p.getInteriorRingN(i).getCoordinateSequence); i += 1 }
+      case c: GeometryCollection =>
+        var i = 0
+        while (i < c.getNumGeometries) { walk(c.getGeometryN(i), first && i == 0); i += 1 }
+      case _ =>
+    }
+    walk(g, first = true)
+    sb.toString
+  }
+}

@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Text-analysis / dedup primitives for LLM training-data pipelines (a
+ * first-class extension area beyond the reference's surface — see the build
+ * brief): tokenization, quality signals, language ID, fingerprinting, MinHash/
+ * SimHash for near-dup detection. All deterministic (seeded hashes), all
+ * evaluated row-local so they parallelize embarrassingly at 100 TB.
+ */
+object TextFns {
+
+  private val S = StringType
+  private val I = IntegerType
+  private val L = LongType
+  private val D = DoubleType
+
+  private def str(a: Any): String = a.asInstanceOf[UTF8String].toString
+  private def utf(s: String): UTF8String = UTF8String.fromString(s)
+  private def int(a: Any): Int = a.asInstanceOf[Int]
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  // ---------------------------------------------------------------- helpers
+  def wsTokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Canonical dedup normalization: lowercase, collapse runs of whitespace. */
+  def normalize(s: String): String = s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** Distinct lowercase character k-shingles. */
+  def charShingles(s: String, k: Int): Array[String] = {
+    val n = normalize(s)
+    if (n.length < k) { if (n.isEmpty) Array.empty else Array(n) }
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= n.length) { set.add(n.substring(i, i + k)); i += 1 }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** Distinct lowercase word n-grams. */
+  def wordNgrams(s: String, n: Int): Array[String] = {
+    val words = wsTokens(normalize(s))
+    if (words.length < n) { if (words.isEmpty) Array.empty else Array(words.mkString(" ")) }
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= words.length) { set.add(words.slice(i, i + n).mkString(" ")); i += 1 }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  private def hash64(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed * 0x9e3779b9 + 1)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** k-min MinHash signature over char shingles. The hash family is
+   *  Kirsch-Mitzenmacher double hashing — h_i = h1 + i*h2 from two murmur
+   *  hashes per shingle — so cost is O(shingles + numHashes) murmurs instead
+   *  of O(shingles * numHashes). */
+  def minhash(s: String, numHashes: Int, shingleK: Int, seed: Int): Array[Long] = {
+    val sh = charShingles(s, shingleK)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val h1 = hash64(sh(j), seed)
+      val h2 = hash64(sh(j), seed ^ 0x5bd1e995) | 1L
+      var i = 0
+      var h = h1
+      while (i < numHashes) {
+        if (h < sig(i)) sig(i) = h
+        h += h2
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** LSH band buckets from a MinHash signature: one 64-bit bucket id per band
+   *  (band index folded in so buckets never collide across bands). Near-dup
+   *  candidate generation = explode + equi-join on bucket — shuffle-friendly,
+   *  never all-pairs. */
+  def minhashBands(s: String, numHashes: Int, shingleK: Int, bands: Int, seed: Int): Array[Long] = {
+    val sig = minhash(s, numHashes, shingleK, seed)
+    val rows = numHashes / bands
+    Array.tabulate(bands) { b =>
+      var h = 1125899906842597L + b
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = h * 31 + sig(i); i += 1 }
+      h
+    }
+  }
+
+  def simhash(s: String, shingleK: Int): Long = {
+    val sh = charShingles(s, shingleK)
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < sh.length) {
+      val h = hash64(sh(j), 0x5f3759df)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  /** Rabin-Karp rolling polynomial fingerprint (base 1000003, 64-bit wrap) of
+   *  the normalized text. */
+  def fingerprint(s: String): Long = {
+    val n = normalize(s)
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < n.length) { h = h * 1000003L + n.charAt(i); i += 1 }
+    h
+  }
+
+  // ------------------------------------------------------------ language ID
+  // n-gram-free heuristic: stopword-hit scoring over small built-in lists.
+  private val stop: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "are", "at", "be", "this", "have", "from", "or", "by", "not", "but"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "für", "von", "dem", "den", "des", "sich", "im", "zu", "auch", "als"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "un", "une", "des", "du", "dans", "pour", "que", "qui", "sur", "avec", "au", "ce", "il", "ne"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "no", "un", "una", "de", "en", "que", "por", "para", "con", "se", "del", "su", "al", "lo"),
+    "it" -> Set("il", "la", "le", "e", "è", "non", "un", "una", "di", "che", "per", "con", "si", "del", "della", "in", "da", "su", "al", "dei"),
+    "pt" -> Set("o", "a", "os", "as", "e", "é", "não", "um", "uma", "de", "em", "que", "por", "para", "com", "se", "do", "da", "no", "na"))
+
+  def langId(s: String): String = {
+    val toks = wsTokens(normalize(s))
+    if (toks.isEmpty) return "und"
+    var best = "und"; var bestHits = 0
+    stop.foreach { case (lang, words) =>
+      var hits = 0
+      toks.foreach(t => if (words.contains(t)) hits += 1)
+      if (hits > bestHits) { bestHits = hits; best = lang }
+    }
+    if (bestHits * 20 < toks.length) "und" else best // < 5% stopwords → unknown
+  }
+
+  // ---------------------------------------------------------------- loading
+  def load(): Unit = {
+    fn("token_count", I, Seq(S))(a => wsTokens(str(a(0))).length)
+    fn("bpe_token_count", I, Seq(S)) { a =>
+      // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+      val m = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").matcher(str(a(0)))
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    fn("punct_ratio", D, Seq(S)) { a =>
+      val s = str(a(0))
+      if (s.isEmpty) 0.0
+      else s.count(c => ".,!?;:'\"()-".indexOf(c) >= 0).toDouble / s.length.toDouble
+    }
+    fn("digit_ratio", D, Seq(S)) { a =>
+      val s = str(a(0))
+      if (s.isEmpty) 0.0 else s.count(_.isDigit).toDouble / s.length.toDouble
+    }
+    fn("upper_ratio", D, Seq(S)) { a =>
+      val s = str(a(0))
+      if (s.isEmpty) 0.0 else s.count(_.isUpper).toDouble / s.length.toDouble
+    }
+    fn("stopword_ratio", D, Seq(S)) { a =>
+      val toks = wsTokens(normalize(str(a(0))))
+      if (toks.isEmpty) 0.0
+      else toks.count(stop("en").contains).toDouble / toks.length.toDouble
+    }
+    fn("mean_token_len", D, Seq(S)) { a =>
+      val toks = wsTokens(str(a(0)))
+      if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length.toDouble
+    }
+    fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
+    fn("doc_fingerprint", L, Seq(S))(a => fingerprint(str(a(0))))
+    fn("norm_text", S, Seq(S))(a => utf(normalize(str(a(0)))))
+    fn("char_shingles", ArrayType(S), Seq(S, I))(a =>
+      new GenericArrayData(charShingles(str(a(0)), int(a(1))).map(utf): Array[Any]))
+    fn("word_ngrams", ArrayType(S), Seq(S, I))(a =>
+      new GenericArrayData(wordNgrams(str(a(0)), int(a(1))).map(utf): Array[Any]))
+    fn("minhash", ArrayType(L), Seq(S, I, I, I))(a =>
+      new GenericArrayData(minhash(str(a(0)), int(a(1)), int(a(2)), int(a(3))).map(x => x: Any)))
+    fn("minhash_lsh_buckets", ArrayType(L), Seq(S, I, I, I, I))(a =>
+      new GenericArrayData(minhashBands(str(a(0)), int(a(1)), int(a(2)), int(a(3)), int(a(4))).map(x => x: Any)))
+    fn("simhash", L, Seq(S, I))(a => simhash(str(a(0)), int(a(1))))
+    fn("jaccard_shingles", D, Seq(S, S, I))(a =>
+      jaccard(charShingles(str(a(0)), int(a(2))), charShingles(str(a(1)), int(a(2)))))
+    fn("jaccard_word_ngrams", D, Seq(S, S, I))(a =>
+      jaccard(wordNgrams(str(a(0)), int(a(2))), wordNgrams(str(a(1)), int(a(2)))))
+  }
+}

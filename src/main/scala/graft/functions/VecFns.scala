@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Embedding-vector primitives (similarity search) and the multimodal column
+ * stubs. Inputs are ARRAY<DOUBLE> — Spark's ImplicitTypeCasts upcast the
+ * testdata's ARRAY<FLOAT> automatically. Dot products accumulate sequentially
+ * in index order so results are bit-reproducible.
+ */
+object VecFns {
+
+  private val AD = ArrayType(DoubleType)
+  private val I = IntegerType
+  private val D = DoubleType
+  private val L = LongType
+
+  private def arr(a: Any): ArrayData = a.asInstanceOf[ArrayData]
+  private def int(a: Any): Int = a.asInstanceOf[Int]
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val v = a.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (seed, plane, dim). */
+  private def sign(seed: Int, plane: Int, dim: Int): Double = {
+    val h = MurmurHash3.productHash((seed, plane, dim))
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH bucket: nbits sign bits of projections onto seeded
+   *  ±1 hyperplanes. Cosine-similar vectors collide with high probability —
+   *  bucket-join on this for candidate generation, then rerank exactly. */
+  def rhpBucket(v: ArrayData, nbits: Int, seed: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < nbits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.numElements()) { s += v.getDouble(i) * sign(seed, p, i); i += 1 }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def load(): Unit = {
+    fn("vec_dot", D, Seq(AD, AD))(a => dot(arr(a(0)), arr(a(1))))
+    fn("vec_norm", D, Seq(AD))(a => norm(arr(a(0))))
+    fn("vec_cosine", D, Seq(AD, AD))(a => cosine(arr(a(0)), arr(a(1))))
+    fn("vec_l2", D, Seq(AD, AD))(a => l2(arr(a(0)), arr(a(1))))
+    fn("rhp_lsh_bucket", L, Seq(AD, I, I))(a => rhpBucket(arr(a(0)), int(a(1)), int(a(2))))
+
+    // Multimodal column stubs: the container has no image/audio codecs, so the
+    // decode step is a DETERMINISTIC FAKE computed from the raw bytes; the
+    // Spark-side plumbing (binary column in, typed metadata struct out,
+    // codegen-safe expression) is real. Swap `mmDecodeStub` for a real decoder
+    // when codecs are available.
+    fn("mm_decode_stub",
+      StructType(Seq(StructField("width", I), StructField("height", I),
+        StructField("channels", I), StructField("format", StringType), StructField("nbytes", LongType))),
+      Seq(BinaryType)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      val n = b.length
+      new GenericInternalRow(Array[Any](
+        (n % 640) + 1, ((n * 7) % 480) + 1, 3, UTF8String.fromString("fake/rgb8"), n.toLong))
+    }
+  }
+}

@@ -2,16 +2,16 @@ package graft.geom
 
 import org.locationtech.jts.geom._
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
-import org.locationtech.jts.io.{ByteOrderValues, Ordinate, WKBReader, WKBWriter, WKTReader}
-import java.util.EnumSet
+import org.locationtech.jts.io.{WKBReader, WKTReader}
 
 /**
  * Geometry codec + per-thread caches.
  *
- * The engine's `GEOMETRY` column type is standard little-endian (E)WKB bytes in a
+ * The engine's `GEOMETRY` column type is standard little-endian ISO WKB bytes in a
  * Spark `BinaryType` column (reference models it as a custom blob over BLOB,
  * `/root/reference/spatial/src/spatial/core/geometry/geometry_serialization.cpp:13-37`;
- * we use ISO WKB so the bytes are directly interoperable with GeoParquet/PostGIS).
+ * we use ISO WKB — written by [[Wkb]], incl. ISO `base+1000Z+2000M` type codes for
+ * Z/M — so the bytes are directly interoperable with GeoParquet/PostGIS).
  *
  * Per-call deserialization cost is mitigated the same way the reference mitigates
  * GEOS conversion (per-thread arenas + prepared geometries for constant args,
@@ -53,33 +53,8 @@ object Geo {
     p
   }
 
-  private def ordinatesOf(g: Geometry): (Int, Boolean, Boolean) = {
-    var hasZ = false; var hasM = false
-    g.apply(new CoordinateSequenceFilter {
-      private var d = false
-      override def filter(seq: CoordinateSequence, i: Int): Unit = {
-        if (seq.hasZ) hasZ = true
-        if (seq.hasM) hasM = true
-        d = true
-      }
-      override def isDone: Boolean = d
-      override def isGeometryChanged: Boolean = false
-    })
-    val dim = 2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
-    (dim, hasZ, hasM)
-  }
-
-  def write(g: Geometry): Array[Byte] = {
-    val (dim, hasZ, hasM) = ordinatesOf(g)
-    val w = new WKBWriter(dim, ByteOrderValues.LITTLE_ENDIAN, false)
-    if (dim > 2) {
-      val ords = EnumSet.of(Ordinate.X, Ordinate.Y)
-      if (hasZ) ords.add(Ordinate.Z)
-      if (hasM) ords.add(Ordinate.M)
-      w.setOutputOrdinates(ords)
-    }
-    w.write(g)
-  }
+  /** ISO little-endian WKB (type code = base + 1000*Z + 2000*M) — see [[Wkb]]. */
+  def write(g: Geometry): Array[Byte] = Wkb.write(g)
 
   def fromWkt(wkt: String): Geometry = tl.get().wktReader.read(wkt)
 
@@ -94,11 +69,39 @@ object Geo {
     factory.createPolygon(cs)
   }
 
+  /** True Z/M presence: JTS Coordinate-array sequences always report hasZ, so
+   *  dimensionality must be detected by non-NaN ordinate values. */
+  def geomHasZ(g: Geometry): Boolean = {
+    var z = false
+    g.apply(new CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit =
+        if (seq.hasZ && !seq.getZ(i).isNaN) z = true
+      override def isDone: Boolean = z
+      override def isGeometryChanged: Boolean = false
+    })
+    z
+  }
+  def geomHasM(g: Geometry): Boolean = {
+    var m = false
+    g.apply(new CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit =
+        if (seq.hasM && !seq.getM(i).isNaN) m = true
+      override def isDone: Boolean = m
+      override def isGeometryChanged: Boolean = false
+    })
+    m
+  }
+
   /** Format a double the way DuckDB renders WKT coordinates: integral values
-   *  print without a decimal part. */
+   *  print without a decimal part; non-integral values print shortest-roundtrip
+   *  in fixed decimal (never scientific — the reference renders coordinates
+   *  fixed-decimal via d2sfixed, varchar_cast.cpp). */
   def fmt(d: Double): String = {
     if (d == Math.rint(d) && !d.isInfinite && Math.abs(d) < 1e15) {
       String.valueOf(d.toLong)
-    } else String.valueOf(d)
+    } else {
+      val s = java.lang.Double.toString(d)
+      if (s.indexOf('E') >= 0) new java.math.BigDecimal(s).toPlainString else s
+    }
   }
 }

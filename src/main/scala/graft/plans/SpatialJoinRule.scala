@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.functions.FnExpr
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Spatial-join acceleration (reference: RangeJoinSpatialPredicateRewriter,
+ * /root/reference/spatial/src/spatial/core/optimizer_rules.cpp:33-279, which
+ * turns a blockwise-NL join into a bbox IEJoin + residual filter).
+ *
+ * Spark has no IEJoin, and a range join would still be a broadcast-nested-loop
+ * — quadratic at 100 TB. The scalable Spark shape is a GRID TILE JOIN:
+ *
+ *   a JOIN b ON st_intersects(a.geom, b.geom)
+ *   ⇒  explode(st_tile_ids(a.geom, cell)) AS ta on the left
+ *      explode(st_tile_ids(b.geom, cell)) AS tb on the right
+ *      JOIN ON ta = tb                                  -- hash-partitionable!
+ *           AND st_tile_id(max(xmins), max(ymins)) = ta -- dedupe (emit once)
+ *           AND st_intersects(a.geom, b.geom)           -- exact residual
+ *
+ * The equi-condition makes Catalyst pick a shuffled hash / sort-merge join, so
+ * the work distributes over the cluster keyed by tile. The dedupe condition
+ * keeps exactly the tile containing the top-left corner of the bbox
+ * intersection, so no distinct pass is needed. Rewritable predicate set
+ * mirrors optimizer_rules.cpp:96-98 (st_disjoint excluded: bbox overlap does
+ * not imply it).
+ *
+ * Tuning: spark.graft.spatialJoin.enabled (default true),
+ * spark.graft.spatialJoin.cellSize (default 1.0 — set to ~the median geometry
+ * extent; too small explodes tiles, too large degrades pruning).
+ */
+class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val rewritable = Set(
+    "st_intersects", "st_equals", "st_touches", "st_crosses", "st_within",
+    "st_contains", "st_overlaps", "st_covers", "st_coveredby", "st_containsproperly")
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean
+  private def cellSize: Double =
+    spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0").toDouble
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && !alreadyRewritten(cond) =>
+        findSpatialPredicate(cond, left, right) match {
+          case Some((pred, lGeom, rGeom)) => rewrite(j, cond, pred, lGeom, rGeom)
+          case None => j
+        }
+    }
+  }
+
+  private def alreadyRewritten(cond: Expression): Boolean =
+    cond.exists {
+      case a: AttributeReference => a.name.startsWith("__graft_tile")
+      case _ => false
+    }
+
+  /** Locate a rewritable predicate whose two geometry args resolve to opposite
+   *  join sides; returns (predicate, leftSideGeom, rightSideGeom). */
+  private def findSpatialPredicate(
+      cond: Expression,
+      left: LogicalPlan,
+      right: LogicalPlan): Option[(FnExpr, Expression, Expression)] = {
+    val conjuncts = splitConjuncts(cond)
+    conjuncts.collectFirst {
+      case p @ FnExpr(fn, Seq(a, b))
+          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) =>
+        (p.asInstanceOf[FnExpr], a, b)
+      case p @ FnExpr(fn, Seq(a, b))
+          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
+            b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) =>
+        (p.asInstanceOf[FnExpr], b, a)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def rewrite(
+      j: Join,
+      cond: Expression,
+      pred: FnExpr,
+      lGeom: Expression,
+      rGeom: Expression): LogicalPlan = {
+    val cell = Literal(cellSize)
+    val tileL = AttributeReference("__graft_tile_l", LongType, nullable = false)()
+    val tileR = AttributeReference("__graft_tile_r", LongType, nullable = false)()
+
+    val genLeft = Generate(
+      Explode(FnExpr("st_tile_ids", Seq(lGeom, cell))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(tileL), child = j.left)
+    val genRight = Generate(
+      Explode(FnExpr("st_tile_ids", Seq(rGeom, cell))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(tileR), child = j.right)
+
+    // dedupe: keep only the tile holding the bbox-intersection anchor corner
+    val refX = Greatest(Seq(FnExpr("st_xmin", Seq(lGeom)), FnExpr("st_xmin", Seq(rGeom))))
+    val refY = Greatest(Seq(FnExpr("st_ymin", Seq(lGeom)), FnExpr("st_ymin", Seq(rGeom))))
+    val dedupe = EqualTo(FnExpr("st_tile_id", Seq(refX, refY, cell)), tileL)
+
+    val newCond = And(And(EqualTo(tileL, tileR), dedupe), cond)
+    val newJoin = Join(genLeft, genRight, Inner, Some(newCond), j.hint)
+    Project(j.output, newJoin)
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    Graft.register(s)
+    s
+  }
+}
+
+class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def sql1(q: String): Any = spark.sql(s"SELECT $q").collect()(0).get(0)
+
+  test("constructors and text output") {
+    assert(sql1("st_astext(st_point(1, 2))") == "POINT (1 2)")
+    assert(sql1("st_astext(st_point(1.5, -2.25))") == "POINT (1.5 -2.25)")
+    assert(sql1("st_astext(st_makeenvelope(0, 0, 2, 3))") == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))")
+    assert(sql1("st_astext(st_geomfromtext('MULTIPOINT (1 1, 2 2)'))") == "MULTIPOINT (1 1, 2 2)")
+    assert(sql1("st_astext(st_geomfromtext('POINT Z (1 2 3)'))") == "POINT Z (1 2 3)")
+    assert(sql1("st_astext(st_geomfromtext('POINT EMPTY'))") == "POINT EMPTY")
+    assert(sql1("st_astext(st_makeline(st_point(0,0), st_point(3,4)))") == "LINESTRING (0 0, 3 4)")
+    assert(sql1("st_astext(st_collect(array(st_point(1,1), st_point(2,2))))") == "MULTIPOINT (1 1, 2 2)")
+  }
+
+  test("wkb/hex/geojson roundtrip") {
+    assert(sql1("st_astext(st_geomfromwkb(st_aswkb(st_point(3, 4))))") == "POINT (3 4)")
+    assert(sql1("st_astext(st_geomfromhexwkb(st_ashexwkb(st_geomfromtext('LINESTRING (0 0, 1 1)'))))") == "LINESTRING (0 0, 1 1)")
+    assert(sql1("st_asgeojson(st_point(1, 2))") == """{"type":"Point","coordinates":[1,2]}""")
+    assert(sql1("st_astext(st_geomfromgeojson('{\"type\":\"Point\",\"coordinates\":[5,6]}'))") == "POINT (5 6)")
+    // Z roundtrips through ISO WKB
+    assert(sql1("st_astext(st_geomfromwkb(st_aswkb(st_geomfromtext('POINT Z (1 2 3)'))))") == "POINT Z (1 2 3)")
+  }
+
+  test("accessors") {
+    assert(sql1("st_x(st_point(3, 4))") == 3.0)
+    assert(sql1("st_y(st_point(3, 4))") == 4.0)
+    assert(sql1("st_xmin(st_makeenvelope(1, 2, 3, 4))") == 1.0)
+    assert(sql1("st_ymax(st_makeenvelope(1, 2, 3, 4))") == 4.0)
+    assert(sql1("st_npoints(st_makeenvelope(0, 0, 1, 1))") == 5)
+    assert(sql1("st_ngeometries(st_geomfromtext('MULTIPOINT (1 1, 2 2)'))") == 2)
+    assert(sql1("st_geometrytype(st_point(0, 0))") == "POINT")
+    assert(sql1("st_isempty(st_geomfromtext('POINT EMPTY'))") == true)
+    assert(sql1("st_isclosed(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1, 0 0)'))") == true)
+    assert(sql1("st_hasz(st_geomfromtext('POINT Z (1 2 3)'))") == true)
+    assert(sql1("st_zmflag(st_geomfromtext('POINT Z (1 2 3)'))") == 2)
+    assert(sql1("st_z(st_geomfromtext('POINT Z (1 2 3)'))") == 3.0)
+    assert(sql1("st_astext(st_startpoint(st_geomfromtext('LINESTRING (5 5, 6 6)')))") == "POINT (5 5)")
+    assert(sql1("st_astext(st_pointn(st_geomfromtext('LINESTRING (1 1, 2 2, 3 3)'), -1))") == "POINT (3 3)")
+    assert(sql1("st_dimension(st_makeenvelope(0,0,1,1))") == 2)
+  }
+
+  test("measures") {
+    assert(sql1("st_area(st_makeenvelope(0, 0, 4, 5))") == 20.0)
+    assert(sql1("st_perimeter(st_makeenvelope(0, 0, 4, 5))") == 18.0)
+    assert(sql1("st_length(st_geomfromtext('LINESTRING (0 0, 3 4)'))") == 5.0)
+    assert(sql1("st_distance(st_point(0, 0), st_point(3, 4))") == 5.0)
+    assert(sql1("st_dwithin(st_point(0, 0), st_point(3, 4), 5.0)") == true)
+    assert(sql1("st_x(st_centroid(st_makeenvelope(0, 0, 4, 6)))") == 2.0)
+  }
+
+  test("predicates") {
+    assert(sql1("st_intersects(st_makeenvelope(0,0,2,2), st_makeenvelope(1,1,3,3))") == true)
+    assert(sql1("st_intersects(st_makeenvelope(0,0,1,1), st_makeenvelope(2,2,3,3))") == false)
+    assert(sql1("st_contains(st_makeenvelope(0,0,4,4), st_point(1,1))") == true)
+    assert(sql1("st_within(st_point(1,1), st_makeenvelope(0,0,4,4))") == true)
+    assert(sql1("st_touches(st_makeenvelope(0,0,1,1), st_makeenvelope(1,0,2,1))") == true)
+    assert(sql1("st_disjoint(st_makeenvelope(0,0,1,1), st_makeenvelope(5,5,6,6))") == true)
+    assert(sql1("st_crosses(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_geomfromtext('LINESTRING (0 2, 2 0)'))") == true)
+    assert(sql1("st_equals(st_makeenvelope(0,0,1,1), st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") == true)
+    assert(sql1("st_covers(st_makeenvelope(0,0,2,2), st_makeenvelope(0,0,1,1))") == true)
+    assert(sql1("st_intersects_extent(st_point(1,1), st_makeenvelope(0,0,2,2))") == true)
+  }
+
+  test("overlays and transforms") {
+    assert(sql1("st_area(st_intersection(st_makeenvelope(0,0,2,2), st_makeenvelope(1,1,3,3)))") == 1.0)
+    assert(sql1("st_area(st_union(st_makeenvelope(0,0,2,2), st_makeenvelope(1,1,3,3)))") == 7.0)
+    assert(sql1("st_area(st_difference(st_makeenvelope(0,0,2,2), st_makeenvelope(1,1,3,3)))") == 3.0)
+    assert(sql1("st_area(st_convexhull(st_geomfromtext('MULTIPOINT (0 0, 4 0, 0 3)')))") == 6.0)
+    assert(sql1("st_npoints(st_buffer(st_point(0,0), 1.0, 8))") == 33)
+    assert(sql1("st_astext(st_flipcoordinates(st_point(1, 2)))") == "POINT (2 1)")
+    assert(sql1("st_astext(st_multi(st_point(1, 1)))") == "MULTIPOINT (1 1)")
+    assert(sql1("st_astext(st_reverse(st_geomfromtext('LINESTRING (0 0, 1 1)')))") == "LINESTRING (1 1, 0 0)")
+    assert(sql1("st_astext(st_force2d(st_geomfromtext('POINT Z (1 2 3)')))") == "POINT (1 2)")
+    assert(sql1("st_astext(st_force3dz(st_point(1, 2), 9.0))") == "POINT Z (1 2 9)")
+    assert(sql1("st_npoints(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0, 2 0)'), 0.5))") == 2)
+    assert(sql1("st_isvalid(st_makeenvelope(0,0,1,1))") == true)
+    assert(sql1("st_isvalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))'))") == false)
+    assert(sql1("st_area(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))'))) > 0") == true)
+  }
+
+  test("geodesy and CRS") {
+    val d = sql1("st_haversine(0.0, 0.0, 0.0, 1.0)").asInstanceOf[Double]
+    assert(math.abs(d - 111195.0) < 100.0) // 1 degree of latitude ≈ 111.2 km
+    val v = sql1("st_distance_spheroid(st_point(0, 0), st_point(0, 1))").asInstanceOf[Double]
+    assert(math.abs(v - 110574.0) < 100.0) // WGS84 meridian arc at equator
+    val x = sql1("st_x(st_transform(st_point(10.0, 50.0), 'OGC:CRS84', 'EPSG:3857'))").asInstanceOf[Double]
+    assert(math.abs(x - 1113194.9) < 1.0)
+    // EPSG:4326 authority order is lat/lon; always_xy flips interpretation
+    val x2 = sql1("st_x(st_transform(st_point(50.0, 10.0), 'EPSG:4326', 'EPSG:3857'))").asInstanceOf[Double]
+    assert(math.abs(x2 - 1113194.9) < 1.0)
+  }
+
+  test("hilbert and quadkey") {
+    val h1 = sql1("st_hilbert(1.0, 1.0, 0.0, 0.0, 10.0, 10.0)").asInstanceOf[Long]
+    val h2 = sql1("st_hilbert(1.01, 1.0, 0.0, 0.0, 10.0, 10.0)").asInstanceOf[Long]
+    assert(h1 >= 0 && math.abs(h1 - h2) < 100000) // locality: near points → near keys
+    assert(sql1("length(st_quadkey(11.08, 49.45, 10))") == 10)
+  }
+
+  test("dump and collectionextract") {
+    val n = spark.sql(
+      "SELECT explode(st_dump(st_geomfromtext('MULTIPOINT (1 1, 2 2, 3 3)')))").count()
+    assert(n == 3)
+    assert(sql1("st_astext(st_collectionextract(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))'), 1))") == "MULTIPOINT (1 1)")
+  }
+
+  test("aggregates") {
+    spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
+    assert(spark.sql(
+      "SELECT st_astext(st_extent_agg(st_point(cast(i as double), cast(i as double)))) FROM ten")
+      .collect()(0).getString(0) == "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))")
+    // ten disjoint unit squares → union area 10
+    assert(spark.sql(
+      "SELECT st_area(st_union_agg(st_makeenvelope(cast(i*2 as double), 0.0, cast(i*2+1 as double), 1.0))) FROM ten")
+      .collect()(0).getDouble(0) == 10.0)
+    // intersection of nested envelopes → smallest
+    assert(spark.sql(
+      "SELECT st_area(st_intersection_agg(st_makeenvelope(0.0, 0.0, cast(10-i as double), 1.0))) FROM ten")
+      .collect()(0).getDouble(0) == 1.0)
+    assert(spark.sql(
+      "SELECT st_ngeometries(st_collect_agg(st_point(cast(i as double), 0.0))) FROM ten")
+      .collect()(0).getInt(0) == 10)
+  }
+
+  test("text pipeline functions") {
+    assert(sql1("token_count('  hello   world ')") == 2)
+    assert(sql1("bpe_token_count('hello, world 42')") == 4)
+    assert(sql1("lang_id('the cat and the dog are in the house')") == "en")
+    assert(sql1("lang_id('le chat est dans la maison avec le chien')") == "fr")
+    assert(sql1("jaccard_shingles('abcdef', 'abcdef', 3)") == 1.0)
+    assert(sql1("doc_fingerprint('a  B') = doc_fingerprint('a b')") == true)
+    assert(sql1("size(minhash('some text here', 32, 4, 42))") == 32)
+    assert(sql1("size(minhash_lsh_buckets('some text here', 32, 4, 8, 42))") == 8)
+    // near-identical docs share most minhashes; unrelated docs don't
+    val near = spark.sql(
+      "SELECT size(array_intersect(minhash('the quick brown fox jumps over the lazy dog', 64, 4, 1), " +
+        "minhash('the quick brown fox jumps over the lazy cat', 64, 4, 1)))").collect()(0).getInt(0)
+    assert(near > 32, s"expected >32 shared minhashes, got $near")
+  }
+
+  test("vector functions") {
+    assert(sql1("vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))") == 11.0)
+    assert(sql1("vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))") == 1.0)
+    assert(sql1("vec_l2(array(0.0d, 0.0d), array(3.0d, 4.0d))") == 5.0)
+    // identical vectors → same LSH bucket
+    assert(sql1("rhp_lsh_bucket(array(0.1d, 0.9d), 16, 7) = rhp_lsh_bucket(array(0.1d, 0.9d), 16, 7)") == true)
+    // float arrays upcast automatically
+    assert(sql1("vec_dot(array(cast(1.0 as float), cast(2.0 as float)), array(1.0d, 1.0d))") == 3.0)
+  }
+
+  test("multimodal stub") {
+    val r = spark.sql("SELECT mm_decode_stub(cast('hello' as binary)) AS m")
+      .selectExpr("m.width", "m.nbytes", "m.format").collect()(0)
+    assert(r.getInt(0) == 6 && r.getLong(1) == 5L && r.getString(2) == "fake/rgb8")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The tile-join rewrite must (a) preserve results exactly and (b) produce a
+  * plan with an equi-join (hash/sort-merge-able) instead of a
+  * BroadcastNestedLoop/Cartesian join — the single biggest 100 TB scale item
+  * (SURVEY §3.3). */
+class SpatialJoinRuleSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def setup(): Unit = {
+    spark.sql("""
+      SELECT id AS pid, st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) AS pt
+      FROM range(0, 2000)""").createOrReplaceTempView("pts")
+    spark.sql("""
+      SELECT id AS cell,
+             st_makeenvelope(cast((id % 10) * 10 AS DOUBLE), cast((id DIV 10) * 10 AS DOUBLE),
+                             cast((id % 10) * 10 + 10 AS DOUBLE), cast((id DIV 10) * 10 + 10 AS DOUBLE)) AS env
+      FROM range(0, 100)""").createOrReplaceTempView("cells")
+  }
+
+  test("tile join rewrite preserves results and avoids nested-loop join") {
+    setup()
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val rewritten = spark.sql(joinSql)
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), s"plan still cartesian:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin"), s"plan still BNL:\n$physical")
+    val fast = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ground truth with the rule disabled (plain BNL join)
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+
+    assert(fast == slow, s"tile join changed results: only-fast=${(fast -- slow).take(5)} only-slow=${(slow -- fast).take(5)}")
+    assert(fast.nonEmpty)
+  }
+
+  test("rewrite fires for geometry-geometry joins with extra conjuncts") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val df = spark.sql(
+      "SELECT pid, cell FROM pts JOIN cells ON st_intersects(pt, env) AND pid % 2 = 0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+}
