@@ -382,6 +382,13 @@ object SparkEntry {
       FROM (SELECT doc_id, mm_decode_stub(cast(text AS BINARY)) AS m FROM documents)
       ORDER BY doc_id"""),
 
+    // ---------------------------------------------------------- seeded generator (reference benchmark pin)
+    "q_generatepoints_pin" -> q()("""
+      SELECT cast(count(*) AS INT) AS n
+      FROM (SELECT st_generatepoint(1337L, id, 0.0d, 0.0d, 10000.0d, 10000.0d) AS pt
+            FROM range(10000000))
+      WHERE st_within(pt, st_makeenvelope(450.0d, 450.0d, 650.0d, 650.0d))"""),
+
     // ---------------------------------------------------------- spatial keys (rows-only; pinned by ScalaTest)
     "q_hilbert_quadkey" -> q("lineitem")(s"""
       SELECT $K AS k,
@@ -651,6 +658,9 @@ object SparkEntry {
                   CROSS JOIN embeddings e
                   WHERE e.vec_id != q.vec_id))
       WHERE rn <= 3 ORDER BY qid, nid""",
+
+    // the pinned count from /root/reference/benchmark/rtree_points_noindex.benchmark
+    "q_generatepoints_pin" -> "SELECT CAST(3986 AS INT) AS n",
 
     "q_multimodal" -> """
       SELECT doc_id,

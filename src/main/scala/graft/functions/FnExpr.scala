@@ -33,6 +33,7 @@ object FnRegistry {
       GeoFns.load()
       TextFns.load()
       VecFns.load()
+      GeneratePoints.load()
       loaded = true
     }
   }
