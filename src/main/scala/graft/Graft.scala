@@ -50,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
+    ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
   }
 }

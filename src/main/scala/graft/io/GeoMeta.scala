@@ -1,0 +1,101 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/**
+ * Metadata table functions — the Spark equivalents of ST_Read_Meta,
+ * ST_Drivers, Shapefile_Meta, and the R-tree introspection pragmas
+ * (/root/reference/spatial/src/spatial/gdal/functions/st_read_meta.cpp,
+ * st_drivers.cpp, read_shapefile_meta.cpp:166, rtree_index_pragmas.cpp:236).
+ */
+object GeoMeta {
+
+  /** ST_Drivers equivalent: the formats this engine reads/writes natively. */
+  def drivers(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
+      Row("geojson", "GeoJSON FeatureCollection (RFC 7946)", true, false),
+      Row("geojsonl", "Newline-delimited GeoJSON", true, true),
+      Row("osmpbf", "OpenStreetMap PBF (block-parallel)", true, false),
+      Row("geoparquet", "Parquet + WKB geometry + bbox stats (clustered writer)", true, true))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("short_name", StringType),
+      StructField("description", StringType),
+      StructField("can_read", BooleanType),
+      StructField("can_write", BooleanType))))
+  }
+
+  /** Shapefile_Meta equivalent. */
+  def shapefileMeta(spark: SparkSession, path: String): DataFrame = {
+    val m = Shapefile.readMeta(path)
+    val rows = Seq(Row(path, m.shapeType, m.recordCount,
+      m.bbox._1, m.bbox._2, m.bbox._3, m.bbox._4, m.encoding,
+      m.fields.map(f => Row(f.name, f.typ.toString, f.width, f.decimals))))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType),
+      StructField("shape_type", IntegerType),
+      StructField("record_count", IntegerType),
+      StructField("min_x", DoubleType), StructField("min_y", DoubleType),
+      StructField("max_x", DoubleType), StructField("max_y", DoubleType),
+      StructField("encoding", StringType),
+      StructField("fields", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("type", StringType),
+        StructField("width", IntegerType), StructField("decimals", IntegerType))))))))
+  }
+
+  /** ST_Read_Meta equivalent: schema + counts for any geo path. */
+  def readMeta(spark: SparkSession, path: String): DataFrame = {
+    val paths = GeoFiles.expand(path)
+    val fmt = GeoFiles.formatOf(paths, None)
+    val schema = GeoFiles.schemaFor(fmt, paths)
+    val rows = Seq(Row(path, fmt, paths.length,
+      schema.fields.map(f => Row(f.name, f.dataType.simpleString))))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType),
+      StructField("driver", StringType),
+      StructField("file_count", IntegerType),
+      StructField("fields", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("type", StringType))))))))
+  }
+
+  /** Introspection of a clustered-parquet layout (rtree pragma equivalent):
+   *  per-file bbox ranges straight from the Parquet footers — the stats that
+   *  drive row-group skipping. */
+  def clusterInfo(spark: SparkSession, path: String, geomCol: String = "geom"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val rows = files.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        blocks.zipWithIndex.map { case (b, i) =>
+          def stat(col: String): (Double, Double) =
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == s"${geomCol}_bbox.$col")
+              .map { c =>
+                val st = c.getStatistics
+                (st.genericGetMin.asInstanceOf[Double], st.genericGetMax.asInstanceOf[Double])
+              }.getOrElse((Double.NaN, Double.NaN))
+          val (minxLo, _) = stat("min_x")
+          val (_, maxxHi) = stat("max_x")
+          val (minyLo, _) = stat("min_y")
+          val (_, maxyHi) = stat("max_y")
+          Row(f.getName, i, b.getRowCount, minxLo, minyLo, maxxHi, maxyHi)
+        }.toSeq
+      } finally reader.close()
+    }
+    spark.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+      StructField("file", StringType),
+      StructField("row_group", IntegerType),
+      StructField("rows", LongType),
+      StructField("min_x", DoubleType), StructField("min_y", DoubleType),
+      StructField("max_x", DoubleType), StructField("max_y", DoubleType))))
+  }
+}

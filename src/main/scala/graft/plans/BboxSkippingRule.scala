@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.functions.FnExpr
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Bbox-derivation rule (reference: RTreeIndexScanOptimizer,
+ * /root/reference/spatial/src/spatial/core/index/rtree/rtree_index_plan_scan.cpp:34-240,
+ * which swaps Filter+scan for an R-tree scan when the predicate has a constant
+ * side). The Spark-native equivalent: when a filter applies a spatial
+ * predicate between a geometry column `g` and a *constant* geometry, and the
+ * relation also carries the sibling `g_bbox` struct written by
+ * [[graft.io.GeoWriter.clusteredParquet]], conjoin range predicates on the
+ * bbox struct fields. Those simple comparisons ARE pushable to the Parquet
+ * scan, so row groups outside the constant's envelope are skipped via min/max
+ * stats — index-grade pruning with zero index machinery.
+ */
+class BboxSkippingRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  // predicates where bbox overlap with the constant's envelope is implied
+  private val overlapPreds = Set(
+    "st_intersects", "st_equals", "st_touches", "st_crosses", "st_within",
+    "st_contains", "st_overlaps", "st_covers", "st_coveredby",
+    "st_containsproperly", "st_intersects_extent")
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.bboxSkipping.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case f @ Filter(cond, child) =>
+        val extra = splitConjuncts(cond).flatMap(derive(_, child))
+        val fresh = extra.filterNot(e => splitConjuncts(cond).exists(_.semanticEquals(e)))
+        if (fresh.isEmpty) f
+        else Filter(fresh.foldLeft(cond)(And(_, _)), child)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def bboxAttrFor(geom: Expression, child: LogicalPlan): Option[Attribute] =
+    geom match {
+      case a: Attribute =>
+        child.output.find(o =>
+          o.name == s"${a.name}_bbox" && o.dataType.isInstanceOf[StructType])
+      case _ => None
+    }
+
+  private def envelopeOf(constGeom: Expression): Option[(Double, Double, Double, Double)] =
+    scala.util.Try {
+      val bytes = constGeom.eval(null).asInstanceOf[Array[Byte]]
+      val e = graft.geom.Geo.read(bytes).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }.toOption
+
+  private def derive(conjunct: Expression, child: LogicalPlan): Seq[Expression] = conjunct match {
+    case FnExpr(fn, Seq(a, b)) if overlapPreds(fn) =>
+      val (geomSide, constSide) =
+        if (b.foldable && !a.foldable) (a, b)
+        else if (a.foldable && !b.foldable) (b, a)
+        else return Nil
+      (bboxAttrFor(geomSide, child), envelopeOf(constSide)) match {
+        case (Some(bbox), Some((minX, minY, maxX, maxY))) =>
+          def field(n: String, i: Int) = GetStructField(bbox, i, Some(n))
+          Seq(
+            LessThanOrEqual(field("min_x", 0), Literal(maxX)),
+            LessThanOrEqual(field("min_y", 1), Literal(maxY)),
+            GreaterThanOrEqual(field("max_x", 2), Literal(minX)),
+            GreaterThanOrEqual(field("max_y", 3), Literal(minY)))
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}

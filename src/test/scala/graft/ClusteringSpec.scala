@@ -1,0 +1,76 @@
+package graft
+
+import graft.io.{GeoMeta, GeoWriter}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The R-tree replacement (SURVEY §4.3): Hilbert clustering + bbox stats +
+  * the BboxSkippingRule must reproduce index-grade pruning declaratively. */
+class ClusteringSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = Files.createTempDirectory("graft_cluster").toString
+
+  test("clustered parquet + bbox skipping rule prunes and stays correct") {
+    val pts = spark.sql("""
+      SELECT id, st_generatepoint(7L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
+      FROM range(20000)""")
+    GeoWriter.clusteredParquet(pts, "geom", s"$dir/pts", targetPartitions = 8)
+
+    val table = spark.read.parquet(s"$dir/pts")
+    assert(table.columns.contains("geom_bbox"))
+    table.createOrReplaceTempView("clustered")
+
+    // the skipping rule derives bbox range predicates from the spatial filter
+    val q = spark.sql("""
+      SELECT count(*) FROM clustered
+      WHERE st_within(geom, st_makeenvelope(100.0d, 100.0d, 150.0d, 150.0d))""")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("min_x") && optimized.contains("max_y"),
+      s"bbox predicates not derived:\n$optimized")
+    // and they reach the parquet scan as pushed filters
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("min_x"),
+      s"bbox predicates not pushed to scan:\n$physical")
+
+    // correctness: same count with the rule disabled
+    val n = q.collect()(0).getLong(0)
+    spark.conf.set("spark.graft.bboxSkipping.enabled", "false")
+    val m = spark.sql("""
+      SELECT count(*) FROM clustered
+      WHERE st_within(geom, st_makeenvelope(100.0d, 100.0d, 150.0d, 150.0d))""")
+      .collect()(0).getLong(0)
+    spark.conf.set("spark.graft.bboxSkipping.enabled", "true")
+    assert(n == m && n > 0, s"rule changed result: $n vs $m")
+
+    // hilbert clustering makes row-group bboxes tight → introspection shows
+    // per-file ranges far smaller than the full extent
+    val info = GeoMeta.clusterInfo(spark, s"$dir/pts", "geom").collect()
+    assert(info.nonEmpty)
+    val avgWidth = info.map(r => r.getDouble(5) - r.getDouble(3)).sum / info.length
+    assert(avgWidth < 900.0, s"clustering produced no locality (avg x-width $avgWidth)")
+  }
+
+  test("geojsonl writer round-trips through the geo reader") {
+    val df = spark.sql(
+      "SELECT id, concat('n', id) AS name, st_point(cast(id AS DOUBLE), 1.0d) AS geom FROM range(5)")
+    GeoWriter.geojsonl(df, "geom", s"$dir/out_gj")
+    // rename part files so the geo reader picks them up by extension
+    val d = new java.io.File(s"$dir/out_gj")
+    d.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      f.renameTo(new java.io.File(d, f.getName + ".geojsonl"))
+    }
+    val back = spark.read.format("geo").load(s"$dir/out_gj")
+    back.createOrReplaceTempView("gjback")
+    val rows = spark.sql(
+      "SELECT properties['id'] AS id, properties['name'] AS name, st_astext(geom) AS wkt FROM gjback ORDER BY id").collect()
+    assert(rows.length == 5)
+    assert(rows(0).getString(1) == "n0" && rows(0).getString(2) == "POINT (0 1)")
+  }
+
+  test("meta helpers: drivers, read_meta") {
+    assert(GeoMeta.drivers(spark).count() == 5)
+    val meta = GeoMeta.readMeta(spark, s"$dir/out_gj").collect()(0)
+    assert(meta.getString(1) == "geojsonl" && meta.getInt(2) >= 1)
+  }
+}

