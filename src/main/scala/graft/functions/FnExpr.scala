@@ -62,8 +62,18 @@ case class FnExpr(fn: String, children: Seq[Expression])
   @transient private lazy val spec = FnRegistry(fn)
   @transient private lazy val f: Array[Any] => Any = spec.make(children)
 
-  override def inputTypes: Seq[DataType] =
-    spec.arities.getOrElse(children.length, children.map(_.dataType))
+  /** Expected input types, with one twist reproducing the reference's
+   *  implicit VARCHAR→GEOMETRY cast (§1.4 cast lattice, geometry_cast.cpp):
+   *  where a geometry (binary) argument receives a string, the string is let
+   *  through untouched and parsed as WKT at eval — a Cast(string→binary)
+   *  would reinterpret the text bytes as WKB garbage. */
+  override def inputTypes: Seq[DataType] = {
+    val base = spec.arities.getOrElse(children.length, children.map(_.dataType))
+    base.lazyZip(children).map {
+      case (BinaryType, c) if c.resolved && c.dataType == StringType => StringType
+      case (t, _) => t
+    }
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (!spec.arities.contains(children.length))

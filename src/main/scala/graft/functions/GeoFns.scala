@@ -36,7 +36,12 @@ object GeoFns {
   private val BO = BooleanType
   private val L = LongType
 
-  private def rg(a: Any): Geometry = Geo.read(a.asInstanceOf[Array[Byte]])
+  /** Geometry argument: WKB bytes, or a WKT string via the implicit cast. */
+  private def rg(a: Any): Geometry = a match {
+    case b: Array[Byte] => Geo.read(b)
+    case s: UTF8String => Geo.fromWkt(s.toString)
+    case other => throw new IllegalArgumentException(s"not a geometry: ${other.getClass}")
+  }
   private def w(g: Geometry): Array[Byte] = Wkb.write(g)
   private def utf(s: String): UTF8String = UTF8String.fromString(s)
   private def str(a: Any): String = a.asInstanceOf[UTF8String].toString
@@ -109,8 +114,8 @@ object GeoFns {
         var pk: AnyRef = null
         var pv: PreparedGeometry = null
         args => {
-          val cb = args(idx).asInstanceOf[Array[Byte]]
-          if (cb ne pk) { pk = cb; pv = PreparedGeometryFactory.prepare(Geo.read(cb)) }
+          val cb = args(idx).asInstanceOf[AnyRef]
+          if (cb ne pk) { pk = cb; pv = PreparedGeometryFactory.prepare(rg(cb)) }
           prepApply(effOp, pv, rg(args(1 - idx)))
         }
       } else { args => plainApply(op, rg(args(0)), rg(args(1))) }
@@ -416,9 +421,17 @@ object GeoFns {
 
     // ---- output formats
     gS("st_astext")(Wkt.write)
-    fn("st_aswkb", B, Seq(B))(a => a(0)) // stored encoding IS ISO WKB
+    fn("st_aswkb", B, Seq(B)) { a => // stored encoding IS ISO WKB
+      a(0) match {
+        case b: Array[Byte] => b
+        case s: UTF8String => w(Geo.fromWkt(s.toString))
+      }
+    }
     fn("st_ashexwkb", S, Seq(B)) { a =>
-      val b = a(0).asInstanceOf[Array[Byte]]
+      val b = a(0) match {
+        case bytes: Array[Byte] => bytes
+        case s: UTF8String => w(Geo.fromWkt(s.toString))
+      }
       val hex = "0123456789ABCDEF"
       val out = new Array[Char](b.length * 2)
       var i = 0
@@ -649,9 +662,30 @@ object GeoFns {
       w(BufferOp.bufferOp(rg(a(0)), dbl(a(1)), segs))
     }
     gG("st_convexhull")(_.convexHull())
-    ggG("st_difference")(_.difference(_))
-    ggG("st_intersection")(_.intersection(_))
-    ggG("st_union")(_.union(_))
+    // Overlay ops with bbox short-circuits (the reference's cached-bbox checks,
+    // geometry_type.hpp:100-146, applied at the function level): rectangle ∩
+    // rectangle clips directly; envelope-disjoint polygons skip OverlayNG.
+    ggG("st_difference") { (a, b) =>
+      if (!a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)) a
+      else a.difference(b)
+    }
+    ggG("st_intersection") { (a, b) =>
+      if (a.isRectangle && b.isRectangle) {
+        val ea = a.getEnvelopeInternal
+        val eb = b.getEnvelopeInternal
+        val ix0 = math.max(ea.getMinX, eb.getMinX); val ix1 = math.min(ea.getMaxX, eb.getMaxX)
+        val iy0 = math.max(ea.getMinY, eb.getMinY); val iy1 = math.min(ea.getMaxY, eb.getMaxY)
+        if (ix1 < ix0 || iy1 < iy0) f.createPolygon()
+        else if (ix1 > ix0 && iy1 > iy0) Geo.box(ix0, iy0, ix1, iy1)
+        else a.intersection(b) // boundary contact → line/point result: exact path
+      } else a.intersection(b)
+    }
+    ggG("st_union") { (a, b) =>
+      if (a.isInstanceOf[Polygon] && b.isInstanceOf[Polygon] && !a.isEmpty && !b.isEmpty &&
+        !a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)) {
+        f.createMultiPolygon(Array(a.asInstanceOf[Polygon], b.asInstanceOf[Polygon]))
+      } else a.union(b)
+    }
     ggG("st_shortestline")((g1, g2) => f.createLineString(DistanceOp.nearestPoints(g1, g2)))
     gG("st_flipcoordinates") { g =>
       val ed = new GeometryEditor(f)

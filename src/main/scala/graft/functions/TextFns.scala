@@ -208,6 +208,12 @@ object TextFns {
     fn("simhash", L, Seq(S, I))(a => simhash(str(a(0)), int(a(1))))
     fn("jaccard_shingles", D, Seq(S, S, I))(a =>
       jaccard(charShingles(str(a(0)), int(a(2))), charShingles(str(a(1)), int(a(2)))))
+    fn("jaccard_arrays", D, Seq(ArrayType(S), ArrayType(S))) { a =>
+      def strs(x: Any): Array[String] =
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(S).map(v => if (v == null) null else v.toString)
+      jaccard(strs(a(0)), strs(a(1)))
+    }
     fn("jaccard_word_ngrams", D, Seq(S, S, I))(a =>
       jaccard(wordNgrams(str(a(0)), int(a(2))), wordNgrams(str(a(1)), int(a(2)))))
   }
