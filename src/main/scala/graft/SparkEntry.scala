@@ -394,6 +394,15 @@ object SparkEntry {
                   WHERE e.vec_id != q.vec_id))
       WHERE rn <= 3 ORDER BY qid, nid"""),
 
+    "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cs = graft.ann.Ivf.centroids(emb, "vec_id", "embedding", k = 16, seed = 7)
+      graft.ann.Ivf.search(emb, emb.where("vec_id < 10"), "vec_id", "embedding", cs,
+          topK = 5, nprobe = 6)
+        .selectExpr("qid", "nid", "rn").orderBy("qid", "rn")
+    }),
+
     "q_ann_lsh" -> q("embeddings")("""
       SELECT bucket, cast(count(*) AS INT) AS n, cast(count(DISTINCT label) AS INT) AS labels
       FROM (SELECT rhp_lsh_bucket(cast(embedding AS ARRAY<DOUBLE>), 8, 7) AS bucket, label FROM embeddings)

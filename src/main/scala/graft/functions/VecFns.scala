@@ -78,6 +78,19 @@ object VecFns {
     fn("vec_cosine", D, Seq(AD, AD))(a => cosine(arr(a(0)), arr(a(1))))
     fn("vec_l2", D, Seq(AD, AD))(a => l2(arr(a(0)), arr(a(1))))
     fn("rhp_lsh_bucket", L, Seq(AD, I, I))(a => rhpBucket(arr(a(0)), int(a(1)), int(a(2))))
+    // nearest-centroid probe list for IVF (graft.ann.Ivf): argsort of L2
+    // distance to each centroid, truncated to nprobe
+    fn("ivf_probe", ArrayType(I), Seq(AD, ArrayType(AD), I)) { a =>
+      val v = arr(a(0))
+      val cs = arr(a(1))
+      val nprobe = int(a(2))
+      val dists = Array.tabulate(cs.numElements()) { i =>
+        (l2(v, cs.getArray(i)), i)
+      }
+      java.util.Arrays.sort(dists, Ordering.by((t: (Double, Int)) => t))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        dists.take(math.min(nprobe, dists.length)).map(_._2: Any))
+    }
 
     // Multimodal column stubs: the container has no image/audio codecs, so the
     // decode step is a DETERMINISTIC FAKE computed from the raw bytes; the
