@@ -3,7 +3,8 @@ package graft
 import graft.functions.{FnExpr, FnRegistry, GeoAggregates}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
 
 /**
  * Registration entry point — the Spark analogue of the reference's extension
@@ -31,12 +32,43 @@ object Graft {
     scalars ++ aggs
   }
 
+  /** ST_GeneratePoints table function (reference:
+   *  core/functions/table/st_generatepoints.cpp): seeded uniform points, as a
+   *  distributed Range + the pcg32 skip-ahead expression.
+   *  SQL: `SELECT point FROM st_generatepoints(minx, miny, maxx, maxy, count [, seed])`. */
+  def generatePointsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5 || exprs.length == 6,
+      "st_generatepoints(minx, miny, maxx, maxy, count [, seed])")
+    require(exprs.forall(_.foldable), "st_generatepoints arguments must be constants")
+    def d(e: Expression): Double = e.eval(null) match {
+      case x: Double => x
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+      case x: java.math.BigDecimal => x.doubleValue()
+      case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    }
+    def l(e: Expression): Long = e.eval(null) match {
+      case x: Long => x
+      case x: Int => x.toLong
+    }
+    val Seq(minX, minY, maxX, maxY) = exprs.take(4).map(d)
+    val count = l(exprs(4))
+    val seed = if (exprs.length == 6) l(exprs(5)) else 0L
+    val range = LRange(0, count, 1, None)
+    Project(Seq(Alias(
+      FnExpr("st_generatepoint", Seq(
+        Literal(seed), range.output.head,
+        Literal(minX), Literal(minY), Literal(maxX), Literal(maxY))), "point")()), range)
+  }
+
   /** Idempotent per-session function registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "st_generatepoints", generatePointsPlan, "built-in")
   }
 }
 
@@ -49,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectTableFunction((
+      FunctionIdentifier("st_generatepoints"),
+      new ExpressionInfo("graft", "st_generatepoints"),
+      Graft.generatePointsPlan))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
   }

@@ -71,6 +71,9 @@ case class FnExpr(fn: String, children: Seq[Expression])
     val base = spec.arities.getOrElse(children.length, children.map(_.dataType))
     base.lazyZip(children).map {
       case (BinaryType, c) if c.resolved && c.dataType == StringType => StringType
+      // columnar POINT_2D (struct{x,y double}) coerces to geometry — the
+      // reference's two-tier type model (SURVEY §1.3, geometry_cast.cpp)
+      case (BinaryType, c) if c.resolved && FnExpr.isPointStruct(c.dataType) => c.dataType
       case (t, _) => t
     }
   }
@@ -102,4 +105,12 @@ case class FnExpr(fn: String, children: Seq[Expression])
   override def prettyName: String = fn
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
+}
+
+object FnExpr {
+  /** struct of 2 double fields ⇒ treated as a POINT_2D geometry argument */
+  def isPointStruct(dt: DataType): Boolean = dt match {
+    case s: StructType => s.length == 2 && s.fields.forall(_.dataType == DoubleType)
+    case _ => false
+  }
 }

@@ -36,10 +36,13 @@ object GeoFns {
   private val BO = BooleanType
   private val L = LongType
 
-  /** Geometry argument: WKB bytes, or a WKT string via the implicit cast. */
+  /** Geometry argument: WKB bytes, a WKT string, or a columnar POINT_2D
+   *  struct — the implicit-cast lattice of SURVEY §1.4. */
   private def rg(a: Any): Geometry = a match {
     case b: Array[Byte] => Geo.read(b)
     case s: UTF8String => Geo.fromWkt(s.toString)
+    case r: org.apache.spark.sql.catalyst.InternalRow if r.numFields == 2 =>
+      Geo.point(r.getDouble(0), r.getDouble(1))
     case other => throw new IllegalArgumentException(s"not a geometry: ${other.getClass}")
   }
   private def w(g: Geometry): Array[Byte] = Wkb.write(g)

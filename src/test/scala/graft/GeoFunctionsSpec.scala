@@ -173,6 +173,21 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("vec_dot(array(cast(1.0 as float), cast(2.0 as float)), array(1.0d, 1.0d))") == 3.0)
   }
 
+  test("st_generatepoints table function and reference pin shape") {
+    val n = spark.sql(
+      "SELECT count(*) FROM st_generatepoints(0.0d, 0.0d, 100.0d, 100.0d, 1000, 42)").collect()(0).getLong(0)
+    assert(n == 1000L)
+    val wkt = spark.sql(
+      "SELECT st_astext(point) FROM st_generatepoints(0.0d, 0.0d, 100.0d, 100.0d, 1, 42)").collect()(0).getString(0)
+    assert(wkt.startsWith("POINT ("))
+  }
+
+  test("columnar POINT_2D struct coerces to geometry") {
+    assert(sql1("st_x(named_struct('x', 3.0d, 'y', 4.0d))") == 3.0)
+    assert(sql1("st_distance(named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 4.0d))") == 5.0)
+    assert(sql1("st_astext(st_multi(named_struct('x', 1.0d, 'y', 2.0d)))") == "MULTIPOINT (1 2)")
+  }
+
   test("multimodal stub") {
     val r = spark.sql("SELECT mm_decode_stub(cast('hello' as binary)) AS m")
       .selectExpr("m.width", "m.nbytes", "m.format").collect()(0)
