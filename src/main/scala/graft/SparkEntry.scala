@@ -421,6 +421,27 @@ object SparkEntry {
             FROM range(10000000))
       WHERE st_within(pt, st_makeenvelope(450.0d, 450.0d, 650.0d, 650.0d))"""),
 
+    // Indexed counterpart of the pin (reference rtree_points_index.benchmark):
+    // same 10M points Hilbert-clustered with bbox stats; the filter prunes row
+    // groups via BboxSkippingRule + parquet min/max instead of scanning all.
+    "q_rtree_clustered_pin" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_rtree_10m").getAbsolutePath
+      val marker = new java.io.File(path + "_OK")
+      if (!marker.exists()) {
+        val pts = s.sql(
+          "SELECT point AS geom FROM st_generatepoints(0.0d, 0.0d, 10000.0d, 10000.0d, 10000000, 1337)")
+        graft.io.GeoWriter.clusteredParquet(pts, "geom", path,
+          bounds = Some((0.0, 0.0, 10000.0, 10000.0)), targetPartitions = 64)
+        marker.createNewFile()
+      }
+      s.read.parquet(path).createOrReplaceTempView("rtree_pts")
+      s.sql("""
+        SELECT cast(count(*) AS INT) AS n FROM rtree_pts
+        WHERE st_within(geom, st_makeenvelope(450.0d, 450.0d, 650.0d, 650.0d))""")
+    }),
+
     // ---------------------------------------------------------- spatial keys (rows-only; pinned by ScalaTest)
     "q_hilbert_quadkey" -> q("lineitem")(s"""
       SELECT $K AS k,
@@ -693,6 +714,9 @@ object SparkEntry {
 
     // the pinned count from /root/reference/benchmark/rtree_points_noindex.benchmark
     "q_generatepoints_pin" -> "SELECT CAST(3986 AS INT) AS n",
+
+    // same pin through the clustered/pruned path (rtree_points_index.benchmark)
+    "q_rtree_clustered_pin" -> "SELECT CAST(3986 AS INT) AS n",
 
     "q_multimodal" -> """
       SELECT doc_id,
