@@ -1,0 +1,240 @@
+package graft.io
+
+import graft.geom.Geo
+import org.locationtech.jts.geom._
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/**
+ * FlatGeobuf reader — public spec (flatgeobuf.org, BSD): magic
+ * `fgb\x03fgb\x00`, flatbuffers Header (schema + feature count + index node
+ * size), optional packed Hilbert R-tree, then length-prefixed Feature
+ * flatbuffers. Implemented with a minimal flatbuffers wire decoder (vtables +
+ * offsets) — no codegen, no dependency. The reference reads .fgb through GDAL
+ * (st_read.cpp); this is a native, splittable reader.
+ */
+object FlatGeobuf {
+
+  // ------------------------------------------------------ flatbuffers wire
+  private final class Fb(val buf: ByteBuffer) {
+    def u32(p: Int): Long = buf.getInt(p).toLong & 0xffffffffL
+    /** table position from an indirect offset slot */
+    def indirect(p: Int): Int = p + buf.getInt(p)
+    /** absolute position of field `id`'s slot in table at `t`, or -1 */
+    def slot(t: Int, id: Int): Int = {
+      val vt = t - buf.getInt(t)
+      val vtLen = buf.getShort(vt) & 0xffff
+      val off = 4 + 2 * id
+      if (off >= vtLen) return -1
+      val voff = buf.getShort(vt + off) & 0xffff
+      if (voff == 0) -1 else t + voff
+    }
+    def byteField(t: Int, id: Int, dflt: Int): Int = {
+      val s = slot(t, id); if (s < 0) dflt else buf.get(s) & 0xff
+    }
+    def shortField(t: Int, id: Int, dflt: Int): Int = {
+      val s = slot(t, id); if (s < 0) dflt else buf.getShort(s) & 0xffff
+    }
+    def longField(t: Int, id: Int, dflt: Long): Long = {
+      val s = slot(t, id); if (s < 0) dflt else buf.getLong(s)
+    }
+    def string(t: Int, id: Int): String = {
+      val s = slot(t, id)
+      if (s < 0) null
+      else {
+        val p = indirect(s)
+        val len = u32(p).toInt
+        val arr = new Array[Byte](len)
+        val dup = buf.duplicate(); dup.position(p + 4); dup.get(arr)
+        new String(arr, "UTF-8")
+      }
+    }
+    /** vector of scalars: returns (elementsStart, length) or null */
+    def vector(t: Int, id: Int): (Int, Int) = {
+      val s = slot(t, id)
+      if (s < 0) null
+      else {
+        val p = indirect(s)
+        (p + 4, u32(p).toInt)
+      }
+    }
+    def tableField(t: Int, id: Int): Int = {
+      val s = slot(t, id); if (s < 0) -1 else indirect(s)
+    }
+  }
+
+  // ------------------------------------------------------------- header
+  final case class FgbColumn(name: String, typ: Int)
+  final case class FgbHeader(
+      name: String, geometryType: Int, hasZ: Boolean,
+      columns: Seq[FgbColumn], featuresCount: Long, indexNodeSize: Int,
+      dataStart: Long)
+
+  def readHeader(path: String): FgbHeader = {
+    val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 12 && bytes(0) == 'f' && bytes(1) == 'g' && bytes(2) == 'b',
+      s"not a FlatGeobuf file: $path")
+    val headerLen = bb.getInt(8)
+    val fb = new Fb(bb)
+    val root = 12 + bb.getInt(12)
+    val geometryType = fb.byteField(root, 2, 0)
+    val hasZ = fb.byteField(root, 3, 0) != 0
+    val featuresCount = fb.longField(root, 8, 0)
+    val indexNodeSize = fb.shortField(root, 9, 16)
+    val columns = fb.vector(root, 7) match {
+      case null => Seq.empty
+      case (start, n) =>
+        (0 until n).map { i =>
+          val ct = fb.indirect(start + 4 * i)
+          FgbColumn(fb.string(ct, 0), fb.byteField(ct, 1, 0))
+        }
+    }
+    val indexSize =
+      if (indexNodeSize > 0 && featuresCount > 0) packedIndexSize(featuresCount, indexNodeSize)
+      else 0L
+    FgbHeader(fb.string(root, 0), geometryType, hasZ, columns, featuresCount,
+      indexNodeSize, 12L + headerLen + indexSize)
+  }
+
+  /** size in bytes of the packed Hilbert R-tree (spec: 40-byte nodes). */
+  private def packedIndexSize(numItems: Long, nodeSize: Int): Long = {
+    var n = numItems
+    var numNodes = n
+    while (n != 1) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+    }
+    numNodes * 40L
+  }
+
+  // ------------------------------------------------------------- features
+  final case class FgbFeature(geom: Geometry, properties: Map[String, String])
+
+  def readFeatures(path: String): Iterator[FgbFeature] = {
+    val header = readHeader(path)
+    val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fb = new Fb(bb)
+    new Iterator[FgbFeature] {
+      private var pos = header.dataStart.toInt
+      override def hasNext: Boolean = pos + 4 <= bytes.length
+      override def next(): FgbFeature = {
+        val size = bb.getInt(pos)
+        val t = (pos + 4) + bb.getInt(pos + 4)
+        val geomT = fb.tableField(t, 0)
+        val geom = if (geomT < 0) null else decodeGeometry(fb, geomT, header.geometryType, header.hasZ)
+        val props = fb.vector(t, 1) match {
+          case null => Map.empty[String, String]
+          case (start, len) => decodeProperties(bb, start, len, header.columns)
+        }
+        pos += 4 + size
+        FgbFeature(geom, props)
+      }
+    }
+  }
+
+  private def coords(fb: Fb, geomT: Int, hasZ: Boolean): Array[Coordinate] = {
+    fb.vector(geomT, 1) match {
+      case null => Array.empty
+      case (start, n) =>
+        val zVec = if (hasZ) fb.vector(geomT, 2) else null
+        Array.tabulate(n / 2) { i =>
+          val x = fb.buf.getDouble(start + 16 * i)
+          val y = fb.buf.getDouble(start + 16 * i + 8)
+          if (zVec != null && i < zVec._2) new Coordinate(x, y, fb.buf.getDouble(zVec._1 + 8 * i))
+          else new Coordinate(x, y)
+        }
+    }
+  }
+
+  private def ends(fb: Fb, geomT: Int): Array[Int] = fb.vector(geomT, 0) match {
+    case null => Array.empty
+    case (start, n) => Array.tabulate(n)(i => fb.buf.getInt(start + 4 * i))
+  }
+
+  private def decodeGeometry(fb: Fb, geomT: Int, headerType: Int, hasZ: Boolean): Geometry = {
+    val f = Geo.factory
+    val typ = {
+      val own = fb.byteField(geomT, 6, 0)
+      if (own != 0) own else headerType
+    }
+    def rings(): Array[LinearRing] = {
+      val cs = coords(fb, geomT, hasZ)
+      val es = ends(fb, geomT)
+      val bounds = if (es.isEmpty) Array(cs.length) else es
+      var from = 0
+      bounds.map { e =>
+        val ring = f.createLinearRing(cs.slice(from, e))
+        from = e
+        ring
+      }
+    }
+    typ match {
+      case 1 => // Point
+        val cs = coords(fb, geomT, hasZ)
+        if (cs.isEmpty) f.createPoint() else f.createPoint(cs(0))
+      case 2 => f.createLineString(coords(fb, geomT, hasZ))
+      case 3 =>
+        val rs = rings()
+        if (rs.isEmpty) f.createPolygon() else f.createPolygon(rs.head, rs.tail)
+      case 4 => f.createMultiPoint(coords(fb, geomT, hasZ).map(f.createPoint))
+      case 5 =>
+        val cs = coords(fb, geomT, hasZ)
+        val es = ends(fb, geomT)
+        val bounds = if (es.isEmpty) Array(cs.length) else es
+        var from = 0
+        f.createMultiLineString(bounds.map { e =>
+          val l = f.createLineString(cs.slice(from, e)); from = e; l
+        })
+      case 6 | 7 => // MultiPolygon / GeometryCollection via parts
+        fb.vector(geomT, 7) match {
+          case null =>
+            if (typ == 6) {
+              val rs = rings()
+              if (rs.isEmpty) f.createMultiPolygon(Array.empty)
+              else f.createMultiPolygon(Array(f.createPolygon(rs.head, rs.tail)))
+            } else f.createGeometryCollection()
+          case (start, n) =>
+            val parts = (0 until n).map { i =>
+              val pt = fb.indirect(start + 4 * i)
+              decodeGeometry(fb, pt, if (typ == 6) 3 else 0, hasZ)
+            }.toArray
+            if (typ == 6) f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
+            else f.createGeometryCollection(parts)
+        }
+      case other => throw new IllegalArgumentException(s"FlatGeobuf geometry type $other not supported")
+    }
+  }
+
+  /** properties buffer: repeated [uint16 column idx][typed value] */
+  private def decodeProperties(bb: ByteBuffer, start: Int, len: Int,
+                               columns: Seq[FgbColumn]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var p = start
+    val end = start + len
+    while (p + 2 <= end) {
+      val idx = bb.getShort(p) & 0xffff
+      p += 2
+      if (idx >= columns.length) return out.result()
+      val col = columns(idx)
+      col.typ match {
+        case 0 | 1 => out += (col.name -> (bb.get(p) & 0xff).toString); p += 1
+        case 2 => out += (col.name -> (bb.get(p) != 0).toString); p += 1
+        case 3 | 4 => out += (col.name -> bb.getShort(p).toString); p += 2
+        case 5 | 6 => out += (col.name -> bb.getInt(p).toString); p += 4
+        case 7 | 8 => out += (col.name -> bb.getLong(p).toString); p += 8
+        case 9 => out += (col.name -> bb.getFloat(p).toString); p += 4
+        case 10 => out += (col.name -> bb.getDouble(p).toString); p += 8
+        case 11 | 12 | 13 | 14 => // String/Json/DateTime/Binary: u32 len + bytes
+          val n = bb.getInt(p); p += 4
+          val arr = new Array[Byte](n)
+          val dup = bb.duplicate(); dup.position(p); dup.get(arr)
+          out += (col.name -> new String(arr, "UTF-8"))
+          p += n
+        case other => return out.result() // unknown type: stop parsing safely
+      }
+    }
+    out.result()
+  }
+}

@@ -62,12 +62,14 @@ object GeoFiles {
   private def known(f: String): Boolean = {
     val l = f.toLowerCase
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
-      l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf")
+      l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
+      l.endsWith(".fgb")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
     val l = paths.head.toLowerCase
     if (l.endsWith(".shp")) "shapefile"
+    else if (l.endsWith(".fgb")) "flatgeobuf"
     else if (l.endsWith(".osm.pbf")) "osmpbf"
     else if (l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
     else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
@@ -112,10 +114,17 @@ object GeoFiles {
     StructType(fields :+ StructField("geom", BinaryType))
   }
 
+  def flatgeobufSchema(path: String): StructType = {
+    val h = FlatGeobuf.readHeader(path)
+    // property values surface as strings (same dynamic-schema stance as geojson)
+    StructType(h.columns.map(c => StructField(c.name, StringType)) :+ StructField("geom", BinaryType))
+  }
+
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
     case "geojson" | "geojsonl" => geojsonSchema
     case "osmpbf" => osmSchema
+    case "flatgeobuf" => flatgeobufSchema(paths.head)
     case other => throw new IllegalArgumentException(s"unknown geo format $other")
   }
 }
@@ -171,6 +180,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
           .map(GeoRows.featureRow(_, required))
       case ("osmpbf", OsmPartition(p, blobs)) =>
         blobs.iterator.flatMap(b => OsmPbf.readBlob(p, b)).map(GeoRows.osmRow(_, required))
+      case ("flatgeobuf", FilePartition(p)) =>
+        FlatGeobuf.readFeatures(p).map(GeoRows.fgbRow(_, required))
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
     new PartitionReader[InternalRow] {
@@ -210,6 +221,15 @@ object GeoRows {
         case "ref_types" => new GenericArrayData(e.refTypes.map(utf): Array[Any])
         case _ => null
       }): Any
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  def fgbRow(f: FlatGeobuf.FgbFeature, required: StructType): InternalRow = {
+    val vals = required.fields.map { field =>
+      (if (field.name == "geom") {
+        if (f.geom == null) null else Wkb.write(f.geom)
+      } else f.properties.get(field.name).map(utf).orNull): Any
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
   }

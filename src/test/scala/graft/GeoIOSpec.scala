@@ -176,6 +176,28 @@ class GeoIOSpec extends AnyFunSuite {
     Files.write(Paths.get(path), os.toByteArray)
   }
 
+  test("flatgeobuf reader parses the reference's real-world fixture") {
+    // public data fixture from the reference repo (read-only input)
+    val fgb = "/root/reference/test/data/amsterdam_roads.fgb"
+    assume(new java.io.File(fgb).exists())
+    val header = graft.io.FlatGeobuf.readHeader(fgb)
+    assert(header.featuresCount > 0)
+    val df = spark.read.format("geo").load(fgb)
+    df.createOrReplaceTempView("roads")
+    val stats = spark.sql("""
+      SELECT count(*) AS n,
+             sum(CASE WHEN st_geometrytype(geom) IN ('LINESTRING', 'MULTILINESTRING') THEN 1 ELSE 0 END) AS lines,
+             min(st_xmin(geom)) AS xmin, max(st_xmax(geom)) AS xmax
+      FROM roads""").collect()(0)
+    assert(stats.getLong(0) == header.featuresCount)
+    assert(stats.getLong(1) == stats.getLong(0), "roads should all be line geometries")
+    // fixture is in web mercator; Amsterdam is around x = 545 km
+    assert(stats.getDouble(2) > 500000.0 && stats.getDouble(3) < 600000.0,
+      s"unexpected extent ${stats.getDouble(2)}..${stats.getDouble(3)}")
+    val len = spark.sql("SELECT sum(st_length(geom)) FROM roads").collect()(0).getDouble(0)
+    assert(len > 1000.0 && len.isFinite)
+  }
+
   test("osm pbf reader: dense nodes, ways, zlib blobs, block-parallel") {
     writeOsmPbf(s"$dir/mini.osm.pbf")
     val df = spark.read.format("geo").load(s"$dir/mini.osm.pbf")
