@@ -394,6 +394,24 @@ object SparkEntry {
                   WHERE e.vec_id != q.vec_id))
       WHERE rn <= 3 ORDER BY qid, nid"""),
 
+    // embedding-cosine near-dup: LSH bucket candidates → exact cosine verify.
+    // The synthetic embeddings are near-orthogonal (max pair cosine 0.51), so
+    // near-dups are constructed: each vector + a perturbed copy at id+100000.
+    "q_embed_neardup" -> q("embeddings")("""
+      WITH corpus AS (
+        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
+        FROM embeddings
+      ),
+      bucketed AS (SELECT vec_id, v, rhp_lsh_bucket(v, 6, 11) AS bk FROM corpus)
+      SELECT va, vb, round(sim, 6) AS sim
+      FROM (SELECT a.vec_id AS va, b.vec_id AS vb, vec_cosine(a.v, b.v) AS sim
+            FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+      WHERE sim >= 0.85d
+      ORDER BY va, vb"""),
+
     "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -193,4 +193,12 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("m.width", "m.nbytes", "m.format").collect()(0)
     assert(r.getInt(0) == 6 && r.getLong(1) == 5L && r.getString(2) == "fake/rgb8")
   }
+
+  test("multimodal batch pipeline via mapPartitions") {
+    val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
+    val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
+    assert(decoded.count() == 100)
+    val one = decoded.filter(_.id == 7L).collect()(0)
+    assert(one.meta.nbytes == 6L && one.meta.format == "fake/rgb8" && one.thumbnailStub.nonEmpty)
+  }
 }

@@ -68,3 +68,27 @@ object PerfProbeSpark {
     spark.stop()
   }
 }
+
+/** Plan audit: verify pruning/pushdown reach the scans (run ad hoc). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.register(spark)
+    for (name <- Seq("q_point_xy", "q_extent_agg", "q_spatial_join", "q_dedup_exact", "q_ann_bruteforce")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val reads = plan.linesIterator.filter(l => l.contains("ReadSchema")).map(_.trim.take(200)).toList
+      val joins = plan.linesIterator.filter(l => l.contains("Join")).map(_.trim.take(120)).toList
+      println(s"== $name")
+      reads.foreach(r => println("  " + r))
+      joins.foreach(j => println("  " + j))
+    }
+    spark.stop()
+  }
+}
