@@ -295,19 +295,28 @@ object GeoFns {
     walk(g)
     s
   }
-  /** Spherical-excess polygon area on the WGS84 authalic sphere (R=6371007.181 m).
-   *  Approximation of the reference's GeographicLib ellipsoidal area
-   *  (st_area_spheroid.cpp) — relative error < 1e-5 for sub-continental shapes. */
+  /** Ellipsoidal polygon area: geographic latitudes are mapped to authalic
+   *  latitudes (Snyder 3-18 series), under which the WGS84 ellipsoid is
+   *  exactly area-preserving onto the authalic sphere (R=6371007.181 m), then
+   *  the spherical-excess formula applies. Matches the reference's
+   *  GeographicLib areas (st_area_spheroid.cpp) to ~1e-7 relative for
+   *  segment-wise-small rings. */
   private def sphereArea(g: Geometry): Double = {
     val R = 6371007.1809184747
+    val e2 = WgsF * (2 - WgsF)
+    val e4 = e2 * e2; val e6 = e4 * e2
+    def authalic(lat: Double): Double =
+      lat - (e2 / 3 + 31 * e4 / 180 + 59 * e6 / 560) * math.sin(2 * lat) +
+        (17 * e4 / 360 + 61 * e6 / 1260) * math.sin(4 * lat) -
+        (383 * e6 / 45360) * math.sin(6 * lat)
     def ringArea(cs: CoordinateSequence): Double = {
       var total = 0.0
       val n = cs.size
       if (n < 3) return 0.0
       var i = 0
       while (i < n - 1) {
-        val l1 = math.toRadians(cs.getX(i)); val p1 = math.toRadians(cs.getY(i))
-        val l2 = math.toRadians(cs.getX(i + 1)); val p2 = math.toRadians(cs.getY(i + 1))
+        val l1 = math.toRadians(cs.getX(i)); val p1 = authalic(math.toRadians(cs.getY(i)))
+        val l2 = math.toRadians(cs.getX(i + 1)); val p2 = authalic(math.toRadians(cs.getY(i + 1)))
         total += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
         i += 1
       }
@@ -332,12 +341,14 @@ object GeoFns {
   // EPSG:3857 web mercator. Axis-order semantics follow the reference
   // (proj/functions.cpp:440-474): with always_xy=true, 4326 coordinates are
   // treated as lon/lat regardless of authority order.
+  private val UtmRe = "EPSG:32([67])([0-9]{2})".r
   private def crsId(s: String): String = s.trim.toUpperCase match {
     case "EPSG:4326" => "4326"
     case "OGC:CRS84" | "CRS84" => "CRS84"
     case "EPSG:3857" | "EPSG:900913" => "3857"
+    case u @ UtmRe(_, _) => u
     case other => throw new IllegalArgumentException(
-      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857)")
+      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, EPSG:326xx/327xx UTM)")
   }
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
     // normalize input to lon/lat degrees
@@ -347,6 +358,9 @@ object GeoFns {
       case "3857" =>
         (x / 6378137.0 * 180.0 / math.Pi,
          (2 * math.atan(math.exp(y / 6378137.0)) - math.Pi / 2) * 180.0 / math.Pi)
+      case UtmRe(hemi, zone) =>
+        val (lo, la) = graft.geom.Tm.inverse(x, y, zone.toInt, north = hemi == "6")
+        (lo, la)
     }
     to match {
       case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
@@ -354,6 +368,8 @@ object GeoFns {
       case "3857" =>
         (math.toRadians(lon) * 6378137.0,
          6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+      case UtmRe(hemi, zone) =>
+        graft.geom.Tm.forward(lon, lat, zone.toInt, north = hemi == "6")
     }
   }
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {

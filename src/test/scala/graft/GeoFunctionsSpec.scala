@@ -113,6 +113,26 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // EPSG:4326 authority order is lat/lon; always_xy flips interpretation
     val x2 = sql1("st_x(st_transform(st_point(50.0, 10.0), 'EPSG:4326', 'EPSG:3857'))").asInstanceOf[Double]
     assert(math.abs(x2 - 1113194.9) < 1.0)
+    // UTM: on the central meridian of zone 32 (9°E) easting is exactly 500000
+    // and northing/k0 equals the meridian arc — cross-checked against the
+    // independent Vincenty implementation
+    val e32 = sql1("st_x(st_transform(st_point(9.0, 52.0), 'OGC:CRS84', 'EPSG:32632'))").asInstanceOf[Double]
+    val n32 = sql1("st_y(st_transform(st_point(9.0, 52.0), 'OGC:CRS84', 'EPSG:32632'))").asInstanceOf[Double]
+    assert(math.abs(e32 - 500000.0) < 1e-6, s"easting $e32")
+    val arc = sql1("st_distance_spheroid(st_point(9.0, 0.0), st_point(9.0, 52.0))").asInstanceOf[Double]
+    assert(math.abs(n32 / 0.9996 - arc) < 1.0, s"northing $n32 vs meridian arc $arc")
+    // round trip through UTM
+    val back = sql1(
+      "st_astext(st_transform(st_transform(st_point(9.37, 52.13), 'OGC:CRS84', 'EPSG:32632'), 'EPSG:32632', 'OGC:CRS84'))")
+      .asInstanceOf[String]
+    assert(back.startsWith("POINT (9.3") && back.contains("52.1"), back)
+    // southern hemisphere false northing
+    val nS = sql1("st_y(st_transform(st_point(-58.4, -34.6), 'OGC:CRS84', 'EPSG:32721'))").asInstanceOf[Double]
+    assert(nS > 6000000.0 && nS < 10000000.0, s"south northing $nS")
+    // ellipsoidal area: 1°x1° at the equator = 111.32 km x 110.57 km ≈ 12309.6 km²
+    // (the purely spherical figure would be 12364 — the authalic correction matters)
+    val cell = sql1("st_area_spheroid(st_makeenvelope(0.0d, 0.0d, 1.0d, 1.0d))").asInstanceOf[Double]
+    assert(math.abs(cell / 1e6 - 12309.6) < 15.0, s"cell area ${cell / 1e6} km2")
   }
 
   test("hilbert and quadkey") {
