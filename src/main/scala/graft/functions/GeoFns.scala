@@ -396,6 +396,14 @@ object GeoFns {
   def load(): Unit = {
     // ---- constructors
     fn("st_point", B, Seq(D, D))(a => Wkb.writePointXY(dbl(a(0)), dbl(a(1))))
+    // columnar point constructors (reference POINT_2D/3D/4D struct types,
+    // types.cpp:11-31): Tungsten-columnar structs, no serialization
+    fn("st_point2d", StructType(Seq(StructField("x", D), StructField("y", D))), Seq(D, D))(a =>
+      new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)))))
+    fn("st_point3d", StructType(Seq(StructField("x", D), StructField("y", D), StructField("z", D))), Seq(D, D, D))(a =>
+      new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)), dbl(a(2)))))
+    fn("st_point4d", StructType(Seq(StructField("x", D), StructField("y", D), StructField("z", D), StructField("m", D))), Seq(D, D, D, D))(a =>
+      new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))))
     fn("st_makeenvelope", B, Seq(D, D, D, D))(a => w(Geo.box(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))))
     fn("st_geomfromtext", B, Seq(S), Seq(S, BO)) { a =>
       if (a.length == 2 && a(1).asInstanceOf[Boolean]) {
