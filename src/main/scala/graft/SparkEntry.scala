@@ -236,6 +236,73 @@ object SparkEntry {
              st_npoints(st_buffer(st_point(cast(l_partkey % 40 AS DOUBLE), cast(l_suppkey % 40 AS DOUBLE)), 1.0d, 8)) AS np
       FROM lineitem ORDER BY k"""),
 
+    "q_accessors_zm" -> q("lineitem")(s"""
+      SELECT k,
+             st_z(g) AS z, st_m(g) AS m, st_zmax(g) AS zmax, st_mmin(g) AS mmin,
+             st_hasm(g) AS hm, st_zmflag(g) AS zmf,
+             st_astext(st_force2d(g)) AS t2d
+      FROM (SELECT $K AS k,
+                   st_geomfromtext('POINT ZM (' || (l_partkey % 50) || ' ' || (l_suppkey % 50) || ' '
+                     || l_linenumber || ' ' || (l_orderkey % 100) || ')') AS g
+            FROM lineitem)
+      ORDER BY k"""),
+
+    "q_shapes2" -> q("lineitem")(s"""
+      SELECT k,
+             st_x(st_pointonsurface(env1)) AS posx, st_y(st_pointonsurface(env1)) AS posy,
+             st_length(st_shortestline(env1, env2)) AS gap,
+             st_maxdistance(env1, env2) AS maxd,
+             st_astext(st_boundary(env2)) AS bound,
+             st_astext(st_linemerge(st_geomfromtext(
+               'MULTILINESTRING ((0 0, ' || a1 || ' 0), (' || a1 || ' 0, ' || a1 || ' ' || b1 || '))'))) AS merged
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 15 AS DOUBLE) AS a, cast(l_suppkey % 15 AS DOUBLE) AS b,
+                   (l_partkey % 15) + 1 AS a1, (l_suppkey % 15) + 1 AS b1,
+                   st_makeenvelope(cast(l_partkey % 15 AS DOUBLE), cast(l_suppkey % 15 AS DOUBLE),
+                                   cast(l_partkey % 15 AS DOUBLE) + 6.0d, cast(l_suppkey % 15 AS DOUBLE) + 8.0d) AS env1,
+                   st_makeenvelope(cast(l_partkey % 15 AS DOUBLE) + 10.0d, cast(l_suppkey % 15 AS DOUBLE),
+                                   cast(l_partkey % 15 AS DOUBLE) + 12.0d, cast(l_suppkey % 15 AS DOUBLE) + 2.0d) AS env2
+            FROM lineitem)
+      ORDER BY k"""),
+
+    "q_predicates2" -> q("lineitem")(s"""
+      SELECT k,
+             st_touches(a, b) AS tch,
+             st_overlaps(a, b) AS ovl,
+             st_contains(a, b) AS cnt,
+             st_containsproperly(a, b) AS cntp,
+             st_covers(a, b) AS cov,
+             st_within(b, a) AS wth,
+             st_crosses(a, b) AS crs
+      FROM (SELECT $K AS k,
+                   st_makeenvelope(cast(l_partkey % 8 AS DOUBLE), cast(l_suppkey % 8 AS DOUBLE),
+                                   cast(l_partkey % 8 AS DOUBLE) + 4.0d, cast(l_suppkey % 8 AS DOUBLE) + 4.0d) AS a,
+                   st_makeenvelope(4.0d, 4.0d, 6.0d, 6.0d) AS b
+            FROM lineitem)
+      ORDER BY k"""),
+
+    "q_norm_reduce" -> q("lineitem")(s"""
+      SELECT $K AS k,
+             st_astext(st_normalize(st_geomfromtext(
+               'MULTIPOINT (' || ((l_partkey % 20) + 10) || ' 0, 5 5, 0 0)'))) AS norm,
+             st_astext(st_reduceprecision(st_point(cast(l_partkey % 40 AS DOUBLE) + 0.25d,
+                                                   cast(l_suppkey % 40 AS DOUBLE) + 0.75d), 1.0d)) AS red,
+             st_npoints(st_removerepeatedpoints(st_geomfromtext(
+               'LINESTRING (0 0, 0 0, ' || (l_partkey % 9) || ' 5, ' || (l_partkey % 9) || ' 5, 9 9)'))) AS ndedup,
+             st_astext(st_points(st_makeenvelope(0.0d, 0.0d,
+               cast((l_partkey % 30) + 1 AS DOUBLE), cast((l_suppkey % 30) + 1 AS DOUBLE)))) AS pts,
+             st_isring(st_exteriorring(st_makeenvelope(0.0d, 0.0d, 1.0d, 1.0d))) AS ring,
+             st_issimple(st_geomfromtext('LINESTRING (0 0, 2 2, 2 0, 0 2)')) AS simp
+      FROM lineitem ORDER BY k"""),
+
+    "q_svg" -> q("lineitem")(s"""
+      SELECT $K AS k,
+             st_assvg(st_point(cast(l_partkey % 30 AS DOUBLE), cast(l_suppkey % 30 AS DOUBLE))) AS svg_pt,
+             st_assvg(st_point(cast(l_partkey % 30 AS DOUBLE), cast(l_suppkey % 30 AS DOUBLE)), true) AS svg_rel,
+             st_assvg(st_makeenvelope(0.0d, 0.0d,
+               cast((l_partkey % 30) + 1 AS DOUBLE), cast((l_suppkey % 30) + 1 AS DOUBLE))) AS svg_poly
+      FROM lineitem ORDER BY k"""),
+
     // ---------------------------------------------------------- geodesy / CRS
     "q_haversine" -> q("lineitem")(s"""
       SELECT $K AS k,
@@ -609,6 +676,60 @@ object SparkEntry {
 
     "q_buffer" -> s"""
       SELECT $K AS k, 33 AS np
+      FROM lineitem ORDER BY k""",
+
+    "q_accessors_zm" -> s"""
+      SELECT $K AS k,
+             CAST(l_linenumber AS DOUBLE) AS z,
+             CAST(l_orderkey % 100 AS DOUBLE) AS m,
+             CAST(l_linenumber AS DOUBLE) AS zmax,
+             CAST(l_orderkey % 100 AS DOUBLE) AS mmin,
+             true AS hm,
+             3 AS zmf,
+             'POINT (' || (l_partkey % 50) || ' ' || (l_suppkey % 50) || ')' AS t2d
+      FROM lineitem ORDER BY k""",
+
+    "q_shapes2" -> s"""
+      SELECT k,
+             a + 3.0 AS posx, b + 4.0 AS posy,
+             4.0 AS gap,
+             sqrt(208.0) AS maxd,
+             'LINESTRING (' || (a + 10) || ' ' || b || ', ' || (a + 12) || ' ' || b || ', '
+               || (a + 12) || ' ' || (b + 2) || ', ' || (a + 10) || ' ' || (b + 2) || ', '
+               || (a + 10) || ' ' || b || ')' AS bound,
+             'LINESTRING (0 0, ' || (a + 1) || ' 0, ' || (a + 1) || ' ' || (b + 1) || ')' AS merged
+      FROM (SELECT $K AS k, l_partkey % 15 AS a, l_suppkey % 15 AS b FROM lineitem)
+      ORDER BY k""",
+
+    "q_predicates2" -> s"""
+      SELECT k,
+             NOT (x = 7 OR y = 7) AND NOT (x BETWEEN 1 AND 5 AND y BETWEEN 1 AND 5) AS tch,
+             (x BETWEEN 1 AND 5 AND y BETWEEN 1 AND 5) AND NOT (x BETWEEN 2 AND 4 AND y BETWEEN 2 AND 4) AS ovl,
+             x BETWEEN 2 AND 4 AND y BETWEEN 2 AND 4 AS cnt,
+             x = 3 AND y = 3 AS cntp,
+             x BETWEEN 2 AND 4 AND y BETWEEN 2 AND 4 AS cov,
+             x BETWEEN 2 AND 4 AND y BETWEEN 2 AND 4 AS wth,
+             false AS crs
+      FROM (SELECT $K AS k, l_partkey % 8 AS x, l_suppkey % 8 AS y FROM lineitem)
+      ORDER BY k""",
+
+    "q_norm_reduce" -> s"""
+      SELECT $K AS k,
+             'MULTIPOINT (0 0, 5 5, ' || ((l_partkey % 20) + 10) || ' 0)' AS norm,
+             'POINT (' || (l_partkey % 40) || ' ' || ((l_suppkey % 40) + 1) || ')' AS red,
+             3 AS ndedup,
+             'MULTIPOINT (0 0, ' || ((l_partkey % 30) + 1) || ' 0, ' || ((l_partkey % 30) + 1) || ' '
+               || ((l_suppkey % 30) + 1) || ', 0 ' || ((l_suppkey % 30) + 1) || ', 0 0)' AS pts,
+             true AS ring,
+             false AS simp
+      FROM lineitem ORDER BY k""",
+
+    "q_svg" -> s"""
+      SELECT $K AS k,
+             'cx="' || (l_partkey % 30) || '" cy="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_pt,
+             'x="' || (l_partkey % 30) || '" y="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_rel,
+             'M 0 0 L ' || ((l_partkey % 30) + 1) || ' 0 ' || ((l_partkey % 30) + 1) || ' -' || ((l_suppkey % 30) + 1)
+               || ' 0 -' || ((l_suppkey % 30) + 1) || ' 0 0 Z' AS svg_poly
       FROM lineitem ORDER BY k""",
 
     "q_haversine" -> s"""
