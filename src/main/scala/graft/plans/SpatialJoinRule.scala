@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /**
  * Spatial-join acceleration (reference: RangeJoinSpatialPredicateRewriter,
@@ -32,7 +32,11 @@ import org.apache.spark.sql.types.LongType
  *
  * Tuning: spark.graft.spatialJoin.enabled (default true),
  * spark.graft.spatialJoin.cellSize (default 1.0 — set to ~the median geometry
- * extent; too small explodes tiles, too large degrades pruning).
+ * extent; too small explodes tiles, too large degrades pruning), and
+ * spark.graft.spatialJoin.salt (default 1 — set >1 for hot tiles: left rows
+ * spread across `salt` sub-keys by geometry hash, right rows replicated per
+ * sub-key, so a city-sized tile no longer lands on one task; AQE skew-join
+ * handles residual imbalance).
  */
 class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -87,6 +91,9 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def salt: Int =
+    spark.conf.get("spark.graft.spatialJoin.salt", "1").toInt
+
   private def rewrite(
       j: Join,
       cond: Expression,
@@ -101,7 +108,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Explode(FnExpr("st_tile_ids", Seq(lGeom, cell))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileL), child = j.left)
-    val genRight = Generate(
+    var genRight: LogicalPlan = Generate(
       Explode(FnExpr("st_tile_ids", Seq(rGeom, cell))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileR), child = j.right)
@@ -111,7 +118,20 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val refY = Greatest(Seq(FnExpr("st_ymin", Seq(lGeom)), FnExpr("st_ymin", Seq(rGeom))))
     val dedupe = EqualTo(FnExpr("st_tile_id", Seq(refX, refY, cell)), tileL)
 
-    val newCond = And(And(EqualTo(tileL, tileR), dedupe), cond)
+    var equi: Expression = EqualTo(tileL, tileR)
+    val s = salt
+    if (s > 1) {
+      // skew salting: left keys sub-split by geometry hash, right replicated
+      val saltR = AttributeReference("__graft_tile_salt", IntegerType, nullable = false)()
+      genRight = Generate(
+        Explode(Literal.create(0 until s, org.apache.spark.sql.types.ArrayType(IntegerType))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(saltR), child = genRight)
+      val saltL = Pmod(new Murmur3Hash(Seq(lGeom)), Literal(s))
+      equi = And(equi, EqualTo(saltL, saltR))
+    }
+
+    val newCond = And(And(equi, dedupe), cond)
     val newJoin = Join(genLeft, genRight, Inner, Some(newCond), j.hint)
     Project(j.output, newJoin)
   }

@@ -42,6 +42,17 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("skew salting preserves results") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+    spark.conf.set("spark.graft.spatialJoin.salt", "4")
+    val salted = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.salt", "1")
+    val plain = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("rewrite fires for geometry-geometry joins with extra conjuncts") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
