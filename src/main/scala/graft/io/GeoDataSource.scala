@@ -63,13 +63,14 @@ object GeoFiles {
     val l = f.toLowerCase
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
-      l.endsWith(".fgb")
+      l.endsWith(".fgb") || l.endsWith(".gpkg")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
     val l = paths.head.toLowerCase
     if (l.endsWith(".shp")) "shapefile"
     else if (l.endsWith(".fgb")) "flatgeobuf"
+    else if (l.endsWith(".gpkg")) "geopackage"
     else if (l.endsWith(".osm.pbf")) "osmpbf"
     else if (l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
     else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
@@ -120,11 +121,32 @@ object GeoFiles {
     StructType(h.columns.map(c => StructField(c.name, StringType)) :+ StructField("geom", BinaryType))
   }
 
+  def sqliteToSpark(declared: String, isGeom: Boolean): DataType =
+    if (isGeom) BinaryType
+    else if (declared.startsWith("INT") || declared == "MEDIUMINT" || declared == "BOOLEAN") LongType
+    else if (declared.startsWith("REAL") || declared.startsWith("DOUBLE") || declared.startsWith("FLOAT")) DoubleType
+    else if (declared == "BLOB") BinaryType
+    else StringType
+
+  def geopackageTable(path: String): GeoPackage.FeatureTable = {
+    val tables = GeoPackage.featureTables(path)
+    require(tables.nonEmpty, s"no GeoPackage feature tables in $path")
+    tables.head
+  }
+
+  def geopackageSchema(path: String): StructType = {
+    val t = geopackageTable(path)
+    StructType(t.columns.map { case (n, typ) =>
+      StructField(n, sqliteToSpark(typ, n == t.geomColumn))
+    })
+  }
+
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
     case "geojson" | "geojsonl" => geojsonSchema
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
+    case "geopackage" => geopackageSchema(paths.head)
     case other => throw new IllegalArgumentException(s"unknown geo format $other")
   }
 }
@@ -182,6 +204,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         blobs.iterator.flatMap(b => OsmPbf.readBlob(p, b)).map(GeoRows.osmRow(_, required))
       case ("flatgeobuf", FilePartition(p)) =>
         FlatGeobuf.readFeatures(p).map(GeoRows.fgbRow(_, required))
+      case ("geopackage", FilePartition(p)) =>
+        GeoRows.gpkgRows(p, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
     new PartitionReader[InternalRow] {
@@ -232,6 +256,32 @@ object GeoRows {
       } else f.properties.get(field.name).map(utf).orNull): Any
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  def gpkgRows(path: String, required: StructType): Iterator[InternalRow] = {
+    val t = GeoFiles.geopackageTable(path)
+    val colIdx = t.columns.map(_._1).zipWithIndex.toMap
+    GeoPackage.scan(path, t).map { case (_, cols, geom) =>
+      val vals = required.fields.map { field =>
+        (if (field.name == t.geomColumn) {
+          if (geom == null) null else Wkb.write(geom)
+        } else {
+          val v = colIdx.get(field.name).map(cols(_)).orNull
+          (v, field.dataType) match {
+            case (null, _) => null
+            case (x: Long, LongType) => x
+            case (x: Long, DoubleType) => x.toDouble
+            case (x: Double, DoubleType) => x
+            case (x: Double, LongType) => x.toLong
+            case (x: String, StringType) => utf(x)
+            case (x: Array[Byte], BinaryType) => x
+            case (x, StringType) => utf(String.valueOf(x))
+            case _ => null
+          }
+        }): Any
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    }
   }
 
   def shapefileRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {

@@ -20,6 +20,7 @@ object GeoMeta {
       Row("geojsonl", "Newline-delimited GeoJSON", true, true),
       Row("osmpbf", "OpenStreetMap PBF (block-parallel)", true, false),
       Row("flatgeobuf", "FlatGeobuf (native flatbuffers decoder)", true, false),
+      Row("geopackage", "GeoPackage (read-only sqlite B-tree scan)", true, false),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),

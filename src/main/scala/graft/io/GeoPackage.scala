@@ -1,0 +1,107 @@
+package graft.io
+
+import graft.geom.Geo
+import org.locationtech.jts.geom.Geometry
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * GeoPackage reader over the [[Sqlite]] parser (OGC GeoPackage spec):
+ * feature tables discovered via `gpkg_contents` / `gpkg_geometry_columns`,
+ * geometry decoded from the standard GPKG blob (magic "GP", flags with
+ * envelope size + endianness, srs_id, envelope, WKB body).
+ */
+object GeoPackage {
+
+  /** pkIndex: INTEGER PRIMARY KEY column (sqlite stores it as the rowid; the
+    * record slot holds NULL and the value must be substituted from rowid). */
+  final case class FeatureTable(name: String, geomColumn: String,
+                                columns: Seq[(String, String)], rootPage: Long, pkIndex: Int)
+
+  def featureTables(path: String): Seq[FeatureTable] = {
+    val db = new Sqlite.Db(path)
+    val master = db.master()
+    def rootOf(table: String): Option[Long] =
+      master.find(m => m._1 == "table" && m._2 == table).map(_._4)
+
+    val contents = rootOf("gpkg_contents").toSeq.flatMap(db.scanTable(_).map(_._2))
+      .filter(r => r(1) == "features").map(_(0).asInstanceOf[String])
+    val geomCols: Map[String, String] = rootOf("gpkg_geometry_columns").toSeq
+      .flatMap(db.scanTable(_).map(_._2))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[String]).toMap
+
+    contents.flatMap { table =>
+      master.find(m => m._1 == "table" && m._2 == table).map { m =>
+        val cols = parseColumns(m._5)
+        val pk = cols.indexWhere(_._2.contains("#PK"))
+        FeatureTable(table, geomCols.getOrElse(table, "geom"),
+          cols.map { case (n, t) => (n, t.replace("#PK", "")) }, m._4, pk)
+      }
+    }
+  }
+
+  /** naive CREATE TABLE column parsing: name + declared type per entry */
+  private def parseColumns(sql: String): Seq[(String, String)] = {
+    val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    // split on commas not inside parens
+    val parts = ArrayOps.splitTop(body)
+    parts.flatMap { raw =>
+      val p = raw.trim
+      val up = p.toUpperCase
+      if (up.startsWith("PRIMARY") || up.startsWith("FOREIGN") || up.startsWith("UNIQUE") ||
+        up.startsWith("CHECK") || up.startsWith("CONSTRAINT")) None
+      else {
+        val toks = p.split("\\s+")
+        val name = toks(0).stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+        val typ0 = if (toks.length > 1) toks(1).toUpperCase else "TEXT"
+        val typ = if (up.contains("PRIMARY KEY") && typ0.startsWith("INT")) typ0 + "#PK" else typ0
+        Some(name -> typ)
+      }
+    }
+  }
+
+  private object ArrayOps {
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0
+      val cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.result()
+    }
+  }
+
+  /** rows of one feature table: column values with the geometry decoded to JTS. */
+  def scan(path: String, table: FeatureTable): Iterator[(Long, Array[Any], Geometry)] = {
+    val db = new Sqlite.Db(path)
+    val geomIdx = table.columns.indexWhere(_._1 == table.geomColumn)
+    db.scanTable(table.rootPage).map { case (rowid, cols) =>
+      if (table.pkIndex >= 0 && table.pkIndex < cols.length && cols(table.pkIndex) == null)
+        cols(table.pkIndex) = rowid
+      val geom = if (geomIdx >= 0 && geomIdx < cols.length) cols(geomIdx) match {
+        case b: Array[Byte] => decodeGpkgBlob(b)
+        case _ => null
+      } else null
+      (rowid, cols, geom)
+    }
+  }
+
+  def decodeGpkgBlob(b: Array[Byte]): Geometry = {
+    if (b.length < 8 || b(0) != 'G' || b(1) != 'P') return null
+    val flags = b(3) & 0xff
+    if ((flags & 0x20) != 0) return null // empty geometry flag
+    val envSize = ((flags >> 1) & 0x7) match {
+      case 0 => 0
+      case 1 => 32
+      case 2 | 3 => 48
+      case 4 => 64
+      case _ => return null
+    }
+    val wkbStart = 8 + envSize
+    Geo.read(java.util.Arrays.copyOfRange(b, wkbStart, b.length))
+  }
+}

@@ -198,6 +198,20 @@ class GeoIOSpec extends AnyFunSuite {
     assert(len > 1000.0 && len.isFinite)
   }
 
+  test("geopackage reader: sqlite b-tree scan, GP blobs, rowid pk") {
+    val gpkg = getClass.getResource("/fixture.gpkg").getPath
+    val df = spark.read.format("geo").load(gpkg)
+    assert(df.schema.fieldNames.toSeq == Seq("fid", "name", "population", "score", "geom"))
+    df.createOrReplaceTempView("gpkg")
+    val rows = spark.sql(
+      "SELECT fid, name, population, score, st_astext(geom) AS wkt FROM gpkg ORDER BY fid").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getLong(2) == 1000L && rows(0).getDouble(3) == 1.5 &&
+      rows(0).getString(4) == "POINT (1 2)")
+    assert(rows(2).getString(4) == "POINT (-5.5 6.25)")
+  }
+
   test("osm pbf reader: dense nodes, ways, zlib blobs, block-parallel") {
     writeOsmPbf(s"$dir/mini.osm.pbf")
     val df = spark.read.format("geo").load(s"$dir/mini.osm.pbf")
