@@ -61,6 +61,20 @@ object Graft {
         Literal(minX), Literal(minY), Literal(maxX), Literal(maxY))), "point")()), range)
   }
 
+  /** ST_Read table function — the reference's replacement-scan UX
+   *  (st_read.cpp:538-553): `SELECT * FROM st_read('/path/file.shp')` resolves
+   *  to a DataSourceV2 relation over the geo source. */
+  def stReadPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.head.foldable, "st_read(path) needs a constant path")
+    val path = exprs.head.eval(null).toString
+    val paths = graft.io.GeoFiles.expand(path)
+    val fmt = graft.io.GeoFiles.formatOf(paths, None)
+    val schema = graft.io.GeoFiles.schemaFor(fmt, paths)
+    val table = new graft.io.GeoTable(schema, paths, fmt)
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+      table, None, None)
+  }
+
   /** Idempotent per-session function registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -69,6 +83,8 @@ object Graft {
     }
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "st_generatepoints", generatePointsPlan, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "st_read", stReadPlan, "built-in")
   }
 }
 
@@ -85,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_generatepoints"),
       new ExpressionInfo("graft", "st_generatepoints"),
       Graft.generatePointsPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_read"),
+      new ExpressionInfo("graft", "st_read"),
+      Graft.stReadPlan))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
   }

@@ -198,6 +198,13 @@ class GeoIOSpec extends AnyFunSuite {
     assert(len > 1000.0 && len.isFinite)
   }
 
+  test("st_read table function resolves paths in SQL") {
+    writeShapefile(s"$dir/tvf")
+    val rows = spark.sql(
+      s"SELECT name, st_astext(geom) FROM st_read('$dir/tvf.shp') ORDER BY name").collect()
+    assert(rows.length == 3 && rows(0).getString(0) == "alpha" && rows(0).getString(1) == "POINT (1 2)")
+  }
+
   test("geopackage reader: sqlite b-tree scan, GP blobs, rowid pk") {
     val gpkg = getClass.getResource("/fixture.gpkg").getPath
     val df = spark.read.format("geo").load(gpkg)
