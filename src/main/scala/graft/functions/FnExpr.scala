@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 
 /**
@@ -57,7 +58,7 @@ object FnRegistry {
  * Catalyst constant-folds literal geometry construction at plan time.
  */
 case class FnExpr(fn: String, children: Seq[Expression])
-    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes {
 
   @transient private lazy val spec = FnRegistry(fn)
   @transient private lazy val f: Array[Any] => Any = spec.make(children)
@@ -100,6 +101,52 @@ case class FnExpr(fn: String, children: Seq[Expression])
       i += 1
     }
     f(args)
+  }
+
+  /** Codegen that stays inside whole-stage spans: children evaluate through
+   *  their own generated code (column reads and arithmetic remain native);
+   *  only the kernel call itself is a boxed Function1 invoke. CodegenFallback
+   *  would instead force an InternalRow materialization for every call. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fnRef = ctx.addReferenceObj("graftFn", f, "scala.Function1")
+    val childGen = children.map(_.genCode(ctx))
+    val args = ctx.freshName("graftArgs")
+    val res = ctx.freshName("graftRes")
+    val javaType = CodeGenerator.javaType(dataType)
+    val setArgs = childGen.zipWithIndex.map { case (g, i) =>
+      val box = children(i).dataType match {
+        case DoubleType => s"java.lang.Double.valueOf(${g.value})"
+        case IntegerType => s"java.lang.Integer.valueOf(${g.value})"
+        case LongType => s"java.lang.Long.valueOf(${g.value})"
+        case BooleanType => s"java.lang.Boolean.valueOf(${g.value})"
+        case FloatType => s"java.lang.Float.valueOf(${g.value})"
+        case ShortType => s"java.lang.Short.valueOf(${g.value})"
+        case ByteType => s"java.lang.Byte.valueOf(${g.value})"
+        case _ => g.value.toString
+      }
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${g.code}
+         |  if (${g.isNull}) { ${ev.isNull} = true; } else { $args[$i] = $box; }
+         |}""".stripMargin
+    }.mkString("\n")
+    val unboxed = dataType match {
+      case DoubleType => s"((java.lang.Double) $res).doubleValue()"
+      case IntegerType => s"((java.lang.Integer) $res).intValue()"
+      case LongType => s"((java.lang.Long) $res).longValue()"
+      case BooleanType => s"((java.lang.Boolean) $res).booleanValue()"
+      case FloatType => s"((java.lang.Float) $res).floatValue()"
+      case _ => s"($javaType) $res"
+    }
+    ev.copy(code = code"""
+      |boolean ${ev.isNull} = false;
+      |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      |java.lang.Object[] $args = new java.lang.Object[${children.length}];
+      |$setArgs
+      |if (!${ev.isNull}) {
+      |  java.lang.Object $res = ((scala.Function1) $fnRef).apply($args);
+      |  if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $unboxed; }
+      |}""".stripMargin)
   }
 
   override def prettyName: String = fn

@@ -92,3 +92,15 @@ object PlanAudit {
     spark.stop()
   }
 }
+
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.register(spark)
+    val df = spark.range(10).selectExpr("st_area(st_makeenvelope(0.0d, 0.0d, cast(id AS DOUBLE), 2.0d)) AS a")
+    df.queryExecution.executedPlan.toString.linesIterator.take(6).foreach(println)
+    println("result: " + df.collect().map(_.getDouble(0)).sum)
+  }
+}
