@@ -627,8 +627,8 @@ object SparkEntry {
 
     "q_envelope_ring" -> s"""
       SELECT $K AS k,
-             'LINESTRING (0 0, ' || ((l_partkey % 40) + 1) || ' 0, ' || ((l_partkey % 40) + 1) || ' '
-               || ((l_suppkey % 40) + 1) || ', 0 ' || ((l_suppkey % 40) + 1) || ', 0 0)' AS ring,
+             'LINESTRING (0 0, 0 ' || ((l_suppkey % 40) + 1) || ', ' || ((l_partkey % 40) + 1) || ' '
+               || ((l_suppkey % 40) + 1) || ', ' || ((l_partkey % 40) + 1) || ' 0, 0 0)' AS ring,
              0 AS nrings,
              0.0 AS xmin, 0.0 AS ymin,
              CAST((l_partkey % 40) + 1 AS DOUBLE) AS xmax, CAST((l_suppkey % 40) + 1 AS DOUBLE) AS ymax
@@ -694,8 +694,8 @@ object SparkEntry {
              a + 3.0 AS posx, b + 4.0 AS posy,
              4.0 AS gap,
              sqrt(208.0) AS maxd,
-             'LINESTRING (' || (a + 10) || ' ' || b || ', ' || (a + 12) || ' ' || b || ', '
-               || (a + 12) || ' ' || (b + 2) || ', ' || (a + 10) || ' ' || (b + 2) || ', '
+             'LINESTRING (' || (a + 10) || ' ' || b || ', ' || (a + 10) || ' ' || (b + 2) || ', '
+               || (a + 12) || ' ' || (b + 2) || ', ' || (a + 12) || ' ' || b || ', '
                || (a + 10) || ' ' || b || ')' AS bound,
              'LINESTRING (0 0, ' || (a + 1) || ' 0, ' || (a + 1) || ' ' || (b + 1) || ')' AS merged
       FROM (SELECT $K AS k, l_partkey % 15 AS a, l_suppkey % 15 AS b FROM lineitem)
@@ -718,8 +718,8 @@ object SparkEntry {
              'MULTIPOINT (0 0, 5 5, ' || ((l_partkey % 20) + 10) || ' 0)' AS norm,
              'POINT (' || (l_partkey % 40) || ' ' || ((l_suppkey % 40) + 1) || ')' AS red,
              3 AS ndedup,
-             'MULTIPOINT (0 0, ' || ((l_partkey % 30) + 1) || ' 0, ' || ((l_partkey % 30) + 1) || ' '
-               || ((l_suppkey % 30) + 1) || ', 0 ' || ((l_suppkey % 30) + 1) || ', 0 0)' AS pts,
+             'MULTIPOINT (0 0, 0 ' || ((l_suppkey % 30) + 1) || ', ' || ((l_partkey % 30) + 1) || ' '
+               || ((l_suppkey % 30) + 1) || ', ' || ((l_partkey % 30) + 1) || ' 0, 0 0)' AS pts,
              true AS ring,
              false AS simp
       FROM lineitem ORDER BY k""",
@@ -728,16 +728,16 @@ object SparkEntry {
       SELECT $K AS k,
              'cx="' || (l_partkey % 30) || '" cy="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_pt,
              'x="' || (l_partkey % 30) || '" y="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_rel,
-             'M 0 0 L ' || ((l_partkey % 30) + 1) || ' 0 ' || ((l_partkey % 30) + 1) || ' -' || ((l_suppkey % 30) + 1)
-               || ' 0 -' || ((l_suppkey % 30) + 1) || ' 0 0 Z' AS svg_poly
+             'M 0 0 L 0 -' || ((l_suppkey % 30) + 1) || ' ' || ((l_partkey % 30) + 1) || ' -' || ((l_suppkey % 30) + 1)
+               || ' ' || ((l_partkey % 30) + 1) || ' 0 0 0 Z' AS svg_poly
       FROM lineitem ORDER BY k""",
 
     "q_haversine" -> s"""
       SELECT $K AS k,
              round(2 * 6371000.0 * asin(sqrt(
-               pow(sin((radians(CAST(l_suppkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_suppkey % 120 AS DOUBLE) - 60.0)) / 2), 2)
-               + cos(radians(CAST(l_suppkey % 120 AS DOUBLE) - 60.0)) * cos(radians(CAST(l_suppkey % 90 AS DOUBLE) - 45.0))
-                 * pow(sin((radians(CAST(l_partkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_partkey % 120 AS DOUBLE) - 60.0)) / 2), 2))), 3) AS hav_m
+               pow(sin((radians(CAST(l_partkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_partkey % 120 AS DOUBLE) - 60.0)) / 2), 2)
+               + cos(radians(CAST(l_partkey % 120 AS DOUBLE) - 60.0)) * cos(radians(CAST(l_partkey % 90 AS DOUBLE) - 45.0))
+                 * pow(sin((radians(CAST(l_suppkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_suppkey % 120 AS DOUBLE) - 60.0)) / 2), 2))), 3) AS hav_m
       FROM lineitem ORDER BY k""",
 
     "q_transform" -> s"""

@@ -209,9 +209,12 @@ object GeoFns {
   private val WgsA = 6378137.0
   private val WgsF = 1.0 / 298.257223563
 
-  def haversine(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
-    val la1 = math.toRadians(y1); val la2 = math.toRadians(y2)
-    val dLa = la2 - la1; val dLo = math.toRadians(x2 - x1)
+  /** NOTE argument order: the reference's ST_Haversine/ST_Distance_Sphere use
+   *  a [latitude, longitude] axis convention (st_distance_sphere.cpp:18,88):
+   *  the point's x IS latitude. */
+  def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val la1 = math.toRadians(lat1); val la2 = math.toRadians(lat2)
+    val dLa = la2 - la1; val dLo = math.toRadians(lon2) - math.toRadians(lon1)
     val h = math.pow(math.sin(dLa / 2), 2) + math.cos(la1) * math.cos(la2) * math.pow(math.sin(dLo / 2), 2)
     2 * EarthR * math.asin(math.sqrt(h))
   }
@@ -421,10 +424,21 @@ object GeoFns {
     fn("st_geomfromgeojson", B, Seq(S))(a => w(GeoJson.parse(str(a(0)))))
     fn("st_makeline", B, Seq(B, B), Seq(ArrayType(B))) { a =>
       val pts: Array[Coordinate] =
-        if (a.length == 2) Array(rg(a(0)), rg(a(1))).flatMap(_.getCoordinates)
-        else a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        if (a.length == 2) {
+          val gs = Array(rg(a(0)), rg(a(1)))
+          // reference errors on EMPTY inputs in the binary form (st_makeline.cpp)
+          require(gs.forall(!_.isEmpty), "ST_MakeLine: cannot construct a line from EMPTY points")
+          gs.flatMap(_.getCoordinates)
+        } else a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toObjectArray(B).flatMap(b => if (b == null) Array.empty[Coordinate] else Geo.read(b.asInstanceOf[Array[Byte]]).getCoordinates)
-      if (pts.length < 2) w(f.createLineString()) else w(f.createLineString(pts))
+      if (pts.length < 2) w(f.createLineString())
+      else {
+        val line = f.createLineString(pts)
+        // mixed dimensions: missing Z becomes 0 (st_makeline.test golden)
+        if (pts.exists(c => !c.getZ.isNaN) && pts.exists(c => c.getZ.isNaN))
+          w(forceDims(line, wantZ = true, wantM = false, 0, 0))
+        else w(line)
+      }
     }
     fn("st_makepolygon", B, Seq(B), Seq(B, ArrayType(B))) { a =>
       val shell = rg(a(0)) match {
@@ -593,28 +607,32 @@ object GeoFns {
     }
     fn("st_collectionextract", B, Seq(B), Seq(B, I)) { a =>
       val g = rg(a(0))
-      val parts = {
-        val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
-        dumpInto(g, Nil, out)
-        out.map(_._1).filter(!_.isEmpty)
-      }
-      val wanted = if (a.length == 2) int(a(1)) else {
-        // highest topological dimension present
-        if (parts.isEmpty) 0 else parts.map(_.getDimension).max + 1
-      }
-      val sel = parts.filter { p =>
-        wanted match {
-          case 1 => p.isInstanceOf[Point]
-          case 2 => p.isInstanceOf[LineString]
-          case 3 => p.isInstanceOf[Polygon]
-          case _ => false
+      // reference semantics: non-collection input is a passthrough
+      if (!g.isInstanceOf[GeometryCollection]) w(g)
+      else {
+        val parts = {
+          val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
+          dumpInto(g, Nil, out)
+          out.map(_._1).filter(!_.isEmpty)
         }
-      }
-      wanted match {
-        case 1 => w(f.createMultiPoint(sel.map(_.asInstanceOf[Point]).toArray))
-        case 2 => w(f.createMultiLineString(sel.map(_.asInstanceOf[LineString]).toArray))
-        case 3 => w(f.createMultiPolygon(sel.map(_.asInstanceOf[Polygon]).toArray))
-        case _ => w(f.createGeometryCollection())
+        val wanted = if (a.length == 2) int(a(1)) else {
+          // highest topological dimension present
+          if (parts.isEmpty) 0 else parts.map(_.getDimension).max + 1
+        }
+        val sel = parts.filter { p =>
+          wanted match {
+            case 1 => p.isInstanceOf[Point]
+            case 2 => p.isInstanceOf[LineString]
+            case 3 => p.isInstanceOf[Polygon]
+            case _ => false
+          }
+        }
+        wanted match {
+          case 1 => w(f.createMultiPoint(sel.map(_.asInstanceOf[Point]).toArray))
+          case 2 => w(f.createMultiLineString(sel.map(_.asInstanceOf[LineString]).toArray))
+          case 3 => w(f.createMultiPolygon(sel.map(_.asInstanceOf[Polygon]).toArray))
+          case _ => w(f.createGeometryCollection())
+        }
       }
     }
     gG("st_envelope")(_.getEnvelope)

@@ -56,15 +56,24 @@ object Geo {
   /** ISO little-endian WKB (type code = base + 1000*Z + 2000*M) — see [[Wkb]]. */
   def write(g: Geometry): Array[Byte] = Wkb.write(g)
 
-  def fromWkt(wkt: String): Geometry = tl.get().wktReader.read(wkt)
+  def fromWkt(wkt0: String): Geometry = {
+    // accept EWKT "SRID=n;..." prefixes (reference strips them, wkt_reader.cpp)
+    val wkt = {
+      val t = wkt0.trim
+      if (t.regionMatches(true, 0, "SRID=", 0, 5)) t.substring(t.indexOf(';') + 1) else t
+    }
+    tl.get().wktReader.read(wkt)
+  }
 
   def point(x: Double, y: Double): Geometry =
     factory.createPoint(new Coordinate(x, y))
 
+  /** Envelope polygon in the reference's ring order (st_makeenvelope.cpp
+   *  golden output): min → (minx,maxy) → max → (maxx,miny) → close. */
   def box(minX: Double, minY: Double, maxX: Double, maxY: Double): Geometry = {
     val cs = Array(
-      new Coordinate(minX, minY), new Coordinate(maxX, minY),
-      new Coordinate(maxX, maxY), new Coordinate(minX, maxY),
+      new Coordinate(minX, minY), new Coordinate(minX, maxY),
+      new Coordinate(maxX, maxY), new Coordinate(maxX, minY),
       new Coordinate(minX, minY))
     factory.createPolygon(cs)
   }

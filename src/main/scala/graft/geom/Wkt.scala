@@ -33,7 +33,9 @@ object Wkt {
         if (p.isEmpty) sb.append(" EMPTY") else { sb.append(' '); polyBody(p, sb, hz, hm) }
       case m: MultiPoint =>
         sb.append("MULTIPOINT").append(tag(hz, hm))
-        if (m.isEmpty) sb.append(" EMPTY") else {
+        // member-wise rendering: MULTIPOINT (EMPTY) keeps its empty member
+        // (reference st_multi.test golden); only zero members → EMPTY
+        if (m.getNumGeometries == 0) sb.append(" EMPTY") else {
           // Typed-collection members render bare (no inner parens) to match the
           // reference renderer: varchar_cast.cpp ProcessPoint with
           // in_typed_collection=true → `MULTIPOINT (1 1, 2 2)`.
@@ -73,7 +75,7 @@ object Wkt {
         }
       case c: GeometryCollection =>
         sb.append("GEOMETRYCOLLECTION").append(tag(hz, hm))
-        if (c.isEmpty) sb.append(" EMPTY") else {
+        if (c.getNumGeometries == 0) sb.append(" EMPTY") else {
           sb.append(" (")
           var i = 0
           while (i < c.getNumGeometries) {

