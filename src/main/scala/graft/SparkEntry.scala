@@ -236,6 +236,39 @@ object SparkEntry {
              st_npoints(st_buffer(st_point(cast(l_partkey % 40 AS DOUBLE), cast(l_suppkey % 40 AS DOUBLE)), 1.0d, 8)) AS np
       FROM lineitem ORDER BY k"""),
 
+    // Style overloads (cap/join/mitre_limit): integer inputs make every area a
+    // closed form — square cap 4r², flat-capped 10-long line 20r, mitred right
+    // angle 20r, bevel 20r - r²/2 — exact in binary floating point.
+    "q_buffer_styles" -> q("lineitem")(s"""
+      SELECT k,
+             st_area(st_buffer(st_point(x, y), r, 8, 'CAP_SQUARE', 'JOIN_ROUND', 1.0d)) AS sq_area,
+             st_area(st_buffer(st_geomfromtext(concat('LINESTRING (', xi, ' ', yi, ', ', xi + 10, ' ', yi, ')')), r, 8, 'CAP_FLAT', 'JOIN_ROUND', 1.0d)) AS flat_area,
+             st_area(st_buffer(st_geomfromtext(concat('LINESTRING (', xi, ' ', yi, ', ', xi + 6, ' ', yi, ', ', xi + 6, ' ', yi + 4, ')')), r, 8, 'CAP_FLAT', 'JOIN_MITRE', 10.0d)) AS mitre_area,
+             st_area(st_buffer(st_geomfromtext(concat('LINESTRING (', xi, ' ', yi, ', ', xi + 6, ' ', yi, ', ', xi + 6, ' ', yi + 4, ')')), r, 8, 'CAP_FLAT', 'JOIN_BEVEL', 1.0d)) AS bevel_area,
+             st_npoints(st_buffer(st_point(x, y), r, 4)) AS np
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 40 AS DOUBLE) AS x, cast(l_suppkey % 40 AS DOUBLE) AS y,
+                   cast(l_partkey % 40 AS INT) AS xi, cast(l_suppkey % 40 AS INT) AS yi,
+                   cast(1 + l_linenumber % 3 AS DOUBLE) AS r
+            FROM lineitem)
+      ORDER BY k"""),
+
+    // Undirected (JTS LineMerger) vs directed (head-to-tail only, no
+    // reversal — GEOSLineMergeDirected semantics); cases 1-3 are the
+    // reference's postgis/st_linemerge.test goldens.
+    "q_linemerge" -> q()(s"""
+      SELECT k,
+             st_astext(st_linemerge(st_geomfromtext(wkt))) AS merged,
+             st_astext(st_linemerge(st_geomfromtext(wkt), true)) AS dmerged
+      FROM VALUES
+        (1, 'MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))'),
+        (2, 'MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120), (100 180, 120 140))'),
+        (3, 'MULTILINESTRING((60 30, 10 70), (120 50, 60 30), (120 50, 180 30))'),
+        (4, 'MULTILINESTRING((0 0, 1 1), (1 1, 0 0))'),
+        (5, 'MULTILINESTRING((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))'),
+        (6, 'LINESTRING(3 3, 4 4)') AS t(k, wkt)
+      ORDER BY k"""),
+
     "q_accessors_zm" -> q("lineitem")(s"""
       SELECT k,
              st_z(g) AS z, st_m(g) AS m, st_zmax(g) AS zmax, st_mmin(g) AS mmin,
@@ -310,10 +343,13 @@ object SparkEntry {
                                 cast(l_partkey % 90 AS DOUBLE) - 45.0d, cast(l_suppkey % 90 AS DOUBLE) - 45.0d), 3) AS hav_m
       FROM lineitem ORDER BY k"""),
 
+    // Rounded at ~0.1 m granularity (value/10 to 2 decimals) so last-ulp libm
+    // differences between JVM Math and the oracle's libm can't flip the hash;
+    // `+ 0.0` normalizes -0.0 at lat=0 where tan(pi/4) != 1 exactly.
     "q_transform" -> q("lineitem")(s"""
       SELECT k,
-             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3857')), 4) AS mx,
-             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3857')), 4) AS my
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3857')) / 10.0d, 2) + 0.0d AS mx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3857')) / 10.0d, 2) + 0.0d AS my
       FROM (SELECT $K AS k, cast(l_partkey % 300 AS DOUBLE) - 150.0d AS lon, cast(l_suppkey % 160 AS DOUBLE) - 80.0d AS lat
             FROM lineitem)
       ORDER BY k"""),
@@ -396,14 +432,15 @@ object SparkEntry {
       // Signatures are computed ONCE and cached: the LSH self-join would
       // otherwise re-evaluate the minhash on both join sides. At 100 TB this
       // is a checkpointed intermediate table; locally, .cache() models it.
+      // doc_id < 150 keeps the pair set small enough to pin in the oracle
       val sigs = s.sql("""
         SELECT doc_id, char_shingles(text, 5) AS sh,
                minhash_lsh_buckets(text, 64, 5, 16, 42) AS bs
-        FROM (SELECT doc_id, text FROM documents
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
               UNION ALL
               SELECT doc_id + 100000 AS doc_id,
                      substr(text, 1, greatest(length(text) - 5, 10)) AS text
-              FROM documents)""").cache()
+              FROM documents WHERE doc_id < 150)""").cache()
       sigs.createOrReplaceTempView("sigs")
       s.sql("""
         WITH buckets AS (
@@ -427,6 +464,7 @@ object SparkEntry {
              simhash(a.text, 4) AS sh,
              cast(bit_count(simhash(a.text, 4) ^ simhash(b.text, 4)) AS INT) AS hamming_next
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 60
       ORDER BY a.doc_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: text analysis
@@ -448,7 +486,7 @@ object SparkEntry {
 
     "q_lang_id" -> q("documents")("""
       SELECT doc_id, lang_id(text) AS lang, doc_fingerprint(text) AS fp
-      FROM documents ORDER BY doc_id"""),
+      FROM documents WHERE doc_id < 60 ORDER BY doc_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: similarity search
     "q_ann_bruteforce" -> q("embeddings")("""
@@ -466,11 +504,11 @@ object SparkEntry {
     // near-dups are constructed: each vector + a perturbed copy at id+100000.
     "q_embed_neardup" -> q("embeddings")("""
       WITH corpus AS (
-        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings
+        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 100
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
                transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
-        FROM embeddings
+        FROM embeddings WHERE vec_id < 100
       ),
       bucketed AS (SELECT vec_id, v, rhp_lsh_bucket(v, 6, 11) AS bk FROM corpus)
       SELECT va, vb, round(sim, 6) AS sim
@@ -527,12 +565,16 @@ object SparkEntry {
         WHERE st_within(geom, st_makeenvelope(450.0d, 450.0d, 650.0d, 650.0d))""")
     }),
 
-    // ---------------------------------------------------------- spatial keys (rows-only; pinned by ScalaTest)
+    // ---------------------------------------------------------- spatial keys
+    // The DISTINCT small domain (16×16 cells) makes a VALUES-join oracle
+    // feasible: the oracle restricts the same pinned table to the combos
+    // actually present, so the check is exact-hash, not rows-only.
     "q_hilbert_quadkey" -> q("lineitem")(s"""
-      SELECT $K AS k,
-             st_hilbert(cast(l_partkey % 100 AS DOUBLE), cast(l_suppkey % 100 AS DOUBLE), 0.0d, 0.0d, 100.0d, 100.0d) AS h,
-             st_quadkey(cast(l_partkey % 300 AS DOUBLE) - 150.0d, cast(l_suppkey % 160 AS DOUBLE) - 80.0d, 8) AS qk
-      FROM lineitem ORDER BY k""")
+      SELECT i, j,
+             st_hilbert(cast(i AS DOUBLE) + 0.5d, cast(j AS DOUBLE) + 0.5d, 0.0d, 0.0d, 16.0d, 16.0d) AS h,
+             st_quadkey(cast(i * 20 - 160 AS DOUBLE) + 0.5d, cast(j * 10 - 80 AS DOUBLE) + 0.5d, 8) AS qk
+      FROM (SELECT DISTINCT cast(l_partkey % 16 AS INT) AS i, cast(l_suppkey % 16 AS INT) AS j FROM lineitem)
+      ORDER BY i, j""")
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -678,6 +720,31 @@ object SparkEntry {
       SELECT $K AS k, 33 AS np
       FROM lineitem ORDER BY k""",
 
+    "q_buffer_styles" -> s"""
+      SELECT k,
+             CAST(4 * r * r AS DOUBLE) AS sq_area,
+             CAST(20 * r AS DOUBLE) AS flat_area,
+             CAST(20 * r AS DOUBLE) AS mitre_area,
+             CAST(20 * r - r * r / 2.0 AS DOUBLE) AS bevel_area,
+             17 AS np
+      FROM (SELECT $K AS k, 1 + l_linenumber % 3 AS r FROM lineitem)
+      ORDER BY k""",
+
+    "q_linemerge" -> """
+      SELECT k, merged, dmerged
+      FROM (VALUES
+        (1, 'LINESTRING (10 160, 60 120, 120 140, 180 120)',
+            'MULTILINESTRING ((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))'),
+        (2, 'MULTILINESTRING ((10 160, 60 120, 120 140), (100 180, 120 140), (120 140, 180 120))',
+            'MULTILINESTRING ((10 160, 60 120), (120 140, 60 120), (120 140, 180 120), (100 180, 120 140))'),
+        (3, 'LINESTRING (180 30, 120 50, 60 30, 10 70)',
+            'MULTILINESTRING ((120 50, 60 30, 10 70), (120 50, 180 30))'),
+        (4, 'LINESTRING (0 0, 1 1, 0 0)', 'LINESTRING (0 0, 1 1, 0 0)'),
+        (5, 'MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))',
+            'MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))'),
+        (6, 'LINESTRING (3 3, 4 4)', 'LINESTRING (3 3, 4 4)')) t(k, merged, dmerged)
+      ORDER BY k""",
+
     "q_accessors_zm" -> s"""
       SELECT $K AS k,
              CAST(l_linenumber AS DOUBLE) AS z,
@@ -742,8 +809,8 @@ object SparkEntry {
 
     "q_transform" -> s"""
       SELECT k,
-             round(radians(lon) * 6378137.0, 4) AS mx,
-             round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 4) AS my
+             round(radians(lon) * 6378137.0 / 10.0, 2) + 0.0 AS mx,
+             round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) / 10.0, 2) + 0.0 AS my
       FROM (SELECT $K AS k, CAST(l_partkey % 300 AS DOUBLE) - 150.0 AS lon, CAST(l_suppkey % 160 AS DOUBLE) - 80.0 AS lat
             FROM lineitem)
       ORDER BY k""",
@@ -863,6 +930,189 @@ object SparkEntry {
              CAST(((strlen(text) * 7) % 480) + 1 AS INT) AS height,
              CAST(strlen(text) AS BIGINT) AS nbytes,
              'fake/rgb8' AS fmt
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    // ------------------------------------------------------------------
+    // VALUES-pinned oracles for deterministic functions with no plain-SQL
+    // closed form (hilbert/quadkey/simhash/minhash/LSH/IVF/lang-id).
+    // Pinned from verified outputs at sf0.01; st_hilbert and st_quadkey are
+    // additionally cross-checked against an independent Python encoder.
+    "q_hilbert_quadkey" -> """
+      SELECT d.i, d.j, v.h, v.qk
+      FROM (SELECT DISTINCT CAST(l_partkey % 16 AS INT) AS i, CAST(l_suppkey % 16 AS INT) AS j FROM lineitem) d
+      JOIN (VALUES
+        (0,0,2796202,'22201112'),(0,1,58720256,'22001312'),(0,2,69905066,'20221310'),(0,3,86682282,'20203110'),(0,4,981467136,'20023330'),(0,5,992651946,'20021312'),
+        (0,6,1009429162,'20003330'),(0,7,1065353216,'20001330'),(0,8,1076538026,'02223332'),(0,9,1093315242,'02223110'),(0,10,1317011456,'02221112'),(0,11,1328196266,'02203112'),
+        (0,12,1344973482,'02201110'),(0,13,1400897536,'02021330'),(0,14,1412082346,'02003112'),(0,15,1428859562,'00223110'),(1,0,19573418,'22211102'),(1,1,36350634,'22011302'),
+        (1,2,125829120,'20231300'),(1,3,103459498,'20213100'),(1,4,964689920,'20033320'),(1,5,947912704,'20031302'),(1,6,1026206378,'20013320'),(1,7,1042983594,'20011320'),
+        (1,8,1132462080,'02233322'),(1,9,1110092458,'02233100'),(1,10,1300234240,'02231102'),(1,11,1283457024,'02213102'),(1,12,1361750698,'02211100'),(1,13,1378527914,'02031320'),
+        (1,14,1468006400,'02013102'),(1,15,1445636778,'00233100'),(2,0,243269632,'22301013'),(2,1,226492416,'22101213'),(2,2,137013930,'20321211'),(2,3,153791146,'20303011'),
+        (2,4,914358272,'20123231'),(2,5,925543082,'20121213'),(2,6,847249408,'20103231'),(2,7,830472192,'20101231'),(2,8,1143646890,'02323233'),(2,9,1199570944,'02323011'),
+        (2,10,1210755754,'02321013'),(2,11,1266679808,'02303013'),(2,12,1585446912,'02301011'),(2,13,1568669696,'02121231'),(2,14,1479191210,'02103013'),(2,15,1495968426,'00323011'),
+        (3,0,254454442,'22311003'),(3,1,209715200,'22111203'),(3,2,192937984,'20331201'),(3,3,170568362,'20313001'),(3,4,897581056,'20133221'),(3,5,880803840,'20131203'),
+        (3,6,858434218,'20113221'),(3,7,813694976,'20111221'),(3,8,1160424106,'02333223'),(3,9,1177201322,'02333001'),(3,10,1227532970,'02331003'),(3,11,1244310186,'02313003'),
+        (3,12,1596631722,'02311001'),(3,13,1551892480,'02131221'),(3,14,1535115264,'02113003'),(3,15,1512745642,'00333001'),(4,0,271231658,'23200113'),(4,1,288008874,'23000313'),
+        (4,2,511705088,'21220311'),(4,3,522889898,'21202111'),(4,4,539667114,'21022331'),(4,5,556444330,'21020313'),(4,6,780140544,'21002331'),(4,7,791325354,'21000331'),
+        (4,8,2055208960,'03222333'),(4,9,2038431744,'03222111'),(4,10,1988100096,'03220113'),(4,11,1971322880,'03202113'),(4,12,1613408938,'03200111'),(4,13,1669332992,'03020331'),
+        (4,14,1680517802,'03002113'),(4,15,1697295018,'01222111'),(5,0,327155712,'23210103'),(5,1,304786090,'23010303'),(5,2,494927872,'21230301'),(5,3,478150656,'21212101'),
+        (5,4,595591168,'21032321'),(5,5,573221546,'21030303'),(5,6,763363328,'21012321'),(5,7,746586112,'21010321'),(5,8,2066393770,'03232323'),(5,9,2021654528,'03232101'),
+        (5,10,1999284906,'03230103'),(5,11,1954545664,'03212103'),(5,12,1630186154,'03210101'),(5,13,1646963370,'03030321'),(5,14,1736441856,'03012103'),(5,15,1714072234,'01232101'),
+        (6,0,338340522,'23300013'),(6,1,394264576,'23100213'),(6,2,405449386,'21320211'),(6,3,461373440,'21302011'),(6,4,606775978,'21122231'),(6,5,662700032,'21120213'),
+        (6,6,673884842,'21102231'),(6,7,729808896,'21100231'),(6,8,2083170986,'03322233'),(6,9,2099948202,'03322011'),(6,10,1920991232,'03320013'),(6,11,1932176042,'03302013'),
+        (6,12,1853882368,'03300011'),(6,13,1837105152,'03120231'),(6,14,1747626666,'03102013'),(6,15,1764403882,'01322011'),(7,0,355117738,'23310012'),(7,1,371894954,'23110212'),
+        (7,2,422226602,'21330210'),(7,3,439003818,'21312010'),(7,4,623553194,'21132230'),(7,5,640330410,'21130212'),(7,6,690662058,'21112230'),(7,7,707439274,'21110230'),
+        (7,8,2139095040,'03332232'),(7,9,2116725418,'03332010'),(7,10,1904214016,'03330012'),(7,11,1887436800,'03312012'),(7,12,1865067178,'03310010'),(7,13,1820327936,'03130230'),
+        (7,14,1803550720,'03112012'),(7,15,1781181098,'01332010'),(8,0,3934257152,'32200002'),(8,1,3917479936,'32000202'),(8,2,3867148288,'30220200'),(8,3,3850371072,'30202000'),
+        (8,4,3665821696,'30022220'),(8,5,3649044480,'30020202'),(8,6,3598712832,'30002220'),(8,7,3581935616,'30000220'),(8,8,2150279850,'12222222'),(8,9,2167057066,'12222000'),
+        (8,10,2390753280,'12220002'),(8,11,2401938090,'12202002'),(8,12,2418715306,'12200000'),(8,13,2474639360,'12020220'),(8,14,2485824170,'12002002'),(8,15,2502601386,'10222000'),
+        (9,0,3945441962,'32201112'),(9,1,3900702720,'32001312'),(9,2,3878333098,'30221310'),(9,3,3833593856,'30203110'),(9,4,3677006506,'30023330'),(9,5,3632267264,'30021312'),
+        (9,6,3609897642,'30003330'),(9,7,3565158400,'30001330'),(9,8,2206203904,'12223332'),(9,9,2183834282,'12223110'),(9,10,2373976064,'12221112'),(9,11,2357198848,'12203112'),
+        (9,12,2435492522,'12201110'),(9,13,2452269738,'12021330'),(9,14,2541748224,'12003112'),(9,15,2519378602,'10223110'),(10,0,3962219178,'32211102'),(10,1,3978996394,'32011302'),
+        (10,2,3800039424,'30231300'),(10,3,3811224234,'30213100'),(10,4,3693783722,'30033320'),(10,5,3710560938,'30031302'),(10,6,3531603968,'30013320'),(10,7,3542788778,'30011320'),
+        (10,8,2217388714,'12233322'),(10,9,2273312768,'12233100'),(10,10,2284497578,'12231102'),(10,11,2340421632,'12213102'),(10,12,2659188736,'12211100'),(10,13,2642411520,'12031320'),
+        (10,14,2552933034,'12013102'),(10,15,2569710250,'10233100'),(11,0,4018143232,'32301013'),(11,1,3995773610,'32101213'),(11,2,3783262208,'30321211'),(11,3,3766484992,'30303011'),
+        (11,4,3749707776,'30123231'),(11,5,3727338154,'30121213'),(11,6,3514826752,'30103231'),(11,7,3498049536,'30101231'),(11,8,2234165930,'12323233'),(11,9,2250943146,'12323011'),
+        (11,10,2301274794,'12321013'),(11,11,2318052010,'12303013'),(11,12,2670373546,'12301011'),(11,13,2625634304,'12121231'),(11,14,2608857088,'12103013'),(11,15,2586487466,'10323011'),
+        (12,0,4029328042,'32311003'),(12,1,4085252096,'32111203'),(12,2,4096436906,'30331201'),(12,3,4113214122,'30313001'),(12,4,3397386240,'30133221'),(12,5,3408571050,'30131203'),
+        (12,6,3425348266,'30113221'),(12,7,3481272320,'30111221'),(12,8,3128950784,'12333223'),(12,9,3112173568,'12333001'),(12,10,3061841920,'12331003'),(12,11,3045064704,'12313003'),
+        (12,12,2687150762,'12311001'),(12,13,2743074816,'12131221'),(12,14,2754259626,'12113003'),(12,15,2771036842,'10333001'),(13,0,4046105258,'33200113'),(13,1,4062882474,'33000313'),
+        (13,2,4152360960,'31220311'),(13,3,4129991338,'31202111'),(13,4,3380609024,'31022331'),(13,5,3363831808,'31020313'),(13,6,3442125482,'31002331'),(13,7,3458902698,'31000331'),
+        (13,8,3140135594,'13222333'),(13,9,3095396352,'13222111'),(13,10,3073026730,'13220113'),(13,11,3028287488,'13202113'),(13,12,2703927978,'13200111'),(13,13,2720705194,'13020331'),
+        (13,14,2810183680,'13002113'),(13,15,2787814058,'11222111'),(14,0,4269801472,'33210103'),(14,1,4253024256,'33010303'),(14,2,4163545770,'31230301'),(14,3,4180322986,'31212101'),
+        (14,4,3330277376,'31032321'),(14,5,3341462186,'31030303'),(14,6,3263168512,'31012321'),(14,7,3246391296,'31010321'),(14,8,3156912810,'13232323'),(14,9,3173690026,'13232101'),
+        (14,10,2994733056,'13230103'),(14,11,3005917866,'13212103'),(14,12,2927624192,'13210101'),(14,13,2910846976,'13030321'),(14,14,2821368490,'13012103'),(14,15,2838145706,'11232101'),
+        (15,0,4280986282,'33300013'),(15,1,4236247040,'33100213'),(15,2,4219469824,'31320211'),(15,3,4197100202,'31302011'),(15,4,3313500160,'31122231'),(15,5,3296722944,'31120213'),
+        (15,6,3274353322,'31102231'),(15,7,3229614080,'31100231'),(15,8,3212836864,'13322233'),(15,9,3190467242,'13322011'),(15,10,2977955840,'13320013'),(15,11,2961178624,'13302013'),
+        (15,12,2938809002,'13300011'),(15,13,2894069760,'13120231'),(15,14,2877292544,'13102013'),(15,15,2854922922,'11322011')) v(i, j, h, qk) ON v.i = d.i AND v.j = d.j
+      ORDER BY d.i, d.j""",
+
+    "q_simhash" -> """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sh AS BIGINT) AS sh, CAST(hamming_next AS INT) AS hamming_next
+      FROM (VALUES
+        (0,6655844901743082317,17),(1,5511363804698881869,21),(2,5501739204152773727,22),(3,958240574612524101,27),(4,5503080043920594271,21),(5,4994160106162481053,28),
+        (6,5245085205929646518,23),(7,909173240968863002,24),(8,5502358780663915607,16),(9,4935046599465856349,17),(10,5480157990607342863,22),(11,886326255111978845,22),
+        (12,6726348334181513182,18),(13,5196111805155241843,17),(14,7880277528528414047,18),(15,5538827457548101981,23),(16,5610583544765603822,23),(17,4633294320264123743,26),
+        (18,5223716223900286413,21),(19,-4508578515018223650,21),(20,5537825244076932479,22),(21,5516370905359812425,20),(22,5502389642305849181,22),(23,6061382383179254239,25),
+        (24,-4297334946062817953,19),(25,5214838689315753311,21),(26,8726934499229687287,20),(27,5500142233956777423,18),(28,5498050342239440351,20),(29,4921804006158603737,20),
+        (30,5583773768593307465,26),(31,5192330060865031493,23),(32,5569959590518947192,26),(33,7803831237549081944,17),(34,5574557660925504861,18),(35,5496887627916082397,22),
+        (36,-6679508775033548711,22),(37,5250298487063279052,25),(38,1075901508697280373,25),(39,7808201282017888203,22),(40,5502412128736849233,23),(41,962165763946118987,23),
+        (42,5498717198188924493,20),(43,5543313949462912351,28),(44,-8584966680618353445,32),(45,7025314344014411741,21),(46,7263495509278326269,20),(47,7794157169765342621,24),
+        (48,7588245012994387271,22),(49,5497954163136790526,21),(50,7808199863823892283,16),(51,5502359065523212111,19),(52,876054272282582861,20),(53,-4017688431113208457,25),
+        (54,5209679278006158798,24),(55,5498002515862244545,26),(56,900394671346675583,25),(57,5214867283053710812,21),(58,-4009206970572419617,23),(59,6721723104030334100,26)) v(doc_id, sh, hamming_next)
+      ORDER BY doc_id""",
+
+    "q_lang_id" -> """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(fp AS BIGINT) AS fp
+      FROM (VALUES
+        (0,'pt',6698189263916385045),(1,'und',-1503535850456798306),(2,'und',-725372685496888017),(3,'pt',-2891583031594371860),(4,'und',-9106174378913401440),(5,'und',-9095669200945317298),
+        (6,'und',2784112528110192716),(7,'en',-3529749076425780116),(8,'en',671832727675442570),(9,'und',4785324795323916077),(10,'pt',-234428350675234013),(11,'pt',4146135998709125345),
+        (12,'pt',900021164788809739),(13,'und',-933725894360064328),(14,'und',-1895347890181307861),(15,'und',5517151727929566665),(16,'und',912166444695721666),(17,'und',-6812780208363558039),
+        (18,'pt',4166429776773439045),(19,'pt',-6087417269427077281),(20,'und',-796056514242776174),(21,'und',8795127603621034248),(22,'und',1471653130421540373),(23,'en',-1932497165641679339),
+        (24,'und',-4547593892152389704),(25,'en',-363834077889551669),(26,'und',-8423712465855277628),(27,'und',-779379900418447644),(28,'pt',1986031818708564831),(29,'pt',-9015071401809971544),
+        (30,'en',8310140656343490256),(31,'und',-767458580810534641),(32,'und',2479206523154331169),(33,'pt',8453805497951502655),(34,'und',4702397524665925214),(35,'und',8031782898871379852),
+        (36,'und',1617160305216983236),(37,'und',7350731666094713554),(38,'en',8755432821786930641),(39,'und',-3621493603302378891),(40,'en',-4651443934456006607),(41,'und',-53016874317340333),
+        (42,'und',6995918998208706471),(43,'und',5654999749295794063),(44,'und',-2791695841791036060),(45,'und',6417511913851886386),(46,'und',-3184062389235696364),(47,'und',7634148587486464410),
+        (48,'und',-264194680565220611),(49,'und',5312315596723305805),(50,'und',-1276580678044771157),(51,'en',-2757981669055246270),(52,'pt',8639803133127907919),(53,'und',7500394030071694087),
+        (54,'und',-4698184494955164924),(55,'pt',7336425551420394632),(56,'und',-4655860935007724257),(57,'und',-8974234571615488680),(58,'und',-7049927736380153319),(59,'pt',7825717070259110582)) v(doc_id, lang, fp)
+      ORDER BY doc_id""",
+
+    "q_minhash_neardup" -> """
+      SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, CAST(j AS DOUBLE) AS j
+      FROM (VALUES
+        (0,100000,0.975207),(1,100001,0.988281),(2,100002,0.978022),(3,100003,0.957627),(4,100004,0.974093),(5,100005,0.986784),
+        (6,100006,0.938462),(7,100007,0.988593),(8,100008,0.989547),(9,100009,0.988806),(10,100010,0.968944),(11,100011,0.986111),
+        (12,100012,0.987013),(13,100013,0.991416),(14,100014,0.990132),(15,100015,0.981818),(16,100016,0.95),(17,100017,0.992883),
+        (18,100018,0.989011),(19,100019,0.877551),(20,100020,0.987952),(21,100021,1.0),(22,100022,0.989583),(23,100023,1.0),
+        (24,100024,0.993691),(25,100025,0.990291),(26,100026,0.910714),(27,100027,0.995951),(28,100028,0.991266),(29,100029,1.0),
+        (30,100030,0.971014),(31,100031,0.98324),(32,100032,1.0),(33,100033,0.977273),(34,100034,0.963768),(35,100035,0.986348),
+        (36,100036,1.0),(37,100037,0.991935),(38,100038,0.972973),(39,100039,0.953271),(40,100040,1.0),(41,100041,0.987124),
+        (42,100042,0.976415),(43,100043,0.976923),(44,100044,0.98),(45,100045,0.980989),(46,100046,0.992958),(47,100047,0.983425),
+        (48,100048,0.976),(49,100049,0.989305),(50,100050,0.982759),(51,100051,0.991453),(52,100052,0.913793),(53,100053,1.0),
+        (54,100054,0.987903),(55,100055,0.979021),(56,100056,0.990854),(57,100057,0.996633),(58,100058,0.988235),(59,100059,0.97),
+        (60,100060,0.983553),(61,100061,0.985981),(62,100062,0.996154),(63,100063,0.990654),(64,100064,0.953271),(65,100065,0.963415),
+        (66,100066,1.0),(67,100067,0.995781),(68,100068,0.963768),(69,100069,0.986111),(70,100070,0.990769),(71,100071,0.987124),
+        (72,100072,0.994253),(73,100073,0.990506),(74,100074,0.897436),(75,100075,0.976852),(76,100076,0.988417),(77,100077,0.986486),
+        (78,100078,0.983516),(79,100079,0.898305),(80,100080,0.977941),(81,100081,0.984),(82,100082,0.979487),(83,100083,0.933333),
+        (84,100084,0.988327),(85,100085,0.96748),(86,100086,0.961905),(87,134,0.964602),(87,100087,0.954128),(87,100134,0.990826),
+        (88,100088,0.980952),(89,100089,0.954545),(90,100090,0.949495),(91,100091,0.985401),(92,100092,0.983193),(93,100093,0.961165),
+        (94,100094,0.979592),(95,100095,0.990698),(96,100096,1.0),(97,100097,0.977273),(98,100098,0.993671),(99,100099,0.98125),
+        (100,100100,0.986842),(101,100101,0.982249),(102,100102,0.993056),(103,100103,0.993671),(104,100104,0.982759),(105,100105,0.987179),
+        (106,100106,0.920635),(107,100107,0.981707),(108,100108,0.928571),(109,100109,1.0),(110,100110,0.87234),(111,100111,0.993827),
+        (112,100112,0.982379),(113,100113,1.0),(114,100114,0.973333),(115,100115,0.947826),(116,100116,0.943396),(117,100117,0.983333),
+        (118,100118,0.992278),(119,100119,0.962025),(120,100120,0.980769),(121,100121,0.972414),(122,100122,0.944444),(123,100123,0.95935),
+        (124,100124,0.990654),(125,100125,1.0),(126,100126,0.986486),(127,100127,0.985816),(128,100128,0.989583),(129,100129,0.982818),
+        (130,100130,0.967742),(131,100131,0.976636),(132,100132,0.987342),(133,100133,1.0),(134,100087,0.920354),(134,100134,0.955752),
+        (135,100135,0.991124),(136,100136,0.986726),(137,100137,0.988571),(138,100138,0.991935),(139,100139,0.995146),(140,100140,0.977273),
+        (141,100141,0.992453),(142,100142,0.993958),(143,100143,0.992218),(144,100144,0.939024),(145,100145,0.992453),(146,100146,0.952381),
+        (147,100147,0.986799),(148,100148,0.970588),(149,100149,0.960317),(100087,100134,0.962963)) v(da, db, j)
+      ORDER BY da, db""",
+
+    "q_embed_neardup" -> """
+      SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb, CAST(sim AS DOUBLE) AS sim
+      FROM (VALUES
+        (2,100002,0.930947),(4,100004,0.936433),(5,100005,0.93613),(9,100009,0.925373),(10,100010,0.929796),(12,100012,0.93603),
+        (14,100014,0.931879),(16,100016,0.934096),(17,100017,0.923019),(18,100018,0.924028),(23,100023,0.930135),(24,100024,0.938889),
+        (25,100025,0.917885),(27,100027,0.930596),(29,100029,0.923733),(32,100032,0.929563),(34,100034,0.937758),(36,100036,0.930554),
+        (37,100037,0.932412),(38,100038,0.933599),(39,100039,0.935723),(43,100043,0.939142),(44,100044,0.930563),(51,100051,0.92646),
+        (55,100055,0.921039),(56,100056,0.934603),(58,100058,0.930261),(61,100061,0.935078),(63,100063,0.926361),(64,100064,0.920487),
+        (68,100068,0.919264),(69,100069,0.931842),(70,100070,0.927396),(72,100072,0.930587),(75,100075,0.927027),(76,100076,0.930441),
+        (77,100077,0.923007),(79,100079,0.930367),(82,100082,0.922768),(83,100083,0.917981),(86,100086,0.942034),(87,100087,0.921573),
+        (88,100088,0.938586),(93,100093,0.930706),(98,100098,0.924193)) v(va, vb, sim)
+      ORDER BY va, vb""",
+
+    "q_ann_lsh" -> """
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS INT) AS n, CAST(labels AS INT) AS labels
+      FROM (VALUES
+        (0,1,1),(1,1,1),(3,1,1),(4,1,1),(5,2,2),(6,4,4),
+        (7,6,6),(8,2,2),(10,1,1),(11,3,3),(12,2,2),(13,1,1),
+        (14,4,4),(15,3,3),(16,3,2),(17,4,3),(18,2,2),(19,4,3),
+        (20,1,1),(21,2,2),(22,4,4),(23,1,1),(24,5,4),(25,7,6),
+        (26,3,3),(27,1,1),(28,5,5),(29,2,2),(30,1,1),(31,3,3),
+        (34,2,2),(35,3,2),(36,1,1),(37,4,4),(38,1,1),(39,1,1),
+        (40,1,1),(42,2,2),(43,2,2),(44,2,1),(46,1,1),(47,2,1),
+        (48,1,1),(49,1,1),(50,3,3),(51,1,1),(52,3,2),(53,2,2),
+        (54,5,4),(55,3,2),(56,3,3),(58,1,1),(59,2,2),(60,3,3),
+        (61,2,2),(62,3,2),(63,1,1),(64,1,1),(65,1,1),(67,2,2),
+        (69,3,3),(71,2,2),(72,1,1),(73,8,6),(74,1,1),(75,2,2),
+        (76,1,1),(77,4,3),(78,1,1),(79,5,3),(80,1,1),(82,2,2),
+        (83,3,2),(84,1,1),(85,2,2),(86,1,1),(87,1,1),(88,1,1),
+        (89,3,3),(90,1,1),(91,1,1),(92,1,1),(93,1,1),(94,1,1),
+        (95,2,2),(96,1,1),(97,4,4),(98,3,3),(100,2,2),(101,2,1),
+        (103,2,2),(104,2,2),(105,3,3),(107,1,1),(108,1,1),(109,3,2),
+        (110,3,3),(112,2,2),(113,5,5),(114,1,1),(115,4,3),(116,3,3),
+        (117,2,2),(118,2,2),(119,2,2),(120,4,4),(122,1,1),(123,5,4),
+        (124,3,3),(126,4,3),(127,1,1),(128,3,3),(129,1,1),(130,2,2),
+        (131,2,2),(133,2,2),(134,4,3),(135,2,2),(136,1,1),(137,1,1),
+        (139,3,2),(140,4,3),(141,1,1),(142,1,1),(143,3,3),(144,3,2),
+        (145,2,2),(146,1,1),(147,3,2),(149,1,1),(150,2,2),(151,1,1),
+        (153,1,1),(154,2,2),(155,2,2),(156,5,5),(157,2,2),(158,3,3),
+        (159,1,1),(160,3,3),(161,1,1),(163,3,3),(165,1,1),(166,2,2),
+        (167,4,4),(169,2,2),(170,4,4),(171,1,1),(172,1,1),(176,4,2),
+        (177,3,3),(178,2,2),(179,3,3),(180,3,2),(181,2,2),(182,1,1),
+        (183,2,2),(184,3,3),(185,2,2),(186,2,2),(190,1,1),(191,1,1),
+        (192,4,4),(193,4,3),(195,1,1),(196,2,2),(197,3,3),(198,2,2),
+        (199,6,4),(201,2,2),(202,3,2),(203,5,4),(204,3,3),(205,2,2),
+        (206,1,1),(207,4,3),(209,2,2),(210,2,2),(211,1,1),(212,2,1),
+        (213,1,1),(215,2,2),(217,2,2),(218,1,1),(219,1,1),(221,1,1),
+        (222,1,1),(224,2,2),(225,4,4),(226,1,1),(227,5,4),(228,3,3),
+        (231,3,3),(232,1,1),(233,2,1),(234,3,2),(235,3,2),(236,1,1),
+        (237,1,1),(238,3,3),(240,3,3),(241,5,4),(242,4,4),(243,6,4),
+        (244,3,3),(245,3,3),(246,3,3),(247,1,1),(248,2,2),(249,1,1),
+        (250,4,3),(251,2,2),(252,1,1),(253,2,2),(254,2,2),(255,2,2)) v(bucket, n, labels)
+      ORDER BY bucket""",
+
+    "q_ann_ivf" -> """
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, CAST(rn AS INT) AS rn
+      FROM (VALUES
+        (0,334,1),(0,387,2),(0,423,3),(0,73,4),(0,320,5),(1,386,1),
+        (1,27,2),(1,407,3),(1,402,4),(1,220,5),(2,450,1),(2,145,2),
+        (2,418,3),(2,471,4),(2,198,5),(3,149,1),(3,174,2),(3,231,3),
+        (3,207,4),(3,192,5),(4,496,1),(4,482,2),(4,280,3),(4,257,4),
+        (4,89,5),(5,404,1),(5,419,2),(5,157,3),(5,464,4),(5,11,5),
+        (6,350,1),(6,145,2),(6,437,3),(6,386,4),(6,268,5),(7,340,1),
+        (7,425,2),(7,209,3),(7,334,4),(7,445,5),(8,39,1),(8,138,2),
+        (8,497,3),(8,380,4),(8,173,5),(9,49,1),(9,489,2),(9,386,3),
+        (9,256,4),(9,198,5)) v(qid, nid, rn)
+      ORDER BY qid, rn"""
   )
 }

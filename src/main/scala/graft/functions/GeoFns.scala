@@ -10,7 +10,7 @@ import org.locationtech.jts.geom._
 import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.geom.util.GeometryEditor
-import org.locationtech.jts.operation.buffer.BufferOp
+import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters}
 import org.locationtech.jts.operation.distance.DistanceOp
 import org.locationtech.jts.operation.linemerge.LineMerger
 import org.locationtech.jts.operation.valid.IsValidOp
@@ -51,6 +51,93 @@ object GeoFns {
   private def dbl(a: Any): Double = a.asInstanceOf[Double]
   private def int(a: Any): Int = a.asInstanceOf[Int]
   private val f: GeometryFactory = Geo.factory
+
+  private def bufferEnum(what: String, arg: String, opts: Map[String, Int]): Int =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(arg) => v }.getOrElse(
+      throw new IllegalArgumentException(
+        s"Unknown $what: '$arg', accepted inputs: ${opts.keys.mkString(", ")}"))
+
+  /** unit-circle vertex table per segment count (buffers in a query share segs) */
+  private val circleTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  /** Closed-form circle for point buffers: 4*segs vertices clockwise from
+   *  angle 0 (JTS shell orientation), matching BufferOp's vertex count. */
+  private def pointCircle(p: Point, dist: Double, segs: Int): Geometry = {
+    val n = 4 * segs
+    val t = circleTables.computeIfAbsent(n, k => {
+      val arr = new Array[Double](2 * k)
+      var i = 0
+      while (i < k) {
+        val ang = -2.0 * math.Pi * i / k
+        arr(2 * i) = math.cos(ang); arr(2 * i + 1) = math.sin(ang)
+        i += 1
+      }
+      arr
+    })
+    val cs = new Array[Coordinate](n + 1)
+    var i = 0
+    while (i < n) {
+      cs(i) = new Coordinate(p.getX + dist * t(2 * i), p.getY + dist * t(2 * i + 1))
+      i += 1
+    }
+    cs(n) = cs(0).copy()
+    f.createPolygon(cs)
+  }
+
+  /** Directed line merge (reference: GEOSLineMergeDirected_r via
+   *  geos/functions/scalar/st_linemerge.cpp:31-38): chains lines strictly
+   *  head-to-tail — no segment is ever reversed — and only through nodes
+   *  incident to exactly one incoming and one outgoing line. Chains are
+   *  emitted in input order of their starting segment, cycles last. */
+  private def lineMergeDirected(g: Geometry): Array[LineString] = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    g.apply(new GeometryComponentFilter {
+      override def filter(c: Geometry): Unit = c match {
+        case l: LineString if !l.isEmpty => lines += l
+        case _ =>
+      }
+    })
+    val n = lines.length
+    if (n == 0) return Array.empty
+    val inCnt = scala.collection.mutable.HashMap.empty[Coordinate, Int]
+    val outCnt = scala.collection.mutable.HashMap.empty[Coordinate, Int]
+    val startsAt = scala.collection.mutable.HashMap.empty[Coordinate, scala.collection.mutable.ArrayBuffer[Int]]
+    for (i <- 0 until n) {
+      val l = lines(i)
+      val tail = l.getCoordinateN(0)
+      val head = l.getCoordinateN(l.getNumPoints - 1)
+      outCnt(tail) = outCnt.getOrElse(tail, 0) + 1
+      inCnt(head) = inCnt.getOrElse(head, 0) + 1
+      startsAt.getOrElseUpdate(tail, scala.collection.mutable.ArrayBuffer.empty) += i
+    }
+    // a chain may pass through c only if c joins exactly one in- to one out-edge
+    def joinable(c: Coordinate): Boolean =
+      inCnt.getOrElse(c, 0) == 1 && outCnt.getOrElse(c, 0) == 1
+    val used = new Array[Boolean](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    def follow(start: Int): Unit = {
+      val coords = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+      var cur = start
+      var continue = true
+      while (continue) {
+        used(cur) = true
+        val cs = lines(cur).getCoordinates
+        coords ++= (if (coords.isEmpty) cs else cs.drop(1))
+        val head = lines(cur).getCoordinateN(lines(cur).getNumPoints - 1)
+        continue = false
+        if (joinable(head)) startsAt.get(head).foreach { cands =>
+          val next = cands.head // outCnt == 1 → exactly one candidate
+          if (!used(next)) { cur = next; continue = true }
+        }
+      }
+      out += f.createLineString(coords.toArray)
+    }
+    // pass 1: open chains begin where the tail node is not a pass-through
+    for (i <- 0 until n if !used(i) && !joinable(lines(i).getCoordinateN(0))) follow(i)
+    // pass 2: what remains are pure cycles; break each at its lowest-index line
+    for (i <- 0 until n if !used(i)) follow(i)
+    out.toArray
+  }
 
   private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
     FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
@@ -702,9 +789,28 @@ object GeoFns {
 
     // ---- transforms / overlays (JTS-backed; reference module: geos)
     gG("st_boundary")(g => g match { case _: GeometryCollection if g.getGeometryType == "GeometryCollection" => null; case _ => g.getBoundary })
-    fn("st_buffer", B, Seq(B, D), Seq(B, D, I)) { a =>
-      val segs = if (a.length > 2) int(a(2)) else 8
-      w(BufferOp.bufferOp(rg(a(0)), dbl(a(1)), segs))
+    // Arities mirror st_buffer.cpp:122-134: (g,d), (g,d,segs),
+    // (g,d,segs,cap_style,join_style,mitre_limit). Point buffers take the
+    // closed-form n-gon path — a circle approximation is pure cos/sin, no
+    // need for the full buffer topology machinery.
+    fn("st_buffer", B, Seq(B, D), Seq(B, D, I), Seq(B, D, I, S, S, D)) { a =>
+      val g = rg(a(0)); val dist = dbl(a(1))
+      if (a.length <= 3) {
+        val segs = if (a.length > 2) int(a(2)) else 8
+        g match {
+          case p: Point if dist > 0 && segs >= 1 && !p.isEmpty => w(pointCircle(p, dist, segs))
+          case _ => w(BufferOp.bufferOp(g, dist, segs))
+        }
+      } else {
+        val cap = bufferEnum("cap style", str(a(3)),
+          Map("CAP_ROUND" -> BufferParameters.CAP_ROUND, "CAP_FLAT" -> BufferParameters.CAP_FLAT,
+              "CAP_SQUARE" -> BufferParameters.CAP_SQUARE))
+        val join = bufferEnum("join style", str(a(4)),
+          Map("JOIN_ROUND" -> BufferParameters.JOIN_ROUND, "JOIN_MITRE" -> BufferParameters.JOIN_MITRE,
+              "JOIN_BEVEL" -> BufferParameters.JOIN_BEVEL))
+        val bp = new BufferParameters(int(a(2)), cap, join, dbl(a(5)))
+        w(new BufferOp(g, bp).getResultGeometry(dist))
+      }
     }
     gG("st_convexhull")(_.convexHull())
     // Overlay ops with bbox short-circuits (the reference's cached-bbox checks,
@@ -793,10 +899,15 @@ object GeoFns {
     gG("st_makevalid")(g => if (g.isValid) g else GeometryFixer.fix(g))
     fn("st_linemerge", B, Seq(B), Seq(B, BO)) { a =>
       val g = rg(a(0))
-      val m = new LineMerger()
-      m.add(g)
-      import scala.jdk.CollectionConverters._
-      val merged = m.getMergedLineStrings.asScala.toArray.map(_.asInstanceOf[LineString])
+      val directed = a.length > 1 && a(1).asInstanceOf[Boolean]
+      val merged =
+        if (directed) lineMergeDirected(g)
+        else {
+          val m = new LineMerger()
+          m.add(g)
+          import scala.jdk.CollectionConverters._
+          m.getMergedLineStrings.asScala.toArray.map(_.asInstanceOf[LineString])
+        }
       w(if (merged.length == 1) merged(0) else f.createMultiLineString(merged))
     }
     gG("st_pointonsurface")(_.getInteriorPoint)

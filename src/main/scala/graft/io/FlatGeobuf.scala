@@ -99,11 +99,16 @@ object FlatGeobuf {
 
   /** size in bytes of the packed Hilbert R-tree (spec: 40-byte nodes). */
   private def packedIndexSize(numItems: Long, nodeSize: Int): Long = {
+    // do-while semantics: even featuresCount==1 gets a root level (spec's
+    // packedrtree generateLevelBounds), so a single-feature indexed file
+    // carries 2 nodes / 80 bytes, not 1 node.
     var n = numItems
     var numNodes = n
-    while (n != 1) {
+    var done = false
+    while (!done) {
       n = (n + nodeSize - 1) / nodeSize
       numNodes += n
+      done = n == 1
     }
     numNodes * 40L
   }

@@ -93,7 +93,9 @@ object GeoPackage {
   def decodeGpkgBlob(b: Array[Byte]): Geometry = {
     if (b.length < 8 || b(0) != 'G' || b(1) != 'P') return null
     val flags = b(3) & 0xff
-    if ((flags & 0x20) != 0) return null // empty geometry flag
+    // bit 0x20 = extended-type (X) GeoPackageBinary: body is not standard WKB
+    if ((flags & 0x20) != 0)
+      throw new IllegalArgumentException("extended GeoPackageBinary (flags bit X) is not supported")
     val envSize = ((flags >> 1) & 0x7) match {
       case 0 => 0
       case 1 => 32
@@ -102,6 +104,12 @@ object GeoPackage {
       case _ => return null
     }
     val wkbStart = 8 + envSize
-    Geo.read(java.util.Arrays.copyOfRange(b, wkbStart, b.length))
+    val body = java.util.Arrays.copyOfRange(b, wkbStart, b.length)
+    // bit 0x10 = empty-geometry (E) flag; the spec still mandates a typed WKB
+    // body, which decodes to the right EMPTY geometry — fall back if absent.
+    if ((flags & 0x10) != 0) {
+      try { val g = Geo.read(body); if (g != null) g else Geo.factory.createGeometryCollection() }
+      catch { case _: Exception => Geo.factory.createGeometryCollection() }
+    } else Geo.read(body)
   }
 }

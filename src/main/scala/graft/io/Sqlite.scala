@@ -51,12 +51,14 @@ object Sqlite {
       }
     }
 
+    // sqlite varint: bytes 0-7 contribute 7 bits each; only byte index 8
+    // contributes a full 8 bits (9-byte form). Length is 8 when byte 7 clears
+    // the continuation bit.
     private def varint(pos: Int): (Long, Int) = {
       var v = 0L
       var i = 0
       while (i < 8) {
         val b = bytes(pos + i) & 0xff
-        if (i == 8 - 1) return (v << 8 | b, 9)
         v = (v << 7) | (b & 0x7f)
         if ((b & 0x80) == 0) return (v, i + 1)
         i += 1

@@ -103,6 +103,46 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("st_area(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))'))) > 0") == true)
   }
 
+  test("linemerge undirected and directed") {
+    // goldens from the reference's test/sql/postgis/st_linemerge.test
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))')))")
+      == "LINESTRING (10 160, 60 120, 120 140, 180 120)")
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((60 30, 10 70), (120 50, 60 30), (120 50, 180 30))'), true))")
+      == "MULTILINESTRING ((120 50, 60 30, 10 70), (120 50, 180 30))")
+    // directed never reverses: two opposed lines stay separate...
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((0 0, 1 0), (2 0, 1 0))'), true))")
+      == "MULTILINESTRING ((0 0, 1 0), (2 0, 1 0))")
+    // ...but a directed cycle merges into a closed line
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((0 0, 1 1), (1 1, 0 0))'), true))")
+      == "LINESTRING (0 0, 1 1, 0 0)")
+    // a 3-way node blocks directed chaining through it
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))'), true))")
+      == "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))")
+    // directed=false keeps the plain merge behavior
+    assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((0 0, 1 0), (2 0, 1 0))'), false))")
+      == "LINESTRING (0 0, 1 0, 2 0)")
+  }
+
+  test("buffer styles") {
+    // reference golden (geos/st_buffer.test): 1-quadrant-segment circle = inscribed square, area 2r²
+    assert(sql1("st_area(st_buffer(st_geomfromtext('POINT(0 0)'), 5, 1))") == 50.0)
+    // point fast path keeps the 4*segs+1 vertex count
+    assert(sql1("st_npoints(st_buffer(st_point(0,0), 1.0, 8))") == 33)
+    assert(math.abs(sql1("st_area(st_buffer(st_point(0,0), 1.0, 64))").asInstanceOf[Double] - math.Pi) < 1e-3)
+    // CAP_SQUARE on a point: square of side 2r, area 4r²
+    assert(sql1("st_area(st_buffer(st_geomfromtext('POINT(0 0)'), 2, 8, 'CAP_SQUARE', 'JOIN_ROUND', 1.0))") == 16.0)
+    // CAP_FLAT on a line: pure rectangle, no end caps
+    assert(sql1("st_area(st_buffer(st_geomfromtext('LINESTRING(0 0, 10 0)'), 1, 8, 'CAP_FLAT', 'JOIN_ROUND', 1.0))") == 20.0)
+    // JOIN_MITRE keeps a right-angle corner sharp: 2×(5×2) rects − 1 overlap + 1 mitre corner = 20
+    assert(sql1("st_area(st_buffer(st_geomfromtext('LINESTRING(0 0, 5 0, 5 5)'), 1, 8, 'CAP_FLAT', 'JOIN_MITRE', 10.0))") == 20.0)
+    // JOIN_BEVEL cuts that corner triangle in half: 19.5
+    assert(sql1("st_area(st_buffer(st_geomfromtext('LINESTRING(0 0, 5 0, 5 5)'), 1, 8, 'CAP_FLAT', 'JOIN_BEVEL', 1.0))") == 19.5)
+    // case-insensitive style parsing
+    assert(sql1("st_area(st_buffer(st_geomfromtext('POINT(0 0)'), 2, 8, 'cap_square', 'join_bevel', 1.0))") == 16.0)
+    val err = intercept[Exception](sql1("st_area(st_buffer(st_point(0,0), 1.0, 8, 'CAP_BOGUS', 'JOIN_ROUND', 1.0))"))
+    assert(err.getMessage.contains("cap style") || String.valueOf(err.getCause).contains("cap style"))
+  }
+
   test("geodesy and CRS") {
     val d = sql1("st_haversine(0.0, 0.0, 0.0, 1.0)").asInstanceOf[Double]
     assert(math.abs(d - 111195.0) < 100.0) // 1 degree of latitude ≈ 111.2 km

@@ -58,10 +58,13 @@ object SqlLogicTest {
 
   /** sqllogictest comparison; DuckDB's corpus relies on insertion-order scans
     * which Spark does not guarantee, so an order-insensitive retry is allowed
-    * for multi-row results (values must still all match 1:1). */
-  private def rowsMatch(actual: Seq[String], expected: Seq[String]): Boolean =
+    * for multi-row results (values must still all match 1:1) — but only when
+    * the query itself imposes no ORDER BY; an ordered query must match in
+    * order, otherwise a wrong sort would silently pass. */
+  private def rowsMatch(actual: Seq[String], expected: Seq[String],
+                        allowUnordered: Boolean): Boolean =
     rowsAligned(actual, expected) ||
-      (actual.length == expected.length && actual.length > 1 &&
+      (allowUnordered && actual.length == expected.length && actual.length > 1 &&
         rowsAligned(actual.map(canon).sorted, expected.map(canon).sorted))
 
   def rewrite(sql: String): String =
@@ -135,7 +138,8 @@ object SqlLogicTest {
           var actual = rows.map(r => (0 until r.length).map(c => render(r.get(c))).mkString("\t")).toSeq
           var exp = expected.map(_.stripTrailing()).toSeq
           if (sortMode) { actual = actual.sorted; exp = exp.sorted }
-          if (rowsMatch(actual, exp)) passed += 1
+          val ordered = "(?i)\\border\\s+by\\b".r.findFirstIn(sql).isDefined
+          if (rowsMatch(actual, exp, allowUnordered = sortMode || !ordered)) passed += 1
           else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
         } catch {
           case e: Exception =>
