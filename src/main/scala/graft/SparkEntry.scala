@@ -603,7 +603,7 @@ object SparkEntry {
 
     "q_geojson" -> s"""
       SELECT $K AS k,
-             '{"type":"Point","coordinates":[' || l_partkey || ',' || l_suppkey || ']}' AS gj,
+             '{"type":"Point","coordinates":[' || l_partkey || '.0,' || l_suppkey || '.0]}' AS gj,
              'POINT (' || (l_partkey % 90) || ' ' || (l_suppkey % 90) || ')' AS wkt
       FROM lineitem ORDER BY k""",
 
@@ -796,7 +796,7 @@ object SparkEntry {
              'cx="' || (l_partkey % 30) || '" cy="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_pt,
              'x="' || (l_partkey % 30) || '" y="' || (CASE WHEN l_suppkey % 30 = 0 THEN '0' ELSE '-' || (l_suppkey % 30) END) || '"' AS svg_rel,
              'M 0 0 L 0 -' || ((l_suppkey % 30) + 1) || ' ' || ((l_partkey % 30) + 1) || ' -' || ((l_suppkey % 30) + 1)
-               || ' ' || ((l_partkey % 30) + 1) || ' 0 0 0 Z' AS svg_poly
+               || ' ' || ((l_partkey % 30) + 1) || ' 0 Z' AS svg_poly
       FROM lineitem ORDER BY k""",
 
     "q_haversine" -> s"""

@@ -307,8 +307,11 @@ object GeoFns {
   }
 
   /** Vincenty inverse geodesic distance on WGS84 (public formula); falls back
-   *  to haversine for the rare non-converging near-antipodal pairs. */
-  def vincenty(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+   *  to haversine for the rare non-converging near-antipodal pairs.
+   *  NOTE argument order matches the reference's GeographicLib functions
+   *  (st_distance_spheroid.cpp:30 → Geodesic::Inverse(lat, lon, …)): the
+   *  point's x IS latitude, same convention as [[haversine]]. */
+  def vincenty(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     if (lon1 == lon2 && lat1 == lat2) return 0.0
     val a = WgsA; val fl = WgsF; val b = a * (1 - fl)
     val l = math.toRadians(lon2 - lon1)
@@ -334,7 +337,7 @@ object GeoFns {
         (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
       iter += 1
     } while (math.abs(lambda - lambdaP) > 1e-12 && iter < 200)
-    if (iter >= 200) return haversine(lon1, lat1, lon2, lat2)
+    if (iter >= 200) return haversine(lat1, lon1, lat2, lon2)
     val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
     val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
     val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
@@ -386,11 +389,14 @@ object GeoFns {
     s
   }
   /** Ellipsoidal polygon area: geographic latitudes are mapped to authalic
-   *  latitudes (Snyder 3-18 series), under which the WGS84 ellipsoid is
-   *  exactly area-preserving onto the authalic sphere (R=6371007.181 m), then
-   *  the spherical-excess formula applies. Matches the reference's
-   *  GeographicLib areas (st_area_spheroid.cpp) to ~1e-7 relative for
-   *  segment-wise-small rings. */
+   *  latitudes (Snyder, Map Projections — A Working Manual, eq. 3-18), under
+   *  which the WGS84 ellipsoid is exactly area-preserving onto the authalic
+   *  sphere (R=6371007.181 m); the ring area is then the exact great-circle
+   *  spherical excess (per-edge atan2 form, Bevis & Cambareri 1987). The only
+   *  approximation left is geodesic-vs-great-circle edge deviation —
+   *  second-order small for real-world segment lengths. Axis convention
+   *  matches the reference's GeographicLib binding (st_area_spheroid.cpp →
+   *  PolygonArea::AddPoint(x=lat, y=lon)). */
   private def sphereArea(g: Geometry): Double = {
     val R = 6371007.1809184747
     val e2 = WgsF * (2 - WgsF)
@@ -405,12 +411,13 @@ object GeoFns {
       if (n < 3) return 0.0
       var i = 0
       while (i < n - 1) {
-        val l1 = math.toRadians(cs.getX(i)); val p1 = authalic(math.toRadians(cs.getY(i)))
-        val l2 = math.toRadians(cs.getX(i + 1)); val p2 = authalic(math.toRadians(cs.getY(i + 1)))
-        total += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
+        val lam1 = math.toRadians(cs.getY(i)); val phi1 = authalic(math.toRadians(cs.getX(i)))
+        val lam2 = math.toRadians(cs.getY(i + 1)); val phi2 = authalic(math.toRadians(cs.getX(i + 1)))
+        val t1 = math.tan(phi1 / 2); val t2 = math.tan(phi2 / 2)
+        total += 2 * math.atan2(math.tan((lam2 - lam1) / 2) * (t1 + t2), 1 + t1 * t2)
         i += 1
       }
-      math.abs(total * R * R / 2.0)
+      math.abs(total * R * R)
     }
     g match {
       case p: Polygon =>
@@ -520,11 +527,30 @@ object GeoFns {
           .toObjectArray(B).flatMap(b => if (b == null) Array.empty[Coordinate] else Geo.read(b.asInstanceOf[Array[Byte]]).getCoordinates)
       if (pts.length < 2) w(f.createLineString())
       else {
-        val line = f.createLineString(pts)
-        // mixed dimensions: missing Z becomes 0 (st_makeline.test golden)
-        if (pts.exists(c => !c.getZ.isNaN) && pts.exists(c => c.getZ.isNaN))
-          w(forceDims(line, wantZ = true, wantM = false, 0, 0))
-        else w(line)
+        def mOf(c: Coordinate): Double = c match {
+          case zm: CoordinateXYZM => zm.getM
+          case m: CoordinateXYM => m.getM
+          case _ => Double.NaN
+        }
+        // mixed dimensions promote with 0-fill (st_makeline.test golden:
+        // POINT Z + POINT M -> LINESTRING ZM (1 1 1 0, 2 2 0 3))
+        val anyZ = pts.exists(c => !c.getZ.isNaN)
+        val anyM = pts.exists(c => !mOf(c).isNaN)
+        if (anyZ && anyM) {
+          val cs: Array[Coordinate] = pts.map { c =>
+            val m = mOf(c)
+            new CoordinateXYZM(c.getX, c.getY, if (c.getZ.isNaN) 0 else c.getZ, if (m.isNaN) 0 else m)
+          }
+          w(f.createLineString(cs))
+        } else if (anyZ && pts.exists(c => c.getZ.isNaN))
+          w(forceDims(f.createLineString(pts), wantZ = true, wantM = false, 0, 0))
+        else if (anyM && pts.exists(c => mOf(c).isNaN)) {
+          val cs: Array[Coordinate] = pts.map { c =>
+            val m = mOf(c)
+            new CoordinateXYM(c.getX, c.getY, if (m.isNaN) 0 else m)
+          }
+          w(f.createLineString(cs))
+        } else w(f.createLineString(pts))
       }
     }
     fn("st_makepolygon", B, Seq(B), Seq(B, ArrayType(B))) { a =>
@@ -637,7 +663,9 @@ object GeoFns {
     gI("st_npoints")(_.getNumPoints)
     gI("st_ngeometries")(g => if (g.isEmpty) 0 else g.getNumGeometries)
     gI("st_ninteriorrings")(g => g match { case p: Polygon => p.getNumInteriorRing; case _ => null })
-    gI("st_dimension")(_.getDimension)
+    // JTS reports Dimension.FALSE (-1) for GEOMETRYCOLLECTION EMPTY; the
+    // reference renders 0 (st_dimension.test golden)
+    gI("st_dimension")(g => math.max(g.getDimension, 0))
     gS("st_geometrytype") { g =>
       g match {
         case _: Point => "POINT"
@@ -972,11 +1000,12 @@ private[functions] object Svg {
       val r = BigDecimal(d).setScale(prec, BigDecimal.RoundingMode.HALF_EVEN).toDouble
       graft.geom.Geo.fmt(r)
     }
-    def path(cs: CoordinateSequence): Unit = {
+    // `limit` < size drops a ring's duplicate closing vertex (replaced by Z/z)
+    def path(cs: CoordinateSequence, limit: Int): Unit = {
       if (rel) {
         var px = 0.0; var py = 0.0
         var i = 0
-        while (i < cs.size) {
+        while (i < limit) {
           if (i == 0) { sb.append("M ").append(fmt(cs.getX(0))).append(' ').append(fmt(-cs.getY(0))) }
           else {
             if (i == 1) sb.append(" l ") else sb.append(' ')
@@ -987,33 +1016,48 @@ private[functions] object Svg {
         }
       } else {
         var i = 0
-        while (i < cs.size) {
+        while (i < limit) {
           if (i == 0) sb.append("M ") else if (i == 1) sb.append(" L ") else sb.append(' ')
           sb.append(fmt(cs.getX(i))).append(' ').append(fmt(-cs.getY(i)))
           i += 1
         }
       }
     }
-    def ringPath(cs: CoordinateSequence): Unit = { path(cs); sb.append(" Z") }
-    def walk(geom: Geometry, first: Boolean): Unit = geom match {
+    def ringPath(cs: CoordinateSequence): Unit = {
+      path(cs, math.max(cs.size - 1, 0))
+      sb.append(if (rel) " z" else " Z") // postgis: lowercase close in relative mode
+    }
+    def walk(geom: Geometry): Unit = geom match {
       case p: Point if !p.isEmpty =>
-        if (!first) sb.append(' ')
         if (rel) sb.append("x=\"").append(fmt(p.getX)).append("\" y=\"").append(fmt(-p.getY)).append('"')
         else sb.append("cx=\"").append(fmt(p.getX)).append("\" cy=\"").append(fmt(-p.getY)).append('"')
       case l: LineString if !l.isEmpty =>
-        if (!first) sb.append(' ')
-        path(l.getCoordinateSequence)
+        path(l.getCoordinateSequence, l.getCoordinateSequence.size)
       case p: Polygon if !p.isEmpty =>
-        if (!first) sb.append(' ')
         ringPath(p.getExteriorRing.getCoordinateSequence)
         var i = 0
         while (i < p.getNumInteriorRing) { sb.append(' '); ringPath(p.getInteriorRingN(i).getCoordinateSequence); i += 1 }
       case c: GeometryCollection =>
+        // postgis separators: ',' between multipoint members, ';' between
+        // heterogeneous collection members, ' ' between multiline/multipoly parts
+        val sep = c match {
+          case _: MultiPoint => ","
+          case _: MultiLineString | _: MultiPolygon => " "
+          case _ => ";"
+        }
         var i = 0
-        while (i < c.getNumGeometries) { walk(c.getGeometryN(i), first && i == 0); i += 1 }
+        var emitted = false
+        while (i < c.getNumGeometries) {
+          val before = sb.length()
+          if (emitted) sb.append(sep)
+          walk(c.getGeometryN(i))
+          if (sb.length() == before + (if (emitted) sep.length else 0)) sb.setLength(before) // empty member: roll back
+          else emitted = true
+          i += 1
+        }
       case _ =>
     }
-    walk(g, first = true)
+    walk(g)
     sb.toString
   }
 }

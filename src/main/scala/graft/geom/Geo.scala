@@ -39,9 +39,34 @@ object Geo {
     if (wkb eq c.k0) return c.v0
     if (wkb eq c.k1) return c.v1
     val g = c.reader.read(wkb)
+    // JTS drops the Z/M type-code flags of EMPTY geometries (no coordinates
+    // to carry them); recover them from the WKB header so e.g.
+    // `MULTIPOLYGON Z EMPTY` survives a WKB round trip.
+    if (g.isEmpty && wkb.length >= 5) {
+      val code =
+        if (wkb(0) == 1)
+          (wkb(1) & 0xff) | (wkb(2) & 0xff) << 8 | (wkb(3) & 0xff) << 16 | (wkb(4) & 0xff) << 24
+        else
+          (wkb(4) & 0xff) | (wkb(3) & 0xff) << 8 | (wkb(2) & 0xff) << 16 | (wkb(1) & 0xff) << 24
+      val z = (code & 0x80000000) != 0 || ((code & 0x7fffffff) % 10000) / 1000 == 1 || ((code & 0x7fffffff) % 10000) / 1000 == 3
+      val m = (code & 0x40000000) != 0 || ((code & 0x7fffffff) % 10000) / 1000 == 2 || ((code & 0x7fffffff) % 10000) / 1000 == 3
+      setEmptyDims(g, z, m)
+    }
     c.k1 = c.k0; c.v1 = c.v0
     c.k0 = wkb; c.v0 = g
     g
+  }
+
+  /** Mark an EMPTY geometry as dimensioned (Z/M) via userData — JTS has no
+   *  coordinate to carry the flag on empties. */
+  def setEmptyDims(g: Geometry, z: Boolean, m: Boolean): Geometry = {
+    if (g.isEmpty && (z || m))
+      g.setUserData(Integer.valueOf((if (z) 1 else 0) | (if (m) 2 else 0)))
+    g
+  }
+  private def emptyDimFlag(g: Geometry): Int = g.getUserData match {
+    case i: Integer => i.intValue
+    case _ => 0
   }
 
   /** PreparedGeometry for repeated predicate evaluation against a constant side. */
@@ -56,13 +81,28 @@ object Geo {
   /** ISO little-endian WKB (type code = base + 1000*Z + 2000*M) — see [[Wkb]]. */
   def write(g: Geometry): Array[Byte] = Wkb.write(g)
 
+  private val DimTag =
+    "(?i)\\b(?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\\s+(ZM|Z|M)\\b".r
+  private val TopEmptyTag = "(?i)^\\s*[A-Z]+\\s+(ZM|Z|M)\\s+EMPTY\\s*$".r
+
   def fromWkt(wkt0: String): Geometry = {
     // accept EWKT "SRID=n;..." prefixes (reference strips them, wkt_reader.cpp)
     val wkt = {
       val t = wkt0.trim
       if (t.regionMatches(true, 0, "SRID=", 0, 5)) t.substring(t.indexOf(';') + 1) else t
     }
-    tl.get().wktReader.read(wkt)
+    // reference parser rejects collections mixing Z/M/ZM members
+    // (wkt_reader.cpp: "mixed Z and M types are not supported")
+    val tags = DimTag.findAllMatchIn(wkt).map(_.group(1).toUpperCase).toSet
+    if (tags.size > 1)
+      throw new IllegalArgumentException(
+        s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
+    val g = tl.get().wktReader.read(wkt)
+    if (g.isEmpty) TopEmptyTag.findFirstMatchIn(wkt).foreach { m =>
+      val t = m.group(1).toUpperCase
+      setEmptyDims(g, t == "Z" || t == "ZM", t == "M" || t == "ZM")
+    }
+    g
   }
 
   def point(x: Double, y: Double): Geometry =
@@ -88,7 +128,7 @@ object Geo {
       override def isDone: Boolean = z
       override def isGeometryChanged: Boolean = false
     })
-    z
+    z || (emptyDimFlag(g) & 1) != 0
   }
   def geomHasM(g: Geometry): Boolean = {
     var m = false
@@ -98,7 +138,7 @@ object Geo {
       override def isDone: Boolean = m
       override def isGeometryChanged: Boolean = false
     })
-    m
+    m || (emptyDimFlag(g) & 2) != 0
   }
 
   /** Format a double the way DuckDB renders WKT coordinates: integral values
@@ -109,6 +149,16 @@ object Geo {
     if (d == Math.rint(d) && !d.isInfinite && Math.abs(d) < 1e15) {
       String.valueOf(d.toLong)
     } else {
+      val s = java.lang.Double.toString(d)
+      if (s.indexOf('E') >= 0) new java.math.BigDecimal(s).toPlainString else s
+    }
+  }
+
+  /** GeoJSON number rendering (reference: yyjson real writer): doubles keep a
+   *  decimal part, so integral values print as "1.0", not "1". */
+  def jsonFmt(d: Double): String = {
+    if (d == Math.rint(d) && !d.isInfinite && Math.abs(d) < 1e15) d.toLong.toString + ".0"
+    else {
       val s = java.lang.Double.toString(d)
       if (s.indexOf('E') >= 0) new java.math.BigDecimal(s).toPlainString else s
     }

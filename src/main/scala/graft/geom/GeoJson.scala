@@ -17,7 +17,7 @@ object GeoJson {
     sb.toString
   }
 
-  private def num(d: Double, sb: java.lang.StringBuilder): Unit = sb.append(Geo.fmt(d))
+  private def num(d: Double, sb: java.lang.StringBuilder): Unit = sb.append(Geo.jsonFmt(d))
 
   private def seq(cs: CoordinateSequence, sb: java.lang.StringBuilder): Unit = {
     val hasZ = cs.hasZ

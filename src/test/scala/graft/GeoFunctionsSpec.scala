@@ -40,7 +40,7 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("wkb/hex/geojson roundtrip") {
     assert(sql1("st_astext(st_geomfromwkb(st_aswkb(st_point(3, 4))))") == "POINT (3 4)")
     assert(sql1("st_astext(st_geomfromhexwkb(st_ashexwkb(st_geomfromtext('LINESTRING (0 0, 1 1)'))))") == "LINESTRING (0 0, 1 1)")
-    assert(sql1("st_asgeojson(st_point(1, 2))") == """{"type":"Point","coordinates":[1,2]}""")
+    assert(sql1("st_asgeojson(st_point(1, 2))") == """{"type":"Point","coordinates":[1.0,2.0]}""")
     assert(sql1("st_astext(st_geomfromgeojson('{\"type\":\"Point\",\"coordinates\":[5,6]}'))") == "POINT (5 6)")
     // Z roundtrips through ISO WKB
     assert(sql1("st_astext(st_geomfromwkb(st_aswkb(st_geomfromtext('POINT Z (1 2 3)'))))") == "POINT Z (1 2 3)")
@@ -146,8 +146,11 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("geodesy and CRS") {
     val d = sql1("st_haversine(0.0, 0.0, 0.0, 1.0)").asInstanceOf[Double]
     assert(math.abs(d - 111195.0) < 100.0) // 1 degree of latitude ≈ 111.2 km
-    val v = sql1("st_distance_spheroid(st_point(0, 0), st_point(0, 1))").asInstanceOf[Double]
+    // spheroid fns use the reference's GeographicLib axis convention: x IS latitude
+    val v = sql1("st_distance_spheroid(st_point(1, 0), st_point(0, 0))").asInstanceOf[Double]
     assert(math.abs(v - 110574.0) < 100.0) // WGS84 meridian arc at equator
+    val veq = sql1("st_distance_spheroid(st_point(0, 0), st_point(0, 1))").asInstanceOf[Double]
+    assert(math.abs(veq - 111319.5) < 100.0, s"equatorial arc $veq") // 1 deg of longitude
     val x = sql1("st_x(st_transform(st_point(10.0, 50.0), 'OGC:CRS84', 'EPSG:3857'))").asInstanceOf[Double]
     assert(math.abs(x - 1113194.9) < 1.0)
     // EPSG:4326 authority order is lat/lon; always_xy flips interpretation
@@ -159,7 +162,7 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e32 = sql1("st_x(st_transform(st_point(9.0, 52.0), 'OGC:CRS84', 'EPSG:32632'))").asInstanceOf[Double]
     val n32 = sql1("st_y(st_transform(st_point(9.0, 52.0), 'OGC:CRS84', 'EPSG:32632'))").asInstanceOf[Double]
     assert(math.abs(e32 - 500000.0) < 1e-6, s"easting $e32")
-    val arc = sql1("st_distance_spheroid(st_point(9.0, 0.0), st_point(9.0, 52.0))").asInstanceOf[Double]
+    val arc = sql1("st_distance_spheroid(st_point(0.0, 9.0), st_point(52.0, 9.0))").asInstanceOf[Double]
     assert(math.abs(n32 / 0.9996 - arc) < 1.0, s"northing $n32 vs meridian arc $arc")
     // round trip through UTM
     val back = sql1(
@@ -173,6 +176,13 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (the purely spherical figure would be 12364 — the authalic correction matters)
     val cell = sql1("st_area_spheroid(st_makeenvelope(0.0d, 0.0d, 1.0d, 1.0d))").asInstanceOf[Double]
     assert(math.abs(cell / 1e6 - 12309.6) < 15.0, s"cell area ${cell / 1e6} km2")
+    // the reference's own st_area_spheroid.test golden (belem box, lat/lon axes,
+    // GeographicLib value 73991730 m²) — both winding directions
+    val belem = "POLYGON((-1.475781 -48.516655, -1.475781 -48.433228, -1.403706 -48.433228, -1.403706 -48.516655, -1.475781 -48.516655))"
+    val acw = sql1(s"st_area_spheroid(st_geomfromtext('$belem'))").asInstanceOf[Double]
+    val accw = sql1(s"st_area_spheroid(st_reverse(st_geomfromtext('$belem')))").asInstanceOf[Double]
+    assert(math.abs(acw - 73991730.0) / 73991730.0 < 1e-6, s"belem cw $acw")
+    assert(math.abs(accw - 73991730.0) / 73991730.0 < 1e-6, s"belem ccw $accw")
   }
 
   test("hilbert and quadkey") {

@@ -24,7 +24,13 @@ class SqlLogicSpec extends AnyFunSuite {
 
   test("reference sqllogictest corpus: aggregate pass rate") {
     assume(new java.io.File(dir).exists())
-    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".test")).sortBy(_.getName)
+    // geometry/ plus the geos-, postgis- and top-level suites (proj,
+    // area_spheroid, linemerge, buffer, …) — everything not IO-fixture-bound
+    val dirs = Seq(dir, "/root/reference/test/sql", "/root/reference/test/sql/geos",
+      "/root/reference/test/sql/postgis")
+    val files = dirs.flatMap(d => Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".test")))
+      .sortBy(_.getPath)
     var p = 0; var fl = 0; var u = 0
     val perFile = files.map { f =>
       val o = SqlLogicTest.runFile(spark, f.getPath)

@@ -27,6 +27,13 @@ object SqlLogicTest {
       // (varchar_cast.cpp), i.e. as WKT; mirror that for WKB-shaped binaries
       try graft.geom.Wkt.write(graft.geom.Geo.read(b))
       catch { case _: Exception => b.map(x => f"${x & 0xff}%02X").mkString }
+    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row =>
+      // DuckDB struct rendering: {'field': value, ...}
+      r.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => s"'$n': ${render(r.get(i))}" }
+        .mkString("{", ", ", "}")
+    case "" => "(empty)" // DuckDB sqllogictest renders empty strings this way
     case s => s.toString
   }
 
@@ -44,7 +51,9 @@ object SqlLogicTest {
 
   private def rowsAligned(actual: Seq[String], expected: Seq[String]): Boolean =
     actual.length == expected.length && actual.zip(expected).forall { case (a, e) =>
-      val as = a.split('\t'); val es = e.split('\t')
+      // goldens sometimes pad with tab runs ("0.0\t\t-0.0"); values are never
+      // empty (DuckDB renders empty strings as "(empty)"), so collapse them
+      val as = a.split("\t+"); val es = e.split("\t+")
       as.length == es.length && as.zip(es).forall { case (x, y) => valuesMatch(x, y.trim) }
     }
 
@@ -68,9 +77,11 @@ object SqlLogicTest {
         rowsAligned(actual.map(canon).sorted, expected.map(canon).sorted))
 
   def rewrite(sql: String): String =
-    sql.replaceAll("(?i)::GEOMETRY", "")
+    sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
+      .replaceAll("(?i)::GEOMETRY", "")
       .replaceAll("(?i)::VARCHAR", "")
       .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
+      .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
 
   def runFile(spark: SparkSession, path: String): Outcome = {
     Graft.register(spark)
