@@ -354,6 +354,24 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Non-Mercator projected CRS (0.1 m granularity, same rationale as
+    // q_transform): Lambert-93 (LCC 2SP) over France, Conus Albers over the US.
+    "q_transform_lcc" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:2154')) / 10.0d, 2) + 0.0d AS lx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:2154')) / 10.0d, 2) + 0.0d AS ly
+      FROM (SELECT $K AS k, cast(l_partkey % 12 AS DOUBLE) - 4.0d AS lon, cast(l_suppkey % 9 AS DOUBLE) + 42.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
+    "q_transform_albers" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:5070')) / 10.0d, 2) + 0.0d AS ax,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:5070')) / 10.0d, 2) + 0.0d AS ay
+      FROM (SELECT $K AS k, cast(l_partkey % 45 AS DOUBLE) - 120.0d AS lon, cast(l_suppkey % 20 AS DOUBLE) + 25.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- aggregates
     "q_extent_agg" -> q("lineitem")("""
       SELECT l_returnflag AS flag,
@@ -813,6 +831,64 @@ object SparkEntry {
              round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) / 10.0, 2) + 0.0 AS my
       FROM (SELECT $K AS k, CAST(l_partkey % 300 AS DOUBLE) - 150.0 AS lon, CAST(l_suppkey % 160 AS DOUBLE) - 80.0 AS lat
             FROM lineitem)
+      ORDER BY k""",
+
+    // Independent plain-SQL LCC-2SP implementation (Snyder 15-1..15-11 on
+    // GRS80) — same published formulas, different engine/libm.
+    "q_transform_lcc" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 12 AS DOUBLE) - 4.0 AS lon, CAST(l_suppkey % 9 AS DOUBLE) + 42.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
+               radians(49.0) AS p1, radians(44.0) AS p2, radians(46.5) AS pf, radians(3.0) AS lf),
+      c1 AS (
+        SELECT *,
+               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
+               tan(pi()/4-p1/2)/pow((1-e*sin(p1))/(1+e*sin(p1)), e/2) AS t1,
+               tan(pi()/4-p2/2)/pow((1-e*sin(p2))/(1+e*sin(p2)), e/2) AS t2,
+               tan(pi()/4-pf/2)/pow((1-e*sin(pf))/(1+e*sin(pf)), e/2) AS tf
+        FROM c0),
+      c2 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM c1),
+      c3 AS (SELECT *, m1/(n*pow(t1,n)) AS bigf FROM c2),
+      c4 AS (SELECT *, a*bigf*pow(tf,n) AS rf FROM c3)
+      SELECT k,
+             round((700000.0 + r*sin(th))/10.0, 2) + 0.0 AS lx,
+             round((6600000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS ly
+      FROM (SELECT k, rf,
+                   a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
+                   n*(radians(lon)-lf) AS th
+            FROM pts CROSS JOIN c4)
+      ORDER BY k""",
+
+    // Independent plain-SQL Albers implementation (Snyder 14-1..14-12 on GRS80).
+    "q_transform_albers" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 45 AS DOUBLE) - 120.0 AS lon, CAST(l_suppkey % 20 AS DOUBLE) + 25.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
+               radians(29.5) AS p1, radians(45.5) AS p2, radians(23.0) AS p0, radians(-96.0) AS l0),
+      c1 AS (
+        SELECT *,
+               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
+               (1-e2)*(sin(p1)/(1-e2*sin(p1)*sin(p1)) - (1/(2*e))*ln((1-e*sin(p1))/(1+e*sin(p1)))) AS q1,
+               (1-e2)*(sin(p2)/(1-e2*sin(p2)*sin(p2)) - (1/(2*e))*ln((1-e*sin(p2))/(1+e*sin(p2)))) AS q2,
+               (1-e2)*(sin(p0)/(1-e2*sin(p0)*sin(p0)) - (1/(2*e))*ln((1-e*sin(p0))/(1+e*sin(p0)))) AS q0
+        FROM c0),
+      c2 AS (SELECT *, (m1*m1 - m2*m2)/(q2 - q1) AS n FROM c1),
+      c3 AS (SELECT *, m1*m1 + n*q1 AS cc FROM c2),
+      c4 AS (SELECT *, a*sqrt(cc - n*q0)/n AS rho0 FROM c3)
+      SELECT k,
+             round((rho*sin(th))/10.0, 2) + 0.0 AS ax,
+             round((rho0 - rho*cos(th))/10.0, 2) + 0.0 AS ay
+      FROM (SELECT k, rho0,
+                   a*sqrt(cc - n*((1-e2)*(sin(radians(lat))/(1-e2*sin(radians(lat))*sin(radians(lat)))
+                     - (1/(2*e))*ln((1-e*sin(radians(lat)))/(1+e*sin(radians(lat)))))))/n AS rho,
+                   n*(radians(lon)-l0) AS th
+            FROM pts CROSS JOIN c4)
       ORDER BY k""",
 
     "q_extent_agg" -> """

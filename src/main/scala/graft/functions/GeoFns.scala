@@ -439,13 +439,17 @@ object GeoFns {
   // (proj/functions.cpp:440-474): with always_xy=true, 4326 coordinates are
   // treated as lon/lat regardless of authority order.
   private val UtmRe = "EPSG:32([67])([0-9]{2})".r
+  private val EtrsUtmRe = "EPSG:258([0-9]{2})".r // ETRS89 / UTM zone (GRS80 ≡ WGS84 here)
   private def crsId(s: String): String = s.trim.toUpperCase match {
     case "EPSG:4326" => "4326"
     case "OGC:CRS84" | "CRS84" => "CRS84"
     case "EPSG:3857" | "EPSG:900913" => "3857"
     case u @ UtmRe(_, _) => u
+    case u @ EtrsUtmRe(_) => u
+    case p if graft.geom.Proj.registry.contains(p) => p
     case other => throw new IllegalArgumentException(
-      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, EPSG:326xx/327xx UTM)")
+      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, " +
+        s"EPSG:326xx/327xx/258xx UTM, ${graft.geom.Proj.registry.keys.toSeq.sorted.mkString(", ")})")
   }
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
     // normalize input to lon/lat degrees
@@ -456,8 +460,10 @@ object GeoFns {
         (x / 6378137.0 * 180.0 / math.Pi,
          (2 * math.atan(math.exp(y / 6378137.0)) - math.Pi / 2) * 180.0 / math.Pi)
       case UtmRe(hemi, zone) =>
-        val (lo, la) = graft.geom.Tm.inverse(x, y, zone.toInt, north = hemi == "6")
-        (lo, la)
+        graft.geom.Tm.inverse(x, y, zone.toInt, north = hemi == "6")
+      case EtrsUtmRe(zone) =>
+        graft.geom.Tm.inverse(x, y, zone.toInt, north = true)
+      case p => graft.geom.Proj.registry(p).inverse(x, y)
     }
     to match {
       case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
@@ -467,6 +473,9 @@ object GeoFns {
          6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
       case UtmRe(hemi, zone) =>
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = hemi == "6")
+      case EtrsUtmRe(zone) =>
+        graft.geom.Tm.forward(lon, lat, zone.toInt, north = true)
+      case p => graft.geom.Proj.registry(p).forward(lon, lat)
     }
   }
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {

@@ -185,6 +185,49 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(accw - 73991730.0) / 73991730.0 < 1e-6, s"belem ccw $accw")
   }
 
+  test("projected CRS registry: LCC, Albers, LAEA, polar stereographic") {
+    def xy(sql: String): (Double, Double) = {
+      val r = spark.sql(s"SELECT st_x($sql) AS x, st_y($sql) AS y").collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // Lambert-93: the false origin (46.5N 3E) maps to (700000, 6600000) exactly
+    val (l93x, l93y) = xy("st_transform(st_point(3.0, 46.5), 'OGC:CRS84', 'EPSG:2154')")
+    assert(math.abs(l93x - 700000.0) < 1e-6 && math.abs(l93y - 6600000.0) < 1e-6, s"L93 origin ($l93x,$l93y)")
+    // scale-true on the standard parallel (44N): projected EW length == ellipsoidal parallel arc
+    val (ax, ay) = xy("st_transform(st_point(1.0, 44.0), 'OGC:CRS84', 'EPSG:2154')")
+    val (bx, by) = xy("st_transform(st_point(1.01, 44.0), 'OGC:CRS84', 'EPSG:2154')")
+    val proj = math.hypot(bx - ax, by - ay)
+    val m44 = math.cos(math.toRadians(44)) / math.sqrt(1 - 0.00669438002290 * math.pow(math.sin(math.toRadians(44)), 2))
+    val arc = 6378137.0 * m44 * math.toRadians(0.01)
+    assert(math.abs(proj / arc - 1.0) < 1e-6, s"L93 scale at 44N: ${proj / arc}")
+    // round trip
+    val rt = sql1("st_astext(st_transform(st_transform(st_point(2.3522, 48.8566), 'OGC:CRS84', 'EPSG:2154'), 'EPSG:2154', 'OGC:CRS84'))").asInstanceOf[String]
+    assert(rt.startsWith("POINT (2.35") && rt.contains("48.85"), rt)
+    // Conus Albers: central meridian -96 maps to x=0; equal-area property vs spheroid area
+    val (cax, _) = xy("st_transform(st_point(-96.0, 40.0), 'OGC:CRS84', 'EPSG:5070')")
+    assert(math.abs(cax) < 1e-6, s"Albers central meridian x=$cax")
+    val aProj = sql1("st_area(st_transform(st_makeenvelope(-100.0d, 38.0d, -99.0d, 39.0d), 'OGC:CRS84', 'EPSG:5070'))").asInstanceOf[Double]
+    val aSph = sql1("st_area_spheroid(st_flipcoordinates(st_makeenvelope(-100.0d, 38.0d, -99.0d, 39.0d)))").asInstanceOf[Double]
+    assert(math.abs(aProj / aSph - 1.0) < 1e-4, s"Albers equal-area: proj=$aProj sph=$aSph")
+    // LAEA Europe: projection center (10E 52N) maps to the false origin exactly
+    val (lx, ly) = xy("st_transform(st_point(10.0, 52.0), 'OGC:CRS84', 'EPSG:3035')")
+    assert(math.abs(lx - 4321000.0) < 1e-6 && math.abs(ly - 3210000.0) < 1e-6, s"LAEA origin ($lx,$ly)")
+    val eProj = sql1("st_area(st_transform(st_makeenvelope(9.0d, 51.0d, 10.0d, 52.0d), 'OGC:CRS84', 'EPSG:3035'))").asInstanceOf[Double]
+    val eSph = sql1("st_area_spheroid(st_flipcoordinates(st_makeenvelope(9.0d, 51.0d, 10.0d, 52.0d)))").asInstanceOf[Double]
+    assert(math.abs(eProj / eSph - 1.0) < 1e-4, s"LAEA equal-area: proj=$eProj sph=$eSph")
+    // polar stereographic: north pole at the natural origin; true scale at 70N
+    val (px, py) = xy("st_transform(st_point(0.0, 90.0), 'OGC:CRS84', 'EPSG:3413')")
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6, s"3413 pole ($px,$py)")
+    val (p1x, p1y) = xy("st_transform(st_point(-45.0, 70.0), 'OGC:CRS84', 'EPSG:3413')")
+    val (p2x, p2y) = xy("st_transform(st_point(-45.0, 70.01), 'OGC:CRS84', 'EPSG:3413')")
+    val geod = sql1("st_distance_spheroid(st_point(70.0, -45.0), st_point(70.01, -45.0))").asInstanceOf[Double]
+    // finite-segment tolerance: scale drifts ~1.5e-5 across the 1.1 km chord
+    assert(math.abs(math.hypot(p2x - p1x, p2y - p1y) / geod - 1.0) < 5e-5, "3413 true scale at 70N")
+    // south aspect round trip (EPSG:3031)
+    val rts = sql1("st_astext(st_transform(st_transform(st_point(166.6667, -77.85), 'OGC:CRS84', 'EPSG:3031'), 'EPSG:3031', 'OGC:CRS84'))").asInstanceOf[String]
+    assert(rts.startsWith("POINT (166.66") && rts.contains("-77.8"), rts)
+  }
+
   test("hilbert and quadkey") {
     val h1 = sql1("st_hilbert(1.0, 1.0, 0.0, 0.0, 10.0, 10.0)").asInstanceOf[Long]
     val h2 = sql1("st_hilbert(1.01, 1.0, 0.0, 0.0, 10.0, 10.0)").asInstanceOf[Long]
