@@ -1,0 +1,288 @@
+package graft.io
+
+import graft.geom.Geo
+import org.locationtech.jts.geom._
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * FlatGeobuf writer — the write side of [[FlatGeobuf]]'s reader, built on a
+ * minimal back-to-front flatbuffers builder (public wire format:
+ * google.github.io/flatbuffers/flatbuffers_internals.html). Files are written
+ * without the optional packed R-tree (index_node_size=0) — in this engine the
+ * spatial index role is played by Hilbert-clustered parquet, and unindexed
+ * FGB files stream fine.
+ */
+object FlatGeobufWriter {
+
+  // ------------------------------------------------------- mini flatbuffers
+  /** Back-to-front builder (canonical FlatBufferBuilder algorithm). All
+   *  `offset` values are distances from the buffer end; relative offsets are
+   *  computed exactly as the reader ([[FlatGeobuf.Fb]]) expects. Bytes are
+   *  written high-to-low address per scalar, which lands them little-endian
+   *  in the finished (address-increasing) buffer. */
+  final class Fbb(initial: Int = 1024) {
+    private var buf = new Array[Byte](initial)
+    private var head = initial
+    private var vtable: Array[Int] = _
+    private var objectStart = 0
+
+    def offset: Int = buf.length - head
+
+    private def grow(): Unit = {
+      val used = buf.length - head
+      val nb = new Array[Byte](buf.length * 2)
+      System.arraycopy(buf, head, nb, nb.length - used, used)
+      head = nb.length - used
+      buf = nb
+    }
+    /** pad so that a `size`-aligned write after `additional` more bytes is
+     *  aligned relative to the buffer end, and ensure capacity. */
+    private def prep(size: Int, additional: Int): Unit = {
+      while (head < size + additional + 8) grow()
+      while (((offset + additional) % size) != 0) { head -= 1; buf(head) = 0 }
+    }
+    private def raw(b: Byte): Unit = { if (head == 0) grow(); head -= 1; buf(head) = b }
+    private def rawShort(v: Int): Unit = { raw((v >> 8).toByte); raw(v.toByte) }
+    private def rawInt(v: Int): Unit = { raw((v >> 24).toByte); raw((v >> 16).toByte); raw((v >> 8).toByte); raw(v.toByte) }
+    private def rawLong(v: Long): Unit = { var i = 7; while (i >= 0) { raw((v >> (8 * i)).toByte); i -= 1 } }
+
+    def putByte(v: Byte): Unit = { prep(1, 0); raw(v) }
+    def putShort(v: Short): Unit = { prep(2, 0); rawShort(v) }
+    def putInt(v: Int): Unit = { prep(4, 0); rawInt(v) }
+    def putLong(v: Long): Unit = { prep(8, 0); rawLong(v) }
+    def putDouble(v: Double): Unit = putLong(java.lang.Double.doubleToLongBits(v))
+    def putOffset(off: Int): Unit = { prep(4, 0); rawInt(offset + 4 - off) }
+
+    def string(s: String): Int = {
+      val bytes = s.getBytes("UTF-8")
+      prep(4, bytes.length + 1) // length prefix must be 4-aligned; no inner pad
+      raw(0) // null terminator
+      var i = bytes.length - 1
+      while (i >= 0) { raw(bytes(i)); i -= 1 }
+      rawInt(bytes.length)
+      offset
+    }
+    def doubleVector(xs: Array[Double]): Int = {
+      prep(4, 8 * xs.length)
+      prep(8, 8 * xs.length)
+      var i = xs.length - 1
+      while (i >= 0) { rawLong(java.lang.Double.doubleToLongBits(xs(i))); i -= 1 }
+      rawInt(xs.length)
+      offset
+    }
+    def uintVector(xs: Array[Int]): Int = {
+      prep(4, 4 * xs.length)
+      var i = xs.length - 1
+      while (i >= 0) { rawInt(xs(i)); i -= 1 }
+      rawInt(xs.length)
+      offset
+    }
+    def byteVector(xs: Array[Byte]): Int = {
+      prep(4, xs.length)
+      var i = xs.length - 1
+      while (i >= 0) { raw(xs(i)); i -= 1 }
+      rawInt(xs.length)
+      offset
+    }
+    def offsetVector(offs: Array[Int]): Int = {
+      prep(4, 4 * offs.length)
+      var i = offs.length - 1
+      while (i >= 0) { rawInt(offset + 4 - offs(i)); i -= 1 }
+      rawInt(offs.length)
+      offset
+    }
+
+    def startTable(numFields: Int): Unit = {
+      vtable = new Array[Int](numFields)
+      objectStart = offset
+    }
+    def slotByte(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { putByte(v.toByte); vtable(id) = offset }
+    def slotShort(id: Int, v: Int, dflt: Int, force: Boolean = false): Unit =
+      if (force || v != dflt) { putShort(v.toShort); vtable(id) = offset }
+    def slotLong(id: Int, v: Long, dflt: Long): Unit =
+      if (v != dflt) { putLong(v); vtable(id) = offset }
+    def slotOffset(id: Int, off: Int): Unit =
+      if (off != 0) { putOffset(off); vtable(id) = offset }
+    def endTable(): Int = {
+      prep(4, 0); rawInt(0) // soffset placeholder
+      val tableOff = offset
+      val tableSize = tableOff - objectStart
+      // vtable: [vtLen u16][tableSize u16][field voffs u16...] — prepend reversed
+      var i = vtable.length - 1
+      while (i >= 0) {
+        prep(2, 0)
+        rawShort(if (vtable(i) == 0) 0 else tableOff - vtable(i))
+        i -= 1
+      }
+      prep(2, 0); rawShort(tableSize)
+      prep(2, 0); rawShort(4 + 2 * vtable.length)
+      val vtOff = offset
+      // patch the placeholder: reader does vt = t - getInt(t)
+      val addr = buf.length - tableOff
+      val rel = vtOff - tableOff
+      buf(addr) = rel.toByte; buf(addr + 1) = (rel >> 8).toByte
+      buf(addr + 2) = (rel >> 16).toByte; buf(addr + 3) = (rel >> 24).toByte
+      tableOff
+    }
+    def finish(rootOff: Int): Array[Byte] = {
+      prep(4, 0); rawInt(offset + 4 - rootOff)
+      java.util.Arrays.copyOfRange(buf, head, buf.length)
+    }
+  }
+
+  // ------------------------------------------------------------ geometry
+  final case class FgbField(name: String, typ: Int) // FGB ColumnType
+
+  def write(path: String, geomType: Int, hasZ: Boolean, fields: Seq[FgbField],
+            rows: Iterator[(Geometry, Array[Any])]): Long = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    var count = 0L
+    try {
+      val features = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (g, attrs) =>
+        val fb = new Fbb(512)
+        val geomOff = if (g == null) 0 else writeGeometry(fb, g, hasZ)
+        val propOff = writeProperties(fb, fields, attrs)
+        fb.startTable(3)
+        fb.slotOffset(0, geomOff)
+        fb.slotOffset(1, propOff)
+        val t = fb.endTable()
+        val bytes = fb.finish(t)
+        val size = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(bytes.length).array()
+        features.write(size); features.write(bytes)
+        count += 1
+      }
+      // header
+      val hb = new Fbb(512)
+      val colOffs = fields.map { f =>
+        val nameOff = hb.string(f.name)
+        hb.startTable(2)
+        hb.slotOffset(0, nameOff)
+        hb.slotByte(1, f.typ, 0)
+        hb.endTable()
+      }.toArray
+      val colsVec = if (colOffs.isEmpty) 0 else hb.offsetVector(colOffs)
+      val nameOff = hb.string("graft")
+      hb.startTable(10)
+      hb.slotOffset(0, nameOff)
+      hb.slotByte(2, geomType, 0)
+      hb.slotByte(3, if (hasZ) 1 else 0, 0)
+      hb.slotOffset(7, colsVec)
+      hb.slotLong(8, count, 0)
+      hb.slotShort(9, 0, 16, force = true) // no packed index: explicit 0 (default is 16)
+      val ht = hb.endTable()
+      val headerBytes = hb.finish(ht)
+      out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(headerBytes.length).array())
+      out.write(headerBytes)
+      out.write(features.toByteArray)
+    } finally out.close()
+    count
+  }
+
+  private def xys(g: Geometry): Array[Double] = {
+    val cs = g.getCoordinates
+    val out = new Array[Double](cs.length * 2)
+    var i = 0
+    while (i < cs.length) { out(2 * i) = cs(i).x; out(2 * i + 1) = cs(i).y; i += 1 }
+    out
+  }
+  private def zs(g: Geometry): Array[Double] = g.getCoordinates.map(c => { val z = c.getZ; if (z.isNaN) 0.0 else z })
+
+  /** Geometry table: ends(0) xy(1) z(2) type(6) parts(7). */
+  private def writeGeometry(fb: Fbb, g: Geometry, hasZ: Boolean): Int = {
+    def leaf(typ: Int, geom: Geometry, ends: Array[Int]): Int = {
+      val xyOff = fb.doubleVector(xys(geom))
+      val zOff = if (hasZ) fb.doubleVector(zs(geom)) else 0
+      val endsOff = if (ends.length > 1) fb.uintVector(ends) else 0
+      fb.startTable(8)
+      fb.slotOffset(0, endsOff)
+      fb.slotOffset(1, xyOff)
+      fb.slotOffset(2, zOff)
+      fb.slotByte(6, typ, 0)
+      fb.endTable()
+    }
+    g match {
+      case p: Point => leaf(1, p, Array.empty)
+      case l: LineString => leaf(2, l, Array.empty)
+      case p: Polygon =>
+        val ends = ringEnds(p)
+        leaf(3, p, ends)
+      case mp: MultiPoint => leaf(4, mp, Array.empty)
+      case ml: MultiLineString =>
+        var acc = 0
+        val ends = Array.tabulate(ml.getNumGeometries) { i => acc += ml.getGeometryN(i).getNumPoints; acc }
+        leaf(5, ml, ends)
+      case mp: MultiPolygon =>
+        val parts = Array.tabulate(mp.getNumGeometries)(i =>
+          writeGeometry(fb, mp.getGeometryN(i), hasZ))
+        val partsVec = fb.offsetVector(parts)
+        fb.startTable(8)
+        fb.slotByte(6, 6, 0)
+        fb.slotOffset(7, partsVec)
+        fb.endTable()
+      case gc: GeometryCollection =>
+        val parts = Array.tabulate(gc.getNumGeometries)(i =>
+          writeGeometry(fb, gc.getGeometryN(i), hasZ))
+        val partsVec = fb.offsetVector(parts)
+        fb.startTable(8)
+        fb.slotByte(6, 7, 0)
+        fb.slotOffset(7, partsVec)
+        fb.endTable()
+    }
+  }
+
+  private def ringEnds(p: Polygon): Array[Int] = {
+    var acc = p.getExteriorRing.getNumPoints
+    val out = Array.newBuilder[Int]
+    out += acc
+    var i = 0
+    while (i < p.getNumInteriorRing) { acc += p.getInteriorRingN(i).getNumPoints; out += acc; i += 1 }
+    out.result()
+  }
+
+  /** properties blob: repeated [u16 col idx][typed value] (little-endian). */
+  private def writeProperties(fb: Fbb, fields: Seq[FgbField], attrs: Array[Any]): Int = {
+    if (fields.isEmpty) return 0
+    val bos = new java.io.ByteArrayOutputStream()
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (i < attrs.length) attrs(i) else null
+      if (v != null) {
+        u16(i)
+        f.typ match {
+          case 2 => bos.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case 5 => bb.clear(); bb.putInt(v.asInstanceOf[Number].intValue()); bos.write(bb.array(), 0, 4)
+          case 7 => bb.clear(); bb.putLong(v.asInstanceOf[Number].longValue()); bos.write(bb.array(), 0, 8)
+          case 10 => bb.clear(); bb.putDouble(v.asInstanceOf[Number].doubleValue()); bos.write(bb.array(), 0, 8)
+          case _ => // string
+            val sb = v.toString.getBytes("UTF-8")
+            bb.clear(); bb.putInt(sb.length); bos.write(bb.array(), 0, 4); bos.write(sb)
+        }
+      }
+    }
+    val arr = bos.toByteArray
+    if (arr.isEmpty) 0 else fb.byteVector(arr)
+  }
+
+  def fgbType(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case org.apache.spark.sql.types.BooleanType => 2
+    case org.apache.spark.sql.types.IntegerType => 5
+    case org.apache.spark.sql.types.LongType => 7
+    case org.apache.spark.sql.types.DoubleType => 10
+    case _ => 11
+  }
+
+  def geomTypeOf(g: Geometry): Int = g match {
+    case _: Point => 1
+    case _: LineString => 2
+    case _: Polygon => 3
+    case _: MultiPoint => 4
+    case _: MultiLineString => 5
+    case _: MultiPolygon => 6
+    case _ => 7
+  }
+}

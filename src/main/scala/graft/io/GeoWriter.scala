@@ -34,6 +34,69 @@ object GeoWriter {
     df.select(line.as("value")).write.mode("overwrite").text(path)
   }
 
+  /** Write `df` as a directory of per-partition shapefiles (part-N.shp/.shx/
+   *  .dbf/.cpg). Geometry column must be WKB binary; other columns become DBF
+   *  attributes. */
+  def shapefile(df: DataFrame, geomCol: String, path: String): Unit = {
+    new java.io.File(path).mkdirs()
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val fields = attrIdx.map { i =>
+      val f = schema.fields(i)
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType => ShapefileWriter.Field(f.name, 'N', 18, 0)
+        case org.apache.spark.sql.types.IntegerType => ShapefileWriter.Field(f.name, 'N', 9, 0)
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          ShapefileWriter.Field(f.name, 'N', 20, 8)
+        case org.apache.spark.sql.types.BooleanType => ShapefileWriter.Field(f.name, 'L', 1, 0)
+        case _ => ShapefileWriter.Field(f.name, 'C', 80, 0)
+      }
+    }
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext) {
+        val rows = it.map { r =>
+          val g = r.get(geomIdx) match {
+            case b: Array[Byte] => graft.geom.Geo.read(b)
+            case _ => null
+          }
+          (g, attrIdx.map(i => r.get(i)).toArray[Any])
+        }
+        ShapefileWriter.write(f"$path/part-$pid%05d", fields, rows)
+      }
+      ()
+    }
+  }
+
+  /** Write `df` as a directory of per-partition FlatGeobuf files (no packed
+   *  index — clustering/pruning is parquet's job in this engine). */
+  def flatgeobuf(df: DataFrame, geomCol: String, path: String): Unit = {
+    new java.io.File(path).mkdirs()
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val fields = attrIdx.map { i =>
+      val f = schema.fields(i)
+      FlatGeobufWriter.FgbField(f.name, FlatGeobufWriter.fgbType(f.dataType))
+    }
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext) {
+        val rows = it.map { r =>
+          val g = r.get(geomIdx) match {
+            case b: Array[Byte] => graft.geom.Geo.read(b)
+            case _ => null
+          }
+          (g, attrIdx.map(i => r.get(i)).toArray[Any])
+        }
+        // geometry type 0 (Unknown) + per-feature type tags handles mixed input
+        FlatGeobufWriter.write(f"$path/part-$pid%05d.fgb", 0, hasZ = false, fields, rows)
+      }
+      ()
+    }
+  }
+
   /** Hilbert-clustered parquet with bbox stats column. Bounds are taken from
    *  the data (one cheap aggregate) unless given. */
   def clusteredParquet(

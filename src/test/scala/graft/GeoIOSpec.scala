@@ -238,4 +238,74 @@ class GeoIOSpec extends AnyFunSuite {
     // two OSMData blobs → reader planned partitions from the blob index
     assert(spark.sql("SELECT count(*) FROM osm").collect()(0).getLong(0) == 5L)
   }
+
+  test("shapefile writer round-trips through the shapefile reader") {
+    import spark.implicits._
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, name, score, st_aswkb(st_geomfromtext(wkt)) AS geom
+      FROM VALUES
+        (1L, 'alpha', 1.5d, 'POINT (1 2)'),
+        (2L, 'beta',  -2.25d, 'POINT (30 40)'),
+        (3L, 'gamma', 0.125d, 'POINT (-5.5 6.25)') AS t(id, name, score, wkt)""")
+      .coalesce(1)
+    val out = s"$dir/shpout"
+    graft.io.GeoWriter.shapefile(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".shp")).head
+    val back = spark.read.format("geo").load(part.getAbsolutePath)
+    back.createOrReplaceTempView("shp_rt")
+    val rows = spark.sql(
+      "SELECT id, name, score, st_astext(geom) AS wkt FROM shp_rt ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getString(3) == "POINT (1 2)")
+    assert(rows(1).getDouble(2) == -2.25)
+    assert(rows(2).getString(3) == "POINT (-5.5 6.25)")
+  }
+
+  test("shapefile writer: polygons with holes keep spec winding") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT CAST(1 AS BIGINT) AS id, st_aswkb(st_geomfromtext(
+        'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')) AS geom""")
+      .coalesce(1)
+    val out = s"$dir/shpout_poly"
+    graft.io.GeoWriter.shapefile(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".shp")).head
+    val back = spark.read.format("geo").load(part.getAbsolutePath)
+    back.createOrReplaceTempView("shp_poly")
+    val r = spark.sql("SELECT st_area(geom) AS a, st_ninteriorrings(geom) AS h FROM shp_poly").collect()(0)
+    assert(r.getDouble(0) == 96.0, s"area ${r.getDouble(0)}")
+    assert(r.getInt(1) == 1)
+  }
+
+  test("flatgeobuf writer round-trips through the flatgeobuf reader") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, name, score, st_aswkb(st_geomfromtext(wkt)) AS geom
+      FROM VALUES
+        (1L, 'p', 1.5d, 'POINT (1 2)'),
+        (2L, 'l', 2.5d, 'LINESTRING (0 0, 3 4, 10 0)'),
+        (3L, 'pg', 3.5d, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'),
+        (4L, 'mp', 4.5d, 'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))'),
+        (5L, 'mls', 5.5d, 'MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))') AS t(id, name, score, wkt)""")
+      .coalesce(1)
+    val out = s"$dir/fgbout"
+    graft.io.GeoWriter.flatgeobuf(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head
+    // low-level reader round trip
+    val feats = graft.io.FlatGeobuf.readFeatures(part.getAbsolutePath).toVector
+    assert(feats.length == 5)
+    val byId = feats.map(f => f.properties("id") -> f).toMap
+    assert(graft.geom.Wkt.write(byId("1").geom) == "POINT (1 2)")
+    assert(graft.geom.Wkt.write(byId("2").geom) == "LINESTRING (0 0, 3 4, 10 0)")
+    assert(byId("3").geom.getArea == 96.0)
+    assert(byId("4").geom.getGeometryType == "MultiPolygon" && byId("4").geom.getNumGeometries == 2)
+    assert(byId("5").geom.getGeometryType == "MultiLineString")
+    assert(byId("2").properties("name") == "l" && byId("2").properties("score") == "2.5")
+    // and through the DSv2 reader
+    val back = spark.read.format("geo").load(part.getAbsolutePath)
+    back.createOrReplaceTempView("fgb_rt")
+    assert(spark.sql("SELECT count(*) FROM fgb_rt").collect()(0).getLong(0) == 5L)
+  }
 }
