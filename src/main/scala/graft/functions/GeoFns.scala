@@ -52,6 +52,111 @@ object GeoFns {
   private def int(a: Any): Int = a.asInstanceOf[Int]
   private val f: GeometryFactory = Geo.factory
 
+  /** Closed-form overlay of two axis-aligned rectangles with a genuine
+   *  positive-area overlap (the reference caches bboxes for the same
+   *  short-circuit purpose, geometry_type.hpp:100-146): build the ≤3×3 cell
+   *  grid induced by the rect edges, mark covered cells, trace the
+   *  covered/uncovered boundary into rings, classify holes. Produces the same
+   *  topology OverlayNG would (single rectilinear outlines, split slabs,
+   *  shell+hole) at grid-walk cost — no noding, no robust predicates. */
+  private def rectilinearOverlay(ea: Envelope, eb: Envelope,
+                                 op: (Boolean, Boolean) => Boolean): Geometry = {
+    val xs = Array(ea.getMinX, ea.getMaxX, eb.getMinX, eb.getMaxX).distinct.sorted
+    val ys = Array(ea.getMinY, ea.getMaxY, eb.getMinY, eb.getMaxY).distinct.sorted
+    val nx = xs.length - 1; val ny = ys.length - 1
+    def inE(e: Envelope, cx: Double, cy: Double) =
+      cx > e.getMinX && cx < e.getMaxX && cy > e.getMinY && cy < e.getMaxY
+    val cov = Array.tabulate(nx, ny) { (i, j) =>
+      val cx = (xs(i) + xs(i + 1)) / 2; val cy = (ys(j) + ys(j + 1)) / 2
+      op(inE(ea, cx, cy), inE(eb, cx, cy))
+    }
+    def at(i: Int, j: Int) = i >= 0 && i < nx && j >= 0 && j < ny && cov(i)(j)
+    // boundary segments between covered and uncovered cells
+    final case class Pt(x: Double, y: Double)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Pt, Pt)]
+    for (i <- 0 until nx; j <- 0 to ny if at(i, j) != at(i, j - 1))
+      segs += ((Pt(xs(i), ys(j)), Pt(xs(i + 1), ys(j))))
+    for (i <- 0 to nx; j <- 0 until ny if at(i, j) != at(i - 1, j))
+      segs += ((Pt(xs(i), ys(j)), Pt(xs(i), ys(j + 1))))
+    if (segs.isEmpty) return f.createPolygon()
+    // chain segments into closed rings (all boundary vertices are degree 2
+    // when the overlap has positive area)
+    val adj = scala.collection.mutable.HashMap.empty[Pt, scala.collection.mutable.ArrayBuffer[Int]]
+    segs.zipWithIndex.foreach { case ((a, b), i) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += i
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += i
+    }
+    val used = new Array[Boolean](segs.length)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Coordinate]]
+    for (start <- segs.indices if !used(start)) {
+      val pts = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      var (cur, next) = segs(start)
+      used(start) = true
+      pts += cur += next
+      var done = false
+      while (!done) {
+        val cands = adj(next).filter(!used(_))
+        if (cands.isEmpty) done = true
+        else {
+          val si = cands.head
+          used(si) = true
+          val (a, b) = segs(si)
+          val nn = if (a == next) b else a
+          pts += nn
+          next = nn
+          if (nn == pts.head) done = true
+        }
+      }
+      // drop collinear mid-vertices (consecutive cells share edge lines)
+      val ring = pts.toArray
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      val m = ring.length - 1 // last == first
+      for (k <- 0 until m) {
+        val prev = ring((k - 1 + m) % m); val c = ring(k); val nxt = ring((k + 1) % m)
+        val collinear = (prev.x == c.x && c.x == nxt.x) || (prev.y == c.y && c.y == nxt.y)
+        if (!collinear) keep += c
+      }
+      if (keep.length >= 3) {
+        val coords = keep.map(p => new Coordinate(p.x, p.y))
+        coords += coords.head.copy()
+        rings += coords.toArray
+      }
+    }
+    if (rings.isEmpty) return f.createPolygon()
+    def ringEnv(cs: Array[Coordinate]): Envelope = {
+      val e = new Envelope(); cs.foreach(e.expandToInclude); e
+    }
+    def oriented(cs: Array[Coordinate], ccw: Boolean): Array[Coordinate] = {
+      val closed = if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+      if (org.locationtech.jts.algorithm.Orientation.isCCW(
+        new org.locationtech.jts.geom.impl.CoordinateArraySequence(closed)) == ccw) closed
+      else closed.reverse
+    }
+    // largest-envelope rings are shells; rings inside a shell's envelope are holes
+    val sorted = rings.map(r => (r, ringEnv(r))).sortBy { case (_, e) => -e.getArea }
+    val shells = scala.collection.mutable.ArrayBuffer.empty[(Array[Coordinate], Envelope, scala.collection.mutable.ArrayBuffer[Array[Coordinate]])]
+    sorted.foreach { case (r, e) =>
+      shells.find { case (_, se, _) => se.contains(e) && se.getArea > e.getArea } match {
+        case Some((_, _, holes)) => holes += r
+        case None => shells += ((r, e, scala.collection.mutable.ArrayBuffer.empty))
+      }
+    }
+    val polys = shells.map { case (shell, _, holes) =>
+      f.createPolygon(
+        f.createLinearRing(oriented(shell, ccw = false)),
+        holes.map(h => f.createLinearRing(oriented(h, ccw = true))).toArray)
+    }
+    if (polys.length == 1) polys(0) else f.createMultiPolygon(polys.toArray)
+  }
+
+  /** positive-area overlap of two rectangle envelopes */
+  private def properOverlap(a: Geometry, b: Geometry): Boolean = {
+    if (!a.isRectangle || !b.isRectangle || a.isEmpty || b.isEmpty) return false
+    val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
+    math.min(ea.getMaxX, eb.getMaxX) > math.max(ea.getMinX, eb.getMinX) &&
+      math.min(ea.getMaxY, eb.getMaxY) > math.max(ea.getMinY, eb.getMinY)
+  }
+
   private def bufferEnum(what: String, arg: String, opts: Map[String, Int]): Int =
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase(arg) => v }.getOrElse(
       throw new IllegalArgumentException(
@@ -855,6 +960,8 @@ object GeoFns {
     // rectangle clips directly; envelope-disjoint polygons skip OverlayNG.
     ggG("st_difference") { (a, b) =>
       if (!a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)) a
+      else if (properOverlap(a, b))
+        rectilinearOverlay(a.getEnvelopeInternal, b.getEnvelopeInternal, (ia, ib) => ia && !ib)
       else a.difference(b)
     }
     ggG("st_intersection") { (a, b) =>
@@ -872,7 +979,9 @@ object GeoFns {
       if (a.isInstanceOf[Polygon] && b.isInstanceOf[Polygon] && !a.isEmpty && !b.isEmpty &&
         !a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)) {
         f.createMultiPolygon(Array(a.asInstanceOf[Polygon], b.asInstanceOf[Polygon]))
-      } else a.union(b)
+      } else if (properOverlap(a, b))
+        rectilinearOverlay(a.getEnvelopeInternal, b.getEnvelopeInternal, (ia, ib) => ia || ib)
+      else a.union(b)
     }
     ggG("st_shortestline")((g1, g2) => f.createLineString(DistanceOp.nearestPoints(g1, g2)))
     gG("st_flipcoordinates") { g =>

@@ -103,6 +103,33 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("st_area(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))'))) > 0") == true)
   }
 
+  test("rectangle overlay fast paths keep OverlayNG topology") {
+    // B strictly inside A: shell + hole
+    assert(sql1("st_astext(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))")
+      .toString.startsWith("POLYGON"))
+    assert(sql1("st_ninteriorrings(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))") == 1)
+    assert(sql1("st_area(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))") == 96.0)
+    // B splits A vertically: two slabs
+    assert(sql1("st_ngeometries(st_difference(st_makeenvelope(0,0,9,9), st_makeenvelope(3,-1,6,10)))") == 2)
+    assert(sql1("st_area(st_difference(st_makeenvelope(0,0,9,9), st_makeenvelope(3,-1,6,10)))") == 54.0)
+    // C-shape: single 8-vertex polygon
+    assert(sql1("st_npoints(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(4,2,12,8)))") == 9)
+    assert(sql1("st_area(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(4,2,12,8)))") == 64.0)
+    // corner overlap: L-shape, 6 vertices
+    assert(sql1("st_npoints(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(5,5,12,12)))") == 7)
+    // union of overlapping rects dissolves into one polygon
+    assert(sql1("st_ngeometries(st_union(st_makeenvelope(0,0,10,10), st_makeenvelope(5,5,15,15)))") == 1)
+    assert(sql1("st_area(st_union(st_makeenvelope(0,0,10,10), st_makeenvelope(5,5,15,15)))") == 175.0)
+    // plus/cross shape: 12 vertices
+    assert(sql1("st_npoints(st_union(st_makeenvelope(0,4,12,8), st_makeenvelope(4,0,8,12)))") == 13)
+    assert(sql1("st_area(st_union(st_makeenvelope(0,4,12,8), st_makeenvelope(4,0,8,12)))") == 80.0)
+    // containment: union is the outer rect
+    assert(sql1("st_area(st_union(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))") == 100.0)
+    assert(sql1("st_npoints(st_union(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))") == 5)
+    // edge-touching only (zero-area overlap) falls back to OverlayNG: dissolved
+    assert(sql1("st_area(st_union(st_makeenvelope(0,0,5,10), st_makeenvelope(5,0,10,10)))") == 100.0)
+  }
+
   test("linemerge undirected and directed") {
     // goldens from the reference's test/sql/postgis/st_linemerge.test
     assert(sql1("st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))')))")
