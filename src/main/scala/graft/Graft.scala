@@ -75,16 +75,20 @@ object Graft {
       table, None, None)
   }
 
-  /** Idempotent per-session function registration. */
+  /** Idempotent per-session function registration. Skips names the
+   *  GraftExtensions injection already placed in the session registry, so
+   *  calling both paths doesn't log a replacement warning per function. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "st_generatepoints", generatePointsPlan, "built-in")
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "st_read", stReadPlan, "built-in")
+    val tfr = spark.sessionState.tableFunctionRegistry
+    if (!tfr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_generatepoints")))
+      tfr.createOrReplaceTempFunction("st_generatepoints", generatePointsPlan, "built-in")
+    if (!tfr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_read")))
+      tfr.createOrReplaceTempFunction("st_read", stReadPlan, "built-in")
   }
 }
 

@@ -61,7 +61,21 @@ case class FnExpr(fn: String, children: Seq[Expression])
     extends Expression with ImplicitCastInputTypes {
 
   @transient private lazy val spec = FnRegistry(fn)
-  @transient private lazy val f: Array[Any] => Any = spec.make(children)
+  @transient private lazy val f: Array[Any] => Any = {
+    val base = spec.make(children)
+    val expected = spec.arities.getOrElse(children.length, children.map(_.dataType))
+    val convs: Array[Any => Any] = expected.lazyZip(children).map {
+      case (BinaryType, c) if c.resolved && FnExpr.isGeomStruct(c.dataType) =>
+        FnExpr.structConverter(c.dataType)
+      case _ => null
+    }.toArray
+    if (convs.forall(_ == null)) base
+    else (args: Array[Any]) => {
+      var i = 0
+      while (i < args.length) { if (convs(i) != null) args(i) = convs(i)(args(i)); i += 1 }
+      base(args)
+    }
+  }
 
   /** Expected input types, with one twist reproducing the reference's
    *  implicit VARCHAR→GEOMETRY cast (§1.4 cast lattice, geometry_cast.cpp):
@@ -72,9 +86,10 @@ case class FnExpr(fn: String, children: Seq[Expression])
     val base = spec.arities.getOrElse(children.length, children.map(_.dataType))
     base.lazyZip(children).map {
       case (BinaryType, c) if c.resolved && c.dataType == StringType => StringType
-      // columnar POINT_2D (struct{x,y double}) coerces to geometry — the
-      // reference's two-tier type model (SURVEY §1.3, geometry_cast.cpp)
-      case (BinaryType, c) if c.resolved && FnExpr.isPointStruct(c.dataType) => c.dataType
+      // columnar POINT_2D/3D/4D (struct of doubles), LINESTRING_2D (array of
+      // point structs) and POLYGON_2D (array of rings) coerce to geometry —
+      // the reference's two-tier type model (SURVEY §1.3, dimensional_cast.cpp)
+      case (BinaryType, c) if c.resolved && FnExpr.isGeomStruct(c.dataType) => c.dataType
       case (t, _) => t
     }
   }
@@ -155,9 +170,68 @@ case class FnExpr(fn: String, children: Seq[Expression])
 }
 
 object FnExpr {
-  /** struct of 2 double fields ⇒ treated as a POINT_2D geometry argument */
-  def isPointStruct(dt: DataType): Boolean = dt match {
-    case s: StructType => s.length == 2 && s.fields.forall(_.dataType == DoubleType)
+  private def allDoubles(s: StructType): Boolean = s.fields.forall(_.dataType == DoubleType)
+
+  /** The reference's columnar geometry encodings (types.cpp:51-62):
+   *  POINT_2D/3D/4D = struct of 2-4 doubles, LINESTRING_2D = array of point
+   *  structs, POLYGON_2D = array of rings. */
+  def isGeomStruct(dt: DataType): Boolean = dt match {
+    case s: StructType => s.length >= 2 && s.length <= 4 && allDoubles(s)
+    case ArrayType(s: StructType, _) => s.length == 2 && allDoubles(s)
+    case ArrayType(ArrayType(s: StructType, _), _) => s.length == 2 && allDoubles(s)
     case _ => false
+  }
+
+  /** dataType-directed conversion of a columnar geometry value → WKB bytes
+   *  (resolved once per plan, so per-row work is just the coordinate copy). */
+  def structConverter(dt: DataType): Any => Any = {
+    import graft.geom.{Geo, Wkb}
+    import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    dt match {
+      case s: StructType =>
+        val n = s.length
+        // POINT_3D with a field literally named m is XYM (dimensional_cast.cpp)
+        val thirdIsM = n == 3 && s.fieldNames(2).equalsIgnoreCase("m")
+        (v: Any) => v match {
+          case r: InternalRow =>
+            val x = r.getDouble(0); val y = r.getDouble(1)
+            val c: Coordinate =
+              if (n == 2) new Coordinate(x, y)
+              else if (n == 4) new CoordinateXYZM(x, y, r.getDouble(2), r.getDouble(3))
+              else if (thirdIsM) new CoordinateXYM(x, y, r.getDouble(2))
+              else new Coordinate(x, y, r.getDouble(2))
+            Wkb.write(Geo.factory.createPoint(c))
+          case other => other
+        }
+      case ArrayType(_: StructType, _) =>
+        (v: Any) => v match {
+          case ad: ArrayData =>
+            val cs = Array.tabulate(ad.numElements()) { i =>
+              val r = ad.getStruct(i, 2); new Coordinate(r.getDouble(0), r.getDouble(1))
+            }
+            Wkb.write(Geo.factory.createLineString(cs))
+          case other => other
+        }
+      case ArrayType(ArrayType(_, _), _) =>
+        (v: Any) => v match {
+          case ad: ArrayData =>
+            def ring(rd: ArrayData): org.locationtech.jts.geom.LinearRing = {
+              val cs = Array.tabulate(rd.numElements()) { j =>
+                val r = rd.getStruct(j, 2); new Coordinate(r.getDouble(0), r.getDouble(1))
+              }
+              val closed =
+                if (cs.length >= 3 && !cs.head.equals2D(cs.last)) cs :+ cs.head.copy() else cs
+              Geo.factory.createLinearRing(closed)
+            }
+            val rings = Array.tabulate(ad.numElements())(i => ring(ad.getArray(i)))
+            Wkb.write(
+              if (rings.isEmpty) Geo.factory.createPolygon()
+              else Geo.factory.createPolygon(rings.head, rings.tail))
+          case other => other
+        }
+      case _ => identity
+    }
   }
 }

@@ -66,7 +66,7 @@ object FlatGeobuf {
   // ------------------------------------------------------------- header
   final case class FgbColumn(name: String, typ: Int)
   final case class FgbHeader(
-      name: String, geometryType: Int, hasZ: Boolean,
+      name: String, geometryType: Int, hasZ: Boolean, hasM: Boolean,
       columns: Seq[FgbColumn], featuresCount: Long, indexNodeSize: Int,
       dataStart: Long)
 
@@ -80,6 +80,7 @@ object FlatGeobuf {
     val root = 12 + bb.getInt(12)
     val geometryType = fb.byteField(root, 2, 0)
     val hasZ = fb.byteField(root, 3, 0) != 0
+    val hasM = fb.byteField(root, 4, 0) != 0
     val featuresCount = fb.longField(root, 8, 0)
     val indexNodeSize = fb.shortField(root, 9, 16)
     val columns = fb.vector(root, 7) match {
@@ -93,7 +94,7 @@ object FlatGeobuf {
     val indexSize =
       if (indexNodeSize > 0 && featuresCount > 0) packedIndexSize(featuresCount, indexNodeSize)
       else 0L
-    FgbHeader(fb.string(root, 0), geometryType, hasZ, columns, featuresCount,
+    FgbHeader(fb.string(root, 0), geometryType, hasZ, hasM, columns, featuresCount,
       indexNodeSize, 12L + headerLen + indexSize)
   }
 
@@ -128,7 +129,7 @@ object FlatGeobuf {
         val size = bb.getInt(pos)
         val t = (pos + 4) + bb.getInt(pos + 4)
         val geomT = fb.tableField(t, 0)
-        val geom = if (geomT < 0) null else decodeGeometry(fb, geomT, header.geometryType, header.hasZ)
+        val geom = if (geomT < 0) null else decodeGeometry(fb, geomT, header.geometryType, header.hasZ, header.hasM)
         val props = fb.vector(t, 1) match {
           case null => Map.empty[String, String]
           case (start, len) => decodeProperties(bb, start, len, header.columns)
@@ -139,15 +140,20 @@ object FlatGeobuf {
     }
   }
 
-  private def coords(fb: Fb, geomT: Int, hasZ: Boolean): Array[Coordinate] = {
+  private def coords(fb: Fb, geomT: Int, hasZ: Boolean, hasM: Boolean): Array[Coordinate] = {
     fb.vector(geomT, 1) match {
       case null => Array.empty
       case (start, n) =>
         val zVec = if (hasZ) fb.vector(geomT, 2) else null
+        val mVec = if (hasM) fb.vector(geomT, 3) else null
         Array.tabulate(n / 2) { i =>
           val x = fb.buf.getDouble(start + 16 * i)
           val y = fb.buf.getDouble(start + 16 * i + 8)
-          if (zVec != null && i < zVec._2) new Coordinate(x, y, fb.buf.getDouble(zVec._1 + 8 * i))
+          val z = if (zVec != null && i < zVec._2) fb.buf.getDouble(zVec._1 + 8 * i) else Double.NaN
+          val m = if (mVec != null && i < mVec._2) fb.buf.getDouble(mVec._1 + 8 * i) else Double.NaN
+          if (!z.isNaN && !m.isNaN) new CoordinateXYZM(x, y, z, m)
+          else if (!m.isNaN) new CoordinateXYM(x, y, m)
+          else if (!z.isNaN) new Coordinate(x, y, z)
           else new Coordinate(x, y)
         }
     }
@@ -158,14 +164,14 @@ object FlatGeobuf {
     case (start, n) => Array.tabulate(n)(i => fb.buf.getInt(start + 4 * i))
   }
 
-  private def decodeGeometry(fb: Fb, geomT: Int, headerType: Int, hasZ: Boolean): Geometry = {
+  private def decodeGeometry(fb: Fb, geomT: Int, headerType: Int, hasZ: Boolean, hasM: Boolean): Geometry = {
     val f = Geo.factory
     val typ = {
       val own = fb.byteField(geomT, 6, 0)
       if (own != 0) own else headerType
     }
     def rings(): Array[LinearRing] = {
-      val cs = coords(fb, geomT, hasZ)
+      val cs = coords(fb, geomT, hasZ, hasM)
       val es = ends(fb, geomT)
       val bounds = if (es.isEmpty) Array(cs.length) else es
       var from = 0
@@ -177,15 +183,15 @@ object FlatGeobuf {
     }
     typ match {
       case 1 => // Point
-        val cs = coords(fb, geomT, hasZ)
+        val cs = coords(fb, geomT, hasZ, hasM)
         if (cs.isEmpty) f.createPoint() else f.createPoint(cs(0))
-      case 2 => f.createLineString(coords(fb, geomT, hasZ))
+      case 2 => f.createLineString(coords(fb, geomT, hasZ, hasM))
       case 3 =>
         val rs = rings()
         if (rs.isEmpty) f.createPolygon() else f.createPolygon(rs.head, rs.tail)
-      case 4 => f.createMultiPoint(coords(fb, geomT, hasZ).map(f.createPoint))
+      case 4 => f.createMultiPoint(coords(fb, geomT, hasZ, hasM).map(f.createPoint))
       case 5 =>
-        val cs = coords(fb, geomT, hasZ)
+        val cs = coords(fb, geomT, hasZ, hasM)
         val es = ends(fb, geomT)
         val bounds = if (es.isEmpty) Array(cs.length) else es
         var from = 0
@@ -203,7 +209,7 @@ object FlatGeobuf {
           case (start, n) =>
             val parts = (0 until n).map { i =>
               val pt = fb.indirect(start + 4 * i)
-              decodeGeometry(fb, pt, if (typ == 6) 3 else 0, hasZ)
+              decodeGeometry(fb, pt, if (typ == 6) 3 else 0, hasZ, hasM)
             }.toArray
             if (typ == 6) f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
             else f.createGeometryCollection(parts)

@@ -135,15 +135,20 @@ object FlatGeobufWriter {
   // ------------------------------------------------------------ geometry
   final case class FgbField(name: String, typ: Int) // FGB ColumnType
 
-  def write(path: String, geomType: Int, hasZ: Boolean, fields: Seq[FgbField],
+  def write(path: String, geomType: Int, fields: Seq[FgbField],
             rows: Iterator[(Geometry, Array[Any])]): Long = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     var count = 0L
+    var anyZ = false; var anyM = false
     try {
       val features = new java.io.ByteArrayOutputStream()
       rows.foreach { case (g, attrs) =>
         val fb = new Fbb(512)
-        val geomOff = if (g == null) 0 else writeGeometry(fb, g, hasZ)
+        // per-feature Z/M presence; the header flags record whether any did
+        val gz = g != null && Geo.geomHasZ(g)
+        val gm = g != null && Geo.geomHasM(g)
+        anyZ |= gz; anyM |= gm
+        val geomOff = if (g == null) 0 else writeGeometry(fb, g, gz, gm)
         val propOff = writeProperties(fb, fields, attrs)
         fb.startTable(3)
         fb.slotOffset(0, geomOff)
@@ -168,7 +173,8 @@ object FlatGeobufWriter {
       hb.startTable(10)
       hb.slotOffset(0, nameOff)
       hb.slotByte(2, geomType, 0)
-      hb.slotByte(3, if (hasZ) 1 else 0, 0)
+      hb.slotByte(3, if (anyZ) 1 else 0, 0)
+      hb.slotByte(4, if (anyM) 1 else 0, 0)
       hb.slotOffset(7, colsVec)
       hb.slotLong(8, count, 0)
       hb.slotShort(9, 0, 16, force = true) // no packed index: explicit 0 (default is 16)
@@ -190,17 +196,27 @@ object FlatGeobufWriter {
     out
   }
   private def zs(g: Geometry): Array[Double] = g.getCoordinates.map(c => { val z = c.getZ; if (z.isNaN) 0.0 else z })
+  private def ms(g: Geometry): Array[Double] = g.getCoordinates.map { c =>
+    val m = c match {
+      case zm: CoordinateXYZM => zm.getM
+      case xm: CoordinateXYM => xm.getM
+      case _ => Double.NaN
+    }
+    if (m.isNaN) 0.0 else m
+  }
 
-  /** Geometry table: ends(0) xy(1) z(2) type(6) parts(7). */
-  private def writeGeometry(fb: Fbb, g: Geometry, hasZ: Boolean): Int = {
+  /** Geometry table: ends(0) xy(1) z(2) m(3) type(6) parts(7). */
+  private def writeGeometry(fb: Fbb, g: Geometry, hasZ: Boolean, hasM: Boolean): Int = {
     def leaf(typ: Int, geom: Geometry, ends: Array[Int]): Int = {
       val xyOff = fb.doubleVector(xys(geom))
       val zOff = if (hasZ) fb.doubleVector(zs(geom)) else 0
+      val mOff = if (hasM) fb.doubleVector(ms(geom)) else 0
       val endsOff = if (ends.length > 1) fb.uintVector(ends) else 0
       fb.startTable(8)
       fb.slotOffset(0, endsOff)
       fb.slotOffset(1, xyOff)
       fb.slotOffset(2, zOff)
+      fb.slotOffset(3, mOff)
       fb.slotByte(6, typ, 0)
       fb.endTable()
     }
@@ -217,7 +233,7 @@ object FlatGeobufWriter {
         leaf(5, ml, ends)
       case mp: MultiPolygon =>
         val parts = Array.tabulate(mp.getNumGeometries)(i =>
-          writeGeometry(fb, mp.getGeometryN(i), hasZ))
+          writeGeometry(fb, mp.getGeometryN(i), hasZ, hasM))
         val partsVec = fb.offsetVector(parts)
         fb.startTable(8)
         fb.slotByte(6, 6, 0)
@@ -225,7 +241,7 @@ object FlatGeobufWriter {
         fb.endTable()
       case gc: GeometryCollection =>
         val parts = Array.tabulate(gc.getNumGeometries)(i =>
-          writeGeometry(fb, gc.getGeometryN(i), hasZ))
+          writeGeometry(fb, gc.getGeometryN(i), hasZ, hasM))
         val partsVec = fb.offsetVector(parts)
         fb.startTable(8)
         fb.slotByte(6, 7, 0)

@@ -178,6 +178,21 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
       paths.flatMap { p =>
         OsmPbf.indexBlobs(p).grouped(16).map(g => OsmPartition(p, g.toArray): InputPartition)
       }.toArray
+    case "shapefile" =>
+      // intra-file splits from the .shx record index: one 20 GB .shp becomes
+      // ~300 range partitions instead of one task
+      val targetBytes = 64L << 20
+      paths.flatMap { p =>
+        val meta = Shapefile.readMeta(p)
+        val n = meta.recordCount
+        if (n == 0) Seq(ShpRangePartition(p, 0, 0): InputPartition)
+        else {
+          val totalBytes = new java.io.File(Shapefile.basePath(p) + ".shp").length()
+          val chunks = math.max(1, math.min(n.toLong, totalBytes / targetBytes + 1)).toInt
+          val per = (n + chunks - 1) / chunks
+          (0 until n by per).map(s => ShpRangePartition(p, s, math.min(n, s + per)): InputPartition)
+        }
+      }.toArray
     case _ => paths.map(p => FilePartition(p): InputPartition).toArray
   }
 
@@ -186,16 +201,19 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
 }
 
 case class FilePartition(path: String) extends InputPartition
+case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
 case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends InputPartition
 
 class GeoReaderFactory(fullSchema: StructType, required: StructType, format: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val rows: Iterator[InternalRow] = (format, partition) match {
-      case ("shapefile", FilePartition(p)) => GeoRows.shapefileRows(p, fullSchema, required)
+      case ("shapefile", ShpRangePartition(p, s, e)) => GeoRows.shapefileRows(p, s, e, fullSchema, required)
       case ("geojson", FilePartition(p)) =>
-        val text = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
-        GeoJsonFile.parseDocument(text).map(GeoRows.featureRow(_, required))
+        // stream the FeatureCollection: a multi-GB document must not be
+        // materialized as one String/byte[]
+        val reader = Files.newBufferedReader(Paths.get(p))
+        GeoJsonFile.streamDocument(reader).map(GeoRows.featureRow(_, required))
       case ("geojsonl", FilePartition(p)) =>
         Files.lines(Paths.get(p)).iterator().asScala
           .flatMap(GeoJsonFile.parseLine)
@@ -284,11 +302,12 @@ object GeoRows {
     }
   }
 
-  def shapefileRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+  def shapefileRows(path: String, startRec: Int, endRec: Int,
+                    fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
     val meta = Shapefile.readMeta(path)
     // fullSchema order = dbf fields then geom; map required names to indices
     val attrIndex = fullSchema.fieldNames.zipWithIndex.toMap
-    Shapefile.readRecords(path).map { case (geom, attrs) =>
+    Shapefile.readRecordRange(path, startRec, endRec).map { case (geom, attrs) =>
       val vals = required.fields.map { field =>
         (if (field.name == "geom") {
           if (geom == null) null else Wkb.write(geom)

@@ -91,7 +91,7 @@ object GeoWriter {
           (g, attrIdx.map(i => r.get(i)).toArray[Any])
         }
         // geometry type 0 (Unknown) + per-feature type tags handles mixed input
-        FlatGeobufWriter.write(f"$path/part-$pid%05d.fgb", 0, hasZ = false, fields, rows)
+        FlatGeobufWriter.write(f"$path/part-$pid%05d.fgb", 0, fields, rows)
       }
       ()
     }

@@ -65,18 +65,51 @@ object Shapefile {
   }
 
   /** Iterate (geometryOrNull, attributeStrings) over all records. */
-  def readRecords(path: String): Iterator[(Geometry, Array[String])] = {
+  def readRecords(path: String): Iterator[(Geometry, Array[String])] =
+    readRecordRange(path, 0, readMeta(path).recordCount)
+
+  /** Record-range slice of the .shx index: (shpStartByte, shpEndByte) for
+   *  records [startRec, endRec). The .shx is 8 bytes/record — reading it is
+   *  cheap even for multi-GB .shp files. */
+  def shxRange(path: String, startRec: Int, endRec: Int): (Long, Long) = {
+    val base = basePath(path)
+    val raf = new java.io.RandomAccessFile(base + ".shx", "r")
+    try {
+      def entry(rec: Int): (Long, Long) = {
+        raf.seek(100L + 8L * rec)
+        val off = raf.readInt().toLong * 2
+        val len = raf.readInt().toLong * 2
+        (off, len)
+      }
+      val (s, _) = entry(startRec)
+      val (lo, ll) = entry(endRec - 1)
+      (s, lo + 8 + ll)
+    } finally raf.close()
+  }
+
+  /** Read records [startRec, endRec) touching only the needed byte ranges of
+   *  .shp and .dbf — the unit of intra-file parallelism for big shapefiles
+   *  (the .shx record index is the natural split table; the reference reads
+   *  the whole file through one GDAL stream, read_shapefile.cpp). */
+  def readRecordRange(path: String, startRec: Int, endRec: Int): Iterator[(Geometry, Array[String])] = {
     val base = basePath(path)
     val meta = readMeta(path)
-    val shp = Files.readAllBytes(Paths.get(base + ".shp"))
-    val dbf = Files.readAllBytes(Paths.get(base + ".dbf"))
-    val dbfHeaderLen = ByteBuffer.wrap(dbf).order(ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
-    val dbfRecLen = ByteBuffer.wrap(dbf).order(ByteOrder.LITTLE_ENDIAN).getShort(10) & 0xffff
+    val end = math.min(endRec, meta.recordCount)
+    if (startRec >= end) return Iterator.empty
+    val (shpFrom, shpTo) = shxRange(path, startRec, end)
+    val shp = readSlice(base + ".shp", shpFrom, shpTo)
+    val dbfHeader = readSlice(base + ".dbf", 0, 32)
+    val bb0 = ByteBuffer.wrap(dbfHeader).order(ByteOrder.LITTLE_ENDIAN)
+    val dbfHeaderLen = bb0.getShort(8) & 0xffff
+    val dbfRecLen = bb0.getShort(10) & 0xffff
+    val dbf = readSlice(base + ".dbf",
+      dbfHeaderLen.toLong + startRec.toLong * dbfRecLen,
+      dbfHeaderLen.toLong + end.toLong * dbfRecLen)
 
     new Iterator[(Geometry, Array[String])] {
-      private var shpOff = 100
-      private var rec = 0
-      override def hasNext: Boolean = rec < meta.recordCount && shpOff + 8 <= shp.length
+      private var shpOff = 0
+      private var rec = startRec
+      override def hasNext: Boolean = rec < end && shpOff + 8 <= shp.length
       override def next(): (Geometry, Array[String]) = {
         // 8-byte big-endian record header: record number, content length (16-bit words)
         val contentLen = ByteBuffer.wrap(shp, shpOff + 4, 4).getInt * 2
@@ -84,7 +117,7 @@ object Shapefile {
         shpOff += 8 + contentLen
         // DBF record: 1 deletion byte + fixed-width fields
         val attrs = new Array[String](meta.fields.length)
-        var off = dbfHeaderLen + rec * dbfRecLen + 1
+        var off = (rec - startRec) * dbfRecLen + 1
         var i = 0
         meta.fields.foreach { f =>
           attrs(i) = new String(dbf, off, f.width, meta.encoding).trim
@@ -95,6 +128,18 @@ object Shapefile {
         (geom, attrs)
       }
     }
+  }
+
+  private def readSlice(path: String, from: Long, to: Long): Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val end = math.min(to, raf.length())
+      val len = math.max(0L, end - from).toInt
+      val out = new Array[Byte](len)
+      raf.seek(from)
+      raf.readFully(out)
+      out
+    } finally raf.close()
   }
 
   // ---------------------------------------------------------------- shapes

@@ -322,6 +322,22 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wkt.startsWith("POINT ("))
   }
 
+  test("columnar POINT_3D/4D, LINESTRING_2D, POLYGON_2D coerce to geometry") {
+    // POINT_3D (xyz) and the m-named variant (xym)
+    assert(sql1("st_astext(named_struct('x', 1.0d, 'y', 2.0d, 'z', 3.0d))") == "POINT Z (1 2 3)")
+    assert(sql1("st_astext(named_struct('x', 1.0d, 'y', 2.0d, 'm', 9.0d))") == "POINT M (1 2 9)")
+    assert(sql1("st_astext(named_struct('x', 1.0d, 'y', 2.0d, 'z', 3.0d, 'm', 4.0d))") == "POINT ZM (1 2 3 4)")
+    // LINESTRING_2D: array of point structs
+    assert(sql1("st_length(array(named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 4.0d)))") == 5.0)
+    assert(sql1("st_astext(array(named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 1.0d, 'y', 1.0d)))")
+      == "LINESTRING (0 0, 1 1)")
+    // POLYGON_2D: array of rings
+    assert(sql1("""st_area(array(array(
+      named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d),
+      named_struct('x', 4.0d, 'y', 4.0d), named_struct('x', 0.0d, 'y', 4.0d),
+      named_struct('x', 0.0d, 'y', 0.0d))))""") == 16.0)
+  }
+
   test("columnar POINT_2D struct coerces to geometry") {
     assert(sql1("st_x(named_struct('x', 3.0d, 'y', 4.0d))") == 3.0)
     assert(sql1("st_distance(named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 4.0d))") == 5.0)

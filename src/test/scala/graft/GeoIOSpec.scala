@@ -308,4 +308,56 @@ class GeoIOSpec extends AnyFunSuite {
     back.createOrReplaceTempView("fgb_rt")
     assert(spark.sql("SELECT count(*) FROM fgb_rt").collect()(0).getLong(0) == 5L)
   }
+
+  test("shapefile range reads slice identically to a full scan") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, st_aswkb(st_point(cast(id AS DOUBLE), cast(id % 7 AS DOUBLE))) AS geom
+      FROM range(0, 500)""").coalesce(1)
+    val out = s"$dir/shp_range"
+    graft.io.GeoWriter.shapefile(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".shp")).head.getAbsolutePath
+    def canon(v: Vector[(org.locationtech.jts.geom.Geometry, Array[String])]) =
+      v.map { case (g, a) => (graft.geom.Wkt.write(g), a.toList) }
+    val full = canon(graft.io.Shapefile.readRecords(part).toVector)
+    assert(full.length == 500)
+    assert(canon(graft.io.Shapefile.readRecordRange(part, 100, 250).toVector) == full.slice(100, 250))
+    assert(canon(graft.io.Shapefile.readRecordRange(part, 0, 10).toVector) == full.take(10))
+    assert(canon(graft.io.Shapefile.readRecordRange(part, 490, 600).toVector) == full.drop(490))
+  }
+
+  test("flatgeobuf writer/reader round-trip Z and M") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, st_aswkb(st_geomfromtext(wkt)) AS geom
+      FROM VALUES
+        (1L, 'POINT Z (1 2 3)'),
+        (2L, 'LINESTRING ZM (0 0 1 10, 5 5 2 20)'),
+        (3L, 'POINT M (4 5 6)') AS t(id, wkt)""")
+      .coalesce(1)
+    val out = s"$dir/fgb_zm"
+    graft.io.GeoWriter.flatgeobuf(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val feats = graft.io.FlatGeobuf.readFeatures(part.getAbsolutePath).toVector
+    val byId = feats.map(f => f.properties("id") -> f).toMap
+    assert(graft.geom.Wkt.write(byId("1").geom) == "POINT Z (1 2 3)")
+    assert(graft.geom.Wkt.write(byId("2").geom) == "LINESTRING ZM (0 0 1 10, 5 5 2 20)")
+    // single-dim M round-trips as M (0-filled Z is only for mixed ZM files)
+    val m = graft.geom.Wkt.write(byId("3").geom)
+    assert(m == "POINT ZM (4 5 0 6)" || m == "POINT M (4 5 6)", m)
+  }
+
+  test("geojson FeatureCollection streams without materializing the document") {
+    val p = s"$dir/stream.geojson"
+    val features = (0 until 200).map { i =>
+      s"""{"type":"Feature","id":"f$i","geometry":{"type":"Point","coordinates":[$i,${i % 5}]},"properties":{"n":$i}}"""
+    }.mkString(",\n  ")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      s"""{"name":"big","type":"FeatureCollection",\n "features":[\n  $features\n]}""")
+    val df = spark.read.format("geo").load(p)
+    df.createOrReplaceTempView("streamed")
+    assert(spark.sql("SELECT count(*) FROM streamed").collect()(0).getLong(0) == 200L)
+    val r = spark.sql("SELECT id, st_astext(geom) FROM streamed WHERE id = 'f7'").collect()(0)
+    assert(r.getString(1) == "POINT (7 2)")
+  }
 }
