@@ -64,31 +64,52 @@ object Graft {
   /** ST_Read table function — the reference's replacement-scan UX
    *  (st_read.cpp:538-553): `SELECT * FROM st_read('/path/file.shp')` resolves
    *  to a DataSourceV2 relation over the geo source. */
-  def stReadPlan(exprs: Seq[Expression]): LogicalPlan = {
+  def stReadPlan(exprs: Seq[Expression]): LogicalPlan = stReadAs(None)(exprs)
+
+  /** st_readshp / st_readosm: format-forced variants (reference registers the
+   *  specialized readers as their own table functions, read_shapefile.cpp /
+   *  st_read_osm.cpp). */
+  def stReadAs(forced: Option[String])(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.nonEmpty && exprs.head.foldable, "st_read(path) needs a constant path")
+    // honor the reference's sandbox switch (config.cpp enable_external_access)
+    SparkSession.getActiveSession.foreach { s =>
+      if (!s.conf.get("enable_external_access", "true").toBoolean)
+        throw new SecurityException(
+          "st_read with VSI prefix: External access is disabled by configuration")
+    }
     val path = exprs.head.eval(null).toString
     val paths = graft.io.GeoFiles.expand(path)
-    val fmt = graft.io.GeoFiles.formatOf(paths, None)
+    val fmt = graft.io.GeoFiles.formatOf(paths, forced)
     val schema = graft.io.GeoFiles.schemaFor(fmt, paths)
     val table = new graft.io.GeoTable(schema, paths, fmt)
     org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
       table, None, None)
   }
 
-  /** Idempotent per-session function registration. Skips names the
-   *  GraftExtensions injection already placed in the session registry, so
-   *  calling both paths doesn't log a replacement warning per function. */
+  /** Idempotent per-session function registration. Skips only names OUR
+   *  injection already placed in the session registry (source == "graft") —
+   *  a name-exists check alone would wrongly skip overriding Spark 4.1's own
+   *  st_geomfromwkb/st_asbinary builtins in sessions without the extension. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    def ours(id: org.apache.spark.sql.catalyst.FunctionIdentifier): Boolean =
+      registry.lookupFunction(id).exists(_.getClassName == "graft")
     builders.foreach { case (name, builder) =>
-      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!ours(id))
+        registry.registerFunction(id, new ExpressionInfo("graft", name), builder)
     }
     val tfr = spark.sessionState.tableFunctionRegistry
-    if (!tfr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_generatepoints")))
-      tfr.createOrReplaceTempFunction("st_generatepoints", generatePointsPlan, "built-in")
-    if (!tfr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_read")))
-      tfr.createOrReplaceTempFunction("st_read", stReadPlan, "built-in")
+    def oursT(id: org.apache.spark.sql.catalyst.FunctionIdentifier): Boolean =
+      tfr.lookupFunction(id).exists(_.getClassName == "graft")
+    val gp = org.apache.spark.sql.catalyst.FunctionIdentifier("st_generatepoints")
+    if (!oursT(gp)) tfr.registerFunction(gp, new ExpressionInfo("graft", "st_generatepoints"), generatePointsPlan _)
+    val sr = org.apache.spark.sql.catalyst.FunctionIdentifier("st_read")
+    if (!oursT(sr)) tfr.registerFunction(sr, new ExpressionInfo("graft", "st_read"), stReadPlan _)
+    val shp = org.apache.spark.sql.catalyst.FunctionIdentifier("st_readshp")
+    if (!oursT(shp)) tfr.registerFunction(shp, new ExpressionInfo("graft", "st_readshp"), stReadAs(Some("shapefile")) _)
+    val osm = org.apache.spark.sql.catalyst.FunctionIdentifier("st_readosm")
+    if (!oursT(osm)) tfr.registerFunction(osm, new ExpressionInfo("graft", "st_readosm"), stReadAs(Some("osmpbf")) _)
   }
 }
 
@@ -109,7 +130,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_read"),
       new ExpressionInfo("graft", "st_read"),
       Graft.stReadPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_readshp"),
+      new ExpressionInfo("graft", "st_readshp"),
+      Graft.stReadAs(Some("shapefile"))))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_readosm"),
+      new ExpressionInfo("graft", "st_readosm"),
+      Graft.stReadAs(Some("osmpbf"))))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
+    ext.injectResolutionRule(_ => graft.plans.BarePathRelationRule)
   }
 }

@@ -338,6 +338,22 @@ object GeoFns {
   }
 
   private def forceDims(g: Geometry, wantZ: Boolean, wantM: Boolean, z: Double, m: Double): Geometry = {
+    // Point fast path: one coordinate copy, no GeometryEditor machinery —
+    // points dominate real workloads (q_force_dims is 60k point rows)
+    g match {
+      case p: Point if !p.isEmpty =>
+        val cs = p.getCoordinateSequence
+        val x = cs.getX(0); val y = cs.getY(0)
+        val zi = if (cs.hasZ && !cs.getZ(0).isNaN) cs.getZ(0) else z
+        val mi = if (cs.hasM && !cs.getM(0).isNaN) cs.getM(0) else m
+        val c: Coordinate =
+          if (wantZ && wantM) new CoordinateXYZM(x, y, zi, mi)
+          else if (wantZ) new Coordinate(x, y, zi)
+          else if (wantM) new CoordinateXYM(x, y, mi)
+          else new Coordinate(x, y)
+        return f.createPoint(c)
+      case _ =>
+    }
     val ed = new GeometryEditor(f)
     ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
       override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
@@ -984,21 +1000,31 @@ object GeoFns {
       else a.union(b)
     }
     ggG("st_shortestline")((g1, g2) => f.createLineString(DistanceOp.nearestPoints(g1, g2)))
-    gG("st_flipcoordinates") { g =>
-      val ed = new GeometryEditor(f)
-      ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
-        override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
-          val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
-          var i = 0
-          while (i < cs.size) {
-            out.setOrdinate(i, 0, cs.getY(i)); out.setOrdinate(i, 1, cs.getX(i))
-            var d = 2
-            while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
-            i += 1
-          }
-          out
+    gG("st_flipcoordinates") {
+      // Point fast path: swap two ordinates, skip the editor
+      case p: Point if !p.isEmpty =>
+        val c: Coordinate = p.getCoordinate match {
+          case zm: CoordinateXYZM => new CoordinateXYZM(zm.y, zm.x, zm.getZ, zm.getM)
+          case xm: CoordinateXYM => new CoordinateXYM(xm.y, xm.x, xm.getM)
+          case c0 if !c0.getZ.isNaN => new Coordinate(c0.y, c0.x, c0.getZ)
+          case c0 => new Coordinate(c0.y, c0.x)
         }
-      })
+        f.createPoint(c)
+      case g =>
+        val ed = new GeometryEditor(f)
+        ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+          override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+            val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+            var i = 0
+            while (i < cs.size) {
+              out.setOrdinate(i, 0, cs.getY(i)); out.setOrdinate(i, 1, cs.getX(i))
+              var d = 2
+              while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+              i += 1
+            }
+            out
+          }
+        })
     }
     gG("st_force2d")(g => forceDims(g, wantZ = false, wantM = false, 0, 0))
     fn("st_force3dz", B, Seq(B, D))(a => w(forceDims(rg(a(0)), wantZ = true, wantM = false, dbl(a(1)), 0)))

@@ -65,17 +65,26 @@ object TextFns {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** splitmix64 finalizer (public domain constant schedule) */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   /** k-min MinHash signature over char shingles. The hash family is
-   *  Kirsch-Mitzenmacher double hashing — h_i = h1 + i*h2 from two murmur
-   *  hashes per shingle — so cost is O(shingles + numHashes) murmurs instead
-   *  of O(shingles * numHashes). */
+   *  Kirsch-Mitzenmacher double hashing — h_i = h1 + i*h2 — with h1/h2
+   *  derived from ONE murmur pass per shingle via splitmix64, so cost is
+   *  O(shingles + numHashes) with a single string traversal per shingle. */
   def minhash(s: String, numHashes: Int, shingleK: Int, seed: Int): Array[Long] = {
     val sh = charShingles(s, shingleK)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < sh.length) {
-      val h1 = hash64(sh(j), seed)
-      val h2 = hash64(sh(j), seed ^ 0x5bd1e995) | 1L
+      val base = MurmurHash3.stringHash(sh(j), seed).toLong
+      val h1 = splitmix64(base)
+      val h2 = splitmix64(base ^ 0x632be59bd9b4e019L) | 1L
       var i = 0
       var h = h1
       while (i < numHashes) {

@@ -92,11 +92,14 @@ object Geo {
       if (t.regionMatches(true, 0, "SRID=", 0, 5)) t.substring(t.indexOf(';') + 1) else t
     }
     // reference parser rejects collections mixing Z/M/ZM members
-    // (wkt_reader.cpp: "mixed Z and M types are not supported")
-    val tags = DimTag.findAllMatchIn(wkt).map(_.group(1).toUpperCase).toSet
-    if (tags.size > 1)
-      throw new IllegalArgumentException(
-        s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
+    // (wkt_reader.cpp: "mixed Z and M types are not supported"); only
+    // collections can mix, so skip the regex on the simple-type hot path
+    if (wkt.length > 0 && (wkt.charAt(0) == 'G' || wkt.charAt(0) == 'g')) {
+      val tags = DimTag.findAllMatchIn(wkt).map(_.group(1).toUpperCase).toSet
+      if (tags.size > 1)
+        throw new IllegalArgumentException(
+          s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
+    }
     val g = tl.get().wktReader.read(wkt)
     if (g.isEmpty) TopEmptyTag.findFirstMatchIn(wkt).foreach { m =>
       val t = m.group(1).toUpperCase

@@ -52,22 +52,27 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
 
 object GeoFiles {
   def expand(path: String): Seq[String] = {
-    val p = Paths.get(path.stripPrefix("file:"))
+    // accept GDAL's /vsigzip/ virtual-fs spelling; .gz is handled natively
+    val cleaned = path.stripPrefix("file:").replaceFirst("^/vsigzip/", "")
+    val p = Paths.get(cleaned)
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.map(_.toString)
         .filter(f => known(f)).toSeq.sorted
     } else Seq(p.toString)
   }
 
+  /** trailing .gz is transparent for the text formats */
+  private def degz(l: String): String = if (l.endsWith(".gz")) l.dropRight(3) else l
+
   private def known(f: String): Boolean = {
-    val l = f.toLowerCase
+    val l = degz(f.toLowerCase)
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
       l.endsWith(".fgb") || l.endsWith(".gpkg")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
-    val l = paths.head.toLowerCase
+    val l = degz(paths.head.toLowerCase)
     if (l.endsWith(".shp")) "shapefile"
     else if (l.endsWith(".fgb")) "flatgeobuf"
     else if (l.endsWith(".gpkg")) "geopackage"
@@ -75,6 +80,15 @@ object GeoFiles {
     else if (l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
     else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
+  }
+
+  /** Reader for a possibly-gzipped text file. */
+  def textReader(path: String): java.io.BufferedReader = {
+    val in: java.io.InputStream = {
+      val fis = Files.newInputStream(Paths.get(path))
+      if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPInputStream(fis, 1 << 16) else fis
+    }
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
   }
 
   val geojsonSchema: StructType = StructType(Seq(
@@ -212,10 +226,10 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
       case ("geojson", FilePartition(p)) =>
         // stream the FeatureCollection: a multi-GB document must not be
         // materialized as one String/byte[]
-        val reader = Files.newBufferedReader(Paths.get(p))
-        GeoJsonFile.streamDocument(reader).map(GeoRows.featureRow(_, required))
+        GeoJsonFile.streamDocument(GeoFiles.textReader(p)).map(GeoRows.featureRow(_, required))
       case ("geojsonl", FilePartition(p)) =>
-        Files.lines(Paths.get(p)).iterator().asScala
+        val br = GeoFiles.textReader(p)
+        Iterator.continually(br.readLine()).takeWhile(_ != null)
           .flatMap(GeoJsonFile.parseLine)
           .map(GeoRows.featureRow(_, required))
       case ("osmpbf", OsmPartition(p, blobs)) =>

@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  *
  * Tuning: spark.graft.spatialJoin.enabled (default true),
  * spark.graft.spatialJoin.cellSize (default 1.0 — set to ~the median geometry
- * extent; too small explodes tiles, too large degrades pruning), and
+ * extent; too small explodes tiles, too large degrades pruning; "auto"
+ * samples up to 1000 rows per side at planning time and uses the median
+ * bbox extent, so the tile size tracks the data at any scale), and
  * spark.graft.spatialJoin.salt (default 1 — set >1 for hot tiles: left rows
  * spread across `salt` sub-keys by geometry hash, right rows replicated per
  * sub-key, so a city-sized tile no longer lands on one task; AQE skew-join
@@ -46,8 +48,28 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean
-  private def cellSize: Double =
-    spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0").toDouble
+
+  private def cellSize(left: LogicalPlan, lGeom: Expression,
+                       right: LogicalPlan, rGeom: Expression): Double = {
+    val conf = spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0")
+    if (!conf.equalsIgnoreCase("auto")) return conf.toDouble
+    // auto: median bbox extent over a bounded sample of each side — a fixed
+    // cell is data-dependent and silently degrades at the wrong scale
+    def sampleExtents(plan: LogicalPlan, geom: Expression): Seq[Double] = try {
+      val ext = Alias(Greatest(Seq(
+        Subtract(FnExpr("st_xmax", Seq(geom)), FnExpr("st_xmin", Seq(geom))),
+        Subtract(FnExpr("st_ymax", Seq(geom)), FnExpr("st_ymin", Seq(geom))))), "__ext")()
+      val probe = Limit(Literal(1000), Project(Seq(ext), plan))
+      spark.sessionState.executePlan(probe).executedPlan.executeCollect()
+        .map(_.getDouble(0)).filter(d => !d.isNaN && !d.isInfinite).toSeq
+    } catch { case _: Exception => Seq.empty }
+    val all = (sampleExtents(left, lGeom) ++ sampleExtents(right, rGeom)).filter(_ >= 0).sorted
+    if (all.isEmpty) 1.0
+    else {
+      val med = all(all.length / 2)
+      if (med <= 0) 1.0 else med // degenerate (all points): any cell works; keep 1
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -100,7 +122,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       pred: FnExpr,
       lGeom: Expression,
       rGeom: Expression): LogicalPlan = {
-    val cell = Literal(cellSize)
+    val cell = Literal(cellSize(j.left, lGeom, j.right, rGeom))
     val tileL = AttributeReference("__graft_tile_l", LongType, nullable = false)()
     val tileR = AttributeReference("__graft_tile_r", LongType, nullable = false)()
 

@@ -360,4 +360,15 @@ class GeoIOSpec extends AnyFunSuite {
     val r = spark.sql("SELECT id, st_astext(geom) FROM streamed WHERE id = 'f7'").collect()(0)
     assert(r.getString(1) == "POINT (7 2)")
   }
+
+  test("bare-path replacement scan resolves geo files in FROM") {
+    // fixture from the shapefile writer round-trip test dir may not exist yet; make one
+    Graft.register(spark)
+    val df = spark.sql("SELECT 1L AS id, st_aswkb(st_point(7.0d, 8.0d)) AS geom").coalesce(1)
+    val out = s"$dir/barepath"
+    graft.io.GeoWriter.shapefile(df, "geom", out)
+    val shp = new java.io.File(out).listFiles().filter(_.getName.endsWith(".shp")).head.getAbsolutePath
+    val r = spark.sql(s"SELECT id, st_astext(geom) AS wkt FROM `$shp`").collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "POINT (7 8)")
+  }
 }

@@ -62,4 +62,16 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
     assert(df.count() > 0)
   }
+
+  test("auto cellSize samples the data and preserves results") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+    val fixed = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "auto")
+    try {
+      val auto = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto == fixed && auto.nonEmpty, s"auto cell changed results")
+    } finally spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+  }
 }

@@ -27,7 +27,8 @@ class SqlLogicSpec extends AnyFunSuite {
     // geometry/ plus the geos-, postgis- and top-level suites (proj,
     // area_spheroid, linemerge, buffer, …) — everything not IO-fixture-bound
     val dirs = Seq(dir, "/root/reference/test/sql", "/root/reference/test/sql/geos",
-      "/root/reference/test/sql/postgis")
+      "/root/reference/test/sql/postgis", "/root/reference/test/sql/gdal",
+      "/root/reference/test/sql/shapefile", "/root/reference/test/sql/index")
     val files = dirs.flatMap(d => Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".test")))
       .sortBy(_.getPath)

