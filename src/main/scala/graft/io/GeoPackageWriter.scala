@@ -1,0 +1,91 @@
+package graft.io
+
+import graft.geom.{Geo, Wkb}
+import org.locationtech.jts.geom.Geometry
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * GeoPackage writer (OGC GeoPackage 1.3 subset) on [[SqliteWriter]]: one
+ * feature table + the required gpkg_spatial_ref_sys / gpkg_contents /
+ * gpkg_geometry_columns metadata, geometries as standard GeoPackageBinary
+ * blobs (magic GP, little-endian flag, 32-byte XY envelope, ISO WKB body).
+ * Round-trips through [[GeoPackage]]'s reader.
+ */
+object GeoPackageWriter {
+
+  def gpkgBlob(g: Geometry, srsId: Int): Array[Byte] = {
+    val wkb = Wkb.write(g)
+    val empty = g == null || g.isEmpty
+    val envSize = if (empty) 0 else 32
+    val bb = ByteBuffer.allocate(8 + envSize + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    // flags: bit0 little-endian; envelope indicator 1 (XY) in bits 3-1 → 0x02;
+    // empty geometries set the E flag (0x10) and carry no envelope
+    bb.put((if (empty) 0x01 | 0x10 else 0x01 | 0x02).toByte)
+    bb.putInt(srsId)
+    if (!empty) {
+      val e = g.getEnvelopeInternal
+      bb.putDouble(e.getMinX); bb.putDouble(e.getMaxX)
+      bb.putDouble(e.getMinY); bb.putDouble(e.getMaxY)
+    }
+    bb.put(wkb)
+    bb.array()
+  }
+
+  /** columns: (name, sqliteType) for the attribute columns (geometry and fid
+   *  are added by the writer). `rows`: (geometry, attribute values). */
+  def write(path: String, table: String, columns: Seq[(String, String)],
+            rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326): Long = {
+    val db = new SqliteWriter.Db
+    var count = 0L
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    val recs = rows.map { case (g, attrs) =>
+      count += 1
+      if (g != null && !g.isEmpty) {
+        val e = g.getEnvelopeInternal
+        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+      }
+      // fid = INTEGER PRIMARY KEY → stored as NULL, value is the rowid
+      val vals: Seq[Any] = null +: attrs.toSeq :+ (if (g == null) null else gpkgBlob(g, srsId))
+      (count, SqliteWriter.record(vals))
+    }.toVector
+    val featRoot = db.writeTable(recs)
+
+    val srsRoot = db.writeTable(Seq(
+      1L -> SqliteWriter.record(Seq("WGS 84 geodetic", srsId.toLong, "EPSG", srsId.toLong,
+        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]", null))))
+    val (cminX, cminY, cmaxX, cmaxY) =
+      if (count == 0 || minX > maxX) (0.0, 0.0, 0.0, 0.0) else (minX, minY, maxX, maxY)
+    val contentsRoot = db.writeTable(Seq(
+      1L -> SqliteWriter.record(Seq(table, "features", table, "", "2026-01-01T00:00:00.000Z",
+        cminX, cminY, cmaxX, cmaxY, srsId.toLong))))
+    val geomColsRoot = db.writeTable(Seq(
+      1L -> SqliteWriter.record(Seq(table, "geom", "GEOMETRY", srsId.toLong, 0L, 0L))))
+
+    val colSql = columns.map { case (n, t) => s""""$n" $t""" }.mkString(", ")
+    val featSql =
+      s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)"""
+    db.finish(path, Seq(
+      // NOTE: srs_id INTEGER PRIMARY KEY is the rowid alias (no autoindex
+      // b-tree needed); a TEXT PRIMARY KEY would imply a sqlite_autoindex
+      // tree this writer doesn't emit, so table_name is NOT NULL instead
+      ("gpkg_spatial_ref_sys", srsRoot,
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT, srs_id INTEGER PRIMARY KEY, organization TEXT, organization_coordsys_id INTEGER, definition TEXT, description TEXT)"),
+      ("gpkg_contents", contentsRoot,
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT, identifier TEXT, description TEXT, last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"),
+      ("gpkg_geometry_columns", geomColsRoot,
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"),
+      (table, featRoot, featSql)))
+    count
+  }
+
+  def sqliteType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.BooleanType => "INTEGER"
+    case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => "DOUBLE"
+    case org.apache.spark.sql.types.BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+}

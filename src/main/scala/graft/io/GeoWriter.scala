@@ -97,6 +97,39 @@ object GeoWriter {
     }
   }
 
+  /** Write `df` as a directory of per-partition GeoPackage files (single
+   *  feature table per file, hand-rolled sqlite pages — no sqlite dependency). */
+  def geopackage(df: DataFrame, geomCol: String, path: String, table: String = "features"): Unit = {
+    new java.io.File(path).mkdirs()
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val cols = attrIdx.map { i =>
+      val f = schema.fields(i)
+      (f.name, GeoPackageWriter.sqliteType(f.dataType))
+    }
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext) {
+        val rows = it.map { r =>
+          val g = r.get(geomIdx) match {
+            case b: Array[Byte] => graft.geom.Geo.read(b)
+            case _ => null
+          }
+          val attrs = attrIdx.map(i => r.get(i) match {
+            case b: Boolean => if (b) 1L else 0L
+            case x: Int => x.toLong
+            case x: Float => x.toDouble
+            case other => other
+          }).toArray[Any]
+          (g, attrs)
+        }
+        GeoPackageWriter.write(f"$path/part-$pid%05d.gpkg", table, cols, rows)
+      }
+      ()
+    }
+  }
+
   /** Hilbert-clustered parquet with bbox stats column. Bounds are taken from
    *  the data (one cheap aggregate) unless given. */
   def clusteredParquet(

@@ -371,4 +371,43 @@ class GeoIOSpec extends AnyFunSuite {
     val r = spark.sql(s"SELECT id, st_astext(geom) AS wkt FROM `$shp`").collect()(0)
     assert(r.getLong(0) == 1L && r.getString(1) == "POINT (7 8)")
   }
+
+  test("geopackage writer round-trips through the geopackage reader") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, name, score, st_aswkb(st_geomfromtext(wkt)) AS geom
+      FROM VALUES
+        (10L, 'alpha', 1.5d, 'POINT (1 2)'),
+        (20L, 'beta',  -2.25d, 'LINESTRING (0 0, 3 4)'),
+        (30L, 'gamma', 0.0d, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS t(id, name, score, wkt)""")
+      .coalesce(1)
+    val out = s"$dir/gpkgout"
+    graft.io.GeoWriter.geopackage(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".gpkg")).head
+    val back = spark.read.format("geo").load(part.getAbsolutePath)
+    back.createOrReplaceTempView("gpkg_rt")
+    val rows = spark.sql(
+      "SELECT fid, id, name, score, st_astext(geom) AS wkt FROM gpkg_rt ORDER BY fid").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 10L &&
+      rows(0).getString(2) == "alpha" && rows(0).getDouble(3) == 1.5 &&
+      rows(0).getString(4) == "POINT (1 2)")
+    assert(rows(1).getString(4) == "LINESTRING (0 0, 3 4)")
+    assert(rows(2).getString(4) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+  }
+
+  test("geopackage writer handles many rows (interior b-tree pages)") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT id, repeat('x', 60) AS pad, st_aswkb(st_point(cast(id AS DOUBLE), cast(id % 13 AS DOUBLE))) AS geom
+      FROM range(0, 2000)""").coalesce(1)
+    val out = s"$dir/gpkgbig"
+    graft.io.GeoWriter.geopackage(df, "geom", out)
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".gpkg")).head
+    val back = spark.read.format("geo").load(part.getAbsolutePath)
+    back.createOrReplaceTempView("gpkg_big")
+    assert(spark.sql("SELECT count(*) FROM gpkg_big").collect()(0).getLong(0) == 2000L)
+    val r = spark.sql("SELECT st_astext(geom) FROM gpkg_big WHERE id = 1234").collect()(0)
+    assert(r.getString(0) == "POINT (1234 " + (1234 % 13) + ")")
+  }
 }
