@@ -337,10 +337,13 @@ object SparkEntry {
       FROM lineitem ORDER BY k"""),
 
     // ---------------------------------------------------------- geodesy / CRS
+    // 0.1 m granularity (value/10, 2 decimals): ~2e7-magnitude distances at
+    // 1e-3 granularity are 11 significant digits — past cross-libm last-ulp
+    // reproducibility, the exact failure mode q_transform hit in round 2.
     "q_haversine" -> q("lineitem")(s"""
       SELECT $K AS k,
              round(st_haversine(cast(l_partkey % 120 AS DOUBLE) - 60.0d, cast(l_suppkey % 120 AS DOUBLE) - 60.0d,
-                                cast(l_partkey % 90 AS DOUBLE) - 45.0d, cast(l_suppkey % 90 AS DOUBLE) - 45.0d), 3) AS hav_m
+                                cast(l_partkey % 90 AS DOUBLE) - 45.0d, cast(l_suppkey % 90 AS DOUBLE) - 45.0d) / 10.0d, 2) AS hav_m
       FROM lineitem ORDER BY k"""),
 
     // Rounded at ~0.1 m granularity (value/10 to 2 decimals) so last-ulp libm
@@ -822,7 +825,7 @@ object SparkEntry {
              round(2 * 6371000.0 * asin(sqrt(
                pow(sin((radians(CAST(l_partkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_partkey % 120 AS DOUBLE) - 60.0)) / 2), 2)
                + cos(radians(CAST(l_partkey % 120 AS DOUBLE) - 60.0)) * cos(radians(CAST(l_partkey % 90 AS DOUBLE) - 45.0))
-                 * pow(sin((radians(CAST(l_suppkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_suppkey % 120 AS DOUBLE) - 60.0)) / 2), 2))), 3) AS hav_m
+                 * pow(sin((radians(CAST(l_suppkey % 90 AS DOUBLE) - 45.0) - radians(CAST(l_suppkey % 120 AS DOUBLE) - 60.0)) / 2), 2))) / 10.0, 2) AS hav_m
       FROM lineitem ORDER BY k""",
 
     "q_transform" -> s"""
