@@ -558,6 +558,20 @@ object SparkEntry {
       FROM (SELECT doc_id, mm_decode_stub(cast(text AS BINARY)) AS m FROM documents)
       ORDER BY doc_id"""),
 
+    // decode → frame-sample → resize → feature-extract over media blobs;
+    // kernels are deterministic stubs (no codecs in this container) but the
+    // shapes (binary→frames explode, w*h-bounded resize, embedding bridge
+    // into the ANN pipeline) are the production plumbing
+    "q_multimodal_pipeline" -> q("documents")("""
+      SELECT doc_id,
+             cast(size(mm_frame_sample_stub(bin, 4)) AS INT) AS frames,
+             cast(length(mm_frame_sample_stub(bin, 4)[1]) AS INT) AS frame1_len,
+             cast(length(mm_resize_stub(bin, 8, 8)) AS INT) AS resized_len,
+             round(mm_feature_stub(bin, 8)[0], 6) AS f0,
+             round(mm_feature_stub(bin, 8)[7], 6) AS f7
+      FROM (SELECT doc_id, cast(text AS BINARY) AS bin FROM documents WHERE doc_id < 40)
+      ORDER BY doc_id"""),
+
     // ---------------------------------------------------------- seeded generator (reference benchmark pin)
     "q_generatepoints_pin" -> q()("""
       SELECT cast(count(*) AS INT) AS n
@@ -1002,6 +1016,23 @@ object SparkEntry {
 
     // same pin through the clustered/pruned path (rtree_points_index.benchmark)
     "q_rtree_clustered_pin" -> "SELECT CAST(3986 AS INT) AS n",
+
+    "q_multimodal_pipeline" -> """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frames AS INT) AS frames,
+             CAST(frame1_len AS INT) AS frame1_len, CAST(resized_len AS INT) AS resized_len,
+             CAST(f0 AS DOUBLE) AS f0, CAST(f7 AS DOUBLE) AS f7
+      FROM (VALUES
+        (0,4,16,64,0.347845,0.728364),(1,4,16,64,-0.289462,-0.167644),(2,4,16,64,-0.076075,0.60288),(3,4,16,64,-0.092332,0.448921),
+        (4,4,16,64,0.51629,-0.679724),(5,4,16,64,0.121184,-0.597727),(6,4,16,64,-0.307733,0.56457),(7,4,16,64,0.402149,0.867872),
+        (8,4,16,64,0.321154,-0.919665),(9,4,16,64,-0.651241,-0.99574),(10,4,16,64,-0.124786,0.665039),(11,4,16,64,0.640178,0.563342),
+        (12,4,16,64,-0.897321,0.441203),(13,4,16,64,-0.904592,0.297234),(14,4,16,64,0.954918,-0.73358),(15,4,16,64,0.145211,0.126126),
+        (16,4,16,64,0.148595,0.295434),(17,4,16,64,-0.609886,0.335171),(18,4,16,64,0.537543,0.434006),(19,4,16,64,-0.142416,-0.289146),
+        (20,4,16,64,-0.474078,-0.043765),(21,4,16,64,-0.717094,0.219661),(22,4,16,64,-0.877534,0.992849),(23,4,16,64,-0.549575,0.269568),
+        (24,4,16,64,-0.475746,0.879439),(25,4,16,64,-0.918646,-0.535019),(26,4,16,64,-0.015254,0.473678),(27,4,16,64,-0.687669,0.939897),
+        (28,4,16,64,0.681698,-0.447237),(29,4,16,64,-0.437012,0.520723),(30,4,16,64,0.473627,0.801899),(31,4,16,64,-0.75465,0.252628),
+        (32,4,16,64,-0.444599,0.725588),(33,4,16,64,-0.754057,0.577581),(34,4,16,64,0.744135,-0.281546),(35,4,16,64,-0.483681,0.797981),
+        (36,4,16,64,-0.65829,-0.185921),(37,4,16,64,-0.18405,-0.967132),(38,4,16,64,0.094912,-0.865134),(39,4,16,64,-0.589401,0.765954)) v(doc_id, frames, frame1_len, resized_len, f0, f7)
+      ORDER BY doc_id""",
 
     "q_multimodal" -> """
       SELECT doc_id,

@@ -106,5 +106,45 @@ object VecFns {
       new GenericInternalRow(Array[Any](
         (n % 640) + 1, ((n * 7) % 480) + 1, 3, UTF8String.fromString("fake/rgb8"), n.toLong))
     }
+
+    // resize: deterministic byte resample standing in for a pixel resample
+    // (the output SHAPE — w*h-bounded binary — is what the pipeline consumes)
+    fn("mm_resize_stub", BinaryType, Seq(BinaryType, I, I)) { a =>
+      graft.mm.MultiModal.resizeStub(a(0).asInstanceOf[Array[Byte]], int(a(1)), int(a(2)))
+    }
+
+    // frame sampling: n evenly-spaced "frames" (16-byte windows) from a video
+    // blob → explode() gives the per-frame rows a real decoder would emit
+    fn("mm_frame_sample_stub", ArrayType(BinaryType), Seq(BinaryType, I)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      val n = math.max(1, int(a(1)))
+      val frames: Array[Any] = Array.tabulate(n) { i =>
+        if (b.isEmpty) Array.emptyByteArray
+        else {
+          val start = (i.toLong * b.length / n).toInt
+          java.util.Arrays.copyOfRange(b, start, math.min(b.length, start + 16))
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(frames)
+    }
+
+    // feature extraction: deterministic unit-scale embedding from the bytes —
+    // the bridge from media blobs into the ANN/near-dup pipeline
+    fn("mm_feature_stub", AD, Seq(BinaryType, I)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      val dim = math.max(1, int(a(1)))
+      val base = MurmurHash3.bytesHash(b, 0x7fea1e5).toLong
+      val out = new Array[Any](dim)
+      var j = 0
+      while (j < dim) {
+        var x = base + j * 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^= (x >>> 31)
+        out(j) = (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
   }
 }

@@ -350,6 +350,22 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 6 && r.getLong(1) == 5L && r.getString(2) == "fake/rgb8")
   }
 
+  test("multimodal resize / frame-sample / feature stubs") {
+    assert(sql1("size(mm_frame_sample_stub(cast('0123456789abcdefghij' AS BINARY), 4))") == 4)
+    // evenly spaced 16-byte windows over the blob
+    assert(sql1("cast(mm_frame_sample_stub(cast('0123456789abcdefghij' AS BINARY), 4)[1] AS STRING)") == "56789abcdefghij")
+    assert(sql1("length(mm_resize_stub(cast('hello world, this is media' AS BINARY), 8, 8))") == 64)
+    // feature vector is unit-scale, deterministic, and dim-sized
+    assert(sql1("size(mm_feature_stub(cast('blob' AS BINARY), 16))") == 16)
+    val f = sql1("mm_feature_stub(cast('blob' AS BINARY), 4)[2]").asInstanceOf[Double]
+    assert(f >= -1.0 && f <= 1.0)
+    assert(sql1("mm_feature_stub(cast('blob' AS BINARY), 4)[2]") == f) // stable
+    // the explode pattern a video pipeline uses: one row per frame
+    val n = spark.sql(
+      "SELECT explode(mm_frame_sample_stub(cast('0123456789abcdefghij' AS BINARY), 5)) AS frame").count()
+    assert(n == 5)
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
