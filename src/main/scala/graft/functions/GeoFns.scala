@@ -286,7 +286,41 @@ object GeoFns {
     case "overlaps" => p.overlaps(g)
     case "equals" => p.getGeometry.equalsTopo(g)
   }
-  private def plainApply(op: String, a: Geometry, b: Geometry): Boolean = op match {
+  /** DE-9IM between two axis-aligned rectangles is pure interval arithmetic —
+   *  no relate() machinery (the reference's cached-bbox short-circuits,
+   *  geometry_type.hpp:100-146, taken to completion for the rect-rect case). */
+  private def rectApply(op: String, a: Geometry, b: Geometry): Boolean = {
+    val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
+    val ix0 = math.max(ea.getMinX, eb.getMinX); val ix1 = math.min(ea.getMaxX, eb.getMaxX)
+    val iy0 = math.max(ea.getMinY, eb.getMinY); val iy1 = math.min(ea.getMaxY, eb.getMaxY)
+    val intersects = ix0 <= ix1 && iy0 <= iy1
+    def containsAB = eb.getMinX >= ea.getMinX && eb.getMaxX <= ea.getMaxX &&
+      eb.getMinY >= ea.getMinY && eb.getMaxY <= ea.getMaxY
+    def containsBA = ea.getMinX >= eb.getMinX && ea.getMaxX <= eb.getMaxX &&
+      ea.getMinY >= eb.getMinY && ea.getMaxY <= eb.getMaxY
+    op match {
+      case "intersects" => intersects
+      case "disjoint" => !intersects
+      case "contains" | "covers" => containsAB
+      case "within" | "coveredby" => containsBA
+      case "containsproperly" =>
+        eb.getMinX > ea.getMinX && eb.getMaxX < ea.getMaxX &&
+          eb.getMinY > ea.getMinY && eb.getMaxY < ea.getMaxY
+      case "touches" => intersects && (ix0 == ix1 || iy0 == iy1)
+      case "overlaps" => ix1 > ix0 && iy1 > iy0 && !containsAB && !containsBA
+      case "equals" => containsAB && containsBA
+      case "crosses" => false // area/area intersection can never be lower-dimensional both ways
+    }
+  }
+  private def isRect(g: Geometry): Boolean =
+    g.isRectangle && {
+      val e = g.getEnvelopeInternal
+      e.getWidth > 0 && e.getHeight > 0
+    }
+
+  private def plainApply(op: String, a: Geometry, b: Geometry): Boolean = {
+    if (isRect(a) && isRect(b)) return rectApply(op, a, b)
+    op match {
     case "intersects" => a.intersects(b)
     case "contains" => a.contains(b)
     case "containsproperly" => PreparedGeometryFactory.prepare(a).containsProperly(b)
@@ -298,6 +332,7 @@ object GeoFns {
     case "touches" => a.touches(b)
     case "overlaps" => a.overlaps(b)
     case "equals" => a.equalsTopo(b)
+    }
   }
   private def predicate(name: String, op: String): Unit =
     fnSpec(name, BO, Seq(B, B)) { children =>

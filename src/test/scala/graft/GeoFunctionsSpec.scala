@@ -103,6 +103,35 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("st_area(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))'))) > 0") == true)
   }
 
+  test("rectangle predicate closed forms match JTS exactly") {
+    val ops = Seq("st_intersects", "st_disjoint", "st_contains", "st_containsproperly",
+      "st_within", "st_covers", "st_coveredby", "st_touches", "st_overlaps", "st_equals", "st_crosses")
+    // all box pairs over a small lattice: disjoint, touching (edge + corner),
+    // overlapping, contained, equal
+    val coords = Seq(0.0, 2.0, 4.0)
+    val boxes = for (x0 <- coords; x1 <- coords if x1 > x0; y0 <- coords; y1 <- coords if y1 > y0)
+      yield (x0, y0, x1, y1)
+    val pairs = for (a <- boxes; b <- boxes) yield (a, b)
+    val rows = pairs.map { case ((ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1)) =>
+      s"($ax0, $ay0, $ax1, $ay1, $bx0, $by0, $bx1, $by1)"
+    }.mkString(", ")
+    val sel = ops.map(o => s"$o(st_makeenvelope(ax0, ay0, ax1, ay1), st_makeenvelope(bx0, by0, bx1, by1)) AS $o").mkString(", ")
+    val got = spark.sql(
+      s"SELECT $sel FROM VALUES $rows AS t(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)").collect()
+    import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+    pairs.zip(got).foreach { case (((ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1)), row) =>
+      val a = graft.geom.Geo.box(ax0, ay0, ax1, ay1)
+      val b = graft.geom.Geo.box(bx0, by0, bx1, by1)
+      val expect = Seq(a.intersects(b), a.disjoint(b), a.contains(b),
+        PreparedGeometryFactory.prepare(a).containsProperly(b), a.within(b), a.covers(b),
+        a.coveredBy(b), a.touches(b), a.overlaps(b), a.equalsTopo(b), a.crosses(b))
+      ops.indices.foreach { i =>
+        assert(row.getBoolean(i) == expect(i),
+          s"${ops(i)} mismatch for ($ax0,$ay0,$ax1,$ay1) vs ($bx0,$by0,$bx1,$by1): got ${row.getBoolean(i)}")
+      }
+    }
+  }
+
   test("rectangle overlay fast paths keep OverlayNG topology") {
     // B strictly inside A: shell + hole
     assert(sql1("st_astext(st_difference(st_makeenvelope(0,0,10,10), st_makeenvelope(2,2,4,4)))")
