@@ -86,6 +86,37 @@ object Graft {
       table, None, None)
   }
 
+  /** ST_List_Proj_CRS — the reference's CRS-catalog table function
+   *  (proj/module.cpp); ours lists the embedded registry instead of proj.db. */
+  def listProjCrsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val rows = (Seq(
+      ("EPSG:4326", "WGS 84 (authority lat/lon order)"),
+      ("OGC:CRS84", "WGS 84 (lon/lat)"),
+      ("EPSG:3857", "WGS 84 / Pseudo-Mercator"),
+      ("EPSG:326xx", "WGS 84 / UTM North zones"),
+      ("EPSG:327xx", "WGS 84 / UTM South zones"),
+      ("EPSG:258xx", "ETRS89 / UTM zones")) ++ graft.geom.Proj.registry.keys.toSeq.sorted.map {
+      case c @ "EPSG:2154" => (c, "RGF93 / Lambert-93 (LCC 2SP)")
+      case c @ "EPSG:5070" => (c, "NAD83 / Conus Albers")
+      case c @ "EPSG:3577" => (c, "GDA94 / Australian Albers")
+      case c @ "EPSG:3035" => (c, "ETRS89-extended / LAEA Europe")
+      case c @ "EPSG:3413" => (c, "WGS 84 / NSIDC Sea Ice Polar Stereographic North")
+      case c @ "EPSG:3031" => (c, "WGS 84 / Antarctic Polar Stereographic")
+      case c => (c, c)
+    }).map { case (code, name) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(code),
+        org.apache.spark.unsafe.types.UTF8String.fromString(name))): org.apache.spark.sql.catalyst.InternalRow
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      Seq(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("auth_code",
+          org.apache.spark.sql.types.StringType, nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("name",
+          org.apache.spark.sql.types.StringType, nullable = false)()),
+      rows)
+  }
+
   /** Idempotent per-session function registration. Skips only names OUR
    *  injection already placed in the session registry (source == "graft") —
    *  a name-exists check alone would wrongly skip overriding Spark 4.1's own
@@ -110,6 +141,8 @@ object Graft {
     if (!oursT(shp)) tfr.registerFunction(shp, new ExpressionInfo("graft", "st_readshp"), stReadAs(Some("shapefile")) _)
     val osm = org.apache.spark.sql.catalyst.FunctionIdentifier("st_readosm")
     if (!oursT(osm)) tfr.registerFunction(osm, new ExpressionInfo("graft", "st_readosm"), stReadAs(Some("osmpbf")) _)
+    val lpc = org.apache.spark.sql.catalyst.FunctionIdentifier("st_list_proj_crs")
+    if (!oursT(lpc)) tfr.registerFunction(lpc, new ExpressionInfo("graft", "st_list_proj_crs"), listProjCrsPlan _)
   }
 }
 
@@ -138,6 +171,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_readosm"),
       new ExpressionInfo("graft", "st_readosm"),
       Graft.stReadAs(Some("osmpbf"))))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_list_proj_crs"),
+      new ExpressionInfo("graft", "st_list_proj_crs"),
+      Graft.listProjCrsPlan))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
     ext.injectResolutionRule(_ => graft.plans.BarePathRelationRule)

@@ -673,13 +673,16 @@ object GeoFns {
       } else w(Geo.fromWkt(str(a(0))))
     }
     fn("st_geomfromwkb", B, Seq(B))(a => w(rg(a(0)))) // validates + canonicalizes
-    fn("st_geomfromhexwkb", B, Seq(S)) { a =>
-      val h = str(a(0))
-      val bytes = new Array[Byte](h.length / 2)
-      var i = 0
-      while (i < bytes.length) { bytes(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte; i += 1 }
-      w(Geo.read(bytes))
-    }
+    // HEXEWKB variant: JTS WKBReader consumes both ISO and EWKB (SRID-flag)
+    // encodings, so both names share the decoder (hexwkb.cpp registers both)
+    for (name <- Seq("st_geomfromhexwkb", "st_geomfromhexewkb"))
+      fn(name, B, Seq(S)) { a =>
+        val h = str(a(0))
+        val bytes = new Array[Byte](h.length / 2)
+        var i = 0
+        while (i < bytes.length) { bytes(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte; i += 1 }
+        w(Geo.read(bytes))
+      }
     fn("st_geomfromgeojson", B, Seq(S))(a => w(GeoJson.parse(str(a(0)))))
     fn("st_makeline", B, Seq(B, B), Seq(ArrayType(B))) { a =>
       val pts: Array[Coordinate] =
@@ -825,9 +828,13 @@ object GeoFns {
       })
       if (v.isInfinite) null else v
     }
+    // both alias spellings are registered in the reference (scalar.hpp)
     gI("st_npoints")(_.getNumPoints)
+    gI("st_numpoints")(_.getNumPoints)
     gI("st_ngeometries")(g => if (g.isEmpty) 0 else g.getNumGeometries)
+    gI("st_numgeometries")(g => if (g.isEmpty) 0 else g.getNumGeometries)
     gI("st_ninteriorrings")(g => g match { case p: Polygon => p.getNumInteriorRing; case _ => null })
+    gI("st_numinteriorrings")(g => g match { case p: Polygon => p.getNumInteriorRing; case _ => null })
     // JTS reports Dimension.FALSE (-1) for GEOMETRYCOLLECTION EMPTY; the
     // reference renders 0 (st_dimension.test golden)
     gI("st_dimension")(g => math.max(g.getDimension, 0))
@@ -916,14 +923,47 @@ object GeoFns {
       }
     }
     gG("st_envelope")(_.getEnvelope)
-    fn("st_extent", StructType(Seq(
-      StructField("min_x", D), StructField("min_y", D),
-      StructField("max_x", D), StructField("max_y", D))), Seq(B)) { a =>
-      val g = rg(a(0))
-      if (g.isEmpty) null
-      else {
-        val e = g.getEnvelopeInternal
-        new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    // st_extent_approx: the reference returns the cached bbox (st_extent_approx.cpp);
+    // our extent is already the exact envelope, so the approximation IS exact here
+    for (name <- Seq("st_extent", "st_extent_approx"))
+      fn(name, StructType(Seq(
+        StructField("min_x", D), StructField("min_y", D),
+        StructField("max_x", D), StructField("max_y", D))), Seq(B)) { a =>
+        val g = rg(a(0))
+        if (g.isEmpty) null
+        else {
+          val e = g.getEnvelopeInternal
+          new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+        }
+      }
+
+    // columnar-encoding constructors (types.cpp two-tier model): WKB →
+    // POINT_2D struct / LINESTRING_2D array / POLYGON_2D nested array
+    fn("st_point2dfromwkb", StructType(Seq(StructField("x", D), StructField("y", D))), Seq(B)) { a =>
+      rg(a(0)) match {
+        case p: Point if !p.isEmpty => new GenericInternalRow(Array[Any](p.getX, p.getY))
+        case _ => null
+      }
+    }
+    fn("st_linestring2dfromwkb",
+      ArrayType(StructType(Seq(StructField("x", D), StructField("y", D)))), Seq(B)) { a =>
+      rg(a(0)) match {
+        case l: LineString =>
+          new GenericArrayData(l.getCoordinates.map(c =>
+            new GenericInternalRow(Array[Any](c.x, c.y)): Any))
+        case _ => null
+      }
+    }
+    fn("st_polygon2dfromwkb",
+      ArrayType(ArrayType(StructType(Seq(StructField("x", D), StructField("y", D))))), Seq(B)) { a =>
+      rg(a(0)) match {
+        case p: Polygon =>
+          def ring(r: LineString): Any = new GenericArrayData(r.getCoordinates.map(c =>
+            new GenericInternalRow(Array[Any](c.x, c.y)): Any))
+          val rings: Array[Any] = (ring(p.getExteriorRing) +:
+            Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i)))).toArray
+          new GenericArrayData(rings)
+        case _ => null
       }
     }
 

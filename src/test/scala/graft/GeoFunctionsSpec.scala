@@ -351,6 +351,23 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wkt.startsWith("POINT ("))
   }
 
+  test("reference alias names and columnar constructors") {
+    assert(sql1("st_numpoints(st_makeenvelope(0, 0, 1, 1))") == 5)
+    assert(sql1("st_numgeometries(st_geomfromtext('MULTIPOINT (1 1, 2 2)'))") == 2)
+    assert(sql1("st_numinteriorrings(st_geomfromtext('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))'))") == 1)
+    assert(sql1("st_astext(st_geomfromhexewkb(st_ashexwkb(st_point(3, 4))))") == "POINT (3 4)")
+    assert(sql1("st_extent_approx(st_makeenvelope(1, 2, 3, 4)).min_x") == 1.0)
+    // WKB → columnar encodings, and back through the coercion lattice
+    assert(sql1("st_point2dfromwkb(st_aswkb(st_point(7, 8))).x") == 7.0)
+    assert(sql1("st_astext(st_point2dfromwkb(st_aswkb(st_point(7, 8))))") == "POINT (7 8)")
+    assert(sql1("size(st_linestring2dfromwkb(st_aswkb(st_geomfromtext('LINESTRING (0 0, 1 1, 2 0)'))))") == 3)
+    assert(sql1("st_length(st_linestring2dfromwkb(st_aswkb(st_geomfromtext('LINESTRING (0 0, 3 4)'))))") == 5.0)
+    assert(sql1("st_area(st_polygon2dfromwkb(st_aswkb(st_makeenvelope(0, 0, 4, 4))))") == 16.0)
+    // CRS catalog table function
+    val crs = spark.sql("SELECT auth_code FROM st_list_proj_crs()").collect().map(_.getString(0))
+    assert(crs.contains("EPSG:2154") && crs.contains("EPSG:3857") && crs.length >= 10)
+  }
+
   test("columnar POINT_3D/4D, LINESTRING_2D, POLYGON_2D coerce to geometry") {
     // POINT_3D (xyz) and the m-named variant (xym)
     assert(sql1("st_astext(named_struct('x', 1.0d, 'y', 2.0d, 'z', 3.0d))") == "POINT Z (1 2 3)")
