@@ -28,21 +28,31 @@ object Bench {
       spark.range(1000).selectExpr("st_astext(st_point(cast(id AS DOUBLE), 1.0d))").queryExecution.toRdd.count()
       SparkEntry.queries.head._2(spark, sfDir).queryExecution.toRdd.count()
     } catch { case _: Throwable => }
+    // Median of 3 runs per query: single-sample timings on a shared host
+    // produce false 2-10x "regressions" from transient contention; the median
+    // rejects one contaminated sample per query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -sec
+      }
+      val good = times.filter(_ > 0).sorted
+      val median = if (good.isEmpty) times.min else good(good.size / 2)
+      name -> (median, if (good.isEmpty) times.min else good.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
+    val qmin = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

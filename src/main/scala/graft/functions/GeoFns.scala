@@ -342,11 +342,21 @@ object GeoFns {
         val idx = if (fold0) 0 else 1
         val effOp = if (fold0) op else swapOf(op)
         var pk: AnyRef = null
+        var pg: Geometry = null
+        var pRect = false
         var pv: PreparedGeometry = null
         args => {
           val cb = args(idx).asInstanceOf[AnyRef]
-          if (cb ne pk) { pk = cb; pv = PreparedGeometryFactory.prepare(rg(cb)) }
-          prepApply(effOp, pv, rg(args(1 - idx)))
+          if (cb ne pk) { pk = cb; pg = rg(cb); pRect = isRect(pg); pv = null }
+          val row = rg(args(1 - idx))
+          // rect×rect beats PreparedGeometry: pure interval arithmetic, no
+          // relate() even for touches/overlaps/coveredby (which prepared
+          // geometries don't short-circuit)
+          if (pRect && isRect(row)) rectApply(effOp, pg, row)
+          else {
+            if (pv == null) pv = PreparedGeometryFactory.prepare(pg)
+            prepApply(effOp, pv, row)
+          }
         }
       } else { args => plainApply(op, rg(args(0)), rg(args(1))) }
     }

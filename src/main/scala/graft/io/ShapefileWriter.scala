@@ -40,7 +40,13 @@ object ShapefileWriter {
       val hasZ = geom != null && Geo.geomHasZ(geom)
       val body = encodeShape(geom, hasZ)
       if (geom != null && !geom.isEmpty) {
-        if (shapeType == 0) shapeType = shapeTypeOf(geom, hasZ)
+        // shapefiles are single-type: a mixed partition must fail loudly, not
+        // emit a file whose records contradict the header type code
+        val t = shapeTypeOf(geom, hasZ)
+        if (shapeType == 0) shapeType = t
+        else if (t != shapeType) throw new IllegalArgumentException(
+          s"shapefile is single-type: record $recNo is ${geom.getGeometryType} " +
+            s"(shape type $t) but file started as shape type $shapeType")
         val e = geom.getEnvelopeInternal
         minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
         maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)

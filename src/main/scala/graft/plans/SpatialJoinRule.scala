@@ -49,10 +49,19 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean
 
+  // auto-sampled cell sizes, keyed by the canonicalized (plan, geom) pair —
+  // optimizer rules re-fire on every re-optimization of the same query, and
+  // without the cache each firing would launch two fresh sampling jobs
+  private val cellCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   private def cellSize(left: LogicalPlan, lGeom: Expression,
                        right: LogicalPlan, rGeom: Expression): Double = {
     val conf = spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0")
     if (!conf.equalsIgnoreCase("auto")) return conf.toDouble
+    val key = s"${left.canonicalized.hashCode()}:${lGeom.canonicalized.hashCode()}:" +
+      s"${right.canonicalized.hashCode()}:${rGeom.canonicalized.hashCode()}"
+    val hit = cellCache.get(key)
+    if (hit != null) return hit.doubleValue()
     // auto: median bbox extent over a bounded sample of each side — a fixed
     // cell is data-dependent and silently degrades at the wrong scale
     def sampleExtents(plan: LogicalPlan, geom: Expression): Seq[Double] = try {
@@ -62,13 +71,21 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val probe = Limit(Literal(1000), Project(Seq(ext), plan))
       spark.sessionState.executePlan(probe).executedPlan.executeCollect()
         .map(_.getDouble(0)).filter(d => !d.isNaN && !d.isInfinite).toSeq
-    } catch { case _: Exception => Seq.empty }
-    val all = (sampleExtents(left, lGeom) ++ sampleExtents(right, rGeom)).filter(_ >= 0).sorted
-    if (all.isEmpty) 1.0
-    else {
-      val med = all(all.length / 2)
-      if (med <= 0) 1.0 else med // degenerate (all points): any cell works; keep 1
+    } catch {
+      case e: Exception =>
+        logWarning(s"spatial-join cellSize=auto sampling failed (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); falling back to cellSize=1.0 for this side")
+        Seq.empty
     }
+    val all = (sampleExtents(left, lGeom) ++ sampleExtents(right, rGeom)).filter(_ >= 0).sorted
+    val result =
+      if (all.isEmpty) 1.0
+      else {
+        val med = all(all.length / 2)
+        if (med <= 0) 1.0 else med // degenerate (all points): any cell works; keep 1
+      }
+    cellCache.put(key, result)
+    result
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
