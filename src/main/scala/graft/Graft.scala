@@ -95,15 +95,7 @@ object Graft {
       ("EPSG:3857", "WGS 84 / Pseudo-Mercator"),
       ("EPSG:326xx", "WGS 84 / UTM North zones"),
       ("EPSG:327xx", "WGS 84 / UTM South zones"),
-      ("EPSG:258xx", "ETRS89 / UTM zones")) ++ graft.geom.Proj.registry.keys.toSeq.sorted.map {
-      case c @ "EPSG:2154" => (c, "RGF93 / Lambert-93 (LCC 2SP)")
-      case c @ "EPSG:5070" => (c, "NAD83 / Conus Albers")
-      case c @ "EPSG:3577" => (c, "GDA94 / Australian Albers")
-      case c @ "EPSG:3035" => (c, "ETRS89-extended / LAEA Europe")
-      case c @ "EPSG:3413" => (c, "WGS 84 / NSIDC Sea Ice Polar Stereographic North")
-      case c @ "EPSG:3031" => (c, "WGS 84 / Antarctic Polar Stereographic")
-      case c => (c, c)
-    }).map { case (code, name) =>
+      ("EPSG:258xx", "ETRS89 / UTM zones")) ++ graft.geom.Proj.allCodes).map { case (code, name) =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
         org.apache.spark.unsafe.types.UTF8String.fromString(code),
         org.apache.spark.unsafe.types.UTF8String.fromString(name))): org.apache.spark.sql.catalyst.InternalRow

