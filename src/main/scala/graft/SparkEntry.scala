@@ -619,6 +619,27 @@ object SparkEntry {
         WHERE st_within(geom, st_makeenvelope(450.0d, 450.0d, 650.0d, 650.0d))""")
     }),
 
+    // GeoParquet interop proof: write a clustered+stamped file, read it back.
+    // The oracle reads the SAME files with DuckDB's own parquet reader, so a
+    // footer the stamp corrupted (or metadata DuckDB chokes on) fails the gate.
+    "q_geoparquet_roundtrip" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      // fixed literal path: the DuckDB oracle reads the same location
+      val path = "/tmp/graft_geoparquet_demo"
+      // GROUP BY k: the synthetic lineitem has duplicate (orderkey, linenumber)
+      // pairs, and the oracle joins on k — keep the file's key unique
+      val src = q("lineitem")(s"""
+        SELECT k, st_point(min(x), min(y)) AS geom
+        FROM (SELECT $K AS k, cast(l_partkey % 100 AS DOUBLE) AS x, cast(l_suppkey % 100 AS DOUBLE) AS y
+              FROM lineitem WHERE l_orderkey % 29 = 0)
+        GROUP BY k""")(s, dir)
+      graft.io.GeoWriter.clusteredParquet(
+        src.selectExpr("k", "st_aswkb(geom) AS geom"), "geom", path, targetPartitions = 4)
+      s.read.parquet(path)
+        .selectExpr("k", "geom_bbox.min_x AS x", "geom_bbox.min_y AS y")
+        .orderBy("k")
+    }),
+
     // ---------------------------------------------------------- spatial keys
     // The DISTINCT small domain (16×16 cells) makes a VALUES-join oracle
     // feasible: the oracle restricts the same pinned table to the combos
@@ -965,6 +986,19 @@ object SparkEntry {
                    a*sqrt(qp - (1-e2)*(sin(radians(lat))/(1-e2*sin(radians(lat))*sin(radians(lat)))
                      - (1/(2*e))*ln((1-e*sin(radians(lat)))/(1+e*sin(radians(lat)))))) AS rho
             FROM pts CROSS JOIN c1)
+      ORDER BY k""",
+
+    // DuckDB's own parquet reader consumes the graft-written GeoParquet file
+    // (join proves row set matches the file; values come independently from
+    // lineitem arithmetic, so a wrong bbox column also fails).
+    "q_geoparquet_roundtrip" -> s"""
+      SELECT p.k AS k, l.x AS x, l.y AS y
+      FROM read_parquet('/tmp/graft_geoparquet_demo/*.parquet') p
+      JOIN (SELECT $K AS k,
+                   CAST(min(l_partkey % 100) AS DOUBLE) AS x,
+                   CAST(min(l_suppkey % 100) AS DOUBLE) AS y
+            FROM lineitem WHERE l_orderkey % 29 = 0 GROUP BY 1) l
+        ON p.k = l.k
       ORDER BY k""",
 
     "q_extent_agg" -> """

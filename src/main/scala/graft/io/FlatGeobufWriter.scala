@@ -136,8 +136,10 @@ object FlatGeobufWriter {
   final case class FgbField(name: String, typ: Int) // FGB ColumnType
 
   def write(path: String, geomType: Int, fields: Seq[FgbField],
-            rows: Iterator[(Geometry, Array[Any])]): Long = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+            rows: Iterator[(Geometry, Array[Any])],
+            open: String => java.io.OutputStream =
+              p => new BufferedOutputStream(new FileOutputStream(p), 1 << 16)): Long = {
+    val out = open(path)
     var count = 0L
     var anyZ = false; var anyM = false
     try {

@@ -61,6 +61,13 @@ object GeoFiles {
     } else Seq(p.toString)
   }
 
+  /** like expand but without the known-geo-extension filter (any file) */
+  def expand0(path: String): Seq[String] = {
+    val p = Paths.get(path.stripPrefix("file:"))
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.map(_.toString).toSeq.sorted
+    else Seq(p.toString)
+  }
+
   /** trailing .gz is transparent for the text formats */
   private def degz(l: String): String = if (l.endsWith(".gz")) l.dropRight(3) else l
 

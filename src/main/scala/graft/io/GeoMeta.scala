@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import java.nio.file.Paths
 import scala.jdk.CollectionConverters._
 
 /**
@@ -47,19 +48,35 @@ object GeoMeta {
         StructField("width", IntegerType), StructField("decimals", IntegerType))))))))
   }
 
-  /** ST_Read_Meta equivalent: schema + counts for any geo path. */
+  /** ST_Read_Meta equivalent: schema + counts for any geo path. For parquet
+   *  inputs the GeoParquet `geo` footer metadata is surfaced (reference:
+   *  st_read_meta.cpp reports layer/CRS detail through GDAL). */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
-    val paths = GeoFiles.expand(path)
-    val fmt = GeoFiles.formatOf(paths, None)
-    val schema = GeoFiles.schemaFor(fmt, paths)
-    val rows = Seq(Row(path, fmt, paths.length,
-      schema.fields.map(f => Row(f.name, f.dataType.simpleString))))
+    val isParquet = path.toLowerCase.stripSuffix("/").endsWith(".parquet") || {
+      val p = Paths.get(path.stripPrefix("file:"))
+      java.nio.file.Files.isDirectory(p) &&
+        java.nio.file.Files.list(p).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    }
+    val (fmt, fields, fileCount, geo) =
+      if (isParquet) {
+        val df = spark.read.parquet(path)
+        val n = GeoFiles.expand0(path).count(_.endsWith(".parquet")) max 1
+        val g = GeoParquet.readGeo(spark.sessionState.newHadoopConf(), path.stripPrefix("file:"))
+        ("geoparquet", df.schema.fields, n, g.orNull)
+      } else {
+        val paths = GeoFiles.expand(path)
+        val f = GeoFiles.formatOf(paths, None)
+        (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null)
+      }
+    val rows = Seq(Row(path, fmt, fileCount,
+      fields.map(f => Row(f.name, f.dataType.simpleString)), geo))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("path", StringType),
       StructField("driver", StringType),
       StructField("file_count", IntegerType),
       StructField("fields", ArrayType(StructType(Seq(
-        StructField("name", StringType), StructField("type", StringType))))))))
+        StructField("name", StringType), StructField("type", StringType))))),
+      StructField("geo_metadata", StringType))))
   }
 
   /** Introspection of a clustered-parquet layout (rtree pragma equivalent):

@@ -35,7 +35,9 @@ object GeoPackageWriter {
   /** columns: (name, sqliteType) for the attribute columns (geometry and fid
    *  are added by the writer). `rows`: (geometry, attribute values). */
   def write(path: String, table: String, columns: Seq[(String, String)],
-            rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326): Long = {
+            rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326,
+            open: String => java.io.OutputStream =
+              p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long = {
     val db = new SqliteWriter.Db
     var count = 0L
     var minX = Double.MaxValue; var minY = Double.MaxValue
@@ -67,7 +69,7 @@ object GeoPackageWriter {
     val colSql = columns.map { case (n, t) => s""""$n" $t""" }.mkString(", ")
     val featSql =
       s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)"""
-    db.finish(path, Seq(
+    db.finish(path, open = open, master = Seq(
       // NOTE: srs_id INTEGER PRIMARY KEY is the rowid alias (no autoindex
       // b-tree needed); a TEXT PRIMARY KEY would imply a sqlite_autoindex
       // tree this writer doesn't emit, so table_name is NOT NULL instead

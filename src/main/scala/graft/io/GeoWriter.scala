@@ -10,15 +10,55 @@ import org.apache.spark.sql.functions._
  * per-partition files instead of its single global-mutex writer (st_write.cpp:46-55),
  * so the sink scales with the cluster.
  *
+ * All binary sinks (shapefile / FlatGeobuf / GeoPackage) write through the
+ * Hadoop FileSystem API, so on a real cluster output lands on the shared FS
+ * (HDFS/object store), not executor-local disk. `singleFile = true` matches
+ * the reference's one-file COPY semantics (st_write.cpp:559-570) by
+ * coalescing to one partition first — convenient for interop, inherently
+ * serial; the default per-partition layout is the scalable path.
+ *
+ * Memory bound: these formats need their record count / extent in the header,
+ * so each task buffers ONE partition's encoded bytes before writing (the
+ * header prefixes data it summarizes). Size partitions accordingly (~100-500
+ * MB); the parquet path has no such bound and is the scale-out format.
+ *
  * `clusteredParquet` is the R-tree replacement (SURVEY §4.3): rows are
  * Hilbert-ordered on the geometry centroid and written with a sibling
  * `<geom>_bbox` struct column, so Parquet row-group min/max statistics give
  * index-grade pruning (the declarative equivalent of
  * rtree_index_create_logical.cpp's sort-tile-recursive bulk load), and
  * [[graft.plans.BboxSkippingRule]] derives pushable bbox predicates from
- * spatial filters automatically.
+ * spatial filters automatically. Files are stamped with GeoParquet 1.1 `geo`
+ * footer metadata so DuckDB/GDAL/QGIS recognize the geometry column.
  */
 object GeoWriter {
+
+  /** Hadoop Configuration is a Writable, not Serializable; this wrapper ships
+   *  it into foreachPartition closures. */
+  private[io] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def hconfOf(df: DataFrame) =
+    new SerializableHadoopConf(df.sparkSession.sessionState.newHadoopConf())
+
+  private def hadoopOpen(hc: SerializableHadoopConf)(path: String): java.io.OutputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new java.io.BufferedOutputStream(p.getFileSystem(hc.value).create(p, true), 1 << 16)
+  }
+
+  private def mkdirs(hc: SerializableHadoopConf, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hc.value).mkdirs(p)
+  }
 
   /** Write `df` as newline-delimited GeoJSON features. All non-geometry
    *  columns become properties (JSON-typed via to_json). */
@@ -34,11 +74,12 @@ object GeoWriter {
     df.select(line.as("value")).write.mode("overwrite").text(path)
   }
 
-  /** Write `df` as a directory of per-partition shapefiles (part-N.shp/.shx/
-   *  .dbf/.cpg). Geometry column must be WKB binary; other columns become DBF
-   *  attributes. */
-  def shapefile(df: DataFrame, geomCol: String, path: String): Unit = {
-    new java.io.File(path).mkdirs()
+  /** Write `df` as shapefiles: a directory of per-partition part-N.shp/.shx/
+   *  .dbf/.cpg (default), or one `<path>`-rooted shapefile when
+   *  `singleFile = true` (path may end in .shp). Geometry column must be WKB
+   *  binary; other columns become DBF attributes. */
+  def shapefile(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrIdx = schema.fields.indices.filter(_ != geomIdx)
@@ -53,7 +94,10 @@ object GeoWriter {
         case _ => ShapefileWriter.Field(f.name, 'C', 80, 0)
       }
     }
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    val (target, base) =
+      if (singleFile) (df.coalesce(1), path.stripSuffix(".shp"))
+      else { mkdirs(hc, path); (df, path) }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (it.hasNext) {
         val rows = it.map { r =>
@@ -63,16 +107,17 @@ object GeoWriter {
           }
           (g, attrIdx.map(i => r.get(i)).toArray[Any])
         }
-        ShapefileWriter.write(f"$path/part-$pid%05d", fields, rows)
+        val dest = if (singleFile) base else f"$base/part-$pid%05d"
+        ShapefileWriter.write(dest, fields, rows, hadoopOpen(hc))
       }
       ()
     }
   }
 
-  /** Write `df` as a directory of per-partition FlatGeobuf files (no packed
-   *  index — clustering/pruning is parquet's job in this engine). */
-  def flatgeobuf(df: DataFrame, geomCol: String, path: String): Unit = {
-    new java.io.File(path).mkdirs()
+  /** Write `df` as FlatGeobuf: per-partition part-N.fgb files (default) or a
+   *  single `<path>` file when `singleFile = true`. */
+  def flatgeobuf(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrIdx = schema.fields.indices.filter(_ != geomIdx)
@@ -80,7 +125,8 @@ object GeoWriter {
       val f = schema.fields(i)
       FlatGeobufWriter.FgbField(f.name, FlatGeobufWriter.fgbType(f.dataType))
     }
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (it.hasNext) {
         val rows = it.map { r =>
@@ -91,16 +137,19 @@ object GeoWriter {
           (g, attrIdx.map(i => r.get(i)).toArray[Any])
         }
         // geometry type 0 (Unknown) + per-feature type tags handles mixed input
-        FlatGeobufWriter.write(f"$path/part-$pid%05d.fgb", 0, fields, rows)
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.fgb"
+        FlatGeobufWriter.write(dest, 0, fields, rows, hadoopOpen(hc))
       }
       ()
     }
   }
 
-  /** Write `df` as a directory of per-partition GeoPackage files (single
-   *  feature table per file, hand-rolled sqlite pages — no sqlite dependency). */
-  def geopackage(df: DataFrame, geomCol: String, path: String, table: String = "features"): Unit = {
-    new java.io.File(path).mkdirs()
+  /** Write `df` as GeoPackage: per-partition part-N.gpkg files (default,
+   *  single feature table per file, hand-rolled sqlite pages — no sqlite
+   *  dependency) or a single `<path>` file when `singleFile = true`. */
+  def geopackage(df: DataFrame, geomCol: String, path: String, table: String = "features",
+                 singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrIdx = schema.fields.indices.filter(_ != geomIdx)
@@ -108,7 +157,8 @@ object GeoWriter {
       val f = schema.fields(i)
       (f.name, GeoPackageWriter.sqliteType(f.dataType))
     }
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (it.hasNext) {
         val rows = it.map { r =>
@@ -124,14 +174,16 @@ object GeoWriter {
           }).toArray[Any]
           (g, attrs)
         }
-        GeoPackageWriter.write(f"$path/part-$pid%05d.gpkg", table, cols, rows)
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.gpkg"
+        GeoPackageWriter.write(dest, table, cols, rows, open = hadoopOpen(hc))
       }
       ()
     }
   }
 
-  /** Hilbert-clustered parquet with bbox stats column. Bounds are taken from
-   *  the data (one cheap aggregate) unless given. */
+  /** Hilbert-clustered parquet with bbox stats column and GeoParquet 1.1
+   *  `geo` footer metadata. Bounds are taken from the data (one cheap
+   *  aggregate) unless given. */
   def clusteredParquet(
       df: DataFrame,
       geomCol: String,
@@ -156,5 +208,11 @@ object GeoWriter {
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
       .write.mode("overwrite").parquet(path)
+    // GeoParquet interop: without the `geo` footer entry DuckDB/GDAL/QGIS
+    // treat the geometry column as opaque binary (metadata-sized rewrite
+    // per part file; data pages untouched)
+    GeoParquet.stampGeoDir(
+      df.sparkSession.sessionState.newHadoopConf(), path,
+      GeoParquet.geoJson(geomCol, (minX, minY, maxX, maxY), Some(s"${geomCol}_bbox")))
   }
 }

@@ -20,8 +20,11 @@ object ShapefileWriter {
 
   final case class Field(name: String, typ: Char, width: Int, decimals: Int)
 
+  /** `open` abstracts the byte sink (default local file; the Spark sink passes
+   *  a Hadoop FileSystem creator so output lands on the cluster FS). */
   def write(base: String, fields: Seq[Field],
-            rows: Iterator[(Geometry, Array[Any])]): Int = {
+            rows: Iterator[(Geometry, Array[Any])],
+            open: String => java.io.OutputStream = defaultOpen): Int = {
     val shpRecs = new ByteArrayOutputStream()
     val shxRecs = new ByteArrayOutputStream()
     val dbfRecs = new ByteArrayOutputStream()
@@ -87,8 +90,8 @@ object ShapefileWriter {
       bb.putDouble(68, minZ); bb.putDouble(76, maxZ)
       bb.array()
     }
-    writeFile(base + ".shp", shpHeader(50 + shpRecs.size() / 2), shpRecs.toByteArray)
-    writeFile(base + ".shx", shpHeader(50 + shxRecs.size() / 2), shxRecs.toByteArray)
+    writeFile(open, base + ".shp", shpHeader(50 + shpRecs.size() / 2), shpRecs.toByteArray)
+    writeFile(open, base + ".shx", shpHeader(50 + shxRecs.size() / 2), shxRecs.toByteArray)
 
     // DBF: dBASE III header + field descriptors + records + EOF
     val headerLen = 32 + 32 * fields.length + 1
@@ -109,15 +112,19 @@ object ShapefileWriter {
       dh.put(off + 17, f.decimals.toByte)
     }
     dh.put(headerLen - 1, 0x0d.toByte)
-    val out = new FileOutputStream(base + ".dbf")
+    val out = open(base + ".dbf")
     try { out.write(dh.array()); out.write(dbfRecs.toByteArray); out.write(0x1a) }
     finally out.close()
-    writeFile(base + ".cpg", "UTF-8".getBytes("ASCII"), Array.empty)
+    writeFile(open, base + ".cpg", "UTF-8".getBytes("ASCII"), Array.empty)
     recNo
   }
 
-  private def writeFile(path: String, header: Array[Byte], body: Array[Byte]): Unit = {
-    val out = new FileOutputStream(path)
+  private def defaultOpen(path: String): java.io.OutputStream =
+    new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+
+  private def writeFile(open: String => java.io.OutputStream, path: String,
+                        header: Array[Byte], body: Array[Byte]): Unit = {
+    val out = open(path)
     try { out.write(header); out.write(body) } finally out.close()
   }
 

@@ -203,7 +203,9 @@ object SqliteWriter {
     }
 
     /** master records: (name, rootPage, createSql); then write the file. */
-    def finish(path: String, master: Seq[(String, Int, String)]): Unit = {
+    def finish(path: String, master: Seq[(String, Int, String)],
+               open: String => java.io.OutputStream =
+                 p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Unit = {
       val cells = master.zipWithIndex.map { case ((name, root, sql), i) =>
         leafCell(i + 1L, record(Seq("table", name, name, root.toLong, sql)))
       }
@@ -224,7 +226,7 @@ object SqliteWriter {
       bb.putInt(68, 0x47504b47) // application_id "GPKG"
       bb.putInt(92, 1)
       bb.putInt(96, 3045000)
-      val out = new java.io.FileOutputStream(path)
+      val out = open(path)
       try pages.foreach(out.write) finally out.close()
     }
   }
