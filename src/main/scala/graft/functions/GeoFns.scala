@@ -472,8 +472,10 @@ object GeoFns {
     2 * EarthR * math.asin(math.sqrt(h))
   }
 
-  /** Vincenty inverse geodesic distance on WGS84 (public formula); falls back
-   *  to haversine for the rare non-converging near-antipodal pairs.
+  /** Vincenty inverse geodesic distance on WGS84 (public formula, fast path);
+   *  near-antipodal pairs where Vincenty's λ iteration diverges fall through
+   *  to the exact Karney solver ([[graft.geom.Geodesic]]) — same behavior as
+   *  the reference's GeographicLib, which never fails to converge.
    *  NOTE argument order matches the reference's GeographicLib functions
    *  (st_distance_spheroid.cpp:30 → Geodesic::Inverse(lat, lon, …)): the
    *  point's x IS latitude, same convention as [[haversine]]. */
@@ -503,7 +505,7 @@ object GeoFns {
         (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
       iter += 1
     } while (math.abs(lambda - lambdaP) > 1e-12 && iter < 200)
-    if (iter >= 200) return haversine(lat1, lon1, lat2, lon2)
+    if (iter >= 200) return graft.geom.Geodesic.inverse(lat1, lon1, lat2, lon2)
     val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
     val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
     val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
