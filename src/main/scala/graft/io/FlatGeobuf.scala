@@ -127,18 +127,118 @@ object FlatGeobuf {
       override def hasNext: Boolean = pos + 4 <= bytes.length
       override def next(): FgbFeature = {
         val size = bb.getInt(pos)
-        val t = (pos + 4) + bb.getInt(pos + 4)
-        val geomT = fb.tableField(t, 0)
-        val geom = if (geomT < 0) null else decodeGeometry(fb, geomT, header.geometryType, header.hasZ, header.hasM)
-        val props = fb.vector(t, 1) match {
-          case null => Map.empty[String, String]
-          case (start, len) => decodeProperties(bb, start, len, header.columns)
-        }
+        val f = decodeFeatureAt(fb, bb, pos, header)
         pos += 4 + size
-        FgbFeature(geom, props)
+        f
       }
     }
   }
+
+  private def decodeFeatureAt(fb: Fb, bb: ByteBuffer, pos: Int, header: FgbHeader): FgbFeature = {
+    val t = (pos + 4) + bb.getInt(pos + 4)
+    val geomT = fb.tableField(t, 0)
+    val geom = if (geomT < 0) null else decodeGeometry(fb, geomT, header.geometryType, header.hasZ, header.hasM)
+    val props = fb.vector(t, 1) match {
+      case null => Map.empty[String, String]
+      case (start, len) => decodeProperties(bb, start, len, header.columns)
+    }
+    FgbFeature(geom, props)
+  }
+
+  // ------------------------------------------------------- packed R-tree
+  /** Traverse the packed Hilbert R-tree and return the byte offsets (relative
+   *  to the data section) of candidate features whose bbox intersects the
+   *  query window. None when the file carries no index. Reads only the
+   *  header + index region (spec layout: 40-byte nodes, levels root-first,
+   *  internal `offset` = node index of first child, leaf `offset` = feature
+   *  byte offset — reference consumes the same structure via GDAL). */
+  def searchIndex(path: String, minX: Double, minY: Double,
+                  maxX: Double, maxY: Double): Option[Seq[Long]] = {
+    val header = readHeader(path)
+    if (header.indexNodeSize == 0 || header.featuresCount == 0) return None
+    val n = header.featuresCount.toInt
+    val nodeSize = header.indexNodeSize
+    val sizes = scala.collection.mutable.ArrayBuffer(n)
+    var m = n
+    while (m != 1) { m = (m + nodeSize - 1) / nodeSize; sizes += m }
+    val rootFirst = sizes.reverse
+    val starts = rootFirst.scanLeft(0)(_ + _).dropRight(1)
+    val numNodes = rootFirst.sum
+    val leafStart = numNodes - n
+
+    // read only the index region
+    val raf = new java.io.RandomAccessFile(path.stripPrefix("file:"), "r")
+    val nodes =
+      try {
+        val headerLen = {
+          val hb = new Array[Byte](4); raf.seek(8); raf.readFully(hb)
+          ByteBuffer.wrap(hb).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+        }
+        val buf = new Array[Byte](numNodes * 40)
+        raf.seek(12L + headerLen)
+        raf.readFully(buf)
+        ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      } finally raf.close()
+
+    def levelOf(idx: Int): Int = {
+      var l = rootFirst.length - 1
+      while (starts(l) > idx) l -= 1
+      l
+    }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val queue = scala.collection.mutable.Queue(0)
+    while (queue.nonEmpty) {
+      val idx = queue.dequeue()
+      val p = idx * 40
+      val nMinX = nodes.getDouble(p); val nMinY = nodes.getDouble(p + 8)
+      val nMaxX = nodes.getDouble(p + 16); val nMaxY = nodes.getDouble(p + 24)
+      if (nMinX <= maxX && nMaxX >= minX && nMinY <= maxY && nMaxY >= minY) {
+        val off = nodes.getLong(p + 32)
+        if (idx >= leafStart) results += off
+        else {
+          val childLevel = levelOf(idx) + 1
+          val childEnd = starts(childLevel) + rootFirst(childLevel)
+          val first = off.toInt
+          var c = first
+          val end = math.min(first + nodeSize, childEnd)
+          while (c < end) { queue += c; c += 1 }
+        }
+      }
+    }
+    Some(results.sorted.toSeq)
+  }
+
+  /** Index-pruned feature read: only candidate features are decoded (exact
+   *  predicate evaluation stays with the caller). Falls back to a full scan
+   *  when the file has no index. */
+  def readFeaturesFiltered(path: String, minX: Double, minY: Double,
+                           maxX: Double, maxY: Double): Iterator[FgbFeature] =
+    searchIndex(path, minX, minY, maxX, maxY) match {
+      case None => readFeatures(path)
+      case Some(offsets) =>
+        val header = readHeader(path)
+        val raf = new java.io.RandomAccessFile(path.stripPrefix("file:"), "r")
+        var closed = false
+        val it = offsets.iterator.map { off =>
+          val pos = header.dataStart + off
+          raf.seek(pos)
+          val szb = new Array[Byte](4); raf.readFully(szb)
+          val size = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+          val block = new Array[Byte](4 + size)
+          System.arraycopy(szb, 0, block, 0, 4)
+          raf.readFully(block, 4, size)
+          val bb = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+          decodeFeatureAt(new Fb(bb), bb, 0, header)
+        }
+        new Iterator[FgbFeature] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; raf.close() }
+            h
+          }
+          override def next(): FgbFeature = it.next()
+        }
+    }
 
   private def coords(fb: Fb, geomT: Int, hasZ: Boolean, hasM: Boolean): Array[Coordinate] = {
     fb.vector(geomT, 1) match {

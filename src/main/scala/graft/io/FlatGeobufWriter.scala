@@ -8,10 +8,11 @@ import java.nio.{ByteBuffer, ByteOrder}
 /**
  * FlatGeobuf writer — the write side of [[FlatGeobuf]]'s reader, built on a
  * minimal back-to-front flatbuffers builder (public wire format:
- * google.github.io/flatbuffers/flatbuffers_internals.html). Files are written
- * without the optional packed R-tree (index_node_size=0) — in this engine the
- * spatial index role is played by Hilbert-clustered parquet, and unindexed
- * FGB files stream fine.
+ * google.github.io/flatbuffers/flatbuffers_internals.html). Features are
+ * Hilbert-sorted and the spec's packed Hilbert R-tree (40-byte nodes,
+ * node size 16) is emitted between header and data, so graft's own reader
+ * and external FGB readers get bbox pruning (reference gets this via GDAL,
+ * st_read.cpp:189-207). Pass `index = false` for the bare streaming layout.
  */
 object FlatGeobufWriter {
 
@@ -135,15 +136,18 @@ object FlatGeobufWriter {
   // ------------------------------------------------------------ geometry
   final case class FgbField(name: String, typ: Int) // FGB ColumnType
 
+  private val NodeSize = 16
+
   def write(path: String, geomType: Int, fields: Seq[FgbField],
             rows: Iterator[(Geometry, Array[Any])],
             open: String => java.io.OutputStream =
-              p => new BufferedOutputStream(new FileOutputStream(p), 1 << 16)): Long = {
+              p => new BufferedOutputStream(new FileOutputStream(p), 1 << 16),
+            index: Boolean = true): Long = {
     val out = open(path)
-    var count = 0L
     var anyZ = false; var anyM = false
+    // encode each feature separately, tracking its bbox for the index
+    val feats = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Envelope)]
     try {
-      val features = new java.io.ByteArrayOutputStream()
       rows.foreach { case (g, attrs) =>
         val fb = new Fbb(512)
         // per-feature Z/M presence; the header flags record whether any did
@@ -156,11 +160,27 @@ object FlatGeobufWriter {
         fb.slotOffset(0, geomOff)
         fb.slotOffset(1, propOff)
         val t = fb.endTable()
-        val bytes = fb.finish(t)
-        val size = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(bytes.length).array()
-        features.write(size); features.write(bytes)
-        count += 1
+        val env = if (g == null || g.isEmpty) null else g.getEnvelopeInternal
+        feats += ((fb.finish(t), env))
       }
+      val count = feats.length.toLong
+      val withIndex = index && count > 0
+
+      if (withIndex) {
+        // spec ordering: features sorted by Hilbert value of their bbox center
+        val ext = new Envelope()
+        feats.foreach { case (_, e) => if (e != null) ext.expandToInclude(e) }
+        if (ext.isNull) ext.expandToInclude(0, 0)
+        val sorted = feats.sortBy { case (_, e) =>
+          if (e == null) -1L
+          else graft.geom.Curves.hilbert(
+            (e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
+            ext.getMinX, ext.getMinY, math.max(ext.getMaxX, ext.getMinX + 1e-12),
+            math.max(ext.getMaxY, ext.getMinY + 1e-12))
+        }
+        feats.clear(); feats ++= sorted
+      }
+
       // header
       val hb = new Fbb(512)
       val colOffs = fields.map { f =>
@@ -179,15 +199,86 @@ object FlatGeobufWriter {
       hb.slotByte(4, if (anyM) 1 else 0, 0)
       hb.slotOffset(7, colsVec)
       hb.slotLong(8, count, 0)
-      hb.slotShort(9, 0, 16, force = true) // no packed index: explicit 0 (default is 16)
+      hb.slotShort(9, if (withIndex) NodeSize else 0, 16, force = true)
       val ht = hb.endTable()
       val headerBytes = hb.finish(ht)
       out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
       out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(headerBytes.length).array())
       out.write(headerBytes)
-      out.write(features.toByteArray)
+      if (withIndex) out.write(packedRTree(feats))
+      feats.foreach { case (bytes, _) =>
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(bytes.length).array())
+        out.write(bytes)
+      }
     } finally out.close()
-    count
+    feats.length.toLong
+  }
+
+  /** Packed Hilbert R-tree per the FlatGeobuf spec: 40-byte nodes (4 doubles
+   *  + uint64), levels laid out root-first, leaf offsets = byte offsets into
+   *  the data section, internal offsets = node index of the first child. */
+  private def packedRTree(feats: scala.collection.Seq[(Array[Byte], Envelope)]): Array[Byte] = {
+    val n = feats.length
+    // level sizes, leaf level first
+    val sizes = scala.collection.mutable.ArrayBuffer(n)
+    var m = n
+    while (m != 1) { m = (m + NodeSize - 1) / NodeSize; sizes += m }
+    val rootFirst = sizes.reverse // root level (size 1) first in the file
+    val starts = rootFirst.scanLeft(0)(_ + _).dropRight(1)
+    val numNodes = rootFirst.sum
+    val leafStart = numNodes - n
+
+    val minsX = Array.fill(numNodes)(Double.PositiveInfinity)
+    val minsY = Array.fill(numNodes)(Double.PositiveInfinity)
+    val maxsX = Array.fill(numNodes)(Double.NegativeInfinity)
+    val maxsY = Array.fill(numNodes)(Double.NegativeInfinity)
+    val offs = new Array[Long](numNodes)
+
+    var off = 0L
+    var i = 0
+    while (i < n) {
+      val (bytes, e) = feats(i)
+      val idx = leafStart + i
+      if (e != null) {
+        minsX(idx) = e.getMinX; minsY(idx) = e.getMinY
+        maxsX(idx) = e.getMaxX; maxsY(idx) = e.getMaxY
+      }
+      offs(idx) = off
+      off += 4 + bytes.length
+      i += 1
+    }
+    // aggregate upward: each level's parents cover runs of NodeSize children
+    var level = rootFirst.length - 1 // leaf level index in rootFirst ordering
+    while (level > 0) {
+      val childStart = starts(level)
+      val childEnd = childStart + rootFirst(level)
+      val parentStart = starts(level - 1)
+      var c = childStart
+      var p = parentStart
+      while (c < childEnd) {
+        val cEnd = math.min(c + NodeSize, childEnd)
+        offs(p) = c
+        var j = c
+        while (j < cEnd) {
+          if (minsX(j) < minsX(p)) minsX(p) = minsX(j)
+          if (minsY(j) < minsY(p)) minsY(p) = minsY(j)
+          if (maxsX(j) > maxsX(p)) maxsX(p) = maxsX(j)
+          if (maxsY(j) > maxsY(p)) maxsY(p) = maxsY(j)
+          j += 1
+        }
+        c = cEnd; p += 1
+      }
+      level -= 1
+    }
+    val bb = ByteBuffer.allocate(numNodes * 40).order(ByteOrder.LITTLE_ENDIAN)
+    i = 0
+    while (i < numNodes) {
+      bb.putDouble(minsX(i)); bb.putDouble(minsY(i))
+      bb.putDouble(maxsX(i)); bb.putDouble(maxsY(i))
+      bb.putLong(offs(i))
+      i += 1
+    }
+    bb.array()
   }
 
   private def xys(g: Geometry): Array[Double] = {

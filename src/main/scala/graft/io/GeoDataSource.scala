@@ -172,23 +172,32 @@ object GeoFiles {
   }
 }
 
-class GeoTable(schema: StructType, paths: Seq[String], format: String) extends Table with SupportsRead {
-  override def name(): String = s"geo($format:${paths.headOption.getOrElse("")})"
+class GeoTable(schema: StructType, paths: Seq[String], val format: String,
+               val bbox: Option[(Double, Double, Double, Double)] = None)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"geo($format:${paths.headOption.getOrElse("")})" +
+      bbox.map(b => s" bbox=[${b._1},${b._2},${b._3},${b._4}]").getOrElse("")
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     JCollections.singleton(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(schema, paths, format)
+    new GeoScanBuilder(schema, paths, format, bbox)
+  /** same table narrowed to a query window (index-backed formats prune) */
+  def withBbox(b: (Double, Double, Double, Double)): GeoTable =
+    new GeoTable(schema, paths, format, Some(b))
 }
 
-class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String)
+class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
+                     bbox: Option[(Double, Double, Double, Double)])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new GeoScan(fullSchema, required, paths, format)
+  override def build(): Scan = new GeoScan(fullSchema, required, paths, format, bbox)
 }
 
-class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String)
+class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String,
+              bbox: Option[(Double, Double, Double, Double)] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -218,14 +227,15 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format)
+    new GeoReaderFactory(fullSchema, required, format, bbox)
 }
 
 case class FilePartition(path: String) extends InputPartition
 case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
 case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends InputPartition
 
-class GeoReaderFactory(fullSchema: StructType, required: StructType, format: String)
+class GeoReaderFactory(fullSchema: StructType, required: StructType, format: String,
+                       bbox: Option[(Double, Double, Double, Double)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val rows: Iterator[InternalRow] = (format, partition) match {
@@ -242,7 +252,13 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
       case ("osmpbf", OsmPartition(p, blobs)) =>
         blobs.iterator.flatMap(b => OsmPbf.readBlob(p, b)).map(GeoRows.osmRow(_, required))
       case ("flatgeobuf", FilePartition(p)) =>
-        FlatGeobuf.readFeatures(p).map(GeoRows.fgbRow(_, required))
+        // packed-index pruning when a query window was pushed down; the
+        // exact spatial predicate remains in the residual Filter above
+        val feats = bbox match {
+          case Some((x0, y0, x1, y1)) => FlatGeobuf.readFeaturesFiltered(p, x0, y0, x1, y1)
+          case None => FlatGeobuf.readFeatures(p)
+        }
+        feats.map(GeoRows.fgbRow(_, required))
       case ("geopackage", FilePartition(p)) =>
         GeoRows.gpkgRows(p, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")

@@ -33,12 +33,54 @@ class BboxSkippingRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // FlatGeobuf packed-index pushdown: narrow the GeoTable to the constant
+      // predicate's envelope; the exact predicate stays as residual filter
+      case f @ Filter(cond, r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation)
+          if r.table.isInstanceOf[graft.io.GeoTable] &&
+            r.table.asInstanceOf[graft.io.GeoTable].format == "flatgeobuf" &&
+            r.table.asInstanceOf[graft.io.GeoTable].bbox.isEmpty =>
+        val windows = splitConjuncts(cond).flatMap(constWindow(_, r))
+        if (windows.isEmpty) f
+        else {
+          val w = windows.reduce { (a, b) => // intersect all pushed windows
+            (math.max(a._1, b._1), math.max(a._2, b._2),
+              math.min(a._3, b._3), math.min(a._4, b._4))
+          }
+          Filter(cond, r.copy(table = r.table.asInstanceOf[graft.io.GeoTable].withBbox(w)))
+        }
+
       case f @ Filter(cond, child) =>
         val extra = splitConjuncts(cond).flatMap(derive(_, child))
         val fresh = extra.filterNot(e => splitConjuncts(cond).exists(_.semanticEquals(e)))
         if (fresh.isEmpty) f
         else Filter(fresh.foldLeft(cond)(And(_, _)), child)
     }
+  }
+
+  /** query window from a spatial predicate between the relation's geometry
+   *  column and a constant geometry */
+  private def constWindow(conjunct: Expression,
+                          rel: LogicalPlan): Option[(Double, Double, Double, Double)] =
+    conjunct match {
+      case FnExpr(fn, Seq(a, b)) if overlapPreds(fn) =>
+        val (geomSide, constSide) =
+          if (b.foldable && !a.foldable) (a, b)
+          else if (a.foldable && !b.foldable) (b, a)
+          else return None
+        baseAttr(geomSide) match {
+          case Some(attr) if rel.outputSet.contains(attr) => envelopeOf(constSide)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** strip pure decode wrappers so `st_within(st_geomfromwkb(geom), …)`
+   *  still identifies the scanned column */
+  private def baseAttr(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case FnExpr("st_geomfromwkb" | "st_geomfromhexwkb" | "st_geomfromtext" | "st_geomfromgeojson", Seq(inner)) =>
+      baseAttr(inner)
+    case _ => None
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
