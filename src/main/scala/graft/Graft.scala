@@ -169,6 +169,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Graft.listProjCrsPlan))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
+    ext.injectOptimizerRule(spark => new graft.plans.SaltedUnionAggRule(spark))
     ext.injectResolutionRule(_ => graft.plans.BarePathRelationRule)
   }
 }
