@@ -591,6 +591,36 @@ object SparkEntry {
       FROM (SELECT doc_id, cast(text AS BINARY) AS bin FROM documents WHERE doc_id < 40)
       ORDER BY doc_id"""),
 
+    // REAL header decode: PNG/JPEG/BMP bytes produced by the JDK's own image
+    // writers at runtime, parsed by mm_decode's pure-JVM header reader; a
+    // non-image blob exercises the stub fallback. Oracle = VALUES pin of the
+    // container dimensions we chose.
+    "q_mm_decode" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      import s.implicits._
+      System.setProperty("java.awt.headless", "true")
+      def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+        val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bi.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, fmt, bos)
+        bos.toByteArray
+      }
+      Seq(
+        (1, img(33, 17, "png")), (2, img(64, 48, "jpg")),
+        (3, img(20, 10, "bmp")), (4, "not an image".getBytes("UTF-8")))
+        .toDF("id", "bytes").createOrReplaceTempView("mm_imgs")
+      s.sql("""
+        SELECT id, m.format AS fmt, m.width AS w, m.height AS h, m.channels AS c
+        FROM (SELECT id, mm_decode(bytes) AS m FROM mm_imgs)
+        ORDER BY id""")
+    }),
+
     // ---------------------------------------------------------- seeded generator (reference benchmark pin)
     "q_generatepoints_pin" -> q()("""
       SELECT cast(count(*) AS INT) AS n
@@ -1134,6 +1164,18 @@ object SparkEntry {
              CAST(strlen(text) AS BIGINT) AS nbytes,
              'fake/rgb8' AS fmt
       FROM documents ORDER BY doc_id""",
+
+    // mm_decode pin: the container dimensions are the ones the Spark side
+    // requested from the JDK image writers; row 4 (12 raw bytes) pins the
+    // stub-fallback arithmetic.
+    "q_mm_decode" -> """
+      SELECT CAST(id AS INT) AS id, fmt, CAST(w AS INT) AS w, CAST(h AS INT) AS h, CAST(c AS INT) AS c
+      FROM (VALUES
+        (1, 'image/png', 33, 17, 3),
+        (2, 'image/jpeg', 64, 48, 3),
+        (3, 'image/bmp', 20, 10, 3),
+        (4, 'fake/rgb8', 13, 85, 3)) v(id, fmt, w, h, c)
+      ORDER BY id""",
 
     // ------------------------------------------------------------------
     // VALUES-pinned oracles for deterministic functions with no plain-SQL

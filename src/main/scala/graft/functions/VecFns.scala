@@ -107,6 +107,18 @@ object VecFns {
         (n % 640) + 1, ((n * 7) % 480) + 1, 3, UTF8String.fromString("fake/rgb8"), n.toLong))
     }
 
+    // mm_decode: REAL pure-JVM container-header parse (PNG IHDR / JPEG SOF /
+    // GIF LSD / BMP header — public formats, no codec); unrecognized blobs
+    // fall back to the deterministic stub so synthetic pipelines keep working
+    fn("mm_decode",
+      StructType(Seq(StructField("width", I), StructField("height", I),
+        StructField("channels", I), StructField("format", StringType), StructField("nbytes", LongType))),
+      Seq(BinaryType)) { a =>
+      val m = graft.mm.MultiModal.decode(a(0).asInstanceOf[Array[Byte]])
+      new GenericInternalRow(Array[Any](
+        m.width, m.height, m.channels, UTF8String.fromString(m.format), m.nbytes))
+    }
+
     // resize: deterministic byte resample standing in for a pixel resample
     // (the output SHAPE — w*h-bounded binary — is what the pipeline consumes)
     fn("mm_resize_stub", BinaryType, Seq(BinaryType, I, I)) { a =>
