@@ -100,12 +100,119 @@ object Geo {
         throw new IllegalArgumentException(
           s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
     }
+    // POINT/MULTIPOINT fast scanner: these dominate tabular workloads and
+    // JTS's StreamTokenizer machinery is ~7x the cost of the actual number
+    // parsing; anything the scanner doesn't recognize falls through
+    val c0 = if (wkt.isEmpty) ' ' else wkt.charAt(0)
+    if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm') {
+      val fast = fastPointWkt(wkt)
+      if (fast != null) return fast
+    }
     val g = tl.get().wktReader.read(wkt)
     if (g.isEmpty) TopEmptyTag.findFirstMatchIn(wkt).foreach { m =>
       val t = m.group(1).toUpperCase
       setEmptyDims(g, t == "Z" || t == "ZM", t == "M" || t == "ZM")
     }
     g
+  }
+
+  /** Hand-rolled scanner for POINT / MULTIPOINT WKT in all dimension forms
+   *  (bare, Z, M, ZM, EMPTY, parenthesized or bare multipoint members).
+   *  Returns null for anything else — the general JTS reader stays the
+   *  arbiter of errors and exotic syntax. */
+  private def fastPointWkt(s: String): Geometry = {
+    val n = s.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    try {
+      skipWs()
+      val multi =
+        if (s.regionMatches(true, i, "MULTIPOINT", 0, 10)) { i += 10; true }
+        else if (s.regionMatches(true, i, "POINT", 0, 5)) { i += 5; false }
+        else return null
+      // the keyword must end here (protects POINTZZZ-style garbage)
+      if (i < n && Character.isLetterOrDigit(s.charAt(i))) {
+        val c = s.charAt(i)
+        if (c != 'Z' && c != 'z' && c != 'M' && c != 'm') return null
+      }
+      skipWs()
+      var tagZ = false; var tagM = false
+      if (i < n) {
+        val c = s.charAt(i)
+        if (c == 'Z' || c == 'z') {
+          tagZ = true; i += 1
+          if (i < n && (s.charAt(i) == 'M' || s.charAt(i) == 'm')) { tagM = true; i += 1 }
+        } else if (c == 'M' || c == 'm') { tagM = true; i += 1 }
+        if (tagZ || tagM) {
+          if (i < n && !Character.isWhitespace(s.charAt(i)) && s.charAt(i) != '(') return null
+          skipWs()
+        }
+      }
+      def isEmptyWord(): Boolean =
+        s.regionMatches(true, i, "EMPTY", 0, 5) && { i += 5; true }
+      def num(): Double = {
+        val st = i
+        while (i < n && { val c = s.charAt(i)
+          c != ',' && c != ')' && c != '(' && !Character.isWhitespace(c) }) i += 1
+        if (i == st) throw new NumberFormatException("empty token")
+        java.lang.Double.parseDouble(s.substring(st, i))
+      }
+      /** up to 4 ordinates until ',' or ')' — dims resolved from tag or count */
+      def coord(): Coordinate = {
+        val v = new Array[Double](4)
+        var k = 0
+        skipWs()
+        while (k < 4 && i < n && { val c = s.charAt(i); c != ',' && c != ')' }) {
+          v(k) = num(); k += 1
+          skipWs()
+        }
+        if (k < 2) throw new NumberFormatException("too few ordinates")
+        // untagged coordinates read at most XYZ, like the JTS reader
+        val z = if (tagZ) true else if (tagM) false else k == 3
+        val m = tagM
+        if (z && (v.length < 3 || k < 3)) throw new NumberFormatException("missing z")
+        if (z && m) { if (k != 4) throw new NumberFormatException("dim"); new CoordinateXYZM(v(0), v(1), v(2), v(3)) }
+        else if (m) { if (k != 3) throw new NumberFormatException("dim"); new CoordinateXYM(v(0), v(1), v(2)) }
+        else if (z) { if (k != 3) throw new NumberFormatException("dim"); new Coordinate(v(0), v(1), v(2)) }
+        else { if (k != 2) throw new NumberFormatException("dim"); new Coordinate(v(0), v(1)) }
+      }
+      def expect(c: Char): Unit = {
+        skipWs()
+        if (i >= n || s.charAt(i) != c) throw new NumberFormatException(s"expected $c")
+        i += 1
+      }
+      def atEndOk(): Boolean = { skipWs(); i == n }
+
+      if (!multi) {
+        if (isEmptyWord())
+          return if (atEndOk()) setEmptyDims(factory.createPoint(), tagZ, tagM) else null
+        expect('(')
+        val c = coord()
+        expect(')')
+        if (!atEndOk()) return null
+        factory.createPoint(c)
+      } else {
+        if (isEmptyWord())
+          return if (atEndOk()) setEmptyDims(factory.createMultiPoint(), tagZ, tagM) else null
+        expect('(')
+        val pts = scala.collection.mutable.ArrayBuffer.empty[Point]
+        var done = false
+        while (!done) {
+          skipWs()
+          if (isEmptyWord()) pts += setEmptyDims(factory.createPoint(), tagZ, tagM).asInstanceOf[Point]
+          else if (i < n && s.charAt(i) == '(') { i += 1; pts += factory.createPoint(coord()); expect(')') }
+          else pts += factory.createPoint(coord())
+          skipWs()
+          if (i < n && s.charAt(i) == ',') i += 1
+          else { expect(')'); done = true }
+        }
+        if (!atEndOk()) return null
+        factory.createMultiPoint(pts.toArray)
+      }
+    } catch {
+      case _: NumberFormatException => null
+      case _: StringIndexOutOfBoundsException => null
+    }
   }
 
   def point(x: Double, y: Double): Geometry =
