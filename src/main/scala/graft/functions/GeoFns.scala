@@ -56,9 +56,12 @@ object GeoFns {
    *  positive-area overlap (the reference caches bboxes for the same
    *  short-circuit purpose, geometry_type.hpp:100-146): build the ≤3×3 cell
    *  grid induced by the rect edges, mark covered cells, trace the
-   *  covered/uncovered boundary into rings, classify holes. Produces the same
-   *  topology OverlayNG would (single rectilinear outlines, split slabs,
-   *  shell+hole) at grid-walk cost — no noding, no robust predicates. */
+   *  covered/uncovered boundary into rings, classify holes. Output matches
+   *  OverlayNG VERTEX FOR VERTEX (verified against JTS in
+   *  RectOverlaySpec): genuine intersection nodes are kept on straight runs,
+   *  each ring starts where OverlayNG's ring builder starts (the first
+   *  in-result sub-edge walking A's ring then B's), shells are CW / holes
+   *  CCW, and polygons are emitted in first-contributing-edge order. */
   private def rectilinearOverlay(ea: Envelope, eb: Envelope,
                                  op: (Boolean, Boolean) => Boolean): Geometry = {
     val xs = Array(ea.getMinX, ea.getMaxX, eb.getMinX, eb.getMaxX).distinct.sorted
@@ -87,12 +90,18 @@ object GeoFns {
       adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += i
     }
     val used = new Array[Boolean](segs.length)
-    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Coordinate]]
+    // per ring: vertex cycle + its undirected unit-segment set (for start lookup)
+    final case class Ring(pts: Array[Pt], segSet: Set[(Pt, Pt)])
+    def norm(a: Pt, b: Pt): (Pt, Pt) =
+      if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+    val rawRings = scala.collection.mutable.ArrayBuffer.empty[Ring]
     for (start <- segs.indices if !used(start)) {
       val pts = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      val mySegs = scala.collection.mutable.ArrayBuffer.empty[(Pt, Pt)]
       var (cur, next) = segs(start)
       used(start) = true
       pts += cur += next
+      mySegs += norm(cur, next)
       var done = false
       while (!done) {
         val cands = adj(next).filter(!used(_))
@@ -103,23 +112,68 @@ object GeoFns {
           val (a, b) = segs(si)
           val nn = if (a == next) b else a
           pts += nn
+          mySegs += norm(next, nn)
           next = nn
           if (nn == pts.head) done = true
         }
       }
-      // drop collinear mid-vertices (consecutive cells share edge lines)
-      val ring = pts.toArray
-      val keep = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      rawRings += Ring(pts.toArray, mySegs.toSet)
+    }
+
+    // OverlayNG keeps a vertex on a straight run only when an input edge
+    // actually crosses or touches there (a node) — a grid line whose source
+    // edge doesn't span the run contributes no vertex
+    def isNode(c: Pt, horizontalRun: Boolean): Boolean = {
+      def fromRect(e: Envelope): Boolean =
+        if (horizontalRun)
+          (c.x == e.getMinX || c.x == e.getMaxX) && c.y >= e.getMinY && c.y <= e.getMaxY
+        else
+          (c.y == e.getMinY || c.y == e.getMaxY) && c.x >= e.getMinX && c.x <= e.getMaxX
+      fromRect(ea) || fromRect(eb)
+    }
+
+    // canonical start: OverlayNG's ring builder consumes noded edges in input
+    // order (A's ring, then B's), so a result ring starts at the start vertex
+    // of its first in-result sub-edge along that walk; the walk position also
+    // orders multi-polygon output
+    def boxWalk(e: Envelope): Iterator[(Pt, Pt)] = {
+      val wxs = xs.filter(x => x >= e.getMinX && x <= e.getMaxX)
+      val wys = ys.filter(y => y >= e.getMinY && y <= e.getMaxY)
+      val left = wys.sliding(2).map(p => (Pt(e.getMinX, p(0)), Pt(e.getMinX, p(1))))
+      val top = wxs.sliding(2).map(p => (Pt(p(0), e.getMaxY), Pt(p(1), e.getMaxY)))
+      val right = wys.reverse.sliding(2).map(p => (Pt(e.getMaxX, p(0)), Pt(e.getMaxX, p(1))))
+      val bottom = wxs.reverse.sliding(2).map(p => (Pt(p(0), e.getMinY), Pt(p(1), e.getMinY)))
+      left ++ top ++ right ++ bottom
+    }
+    val walk = (boxWalk(ea) ++ boxWalk(eb)).toArray
+    def startOf(r: Ring): (Pt, Int) = {
+      var k = 0
+      while (k < walk.length) {
+        val (u, v) = walk(k)
+        if (r.segSet.contains(norm(u, v))) return (u, k)
+        k += 1
+      }
+      (r.pts.head, Int.MaxValue)
+    }
+
+    val rings = scala.collection.mutable.ArrayBuffer.empty[(Array[Coordinate], Int)]
+    rawRings.foreach { r =>
+      val ring = r.pts
       val m = ring.length - 1 // last == first
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Pt]
       for (k <- 0 until m) {
         val prev = ring((k - 1 + m) % m); val c = ring(k); val nxt = ring((k + 1) % m)
-        val collinear = (prev.x == c.x && c.x == nxt.x) || (prev.y == c.y && c.y == nxt.y)
-        if (!collinear) keep += c
+        val horiz = prev.y == c.y && c.y == nxt.y
+        val vert = prev.x == c.x && c.x == nxt.x
+        if (!(horiz || vert) || isNode(c, horiz)) keep += c
       }
       if (keep.length >= 3) {
-        val coords = keep.map(p => new Coordinate(p.x, p.y))
+        val (startPt, walkIdx) = startOf(r)
+        val si = keep.indexOf(startPt)
+        val rotated = if (si > 0) keep.drop(si) ++ keep.take(si) else keep
+        val coords = rotated.map(p => new Coordinate(p.x, p.y))
         coords += coords.head.copy()
-        rings += coords.toArray
+        rings += ((coords.toArray, walkIdx))
       }
     }
     if (rings.isEmpty) return f.createPolygon()
@@ -128,23 +182,24 @@ object GeoFns {
     }
     def oriented(cs: Array[Coordinate], ccw: Boolean): Array[Coordinate] = {
       val closed = if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+      // reversing a closed ring keeps the canonical start vertex in place
       if (org.locationtech.jts.algorithm.Orientation.isCCW(
         new org.locationtech.jts.geom.impl.CoordinateArraySequence(closed)) == ccw) closed
       else closed.reverse
     }
     // largest-envelope rings are shells; rings inside a shell's envelope are holes
-    val sorted = rings.map(r => (r, ringEnv(r))).sortBy { case (_, e) => -e.getArea }
-    val shells = scala.collection.mutable.ArrayBuffer.empty[(Array[Coordinate], Envelope, scala.collection.mutable.ArrayBuffer[Array[Coordinate]])]
-    sorted.foreach { case (r, e) =>
-      shells.find { case (_, se, _) => se.contains(e) && se.getArea > e.getArea } match {
-        case Some((_, _, holes)) => holes += r
-        case None => shells += ((r, e, scala.collection.mutable.ArrayBuffer.empty))
+    val sorted = rings.map { case (r, wi) => (r, ringEnv(r), wi) }.sortBy { case (_, e, _) => -e.getArea }
+    val shells = scala.collection.mutable.ArrayBuffer.empty[(Array[Coordinate], Envelope, Int, scala.collection.mutable.ArrayBuffer[(Array[Coordinate], Int)])]
+    sorted.foreach { case (r, e, wi) =>
+      shells.find { case (_, se, _, _) => se.contains(e) && se.getArea > e.getArea } match {
+        case Some((_, _, _, holes)) => holes += ((r, wi))
+        case None => shells += ((r, e, wi, scala.collection.mutable.ArrayBuffer.empty))
       }
     }
-    val polys = shells.map { case (shell, _, holes) =>
+    val polys = shells.sortBy(_._3).map { case (shell, _, _, holes) =>
       f.createPolygon(
         f.createLinearRing(oriented(shell, ccw = false)),
-        holes.map(h => f.createLinearRing(oriented(h, ccw = true))).toArray)
+        holes.sortBy(_._2).map { case (h, _) => f.createLinearRing(oriented(h, ccw = true)) }.toArray)
     }
     if (polys.length == 1) polys(0) else f.createMultiPolygon(polys.toArray)
   }
@@ -1081,7 +1136,10 @@ object GeoFns {
         val ix0 = math.max(ea.getMinX, eb.getMinX); val ix1 = math.min(ea.getMaxX, eb.getMaxX)
         val iy0 = math.max(ea.getMinY, eb.getMinY); val iy1 = math.min(ea.getMaxY, eb.getMaxY)
         if (ix1 < ix0 || iy1 < iy0) f.createPolygon()
-        else if (ix1 > ix0 && iy1 > iy0) Geo.box(ix0, iy0, ix1, iy1)
+        else if (ix1 > ix0 && iy1 > iy0)
+          // the grid path reproduces OverlayNG's ring start exactly (a plain
+          // min-corner box diverges when both inputs contribute edges)
+          rectilinearOverlay(ea, eb, (ia, ib) => ia && ib)
         else a.intersection(b) // boundary contact → line/point result: exact path
       } else a.intersection(b)
     }
