@@ -208,6 +208,70 @@ object FlatGeobuf {
     Some(results.sorted.toSeq)
   }
 
+  /** Intra-file split plan: byte ranges (relative to the data section,
+   *  end = -1 → EOF) of roughly `targetBytes` each, cut at feature
+   *  boundaries via the packed index's leaf offsets. A file without an index
+   *  stays one range (features are length-prefixed, so arbitrary byte
+   *  offsets aren't seekable) — the indexed writer is the scale path. */
+  def splitOffsets(path: String, targetBytes: Long = 64L << 20): Seq[(Long, Long)] = {
+    val header = readHeader(path)
+    val p = Paths.get(path.stripPrefix("file:"))
+    val dataSize = Files.size(p) - header.dataStart
+    if (header.indexNodeSize == 0 || header.featuresCount == 0 || dataSize <= targetBytes)
+      return Seq((0L, -1L))
+    val n = header.featuresCount.toInt
+    val chunks = math.max(1, math.min(n.toLong, dataSize / targetBytes + 1)).toInt
+    val per = (n + chunks - 1) / chunks
+    // leaf nodes sit at the tail of the index region; offset field at +32
+    val sizes = scala.collection.mutable.ArrayBuffer(n)
+    var m = n
+    while (m != 1) { m = (m + header.indexNodeSize - 1) / header.indexNodeSize; sizes += m }
+    val numNodes = sizes.sum
+    val leafStart = numNodes - n
+    val indexStart = header.dataStart - numNodes.toLong * 40
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    try {
+      def offsetOfFeature(i: Int): Long = {
+        raf.seek(indexStart + (leafStart + i).toLong * 40 + 32)
+        java.lang.Long.reverseBytes(raf.readLong()) // file is little-endian
+      }
+      val bounds = (0 until n by per).map(offsetOfFeature)
+      bounds.zipWithIndex.map { case (s, i) =>
+        (s, if (i + 1 < bounds.length) bounds(i + 1) else -1L)
+      }
+    } finally raf.close()
+  }
+
+  /** Stream features whose byte offset lies in [fromOff, toOff) of the data
+   *  section (toOff = -1 → EOF). */
+  def readFeaturesRange(path: String, fromOff: Long, toOff: Long): Iterator[FgbFeature] = {
+    val header = readHeader(path)
+    val p = Paths.get(path.stripPrefix("file:"))
+    val fileLen = Files.size(p)
+    val end = if (toOff < 0) fileLen else header.dataStart + toOff
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    raf.seek(header.dataStart + fromOff)
+    var pos = header.dataStart + fromOff
+    var closed = false
+    new Iterator[FgbFeature] {
+      override def hasNext: Boolean = {
+        val h = pos + 4 <= end
+        if (!h && !closed) { closed = true; raf.close() }
+        h
+      }
+      override def next(): FgbFeature = {
+        val szb = new Array[Byte](4); raf.readFully(szb)
+        val size = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+        val block = new Array[Byte](4 + size)
+        System.arraycopy(szb, 0, block, 0, 4)
+        raf.readFully(block, 4, size)
+        pos += 4 + size
+        val bb = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+        decodeFeatureAt(new Fb(bb), bb, 0, header)
+      }
+    }
+  }
+
   /** Index-pruned feature read: only candidate features are decoded (exact
    *  predicate evaluation stays with the caller). Falls back to a full scan
    *  when the file has no index. */
@@ -215,30 +279,34 @@ object FlatGeobuf {
                            maxX: Double, maxY: Double): Iterator[FgbFeature] =
     searchIndex(path, minX, minY, maxX, maxY) match {
       case None => readFeatures(path)
-      case Some(offsets) =>
-        val header = readHeader(path)
-        val raf = new java.io.RandomAccessFile(path.stripPrefix("file:"), "r")
-        var closed = false
-        val it = offsets.iterator.map { off =>
-          val pos = header.dataStart + off
-          raf.seek(pos)
-          val szb = new Array[Byte](4); raf.readFully(szb)
-          val size = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
-          val block = new Array[Byte](4 + size)
-          System.arraycopy(szb, 0, block, 0, 4)
-          raf.readFully(block, 4, size)
-          val bb = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
-          decodeFeatureAt(new Fb(bb), bb, 0, header)
-        }
-        new Iterator[FgbFeature] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h && !closed) { closed = true; raf.close() }
-            h
-          }
-          override def next(): FgbFeature = it.next()
-        }
+      case Some(offsets) => readFeaturesAt(path, offsets)
     }
+
+  /** Decode exactly the features at the given data-section byte offsets. */
+  def readFeaturesAt(path: String, offsets: Seq[Long]): Iterator[FgbFeature] = {
+    val header = readHeader(path)
+    val raf = new java.io.RandomAccessFile(path.stripPrefix("file:"), "r")
+    var closed = false
+    val it = offsets.iterator.map { off =>
+      val pos = header.dataStart + off
+      raf.seek(pos)
+      val szb = new Array[Byte](4); raf.readFully(szb)
+      val size = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+      val block = new Array[Byte](4 + size)
+      System.arraycopy(szb, 0, block, 0, 4)
+      raf.readFully(block, 4, size)
+      val bb = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+      decodeFeatureAt(new Fb(bb), bb, 0, header)
+    }
+    new Iterator[FgbFeature] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; raf.close() }
+        h
+      }
+      override def next(): FgbFeature = it.next()
+    }
+  }
 
   private def coords(fb: Fb, geomT: Int, hasZ: Boolean, hasM: Boolean): Array[Coordinate] = {
     fb.vector(geomT, 1) match {

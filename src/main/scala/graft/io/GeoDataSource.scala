@@ -223,6 +223,19 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
           (0 until n by per).map(s => ShpRangePartition(p, s, math.min(n, s + per)): InputPartition)
         }
       }.toArray
+    case "flatgeobuf" =>
+      // intra-file splits via the packed index's leaf offsets: a 10 GB .fgb
+      // becomes ~160 range partitions instead of one task (unindexed files
+      // stay one range — length-prefixed features aren't seekable blind)
+      val target =
+        try org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.fgb.splitBytes", (64L << 20).toString).toLong
+        catch { case _: Exception => 64L << 20 }
+      paths.flatMap { p =>
+        FlatGeobuf.splitOffsets(p, target).map { case (from, to) =>
+          FgbRangePartition(p, from, to): InputPartition
+        }
+      }.toArray
     case _ => paths.map(p => FilePartition(p): InputPartition).toArray
   }
 
@@ -231,6 +244,7 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
 }
 
 case class FilePartition(path: String) extends InputPartition
+case class FgbRangePartition(path: String, fromOff: Long, toOff: Long) extends InputPartition
 case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
 case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends InputPartition
 
@@ -251,12 +265,18 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
           .map(GeoRows.featureRow(_, required))
       case ("osmpbf", OsmPartition(p, blobs)) =>
         blobs.iterator.flatMap(b => OsmPbf.readBlob(p, b)).map(GeoRows.osmRow(_, required))
-      case ("flatgeobuf", FilePartition(p)) =>
+      case ("flatgeobuf", FgbRangePartition(p, from, to)) =>
         // packed-index pruning when a query window was pushed down; the
         // exact spatial predicate remains in the residual Filter above
         val feats = bbox match {
-          case Some((x0, y0, x1, y1)) => FlatGeobuf.readFeaturesFiltered(p, x0, y0, x1, y1)
-          case None => FlatGeobuf.readFeatures(p)
+          case Some((x0, y0, x1, y1)) =>
+            FlatGeobuf.searchIndex(p, x0, y0, x1, y1) match {
+              case Some(offsets) =>
+                FlatGeobuf.readFeaturesAt(p,
+                  offsets.filter(o => o >= from && (to < 0 || o < to)))
+              case None => FlatGeobuf.readFeaturesRange(p, from, to)
+            }
+          case None => FlatGeobuf.readFeaturesRange(p, from, to)
         }
         feats.map(GeoRows.fgbRow(_, required))
       case ("geopackage", FilePartition(p)) =>

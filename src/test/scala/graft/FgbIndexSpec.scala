@@ -59,6 +59,32 @@ class FgbIndexSpec extends AnyFunSuite {
     assert(exact == expected && expected > 0, s"$exact vs $expected")
   }
 
+  test("intra-file range splits cover the file exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fgbsplit").toString
+    val df = spark.range(8000).selectExpr(
+      "cast(id as int) AS fid",
+      "st_aswkb(st_point(cast(id % 200 as double), cast((id * 7) % 200 as double))) AS geom")
+    GeoWriter.flatgeobuf(df, "geom", s"$dir/pts.fgb", singleFile = true)
+
+    val splits = FlatGeobuf.splitOffsets(s"$dir/pts.fgb", targetBytes = 64 << 10)
+    assert(splits.size > 2, s"expected multiple ranges, got $splits")
+    assert(splits.head._1 == 0 && splits.last._2 == -1)
+    // ranges are contiguous and their union equals the full scan
+    splits.sliding(2).foreach { case Seq(a, b) => assert(a._2 == b._1, s"$a !~ $b") }
+    val viaRanges = splits.flatMap { case (f0, t0) =>
+      FlatGeobuf.readFeaturesRange(s"$dir/pts.fgb", f0, t0).map(_.properties("fid"))
+    }
+    val full = FlatGeobuf.readFeatures(s"$dir/pts.fgb").map(_.properties("fid")).toSeq
+    assert(viaRanges.size == 8000 && viaRanges.sorted == full.sorted)
+    // Spark scan picks up the splits once the target drops below file size
+    spark.conf.set("spark.graft.fgb.splitBytes", (64 << 10).toString)
+    try {
+      val scan = spark.read.format("geo").load(s"$dir/pts.fgb")
+      assert(scan.rdd.getNumPartitions > 2, s"partitions=${scan.rdd.getNumPartitions}")
+      assert(scan.count() == 8000)
+    } finally spark.conf.unset("spark.graft.fgb.splitBytes")
+  }
+
   test("SQL bbox filter pushes the window into the fgb scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fgbsql").toString
     val df = spark.range(2000).selectExpr(
