@@ -75,7 +75,8 @@ object GeoFiles {
     val l = degz(f.toLowerCase)
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
-      l.endsWith(".fgb") || l.endsWith(".gpkg")
+      l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
+      l.endsWith(".gpx") || l.endsWith(".csv")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -86,6 +87,9 @@ object GeoFiles {
     else if (l.endsWith(".osm.pbf")) "osmpbf"
     else if (l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
     else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
+    else if (l.endsWith(".kml")) "kml"
+    else if (l.endsWith(".gpx")) "gpx"
+    else if (l.endsWith(".csv")) "csvwkt"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -162,12 +166,21 @@ object GeoFiles {
     })
   }
 
+  def csvSchema(path: String): StructType = {
+    val hdr = CsvWkt.header(path)
+    val gi = CsvWkt.geomColumn(hdr.toSeq)
+    StructType(hdr.zipWithIndex.collect {
+      case (h, i) if i != gi => StructField(h.trim, StringType)
+    } :+ StructField("geom", BinaryType))
+  }
+
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
-    case "geojson" | "geojsonl" => geojsonSchema
+    case "geojson" | "geojsonl" | "kml" | "gpx" => geojsonSchema
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
     case "geopackage" => geopackageSchema(paths.head)
+    case "csvwkt" => csvSchema(paths.head)
     case other => throw new IllegalArgumentException(s"unknown geo format $other")
   }
 }
@@ -281,6 +294,12 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         feats.map(GeoRows.fgbRow(_, required))
       case ("geopackage", FilePartition(p)) =>
         GeoRows.gpkgRows(p, required)
+      case ("kml", FilePartition(p)) =>
+        XmlGeo.kmlFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("gpx", FilePartition(p)) =>
+        XmlGeo.gpxFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("csvwkt", FilePartition(p)) =>
+        GeoRows.csvRows(p, fullSchema, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
     new PartitionReader[InternalRow] {
@@ -353,6 +372,22 @@ object GeoRows {
             case (x, StringType) => utf(String.valueOf(x))
             case _ => null
           }
+        }): Any
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    }
+  }
+
+  def csvRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+    // fullSchema = attribute columns in header order + trailing geom
+    val attrIndex = fullSchema.fieldNames.zipWithIndex.toMap
+    CsvWkt.rows(path).map { case (attrs, geom) =>
+      val vals = required.fields.map { field =>
+        (if (field.name == "geom") {
+          if (geom == null) null else Wkb.write(geom)
+        } else attrIndex.get(field.name) match {
+          case Some(i) if i < attrs.length => utf(attrs(i))
+          case _ => null
         }): Any
       }
       new GenericInternalRow(vals.asInstanceOf[Array[Any]])

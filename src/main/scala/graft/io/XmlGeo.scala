@@ -1,0 +1,237 @@
+package graft.io
+
+import graft.geom.Geo
+import graft.io.GeoJsonFile.Feature
+import org.locationtech.jts.geom._
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+/**
+ * KML and GPX readers on the JDK's StAX parser (both are public OGC/Topografix
+ * XML formats; the reference reads them through GDAL's 50-format surface,
+ * st_read.cpp). Streaming event parse — no DOM, so multi-GB files hold one
+ * element's text at a time. Features surface in the same (id, geom,
+ * properties) shape as GeoJSON.
+ */
+object XmlGeo {
+
+  private def reader(path: String): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false) // no external entities
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(GeoFiles.textReader(path))
+  }
+
+  // ------------------------------------------------------------------- KML
+  /** Placemarks → features: name/description as properties, geometry from
+   *  Point/LineString/Polygon/MultiGeometry (KML coordinates are
+   *  "lon,lat[,alt]" whitespace-separated tuples). */
+  def kmlFeatures(path: String): Iterator[Feature] = {
+    val r = reader(path)
+    val fac = Geo.factory
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
+    var n = 0
+
+    def text(): String = { // collect text until the current element closes
+      val sb = new java.lang.StringBuilder
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA => sb.append(r.getText)
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+      sb.toString.trim
+    }
+    def coords(s: String): Array[Coordinate] =
+      s.split("\\s+").filter(_.nonEmpty).map { tup =>
+        val p = tup.split(",")
+        if (p.length >= 3) new Coordinate(p(0).toDouble, p(1).toDouble, p(2).toDouble)
+        else new Coordinate(p(0).toDouble, p(1).toDouble)
+      }
+
+    /** parse one geometry element (cursor on its START_ELEMENT) */
+    def geometry(name: String): Geometry = name match {
+      case "Point" =>
+        var g: Geometry = fac.createPoint()
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (r.getLocalName == "coordinates") { val cs = coords(text()); if (cs.nonEmpty) g = fac.createPoint(cs(0)) }
+            else depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+        g
+      case "LineString" =>
+        var g: Geometry = fac.createLineString()
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (r.getLocalName == "coordinates") g = fac.createLineString(coords(text()))
+            else depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+        g
+      case "Polygon" =>
+        var shell: LinearRing = null
+        val holes = scala.collection.mutable.ArrayBuffer.empty[LinearRing]
+        var inOuter = false; var inInner = false
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "outerBoundaryIs" => inOuter = true; depth += 1
+              case "innerBoundaryIs" => inInner = true; depth += 1
+              case "coordinates" =>
+                val ring = fac.createLinearRing(coords(text()))
+                if (inOuter || shell == null) shell = ring else if (inInner) holes += ring
+              case _ => depth += 1
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "outerBoundaryIs" => inOuter = false
+              case "innerBoundaryIs" => inInner = false
+              case _ =>
+            }
+            depth -= 1
+          case _ =>
+        }
+        if (shell == null) fac.createPolygon() else fac.createPolygon(shell, holes.toArray)
+      case "MultiGeometry" =>
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case g @ ("Point" | "LineString" | "Polygon" | "MultiGeometry") => parts += geometry(g)
+              case _ => depth += 1
+            }
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+        if (parts.isEmpty) fac.createGeometryCollection()
+        else if (parts.forall(_.isInstanceOf[Point]))
+          fac.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+        else if (parts.forall(_.isInstanceOf[LineString]))
+          fac.createMultiLineString(parts.map(_.asInstanceOf[LineString]).toArray)
+        else if (parts.forall(_.isInstanceOf[Polygon]))
+          fac.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
+        else fac.createGeometryCollection(parts.toArray)
+    }
+
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Placemark") {
+          var name: String = null; var desc: String = null
+          var geom: Geometry = null
+          var depth = 1
+          while (depth > 0 && r.hasNext) r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "name" => name = text()
+                case "description" => desc = text()
+                case g @ ("Point" | "LineString" | "Polygon" | "MultiGeometry") => geom = geometry(g)
+                case _ => depth += 1
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+          n += 1
+          val props = Seq("name" -> name, "description" -> desc).collect { case (k, v) if v != null => k -> v }
+          out += Feature(n.toString, geom, props.toMap)
+        }
+      }
+    } finally r.close()
+    out.iterator
+  }
+
+  // ------------------------------------------------------------------- GPX
+  /** Waypoints → points; each trkseg → LineString; each rte → LineString.
+   *  Properties: kind (wpt/trk/rte), name, ele (waypoints). */
+  def gpxFeatures(path: String): Iterator[Feature] = {
+    val r = reader(path)
+    val fac = Geo.factory
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
+    var n = 0
+
+    def attr(name: String): String = {
+      var i = 0
+      while (i < r.getAttributeCount) {
+        if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+        i += 1
+      }
+      null
+    }
+    def text(): String = {
+      val sb = new java.lang.StringBuilder
+      var depth = 1
+      while (depth > 0 && r.hasNext) r.next() match {
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA => sb.append(r.getText)
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+      sb.toString.trim
+    }
+    def emit(kind: String, name: String, g: Geometry, extra: Map[String, String] = Map.empty): Unit = {
+      n += 1
+      val props = Map("kind" -> kind) ++ (if (name != null) Map("name" -> name) else Map.empty) ++ extra
+      out += Feature(n.toString, g, props)
+    }
+
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
+          case "wpt" =>
+            val lat = attr("lat").toDouble; val lon = attr("lon").toDouble
+            var name: String = null; var ele: String = null
+            var depth = 1
+            while (depth > 0 && r.hasNext) r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "name" => name = text()
+                  case "ele" => ele = text()
+                  case _ => depth += 1
+                }
+              case XMLStreamConstants.END_ELEMENT => depth -= 1
+              case _ =>
+            }
+            emit("wpt", name, fac.createPoint(new Coordinate(lon, lat)),
+              if (ele != null) Map("ele" -> ele) else Map.empty)
+          case tag @ ("trk" | "rte") =>
+            var name: String = null
+            val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Coordinate]]
+            var seg = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+            var depth = 1
+            while (depth > 0 && r.hasNext) r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "name" if depth == 1 => name = text()
+                  case "trkseg" => seg = scala.collection.mutable.ArrayBuffer.empty; depth += 1
+                  case "trkpt" | "rtept" =>
+                    seg += new Coordinate(attr("lon").toDouble, attr("lat").toDouble)
+                    depth += 1
+                  case _ => depth += 1
+                }
+              case XMLStreamConstants.END_ELEMENT =>
+                if (r.getLocalName == "trkseg" && seg.nonEmpty) { segs += seg.toArray }
+                depth -= 1
+              case _ =>
+            }
+            if (tag == "rte" && seg.nonEmpty) segs += seg.toArray
+            val lines = segs.filter(_.length >= 2).map(cs => fac.createLineString(cs))
+            val g: Geometry =
+              if (lines.isEmpty) fac.createLineString()
+              else if (lines.length == 1) lines.head
+              else fac.createMultiLineString(lines.toArray)
+            emit(tag, name, g)
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.iterator
+  }
+}

@@ -17,6 +17,7 @@ object BarePathRelationRule extends Rule[LogicalPlan] {
     val l = name.toLowerCase
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".ndjson") ||
       l.endsWith(".geojsonl") || l.endsWith(".fgb") || l.endsWith(".gpkg") ||
+      l.endsWith(".kml") || l.endsWith(".gpx") ||
       l.endsWith(".osm.pbf")
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KML / GPX / CSV-WKT readers (round-4 format breadth; the reference covers
+  * these through GDAL's driver surface). */
+class TextFormatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private def tmpFile(name: String, content: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_fmt")
+    val p = d.resolve(name)
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("KML placemarks: point, linestring, polygon with hole, multigeometry") {
+    val kml = tmpFile("t.kml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+        |<Placemark><name>pt</name><description>a point</description>
+        |  <Point><coordinates>4.9,52.37,0</coordinates></Point></Placemark>
+        |<Placemark><name>line</name>
+        |  <LineString><coordinates>0,0 1,1 2,0</coordinates></LineString></Placemark>
+        |<Placemark><name>poly</name>
+        |  <Polygon>
+        |    <outerBoundaryIs><LinearRing><coordinates>0,0 10,0 10,10 0,10 0,0</coordinates></LinearRing></outerBoundaryIs>
+        |    <innerBoundaryIs><LinearRing><coordinates>4,4 6,4 6,6 4,6 4,4</coordinates></LinearRing></innerBoundaryIs>
+        |  </Polygon></Placemark>
+        |<Placemark><name>multi</name>
+        |  <MultiGeometry>
+        |    <Point><coordinates>1,1</coordinates></Point>
+        |    <Point><coordinates>2,2</coordinates></Point>
+        |  </MultiGeometry></Placemark>
+        |</Document></kml>""".stripMargin)
+    val df = spark.read.format("geo").load(kml)
+    val rows = df.selectExpr("properties['name'] AS name", "st_astext(st_geomfromwkb(geom)) AS wkt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("pt") == "POINT Z (4.9 52.37 0)")
+    assert(rows("line") == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(rows("poly") == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(rows("multi") == "MULTIPOINT (1 1, 2 2)")
+    // hole area accounted: 100 - 4
+    val area = spark.read.format("geo").load(kml)
+      .selectExpr("st_area(st_geomfromwkb(geom)) AS a", "properties['name'] AS n")
+      .where("n = 'poly'").collect()(0).getDouble(0)
+    assert(area == 96.0)
+  }
+
+  test("GPX waypoints, multi-segment track, route") {
+    val gpx = tmpFile("t.gpx",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gpx version="1.1" creator="graft-test">
+        |<wpt lat="52.37" lon="4.9"><ele>2.5</ele><name>dam</name></wpt>
+        |<wpt lat="51.5" lon="-0.13"><name>nelson</name></wpt>
+        |<trk><name>run</name>
+        |  <trkseg><trkpt lat="0" lon="0"/><trkpt lat="1" lon="1"/></trkseg>
+        |  <trkseg><trkpt lat="2" lon="2"/><trkpt lat="3" lon="3"/><trkpt lat="4" lon="4"/></trkseg>
+        |</trk>
+        |<rte><name>route</name><rtept lat="10" lon="10"/><rtept lat="11" lon="11"/></rte>
+        |</gpx>""".stripMargin)
+    val df = spark.read.format("geo").load(gpx)
+    val byKind = df.selectExpr("properties['kind'] AS kind", "properties['name'] AS name",
+        "st_astext(st_geomfromwkb(geom)) AS wkt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(byKind.count(_._1 == "wpt") == 2)
+    val dam = byKind.find(_._2 == "dam").get
+    assert(dam._3 == "POINT (4.9 52.37)")
+    val trk = byKind.find(_._1 == "trk").get
+    assert(trk._3 == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))", trk._3)
+    val rte = byKind.find(_._1 == "rte").get
+    assert(rte._3 == "LINESTRING (10 10, 11 11)")
+    // elevation surfaced as a property
+    val ele = df.where("properties['name'] = 'dam'")
+      .selectExpr("properties['ele']").collect()(0).getString(0)
+    assert(ele == "2.5")
+  }
+
+  test("CSV with quoted fields and a WKT column") {
+    val csv = tmpFile("t.csv",
+      "id,label,wkt\n" +
+        "1,\"a, quoted\",POINT (1 2)\n" +
+        "2,plain,\"POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))\"\n" +
+        "3,\"say \"\"hi\"\"\",POINT (9 9)\n" +
+        "4,nogeom,\n")
+    val df = spark.read.format("geo").load(csv)
+    assert(df.columns.toSeq == Seq("id", "label", "geom"))
+    val rows = df.selectExpr("id", "label",
+        "CASE WHEN geom IS NULL THEN NULL ELSE st_astext(st_geomfromwkb(geom)) END AS wkt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 4)
+    assert(rows.find(_._1 == "1").get._2 == "a, quoted")
+    assert(rows.find(_._1 == "2").get._3 == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(rows.find(_._1 == "3").get._2 == "say \"hi\"")
+    assert(rows.find(_._1 == "4").get._3 == null)
+    // area through SQL proves the binary column is live geometry
+    val area = df.where("id = '2'").selectExpr("st_area(geom)").collect()(0).getDouble(0)
+    assert(area == 16.0)
+  }
+}
