@@ -38,6 +38,9 @@ object FlatGeobuf {
     def longField(t: Int, id: Int, dflt: Long): Long = {
       val s = slot(t, id); if (s < 0) dflt else buf.getLong(s)
     }
+    def intField(t: Int, id: Int, dflt: Int): Int = {
+      val s = slot(t, id); if (s < 0) dflt else buf.getInt(s)
+    }
     def string(t: Int, id: Int): String = {
       val s = slot(t, id)
       if (s < 0) null
@@ -68,7 +71,7 @@ object FlatGeobuf {
   final case class FgbHeader(
       name: String, geometryType: Int, hasZ: Boolean, hasM: Boolean,
       columns: Seq[FgbColumn], featuresCount: Long, indexNodeSize: Int,
-      dataStart: Long)
+      dataStart: Long, crs: String = null)
 
   def readHeader(path: String): FgbHeader = {
     val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
@@ -94,8 +97,18 @@ object FlatGeobuf {
     val indexSize =
       if (indexNodeSize > 0 && featuresCount > 0) packedIndexSize(featuresCount, indexNodeSize)
       else 0L
+    // Crs table: org(0) code(1) name(2) description(3) wkt(4)
+    val crs = {
+      val t = fb.tableField(root, 10)
+      if (t < 0) null
+      else {
+        val org = Option(fb.string(t, 0)).getOrElse("EPSG")
+        val code = fb.intField(t, 1, 0)
+        if (code != 0) s"$org:$code" else fb.string(t, 4)
+      }
+    }
     FgbHeader(fb.string(root, 0), geometryType, hasZ, hasM, columns, featuresCount,
-      indexNodeSize, 12L + headerLen + indexSize)
+      indexNodeSize, 12L + headerLen + indexSize, crs)
   }
 
   /** size in bytes of the packed Hilbert R-tree (spec: 40-byte nodes). */

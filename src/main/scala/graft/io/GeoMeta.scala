@@ -60,26 +60,40 @@ object GeoMeta {
       java.nio.file.Files.isDirectory(p) &&
         java.nio.file.Files.list(p).iterator().asScala.exists(_.toString.endsWith(".parquet"))
     }
-    val (fmt, fields, fileCount, geo) =
+    val (fmt, fields, fileCount, geo, crs) =
       if (isParquet) {
         val df = spark.read.parquet(path)
         val n = GeoFiles.expand0(path).count(_.endsWith(".parquet")) max 1
         val g = GeoParquet.readGeo(spark.sessionState.newHadoopConf(), path.stripPrefix("file:"))
-        ("geoparquet", df.schema.fields, n, g.orNull)
+        // GeoParquet 1.1: absent "crs" member means OGC:CRS84
+        ("geoparquet", df.schema.fields, n, g.orNull,
+          g.map(j => if (j.contains("\"crs\"")) null else "OGC:CRS84").orNull)
       } else {
         val paths = GeoFiles.expand(path)
         val f = GeoFiles.formatOf(paths, None)
-        (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null)
+        val crs = f match {
+          case "shapefile" =>
+            val prj = java.nio.file.Paths.get(Shapefile.basePath(paths.head) + ".prj")
+            if (java.nio.file.Files.exists(prj))
+              new String(java.nio.file.Files.readAllBytes(prj), "UTF-8").trim
+            else null
+          case "flatgeobuf" => FlatGeobuf.readHeader(paths.head).crs
+          case "geopackage" => GeoPackage.srsInfo(paths.head).orNull
+          case "geojson" | "geojsonl" | "kml" | "gpx" => "OGC:CRS84" // spec-fixed CRSes
+          case _ => null
+        }
+        (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null, crs)
       }
     val rows = Seq(Row(path, fmt, fileCount,
-      fields.map(f => Row(f.name, f.dataType.simpleString)), geo))
+      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("path", StringType),
       StructField("driver", StringType),
       StructField("file_count", IntegerType),
       StructField("fields", ArrayType(StructType(Seq(
         StructField("name", StringType), StructField("type", StringType))))),
-      StructField("geo_metadata", StringType))))
+      StructField("geo_metadata", StringType),
+      StructField("crs", StringType))))
   }
 
   /** Introspection of a clustered-parquet layout (rtree pragma equivalent):

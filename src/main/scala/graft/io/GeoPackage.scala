@@ -17,6 +17,21 @@ object GeoPackage {
   final case class FeatureTable(name: String, geomColumn: String,
                                 columns: Seq[(String, String)], rootPage: Long, pkIndex: Int)
 
+  /** "organization:code" from gpkg_spatial_ref_sys (first user row), for
+   *  ST_Read_Meta's CRS report (st_read_meta.cpp surfaces the same via GDAL). */
+  def srsInfo(path: String): Option[String] = {
+    val db = new Sqlite.Db(path)
+    db.master().find(m => m._1 == "table" && m._2 == "gpkg_spatial_ref_sys").map(_._4).flatMap { root =>
+      val rows = db.scanTable(root).map(_._2).toSeq // srs table: a handful of rows
+      // prefer a row that isn't the undefined -1/0 placeholders
+      val r = rows.find(r => r(1) match {
+        case l: Long => l > 0
+        case _ => false
+      }).orElse(rows.headOption)
+      r.map(v => s"${v(2)}:${v(3)}")
+    }
+  }
+
   def featureTables(path: String): Seq[FeatureTable] = {
     val db = new Sqlite.Db(path)
     val master = db.master()

@@ -76,6 +76,25 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(ele == "2.5")
   }
 
+  test("st_read_meta surfaces CRS detail per format") {
+    // shapefile: .prj sidecar text (real fixture)
+    val shpMeta = graft.io.GeoMeta.readMeta(spark,
+      "/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp").collect()(0)
+    val prj = shpMeta.getAs[String]("crs")
+    assert(prj != null && (prj.contains("PROJCS") || prj.contains("GEOGCS")), prj)
+    // flatgeobuf: header crs (GDAL-written fixture carries one)
+    val fgbMeta = graft.io.GeoMeta.readMeta(spark,
+      "/root/reference/test/data/amsterdam_roads.fgb").collect()(0)
+    val fgbCrs = fgbMeta.getAs[String]("crs")
+    assert(fgbCrs != null && fgbCrs.contains(":"), s"fgb crs: $fgbCrs")
+    // geopackage: organization:code from gpkg_spatial_ref_sys (graft-written)
+    val dir = java.nio.file.Files.createTempDirectory("graft_crsmeta").toString
+    val df = spark.range(5).selectExpr("id", "st_aswkb(st_point(1.0d, 2.0d)) AS geom")
+    graft.io.GeoWriter.geopackage(df, "geom", s"$dir/t.gpkg", singleFile = true)
+    val gpkgMeta = graft.io.GeoMeta.readMeta(spark, s"$dir/t.gpkg").collect()(0)
+    assert(gpkgMeta.getAs[String]("crs") == "EPSG:4326", gpkgMeta.toString)
+  }
+
   test("CSV with quoted fields and a WKT column") {
     val csv = tmpFile("t.csv",
       "id,label,wkt\n" +
