@@ -670,6 +670,7 @@ object GeoFns {
     case u @ UtmRe(_, _) => u
     case u @ EtrsUtmRe(_) => u
     case p if graft.geom.Proj.lookup(p).isDefined => p
+    case p if graft.geom.Proj.geographic.contains(p) => p
     case other => throw new IllegalArgumentException(
       s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, " +
         "UTM families EPSG:326xx/327xx/258xx/269xx/283xx/78xx/319xx/230xx, and the embedded " +
@@ -687,6 +688,8 @@ object GeoFns {
         graft.geom.Tm.inverse(x, y, zone.toInt, north = hemi == "6")
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.inverse(x, y, zone.toInt, north = true)
+      case p if graft.geom.Proj.geographic.contains(p) =>
+        graft.geom.Proj.geographic(p)._2.toWgs84(x, y) // lon/lat in, always_xy
       case p =>
         val c = graft.geom.Proj.lookup(p).get
         val (lo, la) = c.proj.inverse(x, y)
@@ -702,6 +705,8 @@ object GeoFns {
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = hemi == "6")
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = true)
+      case p if graft.geom.Proj.geographic.contains(p) =>
+        graft.geom.Proj.geographic(p)._2.fromWgs84(lon, lat)
       case p =>
         val c = graft.geom.Proj.lookup(p).get
         val (lo, la) = c.datum.fromWgs84(lon, lat)

@@ -573,6 +573,23 @@ object Proj {
     case _ => None
   })
 
+  /** Geographic (lon/lat) CRSes: modern frames are WGS84-equivalent at the
+   *  sub-meter level; legacy ones go through their Helmert. Coordinates are
+   *  taken as lon/lat under always_xy semantics (like EPSG:4326 upstream). */
+  val geographic: Map[String, (String, Datum)] = Map(
+    "EPSG:4258" -> (("ETRS89", DatumGrs80)),
+    "EPSG:4269" -> (("NAD83", DatumGrs80)),
+    "EPSG:4283" -> (("GDA94", DatumGrs80)),
+    "EPSG:7844" -> (("GDA2020", DatumGrs80)),
+    "EPSG:4171" -> (("RGF93", DatumGrs80)),
+    "EPSG:4167" -> (("NZGD2000", DatumGrs80)),
+    "EPSG:4612" -> (("JGD2000", DatumGrs80)),
+    "EPSG:6668" -> (("JGD2011", DatumGrs80)),
+    "EPSG:4674" -> (("SIRGAS 2000", DatumGrs80)),
+    "EPSG:4277" -> (("OSGB36", DatumOsgb36)),
+    "EPSG:4299" -> (("TM65 (Ireland)", DatumTm75)),
+    "EPSG:4230" -> (("ED50", DatumEd50)))
+
   /** All codes the registry + zone families accept (for ST_List_Proj_CRS). */
   def allCodes: Seq[(String, String)] = {
     val families = Seq(
@@ -582,6 +599,7 @@ object Proj {
       (31965 to 31985).map(c => s"EPSG:$c"),
       (23028 to 23038).map(c => s"EPSG:$c")).flatten
     (registry.keys.toSeq.map(c => c -> registry(c).name) ++
-      families.flatMap(c => lookup(c).map(c -> _.name))).sortBy(_._1)
+      families.flatMap(c => lookup(c).map(c -> _.name)) ++
+      geographic.map { case (c, (n, _)) => c -> s"$n (geographic)" }).sortBy(_._1)
   }
 }

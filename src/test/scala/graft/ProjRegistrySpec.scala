@@ -22,7 +22,7 @@ class ProjRegistrySpec extends AnyFunSuite {
   }
 
   test("every registered CRS round-trips its probe point to sub-millimeter") {
-    Proj.allCodes.foreach { case (code, _) =>
+    Proj.allCodes.filterNot(c => Proj.geographic.contains(c._1)).foreach { case (code, _) =>
       val crs = Proj.lookup(code).get
       val (lon, lat) = crs.probe
       val (x, y) = crs.proj.forward(lon, lat)
@@ -37,10 +37,13 @@ class ProjRegistrySpec extends AnyFunSuite {
 
   test("every registered datum round-trips WGS84 lon/lat through its Helmert") {
     Proj.allCodes.foreach { case (code, _) =>
-      val crs = Proj.lookup(code).get
-      val (lon, lat) = crs.probe
-      val (lo1, la1) = crs.datum.fromWgs84(lon, lat)
-      val (lo2, la2) = crs.datum.toWgs84(lo1, la1)
+      val (datum, probe) = Proj.lookup(code) match {
+        case Some(crs) => (crs.datum, crs.probe)
+        case None => (Proj.geographic(code)._2, (0.0, 45.0))
+      }
+      val (lon, lat) = probe
+      val (lo1, la1) = datum.fromWgs84(lon, lat)
+      val (lo2, la2) = datum.toWgs84(lo1, la1)
       // 1e-7 deg ≈ 1 cm: the 2D pipeline drops ellipsoidal height, so a
       // shifted-datum round trip picks up a few mm of h-projection drift
       assert(math.abs(lo2 - lon) < 1e-7 && math.abs(la2 - lat) < 1e-7,
@@ -100,6 +103,20 @@ class ProjRegistrySpec extends AnyFunSuite {
     anchor("EPSG:3395", 0, 0, 0, 0)                  // World Mercator
     anchor("EPSG:32139", dms(-100, 20), dms(29, 40), 700000, 3000000) // TX Central
     anchor("EPSG:26943", -120.5, 36.5, 2000000, 500000)               // CA zone 3
+  }
+
+  test("geographic CRS codes: modern frames alias WGS84, legacy ones shift") {
+    // NAD83 geographic -> web mercator must equal the 4326 path
+    val viaNad83 = graft.functions.GeoFns.transformPoint(-96, 38, "EPSG:4269", "3857", alwaysXy = true)
+    val via4326 = graft.functions.GeoFns.transformPoint(-96, 38, "4326", "3857", alwaysXy = true)
+    assert(viaNad83 == via4326)
+    // OSGB36 geographic -> BNG: the WGS84 bridge must cancel, leaving the
+    // bare kernel projection (round-trip drift is sub-centimeter)
+    val direct = new Proj.TransMerc(Proj.Airy1830, 49, -2, 0.9996012717, 400000, -100000)
+      .forward(-0.1, 51.5)
+    val bridged = graft.functions.GeoFns.transformPoint(-0.1, 51.5, "EPSG:4277", "EPSG:27700", alwaysXy = true)
+    assert(math.abs(bridged._1 - direct._1) < 0.01 && math.abs(bridged._2 - direct._2) < 0.01,
+      s"bridged=$bridged direct=$direct")
   }
 
   test("World Mercator equals spherical web mercator in x, differs in y") {
