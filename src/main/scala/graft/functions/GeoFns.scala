@@ -962,6 +962,8 @@ object GeoFns {
     gG("st_points")(g => f.createMultiPoint(g.getCoordinates.map(f.createPoint)))
     gG("st_exteriorring")(g => g match {
       case p: Polygon if !p.isEmpty => f.createLineString(p.getExteriorRing.getCoordinateSequence)
+      // reference returns LINESTRING EMPTY for an empty polygon (st_exteriorring.test)
+      case _: Polygon => f.createLineString()
       case _ => null
     })
     fn("st_dump", ArrayType(StructType(Seq(StructField("geom", B), StructField("path", ArrayType(I))))), Seq(B)) { a =>
@@ -1201,25 +1203,60 @@ object GeoFns {
       w(GeometryPrecisionReducer.reduce(rg(a(0)), new PrecisionModel(1.0 / grid)))
     }
     fn("st_removerepeatedpoints", B, Seq(B), Seq(B, D)) { a =>
-      val tol = if (a.length > 1) dbl(a(1)) else 0.0
+      val hasTol = a.length > 1
+      val tol = if (hasTol) dbl(a(1)) else 0.0
       val ed = new GeometryEditor(f)
       w(ed.edit(rg(a(0)), new GeometryEditor.CoordinateSequenceOperation {
         override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
-          val keep = new scala.collection.mutable.ArrayBuffer[Coordinate](cs.size)
-          var i = 0
-          while (i < cs.size) {
-            val c = cs.getCoordinate(i).copy()
-            if (keep.isEmpty || keep.last.distance(c) > tol) keep += c
-            i += 1
-          }
           val isRing = geom.isInstanceOf[LinearRing]
-          if (isRing) {
-            // keep rings closed and >= 4 points
-            if (keep.length > 1 && keep.head.distance(keep.last) <= tol) keep.remove(keep.length - 1)
-            keep += keep.head.copy()
-            while (keep.length < 4) keep.insert(keep.length - 1, keep.head.copy())
-          } else if (keep.length == 1 && cs.size > 1) keep += keep.head.copy()
-          f.getCoordinateSequenceFactory.create(keep.toArray)
+          if (hasTol && !isRing && cs.size >= 3) {
+            // reference tolerance semantics (st_removerepeatedpoints.cpp
+            // second pass): first point always kept, interior points kept at
+            // > tolerance from the last kept, and the final input point takes
+            // the last output slot (possibly replacing a kept interior point
+            // so the output length equals the first-pass count)
+            val n = cs.size
+            var count = 1
+            var last = cs.getCoordinate(0)
+            var i = 1
+            while (i < n) {
+              val c = cs.getCoordinate(i)
+              if (last.distance(c) > tol) { count += 1; last = c }
+              i += 1
+            }
+            val lastPt = cs.getCoordinate(n - 1).copy()
+            if (count == 1) {
+              // everything within tolerance of the start: keep start and end
+              f.getCoordinateSequenceFactory.create(Array(cs.getCoordinate(0).copy(), lastPt))
+            } else {
+              val out = new scala.collection.mutable.ArrayBuffer[Coordinate](count)
+              out += cs.getCoordinate(0).copy()
+              last = cs.getCoordinate(0)
+              i = 1
+              while (i < n - 1) {
+                val c = cs.getCoordinate(i)
+                if (last.distance(c) > tol) { out += c.copy(); last = c }
+                i += 1
+              }
+              if (out.length >= count) out(count - 1) = lastPt else out += lastPt
+              f.getCoordinateSequenceFactory.create(out.toArray)
+            }
+          } else {
+            val keep = new scala.collection.mutable.ArrayBuffer[Coordinate](cs.size)
+            var i = 0
+            while (i < cs.size) {
+              val c = cs.getCoordinate(i).copy()
+              if (keep.isEmpty || keep.last.distance(c) > tol) keep += c
+              i += 1
+            }
+            if (isRing) {
+              // keep rings closed and >= 4 points
+              if (keep.length > 1 && keep.head.distance(keep.last) <= tol) keep.remove(keep.length - 1)
+              keep += keep.head.copy()
+              while (keep.length < 4) keep.insert(keep.length - 1, keep.head.copy())
+            } else if (keep.length == 1 && cs.size > 1) keep += keep.head.copy()
+            f.getCoordinateSequenceFactory.create(keep.toArray)
+          }
         }
       }))
     }

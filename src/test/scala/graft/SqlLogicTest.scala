@@ -38,15 +38,33 @@ object SqlLogicTest {
   }
 
   /** DuckDB-style comparison: exact string, else numeric with epsilon
-    * (goldens are sometimes human-rounded when integer-formatted). */
+    * (goldens are sometimes human-rounded when integer-formatted), else —
+    * for WKT-rendered geometries — per-ordinate comparison with a last-ulp
+    * tolerance (cross-libm engines legitimately differ in the final digit
+    * of, e.g., a centroid division). */
   private def valuesMatch(actual: String, expected: String): Boolean = {
     if (actual == expected) return true
     (actual.toDoubleOption, expected.toDoubleOption) match {
       case (Some(a), Some(e)) =>
         val tol = if (!expected.contains('.') && math.abs(e) >= 1000) 2e-4 else 1e-9
-        math.abs(a - e) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(e)))
-      case _ => false
+        return math.abs(a - e) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(e)))
+      case _ =>
     }
+    def looksWkt(s: String) =
+      s.startsWith("POINT") || s.startsWith("LINESTRING") || s.startsWith("POLYGON") ||
+        s.startsWith("MULTI") || s.startsWith("GEOMETRYCOLLECTION")
+    if (looksWkt(actual) && looksWkt(expected)) {
+      try {
+        val a = graft.geom.Geo.fromWkt(actual)
+        val e = graft.geom.Geo.fromWkt(expected)
+        val env = e.getEnvelopeInternal
+        val scale = math.max(1.0, math.max(
+          math.max(math.abs(env.getMinX), math.abs(env.getMaxX)),
+          math.max(math.abs(env.getMinY), math.abs(env.getMaxY))))
+        return a.equalsExact(e, 1e-12 * scale)
+      } catch { case _: Exception => }
+    }
+    false
   }
 
   private def rowsAligned(actual: Seq[String], expected: Seq[String]): Boolean =
@@ -82,6 +100,8 @@ object SqlLogicTest {
   def rewrite(sql: String): String = {
     val base = sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
       .replaceAll("(?i)::GEOMETRY", "")
+      // columnar-type casts are coercion no-ops in this engine
+      .replaceAll("(?i)::(LINESTRING_2D|POINT_2D|POLYGON_2D)", "")
       .replaceAll("(?i)::VARCHAR", "")
       .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
       .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
@@ -97,10 +117,35 @@ object SqlLogicTest {
     else base
   }
 
+  /** sqllogictest `foreach name v1 v2 …` / `endloop` (endloop optional at
+    * EOF, as some corpus files rely on): body repeats once per value with
+    * `${name}` substituted. */
+  private def expandLoops(lines: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (t.startsWith("foreach ")) {
+        val toks = t.split("\\s+")
+        val name = toks(1); val values = toks.drop(2).toSeq
+        val body = Vector.newBuilder[String]
+        i += 1
+        var open = true
+        while (i < lines.length && open) {
+          if (lines(i).trim == "endloop") { open = false; i += 1 }
+          else { body += lines(i); i += 1 }
+        }
+        val b = body.result()
+        values.foreach(v => b.foreach(l => out += l.replace("${" + name + "}", v)))
+      } else { out += lines(i); i += 1 }
+    }
+    out.result()
+  }
+
   def runFile(spark: SparkSession, path: String): Outcome = {
     Graft.register(spark)
     spark.conf.set("enable_external_access", "true") // per-file sandbox reset
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val lines = expandLoops(scala.io.Source.fromFile(path).getLines().toVector)
     var i = 0
     var passed = 0; var failed = 0; var unsupported = 0
     // once a setup statement is dialect-skipped, later wrong answers are a
