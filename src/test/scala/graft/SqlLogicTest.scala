@@ -102,6 +102,16 @@ object SqlLogicTest {
       .replaceAll("(?i)::GEOMETRY", "")
       // columnar-type casts are coercion no-ops in this engine
       .replaceAll("(?i)::(LINESTRING_2D|POINT_2D|POLYGON_2D)", "")
+      // DuckDB digit-group underscores (100_00) and the BOX_2D struct-literal
+      // form of st_generatepoints flatten to plain Spark syntax
+      .replaceAll("(?<=\\d)_(?=\\d)", "")
+      .replaceAll(
+        "(?is)st_generatepoints\\(\\s*\\{\\s*min_x\\s*:\\s*([^,]+),\\s*min_y\\s*:\\s*([^,]+),\\s*max_x\\s*:\\s*([^,]+),\\s*max_y\\s*:\\s*([^}]+)\\}\\s*::BOX_2D\\s*,",
+        "st_generatepoints($1, $2, $3, $4,")
+      // replace-semantics come from the runner's DROP-first idempotent create
+      .replaceAll("(?i)CREATE\\s+OR\\s+REPLACE\\s+TABLE", "CREATE TABLE")
+      // Spark windows need an ordering; DuckDB's bare OVER () relies on scan order
+      .replaceAll("(?i)OVER\\s*\\(\\s*\\)", "OVER (ORDER BY monotonically_increasing_id())")
       .replaceAll("(?i)::VARCHAR", "")
       .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
       .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
@@ -177,7 +187,15 @@ object SqlLogicTest {
           i += 1
           while (i < lines.length && lines(i).trim.nonEmpty) i += 1
         }
-        try {
+        // result-neutral surfaces this engine deliberately replaces: the
+        // verification pragma and RTREE index DDL (graft's index role is
+        // played by clustered parquet + pruning rules, tested elsewhere).
+        // Counted as unsupported but NOT poisoning — data queries answer
+        // identically with or without the index.
+        val neutral = "(?is)^\\s*(PRAGMA\\s+enable_verification|CREATE\\s+INDEX\\b.*\\bUSING\\s+RTREE|DROP\\s+INDEX\\b).*".r
+        if (!expectError && neutral.findFirstMatchIn(sql).isDefined) {
+          unsupported += 1; unsupportedQ += sql.linesIterator.next()
+        } else try {
           // the corpus re-creates tables across files; make CREATE idempotent
           val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
           create.findFirstMatchIn(sql).foreach { m =>
@@ -221,7 +239,9 @@ object SqlLogicTest {
           else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
         } catch {
           case e: Exception =>
-            if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+            // a skipped query can be a state mutation (DELETE … RETURNING
+            // count) — later goldens depend on it, so poison like statements
+            if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next(); poisoned = true }
             else { failed += 1; failures += s"${sql.linesIterator.next()} -> ${e.getMessage.linesIterator.next()}" }
         }
       } else i += 1
