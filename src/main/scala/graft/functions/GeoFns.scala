@@ -772,6 +772,10 @@ object GeoFns {
           gs.flatMap(_.getCoordinates)
         } else a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toObjectArray(B).flatMap(b => if (b == null) Array.empty[Coordinate] else Geo.read(b.asInstanceOf[Array[Byte]]).getCoordinates)
+      // list form: NULL/EMPTY members drop out, but exactly one surviving
+      // point is an error (st_makeline.test statement-error goldens)
+      if (pts.length == 1) throw new IllegalArgumentException(
+        "ST_MakeLine requires zero or two or more POINT geometries")
       if (pts.length < 2) w(f.createLineString())
       else {
         def mOf(c: Coordinate): Double = c match {

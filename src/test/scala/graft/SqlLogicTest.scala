@@ -98,26 +98,27 @@ object SqlLogicTest {
     java.nio.file.Files.createTempDirectory("graft_slt").toString
 
   def rewrite(sql: String): String = {
-    val base = sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
-      .replaceAll("(?i)::GEOMETRY", "")
-      // columnar-type casts are coercion no-ops in this engine
-      .replaceAll("(?i)::(LINESTRING_2D|POINT_2D|POLYGON_2D)", "")
-      // DuckDB digit-group underscores (100_00) and the BOX_2D struct-literal
-      // form of st_generatepoints flatten to plain Spark syntax
-      .replaceAll("(?<=\\d)_(?=\\d)", "")
-      .replaceAll(
-        "(?is)st_generatepoints\\(\\s*\\{\\s*min_x\\s*:\\s*([^,]+),\\s*min_y\\s*:\\s*([^,]+),\\s*max_x\\s*:\\s*([^,]+),\\s*max_y\\s*:\\s*([^}]+)\\}\\s*::BOX_2D\\s*,",
-        "st_generatepoints($1, $2, $3, $4,")
-      // replace-semantics come from the runner's DROP-first idempotent create
-      .replaceAll("(?i)CREATE\\s+OR\\s+REPLACE\\s+TABLE", "CREATE TABLE")
-      // Spark windows need an ordering; DuckDB's bare OVER () relies on scan order
-      .replaceAll("(?i)OVER\\s*\\(\\s*\\)", "OVER (ORDER BY monotonically_increasing_id())")
-      .replaceAll("(?i)::VARCHAR", "")
-      .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
-      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
-      .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
-      .replace("__WORKING_DIRECTORY__", "/root/reference")
-      .replace("__TEST_DIR__", testDir)
+    val base = listLiterals(
+      sql.replaceAll("(?i)('(?:[^']|'')*')\\s*::GEOMETRY", "st_geomfromtext($1)")
+        .replaceAll("(?i)::GEOMETRY", "")
+        // columnar-type casts are coercion no-ops in this engine
+        .replaceAll("(?i)::(LINESTRING_2D|POINT_2D|POLYGON_2D)", "")
+        // DuckDB digit-group underscores (100_00) and the BOX_2D struct-literal
+        // form of st_generatepoints flatten to plain Spark syntax
+        .replaceAll("(?<=\\d)_(?=\\d)", "")
+        .replaceAll(
+          "(?is)st_generatepoints\\(\\s*\\{\\s*min_x\\s*:\\s*([^,]+),\\s*min_y\\s*:\\s*([^,]+),\\s*max_x\\s*:\\s*([^,]+),\\s*max_y\\s*:\\s*([^}]+)\\}\\s*::BOX_2D\\s*,",
+          "st_generatepoints($1, $2, $3, $4,")
+        // replace-semantics come from the runner's DROP-first idempotent create
+        .replaceAll("(?i)CREATE\\s+OR\\s+REPLACE\\s+TABLE", "CREATE TABLE")
+        // Spark windows need an ordering; DuckDB's bare OVER () relies on scan order
+        .replaceAll("(?i)OVER\\s*\\(\\s*\\)", "OVER (ORDER BY monotonically_increasing_id())")
+        .replaceAll("(?i)::VARCHAR", "")
+        .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
+        .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
+        .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
+        .replace("__WORKING_DIRECTORY__", "/root/reference")
+        .replace("__TEST_DIR__", testDir))
     // DuckDB implicitly casts WKT VARCHAR to GEOMETRY at insert; mirror it —
     // but leave literals that are already ST_GeomFromText arguments alone
     if (base.trim.regionMatches(true, 0, "INSERT", 0, 6))
@@ -125,6 +126,29 @@ object SqlLogicTest {
         "(?i)(?<!fromtext\\s{0,4}\\(\\s{0,4})'((?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)[^']*)'",
         "st_geomfromtext('$1')")
     else base
+  }
+
+  /** DuckDB `[a, b]` list literals → Spark `array(a, b)` — outside string
+    * literals only (GeoJSON payloads carry brackets inside quotes). */
+  private def listLiterals(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val sb = new java.lang.StringBuilder(sql.length + 16)
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; sb.append(c)
+        case '[' => sb.append("array(")
+        case ']' => sb.append(')')
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** sqllogictest `foreach name v1 v2 …` / `endloop` (endloop optional at
