@@ -70,10 +70,23 @@ case class FnExpr(fn: String, children: Seq[Expression])
       case _ => null
     }.toArray
     if (convs.forall(_ == null)) base
-    else (args: Array[Any]) => {
-      var i = 0
-      while (i < args.length) { if (convs(i) != null) args(i) = convs(i)(args(i)); i += 1 }
-      base(args)
+    else {
+      // the reference's validity predicates report degenerate columnar
+      // geometries (1-point LINESTRING_2D, <4-point rings) as invalid rather
+      // than erroring — they "can't be constructed in GEOS" (st_isvalid.test)
+      val validity = fn == "st_isvalid" || fn == "st_issimple" || fn == "st_isring"
+      (args: Array[Any]) => {
+        var bad = false
+        var i = 0
+        while (i < args.length && !bad) {
+          if (convs(i) != null) {
+            try args(i) = convs(i)(args(i))
+            catch { case _: IllegalArgumentException if validity => bad = true }
+          }
+          i += 1
+        }
+        if (bad) false else base(args)
+      }
     }
   }
 

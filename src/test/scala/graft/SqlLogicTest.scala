@@ -117,15 +117,62 @@ object SqlLogicTest {
         .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
         .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
+        // POINT_2D struct literals → typed named_structs (FnExpr coercion
+        // accepts the columnar struct/array encodings)
+        .replaceAll("\\{\\s*'?x'?\\s*:\\s*([-\\d.eE]+)\\s*,\\s*'?y'?\\s*:\\s*([-\\d.eE]+)\\s*\\}",
+          "named_struct('x', CAST($1 AS DOUBLE), 'y', CAST($2 AS DOUBLE))")
         .replace("__WORKING_DIRECTORY__", "/root/reference")
         .replace("__TEST_DIR__", testDir))
+    // Spark's default CREATE TABLE without a provider goes down the Hive
+    // path; pin the corpus's plain column-list creates to parquet
+    val withProvider =
+      if ("(?is)^\\s*CREATE\\s+TABLE\\s+\\w+\\s*\\(.*\\)\\s*$".r.matches(methodCalls(base)) &&
+        !base.toUpperCase.contains("USING"))
+        methodCalls(base) + " USING parquet"
+      else methodCalls(base)
     // DuckDB implicitly casts WKT VARCHAR to GEOMETRY at insert; mirror it —
     // but leave literals that are already ST_GeomFromText arguments alone
-    if (base.trim.regionMatches(true, 0, "INSERT", 0, 6))
-      base.replaceAll(
+    if (withProvider.trim.regionMatches(true, 0, "INSERT", 0, 6))
+      withProvider.replaceAll(
         "(?i)(?<!fromtext\\s{0,4}\\(\\s{0,4})'((?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)[^']*)'",
         "st_geomfromtext('$1')")
-    else base
+    else withProvider
+  }
+
+  /** DuckDB method-call chaining `(expr).Func()` / `Func(x).Next()` →
+    * nested calls. Only zero-argument chains (the corpus's usage). */
+  private def methodCalls(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      // find a ".Name()" immediately after a closing paren
+      val m = "\\)\\.(\\w+)\\(\\)".r.findFirstMatchIn(sql)
+      m.foreach { mm =>
+        val close = mm.start // position of ')'
+        // scan back to the matching '('
+        var depth = 0; var i = close
+        var open = -1
+        while (i >= 0 && open < 0) {
+          sql.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) open = i
+            case _ =>
+          }
+          i -= 1
+        }
+        if (open >= 0) {
+          // include a preceding identifier (the receiver may itself be a call)
+          var s = open
+          while (s > 0 && (sql.charAt(s - 1).isLetterOrDigit || sql.charAt(s - 1) == '_')) s -= 1
+          val receiver = sql.substring(s, close + 1)
+          val fn = mm.group(1)
+          sql = sql.substring(0, s) + s"$fn($receiver)" + sql.substring(mm.end)
+          changed = true
+        }
+      }
+    }
+    sql
   }
 
   /** DuckDB `[a, b]` list literals → Spark `array(a, b)` — outside string
