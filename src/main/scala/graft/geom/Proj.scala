@@ -382,6 +382,20 @@ object Proj {
     }
   }
 
+  /** Projected CRS measured in non-meter units (US survey feet state-plane
+   *  variants): wraps a meter-based kernel built with zero false offsets and
+   *  applies the unit conversion + unit-denominated false offsets. */
+  final class InUnits(inner: Projection, metersPerUnit: Double,
+                      feUnits: Double, fnUnits: Double) extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y) = inner.forward(lonDeg, latDeg)
+      (feUnits + x / metersPerUnit, fnUnits + y / metersPerUnit)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      inner.inverse((x - feUnits) * metersPerUnit, (y - fnUnits) * metersPerUnit)
+  }
+  val UsFoot = 0.3048006096012192 // meters per US survey foot
+
   /** Cylindrical Equal Area, normal aspect (EPSG method 9835 / Snyder
    *  10-1..10-2 ellipsoidal) — e.g. EPSG:6933 EASE-Grid 2.0 Global. */
   final class Cea(el: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
@@ -449,6 +463,11 @@ object Proj {
       "EPSG:26985" -> lcc("NAD83 / Maryland", dms(39, 27), dms(38, 18), dms(37, 40), -77, 400000, 0, probe = (-76.6, 39.3)),
       "EPSG:32100" -> lcc("NAD83 / Montana", 49, 45, 44.25, -109.5, 600000, 0, probe = (-108.5, 45.8)),
       "EPSG:32118" -> lcc("NAD83 / New York Long Island", dms(41, 2), dms(40, 40), dms(40, 10), -74, 300000, 0, probe = (-73.95, 40.75)),
+      // ftUS variant; parameters authoritative from the reference's
+      // taxi_zones.prj fixture (FE 984250 ftUS)
+      "EPSG:2263" -> Crs("NAD83 / New York Long Island (ftUS)",
+        new InUnits(new Lcc2SP(Grs80, dms(41, 2), dms(40, 40), dms(40, 10), -74, 0, 0), UsFoot, 984250, 0),
+        g, (-73.95, 40.75)),
       "EPSG:32126" -> lcc("NAD83 / Oregon North", 46, dms(44, 20), dms(43, 40), -120.5, 2500000, 0, probe = (-122.65, 45.5)),
       "EPSG:32127" -> lcc("NAD83 / Oregon South", 44, dms(42, 20), dms(41, 40), -120.5, 1500000, 0, probe = (-123, 43.2)),
       "EPSG:32128" -> lcc("NAD83 / Pennsylvania North", dms(41, 57), dms(40, 53), dms(40, 10), -77.75, 600000, 0, probe = (-76, 41.3)),

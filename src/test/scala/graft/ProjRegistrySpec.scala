@@ -105,6 +105,31 @@ class ProjRegistrySpec extends AnyFunSuite {
     anchor("EPSG:26943", -120.5, 36.5, 2000000, 500000)               // CA zone 3
   }
 
+  test("state-plane parameters agree with the authoritative taxi_zones .prj") {
+    // the reference ships the ESRI .prj for NY Long Island (FIPS 3104):
+    // cross-check the registry's EPSG:32118/2263 parameter values against it
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.prj")), "UTF-8")
+    def param(name: String): Double =
+      s"""PARAMETER\\["$name",([-\\d.]+)\\]""".r.findFirstMatchIn(prj).get.group(1).toDouble
+    assert(math.abs(param("Standard_Parallel_1") - (40 + 40 / 60.0)) < 1e-9)
+    assert(math.abs(param("Standard_Parallel_2") - (41 + 2 / 60.0)) < 1e-9)
+    assert(math.abs(param("Latitude_Of_Origin") - (40 + 10 / 60.0)) < 1e-9)
+    assert(param("Central_Meridian") == -74.0)
+    assert(param("False_Easting") == 984250.0) // ftUS, as registered for 2263
+    // end-to-end: real taxi zone coordinates (EPSG:2263 ftUS) inverse-project
+    // into the NYC lon/lat box
+    val crs = Proj.lookup("EPSG:2263").get
+    // Times Square is near E 989000, N 214000 ftUS
+    val (lon, lat) = crs.proj.inverse(989000, 214000)
+    assert(lon > -74.05 && lon < -73.9 && lat > 40.7 && lat < 40.8, s"($lon, $lat)")
+    // round trip through the meter CRS: same point, unit-scaled offsets
+    val m = Proj.lookup("EPSG:32118").get.proj.forward(lon, lat)
+    val ft = crs.proj.forward(lon, lat)
+    assert(math.abs(ft._1 - ((m._1 - 300000) / Proj.UsFoot + 984250)) < 1e-6)
+    assert(math.abs(ft._2 - m._2 / Proj.UsFoot) < 1e-6)
+  }
+
   test("geographic CRS codes: modern frames alias WGS84, legacy ones shift") {
     // NAD83 geographic -> web mercator must equal the 4326 path
     val viaNad83 = graft.functions.GeoFns.transformPoint(-96, 38, "EPSG:4269", "3857", alwaysXy = true)
