@@ -74,6 +74,37 @@ object GeoWriter {
     df.select(line.as("value")).write.mode("overwrite").text(path)
   }
 
+  /** Write `df` as a single GeoJSON FeatureCollection document (the
+   *  reference's GDAL 'GeoJSON' COPY driver semantics; 'GeoJSONSeq' maps to
+   *  [[geojsonl]]). One file — inherently serial like any single-document
+   *  format; use geojsonl or parquet for the scale path. */
+  def geojson(df: DataFrame, geomCol: String, path: String): Unit = {
+    graft.Graft.register(df.sparkSession)
+    val hc = hconfOf(df)
+    val props = df.columns.filter(_ != geomCol)
+    val line = concat(
+      lit("""{"type":"Feature","geometry":"""),
+      expr(s"st_asgeojson($geomCol)"),
+      lit(""","properties":"""),
+      to_json(struct(props.map(col).toIndexedSeq: _*)),
+      lit("}"))
+    df.select(line.as("value")).coalesce(1).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val out = new java.io.PrintWriter(hadoopOpen(hc)(path))
+        try {
+          out.print("""{"type":"FeatureCollection","features":[""")
+          var first = true
+          it.foreach { r =>
+            if (!first) out.print(",")
+            out.print("\n")
+            out.print(r.getString(0))
+            first = false
+          }
+          out.print("\n]}\n")
+        } finally out.close()
+    }
+  }
+
   /** Write `df` as shapefiles: a directory of per-partition part-N.shp/.shx/
    *  .dbf/.cpg (default), or one `<path>`-rooted shapefile when
    *  `singleFile = true` (path may end in .shp). Geometry column must be WKB

@@ -67,6 +67,22 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(back.count() == 40)
   }
 
+  test("geojson FeatureCollection writer round-trips through the streaming reader") {
+    val dir = tmp("geojson_doc")
+    val df = spark.range(30).selectExpr(
+      "cast(id as int) AS fid",
+      "st_aswkb(st_point(cast(id as double), cast(id % 7 as double))) AS geom")
+    GeoWriter.geojson(df, "geom", s"$dir/out.geojson")
+    val f = new java.io.File(s"$dir/out.geojson")
+    assert(f.isFile)
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(text.startsWith("""{"type":"FeatureCollection""""), text.take(60))
+    val back = spark.read.format("geo").load(s"$dir/out.geojson")
+    assert(back.count() == 30)
+    val props = back.selectExpr("properties['fid']").collect().map(_.getString(0)).toSet
+    assert(props == (0 until 30).map(_.toString).toSet)
+  }
+
   test("flatgeobuf singleFile mode writes one .fgb file") {
     val dir = tmp("fgb_single")
     val df = spark.range(25)
