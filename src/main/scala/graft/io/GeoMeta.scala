@@ -17,7 +17,7 @@ object GeoMeta {
   def drivers(spark: SparkSession): DataFrame = {
     val rows = Seq(
       Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
-      Row("geojson", "GeoJSON FeatureCollection (RFC 7946)", true, false),
+      Row("geojson", "GeoJSON FeatureCollection (RFC 7946; single-document writer)", true, true),
       Row("geojsonl", "Newline-delimited GeoJSON", true, true),
       Row("osmpbf", "OpenStreetMap PBF (block-parallel)", true, false),
       Row("flatgeobuf", "FlatGeobuf (native flatbuffers decoder)", true, false),
