@@ -33,13 +33,25 @@ object GeoAggregates {
     override def update(b: Array[Double], input: InternalRow): Array[Double] = {
       val v = child.eval(input)
       if (v != null) {
-        val g = Geo.read(v.asInstanceOf[Array[Byte]])
-        if (!g.isEmpty) {
-          val e = g.getEnvelopeInternal
-          if (e.getMinX < b(0)) b(0) = e.getMinX
-          if (e.getMinY < b(1)) b(1) = e.getMinY
-          if (e.getMaxX > b(2)) b(2) = e.getMaxX
-          if (e.getMaxY > b(3)) b(3) = e.getMaxY
+        // envelope straight off the WKB bytes (no JTS parse); fall back to
+        // the reader for bytes the scanner doesn't recognize
+        val bytes = v.asInstanceOf[Array[Byte]]
+        val e =
+          try Wkb.envelope(bytes)
+          catch {
+            case _: Exception =>
+              val g = Geo.read(bytes)
+              if (g.isEmpty) null
+              else {
+                val je = g.getEnvelopeInternal
+                Array(je.getMinX, je.getMinY, je.getMaxX, je.getMaxY)
+              }
+          }
+        if (e != null) {
+          if (e(0) < b(0)) b(0) = e(0)
+          if (e(1) < b(1)) b(1) = e(1)
+          if (e(2) > b(2)) b(2) = e(2)
+          if (e(3) > b(3)) b(3) = e(3)
         }
       }
       b

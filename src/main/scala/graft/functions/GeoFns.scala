@@ -867,10 +867,23 @@ object GeoFns {
       case p: Point if !p.isEmpty && p.getCoordinateSequence.hasM && !p.getCoordinateSequence.getM(0).isNaN => p.getCoordinateSequence.getM(0)
       case _ => null
     })
-    gD("st_xmin")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMinX)
-    gD("st_xmax")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMaxX)
-    gD("st_ymin")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMinY)
-    gD("st_ymax")(g => if (g.isEmpty) null else g.getEnvelopeInternal.getMaxY)
+    // envelope accessors scan the WKB bytes directly — no JTS parse (the
+    // reference reads its cached-bbox header, geometry_type.hpp:100-146)
+    def envAt(idx: Int)(name: String): Unit = fn(name, D, Seq(B)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      val e = try Wkb.envelope(b) catch { case _: Exception => null }
+      if (e != null) e(idx)
+      else {
+        val g = rg(b) // malformed-for-the-scanner or empty: JTS decides
+        if (g.isEmpty) null else idx match {
+          case 0 => g.getEnvelopeInternal.getMinX
+          case 1 => g.getEnvelopeInternal.getMinY
+          case 2 => g.getEnvelopeInternal.getMaxX
+          case 3 => g.getEnvelopeInternal.getMaxY
+        }
+      }
+    }
+    envAt(0)("st_xmin"); envAt(1)("st_ymin"); envAt(2)("st_xmax"); envAt(3)("st_ymax")
     gD("st_zmin") { g =>
       var v = Double.PositiveInfinity
       g.apply(new CoordinateSequenceFilter {
@@ -1014,11 +1027,16 @@ object GeoFns {
       fn(name, StructType(Seq(
         StructField("min_x", D), StructField("min_y", D),
         StructField("max_x", D), StructField("max_y", D))), Seq(B)) { a =>
-        val g = rg(a(0))
-        if (g.isEmpty) null
+        val b = a(0).asInstanceOf[Array[Byte]]
+        val e = try Wkb.envelope(b) catch { case _: Exception => null }
+        if (e != null) new GenericInternalRow(Array[Any](e(0), e(1), e(2), e(3)))
         else {
-          val e = g.getEnvelopeInternal
-          new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+          val g = rg(b)
+          if (g.isEmpty) null
+          else {
+            val je = g.getEnvelopeInternal
+            new GenericInternalRow(Array[Any](je.getMinX, je.getMinY, je.getMaxX, je.getMaxY))
+          }
         }
       }
 
@@ -1102,8 +1120,22 @@ object GeoFns {
     predicate("st_touches", "touches")
     predicate("st_overlaps", "overlaps")
     predicate("st_equals", "equals")
-    fn("st_intersects_extent", BO, Seq(B, B))(a =>
-      rg(a(0)).getEnvelopeInternal.intersects(rg(a(1)).getEnvelopeInternal))
+    fn("st_intersects_extent", BO, Seq(B, B)) { a =>
+      def env(v: Any): Array[Double] = {
+        val b = v.asInstanceOf[Array[Byte]]
+        try Wkb.envelope(b) catch { case _: Exception =>
+          val g = rg(b)
+          if (g.isEmpty) null
+          else {
+            val e = g.getEnvelopeInternal
+            Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+          }
+        }
+      }
+      val ea = env(a(0)); val eb = env(a(1))
+      ea != null && eb != null &&
+        ea(0) <= eb(2) && ea(2) >= eb(0) && ea(1) <= eb(3) && ea(3) >= eb(1)
+    }
 
     // ---- transforms / overlays (JTS-backed; reference module: geos)
     gG("st_boundary")(g => g match { case _: GeometryCollection if g.getGeometryType == "GeometryCollection" => null; case _ => g.getBoundary })

@@ -102,4 +102,63 @@ object Wkb {
         while (i < c.getNumGeometries) { put(c.getGeometryN(i), buf, hasZ, hasM); i += 1 }
     }
   }
+
+  /** Envelope straight off the WKB bytes — no JTS object construction (the
+   *  functional analogue of the reference's cached-bbox geometry header,
+   *  geometry_type.hpp:100-146). Accepts ISO (dim in type code) and EWKB
+   *  (flag bits + optional SRID), both endiannesses. Returns
+   *  [minX, minY, maxX, maxY], or null for empty geometries; throws on
+   *  malformed bytes (callers fall back to the JTS reader). */
+  def envelope(b: Array[Byte]): Array[Double] = {
+    val env = Array(Double.PositiveInfinity, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NegativeInfinity)
+    scanEnv(ByteBuffer.wrap(b), env)
+    if (env(0) > env(2)) null else env
+  }
+
+  private def scanEnv(buf: ByteBuffer, env: Array[Double]): Unit = {
+    buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var t = buf.getInt()
+    // EWKB flag bits
+    var hasZ = (t & 0x80000000) != 0
+    var hasM = (t & 0x40000000) != 0
+    val hasSrid = (t & 0x20000000) != 0
+    t &= 0x0fffffff
+    if (hasSrid) buf.getInt()
+    // ISO dimension encoding
+    if (t >= 3000) { hasZ = true; hasM = true; t -= 3000 }
+    else if (t >= 2000) { hasM = true; t -= 2000 }
+    else if (t >= 1000) { hasZ = true; t -= 1000 }
+    val skip = (if (hasZ) 8 else 0) + (if (hasM) 8 else 0)
+    def coord(): Unit = {
+      val x = buf.getDouble(); val y = buf.getDouble()
+      if (skip > 0) buf.position(buf.position() + skip)
+      if (!x.isNaN && !y.isNaN) {
+        if (x < env(0)) env(0) = x
+        if (y < env(1)) env(1) = y
+        if (x > env(2)) env(2) = x
+        if (y > env(3)) env(3) = y
+      }
+    }
+    t match {
+      case 1 => coord()
+      case 2 =>
+        var n = buf.getInt(); while (n > 0) { coord(); n -= 1 }
+      case 3 =>
+        var rings = buf.getInt()
+        while (rings > 0) {
+          var n = buf.getInt(); while (n > 0) { coord(); n -= 1 }
+          rings -= 1
+        }
+      case 4 | 5 | 6 | 7 =>
+        var n = buf.getInt()
+        while (n > 0) {
+          val saved = buf.order()
+          scanEnv(buf, env)
+          buf.order(saved)
+          n -= 1
+        }
+      case other => throw new IllegalArgumentException(s"WKB envelope: unknown type $other")
+    }
+  }
 }
