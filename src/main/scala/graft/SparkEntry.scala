@@ -621,6 +621,59 @@ object SparkEntry {
         ORDER BY id""")
     }),
 
+    // REAL pixel kernels: gradient PNGs, an animated GIF, and a junk blob
+    // built at runtime; mm_resize (bilinear RGB), mm_ahash (perceptual
+    // average-hash), mm_feature (block-mean luma embedding), mm_frames
+    // (multi-frame extraction) — all pure-JVM. Oracle = VALUES pin of the
+    // deterministic outputs (PNG/GIF are lossless so pixels are exact).
+    "q_mm_kernels" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      import s.implicits._
+      System.setProperty("java.awt.headless", "true")
+      def gradient(id: Int): Array[Byte] = {
+        val w = 16 + id; val h = 12 + id
+        val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            bi.setRGB(x, y, (((x * (10 + id)) & 0xff) << 16) | (((y * (20 + id)) & 0xff) << 8) | ((x + y + id) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, "png", bos)
+        bos.toByteArray
+      }
+      def gif3(): Array[Byte] = { // 3 solid frames: black, mid-gray, white
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        Seq(0, 128, 255).foreach { l =>
+          val bi = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 6) { var x = 0; while (x < 8) { bi.setRGB(x, y, l * 0x010101); x += 1 }; y += 1 }
+          w.writeToSequence(new javax.imageio.IIOImage(bi, null, null), w.getDefaultWriteParam)
+        }
+        w.endWriteSequence(); w.dispose(); ios.close()
+        bos.toByteArray
+      }
+      ((1 to 5).map(id => (id, gradient(id))) ++
+        Seq((6, gif3()), (7, "not an image #7".getBytes("UTF-8"))))
+        .toDF("id", "bytes").createOrReplaceTempView("mm_blobs")
+      s.sql("""
+        SELECT id,
+               hex(substring(mm_resize(bytes, 4, 4), 1, 6)) AS rhex,
+               mm_ahash(bytes) AS ah,
+               round(mm_feature(bytes, 6)[0], 6) AS f0,
+               round(mm_feature(bytes, 6)[5], 6) AS f5,
+               cast(size(mm_frames(bytes, 3)) AS INT) AS nf
+        FROM mm_blobs ORDER BY id""")
+    }),
+
     // ---------------------------------------------------------- seeded generator (reference benchmark pin)
     "q_generatepoints_pin" -> q()("""
       SELECT cast(count(*) AS INT) AS n
@@ -1175,6 +1228,22 @@ object SparkEntry {
         (2, 'image/jpeg', 64, 48, 3),
         (3, 'image/bmp', 20, 10, 3),
         (4, 'fake/rgb8', 13, 85, 3)) v(id, fmt, w, h, c)
+      ORDER BY id""",
+
+    // real-pixel-kernel pin: resize/ahash/feature/frames outputs over
+    // lossless PNG/GIF fixtures (values generated from the verified run;
+    // PNG pixel decode is exact so these are stable across JDK runs)
+    "q_mm_kernels" -> """
+      SELECT CAST(id AS INT) AS id, rhex, CAST(ah AS BIGINT) AS ah,
+             CAST(f0 AS DOUBLE) AS f0, CAST(f5 AS DOUBLE) AS f5, CAST(nf AS INT) AS nf
+      FROM (VALUES
+        (1, '121804411808', -13958643712, -0.560739, 0.566065, 1),
+        (2, '151C054B1C0A', 72057593916293120, -0.626755, 0.626755, 1),
+        (3, '18200656200B', -9152158867866517504, -0.632994, 0.641871, 1),
+        (4, '1C240862240D', -1152643328182304768, -0.655768, 0.600698, 1),
+        (5, '2029096F290E', 8665063121988632576, -0.704286, 0.477916, 1),
+        (6, '000000000000', -1, 0.0, 0.0, 3),
+        (7, '6E6F7420616E', -2397468120178756639, 0.740066, 0.503591, 3)) v(id, rhex, ah, f0, f5, nf)
       ORDER BY id""",
 
     // ------------------------------------------------------------------

@@ -128,35 +128,84 @@ object VecFns {
     // frame sampling: n evenly-spaced "frames" (16-byte windows) from a video
     // blob → explode() gives the per-frame rows a real decoder would emit
     fn("mm_frame_sample_stub", ArrayType(BinaryType), Seq(BinaryType, I)) { a =>
-      val b = a(0).asInstanceOf[Array[Byte]]
-      val n = math.max(1, int(a(1)))
-      val frames: Array[Any] = Array.tabulate(n) { i =>
-        if (b.isEmpty) Array.emptyByteArray
-        else {
-          val start = (i.toLong * b.length / n).toInt
-          java.util.Arrays.copyOfRange(b, start, math.min(b.length, start + 16))
-        }
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(frames)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        frameStub(a(0).asInstanceOf[Array[Byte]], math.max(1, int(a(1)))).map(x => x: Any))
     }
 
     // feature extraction: deterministic unit-scale embedding from the bytes —
     // the bridge from media blobs into the ANN/near-dup pipeline
     fn("mm_feature_stub", AD, Seq(BinaryType, I)) { a =>
-      val b = a(0).asInstanceOf[Array[Byte]]
-      val dim = math.max(1, int(a(1)))
-      val base = MurmurHash3.bytesHash(b, 0x7fea1e5).toLong
-      val out = new Array[Any](dim)
-      var j = 0
-      while (j < dim) {
-        var x = base + j * 0x9e3779b97f4a7c15L
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-        x ^= (x >>> 31)
-        out(j) = (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-        j += 1
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        featureStub(a(0).asInstanceOf[Array[Byte]], math.max(1, int(a(1)))))
+    }
+
+    // ---------------------------------------------------------- real kernels
+    // Pixel-level kernels on the JDK's built-in decoders (PNG/JPEG/GIF/BMP).
+    // Non-image blobs fall back to the matching deterministic stub so the
+    // synthetic-blob pipelines keep working on the same function names.
+
+    // real bilinear resample → packed row-major RGB (w*h*3 bytes)
+    fn("mm_resize", BinaryType, Seq(BinaryType, I, I)) { a =>
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      val w = math.max(1, int(a(1))); val h = math.max(1, int(a(2)))
+      graft.mm.MultiModal.decodePixels(bytes) match {
+        case Some(px) => graft.mm.MultiModal.resizePixels(px, w, h).rgb
+        case None     => graft.mm.MultiModal.resizeStub(bytes, w, h)
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    // real block-mean luma embedding (mean-centered, L2-normalized)
+    fn("mm_feature", AD, Seq(BinaryType, I)) { a =>
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      val dim = math.max(1, int(a(1)))
+      val v: Array[Double] = graft.mm.MultiModal.decodePixels(bytes) match {
+        case Some(px) => graft.mm.MultiModal.featurePixels(px, dim)
+        case None     => featureStub(bytes, dim)
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.map(x => x: Any))
+    }
+
+    // real frame extraction (animated GIF multi-frame; stills → 1 frame),
+    // frames re-encoded as PNG; explode() for per-frame rows
+    fn("mm_frames", ArrayType(BinaryType), Seq(BinaryType, I)) { a =>
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      val n = math.max(1, int(a(1)))
+      val frames: Array[Array[Byte]] =
+        graft.mm.MultiModal.framePixels(bytes, n).getOrElse(frameStub(bytes, n))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(frames.map(x => x: Any))
+    }
+
+    // perceptual average-hash (64-bit); non-images hash the raw bytes, which
+    // degrades gracefully to exact-duplicate semantics
+    fn("mm_ahash", L, Seq(BinaryType)) { a =>
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      graft.mm.MultiModal.decodePixels(bytes) match {
+        case Some(px) => graft.mm.MultiModal.ahashPixels(px)
+        case None     => mix64(MurmurHash3.bytesHash(bytes, 0x7fea1e5).toLong)
+      }
+    }
+  }
+
+  private def mix64(seed: Long): Long = {
+    var x = seed
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def frameStub(b: Array[Byte], n: Int): Array[Array[Byte]] =
+    Array.tabulate(n) { i =>
+      if (b.isEmpty) Array.emptyByteArray
+      else {
+        val start = (i.toLong * b.length / n).toInt
+        java.util.Arrays.copyOfRange(b, start, math.min(b.length, start + 16))
+      }
+    }
+
+  private def featureStub(b: Array[Byte], dim: Int): Array[Double] = {
+    val base = MurmurHash3.bytesHash(b, 0x7fea1e5).toLong
+    Array.tabulate(dim) { j =>
+      (mix64(base + j * 0x9e3779b97f4a7c15L) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
   }
 }

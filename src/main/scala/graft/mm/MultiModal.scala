@@ -76,6 +76,150 @@ object MultiModal {
   def decode(bytes: Array[Byte]): MediaMeta =
     decodeHeader(bytes).getOrElse(decodeStub(bytes))
 
+  // ---------------------------------------------------------------- pixels
+  // Real pixel kernels on top of the JDK's built-in image readers
+  // (PNG/JPEG/GIF/BMP — headless-safe, no external codecs). All math below
+  // (bilinear resample, block means, average-hash) is our own deterministic
+  // double arithmetic, so outputs are bit-stable across runs.
+
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false) // no per-call temp-file cache
+
+  /** Packed row-major RGB, 3 bytes per pixel. */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Byte]) {
+    def r(x: Int, y: Int): Int = rgb((y * width + x) * 3) & 0xff
+    def g(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 1) & 0xff
+    def b(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 2) & 0xff
+    /** Rec.601 luma in [0,255]. */
+    def luma(x: Int, y: Int): Double = 0.299 * r(x, y) + 0.587 * g(x, y) + 0.114 * b(x, y)
+  }
+
+  private def toPixels(img: java.awt.image.BufferedImage): Pixels = {
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0; var p = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = row(x)
+        rgb(p) = (v >>> 16).toByte; rgb(p + 1) = (v >>> 8).toByte; rgb(p + 2) = v.toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, rgb)
+  }
+
+  /** REAL decode to packed RGB. The header parser gates the attempt (cheap
+    * reject of non-image blobs); None on anything ImageIO cannot read. */
+  def decodePixels(bytes: Array[Byte]): Option[Pixels] =
+    if (decodeHeader(bytes).isEmpty) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None else Some(toPixels(img))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bilinear resample (center-aligned sampling, clamped edges). Identity when
+    * the size is unchanged. */
+  def resizePixels(src: Pixels, ow: Int, oh: Int): Pixels = {
+    val out = new Array[Byte](ow * oh * 3)
+    val sx = src.width.toDouble / ow
+    val sy = src.height.toDouble / oh
+    var y = 0; var p = 0
+    while (y < oh) {
+      val fy = math.min(math.max((y + 0.5) * sy - 0.5, 0.0), src.height - 1.0)
+      val y0 = fy.toInt; val y1 = math.min(y0 + 1, src.height - 1); val dy = fy - y0
+      var x = 0
+      while (x < ow) {
+        val fx = math.min(math.max((x + 0.5) * sx - 0.5, 0.0), src.width - 1.0)
+        val x0 = fx.toInt; val x1 = math.min(x0 + 1, src.width - 1); val dx = fx - x0
+        var c = 0
+        while (c < 3) {
+          def at(xx: Int, yy: Int): Int = src.rgb((yy * src.width + xx) * 3 + c) & 0xff
+          val top = at(x0, y0) * (1 - dx) + at(x1, y0) * dx
+          val bot = at(x0, y1) * (1 - dx) + at(x1, y1) * dx
+          out(p + c) = math.min(255, math.max(0, (top * (1 - dy) + bot * dy + 0.5).toInt)).toByte
+          c += 1
+        }
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    Pixels(ow, oh, out)
+  }
+
+  /** Exact area-mean luma of the block covering output cell (bx,by) of a
+    * gw x gh grid (integer pixel partition, remainder pixels to the tail). */
+  private def blockMeanLuma(px: Pixels, gw: Int, gh: Int, bx: Int, by: Int): Double = {
+    val xs = bx * px.width / gw; val xe = math.max(xs + 1, (bx + 1) * px.width / gw)
+    val ys = by * px.height / gh; val ye = math.max(ys + 1, (by + 1) * px.height / gh)
+    var s = 0.0; var n = 0
+    var y = ys
+    while (y < ye && y < px.height) {
+      var x = xs
+      while (x < xe && x < px.width) { s += px.luma(x, y); n += 1; x += 1 }
+      y += 1
+    }
+    if (n == 0) 0.0 else s / n
+  }
+
+  /** REAL feature embedding: dim block-mean lumas over a near-square grid,
+    * mean-centered and L2-normalized (cosine-ready for the ANN pipeline). */
+  def featurePixels(px: Pixels, dim: Int): Array[Double] = {
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = math.ceil(dim.toDouble / gw).toInt
+    val v = Array.tabulate(dim)(i => blockMeanLuma(px, gw, gh, i % gw, i / gw) / 255.0)
+    val mean = v.sum / dim
+    var i = 0
+    while (i < dim) { v(i) -= mean; i += 1 }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+    v
+  }
+
+  /** REAL perceptual average-hash: 8x8 block-mean lumas thresholded at their
+    * mean; bit (y*8+x) set when the block is at least as bright. Near-duplicate
+    * images land within a small Hamming distance — group on the hash (or LSH
+    * bands of it) for image near-dup at scale. */
+  def ahashPixels(px: Pixels): Long = {
+    val m = Array.tabulate(64)(i => blockMeanLuma(px, 8, 8, i % 8, i / 8))
+    val mean = m.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (m(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** REAL frame extraction: n evenly-spaced frames from a multi-frame
+    * container (animated GIF via the JDK reader; single-frame images yield
+    * one frame), each re-encoded as PNG so downstream kernels can decode
+    * frames independently. None when the blob is not a readable image. */
+  def framePixels(bytes: Array[Byte], n: Int): Option[Array[Array[Byte]]] =
+    if (decodeHeader(bytes).isEmpty) None
+    else {
+      var reader: javax.imageio.ImageReader = null
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        reader = readers.next()
+        reader.setInput(iis)
+        val total = reader.getNumImages(true)
+        if (total <= 0) return None
+        val k = math.min(math.max(1, n), total)
+        Some(Array.tabulate(k) { i =>
+          val img = reader.read((i.toLong * total / k).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally if (reader != null) reader.dispose()
+    }
+
   /** STUB resize: deterministic byte sampling standing in for a pixel resample. */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val n = math.max(1, math.min(w * h, 64))
