@@ -524,9 +524,29 @@ object SparkEntry {
              stopword_ratio(text) AS stops
       FROM documents ORDER BY doc_id"""),
 
+    // stopword vote over the synthetic docs + fixed snippets exercising the
+    // Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th) and the nl/sv lists
     "q_lang_id" -> q("documents")("""
       SELECT doc_id, lang_id(text) AS lang, doc_fingerprint(text) AS fp
-      FROM documents WHERE doc_id < 60 ORDER BY doc_id"""),
+      FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT CAST(id AS BIGINT) AS doc_id, lang_id(t) AS lang, doc_fingerprint(t) AS fp
+      FROM VALUES
+        (100, '这是一个用于测试的中文句子，包含常见汉字。'),
+        (101, 'これは日本語のテスト文です。漢字とかなを含みます。'),
+        (102, '이것은 테스트를 위한 한국어 문장입니다.'),
+        (103, 'Это тестовое предложение на русском языке.'),
+        (104, 'هذه جملة اختبار باللغة العربية.'),
+        (105, 'यह परीक्षण के लिए एक हिंदी वाक्य है।'),
+        (106, 'Αυτή είναι μια δοκιμαστική πρόταση στα ελληνικά.'),
+        (107, 'זהו משפט בדיקה בעברית.'),
+        (108, 'นี่คือประโยคทดสอบภาษาไทย'),
+        (109, 'Der Hund und die Katze sind nicht mit dem Auto zu sehen, auch als Beispiel.'),
+        (110, 'Le chat et le chien ne sont pas dans la maison avec les enfants du village.'),
+        (111, 'Dit is een zin in het Nederlands met de woorden die niet op een lijst staan.'),
+        (112, 'Det är en mening på svenska som inte har med ett ord att göra för han och jag.')
+        AS s(id, t)
+      ORDER BY doc_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: similarity search
     "q_ann_bruteforce" -> q("embeddings")("""
@@ -1319,15 +1339,18 @@ object SparkEntry {
       SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(fp AS BIGINT) AS fp
       FROM (VALUES
         (0,'pt',6698189263916385045),(1,'und',-1503535850456798306),(2,'und',-725372685496888017),(3,'pt',-2891583031594371860),(4,'und',-9106174378913401440),(5,'und',-9095669200945317298),
-        (6,'und',2784112528110192716),(7,'en',-3529749076425780116),(8,'en',671832727675442570),(9,'und',4785324795323916077),(10,'pt',-234428350675234013),(11,'pt',4146135998709125345),
+        (6,'und',2784112528110192716),(7,'en',-3529749076425780116),(8,'en',671832727675442570),(9,'und',4785324795323916077),(10,'en',-234428350675234013),(11,'pt',4146135998709125345),
         (12,'pt',900021164788809739),(13,'und',-933725894360064328),(14,'und',-1895347890181307861),(15,'und',5517151727929566665),(16,'und',912166444695721666),(17,'und',-6812780208363558039),
         (18,'pt',4166429776773439045),(19,'pt',-6087417269427077281),(20,'und',-796056514242776174),(21,'und',8795127603621034248),(22,'und',1471653130421540373),(23,'en',-1932497165641679339),
         (24,'und',-4547593892152389704),(25,'en',-363834077889551669),(26,'und',-8423712465855277628),(27,'und',-779379900418447644),(28,'pt',1986031818708564831),(29,'pt',-9015071401809971544),
         (30,'en',8310140656343490256),(31,'und',-767458580810534641),(32,'und',2479206523154331169),(33,'pt',8453805497951502655),(34,'und',4702397524665925214),(35,'und',8031782898871379852),
         (36,'und',1617160305216983236),(37,'und',7350731666094713554),(38,'en',8755432821786930641),(39,'und',-3621493603302378891),(40,'en',-4651443934456006607),(41,'und',-53016874317340333),
         (42,'und',6995918998208706471),(43,'und',5654999749295794063),(44,'und',-2791695841791036060),(45,'und',6417511913851886386),(46,'und',-3184062389235696364),(47,'und',7634148587486464410),
-        (48,'und',-264194680565220611),(49,'und',5312315596723305805),(50,'und',-1276580678044771157),(51,'en',-2757981669055246270),(52,'pt',8639803133127907919),(53,'und',7500394030071694087),
-        (54,'und',-4698184494955164924),(55,'pt',7336425551420394632),(56,'und',-4655860935007724257),(57,'und',-8974234571615488680),(58,'und',-7049927736380153319),(59,'pt',7825717070259110582)) v(doc_id, lang, fp)
+        (48,'und',-264194680565220611),(49,'und',5312315596723305805),(50,'und',-1276580678044771157),(51,'en',-2757981669055246270),(52,'en',8639803133127907919),(53,'und',7500394030071694087),
+        (54,'und',-4698184494955164924),(55,'pt',7336425551420394632),(56,'und',-4655860935007724257),(57,'und',-8974234571615488680),(58,'und',-7049927736380153319),(59,'pt',7825717070259110582),
+        (100,'zh',478328039294123991),(101,'ja',-1123380165440756605),(102,'ko',-2117482068342598911),(103,'ru',-2710952538611252155),(104,'ar',-5764483050672341038),(105,'hi',3954553396918434582),
+        (106,'el',-259022888580742481),(107,'he',3562656575758041568),(108,'th',-2795680923972972053),(109,'de',-2608941494140097124),(110,'fr',-5144537284372489703),(111,'nl',-1836375989906120024),
+        (112,'sv',-6955912749751907379)) v(doc_id, lang, fp)
       ORDER BY doc_id""",
 
     "q_minhash_neardup" -> """

@@ -150,26 +150,70 @@ object TextFns {
   }
 
   // ------------------------------------------------------------ language ID
-  // n-gram-free heuristic: stopword-hit scoring over small built-in lists.
+  // Two stages: (1) Unicode-script histogram — a dominant non-Latin script
+  // identifies the language (macro codes: zh for Han, ru for Cyrillic, …);
+  // (2) Latin-script text falls through to stopword-hit voting over small
+  // built-in lists. No corpus-trained model — honest heuristic, labeled so.
   private val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "are", "at", "be", "this", "have", "from", "or", "by", "not", "but"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "für", "von", "dem", "den", "des", "sich", "im", "zu", "auch", "als"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "un", "une", "des", "du", "dans", "pour", "que", "qui", "sur", "avec", "au", "ce", "il", "ne"),
     "es" -> Set("el", "la", "los", "las", "y", "es", "no", "un", "una", "de", "en", "que", "por", "para", "con", "se", "del", "su", "al", "lo"),
     "it" -> Set("il", "la", "le", "e", "è", "non", "un", "una", "di", "che", "per", "con", "si", "del", "della", "in", "da", "su", "al", "dei"),
-    "pt" -> Set("o", "a", "os", "as", "e", "é", "não", "um", "uma", "de", "em", "que", "por", "para", "com", "se", "do", "da", "no", "na"))
+    "pt" -> Set("o", "a", "os", "as", "e", "é", "não", "um", "uma", "de", "em", "que", "por", "para", "com", "se", "do", "da", "no", "na"),
+    "nl" -> Set("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in", "is", "niet", "op", "aan", "met", "als", "voor", "er", "maar", "om"),
+    "sv" -> Set("och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "den", "till", "inte", "om", "ett", "han", "var", "jag", "de", "så"))
 
   def langId(s: String): String = {
+    import Character.UnicodeScript
+    var letters = 0
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0
+    var deva = 0; var greek = 0; var heb = 0; var thai = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.HAN                            => han += 1
+          case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => kana += 1
+          case UnicodeScript.HANGUL                         => hangul += 1
+          case UnicodeScript.CYRILLIC                       => cyr += 1
+          case UnicodeScript.ARABIC                         => arab += 1
+          case UnicodeScript.DEVANAGARI                     => deva += 1
+          case UnicodeScript.GREEK                          => greek += 1
+          case UnicodeScript.HEBREW                         => heb += 1
+          case UnicodeScript.THAI                           => thai += 1
+          case _                                            =>
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) return "und"
+    def frac(n: Int) = n.toDouble / letters
+    // Japanese mixes Han with kana, so any meaningful kana wins before Han.
+    if (frac(kana) >= 0.05) return "ja"
+    if (frac(hangul) >= 0.30) return "ko"
+    if (frac(han) >= 0.30) return "zh"
+    if (frac(cyr) >= 0.30) return "ru"
+    if (frac(arab) >= 0.30) return "ar"
+    if (frac(deva) >= 0.30) return "hi"
+    if (frac(greek) >= 0.30) return "el"
+    if (frac(heb) >= 0.30) return "he"
+    if (frac(thai) >= 0.30) return "th"
     val toks = wsTokens(normalize(s))
     if (toks.isEmpty) return "und"
     var best = "und"; var bestHits = 0
-    stop.foreach { case (lang, words) =>
+    stopOrdered.foreach { case (lang, words) =>
       var hits = 0
       toks.foreach(t => if (words.contains(t)) hits += 1)
       if (hits > bestHits) { bestHits = hits; best = lang }
     }
     if (bestHits * 20 < toks.length) "und" else best // < 5% stopwords → unknown
   }
+
+  // alphabetical vote order so equal-hit ties break deterministically
+  private val stopOrdered: Seq[(String, Set[String])] = stop.toSeq.sortBy(_._1)
 
   // ---------------------------------------------------------------- loading
   def load(): Unit = {

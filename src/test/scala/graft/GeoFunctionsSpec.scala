@@ -321,6 +321,15 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("bpe_token_count('hello, world 42')") == 4)
     assert(sql1("lang_id('the cat and the dog are in the house')") == "en")
     assert(sql1("lang_id('le chat est dans la maison avec le chien')") == "fr")
+    // Unicode-script stage: dominant non-Latin script identifies the language
+    assert(sql1("lang_id('这是一个中文句子')") == "zh")
+    assert(sql1("lang_id('これはテストです')") == "ja")
+    assert(sql1("lang_id('한국어 문장입니다')") == "ko")
+    assert(sql1("lang_id('Это русское предложение')") == "ru")
+    assert(sql1("lang_id('جملة باللغة العربية')") == "ar")
+    // Japanese kana wins over Han even when kanji dominate the char count
+    assert(sql1("lang_id('日本語の文書を解析する')") == "ja")
+    assert(sql1("lang_id('12345 !!! ???')") == "und")
     assert(sql1("jaccard_shingles('abcdef', 'abcdef', 3)") == 1.0)
     assert(sql1("doc_fingerprint('a  B') = doc_fingerprint('a b')") == true)
     assert(sql1("size(minhash('some text here', 32, 4, 42))") == 32)
