@@ -100,12 +100,12 @@ object Geo {
         throw new IllegalArgumentException(
           s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
     }
-    // POINT/MULTIPOINT fast scanner: these dominate tabular workloads and
-    // JTS's StreamTokenizer machinery is ~7x the cost of the actual number
-    // parsing; anything the scanner doesn't recognize falls through
+    // fast scanner for all non-collection types: JTS's StreamTokenizer
+    // machinery is several times the cost of the actual number parsing;
+    // anything the scanner doesn't recognize falls through
     val c0 = if (wkt.isEmpty) ' ' else wkt.charAt(0)
-    if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm') {
-      val fast = fastPointWkt(wkt)
+    if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm' || c0 == 'L' || c0 == 'l') {
+      val fast = fastWkt(wkt)
       if (fast != null) return fast
     }
     val g = tl.get().wktReader.read(wkt)
@@ -116,19 +116,25 @@ object Geo {
     g
   }
 
-  /** Hand-rolled scanner for POINT / MULTIPOINT WKT in all dimension forms
-   *  (bare, Z, M, ZM, EMPTY, parenthesized or bare multipoint members).
+  /** Hand-rolled scanner for every non-collection WKT type in all dimension
+   *  forms (bare, Z, M, ZM, EMPTY, parenthesized or bare multipoint members).
    *  Returns null for anything else — the general JTS reader stays the
-   *  arbiter of errors and exotic syntax. */
-  private def fastPointWkt(s: String): Geometry = {
+   *  arbiter of errors and exotic syntax. Ring-validity errors (unclosed,
+   *  too short) throw the same JTS IllegalArgumentException either way. */
+  private def fastWkt(s: String): Geometry = {
     val n = s.length
     var i = 0
     def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
     try {
       skipWs()
-      val multi =
-        if (s.regionMatches(true, i, "MULTIPOINT", 0, 10)) { i += 10; true }
-        else if (s.regionMatches(true, i, "POINT", 0, 5)) { i += 5; false }
+      // 0 point, 1 linestring, 2 polygon, 3 multipoint, 4 multiline, 5 multipoly
+      val kind =
+        if (s.regionMatches(true, i, "MULTIPOINT", 0, 10)) { i += 10; 3 }
+        else if (s.regionMatches(true, i, "MULTILINESTRING", 0, 15)) { i += 15; 4 }
+        else if (s.regionMatches(true, i, "MULTIPOLYGON", 0, 12)) { i += 12; 5 }
+        else if (s.regionMatches(true, i, "POINT", 0, 5)) { i += 5; 0 }
+        else if (s.regionMatches(true, i, "LINESTRING", 0, 10)) { i += 10; 1 }
+        else if (s.regionMatches(true, i, "POLYGON", 0, 7)) { i += 7; 2 }
         else return null
       // the keyword must end here (protects POINTZZZ-style garbage)
       if (i < n && Character.isLetterOrDigit(s.charAt(i))) {
@@ -182,32 +188,100 @@ object Geo {
         i += 1
       }
       def atEndOk(): Boolean = { skipWs(); i == n }
-
-      if (!multi) {
-        if (isEmptyWord())
-          return if (atEndOk()) setEmptyDims(factory.createPoint(), tagZ, tagM) else null
+      /** comma-separated coordinate list inside one pair of parens */
+      def coordSeq(): Array[Coordinate] = {
         expect('(')
-        val c = coord()
-        expect(')')
-        if (!atEndOk()) return null
-        factory.createPoint(c)
-      } else {
-        if (isEmptyWord())
-          return if (atEndOk()) setEmptyDims(factory.createMultiPoint(), tagZ, tagM) else null
-        expect('(')
-        val pts = scala.collection.mutable.ArrayBuffer.empty[Point]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
         var done = false
         while (!done) {
-          skipWs()
-          if (isEmptyWord()) pts += setEmptyDims(factory.createPoint(), tagZ, tagM).asInstanceOf[Point]
-          else if (i < n && s.charAt(i) == '(') { i += 1; pts += factory.createPoint(coord()); expect(')') }
-          else pts += factory.createPoint(coord())
+          buf += coord()
           skipWs()
           if (i < n && s.charAt(i) == ',') i += 1
           else { expect(')'); done = true }
         }
-        if (!atEndOk()) return null
-        factory.createMultiPoint(pts.toArray)
+        buf.toArray
+      }
+      /** shell + holes inside one pair of parens */
+      def polyBody(): Polygon = {
+        expect('(')
+        val shell = factory.createLinearRing(coordSeq())
+        val holes = scala.collection.mutable.ArrayBuffer.empty[LinearRing]
+        skipWs()
+        while (i < n && s.charAt(i) == ',') { i += 1; holes += factory.createLinearRing(coordSeq()) }
+        expect(')')
+        factory.createPolygon(shell, holes.toArray)
+      }
+
+      kind match {
+        case 0 =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createPoint(), tagZ, tagM) else null
+          expect('(')
+          val c = coord()
+          expect(')')
+          if (!atEndOk()) return null
+          factory.createPoint(c)
+        case 3 =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createMultiPoint(), tagZ, tagM) else null
+          expect('(')
+          val pts = scala.collection.mutable.ArrayBuffer.empty[Point]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (isEmptyWord()) pts += setEmptyDims(factory.createPoint(), tagZ, tagM).asInstanceOf[Point]
+            else if (i < n && s.charAt(i) == '(') { i += 1; pts += factory.createPoint(coord()); expect(')') }
+            else pts += factory.createPoint(coord())
+            skipWs()
+            if (i < n && s.charAt(i) == ',') i += 1
+            else { expect(')'); done = true }
+          }
+          if (!atEndOk()) return null
+          factory.createMultiPoint(pts.toArray)
+        case 1 =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM) else null
+          val g = factory.createLineString(coordSeq())
+          if (!atEndOk()) return null
+          g
+        case 2 =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createPolygon(), tagZ, tagM) else null
+          val g = polyBody()
+          if (!atEndOk()) return null
+          g
+        case 4 =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createMultiLineString(Array.empty[LineString]), tagZ, tagM) else null
+          expect('(')
+          val parts = scala.collection.mutable.ArrayBuffer.empty[LineString]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (isEmptyWord()) parts += setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM).asInstanceOf[LineString]
+            else parts += factory.createLineString(coordSeq())
+            skipWs()
+            if (i < n && s.charAt(i) == ',') i += 1
+            else { expect(')'); done = true }
+          }
+          if (!atEndOk()) return null
+          factory.createMultiLineString(parts.toArray)
+        case _ =>
+          if (isEmptyWord())
+            return if (atEndOk()) setEmptyDims(factory.createMultiPolygon(Array.empty[Polygon]), tagZ, tagM) else null
+          expect('(')
+          val parts = scala.collection.mutable.ArrayBuffer.empty[Polygon]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (isEmptyWord()) parts += setEmptyDims(factory.createPolygon(), tagZ, tagM).asInstanceOf[Polygon]
+            else parts += polyBody()
+            skipWs()
+            if (i < n && s.charAt(i) == ',') i += 1
+            else { expect(')'); done = true }
+          }
+          if (!atEndOk()) return null
+          factory.createMultiPolygon(parts.toArray)
       }
     } catch {
       case _: NumberFormatException => null

@@ -3,8 +3,9 @@ package graft
 import graft.geom.{Geo, Wkt}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** POINT/MULTIPOINT WKT fast scanner (round-4 parse-bound tail): must agree
-  * with the JTS reader everywhere it engages, and beat it on throughput. */
+/** WKT fast scanner for all non-collection types (round-4 parse-bound tail):
+  * must agree with the JTS reader everywhere it engages, and beat it on
+  * throughput. */
 class WktFastParseSpec extends AnyFunSuite {
 
   private def jts(s: String) = new org.locationtech.jts.io.WKTReader(Geo.factory).read(s)
@@ -18,7 +19,22 @@ class WktFastParseSpec extends AnyFunSuite {
       "MULTIPOINT (1 2, 3 4)", "MULTIPOINT ((1 2), (3 4))",
       "MULTIPOINT Z (1 2 3, 4 5 6)", "MULTIPOINT ZM ((1 2 3 4), (5 6 7 8))",
       "MULTIPOINT M (1 2 9)",
-      "POINT EMPTY", "MULTIPOINT EMPTY")
+      "POINT EMPTY", "MULTIPOINT EMPTY",
+      "LINESTRING (0 0, 1 1, 2 0)", "LINESTRING(0.5 -1.5,2 3)",
+      "LINESTRING Z (0 0 1, 1 1 2)", "LINESTRING M (0 0 1, 1 1 2)",
+      "LINESTRING ZM (0 0 1 2, 1 1 3 4)", "LINESTRING (0 0, 1 1 1)",
+      "LINESTRING EMPTY",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))",
+      "POLYGON EMPTY",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+      "MULTILINESTRING Z ((0 0 5, 1 1 6))",
+      "MULTILINESTRING EMPTY",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5), (5.2 5.2, 5.4 5.2, 5.4 5.4, 5.2 5.2)))",
+      "MULTIPOLYGON ZM (((0 0 1 2, 1 0 1 2, 1 1 1 2, 0 0 1 2)))",
+      "MULTIPOLYGON EMPTY",
+      " MULTIPOLYGON ( ( ( 0 0 , 1 0 , 1 1 , 0 0 ) ) ) ")
     cases.foreach { s =>
       val fast = Geo.fromWkt(s)
       val ref = jts(s)
@@ -33,8 +49,17 @@ class WktFastParseSpec extends AnyFunSuite {
   test("malformed input still errors through the general reader") {
     // (JTS tolerates trailing garbage after a complete geometry, so that
     // case is not an error in either path)
-    for (bad <- Seq("POINT (1)", "POINT (1 2", "POINT 1 2", "POINT (a b)", "POINT (1 2 3 4)"))
+    for (bad <- Seq("POINT (1)", "POINT (1 2", "POINT 1 2", "POINT (a b)", "POINT (1 2 3 4)",
+                    "LINESTRING (0 0, 1)", "LINESTRING ((0 0, 1 1))", "POLYGON (0 0, 1 1, 2 2, 0 0)",
+                    "MULTIPOLYGON ((0 0, 1 0, 1 1, 0 0))"))
       assertThrows[Exception](Geo.fromWkt(bad))
+    // ring-validity errors match the JTS reader's exception class and message
+    val badRing = "POLYGON ((0 0, 1 0, 1 1, 2 2))"
+    val fast = intercept[Exception](Geo.fromWkt(badRing))
+    val ref = intercept[Exception](jts(badRing))
+    assert(fast.getClass == ref.getClass && fast.getMessage == ref.getMessage, badRing)
+    // a closed 3-point ring is accepted by JTS — both paths must agree there too
+    assert(Wkt.write(Geo.fromWkt("POLYGON ((0 0, 1 0, 0 0))")) == Wkt.write(jts("POLYGON ((0 0, 1 0, 0 0))")))
   }
 
   test("random round-trip property: write then fast-parse is identity") {
@@ -42,16 +67,19 @@ class WktFastParseSpec extends AnyFunSuite {
     (1 to 2000).foreach { _ =>
       val x = rnd.nextDouble() * 2000 - 1000
       val y = rnd.nextDouble() * 2000 - 1000
-      val wkt = rnd.nextInt(3) match {
+      val wkt = rnd.nextInt(6) match {
         case 0 => s"POINT ($x $y)"
         case 1 => s"POINT Z ($x $y ${rnd.nextInt(100)})"
         case 2 => s"MULTIPOINT ($x $y, ${-x} ${-y})"
+        case 3 => s"LINESTRING ($x $y, ${x + 1} ${y + 1}, ${x + 2} $y)"
+        case 4 => s"POLYGON (($x $y, ${x + 2} $y, ${x + 2} ${y + 2}, $x $y))"
+        case 5 => s"MULTILINESTRING (($x $y, ${-x} ${-y}), (0 0, 1 ${y.abs}))"
       }
       assert(Wkt.write(Geo.fromWkt(wkt)) == Wkt.write(jts(wkt)), wkt)
     }
   }
 
-  test("micro-bench: fast path beats the JTS reader on point WKT") {
+  test("micro-bench: fast path beats the JTS reader on point and polygon WKT") {
     val strs = Array.tabulate(100000)(i => s"POINT (${i % 1000} ${(i * 7) % 1000})")
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
@@ -62,7 +90,19 @@ class WktFastParseSpec extends AnyFunSuite {
     strs.take(20000).foreach(r.read)
     val fast = time(() => strs.foreach(Geo.fromWkt))
     val slow = time(() => strs.foreach(r.read))
-    info(f"fast=${fast}%.3fs jts=${slow}%.3fs speedup=${slow / fast}%.1fx")
-    assert(slow / fast > 1.5, f"speedup only ${slow / fast}%.2fx")
+    info(f"point: fast=${fast}%.3fs jts=${slow}%.3fs speedup=${slow / fast}%.1fx")
+    assert(slow / fast > 1.5, f"point speedup only ${slow / fast}%.2fx")
+
+    val polys = Array.tabulate(50000) { i =>
+      val x = i % 500; val y = (i * 3) % 500
+      s"POLYGON (($x $y, ${x + 4} $y, ${x + 4} ${y + 4}, $x ${y + 4}, $x $y), " +
+        s"(${x + 1} ${y + 1}, ${x + 2} ${y + 1}, ${x + 2} ${y + 2}, ${x + 1} ${y + 1}))"
+    }
+    polys.take(10000).foreach(Geo.fromWkt)
+    polys.take(10000).foreach(r.read)
+    val fastP = time(() => polys.foreach(Geo.fromWkt))
+    val slowP = time(() => polys.foreach(r.read))
+    info(f"polygon: fast=${fastP}%.3fs jts=${slowP}%.3fs speedup=${slowP / fastP}%.1fx")
+    assert(slowP / fastP > 1.3, f"polygon speedup only ${slowP / fastP}%.2fx")
   }
 }
