@@ -249,6 +249,19 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
           FgbRangePartition(p, from, to): InputPartition
         }
       }.toArray
+    case "geopackage" =>
+      // intra-file splits over the feature table's root-level B-tree
+      // subtrees: a multi-GB .gpkg scans as ~64 MB page-group tasks (the
+      // balanced tree makes equal child counts ≈ equal bytes)
+      val target = 64L << 20
+      paths.flatMap { p =>
+        val table = GeoFiles.geopackageTable(p)
+        val roots = GeoPackage.subtreeRoots(p, table)
+        val bytes = new java.io.File(p.stripPrefix("file:")).length()
+        val chunks = math.max(1, math.min(roots.size.toLong, bytes / target + 1)).toInt
+        val per = (roots.size + chunks - 1) / chunks
+        roots.grouped(per).map(g => GpkgPartition(p, g.toArray): InputPartition)
+      }.toArray
     case _ => paths.map(p => FilePartition(p): InputPartition).toArray
   }
 
@@ -257,6 +270,7 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
 }
 
 case class FilePartition(path: String) extends InputPartition
+case class GpkgPartition(path: String, subtreeRoots: Array[Long]) extends InputPartition
 case class FgbRangePartition(path: String, fromOff: Long, toOff: Long) extends InputPartition
 case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
 case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends InputPartition
@@ -292,8 +306,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
           case None => FlatGeobuf.readFeaturesRange(p, from, to)
         }
         feats.map(GeoRows.fgbRow(_, required))
-      case ("geopackage", FilePartition(p)) =>
-        GeoRows.gpkgRows(p, required)
+      case ("geopackage", GpkgPartition(p, roots)) =>
+        GeoRows.gpkgRows(p, roots, required)
       case ("kml", FilePartition(p)) =>
         XmlGeo.kmlFeatures(p).map(GeoRows.featureRow(_, required))
       case ("gpx", FilePartition(p)) =>
@@ -352,10 +366,10 @@ object GeoRows {
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
   }
 
-  def gpkgRows(path: String, required: StructType): Iterator[InternalRow] = {
+  def gpkgRows(path: String, subtreeRoots: Array[Long], required: StructType): Iterator[InternalRow] = {
     val t = GeoFiles.geopackageTable(path)
     val colIdx = t.columns.map(_._1).zipWithIndex.toMap
-    GeoPackage.scan(path, t).map { case (_, cols, geom) =>
+    GeoPackage.scanPages(path, t, subtreeRoots.toSeq).map { case (_, cols, geom) =>
       val vals = required.fields.map { field =>
         (if (field.name == t.geomColumn) {
           if (geom == null) null else Wkb.write(geom)

@@ -91,10 +91,22 @@ object GeoPackage {
   }
 
   /** rows of one feature table: column values with the geometry decoded to JTS. */
-  def scan(path: String, table: FeatureTable): Iterator[(Long, Array[Any], Geometry)] = {
-    val db = new Sqlite.Db(path)
+  def scan(path: String, table: FeatureTable): Iterator[(Long, Array[Any], Geometry)] =
+    rows(new Sqlite.Db(path).scanTable(table.rootPage), table)
+
+  /** The table's root-level B-tree subtrees — disjoint rowid ranges that let a
+    * multi-GB feature table scan as parallel tasks (one task per page group). */
+  def subtreeRoots(path: String, table: FeatureTable): Seq[Long] =
+    new Sqlite.Db(path).topLevelChildren(table.rootPage)
+
+  /** Partition scan: only the given subtrees (from [[subtreeRoots]]). */
+  def scanPages(path: String, table: FeatureTable, pages: Seq[Long]): Iterator[(Long, Array[Any], Geometry)] =
+    rows(new Sqlite.Db(path).scanSubtrees(pages), table)
+
+  private def rows(cells: Iterator[(Long, Array[Any])],
+                   table: FeatureTable): Iterator[(Long, Array[Any], Geometry)] = {
     val geomIdx = table.columns.indexWhere(_._1 == table.geomColumn)
-    db.scanTable(table.rootPage).map { case (rowid, cols) =>
+    cells.map { case (rowid, cols) =>
       if (table.pkIndex >= 0 && table.pkIndex < cols.length && cols(table.pkIndex) == null)
         cols(table.pkIndex) = rowid
       val geom = if (geomIdx >= 0 && geomIdx < cols.length) cols(geomIdx) match {

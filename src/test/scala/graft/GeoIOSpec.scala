@@ -409,5 +409,16 @@ class GeoIOSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gpkg_big").collect()(0).getLong(0) == 2000L)
     val r = spark.sql("SELECT st_astext(geom) FROM gpkg_big WHERE id = 1234").collect()(0)
     assert(r.getString(0) == "POINT (1234 " + (1234 % 13) + ")")
+
+    // intra-file parallelism: the interior b-tree root exposes multiple
+    // subtrees, and scanning them piecewise equals the full scan
+    val path = part.getAbsolutePath
+    val table = graft.io.GeoFiles.geopackageTable(path)
+    val roots = graft.io.GeoPackage.subtreeRoots(path, table)
+    assert(roots.size > 1, s"expected an interior root with children, got $roots")
+    val full = graft.io.GeoPackage.scan(path, table).map(_._1).toVector
+    val pieced = roots.flatMap(r0 => graft.io.GeoPackage.scanPages(path, table, Seq(r0)).map(_._1))
+    assert(pieced == full, "subtree union must equal the full scan in rowid order")
+    assert(full.size == 2000)
   }
 }
