@@ -107,6 +107,26 @@ object GeoFiles {
     StructField("geom", BinaryType),
     StructField("properties", MapType(StringType, StringType))))
 
+  /** GeoJSON property promotion (reference: GDAL's OGRGeoJSON promotes every
+    * property to a column): keys seen in a bounded head sample of the first
+    * file become string columns after the stable fields, so `SELECT kind …`
+    * works like the reference while `properties` map access stays intact. */
+  def geojsonSchemaFor(format: String, paths: Seq[String]): StructType = {
+    val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+    try {
+      val sample: Iterator[GeoJsonFile.Feature] = format match {
+        case "geojson" => GeoJsonFile.streamDocument(textReader(paths.head))
+        case _ =>
+          val br = textReader(paths.head)
+          Iterator.continually(br.readLine()).takeWhile(_ != null).flatMap(GeoJsonFile.parseLine)
+      }
+      sample.take(200).foreach(f => keys ++= f.properties.keys)
+    } catch { case scala.util.control.NonFatal(_) => }
+    val reserved = Set("id", "geom", "properties")
+    StructType(geojsonSchema.fields ++
+      keys.toSeq.filterNot(reserved).map(StructField(_, StringType)))
+  }
+
   val osmSchema: StructType = StructType(Seq(
     StructField("kind", StringType),
     StructField("id", LongType),
@@ -176,7 +196,8 @@ object GeoFiles {
 
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
-    case "geojson" | "geojsonl" | "kml" | "gpx" => geojsonSchema
+    case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
+    case "kml" | "gpx" => geojsonSchema
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
     case "geopackage" => geopackageSchema(paths.head)
@@ -331,10 +352,11 @@ object GeoRows {
   def featureRow(f: GeoJsonFile.Feature, required: StructType): InternalRow = {
     val vals = required.fields.map { field =>
       field.name match {
-        case "id" => utf(f.id)
+        // a Feature-level id wins; round-tripped files carry it as a property
+        case "id" => if (f.id != null) utf(f.id) else f.properties.get("id").map(utf).orNull
         case "geom" => if (f.geom == null) null else Wkb.write(f.geom)
         case "properties" => ArrayBasedMapData(f.properties, (k: Any) => utf(k.asInstanceOf[String]), (v: Any) => utf(v.asInstanceOf[String]))
-        case _ => null
+        case promoted => f.properties.get(promoted).map(utf).orNull
       }
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])

@@ -62,16 +62,23 @@ object GeoWriter {
 
   /** Write `df` as newline-delimited GeoJSON features. All non-geometry
    *  columns become properties (JSON-typed via to_json). */
-  def geojsonl(df: DataFrame, geomCol: String, path: String): Unit = {
+  def geojsonl(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
     graft.Graft.register(df.sparkSession)
     val props = df.columns.filter(_ != geomCol)
     val line = concat(
       lit("""{"type":"Feature","geometry":"""),
-      expr(s"st_asgeojson($geomCol)"),
+      expr(s"st_asgeojson(`$geomCol`)"),
       lit(""","properties":"""),
       to_json(struct(props.map(col).toIndexedSeq: _*)),
       lit("}"))
-    df.select(line.as("value")).write.mode("overwrite").text(path)
+    val lines = df.select(line.as("value"))
+    if (singleFile) { // one exact-path file (reference COPY GeoJSONSeq semantics)
+      val hc = hconfOf(df)
+      lines.coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val out = new java.io.PrintWriter(hadoopOpen(hc)(path))
+        try it.foreach(r => out.println(r.getString(0))) finally out.close()
+      }
+    } else lines.write.mode("overwrite").text(path)
   }
 
   /** Write `df` as a single GeoJSON FeatureCollection document (the
@@ -84,7 +91,7 @@ object GeoWriter {
     val props = df.columns.filter(_ != geomCol)
     val line = concat(
       lit("""{"type":"Feature","geometry":"""),
-      expr(s"st_asgeojson($geomCol)"),
+      expr(s"st_asgeojson(`$geomCol`)"),
       lit(""","properties":"""),
       to_json(struct(props.map(col).toIndexedSeq: _*)),
       lit("}"))

@@ -114,6 +114,11 @@ object SqlLogicTest {
         // Spark windows need an ordering; DuckDB's bare OVER () relies on scan order
         .replaceAll("(?i)OVER\\s*\\(\\s*\\)", "OVER (ORDER BY monotonically_increasing_id())")
         .replaceAll("(?i)::VARCHAR", "")
+        // DuckDB tolerates a trailing comma in the SELECT list
+        .replaceAll(",\\s+FROM\\b", " FROM")
+        // UNNEST(list-of-struct, recursive := true) flattens the struct into
+        // columns — exactly Spark's inline()
+        .replaceAll("(?is)\\bUNNEST\\s*\\((.*),\\s*recursive\\s*:=\\s*true\\s*\\)", "inline($1)")
         .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
         .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
@@ -234,6 +239,49 @@ object SqlLogicTest {
     var poisoned = false
     val failures = ArrayBuffer.empty[String]
     val unsupportedQ = ArrayBuffer.empty[String]
+    // COPY targets under the read-only reference tree are redirected to the
+    // temp dir; later statements naming the original path follow the alias
+    val pathAliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def aliased(sql: String): String =
+      pathAliases.foldLeft(sql) { case (s, (k, v)) => s.replace(k, v) }
+
+    /** `COPY (query) TO 'path' [WITH (...)]` through graft's own writers.
+      * Returns true when handled; GDAL-only drivers raise a dialect marker. */
+    val copyRe = "(?is)^\\s*COPY\\s*\\((.+)\\)\\s*TO\\s*'([^']+)'(.*)$".r
+    def execStatement(sql: String): Unit = copyRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val inner = m.group(1)
+        val opts = m.group(3).toUpperCase
+        val target = {
+          val t0 = m.group(2)
+          if (t0.startsWith("/root/reference")) {
+            val t = testDir + "/" + new java.io.File(t0).getName
+            pathAliases(t0) = t
+            t
+          } else t0
+        }
+        val l = target.toLowerCase
+        val fmt =
+          if (opts.contains("GEOJSONSEQ") || l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
+          else if (opts.contains("'GEOJSON'") || l.endsWith(".geojson")) "geojson"
+          else if (opts.contains("SHAPEFILE") || l.endsWith(".shp")) "shapefile"
+          else if (opts.contains("FLATGEOBUF") || l.endsWith(".fgb")) "flatgeobuf"
+          else if (opts.contains("'GPKG'") || l.endsWith(".gpkg")) "geopackage"
+          else throw new IllegalArgumentException(s"cannot infer geo format for COPY driver: $opts")
+        val df = spark.sql(inner)
+        val geomCol = df.schema.fields.find(f => f.name == "geom" && f.dataType == org.apache.spark.sql.types.BinaryType)
+          .orElse(df.schema.fields.find(_.dataType == org.apache.spark.sql.types.BinaryType))
+          .map(_.name)
+          .getOrElse(throw new IllegalArgumentException("cannot infer geo format: COPY query has no geometry column"))
+        fmt match {
+          case "geojsonl" => graft.io.GeoWriter.geojsonl(df, geomCol, target, singleFile = true)
+          case "geojson" => graft.io.GeoWriter.geojson(df, geomCol, target)
+          case "shapefile" => graft.io.GeoWriter.shapefile(df, geomCol, target, singleFile = true)
+          case "flatgeobuf" => graft.io.GeoWriter.flatgeobuf(df, geomCol, target, singleFile = true)
+          case "geopackage" => graft.io.GeoWriter.geopackage(df, geomCol, target, singleFile = true)
+        }
+      case None => spark.sql(sql).collect()
+    }
 
     def collectSql(stop: String => Boolean): String = {
       val sb = new StringBuilder
@@ -252,7 +300,7 @@ object SqlLogicTest {
       } else if (line.startsWith("statement")) {
         val expectError = line.contains("error")
         i += 1
-        val sql = rewrite(collectSql(l => l.trim.isEmpty || l.trim == "----"))
+        val sql = aliased(rewrite(collectSql(l => l.trim.isEmpty || l.trim == "----")))
         // consume optional expected-error text
         if (i < lines.length && lines(i).trim == "----") {
           i += 1
@@ -281,7 +329,7 @@ object SqlLogicTest {
               rm(dir)
             }
           }
-          spark.sql(sql).collect()
+          execStatement(sql)
           if (expectError) { failed += 1; failures += s"expected error: $sql" } else passed += 1
         } catch {
           case e: Exception =>
@@ -292,7 +340,7 @@ object SqlLogicTest {
       } else if (line.startsWith("query")) {
         val sortMode = line.contains("rowsort") || line.contains("valuesort")
         i += 1
-        val sql = rewrite(collectSql(l => l.trim == "----"))
+        val sql = aliased(rewrite(collectSql(l => l.trim == "----")))
         i += 1 // skip ----
         val expected = ArrayBuffer.empty[String]
         while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
