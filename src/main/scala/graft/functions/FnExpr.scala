@@ -207,15 +207,24 @@ object FnExpr {
         val n = s.length
         // POINT_3D with a field literally named m is XYM (dimensional_cast.cpp)
         val thirdIsM = n == 3 && s.fieldNames(2).equalsIgnoreCase("m")
+        // BOX_2D (min_x, min_y, max_x, max_y) converts to its envelope
+        // polygon, not an XYZM point (the reference's BOX_2D→GEOMETRY cast)
+        val isBox = n == 4 && s.fieldNames(0).equalsIgnoreCase("min_x") &&
+          s.fieldNames(1).equalsIgnoreCase("min_y") &&
+          s.fieldNames(2).equalsIgnoreCase("max_x") &&
+          s.fieldNames(3).equalsIgnoreCase("max_y")
         (v: Any) => v match {
           case r: InternalRow =>
             val x = r.getDouble(0); val y = r.getDouble(1)
-            val c: Coordinate =
-              if (n == 2) new Coordinate(x, y)
-              else if (n == 4) new CoordinateXYZM(x, y, r.getDouble(2), r.getDouble(3))
-              else if (thirdIsM) new CoordinateXYM(x, y, r.getDouble(2))
-              else new Coordinate(x, y, r.getDouble(2))
-            Wkb.write(Geo.factory.createPoint(c))
+            if (isBox) Wkb.write(Geo.box(x, y, r.getDouble(2), r.getDouble(3)))
+            else {
+              val c: Coordinate =
+                if (n == 2) new Coordinate(x, y)
+                else if (n == 4) new CoordinateXYZM(x, y, r.getDouble(2), r.getDouble(3))
+                else if (thirdIsM) new CoordinateXYM(x, y, r.getDouble(2))
+                else new Coordinate(x, y, r.getDouble(2))
+              Wkb.write(Geo.factory.createPoint(c))
+            }
           case other => other
         }
       case ArrayType(_: StructType, _) =>

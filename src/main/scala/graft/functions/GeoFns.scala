@@ -992,9 +992,28 @@ object GeoFns {
     }
     fn("st_collectionextract", B, Seq(B), Seq(B, I)) { a =>
       val g = rg(a(0))
-      // reference semantics: non-collection input is a passthrough
-      if (!g.isInstanceOf[GeometryCollection]) w(g)
-      else {
+      // reference semantics: a non-collection input passes through when the
+      // requested type matches (or none was given) and yields a typed simple
+      // EMPTY on a mismatch (st_collectionextract.test table goldens)
+      if (!g.isInstanceOf[GeometryCollection]) {
+        if (a.length < 2) w(g)
+        else {
+          val wantedDim = int(a(1))
+          val dim = g match {
+            case _: Point => 1
+            case _: LineString => 2
+            case _: Polygon => 3
+            case _ => 0
+          }
+          if (dim == wantedDim) w(g)
+          else w(wantedDim match {
+            case 1 => f.createPoint()
+            case 2 => f.createLineString(Array.empty[Coordinate])
+            case 3 => f.createPolygon()
+            case _ => f.createGeometryCollection()
+          })
+        }
+      } else {
         val parts = {
           val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
           dumpInto(g, Nil, out)

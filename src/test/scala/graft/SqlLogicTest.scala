@@ -28,6 +28,11 @@ object SqlLogicTest {
       try graft.geom.Wkt.write(graft.geom.Geo.read(b))
       catch { case _: Exception => b.map(x => f"${x & 0xff}%02X").mkString }
     case s: scala.collection.Seq[_] => s.map(render).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row
+        if r.schema != null && r.schema.fieldNames.sameElements(Array("min_x", "min_y", "max_x", "max_y")) =>
+      // DuckDB's BOX_2D→VARCHAR rendering
+      s"BOX(${graft.geom.Geo.fmt(r.getDouble(0))} ${graft.geom.Geo.fmt(r.getDouble(1))}, " +
+        s"${graft.geom.Geo.fmt(r.getDouble(2))} ${graft.geom.Geo.fmt(r.getDouble(3))})"
     case r: org.apache.spark.sql.Row =>
       // DuckDB struct rendering: {'field': value, ...}
       r.schema.fieldNames.zipWithIndex
@@ -114,6 +119,20 @@ object SqlLogicTest {
         // Spark windows need an ordering; DuckDB's bare OVER () relies on scan order
         .replaceAll("(?i)OVER\\s*\\(\\s*\\)", "OVER (ORDER BY monotonically_increasing_id())")
         .replaceAll("(?i)::VARCHAR", "")
+        // BOX_2D casts / struct literals AFTER the st_generatepoints form has
+        // had its shot at the `{...}::BOX_2D` shape above
+        .replaceAll("(?i)::BOX_2D", "")
+        .replaceAll(
+          "\\{\\s*'?min_x'?\\s*:\\s*([^,]+),\\s*'?min_y'?\\s*:\\s*([^,]+),\\s*'?max_x'?\\s*:\\s*([^,]+),\\s*'?max_y'?\\s*:\\s*([^}]+)\\}",
+          "named_struct('min_x', CAST($1 AS DOUBLE), 'min_y', CAST($2 AS DOUBLE), " +
+            "'max_x', CAST($3 AS DOUBLE), 'max_y', CAST($4 AS DOUBLE))")
+        // columnar column DECLARATIONS → their Spark encodings
+        .replaceAll("(?i)\\bPOINT_2D\\b(?=\\s*[,)])", "STRUCT<x: DOUBLE, y: DOUBLE>")
+        .replaceAll("(?i)\\bLINESTRING_2D\\b(?=\\s*[,)])", "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>")
+        .replaceAll("(?i)\\bPOLYGON_2D\\b(?=\\s*[,)])", "ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>")
+        // ST_AsText(BOX_2D) renders through the BOX cast, not WKT — drop the
+        // wrapper and let the runner's BOX renderer do the formatting
+        .replaceAll("(?is)st_astext\\s*\\(\\s*(st_extent\\s*\\()", "($1")
         // DuckDB tolerates a trailing comma in the SELECT list
         .replaceAll(",\\s+FROM\\b", " FROM")
         // UNNEST(list-of-struct, recursive := true) flattens the struct into
@@ -245,6 +264,44 @@ object SqlLogicTest {
     def aliased(sql: String): String =
       pathAliases.foldLeft(sql) { case (s, (k, v)) => s.replace(k, v) }
 
+    // tables declared with a columnar geometry type: INSERTed WKT geometries
+    // need the matching WKB→columnar constructor applied (DuckDB's implicit
+    // GEOMETRY→POINT_2D/… insert cast)
+    val columnarTables = scala.collection.mutable.Map.empty[String, String]
+    val columnarDecl =
+      "(?is)CREATE\\s+TABLE\\s+(\\w+)\\s*\\(.*?\\b(POINT_2D|LINESTRING_2D|POLYGON_2D)\\b.*".r
+    def trackColumnar(rawStmt: String): Unit =
+      columnarDecl.findFirstMatchIn(rawStmt).foreach { m =>
+        columnarTables(m.group(1).toLowerCase) =
+          s"st_${m.group(2).toLowerCase.replace("_2d", "2d")}fromwkb"
+      }
+    def wrapColumnarInserts(sql: String): String =
+      "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\b.*".r.findFirstMatchIn(sql) match {
+        case Some(m) if columnarTables.contains(m.group(1).toLowerCase) =>
+          val fn = columnarTables(m.group(1).toLowerCase)
+          sql.replaceAll("(?i)st_geomfromtext\\(('(?:[^']|'')*')\\)", s"$fn(st_geomfromtext($$1))")
+        case _ => sql
+      }
+
+    /** top-level `;`-separated statements (DuckDB statement-ok blocks may
+      * carry several); quoted semicolons stay intact */
+    def splitStatements(block: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inStr = false
+      block.foreach { c =>
+        if (inStr) { cur.append(c); if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true; cur.append(c)
+          case ';' => val s = cur.toString.trim; if (s.nonEmpty) out += s; cur.clear()
+          case _ => cur.append(c)
+        }
+      }
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += s
+      out.result()
+    }
+
     /** `COPY (query) TO 'path' [WITH (...)]` through graft's own writers.
       * Returns true when handled; GDAL-only drivers raise a dialect marker. */
     val copyRe = "(?is)^\\s*COPY\\s*\\((.+)\\)\\s*TO\\s*'([^']+)'(.*)$".r
@@ -300,7 +357,10 @@ object SqlLogicTest {
       } else if (line.startsWith("statement")) {
         val expectError = line.contains("error")
         i += 1
-        val sql = aliased(rewrite(collectSql(l => l.trim.isEmpty || l.trim == "----")))
+        val rawStmts = splitStatements(collectSql(l => l.trim.isEmpty || l.trim == "----"))
+        rawStmts.foreach(trackColumnar)
+        val stmts = rawStmts.map(s => wrapColumnarInserts(aliased(rewrite(s))))
+        val sql = stmts.mkString(";\n")
         // consume optional expected-error text
         if (i < lines.length && lines(i).trim == "----") {
           i += 1
@@ -315,21 +375,23 @@ object SqlLogicTest {
         if (!expectError && neutral.findFirstMatchIn(sql).isDefined) {
           unsupported += 1; unsupportedQ += sql.linesIterator.next()
         } else try {
-          // the corpus re-creates tables across files; make CREATE idempotent
-          val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
-          create.findFirstMatchIn(sql).foreach { m =>
-            spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
-            val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-            val dir = new java.io.File(wh, m.group(1).toLowerCase)
-            if (dir.exists()) {
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete()
+          stmts.foreach { one =>
+            // the corpus re-creates tables across files; make CREATE idempotent
+            val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
+            create.findFirstMatchIn(one).foreach { m =>
+              spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
+              val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+              val dir = new java.io.File(wh, m.group(1).toLowerCase)
+              if (dir.exists()) {
+                def rm(f: java.io.File): Unit = {
+                  if (f.isDirectory) f.listFiles().foreach(rm)
+                  f.delete()
+                }
+                rm(dir)
               }
-              rm(dir)
             }
+            execStatement(one)
           }
-          execStatement(sql)
           if (expectError) { failed += 1; failures += s"expected error: $sql" } else passed += 1
         } catch {
           case e: Exception =>
