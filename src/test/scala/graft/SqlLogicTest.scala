@@ -133,12 +133,17 @@ object SqlLogicTest {
         // ST_AsText(BOX_2D) renders through the BOX cast, not WKT — drop the
         // wrapper and let the runner's BOX renderer do the formatting
         .replaceAll("(?is)st_astext\\s*\\(\\s*(st_extent\\s*\\()", "($1")
+        // DuckDB reads parquet straight from a path literal
+        .replaceAll("(?i)\\bFROM\\s+'([^']+\\.parquet)'", "FROM parquet.`$1`")
+        // our GEOMETRY storage IS WKB, so keep_wkb's wkb_geometry == geom
+        .replaceAll("(?i),\\s*keep_wkb\\s*=\\s*true", "")
+        .replaceAll("(?i)\\bwkb_geometry\\b", "geom")
+        .replaceAll("(?i)::BLOB", "")
         // DuckDB tolerates a trailing comma in the SELECT list
         .replaceAll(",\\s+FROM\\b", " FROM")
         // UNNEST(list-of-struct, recursive := true) flattens the struct into
         // columns — exactly Spark's inline()
         .replaceAll("(?is)\\bUNNEST\\s*\\((.*),\\s*recursive\\s*:=\\s*true\\s*\\)", "inline($1)")
-        .replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING") // bare VARCHAR needs a size in Spark
         .replaceAll(",\\s*$", "") // DuckDB tolerates a trailing comma in VALUES lists
         // POINT_2D struct literals → typed named_structs (FnExpr coercion
@@ -147,13 +152,19 @@ object SqlLogicTest {
           "named_struct('x', CAST($1 AS DOUBLE), 'y', CAST($2 AS DOUBLE))")
         .replace("__WORKING_DIRECTORY__", "/root/reference")
         .replace("__TEST_DIR__", testDir))
+    // GEOMETRY as a declared column TYPE → BINARY, but only inside CREATE
+    // TABLE — a column named `geometry` in an expression must survive
+    val base1 =
+      if ("(?is)^\\s*CREATE\\s+TABLE.*".r.matches(base))
+        base.replaceAll("(?i)\\bGEOMETRY\\b(?=\\s*[,)])", "BINARY")
+      else base
     // Spark's default CREATE TABLE without a provider goes down the Hive
     // path; pin the corpus's plain column-list creates to parquet
     val withProvider =
-      if ("(?is)^\\s*CREATE\\s+TABLE\\s+\\w+\\s*\\(.*\\)\\s*$".r.matches(methodCalls(base)) &&
-        !base.toUpperCase.contains("USING"))
-        methodCalls(base) + " USING parquet"
-      else methodCalls(base)
+      if ("(?is)^\\s*CREATE\\s+TABLE\\s+\\w+\\s*\\(.*\\)\\s*$".r.matches(methodCalls(base1)) &&
+        !base1.toUpperCase.contains("USING"))
+        methodCalls(base1) + " USING parquet"
+      else methodCalls(base1)
     // DuckDB implicitly casts WKT VARCHAR to GEOMETRY at insert; mirror it —
     // but leave literals that are already ST_GeomFromText arguments alone
     if (withProvider.trim.regionMatches(true, 0, "INSERT", 0, 6))
@@ -371,8 +382,14 @@ object SqlLogicTest {
         // played by clustered parquet + pruning rules, tested elsewhere).
         // Counted as unsupported but NOT poisoning — data queries answer
         // identically with or without the index.
-        val neutral = "(?is)^\\s*(PRAGMA\\s+enable_verification|CREATE\\s+INDEX\\b.*\\bUSING\\s+RTREE|DROP\\s+INDEX\\b).*".r
-        if (!expectError && neutral.findFirstMatchIn(sql).isDefined) {
+        val neutral = "(?is)^\\s*(CREATE\\s+INDEX\\b.*\\bUSING\\s+RTREE|DROP\\s+INDEX\\b).*".r
+        // sqllogictest harness directives (verification / checkpoint toggles)
+        // are no-ops here, like `require` — not an engine surface at all
+        val directive =
+          "(?is)^\\s*PRAGMA\\s+(enable_verification|disable_checkpoint_on_shutdown).*".r
+        if (!expectError && directive.findFirstMatchIn(sql).isDefined) {
+          // ignore entirely
+        } else if (!expectError && neutral.findFirstMatchIn(sql).isDefined) {
           unsupported += 1; unsupportedQ += sql.linesIterator.next()
         } else try {
           stmts.foreach { one =>
