@@ -71,7 +71,7 @@ object FlatGeobuf {
   final case class FgbHeader(
       name: String, geometryType: Int, hasZ: Boolean, hasM: Boolean,
       columns: Seq[FgbColumn], featuresCount: Long, indexNodeSize: Int,
-      dataStart: Long, crs: String = null)
+      dataStart: Long, crs: String = null, crsName: String = null, crsWkt: String = null)
 
   def readHeader(path: String): FgbHeader = {
     val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
@@ -98,17 +98,18 @@ object FlatGeobuf {
       if (indexNodeSize > 0 && featuresCount > 0) packedIndexSize(featuresCount, indexNodeSize)
       else 0L
     // Crs table: org(0) code(1) name(2) description(3) wkt(4)
-    val crs = {
+    val (crs, crsName, crsWkt) = {
       val t = fb.tableField(root, 10)
-      if (t < 0) null
+      if (t < 0) (null, null, null)
       else {
         val org = Option(fb.string(t, 0)).getOrElse("EPSG")
         val code = fb.intField(t, 1, 0)
-        if (code != 0) s"$org:$code" else fb.string(t, 4)
+        val wkt = fb.string(t, 4)
+        (if (code != 0) s"$org:$code" else wkt, fb.string(t, 2), wkt)
       }
     }
     FgbHeader(fb.string(root, 0), geometryType, hasZ, hasM, columns, featuresCount,
-      indexNodeSize, 12L + headerLen + indexSize, crs)
+      indexNodeSize, 12L + headerLen + indexSize, crs, crsName, crsWkt)
   }
 
   /** size in bytes of the packed Hilbert R-tree (spec: 40-byte nodes). */

@@ -51,6 +51,41 @@ object GeoMeta {
         StructField("width", IntegerType), StructField("decimals", IntegerType))))))))
   }
 
+  /** CRS struct matching the reference's geometry-field CRS shape
+    * (st_read_meta.cpp:29-37): name, auth_name, auth_code, wkt, proj4,
+    * projjson — nulls where a source doesn't carry the representation. */
+  private case class CrsDetail(name: String = null, authName: String = null,
+                               authCode: String = null, wkt: String = null,
+                               proj4: String = null, projjson: String = null) {
+    def row: Row = Row(name, authName, authCode, wkt, proj4, projjson)
+  }
+
+  private val Crs84Proj4 = "+proj=longlat +datum=WGS84 +no_defs"
+
+  /** name + top-level AUTHORITY from a WKT1 CRS definition. */
+  private def fromWkt1(wkt: String): CrsDetail = {
+    if (wkt == null || wkt.isEmpty) return CrsDetail()
+    val name = "^\\s*\\w+\\[\"([^\"]+)\"".r.findFirstMatchIn(wkt).map(_.group(1)).orNull
+    // the outermost authority is the LAST in WKT1 text
+    val auth = "AUTHORITY\\[\"([^\"]+)\"\\s*,\\s*\"?([^\"\\]]+)\"?\\]".r
+      .findAllMatchIn(wkt).toSeq.lastOption
+    CrsDetail(name, auth.map(_.group(1)).orNull, auth.map(_.group(2)).orNull, wkt,
+      proj4 = auth.collect { case m if m.group(1) == "EPSG" && m.group(2) == "4326" => Crs84Proj4 }.orNull)
+  }
+
+  private def fromProjjson(json: String): CrsDetail = {
+    if (json == null) return CrsDetail()
+    def f(re: String) = re.r.findFirstMatchIn(json)
+    CrsDetail(
+      name = f("\"name\"\\s*:\\s*\"([^\"]+)\"").map(_.group(1)).orNull,
+      authName = f("\"authority\"\\s*:\\s*\"([^\"]+)\"").map(_.group(1)).orNull,
+      authCode = f("\"code\"\\s*:\\s*\"?(\\d+)\"?").map(_.group(1)).orNull,
+      projjson = json)
+  }
+
+  private val Crs84Detail = CrsDetail("WGS 84 longitude-latitude", "OGC", "CRS84",
+    proj4 = Crs84Proj4)
+
   /** ST_Read_Meta equivalent: schema + counts for any geo path. For parquet
    *  inputs the GeoParquet `geo` footer metadata is surfaced (reference:
    *  st_read_meta.cpp reports layer/CRS detail through GDAL). */
@@ -60,32 +95,50 @@ object GeoMeta {
       java.nio.file.Files.isDirectory(p) &&
         java.nio.file.Files.list(p).iterator().asScala.exists(_.toString.endsWith(".parquet"))
     }
-    val (fmt, fields, fileCount, geo, crs) =
+    val (fmt, fields, fileCount, geo, crs, detail) =
       if (isParquet) {
         val df = spark.read.parquet(path)
         val n = GeoFiles.expand0(path).count(_.endsWith(".parquet")) max 1
         val g = GeoParquet.readGeo(spark.sessionState.newHadoopConf(), path.stripPrefix("file:"))
+        val projjson = g.flatMap { j =>
+          "\"crs\"\\s*:\\s*(\\{.*)".r.findFirstMatchIn(j).map(m => balanced(m.group(1)))
+        }
         // GeoParquet 1.1: absent "crs" member means OGC:CRS84
         ("geoparquet", df.schema.fields, n, g.orNull,
-          g.map(j => if (j.contains("\"crs\"")) null else "OGC:CRS84").orNull)
+          g.map(j => if (j.contains("\"crs\"")) null else "OGC:CRS84").orNull,
+          projjson.map(fromProjjson).getOrElse(if (g.isDefined) Crs84Detail else CrsDetail()))
       } else {
         val paths = GeoFiles.expand(path)
         val f = GeoFiles.formatOf(paths, None)
-        val crs = f match {
+        val (crs, detail) = f match {
           case "shapefile" =>
             val prj = java.nio.file.Paths.get(Shapefile.basePath(paths.head) + ".prj")
-            if (java.nio.file.Files.exists(prj))
-              new String(java.nio.file.Files.readAllBytes(prj), "UTF-8").trim
-            else null
-          case "flatgeobuf" => FlatGeobuf.readHeader(paths.head).crs
-          case "geopackage" => GeoPackage.srsInfo(paths.head).orNull
-          case "geojson" | "geojsonl" | "kml" | "gpx" => "OGC:CRS84" // spec-fixed CRSes
-          case _ => null
+            if (java.nio.file.Files.exists(prj)) {
+              val wkt = new String(java.nio.file.Files.readAllBytes(prj), "UTF-8").trim
+              (wkt, fromWkt1(wkt))
+            } else (null, CrsDetail())
+          case "flatgeobuf" =>
+            val h = FlatGeobuf.readHeader(paths.head)
+            val base = fromWkt1(h.crsWkt)
+            val Array(org, code) = (Option(h.crs).getOrElse(":") + ":").split(":", -1).take(2)
+            (h.crs, base.copy(
+              name = Option(h.crsName).getOrElse(base.name),
+              authName = if (org.nonEmpty) org else base.authName,
+              authCode = if (code.nonEmpty) code else base.authCode))
+          case "geopackage" =>
+            GeoPackage.srsDetail(paths.head) match {
+              case Some((name, org, code, wkt)) =>
+                (s"$org:$code", fromWkt1(wkt).copy(name = name, authName = org, authCode = code))
+              case None => (null, CrsDetail())
+            }
+          case "geojson" | "geojsonl" | "kml" | "gpx" =>
+            ("OGC:CRS84", Crs84Detail) // spec-fixed CRSes
+          case _ => (null, CrsDetail())
         }
-        (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null, crs)
+        (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null, crs, detail)
       }
     val rows = Seq(Row(path, fmt, fileCount,
-      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs))
+      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs, detail.row))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("path", StringType),
       StructField("driver", StringType),
@@ -93,7 +146,30 @@ object GeoMeta {
       StructField("fields", ArrayType(StructType(Seq(
         StructField("name", StringType), StructField("type", StringType))))),
       StructField("geo_metadata", StringType),
-      StructField("crs", StringType))))
+      StructField("crs", StringType),
+      StructField("crs_detail", StructType(Seq(
+        StructField("name", StringType), StructField("auth_name", StringType),
+        StructField("auth_code", StringType), StructField("wkt", StringType),
+        StructField("proj4", StringType), StructField("projjson", StringType)))))))
+  }
+
+  /** first balanced {...} prefix of s */
+  private def balanced(s: String): String = {
+    var depth = 0
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '"' && s.charAt(i - 1) != '\\') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return s.substring(0, i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    s
   }
 
   /** Introspection of a clustered-parquet layout (rtree pragma equivalent):

@@ -19,7 +19,11 @@ object GeoPackage {
 
   /** "organization:code" from gpkg_spatial_ref_sys (first user row), for
    *  ST_Read_Meta's CRS report (st_read_meta.cpp surfaces the same via GDAL). */
-  def srsInfo(path: String): Option[String] = {
+  def srsInfo(path: String): Option[String] =
+    srsDetail(path).map { case (_, org, code, _) => s"$org:$code" }
+
+  /** (srs_name, organization, code, definition WKT) of the first user SRS row. */
+  def srsDetail(path: String): Option[(String, String, String, String)] = {
     val db = new Sqlite.Db(path)
     db.master().find(m => m._1 == "table" && m._2 == "gpkg_spatial_ref_sys").map(_._4).flatMap { root =>
       val rows = db.scanTable(root).map(_._2).toSeq // srs table: a handful of rows
@@ -28,7 +32,8 @@ object GeoPackage {
         case l: Long => l > 0
         case _ => false
       }).orElse(rows.headOption)
-      r.map(v => s"${v(2)}:${v(3)}")
+      r.map(v => (String.valueOf(v(0)), String.valueOf(v(2)), String.valueOf(v(3)),
+        v(4) match { case s: String => s; case _ => null }))
     }
   }
 

@@ -72,5 +72,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(GeoMeta.drivers(spark).count() == 10)
     val meta = GeoMeta.readMeta(spark, s"$dir/out_gj").collect()(0)
     assert(meta.getString(1) == "geojsonl" && meta.getInt(2) >= 1)
+    // geojson-family CRS is spec-fixed CRS84, reported in the detail struct
+    val d = meta.getStruct(6)
+    assert(d.getString(1) == "OGC" && d.getString(2) == "CRS84" && d.getString(4) != null)
+  }
+
+  test("read_meta crs_detail: .prj authority + FGB header vs reference fixtures") {
+    val shp = "/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp"
+    assume(new java.io.File(shp).exists())
+    val d = GeoMeta.readMeta(spark, shp).collect()(0).getStruct(6)
+    // taxi_zones.prj: NAD83 / New York Long Island (ftUS), EPSG:2263
+    assert(d.getString(0) != null && d.getString(0).contains("Long_Island"), d.toString)
+    assert(d.getString(3) != null && d.getString(3).startsWith("PROJCS"), "wkt carried")
+
+    val fgb = "/root/reference/test/data/amsterdam_roads.fgb"
+    assume(new java.io.File(fgb).exists())
+    val f = GeoMeta.readMeta(spark, fgb).collect()(0)
+    val fd = f.getStruct(6)
+    // the GDAL-written fixture stamps org:code in the FGB header Crs table
+    assert(f.getString(5) != null && f.getString(5).contains(":"), f.getString(5))
+    assert(fd.getString(2) != null && fd.getString(2).forall(_.isDigit), fd.toString)
   }
 }
