@@ -65,4 +65,51 @@ object StreamOps {
     graft.Graft.register(points.sparkSession)
     points.filter(expr(s"st_within(st_point($xCol, $yCol), st_geomfromtext('$regionWkt'))"))
   }
+
+  /** Stream-static spatial enrichment: tag each streaming point with the
+    * static region containing it. The static side is broadcast, so every
+    * micro-batch joins without a shuffle — the 1000-executor-safe shape for
+    * "points vs reference polygons" (dimension tables are small; the stream
+    * is the 100 TB side). Left join keeps points outside every region. */
+  def enrichWithRegions(points: DataFrame, xCol: String, yCol: String,
+                        regions: DataFrame, regionGeomCol: String): DataFrame = {
+    graft.Graft.register(points.sparkSession)
+    points.join(
+      broadcast(regions),
+      expr(s"st_contains($regionGeomCol, st_point($xCol, $yCol))"),
+      "left")
+  }
+
+  final case class DocBucket(docId: Long, bucket: Long)
+  final case class NearDupCandidate(docId: Long, bucket: Long, firstDocId: Long)
+
+  /** Streaming MinHash-LSH near-duplicate candidates: each doc's banded
+    * signature buckets are exploded, and per-bucket state remembers the first
+    * document seen — later arrivals in the same bucket emit as candidates
+    * (verify with an exact rerank downstream, as in q_minhash_neardup).
+    * State is one long per occupied bucket: bounded and shuffle-partitioned
+    * by bucket, so it scales horizontally with no all-pairs comparison. */
+  def lshNearDupCandidates(spark: SparkSession, docs: DataFrame, idCol: String,
+                           textCol: String, k: Int, shingle: Int, bands: Int,
+                           seed: Int): DataFrame = {
+    import spark.implicits._
+    graft.Graft.register(spark)
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        explode(expr(s"minhash_lsh_buckets($textCol, $k, $shingle, $bands, $seed)")).as("bucket"))
+      .as[DocBucket]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[DocBucket], state: GroupState[Long]) =>
+          val docs = batch.map(_.docId).toSeq.sorted
+          state.getOption match {
+            case Some(first) =>
+              docs.iterator.filter(_ != first).map(d => NearDupCandidate(d, bucket, first))
+            case None =>
+              docs.headOption.foreach(state.update)
+              docs.drop(1).iterator.map(d => NearDupCandidate(d, bucket, docs.head))
+          }
+      }.toDF()
+  }
 }

@@ -60,6 +60,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static spatial enrichment broadcasts the region side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Graft.register(spark)
+    val regions = spark.sql("""
+      SELECT 'west' AS region, st_geomfromtext('POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))') AS rgeom
+      UNION ALL
+      SELECT 'east', st_geomfromtext('POLYGON ((5 0, 10 0, 10 10, 5 10, 5 0))')""")
+    val input = MemoryStream[(Long, Double, Double)]
+    val df = input.toDF().toDF("id", "x", "y")
+    val q = StreamOps.enrichWithRegions(df, "x", "y", regions, "rgeom")
+      .select("id", "region")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData((1L, 2.0, 2.0), (2L, 7.0, 3.0), (3L, 50.0, 50.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, region FROM enr ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "west"), (2L, "east"), (3L, null)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH near-dup candidates: colliders emit against first-seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.lshNearDupCandidates(spark, df, "doc_id", "text",
+        k = 32, shingle = 4, bands = 8, seed = 42)
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely unrelated text about spark streaming state"))
+      q.processAllAvailable()
+      input.addData((2L, "the quick brown fox jumps over the lazy cat")) // near-dup of 1
+      q.processAllAvailable()
+      val cands = spark.sql("SELECT DISTINCT docId, firstDocId FROM nd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands.contains((2L, 1L)), s"expected doc 2 to collide with 1, got $cands")
+      assert(!cands.exists(c => c._1 == 3L || c._2 == 3L), s"unrelated doc collided: $cands")
+    } finally q.stop()
+  }
+
   test("streaming geofence uses spatial expressions per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
