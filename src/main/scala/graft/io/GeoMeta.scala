@@ -22,9 +22,9 @@ object GeoMeta {
       Row("osmpbf", "OpenStreetMap PBF (block-parallel)", true, false),
       Row("flatgeobuf", "FlatGeobuf (native flatbuffers decoder)", true, false),
       Row("geopackage", "GeoPackage (read-only sqlite B-tree scan)", true, false),
-      Row("kml", "OGC KML Placemarks (StAX streaming parse)", true, false),
-      Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse)", true, false),
-      Row("csvwkt", "CSV with a WKT geometry column", true, false),
+      Row("kml", "OGC KML Placemarks (StAX streaming parse; Placemark/ExtendedData writer)", true, true),
+      Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse; wpt/trk writer)", true, true),
+      Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),

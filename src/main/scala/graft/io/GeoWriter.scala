@@ -112,6 +112,167 @@ object GeoWriter {
     }
   }
 
+  /** Shared per-partition (or coalesced single-file) text sink through the
+   *  Hadoop FileSystem; `render` writes one whole file from one partition. */
+  private def writeTextFiles(df: DataFrame, path: String, ext: String, singleFile: Boolean)(
+      render: (Iterator[org.apache.spark.sql.Row], java.io.PrintWriter) => Unit): Unit = {
+    val hc = hconfOf(df)
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || singleFile) {
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.$ext"
+        val out = new java.io.PrintWriter(hadoopOpen(hc)(dest))
+        try render(it, out) finally out.close()
+      }
+      ()
+    }
+  }
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def kmlCoord(c: org.locationtech.jts.geom.Coordinate): String = {
+    val base = s"${graft.geom.Geo.fmt(c.x)},${graft.geom.Geo.fmt(c.y)}"
+    if (c.getZ.isNaN) base else base + "," + graft.geom.Geo.fmt(c.getZ)
+  }
+
+  private def kmlGeometry(g: org.locationtech.jts.geom.Geometry, sb: java.lang.StringBuilder): Unit = {
+    import org.locationtech.jts.geom._
+    g match {
+      case p: Point =>
+        sb.append("<Point><coordinates>")
+        if (!p.isEmpty) sb.append(kmlCoord(p.getCoordinate))
+        sb.append("</coordinates></Point>")
+      case l: LineString =>
+        sb.append("<LineString><coordinates>")
+          .append(l.getCoordinates.map(kmlCoord).mkString(" "))
+          .append("</coordinates></LineString>")
+      case p: Polygon =>
+        sb.append("<Polygon><outerBoundaryIs><LinearRing><coordinates>")
+          .append(p.getExteriorRing.getCoordinates.map(kmlCoord).mkString(" "))
+          .append("</coordinates></LinearRing></outerBoundaryIs>")
+        (0 until p.getNumInteriorRing).foreach { i =>
+          sb.append("<innerBoundaryIs><LinearRing><coordinates>")
+            .append(p.getInteriorRingN(i).getCoordinates.map(kmlCoord).mkString(" "))
+            .append("</coordinates></LinearRing></innerBoundaryIs>")
+        }
+        sb.append("</Polygon>")
+      case gc: GeometryCollection =>
+        sb.append("<MultiGeometry>")
+        (0 until gc.getNumGeometries).foreach(i => kmlGeometry(gc.getGeometryN(i), sb))
+        sb.append("</MultiGeometry>")
+      case other =>
+        throw new IllegalArgumentException(s"KML cannot represent ${other.getGeometryType}")
+    }
+  }
+
+  /** Write `df` as KML documents (reference: GDAL KML driver via COPY):
+   *  a `name` column becomes the Placemark name; every other non-geometry
+   *  column goes to ExtendedData (the [[XmlGeo]] reader round-trips both). */
+  def kml(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val nameIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase("name"))
+    val attrIdx = schema.fields.indices.filter(i => i != geomIdx && i != nameIdx)
+    val attrNames = attrIdx.map(schema.fields(_).name)
+    writeTextFiles(df, path, "kml", singleFile) { (it, out) =>
+      out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      out.println("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
+      it.foreach { r =>
+        val sb = new java.lang.StringBuilder("<Placemark>")
+        if (nameIdx >= 0 && !r.isNullAt(nameIdx))
+          sb.append("<name>").append(xmlEsc(String.valueOf(r.get(nameIdx)))).append("</name>")
+        if (attrIdx.nonEmpty) {
+          sb.append("<ExtendedData>")
+          attrIdx.zip(attrNames).foreach { case (i, n) =>
+            if (!r.isNullAt(i))
+              sb.append(s"""<Data name="${xmlEsc(n)}"><value>""")
+                .append(xmlEsc(String.valueOf(r.get(i)))).append("</value></Data>")
+          }
+          sb.append("</ExtendedData>")
+        }
+        r.get(geomIdx) match {
+          case b: Array[Byte] => kmlGeometry(graft.geom.Geo.read(b), sb)
+          case _ =>
+        }
+        sb.append("</Placemark>")
+        out.println(sb.toString)
+      }
+      out.println("</Document></kml>")
+    }
+  }
+
+  /** Write `df` as GPX: Point rows → `<wpt>` (with optional name/ele columns),
+   *  LineString rows → `<trk>` with one `<trkseg>`, MultiLineString → one
+   *  `<trk>` with a `<trkseg>` per part. GPX has no polygon concept — other
+   *  types are rejected rather than silently mangled. */
+  def gpx(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    import org.locationtech.jts.geom._
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val nameIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase("name"))
+    val eleIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase("ele"))
+    writeTextFiles(df, path, "gpx", singleFile) { (it, out) =>
+      out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      out.println("""<gpx version="1.1" creator="graft" xmlns="http://www.topografix.com/GPX/1/1">""")
+      def fmt(d: Double) = graft.geom.Geo.fmt(d)
+      it.foreach { r =>
+        val name = if (nameIdx >= 0 && !r.isNullAt(nameIdx)) String.valueOf(r.get(nameIdx)) else null
+        def nameEl = if (name != null) s"<name>${xmlEsc(name)}</name>" else ""
+        def trkseg(l: LineString): String =
+          "<trkseg>" + l.getCoordinates.map(c =>
+            s"""<trkpt lat="${fmt(c.y)}" lon="${fmt(c.x)}"/>""").mkString + "</trkseg>"
+        r.get(geomIdx) match {
+          case b: Array[Byte] => graft.geom.Geo.read(b) match {
+            case p: Point if !p.isEmpty =>
+              val ele = if (eleIdx >= 0 && !r.isNullAt(eleIdx))
+                s"<ele>${String.valueOf(r.get(eleIdx))}</ele>" else ""
+              out.println(s"""<wpt lat="${fmt(p.getY)}" lon="${fmt(p.getX)}">$nameEl$ele</wpt>""")
+            case l: LineString =>
+              out.println(s"<trk>$nameEl${trkseg(l)}</trk>")
+            case m: MultiLineString =>
+              val segs = (0 until m.getNumGeometries)
+                .map(i => trkseg(m.getGeometryN(i).asInstanceOf[LineString])).mkString
+              out.println(s"<trk>$nameEl$segs</trk>")
+            case other =>
+              throw new IllegalArgumentException(s"GPX cannot represent ${other.getGeometryType}")
+          }
+          case _ =>
+        }
+      }
+      out.println("</gpx>")
+    }
+  }
+
+  /** Write `df` as CSV with a WKT geometry column (RFC-4180 quoting). The
+   *  geometry header keeps the column's name when [[CsvWkt]] recognizes it,
+   *  else `wkt`, so graft's own reader round-trips the output. */
+  def csvWkt(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val geomHeader =
+      if (Set("wkt", "geometry", "geom", "the_geom", "wkb_geometry").contains(geomCol.toLowerCase)) geomCol
+      else "wkt"
+    def quote(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val header = (attrIdx.map(schema.fields(_).name) :+ geomHeader).map(quote).mkString(",")
+    writeTextFiles(df, path, "csv", singleFile) { (it, out) =>
+      out.println(header)
+      it.foreach { r =>
+        val attrs = attrIdx.map(i => if (r.isNullAt(i)) "" else quote(String.valueOf(r.get(i))))
+        val wkt = r.get(geomIdx) match {
+          case b: Array[Byte] => quote(graft.geom.Wkt.write(graft.geom.Geo.read(b)))
+          case _ => ""
+        }
+        out.println((attrs :+ wkt).mkString(","))
+      }
+    }
+  }
+
   /** Write `df` as shapefiles: a directory of per-partition part-N.shp/.shx/
    *  .dbf/.cpg (default), or one `<path>`-rooted shapefile when
    *  `singleFile = true` (path may end in .shp). Geometry column must be WKB

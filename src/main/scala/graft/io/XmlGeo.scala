@@ -127,12 +127,17 @@ object XmlGeo {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Placemark") {
           var name: String = null; var desc: String = null
           var geom: Geometry = null
+          var dataName: String = null
+          val extData = scala.collection.mutable.LinkedHashMap.empty[String, String]
           var depth = 1
           while (depth > 0 && r.hasNext) r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
                 case "name" => name = text()
                 case "description" => desc = text()
+                // ExtendedData/Data name= / value → properties
+                case "Data" => dataName = r.getAttributeValue(null, "name"); depth += 1
+                case "value" => if (dataName != null) { extData(dataName) = text(); dataName = null }
                 case g @ ("Point" | "LineString" | "Polygon" | "MultiGeometry") => geom = geometry(g)
                 case _ => depth += 1
               }
@@ -141,7 +146,7 @@ object XmlGeo {
           }
           n += 1
           val props = Seq("name" -> name, "description" -> desc).collect { case (k, v) if v != null => k -> v }
-          out += Feature(n.toString, geom, props.toMap)
+          out += Feature(n.toString, geom, props.toMap ++ extData)
         }
       }
     } finally r.close()

@@ -116,4 +116,66 @@ class TextFormatsSpec extends AnyFunSuite {
     val area = df.where("id = '2'").selectExpr("st_area(geom)").collect()(0).getDouble(0)
     assert(area == 16.0)
   }
+
+  test("KML writer round-trips through the KML reader (geometry + ExtendedData)") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT concat('pm', id) AS name, cast(id * 10 AS INT) AS score,
+             st_geomfromtext(CASE id
+               WHEN 0 THEN 'POINT (4.9 52.4)'
+               WHEN 1 THEN 'LINESTRING (0 0, 1 1, 2 0)'
+               ELSE 'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))' END) AS geom
+      FROM range(3)""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmlw").toString
+    graft.io.GeoWriter.kml(df, "geom", s"$dir/out.kml", singleFile = true)
+    val back = spark.read.format("geo").load(s"$dir/out.kml")
+    back.createOrReplaceTempView("kml_rt")
+    val rows = spark.sql("""
+      SELECT properties['name'] AS name, properties['score'] AS score, st_astext(geom) AS wkt
+      FROM kml_rt ORDER BY name""").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "pm0" && rows(0).getString(1) == "0" &&
+      rows(0).getString(2) == "POINT (4.9 52.4)")
+    assert(rows(1).getString(2) == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(rows(2).getString(2).startsWith("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2"))
+  }
+
+  test("GPX writer round-trips waypoints and multi-segment tracks") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT 'summit' AS name, '1337.5' AS ele, st_geomfromtext('POINT (7.65 45.97)') AS geom
+      UNION ALL
+      SELECT 'hike', NULL, st_geomfromtext('MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))')""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpxw").toString
+    graft.io.GeoWriter.gpx(df, "geom", s"$dir/out.gpx", singleFile = true)
+    val back = spark.read.format("geo").load(s"$dir/out.gpx")
+    back.createOrReplaceTempView("gpx_rt")
+    val rows = spark.sql("""
+      SELECT properties['kind'] AS kind, properties['name'] AS name, st_astext(geom) AS wkt
+      FROM gpx_rt ORDER BY kind, wkt""").collect()
+    // one wpt + one trk (multi-segment tracks read back as one MultiLineString)
+    assert(rows.map(_.getString(0)).toSeq == Seq("trk", "wpt"))
+    assert(rows(1).getString(2) == "POINT (7.65 45.97)")
+    assert(rows(0).getString(2) == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    assert(rows(1).getString(1) == "summit")
+    // polygons are rejected, not mangled
+    val bad = spark.sql("SELECT st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))') AS geom")
+    assertThrows[Exception](graft.io.GeoWriter.gpx(bad, "geom", s"$dir/bad.gpx", singleFile = true))
+  }
+
+  test("CSV-WKT writer round-trips through the CSV reader with quoting") {
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT 'a, comma' AS label, st_geomfromtext('POINT (1 2)') AS geom
+      UNION ALL
+      SELECT 'say "hi"', st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvw").toString
+    graft.io.GeoWriter.csvWkt(df, "geom", s"$dir/out.csv", singleFile = true)
+    val back = spark.read.format("geo").load(s"$dir/out.csv")
+    val rows = back.selectExpr("label", "st_astext(geom) AS wkt").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("a, comma", "POINT (1 2)"),
+      ("say \"hi\"", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")))
+  }
 }
