@@ -76,7 +76,7 @@ object GeoFiles {
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
-      l.endsWith(".gpx") || l.endsWith(".csv")
+      l.endsWith(".gpx") || l.endsWith(".csv") || l.endsWith(".xlsx")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -90,6 +90,7 @@ object GeoFiles {
     else if (l.endsWith(".kml")) "kml"
     else if (l.endsWith(".gpx")) "gpx"
     else if (l.endsWith(".csv")) "csvwkt"
+    else if (l.endsWith(".xlsx")) "xlsx"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -186,6 +187,13 @@ object GeoFiles {
     })
   }
 
+  def xlsxSchema(path: String): StructType = {
+    val hdr = Xlsx.rows(path).headOption.getOrElse(Array.empty[String])
+    StructType(hdr.zipWithIndex.map { case (h, i) =>
+      StructField(if (h == null || h.isEmpty) s"col$i" else h.trim, StringType)
+    }.toIndexedSeq)
+  }
+
   def csvSchema(path: String): StructType = {
     val hdr = CsvWkt.header(path)
     val gi = CsvWkt.geomColumn(hdr.toSeq)
@@ -202,6 +210,7 @@ object GeoFiles {
     case "flatgeobuf" => flatgeobufSchema(paths.head)
     case "geopackage" => geopackageSchema(paths.head)
     case "csvwkt" => csvSchema(paths.head)
+    case "xlsx" => xlsxSchema(paths.head)
     case other => throw new IllegalArgumentException(s"unknown geo format $other")
   }
 }
@@ -335,6 +344,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         XmlGeo.gpxFeatures(p).map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required)
+      case ("xlsx", FilePartition(p)) =>
+        GeoRows.xlsxRows(p, fullSchema, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
     new PartitionReader[InternalRow] {
@@ -408,6 +419,19 @@ object GeoRows {
             case (x, StringType) => utf(String.valueOf(x))
             case _ => null
           }
+        }): Any
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    }
+  }
+
+  def xlsxRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+    val idx = fullSchema.fieldNames.zipWithIndex.toMap
+    Xlsx.rows(path).iterator.drop(1).map { cells =>
+      val vals = required.fields.map { field =>
+        (idx.get(field.name) match {
+          case Some(i) if i < cells.length && cells(i) != null => utf(cells(i))
+          case _ => null
         }): Any
       }
       new GenericInternalRow(vals.asInstanceOf[Array[Any]])

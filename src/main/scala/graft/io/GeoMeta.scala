@@ -25,6 +25,7 @@ object GeoMeta {
       Row("kml", "OGC KML Placemarks (StAX streaming parse; Placemark/ExtendedData writer)", true, true),
       Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse; wpt/trk writer)", true, true),
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
+      Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),

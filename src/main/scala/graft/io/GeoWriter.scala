@@ -273,6 +273,28 @@ object GeoWriter {
     }
   }
 
+  /** Write `df` as a single-sheet XLSX workbook (no geometry — the
+   *  attribute-table format of the family; reference reaches it via GDAL's
+   *  xlsx driver). Numeric Spark columns store as numbers, the rest as
+   *  inline strings. */
+  def xlsx(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
+    val schema = df.schema
+    val numeric = schema.fields.map(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || singleFile) {
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.xlsx"
+        val out = hadoopOpen(hc)(dest)
+        try Xlsx.write(out, schema.fieldNames.toSeq,
+          it.map(r => schema.fields.indices.map(i => r.get(i))), i => numeric(i))
+        finally out.close()
+      }
+      ()
+    }
+  }
+
   /** Write `df` as shapefiles: a directory of per-partition part-N.shp/.shx/
    *  .dbf/.cpg (default), or one `<path>`-rooted shapefile when
    *  `singleFile = true` (path may end in .shp). Geometry column must be WKB

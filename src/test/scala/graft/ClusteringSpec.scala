@@ -69,7 +69,7 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("meta helpers: drivers, read_meta") {
-    assert(GeoMeta.drivers(spark).count() == 10)
+    assert(GeoMeta.drivers(spark).count() == 11)
     val meta = GeoMeta.readMeta(spark, s"$dir/out_gj").collect()(0)
     assert(meta.getString(1) == "geojsonl" && meta.getInt(2) >= 1)
     // geojson-family CRS is spec-fixed CRS84, reported in the detail struct

@@ -335,8 +335,10 @@ object SqlLogicTest {
           else if (opts.contains("SHAPEFILE") || l.endsWith(".shp")) "shapefile"
           else if (opts.contains("FLATGEOBUF") || l.endsWith(".fgb")) "flatgeobuf"
           else if (opts.contains("'GPKG'") || l.endsWith(".gpkg")) "geopackage"
+          else if (opts.contains("'XLSX'") || l.endsWith(".xlsx")) "xlsx"
           else throw new IllegalArgumentException(s"cannot infer geo format for COPY driver: $opts")
         val df = spark.sql(inner)
+        if (fmt == "xlsx") { graft.io.GeoWriter.xlsx(df, target, singleFile = true); return }
         val geomCol = df.schema.fields.find(f => f.name == "geom" && f.dataType == org.apache.spark.sql.types.BinaryType)
           .orElse(df.schema.fields.find(_.dataType == org.apache.spark.sql.types.BinaryType))
           .map(_.name)
