@@ -109,6 +109,17 @@ object Graft {
       rows)
   }
 
+  /** ST_Drivers / ST_Read_Meta as SQL table functions (st_drivers.cpp,
+   *  st_read_meta.cpp expose these in the reference's SQL surface). */
+  def stDriversPlan(exprs: Seq[Expression]): LogicalPlan =
+    graft.io.GeoMeta.drivers(SparkSession.active).queryExecution.analyzed
+
+  def stReadMetaPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.head.foldable, "st_read_meta(path) needs a constant path")
+    graft.io.GeoMeta.readMeta(SparkSession.active, exprs.head.eval(null).toString)
+      .queryExecution.analyzed
+  }
+
   /** Idempotent per-session function registration. Skips only names OUR
    *  injection already placed in the session registry (source == "graft") —
    *  a name-exists check alone would wrongly skip overriding Spark 4.1's own
@@ -135,6 +146,10 @@ object Graft {
     if (!oursT(osm)) tfr.registerFunction(osm, new ExpressionInfo("graft", "st_readosm"), stReadAs(Some("osmpbf")) _)
     val lpc = org.apache.spark.sql.catalyst.FunctionIdentifier("st_list_proj_crs")
     if (!oursT(lpc)) tfr.registerFunction(lpc, new ExpressionInfo("graft", "st_list_proj_crs"), listProjCrsPlan _)
+    val drv = org.apache.spark.sql.catalyst.FunctionIdentifier("st_drivers")
+    if (!oursT(drv)) tfr.registerFunction(drv, new ExpressionInfo("graft", "st_drivers"), stDriversPlan _)
+    val rm = org.apache.spark.sql.catalyst.FunctionIdentifier("st_read_meta")
+    if (!oursT(rm)) tfr.registerFunction(rm, new ExpressionInfo("graft", "st_read_meta"), stReadMetaPlan _)
   }
 }
 
@@ -167,6 +182,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_list_proj_crs"),
       new ExpressionInfo("graft", "st_list_proj_crs"),
       Graft.listProjCrsPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_drivers"),
+      new ExpressionInfo("graft", "st_drivers"),
+      Graft.stDriversPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_read_meta"),
+      new ExpressionInfo("graft", "st_read_meta"),
+      Graft.stReadMetaPlan))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SaltedUnionAggRule(spark))
