@@ -1090,7 +1090,12 @@ object GeoFns {
     }
 
     // ---- measures
-    gD("st_area")(_.getArea)
+    // direct-WKB shoelace (no JTS parse) with the general reader as fallback
+    fn("st_area", D, Seq(B)) { a =>
+      val b = a(0).asInstanceOf[Array[Byte]]
+      try Wkb.area(b)
+      catch { case _: Exception => rg(b).getArea }
+    }
     gD("st_length")(lineLength)
     gD("st_perimeter")(perimeter)
     fn("st_distance", D, Seq(B, B))(a => rg(a(0)).distance(rg(a(1))))

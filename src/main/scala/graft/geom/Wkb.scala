@@ -116,6 +116,71 @@ object Wkb {
     if (env(0) > env(2)) null else env
   }
 
+  /** Direct-WKB planar area — shoelace per ring, shell minus holes per
+   *  polygon (JTS Polygon.getArea semantics), summed over multis and nested
+   *  collections; points/lines contribute 0. Throws on malformed bytes —
+   *  callers fall back to the JTS path. */
+  def area(b: Array[Byte]): Double = scanArea(ByteBuffer.wrap(b))
+
+  private def scanArea(buf: ByteBuffer): Double = {
+    buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var t = buf.getInt()
+    var hasZ = (t & 0x80000000) != 0
+    var hasM = (t & 0x40000000) != 0
+    val hasSrid = (t & 0x20000000) != 0
+    t &= 0x0fffffff
+    if (hasSrid) buf.getInt()
+    if (t >= 3000) { hasZ = true; hasM = true; t -= 3000 }
+    else if (t >= 2000) { hasM = true; t -= 2000 }
+    else if (t >= 1000) { hasZ = true; t -= 1000 }
+    val skip = (if (hasZ) 8 else 0) + (if (hasM) 8 else 0)
+    def skipCoords(n: Int): Unit = buf.position(buf.position() + n * (16 + skip))
+    def ringArea(): Double = {
+      val n = buf.getInt()
+      if (n < 3) { skipCoords(n); return 0.0 }
+      // shoelace anchored at the first vertex for numerical stability
+      val x0 = buf.getDouble(); val y0 = buf.getDouble()
+      if (skip > 0) buf.position(buf.position() + skip)
+      var sum = 0.0
+      var px = 0.0; var py = 0.0
+      var i = 1
+      while (i < n) {
+        val x = buf.getDouble() - x0; val y = buf.getDouble() - y0
+        if (skip > 0) buf.position(buf.position() + skip)
+        if (i > 1) sum += px * y - x * py
+        px = x; py = y
+        i += 1
+      }
+      math.abs(sum) / 2.0
+    }
+    t match {
+      case 1 => skipCoords(1); 0.0
+      case 2 => skipCoords(buf.getInt()); 0.0
+      case 3 =>
+        var rings = buf.getInt()
+        var a = 0.0
+        var first = true
+        while (rings > 0) {
+          val r = ringArea()
+          a += (if (first) r else -r)
+          first = false
+          rings -= 1
+        }
+        a
+      case 4 | 5 | 6 | 7 => // members carry their own WKB headers
+        var n = buf.getInt()
+        var acc = 0.0
+        while (n > 0) {
+          val o = buf.order()
+          acc += scanArea(buf)
+          buf.order(o)
+          n -= 1
+        }
+        acc
+      case other => throw new IllegalArgumentException(s"WKB area: unknown type $other")
+    }
+  }
+
   private def scanEnv(buf: ByteBuffer, env: Array[Double]): Unit = {
     buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     var t = buf.getInt()

@@ -68,4 +68,29 @@ class WkbEnvelopeSpec extends AnyFunSuite {
       "SELECT st_xmin(st_geomfromtext('POLYGON EMPTY')), st_extent(st_geomfromtext('LINESTRING EMPTY'))").collect()(0)
     assert(empty.isNullAt(0) && empty.isNullAt(1))
   }
+
+  test("direct-WKB area agrees with JTS across shapes, exactly on integer coords") {
+    wkts.foreach { w =>
+      val g = Geo.fromWkt(w)
+      val a = Wkb.area(Wkb.write(g))
+      assert(a == g.getArea, s"$w: scanner $a vs JTS ${g.getArea}")
+    }
+    // random float-coordinate polygons: near-equality (different summation
+    // anchoring can differ in the last ulp)
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val cx = rnd.nextDouble() * 1000; val cy = rnd.nextDouble() * 1000
+      val n = 3 + rnd.nextInt(8)
+      val pts = (0 until n).map { i =>
+        val ang = 2 * math.Pi * i / n
+        val r = 1 + rnd.nextDouble() * 50
+        new org.locationtech.jts.geom.Coordinate(cx + r * math.cos(ang), cy + r * math.sin(ang))
+      }
+      val ring = (pts :+ pts.head).toArray
+      val g = Geo.factory.createPolygon(ring)
+      val a = Wkb.area(Wkb.write(g))
+      assert(math.abs(a - g.getArea) <= 1e-9 * math.max(1.0, g.getArea),
+        s"area mismatch: $a vs ${g.getArea}")
+    }
+  }
 }
