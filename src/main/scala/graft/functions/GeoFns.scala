@@ -1091,10 +1091,14 @@ object GeoFns {
 
     // ---- measures
     // direct-WKB shoelace (no JTS parse) with the general reader as fallback
+    // (non-WKB inputs — WKT strings, columnar structs — take the rg path)
     fn("st_area", D, Seq(B)) { a =>
-      val b = a(0).asInstanceOf[Array[Byte]]
-      try Wkb.area(b)
-      catch { case _: Exception => rg(b).getArea }
+      a(0) match {
+        case b: Array[Byte] =>
+          try Wkb.area(b)
+          catch { case _: Exception => rg(b).getArea }
+        case other => rg(other).getArea
+      }
     }
     gD("st_length")(lineLength)
     gD("st_perimeter")(perimeter)
