@@ -1100,8 +1100,22 @@ object GeoFns {
         case other => rg(other).getArea
       }
     }
-    gD("st_length")(lineLength)
-    gD("st_perimeter")(perimeter)
+    fn("st_length", D, Seq(B)) { a =>
+      a(0) match {
+        case b: Array[Byte] =>
+          try Wkb.length(b)
+          catch { case _: Exception => lineLength(rg(b)) }
+        case other => lineLength(rg(other))
+      }
+    }
+    fn("st_perimeter", D, Seq(B)) { a =>
+      a(0) match {
+        case b: Array[Byte] =>
+          try Wkb.perimeter(b)
+          catch { case _: Exception => perimeter(rg(b)) }
+        case other => perimeter(rg(other))
+      }
+    }
     fn("st_distance", D, Seq(B, B))(a => rg(a(0)).distance(rg(a(1))))
     fn("st_dwithin", BO, Seq(B, B, D))(a => rg(a(0)).isWithinDistance(rg(a(1)), dbl(a(2))))
     fn("st_maxdistance", D, Seq(B, B)) { a =>

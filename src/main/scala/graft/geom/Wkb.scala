@@ -181,6 +181,71 @@ object Wkb {
     }
   }
 
+  /** Direct-WKB path length of LineString components (polygons excluded —
+   *  reference ST_Length semantics). Throws on malformed bytes. */
+  def length(b: Array[Byte]): Double = scanLen(ByteBuffer.wrap(b), forPerimeter = false)
+
+  /** Direct-WKB ring-length sum of Polygon components (reference
+   *  ST_Perimeter semantics). Throws on malformed bytes. */
+  def perimeter(b: Array[Byte]): Double = scanLen(ByteBuffer.wrap(b), forPerimeter = true)
+
+  private def scanLen(buf: ByteBuffer, forPerimeter: Boolean): Double = {
+    buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var t = buf.getInt()
+    var hasZ = (t & 0x80000000) != 0
+    var hasM = (t & 0x40000000) != 0
+    val hasSrid = (t & 0x20000000) != 0
+    t &= 0x0fffffff
+    if (hasSrid) buf.getInt()
+    if (t >= 3000) { hasZ = true; hasM = true; t -= 3000 }
+    else if (t >= 2000) { hasM = true; t -= 2000 }
+    else if (t >= 1000) { hasZ = true; t -= 1000 }
+    val skip = (if (hasZ) 8 else 0) + (if (hasM) 8 else 0)
+    def skipCoords(n: Int): Unit = buf.position(buf.position() + n * (16 + skip))
+    // Math.sqrt like JTS Length.ofLine, for bit parity with the JTS path
+    def pathLen(): Double = {
+      val n = buf.getInt()
+      if (n == 0) return 0.0
+      var px = buf.getDouble(); var py = buf.getDouble()
+      if (skip > 0) buf.position(buf.position() + skip)
+      var s = 0.0
+      var i = 1
+      while (i < n) {
+        val x = buf.getDouble(); val y = buf.getDouble()
+        if (skip > 0) buf.position(buf.position() + skip)
+        val dx = x - px; val dy = y - py
+        s += math.sqrt(dx * dx + dy * dy)
+        px = x; py = y
+        i += 1
+      }
+      s
+    }
+    def skipPath(): Unit = skipCoords(buf.getInt())
+    t match {
+      case 1 => skipCoords(1); 0.0
+      case 2 => if (forPerimeter) { skipPath(); 0.0 } else pathLen()
+      case 3 =>
+        var rings = buf.getInt()
+        var s = 0.0
+        while (rings > 0) {
+          if (forPerimeter) s += pathLen() else skipPath()
+          rings -= 1
+        }
+        s
+      case 4 | 5 | 6 | 7 =>
+        var n = buf.getInt()
+        var acc = 0.0
+        while (n > 0) {
+          val o = buf.order()
+          acc += scanLen(buf, forPerimeter)
+          buf.order(o)
+          n -= 1
+        }
+        acc
+      case other => throw new IllegalArgumentException(s"WKB length: unknown type $other")
+    }
+  }
+
   private def scanEnv(buf: ByteBuffer, env: Array[Double]): Unit = {
     buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     var t = buf.getInt()

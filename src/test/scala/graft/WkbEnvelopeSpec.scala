@@ -75,6 +75,25 @@ class WkbEnvelopeSpec extends AnyFunSuite {
       val a = Wkb.area(Wkb.write(g))
       assert(a == g.getArea, s"$w: scanner $a vs JTS ${g.getArea}")
     }
+    // length/perimeter scanners: bit parity with the JTS formulas
+    wkts.foreach { w =>
+      val g = Geo.fromWkt(w)
+      val bytes = Wkb.write(g)
+      def jtsLen(g0: org.locationtech.jts.geom.Geometry): Double = g0 match {
+        case l: org.locationtech.jts.geom.LineString => l.getLength
+        case c: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until c.getNumGeometries).map(i => jtsLen(c.getGeometryN(i))).sum
+        case _ => 0.0
+      }
+      def jtsPerim(g0: org.locationtech.jts.geom.Geometry): Double = g0 match {
+        case p: org.locationtech.jts.geom.Polygon => p.getLength
+        case c: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until c.getNumGeometries).map(i => jtsPerim(c.getGeometryN(i))).sum
+        case _ => 0.0
+      }
+      assert(Wkb.length(bytes) == jtsLen(g), s"length $w")
+      assert(Wkb.perimeter(bytes) == jtsPerim(g), s"perimeter $w")
+    }
     // random float-coordinate polygons: near-equality (different summation
     // anchoring can differ in the last ulp)
     val rnd = new scala.util.Random(7)
