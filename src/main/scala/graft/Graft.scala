@@ -190,6 +190,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_read_meta"),
       new ExpressionInfo("graft", "st_read_meta"),
       Graft.stReadMetaPlan))
+    ext.injectOptimizerRule(spark => new graft.plans.MeasureFusionRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SaltedUnionAggRule(spark))

@@ -373,6 +373,17 @@ object GeoFns {
       e.getWidth > 0 && e.getHeight > 0
     }
 
+  /** rect×rect intersection area in closed form; general overlay otherwise.
+   *  (Object-level so the registered lambdas stay capture-free — a load()-
+   *  local def would bind the non-serializable module into codegen refs.) */
+  private def fusedInterArea(ga: Geometry, gb: Geometry): Double =
+    if (isRect(ga) && isRect(gb)) {
+      val ea = ga.getEnvelopeInternal; val eb = gb.getEnvelopeInternal
+      val w = math.min(ea.getMaxX, eb.getMaxX) - math.max(ea.getMinX, eb.getMinX)
+      val h = math.min(ea.getMaxY, eb.getMaxY) - math.max(ea.getMinY, eb.getMinY)
+      if (w <= 0 || h <= 0) 0.0 else w * h
+    } else ga.intersection(gb).getArea
+
   private def plainApply(op: String, a: Geometry, b: Geometry): Boolean = {
     if (isRect(a) && isRect(b)) return rectApply(op, a, b)
     op match {
@@ -1205,6 +1216,21 @@ object GeoFns {
       }
     }
     gG("st_convexhull")(_.convexHull())
+    // Fused overlay measures — MeasureFusionRule rewrites
+    // st_area(st_intersection/union/difference(a, b)) to these, skipping the
+    // overlay-geometry construction + serialization entirely. Rect×rect
+    // intersections are pure arithmetic; union/difference areas follow by
+    // inclusion-exclusion (exact in real arithmetic; equal on the
+    // integer-valued coordinates the closed forms target).
+    fn("st_intersection_area", D, Seq(B, B))(a => fusedInterArea(rg(a(0)), rg(a(1))))
+    fn("st_union_area", D, Seq(B, B)) { a =>
+      val ga = rg(a(0)); val gb = rg(a(1))
+      ga.getArea + gb.getArea - fusedInterArea(ga, gb)
+    }
+    fn("st_difference_area", D, Seq(B, B)) { a =>
+      val ga = rg(a(0)); val gb = rg(a(1))
+      ga.getArea - fusedInterArea(ga, gb)
+    }
     // Overlay ops with bbox short-circuits (the reference's cached-bbox checks,
     // geometry_type.hpp:100-146, applied at the function level): rectangle ∩
     // rectangle clips directly; envelope-disjoint polygons skip OverlayNG.
