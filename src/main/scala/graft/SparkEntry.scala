@@ -524,6 +524,24 @@ object SparkEntry {
              stopword_ratio(text) AS stops
       FROM documents ORDER BY doc_id"""),
 
+    // Gopher-style quality signals: char entropy, duplicate-bigram fraction,
+    // line layout stats — plain-SQL oracle (DuckDB entropy aggregate + list
+    // comprehensions), fixed multi-line rows exercise the line splitter
+    "q_quality2" -> q("documents")("""
+      SELECT doc_id,
+             round(char_entropy(text), 6) AS ent,
+             round(dup_ngram_frac(text, 2), 6) AS dup2,
+             ls.n_lines AS n_lines, ls.max_len AS max_len,
+             round(ls.mean_len, 6) AS mean_len
+      FROM (SELECT doc_id, text, line_stats(text) AS ls FROM (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT CAST(1000 AS BIGINT),
+                     concat('alpha beta alpha beta', repeat(concat(chr(10), 'line of text here'), 3))
+              UNION ALL
+              SELECT CAST(1001 AS BIGINT), concat('aaaa', chr(10), chr(10), 'bb')))
+      ORDER BY doc_id"""),
+
     // stopword vote over the synthetic docs + fixed snippets exercising the
     // Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th) and the nl/sv lists
     "q_lang_id" -> q("documents")("""
@@ -1194,6 +1212,33 @@ object SparkEntry {
                  x -> list_contains(['the','and','of','to','in','is','it','that','was','for','on','with','as','are','at','be','this','have','from','or','by','not','but'], x))) AS DOUBLE)
                  / length(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS stops
       FROM documents ORDER BY doc_id""",
+
+    // independent plain-SQL reimplementation: DuckDB's entropy() aggregate
+    // over per-char unnest, duplicate-bigram fraction via list
+    // comprehension, line stats via string_split — no pins
+    "q_quality2" -> """
+      WITH src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT CAST(1000 AS BIGINT),
+               concat('alpha beta alpha beta', repeat(concat(chr(10), 'line of text here'), 3))
+        UNION ALL
+        SELECT CAST(1001 AS BIGINT), concat('aaaa', chr(10), chr(10), 'bb')),
+      tok AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+               string_split(text, chr(10)) AS ls
+        FROM src)
+      SELECT doc_id,
+             round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (SELECT entropy(x.c) FROM unnest(regexp_split_to_array(text, '')) AS x(c)) END, 6) AS ent,
+             round(CASE WHEN trim(text) != '' AND len(toks) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+                   / (len(toks) - 1) ELSE 0.0 END, 6) AS dup2,
+             CAST(len(ls) AS INT) AS n_lines,
+             CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
+             round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
+      FROM tok ORDER BY doc_id""",
 
     "q_ann_bruteforce" -> """
       SELECT qid, nid

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -149,6 +150,50 @@ object TextFns {
     h
   }
 
+  // --------------------------------------------------- quality signals (Gopher-style)
+
+  /** Shannon entropy (bits) of the codepoint distribution — low entropy flags
+    * boilerplate/repetition, high flags gibberish (a standard pretraining
+    * quality filter signal). */
+  def charEntropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.update(cp, counts.getOrElse(cp, 0) + 1)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    counts.valuesIterator.foreach { c =>
+      val p = c.toDouble / n
+      h -= p * (math.log(p) / math.log(2))
+    }
+    h
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier occurrence —
+    * the repetition-filter family from published pretraining pipelines. */
+  def dupNgramFrac(s: String, n: Int): Double = {
+    val toks = wsTokens(normalize(s))
+    if (toks.length < n || n < 1) return 0.0
+    val total = toks.length - n + 1
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < total) { seen.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+    1.0 - seen.size.toDouble / total
+  }
+
+  /** (n_lines, max_len, mean_len) over newline-split lines (codepoint
+    * lengths) — layout signals for document quality filtering. */
+  def lineStats(s: String): (Int, Int, Double) = {
+    val lines = s.split("\n", -1)
+    val lens = lines.map(l => l.codePointCount(0, l.length))
+    (lines.length, if (lens.isEmpty) 0 else lens.max,
+      if (lines.isEmpty) 0.0 else lens.sum.toDouble / lines.length)
+  }
+
   // ------------------------------------------------------------ language ID
   // Two stages: (1) Unicode-script histogram — a dominant non-Latin script
   // identifies the language (macro codes: zh for Han, ru for Cyrillic, …);
@@ -246,6 +291,14 @@ object TextFns {
     fn("mean_token_len", D, Seq(S)) { a =>
       val toks = wsTokens(str(a(0)))
       if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length.toDouble
+    }
+    fn("char_entropy", D, Seq(S))(a => charEntropy(str(a(0))))
+    fn("dup_ngram_frac", D, Seq(S, I))(a => dupNgramFrac(str(a(0)), int(a(1))))
+    fn("line_stats",
+      StructType(Seq(StructField("n_lines", I), StructField("max_len", I),
+        StructField("mean_len", D))), Seq(S)) { a =>
+      val (n, mx, mean) = lineStats(str(a(0)))
+      new GenericInternalRow(Array[Any](n, mx, mean))
     }
     fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
     fn("doc_fingerprint", L, Seq(S))(a => fingerprint(str(a(0))))

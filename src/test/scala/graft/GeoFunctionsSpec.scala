@@ -331,6 +331,16 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("lang_id('日本語の文書を解析する')") == "ja")
     assert(sql1("lang_id('12345 !!! ???')") == "und")
     assert(sql1("jaccard_shingles('abcdef', 'abcdef', 3)") == 1.0)
+    // Gopher-style quality signals
+    assert(sql1("char_entropy('aabb')") == 1.0)
+    assert(sql1("char_entropy('abcd')") == 2.0)
+    assert(sql1("char_entropy('')") == 0.0)
+    assert(sql1("dup_ngram_frac('a b a b a', 2)") == 0.5) // 4 bigrams, 2 distinct
+    assert(sql1("dup_ngram_frac('all words unique here', 2)") == 0.0)
+    assert(sql1("dup_ngram_frac('one', 2)") == 0.0)
+    val ls = spark.sql(
+      "SELECT s.n_lines, s.max_len, s.mean_len FROM (SELECT line_stats('ab\ncdef\nx') AS s)").collect()(0)
+    assert(ls.getInt(0) == 3 && ls.getInt(1) == 4 && math.abs(ls.getDouble(2) - 7.0 / 3) < 1e-12)
     assert(sql1("doc_fingerprint('a  B') = doc_fingerprint('a b')") == true)
     assert(sql1("size(minhash('some text here', 32, 4, 42))") == 32)
     assert(sql1("size(minhash_lsh_buckets('some text here', 32, 4, 8, 42))") == 8)
