@@ -50,6 +50,14 @@ object VecFns {
     math.sqrt(s)
   }
 
+  private def zipWith(a: ArrayData, b: ArrayData, f: (Double, Double) => Double): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = f(a.getDouble(i), b.getDouble(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane component for (seed, plane, dim). */
   private def sign(seed: Int, plane: Int, dim: Int): Double = {
     val h = MurmurHash3.productHash((seed, plane, dim))
@@ -78,6 +86,24 @@ object VecFns {
     fn("vec_cosine", D, Seq(AD, AD))(a => cosine(arr(a(0)), arr(a(1))))
     fn("vec_l2", D, Seq(AD, AD))(a => l2(arr(a(0)), arr(a(1))))
     fn("rhp_lsh_bucket", L, Seq(AD, I, I))(a => rhpBucket(arr(a(0)), int(a(1)), int(a(2))))
+    // embedding arithmetic: the everyday companions of the similarity ops
+    fn("vec_normalize", AD, Seq(AD)) { a =>
+      val v = arr(a(0))
+      val n = norm(v)
+      val out = new Array[Any](v.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = if (n == 0.0) 0.0 else v.getDouble(i) / n; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    fn("vec_add", AD, Seq(AD, AD))(a => zipWith(arr(a(0)), arr(a(1)), _ + _))
+    fn("vec_sub", AD, Seq(AD, AD))(a => zipWith(arr(a(0)), arr(a(1)), _ - _))
+    fn("vec_scale", AD, Seq(AD, D)) { a =>
+      val v = arr(a(0)); val s = a(1).asInstanceOf[Double]
+      val out = new Array[Any](v.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = v.getDouble(i) * s; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
     // nearest-centroid probe list for IVF (graft.ann.Ivf): argsort of L2
     // distance to each centroid, truncated to nprobe
     fn("ivf_probe", ArrayType(I), Seq(AD, ArrayType(AD), I)) { a =>

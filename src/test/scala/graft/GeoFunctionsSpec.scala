@@ -344,6 +344,12 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql1("doc_fingerprint('a  B') = doc_fingerprint('a b')") == true)
     assert(sql1("size(minhash('some text here', 32, 4, 42))") == 32)
     assert(sql1("size(minhash_lsh_buckets('some text here', 32, 4, 8, 42))") == 8)
+    // embedding arithmetic
+    assert(sql1("vec_norm(vec_normalize(array(3.0d, 4.0d)))") == 1.0)
+    assert(sql1("vec_normalize(array(0.0d, 0.0d))[0]") == 0.0)
+    assert(sql1("vec_add(array(1.0d, 2.0d), array(3.0d, 4.0d))[1]") == 6.0)
+    assert(sql1("vec_sub(array(1.0d, 2.0d), array(3.0d, 4.0d))[0]") == -2.0)
+    assert(sql1("vec_scale(array(1.5d, -2.0d), 2.0d)[1]") == -4.0)
     // near-identical docs share most minhashes; unrelated docs don't
     val near = spark.sql(
       "SELECT size(array_intersect(minhash('the quick brown fox jumps over the lazy dog', 64, 4, 1), " +
