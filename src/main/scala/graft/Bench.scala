@@ -49,10 +49,15 @@ object Bench {
       val median = if (good.isEmpty) times.min else good(good.size / 2)
       name -> (median, if (good.isEmpty) times.min else good.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
-    val qmin = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
+    def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
+    val qmin = results.map { case (k, v) => "\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"sf":"$sfDir"}""")
+    // Full detail first; the canonical compact line LAST. The harness that
+    // collects this output keeps only a ~2000-char tail of stdout and parses
+    // the JSON from it, so the final line must be short and unprefixed.
+    println(s"""{"metric":"detail","queries_min":$qmin,"runs":$runs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
