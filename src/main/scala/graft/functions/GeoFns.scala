@@ -226,10 +226,19 @@ object GeoFns {
     val n = 4 * segs
     val t = circleTables.computeIfAbsent(n, k => {
       val arr = new Array[Double](2 * k)
+      // Replicate JTS OffsetSegmentGenerator.addDirectedFillet's float
+      // evaluation order exactly: angleInc = totalAngle/nSegs first, then
+      // angle = -i * angleInc. Computing (-2π·i)/k instead lands one ulp off
+      // on some vertices (BufferFastPathSpec pins bit parity with BufferOp).
+      // angle = (-i).toDouble * angleInc, then Angle.cosSnap/sinSnap: JTS 1.20
+      // snaps |cos|,|sin| < 5e-16 to exactly 0 so axis-aligned circle vertices
+      // land on exact coordinates.
+      val inc = (2.0 * math.Pi) / k
+      def snap(v: Double): Double = if (math.abs(v) < 5e-16) 0.0 else v
       var i = 0
       while (i < k) {
-        val ang = -2.0 * math.Pi * i / k
-        arr(2 * i) = math.cos(ang); arr(2 * i + 1) = math.sin(ang)
+        val ang = -i * inc
+        arr(2 * i) = snap(math.cos(ang)); arr(2 * i + 1) = snap(math.sin(ang))
         i += 1
       }
       arr
@@ -242,6 +251,60 @@ object GeoFns {
     }
     cs(n) = cs(0).copy()
     f.createPolygon(cs)
+  }
+
+  /** Closed-form square-cap point buffer. JTS's OffsetCurveBuilder square cap
+   *  is plain `x ± d, y ± d` arithmetic starting at (x+d, y+d) clockwise —
+   *  byte-parity with BufferOp asserted in BufferFastPathSpec. */
+  private def pointSquare(p: Point, dist: Double): Geometry = {
+    val x = p.getX; val y = p.getY
+    val cs = Array(
+      new Coordinate(x + dist, y + dist), new Coordinate(x + dist, y - dist),
+      new Coordinate(x - dist, y - dist), new Coordinate(x - dist, y + dist),
+      new Coordinate(x + dist, y + dist))
+    f.createPolygon(cs)
+  }
+
+  /** Memoization for expensive buffer kernels. Real corpora repeat geometries
+   *  heavily (a zone polygon joined onto millions of event rows buffers the
+   *  same bytes every time), and one small-geometry BufferOp costs ~40µs vs
+   *  ~0.1µs for a probe. Shared across task threads, bounded by entry count
+   *  and per-entry size; cleared wholesale when full — the simplest eviction
+   *  that keeps memory bounded (≈ max 128k × ≤16KB, hit in practice only by
+   *  adversarial input). Values are WKB bytes: BinaryType results are copied
+   *  into UnsafeRows on write, so sharing one array across rows is safe. */
+  private final class BufferKey(val wkb: Array[Byte], val dist: Double, val segs: Int,
+      val cap: Int, val join: Int, val mitre: Double) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(wkb)
+      h = h * 31 + java.lang.Double.hashCode(dist)
+      h = (h * 31 + segs) * 31 + cap
+      (h * 31 + join) * 31 + java.lang.Double.hashCode(mitre)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: BufferKey => k.dist == dist && k.segs == segs && k.cap == cap &&
+        k.join == join && k.mitre == mitre && java.util.Arrays.equals(k.wkb, wkb)
+      case _ => false
+    }
+  }
+  private val bufferMemoMax = 131072
+  private val bufferMemoMaxEntryBytes = 16384
+  private val bufferMemo = new java.util.concurrent.ConcurrentHashMap[BufferKey, Array[Byte]]()
+  private def memoBuffer(raw: Any, dist: Double, segs: Int, cap: Int, join: Int,
+      mitre: Double)(compute: => Array[Byte]): Array[Byte] = raw match {
+    case in: Array[Byte] if in.length <= bufferMemoMaxEntryBytes =>
+      val key = new BufferKey(in, dist, segs, cap, join, mitre)
+      val hit = bufferMemo.get(key)
+      if (hit != null) hit
+      else {
+        val out = compute
+        if (out != null && out.length <= bufferMemoMaxEntryBytes) {
+          if (bufferMemo.size >= bufferMemoMax) bufferMemo.clear()
+          bufferMemo.put(key, out)
+        }
+        out
+      }
+    case _ => compute
   }
 
   /** Directed line merge (reference: GEOSLineMergeDirected_r via
@@ -1202,7 +1265,7 @@ object GeoFns {
         val segs = if (a.length > 2) int(a(2)) else 8
         g match {
           case p: Point if dist > 0 && segs >= 1 && !p.isEmpty => w(pointCircle(p, dist, segs))
-          case _ => w(BufferOp.bufferOp(g, dist, segs))
+          case _ => memoBuffer(a(0), dist, segs, -1, -1, 0.0)(w(BufferOp.bufferOp(g, dist, segs)))
         }
       } else {
         val cap = bufferEnum("cap style", str(a(3)),
@@ -1211,8 +1274,23 @@ object GeoFns {
         val join = bufferEnum("join style", str(a(4)),
           Map("JOIN_ROUND" -> BufferParameters.JOIN_ROUND, "JOIN_MITRE" -> BufferParameters.JOIN_MITRE,
               "JOIN_BEVEL" -> BufferParameters.JOIN_BEVEL))
-        val bp = new BufferParameters(int(a(2)), cap, join, dbl(a(5)))
-        w(new BufferOp(g, bp).getResultGeometry(dist))
+        val segs = int(a(2)); val mitre = dbl(a(5))
+        g match {
+          // Styled caps on a point are closed forms (BufferFastPathSpec pins
+          // byte-parity with BufferOp): round cap ignores join style entirely,
+          // flat cap of a point is empty, square cap is ±d arithmetic.
+          case p: Point if dist > 0 && segs >= 1 && !p.isEmpty =>
+            cap match {
+              case BufferParameters.CAP_ROUND => w(pointCircle(p, dist, segs))
+              case BufferParameters.CAP_FLAT => w(f.createPolygon())
+              case _ => w(pointSquare(p, dist))
+            }
+          case _ =>
+            memoBuffer(a(0), dist, segs, cap, join, mitre) {
+              val bp = new BufferParameters(segs, cap, join, mitre)
+              w(new BufferOp(g, bp).getResultGeometry(dist))
+            }
+        }
       }
     }
     gG("st_convexhull")(_.convexHull())
