@@ -57,6 +57,42 @@ object SparkEntry {
   // shorthand used across queries: per-lineitem unique key and small ints
   private val K = "l_orderkey * 10 + l_linenumber"
 
+  /** Near-dup candidate pairs shared by q_minhash_neardup and
+   *  q_neardup_clusters. Signatures are computed ONCE and cached: the LSH
+   *  self-join would otherwise re-evaluate the minhash on both join sides.
+   *  At 100 TB this is a checkpointed intermediate table; locally, .cache()
+   *  models it. doc_id < 150 keeps the pair set small enough to pin in the
+   *  oracle. Bucketed equi-join — never all-pairs. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    Graft.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    val sigs = s.sql("""
+      SELECT doc_id, char_shingles(text, 5) AS sh,
+             minhash_lsh_buckets(text, 64, 5, 16, 42) AS bs
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(text, 1, greatest(length(text) - 5, 10)) AS text
+            FROM documents WHERE doc_id < 150)""").cache()
+    sigs.createOrReplaceTempView("sigs")
+    s.sql("""
+      WITH buckets AS (
+        SELECT doc_id, b FROM (SELECT doc_id, explode(bs) AS b FROM sigs)
+      ),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM buckets x JOIN buckets y ON x.b = y.b AND x.doc_id < y.doc_id
+      )
+      SELECT da, db, round(j, 6) AS j
+      FROM (SELECT c.da, c.db, jaccard_arrays(ta.sh, tb.sh) AS j
+            FROM cand c
+            JOIN sigs ta ON c.da = ta.doc_id
+            JOIN sigs tb ON c.db = tb.doc_id)
+      WHERE j >= 0.5d""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ---------------------------------------------------------- constructors & formats
@@ -465,38 +501,18 @@ object SparkEntry {
       ORDER BY da"""),
 
     "q_minhash_neardup" -> ((s: SparkSession, dir: String) => {
-      Graft.register(s)
-      s.read.parquet(s"$dir/documents.parquet")
-        .repartition(s.sparkContext.defaultParallelism)
-        .createOrReplaceTempView("documents")
-      // Signatures are computed ONCE and cached: the LSH self-join would
-      // otherwise re-evaluate the minhash on both join sides. At 100 TB this
-      // is a checkpointed intermediate table; locally, .cache() models it.
-      // doc_id < 150 keeps the pair set small enough to pin in the oracle
-      val sigs = s.sql("""
-        SELECT doc_id, char_shingles(text, 5) AS sh,
-               minhash_lsh_buckets(text, 64, 5, 16, 42) AS bs
-        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
-              UNION ALL
-              SELECT doc_id + 100000 AS doc_id,
-                     substr(text, 1, greatest(length(text) - 5, 10)) AS text
-              FROM documents WHERE doc_id < 150)""").cache()
-      sigs.createOrReplaceTempView("sigs")
-      s.sql("""
-        WITH buckets AS (
-          SELECT doc_id, b FROM (SELECT doc_id, explode(bs) AS b FROM sigs)
-        ),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-          FROM buckets x JOIN buckets y ON x.b = y.b AND x.doc_id < y.doc_id
-        )
-        SELECT da, db, round(j, 6) AS j
-        FROM (SELECT c.da, c.db, jaccard_arrays(ta.sh, tb.sh) AS j
-              FROM cand c
-              JOIN sigs ta ON c.da = ta.doc_id
-              JOIN sigs tb ON c.db = tb.doc_id)
-        WHERE j >= 0.5d
-        ORDER BY da, db""")
+      minhashPairs(s, dir).createOrReplaceTempView("neardup_pairs")
+      s.sql("SELECT da, db, j FROM neardup_pairs ORDER BY da, db")
+    }),
+
+    // Pairs → clusters: the final step of a dedup pipeline. Hash-min
+    // connected components (operators/NearDupCluster) labels every doc with
+    // the minimum reachable id; one doc per cluster is canonical. Oracle =
+    // independent transitive closure (recursive CTE) over the same pinned
+    // pair list q_minhash_neardup verifies.
+    "q_neardup_clusters" -> ((s: SparkSession, dir: String) => {
+      val pairs = minhashPairs(s, dir)
+      graft.operators.NearDupCluster.clusters(pairs, "da", "db").orderBy("doc_id")
     }),
 
     "q_simhash" -> q("documents")("""
@@ -508,6 +524,48 @@ object SparkEntry {
       ORDER BY a.doc_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: text analysis
+    // PII detection + redaction. The synthetic corpus is PII-free, so the
+    // query injects deterministic emails/phones/IPs with plain-SQL arithmetic
+    // (identical in the oracle) and the graft regex kernels are then checked
+    // against an independent regex engine's counts and replacements.
+    "q_pii" -> q("documents")("""
+      WITH t AS (
+        SELECT doc_id, concat(text,
+          CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN concat(' call +1 555-', CAST(100 + doc_id % 900 AS STRING), '-', CAST(1000 + doc_id % 9000 AS STRING), ' today') ELSE '' END,
+          CASE WHEN doc_id % 5 = 0 THEN concat(' server 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 200 AS STRING), ' up') ELSE '' END) AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(pii_emails(t) AS INT) AS n_email,
+             CAST(pii_phones(t) AS INT) AS n_phone,
+             CAST(pii_ipv4(t) AS INT) AS n_ip,
+             pii_redact(t) AS red
+      FROM t ORDER BY doc_id"""),
+
+    // Deterministic hash-stratified sampling: per language, keep the 20 docs
+    // with the smallest multiplicative hash — reproducible sampling with no
+    // RNG state, expressible identically in plain SQL (independent oracle).
+    "q_stratified_sample" -> q("documents")("""
+      SELECT doc_id, lang, h
+      FROM (SELECT doc_id, lang,
+                   pmod(doc_id * 2654435761, 4294967296) AS h,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY pmod(doc_id * 2654435761, 4294967296), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 20 ORDER BY lang, doc_id"""),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): VALUES-pinned
+    // scalar projections (count/min/max/xor-fold) of the selected hash set.
+    "q_winnow" -> q("documents")("""
+      SELECT doc_id,
+             CAST(size(w) AS INT) AS n_fp,
+             array_min(w) AS fp_min,
+             array_max(w) AS fp_max,
+             aggregate(w, CAST(0 AS BIGINT), (a, x) -> a ^ x) AS fp_xor
+      FROM (SELECT doc_id, winnow_fingerprint(text, 8, 4) AS w
+            FROM documents WHERE doc_id < 40)
+      ORDER BY doc_id"""),
+
     "q_token_stats" -> q("documents")("""
       SELECT doc_id,
              token_count(text) AS toks,
@@ -772,6 +830,35 @@ object SparkEntry {
       FROM (SELECT DISTINCT cast(l_partkey % 16 AS INT) AS i, cast(l_suppkey % 16 AS INT) AS j FROM lineitem)
       ORDER BY i, j""")
   )
+
+    /** q_minhash_neardup's verified pair pins — shared with the
+   *  q_neardup_clusters transitive-closure oracle. */
+  private val minhashPairPins = """        (0,100000,0.975207),(1,100001,0.988281),(2,100002,0.978022),(3,100003,0.957627),(4,100004,0.974093),(5,100005,0.986784),
+        (6,100006,0.938462),(7,100007,0.988593),(8,100008,0.989547),(9,100009,0.988806),(10,100010,0.968944),(11,100011,0.986111),
+        (12,100012,0.987013),(13,100013,0.991416),(14,100014,0.990132),(15,100015,0.981818),(16,100016,0.95),(17,100017,0.992883),
+        (18,100018,0.989011),(19,100019,0.877551),(20,100020,0.987952),(21,100021,1.0),(22,100022,0.989583),(23,100023,1.0),
+        (24,100024,0.993691),(25,100025,0.990291),(26,100026,0.910714),(27,100027,0.995951),(28,100028,0.991266),(29,100029,1.0),
+        (30,100030,0.971014),(31,100031,0.98324),(32,100032,1.0),(33,100033,0.977273),(34,100034,0.963768),(35,100035,0.986348),
+        (36,100036,1.0),(37,100037,0.991935),(38,100038,0.972973),(39,100039,0.953271),(40,100040,1.0),(41,100041,0.987124),
+        (42,100042,0.976415),(43,100043,0.976923),(44,100044,0.98),(45,100045,0.980989),(46,100046,0.992958),(47,100047,0.983425),
+        (48,100048,0.976),(49,100049,0.989305),(50,100050,0.982759),(51,100051,0.991453),(52,100052,0.913793),(53,100053,1.0),
+        (54,100054,0.987903),(55,100055,0.979021),(56,100056,0.990854),(57,100057,0.996633),(58,100058,0.988235),(59,100059,0.97),
+        (60,100060,0.983553),(61,100061,0.985981),(62,100062,0.996154),(63,100063,0.990654),(64,100064,0.953271),(65,100065,0.963415),
+        (66,100066,1.0),(67,100067,0.995781),(68,100068,0.963768),(69,100069,0.986111),(70,100070,0.990769),(71,100071,0.987124),
+        (72,100072,0.994253),(73,100073,0.990506),(74,100074,0.897436),(75,100075,0.976852),(76,100076,0.988417),(77,100077,0.986486),
+        (78,100078,0.983516),(79,100079,0.898305),(80,100080,0.977941),(81,100081,0.984),(82,100082,0.979487),(83,100083,0.933333),
+        (84,100084,0.988327),(85,100085,0.96748),(86,100086,0.961905),(87,134,0.964602),(87,100087,0.954128),(87,100134,0.990826),
+        (88,100088,0.980952),(89,100089,0.954545),(90,100090,0.949495),(91,100091,0.985401),(92,100092,0.983193),(93,100093,0.961165),
+        (94,100094,0.979592),(95,100095,0.990698),(96,100096,1.0),(97,100097,0.977273),(98,100098,0.993671),(99,100099,0.98125),
+        (100,100100,0.986842),(101,100101,0.982249),(102,100102,0.993056),(103,100103,0.993671),(104,100104,0.982759),(105,100105,0.987179),
+        (106,100106,0.920635),(107,100107,0.981707),(108,100108,0.928571),(109,100109,1.0),(110,100110,0.87234),(111,100111,0.993827),
+        (112,100112,0.982379),(113,100113,1.0),(114,100114,0.973333),(115,100115,0.947826),(116,100116,0.943396),(117,100117,0.983333),
+        (118,100118,0.992278),(119,100119,0.962025),(120,100120,0.980769),(121,100121,0.972414),(122,100122,0.944444),(123,100123,0.95935),
+        (124,100124,0.990654),(125,100125,1.0),(126,100126,0.986486),(127,100127,0.985816),(128,100128,0.989583),(129,100129,0.982818),
+        (130,100130,0.967742),(131,100131,0.976636),(132,100132,0.987342),(133,100133,1.0),(134,100087,0.920354),(134,100134,0.955752),
+        (135,100135,0.991124),(136,100136,0.986726),(137,100137,0.988571),(138,100138,0.991935),(139,100139,0.995146),(140,100140,0.977273),
+        (141,100141,0.992453),(142,100142,0.993958),(143,100143,0.992218),(144,100144,0.939024),(145,100145,0.992453),(146,100146,0.952381),
+        (147,100147,0.986799),(148,100148,0.970588),(149,100149,0.960317),(100087,100134,0.962963)"""
 
   def oracleSql: Map[String, String] = ListMap(
 
@@ -1189,6 +1276,56 @@ object SparkEntry {
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       ORDER BY da""",
 
+    // Winnowing pins from the verified run (density sanity-checked against
+    // the paper's expected 2/(w+1); window guarantee asserted structurally in
+    // TextPipelineSpec).
+    "q_winnow" -> """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_fp AS INT) AS n_fp,
+             CAST(fp_min AS BIGINT) AS fp_min, CAST(fp_max AS BIGINT) AS fp_max,
+             CAST(fp_xor AS BIGINT) AS fp_xor
+      FROM (VALUES
+        (0,57,-9175377446181259499,3652462178152112683,5977486466627873934),(1,148,-9187601069793571129,2331993328935722111,1163814346281370433),(2,90,-8910296358345123365,3925055493894127398,7901502229637986932),(3,58,-9061455860393645617,3754368279529940845,6921172151265291183),
+        (4,91,-9124544591634825797,4518119325752664436,56668158199720289),(5,123,-9217423495375957117,3089597845253780869,2741612536882305371),(6,27,-9165075898224780809,2827487244760413816,2369926275429951036),(7,162,-9215418894821928750,4784827273157339991,1079300144192268775),
+        (8,179,-9214008326430153398,4784827273157339991,-8369232515497398270),(9,153,-9215418894821928750,7216905281543208395,-6978861105117983162),(10,79,-9215242702499895674,2070727618954905282,5413743928328110065),(11,118,-9175984457160945775,3119802099252073481,-5515861898879998929),
+        (12,128,-9098243383851187888,4518119325752664436,7975454964938376009),(13,136,-9203094498205776155,4703681434401942386,7728613225515536096),(14,199,-9214008326430153398,6063938808874107784,2731141080325491785),(15,84,-8913612627989643979,6355396251672344497,5069675157477063820),
+        (16,34,-8444391244041711929,5509307453407126014,813296571064033249),(17,162,-9173259263001392528,5159402261703135957,-1663739602272791458),(18,167,-9203085312612439852,5159402261703135957,8730983414026500674),(19,19,-9098243383851187888,476416786964348430,1789572823413930074),
+        (20,149,-9124544591634825797,3408481461718703622,2220417144286291558),(21,84,-9188590210381914346,7087950864257848265,8571537623060908347),(22,177,-9215242702499895674,4513828667403110398,4939143601166901821),(23,62,-9204932364825592276,4784827273157339991,8611130151589138024),
+        (24,220,-9220989673190395409,7057302110180302912,-4337831089148183443),(25,198,-9209838409739740425,4784827273157339991,3365252967267471522),(26,24,-8858185858050384101,4518119325752664436,-5860029630049483433),(27,133,-9203085312612439852,5159402261703135957,8571831844491666651),
+        (28,128,-9220989673190395409,5688133660013568542,-7676853042671257547),(29,76,-8703900248190176708,3089597845253780869,-4373383004336178409),(30,61,-9071844529751233364,2773848754645967680,-2003057131421557101),(31,92,-8658607736477896211,5081530775606201777,8006428006112583977),
+        (32,201,-9220316287542623282,4784827273157339991,-2264336834369633954),(33,91,-9208807329249557250,3325327531380459382,-3326338457670507548),(34,59,-9124544591634825797,635362592008623724,-266346563060356482),(35,176,-9203380584388090031,4062374890595105603,-3866298072868475068),
+        (36,48,-9214008326430153398,1420455035579107180,-8574389038301852656),(37,141,-9215418894821928750,5152917514426852878,-5029357682557753550),(38,76,-9165075898224780809,2276859161590981873,-2881294051690681090),(39,48,-9003727574540535701,3461309068325581885,-5076759431524973382)) v(doc_id, n_fp, fp_min, fp_max, fp_xor)
+      ORDER BY doc_id""",
+
+    // Same deterministic injection arithmetic, counts/redaction via the
+    // oracle engine's own regex (RE2-class) — the patterns are restricted to
+    // syntax both engines evaluate identically.
+    "q_pii" -> """
+      WITH t AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up' ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(t, '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS red
+      FROM t ORDER BY doc_id""",
+
+    "q_stratified_sample" -> """
+      SELECT doc_id, lang, h
+      FROM (SELECT doc_id, lang,
+                   (doc_id * 2654435761) % 4294967296 AS h,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 20 ORDER BY lang, doc_id""",
+
     "q_token_stats" -> """
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0 ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS toks,
@@ -1398,36 +1535,34 @@ object SparkEntry {
         (112,'sv',-6955912749751907379)) v(doc_id, lang, fp)
       ORDER BY doc_id""",
 
-    "q_minhash_neardup" -> """
+    "q_minhash_neardup" -> s"""
       SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, CAST(j AS DOUBLE) AS j
       FROM (VALUES
-        (0,100000,0.975207),(1,100001,0.988281),(2,100002,0.978022),(3,100003,0.957627),(4,100004,0.974093),(5,100005,0.986784),
-        (6,100006,0.938462),(7,100007,0.988593),(8,100008,0.989547),(9,100009,0.988806),(10,100010,0.968944),(11,100011,0.986111),
-        (12,100012,0.987013),(13,100013,0.991416),(14,100014,0.990132),(15,100015,0.981818),(16,100016,0.95),(17,100017,0.992883),
-        (18,100018,0.989011),(19,100019,0.877551),(20,100020,0.987952),(21,100021,1.0),(22,100022,0.989583),(23,100023,1.0),
-        (24,100024,0.993691),(25,100025,0.990291),(26,100026,0.910714),(27,100027,0.995951),(28,100028,0.991266),(29,100029,1.0),
-        (30,100030,0.971014),(31,100031,0.98324),(32,100032,1.0),(33,100033,0.977273),(34,100034,0.963768),(35,100035,0.986348),
-        (36,100036,1.0),(37,100037,0.991935),(38,100038,0.972973),(39,100039,0.953271),(40,100040,1.0),(41,100041,0.987124),
-        (42,100042,0.976415),(43,100043,0.976923),(44,100044,0.98),(45,100045,0.980989),(46,100046,0.992958),(47,100047,0.983425),
-        (48,100048,0.976),(49,100049,0.989305),(50,100050,0.982759),(51,100051,0.991453),(52,100052,0.913793),(53,100053,1.0),
-        (54,100054,0.987903),(55,100055,0.979021),(56,100056,0.990854),(57,100057,0.996633),(58,100058,0.988235),(59,100059,0.97),
-        (60,100060,0.983553),(61,100061,0.985981),(62,100062,0.996154),(63,100063,0.990654),(64,100064,0.953271),(65,100065,0.963415),
-        (66,100066,1.0),(67,100067,0.995781),(68,100068,0.963768),(69,100069,0.986111),(70,100070,0.990769),(71,100071,0.987124),
-        (72,100072,0.994253),(73,100073,0.990506),(74,100074,0.897436),(75,100075,0.976852),(76,100076,0.988417),(77,100077,0.986486),
-        (78,100078,0.983516),(79,100079,0.898305),(80,100080,0.977941),(81,100081,0.984),(82,100082,0.979487),(83,100083,0.933333),
-        (84,100084,0.988327),(85,100085,0.96748),(86,100086,0.961905),(87,134,0.964602),(87,100087,0.954128),(87,100134,0.990826),
-        (88,100088,0.980952),(89,100089,0.954545),(90,100090,0.949495),(91,100091,0.985401),(92,100092,0.983193),(93,100093,0.961165),
-        (94,100094,0.979592),(95,100095,0.990698),(96,100096,1.0),(97,100097,0.977273),(98,100098,0.993671),(99,100099,0.98125),
-        (100,100100,0.986842),(101,100101,0.982249),(102,100102,0.993056),(103,100103,0.993671),(104,100104,0.982759),(105,100105,0.987179),
-        (106,100106,0.920635),(107,100107,0.981707),(108,100108,0.928571),(109,100109,1.0),(110,100110,0.87234),(111,100111,0.993827),
-        (112,100112,0.982379),(113,100113,1.0),(114,100114,0.973333),(115,100115,0.947826),(116,100116,0.943396),(117,100117,0.983333),
-        (118,100118,0.992278),(119,100119,0.962025),(120,100120,0.980769),(121,100121,0.972414),(122,100122,0.944444),(123,100123,0.95935),
-        (124,100124,0.990654),(125,100125,1.0),(126,100126,0.986486),(127,100127,0.985816),(128,100128,0.989583),(129,100129,0.982818),
-        (130,100130,0.967742),(131,100131,0.976636),(132,100132,0.987342),(133,100133,1.0),(134,100087,0.920354),(134,100134,0.955752),
-        (135,100135,0.991124),(136,100136,0.986726),(137,100137,0.988571),(138,100138,0.991935),(139,100139,0.995146),(140,100140,0.977273),
-        (141,100141,0.992453),(142,100142,0.993958),(143,100143,0.992218),(144,100144,0.939024),(145,100145,0.992453),(146,100146,0.952381),
-        (147,100147,0.986799),(148,100148,0.970588),(149,100149,0.960317),(100087,100134,0.962963)) v(da, db, j)
+$minhashPairPins) v(da, db, j)
       ORDER BY da, db""",
+
+    // Independent transitive closure over the same verified pair pins: the
+    // recursive CTE computes full reachability, then min-reduces — a
+    // different algorithm from the Spark side's iterative hash-min.
+    "q_neardup_clusters" -> s"""
+      WITH RECURSIVE sym AS (
+        SELECT da AS a, db AS b FROM (VALUES
+$minhashPairPins) v(da, db, j)
+        UNION
+        SELECT db AS a, da AS b FROM (VALUES
+$minhashPairPins) v(da, db, j)
+      ), reach(id, comp) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+      ), lab AS (
+        SELECT id, min(comp) AS component FROM reach GROUP BY id
+      )
+      SELECT CAST(id AS BIGINT) AS doc_id,
+             CAST(component AS BIGINT) AS component,
+             CAST(count(*) OVER (PARTITION BY component) AS INT) AS cluster_size,
+             id = component AS is_canonical
+      FROM lab ORDER BY doc_id""",
 
     "q_embed_neardup" -> """
       SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb, CAST(sim AS DOUBLE) AS sim

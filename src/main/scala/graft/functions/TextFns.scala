@@ -150,6 +150,68 @@ object TextFns {
     h
   }
 
+  // ------------------------------------------------------------- PII handling
+
+  /** PII patterns restricted to the syntax both java.util.regex and RE2-class
+   *  engines evaluate identically (character classes, bounded quantifiers,
+   *  \b, non-capturing groups — no lookaround, no backrefs), so an external
+   *  SQL engine can serve as an independent oracle for counts and redaction. */
+  private val piiEmail = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val piiIpv4 = java.util.regex.Pattern.compile(
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+  private val piiPhone = java.util.regex.Pattern.compile(
+    "(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b")
+
+  private def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+    val m = p.matcher(s); var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Redaction replaces emails, then IPv4s, then phones — placeholders contain
+   *  no digits or '@', so later passes never match inside earlier ones. */
+  def piiRedact(s: String): String = {
+    val a = piiEmail.matcher(s).replaceAll("<EMAIL>")
+    val b = piiIpv4.matcher(a).replaceAll("<IP>")
+    piiPhone.matcher(b).replaceAll("<PHONE>")
+  }
+
+  // ------------------------------------------------ winnowing fingerprints
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD
+   *  2003): hash every k-char shingle of the normalized text, slide a window
+   *  of w consecutive hashes, keep each window's minimum (rightmost on ties),
+   *  dedupe consecutive selections by position. Guarantees every w-run of
+   *  shingles contributes a fingerprint (detection of any match ≥ k+w-1
+   *  chars), at expected density 2/(w+1). Row-local — embarrassingly
+   *  parallel at corpus scale. */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    require(k >= 1 && w >= 1, "winnow_fingerprint needs k >= 1 and w >= 1")
+    val n = normalize(s)
+    if (n.length < k) return Array.empty
+    val m = n.length - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hash64(n.substring(i, i + k), 7919); i += 1 }
+    val windows = m - w + 1
+    if (windows <= 1) { // document shorter than one window: global min
+      var best = 0; var j = 1
+      while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      return Array(hs(best))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1
+    var start = 0
+    while (start < windows) {
+      var best = start; var j = start + 1
+      while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != last) { out += hs(best); last = best }
+      start += 1
+    }
+    out.toArray
+  }
+
   // --------------------------------------------------- quality signals (Gopher-style)
 
   /** Shannon entropy (bits) of the codepoint distribution — low entropy flags
@@ -301,6 +363,12 @@ object TextFns {
       new GenericInternalRow(Array[Any](n, mx, mean))
     }
     fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
+    fn("pii_emails", I, Seq(S))(a => countMatches(piiEmail, str(a(0))))
+    fn("pii_phones", I, Seq(S))(a => countMatches(piiPhone, str(a(0))))
+    fn("pii_ipv4", I, Seq(S))(a => countMatches(piiIpv4, str(a(0))))
+    fn("pii_redact", S, Seq(S))(a => utf(piiRedact(str(a(0)))))
+    fn("winnow_fingerprint", ArrayType(L), Seq(S, I, I))(a =>
+      new GenericArrayData(winnow(str(a(0)), int(a(1)), int(a(2)))))
     fn("doc_fingerprint", L, Seq(S))(a => fingerprint(str(a(0))))
     fn("norm_text", S, Seq(S))(a => utf(normalize(str(a(0)))))
     fn("char_shingles", ArrayType(S), Seq(S, I))(a =>

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.NearDupCluster
+
+/** PII kernels, winnowing fingerprints, and near-dup connected components. */
+class TextPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def sql1(q: String): Any = spark.sql(s"SELECT $q").collect()(0).get(0)
+
+  // ------------------------------------------------------------------- PII
+
+  test("pii counts and redaction") {
+    val t = "mail a.b+c@test.org or root@10.2.3.4, call +1 555-123-4567 " +
+      "or (555) 987 6543; server 192.168.0.1 and 8.8.8.8 up, not 1.2.3"
+    assert(sql1(s"pii_emails('$t')") == 1) // root@10.2.3.4 is not an email: TLD must be alphabetic
+    assert(sql1(s"pii_ipv4('$t')") == 3) // 10.2.3.4 counts as an IP; 1.2.3 doesn't
+    assert(sql1(s"pii_phones('$t')") == 2)
+    val red = sql1(s"pii_redact('$t')").toString
+    assert(!red.contains("test.org") && !red.contains("555"))
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(red.contains("root@<IP>")) // numeric host: IP pass catches what the email pass left
+    assert(red.contains("not 1.2.3")) // too-short dotted run untouched
+  }
+
+  test("pii redaction leaves clean text alone") {
+    assert(sql1("pii_redact('plain words only here')") == "plain words only here")
+    assert(sql1("pii_emails('no at signs')") == 0)
+  }
+
+  // ------------------------------------------------------------- winnowing
+
+  test("winnowing guarantee: every w-window of shingle hashes contains a selected hash") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running far away",
+      "aaaaabaaaaabaaaaabaaaaab repeated block structure aaaaabaaaaab",
+      "short but long enough to produce several windows of hashes")
+    val k = 5; val w = 4
+    for (d <- docs) {
+      val selected = TextFns.winnow(d, k, w).toSet
+      // selected hashes must be a subset of the k-gram hash set, and every
+      // window of w consecutive positions must contain >= 1 selected hash
+      val hashSeq = spark.sql(
+        s"SELECT winnow_fingerprint('${d.replace("'", "''")}', $k, 1)").collect()(0)
+        .getSeq[Long](0) // w=1 selects every position's hash == the full hash sequence
+      assert(selected.subsetOf(hashSeq.toSet))
+      hashSeq.sliding(w).foreach { win =>
+        assert(win.exists(selected.contains), s"window with no fingerprint in: $d")
+      }
+    }
+  }
+
+  test("winnowing edge cases") {
+    assert(TextFns.winnow("abc", 8, 4).isEmpty) // shorter than one shingle
+    assert(TextFns.winnow("abcdefgh", 8, 4).length == 1) // exactly one shingle
+    // identical text -> identical fingerprints (determinism)
+    assert(TextFns.winnow("some document text here", 5, 4).toSeq ==
+      TextFns.winnow("some document text here", 5, 4).toSeq)
+  }
+
+  // --------------------------------------------------- connected components
+
+  test("hash-min connected components: chain, clique, singleton-pair") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val cc = NearDupCluster.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
+  test("clusters() sizes and canonical flags") {
+    import spark.implicits._
+    val pairs = Seq((7L, 3L), (3L, 9L)).toDF("x", "y")
+    val rows = NearDupCluster.clusters(pairs, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq((3L, 3L, 3, true), (7L, 3L, 3, false), (9L, 3L, 3, false)))
+  }
+}
