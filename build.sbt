@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkSession and several toggle planner confs
+// (spark.graft.spatialJoin.*) around assertions — parallel suites race on
+// those session-global confs, so run suites sequentially.
+Test / parallelExecution := false
 // Raw stdout for forked runs: the driver tail-greps Bench's single JSON
 // line, and sbt's default LoggedOutput prefixes every line with "[info] ",
 // which breaks line-oriented JSON parsing downstream.

@@ -191,7 +191,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", "st_read_meta"),
       Graft.stReadMetaPlan))
     ext.injectOptimizerRule(spark => new graft.plans.MeasureFusionRule(spark))
+    // broadcast-index rule must precede the tile rewrite: small-side joins
+    // take the broadcast R-tree plan, everything else tiles
+    ext.injectOptimizerRule(spark => new graft.plans.BroadcastSpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
+    ext.injectPlannerStrategy(spark => new graft.plans.GraftJoinStrategy(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SaltedUnionAggRule(spark))
     ext.injectResolutionRule(_ => graft.plans.BarePathRelationRule)

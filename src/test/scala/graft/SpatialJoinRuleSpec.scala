@@ -12,6 +12,10 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = SparkTestSession.spark
 
   private def setup(): Unit = {
+    // pin the TILE path: these inputs are broadcast-sized, and the
+    // broadcast-index rule would otherwise claim every join in this suite
+    // (BroadcastSpatialJoinSpec covers that path)
+    spark.conf.set("spark.graft.spatialJoin.broadcast.enabled", "false")
     spark.sql("""
       SELECT id AS pid, st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) AS pt
       FROM range(0, 2000)""").createOrReplaceTempView("pts")
