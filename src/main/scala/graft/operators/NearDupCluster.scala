@@ -35,8 +35,11 @@ object NearDupCluster {
     val edges = pairs.select(F.col(aCol).cast("long").as("src"), F.col(bCol).cast("long").as("dst"))
     val sym = edges.union(edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct().cache()
-    var labels = sym.select(F.col("src").as("id")).distinct()
-      .withColumn("comp", F.col("id")).cache()
+    // Initialize each label at min(id, min neighbor) rather than id — one
+    // groupBy that would otherwise be the entire first iteration. Pair-shaped
+    // components (the common near-dup case) converge immediately.
+    var labels = sym.groupBy(F.col("src").as("id"))
+      .agg(F.least(F.col("src"), F.min("dst")).as("comp")).cache()
     var checksum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -44,7 +44,8 @@ case class SpatialBroadcastJoin(
     lGeom: Expression,
     rGeom: Expression,
     condition: Expression,
-    buildLeft: Boolean) extends BinaryNode {
+    buildLeft: Boolean,
+    expand: Double) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): SpatialBroadcastJoin =
@@ -73,13 +74,13 @@ class BroadcastSpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && !tiled(cond) =>
         findSpatialPredicate(cond, left, right) match {
-          case Some((lGeom, rGeom)) =>
+          case Some((lGeom, rGeom, expand)) =>
             val lSize = left.stats.sizeInBytes
             val rSize = right.stats.sizeInBytes
             if (rSize <= threshold && rSize <= lSize)
-              SpatialBroadcastJoin(left, right, lGeom, rGeom, cond, buildLeft = false)
+              SpatialBroadcastJoin(left, right, lGeom, rGeom, cond, buildLeft = false, expand)
             else if (lSize <= threshold)
-              SpatialBroadcastJoin(left, right, lGeom, rGeom, cond, buildLeft = true)
+              SpatialBroadcastJoin(left, right, lGeom, rGeom, cond, buildLeft = true, expand)
             else j
           case None => j
         }
@@ -91,22 +92,34 @@ class BroadcastSpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Returns (leftSideGeom, rightSideGeom, envelopeExpansion). Plain bbox-
+   *  implying predicates expand by 0; st_dwithin with a CONSTANT distance
+   *  expands the probe envelope by it (dwithin(a,b,d) implies the envelopes
+   *  lie within d of each other). */
   private def findSpatialPredicate(cond: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] = {
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(cond).collectFirst {
-      case FnExpr(fn, Seq(a, b))
-          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
-            a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) =>
-        (a, b)
-      case FnExpr(fn, Seq(a, b))
-          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
-            b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) =>
-        (b, a)
-    }
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (a.references.nonEmpty && b.references.nonEmpty &&
+          a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) Some((a, b))
+      else if (a.references.nonEmpty && b.references.nonEmpty &&
+          b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)) Some((b, a))
+      else None
+    conjuncts(cond).iterator.flatMap {
+      case FnExpr(fn, Seq(a, b)) if rewritable(fn) =>
+        sides(a, b).map { case (l, r) => (l, r, 0.0) }
+      case FnExpr("st_dwithin", Seq(a, b, d)) if d.foldable =>
+        val dist = d.eval() match {
+          case n: java.lang.Number => n.doubleValue()
+          case _ => Double.NaN
+        }
+        if (dist.isNaN || dist < 0) None
+        else sides(a, b).map { case (l, r) => (l, r, dist) }
+      case _ => None
+    }.nextOption()
   }
 }
 
@@ -114,8 +127,8 @@ class BroadcastSpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftJoinStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case SpatialBroadcastJoin(l, r, lg, rg, cond, buildLeft) =>
-      SpatialBroadcastJoinExec(planLater(l), planLater(r), lg, rg, cond, buildLeft) :: Nil
+    case SpatialBroadcastJoin(l, r, lg, rg, cond, buildLeft, expand) =>
+      SpatialBroadcastJoinExec(planLater(l), planLater(r), lg, rg, cond, buildLeft, expand) :: Nil
     case _ => Nil
   }
 }
@@ -126,7 +139,8 @@ case class SpatialBroadcastJoinExec(
     lGeom: Expression,
     rGeom: Expression,
     condition: Expression,
-    buildLeft: Boolean) extends BinaryExecNode {
+    buildLeft: Boolean,
+    expand: Double) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -149,6 +163,7 @@ case class SpatialBroadcastJoinExec(
     val bc = sparkContext.broadcast(buildRows)
     val bcId = bc.id
     val bLeft = buildLeft
+    val expandBy = expand
     val condExpr = condition
     val outAttrs = output
     streamed.execute().mapPartitions { iter =>
@@ -165,7 +180,7 @@ case class SpatialBroadcastJoinExec(
         if (env == null) Iterator.empty
         else {
           val cands = tree.query(new org.locationtech.jts.geom.Envelope(
-            env(0), env(2), env(1), env(3)))
+            env(0) - expandBy, env(2) + expandBy, env(1) - expandBy, env(3) + expandBy))
           // Lazy map/filter keeps the operator-row contract: proj reuses its
           // UnsafeRow buffer, so it must run exactly once per next() and the
           // emitted row stays valid until the consumer pulls again. (An eager

@@ -78,6 +78,23 @@ class BroadcastSpatialJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.spatialJoin.broadcastThreshold")
   }
 
+  test("st_dwithin radius join expands the probe envelope and matches the naive join") {
+    setup()
+    spark.sql("""
+      SELECT id AS poi, st_point(cast((id * 13) % 97 AS DOUBLE), cast((id * 29) % 89 AS DOUBLE)) AS cpt
+      FROM range(0, 50)""").createOrReplaceTempView("bpois")
+    val sql = "SELECT pid, poi FROM bpts JOIN bpois ON st_dwithin(pt, cpt, 3.0)"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.executedPlan.toString.contains("SpatialBroadcastJoin"),
+      s"dwithin not broadcast:\n${df.queryExecution.executedPlan}")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val naive = collectPairs(sql)
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty,
+      s"dwithin mismatch: only-fast=${(fast -- naive).take(5)} only-naive=${(naive -- fast).take(5)}")
+  }
+
   test("matches the tile path result for result") {
     setup()
     val sql = "SELECT pid, cell FROM bpts JOIN bcells ON st_within(pt, env)"
