@@ -485,6 +485,20 @@ object SparkEntry {
       SELECT event_type, cast(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    // Radius join through the broadcast R-tree path: 64 POIs broadcast, the
+    // fact table streams, st_dwithin(…, const) expands the probe envelope.
+    // Oracle = exact squared-distance arithmetic on integer coordinates.
+    "q_radius_join" -> q("lineitem")(s"""
+      WITH pois AS (
+        SELECT CAST(id AS BIGINT) AS poi,
+               st_point(CAST((id * 13) % 60 AS DOUBLE), CAST((id * 29) % 60 AS DOUBLE)) AS cpt
+        FROM range(0, 64)),
+      pts AS (SELECT $K AS k,
+                     CAST(l_partkey % 60 AS DOUBLE) AS x, CAST(l_suppkey % 60 AS DOUBLE) AS y
+              FROM lineitem)
+      SELECT k, poi FROM pts JOIN pois ON st_dwithin(st_point(x, y), cpt, 2.0d)
+      ORDER BY k, poi"""),
+
     // ---------------------------------------------------------- LLM pipeline: dedup
     "q_dedup_exact" -> q("documents")("""
       SELECT doc_id, cast(cnt AS INT) AS group_size
@@ -522,6 +536,25 @@ object SparkEntry {
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       WHERE a.doc_id < 60
       ORDER BY a.doc_id"""),
+
+    // Benchmark decontamination: word-trigram overlap of every corpus doc
+    // against a (tiny, broadcast) benchmark set — the standard pre-training
+    // contamination check. The benchmark side is derived deterministically
+    // from corpus substrings so overlap provably exists; the oracle rebuilds
+    // the same n-grams with the oracle engine's own list machinery.
+    "q_contamination" -> q("documents")("""
+      WITH bench AS (
+        SELECT doc_id AS bench_id, substr(text, 20, 150) AS btext
+        FROM documents WHERE doc_id IN (3, 7, 11)),
+      bg AS (SELECT DISTINCT bench_id, g
+             FROM (SELECT bench_id, explode(word_ngrams(btext, 3)) AS g FROM bench)),
+      dg AS (SELECT DISTINCT doc_id, g
+             FROM (SELECT doc_id, explode(word_ngrams(text, 3)) AS g
+                   FROM documents WHERE doc_id < 200))
+      SELECT d.doc_id, b.bench_id, CAST(count(*) AS INT) AS hits
+      FROM dg d JOIN bg b ON d.g = b.g
+      GROUP BY d.doc_id, b.bench_id
+      ORDER BY doc_id, bench_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: text analysis
     // PII detection + redaction. The synthetic corpus is PII-free, so the
@@ -1276,6 +1309,26 @@ object SparkEntry {
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       ORDER BY da""",
 
+    "q_contamination" -> """
+      WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                 FROM documents WHERE doc_id < 200),
+      bw AS (SELECT doc_id AS bench_id,
+                    regexp_split_to_array(lower(trim(regexp_replace(substr(text, 20, 150), '\s+', ' ', 'g'))), ' ') AS ws
+             FROM documents WHERE doc_id IN (3, 7, 11)),
+      dg AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] for i in range(1, length(ws) - 1)] END)) AS g
+             FROM w),
+      bg AS (SELECT bench_id, unnest(list_distinct(
+               CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] for i in range(1, length(ws) - 1)] END)) AS g
+             FROM bw)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(b.bench_id AS BIGINT) AS bench_id,
+             CAST(count(*) AS INT) AS hits
+      FROM dg d JOIN bg b ON d.g = b.g
+      GROUP BY d.doc_id, b.bench_id
+      ORDER BY doc_id, bench_id""",
+
     // Winnowing pins from the verified run (density sanity-checked against
     // the paper's expected 2/(w+1); window guarantee asserted structurally in
     // TextPipelineSpec).
@@ -1540,6 +1593,18 @@ object SparkEntry {
       FROM (VALUES
 $minhashPairPins) v(da, db, j)
       ORDER BY da, db""",
+
+    "q_radius_join" -> s"""
+      WITH pois AS (
+        SELECT CAST(i AS BIGINT) AS poi,
+               CAST((i * 13) % 60 AS DOUBLE) AS cx, CAST((i * 29) % 60 AS DOUBLE) AS cy
+        FROM range(0, 64) t(i)),
+      pts AS (SELECT $K AS k,
+                     CAST(l_partkey % 60 AS DOUBLE) AS x, CAST(l_suppkey % 60 AS DOUBLE) AS y
+              FROM lineitem)
+      SELECT k, poi FROM pts JOIN pois
+        ON (x - cx) * (x - cx) + (y - cy) * (y - cy) <= 4.0
+      ORDER BY k, poi""",
 
     // Independent transitive closure over the same verified pair pins: the
     // recursive CTE computes full reachability, then min-reduces — a

@@ -1486,14 +1486,18 @@ object GeoFns {
     // Grid tiling for the distributed spatial join (graft.plans.SpatialJoinRule):
     // tile id = (floor(x/cell) << 32) ^ (floor(y/cell) & 0xffffffff).
     fn("st_tile_id", L, Seq(D, D, D))(a => tileId(math.floor(dbl(a(0)) / dbl(a(2))).toLong, math.floor(dbl(a(1)) / dbl(a(2))).toLong))
-    fn("st_tile_ids", ArrayType(L), Seq(B, D)) { a =>
+    // optional 3rd arg: expand the envelope by a distance before tiling —
+    // the st_dwithin tile-join shape (one side's tiles grow by d, the other
+    // side's stay exact, so bbox-within-d pairs always share a tile)
+    fn("st_tile_ids", ArrayType(L), Seq(B, D), Seq(B, D, D)) { a =>
       val g = rg(a(0))
       if (g.isEmpty) new GenericArrayData(Array.empty[Any])
       else {
         val cell = dbl(a(1))
+        val ex = if (a.length > 2) dbl(a(2)) else 0.0
         val e = g.getEnvelopeInternal
-        val x0 = math.floor(e.getMinX / cell).toLong; val x1 = math.floor(e.getMaxX / cell).toLong
-        val y0 = math.floor(e.getMinY / cell).toLong; val y1 = math.floor(e.getMaxY / cell).toLong
+        val x0 = math.floor((e.getMinX - ex) / cell).toLong; val x1 = math.floor((e.getMaxX + ex) / cell).toLong
+        val y0 = math.floor((e.getMinY - ex) / cell).toLong; val y1 = math.floor((e.getMaxY + ex) / cell).toLong
         val n = (x1 - x0 + 1) * (y1 - y0 + 1)
         require(n <= (1 << 16),
           s"st_tile_ids: geometry envelope covers $n tiles at cell size $cell; raise spark.graft.spatialJoin.cellSize")

@@ -94,7 +94,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !alreadyRewritten(cond) =>
         findSpatialPredicate(cond, left, right) match {
-          case Some((pred, lGeom, rGeom)) => rewrite(j, cond, pred, lGeom, rGeom)
+          case Some((lGeom, rGeom, expand)) => rewrite(j, cond, lGeom, rGeom, expand)
           case None => j
         }
     }
@@ -107,22 +107,32 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** Locate a rewritable predicate whose two geometry args resolve to opposite
-   *  join sides; returns (predicate, leftSideGeom, rightSideGeom). */
+   *  join sides; returns (leftSideGeom, rightSideGeom, tileExpansion).
+   *  Plain bbox-implying predicates expand by 0; st_dwithin with a CONSTANT
+   *  distance expands the LEFT side's tiles by it (bbox-within-d pairs then
+   *  always share a tile; the exact predicate runs as residual). */
   private def findSpatialPredicate(
       cond: Expression,
       left: LogicalPlan,
-      right: LogicalPlan): Option[(FnExpr, Expression, Expression)] = {
-    val conjuncts = splitConjuncts(cond)
-    conjuncts.collectFirst {
-      case p @ FnExpr(fn, Seq(a, b))
-          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
-            a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) =>
-        (p.asInstanceOf[FnExpr], a, b)
-      case p @ FnExpr(fn, Seq(a, b))
-          if rewritable(fn) && a.references.nonEmpty && b.references.nonEmpty &&
-            b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) =>
-        (p.asInstanceOf[FnExpr], b, a)
-    }
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (a.references.nonEmpty && b.references.nonEmpty &&
+          a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) Some((a, b))
+      else if (a.references.nonEmpty && b.references.nonEmpty &&
+          b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)) Some((b, a))
+      else None
+    splitConjuncts(cond).iterator.flatMap {
+      case FnExpr(fn, Seq(a, b)) if rewritable(fn) =>
+        sides(a, b).map { case (l, r) => (l, r, 0.0) }
+      case FnExpr("st_dwithin", Seq(a, b, d)) if d.foldable =>
+        val dist = d.eval() match {
+          case n: java.lang.Number => n.doubleValue()
+          case _ => Double.NaN
+        }
+        if (dist.isNaN || dist < 0) None
+        else sides(a, b).map { case (l, r) => (l, r, dist) }
+      case _ => None
+    }.nextOption()
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -136,15 +146,15 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(
       j: Join,
       cond: Expression,
-      pred: FnExpr,
       lGeom: Expression,
-      rGeom: Expression): LogicalPlan = {
+      rGeom: Expression,
+      expand: Double): LogicalPlan = {
     val cell = Literal(cellSize(j.left, lGeom, j.right, rGeom))
     val tileL = AttributeReference("__graft_tile_l", LongType, nullable = false)()
     val tileR = AttributeReference("__graft_tile_r", LongType, nullable = false)()
 
     val genLeft = Generate(
-      Explode(FnExpr("st_tile_ids", Seq(lGeom, cell))),
+      Explode(FnExpr("st_tile_ids", Seq(lGeom, cell, Literal(expand)))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileL), child = j.left)
     var genRight: LogicalPlan = Generate(
@@ -152,9 +162,13 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileR), child = j.right)
 
-    // dedupe: keep only the tile holding the bbox-intersection anchor corner
-    val refX = Greatest(Seq(FnExpr("st_xmin", Seq(lGeom)), FnExpr("st_xmin", Seq(rGeom))))
-    val refY = Greatest(Seq(FnExpr("st_ymin", Seq(lGeom)), FnExpr("st_ymin", Seq(rGeom))))
+    // dedupe: keep only the tile holding the anchor corner of the
+    // (expanded-left bbox) ∩ (right bbox) intersection — that tile is in both
+    // sides' tile sets and is unique
+    val refX = Greatest(Seq(Subtract(FnExpr("st_xmin", Seq(lGeom)), Literal(expand)),
+      FnExpr("st_xmin", Seq(rGeom))))
+    val refY = Greatest(Seq(Subtract(FnExpr("st_ymin", Seq(lGeom)), Literal(expand)),
+      FnExpr("st_ymin", Seq(rGeom))))
     val dedupe = EqualTo(FnExpr("st_tile_id", Seq(refX, refY, cell)), tileL)
 
     var equi: Expression = EqualTo(tileL, tileR)

@@ -67,6 +67,25 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("st_dwithin tiles with envelope expansion and matches the naive join") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    spark.sql("""
+      SELECT id AS qid, st_point(cast((id * 13) % 97 AS DOUBLE), cast((id * 29) % 89 AS DOUBLE)) AS qpt
+      FROM range(0, 300)""").createOrReplaceTempView("qpts")
+    val joinSql = "SELECT pid, qid FROM pts JOIN qpts ON st_dwithin(pt, qpt, 7.5)"
+    val df = spark.sql(joinSql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"dwithin still pair-scans:\n$plan")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val naive = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty,
+      s"dwithin tile join changed results: only-fast=${(fast -- naive).take(5)} only-naive=${(naive -- fast).take(5)}")
+  }
+
   test("auto cellSize samples the data and preserves results") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
