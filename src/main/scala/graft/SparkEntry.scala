@@ -557,6 +557,32 @@ object SparkEntry {
       ORDER BY doc_id, bench_id"""),
 
     // ---------------------------------------------------------- LLM pipeline: text analysis
+    // End-to-end training-data pipeline in ONE query: exact dedup (normalized
+    // text) → quality filter (token count + stopword ratio) → PII redaction →
+    // per-language corpus stats. Every stage is mirrored in plain SQL in the
+    // oracle, so the whole flow — not just the pieces — is independently
+    // verified.
+    "q_pipeline_e2e" -> q("documents")("""
+      WITH deduped AS (
+        SELECT doc_id, lang, text
+        FROM (SELECT doc_id, lang, text,
+                     row_number() OVER (PARTITION BY norm_text(text) ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1),
+      filtered AS (
+        SELECT doc_id, lang, text FROM deduped
+        WHERE token_count(text) >= 30 AND stopword_ratio(text) >= 0.02),
+      redacted AS (
+        SELECT doc_id, lang,
+               pii_redact(concat(text,
+                 CASE WHEN doc_id % 7 = 0 THEN concat(' reach user', CAST(doc_id AS STRING), '@corp.net') ELSE '' END)) AS red
+        FROM filtered)
+      SELECT lang,
+             CAST(count(*) AS INT) AS docs,
+             CAST(sum(token_count(red)) AS BIGINT) AS toks,
+             CAST(sum(CASE WHEN red LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS INT) AS redacted_docs
+      FROM redacted GROUP BY lang ORDER BY lang"""),
+
     // PII detection + redaction. The synthetic corpus is PII-free, so the
     // query injects deterministic emails/phones/IPs with plain-SQL arithmetic
     // (identical in the oracle) and the graft regex kernels are then checked
@@ -1348,6 +1374,35 @@ object SparkEntry {
         (32,201,-9220316287542623282,4784827273157339991,-2264336834369633954),(33,91,-9208807329249557250,3325327531380459382,-3326338457670507548),(34,59,-9124544591634825797,635362592008623724,-266346563060356482),(35,176,-9203380584388090031,4062374890595105603,-3866298072868475068),
         (36,48,-9214008326430153398,1420455035579107180,-8574389038301852656),(37,141,-9215418894821928750,5152917514426852878,-5029357682557753550),(38,76,-9165075898224780809,2276859161590981873,-2881294051690681090),(39,48,-9003727574540535701,3461309068325581885,-5076759431524973382)) v(doc_id, n_fp, fp_min, fp_max, fp_xor)
       ORDER BY doc_id""",
+
+    "q_pipeline_e2e" -> """
+      WITH deduped AS (
+        SELECT doc_id, lang, text
+        FROM (SELECT doc_id, lang, text,
+                     row_number() OVER (PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1),
+      filtered AS (
+        SELECT doc_id, lang, text FROM deduped
+        WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE length(regexp_split_to_array(trim(text), '\s+')) END) >= 30
+          AND (CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                 CAST(length(list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   x -> list_contains(['the','and','of','to','in','is','it','that','was','for','on','with','as','are','at','be','this','have','from','or','by','not','but'], x))) AS DOUBLE)
+                   / length(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END) >= 0.02),
+      redacted AS (
+        SELECT doc_id, lang,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp.net' ELSE '' END,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS red
+        FROM filtered)
+      SELECT lang,
+             CAST(count(*) AS INT) AS docs,
+             CAST(sum(CASE WHEN trim(red) = '' THEN 0 ELSE length(regexp_split_to_array(trim(red), '\s+')) END) AS BIGINT) AS toks,
+             CAST(sum(CASE WHEN red LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS INT) AS redacted_docs
+      FROM redacted GROUP BY lang ORDER BY lang""",
 
     // Same deterministic injection arithmetic, counts/redaction via the
     // oracle engine's own regex (RE2-class) — the patterns are restricted to
