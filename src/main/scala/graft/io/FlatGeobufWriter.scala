@@ -138,6 +138,12 @@ object FlatGeobufWriter {
 
   private val NodeSize = 16
 
+  /** (position in the spill file, encoded length, bbox) — the only per-feature
+    * state kept on the heap; encoded bytes spill to an executor-local temp
+    * file so a huge partition costs ~48 heap bytes per feature, not its
+    * serialized size. */
+  private final case class FeatMeta(pos: Long, len: Int, env: Envelope)
+
   def write(path: String, geomType: Int, fields: Seq[FgbField],
             rows: Iterator[(Geometry, Array[Any])],
             open: String => java.io.OutputStream =
@@ -145,41 +151,50 @@ object FlatGeobufWriter {
             index: Boolean = true): Long = {
     val out = open(path)
     var anyZ = false; var anyM = false
-    // encode each feature separately, tracking its bbox for the index
-    val feats = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Envelope)]
+    // the header needs count/anyZ/anyM and the index needs a Hilbert sort,
+    // both only known after the last row — so features stream to a temp file
+    // and are copied out (in index order) once the header can be written
+    val spill = java.io.File.createTempFile("graft_fgb", ".feat")
+    val metas = scala.collection.mutable.ArrayBuffer.empty[FeatMeta]
     try {
-      rows.foreach { case (g, attrs) =>
-        val fb = new Fbb(512)
-        // per-feature Z/M presence; the header flags record whether any did
-        val gz = g != null && Geo.geomHasZ(g)
-        val gm = g != null && Geo.geomHasM(g)
-        anyZ |= gz; anyM |= gm
-        val geomOff = if (g == null) 0 else writeGeometry(fb, g, gz, gm)
-        val propOff = writeProperties(fb, fields, attrs)
-        fb.startTable(3)
-        fb.slotOffset(0, geomOff)
-        fb.slotOffset(1, propOff)
-        val t = fb.endTable()
-        val env = if (g == null || g.isEmpty) null else g.getEnvelopeInternal
-        feats += ((fb.finish(t), env))
-      }
-      val count = feats.length.toLong
+      val tout = new BufferedOutputStream(new FileOutputStream(spill), 1 << 16)
+      var tpos = 0L
+      try {
+        rows.foreach { case (g, attrs) =>
+          val fb = new Fbb(512)
+          // per-feature Z/M presence; the header flags record whether any did
+          val gz = g != null && Geo.geomHasZ(g)
+          val gm = g != null && Geo.geomHasM(g)
+          anyZ |= gz; anyM |= gm
+          val geomOff = if (g == null) 0 else writeGeometry(fb, g, gz, gm)
+          val propOff = writeProperties(fb, fields, attrs)
+          fb.startTable(3)
+          fb.slotOffset(0, geomOff)
+          fb.slotOffset(1, propOff)
+          val t = fb.endTable()
+          val env = if (g == null || g.isEmpty) null else g.getEnvelopeInternal
+          val bytes = fb.finish(t)
+          tout.write(bytes)
+          metas += FeatMeta(tpos, bytes.length, env)
+          tpos += bytes.length
+        }
+      } finally tout.close()
+      val count = metas.length.toLong
       val withIndex = index && count > 0
 
-      if (withIndex) {
+      val ordered: IndexedSeq[FeatMeta] = if (withIndex) {
         // spec ordering: features sorted by Hilbert value of their bbox center
         val ext = new Envelope()
-        feats.foreach { case (_, e) => if (e != null) ext.expandToInclude(e) }
+        metas.foreach(m => if (m.env != null) ext.expandToInclude(m.env))
         if (ext.isNull) ext.expandToInclude(0, 0)
-        val sorted = feats.sortBy { case (_, e) =>
-          if (e == null) -1L
+        metas.sortBy { m =>
+          if (m.env == null) -1L
           else graft.geom.Curves.hilbert(
-            (e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
+            (m.env.getMinX + m.env.getMaxX) / 2, (m.env.getMinY + m.env.getMaxY) / 2,
             ext.getMinX, ext.getMinY, math.max(ext.getMaxX, ext.getMinX + 1e-12),
             math.max(ext.getMaxY, ext.getMinY + 1e-12))
-        }
-        feats.clear(); feats ++= sorted
-      }
+        }.toIndexedSeq
+      } else metas.toIndexedSeq
 
       // header
       val hb = new Fbb(512)
@@ -205,19 +220,25 @@ object FlatGeobufWriter {
       out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
       out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(headerBytes.length).array())
       out.write(headerBytes)
-      if (withIndex) out.write(packedRTree(feats))
-      feats.foreach { case (bytes, _) =>
-        out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(bytes.length).array())
-        out.write(bytes)
-      }
-    } finally out.close()
-    feats.length.toLong
+      if (withIndex) out.write(packedRTree(ordered))
+      val raf = new java.io.RandomAccessFile(spill, "r")
+      try {
+        ordered.foreach { m =>
+          val bytes = new Array[Byte](m.len)
+          raf.seek(m.pos)
+          raf.readFully(bytes)
+          out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(m.len).array())
+          out.write(bytes)
+        }
+      } finally raf.close()
+    } finally { out.close(); spill.delete() }
+    metas.length.toLong
   }
 
   /** Packed Hilbert R-tree per the FlatGeobuf spec: 40-byte nodes (4 doubles
    *  + uint64), levels laid out root-first, leaf offsets = byte offsets into
    *  the data section, internal offsets = node index of the first child. */
-  private def packedRTree(feats: scala.collection.Seq[(Array[Byte], Envelope)]): Array[Byte] = {
+  private def packedRTree(feats: scala.collection.Seq[FeatMeta]): Array[Byte] = {
     val n = feats.length
     // level sizes, leaf level first
     val sizes = scala.collection.mutable.ArrayBuffer(n)
@@ -237,14 +258,15 @@ object FlatGeobufWriter {
     var off = 0L
     var i = 0
     while (i < n) {
-      val (bytes, e) = feats(i)
+      val m = feats(i)
+      val e = m.env
       val idx = leafStart + i
       if (e != null) {
         minsX(idx) = e.getMinX; minsY(idx) = e.getMinY
         maxsX(idx) = e.getMaxX; maxsY(idx) = e.getMaxY
       }
       offs(idx) = off
-      off += 4 + bytes.length
+      off += 4 + m.len
       i += 1
     }
     // aggregate upward: each level's parents cover runs of NodeSize children

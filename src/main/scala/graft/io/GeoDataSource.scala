@@ -94,6 +94,52 @@ object GeoFiles {
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
+  /** Lines whose first byte lies in [from, to) — the standard split contract
+    * for newline-delimited text (Hadoop TextInputFormat semantics): a range
+    * starting past 0 skips the partial line it lands in; the line straddling
+    * `to` belongs to the range that contains its first byte. Byte-counted on
+    * the raw stream ('\n' = 0x0A never occurs inside a UTF-8 multibyte
+    * sequence), so ranges compose exactly regardless of character content. */
+  def lineRange(path: String, from: Long, until: Long): Iterator[String] = {
+    val fis = new java.io.FileInputStream(path)
+    // start one byte early and always skip through the first '\n': if byte
+    // from-1 IS a newline, only that byte is consumed and the line starting
+    // exactly at `from` is kept — otherwise we'd drop boundary-aligned lines
+    // (both this range and the previous one would skip them)
+    if (from > 0) fis.getChannel.position(from - 1)
+    val in = new java.io.BufferedInputStream(fis, 1 << 16)
+    var pos = from
+    if (from > 0) {
+      pos = from - 1
+      var b = in.read()
+      while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+      if (b != -1) pos += 1
+    }
+    new Iterator[String] {
+      private var nextLine: String = null
+      private var closed = false
+      private def advance(): Unit = {
+        if (closed || nextLine != null) return
+        if (pos >= until) { close(); return }
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var b = in.read()
+        if (b == -1) { close(); return }
+        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+        if (b != -1) pos += 1
+        val bytes = buf.toByteArray
+        val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+        nextLine = new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      private def close(): Unit = { closed = true; try in.close() catch { case _: Exception => } }
+      override def hasNext: Boolean = { advance(); nextLine != null }
+      override def next(): String = {
+        advance()
+        if (nextLine == null) throw new NoSuchElementException
+        val l = nextLine; nextLine = null; l
+      }
+    }
+  }
+
   /** Reader for a possibly-gzipped text file. */
   def textReader(path: String): java.io.BufferedReader = {
     val in: java.io.InputStream = {
@@ -292,6 +338,22 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
         val per = (roots.size + chunks - 1) / chunks
         roots.grouped(per).map(g => GpkgPartition(p, g.toArray): InputPartition)
       }.toArray
+    case "geojsonl" =>
+      // newline-aligned byte-range splits: a 10 GB .geojsonl becomes ~160
+      // tasks. Gzipped files aren't seekable — they stay one task each.
+      val target =
+        try org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.jsonl.splitBytes", (64L << 20).toString).toLong
+        catch { case _: Exception => 64L << 20 }
+      paths.flatMap { p =>
+        if (p.toLowerCase.endsWith(".gz")) Seq(FilePartition(p): InputPartition)
+        else {
+          val len = new java.io.File(p).length()
+          if (len == 0) Seq(JsonlRangePartition(p, 0L, 0L): InputPartition)
+          else (0L until len by target).map(s =>
+            JsonlRangePartition(p, s, math.min(len, s + target)): InputPartition)
+        }
+      }.toArray
     case _ => paths.map(p => FilePartition(p): InputPartition).toArray
   }
 
@@ -300,6 +362,7 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
 }
 
 case class FilePartition(path: String) extends InputPartition
+case class JsonlRangePartition(path: String, fromOff: Long, toOff: Long) extends InputPartition
 case class GpkgPartition(path: String, subtreeRoots: Array[Long]) extends InputPartition
 case class FgbRangePartition(path: String, fromOff: Long, toOff: Long) extends InputPartition
 case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
@@ -315,7 +378,11 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         // stream the FeatureCollection: a multi-GB document must not be
         // materialized as one String/byte[]
         GeoJsonFile.streamDocument(GeoFiles.textReader(p)).map(GeoRows.featureRow(_, required))
-      case ("geojsonl", FilePartition(p)) =>
+      case ("geojsonl", JsonlRangePartition(p, from, to)) =>
+        GeoFiles.lineRange(p, from, to)
+          .flatMap(GeoJsonFile.parseLine)
+          .map(GeoRows.featureRow(_, required))
+      case ("geojsonl", FilePartition(p)) => // gzipped: not seekable, one task
         val br = GeoFiles.textReader(p)
         Iterator.continually(br.readLine()).takeWhile(_ != null)
           .flatMap(GeoJsonFile.parseLine)

@@ -67,7 +67,16 @@ object SqliteWriter {
   }
 
   /** In-memory database under construction. Page 1 is reserved for
-   *  sqlite_master; data pages are appended from page 2. */
+   *  sqlite_master; data pages are appended from page 2.
+   *
+   *  Memory bound: the whole database is built in heap pages (the sqlite
+   *  header on page 1 needs the final page count, and B-tree interiors are
+   *  laid out after their leaves), so a GeoPackage write costs ~1x the
+   *  output file size per partition. That is the same order as the input
+   *  partition the executor just held; partitions sized for scan memory
+   *  (~64-256 MB) are safe. Writing a multi-GB single file through
+   *  singleFile mode concentrates this on one task — use per-partition
+   *  output (the default) for large tables. */
   final class Db {
     private val pages = ArrayBuffer[Array[Byte]](new Array[Byte](PageSize)) // page 1 placeholder
     private def alloc(): Int = { pages += new Array[Byte](PageSize); pages.length }

@@ -111,6 +111,35 @@ class GeoIOSpec extends AnyFunSuite {
     assert(wkts.toSeq == Seq("POINT (5 6)", "POINT (7 8)"))
   }
 
+  test("geojsonl byte-range splits read the same rows as a whole-file scan") {
+    // 500 one-line features with variable-length properties so line lengths differ
+    val sb = new StringBuilder
+    (0 until 500).foreach { i =>
+      sb.append(s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$i,${i * 2}]},"properties":{"tag":"${"x" * (i % 37)}","n":"$i"}}""")
+      sb.append('\n')
+    }
+    Files.writeString(Paths.get(s"$dir/many.geojsonl"), sb.toString)
+
+    def readAll(): Seq[String] = {
+      val df = spark.read.format("geo").load(s"$dir/many.geojsonl")
+      df.createOrReplaceTempView("many")
+      spark.sql("SELECT concat(st_astext(geom), '|', properties['n']) FROM many")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    val whole = readAll()
+    assert(whole.length == 500)
+
+    // force ~tiny ranges: every line straddles or abuts a split boundary somewhere
+    spark.conf.set("spark.graft.jsonl.splitBytes", "257")
+    try {
+      val split = readAll()
+      assert(split == whole)
+      // and the plan really did split into many partitions
+      val n = spark.read.format("geo").load(s"$dir/many.geojsonl").rdd.getNumPartitions
+      assert(n > 10, s"expected many range partitions, got $n")
+    } finally spark.conf.unset("spark.graft.jsonl.splitBytes")
+  }
+
   // ------------------------------------------------------------- OSM PBF fixture
   private class Pb {
     private val out = new java.io.ByteArrayOutputStream()
