@@ -556,6 +556,60 @@ object SparkEntry {
       GROUP BY d.doc_id, b.bench_id
       ORDER BY doc_id, bench_id"""),
 
+    // BM25 corpus ranking (Robertson/Sparck Jones IDF, k1=1.2 b=0.75) against
+    // a fixed query-term set, as one distributed plan: tokenize map-side,
+    // filter to the query terms BEFORE any shuffle (only matching tokens move),
+    // tf = groupBy(doc, term); df and avgdl are tiny aggregates Spark
+    // broadcasts back. No all-pairs, no driver state. Token counts are
+    // integer-valued doubles (exact under any summation order); the only
+    // transcendental is ln(), masked by round(,6) like q_quality2's entropy.
+    "q_bm25" -> q("documents")("""
+      WITH tok AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
+        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term)
+      SELECT tf.doc_id,
+             CAST(count(*) AS INT) AS n_terms,
+             round(sum(ln(1.0d + (s.n - df.dfc + 0.5d) / (df.dfc + 0.5d)) *
+                       tf.f * 2.2d / (tf.f + 1.2d * (0.25d + 0.75d * dl.len / s.avgdl))), 6) AS bm25
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id
+      ORDER BY tf.doc_id"""),
+
+    // Paragraph-level dedup (the CCNet preprocessing step): corpus-wide, a
+    // duplicated paragraph survives only in its first (doc_id, position)
+    // occurrence. The synthetic docs are single-line, so multi-paragraph
+    // docs are BUILT deterministically from substrings of three source docs
+    // — overlap across built docs is guaranteed and the oracle rebuilds the
+    // same corpus. posexplode → hash-partition by normalized paragraph →
+    // window rank: one shuffle by paragraph key, no all-pairs.
+    "q_paragraph_dedup" -> q("documents")("""
+      WITH built AS (
+        SELECT a.doc_id,
+               concat(substr(a.text, 1, 180), '\n\n', substr(b.text, 1, 180), '\n\n', substr(c.text, 1, 180)) AS text
+        FROM documents a
+        JOIN documents b ON b.doc_id = (a.doc_id * 7 + 3) % 500
+        JOIN documents c ON c.doc_id = (a.doc_id * 13 + 11) % 500),
+      paras AS (
+        SELECT doc_id, pos AS para_idx, para
+        FROM built LATERAL VIEW posexplode(split(text, '\n\n')) p AS pos, para),
+      ranked AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY norm_text(para) ORDER BY doc_id, para_idx) AS rn
+        FROM paras)
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_paras,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""),
+
     // ---------------------------------------------------------- LLM pipeline: text analysis
     // End-to-end training-data pipeline in ONE query: exact dedup (normalized
     // text) → quality filter (token count + stopword ratio) → PII redaction →
@@ -1354,6 +1408,53 @@ object SparkEntry {
       FROM dg d JOIN bg b ON d.g = b.g
       GROUP BY d.doc_id, b.bench_id
       ORDER BY doc_id, bench_id""",
+
+    // Identical IEEE expression tree (1-0.75 = 0.25 exactly in binary); the
+    // tokenization mirrors word_ngrams(text, 1) = normalize + split.
+    "q_bm25" -> """
+      WITH tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+              FROM documents)
+        WHERE t IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      dl AS (SELECT doc_id,
+                    CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS len
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term)
+      SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS INT) AS n_terms,
+             round(sum(ln(1.0 + (s.n - df.dfc + 0.5) / (df.dfc + 0.5)) *
+                       tf.f * 2.2 / (tf.f + 1.2 * (0.25 + 0.75 * dl.len / s.avgdl))), 6) AS bm25
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id
+      ORDER BY doc_id""",
+
+    "q_paragraph_dedup" -> """
+      WITH built AS (
+        SELECT a.doc_id,
+               substr(a.text, 1, 180) || chr(10) || chr(10) || substr(b.text, 1, 180) || chr(10) || chr(10) || substr(c.text, 1, 180) AS text
+        FROM documents a
+        JOIN documents b ON b.doc_id = (a.doc_id * 7 + 3) % 500
+        JOIN documents c ON c.doc_id = (a.doc_id * 13 + 11) % 500),
+      paras AS (
+        SELECT doc_id, unnest([{'para_idx': i - 1, 'para': ps[i]} for i in range(1, length(ps) + 1)], recursive := true)
+        FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM built)),
+      ranked AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) ORDER BY doc_id, para_idx) AS rn
+        FROM paras)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS INT) AS n_paras,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
+      FROM ranked GROUP BY doc_id ORDER BY doc_id""",
 
     // Winnowing pins from the verified run (density sanity-checked against
     // the paper's expected 2/(w+1); window guarantee asserted structurally in

@@ -371,6 +371,10 @@ object TextFns {
       new GenericArrayData(winnow(str(a(0)), int(a(1)), int(a(2)))))
     fn("doc_fingerprint", L, Seq(S))(a => fingerprint(str(a(0))))
     fn("norm_text", S, Seq(S))(a => utf(normalize(str(a(0)))))
+    // raw (non-distinct) normalized tokens — term frequencies need duplicates,
+    // unlike word_ngrams' distinct sets
+    fn("norm_tokens", ArrayType(S), Seq(S))(a =>
+      new GenericArrayData(wsTokens(normalize(str(a(0)))).map(utf): Array[Any]))
     fn("char_shingles", ArrayType(S), Seq(S, I))(a =>
       new GenericArrayData(charShingles(str(a(0)), int(a(1))).map(utf): Array[Any]))
     fn("word_ngrams", ArrayType(S), Seq(S, I))(a =>

@@ -31,6 +31,15 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(sql1("pii_emails('no at signs')") == 0)
   }
 
+  // ---------------------------------------------------------- tokenization
+
+  test("norm_tokens keeps duplicates (term frequency), word_ngrams dedupes") {
+    assert(sql1("size(norm_tokens('The the  THE cat'))") == 4)
+    assert(sql1("size(word_ngrams('The the  THE cat', 1))") == 2)
+    assert(sql1("norm_tokens('  A  b ')").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("a", "b"))
+    assert(sql1("size(norm_tokens(''))") == 0)
+  }
+
   // ------------------------------------------------------------- winnowing
 
   test("winnowing guarantee: every w-window of shingle hashes contains a selected hash") {
