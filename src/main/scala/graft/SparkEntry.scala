@@ -780,6 +780,35 @@ object SparkEntry {
       FROM (SELECT rhp_lsh_bucket(cast(embedding AS ARRAY<DOUBLE>), 8, 7) AS bucket, label FROM embeddings)
       GROUP BY bucket ORDER BY bucket"""),
 
+    // Product quantization (Jegou 2011): codebooks from the first 16 vectors
+    // (8 subspaces x 16 codewords — replicable in plain SQL, so the WHOLE PQ
+    // pipeline has an independent oracle, not a pin), corpus encoded to 8
+    // ints per vector, queries score candidates via ADC table lookups. This
+    // query is the ADC full-scan baseline; the IVF-composed pruned path is
+    // PqSpec. Ranking compares ROUNDED distances so cross-engine last-ulp
+    // float-sum noise can't reorder near-ties.
+    "q_ann_pq" -> q("embeddings")("""
+      WITH cb AS (
+        SELECT transform(sequence(0, 7), mi ->
+                 transform(cws, c -> slice(c, mi * 8 + 1, 8))) AS cbs
+        FROM (SELECT transform(sort_array(collect_list(struct(vec_id, cast(embedding AS array<double>) AS v))),
+                               s -> s.v) AS cws
+              FROM embeddings WHERE vec_id < 16)),
+      codes AS (
+        SELECT vec_id AS nid, pq_encode(cast(embedding AS array<double>), cbs) AS codes
+        FROM embeddings CROSS JOIN cb),
+      qs AS (
+        SELECT vec_id AS qid, pq_lut(cast(embedding AS array<double>), cbs) AS lut
+        FROM embeddings CROSS JOIN cb WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, nid, round(pq_adc(codes, lut), 6) AS adc
+        FROM qs CROSS JOIN codes WHERE qid <> nid)
+      SELECT qid, nid, adc, rn
+      FROM (SELECT qid, nid, adc,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+            FROM scored)
+      WHERE rn <= 5 ORDER BY qid, rn"""),
+
     // ---------------------------------------------------------- LLM pipeline: multimodal (stub decode)
     "q_multimodal" -> q("documents")("""
       SELECT doc_id, m.width AS width, m.height AS height, m.nbytes AS nbytes, m.format AS fmt
@@ -1797,6 +1826,33 @@ $minhashPairPins) v(da, db, j)
         (77,100077,0.923007),(79,100079,0.930367),(82,100082,0.922768),(83,100083,0.917981),(86,100086,0.942034),(87,100087,0.921573),
         (88,100088,0.938586),(93,100093,0.930706),(98,100098,0.924193)) v(va, vb, sim)
       ORDER BY va, vb""",
+
+    // Full PQ pipeline recomputed independently: per-(vector, subspace,
+    // codeword) squared L2 via list comprehension (index-order sums match the
+    // kernel's loops), argmin by (d, cw) = the kernel's strict-< lowest-k tie
+    // rule, ADC re-derived as sum of the query's OWN subdistances at the
+    // neighbor's codewords.
+    "q_ann_pq" -> """
+      WITH vecs AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      cwl AS (SELECT vec_id AS cw, v FROM vecs WHERE vec_id < 16),
+      sub AS (
+        SELECT vecs.vec_id, ms.m, cwl.cw,
+               list_sum([ (vecs.v[ms.m * 8 + j] - cwl.v[ms.m * 8 + j]) * (vecs.v[ms.m * 8 + j] - cwl.v[ms.m * 8 + j])
+                          for j in range(1, 9)]) AS d
+        FROM vecs, cwl, (SELECT unnest(range(0, 8)) AS m) ms),
+      codes AS (
+        SELECT vec_id, m, cw
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw) AS rn FROM sub)
+        WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS qid, c.vec_id AS nid, round(sum(qd.d), 6) AS adc
+        FROM (SELECT * FROM sub WHERE vec_id < 10) qd
+        JOIN codes c ON c.m = qd.m AND c.cw = qd.cw
+        WHERE c.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, adc, CAST(rn AS INT) AS rn
+      FROM (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn FROM adc)
+      WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q_ann_lsh" -> """
       SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS INT) AS n, CAST(labels AS INT) AS labels

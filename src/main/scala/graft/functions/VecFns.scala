@@ -118,6 +118,86 @@ object VecFns {
         dists.take(math.min(nprobe, dists.length)).map(_._2: Any))
     }
 
+    // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011): the
+    // billion-scale ANN memory path. Codebooks are ARRAY<ARRAY<ARRAY<DOUBLE>>>
+    // (subspace m × codeword k × dim/M); a 64-dim float vector encodes to
+    // M small ints (8 bytes at M=8 — 32x smaller than the float[64]). All
+    // loops accumulate in index order for bit-reproducibility.
+    val AAD = ArrayType(AD)
+    val AAAD = ArrayType(AAD)
+    // squared L2 between v's m-th subvector and a codeword
+    def subDist(v: ArrayData, base: Int, c: ArrayData): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < c.numElements()) {
+        val d = v.getDouble(base + j) - c.getDouble(j)
+        s += d * d
+        j += 1
+      }
+      s
+    }
+    fn("pq_encode", ArrayType(I), Seq(AD, AAAD)) { a =>
+      val v = arr(a(0)); val cbs = arr(a(1))
+      val m = cbs.numElements()
+      val sub = if (m == 0) 0 else v.numElements() / m
+      val out = new Array[Any](m)
+      var mi = 0
+      while (mi < m) {
+        val cb = cbs.getArray(mi)
+        var best = 0
+        var bestD = Double.MaxValue
+        var ki = 0
+        while (ki < cb.numElements()) {
+          val d = subDist(v, mi * sub, cb.getArray(ki))
+          if (d < bestD) { bestD = d; best = ki } // strict < : ties keep lowest k
+          ki += 1
+        }
+        out(mi) = best
+        mi += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    fn("pq_decode", AD, Seq(ArrayType(I), AAAD)) { a =>
+      val codes = arr(a(0)); val cbs = arr(a(1))
+      val m = cbs.numElements()
+      val parts = Array.tabulate(m)(mi => cbs.getArray(mi).getArray(codes.getInt(mi)))
+      val sub = if (m == 0) 0 else parts(0).numElements()
+      val out = new Array[Any](m * sub)
+      var mi = 0
+      while (mi < m) {
+        var j = 0
+        while (j < sub) { out(mi * sub + j) = parts(mi).getDouble(j); j += 1 }
+        mi += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    // query-side lookup table: lut[m][k] = ||q_m - codebook[m][k]||^2
+    fn("pq_lut", AAD, Seq(AD, AAAD)) { a =>
+      val v = arr(a(0)); val cbs = arr(a(1))
+      val m = cbs.numElements()
+      val sub = if (m == 0) 0 else v.numElements() / m
+      val out = new Array[Any](m)
+      var mi = 0
+      while (mi < m) {
+        val cb = cbs.getArray(mi)
+        val row = new Array[Any](cb.numElements())
+        var ki = 0
+        while (ki < cb.numElements()) { row(ki) = subDist(v, mi * sub, cb.getArray(ki)); ki += 1 }
+        out(mi) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+        mi += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    // asymmetric distance computation: approximate ||q - n||^2 from n's codes
+    // and q's lut — by construction EXACTLY ||q - pq_decode(codes)||^2
+    fn("pq_adc", D, Seq(ArrayType(I), AAD)) { a =>
+      val codes = arr(a(0)); val lut = arr(a(1))
+      var s = 0.0
+      var mi = 0
+      while (mi < codes.numElements()) { s += lut.getArray(mi).getDouble(codes.getInt(mi)); mi += 1 }
+      s
+    }
+
     // Multimodal column stubs: the container has no image/audio codecs, so the
     // decode step is a DETERMINISTIC FAKE computed from the raw bytes; the
     // Spark-side plumbing (binary column in, typed metadata struct out,
