@@ -195,6 +195,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // take the broadcast R-tree plan, everything else tiles
     ext.injectOptimizerRule(spark => new graft.plans.BroadcastSpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SpatialJoinRule(spark))
+    ext.injectOptimizerRule(spark => new graft.plans.RangeJoinRule(spark))
     ext.injectPlannerStrategy(spark => new graft.plans.GraftJoinStrategy(spark))
     ext.injectOptimizerRule(spark => new graft.plans.BboxSkippingRule(spark))
     ext.injectOptimizerRule(spark => new graft.plans.SaltedUnionAggRule(spark))

@@ -485,6 +485,23 @@ object SparkEntry {
       SELECT event_type, cast(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    // As-of join (operators/AsofJoin): every event enriched with the most
+    // recent purchase at or before it, per user — union-tag + running-window,
+    // ONE shuffle, no range explosion. Oracle = DuckDB's native ASOF LEFT
+    // JOIN over the same parquet.
+    "q_asof_join" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val markers = ev.where("event_type = 'purchase'")
+        .selectExpr("user_id", "ts", "event_id AS mid", "value AS mval")
+      graft.operators.AsofJoin.asof(ev, markers, Seq("user_id"), "ts", "ts",
+          Seq("mid", "mval"), "m_")
+        .selectExpr("event_id", "m_mid", "m_mval")
+        .orderBy("event_id")
+    }),
+
     // Radius join through the broadcast R-tree path: 64 POIs broadcast, the
     // fact table streams, st_dwithin(…, const) expands the probe envelope.
     // Oracle = exact squared-distance arithmetic on integer coordinates.
@@ -498,6 +515,22 @@ object SparkEntry {
               FROM lineitem)
       SELECT k, poi FROM pts JOIN pois ON st_dwithin(st_point(x, y), cpt, 2.0d)
       ORDER BY k, poi"""),
+
+    // Numeric interval join through RangeJoinRule: a BETWEEN join with no
+    // equi-key would be a BroadcastNestedLoopJoin pair scan; the rule bins
+    // the value axis (floor(v/w)) so it runs as a hash-partitioned equi-join
+    // with the BETWEEN as exact residual. Integer-derived doubles → exact.
+    "q_interval_join" -> q("lineitem")(s"""
+      WITH intervals AS (
+        SELECT CAST(id AS BIGINT) AS iid,
+               CAST((id * 37) % 991 AS DOUBLE) AS lo,
+               CAST((id * 37) % 991 + id % 13 AS DOUBLE) AS hi
+        FROM range(0, 200)),
+      pts AS (SELECT $K AS k,
+                     CAST((l_partkey * 3 + l_suppkey) % 991 AS DOUBLE) AS v
+              FROM lineitem)
+      SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
+      ORDER BY k, iid"""),
 
     // ---------------------------------------------------------- LLM pipeline: dedup
     "q_dedup_exact" -> q("documents")("""
@@ -1397,6 +1430,18 @@ object SparkEntry {
       SELECT event_type, CAST(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // DuckDB's native ASOF LEFT JOIN — independent engine implementation of
+    // the same inclusive most-recent-marker semantics
+    "q_asof_join" -> """
+      SELECT e.event_id,
+             m.mid AS m_mid,
+             m.mval AS m_mval
+      FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id AS mid, value AS mval
+            FROM events WHERE event_type = 'purchase') m
+        ON e.user_id = m.user_id AND e.ts >= m.ts
+      ORDER BY e.event_id""",
+
     "q_dedup_exact" -> """
       SELECT doc_id, CAST(cnt AS INT) AS group_size
       FROM (SELECT doc_id,
@@ -1790,6 +1835,21 @@ $minhashPairPins) v(da, db, j)
       SELECT k, poi FROM pts JOIN pois
         ON (x - cx) * (x - cx) + (y - cy) * (y - cy) <= 4.0
       ORDER BY k, poi""",
+
+    // DuckDB executes this natively as an IEJoin — the same plan class the
+    // reference's spatial rewriter targets; graft's RangeJoinRule is the
+    // distributed counterpart
+    "q_interval_join" -> s"""
+      WITH intervals AS (
+        SELECT CAST(i AS BIGINT) AS iid,
+               CAST((i * 37) % 991 AS DOUBLE) AS lo,
+               CAST((i * 37) % 991 + i % 13 AS DOUBLE) AS hi
+        FROM range(0, 200) t(i)),
+      pts AS (SELECT $K AS k,
+                     CAST((l_partkey * 3 + l_suppkey) % 991 AS DOUBLE) AS v
+              FROM lineitem)
+      SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
+      ORDER BY k, iid""",
 
     // Independent transitive closure over the same verified pair pins: the
     // recursive CTE computes full reachability, then min-reduces — a

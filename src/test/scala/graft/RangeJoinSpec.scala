@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binned interval join: a BETWEEN join with no equi-key must leave the
+  * BroadcastNestedLoopJoin/CartesianProduct class and become a bin equi-join
+  * (hash-partitionable), with results identical to the naive plan. */
+class RangeJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def setup(): Unit = {
+    spark.sql("""
+      SELECT id AS pid, CAST((id * 13) % 9973 AS DOUBLE) AS x
+      FROM range(0, 20000)""").createOrReplaceTempView("rj_points")
+    spark.sql("""
+      SELECT id AS iid,
+             CAST((id * 37) % 9900 AS DOUBLE) AS lo,
+             CAST((id * 37) % 9900 + (id % 17) AS DOUBLE) AS hi
+      FROM range(0, 3000)""").createOrReplaceTempView("rj_intervals")
+  }
+
+  private def pairs(sql: String): Set[(Long, Long)] =
+    spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("BETWEEN join rewrites to a bin equi-join and matches the naive result") {
+    setup()
+    val sql = "SELECT pid, iid FROM rj_points p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), s"range-join rewrite did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"still a pair-scan join:\n$plan")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty,
+      s"rewrite changed results: n_fast=${fast.size} n_naive=${naive.size} " +
+        s"only-fast=${(fast -- naive).take(5)} only-naive=${(naive -- fast).take(5)}")
+  }
+
+  test("strict bounds, reversed operand order, point side on the right") {
+    setup()
+    // interval table first, bounds written as lo < x / hi > x
+    val sql = """SELECT iid, pid FROM rj_intervals i JOIN rj_points p
+                 ON i.lo < p.x AND i.hi > p.x"""
+    val df = spark.sql(sql)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("equi-conjunct joins are left alone") {
+    setup()
+    val sql = """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+                 ON p.pid % 100 = i.iid % 100 AND p.x BETWEEN i.lo AND i.hi"""
+    val df = spark.sql(sql)
+    assert(!df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+      "rewrite fired despite an existing equi-key")
+  }
+
+  test("reversed (hi < lo) and NULL intervals produce no pairs and no errors") {
+    spark.sql("SELECT id AS pid, CAST(id AS DOUBLE) AS x FROM range(0, 100)")
+      .createOrReplaceTempView("rj_p2")
+    spark.sql("""
+      SELECT id AS iid,
+             CASE WHEN id = 0 THEN CAST(NULL AS DOUBLE) WHEN id = 1 THEN 90.0d ELSE 10.0d END AS lo,
+             CASE WHEN id = 1 THEN 5.0d ELSE 20.0d END AS hi
+      FROM range(0, 3)""").createOrReplaceTempView("rj_i2")
+    val got = pairs("SELECT pid, iid FROM rj_p2 p JOIN rj_i2 i ON p.x >= i.lo AND p.x <= i.hi")
+    assert(got == (10L to 20L).map(p => (p, 2L)).toSet)
+  }
+
+  test("timestamp intervals bin correctly") {
+    spark.sql("""
+      SELECT id AS pid, timestamp_seconds(1700000000 + id * 60) AS ts
+      FROM range(0, 5000)""").createOrReplaceTempView("rj_tsp")
+    spark.sql("""
+      SELECT id AS iid, timestamp_seconds(1700000000 + id * 3600) AS lo,
+             timestamp_seconds(1700000000 + id * 3600 + 600) AS hi
+      FROM range(0, 50)""").createOrReplaceTempView("rj_tsi")
+    val sql = "SELECT pid, iid FROM rj_tsp p JOIN rj_tsi i ON p.ts BETWEEN i.lo AND i.hi"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty)
+  }
+}
