@@ -746,6 +746,48 @@ object SparkEntry {
               SELECT CAST(1001 AS BIGINT), concat('aaaa', chr(10), chr(10), 'bb')))
       ORDER BY doc_id"""),
 
+    // Gopher repetition/layout filters (Rae et al. 2021 Table A1): duplicate
+    // line fractions (count + chars), bullet/ellipsis line fractions,
+    // symbol-to-word ratio, alphabetic-word fraction — fixed rows exercise
+    // every branch; oracle recomputes from DuckDB list machinery
+    "q_gopher" -> q("documents")("""
+      SELECT doc_id,
+             round(g.dup_line_frac, 6) AS dup_line_frac,
+             round(g.dup_line_char_frac, 6) AS dup_line_char_frac,
+             round(g.bullet_line_frac, 6) AS bullet_line_frac,
+             round(g.ellipsis_line_frac, 6) AS ellipsis_line_frac,
+             round(g.symbol_word_ratio, 6) AS symbol_word_ratio,
+             round(g.alpha_word_frac, 6) AS alpha_word_frac
+      FROM (SELECT doc_id, gopher_stats(text) AS g FROM (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT CAST(2000 AS BIGINT),
+                     concat('- item one', chr(10), '- item two', chr(10), '- item one', chr(10), 'to be continued...')
+              UNION ALL
+              SELECT CAST(2001 AS BIGINT),
+                     concat('## Header', chr(10), '• bullet', chr(10), 'trailing…', chr(10), '12345 !!!')))
+      ORDER BY doc_id"""),
+
+    // URL canonicalization dedup: 420 noisy URLs (case variants, default
+    // ports, tracking params, fragments, trailing slashes) collapse into
+    // canonical groups. The oracle never parses — it derives each canonical
+    // form directly from the same id arithmetic, so the normalizer's parse +
+    // rewrite is checked end to end.
+    "q_url_dedup" -> q("lineitem")("""
+      WITH urls AS (
+        SELECT id,
+               concat(CASE WHEN id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+                      CASE id % 3 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.Sample.org' ELSE 'data.site.net' END,
+                      CASE id % 4 WHEN 0 THEN CASE WHEN id % 2 = 0 THEN ':443' ELSE ':80' END
+                                  WHEN 1 THEN ':8080' ELSE '' END,
+                      CASE id % 5 WHEN 0 THEN '/a/b/' WHEN 1 THEN '' ELSE '/x' END,
+                      CASE id % 6 WHEN 0 THEN '?utm_source=tw&b=2&a=1' WHEN 1 THEN '?b=2&a=1'
+                                  WHEN 2 THEN '?fbclid=xyz' WHEN 3 THEN '?a=1' ELSE '' END,
+                      CASE WHEN id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM range(0, 420))
+      SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
+      FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
+
     // stopword vote over the synthetic docs + fixed snippets exercising the
     // Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th) and the nl/sv lists
     "q_lang_id" -> q("documents")("""
@@ -798,6 +840,35 @@ object SparkEntry {
             FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
       WHERE sim >= 0.85d
       ORDER BY va, vb"""),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space, then
+    // drop any vector whose cosine to an EARLIER vector in its cluster exceeds
+    // tau (the released implementation's upper-triangular max rule). Centroids
+    // here are the first 8 corpus vectors so the oracle recomputes the WHOLE
+    // pipeline — assignment, pairwise sims, survivor set — independently.
+    // Scale shape: centroid assignment is a broadcast cross-score; the
+    // quadratic step is bounded per cluster, never corpus-wide.
+    "q_semdedup" -> q("embeddings")("""
+      WITH corpus AS (
+        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
+        FROM embeddings WHERE vec_id < 200),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+      scored AS (
+        SELECT c.vec_id, c.v, t.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY vec_cosine(c.v, t.cv) DESC, t.cid) AS rn
+        FROM corpus c CROSS JOIN cents t),
+      assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE vec_cosine(a.v, b.v) >= 0.9d)
+      SELECT s.vec_id, s.cid
+      FROM assigned s LEFT ANTI JOIN dropped d ON s.vec_id = d.vec_id
+      ORDER BY s.vec_id"""),
 
     "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -1660,6 +1731,57 @@ object SparkEntry {
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
 
+    // canonical forms derived straight from the id arithmetic — lowercased
+    // scheme/host, www. stripped, :8080 the only surviving port, sorted
+    // tracker-free query, no fragment, no trailing slash
+    "q_url_dedup" -> """
+      WITH parts AS (
+        SELECT i,
+               CASE WHEN i % 2 = 0 THEN 'https' ELSE 'http' END AS sch,
+               CASE i % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.org' ELSE 'data.site.net' END AS host,
+               CASE WHEN i % 4 = 1 THEN ':8080' ELSE '' END AS port,
+               CASE i % 5 WHEN 0 THEN '/a/b' WHEN 1 THEN '' ELSE '/x' END AS path,
+               CASE i % 6 WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?a=1&b=2' WHEN 3 THEN '?a=1' ELSE '' END AS qq
+        FROM range(0, 420) t(i))
+      SELECT concat(sch, '://', host, port, path, qq) AS nurl, CAST(count(*) AS INT) AS n
+      FROM parts GROUP BY 1 ORDER BY nurl""",
+
+    // independent recompute: dup-chars = total-line-chars minus
+    // distinct-line-chars (≡ Σ(count-1)·len), line classes via RE2 regexes,
+    // same [ \t]-edge and ASCII-alpha conventions
+    "q_gopher" -> """
+      WITH src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT CAST(2000 AS BIGINT),
+               concat('- item one', chr(10), '- item two', chr(10), '- item one', chr(10), 'to be continued...')
+        UNION ALL
+        SELECT CAST(2001 AS BIGINT),
+               concat('## Header', chr(10), '• bullet', chr(10), 'trailing…', chr(10), '12345 !!!')),
+      t AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS ls,
+               CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM src),
+      m AS (
+        SELECT doc_id, text, ls, toks,
+               coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS total_chars,
+               coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS distinct_chars
+        FROM t)
+      SELECT doc_id,
+             round((len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE), 6) AS dup_line_frac,
+             round(CASE WHEN total_chars = 0 THEN 0.0 ELSE
+               (total_chars - distinct_chars) / CAST(total_chars AS DOUBLE) END, 6) AS dup_line_char_frac,
+             round(len(list_filter(ls, x -> regexp_matches(x, '^[ \t]*[-*•]'))) / CAST(len(ls) AS DOUBLE), 6) AS bullet_line_frac,
+             round(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_line_frac,
+             round((length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    + length(text) - length(replace(text, '…', '')))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_word_ratio,
+             round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE) END, 6) AS alpha_word_frac
+      FROM m ORDER BY doc_id""",
+
     "q_ann_bruteforce" -> """
       SELECT qid, nid
       FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
@@ -1873,6 +1995,35 @@ $minhashPairPins) v(da, db, j)
              CAST(count(*) OVER (PARTITION BY component) AS INT) AS cluster_size,
              id = component AS is_canonical
       FROM lab ORDER BY doc_id""",
+
+    // full independent recompute: same centroid assignment (row_number over
+    // cosine), same upper-triangular drop rule, NOT EXISTS for the anti join
+    "q_semdedup" -> """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS v
+        FROM embeddings WHERE vec_id < 200),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+      scored AS (
+        SELECT c.vec_id, c.v, t.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_dot_product(c.v, t.cv)
+                                           / (sqrt(list_dot_product(c.v, c.v))
+                                              * sqrt(list_dot_product(t.cv, t.cv))) DESC,
+                                           t.cid) AS rn
+        FROM corpus c CROSS JOIN cents t),
+      assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9)
+      SELECT s.vec_id, s.cid
+      FROM assigned s
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = s.vec_id)
+      ORDER BY s.vec_id""",
 
     "q_embed_neardup" -> """
       SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb, CAST(sim AS DOUBLE) AS sim

@@ -256,6 +256,71 @@ object TextFns {
       if (lines.isEmpty) 0.0 else lens.sum.toDouble / lines.length)
   }
 
+  /** Gopher repetition/layout signals (Rae et al. 2021, Table A1, with the
+   *  public pipeline stacks' conventions): duplicate-line fractions count
+   *  2nd+ occurrences; bullet/ellipsis tests use [ \t]-trimmed line edges;
+   *  words are whitespace tokens; the alphabetic test is ASCII-scoped so the
+   *  oracle engine reproduces it exactly. Char counts are codepoints. */
+  def gopherStats(s: String): Array[Double] = {
+    val lines = s.split("\n", -1)
+    val nLines = lines.length
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    lines.foreach(l => counts.update(l, counts.getOrElse(l, 0) + 1))
+    def cp(l: String): Int = l.codePointCount(0, l.length)
+    val totalChars = lines.map(cp).sum
+    val dupChars = counts.iterator.map { case (l, c) => (c - 1) * cp(l) }.sum
+    val bullet = java.util.regex.Pattern.compile("^[ \t]*[-*•]")
+    val ell = java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \t]*$")
+    val toks = wsTokens(s)
+    val hashes = s.count(_ == '#')
+    val dots = (s.length - s.replace("...", "").length) / 3
+    val ells = s.count(_ == '…')
+    Array(
+      if (nLines == 0) 0.0 else (nLines - counts.size).toDouble / nLines,
+      if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars,
+      if (nLines == 0) 0.0 else lines.count(l => bullet.matcher(l).find).toDouble / nLines,
+      if (nLines == 0) 0.0 else lines.count(l => ell.matcher(l).find).toDouble / nLines,
+      (hashes + dots + ells).toDouble / math.max(toks.length, 1),
+      if (toks.isEmpty) 0.0
+      else toks.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+        .toDouble / toks.length)
+  }
+
+  private val urlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$".r
+  private val trackerKeys = Set("fbclid", "gclid", "msclkid", "ref")
+
+  /** Canonical URL form for web-corpus dedup: lowercase scheme+host, strip
+   *  `www.`, strip default ports (:80/http, :443/https), drop the fragment,
+   *  drop tracking params (utm_*, fbclid, gclid, msclkid, ref), sort the
+   *  surviving query params, strip trailing path slashes. Path case is
+   *  preserved (paths are case-sensitive per RFC 3986). Non-URL input is
+   *  returned trimmed, unchanged. */
+  def urlNormalize(u: String): String = u.trim match {
+    case urlRe(scheme, auth, path, query, _) =>
+      val sch = scheme.toLowerCase
+      val hostport = auth.toLowerCase
+      val (host0, port0) = hostport.lastIndexOf(':') match {
+        case -1 => (hostport, "")
+        case i if i + 1 < hostport.length && hostport.substring(i + 1).forall(_.isDigit) =>
+          (hostport.substring(0, i), hostport.substring(i))
+        case _ => (hostport, "")
+      }
+      val host = if (host0.startsWith("www.")) host0.substring(4) else host0
+      val port = if ((sch == "http" && port0 == ":80") || (sch == "https" && port0 == ":443")) ""
+                 else port0
+      val pathNorm = path.reverse.dropWhile(_ == '/').reverse
+      val kept = Option(query).map(_.drop(1)).getOrElse("")
+        .split("&").filter(_.nonEmpty)
+        .filterNot { kv =>
+          val k = kv.takeWhile(_ != '=').toLowerCase
+          k.startsWith("utm_") || trackerKeys(k)
+        }.sorted
+      sch + "://" + host + port + pathNorm +
+        (if (kept.isEmpty) "" else "?" + kept.mkString("&"))
+    case other => other
+  }
+
   // ------------------------------------------------------------ language ID
   // Two stages: (1) Unicode-script histogram — a dominant non-Latin script
   // identifies the language (macro codes: zh for Han, ru for Cyrillic, …);
@@ -362,6 +427,13 @@ object TextFns {
       val (n, mx, mean) = lineStats(str(a(0)))
       new GenericInternalRow(Array[Any](n, mx, mean))
     }
+    fn("gopher_stats",
+      StructType(Seq(StructField("dup_line_frac", D), StructField("dup_line_char_frac", D),
+        StructField("bullet_line_frac", D), StructField("ellipsis_line_frac", D),
+        StructField("symbol_word_ratio", D), StructField("alpha_word_frac", D))), Seq(S)) { a =>
+      new GenericInternalRow(gopherStats(str(a(0))).map(x => x: Any))
+    }
+    fn("url_normalize", S, Seq(S))(a => utf(urlNormalize(str(a(0)))))
     fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
     fn("pii_emails", I, Seq(S))(a => countMatches(piiEmail, str(a(0))))
     fn("pii_phones", I, Seq(S))(a => countMatches(piiPhone, str(a(0))))

@@ -70,6 +70,32 @@ class TextPipelineSpec extends AnyFunSuite {
       TextFns.winnow("some document text here", 5, 4).toSeq)
   }
 
+  test("gopher_stats: dup lines, bullets, ellipses, symbols, alpha words") {
+    val g = TextFns.gopherStats("- a\n- a\n- b\nmore text here...\nmore text here...")
+    assert(g(0) == 2.0 / 5)                       // two 2nd-occurrence lines
+    assert(g(1) == (3 + 17).toDouble / (3 + 3 + 3 + 17 + 17)) // their chars
+    assert(g(2) == 3.0 / 5)                       // bullet lines
+    assert(g(3) == 2.0 / 5)                       // ellipsis lines
+    assert(g(4) == 2.0 / 12)                      // 2 '...' over 12 ws-tokens
+    assert(g(5) == 9.0 / 12)                      // '-' tokens have no letter
+    val empty = TextFns.gopherStats("")
+    assert(empty.forall(_ == 0.0))
+    val sym = TextFns.gopherStats("## x … y")
+    assert(sym(4) == 3.0 / 4 && sym(5) == 2.0 / 4) // 2 '#' + 1 '…', 4 tokens
+  }
+
+  test("url_normalize: case, ports, www, trackers, sort, slash, fragment") {
+    import TextFns.urlNormalize
+    assert(urlNormalize("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag")
+      == "https://example.com/A/b?a=1&b=2")
+    assert(urlNormalize("http://site.org:80/") == "http://site.org")
+    assert(urlNormalize("http://site.org:8080/p") == "http://site.org:8080/p")
+    assert(urlNormalize("https://a.b/p?fbclid=z") == "https://a.b/p")
+    assert(urlNormalize("https://a.b/p?ref=1&x=2&REF=3") == "https://a.b/p?x=2")
+    assert(urlNormalize("not a url") == "not a url")
+    assert(urlNormalize("  ftp://Host.Net/f  ") == "ftp://host.net/f")
+  }
+
   // --------------------------------------------------- connected components
 
   test("hash-min connected components: chain, clique, singleton-pair") {
