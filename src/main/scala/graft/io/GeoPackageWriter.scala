@@ -52,7 +52,10 @@ object GeoPackageWriter {
       // fid = INTEGER PRIMARY KEY → stored as NULL, value is the rowid
       val vals: Seq[Any] = null +: attrs.toSeq :+ (if (g == null) null else gpkgBlob(g, srsId))
       (count, SqliteWriter.record(vals))
-    }.toVector
+    }
+    // single streaming pass: rows spill to the page file as they arrive, and
+    // count/bounds are final once writeTable returns (consumed before the
+    // contents/srs tables below read them)
     val featRoot = db.writeTable(recs)
 
     val srsRoot = db.writeTable(Seq(

@@ -66,26 +66,40 @@ object SqliteWriter {
     out.toByteArray
   }
 
-  /** In-memory database under construction. Page 1 is reserved for
-   *  sqlite_master; data pages are appended from page 2.
+  /** Database under construction. Page 1 is reserved for sqlite_master; data
+   *  pages are appended from page 2 and SPILL TO A TEMP FILE as they fill.
    *
-   *  Memory bound: the whole database is built in heap pages (the sqlite
-   *  header on page 1 needs the final page count, and B-tree interiors are
-   *  laid out after their leaves), so a GeoPackage write costs ~1x the
-   *  output file size per partition. That is the same order as the input
-   *  partition the executor just held; partitions sized for scan memory
-   *  (~64-256 MB) are safe. Writing a multi-GB single file through
-   *  singleFile mode concentrates this on one task — use per-partition
-   *  output (the default) for large tables. */
+   *  The sqlite header needs the final page count and interiors are laid out
+   *  after their leaves, but a packed page is never touched again except
+   *  (a) the 4-byte next pointer of the previous overflow page and (b) page 1
+   *  at finish — both patchable in the spill file. Heap cost is therefore
+   *  O(1) pages per partition regardless of output size (a multi-GB
+   *  singleFile GeoPackage no longer holds the whole database on the heap;
+   *  leaf/interior bookkeeping is ~10 bytes per page). */
   final class Db {
-    private val pages = ArrayBuffer[Array[Byte]](new Array[Byte](PageSize)) // page 1 placeholder
-    private def alloc(): Int = { pages += new Array[Byte](PageSize); pages.length }
+    private val tmp = java.io.File.createTempFile("graft-sqlite-", ".pages")
+    tmp.deleteOnExit()
+    private val raf = new java.io.RandomAccessFile(tmp, "rw")
+    private var nPages = 1 // page 1 kept in memory until finish
+    private def alloc(): Int = { nPages += 1; nPages }
+    private def putPage(p: Int, data: Array[Byte]): Unit = {
+      raf.seek((p - 2).toLong * PageSize) // page 2 = spill offset 0
+      raf.write(data)
+    }
+    private def patchInt(p: Int, off: Int, v: Int): Unit = {
+      raf.seek((p - 2).toLong * PageSize + off)
+      raf.writeInt(v)
+    }
 
-    /** Write a table from (rowid, record) pairs (rowids ascending); returns root page. */
-    def writeTable(records: Seq[(Long, Array[Byte])]): Int = {
+    /** Write a table from (rowid, record) pairs (rowids ascending); returns
+     *  root page. Single pass over the iterator — records stream to the
+     *  spill file and never accumulate. */
+    def writeTable(records: Iterator[(Long, Array[Byte])]): Int = {
       if (records.isEmpty) { // empty leaf
         val p = alloc()
-        leafHeader(pages(p - 1), 0, Usable, offset = 0)
+        val page = new Array[Byte](PageSize)
+        leafHeader(page, 0, Usable, offset = 0)
+        putPage(p, page)
         return p
       }
       // build leaf cells (+ overflow chains as needed)
@@ -95,7 +109,9 @@ object SqliteWriter {
       def flushLeaf(): Unit = {
         if (cells.isEmpty) return
         val p = alloc()
-        packLeaf(pages(p - 1), cells.toSeq, offset = 0)
+        val page = new Array[Byte](PageSize)
+        packLeaf(page, cells.toSeq, offset = 0)
+        putPage(p, page)
         leaves += ((p, cellsRowids.last))
         cells = ArrayBuffer.empty; cellsRowids = ArrayBuffer.empty
       }
@@ -112,6 +128,8 @@ object SqliteWriter {
       buildInterior(leaves.toSeq)
     }
 
+    def writeTable(records: Seq[(Long, Array[Byte])]): Int = writeTable(records.iterator)
+
     private def buildInterior(children: Seq[(Int, Long)]): Int = {
       // interior cells: [u32 child][varint key=max rowid in child]; last child
       // goes in the header's rightmost pointer
@@ -121,7 +139,7 @@ object SqliteWriter {
       def flush(last: Boolean): Unit = {
         if (group.isEmpty) return
         val p = alloc()
-        val page = pages(p - 1)
+        val page = new Array[Byte](PageSize)
         val cellData = group.init.map { case (child, key) =>
           val kv = varint(key)
           val bb = ByteBuffer.allocate(4 + kv.length)
@@ -129,6 +147,7 @@ object SqliteWriter {
           bb.array()
         }
         packInterior(page, cellData.toSeq, rightMost = group.last._1)
+        putPage(p, page)
         parents += ((p, group.last._2))
         group = ArrayBuffer.empty; used = 12
       }
@@ -151,19 +170,20 @@ object SqliteWriter {
         val k = MinLocal + (pl - MinLocal) % (Usable - 4)
         val local = if (k <= MaxLeafLocal) k else MinLocal
         out.write(payload, 0, local)
-        // overflow chain
+        // overflow chain — each page spills immediately; the next pointer of
+        // the previous page is patched in the spill file
         var off = local
         var firstPage = 0
-        var prev: (Array[Byte], Int) = null // (page, pageNo)
+        var prevNo = 0
         while (off < pl) {
           val p = alloc()
-          val page = pages(p - 1)
-          if (prev != null) ByteBuffer.wrap(prev._1).putInt(0, p)
-          else firstPage = p
+          val page = new Array[Byte](PageSize)
+          if (prevNo != 0) patchInt(prevNo, 0, p) else firstPage = p
           val n = math.min(Usable - 4, pl - off)
           System.arraycopy(payload, off, page, 4, n)
           off += n
-          prev = (page, p)
+          putPage(p, page)
+          prevNo = p
         }
         out.write(ByteBuffer.allocate(4).putInt(firstPage).array())
       }
@@ -219,7 +239,7 @@ object SqliteWriter {
         leafCell(i + 1L, record(Seq("table", name, name, root.toLong, sql)))
       }
       require(cells.map(_.length + 2).sum + 108 <= Usable, "sqlite_master must fit page 1")
-      val p1 = pages(0)
+      val p1 = new Array[Byte](PageSize)
       packLeaf(p1, cells, offset = 100)
       val bb = ByteBuffer.wrap(p1).order(ByteOrder.BIG_ENDIAN)
       val magic = "SQLite format 3".getBytes("ASCII")
@@ -228,7 +248,7 @@ object SqliteWriter {
       bb.put(18, 1.toByte); bb.put(19, 1.toByte)
       bb.put(21, 64.toByte); bb.put(22, 32.toByte); bb.put(23, 32.toByte)
       bb.putInt(24, 1) // change counter
-      bb.putInt(28, pages.length)
+      bb.putInt(28, nPages)
       bb.putInt(40, 1) // schema cookie
       bb.putInt(44, 4) // schema format
       bb.putInt(56, 1) // utf-8
@@ -236,7 +256,22 @@ object SqliteWriter {
       bb.putInt(92, 1)
       bb.putInt(96, 3045000)
       val out = open(path)
-      try pages.foreach(out.write) finally out.close()
+      try {
+        out.write(p1)
+        raf.seek(0)
+        val buf = new Array[Byte](PageSize)
+        var remaining = (nPages - 1).toLong * PageSize
+        while (remaining > 0) {
+          val n = raf.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, "sqlite spill file truncated")
+          out.write(buf, 0, n)
+          remaining -= n
+        }
+      } finally {
+        out.close()
+        raf.close()
+        tmp.delete()
+      }
     }
   }
 }
