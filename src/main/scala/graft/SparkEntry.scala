@@ -532,6 +532,21 @@ object SparkEntry {
       SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
       ORDER BY k, iid"""),
 
+    // Interval-OVERLAP join (both sides ranged): RangeJoinRule explodes both
+    // sides to bins and dedupes on the bin of max(lo_a, lo_b) — the 1-D
+    // anchor-corner trick. Without it this is a nested-loop pair scan.
+    "q_overlap_join" -> q("lineitem")(s"""
+      WITH a AS (SELECT $K AS k,
+                        CAST((l_partkey * 7 + l_suppkey) % 2003 AS DOUBLE) AS lo,
+                        CAST((l_partkey * 7 + l_suppkey) % 2003 + l_linenumber AS DOUBLE) AS hi
+                 FROM lineitem),
+      b AS (SELECT CAST(id AS BIGINT) AS iid,
+                   CAST((id * 97) % 2003 AS DOUBLE) AS lo,
+                   CAST((id * 97) % 2003 + id % 7 AS DOUBLE) AS hi
+            FROM range(0, 300))
+      SELECT k, iid FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+      ORDER BY k, iid"""),
+
     // ---------------------------------------------------------- LLM pipeline: dedup
     "q_dedup_exact" -> q("documents")("""
       SELECT doc_id, cast(cnt AS INT) AS group_size
@@ -1971,6 +1986,18 @@ $minhashPairPins) v(da, db, j)
                      CAST((l_partkey * 3 + l_suppkey) % 991 AS DOUBLE) AS v
               FROM lineitem)
       SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
+      ORDER BY k, iid""",
+
+    "q_overlap_join" -> s"""
+      WITH a AS (SELECT $K AS k,
+                        CAST((l_partkey * 7 + l_suppkey) % 2003 AS DOUBLE) AS lo,
+                        CAST((l_partkey * 7 + l_suppkey) % 2003 + l_linenumber AS DOUBLE) AS hi
+                 FROM lineitem),
+      b AS (SELECT CAST(i AS BIGINT) AS iid,
+                   CAST((i * 97) % 2003 AS DOUBLE) AS lo,
+                   CAST((i * 97) % 2003 + i % 7 AS DOUBLE) AS hi
+            FROM range(0, 300) t(i))
+      SELECT k, iid FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
       ORDER BY k, iid""",
 
     // Independent transitive closure over the same verified pair pins: the

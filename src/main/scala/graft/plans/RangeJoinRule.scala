@@ -83,19 +83,27 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private sealed trait RangePred
   /** point expr x on one side; lo/hi exprs on the other; pointOnLeft. */
-  private case class IntervalPred(x: Expression, lo: Expression, hi: Expression,
-                                  pointOnLeft: Boolean)
+  private case class PointInInterval(x: Expression, lo: Expression, hi: Expression,
+                                     pointOnLeft: Boolean) extends RangePred
+  /** [lLo,lHi] from the left side overlapping [rLo,rHi] from the right. */
+  private case class IntervalOverlap(lLo: Expression, lHi: Expression,
+                                     rLo: Expression, rHi: Expression) extends RangePred
 
-  /** Find x ≥/> lo and x ≤/< hi conjuncts where x (same expr) sits on one
-   *  join side and both bounds on the other. */
+  /** Detect a binnable predicate among the conjuncts. Point-in-interval
+   *  (x ≥/> lo AND x ≤/< hi, x one side / bounds the other) is preferred —
+   *  no dedupe pass, one bin on the point side. Otherwise interval overlap
+   *  (lLo ≤ rHi AND rLo ≤ lHi): both sides explode and pairs dedupe on the
+   *  bin of max(lLo, rLo) — the 1-D anchor-corner trick from the tile join. */
   private def findInterval(cond: Expression, left: LogicalPlan,
-                           right: LogicalPlan): Option[IntervalPred] = {
+                           right: LogicalPlan): Option[RangePred] = {
     def sideOf(e: Expression): Option[Boolean] = // Some(true)=left
       if (e.references.isEmpty) None
       else if (e.references.subsetOf(left.outputSet)) Some(true)
       else if (e.references.subsetOf(right.outputSet)) Some(false)
       else None
+    def ok(e: Expression): Boolean = e.deterministic && supported(e.dataType)
 
     // normalize every inequality conjunct to (smaller, larger)
     val ineqs: Seq[(Expression, Expression)] = splitConjuncts(cond).collect {
@@ -105,16 +113,27 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case LessThan(a, b)           => (a, b)
     }
     // lower bound: (lo, x); upper bound: (x, hi)
-    val cands = for {
+    val points = for {
       (lo, x1) <- ineqs
       (x2, hi) <- ineqs
       if x1.semanticEquals(x2) && !(lo eq hi)
-      if x1.deterministic && lo.deterministic && hi.deterministic
-      if supported(x1.dataType) && supported(lo.dataType) && supported(hi.dataType)
+      if ok(x1) && ok(lo) && ok(hi)
       ps <- sideOf(x1); ls <- sideOf(lo); hs <- sideOf(hi)
       if ls == hs && ps != ls
-    } yield IntervalPred(x1, lo, hi, pointOnLeft = ps)
-    cands.headOption
+    } yield PointInInterval(x1, lo, hi, pointOnLeft = ps)
+    points.headOption.orElse {
+      // overlap: one conjunct (smaller=left-expr, larger=right-expr), a
+      // second with the sides swapped — [l1, r2] × [l2, r1]
+      val overlaps = for {
+        (l1, r1) <- ineqs
+        (l2, r2) <- ineqs
+        if !(l1 eq l2)
+        if ok(l1) && ok(r1) && ok(l2) && ok(r2)
+        s1 <- sideOf(l1); s2 <- sideOf(r1); s3 <- sideOf(l2); s4 <- sideOf(r2)
+        if s1 && !s2 && !s3 && s4
+      } yield IntervalOverlap(l1, r2, l2, r1)
+      overlaps.headOption
+    }
   }
 
   // TimeZoneAwareExpressions (Cast, Sequence) built inside an optimizer rule
@@ -155,7 +174,22 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     w
   }
 
-  private def rewrite(j: Join, cond: Expression, iv: IntervalPred): LogicalPlan = {
+  /** bins lo..hi as array<long>; reversed/NULL bounds → zero bins. */
+  private def binsExpr(lo: Expression, hi: Expression, w: Double): Expression = {
+    val binLo = bin(lo, w)
+    val binHi = bin(hi, w)
+    val emptyBins = Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+    If(And(And(IsNotNull(binLo), IsNotNull(binHi)),
+           LessThanOrEqual(binLo, binHi)),
+      Sequence(binLo, binHi, Some(Literal(1L)), tz), emptyBins)
+  }
+
+  private def rewrite(j: Join, cond: Expression, pred: RangePred): LogicalPlan = pred match {
+    case iv: PointInInterval => rewritePoint(j, cond, iv)
+    case ov: IntervalOverlap => rewriteOverlap(j, cond, ov)
+  }
+
+  private def rewritePoint(j: Join, cond: Expression, iv: PointInInterval): LogicalPlan = {
     val (pointPlan, intvPlan) =
       if (iv.pointOnLeft) (j.left, j.right) else (j.right, j.left)
     val w = binWidth(intvPlan, iv.lo, iv.hi)
@@ -163,20 +197,37 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val binP = Alias(bin(iv.x, w), "__graft_bin_p")()
     val pointSide = Project(pointPlan.output :+ binP, pointPlan)
 
-    val binLo = bin(iv.lo, w)
-    val binHi = bin(iv.hi, w)
-    val emptyBins = Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
     // reversed/NULL intervals → zero bins (residual would reject them anyway)
-    val bins = If(And(And(IsNotNull(binLo), IsNotNull(binHi)),
-                      LessThanOrEqual(binLo, binHi)),
-      Sequence(binLo, binHi, Some(Literal(1L)), tz), emptyBins)
     val binI = AttributeReference("__graft_bin_i", LongType, nullable = false)()
-    val intvSide = Generate(Explode(bins), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(binI), child = intvPlan)
+    val intvSide = Generate(Explode(binsExpr(iv.lo, iv.hi, w)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binI), child = intvPlan)
 
     val equi = EqualTo(binP.toAttribute, binI)
     val newCond = And(equi, cond)
     val (newL, newR) = if (iv.pointOnLeft) (pointSide, intvSide) else (intvSide, pointSide)
     Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
+  }
+
+  /** Both sides explode to their bin ranges; a matching pair meets in every
+   *  shared bin, so keep only the bin holding max(lLo, rLo) — present in both
+   *  ranges exactly when the intervals overlap, and unique. Bounds are
+   *  Least/Greatest-normalized first: a row whose lo > hi can still satisfy
+   *  the overlap conjuncts (the columns need not form a real interval), and
+   *  min/max envelopes never miss — min(a) ≤ aLo ≤ bHi ≤ max(b) whenever the
+   *  condition holds. */
+  private def rewriteOverlap(j: Join, cond: Expression, ov: IntervalOverlap): LogicalPlan = {
+    val w = math.max(binWidth(j.left, ov.lLo, ov.lHi),
+                     binWidth(j.right, ov.rLo, ov.rHi))
+    val lLoN = Least(Seq(ov.lLo, ov.lHi)); val lHiN = Greatest(Seq(ov.lLo, ov.lHi))
+    val rLoN = Least(Seq(ov.rLo, ov.rHi)); val rHiN = Greatest(Seq(ov.rLo, ov.rHi))
+    val binL = AttributeReference("__graft_bin_l", LongType, nullable = false)()
+    val binR = AttributeReference("__graft_bin_r", LongType, nullable = false)()
+    val genL = Generate(Explode(binsExpr(lLoN, lHiN, w)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binL), child = j.left)
+    val genR = Generate(Explode(binsExpr(rLoN, rHiN, w)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binR), child = j.right)
+    val anchor = EqualTo(bin(Greatest(Seq(lLoN, rLoN)), w), binL)
+    val newCond = And(And(EqualTo(binL, binR), anchor), cond)
+    Project(j.output, Join(genL, genR, Inner, Some(newCond), j.hint))
   }
 }

@@ -75,6 +75,48 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == (10L to 20L).map(p => (p, 2L)).toSet)
   }
 
+  test("interval-overlap join: both sides explode, anchor dedupe, exact pairs") {
+    spark.sql("""
+      SELECT id AS aid, CAST((id * 53) % 2000 AS DOUBLE) AS alo,
+             CAST((id * 53) % 2000 + (id % 29) AS DOUBLE) AS ahi
+      FROM range(0, 4000)""").createOrReplaceTempView("rj_a")
+    spark.sql("""
+      SELECT id AS bid, CAST((id * 71) % 2000 AS DOUBLE) AS blo,
+             CAST((id * 71) % 2000 + (id % 11) AS DOUBLE) AS bhi
+      FROM range(0, 2000)""").createOrReplaceTempView("rj_b")
+    val sql = """SELECT aid, bid FROM rj_a a JOIN rj_b b
+                 ON a.alo <= b.bhi AND b.blo <= a.ahi"""
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin_l") && plan.contains("__graft_bin_r"),
+      s"overlap rewrite did not fire:\n$plan")
+    // exact multiset: the anchor dedupe must emit each pair exactly once
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast.size == fast.toSet.size, "anchor dedupe emitted duplicates")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast.toSet == naive && fast.nonEmpty)
+  }
+
+  test("overlap join with reversed pseudo-intervals (lo > hi) stays exact") {
+    // columns that do NOT form real intervals: hi < lo for odd ids
+    spark.sql("""
+      SELECT id AS aid, CAST(id * 10 AS DOUBLE) AS alo,
+             CAST(id * 10 + CASE WHEN id % 2 = 1 THEN -5 ELSE 5 END AS DOUBLE) AS ahi
+      FROM range(0, 200)""").createOrReplaceTempView("rj_ra")
+    spark.sql("""
+      SELECT id AS bid, CAST(id * 15 AS DOUBLE) AS blo,
+             CAST(id * 15 + 8 AS DOUBLE) AS bhi
+      FROM range(0, 150)""").createOrReplaceTempView("rj_rb")
+    val sql = """SELECT aid, bid FROM rj_ra a JOIN rj_rb b
+                 ON a.alo <= b.bhi AND b.blo <= a.ahi"""
+    val fast = pairs(sql)
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty,
+      s"n_fast=${fast.size} n_naive=${naive.size} only-naive=${(naive -- fast).take(5)}")
+  }
+
   test("timestamp intervals bin correctly") {
     spark.sql("""
       SELECT id AS pid, timestamp_seconds(1700000000 + id * 60) AS ts
