@@ -83,6 +83,42 @@ object StreamOps {
   final case class DocBucket(docId: Long, bucket: Long)
   final case class NearDupCandidate(docId: Long, bucket: Long, firstDocId: Long)
 
+  final case class AsofIn(key: Long, ts: Long, isMarker: Boolean, payload: Double)
+  final case class AsofOut(key: Long, ts: Long, payload: Option[Double])
+
+  /** Streaming as-of enrichment: one mixed stream of markers and events (the
+    * streaming analog of [[graft.operators.AsofJoin]]'s union-tag input);
+    * per-key state holds the latest marker, each event emits with the most
+    * recent marker payload at or before it. Within a micro-batch rows are
+    * processed in (ts, marker-first) order, matching the batch operator's
+    * inclusive tie rule; an event arriving in a LATER batch than an
+    * out-of-order marker sees the newer state — the standard streaming
+    * trade-off, bounded by the upstream watermark. State is one (ts, payload)
+    * per key, shuffle-partitioned by key. */
+  def streamingAsof(spark: SparkSession, rows: DataFrame, keyCol: String,
+                    tsCol: String, isMarkerCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    rows
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).cast("long").as("ts"),
+        col(isMarkerCol).cast("boolean").as("isMarker"),
+        col(payloadCol).cast("double").as("payload"))
+      .as[AsofIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), AsofOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[AsofIn], state: GroupState[(Long, Double)]) =>
+          val sorted = batch.toArray.sortBy(r => (r.ts, !r.isMarker))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { r =>
+            if (r.isMarker) {
+              if (cur.forall(_._1 <= r.ts)) { cur = Some((r.ts, r.payload)); state.update(cur.get) }
+            } else out += AsofOut(key, r.ts, cur.map(_._2))
+          }
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Streaming MinHash-LSH near-duplicate candidates: each doc's banded
     * signature buckets are exploded, and per-bucket state remembers the first
     * document seen — later arrivals in the same bucket emit as candidates

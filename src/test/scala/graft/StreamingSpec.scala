@@ -117,4 +117,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM gf").collect()(0).getLong(0) == 2L)
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment keeps marker state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (key, ts, isMarker, payload)
+    val input = MemoryStream[(Long, Long, Boolean, Double)]
+    val df = input.toDF().toDF("k", "ts", "m", "v")
+    val q = StreamOps.streamingAsof(spark, df, "k", "ts", "m", "v")
+      .writeStream.format("memory").queryName("asf").outputMode("append").start()
+    try {
+      // batch 1: marker@10 then events at 5, 10, 15 (same-batch, tie at 10)
+      input.addData((1L, 10L, true, 1.0), (1L, 5L, false, 0.0),
+                    (1L, 10L, false, 0.0), (1L, 15L, false, 0.0))
+      q.processAllAvailable()
+      // batch 2: marker@20, event@25; key 2 has no marker
+      input.addData((1L, 20L, true, 2.0), (1L, 25L, false, 0.0),
+                    (2L, 7L, false, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, ts, payload FROM asf ORDER BY key, ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, 5L, -1.0), (1L, 10L, 1.0), (1L, 15L, 1.0),
+                         (1L, 25L, 2.0), (2L, 7L, -1.0)))
+    } finally q.stop()
+  }
 }
