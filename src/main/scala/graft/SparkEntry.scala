@@ -516,6 +516,30 @@ object SparkEntry {
       SELECT k, poi FROM pts JOIN pois ON st_dwithin(st_point(x, y), cpt, 2.0d)
       ORDER BY k, poi"""),
 
+    // kNN join through the broadcast R-tree (operators/KnnJoin): exact
+    // expanding-radius search, deterministic (distance, id) tie order. The
+    // squared distance is integer-exact after the sqrt→square round trip, so
+    // the oracle is plain integer arithmetic + row_number.
+    "q_knn_join" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("lineitem")
+      // ($K collides in the synthetic lineitem) → DISTINCT pid, coords derived
+      // from the pid itself so every probe id is unique
+      val probe = s.sql(s"""
+        SELECT id,
+               st_aswkb(st_point(CAST((id * 3) % 997 AS DOUBLE), CAST((id * 7) % 983 AS DOUBLE))) AS g
+        FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)""")
+      val build = s.sql("""
+        SELECT CAST(id AS BIGINT) AS id,
+               st_aswkb(st_point(CAST((id * 13) % 997 AS DOUBLE), CAST((id * 29) % 983 AS DOUBLE))) AS g
+        FROM range(0, 400)""")
+      graft.operators.KnnJoin.knn(s, probe, build, 3)
+        .selectExpr("pid", "nid", "CAST(round(dist * dist, 0) AS BIGINT) AS d2", "rank")
+        .orderBy("pid", "rank")
+    }),
+
     // Numeric interval join through RangeJoinRule: a BETWEEN join with no
     // equi-key would be a BroadcastNestedLoopJoin pair scan; the rule bins
     // the value axis (floor(v/w)) so it runs as a hash-partitioned equi-join
@@ -802,6 +826,26 @@ object SparkEntry {
         FROM range(0, 420))
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // features, target = en docs, corpus = all; per-doc weight is the summed
+    // log-likelihood ratio of the two smoothed bucket distributions. The
+    // scale shape: bucket counts are two bounded aggregates broadcast back,
+    // the weight is a map-side sum — no per-doc joins against big state.
+    // The hash is engine-portable (polynomial mod 2^31-1), so the oracle
+    // rebuilds features from scratch.
+    "q_dsir" -> q("documents")("""
+      WITH feats AS (
+        SELECT doc_id, lang, explode(hashed_ngrams(text, 2, 256)) AS b
+        FROM documents WHERE doc_id < 300),
+      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+      corp AS (SELECT b, count(*) AS cc FROM feats GROUP BY b),
+      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt, count(*) AS nc FROM feats)
+      SELECT f.doc_id,
+             round(sum(ln(((coalesce(t.ct, 0) + 1.0d) / (tot.nt + 256))
+                          / ((c.cc + 1.0d) / (tot.nc + 256)))), 6) AS w
+      FROM feats f LEFT JOIN tgt t ON f.b = t.b JOIN corp c ON f.b = c.b CROSS JOIN tot
+      GROUP BY f.doc_id ORDER BY f.doc_id"""),
 
     // stopword vote over the synthetic docs + fixed snippets exercising the
     // Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th) and the nl/sv lists
@@ -1746,6 +1790,35 @@ object SparkEntry {
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
 
+    // features rebuilt from scratch: normalize → tokens → unigrams+bigrams →
+    // polynomial hash via list_reduce (init emulated with list_prepend) →
+    // same smoothed log-ratio arithmetic
+    "q_dsir" -> """
+      WITH src AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents WHERE doc_id < 300),
+      grams AS (
+        SELECT doc_id, lang,
+               list_concat(
+                 list_transform(range(1, len(w) + 1), i -> w[i]),
+                 list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
+        FROM src),
+      feats AS (
+        SELECT doc_id, lang,
+               list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(regexp_split_to_array(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 2147483647) % 256 AS b
+        FROM grams, unnest(gs) AS u(g)),
+      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+      corp AS (SELECT b, count(*) AS cc FROM feats GROUP BY b),
+      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt, count(*) AS nc FROM feats)
+      SELECT f.doc_id,
+             round(sum(ln(((coalesce(t.ct, 0) + 1.0) / (tot.nt + 256))
+                          / ((c.cc + 1.0) / (tot.nc + 256)))), 6) AS w
+      FROM feats f LEFT JOIN tgt t ON f.b = t.b JOIN corp c ON f.b = c.b CROSS JOIN tot
+      GROUP BY f.doc_id ORDER BY f.doc_id""",
+
     // canonical forms derived straight from the id arithmetic — lowercased
     // scheme/host, www. stripped, :8080 the only surviving port, sorted
     // tracker-free query, no fragment, no trailing slash
@@ -1987,6 +2060,22 @@ $minhashPairPins) v(da, db, j)
               FROM lineitem)
       SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
       ORDER BY k, iid""",
+
+    // brute-force integer kNN with the same (d2, nid) tie order
+    "q_knn_join" -> s"""
+      WITH probe AS (
+        SELECT pid, (pid * 3) % 997 AS px, (pid * 7) % 983 AS py
+        FROM (SELECT DISTINCT $K AS pid FROM lineitem WHERE l_orderkey % 101 = 0) t),
+      build AS (
+        SELECT CAST(i AS BIGINT) AS nid, (i * 13) % 997 AS bx, (i * 29) % 983 AS by
+        FROM range(0, 400) t(i)),
+      d AS (
+        SELECT pid, nid, (px - bx) * (px - bx) + (py - by) * (py - by) AS d2,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY (px - bx) * (px - bx) + (py - by) * (py - by), nid) AS rank
+        FROM probe CROSS JOIN build)
+      SELECT pid, nid, d2, CAST(rank AS INT) AS rank FROM d WHERE rank <= 3
+      ORDER BY pid, rank""",
 
     "q_overlap_join" -> s"""
       WITH a AS (SELECT $K AS k,

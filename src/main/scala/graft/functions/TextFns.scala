@@ -286,6 +286,29 @@ object TextFns {
         .toDouble / toks.length)
   }
 
+  /** DSIR-style hashed n-gram features (Xie et al. 2023): all 1..nmax word
+   *  n-grams of the normalized text, non-distinct, each hashed into
+   *  [0, buckets) with an engine-portable polynomial hash
+   *  (h = (h*31 + codepoint) mod 2147483647, init 7) — reproducible in plain
+   *  SQL via list_reduce, unlike murmur. */
+  def hashedNgrams(s: String, nmax: Int, buckets: Int): Array[Int] = {
+    val words = wsTokens(normalize(s))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var n = 1
+    while (n <= nmax) {
+      var i = 0
+      while (i + n <= words.length) {
+        val gram = words.slice(i, i + n).mkString(" ")
+        var h = 7L
+        gram.codePoints().forEach(cp => h = (h * 31 + cp) % 2147483647L)
+        out += (h % buckets).toInt
+        i += 1
+      }
+      n += 1
+    }
+    out.toArray
+  }
+
   private val urlRe =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$".r
   private val trackerKeys = Set("fbclid", "gclid", "msclkid", "ref")
@@ -434,6 +457,8 @@ object TextFns {
       new GenericInternalRow(gopherStats(str(a(0))).map(x => x: Any))
     }
     fn("url_normalize", S, Seq(S))(a => utf(urlNormalize(str(a(0)))))
+    fn("hashed_ngrams", ArrayType(I), Seq(S, I, I))(a =>
+      new GenericArrayData(hashedNgrams(str(a(0)), int(a(1)), int(a(2)))))
     fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
     fn("pii_emails", I, Seq(S))(a => countMatches(piiEmail, str(a(0))))
     fn("pii_phones", I, Seq(S))(a => countMatches(piiPhone, str(a(0))))
