@@ -1027,6 +1027,58 @@ object SparkEntry {
     // average-hash), mm_feature (block-mean luma embedding), mm_frames
     // (multi-frame extraction) — all pure-JVM. Oracle = VALUES pin of the
     // deterministic outputs (PNG/GIF are lossless so pixels are exact).
+    // REAL audio/video metadata decode: WAV blobs and minimal MP4 boxes are
+    // assembled byte-for-byte from id-derived parameters; mm_wav_meta /
+    // mm_mp4_meta must parse them back, and the oracle recomputes every field
+    // from the same id arithmetic — a full loop through the binary format.
+    "q_mm_audio" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      def le(v: Long, n: Int): String = (0 until n).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+      val rows = (0 until 16).map { id =>
+        val sr = 8000 + id * 1000; val ch = 1 + id % 2
+        val bits = if (id % 3 == 0) 8 else 16
+        val ba = ch * bits / 8
+        val n = 100 + id * 37; val ds = n.toLong * ba
+        val hex = "52494646" + le(36 + ds, 4) + "57415645" + "666d7420" + le(16, 4) +
+          le(1, 2) + le(ch, 2) + le(sr, 4) + le(sr.toLong * ba, 4) + le(ba, 2) + le(bits, 2) +
+          "64617461" + le(ds, 4) + "00" * ds.toInt
+        s"($id, '$hex')"
+      }
+      s.sql(s"""
+        SELECT CAST(id AS BIGINT) AS id, m.sample_rate, m.channels, m.bits, m.n_samples,
+               round(m.duration_ms, 6) AS duration_ms
+        FROM (SELECT id, mm_wav_meta(unhex(h)) AS m
+              FROM VALUES ${rows.mkString(",")} AS t(id, h))
+        ORDER BY id""")
+    }),
+
+    "q_mm_video" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      def be(v: Long, n: Int): String = (0 until n).reverse.map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+      val rows = (0 until 12).map { id =>
+        val ts = 600 + id * 100; val dur = 6000 + id * 900
+        val w = 320 + id * 16; val h = 240 + id * 8
+        val ftyp = be(16, 4) + "66747970" + "69736f6d" + be(0, 4)
+        val mvhd = be(108, 4) + "6d766864" + be(0, 4) + be(0, 4) + be(0, 4) +
+          be(ts, 4) + be(dur, 4) + "00010000" + "0100" + "00" * 10 +
+          "0001000000000000000000000000000000010000000000000000000000000000" + "40000000" +
+          "00" * 24 + be(2, 4)
+        val tkhd = be(92, 4) + "746b6864" + be(0, 4) + be(0, 4) + be(0, 4) + be(1, 4) +
+          be(0, 4) + be(dur, 4) + "00" * 8 + "0000" + "0000" + "0000" + "0000" +
+          "0001000000000000000000000000000000010000000000000000000000000000" + "40000000" +
+          be(w.toLong << 16, 4) + be(h.toLong << 16, 4)
+        val trak = be(100, 4) + "7472616b" + tkhd
+        val moov = be(216, 4) + "6d6f6f76" + mvhd + trak
+        s"($id, '${ftyp + moov}')"
+      }
+      s.sql(s"""
+        SELECT CAST(id AS BIGINT) AS id, m.width, m.height, m.timescale, m.duration,
+               round(m.duration_ms, 6) AS duration_ms
+        FROM (SELECT id, mm_mp4_meta(unhex(h)) AS m
+              FROM VALUES ${rows.mkString(",")} AS t(id, h))
+        ORDER BY id""")
+    }),
+
     "q_mm_kernels" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       import s.implicits._
@@ -1928,6 +1980,25 @@ object SparkEntry {
     // real-pixel-kernel pin: resize/ahash/feature/frames outputs over
     // lossless PNG/GIF fixtures (values generated from the verified run;
     // PNG pixel decode is exact so these are stable across JDK runs)
+    // every field recomputed from the id arithmetic the blobs were built from
+    "q_mm_audio" -> """
+      SELECT CAST(i AS BIGINT) AS id,
+             CAST(8000 + i * 1000 AS INT) AS sample_rate,
+             CAST(1 + i % 2 AS INT) AS channels,
+             CAST(CASE WHEN i % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+             CAST(100 + i * 37 AS BIGINT) AS n_samples,
+             round((100 + i * 37) * 1000.0 / (8000 + i * 1000), 6) AS duration_ms
+      FROM range(0, 16) t(i) ORDER BY id""",
+
+    "q_mm_video" -> """
+      SELECT CAST(i AS BIGINT) AS id,
+             CAST(320 + i * 16 AS INT) AS width,
+             CAST(240 + i * 8 AS INT) AS height,
+             CAST(600 + i * 100 AS BIGINT) AS timescale,
+             CAST(6000 + i * 900 AS BIGINT) AS duration,
+             round((6000 + i * 900) * 1000.0 / (600 + i * 100), 6) AS duration_ms
+      FROM range(0, 12) t(i) ORDER BY id""",
+
     "q_mm_kernels" -> """
       SELECT CAST(id AS INT) AS id, rhex, CAST(ah AS BIGINT) AS ah,
              CAST(f0 AS DOUBLE) AS f0, CAST(f5 AS DOUBLE) AS f5, CAST(nf AS INT) AS nf

@@ -290,6 +290,29 @@ object VecFns {
         case None     => mix64(MurmurHash3.bytesHash(bytes, 0x7fea1e5).toLong)
       }
     }
+
+    // REAL audio/video metadata — WAV RIFF header, MP4 box walk (public
+    // formats, pure JVM, header-only: no sample decode at 100 TB)
+    fn("mm_wav_meta",
+      StructType(Seq(StructField("sample_rate", I), StructField("channels", I),
+        StructField("bits", I), StructField("n_samples", L), StructField("duration_ms", D))),
+      Seq(BinaryType)) { a =>
+      graft.mm.MultiModal.wavMeta(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(m) => new GenericInternalRow(Array[Any](
+          m.sampleRate, m.channels, m.bits, m.nSamples, m.durationMs))
+        case None => null
+      }
+    }
+    fn("mm_mp4_meta",
+      StructType(Seq(StructField("width", I), StructField("height", I),
+        StructField("timescale", L), StructField("duration", L), StructField("duration_ms", D))),
+      Seq(BinaryType)) { a =>
+      graft.mm.MultiModal.mp4Meta(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(m) => new GenericInternalRow(Array[Any](
+          m.width, m.height, m.timescale, m.duration, m.durationMs))
+        case None => null
+      }
+    }
   }
 
   private def mix64(seed: Long): Long = {

@@ -76,6 +76,67 @@ object MultiModal {
   def decode(bytes: Array[Byte]): MediaMeta =
     decodeHeader(bytes).getOrElse(decodeStub(bytes))
 
+  final case class AudioMeta(sampleRate: Int, channels: Int, bits: Int,
+                             nSamples: Long, durationMs: Double)
+  final case class VideoMeta(width: Int, height: Int, timescale: Long,
+                             duration: Long, durationMs: Double)
+
+  /** REAL WAV (RIFF) header parse — pure JVM, public format: fmt chunk for
+    * rate/channels/bits, data chunk size for sample count. None if not WAV. */
+  def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var p = 12
+    var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0; var dataSize = -1L
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, "ASCII")
+      val size = le32(p + 4)
+      if (id == "fmt " && p + 24 <= b.length) {
+        ch = le16(p + 10); rate = le32(p + 12).toInt
+        blockAlign = le16(p + 20); bits = le16(p + 22)
+      } else if (id == "data") dataSize = size
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else {
+      val n = dataSize / blockAlign
+      Some(AudioMeta(rate, ch, bits, n, n * 1000.0 / rate))
+    }
+  }
+
+  /** REAL MP4 (ISO BMFF) box walk — mvhd for timescale/duration, first tkhd
+    * for width/height (16.16 fixed point). None if no moov/mvhd found. */
+  def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    var timescale = -1L; var duration = -1L; var w = 0; var h = 0
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = be32(p)
+        val typ = new String(b, p + 4, 4, "ASCII")
+        if (size < 8 || p + size > to) return
+        typ match {
+          case "moov" | "trak" => walk(p + 8, (p + size).toInt)
+          case "mvhd" if u8(p + 8) == 0 && p + 28 <= to => // version 0
+            timescale = be32(p + 20); duration = be32(p + 24)
+          case "tkhd" if u8(p + 8) == 0 && w == 0 && p + 92 <= to =>
+            w = (be32(p + 84) >> 16).toInt; h = (be32(p + 88) >> 16).toInt
+          case _ => ()
+        }
+        p += size.toInt
+      }
+    }
+    if (b.length >= 8) walk(0, b.length)
+    if (timescale <= 0) None
+    else Some(VideoMeta(w, h, timescale, duration, duration * 1000.0 / timescale))
+  }
+
   // ---------------------------------------------------------------- pixels
   // Real pixel kernels on top of the JDK's built-in image readers
   // (PNG/JPEG/GIF/BMP — headless-safe, no external codecs). All math below

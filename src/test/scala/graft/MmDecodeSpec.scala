@@ -54,4 +54,37 @@ class MmDecodeSpec extends AnyFunSuite {
     // truncated PNG signature must not throw
     assert(MultiModal.decodeHeader(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
   }
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("wav meta: odd-size chunk padding, non-wav, truncated") {
+    def le(v: Long, n: Int): String = (0 until n).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    // 11025 Hz mono 8-bit, a 3-byte (odd) junk chunk before data, 7 samples
+    val wav = "52494646" + le(60, 4) + "57415645" +
+      "666d7420" + le(16, 4) + le(1, 2) + le(1, 2) + le(11025, 4) + le(11025, 4) + le(1, 2) + le(8, 2) +
+      "6a756e6b" + le(3, 4) + "aabbcc" + "00" + // junk chunk, word-aligned pad
+      "64617461" + le(7, 4) + "00" * 7
+    val m = MultiModal.wavMeta(hex(wav)).get
+    assert(m.sampleRate == 11025 && m.channels == 1 && m.bits == 8 && m.nSamples == 7)
+    assert(math.abs(m.durationMs - 7000.0 / 11025) < 1e-9)
+    assert(MultiModal.wavMeta("RIFFxxxxAVI LIST".getBytes("ASCII")).isEmpty)
+    assert(MultiModal.wavMeta(hex(wav).take(20)).isEmpty)
+  }
+
+  test("mp4 meta: box walk finds mvhd/tkhd, ignores version-1 and junk") {
+    def be(v: Long, n: Int): String = (0 until n).reverse.map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    val matrix = "0001000000000000000000000000000000010000000000000000000000000000" + "40000000"
+    val mvhd = be(108, 4) + "6d766864" + be(0, 4) + be(0, 4) + be(0, 4) +
+      be(1000, 4) + be(4500, 4) + "00010000" + "0100" + "00" * 10 + matrix + "00" * 24 + be(2, 4)
+    val tkhd = be(92, 4) + "746b6864" + be(0, 4) + be(0, 4) + be(0, 4) + be(1, 4) +
+      be(0, 4) + be(4500, 4) + "00" * 8 + "00000000" + "00000000" + matrix +
+      be(1280L << 16, 4) + be(720L << 16, 4)
+    val moov = be(216, 4) + "6d6f6f76" + mvhd + be(100, 4) + "7472616b" + tkhd
+    val m = MultiModal.mp4Meta(hex(be(16, 4) + "66747970" + "69736f6d" + be(0, 4) + moov)).get
+    assert(m.width == 1280 && m.height == 720 && m.timescale == 1000 && m.duration == 4500)
+    assert(m.durationMs == 4500.0)
+    assert(MultiModal.mp4Meta("not an mp4 file at all".getBytes("ASCII")).isEmpty)
+    assert(MultiModal.mp4Meta(Array.emptyByteArray).isEmpty)
+  }
 }
