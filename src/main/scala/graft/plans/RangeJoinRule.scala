@@ -33,11 +33,15 @@ import org.apache.spark.sql.types._
  * Catalyst already picks a shuffled hash/sort-merge join keyed on it).
  * Strict bounds (<, >) qualify too — binning is bbox-style overcount.
  *
- * Tuning: spark.graft.rangeJoin.enabled (default true) and
+ * Tuning: spark.graft.rangeJoin.enabled (default true),
  * spark.graft.rangeJoin.binWidth (default "auto": sample up to 1000 interval
  * rows at planning time, use max(median length, tiny) so a typical interval
- * spans 1–2 bins; cached per canonicalized plan like the spatial cell size).
- * Degenerate/reversed intervals (hi < lo) explode to zero bins.
+ * spans 1–2 bins; cached per canonicalized plan like the spatial cell size),
+ * and spark.graft.rangeJoin.salt (default 1 — set >1 for hot bins: point
+ * rows spread across `salt` sub-keys by value hash, interval rows replicated
+ * per sub-key, so a dense value band no longer lands on one task; AQE
+ * skew-join handles residual imbalance). Degenerate/reversed intervals
+ * (hi < lo) explode to zero bins.
  */
 class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -202,11 +206,26 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val intvSide = Generate(Explode(binsExpr(iv.lo, iv.hi, w)), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binI), child = intvPlan)
 
-    val equi = EqualTo(binP.toAttribute, binI)
+    var equi: Expression = EqualTo(binP.toAttribute, binI)
+    var intvSalted: LogicalPlan = intvSide
+    val s = salt
+    if (s > 1) {
+      // skew salting: point rows sub-split by value hash, intervals replicated
+      val saltI = AttributeReference("__graft_bin_salt", IntegerType, nullable = false)()
+      intvSalted = Generate(
+        Explode(Literal.create(0 until s, ArrayType(IntegerType))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(saltI), child = intvSide)
+      equi = And(equi, EqualTo(Pmod(new Murmur3Hash(Seq(iv.x)), Literal(s)), saltI))
+    }
     val newCond = And(equi, cond)
-    val (newL, newR) = if (iv.pointOnLeft) (pointSide, intvSide) else (intvSide, pointSide)
+    val (newL, newR) =
+      if (iv.pointOnLeft) (pointSide, intvSalted) else (intvSalted, pointSide)
     Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
   }
+
+  private def salt: Int =
+    spark.conf.get("spark.graft.rangeJoin.salt", "1").toInt
 
   /** Both sides explode to their bin ranges; a matching pair meets in every
    *  shared bin, so keep only the bin holding max(lLo, rLo) — present in both

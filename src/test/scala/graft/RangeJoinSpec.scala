@@ -117,6 +117,17 @@ class RangeJoinSpec extends AnyFunSuite {
       s"n_fast=${fast.size} n_naive=${naive.size} only-naive=${(naive -- fast).take(5)}")
   }
 
+  test("salted point-in-interval join keeps exact results") {
+    setup()
+    val sql = "SELECT pid, iid FROM rj_points p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
+    spark.conf.set("spark.graft.rangeJoin.salt", "4")
+    val fast =
+      try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.salt", "1")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("timestamp intervals bin correctly") {
     spark.sql("""
       SELECT id AS pid, timestamp_seconds(1700000000 + id * 60) AS ts
