@@ -240,4 +240,253 @@ object GeoAggregates {
     override protected def withNewChildInternal(newChild: Expression): StCollectAgg = copy(child = newChild)
     override def prettyName: String = "st_collect_agg"
   }
+
+  // ------------------------------------------------ fused measure aggregates
+  // MeasureFusionRule rewrite targets: st_area(st_union_agg(g)) /
+  // st_area(st_intersection_agg(g)) never materialize the overlay geometry.
+
+  /** Area of the union of N rects by coordinate-compression sweep. */
+  def rectUnionArea(rects: Iterable[Array[Double]]): Double = {
+    val rs = rects.toArray
+    if (rs.isEmpty) return 0.0
+    val xs = rs.flatMap(r => Array(r(0), r(2))).distinct.sorted
+    var area = 0.0
+    var i = 0
+    while (i < xs.length - 1) {
+      val x0 = xs(i); val x1 = xs(i + 1)
+      if (x1 > x0) {
+        val ys = rs.iterator.filter(r => r(0) <= x0 && r(2) >= x1)
+          .map(r => (r(1), r(3))).toArray.sortBy(_._1)
+        if (ys.nonEmpty) {
+          var len = 0.0
+          var lo = ys(0)._1; var hi = ys(0)._2
+          var j = 1
+          while (j < ys.length) {
+            val (l, h) = ys(j)
+            if (l > hi) { len += hi - lo; lo = l; hi = h }
+            else if (h > hi) hi = h
+            j += 1
+          }
+          len += hi - lo
+          area += len * (x1 - x0)
+        }
+      }
+      i += 1
+    }
+    area
+  }
+
+  /** Buffer: deduped rect set while every input is an axis-aligned rectangle
+   *  (corpora repeat geometries, so distinct count stays small); any
+   *  non-rect input, or blowing the cap, degrades to the exact JTS path. */
+  final class UnionAreaBuf {
+    var rects: scala.collection.mutable.LinkedHashSet[(Double, Double, Double, Double)] =
+      scala.collection.mutable.LinkedHashSet.empty
+    var geoms: ArrayBuffer[Geometry] = _ // non-null ⇒ fallback mode
+  }
+
+  case class StUnionAreaAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[UnionAreaBuf] with UnaryLike[Expression] {
+
+    private val dedupCap = 1 << 16
+    private val collapseAt = 64
+
+    override def createAggregationBuffer(): UnionAreaBuf = new UnionAreaBuf
+
+    private def rectToGeom(r: (Double, Double, Double, Double)): Geometry = {
+      val f = Geo.factory
+      import org.locationtech.jts.geom.Coordinate
+      f.createPolygon(Array(new Coordinate(r._1, r._2), new Coordinate(r._3, r._2),
+        new Coordinate(r._3, r._4), new Coordinate(r._1, r._4), new Coordinate(r._1, r._2)))
+    }
+
+    private def degrade(b: UnionAreaBuf): Unit = if (b.geoms == null) {
+      b.geoms = ArrayBuffer.empty
+      b.rects.foreach(r => b.geoms += rectToGeom(r))
+      b.rects = null
+      collapse(b)
+    }
+
+    private def collapse(b: UnionAreaBuf): Unit =
+      if (b.geoms.length > 1) {
+        val u = UnaryUnionOp.union(scala.jdk.CollectionConverters.SeqHasAsJava(b.geoms.toSeq).asJava)
+        b.geoms.clear(); b.geoms += u
+      }
+
+    private def addGeom(b: UnionAreaBuf, g: Geometry): Unit = {
+      degrade(b)
+      b.geoms += g
+      if (b.geoms.length >= collapseAt) collapse(b)
+    }
+
+    override def update(b: UnionAreaBuf, input: InternalRow): UnionAreaBuf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val g = Geo.read(v.asInstanceOf[Array[Byte]])
+        if (b.geoms == null && g.isRectangle) {
+          val e = g.getEnvelopeInternal
+          b.rects += ((e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+          if (b.rects.size > dedupCap) degrade(b)
+        } else addGeom(b, g)
+      }
+      b
+    }
+
+    override def merge(b: UnionAreaBuf, o: UnionAreaBuf): UnionAreaBuf = {
+      if (b.geoms == null && o.geoms == null) {
+        b.rects ++= o.rects
+        if (b.rects.size > dedupCap) degrade(b)
+      } else {
+        degrade(b)
+        if (o.geoms == null) o.rects.foreach(r => addGeom(b, rectToGeom(r)))
+        else o.geoms.foreach(g => addGeom(b, g))
+      }
+      b
+    }
+
+    override def eval(b: UnionAreaBuf): Any =
+      if (b.geoms != null) {
+        if (b.geoms.isEmpty) null else { collapse(b); b.geoms.head.getArea }
+      } else if (b.rects.isEmpty) null
+      else rectUnionArea(b.rects.iterator.map(r => Array(r._1, r._2, r._3, r._4)).to(Iterable))
+
+    override def serialize(b: UnionAreaBuf): Array[Byte] =
+      if (b.geoms == null) {
+        val bb = ByteBuffer.allocate(5 + b.rects.size * 32).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(0: Byte).putInt(b.rects.size)
+        b.rects.foreach { r => bb.putDouble(r._1).putDouble(r._2).putDouble(r._3).putDouble(r._4) }
+        bb.array()
+      } else {
+        collapse(b)
+        val gs = serializeGeoms(b.geoms.toSeq)
+        val bb = ByteBuffer.allocate(1 + gs.length)
+        bb.put(1: Byte).put(gs)
+        bb.array()
+      }
+
+    override def deserialize(bytes: Array[Byte]): UnionAreaBuf = {
+      val b = new UnionAreaBuf
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.get() == 0) {
+        val n = bb.getInt
+        var i = 0
+        while (i < n) {
+          b.rects += ((bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble)); i += 1
+        }
+      } else {
+        b.rects = null
+        b.geoms = deserializeGeoms(java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+      }
+      b
+    }
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def withNewMutableAggBufferOffset(o: Int): StUnionAreaAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): StUnionAreaAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): StUnionAreaAgg = copy(child = newChild)
+    override def prettyName: String = "st_union_area_agg"
+  }
+
+  /** Buffer: running rect intersection (8 doubles of state!) while every
+   *  input is a rect; first non-rect degrades to running JTS intersection. */
+  final class IntAreaBuf {
+    var seen = false
+    var rect: Array[Double] = _ // non-null ⇒ rect mode (after seen)
+    var geom: Geometry = _
+  }
+
+  case class StIntersectionAreaAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[IntAreaBuf] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): IntAreaBuf = new IntAreaBuf
+
+    private def rectGeom(r: Array[Double]): Geometry = {
+      import org.locationtech.jts.geom.Coordinate
+      if (r(0) > r(2) || r(1) > r(3)) Geo.factory.createPolygon()
+      else Geo.factory.createPolygon(Array(new Coordinate(r(0), r(1)), new Coordinate(r(2), r(1)),
+        new Coordinate(r(2), r(3)), new Coordinate(r(0), r(3)), new Coordinate(r(0), r(1))))
+    }
+
+    private def toGeom(b: IntAreaBuf): Geometry =
+      if (b.geom != null) b.geom else rectGeom(b.rect)
+
+    private def addRect(b: IntAreaBuf, e: org.locationtech.jts.geom.Envelope): Unit =
+      if (!b.seen) { b.seen = true; b.rect = Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) }
+      else if (b.rect != null) {
+        b.rect(0) = math.max(b.rect(0), e.getMinX); b.rect(1) = math.max(b.rect(1), e.getMinY)
+        b.rect(2) = math.min(b.rect(2), e.getMaxX); b.rect(3) = math.min(b.rect(3), e.getMaxY)
+      } else b.geom = b.geom.intersection(
+        rectGeom(Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
+
+    private def addGeom(b: IntAreaBuf, g: Geometry): Unit =
+      if (!b.seen) { b.seen = true; b.geom = g }
+      else { b.geom = toGeom(b).intersection(g); b.rect = null }
+
+    override def update(b: IntAreaBuf, input: InternalRow): IntAreaBuf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val g = Geo.read(v.asInstanceOf[Array[Byte]])
+        if (g.isRectangle && b.geom == null) addRect(b, g.getEnvelopeInternal)
+        else addGeom(b, g)
+      }
+      b
+    }
+
+    override def merge(b: IntAreaBuf, o: IntAreaBuf): IntAreaBuf = {
+      if (o.seen) {
+        if (o.rect != null && b.geom == null) {
+          val e = new org.locationtech.jts.geom.Envelope(o.rect(0), o.rect(2), o.rect(1), o.rect(3))
+          if (o.rect(0) <= o.rect(2) && o.rect(1) <= o.rect(3)) addRect(b, e)
+          else addGeom(b, Geo.factory.createPolygon()) // empty running rect
+        } else addGeom(b, toGeom(o))
+      }
+      b
+    }
+
+    override def eval(b: IntAreaBuf): Any =
+      if (!b.seen) null
+      else if (b.rect != null)
+        math.max(0.0, b.rect(2) - b.rect(0)) * math.max(0.0, b.rect(3) - b.rect(1))
+      else b.geom.getArea
+
+    override def serialize(b: IntAreaBuf): Array[Byte] =
+      if (!b.seen) Array(2: Byte)
+      else if (b.rect != null) {
+        val bb = ByteBuffer.allocate(33).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(0: Byte)
+        b.rect.foreach(bb.putDouble)
+        bb.array()
+      } else {
+        val gs = Wkb.write(b.geom)
+        val bb = ByteBuffer.allocate(1 + gs.length)
+        bb.put(1: Byte).put(gs)
+        bb.array()
+      }
+
+    override def deserialize(bytes: Array[Byte]): IntAreaBuf = {
+      val b = new IntAreaBuf
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.get() match {
+        case 0 => b.seen = true; b.rect = Array(bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble)
+        case 1 => b.seen = true
+          b.geom = Geo.read(java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+        case _ => ()
+      }
+      b
+    }
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def withNewMutableAggBufferOffset(o: Int): StIntersectionAreaAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): StIntersectionAreaAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): StIntersectionAreaAgg = copy(child = newChild)
+    override def prettyName: String = "st_intersection_area_agg"
+  }
 }

@@ -31,6 +31,18 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case FnExpr("st_area", Seq(FnExpr(op, args)))
           if args.length == 2 && fused.contains(op) =>
         FnExpr(fused(op), args)
+      // aggregate fusion: st_area(st_union_agg(g)) → a sweep-line
+      // area-of-rect-union aggregate (deduped rect state, JTS fallback for
+      // non-rect inputs); st_area(st_intersection_agg(g)) → a running rect
+      // intersection (8 doubles of state). Neither materializes the overlay.
+      case FnExpr("st_area",
+          Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            u: graft.functions.GeoAggregates.StUnionAgg, _, _, _, _))) =>
+        ae.copy(aggregateFunction = graft.functions.GeoAggregates.StUnionAreaAgg(u.child))
+      case FnExpr("st_area",
+          Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            ix: graft.functions.GeoAggregates.StIntersectionAgg, _, _, _, _))) =>
+        ae.copy(aggregateFunction = graft.functions.GeoAggregates.StIntersectionAreaAgg(ix.child))
     }
   }
 }

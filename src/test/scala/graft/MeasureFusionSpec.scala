@@ -34,6 +34,42 @@ class MeasureFusionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
   }
 
+  test("aggregate fusion: st_area(st_union_agg) sweeps rects, matches JTS") {
+    Graft.register(spark)
+    val q = """
+      SELECT id % 3 AS grp,
+             st_area(st_union_agg(st_makeenvelope(
+               CAST((id % 40) * 5 AS DOUBLE), CAST((id % 7) * 3 AS DOUBLE),
+               CAST((id % 40) * 5 + 8 AS DOUBLE), CAST((id % 7) * 3 + 6 AS DOUBLE)))) AS a,
+             st_area(st_intersection_agg(st_makeenvelope(
+               0.0d, 0.0d, CAST(200 + id % 9 AS DOUBLE), CAST(100 + id % 5 AS DOUBLE)))) AS ia
+      FROM range(0, 5000) GROUP BY id % 3 ORDER BY grp"""
+    val df = spark.sql(q)
+    val agg = df.queryExecution.executedPlan.toString
+    assert(agg.contains("st_union_area_agg") && agg.contains("st_intersection_area_agg"),
+      s"aggregate fusion did not fire:\n${agg.take(2000)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    spark.conf.set("spark.graft.measureFusion.enabled", "false")
+    val plain =
+      try spark.sql(q).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
+    assert(got.toSeq == plain.toSeq, s"got=${got.toSeq} plain=${plain.toSeq}")
+  }
+
+  test("aggregate fusion degrades to JTS when a non-rect input appears") {
+    Graft.register(spark)
+    val q = """
+      SELECT st_area(st_union_agg(g)) AS a FROM (
+        SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0d, CAST(id + 2 AS DOUBLE), 2.0d) AS g
+        FROM range(0, 50)
+        UNION ALL
+        SELECT st_geomfromtext('POLYGON ((100 0, 108 0, 100 8, 100 0))'))"""
+    val got = spark.sql(q).collect()(0).getDouble(0)
+    // 50 overlapping rects, step 1 width 2: union [0,51]x[0,2] = 102,
+    // plus the disjoint triangle 32
+    assert(got == 102.0 + 32.0, got.toString)
+  }
+
   test("fusion handles non-rect geometries through the general path") {
     Graft.register(spark)
     val r = spark.sql("""

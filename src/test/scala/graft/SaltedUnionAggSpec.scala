@@ -15,7 +15,14 @@ class SaltedUnionAggSpec extends AnyFunSuite {
       GROUP BY flag ORDER BY flag"""
 
   test("rewrite produces the two-level shape with a salt key") {
-    val plan = spark.sql(sql).queryExecution.optimizedPlan
+    // measure fusion replaces st_area(st_union_agg) with the sweep aggregate
+    // (tiny state, no reducer bottleneck — salting is then unnecessary);
+    // disable it here to exercise the salted path that geometry-valued
+    // st_union_agg outputs still take
+    spark.conf.set("spark.graft.measureFusion.enabled", "false")
+    val plan =
+      try spark.sql(sql).queryExecution.optimizedPlan
+      finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
     val aggs = plan.collect { case a: Aggregate => a }
     assert(aggs.size == 2, s"expected 2 Aggregate nodes, got ${aggs.size}:\n$plan")
     val inner = aggs.last
