@@ -827,6 +827,20 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Sequence packing (LM sample packing): concat-and-chunk assignment —
+    // each doc lands at its running-token offset inside per-language streams,
+    // chunk = offset / window. One window cumsum per shard key; at scale the
+    // shard key is the pack-parallelism. Exactly mirrored by the oracle.
+    "q_pack" -> q("documents")("""
+      SELECT doc_id,
+             CAST(floor(start / 512.0) AS INT) AS chunk,
+             CAST(start % 512 AS INT) AS off
+      FROM (SELECT doc_id, lang,
+                   sum(bpe_token_count(text)) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - bpe_token_count(text) AS start
+            FROM documents)
+      ORDER BY doc_id"""),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // features, target = en docs, corpus = all; per-doc weight is the summed
     // log-likelihood ratio of the two smoothed bucket distributions. The
@@ -1841,6 +1855,21 @@ object SparkEntry {
              CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
+
+    // same BPE-ish token count (the q_token_stats regex), same window cumsum
+    "q_pack" -> """
+      WITH lens AS (
+        SELECT doc_id, lang,
+               length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+        FROM documents),
+      c AS (SELECT doc_id,
+                   sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n AS start
+            FROM lens)
+      SELECT doc_id,
+             CAST(floor(start / 512.0) AS INT) AS chunk,
+             CAST(start % 512 AS INT) AS off
+      FROM c ORDER BY doc_id""",
 
     // features rebuilt from scratch: normalize → tokens → unigrams+bigrams →
     // polynomial hash via list_reduce (init emulated with list_prepend) →
