@@ -109,12 +109,25 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else None
     def ok(e: Expression): Boolean = e.deterministic && supported(e.dataType)
 
+    // band joins |a-b| ≤ d expand to both bounds (b-d ≤ a AND a ≤ b+d) so the
+    // point detection below sees an ordinary interval around b
+    def band(absE: Expression, d: Expression): Seq[(Expression, Expression)] = absE match {
+      case Abs(Subtract(a, b, _), _)
+          if d.foldable && d.deterministic && absE.deterministic =>
+        Seq((Subtract(toD(b), toD(d)), a), (a, Add(toD(b), toD(d))))
+      case _ => Seq.empty
+    }
     // normalize every inequality conjunct to (smaller, larger)
-    val ineqs: Seq[(Expression, Expression)] = splitConjuncts(cond).collect {
-      case GreaterThanOrEqual(a, b) => (b, a)
-      case GreaterThan(a, b)        => (b, a)
-      case LessThanOrEqual(a, b)    => (a, b)
-      case LessThan(a, b)           => (a, b)
+    val ineqs: Seq[(Expression, Expression)] = splitConjuncts(cond).flatMap {
+      case LessThanOrEqual(l: Abs, d)    => band(l, d)
+      case LessThan(l: Abs, d)           => band(l, d)
+      case GreaterThanOrEqual(d, l: Abs) => band(l, d)
+      case GreaterThan(d, l: Abs)        => band(l, d)
+      case GreaterThanOrEqual(a, b) => Seq((b, a))
+      case GreaterThan(a, b)        => Seq((b, a))
+      case LessThanOrEqual(a, b)    => Seq((a, b))
+      case LessThan(a, b)           => Seq((a, b))
+      case _ => Seq.empty
     }
     // lower bound: (lo, x); upper bound: (x, hi)
     val points = for {

@@ -117,6 +117,19 @@ class RangeJoinSpec extends AnyFunSuite {
       s"n_fast=${fast.size} n_naive=${naive.size} only-naive=${(naive -- fast).take(5)}")
   }
 
+  test("band join abs(a - b) <= d rewrites and matches the naive result") {
+    setup()
+    val sql = """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+                 ON abs(p.x - i.lo) <= 3.0d"""
+    val df = spark.sql(sql)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+      "band-join rewrite did not fire")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("salted point-in-interval join keeps exact results") {
     setup()
     val sql = "SELECT pid, iid FROM rj_points p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
