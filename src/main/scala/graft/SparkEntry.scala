@@ -827,6 +827,27 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Overlapping token-window chunking (RAG / context-window splitting):
+    // windows of 64 tokens advancing by 48; posexplode keeps chunk order.
+    // The oracle re-slices the same token arrays with list machinery.
+    "q_chunk" -> q("documents")("""
+      SELECT doc_id, CAST(pos AS INT) AS pos, c AS chunk
+      FROM (SELECT doc_id, posexplode(chunk_text(text, 64, 16)) AS (pos, c)
+            FROM documents WHERE doc_id < 100)
+      ORDER BY doc_id, pos"""),
+
+    // Deterministic train/val/test split via the portable polynomial hash —
+    // stable under reshuffling/reruns; the oracle recomputes the hash with
+    // list_reduce and applies the same 90/5/5 thresholds.
+    "q_split" -> q("documents")("""
+      SELECT split, CAST(count(*) AS INT) AS n, min(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   CASE WHEN hash_bucket(text, 1000) < 900 THEN 'train'
+                        WHEN hash_bucket(text, 1000) < 950 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+      GROUP BY split ORDER BY split"""),
+
     // Sequence packing (LM sample packing): concat-and-chunk assignment —
     // each doc lands at its running-token offset inside per-language streams,
     // chunk = offset / window. One window cumsum per shard key; at scale the
@@ -1855,6 +1876,36 @@ object SparkEntry {
              CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
+
+    // re-slices the same whitespace tokens: n = ceil((len-size)/step)+1
+    // windows, k-th window covers tokens [k*step+1, k*step+size]
+    "q_chunk" -> """
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        FROM documents WHERE doc_id < 100),
+      n AS (SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 64 THEN 1
+                        ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1 END AS nch
+            FROM t)
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk
+      FROM n, unnest(range(0, nch)) AS u(k)
+      ORDER BY doc_id, pos""",
+
+    // same polynomial hash via list_reduce, same 90/5/5 thresholds
+    "q_split" -> """
+      WITH h AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS b
+        FROM documents)
+      SELECT split, CAST(count(*) AS INT) AS n, min(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM h)
+      GROUP BY split ORDER BY split""",
 
     // same BPE-ish token count (the q_token_stats regex), same window cumsum
     "q_pack" -> """

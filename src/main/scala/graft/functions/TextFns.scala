@@ -286,6 +286,37 @@ object TextFns {
         .toDouble / toks.length)
   }
 
+  /** Engine-portable polynomial hash: h = (h*31 + codepoint) mod 2^31-1,
+   *  init 7 — reproducible in plain SQL via list_reduce. */
+  def polyHash(g: String): Long = {
+    var h = 7L
+    g.codePoints().forEach(cp => h = (h * 31 + cp) % 2147483647L)
+    h
+  }
+
+  /** Deterministic dataset-split bucket in [0, n) from the polynomial hash —
+   *  the standard stable train/val/test assignment. */
+  def hashBucket(s: String, n: Int): Int = (polyHash(s) % n).toInt
+
+  /** Overlapping token-window chunks (RAG/context-window splitting): windows
+   *  of `size` whitespace tokens advancing by `size - overlap`, the final
+   *  window emitted once it reaches the end of the document. Chunks are
+   *  space-rejoined (whitespace-normalized by construction). */
+  def chunkText(s: String, size: Int, overlap: Int): Array[String] = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val toks = wsTokens(s)
+    if (toks.isEmpty) return Array.empty
+    val step = size - overlap
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      out += toks.slice(i, i + size).mkString(" ")
+      if (i + size >= toks.length) done = true else i += step
+    }
+    out.toArray
+  }
+
   /** DSIR-style hashed n-gram features (Xie et al. 2023): all 1..nmax word
    *  n-grams of the normalized text, non-distinct, each hashed into
    *  [0, buckets) with an engine-portable polynomial hash
@@ -299,9 +330,7 @@ object TextFns {
       var i = 0
       while (i + n <= words.length) {
         val gram = words.slice(i, i + n).mkString(" ")
-        var h = 7L
-        gram.codePoints().forEach(cp => h = (h * 31 + cp) % 2147483647L)
-        out += (h % buckets).toInt
+        out += (polyHash(gram) % buckets).toInt
         i += 1
       }
       n += 1
@@ -459,6 +488,9 @@ object TextFns {
     fn("url_normalize", S, Seq(S))(a => utf(urlNormalize(str(a(0)))))
     fn("hashed_ngrams", ArrayType(I), Seq(S, I, I))(a =>
       new GenericArrayData(hashedNgrams(str(a(0)), int(a(1)), int(a(2)))))
+    fn("hash_bucket", I, Seq(S, I))(a => hashBucket(str(a(0)), int(a(1))))
+    fn("chunk_text", ArrayType(S), Seq(S, I, I))(a =>
+      new GenericArrayData(chunkText(str(a(0)), int(a(1)), int(a(2))).map(utf)))
     fn("lang_id", S, Seq(S))(a => utf(langId(str(a(0)))))
     fn("pii_emails", I, Seq(S))(a => countMatches(piiEmail, str(a(0))))
     fn("pii_phones", I, Seq(S))(a => countMatches(piiPhone, str(a(0))))

@@ -96,6 +96,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(urlNormalize("  ftp://Host.Net/f  ") == "ftp://host.net/f")
   }
 
+  test("chunk_text windows, overlap, and boundary behavior") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(TextFns.chunkText(doc, 4, 1).toSeq ==
+      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // exact multiple: final window reaches the end, no empty tail chunk
+    assert(TextFns.chunkText("a b c d", 2, 0).toSeq == Seq("a b", "c d"))
+    assert(TextFns.chunkText("a b c", 8, 2).toSeq == Seq("a b c")) // shorter than one window
+    assert(TextFns.chunkText("", 4, 1).isEmpty)
+    assert(TextFns.hashBucket("same text", 1000) == TextFns.hashBucket("same text", 1000))
+    assertThrows[IllegalArgumentException](TextFns.chunkText("x", 4, 4))
+  }
+
   // --------------------------------------------------- connected components
 
   test("hash-min connected components: chain, clique, singleton-pair") {
