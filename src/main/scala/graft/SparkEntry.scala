@@ -827,6 +827,26 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Distributed DBSCAN (operators/Dbscan): eps-pairs via the tile join,
+    // cores by neighbor count, clusters = hash-min connected components over
+    // core-core edges, borders attach to the min core cluster. Oracle =
+    // independent recursive-CTE transitive closure on exact integer
+    // distances.
+    "q_dbscan" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      // 300 scattered points (mostly noise) + 8 dense 5x5 blobs (cores with
+      // borders at the fringes)
+      val pts = s.sql("""
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(CASE WHEN id < 300 THEN (id * 37) % 97
+                         ELSE (id % 8) * 12 + (id * 7) % 5 END AS DOUBLE) AS x,
+               CAST(CASE WHEN id < 300 THEN (id * 73) % 89
+                         ELSE 60 + (id * 11) % 5 END AS DOUBLE) AS y
+        FROM range(0, 700)""")
+      graft.operators.Dbscan.cluster(s, pts, eps = 3.0, minPts = 4)
+        .orderBy("id")
+    }),
+
     // Overlapping token-window chunking (RAG / context-window splitting):
     // windows of 64 tokens advancing by 48; posexplode keeps chunk order.
     // The oracle re-slices the same token arrays with list machinery.
@@ -1876,6 +1896,42 @@ object SparkEntry {
              CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
+
+    // independent algorithm: full reachability via recursive CTE over
+    // core-core edges, min label per component; integer squared distances
+    // make eps exact (d <= 3 ⟺ d² <= 9)
+    "q_dbscan" -> """
+      WITH RECURSIVE p AS (
+        SELECT CAST(i AS BIGINT) AS id,
+               CASE WHEN i < 300 THEN (i * 37) % 97
+                    ELSE (i % 8) * 12 + (i * 7) % 5 END AS x,
+               CASE WHEN i < 300 THEN (i * 73) % 89
+                    ELSE 60 + (i * 11) % 5 END AS y
+        FROM range(0, 700) t(i)),
+      e AS (
+        SELECT a.id AS u, b.id AS v
+        FROM p a JOIN p b ON a.id != b.id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9),
+      core AS (SELECT u AS id FROM e GROUP BY u HAVING count(*) + 1 >= 4),
+      ce AS (SELECT u, v FROM e
+             WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+      r AS (
+        SELECT id, id AS lbl FROM core
+        UNION
+        SELECT ce.v AS id, r.lbl FROM r JOIN ce ON ce.u = r.id),
+      cc AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+      border AS (
+        SELECT e.u AS id, min(cc.cluster) AS cluster
+        FROM e JOIN cc ON e.v = cc.id
+        WHERE e.u NOT IN (SELECT id FROM core)
+        GROUP BY e.u)
+      SELECT p.id,
+             COALESCE(cc.cluster, border.cluster, -1) AS cluster,
+             CASE WHEN cc.id IS NOT NULL THEN 'core'
+                  WHEN border.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role
+      FROM p LEFT JOIN cc ON p.id = cc.id LEFT JOIN border ON p.id = border.id
+      ORDER BY p.id""",
 
     // re-slices the same whitespace tokens: n = ceil((len-size)/step)+1
     // windows, k-th window covers tokens [k*step+1, k*step+size]

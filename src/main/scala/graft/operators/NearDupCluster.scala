@@ -28,11 +28,20 @@ import org.apache.spark.sql.{DataFrame, functions => F}
  */
 object NearDupCluster {
 
+  /** Edge sets below this collect to the driver and run union-find — the
+   *  iterative hash-min loop costs ~4 Spark stages PER ROUND in scheduler
+   *  latency, which dwarfs the work when the graph fits in one task (same
+   *  principle as broadcasting a small join side). 1M edges = 16 MB. */
+  private val driverEdgeCutoff = 1 << 20
+
   /** @param pairs DataFrame with two id columns (one row per near-dup pair)
    *  @return DataFrame(id LONG, component LONG) — component = min id reachable */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(F.col(aCol).cast("long").as("src"), F.col(bCol).cast("long").as("dst"))
+    // bounded probe: read at most cutoff+1 rows to decide the path
+    val probe = edges.limit(driverEdgeCutoff + 1).count()
+    if (probe <= driverEdgeCutoff) return driverUnionFind(edges)
     val sym = edges.union(edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct().cache()
     // Initialize each label at min(id, min neighbor) rather than id — one
@@ -63,6 +72,36 @@ object NearDupCluster {
 
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+
+  /** Exact union-find on the driver for bounded edge sets; identical
+   *  semantics (component = min reachable id). */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // keep the smaller root so labels are min ids
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) union(r.getLong(0), r.getLong(1))
+    }
+    val ids = rows.iterator.flatMap(r =>
+      Seq(if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))).flatten).toSet
+    import spark.implicits._
+    ids.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
 
   /** Convenience: cluster label + cluster size + canonical flag (the member
    *  every dedup pipeline keeps — the minimum id). */
