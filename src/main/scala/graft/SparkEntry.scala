@@ -544,14 +544,15 @@ object SparkEntry {
     // equi-key would be a BroadcastNestedLoopJoin pair scan; the rule bins
     // the value axis (floor(v/w)) so it runs as a hash-partitioned equi-join
     // with the BETWEEN as exact residual. Integer-derived doubles → exact.
+    // 5000 intervals — above the tiny-side bailout, so the rewrite fires.
     "q_interval_join" -> q("lineitem")(s"""
       WITH intervals AS (
         SELECT CAST(id AS BIGINT) AS iid,
-               CAST((id * 37) % 991 AS DOUBLE) AS lo,
-               CAST((id * 37) % 991 + id % 13 AS DOUBLE) AS hi
-        FROM range(0, 200)),
+               CAST((id * 37) % 49999 AS DOUBLE) AS lo,
+               CAST((id * 37) % 49999 + id % 13 AS DOUBLE) AS hi
+        FROM range(0, 5000)),
       pts AS (SELECT $K AS k,
-                     CAST((l_partkey * 3 + l_suppkey) % 991 AS DOUBLE) AS v
+                     CAST((l_partkey * 17 + l_suppkey * 3) % 49999 AS DOUBLE) AS v
               FROM lineitem)
       SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
       ORDER BY k, iid"""),
@@ -559,15 +560,16 @@ object SparkEntry {
     // Interval-OVERLAP join (both sides ranged): RangeJoinRule explodes both
     // sides to bins and dedupes on the bin of max(lo_a, lo_b) — the 1-D
     // anchor-corner trick. Without it this is a nested-loop pair scan.
+    // 5000 b-intervals — above the tiny-side bailout.
     "q_overlap_join" -> q("lineitem")(s"""
       WITH a AS (SELECT $K AS k,
-                        CAST((l_partkey * 7 + l_suppkey) % 2003 AS DOUBLE) AS lo,
-                        CAST((l_partkey * 7 + l_suppkey) % 2003 + l_linenumber AS DOUBLE) AS hi
+                        CAST((l_partkey * 11 + l_suppkey) % 49999 AS DOUBLE) AS lo,
+                        CAST((l_partkey * 11 + l_suppkey) % 49999 + l_linenumber AS DOUBLE) AS hi
                  FROM lineitem),
       b AS (SELECT CAST(id AS BIGINT) AS iid,
-                   CAST((id * 97) % 2003 AS DOUBLE) AS lo,
-                   CAST((id * 97) % 2003 + id % 7 AS DOUBLE) AS hi
-            FROM range(0, 300))
+                   CAST((id * 97) % 49999 AS DOUBLE) AS lo,
+                   CAST((id * 97) % 49999 + id % 7 AS DOUBLE) AS hi
+            FROM range(0, 5000))
       SELECT k, iid FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
       ORDER BY k, iid"""),
 
@@ -2259,11 +2261,11 @@ $minhashPairPins) v(da, db, j)
     "q_interval_join" -> s"""
       WITH intervals AS (
         SELECT CAST(i AS BIGINT) AS iid,
-               CAST((i * 37) % 991 AS DOUBLE) AS lo,
-               CAST((i * 37) % 991 + i % 13 AS DOUBLE) AS hi
-        FROM range(0, 200) t(i)),
+               CAST((i * 37) % 49999 AS DOUBLE) AS lo,
+               CAST((i * 37) % 49999 + i % 13 AS DOUBLE) AS hi
+        FROM range(0, 5000) t(i)),
       pts AS (SELECT $K AS k,
-                     CAST((l_partkey * 3 + l_suppkey) % 991 AS DOUBLE) AS v
+                     CAST((l_partkey * 17 + l_suppkey * 3) % 49999 AS DOUBLE) AS v
               FROM lineitem)
       SELECT k, iid FROM pts JOIN intervals ON v BETWEEN lo AND hi
       ORDER BY k, iid""",
@@ -2286,13 +2288,13 @@ $minhashPairPins) v(da, db, j)
 
     "q_overlap_join" -> s"""
       WITH a AS (SELECT $K AS k,
-                        CAST((l_partkey * 7 + l_suppkey) % 2003 AS DOUBLE) AS lo,
-                        CAST((l_partkey * 7 + l_suppkey) % 2003 + l_linenumber AS DOUBLE) AS hi
+                        CAST((l_partkey * 11 + l_suppkey) % 49999 AS DOUBLE) AS lo,
+                        CAST((l_partkey * 11 + l_suppkey) % 49999 + l_linenumber AS DOUBLE) AS hi
                  FROM lineitem),
       b AS (SELECT CAST(i AS BIGINT) AS iid,
-                   CAST((i * 97) % 2003 AS DOUBLE) AS lo,
-                   CAST((i * 97) % 2003 + i % 7 AS DOUBLE) AS hi
-            FROM range(0, 300) t(i))
+                   CAST((i * 97) % 49999 AS DOUBLE) AS lo,
+                   CAST((i * 97) % 49999 + i % 7 AS DOUBLE) AS hi
+            FROM range(0, 5000) t(i))
       SELECT k, iid FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
       ORDER BY k, iid""",
 

@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
  * Catalyst already picks a shuffled hash/sort-merge join keyed on it).
  * Strict bounds (<, >) qualify too — binning is bbox-style overcount.
  *
+ * Cost bailout: when the smaller side is TINY (≤
+ * spark.graft.rangeJoin.maxBroadcastBypass bytes, default 64 KB ≈ a couple
+ * thousand rows) the join is left to Spark's BroadcastNestedLoopJoin —
+ * measured at sf0.1, 600k×200 codegen'd comparisons beat the explode +
+ * shuffle the rewrite pays. Above the threshold the quadratic probe cost
+ * dominates and binning wins; set 0 to always rewrite.
+ *
  * Tuning: spark.graft.rangeJoin.enabled (default true),
  * spark.graft.rangeJoin.binWidth (default "auto": sample up to 1000 interval
  * rows at planning time, use max(median length, tiny) so a typical interval
@@ -56,10 +63,17 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && !alreadyRewritten(cond) && !hasEquiConjunct(cond, left, right) =>
         findInterval(cond, left, right) match {
-          case Some(iv) => rewrite(j, cond, iv)
-          case None => j
+          case Some(iv) if !tinyBuildSide(j) => rewrite(j, cond, iv)
+          case _ => j
         }
     }
+  }
+
+  private def tinyBuildSide(j: Join): Boolean = {
+    val bypass = spark.conf.get("spark.graft.rangeJoin.maxBroadcastBypass",
+      (64 * 1024).toString).toLong
+    bypass > 0 &&
+      j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes) <= BigInt(bypass)
   }
 
   private def alreadyRewritten(cond: Expression): Boolean =

@@ -11,6 +11,9 @@ class RangeJoinSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = SparkTestSession.spark
 
   private def setup(): Unit = {
+    // the cost bailout defers tiny build sides to Spark's BNLJ; force the
+    // rewrite for plan-shape tests (the bailout has its own test below)
+    spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
     spark.sql("""
       SELECT id AS pid, CAST((id * 13) % 9973 AS DOUBLE) AS x
       FROM range(0, 20000)""").createOrReplaceTempView("rj_points")
@@ -52,6 +55,21 @@ class RangeJoinSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.rangeJoin.enabled", "false")
     val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
     assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("tiny build sides defer to Spark's broadcast nested loop by default") {
+    setup()
+    spark.conf.unset("spark.graft.rangeJoin.maxBroadcastBypass")
+    try {
+      spark.sql("""
+        SELECT id AS iid, CAST(id * 10 AS DOUBLE) AS lo, CAST(id * 10 + 5 AS DOUBLE) AS hi
+        FROM range(0, 20)""").createOrReplaceTempView("rj_tiny")
+      val df = spark.sql(
+        "SELECT pid, iid FROM rj_points p JOIN rj_tiny i ON p.x BETWEEN i.lo AND i.hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bin"),
+        s"rewrite fired on a 20-row build side (BNLJ is cheaper there):\n$plan")
+    } finally spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
   }
 
   test("equi-conjunct joins are left alone") {
@@ -142,6 +160,7 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("timestamp intervals bin correctly") {
+    spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
     spark.sql("""
       SELECT id AS pid, timestamp_seconds(1700000000 + id * 60) AS ts
       FROM range(0, 5000)""").createOrReplaceTempView("rj_tsp")
