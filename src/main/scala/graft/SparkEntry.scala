@@ -829,6 +829,24 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Lloyd k-means (operators/KMeans — the ST_ClusterKMeans semantics with
+    // deterministic seeding): centroids are driver literals, each round is
+    // one map-side-combined groupBy; integral coordinates make every
+    // centroid an exact integer-sum / count division, so the oracle unrolls
+    // the same two rounds in SQL and matches bit for bit.
+    "q_kmeans" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      // ids 0..3 land in four separate blobs → well-spread seeds
+      val pts = s.sql("""
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(CASE WHEN id < 320 THEN (id % 4) * 20 + (id * 7) % 5
+                         ELSE (id * 37) % 80 END AS DOUBLE) AS x,
+               CAST(CASE WHEN id < 320 THEN 10 + (id * 11) % 5
+                         ELSE (id * 73) % 80 END AS DOUBLE) AS y
+        FROM range(0, 400)""")
+      graft.operators.KMeans.cluster(s, pts, k = 4, iters = 2).orderBy("id")
+    }),
+
     // Distributed DBSCAN (operators/Dbscan): eps-pairs via the tile join,
     // cores by neighbor count, clusters = hash-min connected components over
     // core-core edges, borders attach to the min core cluster. Oracle =
@@ -1898,6 +1916,41 @@ object SparkEntry {
              CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
+
+    // the same two Lloyd rounds unrolled as CTEs: assignment by
+    // row_number over (squared distance, cluster), centroids as
+    // sum/count with COALESCE for empty clusters
+    "q_kmeans" -> """
+      WITH p AS (
+        SELECT CAST(i AS BIGINT) AS id,
+               CAST(CASE WHEN i < 320 THEN (i % 4) * 20 + (i * 7) % 5
+                         ELSE (i * 37) % 80 END AS DOUBLE) AS x,
+               CAST(CASE WHEN i < 320 THEN 10 + (i * 11) % 5
+                         ELSE (i * 73) % 80 END AS DOUBLE) AS y
+        FROM range(0, 400) t(i)),
+      c0 AS (SELECT CAST(id AS INT) AS c, x AS cx, y AS cy FROM p WHERE id < 4),
+      a1 AS (SELECT id, x, y, c FROM (
+        SELECT p.id, p.x, p.y, c0.c,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x - c0.cx) * (p.x - c0.cx) + (p.y - c0.cy) * (p.y - c0.cy), c0.c) AS rn
+        FROM p CROSS JOIN c0) WHERE rn = 1),
+      c1 AS (SELECT c0.c, COALESCE(s.sx / s.n, c0.cx) AS cx, COALESCE(s.sy / s.n, c0.cy) AS cy
+             FROM c0 LEFT JOIN (SELECT c, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+                                FROM a1 GROUP BY c) s ON c0.c = s.c),
+      a2 AS (SELECT id, x, y, c FROM (
+        SELECT p.id, p.x, p.y, c1.c,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x - c1.cx) * (p.x - c1.cx) + (p.y - c1.cy) * (p.y - c1.cy), c1.c) AS rn
+        FROM p CROSS JOIN c1) WHERE rn = 1),
+      c2 AS (SELECT c1.c, COALESCE(s.sx / s.n, c1.cx) AS cx, COALESCE(s.sy / s.n, c1.cy) AS cy
+             FROM c1 LEFT JOIN (SELECT c, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+                                FROM a2 GROUP BY c) s ON c1.c = s.c)
+      SELECT id, cluster, cx, cy FROM (
+        SELECT p.id, c2.c AS cluster, c2.cx, c2.cy,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x - c2.cx) * (p.x - c2.cx) + (p.y - c2.cy) * (p.y - c2.cy), c2.c) AS rn
+        FROM p CROSS JOIN c2) WHERE rn = 1
+      ORDER BY id""",
 
     // independent algorithm: full reachability via recursive CTE over
     // core-core edges, min label per component; integer squared distances

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.KMeans
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("two tight blobs separate; centroids are exact means") {
+    import spark.implicits._
+    // blob A around (0..1, 0), blob B around (100..101, 0); seeds = ids 0, 1
+    val pts = Seq((0L, 0.0, 0.0), (1L, 100.0, 0.0), (2L, 1.0, 0.0), (3L, 101.0, 0.0),
+                  (4L, 0.0, 1.0), (5L, 100.0, 1.0)).toDF("id", "x", "y")
+    val rows = KMeans.cluster(spark, pts, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 0, 1, 0, 1))
+    // cluster 0 mean = ((0+1+0)/3, (0+0+1)/3)
+    assert(rows(0)._3 == 1.0 / 3 && rows(0)._4 == 1.0 / 3)
+    assert(rows(1)._3 == 301.0 / 3 && rows(1)._4 == 1.0 / 3)
+  }
+
+  test("empty clusters keep their centroid; iters=0 assigns against seeds") {
+    import spark.implicits._
+    val pts = Seq((0L, 0.0, 0.0), (1L, 1000.0, 0.0), (2L, 1.0, 0.0), (3L, 2.0, 0.0))
+      .toDF("id", "x", "y")
+    // seed 1 at x=1000 attracts nothing after round 1? no — id 1 itself stays.
+    val zero = KMeans.cluster(spark, pts, k = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(zero.map(_._2).toSeq == Seq(0, 1, 0, 0))
+    val two = KMeans.cluster(spark, pts, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(two.map(_._2).toSeq == Seq(0, 1, 0, 0))
+  }
+}
