@@ -179,30 +179,42 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def bin(e: Expression, w: Double): Expression =
     Floor(Divide(toD(e), Literal(w)))
 
-  private def binWidth(intervalPlan: LogicalPlan, lo: Expression, hi: Expression): Double = {
+  /** None = do not rewrite this join: a sampled interval is unbounded or so
+   *  much longer than the median that it would explode to an absurd number
+   *  of bins (Sequence would error at runtime) — leave Spark's plan alone. */
+  private def binWidth(intervalPlan: LogicalPlan, lo: Expression,
+                       hi: Expression): Option[Double] = {
     val conf = spark.conf.get("spark.graft.rangeJoin.binWidth", "auto")
-    if (!conf.equalsIgnoreCase("auto")) return conf.toDouble
+    if (!conf.equalsIgnoreCase("auto")) return Some(conf.toDouble)
     val key = s"${intervalPlan.canonicalized.hashCode()}:${lo.canonicalized.hashCode()}:" +
       s"${hi.canonicalized.hashCode()}"
     val hit = widthCache.get(key)
-    if (hit != null) return hit.doubleValue()
+    if (hit != null) return if (hit.isNaN) None else Some(hit.doubleValue())
+    val maxBins = spark.conf.get("spark.graft.rangeJoin.maxBinsPerInterval", "100000").toLong
+    var unbounded = false
     val lens = try {
       val len = Alias(Subtract(toD(hi), toD(lo)), "__len")()
       val probe = Limit(Literal(1000), Project(Seq(len), intervalPlan))
-      spark.sessionState.executePlan(probe).executedPlan.executeCollect()
+      val raw = spark.sessionState.executePlan(probe).executedPlan.executeCollect()
         .filterNot(_.isNullAt(0)).map(_.getDouble(0))
-        .filter(d => !d.isNaN && !d.isInfinite && d >= 0).sorted.toSeq
+      unbounded = raw.exists(d => d.isInfinite || d.isNaN)
+      raw.filter(d => !d.isNaN && !d.isInfinite && d >= 0).sorted.toSeq
     } catch {
       case e: Exception =>
         logWarning(s"range-join binWidth=auto sampling failed (${e.getClass.getSimpleName}: " +
           s"${e.getMessage}); using 1.0")
         Seq.empty
     }
-    val w =
-      if (lens.isEmpty) 1.0
-      else math.max(lens(lens.length / 2), 1e-9) // all-degenerate intervals: any width
-    widthCache.put(key, w)
-    w
+    val result: Option[Double] =
+      if (unbounded) None
+      else if (lens.isEmpty) Some(1.0)
+      else {
+        val w = math.max(lens(lens.length / 2), 1e-9) // all-degenerate: any width
+        if (lens.last / w > maxBins) None // outlier interval would explode
+        else Some(w)
+      }
+    widthCache.put(key, java.lang.Double.valueOf(result.getOrElse(Double.NaN)))
+    result
   }
 
   /** bins lo..hi as array<long>; reversed/NULL bounds → zero bins. */
@@ -223,7 +235,10 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewritePoint(j: Join, cond: Expression, iv: PointInInterval): LogicalPlan = {
     val (pointPlan, intvPlan) =
       if (iv.pointOnLeft) (j.left, j.right) else (j.right, j.left)
-    val w = binWidth(intvPlan, iv.lo, iv.hi)
+    val w = binWidth(intvPlan, iv.lo, iv.hi) match {
+      case Some(v) => v
+      case None => return j // unbounded/extreme intervals: keep Spark's plan
+    }
 
     val binP = Alias(bin(iv.x, w), "__graft_bin_p")()
     val pointSide = Project(pointPlan.output :+ binP, pointPlan)
@@ -262,8 +277,10 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
    *  min/max envelopes never miss — min(a) ≤ aLo ≤ bHi ≤ max(b) whenever the
    *  condition holds. */
   private def rewriteOverlap(j: Join, cond: Expression, ov: IntervalOverlap): LogicalPlan = {
-    val w = math.max(binWidth(j.left, ov.lLo, ov.lHi),
-                     binWidth(j.right, ov.rLo, ov.rHi))
+    val w = (binWidth(j.left, ov.lLo, ov.lHi), binWidth(j.right, ov.rLo, ov.rHi)) match {
+      case (Some(a), Some(b)) => math.max(a, b)
+      case _ => return j // unbounded/extreme intervals: keep Spark's plan
+    }
     val lLoN = Least(Seq(ov.lLo, ov.lHi)); val lHiN = Greatest(Seq(ov.lLo, ov.lHi))
     val rLoN = Least(Seq(ov.rLo, ov.rHi)); val rHiN = Greatest(Seq(ov.rLo, ov.rHi))
     val binL = AttributeReference("__graft_bin_l", LongType, nullable = false)()

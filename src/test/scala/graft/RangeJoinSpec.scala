@@ -72,6 +72,19 @@ class RangeJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
   }
 
+  test("unbounded (infinite) intervals bail out instead of exploding bins") {
+    setup()
+    spark.sql("""
+      SELECT id AS iid, CAST(id * 10 AS DOUBLE) AS lo,
+             CASE WHEN id = 0 THEN CAST('Infinity' AS DOUBLE) ELSE CAST(id * 10 + 5 AS DOUBLE) END AS hi
+      FROM range(0, 3000)""").createOrReplaceTempView("rj_inf")
+    val sql = "SELECT pid, iid FROM rj_points p JOIN rj_inf i ON p.x BETWEEN i.lo AND i.hi"
+    val df = spark.sql(sql)
+    assert(!df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+      "rewrite fired on an unbounded interval set")
+    assert(df.count() > 0) // the infinite interval matches everything — still correct
+  }
+
   test("equi-conjunct joins are left alone") {
     setup()
     val sql = """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
