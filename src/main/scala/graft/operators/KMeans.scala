@@ -25,7 +25,11 @@ object KMeans {
   def cluster(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0)
     val p = points.selectExpr("CAST(id AS LONG) AS id", "CAST(x AS DOUBLE) AS x",
-      "CAST(y AS DOUBLE) AS y").cache()
+      "CAST(y AS DOUBLE) AS y")
+      // null coordinates have no distance — drop them (they would surface as
+      // a null groupBy key and break the centroid update)
+      .where("id IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL")
+      .cache()
 
     var cents: Array[(Int, Double, Double)] = p.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getDouble(1), r.getDouble(2)) }

@@ -54,7 +54,10 @@ object KnnJoin {
        r.get(1).asInstanceOf[Array[Byte]]))
     probeDs.mapPartitions { it =>
       val t = tree(bc)
-      val n = bc.value.length
+      // count INSERTED items, not raw build rows — null/empty build
+      // geometries are skipped at tree build, and k > tree size would make
+      // the expanding-radius search loop forever
+      val n = t.size()
       it.flatMap { case (pid, wkb) =>
         val g = graft.geom.Geo.read(wkb)
         if (g == null || g.isEmpty || n == 0) Iterator.empty

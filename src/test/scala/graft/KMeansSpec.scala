@@ -21,6 +21,16 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows(1)._3 == 301.0 / 3 && rows(1)._4 == 1.0 / 3)
   }
 
+  test("null coordinates are dropped, not crashed on") {
+    import spark.implicits._
+    val pts = Seq((Some(0L), Some(0.0), Some(0.0)), (Some(1L), Some(10.0), Some(0.0)),
+                  (Some(2L), None: Option[Double], Some(1.0)), (Some(3L), Some(1.0), Some(0.0)))
+      .toDF("id", "x", "y")
+    val rows = KMeans.cluster(spark, pts, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 3L)) // id 2 dropped
+  }
+
   test("empty clusters keep their centroid; iters=0 assigns against seeds") {
     import spark.implicits._
     val pts = Seq((0L, 0.0, 0.0), (1L, 1000.0, 0.0), (2L, 1.0, 0.0), (3L, 2.0, 0.0))

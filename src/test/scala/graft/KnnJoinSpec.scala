@@ -45,6 +45,19 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("empty build geometries are skipped without hanging the search") {
+    pts("knn_p3", "SELECT CAST(1 AS BIGINT) AS id, st_aswkb(st_point(0.0d, 0.0d)) AS g")
+    pts("knn_b3", """
+      SELECT CAST(id AS BIGINT) AS id,
+             CASE WHEN id = 0 THEN st_aswkb(st_geomfromtext('POINT EMPTY'))
+                  ELSE st_aswkb(st_point(CAST(id AS DOUBLE), 0.0d)) END AS g
+      FROM range(0, 3)""")
+    // k=3 > 2 usable items: must return both and terminate
+    val rows = KnnJoin.knn(spark, spark.table("knn_p3"), spark.table("knn_b3"), 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(rows == Seq((1L, 1), (2L, 2)))
+  }
+
   test("k larger than the build side returns every build row, ranked") {
     pts("knn_p2", "SELECT CAST(1 AS BIGINT) AS id, st_aswkb(st_point(0.0d, 0.0d)) AS g")
     pts("knn_b2", """
