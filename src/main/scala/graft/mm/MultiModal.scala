@@ -90,16 +90,21 @@ object MultiModal {
       (u8(i + 3) << 24)).toLong & 0xffffffffL
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var p = 12
+    var p = 12L
     var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0; var dataSize = -1L
-    while (p + 8 <= b.length) {
-      val id = new String(b, p, 4, "ASCII")
-      val size = le32(p + 4)
+    var corrupt = false
+    while (!corrupt && p + 8 <= b.length) {
+      val pi = p.toInt
+      val id = new String(b, pi, 4, "ASCII")
+      val size = le32(pi + 4)
       if (id == "fmt " && p + 24 <= b.length) {
-        ch = le16(p + 10); rate = le32(p + 12).toInt
-        blockAlign = le16(p + 20); bits = le16(p + 22)
+        ch = le16(pi + 10); rate = le32(pi + 12).toInt
+        blockAlign = le16(pi + 20); bits = le16(pi + 22)
       } else if (id == "data") dataSize = size
-      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in Long space — a corrupt 32-bit size must not truncate to a
+      // negative Int and walk the cursor backwards forever
+      val next = p + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= p) corrupt = true else p = next
     }
     if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
     else {
@@ -123,9 +128,10 @@ object MultiModal {
         if (size < 8 || p + size > to) return
         typ match {
           case "moov" | "trak" => walk(p + 8, (p + size).toInt)
-          case "mvhd" if u8(p + 8) == 0 && p + 28 <= to => // version 0
+          // bounds FIRST — an 8-byte box at the buffer end has no version byte
+          case "mvhd" if p + 28 <= to && u8(p + 8) == 0 => // version 0
             timescale = be32(p + 20); duration = be32(p + 24)
-          case "tkhd" if u8(p + 8) == 0 && w == 0 && p + 92 <= to =>
+          case "tkhd" if p + 92 <= to && u8(p + 8) == 0 && w == 0 =>
             w = (be32(p + 84) >> 16).toInt; h = (be32(p + 88) >> 16).toInt
           case _ => ()
         }

@@ -72,6 +72,17 @@ class MmDecodeSpec extends AnyFunSuite {
     assert(MultiModal.wavMeta(hex(wav).take(20)).isEmpty)
   }
 
+  test("corrupt containers terminate: huge wav chunk size, truncated mp4 box") {
+    def le(v: Long, n: Int): String = (0 until n).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    def be(v: Long, n: Int): String = (0 until n).reverse.map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+    // chunk size 0xFFFFFFFF would truncate to -1 as Int and walk backwards
+    val evil = "52494646" + le(100, 4) + "57415645" + "6a756e6b" + "ffffffff" + "00" * 8
+    assert(MultiModal.wavMeta(hex(evil)).isEmpty) // terminates, no fmt/data found
+    // an exactly-8-byte mvhd box ending at the buffer end has no version byte
+    val stub = be(16, 4) + "66747970" + "69736f6d" + be(0, 4) + be(8, 4) + "6d766864"
+    assert(MultiModal.mp4Meta(hex(stub)).isEmpty) // no OOB read
+  }
+
   test("mp4 meta: box walk finds mvhd/tkhd, ignores version-1 and junk") {
     def be(v: Long, n: Int): String = (0 until n).reverse.map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
     val matrix = "0001000000000000000000000000000000010000000000000000000000000000" + "40000000"
