@@ -172,6 +172,36 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("randomized parity: 30 generated interval tables match the naive plan") {
+    import org.scalacheck.{Gen, rng}
+    spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
+    val tbl = for {
+      nP <- Gen.choose(50, 400)
+      nI <- Gen.choose(20, 200)
+      scale <- Gen.oneOf(1, 7, 100)
+      neg <- Gen.choose(-500, 0)
+      maxLen <- Gen.choose(0, 40)
+    } yield (nP, nI, scale, neg, maxLen)
+    val params = Gen.Parameters.default
+    (0 until 30).foreach { i =>
+      val (nP, nI, scale, neg, maxLen) = tbl.apply(params, rng.Seed(4242L + i)).get
+      spark.sql(s"""
+        SELECT id AS pid, CAST((id * 131 + $neg) % (997 * $scale) AS DOUBLE) / $scale AS x
+        FROM range(0, $nP)""").createOrReplaceTempView("rj_fp")
+      spark.sql(s"""
+        SELECT id AS iid,
+               CAST((id * 173 + $neg * 2) % (997 * $scale) AS DOUBLE) / $scale AS lo,
+               CAST((id * 173 + $neg * 2) % (997 * $scale) + id % ${maxLen + 1} AS DOUBLE) / $scale AS hi
+        FROM range(0, $nI)""").createOrReplaceTempView("rj_fi")
+      val sql = "SELECT pid, iid FROM rj_fp p JOIN rj_fi i ON p.x BETWEEN i.lo AND i.hi"
+      val fast = pairs(sql)
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      assert(fast == naive, s"case $i ($nP,$nI,$scale,$neg,$maxLen): " +
+        s"fast=${fast.size} naive=${naive.size} onlyN=${(naive -- fast).take(3)}")
+    }
+  }
+
   test("timestamp intervals bin correctly") {
     spark.conf.set("spark.graft.rangeJoin.maxBroadcastBypass", "0")
     spark.sql("""
