@@ -942,7 +942,14 @@ object SparkEntry {
         (109, 'Der Hund und die Katze sind nicht mit dem Auto zu sehen, auch als Beispiel.'),
         (110, 'Le chat et le chien ne sont pas dans la maison avec les enfants du village.'),
         (111, 'Dit is een zin in het Nederlands met de woorden die niet op een lijst staan.'),
-        (112, 'Det är en mening på svenska som inte har med ett ord att göra för han och jag.')
+        (112, 'Det är en mening på svenska som inte har med ett ord att göra för han och jag.'),
+        (113, 'To jest zdanie testowe, które nie ma nic do rzeczy, ale się nada tak jak jest.'),
+        (114, 'Bu bir test cümlesidir ve bunun için de güzel bir örnek olacak ama daha çok değil.'),
+        (115, 'Đây là một câu thử nghiệm và nó không có gì đặc biệt ở trong đó cho tôi.'),
+        (116, 'Ini adalah kalimat uji yang dibuat dengan kata umum untuk contoh itu dan tidak sulit.'),
+        (117, 'Tämä on testilause, joka ei ole kovin pitkä mutta se on hyvä ja niin selvä.'),
+        (118, 'Det er en god dag, og jeg ved ikke hvad der er af betydning for os i dag.'),
+        (119, 'Det er en fin dag, og jeg vet ikke hva som er av betydning for oss her.')
         AS s(id, t)
       ORDER BY doc_id"""),
 
@@ -2287,7 +2294,8 @@ object SparkEntry {
         (54,'und',-4698184494955164924),(55,'pt',7336425551420394632),(56,'und',-4655860935007724257),(57,'und',-8974234571615488680),(58,'und',-7049927736380153319),(59,'pt',7825717070259110582),
         (100,'zh',478328039294123991),(101,'ja',-1123380165440756605),(102,'ko',-2117482068342598911),(103,'ru',-2710952538611252155),(104,'ar',-5764483050672341038),(105,'hi',3954553396918434582),
         (106,'el',-259022888580742481),(107,'he',3562656575758041568),(108,'th',-2795680923972972053),(109,'de',-2608941494140097124),(110,'fr',-5144537284372489703),(111,'nl',-1836375989906120024),
-        (112,'sv',-6955912749751907379)) v(doc_id, lang, fp)
+        (112,'sv',-6955912749751907379),(113,'pl',6192245289475957958),(114,'tr',-2365817576192774077),(115,'vi',-8156246528045578373),(116,'id',-5552488924406871684),(117,'fi',-4024145660685994634),
+        (118,'da',8464093321990969257),(119,'no',-6969184763579292681)) v(doc_id, lang, fp)
       ORDER BY doc_id""",
 
     "q_minhash_neardup" -> s"""

@@ -386,7 +386,14 @@ object TextFns {
     "it" -> Set("il", "la", "le", "e", "è", "non", "un", "una", "di", "che", "per", "con", "si", "del", "della", "in", "da", "su", "al", "dei"),
     "pt" -> Set("o", "a", "os", "as", "e", "é", "não", "um", "uma", "de", "em", "que", "por", "para", "com", "se", "do", "da", "no", "na"),
     "nl" -> Set("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in", "is", "niet", "op", "aan", "met", "als", "voor", "er", "maar", "om"),
-    "sv" -> Set("och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "den", "till", "inte", "om", "ett", "han", "var", "jag", "de", "så"))
+    "sv" -> Set("och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "den", "till", "inte", "om", "ett", "han", "var", "jag", "de", "så"),
+    "pl" -> Set("w", "z", "na", "się", "nie", "jest", "do", "że", "ale", "po", "jak", "co", "tak", "ma", "od", "za", "przez", "która", "być", "tym"),
+    "tr" -> Set("ve", "bir", "bu", "için", "ile", "ne", "gibi", "daha", "çok", "ama", "olarak", "sonra", "kadar", "olan", "ben", "bunun", "değil", "ki", "mi", "şey"),
+    "vi" -> Set("và", "của", "là", "có", "không", "được", "trong", "một", "người", "này", "cho", "với", "các", "những", "để", "đã", "khi", "cũng", "như", "tôi"),
+    "id" -> Set("yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak", "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena", "ada", "mereka", "bisa", "atau"),
+    "fi" -> Set("ja", "ei", "että", "se", "oli", "hän", "mutta", "ovat", "kun", "niin", "myös", "joka", "jos", "mitä", "tämä", "ole", "sen", "vain", "hyvä", "kovin"),
+    "da" -> Set("og", "det", "er", "en", "til", "på", "de", "ikke", "af", "med", "den", "han", "hvad", "var", "som", "jeg", "et", "der", "ved", "dag"),
+    "no" -> Set("og", "det", "er", "en", "til", "på", "de", "ikke", "av", "med", "den", "han", "hva", "var", "som", "jeg", "et", "vet", "oss", "fin"))
 
   def langId(s: String): String = {
     import Character.UnicodeScript
