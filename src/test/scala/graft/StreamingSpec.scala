@@ -118,6 +118,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-5 text functions compose with streaming plans unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Graft.register(spark)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+      .selectExpr("id", "gopher_stats(text).bullet_line_frac AS bullets",
+        "url_normalize(text) AS nurl", "hash_bucket(text, 10) AS b",
+        "size(chunk_text(text, 2, 0)) AS chunks")
+    val q = df.writeStream.format("memory").queryName("r5fns").outputMode("append").start()
+    try {
+      input.addData((1L, "HTTP://WWW.Site.COM/a/?utm_source=x"), (2L, "- item\nplain text here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, bullets, nurl, chunks FROM r5fns ORDER BY id").collect()
+      assert(rows(0).getString(2) == "http://site.com/a")
+      assert(rows(1).getDouble(1) == 0.5 && rows(1).getInt(3) == 3)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment keeps marker state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
