@@ -829,6 +829,21 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Distributed BPE merge learning (operators/BpeTrainer, Sennrich et al.
+    // 2016): word-frequency dict, then per round one pair-count shuffle +
+    // one bounded argmax row; merges applied with a boundary-safe
+    // SEP-delimited replace (the greedy left-to-right BPE apply rule).
+    // Oracle unrolls the same four rounds in SQL.
+    "q_bpe" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where("doc_id < 120")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.BpeTrainer.learnMerges(s, docs, "text", rounds = 4)
+        .selectExpr("CAST(round AS INT) AS round", "p1", "p2", "CAST(cnt AS BIGINT) AS cnt")
+        .orderBy("round")
+    }),
+
     // Lloyd k-means (operators/KMeans — the ST_ClusterKMeans semantics with
     // deterministic seeding): centroids are driver literals, each round is
     // one map-side-combined groupBy; integral coordinates make every
@@ -1923,6 +1938,49 @@ object SparkEntry {
              CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_len,
              round(list_sum(list_transform(ls, x -> length(x))) / CAST(len(ls) AS DOUBLE), 6) AS mean_len
       FROM tok ORDER BY doc_id""",
+
+    // the same four merge rounds unrolled: pair counts via lateral unnest
+    // over the symbol lists, argmax by (count desc, pair), merge applied
+    // with the identical boundary-safe chr(1) replace
+    "q_bpe" -> """
+      WITH w0 AS (
+        SELECT chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1) AS sym, cnt
+        FROM (SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+                    FROM documents WHERE doc_id < 120)
+              GROUP BY w)),
+      p1 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w0) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+      w1 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w0, b1 x),
+      p2 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w1) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+      w2 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w1, b2 x),
+      p3 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w2) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+      w3 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w2, b3 x),
+      p4 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w3) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a, b LIMIT 1)
+      SELECT round, p1, p2, cnt FROM (
+        SELECT 1 AS round, a AS p1, b AS p2, CAST(n AS BIGINT) AS cnt FROM b1
+        UNION ALL SELECT 2, a, b, CAST(n AS BIGINT) FROM b2
+        UNION ALL SELECT 3, a, b, CAST(n AS BIGINT) FROM b3
+        UNION ALL SELECT 4, a, b, CAST(n AS BIGINT) FROM b4)
+      ORDER BY round""",
 
     // the same two Lloyd rounds unrolled as CTEs: assignment by
     // row_number over (squared distance, cluster), centroids as
