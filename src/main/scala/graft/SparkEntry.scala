@@ -844,6 +844,21 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    // encode half: per-doc token counts under the merges q_bpe just learned
+    // and independently verified — the oracle replays the same four replaces
+    "q_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where("doc_id < 120").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = graft.operators.BpeTrainer
+        .learnMerges(s, docs, "text", rounds = 4)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTrainer.tokenCounts(s, docs.select("doc_id", "text"), "text", merges)
+        .selectExpr("doc_id", "CAST(bpe_tokens AS BIGINT) AS bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Lloyd k-means (operators/KMeans — the ST_ClusterKMeans semantics with
     // deterministic seeding): centroids are driver literals, each round is
     // one map-side-combined groupBy; integral coordinates make every
@@ -1981,6 +1996,57 @@ object SparkEntry {
         UNION ALL SELECT 3, a, b, CAST(n AS BIGINT) FROM b3
         UNION ALL SELECT 4, a, b, CAST(n AS BIGINT) FROM b4)
       ORDER BY round""",
+
+    // fully independent: re-learns the four merges with the q_bpe CTE chain,
+    // then replays them per document via scalar-subquery replaces
+    "q_bpe_encode" -> """
+      WITH w0 AS (
+        SELECT chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1) AS sym, cnt
+        FROM (SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+                    FROM documents WHERE doc_id < 120)
+              GROUP BY w)),
+      p1 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w0) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+      w1 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w0, b1 x),
+      p2 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w1) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+      w2 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w1, b2 x),
+      p3 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w2) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+      w3 AS (SELECT replace(sym, chr(1)||x.a||chr(1)||x.b, chr(1)||x.a||x.b) AS sym, cnt
+             FROM w2, b3 x),
+      p4 AS (SELECT t.l[j] AS a, t.l[j+1] AS b, sum(cnt) AS n
+             FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS l, cnt FROM w3) t,
+                  unnest(range(1, len(t.l))) AS u(j)
+             GROUP BY 1, 2),
+      b4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a, b LIMIT 1),
+      tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+              FROM documents WHERE doc_id < 120),
+      enc AS (SELECT doc_id,
+                     len(string_split(trim(
+                       replace(replace(replace(replace(
+                         chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1),
+                         chr(1)||(SELECT a FROM b1)||chr(1)||(SELECT b FROM b1), chr(1)||(SELECT a||b FROM b1)),
+                         chr(1)||(SELECT a FROM b2)||chr(1)||(SELECT b FROM b2), chr(1)||(SELECT a||b FROM b2)),
+                         chr(1)||(SELECT a FROM b3)||chr(1)||(SELECT b FROM b3), chr(1)||(SELECT a||b FROM b3)),
+                         chr(1)||(SELECT a FROM b4)||chr(1)||(SELECT b FROM b4), chr(1)||(SELECT a||b FROM b4)),
+                       chr(1)), chr(1))) AS n
+              FROM tok)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
+      FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
     // the same two Lloyd rounds unrolled as CTEs: assignment by
     // row_number over (squared distance, cluster), centroids as

@@ -68,4 +68,22 @@ object BpeTrainer {
     words.unpersist()
     learned.toSeq.toDF("round", "p1", "p2", "cnt")
   }
+
+  /** Apply learned merges in order and count the resulting BPE tokens per
+   *  row — the encode half. Same SEP-delimited replace as training, so
+   *  application is exactly the greedy rule the merges were learned under. */
+  def tokenCounts(spark: SparkSession, docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    graft.Graft.register(spark)
+    val sym0 =
+      s"concat(char(1), concat_ws(char(1), array_remove(split(w, ''), '')), char(1))"
+    val applied = merges.foldLeft(sym0) { case (acc, (p1, p2)) =>
+      s"replace($acc, char(1)||'${sq(p1)}'||char(1)||'${sq(p2)}', char(1)||'${sq(p1 + p2)}')"
+    }
+    docs.selectExpr("*", s"explode(norm_tokens($textCol)) AS w")
+      .where(!F.col("w").contains(Sep))
+      .selectExpr("*", s"size(split(trim(BOTH char(1) FROM $applied), char(1))) AS n_sym")
+      .groupBy(docs.columns.map(F.col): _*)
+      .agg(F.sum("n_sym").as("bpe_tokens"))
+  }
 }
