@@ -829,6 +829,19 @@ object SparkEntry {
       SELECT url_normalize(url) AS nurl, CAST(count(*) AS INT) AS n
       FROM urls GROUP BY url_normalize(url) ORDER BY nurl"""),
 
+    // Hexagonal density binning: every point maps to one hex cell (axial
+    // coords, cube rounding) and the aggregation is a plain hash groupBy —
+    // the dashboard-density primitive at any scale. Oracle recomputes the
+    // published axial/cube-round formulas with the identical floor(v+0.5)
+    // rounding.
+    "q_hexbin" -> q("lineitem")("""
+      SELECT h.q AS hq, h.r AS hr, CAST(count(*) AS INT) AS n,
+             round(min(h.cx), 6) AS cx, round(min(h.cy), 6) AS cy
+      FROM (SELECT st_hexbin(CAST(l_partkey % 200 AS DOUBLE),
+                             CAST(l_suppkey % 200 AS DOUBLE), 7.0d) AS h
+            FROM lineitem)
+      GROUP BY h.q, h.r ORDER BY hq, hr"""),
+
     // Distributed BPE merge learning (operators/BpeTrainer, Sennrich et al.
     // 2016): word-frequency dict, then per round one pair-count shuffle +
     // one bounded argmax row; merges applied with a boundary-safe
@@ -1996,6 +2009,33 @@ object SparkEntry {
         UNION ALL SELECT 3, a, b, CAST(n AS BIGINT) FROM b3
         UNION ALL SELECT 4, a, b, CAST(n AS BIGINT) FROM b4)
       ORDER BY round""",
+
+    // the same published hex math, spelled out: axial fractional coords,
+    // cube rounding with floor(v+0.5), centers from the final (q, r)
+    "q_hexbin" -> """
+      WITH pts AS (
+        SELECT CAST(l_partkey % 200 AS DOUBLE) AS x, CAST(l_suppkey % 200 AS DOUBLE) AS y
+        FROM lineitem),
+      f AS (
+        SELECT x, y,
+               (sqrt(3.0) / 3.0 * x - y / 3.0) / 7.0 AS qf,
+               (2.0 / 3.0 * y) / 7.0 AS rf
+        FROM pts),
+      rounded AS (
+        SELECT qf AS xf, -qf - rf AS yf, rf AS zf,
+               floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry, floor(rf + 0.5) AS rz
+        FROM f),
+      fixed AS (
+        SELECT CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf)
+                    THEN -ry - rz ELSE rx END AS q0,
+               CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf) THEN rz
+                    WHEN abs(ry - yf) > abs(rz - zf) THEN rz
+                    ELSE -rx - ry END AS r0
+        FROM rounded)
+      SELECT CAST(q0 AS BIGINT) AS hq, CAST(r0 AS BIGINT) AS hr, CAST(count(*) AS INT) AS n,
+             round(min(7.0 * sqrt(3.0) * (CAST(q0 AS BIGINT) + CAST(r0 AS BIGINT) / 2.0)), 6) AS cx,
+             round(min(7.0 * 1.5 * CAST(r0 AS BIGINT)), 6) AS cy
+      FROM fixed GROUP BY q0, r0 ORDER BY hq, hr""",
 
     // fully independent: re-learns the four merges with the q_bpe CTE chain,
     // then replays them per document via scalar-subquery replaces

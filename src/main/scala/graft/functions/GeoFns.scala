@@ -1486,6 +1486,29 @@ object GeoFns {
     // Grid tiling for the distributed spatial join (graft.plans.SpatialJoinRule):
     // tile id = (floor(x/cell) << 32) ^ (floor(y/cell) & 0xffffffff).
     fn("st_tile_id", L, Seq(D, D, D))(a => tileId(math.floor(dbl(a(0)) / dbl(a(2))).toLong, math.floor(dbl(a(1)) / dbl(a(2))).toLong))
+
+    // Hexagonal binning (the aggregation primitive PostGIS exposes as
+    // ST_HexagonGrid): pointy-top axial coordinates with cube rounding
+    // (Red Blob Games' published formulation), size = circumradius.
+    // round(v) is written floor(v + 0.5) so an independent SQL engine
+    // reproduces every cell id bit for bit.
+    fn("st_hexbin",
+      StructType(Seq(StructField("q", L), StructField("r", L),
+        StructField("cx", D), StructField("cy", D))), Seq(D, D, D)) { a =>
+      val x = dbl(a(0)); val y = dbl(a(1)); val size = dbl(a(2))
+      val qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+      val rf = (2.0 / 3.0 * y) / size
+      val xf = qf; val zf = rf; val yf = -xf - zf
+      var rx = math.floor(xf + 0.5); var ry = math.floor(yf + 0.5); var rz = math.floor(zf + 0.5)
+      val dx = math.abs(rx - xf); val dy = math.abs(ry - yf); val dz = math.abs(rz - zf)
+      if (dx > dy && dx > dz) rx = -ry - rz
+      else if (dy > dz) ry = -rx - rz
+      else rz = -rx - ry
+      val q = rx.toLong; val r = rz.toLong
+      val cx = size * math.sqrt(3.0) * (q + r / 2.0)
+      val cy = size * 1.5 * r
+      new GenericInternalRow(Array[Any](q, r, cx, cy))
+    }
     // optional 3rd arg: expand the envelope by a distance before tiling —
     // the st_dwithin tile-join shape (one side's tiles grow by d, the other
     // side's stay exact, so bbox-within-d pairs always share a tile)
