@@ -22,7 +22,12 @@ object BpeTrainer {
 
   val Sep = "\u0001" // escaped: a raw control char would flip the file to binary for git
 
-  private def sq(s: String): String = s.replace("'", "''")
+  /** Render a symbol as a SQL expression built purely from char() calls —
+   *  no string literal, so apostrophes/backslashes in learned symbols can't
+   *  corrupt the generated replace pattern. (BMP code units; the corpus
+   *  tokens are split per code unit upstream.) */
+  private def litExpr(s: String): String =
+    if (s.isEmpty) "''" else s.map(c => s"char(${c.toInt})").mkString("||")
 
   /** @return one row per learned merge: (round, p1, p2, cnt) */
   def learnMerges(spark: SparkSession, docs: DataFrame, textCol: String,
@@ -60,7 +65,8 @@ object BpeTrainer {
       val (p1, p2, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       learned += ((round, p1, p2, n))
       val next = words.select(F.expr(
-        s"replace(sym, char(1)||'${sq(p1)}'||char(1)||'${sq(p2)}', char(1)||'${sq(p1 + p2)}') AS sym"),
+        s"replace(sym, char(1)||${litExpr(p1)}||char(1)||${litExpr(p2)}, " +
+          s"char(1)||${litExpr(p1 + p2)}) AS sym"),
         F.col("cnt")).cache()
       words.unpersist()
       words = next
@@ -78,12 +84,15 @@ object BpeTrainer {
     val sym0 =
       s"concat(char(1), concat_ws(char(1), array_remove(split(w, ''), '')), char(1))"
     val applied = merges.foldLeft(sym0) { case (acc, (p1, p2)) =>
-      s"replace($acc, char(1)||'${sq(p1)}'||char(1)||'${sq(p2)}', char(1)||'${sq(p1 + p2)}')"
+      s"replace($acc, char(1)||${litExpr(p1)}||char(1)||${litExpr(p2)}, char(1)||${litExpr(p1 + p2)})"
     }
-    docs.selectExpr("*", s"explode(norm_tokens($textCol)) AS w")
+    val counts = docs.selectExpr("*", s"explode(norm_tokens($textCol)) AS w")
       .where(!F.col("w").contains(Sep))
       .selectExpr("*", s"size(split(trim(BOTH char(1) FROM $applied), char(1))) AS n_sym")
       .groupBy(docs.columns.map(F.col): _*)
       .agg(F.sum("n_sym").as("bpe_tokens"))
+    // docs with zero tokens must surface with 0, not vanish in the explode
+    docs.join(counts, docs.columns.toSeq, "left")
+      .na.fill(0L, Seq("bpe_tokens"))
   }
 }

@@ -21,6 +21,23 @@ class BpeTrainerSpec extends AnyFunSuite {
       merges.toString)
   }
 
+  test("apostrophes in symbols survive pattern generation; empty docs keep 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "don't don't don't can't"), (2L, "   ")).toDF("id", "text")
+    val merges = BpeTrainer.learnMerges(spark, docs, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // (n,') and (',t) tie at 4; lexicographic tie-break picks (',t) first
+    // (ASCII 39 < 110), then (n,'t) merges — symbols containing ' flow
+    // through the char()-built replace patterns unharmed
+    assert(merges.head == ("'", "t", 4L), merges.toString)
+    assert(merges(1) == ("n", "'t", 4L), merges.toString)
+    val counts = BpeTrainer.tokenCounts(spark, docs, "text", merges.map(m => (m._1, m._2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // don't = d,o,n't (3 symbols) x3; can't = c,a,n't (3)
+    assert(counts(1L) == 12L, counts.toString)
+    assert(counts(2L) == 0L, "whitespace-only doc must surface with 0 tokens")
+  }
+
   test("multi-char boundary safety: merged symbols never match inside neighbors") {
     import spark.implicits._
     // after merging (a,b) the word 'xab' must NOT let pair (x,ab) be
