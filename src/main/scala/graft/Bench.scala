@@ -59,11 +59,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
     val qmin = results.map { case (k, v) => "\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ > 0).sum
-    // Full detail first; the canonical compact line LAST. The harness that
-    // collects this output keeps only a ~2000-char tail of stdout and parses
-    // the JSON from it, so the final line must be short and unprefixed.
-    println(s"""{"metric":"detail","queries_min":$qmin,"runs":$runs}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = results.values.count(_._1 < 0)
+    val maxT = results.values.map(_._1).filter(_ > 0).foldLeft(0.0)(math.max)
+    // The harness keeps only a ~2000-char stdout tail and parses JSON from it;
+    // with 90 queries the full per-query map no longer fits. So: the complete
+    // detail goes to BENCH_DETAIL.json on disk, and stdout ends with a SHORT
+    // canonical line (~150 chars) that always survives the tail window. The
+    // slowest-5 map keeps the headline queries visible without blowing the
+    // length budget.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"fails":$fails,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val top5 = results.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

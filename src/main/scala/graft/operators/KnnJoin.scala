@@ -40,11 +40,28 @@ object KnnJoin {
     t
   }
 
+  private val ThresholdConf = "spark.graft.spatialJoin.broadcastThreshold"
+
   /** Exact kNN of `probe` against `build`; both DataFrames must have exactly
-   *  (id: Long/Int, geom: WKB binary) columns. */
+   *  (id: Long/Int, geom: WKB binary) columns.
+   *
+   *  The build side is driver-collected and broadcast, so it is gated by the
+   *  SAME budget as every other broadcast path in the repo
+   *  (spark.graft.spatialJoin.broadcastThreshold, falling back to
+   *  spark.sql.autoBroadcastJoinThreshold): an over-threshold build side
+   *  fails loudly BEFORE any collect instead of OOMing the driver. For build
+   *  sides beyond broadcast budget, swap build/probe roles if the other side
+   *  fits, or pre-filter the build side (e.g. by coarse tile) so it does.
+   */
   def knn(spark: SparkSession, probe: DataFrame, build: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     require(k > 0, "k must be positive")
+    val threshold = spark.conf.getOption(ThresholdConf).map(_.toLong)
+      .getOrElse(spark.sessionState.conf.autoBroadcastJoinThreshold)
+    val est = build.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(threshold > 0 && est <= threshold,
+      s"knn build side estimated at $est bytes exceeds the broadcast budget " +
+        s"($threshold); raise $ThresholdConf, swap probe/build, or pre-filter the build side")
     val buildRows = build.collect().map(r =>
       (r.get(0) match { case l: Long => l; case i: Int => i.toLong },
        r.get(1).asInstanceOf[Array[Byte]]))

@@ -58,6 +58,26 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1), (2L, 2)))
   }
 
+  test("over-threshold build side fails loudly before any collect") {
+    pts("knn_p4", "SELECT CAST(1 AS BIGINT) AS id, st_aswkb(st_point(0.0d, 0.0d)) AS g")
+    pts("knn_b4", """
+      SELECT CAST(id AS BIGINT) AS id, st_aswkb(st_point(CAST(id AS DOUBLE), 0.0d)) AS g
+      FROM range(0, 1000)""")
+    val prev = spark.conf.getOption("spark.graft.spatialJoin.broadcastThreshold")
+    spark.conf.set("spark.graft.spatialJoin.broadcastThreshold", "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        KnnJoin.knn(spark, spark.table("knn_p4"), spark.table("knn_b4"), 2)
+      }
+      assert(e.getMessage.contains("spark.graft.spatialJoin.broadcastThreshold"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.spatialJoin.broadcastThreshold", v)
+        case None => spark.conf.unset("spark.graft.spatialJoin.broadcastThreshold")
+      }
+    }
+  }
+
   test("k larger than the build side returns every build row, ranked") {
     pts("knn_p2", "SELECT CAST(1 AS BIGINT) AS id, st_aswkb(st_point(0.0d, 0.0d)) AS g")
     pts("knn_b2", """
