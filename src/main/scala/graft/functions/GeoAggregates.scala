@@ -245,32 +245,76 @@ object GeoAggregates {
   // MeasureFusionRule rewrite targets: st_area(st_union_agg(g)) /
   // st_area(st_intersection_agg(g)) never materialize the overlay geometry.
 
-  /** Area of the union of N rects by coordinate-compression sweep. */
+  /** Area of the union of N rects: Bentley's sweep — x-sorted open/close
+   *  events over a segment tree on compressed y-intervals, O(n log n). The
+   *  previous per-slab rescan was O(slabs × rects): at the dedupCap of 2^16
+   *  distinct rects that is ~10^10 inner iterations inside ONE aggregate
+   *  eval — a task stall the JTS degrade path never gets to intercept. */
   def rectUnionArea(rects: Iterable[Array[Double]]): Double = {
-    val rs = rects.toArray
+    val rs = rects.iterator.filter(r => r(2) > r(0) && r(3) > r(1)).toArray
     if (rs.isEmpty) return 0.0
-    val xs = rs.flatMap(r => Array(r(0), r(2))).distinct.sorted
-    var area = 0.0
+    // compressed distinct y coordinates
+    val yAll = new Array[Double](rs.length * 2)
     var i = 0
-    while (i < xs.length - 1) {
-      val x0 = xs(i); val x1 = xs(i + 1)
-      if (x1 > x0) {
-        val ys = rs.iterator.filter(r => r(0) <= x0 && r(2) >= x1)
-          .map(r => (r(1), r(3))).toArray.sortBy(_._1)
-        if (ys.nonEmpty) {
-          var len = 0.0
-          var lo = ys(0)._1; var hi = ys(0)._2
-          var j = 1
-          while (j < ys.length) {
-            val (l, h) = ys(j)
-            if (l > hi) { len += hi - lo; lo = l; hi = h }
-            else if (h > hi) hi = h
-            j += 1
-          }
-          len += hi - lo
-          area += len * (x1 - x0)
-        }
+    while (i < rs.length) { yAll(2 * i) = rs(i)(1); yAll(2 * i + 1) = rs(i)(3); i += 1 }
+    java.util.Arrays.sort(yAll)
+    val ys = new Array[Double](yAll.length)
+    var ny = 0
+    i = 0
+    while (i < yAll.length) {
+      if (ny == 0 || yAll(i) != ys(ny - 1)) { ys(ny) = yAll(i); ny += 1 }
+      i += 1
+    }
+    val m = ny - 1 // elementary y-intervals
+    if (m <= 0) return 0.0
+    // segment tree: count = full-cover multiplicity, covered = covered y-length
+    val count = new Array[Int](4 * m)
+    val covered = new Array[Double](4 * m)
+    def update(node: Int, lo: Int, hi: Int, l: Int, r: Int, delta: Int): Unit = {
+      if (r <= lo || hi <= l) return
+      if (l <= lo && hi <= r) count(node) += delta
+      else {
+        val mid = (lo + hi) >>> 1
+        update(2 * node + 1, lo, mid, l, r, delta)
+        update(2 * node + 2, mid, hi, l, r, delta)
       }
+      covered(node) =
+        if (count(node) > 0) ys(hi) - ys(lo)
+        else if (hi - lo == 1) 0.0
+        else covered(2 * node + 1) + covered(2 * node + 2)
+    }
+    def yIdx(v: Double): Int = {
+      var lo = 0; var hi = ny - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ys(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    // events: (x, +1/-1, y0Idx, y1Idx), x-sorted with opens before closes at
+    // equal x (order is irrelevant to the integral — zero-width span)
+    val n2 = rs.length * 2
+    val evIdx = Array.tabulate(n2)(identity)
+    val evX = new Array[Double](n2)
+    val evDelta = new Array[Int](n2)
+    val evY0 = new Array[Int](n2)
+    val evY1 = new Array[Int](n2)
+    i = 0
+    while (i < rs.length) {
+      val y0 = yIdx(rs(i)(1)); val y1 = yIdx(rs(i)(3))
+      evX(2 * i) = rs(i)(0); evDelta(2 * i) = 1; evY0(2 * i) = y0; evY1(2 * i) = y1
+      evX(2 * i + 1) = rs(i)(2); evDelta(2 * i + 1) = -1; evY0(2 * i + 1) = y0; evY1(2 * i + 1) = y1
+      i += 1
+    }
+    val order = evIdx.sortBy(evX)
+    var area = 0.0
+    var prevX = evX(order(0))
+    i = 0
+    while (i < n2) {
+      val e = order(i)
+      val x = evX(e)
+      if (x > prevX) { area += covered(0) * (x - prevX); prevX = x }
+      update(0, 0, m, evY0(e), evY1(e), evDelta(e))
       i += 1
     }
     area

@@ -45,7 +45,16 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith("__asof")), "left already has __asof columns")
 
-    val rTagged = right.select(
+    // SQL as-of semantics (DuckDB `ON l.k = r.k AND l.ts >= r.ts`): a right
+    // row with NULL ts or a NULL key value can never satisfy the predicate,
+    // but unfiltered it would sort before every real row (nulls first) and
+    // become a universally-visible marker / group with NULL left keys. Drop
+    // such rows up front. (Left NULL-ts/key rows need no handling: they sort
+    // before any surviving right row in their partition and keep NULL payload.)
+    val rUsable = on.foldLeft(right.where(col(rightTs).isNotNull)) {
+      (df, k) => df.where(col(k).isNotNull)
+    }
+    val rTagged = rUsable.select(
       on.map(col) ++ Seq(
         col(rightTs).as("__asof_ts"),
         struct(payload.map(col): _*).as("__asof_p"),

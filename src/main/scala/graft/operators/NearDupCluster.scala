@@ -39,9 +39,14 @@ object NearDupCluster {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(F.col(aCol).cast("long").as("src"), F.col(bCol).cast("long").as("dst"))
-    // bounded probe: read at most cutoff+1 rows to decide the path
-    val probe = edges.limit(driverEdgeCutoff + 1).count()
-    if (probe <= driverEdgeCutoff) return driverUnionFind(edges)
+    // Bounded probe, materialized ONCE: collect at most cutoff+1 rows and use
+    // that same array for both the path decision and the union-find. Probing
+    // with a separate count() and re-collecting would run the upstream plan
+    // twice — a non-deterministic or changed source could then return far
+    // more rows the second time (driver OOM risk) or fewer (silent slow path).
+    val probeRows = edges.limit(driverEdgeCutoff + 1).collect()
+    if (probeRows.length <= driverEdgeCutoff)
+      return driverUnionFind(pairs.sparkSession, probeRows)
     val sym = edges.union(edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct().cache()
     // Initialize each label at min(id, min neighbor) rather than id — one
@@ -73,11 +78,10 @@ object NearDupCluster {
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
 
-  /** Exact union-find on the driver for bounded edge sets; identical
-   *  semantics (component = min reachable id). */
-  private def driverUnionFind(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    val rows = edges.collect()
+  /** Exact union-find on the driver over the already-collected edge rows;
+   *  identical semantics (component = min reachable id). */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -55,6 +55,23 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL right ts / NULL keys never match, per SQL asof semantics") {
+    import spark.implicits._
+    val events = Seq(("a", 10L), (null.asInstanceOf[String], 10L)).toDF("k", "ts")
+    val markers = Seq[(String, java.lang.Long, Double)](
+      ("a", null, 1.0),                   // null ts: visible to nobody
+      (null, java.lang.Long.valueOf(5L), 2.0), // null key: matches no '=' key
+      ("a", java.lang.Long.valueOf(7L), 3.0)   // the only legitimate marker
+    ).toDF("k", "ts", "v")
+    val got = AsofJoin.asof(events, markers, Seq("k"), "ts", "ts", Seq("v"), "m_")
+      .orderBy("k")
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
+    val byKey = got.toMap
+    assert(byKey("a") == 3.0, s"event 'a' must see only the ts=7 marker: $got")
+    assert(byKey("<null>").isNaN, s"NULL-key event must match nothing: $got")
+  }
+
   test("single shuffle: plan contains exactly one Exchange for the window") {
     import spark.implicits._
     val e = Seq(("a", 1L)).toDF("k", "ts")

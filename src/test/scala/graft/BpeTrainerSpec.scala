@@ -38,6 +38,67 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(counts(2L) == 0L, "whitespace-only doc must surface with 0 tokens")
   }
 
+  test("symbols above U+00FF (Polish/CJK) survive merge patterns verbatim") {
+    import spark.implicits._
+    // 'ł' = U+0142, '楽' = U+697D: a char()-rendered pattern would mask these
+    // to & 0xFF and silently corrupt the merge; literal Columns must not
+    val docs = Seq((1L, "była była była miła miła 楽しい 楽しい")).toDF("id", "text")
+    val merges = BpeTrainer.learnMerges(spark, docs, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // 'ła' appears in była(3) + miła(2) = 5 — the top pair, with ł intact
+    assert(merges.head == ("ł", "a", 5L), merges.toString)
+    val counts = BpeTrainer.tokenCounts(spark, docs, "text",
+      merges.map(m => (m._1, m._2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // była -> b,y,ła (3) x3; miła -> m,i,ła (3) x2 = 15 so far; the second
+    // merge applies to whichever pair won round 2 — recompute expectation
+    val strict = {
+      def apply1(word: Seq[String], m: (String, String)): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < word.length) {
+          if (i + 1 < word.length && word(i) == m._1 && word(i + 1) == m._2) {
+            out += (m._1 + m._2); i += 2
+          } else { out += word(i); i += 1 }
+        }
+        out.toSeq
+      }
+      val ws = Seq("była", "była", "była", "miła", "miła", "楽しい", "楽しい")
+      ws.map { w =>
+        merges.map(m => (m._1, m._2))
+          .foldLeft(w.map(_.toString): Seq[String]) { (acc, m) => apply1(acc, m) }.length
+      }.sum
+    }
+    assert(counts(1L) == strict.toLong, s"got=${counts(1L)} want=$strict ($merges)")
+  }
+
+  test("batched learning with lineage checkpoints reaches deep vocab and stays greedy-consistent") {
+    import spark.implicits._
+    // a corpus rich enough for 24 merges; batch=4 + checkpointEvery=6 walks
+    // the batched path AND the localCheckpoint path several times
+    val words = Seq(
+      "internationalization", "internationalize", "international",
+      "intercontinental", "understanding", "understatement",
+      "transformation", "transformer", "information", "informal",
+      "performance", "performer", "deterministic", "determination")
+    val docs = Seq(words.mkString(" ") + " " + words.take(7).mkString(" ")).toDF("text")
+    val batched = BpeTrainer.learnMerges(spark, docs, "text",
+      rounds = 24, batch = 4, checkpointEvery = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(batched.size == 24, s"got ${batched.size}")
+    assert(batched.map(_._1) == (1 to 24), "rounds must be sequential application order")
+    // the first merge of every batch equals strict greedy's choice at that
+    // point; spot-check the very first against batch=1
+    val strict = BpeTrainer.learnMerges(spark, docs, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert((batched.head._2, batched.head._3) == strict)
+    // encode with the full batched vocab completes and is positive
+    val counts = BpeTrainer.tokenCounts(spark, docs, "text",
+      batched.map(m => (m._2, m._3)))
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ > 0))
+  }
+
   test("multi-char boundary safety: merged symbols never match inside neighbors") {
     import spark.implicits._
     // after merging (a,b) the word 'xab' must NOT let pair (x,ab) be

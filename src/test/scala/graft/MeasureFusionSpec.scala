@@ -56,6 +56,38 @@ class MeasureFusionSpec extends AnyFunSuite {
     assert(got.toSeq == plain.toSeq, s"got=${got.toSeq} plain=${plain.toSeq}")
   }
 
+  test("rectUnionArea sweep: randomized parity with JTS, fast at dedupCap scale") {
+    import graft.functions.GeoAggregates
+    import org.locationtech.jts.geom.GeometryFactory
+    val rnd = new scala.util.Random(42)
+    val f = new GeometryFactory()
+    // randomized parity: 500 overlapping rects vs CascadedPolygonUnion area
+    val rects = Array.fill(500) {
+      val x0 = rnd.nextInt(1000).toDouble; val y0 = rnd.nextInt(1000).toDouble
+      Array(x0, y0, x0 + 1 + rnd.nextInt(80), y0 + 1 + rnd.nextInt(80))
+    }
+    val sweep = GeoAggregates.rectUnionArea(rects.toIndexedSeq)
+    val jts = org.locationtech.jts.operation.union.CascadedPolygonUnion.union(
+      java.util.Arrays.asList(rects.map { r =>
+        f.createPolygon(Array(
+          new org.locationtech.jts.geom.Coordinate(r(0), r(1)),
+          new org.locationtech.jts.geom.Coordinate(r(2), r(1)),
+          new org.locationtech.jts.geom.Coordinate(r(2), r(3)),
+          new org.locationtech.jts.geom.Coordinate(r(0), r(3)),
+          new org.locationtech.jts.geom.Coordinate(r(0), r(1)))): org.locationtech.jts.geom.Geometry
+      }: _*)).getArea
+    assert(math.abs(sweep - jts) < 1e-6, s"sweep=$sweep jts=$jts")
+    // scale: the full dedupCap (2^16 rects) must finish in seconds, not minutes
+    val big = Array.fill(1 << 16) {
+      val x0 = rnd.nextDouble() * 1e6; val y0 = rnd.nextDouble() * 1e6
+      Array(x0, y0, x0 + rnd.nextDouble() * 500, y0 + rnd.nextDouble() * 500)
+    }
+    val t0 = System.nanoTime()
+    val a = GeoAggregates.rectUnionArea(big.toIndexedSeq)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(a > 0 && sec < 10.0, f"dedupCap sweep took $sec%.1f s")
+  }
+
   test("aggregate fusion degrades to JTS when a non-rect input appears") {
     Graft.register(spark)
     val q = """
