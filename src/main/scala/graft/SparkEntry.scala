@@ -430,6 +430,23 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
+    // EPSG registry, plus Mercator variant B (+lat_ts) — both against
+    // independent plain-SQL Snyder oracles.
+    "q_transform_projstr" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=lcc +lat_1=28 +lat_2=40 +lat_0=31 +lon_0=-100 +x_0=1000000 +y_0=1000000 +ellps=GRS80')) / 10.0d, 2) + 0.0d AS lx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=lcc +lat_1=28 +lat_2=40 +lat_0=31 +lon_0=-100 +x_0=1000000 +y_0=1000000 +ellps=GRS80')) / 10.0d, 2) + 0.0d AS ly,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=merc +lat_ts=30 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS mx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=merc +lat_ts=30 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS my
+      FROM (SELECT $K AS k, cast(l_partkey % 20 AS DOUBLE) - 110.0d AS lon, cast(l_suppkey % 16 AS DOUBLE) + 26.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- aggregates
     "q_extent_agg" -> q("lineitem")("""
       SELECT l_returnflag AS flag,
@@ -1676,6 +1693,39 @@ object SparkEntry {
                    a*sqrt(qp - (1-e2)*(sin(radians(lat))/(1-e2*sin(radians(lat))*sin(radians(lat)))
                      - (1/(2*e))*ln((1-e*sin(radians(lat)))/(1+e*sin(radians(lat)))))) AS rho
             FROM pts CROSS JOIN c1)
+      ORDER BY k""",
+
+    // Custom LCC-2SP (Snyder 15-1..15-11, GRS80) with the q_transform_projstr
+    // parameters, plus Mercator variant B: k0 = m(lat_ts) (Snyder 7-2, WGS84).
+    "q_transform_projstr" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 20 AS DOUBLE) - 110.0 AS lon, CAST(l_suppkey % 16 AS DOUBLE) + 26.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
+               radians(28.0) AS p1, radians(40.0) AS p2, radians(31.0) AS pf, radians(-100.0) AS lf,
+               0.08181919084262149 AS we, 0.0066943799901413165 AS we2),
+      c1 AS (
+        SELECT *,
+               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
+               tan(pi()/4-p1/2)/pow((1-e*sin(p1))/(1+e*sin(p1)), e/2) AS t1,
+               tan(pi()/4-p2/2)/pow((1-e*sin(p2))/(1+e*sin(p2)), e/2) AS t2,
+               tan(pi()/4-pf/2)/pow((1-e*sin(pf))/(1+e*sin(pf)), e/2) AS tf,
+               cos(radians(30.0))/sqrt(1-we2*sin(radians(30.0))*sin(radians(30.0))) AS k0
+        FROM c0),
+      c2 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM c1),
+      c3 AS (SELECT *, m1/(n*pow(t1,n)) AS bigf FROM c2),
+      c4 AS (SELECT *, a*bigf*pow(tf,n) AS rf FROM c3)
+      SELECT k,
+             round((1000000.0 + r*sin(th))/10.0, 2) + 0.0 AS lx,
+             round((1000000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS ly,
+             round((a*k0*radians(lon))/10.0, 2) + 0.0 AS mx,
+             round((-a*k0*ln(tan(pi()/4-radians(lat)/2)/pow((1-we*sin(radians(lat)))/(1+we*sin(radians(lat))), we/2)))/10.0, 2) + 0.0 AS my
+      FROM (SELECT k, rf, a, k0, lon, lat, we,
+                   a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
+                   n*(radians(lon)-lf) AS th
+            FROM pts CROSS JOIN c4)
       ORDER BY k""",
 
     // DuckDB's own parquet reader consumes the graft-written GeoParquet file

@@ -737,18 +737,25 @@ object GeoFns {
   // treated as lon/lat regardless of authority order.
   private val UtmRe = "EPSG:32([67])([0-9]{2})".r
   private val EtrsUtmRe = "EPSG:258([0-9]{2})".r // ETRS89 / UTM zone (GRS80 ≡ WGS84 here)
-  private def crsId(s: String): String = s.trim.toUpperCase match {
-    case "EPSG:4326" => "4326"
-    case "OGC:CRS84" | "CRS84" => "CRS84"
-    case "EPSG:3857" | "EPSG:900913" => "3857"
-    case u @ UtmRe(_, _) => u
-    case u @ EtrsUtmRe(_) => u
-    case p if graft.geom.Proj.lookup(p).isDefined => p
-    case p if graft.geom.Proj.geographic.contains(p) => p
-    case other => throw new IllegalArgumentException(
-      s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, " +
-        "UTM families EPSG:326xx/327xx/258xx/269xx/283xx/78xx/319xx/230xx, and the embedded " +
-        "EPSG registry — run st_list_proj_crs() for the full catalog)")
+  private def crsId(s: String): String = {
+    val raw = s.trim
+    // PROJ parameter strings are case-sensitive: resolve (and validate,
+    // loudly) before the uppercase EPSG normalization below
+    if (raw.startsWith("+")) { graft.geom.Proj.fromProjString(raw); raw }
+    else raw.toUpperCase match {
+      case "EPSG:4326" => "4326"
+      case "OGC:CRS84" | "CRS84" => "CRS84"
+      case "EPSG:3857" | "EPSG:900913" => "3857"
+      case u @ UtmRe(_, _) => u
+      case u @ EtrsUtmRe(_) => u
+      case p if graft.geom.Proj.lookup(p).isDefined => p
+      case p if graft.geom.Proj.geographic.contains(p) => p
+      case other => throw new IllegalArgumentException(
+        s"ST_Transform: unsupported CRS '$other' (supported: EPSG:4326, OGC:CRS84, EPSG:3857, " +
+          "UTM families EPSG:326xx/327xx/258xx/269xx/283xx/78xx/319xx/230xx, the embedded " +
+          "EPSG registry — run st_list_proj_crs() for the full catalog — and '+proj=…' " +
+          "parameter strings over the implemented kernels)")
+    }
   }
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
     // normalize input to lon/lat degrees

@@ -579,10 +579,148 @@ object Proj {
   private val SirgasS = "EPSG:319(7[7-9]|8[0-5])".r         // SIRGAS 2000 / UTM 17S-25S
   private val Ed50Utm = "EPSG:230(2[89]|3[0-8])".r          // ED50 / UTM 28N-38N
 
-  /** Resolve an EPSG code to a registered CRS (named entries + zone
-   *  families). Geographic 4326/CRS84 and web-mercator 3857 are handled
-   *  upstream (axis-order special cases). */
-  def lookup(code: String): Option[Crs] = registry.get(code).orElse(code match {
+  // --------------------------------------------- PROJ parameter strings
+  // `+proj=…` input turns the bounded EPSG registry into unbounded coverage
+  // for the methods already implemented: any parameterization of the 8
+  // kernels comes free. Unsupported methods/datums/params are rejected
+  // loudly (same policy as unknown EPSG codes). Reference accepts any PROJ
+  // CRS via its embedded proj.db (proj/module.cpp:14-47); this is the
+  // kernel-scoped equivalent.
+
+  /** +proj=longlat: coordinates already lon/lat degrees on the datum. */
+  private object LonLatIdentity extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = (lonDeg, latDeg)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  private val projStrCache = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
+
+  /** Parse a PROJ.4-style parameter string onto the implemented kernels.
+   *  Returns None for non-`+`-strings; throws (loudly, naming the offender)
+   *  for `+proj=` strings using an unimplemented method or parameter. */
+  def fromProjString(str: String): Option[Crs] = {
+    val t = str.trim
+    if (!t.startsWith("+")) None
+    else Some(projStrCache.computeIfAbsent(t, parseProjString))
+  }
+
+  private def parseProjString(str: String): Crs = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"ST_Transform: $msg in PROJ string '$str'")
+    val kv: Map[String, String] = str.split("\\s+").iterator
+      .filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
+        val i = tok.indexOf('=')
+        if (i < 0) (tok, "") else (tok.take(i), tok.drop(i + 1))
+      }.toMap
+    def num(k: String, default: => Double): Double =
+      kv.get(k).map { v =>
+        try v.toDouble
+        catch { case _: NumberFormatException => fail(s"non-numeric +$k=$v (decimal degrees/meters only)") }
+      }.getOrElse(default)
+
+    val method = kv.getOrElse("proj", fail("missing +proj"))
+
+    val datum: Datum = kv.get("datum") match {
+      case Some("WGS84") => DatumWgs84
+      case Some("NAD83") => DatumGrs80
+      case Some("OSGB36") => DatumOsgb36
+      case Some("ire65") => DatumTm75
+      case Some(d) => fail(s"unsupported +datum=$d (supported: WGS84, NAD83, OSGB36, ire65; or give +ellps/+a,+rf and +towgs84)")
+      case None =>
+        val el = kv.get("ellps") match {
+          case Some("WGS84") => Wgs84
+          case Some("GRS80") => Grs80
+          case Some("airy") => Airy1830
+          case Some("mod_airy") => AiryModified
+          case Some("intl") => Intl1924
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl; or +a with +rf)")
+          case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
+          case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") || kv.contains("R") =>
+            fail("custom ellipsoids need exactly +a and +rf (spheres/+b unsupported)")
+          case None => Wgs84 // PROJ.4's historic default ellipsoid
+        }
+        // +towgs84 is position-vector convention — the same EPSG 9606 Helmert
+        val shift = kv.get("towgs84").map { s =>
+          val p = s.split(",").map(v => try v.trim.toDouble catch {
+            case _: NumberFormatException => fail(s"non-numeric +towgs84=$s")
+          })
+          p.length match {
+            case 3 => Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
+            case 7 => Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+            case n => fail(s"+towgs84 needs 3 or 7 parameters, got $n")
+          }
+        }.filter(h => h != Helmert(0, 0, 0, 0, 0, 0, 0))
+        Datum(el, shift)
+    }
+    val el = datum.el
+
+    def p(k: String) = num(k, 0.0)
+    val (base: Projection, probe: (Double, Double)) = method match {
+      case "longlat" | "latlong" | "lonlat" => (LonLatIdentity, (10.0, 45.0))
+      case "lcc" =>
+        if (!kv.contains("lat_2"))
+          fail("LCC with a single standard parallel (1SP) is not implemented; give +lat_1 and +lat_2")
+        val lat1 = num("lat_1", p("lat_0")); val lat2 = p("lat_2")
+        (new Lcc2SP(el, lat1, lat2, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0), (lat1 + lat2) / 2))
+      case "aea" =>
+        val lat1 = num("lat_1", 29.5); val lat2 = num("lat_2", 45.5) // PROJ defaults
+        (new Albers(el, lat1, lat2, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0), (lat1 + lat2) / 2))
+      case "laea" =>
+        val lat0 = p("lat_0")
+        (new Laea(el, lat0, p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0), math.max(-80, math.min(80, lat0 + 5))))
+      case "tmerc" =>
+        (new TransMerc(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 1, math.max(-80, math.min(80, num("lat_0", 30)))))
+      case "utm" =>
+        val zone = kv.get("zone").map(_.toInt).getOrElse(fail("+proj=utm needs +zone"))
+        if (zone < 1 || zone > 60) fail(s"+zone=$zone out of range 1-60")
+        val south = kv.contains("south")
+        (new TransMerc(el, 0, zone * 6 - 183, 0.9996, 500000, if (south) 10000000 else 0),
+          ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0))
+      case "stere" =>
+        val lat0 = num("lat_0", 90)
+        if (math.abs(lat0) < 90 - 1e-9)
+          fail("+proj=stere is implemented in polar aspect only (+lat_0=90 or -90)")
+        (new PolarStereo(el, num("lat_ts", lat0), p("lon_0"), p("x_0"), p("y_0"), north = lat0 > 0),
+          (num("lon_0", 0), if (lat0 > 0) 80.0 else -80.0))
+      case "merc" =>
+        // variant B via lat_ts (k0 = m(lat_ts), Snyder 7-2), else variant A
+        val k0 =
+          if (kv.contains("lat_ts")) {
+            val ts = math.toRadians(p("lat_ts"))
+            math.cos(ts) / math.sqrt(1 - el.e2 * math.sin(ts) * math.sin(ts))
+          } else num("k", num("k_0", 1.0))
+        val inner = new MercatorEll(el, p("lon_0"), 0, 0)
+        val proj = if (k0 == 1.0) new MercatorEll(el, p("lon_0"), p("x_0"), p("y_0"))
+                   else new InUnits(inner, 1.0 / k0, p("x_0"), p("y_0"))
+        (proj, (num("lon_0", 0) + 10, 30.0))
+      case "cea" =>
+        (new Cea(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 10, 30.0))
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea)")
+    }
+
+    // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per
+    // PROJ semantics); output divides by to_meter
+    val toMeter = kv.get("to_meter").map(_.toDouble).orElse(kv.get("units").map {
+      case "m" => 1.0
+      case "us-ft" => UsFoot
+      case "ft" => 0.3048
+      case u => fail(s"unsupported +units=$u (m, ft, us-ft, or +to_meter)")
+    }).getOrElse(1.0)
+    val proj = if (toMeter == 1.0) base else new InUnits(base, toMeter, 0, 0)
+    Crs(s"PROJ:$method", proj, datum, probe)
+  }
+
+  /** Resolve an EPSG code or `+proj=` parameter string to a CRS (named
+   *  entries + zone families + PROJ strings). Geographic 4326/CRS84 and
+   *  web-mercator 3857 are handled upstream (axis-order special cases). */
+  def lookup(code: String): Option[Crs] =
+    if (code.startsWith("+")) fromProjString(code)
+    else registry.get(code).orElse(code match {
     case Nad83Utm(z) => Some(utmCrs(code, s"NAD83 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumGrs80))
     case Mga94(z) => Some(utmCrs(code, s"GDA94 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))
     case Mga2020(z) => Some(utmCrs(code, s"GDA2020 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))

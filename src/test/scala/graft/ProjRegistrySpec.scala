@@ -172,6 +172,71 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(math.abs(laea / ease - 1) < 1e-4, s"LAEA $laea vs CEA $ease")
   }
 
+  test("PROJ strings: every implemented method parses and round-trips") {
+    val strs = Seq(
+      "+proj=lcc +lat_1=28 +lat_2=40 +lat_0=31 +lon_0=-100 +x_0=1000000 +y_0=1000000 +ellps=GRS80",
+      "+proj=aea +lat_1=-18 +lat_2=-36 +lon_0=132 +ellps=GRS80",
+      "+proj=laea +lat_0=45 +lon_0=-100 +x_0=200000 +ellps=WGS84",
+      "+proj=tmerc +lat_0=0 +lon_0=-3 +k=0.9997 +x_0=250000 +y_0=-100000 +ellps=WGS84",
+      "+proj=utm +zone=33 +south +ellps=GRS80",
+      "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=15 +ellps=WGS84",
+      "+proj=merc +lat_ts=30 +lon_0=10 +ellps=WGS84",
+      "+proj=cea +lat_ts=45 +ellps=WGS84",
+      "+proj=longlat +datum=WGS84")
+    strs.foreach { s =>
+      val crs = Proj.fromProjString(s).getOrElse(fail(s"did not parse: $s"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"$s round-trip: ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("PROJ strings: equivalent parameterization matches the registry kernel") {
+    // Lambert-93 written as a PROJ string must agree with EPSG:2154 exactly
+    val viaStr = Proj.fromProjString(
+      "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80").get
+    val reg = Proj.lookup("EPSG:2154").get
+    val (x1, y1) = viaStr.proj.forward(2.35, 48.85)
+    val (x2, y2) = reg.proj.forward(2.35, 48.85)
+    assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9, s"($x1,$y1) vs ($x2,$y2)")
+    // OSGB via +datum=OSGB36 must agree with EPSG:27700 (Helmert included)
+    val bngStr = Proj.fromProjString(
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +datum=OSGB36").get
+    val bng = Proj.lookup("EPSG:27700").get
+    val (lo, la) = bngStr.datum.fromWgs84(-0.13, 51.5)
+    val (bx1, by1) = bngStr.proj.forward(lo, la)
+    val (lo2, la2) = bng.datum.fromWgs84(-0.13, 51.5)
+    val (bx2, by2) = bng.proj.forward(lo2, la2)
+    assert(math.abs(bx1 - bx2) < 1e-9 && math.abs(by1 - by2) < 1e-9)
+    // +towgs84 7-parameter equals the named datum's Helmert
+    val tow = Proj.fromProjString(
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy " +
+        "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894").get
+    val (to1, ta1) = tow.datum.fromWgs84(-0.13, 51.5)
+    assert(math.abs(to1 - lo) < 1e-12 && math.abs(ta1 - la) < 1e-12)
+  }
+
+  test("PROJ strings: unsupported methods and parameters fail loudly") {
+    def msg(s: String): String =
+      intercept[IllegalArgumentException](Proj.fromProjString(s)).getMessage
+    assert(msg("+proj=robin +lon_0=0").contains("unsupported +proj=robin"))
+    assert(msg("+proj=lcc +lat_1=45 +lon_0=3").contains("1SP"))
+    assert(msg("+proj=stere +lat_0=52 +lon_0=0").contains("polar aspect"))
+    assert(msg("+proj=tmerc +datum=potsdam").contains("unsupported +datum"))
+    assert(msg("+proj=tmerc +ellps=bessel").contains("unsupported +ellps"))
+    assert(msg("+proj=utm +ellps=WGS84").contains("+zone"))
+  }
+
+  test("PROJ strings: units and to_meter scale output") {
+    val m = Proj.fromProjString("+proj=tmerc +lon_0=-3 +ellps=WGS84").get
+    val ft = Proj.fromProjString("+proj=tmerc +lon_0=-3 +ellps=WGS84 +units=us-ft").get
+    val (xm, ym) = m.proj.forward(-2, 52)
+    val (xf, yf) = ft.proj.forward(-2, 52)
+    assert(math.abs(xf * Proj.UsFoot - xm) < 1e-6 && math.abs(yf * Proj.UsFoot - ym) < 1e-6)
+  }
+
   private def dms(d: Int, m: Int): Double = {
     val a = math.abs(d) + m / 60.0
     if (d < 0) -a else a
