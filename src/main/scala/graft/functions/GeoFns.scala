@@ -1520,30 +1520,48 @@ object GeoFns {
     // the st_dwithin tile-join shape (one side's tiles grow by d, the other
     // side's stay exact, so bbox-within-d pairs always share a tile)
     fn("st_tile_ids", ArrayType(L), Seq(B, D), Seq(B, D, D)) { a =>
-      val g = rg(a(0))
-      if (g.isEmpty) new GenericArrayData(Array.empty[Any])
-      else {
-        val cell = dbl(a(1))
-        val ex = if (a.length > 2) dbl(a(2)) else 0.0
-        val e = g.getEnvelopeInternal
-        val x0 = math.floor((e.getMinX - ex) / cell).toLong; val x1 = math.floor((e.getMaxX + ex) / cell).toLong
-        val y0 = math.floor((e.getMinY - ex) / cell).toLong; val y1 = math.floor((e.getMaxY + ex) / cell).toLong
-        val n = (x1 - x0 + 1) * (y1 - y0 + 1)
-        require(n <= (1 << 16),
-          s"st_tile_ids: geometry envelope covers $n tiles at cell size $cell; raise spark.graft.spatialJoin.cellSize")
-        val out = new Array[Any](n.toInt)
-        var i = 0; var x = x0
-        while (x <= x1) {
-          var y = y0
-          while (y <= y1) { out(i) = tileId(x, y); i += 1; y += 1 }
-          x += 1
-        }
-        new GenericArrayData(out)
+      val b = a(0).asInstanceOf[Array[Byte]]
+      // envelope off the bytes (no JTS parse); fall back for odd encodings
+      val e = try Wkb.envelope(b) catch { case _: Exception =>
+        val g = rg(b)
+        if (g.isEmpty) null
+        else { val je = g.getEnvelopeInternal; Array(je.getMinX, je.getMinY, je.getMaxX, je.getMaxY) }
       }
+      if (e == null) new GenericArrayData(Array.empty[Any])
+      else tilesOf(e(0), e(1), e(2), e(3), dbl(a(1)), if (a.length > 2) dbl(a(2)) else 0.0)
+    }
+    // sidecar-envelope variant consumed by the spatial-join rewrite: the env
+    // struct (st_extent) is computed ONCE per input row and reused by both
+    // tiling and the dedupe condition — no per-pair WKB rescans (SURVEY §1.3,
+    // reference geometry_type.hpp:100-146 cached-bbox header analogue)
+    val envT = StructType(Seq(
+      StructField("min_x", D), StructField("min_y", D),
+      StructField("max_x", D), StructField("max_y", D)))
+    fn("st_tile_ids_env", ArrayType(L), Seq(envT, D), Seq(envT, D, D)) { a =>
+      val r = a(0).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      tilesOf(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        dbl(a(1)), if (a.length > 2) dbl(a(2)) else 0.0)
     }
   }
 
   private def tileId(ix: Long, iy: Long): Long = (ix << 32) ^ (iy & 0xffffffffL)
+
+  private def tilesOf(minX: Double, minY: Double, maxX: Double, maxY: Double,
+                      cell: Double, ex: Double): GenericArrayData = {
+    val x0 = math.floor((minX - ex) / cell).toLong; val x1 = math.floor((maxX + ex) / cell).toLong
+    val y0 = math.floor((minY - ex) / cell).toLong; val y1 = math.floor((maxY + ex) / cell).toLong
+    val n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    require(n <= (1 << 16),
+      s"st_tile_ids: geometry envelope covers $n tiles at cell size $cell; raise spark.graft.spatialJoin.cellSize")
+    val out = new Array[Any](n.toInt)
+    var i = 0; var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = tileId(x, y); i += 1; y += 1 }
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** SVG path renderer (reference: st_assvg.cpp — PostGIS-compatible output). */

@@ -153,22 +153,37 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val tileL = AttributeReference("__graft_tile_l", LongType, nullable = false)()
     val tileR = AttributeReference("__graft_tile_r", LongType, nullable = false)()
 
+    // Sidecar envelope: st_extent computed ONCE per input row (a projected
+    // struct column), consumed by both the tile generator and the dedupe
+    // condition below. Without it each candidate PAIR re-scanned both WKB
+    // payloads four times (st_xmin/st_ymin per side) — per-pair byte scans
+    // that dominate on hot tiles. Analogue of the reference's cached-bbox
+    // geometry header (geometry_type.hpp:100-146).
+    val envLA = Alias(FnExpr("st_extent", Seq(lGeom)), "__graft_env_l")()
+    val envRA = Alias(FnExpr("st_extent", Seq(rGeom)), "__graft_env_r")()
+    val envL = envLA.toAttribute
+    val envR = envRA.toAttribute
+    def fld(env: Attribute, i: Int, name: String): Expression =
+      GetStructField(env, i, Some(name))
+
     val genLeft = Generate(
-      Explode(FnExpr("st_tile_ids", Seq(lGeom, cell, Literal(expand)))),
+      Explode(FnExpr("st_tile_ids_env", Seq(envL, cell, Literal(expand)))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(tileL), child = j.left)
+      generatorOutput = Seq(tileL),
+      child = Project(j.left.output :+ envLA, j.left))
     var genRight: LogicalPlan = Generate(
-      Explode(FnExpr("st_tile_ids", Seq(rGeom, cell))),
+      Explode(FnExpr("st_tile_ids_env", Seq(envR, cell))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(tileR), child = j.right)
+      generatorOutput = Seq(tileR),
+      child = Project(j.right.output :+ envRA, j.right))
 
     // dedupe: keep only the tile holding the anchor corner of the
     // (expanded-left bbox) ∩ (right bbox) intersection — that tile is in both
-    // sides' tile sets and is unique
-    val refX = Greatest(Seq(Subtract(FnExpr("st_xmin", Seq(lGeom)), Literal(expand)),
-      FnExpr("st_xmin", Seq(rGeom))))
-    val refY = Greatest(Seq(Subtract(FnExpr("st_ymin", Seq(lGeom)), Literal(expand)),
-      FnExpr("st_ymin", Seq(rGeom))))
+    // sides' tile sets and is unique; reads the sidecar structs, not WKB
+    val refX = Greatest(Seq(Subtract(fld(envL, 0, "min_x"), Literal(expand)),
+      fld(envR, 0, "min_x")))
+    val refY = Greatest(Seq(Subtract(fld(envL, 1, "min_y"), Literal(expand)),
+      fld(envR, 1, "min_y")))
     val dedupe = EqualTo(FnExpr("st_tile_id", Seq(refX, refY, cell)), tileL)
 
     var equi: Expression = EqualTo(tileL, tileR)

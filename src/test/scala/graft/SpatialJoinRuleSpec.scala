@@ -86,6 +86,20 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       s"dwithin tile join changed results: only-fast=${(fast -- naive).take(5)} only-naive=${(naive -- fast).take(5)}")
   }
 
+  test("sidecar envelope: env struct computed once per row, no per-pair WKB scans") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val plan = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)")
+      .queryExecution.optimizedPlan.toString
+    // the envelope is a projected struct column consumed by tiling + dedupe
+    assert(plan.contains("st_tile_ids_env"), s"tiles not fed from sidecar env:\n$plan")
+    assert(plan.contains("__graft_env_l") && plan.contains("__graft_env_r"),
+      s"sidecar env columns missing:\n$plan")
+    // the join condition must NOT re-derive envelopes from WKB per pair
+    assert(!plan.contains("st_xmin") && !plan.contains("st_ymin"),
+      s"dedupe still scans WKB per candidate pair:\n$plan")
+  }
+
   test("auto cellSize samples the data and preserves results") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
