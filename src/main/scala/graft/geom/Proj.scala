@@ -414,8 +414,24 @@ object Proj {
   // ---------------------------------------------------------------- registry
 
   /** A registered CRS: projection kernel + datum + a lon/lat probe point
-   *  inside the CRS's area of use (for round-trip testing). */
-  final case class Crs(name: String, proj: Projection, datum: Datum, probe: (Double, Double))
+   *  inside the CRS's area of use (for round-trip testing) + an equivalent
+   *  `+proj=` parameter string (surfaced by ST_Read_Meta; parseable back
+   *  through [[fromProjString]]). */
+  final case class Crs(name: String, proj: Projection, datum: Datum, probe: (Double, Double),
+                       proj4: String = null)
+
+  private def ellpsTag(el: Ellipsoid): String =
+    if (el == Wgs84) "+ellps=WGS84" else if (el == Grs80) "+ellps=GRS80"
+    else if (el == Airy1830) "+ellps=airy" else if (el == AiryModified) "+ellps=mod_airy"
+    else if (el == Intl1924) "+ellps=intl" else s"+a=${el.a} +rf=${el.invF}"
+
+  private def datumTags(d: Datum): String = d.shift match {
+    case None => ellpsTag(d.el)
+    case Some(h) => s"${ellpsTag(d.el)} +towgs84=${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}"
+  }
+
+  private def fmtP(v: Double): String =
+    if (v == v.toLong.toDouble) v.toLong.toString else v.toString
 
   /** degrees-minutes-seconds → decimal degrees (sign carried by degrees) */
   private def dms(d: Int, m: Int, s: Double = 0.0): Double = {
@@ -430,16 +446,24 @@ object Proj {
     val g = DatumGrs80; val w = DatumWgs84
     def lcc(name: String, p1: Double, p2: Double, p0: Double, l0: Double,
             fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
-      Crs(name, new Lcc2SP(d.el, p1, p2, p0, l0, fe, fn), d, probe)
+      Crs(name, new Lcc2SP(d.el, p1, p2, p0, l0, fe, fn), d, probe,
+        s"+proj=lcc +lat_1=${fmtP(p1)} +lat_2=${fmtP(p2)} +lat_0=${fmtP(p0)} +lon_0=${fmtP(l0)} " +
+          s"+x_0=${fmtP(fe)} +y_0=${fmtP(fn)} ${datumTags(d)} +units=m +no_defs")
     def alb(name: String, p1: Double, p2: Double, p0: Double, l0: Double,
             fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
-      Crs(name, new Albers(d.el, p1, p2, p0, l0, fe, fn), d, probe)
+      Crs(name, new Albers(d.el, p1, p2, p0, l0, fe, fn), d, probe,
+        s"+proj=aea +lat_1=${fmtP(p1)} +lat_2=${fmtP(p2)} +lat_0=${fmtP(p0)} +lon_0=${fmtP(l0)} " +
+          s"+x_0=${fmtP(fe)} +y_0=${fmtP(fn)} ${datumTags(d)} +units=m +no_defs")
     def laea(name: String, p0: Double, l0: Double, fe: Double, fn: Double,
              d: Datum = g, probe: (Double, Double)) =
-      Crs(name, new Laea(d.el, p0, l0, fe, fn), d, probe)
+      Crs(name, new Laea(d.el, p0, l0, fe, fn), d, probe,
+        s"+proj=laea +lat_0=${fmtP(p0)} +lon_0=${fmtP(l0)} +x_0=${fmtP(fe)} +y_0=${fmtP(fn)} " +
+          s"${datumTags(d)} +units=m +no_defs")
     def tm(name: String, lat0: Double, lon0: Double, k0: Double,
            fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
-      Crs(name, new TransMerc(d.el, lat0, lon0, k0, fe, fn), d, probe)
+      Crs(name, new TransMerc(d.el, lat0, lon0, k0, fe, fn), d, probe,
+        s"+proj=tmerc +lat_0=${fmtP(lat0)} +lon_0=${fmtP(lon0)} +k=${fmtP(k0)} " +
+          s"+x_0=${fmtP(fe)} +y_0=${fmtP(fn)} ${datumTags(d)} +units=m +no_defs")
 
     val base = Map(
       // ------------------------------------------ conformal conic (LCC 2SP)
@@ -467,7 +491,9 @@ object Proj {
       // taxi_zones.prj fixture (FE 984250 ftUS)
       "EPSG:2263" -> Crs("NAD83 / New York Long Island (ftUS)",
         new InUnits(new Lcc2SP(Grs80, dms(41, 2), dms(40, 40), dms(40, 10), -74, 0, 0), UsFoot, 984250, 0),
-        g, (-73.95, 40.75)),
+        g, (-73.95, 40.75),
+        s"+proj=lcc +lat_1=${dms(41, 2)} +lat_2=${dms(40, 40)} +lat_0=${dms(40, 10)} +lon_0=-74 " +
+          "+x_0=300000.0000000001 +y_0=0 +ellps=GRS80 +units=us-ft +no_defs"),
       "EPSG:32126" -> lcc("NAD83 / Oregon North", 46, dms(44, 20), dms(43, 40), -120.5, 2500000, 0, probe = (-122.65, 45.5)),
       "EPSG:32127" -> lcc("NAD83 / Oregon South", 44, dms(42, 20), dms(41, 40), -120.5, 1500000, 0, probe = (-123, 43.2)),
       "EPSG:32128" -> lcc("NAD83 / Pennsylvania North", dms(41, 57), dms(40, 53), dms(40, 10), -77.75, 600000, 0, probe = (-76, 41.3)),
@@ -500,16 +526,22 @@ object Proj {
       "EPSG:6932" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 South", -90, 0, 0, 0, w, probe = (0, -75)),
       // ------------------------------------------------ polar stereographic
       "EPSG:3413" -> Crs("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
-        new PolarStereo(Wgs84, 70, -45, 0, 0, north = true), w, (-45, 75)),
+        new PolarStereo(Wgs84, 70, -45, 0, 0, north = true), w, (-45, 75),
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       "EPSG:3031" -> Crs("WGS 84 / Antarctic Polar Stereographic",
-        new PolarStereo(Wgs84, -71, 0, 0, 0, north = false), w, (0, -75)),
+        new PolarStereo(Wgs84, -71, 0, 0, 0, north = false), w, (0, -75),
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       "EPSG:3995" -> Crs("WGS 84 / Arctic Polar Stereographic",
-        new PolarStereo(Wgs84, 71, 0, 0, 0, north = true), w, (0, 75)),
+        new PolarStereo(Wgs84, 71, 0, 0, 0, north = true), w, (0, 75),
+        "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       "EPSG:3996" -> Crs("WGS 84 / IBCAO Polar Stereographic",
-        new PolarStereo(Wgs84, 75, 0, 0, 0, north = true), w, (0, 80)),
+        new PolarStereo(Wgs84, 75, 0, 0, 0, north = true), w, (0, 80),
+        "+proj=stere +lat_0=90 +lat_ts=75 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       // --------------------------------------------- mercator / equal-area
-      "EPSG:3395" -> Crs("WGS 84 / World Mercator", new MercatorEll(Wgs84, 0, 0, 0), w, (10, 50)),
-      "EPSG:6933" -> Crs("WGS 84 / NSIDC EASE-Grid 2.0 Global", new Cea(Wgs84, 30, 0, 0, 0), w, (10, 40)),
+      "EPSG:3395" -> Crs("WGS 84 / World Mercator", new MercatorEll(Wgs84, 0, 0, 0), w, (10, 50),
+        "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+      "EPSG:6933" -> Crs("WGS 84 / NSIDC EASE-Grid 2.0 Global", new Cea(Wgs84, 30, 0, 0, 0), w, (10, 40),
+        "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       // ------------------------------------------- transverse mercator (TM)
       "EPSG:2157" -> tm("IRENET95 / Irish Transverse Mercator", 53.5, -8, 0.99982, 600000, 750000, probe = (-6.26, 53.35)),
       "EPSG:2180" -> tm("ETRS89 / Poland CS92", 0, 19, 0.9993, 500000, -5300000, probe = (21, 52.2)),
@@ -570,7 +602,8 @@ object Proj {
   private def utmCrs(code: String, name: String, zone: Int, south: Boolean, d: Datum): Crs =
     zoneCache.computeIfAbsent(code, _ => Crs(name,
       new TransMerc(d.el, 0, zone * 6 - 183, 0.9996, 500000, if (south) 10000000 else 0),
-      d, ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0)))
+      d, ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0),
+      s"+proj=utm +zone=$zone${if (south) " +south" else ""} ${datumTags(d)} +units=m +no_defs"))
 
   private val Nad83Utm = "EPSG:269(0[1-9]|1[0-9]|2[0-3])".r // NAD83 / UTM 1N-23N
   private val Mga94 = "EPSG:283(4[89]|5[0-8])".r            // GDA94 / MGA 48-58
@@ -746,6 +779,24 @@ object Proj {
     "EPSG:4277" -> (("OSGB36", DatumOsgb36)),
     "EPSG:4299" -> (("TM65 (Ireland)", DatumTm75)),
     "EPSG:4230" -> (("ED50", DatumEd50)))
+
+  /** ST_Read_Meta enrichment: human name + equivalent `+proj=` string for a
+   *  recognized authority code ("EPSG:4326"-style), covering projected
+   *  registry/zone-family codes AND geographic codes. */
+  def describe(code: String): Option[(String, String)] = {
+    val c = code.trim.toUpperCase
+    lookup(c).collect { case crs if crs.proj4 != null => (crs.name, crs.proj4) }
+      .orElse(geographic.get(c).map { case (name, d) =>
+        (name, s"+proj=longlat ${datumTags(d)} +no_defs")
+      })
+      .orElse(c match {
+        case "EPSG:4326" => Some(("WGS 84", "+proj=longlat +datum=WGS84 +no_defs"))
+        case "OGC:CRS84" | "CRS84" => Some(("WGS 84 longitude-latitude", "+proj=longlat +datum=WGS84 +no_defs"))
+        case "EPSG:3857" | "EPSG:900913" => Some(("WGS 84 / Pseudo-Mercator",
+          "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs"))
+        case _ => None
+      })
+  }
 
   /** All codes the registry + zone families accept (for ST_List_Proj_CRS). */
   def allCodes: Seq[(String, String)] = {

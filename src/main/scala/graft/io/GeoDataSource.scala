@@ -76,7 +76,7 @@ object GeoFiles {
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
-      l.endsWith(".gpx") || l.endsWith(".csv") || l.endsWith(".xlsx")
+      l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -89,6 +89,7 @@ object GeoFiles {
     else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
     else if (l.endsWith(".kml")) "kml"
     else if (l.endsWith(".gpx")) "gpx"
+    else if (l.endsWith(".gml")) "gml"
     else if (l.endsWith(".csv")) "csvwkt"
     else if (l.endsWith(".xlsx")) "xlsx"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
@@ -251,7 +252,7 @@ object GeoFiles {
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
     case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-    case "kml" | "gpx" => geojsonSchema
+    case "kml" | "gpx" | "gml" => geojsonSchema
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
     case "geopackage" => geopackageSchema(paths.head)
@@ -409,6 +410,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         XmlGeo.kmlFeatures(p).map(GeoRows.featureRow(_, required))
       case ("gpx", FilePartition(p)) =>
         XmlGeo.gpxFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("gml", FilePartition(p)) =>
+        XmlGeo.gmlFeatures(p).map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required)
       case ("xlsx", FilePartition(p)) =>

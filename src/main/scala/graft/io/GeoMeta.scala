@@ -24,6 +24,7 @@ object GeoMeta {
       Row("geopackage", "GeoPackage (read-only sqlite B-tree scan)", true, false),
       Row("kml", "OGC KML Placemarks (StAX streaming parse; Placemark/ExtendedData writer)", true, true),
       Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse; wpt/trk writer)", true, true),
+      Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse)", true, false),
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
@@ -72,6 +73,76 @@ object GeoMeta {
       .findAllMatchIn(wkt).toSeq.lastOption
     CrsDetail(name, auth.map(_.group(1)).orNull, auth.map(_.group(2)).orNull, wkt,
       proj4 = auth.collect { case m if m.group(1) == "EPSG" && m.group(2) == "4326" => Crs84Proj4 }.orNull)
+  }
+
+  /** Synthesize a `+proj=` string from WKT1 PROJCS parameters (ESRI .prj
+   *  files usually carry no AUTHORITY node, so code lookup can't help). The
+   *  result parses back through st_transform's PROJ-string path whenever the
+   *  projection method is one of the implemented kernels; null otherwise.
+   *  WKT1 false offsets are in CRS units — converted to meters per PROJ
+   *  +x_0/+y_0 semantics. */
+  private[io] def proj4FromWkt1(wkt: String): String = {
+    if (wkt == null || !wkt.contains("PROJCS")) {
+      if (wkt != null && wkt.contains("GEOGCS")) {
+        val el = ellpsFromWkt(wkt)
+        return if (el == null) null else s"+proj=longlat $el +no_defs"
+      }
+      return null
+    }
+    val projName = "PROJECTION\\[\"([^\"]+)\"\\]".r.findFirstMatchIn(wkt)
+      .map(_.group(1).toLowerCase).getOrElse(return null)
+    val params = "PARAMETER\\[\"([^\"]+)\"\\s*,\\s*([-0-9.eE]+)\\]".r.findAllMatchIn(wkt)
+      .map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
+    def p(keys: String*): Option[Double] = keys.collectFirst {
+      case k if params.contains(k) => params(k)
+    }
+    // the PROJCS-level UNIT is the last in WKT1 text (GEOGCS degree UNIT comes first)
+    val unit = "UNIT\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+)".r.findAllMatchIn(wkt)
+      .toSeq.lastOption.map(_.group(1).toDouble).getOrElse(1.0)
+    val unitsTag =
+      if (math.abs(unit - 1.0) < 1e-12) "+units=m"
+      else if (math.abs(unit - 0.3048006096012192) < 1e-12) "+units=us-ft"
+      else if (math.abs(unit - 0.3048) < 1e-12) "+units=ft"
+      else s"+to_meter=$unit"
+    val x0 = p("false_easting").getOrElse(0.0) * unit
+    val y0 = p("false_northing").getOrElse(0.0) * unit
+    val lon0 = p("central_meridian", "longitude_of_center").getOrElse(0.0)
+    val lat0 = p("latitude_of_origin", "latitude_of_center").getOrElse(0.0)
+    val el = ellpsFromWkt(wkt)
+    if (el == null) return null
+    val core =
+      if (projName.contains("transverse_mercator"))
+        Some(s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=${p("scale_factor").getOrElse(1.0)}")
+      else if (projName.contains("lambert_conformal_conic"))
+        (p("standard_parallel_1"), p("standard_parallel_2")) match {
+          case (Some(sp1), Some(sp2)) => Some(s"+proj=lcc +lat_1=$sp1 +lat_2=$sp2 +lat_0=$lat0 +lon_0=$lon0")
+          case _ => None // 1SP: kernel not implemented
+        }
+      else if (projName.contains("albers"))
+        Some(s"+proj=aea +lat_1=${p("standard_parallel_1").getOrElse(29.5)} " +
+          s"+lat_2=${p("standard_parallel_2").getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
+      else if (projName.contains("azimuthal_equal_area"))
+        Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
+      else if (projName.contains("polar_stereographic")) {
+        val ts = p("standard_parallel_1", "latitude_of_standard_parallel").getOrElse(lat0)
+        Some(s"+proj=stere +lat_0=${if (ts < 0) -90 else 90} +lat_ts=$ts +lon_0=$lon0")
+      } else if (projName.contains("mercator"))
+        Some(s"+proj=merc +lat_ts=${p("standard_parallel_1").getOrElse(0.0)} +lon_0=$lon0")
+      else None
+    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el $unitsTag +no_defs").orNull
+  }
+
+  private def ellpsFromWkt(wkt: String): String = {
+    val sp = "SPHEROID\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+)\\s*,\\s*([-0-9.eE]+)".r
+      .findFirstMatchIn(wkt).getOrElse(return null)
+    val a = sp.group(1).toDouble; val rf = sp.group(2).toDouble
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    if (near(a, 6378137.0) && near(rf, 298.257223563)) "+ellps=WGS84"
+    else if (near(a, 6378137.0) && near(rf, 298.257222101)) "+ellps=GRS80"
+    else if (near(a, 6377563.396) && near(rf, 299.3249646)) "+ellps=airy"
+    else if (near(a, 6377340.189) && near(rf, 299.3249646)) "+ellps=mod_airy"
+    else if (near(a, 6378388.0) && near(rf, 297.0)) "+ellps=intl"
+    else s"+a=$a +rf=$rf"
   }
 
   private def fromProjjson(json: String): CrsDetail = {
@@ -138,8 +209,24 @@ object GeoMeta {
         }
         (f, GeoFiles.schemaFor(f, paths).fields, paths.length, null, crs, detail)
       }
+    // Registry enrichment (st_read_meta.cpp:26-65 shape): a recognized
+    // authority code fills the human name and an equivalent +proj= string —
+    // the latter parses straight back through st_transform's PROJ-string path.
+    val enriched = {
+      val code = for (a <- Option(detail.authName); c <- Option(detail.authCode)) yield s"$a:$c"
+      val byCode = code.flatMap(graft.geom.Proj.describe).map { case (nm, p4) =>
+        detail.copy(
+          name = if (detail.name != null) detail.name else nm,
+          proj4 = if (detail.proj4 != null) detail.proj4 else p4)
+      }.getOrElse(detail)
+      // no authority (typical ESRI .prj): synthesize the proj4 from the WKT1
+      // parameters directly
+      if (byCode.proj4 == null && byCode.wkt != null)
+        byCode.copy(proj4 = proj4FromWkt1(byCode.wkt))
+      else byCode
+    }
     val rows = Seq(Row(path, fmt, fileCount,
-      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs, detail.row))
+      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs, enriched.row))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("path", StringType),
       StructField("driver", StringType),

@@ -153,6 +153,211 @@ object XmlGeo {
     out.iterator
   }
 
+  // ------------------------------------------------------------------- GML
+  /** OGC GML 2/3 feature reader (the most-hit format of GDAL's long tail the
+   *  reference reaches through st_read.cpp). Streaming StAX walk over
+   *  `featureMember`/`member(s)` elements: the wrapped element is the
+   *  feature, its leaf text children become string properties, and the first
+   *  gml geometry element becomes the geometry. Coordinate encodings:
+   *  gml:pos, gml:posList (srsDimension 2/3 honored), GML2 gml:coordinates
+   *  (cs/ts separators) and gml:coord X/Y/Z. Geometries: Point, LineString,
+   *  Curve (LineStringSegment), Polygon (exterior/interior and GML2
+   *  outer/innerBoundaryIs), MultiPoint/MultiCurve/MultiLineString/
+   *  MultiSurface/MultiPolygon/MultiGeometry. Coordinates surface in
+   *  document order (no srsName axis flip — same always_xy stance as the
+   *  rest of the library). */
+  def gmlFeatures(path: String): Iterator[Feature] = {
+    val r = reader(path)
+    val fac = Geo.factory
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
+    var n = 0
+    val geomNames = Set("Point", "LineString", "Curve", "Polygon", "MultiPoint",
+      "MultiCurve", "MultiLineString", "MultiSurface", "MultiPolygon", "MultiGeometry")
+
+    def attr(name: String): String = {
+      var i = 0
+      while (i < r.getAttributeCount) {
+        if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+        i += 1
+      }
+      null
+    }
+    def text(): String = {
+      val sb = new java.lang.StringBuilder
+      var depth = 1
+      while (depth > 0 && r.hasNext) r.next() match {
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA => sb.append(r.getText)
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+      sb.toString.trim
+    }
+    def splitNums(s: String): Array[Double] =
+      s.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+    def posListCoords(dim: Int, s: String): Array[Coordinate] = {
+      val nums = splitNums(s)
+      val d = math.max(dim, 2)
+      Array.tabulate(nums.length / d) { i =>
+        if (d >= 3) new Coordinate(nums(i * d), nums(i * d + 1), nums(i * d + 2))
+        else new Coordinate(nums(i * d), nums(i * d + 1))
+      }
+    }
+    def gml2Coords(cs: String, ts: String, s: String): Array[Coordinate] =
+      s.split(if (ts == " ") "\\s+" else java.util.regex.Pattern.quote(ts))
+        .filter(_.nonEmpty).map { tup =>
+        val p = tup.split(java.util.regex.Pattern.quote(cs))
+        if (p.length >= 3) new Coordinate(p(0).toDouble, p(1).toDouble, p(2).toDouble)
+        else new Coordinate(p(0).toDouble, p(1).toDouble)
+      }
+
+    /** scan the current element's subtree for the first coordinate carrier
+     *  (pos / posList / coordinates / coord sequence) */
+    def coordsInElement(): Array[Coordinate] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+      var depth = 1
+      while (depth > 0 && r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "posList" | "pos" =>
+              val dim = Option(attr("srsDimension")).map(_.trim.toInt).getOrElse(2)
+              acc ++= posListCoords(dim, text())
+            case "coordinates" =>
+              val cs = Option(attr("cs")).getOrElse(",")
+              val ts = Option(attr("ts")).getOrElse(" ")
+              acc ++= gml2Coords(cs, ts, text())
+            case "coord" =>
+              var x = Double.NaN; var y = Double.NaN; var z = Double.NaN
+              var d2 = 1
+              while (d2 > 0 && r.hasNext) r.next() match {
+                case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+                  case "X" => x = text().toDouble
+                  case "Y" => y = text().toDouble
+                  case "Z" => z = text().toDouble
+                  case _ => d2 += 1
+                }
+                case XMLStreamConstants.END_ELEMENT => d2 -= 1
+                case _ =>
+              }
+              acc += (if (z.isNaN) new Coordinate(x, y) else new Coordinate(x, y, z))
+            case _ => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+      acc.toArray
+    }
+
+    /** parse one geometry element (cursor on its START_ELEMENT) */
+    def geometry(name: String): Geometry = name match {
+      case "Point" =>
+        val cs = coordsInElement()
+        if (cs.isEmpty) fac.createPoint() else fac.createPoint(cs(0))
+      case "LineString" | "Curve" => // Curve: segments concatenate in order
+        val cs = coordsInElement()
+        if (cs.length < 2) fac.createLineString()
+        else {
+          // adjoining LineStringSegments repeat the joint vertex — drop dups
+          val dedup = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+          cs.foreach(c => if (dedup.isEmpty || !dedup.last.equals3D(c)) dedup += c)
+          fac.createLineString(dedup.toArray)
+        }
+      case "Polygon" =>
+        var shell: LinearRing = null
+        val holes = scala.collection.mutable.ArrayBuffer.empty[LinearRing]
+        var interior = false
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "exterior" | "outerBoundaryIs" => interior = false; depth += 1
+              case "interior" | "innerBoundaryIs" => interior = true; depth += 1
+              case "LinearRing" =>
+                val ring = fac.createLinearRing(coordsInElement())
+                if (interior) holes += ring else shell = ring
+              case _ => depth += 1
+            }
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+        if (shell == null) fac.createPolygon() else fac.createPolygon(shell, holes.toArray)
+      case _ => // Multi*/MultiGeometry: recurse on nested geometry elements
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+        var depth = 1
+        while (depth > 0 && r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val nm = r.getLocalName
+            if (geomNames(nm)) parts += geometry(nm) else depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+        if (parts.isEmpty) fac.createGeometryCollection()
+        else if (parts.forall(_.isInstanceOf[Point]))
+          fac.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+        else if (parts.forall(_.isInstanceOf[LineString]))
+          fac.createMultiLineString(parts.map(_.asInstanceOf[LineString]).toArray)
+        else if (parts.forall(_.isInstanceOf[Polygon]))
+          fac.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
+        else fac.createGeometryCollection(parts.toArray)
+    }
+
+    /** cursor on the feature element's START (the child of featureMember) */
+    def feature(): Unit = {
+      var geom: Geometry = null
+      val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val fid = attr("id") // gml:id
+      var depth = 1
+      while (depth > 0 && r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val nm = r.getLocalName
+          if (geomNames(nm)) { if (geom == null) geom = geometry(nm) else { var d2 = 1
+            while (d2 > 0 && r.hasNext) r.next() match {
+              case XMLStreamConstants.START_ELEMENT => d2 += 1
+              case XMLStreamConstants.END_ELEMENT => d2 -= 1
+              case _ =>
+            } } }
+          else if (depth == 1) {
+            // leaf text child → property; container child → descend
+            val sb = new java.lang.StringBuilder
+            var isLeaf = true
+            var d2 = 1
+            while (d2 > 0 && r.hasNext) r.next() match {
+              case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+                if (d2 == 1) sb.append(r.getText)
+              case XMLStreamConstants.START_ELEMENT =>
+                val inner = r.getLocalName
+                if (geomNames(inner) && geom == null) { geom = geometry(inner); isLeaf = false }
+                else { d2 += 1; isLeaf = false }
+              case XMLStreamConstants.END_ELEMENT => d2 -= 1
+              case _ =>
+            }
+            val v = sb.toString.trim
+            if (isLeaf && v.nonEmpty) props(nm) = v
+          } else depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+      n += 1
+      out += Feature(if (fid != null) fid else n.toString, geom, props.toMap)
+    }
+
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            Set("featureMember", "featureMembers", "member")(r.getLocalName)) {
+          // every direct child element is a feature (featureMembers batches)
+          var depth = 1
+          while (depth > 0 && r.hasNext) r.next() match {
+            case XMLStreamConstants.START_ELEMENT => feature()
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+      }
+    } finally r.close()
+    out.iterator
+  }
+
   // ------------------------------------------------------------------- GPX
   /** Waypoints → points; each trkseg → LineString; each rte → LineString.
    *  Properties: kind (wpt/trk/rte), name, ele (waypoints). */

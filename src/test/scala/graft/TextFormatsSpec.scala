@@ -47,6 +47,61 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(area == 96.0)
   }
 
+  test("GML 2/3: pos/posList/coordinates encodings, srsDimension, multi surfaces") {
+    val gml = tmpFile("t.gml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.org/app">
+        |<gml:featureMember><app:city gml:id="c1">
+        |  <app:name>Utrecht</app:name><app:pop>360000</app:pop>
+        |  <app:geom><gml:Point><gml:pos>5.12 52.09</gml:pos></gml:Point></app:geom>
+        |</app:city></gml:featureMember>
+        |<gml:featureMember><app:road gml:id="r1">
+        |  <app:name>A2</app:name>
+        |  <app:geom><gml:LineString><gml:posList srsDimension="3">0 0 10 1 1 20 2 0 30</gml:posList></gml:LineString></app:geom>
+        |</app:road></gml:featureMember>
+        |<gml:featureMember><app:zone gml:id="z1">
+        |  <app:name>zone2</app:name>
+        |  <app:geom><gml:Polygon>
+        |    <gml:exterior><gml:LinearRing><gml:posList>0 0 10 0 10 10 0 10 0 0</gml:posList></gml:LinearRing></gml:exterior>
+        |    <gml:interior><gml:LinearRing><gml:posList>4 4 6 4 6 6 4 6 4 4</gml:posList></gml:LinearRing></gml:interior>
+        |  </gml:Polygon></app:geom>
+        |</app:zone></gml:featureMember>
+        |<gml:featureMember><app:legacy gml:id="l1">
+        |  <app:name>gml2</app:name>
+        |  <app:geom><gml:Polygon>
+        |    <gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>
+        |  </gml:Polygon></app:geom>
+        |</app:legacy></gml:featureMember>
+        |<gml:featureMember><app:region gml:id="m1">
+        |  <app:name>twin</app:name>
+        |  <app:geom><gml:MultiSurface>
+        |    <gml:surfaceMember><gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>0 0 1 0 1 1 0 1 0 0</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></gml:surfaceMember>
+        |    <gml:surfaceMember><gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>2 0 3 0 3 1 2 1 2 0</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></gml:surfaceMember>
+        |  </gml:MultiSurface></app:geom>
+        |</app:region></gml:featureMember>
+        |<gml:featureMember><app:track gml:id="t1">
+        |  <app:name>curve</app:name>
+        |  <app:geom><gml:Curve><gml:segments>
+        |    <gml:LineStringSegment><gml:posList>0 0 1 0</gml:posList></gml:LineStringSegment>
+        |    <gml:LineStringSegment><gml:posList>1 0 2 1</gml:posList></gml:LineStringSegment>
+        |  </gml:segments></gml:Curve></app:geom>
+        |</app:track></gml:featureMember>
+        |</gml:FeatureCollection>""".stripMargin)
+    val df = spark.read.format("geo").load(gml)
+    val rows = df.selectExpr("id", "properties['name'] AS name",
+        "st_astext(st_geomfromwkb(geom)) AS wkt")
+      .collect().map(r => r.getString(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows("Utrecht") == ("c1", "POINT (5.12 52.09)"))
+    assert(rows("A2") == ("r1", "LINESTRING Z (0 0 10, 1 1 20, 2 0 30)"))
+    assert(rows("zone2")._2 == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(rows("gml2")._2 == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(rows("twin")._2 == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    assert(rows("curve")._2 == "LINESTRING (0 0, 1 0, 2 1)")
+    // properties beyond the geometry wrapper survive
+    val pop = df.selectExpr("properties['pop'] AS p").where("p IS NOT NULL").collect()
+    assert(pop.length == 1 && pop(0).getString(0) == "360000")
+  }
+
   test("GPX waypoints, multi-segment track, route") {
     val gpx = tmpFile("t.gpx",
       """<?xml version="1.0" encoding="UTF-8"?>
@@ -93,6 +148,33 @@ class TextFormatsSpec extends AnyFunSuite {
     graft.io.GeoWriter.geopackage(df, "geom", s"$dir/t.gpkg", singleFile = true)
     val gpkgMeta = graft.io.GeoMeta.readMeta(spark, s"$dir/t.gpkg").collect()(0)
     assert(gpkgMeta.getAs[String]("crs") == "EPSG:4326", gpkgMeta.toString)
+
+    // CRS enrichment: the taxi_zones .prj is ESRI WKT (no AUTHORITY node) —
+    // crs_detail must surface the name, the .prj WKT, and a +proj= string
+    // SYNTHESIZED from the WKT parameters that parses back through
+    // st_transform's PROJ-string path and agrees with the EPSG:2263 kernel
+    val d = shpMeta.getAs[org.apache.spark.sql.Row]("crs_detail")
+    assert(d.getAs[String]("name") != null && d.getAs[String]("name").contains("Long_Island"))
+    assert(d.getAs[String]("wkt") != null && d.getAs[String]("wkt").contains("PROJCS"))
+    val p4 = d.getAs[String]("proj4")
+    assert(p4 != null && p4.contains("+proj=lcc") && p4.contains("us-ft"), s"proj4: $p4")
+    val viaP4 = graft.geom.Proj.fromProjString(p4).getOrElse(fail(s"proj4 must re-parse: $p4"))
+    val reg = graft.geom.Proj.lookup("EPSG:2263").get
+    val (x1, y1) = viaP4.proj.forward(-73.95, 40.75)
+    val (x2, y2) = reg.proj.forward(-73.95, 40.75)
+    assert(math.abs(x1 - x2) < 1e-3 && math.abs(y1 - y2) < 1e-3,
+      s"synthesized proj4 diverges from EPSG:2263: ($x1,$y1) vs ($x2,$y2)")
+
+    // GeoParquet: graft-written file (no explicit crs → OGC:CRS84 per the
+    // 1.1 spec) enriches to the longlat proj4
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_crsmeta_pq").toString
+    graft.io.GeoWriter.clusteredParquet(df, "geom", s"$pqDir/pts.parquet")
+    val pqMeta = graft.io.GeoMeta.readMeta(spark, s"$pqDir/pts.parquet").collect()(0)
+    val pd = pqMeta.getAs[org.apache.spark.sql.Row]("crs_detail")
+    assert(pd.getAs[String]("auth_name") == "OGC" && pd.getAs[String]("auth_code") == "CRS84",
+      pd.toString)
+    assert(pd.getAs[String]("proj4") != null && pd.getAs[String]("proj4").contains("+proj=longlat"),
+      pd.toString)
   }
 
   test("CSV with quoted fields and a WKT column") {
