@@ -1048,7 +1048,10 @@ object SparkEntry {
     // here are the first 8 corpus vectors so the oracle recomputes the WHOLE
     // pipeline — assignment, pairwise sims, survivor set — independently.
     // Scale shape: centroid assignment is a broadcast cross-score; the
-    // quadratic step is bounded per cluster, never corpus-wide.
+    // quadratic step is bounded per cluster, never corpus-wide. At corpus
+    // scale use operators/SemDeDup.dedup, which additionally enforces a HARD
+    // per-cluster pair bound (oversized clusters sub-split deterministically)
+    // and documents the k-vs-N sizing guidance.
     "q_semdedup" -> q("embeddings")("""
       WITH corpus AS (
         SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 200

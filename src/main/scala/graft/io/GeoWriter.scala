@@ -436,4 +436,38 @@ object GeoWriter {
       df.sparkSession.sessionState.newHadoopConf(), path,
       GeoParquet.geoJson(geomCol, (minX, minY, maxX, maxY), Some(s"${geomCol}_bbox")))
   }
+
+  /** Compaction story for the R-tree replacement: the Hilbert-clustered
+   *  layout is write-once, so plain appends land spatially-unsorted files
+   *  whose wide bboxes defeat skipping until rewritten. This helper appends
+   *  `df` to the dataset at `path` and restores index-grade pruning by
+   *  re-clustering the union into a fresh layout, then atomically swapping
+   *  directories (write to a sibling temp dir, delete, rename — Hadoop
+   *  FileSystem API, so any supported FS works). The new rows are aligned to
+   *  the existing schema by name; the bbox sidecar and GeoParquet footer are
+   *  regenerated. Equivalent of an OPTIMIZE/re-index pass — run it after
+   *  append batches, not per append. */
+  def appendAndRecluster(
+      df: DataFrame,
+      geomCol: String,
+      path: String,
+      bounds: Option[(Double, Double, Double, Double)] = None,
+      targetPartitions: Int = 0): Unit = {
+    val spark = df.sparkSession
+    val existing = spark.read.parquet(path).drop(s"${geomCol}_bbox")
+    val incoming = df.selectExpr(existing.columns.map(c => s"`$c`"): _*)
+    val union = existing.unionByName(incoming)
+    val tmp = path.stripSuffix("/") + "__recluster_tmp"
+    // writing tmp materializes the union (reading the old files) BEFORE the
+    // old directory is touched; only then swap
+    clusteredParquet(union, geomCol, tmp, bounds, targetPartitions)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"appendAndRecluster: could not remove old layout at $path")
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"appendAndRecluster: could not move $tmp into place")
+  }
 }

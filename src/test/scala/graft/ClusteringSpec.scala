@@ -51,6 +51,42 @@ class ClusteringSpec extends AnyFunSuite {
     assert(avgWidth < 900.0, s"clustering produced no locality (avg x-width $avgWidth)")
   }
 
+  test("appendAndRecluster restores pruning quality after appends") {
+    val base = spark.sql("""
+      SELECT id, st_generatepoint(11L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
+      FROM range(20000)""")
+    GeoWriter.clusteredParquet(base, "geom", s"$dir/app", targetPartitions = 8)
+    val widthBefore = {
+      val info = GeoMeta.clusterInfo(spark, s"$dir/app", "geom").collect()
+      info.map(r => r.getDouble(5) - r.getDouble(3)).sum / info.length
+    }
+    // append a fresh batch scattered over the full extent and re-cluster
+    val extra = spark.sql("""
+      SELECT id + 100000 AS id, st_generatepoint(13L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
+      FROM range(5000)""")
+    GeoWriter.appendAndRecluster(extra, "geom", s"$dir/app", targetPartitions = 8)
+
+    val table = spark.read.parquet(s"$dir/app")
+    assert(table.count() == 25000, "append lost rows")
+    assert(table.columns.contains("geom_bbox"), "bbox sidecar regenerated")
+    // pruning quality: per-file bbox widths stay in the clustered band —
+    // scattered appends without re-clustering would push files toward the
+    // full 1000-wide extent
+    val info = GeoMeta.clusterInfo(spark, s"$dir/app", "geom").collect()
+    val widthAfter = info.map(r => r.getDouble(5) - r.getDouble(3)).sum / info.length
+    assert(widthAfter < 900.0 && widthAfter < widthBefore * 1.5,
+      s"re-cluster lost locality: before=$widthBefore after=$widthAfter")
+    // skipping still correct + GeoParquet footer regenerated
+    table.createOrReplaceTempView("app_clustered")
+    val n = spark.sql("""
+      SELECT count(*) FROM app_clustered
+      WHERE st_within(geom, st_makeenvelope(100.0d, 100.0d, 150.0d, 150.0d))""")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    val meta = GeoMeta.readMeta(spark, s"$dir/app").collect()(0)
+    assert(meta.getAs[String]("geo_metadata") != null, "GeoParquet footer missing after swap")
+  }
+
   test("geojsonl writer round-trips through the geo reader") {
     val df = spark.sql(
       "SELECT id, concat('n', id) AS name, st_point(cast(id AS DOUBLE), 1.0d) AS geom FROM range(5)")
