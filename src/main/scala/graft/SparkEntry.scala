@@ -218,6 +218,29 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // st_envelope's type degeneration (point → POINT, axis-aligned line →
+    // LINESTRING, else POLYGON with the JTS ring order) and
+    // st_collectionextract's MULTI-wrapping incl. the EMPTY mismatch case —
+    // both previously golden-only; the oracle rebuilds every WKT by concat.
+    "q_envelope_types" -> q("lineitem")(s"""
+      SELECT k,
+             st_astext(st_envelope(geom)) AS env_wkt,
+             st_astext(st_collectionextract(gc, 1)) AS pts_wkt,
+             st_astext(st_collectionextract(gc, 2)) AS lines_wkt,
+             st_astext(st_collectionextract(gc, 3)) AS polys_wkt
+      FROM (SELECT k,
+                   CASE m WHEN 0 THEN st_point(ad, bd)
+                          WHEN 1 THEN st_makeline(st_point(ad, bd), st_point(ad + 5.0d, bd))
+                          WHEN 2 THEN st_makeline(st_point(ad, bd), st_point(ad, bd + 7.0d))
+                          ELSE st_makeline(st_point(ad, bd), st_point(ad + 5.0d, bd + 7.0d)) END AS geom,
+                   st_geomfromtext(concat('GEOMETRYCOLLECTION (POINT (', a, ' ', b,
+                     '), LINESTRING (0 0, ', a + 1, ' ', b + 1, '))')) AS gc
+            FROM (SELECT $K AS k, l_partkey % 30 AS a, l_suppkey % 30 AS b,
+                         (l_partkey + l_suppkey) % 4 AS m,
+                         cast(l_partkey % 30 AS DOUBLE) AS ad, cast(l_suppkey % 30 AS DOUBLE) AS bd
+                  FROM lineitem))
+      ORDER BY k"""),
+
     "q_extent_struct" -> q("lineitem")(s"""
       SELECT k, e.min_x AS minx, e.min_y AS miny, e.max_x AS maxx, e.max_y AS maxy
       FROM (SELECT $K AS k,
@@ -1460,6 +1483,22 @@ object SparkEntry {
              0.0 AS xmin, 0.0 AS ymin,
              CAST((l_partkey % 40) + 1 AS DOUBLE) AS xmax, CAST((l_suppkey % 40) + 1 AS DOUBLE) AS ymax
       FROM lineitem ORDER BY k""",
+
+    "q_envelope_types" -> s"""
+      SELECT k,
+             CASE m WHEN 0 THEN 'POINT (' || a || ' ' || b || ')'
+                    WHEN 1 THEN 'LINESTRING (' || a || ' ' || b || ', ' || (a + 5) || ' ' || b || ')'
+                    WHEN 2 THEN 'LINESTRING (' || a || ' ' || b || ', ' || a || ' ' || (b + 7) || ')'
+                    ELSE 'POLYGON ((' || a || ' ' || b || ', ' || a || ' ' || (b + 7) || ', '
+                         || (a + 5) || ' ' || (b + 7) || ', ' || (a + 5) || ' ' || b || ', '
+                         || a || ' ' || b || '))' END AS env_wkt,
+             'MULTIPOINT (' || a || ' ' || b || ')' AS pts_wkt,
+             'MULTILINESTRING ((0 0, ' || (a + 1) || ' ' || (b + 1) || '))' AS lines_wkt,
+             'MULTIPOLYGON EMPTY' AS polys_wkt
+      FROM (SELECT $K AS k, l_partkey % 30 AS a, l_suppkey % 30 AS b,
+                   (l_partkey + l_suppkey) % 4 AS m
+            FROM lineitem)
+      ORDER BY k""",
 
     "q_extent_struct" -> s"""
       SELECT $K AS k,

@@ -40,3 +40,35 @@ for name, dt, g in rows:
         print(f"| {name} | n/a | {g} | — |")
     else:
         print(f"| {name} | {dt:.2f} | {g:.2f} | {g/dt:.1f}x |")
+
+# Machine-checkable per-round artifact (judge round-5 ask #10): per-query
+# ratios + the excluded list (pins/failures), written next to the repo docs.
+out_path = sys.argv[4] if len(sys.argv) > 4 else None
+if out_path:
+    excluded = [name for name, dt, g in rows if dt is None or g is None or g < 0]
+    # pins: oracle SQL that scans no testdata table (VALUES/constant pins or
+    # external file reads) measures ~nothing on the DuckDB side — list them,
+    # keep them out of the like-for-like median
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    pins = [name for name, sql in oracle.items()
+            if not any(t in sql.lower() for t in tables)]
+    comp = {name: {"duckdb_s": round(dt, 3), "graft_s": round(g, 3),
+                   "ratio": round(g / dt, 2), "pin": name in pins}
+            for name, dt, g in rows if dt is not None and g is not None and g >= 0}
+    ratios = sorted(v["ratio"] for k, v in comp.items() if not v["pin"])
+    summary = {
+        "sf": sfdir,
+        "n_compared": len(comp),
+        "excluded": excluded,
+        "excluded_pins": sorted(pins),
+        "n_like_for_like": len(ratios),
+        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "note": ("DuckDB runs arithmetic oracle equivalents (no spatial "
+                 "extension): a conservative lower bound on DuckDB cost; "
+                 "ratios include Spark's ~1s fixed job floor per query"),
+        "queries": comp,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
