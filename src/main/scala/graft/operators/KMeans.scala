@@ -9,21 +9,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
  * (cluster ids 0..k-1), a fixed number of assign/update rounds, ties broken
  * by cluster id.
  *
- * Scale shape: centroids live on the driver (k rows) and enter the plan as
- * literals — each round is ONE map-side-combined groupBy over the points
- * (sum/count per cluster), no shuffle of anything but k partial states per
- * partition. Assignment is a codegen'd array_min over per-centroid
- * (distance, id) structs — no UDF. With integral input coordinates every
- * centroid is an exact integer-sum / count division, so independent engines
- * reproduce the trajectory bit for bit.
+ * Scale shape: centroids live on the driver (k rows); each round is ONE
+ * map-side-combined groupBy over the points (sum/count per cluster), no
+ * shuffle of anything but k partial states per partition. Assignment has two
+ * equivalent implementations chosen by k:
+ *   - k ≤ 128: a codegen'd array_min over per-centroid (distance, id)
+ *     structs — literals in the plan, stays inside whole-stage codegen;
+ *   - k > 128: the centroid table is BROADCAST and a mapPartitions argmin
+ *     scans it per row — an O(k) expression tree would blow past codegen
+ *     limits, a broadcast array does not (this is what makes k ~ 10^4-10^5
+ *     reachable; same (distance, cid) tie rule bit for bit).
+ * With integral input coordinates every centroid is an exact integer-sum /
+ * count division, so independent engines reproduce the trajectory bit for
+ * bit.
  */
 object KMeans {
+
+  /** ks above this use the broadcast mapPartitions assignment */
+  private val ExprPathMaxK = 128
 
   /** @param points columns (id, x, y); k ≤ first-point count
    *  @return DataFrame(id, cluster INT, cx, cy) — assignment against the
    *          centroids after `iters` update rounds */
   def cluster(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0)
+    import spark.implicits._
     val p = points.selectExpr("CAST(id AS LONG) AS id", "CAST(x AS DOUBLE) AS x",
       "CAST(y AS DOUBLE) AS y")
       // null coordinates have no distance — drop them (they would surface as
@@ -44,8 +54,31 @@ object KMeans {
       F.array_min(F.array(alts: _*)).getField("c")
     }
 
+    /** (id, x, y, c) with c = argmin by (squared distance, cid) */
+    def assigned(cs: Array[(Int, Double, Double)]): DataFrame =
+      if (cs.length <= ExprPathMaxK)
+        p.select(F.col("id"), F.col("x"), F.col("y"), assignCol(cs).cast("int").as("c"))
+      else {
+        val bc = spark.sparkContext.broadcast(cs)
+        p.as[(Long, Double, Double)].mapPartitions { it =>
+          val arr = bc.value
+          it.map { case (id, x, y) =>
+            var best = Double.PositiveInfinity
+            var bestC = Int.MaxValue
+            var i = 0
+            while (i < arr.length) {
+              val dx = x - arr(i)._2; val dy = y - arr(i)._3
+              val d = dx * dx + dy * dy
+              if (d < best || (d == best && arr(i)._1 < bestC)) { best = d; bestC = arr(i)._1 }
+              i += 1
+            }
+            (id, x, y, bestC)
+          }
+        }.toDF("id", "x", "y", "c")
+      }
+
     for (_ <- 0 until iters) {
-      val sums = p.groupBy(assignCol(cents).as("c"))
+      val sums = assigned(cents).groupBy("c")
         .agg(F.sum("x").as("sx"), F.sum("y").as("sy"), F.count(F.lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
       cents = cents.map { case (cid, cx, cy) =>
@@ -56,11 +89,11 @@ object KMeans {
       }
     }
 
-    val cxCol = F.element_at(
-      F.array(cents.sortBy(_._1).map(c => F.lit(c._2)): _*), F.col("cluster") + 1)
-    val cyCol = F.element_at(
-      F.array(cents.sortBy(_._1).map(c => F.lit(c._3)): _*), F.col("cluster") + 1)
-    p.select(F.col("id"), assignCol(cents).cast("int").as("cluster"), F.col("x"), F.col("y"))
-      .select(F.col("id"), F.col("cluster"), cxCol.as("cx"), cyCol.as("cy"))
+    // centroid lookup by broadcast join — k rows, works at any k (an
+    // element_at over k literals would hit the same codegen wall as above)
+    val centsDf = F.broadcast(cents.toSeq.toDF("cluster", "cx", "cy"))
+    assigned(cents).select(F.col("id"), F.col("c").as("cluster"))
+      .join(centsDf, "cluster")
+      .select(F.col("id"), F.col("cluster"), F.col("cx"), F.col("cy"))
   }
 }

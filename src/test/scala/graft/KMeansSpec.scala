@@ -43,4 +43,44 @@ class KMeansSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(two.map(_._2).toSeq == Seq(0, 1, 0, 0))
   }
+
+  test("large k takes the broadcast path and matches a brute-force reference") {
+    // k = 200 > the 128 expression-path cutoff: assignment runs through the
+    // broadcast mapPartitions argmin; verify the full trajectory against an
+    // in-test Lloyd implementation with the identical (distance, cid) tie rule
+    val n = 600; val k = 200; val iters = 3
+    val xs = Array.tabulate(n)(i => ((i * 37) % 100).toDouble)
+    val ys = Array.tabulate(n)(i => ((i * 53) % 100).toDouble)
+    import spark.implicits._
+    val pts = (0 until n).map(i => (i.toLong, xs(i), ys(i))).toDF("id", "x", "y")
+    val got = KMeans.cluster(spark, pts, k, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    var cents = Array.tabulate(k)(i => (i, xs(i), ys(i)))
+    def assign(x: Double, y: Double): Int = {
+      var best = Double.PositiveInfinity; var bc = Int.MaxValue
+      cents.foreach { case (c, cx, cy) =>
+        val d = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+        if (d < best || (d == best && c < bc)) { best = d; bc = c }
+      }
+      bc
+    }
+    for (_ <- 0 until iters) {
+      val acc = scala.collection.mutable.HashMap.empty[Int, (Double, Double, Long)]
+      (0 until n).foreach { i =>
+        val c = assign(xs(i), ys(i))
+        val (sx, sy, cnt) = acc.getOrElse(c, (0.0, 0.0, 0L))
+        acc(c) = (sx + xs(i), sy + ys(i), cnt + 1)
+      }
+      cents = cents.map { case (c, cx, cy) =>
+        acc.get(c) match {
+          case Some((sx, sy, cnt)) => (c, sx / cnt, sy / cnt)
+          case None => (c, cx, cy)
+        }
+      }
+    }
+    (0 until n).foreach { i =>
+      assert(got(i.toLong) == assign(xs(i), ys(i)), s"id=$i")
+    }
+  }
 }
