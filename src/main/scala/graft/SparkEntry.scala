@@ -724,6 +724,27 @@ object SparkEntry {
              CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): find byte spans repeated across the
+    // corpus. The suffix-array exactness is replaced by the Spark-shaped
+    // stride-window formulation — 40-char windows at stride 20 keyed by
+    // content, one shuffle-by-window groupBy, never all-pairs (any repeated
+    // span ≥ 59 chars is guaranteed to contain a full aligned window on
+    // both sides). ASCII-projected so both engines count identical chars.
+    "q_substring_dedup" -> q("documents")("""
+      WITH src AS (
+        SELECT doc_id, regexp_replace(substr(text, 1, 400), '[^ -~]', '') AS t
+        FROM documents WHERE doc_id < 300),
+      w AS (
+        SELECT doc_id, substring(t, s, 40) AS win
+        FROM (SELECT doc_id, t, explode(sequence(1, greatest(length(t) - 39, 1), 20)) AS s FROM src)),
+      d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+      SELECT w.doc_id,
+             CAST(count(*) AS INT) AS total_windows,
+             CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS dup_windows
+      FROM w LEFT JOIN d ON w.win = d.win
+      GROUP BY w.doc_id ORDER BY w.doc_id"""),
+
     // ---------------------------------------------------------- LLM pipeline: text analysis
     // End-to-end training-data pipeline in ONE query: exact dedup (normalized
     // text) → quality filter (token count + stopword ratio) → PII redaction →
@@ -1928,6 +1949,20 @@ object SparkEntry {
              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_substring_dedup" -> """
+      WITH src AS (
+        SELECT doc_id, regexp_replace(substr(text, 1, 400), '[^ -~]', '', 'g') AS t
+        FROM documents WHERE doc_id < 300),
+      w AS (
+        SELECT doc_id, substring(t, s, 40) AS win
+        FROM src, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 39, 1), 20)) AS s)),
+      d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+      SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS INT) AS total_windows,
+             CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS dup_windows
+      FROM w LEFT JOIN d ON w.win = d.win
+      GROUP BY w.doc_id ORDER BY w.doc_id""",
 
     // Winnowing pins from the verified run (density sanity-checked against
     // the paper's expected 2/(w+1); window guarantee asserted structurally in
