@@ -745,6 +745,30 @@ object SparkEntry {
       FROM w LEFT JOIN d ON w.win = d.win
       GROUP BY w.doc_id ORDER BY w.doc_id"""),
 
+    // HTML → text extraction (the C4/CCNet boilerplate-removal stage):
+    // documents are wrapped in deterministic HTML (title/style/script/
+    // comment/entities) and html_text must recover exactly the text the
+    // oracle builds by concatenation — scripts and styles dropped, block
+    // closers to newlines, named + decimal + hex entities decoded,
+    // whitespace collapsed. Segments are guarded non-empty so the 3+-newline
+    // collapse can't fire asymmetrically.
+    "q_html_extract" -> q("documents")("""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN s1 = '' THEN '.' ELSE s1 END AS s1,
+               CASE WHEN s2 = '' THEN '.' ELSE s2 END AS s2
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(substr(text, 1, 120), '[^A-Za-z0-9 .,]', ''), ' +', ' ')) AS s1,
+                     trim(regexp_replace(regexp_replace(substr(text, 121, 120), '[^A-Za-z0-9 .,]', ''), ' +', ' ')) AS s2
+              FROM documents WHERE doc_id < 400))
+      SELECT doc_id,
+             html_text(concat(
+               '<html><head><title>Doc ', doc_id, '</title><style>p{color:red}</style></head>',
+               '<body><!-- nav --><h1>Doc ', doc_id, '</h1><p>', s1, '</p>',
+               '<script>if (1 < 2) { alert("x"); }</script><p>', s2, '</p>',
+               '<div>Tail &lt;tag&gt; &#65;&#x42; &amp; &nbsp;done</div></body></html>')) AS txt
+      FROM src ORDER BY doc_id"""),
+
     // ---------------------------------------------------------- LLM pipeline: text analysis
     // End-to-end training-data pipeline in ONE query: exact dedup (normalized
     // text) → quality filter (token count + stopword ratio) → PII redaction →
@@ -1949,6 +1973,20 @@ object SparkEntry {
              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_html_extract" -> """
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN s1 = '' THEN '.' ELSE s1 END AS s1,
+               CASE WHEN s2 = '' THEN '.' ELSE s2 END AS s2
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(substr(text, 1, 120), '[^A-Za-z0-9 .,]', '', 'g'), ' +', ' ', 'g')) AS s1,
+                     trim(regexp_replace(regexp_replace(substr(text, 121, 120), '[^A-Za-z0-9 .,]', '', 'g'), ' +', ' ', 'g')) AS s2
+              FROM documents WHERE doc_id < 400))
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || s1 || chr(10) || s2
+               || chr(10) || 'Tail <tag> AB & done' AS txt
+      FROM src ORDER BY doc_id""",
 
     "q_substring_dedup" -> """
       WITH src AS (

@@ -446,6 +446,55 @@ object TextFns {
   // alphabetical vote order so equal-hit ties break deterministically
   private val stopOrdered: Seq[(String, Set[String])] = stop.toSeq.sortBy(_._1)
 
+  // ------------------------------------------------------------ html → text
+  // Boilerplate removal for web corpora (the C4/CCNet extraction stage):
+  // a DETERMINISTIC regex pipeline, spelled so an independent RE2 engine
+  // reproduces it byte for byte: drop script/style subtrees and comments,
+  // turn block-closing tags into newlines, strip remaining tags, decode the
+  // named entity subset + numeric refs, collapse whitespace.
+  private val reScript = java.util.regex.Pattern.compile("(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>")
+  private val reComment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val reBlock = java.util.regex.Pattern.compile("(?i)<(br\\s*/?|/p|/div|/li|/tr|/h[1-6]|/title)\\s*>")
+  private val reTag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val reDec = java.util.regex.Pattern.compile("&#([0-9]{1,7});")
+  private val reHex = java.util.regex.Pattern.compile("&#[xX]([0-9a-fA-F]{1,6});")
+  private val reSpaces = java.util.regex.Pattern.compile("[ \\t\\x0B\\f\\r]+")
+  private val reNlSpace = java.util.regex.Pattern.compile(" ?\\n ?")
+  private val reManyNl = java.util.regex.Pattern.compile("\\n{3,}")
+
+  private def decodeNumeric(p: java.util.regex.Pattern, s: String, radix: Int): String = {
+    val m = p.matcher(s)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val cp = try Integer.parseInt(m.group(1), radix) catch { case _: Exception => -1 }
+      val rep =
+        if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+        else ""
+      m.appendReplacement(sb, rep)
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private[graft] def htmlText(html: String): String = {
+    if (html == null) return null
+    var s = reScript.matcher(html).replaceAll("")
+    s = reComment.matcher(s).replaceAll("")
+    s = reBlock.matcher(s).replaceAll("\n")
+    s = reTag.matcher(s).replaceAll("")
+    // entities AFTER tag strip so '&lt;b&gt;' never becomes a real tag
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&#39;", "'")
+    s = decodeNumeric(reDec, s, 10)
+    s = decodeNumeric(reHex, s, 16)
+    s = s.replace("&amp;", "&") // LAST, per the HTML unescape order
+    s = reSpaces.matcher(s).replaceAll(" ")
+    s = reNlSpace.matcher(s).replaceAll("\n")
+    s = reManyNl.matcher(s).replaceAll("\n\n")
+    s.trim
+  }
+
   // ---------------------------------------------------------------- loading
   def load(): Unit = {
     fn("token_count", I, Seq(S))(a => wsTokens(str(a(0))).length)
@@ -506,6 +555,7 @@ object TextFns {
     fn("winnow_fingerprint", ArrayType(L), Seq(S, I, I))(a =>
       new GenericArrayData(winnow(str(a(0)), int(a(1)), int(a(2)))))
     fn("doc_fingerprint", L, Seq(S))(a => fingerprint(str(a(0))))
+    fn("html_text", S, Seq(S))(a => utf(htmlText(str(a(0)))))
     fn("norm_text", S, Seq(S))(a => utf(normalize(str(a(0)))))
     // raw (non-distinct) normalized tokens — term frequencies need duplicates,
     // unlike word_ngrams' distinct sets

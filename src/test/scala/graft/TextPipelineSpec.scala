@@ -129,4 +129,23 @@ class TextPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).sortBy(_._1)
     assert(rows.toSeq == Seq((3L, 3L, 3, true), (7L, 3L, 3, false), (9L, 3L, 3, false)))
   }
+
+  test("html_text: scripts, styles, comments, entities, whitespace") {
+    import graft.functions.TextFns.htmlText
+    assert(htmlText("<p>a</p><p>b</p>") == "a\nb")
+    // script/style subtrees go entirely, including embedded angle brackets
+    assert(htmlText("x<script>if (a<b) { f('</'); }</script>y") == "xy")
+    assert(htmlText("x<style>p > a { }</style>y") == "xy")
+    assert(htmlText("a<!-- <p>not text</p> -->b") == "ab")
+    // entity order: &amp; decodes LAST so '&amp;lt;' yields literal '&lt;'
+    assert(htmlText("&amp;lt;") == "&lt;")
+    assert(htmlText("&lt;b&gt; &#72;&#x69; &nbsp;x") == "<b> Hi x")
+    // invalid/control numeric refs vanish rather than corrupt
+    assert(htmlText("a&#8;b&#xD800;c") == "abc")
+    // block closers become newlines; runs collapse to at most two
+    assert(htmlText("<h1>t</h1><div>a</div><div></div><div></div><div>b</div>") == "t\na\n\nb")
+    // CR and tabs collapse like spaces; bare LF stays a line break
+    assert(htmlText("a \t b\r\nc") == "a b\nc")
+    assert(htmlText(null) == null)
+  }
 }
