@@ -745,6 +745,27 @@ object SparkEntry {
       FROM w LEFT JOIN d ON w.win = d.win
       GROUP BY w.doc_id ORDER BY w.doc_id"""),
 
+    // CCNet-style LM quality filtering, unigram substitute for the KenLM
+    // 5-gram (labeled as such): token log-probs from corpus-wide frequencies,
+    // per-doc sum + mean. Per-token log-probs round to integer MICRO units
+    // (floor(ln*1000+0.5)) before summing, so the aggregation is an exact
+    // integer sum — immune to float summation order across engines. Scale
+    // shape: one groupBy for the frequency table, a shuffle-by-token join to
+    // score, map-side-combined per-doc sum.
+    "q_lm_quality" -> q("documents")("""
+      WITH toks AS (
+        SELECT doc_id, explode(norm_tokens(text)) AS t
+        FROM documents WHERE doc_id < 300),
+      freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT sum(c) AS n FROM freq)
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_tokens,
+             CAST(sum(micro) AS BIGINT) AS logprob_micro,
+             CAST(floor(sum(micro) / count(*) + 0.5d) AS BIGINT) AS mean_micro
+      FROM (SELECT doc_id, CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000 + 0.5d) AS BIGINT) AS micro
+            FROM toks JOIN freq USING (t) CROSS JOIN tot)
+      GROUP BY doc_id ORDER BY doc_id"""),
+
     // HTML → text extraction (the C4/CCNet boilerplate-removal stage):
     // documents are wrapped in deterministic HTML (title/style/script/
     // comment/entities) and html_text must recover exactly the text the
@@ -1973,6 +1994,20 @@ object SparkEntry {
              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS chars_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_lm_quality" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents WHERE doc_id < 300),
+      freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT sum(c) AS n FROM freq)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS INT) AS n_tokens,
+             CAST(sum(micro) AS BIGINT) AS logprob_micro,
+             CAST(floor(sum(micro) / count(*) + 0.5) AS BIGINT) AS mean_micro
+      FROM (SELECT doc_id, CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000 + 0.5) AS BIGINT) AS micro
+            FROM toks JOIN freq USING (t) CROSS JOIN tot)
+      GROUP BY doc_id ORDER BY doc_id""",
 
     "q_html_extract" -> """
       WITH src AS (

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ann_bruteforce", // 10 query rows vs corpus: intentional exact baseline
     "q_knn_join",   // probe side bounded in-query
     "q_dbscan", "q_kmeans", // k-bounded literals by construction
-    "q_bm25", "q_dsir" // 1-row corpus-stats side (avgdl / totals) CROSS JOIN
+    "q_bm25", "q_dsir", "q_lm_quality" // 1-row corpus-stats side CROSS JOIN
   )
 
   test("no unbounded cartesian/BNLJ in any query plan") {
