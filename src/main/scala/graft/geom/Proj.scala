@@ -174,7 +174,10 @@ object Proj {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val dx = x - fe; val dy = rF - (y - fn)
       val r = math.signum(n) * math.sqrt(dx * dx + dy * dy)
-      val theta = math.atan2(dx, dy)
+      // southern aspect (n < 0): dx, dy, rF all carry flipped signs, so the
+      // polar angle comes from the reversed vector (Snyder p.107, same note
+      // as the Albers kernel below)
+      val theta = if (n >= 0) math.atan2(dx, dy) else math.atan2(-dx, -dy)
       val t = math.pow(r / (el.a * bigF), 1 / n)
       (math.toDegrees(lamF + theta / n), math.toDegrees(phiFromT(el, t)))
     }

@@ -229,6 +229,38 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(msg("+proj=utm +ellps=WGS84").contains("+zone"))
   }
 
+  test("PROJ strings: randomized parameterizations round-trip sub-millimeter") {
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 0 until 60) {
+      val lat0 = rnd.nextInt(120) - 60
+      val lon0 = rnd.nextInt(340) - 170
+      val fe = rnd.nextInt(2000000); val fn = rnd.nextInt(2000000)
+      val el = Seq("WGS84", "GRS80", "intl")(rnd.nextInt(3))
+      val (str, probe) = rnd.nextInt(4) match {
+        case 0 =>
+          val l1 = lat0 - 2 - rnd.nextInt(5); val l2 = lat0 + 2 + rnd.nextInt(5)
+          (s"+proj=lcc +lat_1=$l1 +lat_2=$l2 +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 1.0, lat0 + 1.0))
+        case 1 =>
+          val l1 = lat0 - 2 - rnd.nextInt(5); val l2 = lat0 + 2 + rnd.nextInt(5)
+          (s"+proj=aea +lat_1=$l1 +lat_2=$l2 +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 1.0, lat0 + 1.0))
+        case 2 =>
+          (s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=0.999${rnd.nextInt(10)} +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 1.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
+        case _ =>
+          (s"+proj=laea +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 1.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
+      }
+      val crs = Proj.fromProjString(str).getOrElse(fail(s"no parse: $str"))
+      val (x, y) = crs.proj.forward(probe._1, probe._2)
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(x.isFinite && y.isFinite &&
+        math.abs(lon2 - probe._1) < 1e-8 && math.abs(lat2 - probe._2) < 1e-8,
+        s"$str probe=$probe -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
   test("PROJ strings: units and to_meter scale output") {
     val m = Proj.fromProjString("+proj=tmerc +lon_0=-3 +ellps=WGS84").get
     val ft = Proj.fromProjString("+proj=tmerc +lon_0=-3 +ellps=WGS84 +units=us-ft").get
