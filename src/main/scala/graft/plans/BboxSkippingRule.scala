@@ -88,13 +88,32 @@ class BboxSkippingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def bboxAttrFor(geom: Expression, child: LogicalPlan): Option[Attribute] =
-    geom match {
-      case a: Attribute =>
-        child.output.find(o =>
-          o.name == s"${a.name}_bbox" && o.dataType.isInstanceOf[StructType])
+  /** Locate the bbox sidecar for a geometry column, accepting BOTH naming
+   *  conventions: graft's `<geom>_bbox {min_x,min_y,max_x,max_y}` and the
+   *  GeoParquet-ecosystem `bbox {xmin,ymin,xmax,ymax}` (what GeoPandas/GDAL
+   *  write per the 1.1 covering spec) — external GeoParquet prunes out of
+   *  the box. Field positions resolve by NAME, not fixed index. */
+  private def bboxAttrFor(geom: Expression, child: LogicalPlan): Option[(Attribute, (Int, Int, Int, Int))] =
+    baseAttr(geom) match { // decode wrappers (st_geomfromwkb etc.) stripped
+      case Some(a) =>
+        def resolved(o: Attribute): Option[(Attribute, (Int, Int, Int, Int))] =
+          o.dataType match {
+            case st: StructType => bboxFieldIdx(st).map(o -> _)
+            case _ => None
+          }
+        child.output.find(_.name == s"${a.name}_bbox").flatMap(resolved)
+          .orElse(child.output.find(_.name == "bbox").flatMap(resolved))
       case _ => None
     }
+
+  private def bboxFieldIdx(st: StructType): Option[(Int, Int, Int, Int)] = {
+    def idx(names: String*): Option[Int] =
+      names.iterator.map(st.fieldNames.indexOf(_)).find(_ >= 0)
+    for {
+      x0 <- idx("min_x", "xmin"); y0 <- idx("min_y", "ymin")
+      x1 <- idx("max_x", "xmax"); y1 <- idx("max_y", "ymax")
+    } yield (x0, y0, x1, y1)
+  }
 
   private def envelopeOf(constGeom: Expression): Option[(Double, Double, Double, Double)] =
     scala.util.Try {
@@ -110,13 +129,14 @@ class BboxSkippingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else if (a.foldable && !b.foldable) (b, a)
         else return Nil
       (bboxAttrFor(geomSide, child), envelopeOf(constSide)) match {
-        case (Some(bbox), Some((minX, minY, maxX, maxY))) =>
-          def field(n: String, i: Int) = GetStructField(bbox, i, Some(n))
+        case (Some((bbox, (x0, y0, x1, y1))), Some((minX, minY, maxX, maxY))) =>
+          val st = bbox.dataType.asInstanceOf[StructType]
+          def field(i: Int) = GetStructField(bbox, i, Some(st.fieldNames(i)))
           Seq(
-            LessThanOrEqual(field("min_x", 0), Literal(maxX)),
-            LessThanOrEqual(field("min_y", 1), Literal(maxY)),
-            GreaterThanOrEqual(field("max_x", 2), Literal(minX)),
-            GreaterThanOrEqual(field("max_y", 3), Literal(minY)))
+            LessThanOrEqual(field(x0), Literal(maxX)),
+            LessThanOrEqual(field(y0), Literal(maxY)),
+            GreaterThanOrEqual(field(x1), Literal(minX)),
+            GreaterThanOrEqual(field(y1), Literal(minY)))
         case _ => Nil
       }
     case _ => Nil

@@ -51,6 +51,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(avgWidth < 900.0, s"clustering produced no locality (avg x-width $avgWidth)")
   }
 
+  test("ecosystem GeoParquet convention prunes too: bbox {xmin,ymin,xmax,ymax}") {
+    // a file written by GeoPandas/GDAL carries a struct column literally
+    // named `bbox` with xmin/... fields (GeoParquet 1.1 covering default) —
+    // the skipping rule must resolve it by name, not graft's min_x layout
+    spark.sql("""
+      SELECT id,
+             st_aswkb(st_point(cast(id % 100 AS DOUBLE), cast(id % 90 AS DOUBLE))) AS geometry,
+             named_struct('xmin', cast(id % 100 AS DOUBLE), 'ymin', cast(id % 90 AS DOUBLE),
+                          'xmax', cast(id % 100 AS DOUBLE), 'ymax', cast(id % 90 AS DOUBLE)) AS bbox
+      FROM range(5000)""").write.mode("overwrite").parquet(s"$dir/ecosys")
+    spark.read.parquet(s"$dir/ecosys").createOrReplaceTempView("ecosys")
+    val q = spark.sql("""
+      SELECT count(*) FROM ecosys
+      WHERE st_within(st_geomfromwkb(geometry), st_makeenvelope(10.0d, 10.0d, 20.0d, 20.0d))""")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("xmin") && optimized.contains("ymax"),
+      s"ecosystem bbox predicates not derived:\n$optimized")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("xmin"),
+      s"not pushed to scan:\n$physical")
+    // correctness unchanged vs rule off
+    val n = q.collect()(0).getLong(0)
+    spark.conf.set("spark.graft.bboxSkipping.enabled", "false")
+    val m = try q.collect()(0).getLong(0)
+      finally spark.conf.set("spark.graft.bboxSkipping.enabled", "true")
+    assert(n == m && n > 0)
+  }
+
   test("appendAndRecluster restores pruning quality after appends") {
     val base = spark.sql("""
       SELECT id, st_generatepoint(11L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
