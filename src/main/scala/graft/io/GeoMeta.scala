@@ -24,7 +24,7 @@ object GeoMeta {
       Row("geopackage", "GeoPackage (read-only sqlite B-tree scan)", true, false),
       Row("kml", "OGC KML Placemarks (StAX streaming parse; Placemark/ExtendedData writer)", true, true),
       Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse; wpt/trk writer)", true, true),
-      Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse)", true, false),
+      Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse; GML3 posList writer)", true, true),
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))

@@ -203,6 +203,96 @@ object GeoWriter {
     }
   }
 
+  private def gmlPos(cs: Array[org.locationtech.jts.geom.Coordinate]): String = {
+    val dim = if (cs.exists(c => !c.getZ.isNaN)) 3 else 2
+    val txt = cs.map { c =>
+      val base = s"${graft.geom.Geo.fmt(c.x)} ${graft.geom.Geo.fmt(c.y)}"
+      if (dim == 3) base + " " + graft.geom.Geo.fmt(if (c.getZ.isNaN) 0.0 else c.getZ) else base
+    }.mkString(" ")
+    s"""<gml:posList srsDimension="$dim">$txt</gml:posList>"""
+  }
+
+  private def gmlGeometry(g: org.locationtech.jts.geom.Geometry, sb: java.lang.StringBuilder): Unit = {
+    import org.locationtech.jts.geom._
+    g match {
+      case p: Point =>
+        sb.append("<gml:Point>")
+        if (!p.isEmpty) {
+          val c = p.getCoordinate
+          val z = if (c.getZ.isNaN) "" else " " + graft.geom.Geo.fmt(c.getZ)
+          sb.append(s"<gml:pos>${graft.geom.Geo.fmt(c.x)} ${graft.geom.Geo.fmt(c.y)}$z</gml:pos>")
+        }
+        sb.append("</gml:Point>")
+      case l: LineString =>
+        sb.append("<gml:LineString>").append(gmlPos(l.getCoordinates)).append("</gml:LineString>")
+      case p: Polygon =>
+        sb.append("<gml:Polygon><gml:exterior><gml:LinearRing>")
+          .append(gmlPos(p.getExteriorRing.getCoordinates))
+          .append("</gml:LinearRing></gml:exterior>")
+        (0 until p.getNumInteriorRing).foreach { i =>
+          sb.append("<gml:interior><gml:LinearRing>")
+            .append(gmlPos(p.getInteriorRingN(i).getCoordinates))
+            .append("</gml:LinearRing></gml:interior>")
+        }
+        sb.append("</gml:Polygon>")
+      case m: MultiPoint =>
+        sb.append("<gml:MultiPoint>")
+        (0 until m.getNumGeometries).foreach { i =>
+          sb.append("<gml:pointMember>"); gmlGeometry(m.getGeometryN(i), sb); sb.append("</gml:pointMember>")
+        }
+        sb.append("</gml:MultiPoint>")
+      case m: MultiLineString =>
+        sb.append("<gml:MultiCurve>")
+        (0 until m.getNumGeometries).foreach { i =>
+          sb.append("<gml:curveMember>"); gmlGeometry(m.getGeometryN(i), sb); sb.append("</gml:curveMember>")
+        }
+        sb.append("</gml:MultiCurve>")
+      case m: MultiPolygon =>
+        sb.append("<gml:MultiSurface>")
+        (0 until m.getNumGeometries).foreach { i =>
+          sb.append("<gml:surfaceMember>"); gmlGeometry(m.getGeometryN(i), sb); sb.append("</gml:surfaceMember>")
+        }
+        sb.append("</gml:MultiSurface>")
+      case gc: GeometryCollection =>
+        sb.append("<gml:MultiGeometry>")
+        (0 until gc.getNumGeometries).foreach(i => gmlGeometry(gc.getGeometryN(i), sb))
+        sb.append("</gml:MultiGeometry>")
+    }
+  }
+
+  /** Write `df` as a GML 3 feature collection (the write half of the GML
+   *  reader in [[XmlGeo.gmlFeatures]]): one `gml:featureMember` per row
+   *  wrapping a `graft:feature` element; non-geometry columns become leaf
+   *  text properties; the geometry emits as posList/pos with srsDimension. */
+  def gml(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val attrNames = attrIdx.map(schema.fields(_).name)
+    writeTextFiles(df, path, "gml", singleFile) { (it, out) =>
+      out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      out.println("""<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml" xmlns:graft="urn:graft">""")
+      var n = 0
+      it.foreach { r =>
+        n += 1
+        val sb = new java.lang.StringBuilder(s"""<gml:featureMember><graft:feature gml:id="f$n">""")
+        attrIdx.zip(attrNames).foreach { case (i, name) =>
+          if (!r.isNullAt(i))
+            sb.append(s"<graft:${xmlEsc(name)}>").append(xmlEsc(String.valueOf(r.get(i))))
+              .append(s"</graft:${xmlEsc(name)}>")
+        }
+        r.get(geomIdx) match {
+          case b: Array[Byte] =>
+            sb.append("<graft:geom>"); gmlGeometry(graft.geom.Geo.read(b), sb); sb.append("</graft:geom>")
+          case _ =>
+        }
+        sb.append("</graft:feature></gml:featureMember>")
+        out.println(sb.toString)
+      }
+      out.println("</gml:FeatureCollection>")
+    }
+  }
+
   /** Write `df` as GPX: Point rows → `<wpt>` (with optional name/ele columns),
    *  LineString rows → `<trk>` with one `<trkseg>`, MultiLineString → one
    *  `<trk>` with a `<trkseg>` per part. GPX has no polygon concept — other

@@ -219,9 +219,13 @@ object XmlGeo {
       while (depth > 0 && r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "posList" | "pos" =>
+            case "posList" =>
               val dim = Option(attr("srsDimension")).map(_.trim.toInt).getOrElse(2)
               acc ++= posListCoords(dim, text())
+            case "pos" => // ONE coordinate: dimension = token count, no attr needed
+              val nums = splitNums(text())
+              if (nums.length >= 3) acc += new Coordinate(nums(0), nums(1), nums(2))
+              else if (nums.length == 2) acc += new Coordinate(nums(0), nums(1))
             case "coordinates" =>
               val cs = Option(attr("cs")).getOrElse(",")
               val ts = Option(attr("ts")).getOrElse(" ")

@@ -102,6 +102,31 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(pop.length == 1 && pop(0).getString(0) == "360000")
   }
 
+  test("GML writer round-trips through the GML reader (props, holes, Z, multis)") {
+    val df = spark.sql("""
+      SELECT id, concat('f', id) AS label,
+             CASE id % 4
+               WHEN 0 THEN st_geomfromtext('POINT Z (5 52 10)')
+               WHEN 1 THEN st_geomfromtext('LINESTRING (0 0, 1 1, 2 0)')
+               WHEN 2 THEN st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')
+               ELSE st_geomfromtext('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))')
+             END AS geom
+      FROM range(8)""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gmlw").toString
+    graft.io.GeoWriter.gml(df, "geom", s"$dir/out.gml", singleFile = true)
+    val back = spark.read.format("geo").load(s"$dir/out.gml")
+    back.createOrReplaceTempView("gml_rt")
+    val rows = spark.sql("""
+      SELECT properties['label'] AS label, properties['id'] AS id, st_astext(geom) AS wkt
+      FROM gml_rt ORDER BY CAST(properties['id'] AS INT)""").collect()
+    assert(rows.length == 8)
+    val byLabel = rows.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byLabel("f0") == "POINT Z (5 52 10)")
+    assert(byLabel("f1") == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(byLabel("f2") == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(byLabel("f3") == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+  }
+
   test("GPX waypoints, multi-segment track, route") {
     val gpx = tmpFile("t.gpx",
       """<?xml version="1.0" encoding="UTF-8"?>
