@@ -1163,6 +1163,26 @@ object SparkEntry {
       FROM assigned s LEFT ANTI JOIN dropped d ON s.vec_id = d.vec_id
       ORDER BY s.vec_id"""),
 
+    // The SemDeDup OPERATOR under the same oracle as the SQL formulation
+    // above: identical corpus/centroids/tau, cap set above cluster sizes so
+    // the operator's rule is the paper-exact one (the cap path is spec'd in
+    // SemDeDupSpec with a skewed mega-cluster).
+    "q_semdedup_op" -> ((s: SparkSession, dir: String) => {
+      graft.Graft.register(s)
+      s.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+      val corpus = s.sql("""
+        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
+        FROM embeddings WHERE vec_id < 200""")
+      val cents = corpus.where("vec_id < 8").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+      graft.operators.SemDeDup.dedup(corpus, "vec_id", "v", cents, tau = 0.9,
+          maxClusterSize = 1 << 20)
+        .selectExpr("vec_id", "CAST(cid AS BIGINT) AS cid").orderBy("vec_id")
+    }),
+
     "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2749,6 +2769,33 @@ $minhashPairPins) v(da, db, j)
     // full independent recompute: same centroid assignment (row_number over
     // cosine), same upper-triangular drop rule, NOT EXISTS for the anti join
     "q_semdedup" -> """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS v
+        FROM embeddings WHERE vec_id < 200),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+      scored AS (
+        SELECT c.vec_id, c.v, t.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_dot_product(c.v, t.cv)
+                                           / (sqrt(list_dot_product(c.v, c.v))
+                                              * sqrt(list_dot_product(t.cv, t.cv))) DESC,
+                                           t.cid) AS rn
+        FROM corpus c CROSS JOIN cents t),
+      assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9)
+      SELECT s.vec_id, s.cid
+      FROM assigned s
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = s.vec_id)
+      ORDER BY s.vec_id""",
+
+    "q_semdedup_op" -> """
       WITH corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
         UNION ALL
