@@ -21,6 +21,28 @@ object XmlGeo {
     f.createXMLStreamReader(GeoFiles.textReader(path))
   }
 
+  /** Lazy pull-iterator over a StAX stream: `step()` parses and returns the
+   *  NEXT feature (or null at end of document). Features never buffer — a
+   *  multi-GB file holds one feature in memory at a time, which is what
+   *  makes these readers safe inside an executor task at scale. The reader
+   *  closes at exhaustion (the Spark scan path always drains fully). */
+  private def lazily(r: XMLStreamReader)(step: () => Feature): Iterator[Feature] =
+    new Iterator[Feature] {
+      private var pending: Feature = null
+      private var done = false
+      def hasNext: Boolean = {
+        if (pending == null && !done) {
+          pending = step()
+          if (pending == null) { done = true; r.close() }
+        }
+        pending != null
+      }
+      def next(): Feature = {
+        if (!hasNext) throw new NoSuchElementException("exhausted")
+        val f = pending; pending = null; f
+      }
+    }
+
   // ------------------------------------------------------------------- KML
   /** Placemarks → features: name/description as properties, geometry from
    *  Point/LineString/Polygon/MultiGeometry (KML coordinates are
@@ -28,7 +50,6 @@ object XmlGeo {
   def kmlFeatures(path: String): Iterator[Feature] = {
     val r = reader(path)
     val fac = Geo.factory
-    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
     var n = 0
 
     def text(): String = { // collect text until the current element closes
@@ -122,8 +143,9 @@ object XmlGeo {
         else fac.createGeometryCollection(parts.toArray)
     }
 
-    try {
-      while (r.hasNext) {
+    lazily(r) { () =>
+      var result: Feature = null
+      while (result == null && r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Placemark") {
           var name: String = null; var desc: String = null
           var geom: Geometry = null
@@ -146,11 +168,11 @@ object XmlGeo {
           }
           n += 1
           val props = Seq("name" -> name, "description" -> desc).collect { case (k, v) if v != null => k -> v }
-          out += Feature(n.toString, geom, props.toMap ++ extData)
+          result = Feature(n.toString, geom, props.toMap ++ extData)
         }
       }
-    } finally r.close()
-    out.iterator
+      result
+    }
   }
 
   // ------------------------------------------------------------------- GML
@@ -169,7 +191,6 @@ object XmlGeo {
   def gmlFeatures(path: String): Iterator[Feature] = {
     val r = reader(path)
     val fac = Geo.factory
-    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
     var n = 0
     val geomNames = Set("Point", "LineString", "Curve", "Polygon", "MultiPoint",
       "MultiCurve", "MultiLineString", "MultiSurface", "MultiPolygon", "MultiGeometry")
@@ -306,7 +327,7 @@ object XmlGeo {
     }
 
     /** cursor on the feature element's START (the child of featureMember) */
-    def feature(): Unit = {
+    def feature(): Feature = {
       var geom: Geometry = null
       val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val fid = attr("id") // gml:id
@@ -342,24 +363,27 @@ object XmlGeo {
         case _ =>
       }
       n += 1
-      out += Feature(if (fid != null) fid else n.toString, geom, props.toMap)
+      Feature(if (fid != null) fid else n.toString, geom, props.toMap)
     }
 
-    try {
-      while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT &&
-            Set("featureMember", "featureMembers", "member")(r.getLocalName)) {
-          // every direct child element is a feature (featureMembers batches)
-          var depth = 1
-          while (depth > 0 && r.hasNext) r.next() match {
-            case XMLStreamConstants.START_ELEMENT => feature()
-            case XMLStreamConstants.END_ELEMENT => depth -= 1
-            case _ =>
-          }
+    // memberDepth persists across pulls so featureMembers batches (several
+    // features inside one member element) stream one at a time
+    var memberDepth = 0
+    lazily(r) { () =>
+      var result: Feature = null
+      while (result == null && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (memberDepth > 0) result = feature() // consumes the subtree
+            else if (Set("featureMember", "featureMembers", "member")(r.getLocalName))
+              memberDepth = 1
+          case XMLStreamConstants.END_ELEMENT =>
+            if (memberDepth > 0) memberDepth -= 1
+          case _ =>
         }
       }
-    } finally r.close()
-    out.iterator
+      result
+    }
   }
 
   // ------------------------------------------------------------------- GPX
@@ -368,7 +392,6 @@ object XmlGeo {
   def gpxFeatures(path: String): Iterator[Feature] = {
     val r = reader(path)
     val fac = Geo.factory
-    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
     var n = 0
 
     def attr(name: String): String = {
@@ -390,14 +413,15 @@ object XmlGeo {
       }
       sb.toString.trim
     }
-    def emit(kind: String, name: String, g: Geometry, extra: Map[String, String] = Map.empty): Unit = {
+    def mk(kind: String, name: String, g: Geometry, extra: Map[String, String] = Map.empty): Feature = {
       n += 1
       val props = Map("kind" -> kind) ++ (if (name != null) Map("name" -> name) else Map.empty) ++ extra
-      out += Feature(n.toString, g, props)
+      Feature(n.toString, g, props)
     }
 
-    try {
-      while (r.hasNext) {
+    lazily(r) { () =>
+      var result: Feature = null
+      while (result == null && r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
           case "wpt" =>
             val lat = attr("lat").toDouble; val lon = attr("lon").toDouble
@@ -413,7 +437,7 @@ object XmlGeo {
               case XMLStreamConstants.END_ELEMENT => depth -= 1
               case _ =>
             }
-            emit("wpt", name, fac.createPoint(new Coordinate(lon, lat)),
+            result = mk("wpt", name, fac.createPoint(new Coordinate(lon, lat)),
               if (ele != null) Map("ele" -> ele) else Map.empty)
           case tag @ ("trk" | "rte") =>
             var name: String = null
@@ -441,11 +465,11 @@ object XmlGeo {
               if (lines.isEmpty) fac.createLineString()
               else if (lines.length == 1) lines.head
               else fac.createMultiLineString(lines.toArray)
-            emit(tag, name, g)
+            result = mk(tag, name, g)
           case _ =>
         }
       }
-    } finally r.close()
-    out.iterator
+      result
+    }
   }
 }
