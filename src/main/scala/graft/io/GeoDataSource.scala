@@ -76,7 +76,9 @@ object GeoFiles {
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
-      l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx")
+      l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx") ||
+      l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".atom") ||
+      l.endsWith(".georss")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -92,6 +94,9 @@ object GeoFiles {
     else if (l.endsWith(".gml")) "gml"
     else if (l.endsWith(".csv")) "csvwkt"
     else if (l.endsWith(".xlsx")) "xlsx"
+    else if (l.endsWith(".kmz")) "kmz"
+    else if (l.endsWith(".mif")) "mapinfo"
+    else if (l.endsWith(".rss") || l.endsWith(".atom") || l.endsWith(".georss")) "georss"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -241,6 +246,12 @@ object GeoFiles {
     }.toIndexedSeq)
   }
 
+  def mifSchema(path: String): StructType = {
+    val m = MapInfoMif.meta(path)
+    // attribute values surface as strings (same dynamic-schema stance as fgb)
+    StructType(m.columns.map(StructField(_, StringType)) :+ StructField("geom", BinaryType))
+  }
+
   def csvSchema(path: String): StructType = {
     val hdr = CsvWkt.header(path)
     val gi = CsvWkt.geomColumn(hdr.toSeq)
@@ -252,7 +263,8 @@ object GeoFiles {
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
     case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-    case "kml" | "gpx" | "gml" => geojsonSchema
+    case "kml" | "gpx" | "gml" | "kmz" | "georss" => geojsonSchema
+    case "mapinfo" => mifSchema(paths.head)
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
     case "geopackage" => geopackageSchema(paths.head)
@@ -412,6 +424,12 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         XmlGeo.gpxFeatures(p).map(GeoRows.featureRow(_, required))
       case ("gml", FilePartition(p)) =>
         XmlGeo.gmlFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("kmz", FilePartition(p)) =>
+        XmlGeo.kmzFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("georss", FilePartition(p)) =>
+        XmlGeo.georssFeatures(p).map(GeoRows.featureRow(_, required))
+      case ("mapinfo", FilePartition(p)) =>
+        MapInfoMif.features(p).map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required)
       case ("xlsx", FilePartition(p)) =>

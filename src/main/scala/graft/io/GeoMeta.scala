@@ -27,6 +27,9 @@ object GeoMeta {
       Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse; GML3 posList writer)", true, true),
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
+      Row("kmz", "Zipped KML (doc.kml inside a .kmz archive)", true, false),
+      Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds", true, false),
+      Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection)", true, false),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),
@@ -203,7 +206,7 @@ object GeoMeta {
                 (s"$org:$code", fromWkt1(wkt).copy(name = name, authName = org, authCode = code))
               case None => (null, CrsDetail())
             }
-          case "geojson" | "geojsonl" | "kml" | "gpx" =>
+          case "geojson" | "geojsonl" | "kml" | "gpx" | "kmz" | "georss" =>
             ("OGC:CRS84", Crs84Detail) // spec-fixed CRSes
           case _ => (null, CrsDetail())
         }

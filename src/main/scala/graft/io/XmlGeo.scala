@@ -14,11 +14,14 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
  */
 object XmlGeo {
 
-  private def reader(path: String): XMLStreamReader = {
+  private def reader(path: String): XMLStreamReader =
+    readerOf(GeoFiles.textReader(path))
+
+  private def readerOf(in: java.io.Reader): XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false) // no external entities
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.createXMLStreamReader(GeoFiles.textReader(path))
+    f.createXMLStreamReader(in)
   }
 
   /** Lazy pull-iterator over a StAX stream: `step()` parses and returns the
@@ -26,14 +29,17 @@ object XmlGeo {
    *  multi-GB file holds one feature in memory at a time, which is what
    *  makes these readers safe inside an executor task at scale. The reader
    *  closes at exhaustion (the Spark scan path always drains fully). */
-  private def lazily(r: XMLStreamReader)(step: () => Feature): Iterator[Feature] =
+  private def lazily(r: XMLStreamReader, extraClose: () => Unit = null)(step: () => Feature): Iterator[Feature] =
     new Iterator[Feature] {
       private var pending: Feature = null
       private var done = false
       def hasNext: Boolean = {
         if (pending == null && !done) {
           pending = step()
-          if (pending == null) { done = true; r.close() }
+          if (pending == null) {
+            done = true; r.close()
+            if (extraClose != null) extraClose()
+          }
         }
         pending != null
       }
@@ -47,8 +53,24 @@ object XmlGeo {
   /** Placemarks → features: name/description as properties, geometry from
    *  Point/LineString/Polygon/MultiGeometry (KML coordinates are
    *  "lon,lat[,alt]" whitespace-separated tuples). */
-  def kmlFeatures(path: String): Iterator[Feature] = {
-    val r = reader(path)
+  def kmlFeatures(path: String): Iterator[Feature] = kmlFrom(reader(path), null)
+
+  /** KMZ: a zip archive whose main document is `doc.kml` (OGC KML 2.2 §10.2).
+   *  The root doc.kml wins; otherwise the first .kml entry. The archive stays
+   *  open until the feature stream drains. */
+  def kmzFeatures(path: String): Iterator[Feature] = {
+    val zf = new java.util.zip.ZipFile(path.stripPrefix("file:"))
+    import scala.jdk.CollectionConverters._
+    val kmls = zf.entries().asScala
+      .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".kml")).toSeq
+    val entry = kmls.find(_.getName.equalsIgnoreCase("doc.kml")).orElse(kmls.headOption)
+      .getOrElse { zf.close(); throw new IllegalArgumentException(s"no .kml entry inside $path") }
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(zf.getInputStream(entry), "UTF-8"), 1 << 16)
+    kmlFrom(readerOf(br), () => zf.close())
+  }
+
+  private def kmlFrom(r: XMLStreamReader, extraClose: () => Unit): Iterator[Feature] = {
     val fac = Geo.factory
     var n = 0
 
@@ -143,7 +165,7 @@ object XmlGeo {
         else fac.createGeometryCollection(parts.toArray)
     }
 
-    lazily(r) { () =>
+    lazily(r, extraClose) { () =>
       var result: Feature = null
       while (result == null && r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Placemark") {
@@ -188,12 +210,17 @@ object XmlGeo {
    *  MultiSurface/MultiPolygon/MultiGeometry. Coordinates surface in
    *  document order (no srsName axis flip — same always_xy stance as the
    *  rest of the library). */
-  def gmlFeatures(path: String): Iterator[Feature] = {
-    val r = reader(path)
-    val fac = Geo.factory
-    var n = 0
-    val geomNames = Set("Point", "LineString", "Curve", "Polygon", "MultiPoint",
+  private[io] val gmlGeomNames: Set[String] =
+    Set("Point", "LineString", "Curve", "Polygon", "MultiPoint",
       "MultiCurve", "MultiLineString", "MultiSurface", "MultiPolygon", "MultiGeometry")
+
+  /** Reusable streaming GML geometry parser over a shared StAX cursor — used
+   *  by the GML feature reader and by GeoRSS `georss:where` elements. All
+   *  methods assume the cursor sits ON the element's START_ELEMENT and
+   *  consume exactly that element's subtree. */
+  private[io] final class GmlGeom(r: XMLStreamReader) {
+    private val fac = Geo.factory
+    private val geomNames = gmlGeomNames
 
     def attr(name: String): String = {
       var i = 0
@@ -325,17 +352,24 @@ object XmlGeo {
           fac.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
         else fac.createGeometryCollection(parts.toArray)
     }
+  }
+
+  def gmlFeatures(path: String): Iterator[Feature] = {
+    val r = reader(path)
+    val G = new GmlGeom(r)
+    val geomNames = gmlGeomNames
+    var n = 0
 
     /** cursor on the feature element's START (the child of featureMember) */
     def feature(): Feature = {
       var geom: Geometry = null
       val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      val fid = attr("id") // gml:id
+      val fid = G.attr("id") // gml:id
       var depth = 1
       while (depth > 0 && r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           val nm = r.getLocalName
-          if (geomNames(nm)) { if (geom == null) geom = geometry(nm) else { var d2 = 1
+          if (geomNames(nm)) { if (geom == null) geom = G.geometry(nm) else { var d2 = 1
             while (d2 > 0 && r.hasNext) r.next() match {
               case XMLStreamConstants.START_ELEMENT => d2 += 1
               case XMLStreamConstants.END_ELEMENT => d2 -= 1
@@ -351,7 +385,7 @@ object XmlGeo {
                 if (d2 == 1) sb.append(r.getText)
               case XMLStreamConstants.START_ELEMENT =>
                 val inner = r.getLocalName
-                if (geomNames(inner) && geom == null) { geom = geometry(inner); isLeaf = false }
+                if (geomNames(inner) && geom == null) { geom = G.geometry(inner); isLeaf = false }
                 else { d2 += 1; isLeaf = false }
               case XMLStreamConstants.END_ELEMENT => d2 -= 1
               case _ =>
@@ -380,6 +414,98 @@ object XmlGeo {
           case XMLStreamConstants.END_ELEMENT =>
             if (memberDepth > 0) memberDepth -= 1
           case _ =>
+        }
+      }
+      result
+    }
+  }
+
+  // ---------------------------------------------------------------- GeoRSS
+  /** GeoRSS-Simple + W3C-geo reader over RSS 2.0 `item`s and Atom `entry`s
+   *  (the reference reaches GeoRSS through GDAL's driver, st_read.cpp).
+   *  Geometry: `georss:point|line|polygon` ("lat lon ..." pairs — flipped to
+   *  x=lon), `georss:box` (envelope polygon), `georss:where` (GML inside, the
+   *  GeoRSS-GML profile's lat/lon axis order flipped to x=lon), or W3C
+   *  `geo:lat`/`geo:long`. Properties: title, link (href attr or text),
+   *  description/summary, pubDate/updated as `date`, category; guid/id is the
+   *  feature id. */
+  def georssFeatures(path: String): Iterator[Feature] = {
+    val r = reader(path)
+    val fac = Geo.factory
+    val G = new GmlGeom(r)
+    var n = 0
+
+    // "lat1 lon1 lat2 lon2 …" → x=lon, y=lat
+    def pairs(s: String): Array[Coordinate] = {
+      val nums = s.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      Array.tabulate(nums.length / 2)(i => new Coordinate(nums(2 * i + 1), nums(2 * i)))
+    }
+    val flipXY = new CoordinateFilter {
+      def filter(c: Coordinate): Unit = { val t = c.x; c.x = c.y; c.y = t }
+    }
+
+    lazily(r) { () =>
+      var result: Feature = null
+      while (result == null && r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            (r.getLocalName == "item" || r.getLocalName == "entry")) {
+          var geom: Geometry = null
+          var lat = Double.NaN; var lon = Double.NaN
+          var fid: String = null
+          val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var depth = 1
+          while (depth > 0 && r.hasNext) r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "point" =>
+                  val cs = pairs(G.text()); if (cs.nonEmpty) geom = fac.createPoint(cs(0))
+                case "line" =>
+                  val cs = pairs(G.text()); if (cs.length >= 2) geom = fac.createLineString(cs)
+                case "polygon" =>
+                  val cs0 = pairs(G.text())
+                  val cs = if (cs0.length >= 3 && !cs0.head.equals2D(cs0.last)) cs0 :+ cs0.head else cs0
+                  if (cs.length >= 4) geom = fac.createPolygon(fac.createLinearRing(cs))
+                case "box" =>
+                  val v = G.text().split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+                  if (v.length >= 4) {
+                    val (y0, x0, y1, x1) = (v(0), v(1), v(2), v(3))
+                    geom = fac.createPolygon(fac.createLinearRing(Array(
+                      new Coordinate(x0, y0), new Coordinate(x1, y0),
+                      new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0))))
+                  }
+                case "lat" => lat = G.text().toDouble
+                case "long" | "lon" => lon = G.text().toDouble
+                case "where" =>
+                  var d2 = 1
+                  while (d2 > 0 && r.hasNext) r.next() match {
+                    case XMLStreamConstants.START_ELEMENT =>
+                      val nm = r.getLocalName
+                      if (gmlGeomNames(nm) && geom == null) {
+                        val g = G.geometry(nm) // consumes the subtree, depth unchanged
+                        g.apply(flipXY); g.geometryChanged()
+                        geom = g
+                      } else d2 += 1
+                    case XMLStreamConstants.END_ELEMENT => d2 -= 1
+                    case _ =>
+                  }
+                case "link" =>
+                  val href = G.attr("href")
+                  val txt = G.text() // consumes the element either way
+                  props("link") = if (href != null) href else txt
+                case "guid" | "id" => fid = G.text()
+                case t @ ("title" | "description" | "summary" | "category" | "author") =>
+                  val v = G.text(); if (v.nonEmpty) props(t) = v
+                case "pubDate" | "updated" =>
+                  val v = G.text(); if (v.nonEmpty) props("date") = v
+                case _ => depth += 1
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+          if (geom == null && !lat.isNaN && !lon.isNaN)
+            geom = fac.createPoint(new Coordinate(lon, lat))
+          n += 1
+          result = Feature(if (fid != null && fid.nonEmpty) fid else n.toString, geom, props.toMap)
         }
       }
       result

@@ -17,7 +17,8 @@ object BarePathRelationRule extends Rule[LogicalPlan] {
     val l = name.toLowerCase
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".ndjson") ||
       l.endsWith(".geojsonl") || l.endsWith(".fgb") || l.endsWith(".gpkg") ||
-      l.endsWith(".kml") || l.endsWith(".gpx") ||
+      l.endsWith(".kml") || l.endsWith(".gpx") || l.endsWith(".gml") ||
+      l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") ||
       l.endsWith(".osm.pbf")
   }
 

@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** KMZ / GeoRSS / MapInfo MIF readers over self-generated fixtures. */
+class FormatLongTailSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = Files.createTempDirectory("graft_longtail").toString
+
+  private val kml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+      |<Placemark><name>alpha</name>
+      |  <Point><coordinates>10.5,20.25</coordinates></Point></Placemark>
+      |<Placemark><name>beta</name>
+      |  <LineString><coordinates>0,0 1,1 2,0</coordinates></LineString></Placemark>
+      |</Document></kml>""".stripMargin
+
+  test("kmz: doc.kml inside a zip reads like the bare kml") {
+    val p = s"$dir/pts.kmz"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
+    zos.putNextEntry(new ZipEntry("stale.txt")); zos.write("not kml".getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("doc.kml")); zos.write(kml.getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val df = spark.read.format("geo").load(p)
+    val rows = df.selectExpr("properties['name'] as name", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("alpha") == "POINT (10.5 20.25)")
+    assert(rows("beta") == "LINESTRING (0 0, 1 1, 2 0)")
+  }
+
+  test("kmz with no .kml entry fails loudly") {
+    val p = s"$dir/empty.kmz"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
+    zos.putNextEntry(new ZipEntry("readme.txt")); zos.write("x".getBytes); zos.closeEntry()
+    zos.close()
+    val e = intercept[Exception] { spark.read.format("geo").load(p).collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("georss: simple point/line/polygon/box, W3C geo, and GML where") {
+    val rss =
+      """<?xml version="1.0"?>
+        |<rss version="2.0" xmlns:georss="http://www.georss.org/georss"
+        |     xmlns:geo="http://www.w3.org/2003/01/geo/wgs84_pos#"
+        |     xmlns:gml="http://www.opengis.net/gml">
+        |<channel><title>feed</title>
+        |<item><title>pt</title><guid>a1</guid>
+        |  <georss:point>45.256 -71.92</georss:point></item>
+        |<item><title>ln</title>
+        |  <georss:line>45 -110 46 -109</georss:line></item>
+        |<item><title>pg</title>
+        |  <georss:polygon>45 -110 45 -109 46 -109 45 -110</georss:polygon></item>
+        |<item><title>bx</title>
+        |  <georss:box>42.94 -71.03 43.04 -69.86</georss:box></item>
+        |<item><title>w3c</title><geo:lat>55.7</geo:lat><geo:long>12.57</geo:long></item>
+        |<item><title>where</title>
+        |  <georss:where><gml:Point><gml:pos>45.256 -71.92</gml:pos></gml:Point></georss:where></item>
+        |</channel></rss>""".stripMargin
+    val p = s"$dir/feed.rss"
+    Files.write(Paths.get(p), rss.getBytes("UTF-8"))
+    val df = spark.read.format("geo").load(p)
+    val rows = df.selectExpr("id", "properties['title'] as t", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(1), (r.getString(0), r.getString(2)))).toMap
+    assert(rows("pt") == ("a1", "POINT (-71.92 45.256)")) // guid becomes the id; x=lon
+    assert(rows("ln")._2 == "LINESTRING (-110 45, -109 46)")
+    assert(rows("pg")._2 == "POLYGON ((-110 45, -109 45, -109 46, -110 45))")
+    assert(rows("bx")._2 == "POLYGON ((-71.03 42.94, -69.86 42.94, -69.86 43.04, -71.03 43.04, -71.03 42.94))")
+    assert(rows("w3c")._2 == "POINT (12.57 55.7)")
+    assert(rows("where")._2 == "POINT (-71.92 45.256)") // GML lat/lon flipped to x=lon
+  }
+
+  test("georss: atom entries with updated/link href") {
+    val atom =
+      """<?xml version="1.0"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom" xmlns:georss="http://www.georss.org/georss">
+        |<entry><title>e1</title><id>urn:x:1</id>
+        |  <link href="http://example.org/1"/>
+        |  <updated>2024-01-02T03:04:05Z</updated>
+        |  <georss:point>1.5 2.5</georss:point></entry>
+        |</feed>""".stripMargin
+    val p = s"$dir/feed.atom"
+    Files.write(Paths.get(p), atom.getBytes("UTF-8"))
+    val r = spark.read.format("geo").load(p)
+      .selectExpr("id", "properties['link']", "properties['date']", "st_astext(geom)").collect()(0)
+    assert(r.getString(0) == "urn:x:1")
+    assert(r.getString(1) == "http://example.org/1")
+    assert(r.getString(2) == "2024-01-02T03:04:05Z")
+    assert(r.getString(3) == "POINT (2.5 1.5)")
+  }
+
+  test("mif/mid: point, pline multiple, region with hole, rect, multipoint, none") {
+    val mif =
+      """Version 300
+        |Charset "Neutral"
+        |Delimiter ","
+        |Columns 3
+        |  name Char(10)
+        |  pop Integer
+        |  tag Char(20)
+        |Data
+        |Point 10 20
+        |  Symbol (35,0,12)
+        |Pline Multiple 2
+        |  3
+        |0 0
+        |1 1
+        |2 0
+        |  2
+        |5 5
+        |6 6
+        |  Pen (1,2,0)
+        |Region 2
+        |  5
+        |0 0
+        |10 0
+        |10 10
+        |0 10
+        |0 0
+        |  5
+        |2 2
+        |4 2
+        |4 4
+        |2 4
+        |2 2
+        |  Brush (2,16777215,16777215)
+        |  Center 5 5
+        |Rect 1 2 3 4
+        |Multipoint 2
+        |7 8
+        |9 10
+        |None
+        |""".stripMargin
+    val mid =
+      """alpha,100,"x,y"
+        |beta,200,plain
+        |gamma,300,g
+        |delta,400,d
+        |eps,500,e
+        |zeta,600,z
+        |""".stripMargin
+    Files.write(Paths.get(s"$dir/t.mif"), mif.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/t.mid"), mid.getBytes("UTF-8"))
+    val df = spark.read.format("geo").load(s"$dir/t.mif")
+    assert(df.columns.toSeq == Seq("name", "pop", "tag", "geom"))
+    val rows = df.selectExpr("name", "pop", "tag", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(rows("alpha") == (("100", "x,y", "POINT (10 20)"))) // quoted delimiter preserved
+    assert(rows("beta")._3 == "MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 6))")
+    assert(rows("gamma")._3 == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(rows("delta")._3 == "POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))")
+    assert(rows("eps")._3 == "MULTIPOINT (7 8, 9 10)")
+    assert(rows("zeta")._3 == "GEOMETRYCOLLECTION EMPTY")
+  }
+
+  test("mif: ellipse and arc approximations are deterministic and bounded") {
+    val mif =
+      """Version 300
+        |Delimiter ","
+        |Columns 1
+        |  k Char(4)
+        |Data
+        |Ellipse 0 0 10 6
+        |Arc 0 0 10 10 0 90
+        |""".stripMargin
+    Files.write(Paths.get(s"$dir/e.mif"), mif.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/e.mid"), "a\nb\n".getBytes("UTF-8"))
+    val out = spark.read.format("geo").load(s"$dir/e.mif")
+      .selectExpr("k", "st_geometrytype(geom) as t", "st_npoints(geom) as n",
+        "st_xmin(geom) as x0", "st_xmax(geom) as x1").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a")._1 == "POLYGON" && out("a")._2 == 73)
+    assert(math.abs(out("a")._3 - 0.0) < 1e-9 && math.abs(out("a")._4 - 10.0) < 1e-9)
+    assert(out("b")._1 == "LINESTRING" && out("b")._2 >= 3)
+    // quarter arc of the circle inscribed in [0,10]^2: x from center 5 to 10
+    assert(math.abs(out("b")._4 - 10.0) < 1e-9)
+  }
+
+  test("bare-path SQL works for the new extensions") {
+    val p = s"$dir/pts2.kmz"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
+    zos.putNextEntry(new ZipEntry("doc.kml")); zos.write(kml.getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val n = spark.sql(s"SELECT count(*) FROM `$p`").collect()(0).getLong(0)
+    assert(n == 2)
+  }
+}
