@@ -1430,6 +1430,64 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Long-tail reader interop proof: the SAME deterministic point set flows
+    // through the KMZ, GeoRSS, MIF/MID, and DXF readers; the oracle recomputes
+    // the coordinate sums straight from customer. A reader that drops rows,
+    // flips an axis, or mis-parses a coordinate fails the hash. Fixture
+    // generation collects ≤2k driver rows — test plumbing, not a query path.
+    "q_formats_roundtrip" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val rows = q("customer")("""
+        SELECT c_custkey AS k,
+               cast(c_custkey % 360 - 180 AS DOUBLE) AS x,
+               cast(c_custkey % 170 - 85 AS DOUBLE) AS y
+        FROM customer WHERE c_custkey <= 2000 ORDER BY k""")(s, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val base = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_formats_demo")).toString
+      // KMZ: zip wrapping a doc.kml of Placemarks
+      val kmzPath = s"$base/pts.kmz"
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(kmzPath))
+      zos.putNextEntry(new java.util.zip.ZipEntry("doc.kml"))
+      val kml = new StringBuilder("<?xml version=\"1.0\"?><kml><Document>")
+      rows.foreach { case (k, x, y) =>
+        kml ++= s"<Placemark><name>$k</name><Point><coordinates>$x,$y</coordinates></Point></Placemark>"
+      }
+      kml ++= "</Document></kml>"
+      zos.write(kml.toString.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+      // GeoRSS: RSS 2.0 items, lat-lon order
+      val rssPath = s"$base/pts.rss"
+      val rss = new StringBuilder("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>")
+      rows.foreach { case (k, x, y) => rss ++= s"<item><title>$k</title><point>$y $x</point></item>" }
+      rss ++= "</channel></rss>"
+      java.nio.file.Files.write(java.nio.file.Paths.get(rssPath), rss.toString.getBytes("UTF-8"))
+      // MapInfo MIF/MID
+      val mifPath = s"$base/pts.mif"
+      val mif = new StringBuilder("Version 300\nDelimiter \",\"\nColumns 1\n  k Integer\nData\n")
+      rows.foreach { case (_, x, y) => mif ++= s"Point $x $y\n" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(mifPath), mif.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/pts.mid"),
+        rows.map(_._1).mkString("", "\n", "\n").getBytes("UTF-8"))
+      // DXF ENTITIES
+      val dxfPath = s"$base/pts.dxf"
+      val dxf = new StringBuilder("0\nSECTION\n2\nENTITIES\n")
+      rows.foreach { case (_, x, y) => dxf ++= s"0\nPOINT\n8\npts\n10\n$x\n20\n$y\n" }
+      dxf ++= "0\nENDSEC\n0\nEOF\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(dxfPath), dxf.toString.getBytes("UTF-8"))
+
+      def read(fmt: String, p: String) =
+        s.read.format("geo").load(p)
+          .selectExpr(s"'$fmt' AS fmt", "st_x(geom) AS x", "st_y(geom) AS y")
+      import org.apache.spark.sql.functions.{count, sum, col}
+      read("dxf", dxfPath)
+        .union(read("georss", rssPath))
+        .union(read("kmz", kmzPath))
+        .union(read("mapinfo", mifPath))
+        .groupBy("fmt")
+        .agg(count("*").as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .orderBy("fmt")
+    }),
+
     // ---------------------------------------------------------- spatial keys
     // The DISTINCT small domain (16×16 cells) makes a VALUES-join oracle
     // feasible: the oracle restricts the same pinned table to the combos
@@ -1868,6 +1926,15 @@ object SparkEntry {
             FROM lineitem WHERE l_orderkey % 29 = 0 GROUP BY 1) l
         ON p.k = l.k
       ORDER BY k""",
+
+    // coordinate sums recomputed from customer; one row per long-tail format
+    "q_formats_roundtrip" -> """
+      WITH src AS (SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+                          CAST(c_custkey % 170 - 85 AS DOUBLE) AS y
+                   FROM customer WHERE c_custkey <= 2000)
+      SELECT fmt, count(*) AS n, sum(x) AS sx, sum(y) AS sy
+      FROM src CROSS JOIN (VALUES ('dxf'),('georss'),('kmz'),('mapinfo')) t(fmt)
+      GROUP BY fmt ORDER BY fmt""",
 
     "q_extent_agg" -> """
       SELECT l_returnflag AS flag,

@@ -78,7 +78,7 @@ object GeoFiles {
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
       l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx") ||
       l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".atom") ||
-      l.endsWith(".georss")
+      l.endsWith(".georss") || l.endsWith(".dxf")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -97,6 +97,7 @@ object GeoFiles {
     else if (l.endsWith(".kmz")) "kmz"
     else if (l.endsWith(".mif")) "mapinfo"
     else if (l.endsWith(".rss") || l.endsWith(".atom") || l.endsWith(".georss")) "georss"
+    else if (l.endsWith(".dxf")) "dxf"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -263,7 +264,7 @@ object GeoFiles {
   def schemaFor(format: String, paths: Seq[String]): StructType = format match {
     case "shapefile" => shapefileSchema(paths.head)
     case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-    case "kml" | "gpx" | "gml" | "kmz" | "georss" => geojsonSchema
+    case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" => geojsonSchema
     case "mapinfo" => mifSchema(paths.head)
     case "osmpbf" => osmSchema
     case "flatgeobuf" => flatgeobufSchema(paths.head)
@@ -430,6 +431,8 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         XmlGeo.georssFeatures(p).map(GeoRows.featureRow(_, required))
       case ("mapinfo", FilePartition(p)) =>
         MapInfoMif.features(p).map(GeoRows.featureRow(_, required))
+      case ("dxf", FilePartition(p)) =>
+        Dxf.features(p).map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required)
       case ("xlsx", FilePartition(p)) =>

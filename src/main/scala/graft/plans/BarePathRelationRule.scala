@@ -18,7 +18,7 @@ object BarePathRelationRule extends Rule[LogicalPlan] {
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".ndjson") ||
       l.endsWith(".geojsonl") || l.endsWith(".fgb") || l.endsWith(".gpkg") ||
       l.endsWith(".kml") || l.endsWith(".gpx") || l.endsWith(".gml") ||
-      l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") ||
+      l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".dxf") ||
       l.endsWith(".osm.pbf")
   }
 

@@ -179,6 +179,51 @@ class FormatLongTailSpec extends AnyFunSuite {
     assert(math.abs(out("b")._4 - 10.0) < 1e-9)
   }
 
+  test("dxf: point, line, lwpolyline (open+closed), polyline/seqend, circle, arc, solid, text") {
+    def pairs(ps: (Int, String)*): String = ps.map { case (c, v) => s"$c\n$v" }.mkString("\n") + "\n"
+    val dxf = new StringBuilder
+    dxf ++= pairs(0 -> "SECTION", 2 -> "HEADER", 0 -> "ENDSEC")
+    dxf ++= pairs(0 -> "SECTION", 2 -> "ENTITIES")
+    dxf ++= pairs(0 -> "POINT", 8 -> "L1", 10 -> "3.5", 20 -> "4.5")
+    dxf ++= pairs(0 -> "LINE", 8 -> "L1", 10 -> "0", 20 -> "0", 11 -> "10", 21 -> "10")
+    dxf ++= pairs(0 -> "LWPOLYLINE", 8 -> "L2", 90 -> "3", 70 -> "0",
+      10 -> "0", 20 -> "0", 10 -> "1", 20 -> "1", 10 -> "2", 20 -> "0")
+    dxf ++= pairs(0 -> "LWPOLYLINE", 8 -> "L2", 90 -> "4", 70 -> "1",
+      10 -> "0", 20 -> "0", 10 -> "4", 20 -> "0", 10 -> "4", 20 -> "4", 10 -> "0", 20 -> "4")
+    dxf ++= pairs(0 -> "POLYLINE", 8 -> "L3", 70 -> "1",
+      0 -> "VERTEX", 10 -> "0", 20 -> "0",
+      0 -> "VERTEX", 10 -> "6", 20 -> "0",
+      0 -> "VERTEX", 10 -> "6", 20 -> "6",
+      0 -> "SEQEND")
+    dxf ++= pairs(0 -> "CIRCLE", 8 -> "L3", 10 -> "5", 20 -> "5", 40 -> "2")
+    dxf ++= pairs(0 -> "ARC", 8 -> "L3", 10 -> "0", 20 -> "0", 40 -> "4", 50 -> "0", 51 -> "180")
+    dxf ++= pairs(0 -> "SOLID", 8 -> "L4",
+      10 -> "0", 20 -> "0", 11 -> "1", 21 -> "0", 12 -> "0", 22 -> "1", 13 -> "1", 23 -> "1")
+    dxf ++= pairs(0 -> "TEXT", 8 -> "L4", 10 -> "7", 20 -> "8", 1 -> "hello")
+    dxf ++= pairs(0 -> "ENDSEC", 0 -> "EOF")
+    val p = s"$dir/d.dxf"
+    Files.write(Paths.get(p), dxf.toString.getBytes("UTF-8"))
+    val rows = spark.read.format("geo").load(p)
+      .selectExpr("properties['entity'] as e", "properties['layer'] as l",
+        "st_geometrytype(geom) as t", "st_npoints(geom) as n", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+    assert(rows.length == 9)
+    val byEntity = rows.groupBy(_._1)
+    assert(byEntity("POINT").head._5 == "POINT (3.5 4.5)")
+    assert(byEntity("LINE").head._5 == "LINESTRING (0 0, 10 10)")
+    val lw = byEntity("LWPOLYLINE").map(r => (r._3, r._4)).sortBy(_._1)
+    assert(lw.toSeq == Seq(("LINESTRING", 3), ("POLYGON", 5))) // open stays a line, closed flag makes a ring
+    assert(byEntity("POLYLINE").head._3 == "POLYGON") // closed flag via 70
+    assert(byEntity("CIRCLE").head._3 == "POLYGON" && byEntity("CIRCLE").head._4 == 73)
+    assert(byEntity("ARC").head._3 == "LINESTRING")
+    assert(byEntity("SOLID").head._3 == "POLYGON")
+    val t = byEntity("TEXT").head
+    assert(t._5 == "POINT (7 8)" && t._2 == "L4")
+    val txt = spark.read.format("geo").load(p)
+      .where("properties['entity'] = 'TEXT'").selectExpr("properties['text']").collect()(0).getString(0)
+    assert(txt == "hello")
+  }
+
   test("bare-path SQL works for the new extensions") {
     val p = s"$dir/pts2.kmz"
     val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
