@@ -85,7 +85,7 @@ object GeoMeta {
    *  projection method is one of the implemented kernels; null otherwise.
    *  WKT1 false offsets are in CRS units — converted to meters per PROJ
    *  +x_0/+y_0 semantics. */
-  private[io] def proj4FromWkt1(wkt: String): String = {
+  private[graft] def proj4FromWkt1(wkt: String): String = {
     if (wkt == null || !wkt.contains("PROJCS")) {
       if (wkt != null && wkt.contains("GEOGCS")) {
         val el = ellpsFromWkt(wkt)

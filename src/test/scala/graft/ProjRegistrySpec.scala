@@ -273,4 +273,47 @@ class ProjRegistrySpec extends AnyFunSuite {
     val a = math.abs(d) + m / 60.0
     if (d < 0) -a else a
   }
+
+  // ------------------------------------------------- WKT1 CRS input (.prj text)
+  private val utm33Wkt1NoAuth =
+    """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+      """SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],""" +
+      """UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],""" +
+      """PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],""" +
+      """PARAMETER["false_northing",0],UNIT["metre",1]]"""
+
+  private def sqlXY(expr: String): (Double, Double) = {
+    val r = SparkTestSession.spark.sql(
+      s"SELECT st_x($expr) AS x, st_y($expr) AS y").collect()(0)
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("WKT1 CRS input: AUTHORITY code routes to the registry kernel") {
+    val wkt = utm33Wkt1NoAuth.dropRight(1) + ""","AUTHORITY["EPSG","32633"]]"""
+    val viaWkt = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$wkt')")
+    val viaCode = sqlXY("st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', 'EPSG:32633')")
+    assert(viaWkt == viaCode) // bit-identical: same kernel object
+  }
+
+  test("WKT1 CRS input without AUTHORITY synthesizes the +proj= equivalent") {
+    val viaWkt = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$utm33Wkt1NoAuth')")
+    val viaCode = sqlXY("st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', 'EPSG:32633')")
+    assert(math.abs(viaWkt._1 - viaCode._1) < 1e-6 && math.abs(viaWkt._2 - viaCode._2) < 1e-6,
+      s"$viaWkt vs $viaCode")
+    // and the inverse direction
+    val back = sqlXY(s"st_transform(st_point(${viaWkt._1}d, ${viaWkt._2}d), '$utm33Wkt1NoAuth', 'EPSG:4326')")
+    assert(math.abs(back._1 - 14.0) < 1e-8 && math.abs(back._2 - 48.0) < 1e-8)
+  }
+
+  test("WKT1 CRS input: unimplemented projection fails loudly") {
+    val krovak = utm33Wkt1NoAuth.replace("Transverse_Mercator", "Krovak")
+    val e = intercept[Exception] {
+      SparkTestSession.spark.sql(
+        s"SELECT st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$krovak')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("ST_Transform")))
+  }
 }
