@@ -29,7 +29,7 @@ object GeoMeta {
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
       Row("kmz", "Zipped KML (doc.kml inside a .kmz archive)", true, false),
       Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds", true, false),
-      Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection)", true, false),
+      Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection; MIF/MID writer)", true, true),
       Row("dxf", "AutoCAD DXF ASCII entities (point/line/lwpolyline/polyline/circle/arc/solid/text)", true, false),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(

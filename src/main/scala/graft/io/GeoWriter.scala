@@ -363,6 +363,98 @@ object GeoWriter {
     }
   }
 
+  /** Write `df` as MapInfo Interchange MIF/MID pairs (one pair per
+   *  partition, or `<path>`(.mif)+sibling .mid when `singleFile = true`).
+   *  Non-geometry columns become MID attributes with MIF-typed columns
+   *  (Integer for integral Spark types, Float for fractional, Char(254)
+   *  otherwise); [[MapInfoMif.features]] round-trips the output. */
+  def mif(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val colDefs = attrIdx.map { i =>
+      val f = schema.fields(i)
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType => "Integer"
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => "Float"
+        case _ => "Char(254)"
+      }
+      s"  ${f.name} $t"
+    }
+    def fmt(d: Double): String = graft.geom.Geo.fmt(d)
+    def ringTxt(cs: Array[org.locationtech.jts.geom.Coordinate], sb: java.lang.StringBuilder): Unit = {
+      sb.append("  ").append(cs.length).append('\n')
+      cs.foreach(c => sb.append(fmt(c.x)).append(' ').append(fmt(c.y)).append('\n'))
+    }
+    def geomTxt(g: org.locationtech.jts.geom.Geometry, sb: java.lang.StringBuilder): Unit = {
+      import org.locationtech.jts.geom._
+      g match {
+        case g if g.isEmpty => sb.append("None\n")
+        case p: Point => sb.append("Point ").append(fmt(p.getX)).append(' ').append(fmt(p.getY)).append('\n')
+        case mp: MultiPoint =>
+          sb.append("Multipoint ").append(mp.getNumGeometries).append('\n')
+          (0 until mp.getNumGeometries).foreach { i =>
+            val p = mp.getGeometryN(i).asInstanceOf[Point]
+            sb.append(fmt(p.getX)).append(' ').append(fmt(p.getY)).append('\n')
+          }
+        case l: LineString =>
+          sb.append("Pline")
+          ringTxt(l.getCoordinates, sb)
+        case ml: MultiLineString =>
+          sb.append("Pline Multiple ").append(ml.getNumGeometries).append('\n')
+          (0 until ml.getNumGeometries).foreach(i => ringTxt(ml.getGeometryN(i).getCoordinates, sb))
+        case p: Polygon =>
+          sb.append("Region ").append(1 + p.getNumInteriorRing).append('\n')
+          ringTxt(p.getExteriorRing.getCoordinates, sb)
+          (0 until p.getNumInteriorRing).foreach(i => ringTxt(p.getInteriorRingN(i).getCoordinates, sb))
+        case mp: MultiPolygon =>
+          val rings = (0 until mp.getNumGeometries).map(_.toInt).flatMap { i =>
+            val p = mp.getGeometryN(i).asInstanceOf[Polygon]
+            p.getExteriorRing.getCoordinates +:
+              (0 until p.getNumInteriorRing).map(j => p.getInteriorRingN(j).getCoordinates)
+          }
+          sb.append("Region ").append(rings.length).append('\n')
+          rings.foreach(ringTxt(_, sb))
+        case gc: GeometryCollection =>
+          sb.append("Collection ").append(gc.getNumGeometries).append('\n')
+          (0 until gc.getNumGeometries).foreach(i => geomTxt(gc.getGeometryN(i), sb))
+      }
+    }
+    def midField(v: Any): String = {
+      val s = String.valueOf(v)
+      if (s.exists(c => c == ',' || c == '"')) "\"" + s.replace("\"", "") + "\"" else s
+    }
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || singleFile) {
+        val stem = if (singleFile) path.stripSuffix(".mif") else f"$path/part-$pid%05d"
+        val mifOut = new java.io.PrintWriter(hadoopOpen(hc)(stem + ".mif"))
+        val midOut = new java.io.PrintWriter(hadoopOpen(hc)(stem + ".mid"))
+        try {
+          mifOut.println("Version 300")
+          mifOut.println("Charset \"Neutral\"")
+          mifOut.println("Delimiter \",\"")
+          mifOut.println(s"Columns ${colDefs.length}")
+          colDefs.foreach(mifOut.println)
+          mifOut.println("Data")
+          it.foreach { r =>
+            val sb = new java.lang.StringBuilder
+            r.get(geomIdx) match {
+              case b: Array[Byte] => geomTxt(graft.geom.Geo.read(b), sb)
+              case _ => sb.append("None\n")
+            }
+            mifOut.print(sb)
+            midOut.println(attrIdx.map(i => if (r.isNullAt(i)) "" else midField(r.get(i))).mkString(","))
+          }
+        } finally { mifOut.close(); midOut.close() }
+      }
+      ()
+    }
+  }
+
   /** Write `df` as a single-sheet XLSX workbook (no geometry — the
    *  attribute-table format of the family; reference reaches it via GDAL's
    *  xlsx driver). Numeric Spark columns store as numbers, the rest as

@@ -224,6 +224,31 @@ class FormatLongTailSpec extends AnyFunSuite {
     assert(txt == "hello")
   }
 
+  test("mif writer round-trips every geometry family through the reader") {
+    import spark.implicits._
+    val wkts = Seq(
+      ("a", "POINT (3 4)"),
+      ("b", "LINESTRING (0 0, 1 1, 2 0)"),
+      ("c", "MULTILINESTRING ((0 0, 1 1), (5 5, 6 6, 7 5))"),
+      ("d", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+      ("e", "MULTIPOINT (7 8, 9 10)"),
+      ("f", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"))
+    val df = wkts.toDF("name", "wkt").selectExpr("name", "cast(null as int) as num", "st_aswkb(st_geomfromtext(wkt)) as geom")
+      .withColumn("num", org.apache.spark.sql.functions.expr("length(name)"))
+    val out = s"$dir/rt.mif"
+    graft.io.GeoWriter.mif(df, "geom", out, singleFile = true)
+    val back = spark.read.format("geo").load(out)
+      .selectExpr("name", "num", "st_astext(geom) as wkt").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2)))).toMap
+    assert(back.size == 6)
+    assert(back("a") == (("1", "POINT (3 4)")))
+    assert(back("b")._2 == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(back("c")._2 == "MULTILINESTRING ((0 0, 1 1), (5 5, 6 6, 7 5))")
+    assert(back("d")._2 == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(back("e")._2 == "MULTIPOINT (7 8, 9 10)")
+    assert(back("f")._2 == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+  }
+
   test("bare-path SQL works for the new extensions") {
     val p = s"$dir/pts2.kmz"
     val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
