@@ -742,12 +742,15 @@ object GeoFns {
     // PROJ parameter strings are case-sensitive: resolve (and validate,
     // loudly) before the uppercase EPSG normalization below
     if (raw.startsWith("+")) { graft.geom.Proj.fromProjString(raw); raw }
-    // WKT1 CRS text (the contents of a .prj): AUTHORITY code wins when the
-    // registry knows it; otherwise a +proj= string is synthesized from the
-    // WKT parameters and resolved over the same kernels (loud rejection for
-    // unimplemented methods — same policy as +proj= input)
+    // WKT CRS text (the contents of a .prj — WKT1 PROJCS/GEOGCS or WKT2
+    // PROJCRS/GEOGCRS): the AUTHORITY/ID code wins when the registry knows
+    // it; otherwise a +proj= string is synthesized from the WKT parameters
+    // and resolved over the same kernels (loud rejection for unimplemented
+    // methods — same policy as +proj= input)
     else if (raw.regionMatches(true, 0, "PROJCS", 0, 6) ||
-             raw.regionMatches(true, 0, "GEOGCS", 0, 6)) wkt1ToCrsId(raw)
+             raw.regionMatches(true, 0, "GEOGCS", 0, 6) ||
+             raw.regionMatches(true, 0, "PROJCRS", 0, 7) ||
+             raw.regionMatches(true, 0, "GEOGCRS", 0, 7)) wkt1ToCrsId(raw)
     else raw.toUpperCase match {
       case "EPSG:4326" => "4326"
       case "OGC:CRS84" | "CRS84" => "CRS84"
@@ -764,18 +767,24 @@ object GeoFns {
     }
   }
   private def wkt1ToCrsId(raw: String): String = {
-    val auth = "AUTHORITY\\[\"([^\"]+)\"\\s*,\\s*\"?([^\"\\]]+)\"?\\]".r
-      .findAllMatchIn(raw).toSeq.lastOption // outermost authority is LAST in WKT1 text
+    val isWkt2 = raw.regionMatches(true, 0, "PROJCRS", 0, 7) ||
+      raw.regionMatches(true, 0, "GEOGCRS", 0, 7)
+    // outermost code is LAST in WKT text: WKT1 AUTHORITY[...] / WKT2 ID[...]
+    val codeRe =
+      if (isWkt2) "ID\\[\"([^\"]+)\"\\s*,\\s*\"?(\\d+)\"?\\]".r
+      else "AUTHORITY\\[\"([^\"]+)\"\\s*,\\s*\"?([^\"\\]]+)\"?\\]".r
+    val auth = codeRe.findAllMatchIn(raw).toSeq.lastOption
     val byCode = auth.map(m => s"${m.group(1)}:${m.group(2)}".toUpperCase).filter { c =>
       c == "EPSG:4326" || c == "OGC:CRS84" || c == "EPSG:3857" || c == "EPSG:900913" ||
         UtmRe.matches(c) || EtrsUtmRe.matches(c) ||
         graft.geom.Proj.lookup(c).isDefined || graft.geom.Proj.geographic.contains(c)
     }
     byCode.map(crsId).getOrElse {
-      val p4 = graft.io.GeoMeta.proj4FromWkt1(raw)
+      val p4 = if (isWkt2) graft.io.GeoMeta.proj4FromWkt2(raw)
+               else graft.io.GeoMeta.proj4FromWkt1(raw)
       if (p4 == null) throw new IllegalArgumentException(
-        "ST_Transform: cannot map WKT1 CRS onto the implemented kernels " +
-          s"(projection/datum outside the supported set): '${raw.take(120)}'")
+        s"ST_Transform: cannot map ${if (isWkt2) "WKT2" else "WKT1"} CRS onto the " +
+          s"implemented kernels (projection/datum outside the supported set): '${raw.take(120)}'")
       graft.geom.Proj.fromProjString(p4) // validate loudly
       p4
     }

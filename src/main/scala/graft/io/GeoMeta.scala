@@ -136,8 +136,86 @@ object GeoMeta {
     core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el $unitsTag +no_defs").orNull
   }
 
+  /** Synthesize a `+proj=` string from WKT2 (ISO 19162) PROJCRS/GEOGCRS text.
+   *  EPSG method/parameter names map onto the implemented kernels; parameter
+   *  values honor their ANGLEUNIT/LENGTHUNIT factors; null for methods
+   *  outside the kernel set (callers reject loudly). */
+  private[graft] def proj4FromWkt2(wkt: String): String = {
+    if (wkt == null) return null
+    if (!wkt.contains("PROJCRS")) {
+      if (wkt.contains("GEOGCRS")) {
+        val el = ellpsFromWkt(wkt)
+        return if (el == null) null else s"+proj=longlat $el +no_defs"
+      }
+      return null
+    }
+    val method = "METHOD\\[\"([^\"]+)\"".r.findFirstMatchIn(wkt)
+      .map(_.group(1).toLowerCase).getOrElse(return null)
+    val ParamRe = ("PARAMETER\\[\"([^\"]+)\"\\s*,\\s*([-0-9.eE]+)" +
+      "(?:\\s*,\\s*(?:ANGLEUNIT|LENGTHUNIT|SCALEUNIT)\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+))?").r
+    val deg = math.Pi / 180
+    val params: Map[String, Double] = ParamRe.findAllMatchIn(wkt).map { m =>
+      val name = m.group(1).toLowerCase
+      val v = m.group(2).toDouble
+      val u = Option(m.group(3)).map(_.toDouble)
+      val value =
+        if (name.contains("latitude") || name.contains("longitude"))
+          u match { case Some(f) if math.abs(f - deg) > 1e-12 => v * f / deg; case _ => v }
+        else if (name.contains("easting") || name.contains("northing"))
+          u.map(v * _).getOrElse(v)
+        else v
+      name -> value
+    }.toMap
+    def p(sub: String*): Option[Double] =
+      params.collectFirst { case (k, v) if sub.exists(k.contains) => v }
+    val lat0 = p("latitude of natural origin", "latitude of false origin").getOrElse(0.0)
+    val lon0 = p("longitude of natural origin", "longitude of false origin", "longitude of origin").getOrElse(0.0)
+    val k0 = p("scale factor").getOrElse(1.0)
+    val x0 = p("false easting", "easting at false origin").getOrElse(0.0)
+    val y0 = p("false northing", "northing at false origin").getOrElse(0.0)
+    val sp1 = p("1st standard parallel"); val sp2 = p("2nd standard parallel")
+    val ts = p("latitude of standard parallel")
+    val el = ellpsFromWkt(wkt)
+    if (el == null) return null
+    // the coordinate-system LENGTHUNIT is the last in WKT2 text (parameter
+    // units precede the CS/AXIS section)
+    val unit = "LENGTHUNIT\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+)".r.findAllMatchIn(wkt)
+      .toSeq.lastOption.map(_.group(1).toDouble).getOrElse(1.0)
+    val unitsTag =
+      if (math.abs(unit - 1.0) < 1e-12) "+units=m"
+      else if (math.abs(unit - 0.3048006096012192) < 1e-12) "+units=us-ft"
+      else if (math.abs(unit - 0.3048) < 1e-12) "+units=ft"
+      else s"+to_meter=$unit"
+    val core =
+      if (method.contains("transverse mercator"))
+        Some(s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=$k0")
+      else if (method.contains("lambert conic conformal"))
+        (sp1, sp2) match {
+          case (Some(a), Some(b)) => Some(s"+proj=lcc +lat_1=$a +lat_2=$b +lat_0=$lat0 +lon_0=$lon0")
+          case _ => None // 1SP variant: kernel not implemented
+        }
+      else if (method.contains("albers"))
+        Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("azimuthal equal area"))
+        Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("polar stereographic")) {
+        // variant B carries a standard parallel; variant A at k=1 is scale-true
+        // at the pole (ts = ±90); variant A with k≠1 is outside the kernel
+        val tsv = ts.orElse(if (math.abs(k0 - 1.0) < 1e-12) Some(lat0) else None)
+        tsv.map(t => s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+      } else if (method.contains("cylindrical equal area"))
+        Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
+      else if (method.contains("mercator")) {
+        // +lat_ts wins over +k in the kernel — emit exactly one (variant B vs A)
+        val t = ts.orElse(sp1)
+        Some(t.map(v => s"+proj=merc +lat_ts=$v +lon_0=$lon0")
+          .getOrElse(s"+proj=merc +k=$k0 +lon_0=$lon0"))
+      } else None
+    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el $unitsTag +no_defs").orNull
+  }
+
   private def ellpsFromWkt(wkt: String): String = {
-    val sp = "SPHEROID\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+)\\s*,\\s*([-0-9.eE]+)".r
+    val sp = "(?:SPHEROID|ELLIPSOID)\\[\"[^\"]*\"\\s*,\\s*([-0-9.eE]+)\\s*,\\s*([-0-9.eE]+)".r
       .findFirstMatchIn(wkt).getOrElse(return null)
     val a = sp.group(1).toDouble; val rf = sp.group(2).toDouble
     def near(x: Double, y: Double) = math.abs(x - y) < 1e-6

@@ -306,6 +306,35 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(math.abs(back._1 - 14.0) < 1e-8 && math.abs(back._2 - 48.0) < 1e-8)
   }
 
+  test("WKT2 CRS input: ID code routes to the registry; parameters synthesize without it") {
+    val utm33Wkt2NoId =
+      """PROJCRS["WGS 84 / UTM zone 33N",BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+        """ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],""" +
+        """PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],""" +
+        """CONVERSION["UTM zone 33N",METHOD["Transverse Mercator",ID["EPSG",9807]],""" +
+        """PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],""" +
+        """PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],""" +
+        """PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],""" +
+        """PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],""" +
+        """PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]],""" +
+        """CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],""" +
+        """AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]"""
+    val viaCode = sqlXY("st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', 'EPSG:32633')")
+    // without an outer ID: method+parameter synthesis
+    val viaParams = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$utm33Wkt2NoId')")
+    assert(math.abs(viaParams._1 - viaCode._1) < 1e-6 && math.abs(viaParams._2 - viaCode._2) < 1e-6,
+      s"$viaParams vs $viaCode")
+    // with the outer ID: registry kernel, bit-identical
+    val wkt2WithId = utm33Wkt2NoId.dropRight(1) + ""","ID["EPSG",32633]]"""
+    val viaId = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$wkt2WithId')")
+    assert(viaId == viaCode)
+    // GEOGCRS with an ID routes to the geographic path
+    val geog = """GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+      """ELLIPSOID["WGS 84",6378137,298.257223563]],ID["EPSG",4326]]"""
+    val ll = sqlXY(s"st_transform(st_point(${viaCode._1}d, ${viaCode._2}d), 'EPSG:32633', '$geog')")
+    assert(math.abs(ll._1 - 14.0) < 1e-9 && math.abs(ll._2 - 48.0) < 1e-9)
+  }
+
   test("WKT1 CRS input: unimplemented projection fails loudly") {
     val krovak = utm33Wkt1NoAuth.replace("Transverse_Mercator", "Krovak")
     val e = intercept[Exception] {
