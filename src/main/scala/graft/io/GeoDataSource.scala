@@ -44,7 +44,8 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val paths = pathsOf(options)
-    new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))))
+    new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))),
+      rawPath = Option(options.get("path")))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -276,36 +277,59 @@ object GeoFiles {
 }
 
 class GeoTable(schema: StructType, paths: Seq[String], val format: String,
-               val bbox: Option[(Double, Double, Double, Double)] = None)
+               val bbox: Option[(Double, Double, Double, Double)] = None,
+               val rawPath: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String =
     s"geo($format:${paths.headOption.getOrElse("")})" +
       bbox.map(b => s" bbox=[${b._1},${b._2},${b._3},${b._4}]").getOrElse("")
   override def schema(): StructType = schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    JCollections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    if (rawPath.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(schema, paths, format, bbox)
+    new GeoScanBuilder(schema, paths, format, bbox, rawPath)
   /** same table narrowed to a query window (index-backed formats prune) */
   def withBbox(b: (Double, Double, Double, Double)): GeoTable =
-    new GeoTable(schema, paths, format, Some(b))
+    new GeoTable(schema, paths, format, Some(b), rawPath)
 }
 
 class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
-                     bbox: Option[(Double, Double, Double, Double)])
+                     bbox: Option[(Double, Double, Double, Double)],
+                     rawPath: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new GeoScan(fullSchema, required, paths, format, bbox)
+  override def build(): Scan = new GeoScan(fullSchema, required, paths, format, bbox, rawPath)
 }
 
 class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String,
-              bbox: Option[(Double, Double, Double, Double)] = None)
+              bbox: Option[(Double, Double, Double, Double)] = None,
+              rawPath: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = format match {
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GeoMicroBatchStream(fullSchema, required, format,
+      rawPath.getOrElse(throw new IllegalArgumentException(
+        "geo streaming requires a directory path")), checkpointLocation)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GeoScan.partitionsFor(format, paths)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoReaderFactory(fullSchema, required, format, bbox)
+}
+
+object GeoScan {
+  /** Partition planning shared by the batch Scan and the micro-batch stream:
+    * every format splits intra-file where its container allows it. */
+  def partitionsFor(format: String, paths: Seq[String]): Array[InputPartition] = format match {
     case "osmpbf" =>
       // blob-parallel: runs of 16 blobs per partition (st_read_osm.cpp parallel model)
       paths.flatMap { p =>
@@ -370,9 +394,6 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
       }.toArray
     case _ => paths.map(p => FilePartition(p): InputPartition).toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format, bbox)
 }
 
 case class FilePartition(path: String) extends InputPartition

@@ -10,6 +10,48 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("geo source streams newly-arrived files as micro-batches with restart-stable offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_geostream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_geostream_ckpt").toString
+    def writeFile(name: String, ids: Range): Unit = {
+      val lines = ids.map(i =>
+        s"""{"type":"Feature","id":"$i","geometry":{"type":"Point","coordinates":[$i,${i * 2}]},"properties":{"k":"$i"}}""")
+      // write-then-rename so the listing never sees a half-written file
+      val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name))
+    }
+    writeFile("a.geojsonl", 0 until 3)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    def startQuery() = spark.readStream.format("geo").load(dir)
+      .selectExpr("id", "st_x(geom) as x")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getString(0), r.getDouble(1)))); ()
+      }.start()
+    import scala.jdk.CollectionConverters._
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 3)
+      writeFile("b.geojsonl", 10 until 15)
+      q.processAllAvailable()
+      val rows = got.asScala.toSeq.sortBy(_._1.toInt)
+      assert(rows.map(_._1) == Seq("0", "1", "2", "10", "11", "12", "13", "14"))
+      assert(rows.last._2 == 14.0)
+    } finally q.stop()
+    // restart from the checkpoint: already-consumed files are NOT re-read,
+    // files that arrived while stopped come through as the next batch
+    got.clear()
+    writeFile("c.geojsonl", 20 until 22)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ids = got.asScala.toSeq.map(_._1).sorted
+      assert(ids == Seq("20", "21"), s"restart re-read or missed files: $ids")
+    } finally q2.stop()
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
