@@ -751,6 +751,8 @@ object GeoFns {
              raw.regionMatches(true, 0, "GEOGCS", 0, 6) ||
              raw.regionMatches(true, 0, "PROJCRS", 0, 7) ||
              raw.regionMatches(true, 0, "GEOGCRS", 0, 7)) wkt1ToCrsId(raw)
+    // PROJJSON (the PROJ project's JSON CRS encoding)
+    else if (raw.startsWith("{")) projjsonToCrsId(raw)
     else raw.toUpperCase match {
       case "EPSG:4326" => "4326"
       case "OGC:CRS84" | "CRS84" => "CRS84"
@@ -766,25 +768,56 @@ object GeoFns {
           "parameter strings over the implemented kernels)")
     }
   }
+  private def knownCrsCode(c: String): Boolean =
+    c == "EPSG:4326" || c == "OGC:CRS84" || c == "EPSG:3857" || c == "EPSG:900913" ||
+      UtmRe.matches(c) || EtrsUtmRe.matches(c) ||
+      graft.geom.Proj.lookup(c).isDefined || graft.geom.Proj.geographic.contains(c)
+  private def geographicCode(c: String): Boolean =
+    c == "EPSG:4326" || c == "OGC:CRS84" || graft.geom.Proj.geographic.contains(c)
+
+  /** Resolve WKT1/WKT2 CRS text: the outermost AUTHORITY/ID code wins when
+   *  the registry knows it (nested codes — base CRS, units, parameters —
+   *  are filtered: a projected CRS must never resolve to its base
+   *  geographic's code); otherwise the `+proj=` equivalent is synthesized
+   *  from the WKT parameters. */
   private def wkt1ToCrsId(raw: String): String = {
     val isWkt2 = raw.regionMatches(true, 0, "PROJCRS", 0, 7) ||
       raw.regionMatches(true, 0, "GEOGCRS", 0, 7)
-    // outermost code is LAST in WKT text: WKT1 AUTHORITY[...] / WKT2 ID[...]
+    val projectedInput = raw.regionMatches(true, 0, "PROJC", 0, 5)
     val codeRe =
       if (isWkt2) "ID\\[\"([^\"]+)\"\\s*,\\s*\"?(\\d+)\"?\\]".r
       else "AUTHORITY\\[\"([^\"]+)\"\\s*,\\s*\"?([^\"\\]]+)\"?\\]".r
-    val auth = codeRe.findAllMatchIn(raw).toSeq.lastOption
-    val byCode = auth.map(m => s"${m.group(1)}:${m.group(2)}".toUpperCase).filter { c =>
-      c == "EPSG:4326" || c == "OGC:CRS84" || c == "EPSG:3857" || c == "EPSG:900913" ||
-        UtmRe.matches(c) || EtrsUtmRe.matches(c) ||
-        graft.geom.Proj.lookup(c).isDefined || graft.geom.Proj.geographic.contains(c)
-    }
+    val byCode = codeRe.findAllMatchIn(raw)
+      .map(m => s"${m.group(1)}:${m.group(2)}".toUpperCase)
+      .filter(knownCrsCode)
+      .filterNot(c => projectedInput && geographicCode(c))
+      .toSeq.lastOption
     byCode.map(crsId).getOrElse {
       val p4 = if (isWkt2) graft.io.GeoMeta.proj4FromWkt2(raw)
                else graft.io.GeoMeta.proj4FromWkt1(raw)
       if (p4 == null) throw new IllegalArgumentException(
         s"ST_Transform: cannot map ${if (isWkt2) "WKT2" else "WKT1"} CRS onto the " +
           s"implemented kernels (projection/datum outside the supported set): '${raw.take(120)}'")
+      graft.geom.Proj.fromProjString(p4) // validate loudly
+      p4
+    }
+  }
+
+  /** Resolve PROJJSON CRS text — same code-first / synthesize-second policy. */
+  private def projjsonToCrsId(raw: String): String = {
+    val projectedInput = raw.contains("\"ProjectedCRS\"")
+    val byCode =
+      "\"id\"\\s*:\\s*\\{\\s*\"authority\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"code\"\\s*:\\s*\"?(\\d+)\"?".r
+        .findAllMatchIn(raw)
+        .map(m => s"${m.group(1)}:${m.group(2)}".toUpperCase)
+        .filter(knownCrsCode)
+        .filterNot(c => projectedInput && geographicCode(c))
+        .toSeq.lastOption
+    byCode.map(crsId).getOrElse {
+      val p4 = graft.io.GeoMeta.proj4FromProjjson(raw)
+      if (p4 == null) throw new IllegalArgumentException(
+        "ST_Transform: cannot map PROJJSON CRS onto the implemented kernels " +
+          s"(method/datum outside the supported set): '${raw.take(120)}'")
       graft.geom.Proj.fromProjString(p4) // validate loudly
       p4
     }

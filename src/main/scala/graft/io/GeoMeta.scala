@@ -27,7 +27,7 @@ object GeoMeta {
       Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse; GML3 posList writer)", true, true),
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
-      Row("kmz", "Zipped KML (doc.kml inside a .kmz archive)", true, false),
+      Row("kmz", "Zipped KML (doc.kml inside a .kmz archive; reader + writer)", true, true),
       Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds", true, false),
       Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection; MIF/MID writer)", true, true),
       Row("dxf", "AutoCAD DXF ASCII entities (point/line/lwpolyline/polyline/circle/arc/solid/text)", true, false),
@@ -212,6 +212,71 @@ object GeoMeta {
           .getOrElse(s"+proj=merc +k=$k0 +lon_0=$lon0"))
       } else None
     core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el $unitsTag +no_defs").orNull
+  }
+
+  /** Synthesize a `+proj=` string from PROJJSON (the PROJ project's published
+   *  JSON CRS encoding). Same method/parameter mapping as WKT2 — PROJJSON
+   *  carries the identical EPSG names — extracted with targeted regexes (the
+   *  grammar is flat enough that full JSON parsing buys nothing here). */
+  private[graft] def proj4FromProjjson(json: String): String = {
+    if (json == null || !json.contains("\"type\"")) return null
+    def fm(re: String): Option[String] = re.r.findFirstMatchIn(json).map(_.group(1))
+    val isProjected = json.contains("\"ProjectedCRS\"")
+    val ell = {
+      val a = fm("\"semi_major_axis\"\\s*:\\s*([-0-9.eE]+)").map(_.toDouble)
+      val rf = fm("\"inverse_flattening\"\\s*:\\s*([-0-9.eE]+)").map(_.toDouble)
+      (a, rf) match {
+        case (Some(av), Some(rfv)) =>
+          def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+          if (near(av, 6378137.0) && near(rfv, 298.257223563)) "+ellps=WGS84"
+          else if (near(av, 6378137.0) && near(rfv, 298.257222101)) "+ellps=GRS80"
+          else if (near(av, 6378388.0) && near(rfv, 297.0)) "+ellps=intl"
+          else s"+a=$av +rf=$rfv"
+        case _ if json.contains("World Geodetic System 1984") => "+ellps=WGS84"
+        case _ => null
+      }
+    }
+    if (ell == null) return null
+    if (!isProjected) {
+      return if (json.contains("\"GeographicCRS\"")) s"+proj=longlat $ell +no_defs" else null
+    }
+    val method = "\"method\"\\s*:\\s*\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1).toLowerCase).getOrElse(return null)
+    // parameters: {"name": "...", "value": N, ...} pairs inside the conversion
+    val params = ("\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"value\"\\s*:\\s*([-0-9.eE]+)").r
+      .findAllMatchIn(json).map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
+    def p(sub: String*): Option[Double] =
+      params.collectFirst { case (k, v) if sub.exists(k.contains) => v }
+    val lat0 = p("latitude of natural origin", "latitude of false origin").getOrElse(0.0)
+    val lon0 = p("longitude of natural origin", "longitude of false origin", "longitude of origin").getOrElse(0.0)
+    val k0 = p("scale factor").getOrElse(1.0)
+    val x0 = p("false easting", "easting at false origin").getOrElse(0.0)
+    val y0 = p("false northing", "northing at false origin").getOrElse(0.0)
+    val sp1 = p("1st standard parallel"); val sp2 = p("2nd standard parallel")
+    val ts = p("latitude of standard parallel")
+    val core =
+      if (method.contains("transverse mercator"))
+        Some(s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=$k0")
+      else if (method.contains("lambert conic conformal"))
+        (sp1, sp2) match {
+          case (Some(a), Some(b)) => Some(s"+proj=lcc +lat_1=$a +lat_2=$b +lat_0=$lat0 +lon_0=$lon0")
+          case _ => None
+        }
+      else if (method.contains("albers"))
+        Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("azimuthal equal area"))
+        Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("polar stereographic")) {
+        val tsv = ts.orElse(if (math.abs(k0 - 1.0) < 1e-12) Some(lat0) else None)
+        tsv.map(t => s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+      } else if (method.contains("cylindrical equal area"))
+        Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
+      else if (method.contains("mercator")) {
+        val t = ts.orElse(sp1)
+        Some(t.map(v => s"+proj=merc +lat_ts=$v +lon_0=$lon0")
+          .getOrElse(s"+proj=merc +k=$k0 +lon_0=$lon0"))
+      } else None
+    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $ell +units=m +no_defs").orNull
   }
 
   private def ellpsFromWkt(wkt: String): String = {

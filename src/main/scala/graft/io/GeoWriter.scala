@@ -170,13 +170,39 @@ object GeoWriter {
   /** Write `df` as KML documents (reference: GDAL KML driver via COPY):
    *  a `name` column becomes the Placemark name; every other non-geometry
    *  column goes to ExtendedData (the [[XmlGeo]] reader round-trips both). */
-  def kml(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
-    val schema = df.schema
+  def kml(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit =
+    writeTextFiles(df, path, "kml", singleFile)(kmlRenderer(df.schema, geomCol))
+
+  /** Write `df` as KMZ archives (doc.kml inside a zip — OGC KML 2.2 §10.2);
+   *  otherwise identical to the [[kml]] sink. */
+  def kmz(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
+    val render = kmlRenderer(df.schema, geomCol)
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || singleFile) {
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.kmz"
+        val zos = new java.util.zip.ZipOutputStream(hadoopOpen(hc)(dest))
+        try {
+          zos.putNextEntry(new java.util.zip.ZipEntry("doc.kml"))
+          val pw = new java.io.PrintWriter(new java.io.OutputStreamWriter(zos, "UTF-8"))
+          render(it, pw)
+          pw.flush()
+          zos.closeEntry()
+        } finally zos.close()
+      }
+      ()
+    }
+  }
+
+  private def kmlRenderer(schema: org.apache.spark.sql.types.StructType, geomCol: String):
+      (Iterator[org.apache.spark.sql.Row], java.io.PrintWriter) => Unit = {
     val geomIdx = schema.fieldIndex(geomCol)
     val nameIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase("name"))
     val attrIdx = schema.fields.indices.filter(i => i != geomIdx && i != nameIdx)
     val attrNames = attrIdx.map(schema.fields(_).name)
-    writeTextFiles(df, path, "kml", singleFile) { (it, out) =>
+    (it, out) => {
       out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
       out.println("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
       it.foreach { r =>

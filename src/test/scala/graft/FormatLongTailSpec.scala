@@ -249,6 +249,21 @@ class FormatLongTailSpec extends AnyFunSuite {
     assert(back("f")._2 == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
   }
 
+  test("kmz writer round-trips through the reader (name + ExtendedData + geometry)") {
+    import spark.implicits._
+    val df = Seq(("p1", "7", "POINT (1 2)"), ("p2", "9", "LINESTRING (0 0, 3 4)"))
+      .toDF("name", "score", "wkt")
+      .selectExpr("name", "score", "st_aswkb(st_geomfromtext(wkt)) as geom")
+    val out = s"$dir/w.kmz"
+    graft.io.GeoWriter.kmz(df, "geom", out, singleFile = true)
+    val back = spark.read.format("geo").load(out)
+      .selectExpr("properties['name'] as name", "properties['score'] as score", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getString(2)))).toMap
+    assert(back == Map(
+      "p1" -> (("7", "POINT (1 2)")),
+      "p2" -> (("9", "LINESTRING (0 0, 3 4)"))))
+  }
+
   test("bare-path SQL works for the new extensions") {
     val p = s"$dir/pts2.kmz"
     val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))

@@ -335,6 +335,42 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(math.abs(ll._1 - 14.0) < 1e-9 && math.abs(ll._2 - 48.0) < 1e-9)
   }
 
+  test("PROJJSON CRS input: id routes to the registry; parameters synthesize without it") {
+    val utm33Json =
+      """{"type":"ProjectedCRS","name":"WGS 84 / UTM zone 33N",""" +
+        """"base_crs":{"type":"GeographicCRS","name":"WGS 84",""" +
+        """"datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",""" +
+        """"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},""" +
+        """"id":{"authority":"EPSG","code":4326}},""" +
+        """"conversion":{"name":"UTM zone 33N","method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},""" +
+        """"parameters":[{"name":"Latitude of natural origin","value":0,"id":{"authority":"EPSG","code":8801}},""" +
+        """{"name":"Longitude of natural origin","value":15,"id":{"authority":"EPSG","code":8802}},""" +
+        """{"name":"Scale factor at natural origin","value":0.9996,"id":{"authority":"EPSG","code":8805}},""" +
+        """{"name":"False easting","value":500000,"id":{"authority":"EPSG","code":8806}},""" +
+        """{"name":"False northing","value":0,"id":{"authority":"EPSG","code":8807}}]}}"""
+    val viaCode = sqlXY("st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', 'EPSG:32633')")
+    // no outer id: the nested base-CRS 4326 id must NOT win (projected input);
+    // method+parameter synthesis kicks in
+    val viaParams = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$utm33Json')")
+    assert(math.abs(viaParams._1 - viaCode._1) < 1e-6 && math.abs(viaParams._2 - viaCode._2) < 1e-6,
+      s"$viaParams vs $viaCode")
+    // with the outer id: bit-identical registry kernel
+    val withId = utm33Json.dropRight(1) + ""","id":{"authority":"EPSG","code":32633}}"""
+    assert(sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$withId')") == viaCode)
+  }
+
+  test("WKT1 with only a nested GEOGCS authority still synthesizes the projection") {
+    // ESRI-style .prj: no outer AUTHORITY, but the GEOGCS carries EPSG:4326 —
+    // resolving the projected CRS to 4326 would silently skip the projection
+    val wkt = utm33Wkt1NoAuth.replace(
+      """UNIT["degree",0.0174532925199433]]""",
+      """UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""")
+    val viaWkt = sqlXY(s"st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', '$wkt')")
+    val viaCode = sqlXY("st_transform(st_point(14.0d, 48.0d), 'EPSG:4326', 'EPSG:32633')")
+    assert(math.abs(viaWkt._1 - viaCode._1) < 1e-6 && math.abs(viaWkt._2 - viaCode._2) < 1e-6,
+      s"projected WKT resolved to its base geographic: $viaWkt vs $viaCode")
+  }
+
   test("WKT1 CRS input: unimplemented projection fails loudly") {
     val krovak = utm33Wkt1NoAuth.replace("Transverse_Mercator", "Krovak")
     val e = intercept[Exception] {
