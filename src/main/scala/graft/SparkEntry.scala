@@ -57,6 +57,24 @@ object SparkEntry {
   // shorthand used across queries: per-lineitem unique key and small ints
   private val K = "l_orderkey * 10 + l_linenumber"
 
+  // q_transform_wkt's CRS texts: the q_transform_projstr LCC as WKT1, the
+  // Mercator variant B as PROJJSON (no SQL-quote characters — safe to inline)
+  private val LccWkt1 =
+    """PROJCS["Custom LCC",GEOGCS["GRS 1980",DATUM["D_unknown",""" +
+      """SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],""" +
+      """UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",28],PARAMETER["standard_parallel_2",40],""" +
+      """PARAMETER["latitude_of_origin",31],PARAMETER["central_meridian",-100],""" +
+      """PARAMETER["false_easting",1000000],PARAMETER["false_northing",1000000],""" +
+      """UNIT["metre",1]]"""
+  private val MercProjjson =
+    """{"type":"ProjectedCRS","name":"Custom Merc","base_crs":{"type":"GeographicCRS",""" +
+      """"name":"WGS 84","datum":{"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,""" +
+      """"inverse_flattening":298.257223563}}},"conversion":{"method":{"name":"Mercator (variant B)"},""" +
+      """"parameters":[{"name":"Latitude of standard parallel","value":30},""" +
+      """{"name":"Longitude of natural origin","value":0}]}}"""
+
   /** Near-dup candidate pairs shared by q_minhash_neardup and
    *  q_neardup_clusters. Signatures are computed ONCE and cached: the LSH
    *  self-join would otherwise re-evaluate the minhash on both join sides.
@@ -466,6 +484,20 @@ object SparkEntry {
                '+proj=merc +lat_ts=30 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS mx,
              round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
                '+proj=merc +lat_ts=30 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS my
+      FROM (SELECT $K AS k, cast(l_partkey % 20 AS DOUBLE) - 110.0d AS lon, cast(l_suppkey % 16 AS DOUBLE) + 26.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
+    // WKT-CRS text input (round 6): the SAME custom LCC as q_transform_projstr
+    // spelled as WKT1 PROJCS text, and the same Mercator variant B spelled as
+    // PROJJSON — identical Snyder oracle, so a wrong WKT/JSON parameter
+    // mapping (units, parallels, false offsets) fails the hash.
+    "q_transform_wkt" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', '$LccWkt1')) / 10.0d, 2) + 0.0d AS lx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', '$LccWkt1')) / 10.0d, 2) + 0.0d AS ly,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', '$MercProjjson')) / 10.0d, 2) + 0.0d AS mx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', '$MercProjjson')) / 10.0d, 2) + 0.0d AS my
       FROM (SELECT $K AS k, cast(l_partkey % 20 AS DOUBLE) - 110.0d AS lon, cast(l_suppkey % 16 AS DOUBLE) + 26.0d AS lat
             FROM lineitem)
       ORDER BY k"""),
@@ -1529,6 +1561,37 @@ object SparkEntry {
         (141,100141,0.992453),(142,100142,0.993958),(143,100143,0.992218),(144,100144,0.939024),(145,100145,0.992453),(146,100146,0.952381),
         (147,100147,0.986799),(148,100148,0.970588),(149,100149,0.960317),(100087,100134,0.962963)"""
 
+  private lazy val lccMercSnyderOracle: String = s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 20 AS DOUBLE) - 110.0 AS lon, CAST(l_suppkey % 16 AS DOUBLE) + 26.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
+               radians(28.0) AS p1, radians(40.0) AS p2, radians(31.0) AS pf, radians(-100.0) AS lf,
+               0.08181919084262149 AS we, 0.0066943799901413165 AS we2),
+      c1 AS (
+        SELECT *,
+               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
+               tan(pi()/4-p1/2)/pow((1-e*sin(p1))/(1+e*sin(p1)), e/2) AS t1,
+               tan(pi()/4-p2/2)/pow((1-e*sin(p2))/(1+e*sin(p2)), e/2) AS t2,
+               tan(pi()/4-pf/2)/pow((1-e*sin(pf))/(1+e*sin(pf)), e/2) AS tf,
+               cos(radians(30.0))/sqrt(1-we2*sin(radians(30.0))*sin(radians(30.0))) AS k0
+        FROM c0),
+      c2 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM c1),
+      c3 AS (SELECT *, m1/(n*pow(t1,n)) AS bigf FROM c2),
+      c4 AS (SELECT *, a*bigf*pow(tf,n) AS rf FROM c3)
+      SELECT k,
+             round((1000000.0 + r*sin(th))/10.0, 2) + 0.0 AS lx,
+             round((1000000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS ly,
+             round((a*k0*radians(lon))/10.0, 2) + 0.0 AS mx,
+             round((-a*k0*ln(tan(pi()/4-radians(lat)/2)/pow((1-we*sin(radians(lat)))/(1+we*sin(radians(lat))), we/2)))/10.0, 2) + 0.0 AS my
+      FROM (SELECT k, rf, a, k0, lon, lat, we,
+                   a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
+                   n*(radians(lon)-lf) AS th
+            FROM pts CROSS JOIN c4)
+      ORDER BY k"""
+
   def oracleSql: Map[String, String] = ListMap(
 
     "q_point_xy" -> s"""
@@ -1883,36 +1946,10 @@ object SparkEntry {
 
     // Custom LCC-2SP (Snyder 15-1..15-11, GRS80) with the q_transform_projstr
     // parameters, plus Mercator variant B: k0 = m(lat_ts) (Snyder 7-2, WGS84).
-    "q_transform_projstr" -> s"""
-      WITH pts AS (
-        SELECT $K AS k, CAST(l_partkey % 20 AS DOUBLE) - 110.0 AS lon, CAST(l_suppkey % 16 AS DOUBLE) + 26.0 AS lat
-        FROM lineitem),
-      c0 AS (
-        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
-               radians(28.0) AS p1, radians(40.0) AS p2, radians(31.0) AS pf, radians(-100.0) AS lf,
-               0.08181919084262149 AS we, 0.0066943799901413165 AS we2),
-      c1 AS (
-        SELECT *,
-               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
-               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
-               tan(pi()/4-p1/2)/pow((1-e*sin(p1))/(1+e*sin(p1)), e/2) AS t1,
-               tan(pi()/4-p2/2)/pow((1-e*sin(p2))/(1+e*sin(p2)), e/2) AS t2,
-               tan(pi()/4-pf/2)/pow((1-e*sin(pf))/(1+e*sin(pf)), e/2) AS tf,
-               cos(radians(30.0))/sqrt(1-we2*sin(radians(30.0))*sin(radians(30.0))) AS k0
-        FROM c0),
-      c2 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM c1),
-      c3 AS (SELECT *, m1/(n*pow(t1,n)) AS bigf FROM c2),
-      c4 AS (SELECT *, a*bigf*pow(tf,n) AS rf FROM c3)
-      SELECT k,
-             round((1000000.0 + r*sin(th))/10.0, 2) + 0.0 AS lx,
-             round((1000000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS ly,
-             round((a*k0*radians(lon))/10.0, 2) + 0.0 AS mx,
-             round((-a*k0*ln(tan(pi()/4-radians(lat)/2)/pow((1-we*sin(radians(lat)))/(1+we*sin(radians(lat))), we/2)))/10.0, 2) + 0.0 AS my
-      FROM (SELECT k, rf, a, k0, lon, lat, we,
-                   a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
-                   n*(radians(lon)-lf) AS th
-            FROM pts CROSS JOIN c4)
-      ORDER BY k""",
+    // q_transform_wkt runs the SAME projections expressed as WKT1 / PROJJSON
+    // text, so it shares this oracle verbatim.
+    "q_transform_wkt" -> lccMercSnyderOracle,
+    "q_transform_projstr" -> lccMercSnyderOracle,
 
     // DuckDB's own parquet reader consumes the graft-written GeoParquet file
     // (join proves row set matches the file; values come independently from

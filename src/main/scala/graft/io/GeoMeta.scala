@@ -16,12 +16,12 @@ object GeoMeta {
   /** ST_Drivers equivalent: the formats this engine reads/writes natively. */
   def drivers(spark: SparkSession): DataFrame = {
     val rows = Seq(
-      Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
+      Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg; per-partition writer)", true, true),
       Row("geojson", "GeoJSON FeatureCollection (RFC 7946; single-document writer)", true, true),
       Row("geojsonl", "Newline-delimited GeoJSON", true, true),
       Row("osmpbf", "OpenStreetMap PBF (block-parallel)", true, false),
-      Row("flatgeobuf", "FlatGeobuf (native flatbuffers decoder)", true, false),
-      Row("geopackage", "GeoPackage (read-only sqlite B-tree scan)", true, false),
+      Row("flatgeobuf", "FlatGeobuf (native flatbuffers decoder; writer emits the packed Hilbert R-tree)", true, true),
+      Row("geopackage", "GeoPackage (mmap sqlite B-tree scan; sqlite-page writer)", true, true),
       Row("kml", "OGC KML Placemarks (StAX streaming parse; Placemark/ExtendedData writer)", true, true),
       Row("gpx", "GPX waypoints/tracks/routes (StAX streaming parse; wpt/trk writer)", true, true),
       Row("gml", "OGC GML 2/3 feature collections (StAX streaming parse; GML3 posList writer)", true, true),
