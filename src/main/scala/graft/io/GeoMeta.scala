@@ -28,9 +28,9 @@ object GeoMeta {
       Row("csvwkt", "CSV with a WKT geometry column (RFC-4180 reader/writer)", true, true),
       Row("xlsx", "Office Open XML spreadsheet (attribute tables; pure-JVM zip+StAX)", true, true),
       Row("kmz", "Zipped KML (doc.kml inside a .kmz archive; reader + writer)", true, true),
-      Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds", true, false),
+      Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds; RSS item writer", true, true),
       Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection; MIF/MID writer)", true, true),
-      Row("dxf", "AutoCAD DXF ASCII entities (point/line/lwpolyline/polyline/circle/arc/solid/text)", true, false),
+      Row("dxf", "AutoCAD DXF ASCII entities (point/line/lwpolyline/polyline/circle/arc/solid/text; entity writer)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),

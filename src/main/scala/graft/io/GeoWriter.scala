@@ -319,6 +319,98 @@ object GeoWriter {
     }
   }
 
+  /** Write `df` as GeoRSS-Simple (RSS 2.0 items): Point → `georss:point`,
+   *  LineString → `georss:line`, Polygon exterior → `georss:polygon` —
+   *  lat-lon pair order per the GeoRSS spec (flipped back to x=lon by the
+   *  reader). A `title` column becomes the item title; every other
+   *  non-geometry column becomes an element the reader surfaces (title,
+   *  description, link, category, author). Other geometry types are rejected
+   *  rather than silently mangled (the Simple encoding has no Multi*). */
+  def georss(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    import org.locationtech.jts.geom._
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filter(_ != geomIdx)
+    val attrNames = attrIdx.map(schema.fields(_).name)
+    writeTextFiles(df, path, "rss", singleFile) { (it, out) =>
+      out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      out.println("""<rss version="2.0" xmlns:georss="http://www.georss.org/georss"><channel>""")
+      def fmt(d: Double) = graft.geom.Geo.fmt(d)
+      def pairs(cs: Array[Coordinate]): String =
+        cs.map(c => s"${fmt(c.y)} ${fmt(c.x)}").mkString(" ")
+      it.foreach { r =>
+        val sb = new java.lang.StringBuilder("<item>")
+        attrIdx.zip(attrNames).foreach { case (i, n) =>
+          if (!r.isNullAt(i))
+            sb.append(s"<${xmlEsc(n)}>").append(xmlEsc(String.valueOf(r.get(i)))).append(s"</${xmlEsc(n)}>")
+        }
+        r.get(geomIdx) match {
+          case b: Array[Byte] => graft.geom.Geo.read(b) match {
+            case p: Point if !p.isEmpty =>
+              sb.append(s"<georss:point>${fmt(p.getY)} ${fmt(p.getX)}</georss:point>")
+            case l: LineString =>
+              sb.append(s"<georss:line>${pairs(l.getCoordinates)}</georss:line>")
+            case p: Polygon =>
+              sb.append(s"<georss:polygon>${pairs(p.getExteriorRing.getCoordinates)}</georss:polygon>")
+            case g if g.isEmpty =>
+            case other =>
+              throw new IllegalArgumentException(s"GeoRSS-Simple cannot represent ${other.getGeometryType}")
+          }
+          case _ =>
+        }
+        sb.append("</item>")
+        out.println(sb.toString)
+      }
+      out.println("</channel></rss>")
+    }
+  }
+
+  /** Write `df` as ASCII DXF ENTITIES: Point → POINT, LineString →
+   *  LWPOLYLINE (closed rings carry the closed flag), Polygon → one closed
+   *  LWPOLYLINE per ring, Multi* recurse per part. A `layer` column sets the
+   *  entity layer (default "0"). The [[Dxf]] reader round-trips the output. */
+  def dxf(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    import org.locationtech.jts.geom._
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val layerIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase("layer"))
+    writeTextFiles(df, path, "dxf", singleFile) { (it, out) =>
+      out.print("0\nSECTION\n2\nENTITIES\n")
+      def fmt(d: Double) = graft.geom.Geo.fmt(d)
+      def lwpoly(layer: String, cs: Array[Coordinate], closed: Boolean, sb: java.lang.StringBuilder): Unit = {
+        // a closed ring's repeated last vertex is carried by the flag instead
+        val pts = if (closed && cs.length >= 2 && cs.head.equals2D(cs.last)) cs.dropRight(1) else cs
+        sb.append("0\nLWPOLYLINE\n8\n").append(layer).append('\n')
+          .append("90\n").append(pts.length).append("\n70\n").append(if (closed) 1 else 0).append('\n')
+        pts.foreach(c => sb.append("10\n").append(fmt(c.x)).append("\n20\n").append(fmt(c.y)).append('\n'))
+      }
+      def entity(layer: String, g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+        case p: Point if !p.isEmpty =>
+          sb.append("0\nPOINT\n8\n").append(layer).append('\n')
+            .append("10\n").append(fmt(p.getX)).append("\n20\n").append(fmt(p.getY)).append('\n')
+        case l: LineString => lwpoly(layer, l.getCoordinates, closed = false, sb)
+        case p: Polygon =>
+          lwpoly(layer, p.getExteriorRing.getCoordinates, closed = true, sb)
+          (0 until p.getNumInteriorRing).foreach(i =>
+            lwpoly(layer, p.getInteriorRingN(i).getCoordinates, closed = true, sb))
+        case gc: GeometryCollection =>
+          (0 until gc.getNumGeometries).foreach(i => entity(layer, gc.getGeometryN(i), sb))
+        case _ =>
+      }
+      it.foreach { r =>
+        val layer = if (layerIdx >= 0 && !r.isNullAt(layerIdx)) String.valueOf(r.get(layerIdx)) else "0"
+        r.get(geomIdx) match {
+          case b: Array[Byte] =>
+            val sb = new java.lang.StringBuilder
+            entity(layer, graft.geom.Geo.read(b), sb)
+            out.print(sb)
+          case _ =>
+        }
+      }
+      out.print("0\nENDSEC\n0\nEOF\n")
+    }
+  }
+
   /** Write `df` as GPX: Point rows → `<wpt>` (with optional name/ele columns),
    *  LineString rows → `<trk>` with one `<trkseg>`, MultiLineString → one
    *  `<trk>` with a `<trkseg>` per part. GPX has no polygon concept — other

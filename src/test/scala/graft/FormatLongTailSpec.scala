@@ -264,6 +264,50 @@ class FormatLongTailSpec extends AnyFunSuite {
       "p2" -> (("9", "LINESTRING (0 0, 3 4)"))))
   }
 
+  test("georss writer round-trips point/line/polygon through the reader") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "POINT (12.5 55.7)"),
+      ("t2", "LINESTRING (-110 45, -109 46)"),
+      ("t3", "POLYGON ((-110 45, -109 45, -109 46, -110 45))"))
+      .toDF("title", "wkt")
+      .selectExpr("title", "st_aswkb(st_geomfromtext(wkt)) as geom")
+    val out = s"$dir/w.rss"
+    graft.io.GeoWriter.georss(df, "geom", out, singleFile = true)
+    val back = spark.read.format("geo").load(out)
+      .selectExpr("properties['title'] as t", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(back("t1") == "POINT (12.5 55.7)")
+    assert(back("t2") == "LINESTRING (-110 45, -109 46)")
+    assert(back("t3") == "POLYGON ((-110 45, -109 45, -109 46, -110 45))")
+  }
+
+  test("dxf writer round-trips points, lines, and polygons (rings as closed LWPOLYLINEs)") {
+    import spark.implicits._
+    val df = Seq(
+      ("roads", "POINT (3 4)"),
+      ("roads", "LINESTRING (0 0, 1 1, 2 0)"),
+      ("parcels", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+      ("pts", "MULTIPOINT (7 8, 9 10)"))
+      .toDF("layer", "wkt")
+      .selectExpr("layer", "st_aswkb(st_geomfromtext(wkt)) as geom")
+    val out = s"$dir/w.dxf"
+    graft.io.GeoWriter.dxf(df, "geom", out, singleFile = true)
+    val back = spark.read.format("geo").load(out)
+      .selectExpr("properties['layer'] as l", "properties['entity'] as e", "st_astext(geom) as wkt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.count(_._1 == "roads") == 2)
+    assert(back.exists(r => r._2 == "POINT" && r._3 == "POINT (3 4)"))
+    assert(back.exists(r => r._3 == "LINESTRING (0 0, 1 1, 2 0)"))
+    // polygon rings come back as two closed LWPOLYLINE rings on the parcels layer
+    val parcels = back.filter(_._1 == "parcels").map(_._3).sorted
+    assert(parcels.toSeq == Seq(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"))
+    // multipoint decomposes into two POINT entities
+    assert(back.count(r => r._1 == "pts" && r._2 == "POINT") == 2)
+  }
+
   test("bare-path SQL works for the new extensions") {
     val p = s"$dir/pts2.kmz"
     val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
