@@ -309,9 +309,38 @@ class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
 class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String,
               bbox: Option[(Double, Double, Double, Double)] = None,
               rawPath: Option[String] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** File-size (and, where a header carries it, row-count) statistics so
+    * Catalyst can pick broadcast joins over geo scans — without this every
+    * DSv2 relation defaults to "unknown/huge" and a small .shp lookup table
+    * shuffles instead of broadcasting. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = paths.map { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      // shapefile payloads live beside the .shp in .dbf; count the family
+      if (format == "shapefile") {
+        val base = Shapefile.basePath(p)
+        Seq(".shp", ".dbf", ".shx").map(e => new java.io.File(base + e).length()).sum
+      } else f.length()
+    }.sum
+    private val rows: java.util.OptionalLong = format match {
+      case "shapefile" =>
+        try java.util.OptionalLong.of(paths.map(p => Shapefile.readMeta(p).recordCount.toLong).sum)
+        catch { case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty() }
+      case "flatgeobuf" =>
+        try {
+          val counts = paths.map(p => FlatGeobuf.readHeader(p).featuresCount)
+          if (counts.forall(_ > 0)) java.util.OptionalLong.of(counts.sum)
+          else java.util.OptionalLong.empty()
+        } catch { case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty() }
+      case _ => java.util.OptionalLong.empty()
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong = rows
+  }
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

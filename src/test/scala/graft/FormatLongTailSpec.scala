@@ -308,6 +308,18 @@ class FormatLongTailSpec extends AnyFunSuite {
     assert(back.count(r => r._1 == "pts" && r._2 == "POINT") == 2)
   }
 
+  test("geo scans report file-size statistics so Catalyst can broadcast small sides") {
+    val p = s"$dir/stat.mif"
+    val mif = "Version 300\nDelimiter \",\"\nColumns 1\n  k Char(4)\nData\nPoint 1 2\n"
+    Files.write(Paths.get(p), mif.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/stat.mid"), "a\n".getBytes("UTF-8"))
+    val df = spark.read.format("geo").load(p)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // without SupportsReportStatistics this is spark.sql.defaultSizeInBytes (huge)
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1000000,
+      s"geo scan reports default/unknown size: ${stats.sizeInBytes}")
+  }
+
   test("bare-path SQL works for the new extensions") {
     val p = s"$dir/pts2.kmz"
     val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(p)))
