@@ -57,6 +57,26 @@ object SparkEntry {
   // shorthand used across queries: per-lineitem unique key and small ints
   private val K = "l_orderkey * 10 + l_linenumber"
 
+  /** Deterministic NTv2 demo grid for q_transform_ntv2: 21x21 one-degree
+    * cells over lon [-110,-90] (west-positive in the file) x lat [30,50],
+    * node shifts sampling a bilinear function of (row, col) with exact
+    * binary-fraction coefficients (see the oracle comment). Written once
+    * per JVM to the tmp dir. */
+  private lazy val ntv2DemoGsb: String = {
+    import graft.geom.NtV2
+    val nR = 21; val nC = 21
+    val la = new Array[Float](nR * nC); val lo = new Array[Float](nR * nC)
+    for (r <- 0 until nR; c <- 0 until nC) {
+      la(r * nC + c) = (0.5 + 0.25 * c + 0.125 * r + 0.0625 * c * r).toFloat
+      lo(r * nC + c) = (1.0 + 0.125 * c + 0.25 * r - 0.03125 * c * r).toFloat
+    }
+    val g = NtV2.Grid(Vector(NtV2.SubGrid("DEMO", "NONE", 30 * 3600.0, 50 * 3600.0,
+      90 * 3600.0, 110 * 3600.0, 3600.0, 3600.0, nR, nC, la, lo)), "demo")
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_ntv2_demo.gsb")
+    java.nio.file.Files.write(p, NtV2.write(g))
+    p.toString
+  }
+
   // q_transform_wkt's CRS texts: the q_transform_projstr LCC as WKT1, the
   // Mercator variant B as PROJJSON (no SQL-quote characters — safe to inline)
   private val LccWkt1 =
@@ -501,6 +521,24 @@ object SparkEntry {
       FROM (SELECT $K AS k, cast(l_partkey % 20 AS DOUBLE) - 110.0d AS lon, cast(l_suppkey % 16 AS DOUBLE) + 26.0d AS lat
             FROM lineitem)
       ORDER BY k"""),
+
+    // NTv2 grid-shift datum (round 6): a synthetic .gsb whose node shifts
+    // sample a bilinear field with exact binary-fraction coefficients —
+    // float32 storage and bilinear interpolation are then both exact, and
+    // the sample lon/lats are quarter-degree multiples, so every FP step
+    // matches the analytic plain-SQL oracle bit-for-bit.
+    "q_transform_ntv2" -> ((s: SparkSession, dir: String) => {
+      val gsb = ntv2DemoGsb
+      q("lineitem")(s"""
+        SELECT k,
+               round(st_x(st_transform(st_point(lon, lat), '+proj=longlat +ellps=clrk66 +nadgrids=$gsb', 'OGC:CRS84')) * 3600.0d, 6) + 0.0d AS gx,
+               round(st_y(st_transform(st_point(lon, lat), '+proj=longlat +ellps=clrk66 +nadgrids=$gsb', 'OGC:CRS84')) * 3600.0d, 6) + 0.0d AS gy
+        FROM (SELECT $K AS k,
+                     cast(l_partkey % 18 AS DOUBLE) - 109.25d AS lon,
+                     cast(l_suppkey % 18 AS DOUBLE) + 30.5d AS lat
+              FROM lineitem)
+        ORDER BY k""")(s, dir)
+    }),
 
     // ---------------------------------------------------------- aggregates
     "q_extent_agg" -> q("lineitem")("""
@@ -1950,6 +1988,22 @@ object SparkEntry {
     // text, so it shares this oracle verbatim.
     "q_transform_wkt" -> lccMercSnyderOracle,
     "q_transform_projstr" -> lccMercSnyderOracle,
+
+    // NTv2 analytic oracle: the .gsb nodes sample these bilinear fields
+    // (arc-seconds, lon positive west), so interpolation == the field:
+    //   dLat  = 0.5 + 0.25 cc + 0.125 rr + 0.0625 cc rr
+    //   dLonW = 1.0 + 0.125 cc + 0.25 rr - 0.03125 cc rr
+    // with cc = -lon-90 grid columns, rr = lat-30 grid rows.
+    "q_transform_ntv2" -> s"""
+      SELECT k,
+             round((lon - (1.0 + 0.125*cc + 0.25*rr - 0.03125*cc*rr)/3600.0) * 3600.0, 6) + 0.0 AS gx,
+             round((lat + (0.5 + 0.25*cc + 0.125*rr + 0.0625*cc*rr)/3600.0) * 3600.0, 6) + 0.0 AS gy
+      FROM (SELECT k, lon, lat, -lon - 90.0 AS cc, lat - 30.0 AS rr
+            FROM (SELECT $K AS k,
+                         CAST(l_partkey % 18 AS DOUBLE) - 109.25 AS lon,
+                         CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
+                  FROM lineitem))
+      ORDER BY k""",
 
     // DuckDB's own parquet reader consumes the graft-written GeoParquet file
     // (join proves row set matches the file; values come independently from

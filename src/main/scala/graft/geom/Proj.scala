@@ -39,6 +39,7 @@ object Proj {
   val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
   val AiryModified = Ellipsoid(6377340.189, 299.3249646)
   val Intl1924 = Ellipsoid(6378388.0, 297.0)
+  val Clarke1866 = Ellipsoid(6378206.4, 294.9786982)
 
   // ------------------------------------------------------------------ datums
 
@@ -62,21 +63,31 @@ object Proj {
   }
 
   /** Geodetic datum: ellipsoid + optional Helmert to WGS84 (None = a modern
-   *  WGS84-equivalent frame; no shift step). */
-  final case class Datum(el: Ellipsoid, shift: Option[Helmert]) {
-    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = shift match {
-      case None => (lonDeg, latDeg)
-      case Some(h) =>
-        val (x, y, z) = geodeticToEcef(el, lonDeg, latDeg)
-        val (x2, y2, z2) = h(x, y, z)
-        ecefToGeodetic(Wgs84, x2, y2, z2)
+   *  WGS84-equivalent frame; no shift step). An NTv2 grid, when present,
+   *  supersedes the Helmert (PROJ's `+nadgrids` > `+towgs84` precedence):
+   *  the grid's target frame is taken as WGS84-equivalent (NAD83 ≈ WGS84),
+   *  and the shift applies directly in lon/lat. */
+  final case class Datum(el: Ellipsoid, shift: Option[Helmert],
+                         grid: Option[NtV2.Grid] = None) {
+    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = grid match {
+      case Some(g) => g.forward(lonDeg, latDeg)
+      case None => shift match {
+        case None => (lonDeg, latDeg)
+        case Some(h) =>
+          val (x, y, z) = geodeticToEcef(el, lonDeg, latDeg)
+          val (x2, y2, z2) = h(x, y, z)
+          ecefToGeodetic(Wgs84, x2, y2, z2)
+      }
     }
-    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = shift match {
-      case None => (lonDeg, latDeg)
-      case Some(h) =>
-        val (x, y, z) = geodeticToEcef(Wgs84, lonDeg, latDeg)
-        val (x2, y2, z2) = h.unapply(x, y, z)
-        ecefToGeodetic(el, x2, y2, z2)
+    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = grid match {
+      case Some(g) => g.inverse(lonDeg, latDeg)
+      case None => shift match {
+        case None => (lonDeg, latDeg)
+        case Some(h) =>
+          val (x, y, z) = geodeticToEcef(Wgs84, lonDeg, latDeg)
+          val (x2, y2, z2) = h.unapply(x, y, z)
+          ecefToGeodetic(el, x2, y2, z2)
+      }
     }
   }
   val DatumWgs84 = Datum(Wgs84, None)
@@ -426,11 +437,15 @@ object Proj {
   private def ellpsTag(el: Ellipsoid): String =
     if (el == Wgs84) "+ellps=WGS84" else if (el == Grs80) "+ellps=GRS80"
     else if (el == Airy1830) "+ellps=airy" else if (el == AiryModified) "+ellps=mod_airy"
-    else if (el == Intl1924) "+ellps=intl" else s"+a=${el.a} +rf=${el.invF}"
+    else if (el == Intl1924) "+ellps=intl" else if (el == Clarke1866) "+ellps=clrk66"
+    else s"+a=${el.a} +rf=${el.invF}"
 
-  private def datumTags(d: Datum): String = d.shift match {
-    case None => ellpsTag(d.el)
-    case Some(h) => s"${ellpsTag(d.el)} +towgs84=${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}"
+  private def datumTags(d: Datum): String = d.grid match {
+    case Some(g) => s"${ellpsTag(d.el)} +nadgrids=${g.source}"
+    case None => d.shift match {
+      case None => ellpsTag(d.el)
+      case Some(h) => s"${ellpsTag(d.el)} +towgs84=${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}"
+    }
   }
 
   private def fmtP(v: Double): String =
@@ -669,7 +684,8 @@ object Proj {
           case Some("airy") => Airy1830
           case Some("mod_airy") => AiryModified
           case Some("intl") => Intl1924
-          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl; or +a with +rf)")
+          case Some("clrk66") => Clarke1866
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
           case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") || kv.contains("R") =>
             fail("custom ellipsoids need exactly +a and +rf (spheres/+b unsupported)")
@@ -688,7 +704,14 @@ object Proj {
         }.filter(h => h != Helmert(0, 0, 0, 0, 0, 0, 0))
         Datum(el, shift)
     }
-    val el = datum.el
+    // +nadgrids supersedes +towgs84 (PROJ precedence); `@path` entries are
+    // optional, `null` is the no-op sentinel — a list resolving to nothing
+    // leaves the Helmert (or no-shift) datum in place.
+    val datumG = kv.get("nadgrids").flatMap(NtV2.fromNadgridsSpec) match {
+      case Some(grid) => datum.copy(shift = None, grid = Some(grid))
+      case None => datum
+    }
+    val el = datumG.el
 
     def p(k: String) = num(k, 0.0)
     val (base: Projection, probe: (Double, Double)) = method match {
@@ -748,7 +771,15 @@ object Proj {
       case u => fail(s"unsupported +units=$u (m, ft, us-ft, or +to_meter)")
     }).getOrElse(1.0)
     val proj = if (toMeter == 1.0) base else new InUnits(base, toMeter, 0, 0)
-    Crs(s"PROJ:$method", proj, datum, probe)
+    // a grid datum has bounded coverage: put the probe at the first
+    // sub-grid's center so round-trip self-tests stay inside it
+    val probeG = datumG.grid match {
+      case Some(g) =>
+        val sg = g.subGrids.head
+        (-(sg.eLonW + sg.wLonW) / 2 / 3600.0, (sg.sLat + sg.nLat) / 2 / 3600.0)
+      case None => probe
+    }
+    Crs(s"PROJ:$method", proj, datumG, probeG)
   }
 
   /** Resolve an EPSG code or `+proj=` parameter string to a CRS (named
