@@ -30,9 +30,15 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "geo"
 
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths"))).getOrElse(
-      throw new IllegalArgumentException("geo source requires a path"))
-    GeoFiles.expand(p)
+    // load(a, b, ...) arrives as a JSON string array under "paths";
+    // load(a) as a plain string under "path"
+    val raw = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).map(GeoFiles.parseJsonStringArray).getOrElse(Seq.empty)
+    if (raw.isEmpty) throw new IllegalArgumentException("geo source requires a path")
+    val expanded = raw.distinct.flatMap(GeoFiles.expand).distinct
+    if (expanded.isEmpty) throw new IllegalArgumentException(
+      s"geo source: no files match ${raw.mkString(", ")}")
+    expanded
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -52,14 +58,75 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GeoFiles {
+  /** The 100 TB ingest shapes: a single file, a directory tree (recursive,
+    * known-geo-extension filtered — `data/year=2024/part-0.geojsonl` layouts
+    * just work), or a glob (`*`/`?`/`[..]` within a segment, `**` across
+    * segments, java.nio PathMatcher semantics). Listing is names-only on the
+    * driver; file CONTENT is only ever read on executors, one InputPartition
+    * per file (or per intra-file split). */
   def expand(path: String): Seq[String] = {
     // accept GDAL's /vsigzip/ virtual-fs spelling; .gz is handled natively
     val cleaned = path.stripPrefix("file:").replaceFirst("^/vsigzip/", "")
-    val p = Paths.get(cleaned)
-    if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala.map(_.toString)
-        .filter(f => known(f)).toSeq.sorted
-    } else Seq(p.toString)
+    if (cleaned.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
+      val sep = java.io.File.separatorChar
+      val segs = cleaned.split(sep)
+      val firstGlobSeg = segs.indexWhere(_.exists(c => c == '*' || c == '?' || c == '[' || c == '{'))
+      // walk from the deepest literal prefix directory ("." for a pattern
+      // that globs from its first segment)
+      val root = Paths.get(
+        if (firstGlobSeg <= 0) "."
+        else segs.take(firstGlobSeg).mkString(sep.toString) match { case "" => sep.toString; case r => r })
+      if (!Files.isDirectory(root)) return Seq.empty
+      val pattern = if (firstGlobSeg <= 0) s".$sep$cleaned" else cleaned
+      val m = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + pattern)
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(p => m.matches(p) && Files.isRegularFile(p))
+        .map(_.toString).toVector.sorted
+      finally st.close()
+    } else {
+      val p = Paths.get(cleaned)
+      if (Files.isDirectory(p)) {
+        val st = Files.walk(p)
+        try st.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && known(f.toString))
+          .map(_.toString).toVector.sorted
+        finally st.close()
+      } else Seq(p.toString)
+    }
+  }
+
+  /** Parse the DSv2 `paths` option: a JSON array of strings with standard
+    * escapes (what DataFrameReader.load(paths: _*) emits). */
+  def parseJsonStringArray(json: String): Seq[String] = {
+    val s = json.trim
+    if (!s.startsWith("[")) return Seq(s)
+    val out = Vector.newBuilder[String]
+    var i = 1
+    while (i < s.length && s.charAt(i) != ']') {
+      while (i < s.length && (s.charAt(i).isWhitespace || s.charAt(i) == ',')) i += 1
+      if (i < s.length && s.charAt(i) == '"') {
+        i += 1
+        val sb = new java.lang.StringBuilder
+        while (i < s.length && s.charAt(i) != '"') {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'u' if i + 5 < s.length =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case other => sb.append(other); i += 2
+            }
+          } else { sb.append(c); i += 1 }
+        }
+        i += 1 // closing quote
+        out += sb.toString
+      } else if (i < s.length && s.charAt(i) != ']') {
+        throw new IllegalArgumentException(s"geo source: malformed paths option '$json'")
+      }
+    }
+    out.result()
   }
 
   /** like expand but without the known-geo-extension filter (any file) */
