@@ -43,7 +43,12 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = pathsOf(options)
-    GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths)
+    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths)
+    // Hive-style partition columns appended after the data columns; a path
+    // key shadowed by a data column of the same name is dropped (data wins)
+    GeoFiles.partitionSpec(paths)
+      .filterNot(p => base.fieldNames.contains(p._1))
+      .foldLeft(base)((s, p) => s.add(p._1, p._2, nullable = true))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -95,6 +100,65 @@ object GeoFiles {
       } else Seq(p.toString)
     }
   }
+
+  // ------------------------------------------------- Hive-style partitions
+
+  /** Hive-style partition columns for a file set: `k=v` directory segments
+    * present in EVERY path, in first-path order. The standard 100 TB layout
+    * (`source=web/year=2024/part-0.geojsonl`) becomes typed columns that
+    * prune at the FILE level before any byte is read. Types mirror Spark's
+    * partition discovery: LongType when every value parses as a long,
+    * DoubleType when double, else StringType. */
+  def partitionSpec(paths: Seq[String]): Seq[(String, DataType)] = {
+    if (paths.isEmpty) return Seq.empty
+    val kvs = paths.map(p => partitionValuesOf(p).toMap)
+    val keys = partitionValuesOf(paths.head).map(_._1).distinct
+      .filter(k => kvs.forall(_.contains(k)))
+    keys.map { k =>
+      val vs = kvs.flatMap(_.get(k)).filter(_ != null)
+      val t: DataType =
+        if (vs.nonEmpty && vs.forall(v => v.nonEmpty && scala.util.Try(v.toLong).isSuccess)) LongType
+        else if (vs.nonEmpty && vs.forall(v => v.nonEmpty && scala.util.Try(v.toDouble).isSuccess)) DoubleType
+        else StringType
+      (k, t)
+    }
+  }
+
+  /** ordered key→value pairs from one path's `k=v` directory segments
+    * (%XX-unescaped; `__HIVE_DEFAULT_PARTITION__` → null) */
+  def partitionValuesOf(path: String): Seq[(String, String)] =
+    path.stripPrefix("file:").split(java.io.File.separatorChar).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = unescapePathValue(seg.drop(i + 1))
+        Some(seg.take(i) -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }
+
+  /** Hive path escaping is %XX only ('+' stays literal, unlike URL forms) */
+  private def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+        catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
+      } else { out.write(s.substring(i, i + 1).getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** convert a raw partition-value string to the Catalyst-internal value */
+  def partitionValue(raw: String, t: DataType): Any =
+    if (raw == null) null
+    else t match {
+      case LongType => java.lang.Long.valueOf(raw.toLong)
+      case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+      case _ => UTF8String.fromString(raw)
+    }
 
   /** Parse the DSv2 `paths` option: a JSON array of strings with standard
     * escapes (what DataFrameReader.load(paths: _*) emits). */
@@ -347,6 +411,17 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
                val bbox: Option[(Double, Double, Double, Double)] = None,
                val rawPath: Option[String] = None)
     extends Table with SupportsRead {
+  /** Hive-style partition columns carried by the path layout: keys present
+    * in every file's path whose name made it into the schema as a NON-data
+    * column. Empty (zero IO) for unpartitioned layouts. */
+  lazy val partCols: Seq[(String, DataType)] = {
+    val spec = GeoFiles.partitionSpec(paths)
+    if (spec.isEmpty) Seq.empty
+    else {
+      val dataNames = GeoFiles.schemaFor(format, paths).fieldNames.toSet
+      spec.filter(p => !dataNames.contains(p._1) && schema.fieldNames.contains(p._1))
+    }
+  }
   override def name(): String =
     s"geo($format:${paths.headOption.getOrElse("")})" +
       bbox.map(b => s" bbox=[${b._1},${b._2},${b._3},${b._4}]").getOrElse("")
@@ -358,7 +433,7 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(schema, paths, format, bbox, rawPath)
+    new GeoScanBuilder(schema, paths, format, bbox, rawPath, partCols)
   /** same table narrowed to a query window (index-backed formats prune) */
   def withBbox(b: (Double, Double, Double, Double)): GeoTable =
     new GeoTable(schema, paths, format, Some(b), rawPath)
@@ -366,16 +441,104 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
 
 class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
                      bbox: Option[(Double, Double, Double, Double)],
-                     rawPath: Option[String] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+                     rawPath: Option[String] = None,
+                     partCols: Seq[(String, DataType)] = Seq.empty)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var prunedPaths: Seq[String] = paths
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new GeoScan(fullSchema, required, paths, format, bbox, rawPath)
+
+  /** Partition pruning: a conjunct referencing ONLY partition columns and
+    * evaluable per file drops non-matching FILES from the scan — the DSv2
+    * analogue of parquet partition pruning, applied before any byte of
+    * content is read. Exactly-satisfied conjuncts are consumed (not
+    * re-evaluated above); anything else stays residual. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    if (partCols.isEmpty) return filters
+    val types = partCols.toMap
+    val residual = Array.newBuilder[org.apache.spark.sql.sources.Filter]
+    val ok = Array.newBuilder[org.apache.spark.sql.sources.Filter]
+    var keep = prunedPaths
+    filters.foreach { f =>
+      if (f.references.nonEmpty && f.references.forall(types.contains)) {
+        // evaluate against every path; any undecidable file → leave residual
+        val verdicts = keep.map { p =>
+          GeoPartFilter.eval(f, GeoFiles.partitionValuesOf(p).toMap, types)
+        }
+        if (verdicts.forall(_.isDefined)) {
+          keep = keep.zip(verdicts).collect { case (p, Some(true)) => p }
+          ok += f
+        } else residual += f
+      } else residual += f
+    }
+    prunedPaths = keep
+    accepted = ok.result()
+    residual.result()
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+
+  override def build(): Scan =
+    new GeoScan(fullSchema, required, prunedPaths, format, bbox, rawPath, partCols)
+}
+
+/** Evaluates a source Filter against one file's partition values (raw
+  * strings + declared types). None = undecidable (unsupported shape or a
+  * value that fails to convert) — the caller then keeps the filter residual. */
+object GeoPartFilter {
+  import org.apache.spark.sql.sources._
+  def eval(f: Filter, kv: Map[String, String], types: Map[String, DataType]): Option[Boolean] = {
+    def cmp(attr: String, v: Any): Option[Int] = {
+      val raw = kv.getOrElse(attr, null)
+      if (raw == null || v == null) None
+      else scala.util.Try {
+        types(attr) match {
+          case LongType => java.lang.Long.compare(raw.toLong, v.toString.toLong)
+          case DoubleType => java.lang.Double.compare(raw.toDouble, v.toString.toDouble)
+          case _ => raw.compareTo(v.toString)
+        }
+      }.toOption
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).map(_ == 0)
+      case EqualNullSafe(a, v) =>
+        val raw = kv.getOrElse(a, null)
+        if (raw == null || v == null) Some(raw == null && v == null) else cmp(a, v).map(_ == 0)
+      case In(a, vs) =>
+        val rs = vs.toSeq.map(v => cmp(a, v))
+        if (rs.exists(r => r.contains(0))) Some(true)
+        else if (rs.forall(_.isDefined)) Some(false) else None
+      case GreaterThan(a, v) => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
+      case IsNull(a) => Some(kv.getOrElse(a, null) == null)
+      case IsNotNull(a) => Some(kv.getOrElse(a, null) != null)
+      case StringStartsWith(a, p) => Option(kv.getOrElse(a, null)).map(_.startsWith(p))
+      case StringEndsWith(a, p) => Option(kv.getOrElse(a, null)).map(_.endsWith(p))
+      case StringContains(a, p) => Option(kv.getOrElse(a, null)).map(_.contains(p))
+      case And(l, r) => (eval(l, kv, types), eval(r, kv, types)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l, kv, types), eval(r, kv, types)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => eval(c, kv, types).map(!_)
+      case _ => None
+    }
+  }
 }
 
 class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String,
               bbox: Option[(Double, Double, Double, Double)] = None,
-              rawPath: Option[String] = None)
+              rawPath: Option[String] = None,
+              partCols: Seq[(String, DataType)] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -413,13 +576,13 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GeoMicroBatchStream(fullSchema, required, format,
       rawPath.getOrElse(throw new IllegalArgumentException(
-        "geo streaming requires a directory path")), checkpointLocation)
+        "geo streaming requires a directory path")), checkpointLocation, partCols)
 
   override def planInputPartitions(): Array[InputPartition] =
     GeoScan.partitionsFor(format, paths)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format, bbox)
+    new GeoReaderFactory(fullSchema, required, format, bbox, partCols)
 }
 
 object GeoScan {
@@ -499,11 +662,21 @@ case class FgbRangePartition(path: String, fromOff: Long, toOff: Long) extends I
 case class ShpRangePartition(path: String, startRec: Int, endRec: Int) extends InputPartition
 case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends InputPartition
 
-class GeoReaderFactory(fullSchema: StructType, required: StructType, format: String,
-                       bbox: Option[(Double, Double, Double, Double)] = None)
+class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: String,
+                       bbox: Option[(Double, Double, Double, Double)] = None,
+                       partCols: Seq[(String, DataType)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows: Iterator[InternalRow] = (format, partition) match {
+    // format readers see DATA columns only; Hive-style partition columns are
+    // appended afterwards as per-file constants parsed from the path
+    val partNames = partCols.map(_._1).toSet
+    val fullSchema =
+      if (partNames.isEmpty) fullSchema0
+      else StructType(fullSchema0.fields.filterNot(f => partNames.contains(f.name)))
+    val required =
+      if (partNames.isEmpty) required0
+      else StructType(required0.fields.filterNot(f => partNames.contains(f.name)))
+    val rows0: Iterator[InternalRow] = (format, partition) match {
       case ("shapefile", ShpRangePartition(p, s, e)) => GeoRows.shapefileRows(p, s, e, fullSchema, required)
       case ("geojson", FilePartition(p)) =>
         // stream the FeatureCollection: a multi-GB document must not be
@@ -556,6 +729,35 @@ class GeoReaderFactory(fullSchema: StructType, required: StructType, format: Str
         GeoRows.xlsxRows(p, fullSchema, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
+    val rows: Iterator[InternalRow] =
+      if (required0.length == required.length) rows0
+      else {
+        // every InputPartition's first element is its file path
+        val path = partition.asInstanceOf[Product].productElement(0).toString
+        val kv = GeoFiles.partitionValuesOf(path).toMap
+        val dataIdx = required.fieldNames.zipWithIndex.toMap
+        val cells: Array[Either[Int, Any]] = required0.fields.map { f =>
+          dataIdx.get(f.name) match {
+            case Some(i) => Left(i)
+            case None =>
+              val t = partCols.collectFirst { case (n, tp) if n == f.name => tp }.get
+              Right(GeoFiles.partitionValue(kv.getOrElse(f.name, null), t))
+          }
+        }
+        val dataTypes = required.fields.map(_.dataType)
+        rows0.map { r =>
+          val out = new Array[Any](cells.length)
+          var i = 0
+          while (i < cells.length) {
+            out(i) = cells(i) match {
+              case Left(j) => if (r.isNullAt(j)) null else r.get(j, dataTypes(j))
+              case Right(c) => c
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }

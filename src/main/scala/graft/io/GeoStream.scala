@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.StructType
  * ([[GeoScan.partitionsFor]]: .shx ranges, FGB index leaves, PBF blobs…).
  */
 class GeoMicroBatchStream(fullSchema: StructType, required: StructType,
-                          format: String, rawPath: String, checkpointLoc: String)
+                          format: String, rawPath: String, checkpointLoc: String,
+                          partCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty)
     extends MicroBatchStream {
 
   private case class FilesOffset(n: Long) extends Offset {
@@ -79,7 +80,7 @@ class GeoMicroBatchStream(fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format)
+    new GeoReaderFactory(fullSchema, required, format, partCols = partCols)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -66,4 +66,79 @@ class GeoPathsSpec extends AnyFunSuite {
       spark.read.format("geo").load(s"$dir/year=1999/*.geojsonl"))
     assert(e.getMessage.contains("no files match"))
   }
+
+  // ---------------------------------------------- Hive-style partition columns
+
+  test("k=v path segments become typed partition columns with per-file values") {
+    val df = spark.read.format("geo").load(dir)
+    assert(df.schema.fields.exists(f =>
+      f.name == "year" && f.dataType == org.apache.spark.sql.types.LongType))
+    val byYear = df.groupBy("year").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byYear == Map(2023L -> 5L, 2024L -> 4L))
+  }
+
+  test("partition filters prune at the FILE level before any content read") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("geo").load(dir).filter("year = 2024")
+    assert(df.count() == 4)
+    val scanned = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec =>
+        b.scan.toBatch.planInputPartitions()
+          .map(_.asInstanceOf[Product].productElement(0).toString).distinct
+    }.get
+    assert(scanned.length == 1 && scanned.head.contains("year=2024"), scanned.mkString(","))
+  }
+
+  test("string partition values unescape %XX; range and IN filters prune") {
+    val d = Files.createTempDirectory("graft_parts").toString
+    def put(rel: String, k: Int): Unit = {
+      val p = Paths.get(d, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$k,1]},"properties":{"k":$k}}"""
+        .getBytes("UTF-8"))
+    }
+    put("src=common%20crawl/part-0.geojsonl", 1)
+    put("src=wiki/part-0.geojsonl", 2)
+    put("src=books/part-0.geojsonl", 3)
+    val df = spark.read.format("geo").load(d)
+    assert(df.schema("src").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.filter("src = 'common crawl'").count() == 1)
+    assert(df.filter("src IN ('wiki', 'books')").count() == 2)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scanned = df.filter("src = 'wiki'").queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec =>
+        b.scan.toBatch.planInputPartitions()
+          .map(_.asInstanceOf[Product].productElement(0).toString).distinct
+    }.get
+    assert(scanned.length == 1 && scanned.head.contains("src=wiki"))
+  }
+
+  test("a data column shadows a same-named path key (no partition column, no mis-pruning)") {
+    val d = Files.createTempDirectory("graft_shadow").toString
+    val p = Paths.get(d, "k=9", "f.geojsonl")
+    Files.createDirectories(p.getParent)
+    Files.write(p, """{"type":"Feature","geometry":{"type":"Point","coordinates":[5,1]},"properties":{"k":123}}"""
+      .getBytes("UTF-8"))
+    val df = spark.read.format("geo").load(d)
+    // exactly one k column, carrying the DATA value
+    assert(df.schema.fields.count(_.name == "k") == 1)
+    assert(df.selectExpr("cast(k AS BIGINT)").head().getLong(0) == 123L)
+    assert(df.filter("k = 123").count() == 1)
+    assert(df.filter("k = 9").count() == 0)
+  }
+
+  test("streamed reads of a partitioned tree carry partition columns") {
+    val d = Files.createTempDirectory("graft_stream_parts").toString
+    val p = Paths.get(d, "year=2025", "f.geojsonl")
+    Files.createDirectories(p.getParent)
+    Files.write(p, """{"type":"Feature","geometry":{"type":"Point","coordinates":[7,1]},"properties":{"k":7}}"""
+      .getBytes("UTF-8"))
+    val stream = spark.readStream.format("geo").load(d)
+    val q = stream.writeStream.format("memory").queryName("parts_stream")
+      .option("checkpointLocation", Files.createTempDirectory("graft_cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("parts_stream").selectExpr("year", "cast(k AS BIGINT)").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 2025L && rows.head.getLong(1) == 7L)
+  }
 }
