@@ -100,11 +100,12 @@ object Geo {
         throw new IllegalArgumentException(
           s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
     }
-    // fast scanner for all non-collection types: JTS's StreamTokenizer
-    // machinery is several times the cost of the actual number parsing;
-    // anything the scanner doesn't recognize falls through
+    // fast scanner for all WKT types incl. GEOMETRYCOLLECTION: JTS's
+    // StreamTokenizer machinery is several times the cost of the actual
+    // number parsing; anything the scanner doesn't recognize falls through
     val c0 = if (wkt.isEmpty) ' ' else wkt.charAt(0)
-    if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm' || c0 == 'L' || c0 == 'l') {
+    if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm' || c0 == 'L' || c0 == 'l' ||
+        c0 == 'G' || c0 == 'g') {
       val fast = fastWkt(wkt)
       if (fast != null) return fast
     }
@@ -116,44 +117,21 @@ object Geo {
     g
   }
 
-  /** Hand-rolled scanner for every non-collection WKT type in all dimension
-   *  forms (bare, Z, M, ZM, EMPTY, parenthesized or bare multipoint members).
+  /** Hand-rolled scanner for every WKT type — including nested
+   *  GEOMETRYCOLLECTION — in all dimension forms (bare, Z, M, ZM, EMPTY,
+   *  parenthesized or bare multipoint members).
    *  Returns null for anything else — the general JTS reader stays the
    *  arbiter of errors and exotic syntax. Ring-validity errors (unclosed,
    *  too short) throw the same JTS IllegalArgumentException either way. */
   private def fastWkt(s: String): Geometry = {
     val n = s.length
     var i = 0
+    // per-geometry dimension tag (reset for each collection member, like
+    // JTS's reader which reads the Z/M suffix off every type word)
+    var tagZ = false; var tagM = false
     def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
     try {
       skipWs()
-      // 0 point, 1 linestring, 2 polygon, 3 multipoint, 4 multiline, 5 multipoly
-      val kind =
-        if (s.regionMatches(true, i, "MULTIPOINT", 0, 10)) { i += 10; 3 }
-        else if (s.regionMatches(true, i, "MULTILINESTRING", 0, 15)) { i += 15; 4 }
-        else if (s.regionMatches(true, i, "MULTIPOLYGON", 0, 12)) { i += 12; 5 }
-        else if (s.regionMatches(true, i, "POINT", 0, 5)) { i += 5; 0 }
-        else if (s.regionMatches(true, i, "LINESTRING", 0, 10)) { i += 10; 1 }
-        else if (s.regionMatches(true, i, "POLYGON", 0, 7)) { i += 7; 2 }
-        else return null
-      // the keyword must end here (protects POINTZZZ-style garbage)
-      if (i < n && Character.isLetterOrDigit(s.charAt(i))) {
-        val c = s.charAt(i)
-        if (c != 'Z' && c != 'z' && c != 'M' && c != 'm') return null
-      }
-      skipWs()
-      var tagZ = false; var tagM = false
-      if (i < n) {
-        val c = s.charAt(i)
-        if (c == 'Z' || c == 'z') {
-          tagZ = true; i += 1
-          if (i < n && (s.charAt(i) == 'M' || s.charAt(i) == 'm')) { tagM = true; i += 1 }
-        } else if (c == 'M' || c == 'm') { tagM = true; i += 1 }
-        if (tagZ || tagM) {
-          if (i < n && !Character.isWhitespace(s.charAt(i)) && s.charAt(i) != '(') return null
-          skipWs()
-        }
-      }
       def isEmptyWord(): Boolean =
         s.regionMatches(true, i, "EMPTY", 0, 5) && { i += 5; true }
       def num(): Double = {
@@ -212,77 +190,128 @@ object Geo {
         factory.createPolygon(shell, holes.toArray)
       }
 
-      kind match {
-        case 0 =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createPoint(), tagZ, tagM) else null
-          expect('(')
-          val c = coord()
-          expect(')')
-          if (!atEndOk()) return null
-          factory.createPoint(c)
-        case 3 =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createMultiPoint(), tagZ, tagM) else null
-          expect('(')
-          val pts = scala.collection.mutable.ArrayBuffer.empty[Point]
-          var done = false
-          while (!done) {
-            skipWs()
-            if (isEmptyWord()) pts += setEmptyDims(factory.createPoint(), tagZ, tagM).asInstanceOf[Point]
-            else if (i < n && s.charAt(i) == '(') { i += 1; pts += factory.createPoint(coord()); expect(')') }
-            else pts += factory.createPoint(coord())
-            skipWs()
-            if (i < n && s.charAt(i) == ',') i += 1
-            else { expect(')'); done = true }
+      /** one full geometry: type word + optional Z/M tag + body; recursive
+        * for GEOMETRYCOLLECTION members. Only the TOP level may return null
+        * (cheap bail to the JTS reader); member-level mismatches throw. */
+      def geometry(top: Boolean): Geometry = {
+        skipWs()
+        // 0 point, 1 line, 2 poly, 3 mpoint, 4 mline, 5 mpoly, 6 collection
+        val kind =
+          if (s.regionMatches(true, i, "MULTIPOINT", 0, 10)) { i += 10; 3 }
+          else if (s.regionMatches(true, i, "MULTILINESTRING", 0, 15)) { i += 15; 4 }
+          else if (s.regionMatches(true, i, "MULTIPOLYGON", 0, 12)) { i += 12; 5 }
+          else if (s.regionMatches(true, i, "POINT", 0, 5)) { i += 5; 0 }
+          else if (s.regionMatches(true, i, "LINESTRING", 0, 10)) { i += 10; 1 }
+          else if (s.regionMatches(true, i, "POLYGON", 0, 7)) { i += 7; 2 }
+          else if (s.regionMatches(true, i, "GEOMETRYCOLLECTION", 0, 18)) { i += 18; 6 }
+          else if (top) return null
+          else throw new NumberFormatException("unknown type word")
+        // the keyword must end here (protects POINTZZZ-style garbage)
+        if (i < n && Character.isLetterOrDigit(s.charAt(i))) {
+          val c = s.charAt(i)
+          if (c != 'Z' && c != 'z' && c != 'M' && c != 'm') {
+            if (top) return null else throw new NumberFormatException("type word")
           }
-          if (!atEndOk()) return null
-          factory.createMultiPoint(pts.toArray)
-        case 1 =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM) else null
-          val g = factory.createLineString(coordSeq())
-          if (!atEndOk()) return null
-          g
-        case 2 =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createPolygon(), tagZ, tagM) else null
-          val g = polyBody()
-          if (!atEndOk()) return null
-          g
-        case 4 =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createMultiLineString(Array.empty[LineString]), tagZ, tagM) else null
-          expect('(')
-          val parts = scala.collection.mutable.ArrayBuffer.empty[LineString]
-          var done = false
-          while (!done) {
+        }
+        skipWs()
+        tagZ = false; tagM = false
+        if (i < n) {
+          val c = s.charAt(i)
+          if (c == 'Z' || c == 'z') {
+            tagZ = true; i += 1
+            if (i < n && (s.charAt(i) == 'M' || s.charAt(i) == 'm')) { tagM = true; i += 1 }
+          } else if (c == 'M' || c == 'm') { tagM = true; i += 1 }
+          if (tagZ || tagM) {
+            if (i < n && !Character.isWhitespace(s.charAt(i)) && s.charAt(i) != '(') {
+              if (top) return null else throw new NumberFormatException("dim tag")
+            }
             skipWs()
-            if (isEmptyWord()) parts += setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM).asInstanceOf[LineString]
-            else parts += factory.createLineString(coordSeq())
-            skipWs()
-            if (i < n && s.charAt(i) == ',') i += 1
-            else { expect(')'); done = true }
           }
-          if (!atEndOk()) return null
-          factory.createMultiLineString(parts.toArray)
-        case _ =>
-          if (isEmptyWord())
-            return if (atEndOk()) setEmptyDims(factory.createMultiPolygon(Array.empty[Polygon]), tagZ, tagM) else null
-          expect('(')
-          val parts = scala.collection.mutable.ArrayBuffer.empty[Polygon]
-          var done = false
-          while (!done) {
-            skipWs()
-            if (isEmptyWord()) parts += setEmptyDims(factory.createPolygon(), tagZ, tagM).asInstanceOf[Polygon]
-            else parts += polyBody()
-            skipWs()
-            if (i < n && s.charAt(i) == ',') i += 1
-            else { expect(')'); done = true }
-          }
-          if (!atEndOk()) return null
-          factory.createMultiPolygon(parts.toArray)
+        }
+        kind match {
+          case 0 =>
+            if (isEmptyWord()) setEmptyDims(factory.createPoint(), tagZ, tagM)
+            else {
+              expect('(')
+              val c = coord()
+              expect(')')
+              factory.createPoint(c)
+            }
+          case 3 =>
+            if (isEmptyWord()) setEmptyDims(factory.createMultiPoint(), tagZ, tagM)
+            else {
+              expect('(')
+              val pts = scala.collection.mutable.ArrayBuffer.empty[Point]
+              var done = false
+              while (!done) {
+                skipWs()
+                if (isEmptyWord()) pts += setEmptyDims(factory.createPoint(), tagZ, tagM).asInstanceOf[Point]
+                else if (i < n && s.charAt(i) == '(') { i += 1; pts += factory.createPoint(coord()); expect(')') }
+                else pts += factory.createPoint(coord())
+                skipWs()
+                if (i < n && s.charAt(i) == ',') i += 1
+                else { expect(')'); done = true }
+              }
+              factory.createMultiPoint(pts.toArray)
+            }
+          case 1 =>
+            if (isEmptyWord()) setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM)
+            else factory.createLineString(coordSeq())
+          case 2 =>
+            if (isEmptyWord()) setEmptyDims(factory.createPolygon(), tagZ, tagM)
+            else polyBody()
+          case 4 =>
+            if (isEmptyWord()) setEmptyDims(factory.createMultiLineString(Array.empty[LineString]), tagZ, tagM)
+            else {
+              expect('(')
+              val parts = scala.collection.mutable.ArrayBuffer.empty[LineString]
+              var done = false
+              while (!done) {
+                skipWs()
+                if (isEmptyWord()) parts += setEmptyDims(factory.createLineString(Array.empty[Coordinate]), tagZ, tagM).asInstanceOf[LineString]
+                else parts += factory.createLineString(coordSeq())
+                skipWs()
+                if (i < n && s.charAt(i) == ',') i += 1
+                else { expect(')'); done = true }
+              }
+              factory.createMultiLineString(parts.toArray)
+            }
+          case 5 =>
+            if (isEmptyWord()) setEmptyDims(factory.createMultiPolygon(Array.empty[Polygon]), tagZ, tagM)
+            else {
+              expect('(')
+              val parts = scala.collection.mutable.ArrayBuffer.empty[Polygon]
+              var done = false
+              while (!done) {
+                skipWs()
+                if (isEmptyWord()) parts += setEmptyDims(factory.createPolygon(), tagZ, tagM).asInstanceOf[Polygon]
+                else parts += polyBody()
+                skipWs()
+                if (i < n && s.charAt(i) == ',') i += 1
+                else { expect(')'); done = true }
+              }
+              factory.createMultiPolygon(parts.toArray)
+            }
+          case _ =>
+            if (isEmptyWord()) setEmptyDims(factory.createGeometryCollection(), tagZ, tagM)
+            else {
+              expect('(')
+              val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+              var done = false
+              while (!done) {
+                parts += geometry(top = false)
+                skipWs()
+                if (i < n && s.charAt(i) == ',') i += 1
+                else { expect(')'); done = true }
+              }
+              factory.createGeometryCollection(parts.toArray)
+            }
+        }
       }
+      val g = geometry(top = true)
+      if (g == null) null
+      else if (!atEndOk()) null
+      else g
     } catch {
       case _: NumberFormatException => null
       case _: StringIndexOutOfBoundsException => null

@@ -46,6 +46,32 @@ class WktFastParseSpec extends AnyFunSuite {
     assert(Wkt.write(Geo.fromWkt("MULTIPOINT (EMPTY, 1 2)")) == "MULTIPOINT (EMPTY, 1 2)")
   }
 
+  test("GEOMETRYCOLLECTION agrees with the JTS reader (nesting, tags, EMPTY members)") {
+    val cases = Seq(
+      "GEOMETRYCOLLECTION (POINT (1 2))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4))",
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 0)), MULTIPOINT (1 2, 3 4))",
+      "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (5 6)), POINT (7 8))",
+      "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1))))",
+      "GEOMETRYCOLLECTION (POINT EMPTY, LINESTRING (0 0, 1 1))",
+      "GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0))), GEOMETRYCOLLECTION EMPTY)",
+      "GEOMETRYCOLLECTION EMPTY",
+      "GEOMETRYCOLLECTION Z (POINT Z (1 2 3), LINESTRING Z (0 0 1, 1 1 2))",
+      "GEOMETRYCOLLECTION M (POINT M (1 2 3))",
+      "GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))",
+      " GEOMETRYCOLLECTION ( POINT ( 1 2 ) , POINT ( 3 4 ) ) ",
+      "geometrycollection (point (1 2))")
+    cases.foreach { s =>
+      val fast = Geo.fromWkt(s)
+      val ref = jts(s)
+      assert(Wkt.write(fast) == Wkt.write(ref), s"'$s': fast=${Wkt.write(fast)} jts=${Wkt.write(ref)}")
+    }
+    // malformed collections error in both paths
+    for (bad <- Seq("GEOMETRYCOLLECTION (POINT (1 2)", "GEOMETRYCOLLECTION (BOGUS (1 2))",
+                    "GEOMETRYCOLLECTION (POINT (1))", "GEOMETRYCOLLECTION ()"))
+      assertThrows[Exception](Geo.fromWkt(bad))
+  }
+
   test("malformed input still errors through the general reader") {
     // (JTS tolerates trailing garbage after a complete geometry, so that
     // case is not an error in either path)
