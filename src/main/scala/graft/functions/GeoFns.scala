@@ -737,7 +737,20 @@ object GeoFns {
   // treated as lon/lat regardless of authority order.
   private val UtmRe = "EPSG:32([67])([0-9]{2})".r
   private val EtrsUtmRe = "EPSG:258([0-9]{2})".r // ETRS89 / UTM zone (GRS80 ≡ WGS84 here)
+  // CRS text resolution is per-QUERY-constant but runs per ROW: WKT1/WKT2/
+  // PROJJSON inputs cost a regex sweep + parameter synthesis each call, so
+  // memoize on the raw string (bounded: distinct CRS texts per JVM)
+  private val crsIdCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def crsId(s: String): String = {
+    val cached = crsIdCache.get(s)
+    if (cached != null) cached
+    else {
+      val r = crsIdUncached(s)
+      if (crsIdCache.size < 10000) crsIdCache.put(s, r)
+      r
+    }
+  }
+  private def crsIdUncached(s: String): String = {
     val raw = s.trim
     // PROJ parameter strings are case-sensitive: resolve (and validate,
     // loudly) before the uppercase EPSG normalization below

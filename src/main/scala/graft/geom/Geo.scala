@@ -91,23 +91,26 @@ object Geo {
       val t = wkt0.trim
       if (t.regionMatches(true, 0, "SRID=", 0, 5)) t.substring(t.indexOf(';') + 1) else t
     }
-    // reference parser rejects collections mixing Z/M/ZM members
-    // (wkt_reader.cpp: "mixed Z and M types are not supported"); only
-    // collections can mix, so skip the regex on the simple-type hot path
-    if (wkt.length > 0 && (wkt.charAt(0) == 'G' || wkt.charAt(0) == 'g')) {
-      val tags = DimTag.findAllMatchIn(wkt).map(_.group(1).toUpperCase).toSet
-      if (tags.size > 1)
-        throw new IllegalArgumentException(
-          s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
-    }
     // fast scanner for all WKT types incl. GEOMETRYCOLLECTION: JTS's
     // StreamTokenizer machinery is several times the cost of the actual
-    // number parsing; anything the scanner doesn't recognize falls through
+    // number parsing; anything the scanner doesn't recognize falls through.
+    // The scanner itself enforces the reference's mixed-Z/M collection
+    // rejection (explicit tags tracked during the recursive parse), so the
+    // regex sweep below only runs on the JTS fallback path.
     val c0 = if (wkt.isEmpty) ' ' else wkt.charAt(0)
     if (c0 == 'P' || c0 == 'p' || c0 == 'M' || c0 == 'm' || c0 == 'L' || c0 == 'l' ||
         c0 == 'G' || c0 == 'g') {
       val fast = fastWkt(wkt)
       if (fast != null) return fast
+    }
+    // reference parser rejects collections mixing Z/M/ZM members
+    // (wkt_reader.cpp: "mixed Z and M types are not supported"); only
+    // collections can mix, so skip the regex on the simple-type path
+    if (wkt.length > 0 && (wkt.charAt(0) == 'G' || wkt.charAt(0) == 'g')) {
+      val tags = DimTag.findAllMatchIn(wkt).map(_.group(1).toUpperCase).toSet
+      if (tags.size > 1)
+        throw new IllegalArgumentException(
+          s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $wkt0")
     }
     val g = tl.get().wktReader.read(wkt)
     if (g.isEmpty) TopEmptyTag.findFirstMatchIn(wkt).foreach { m =>
@@ -129,6 +132,10 @@ object Geo {
     // per-geometry dimension tag (reset for each collection member, like
     // JTS's reader which reads the Z/M suffix off every type word)
     var tagZ = false; var tagM = false
+    // explicit tags seen across the whole parse: the reference rejects
+    // collections mixing Z/M/ZM members (wkt_reader.cpp) — 0 none, 1 Z,
+    // 2 M, 3 ZM; a second DISTINCT value is the mixed case
+    var seenTag = 0
     def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
     try {
       skipWs()
@@ -226,6 +233,10 @@ object Geo {
               if (top) return null else throw new NumberFormatException("dim tag")
             }
             skipWs()
+            val t = (if (tagZ) 1 else 0) | (if (tagM) 2 else 0)
+            if (seenTag == 0) seenTag = t
+            else if (seenTag != t) throw new IllegalArgumentException(
+              s"WKT Parser: GeometryCollection with mixed Z and M types are not supported: $s")
           }
         }
         kind match {
