@@ -650,6 +650,28 @@ object SparkEntry {
         .orderBy("pid", "rank")
     }),
 
+    // The DISTRIBUTED kNN path (doubling-radius tile joins — what an
+    // over-broadcast-budget build side takes automatically) under the same
+    // oracle as q_knn_join: identical (distance, id) tie rule, so the exact
+    // row set must match the broadcast formulation's.
+    "q_knn_tiled" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("lineitem")
+      val probe = s.sql(s"""
+        SELECT id,
+               st_aswkb(st_point(CAST((id * 3) % 997 AS DOUBLE), CAST((id * 7) % 983 AS DOUBLE))) AS g
+        FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)""")
+      val build = s.sql("""
+        SELECT CAST(id AS BIGINT) AS id,
+               st_aswkb(st_point(CAST((id * 13) % 997 AS DOUBLE), CAST((id * 29) % 983 AS DOUBLE))) AS g
+        FROM range(0, 400)""")
+      graft.operators.KnnJoin.knnTiled(s, probe, build, 3)
+        .selectExpr("pid", "nid", "CAST(round(dist * dist, 0) AS BIGINT) AS d2", "rank")
+        .orderBy("pid", "rank")
+    }),
+
     // Numeric interval join through RangeJoinRule: a BETWEEN join with no
     // equi-key would be a BroadcastNestedLoopJoin pair scan; the rule bins
     // the value axis (floor(v/w)) so it runs as a hash-partitioned equi-join
@@ -2917,6 +2939,22 @@ $minhashPairPins) v(da, db, j)
 
     // brute-force integer kNN with the same (d2, nid) tie order
     "q_knn_join" -> s"""
+      WITH probe AS (
+        SELECT pid, (pid * 3) % 997 AS px, (pid * 7) % 983 AS py
+        FROM (SELECT DISTINCT $K AS pid FROM lineitem WHERE l_orderkey % 101 = 0) t),
+      build AS (
+        SELECT CAST(i AS BIGINT) AS nid, (i * 13) % 997 AS bx, (i * 29) % 983 AS by
+        FROM range(0, 400) t(i)),
+      d AS (
+        SELECT pid, nid, (px - bx) * (px - bx) + (py - by) * (py - by) AS d2,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY (px - bx) * (px - bx) + (py - by) * (py - by), nid) AS rank
+        FROM probe CROSS JOIN build)
+      SELECT pid, nid, d2, CAST(rank AS INT) AS rank FROM d WHERE rank <= 3
+      ORDER BY pid, rank""",
+
+    // same cross-join oracle: the tiled path must produce the identical rows
+    "q_knn_tiled" -> s"""
       WITH probe AS (
         SELECT pid, (pid * 3) % 997 AS px, (pid * 7) % 983 AS py
         FROM (SELECT DISTINCT $K AS pid FROM lineitem WHERE l_orderkey % 101 = 0) t),

@@ -49,9 +49,9 @@ object KnnJoin {
    *  SAME budget as every other broadcast path in the repo
    *  (spark.graft.spatialJoin.broadcastThreshold, falling back to
    *  spark.sql.autoBroadcastJoinThreshold): an over-threshold build side
-   *  fails loudly BEFORE any collect instead of OOMing the driver. For build
-   *  sides beyond broadcast budget, swap build/probe roles if the other side
-   *  fits, or pre-filter the build side (e.g. by coarse tile) so it does.
+   *  automatically takes the distributed tile-partitioned path
+   *  ([[knnTiled]]) instead of OOMing the driver — same results, row for
+   *  row (both orders ties by (distance, id)).
    */
   def knn(spark: SparkSession, probe: DataFrame, build: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
@@ -59,9 +59,7 @@ object KnnJoin {
     val threshold = spark.conf.getOption(ThresholdConf).map(_.toLong)
       .getOrElse(spark.sessionState.conf.autoBroadcastJoinThreshold)
     val est = build.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(threshold > 0 && est <= threshold,
-      s"knn build side estimated at $est bytes exceeds the broadcast budget " +
-        s"($threshold); raise $ThresholdConf, swap probe/build, or pre-filter the build side")
+    if (!(threshold > 0 && est <= threshold)) return knnTiled(spark, probe, build, k)
     val buildRows = build.collect().map(r =>
       (r.get(0) match { case l: Long => l; case i: Int => i.toLong },
        r.get(1).asInstanceOf[Array[Byte]]))
@@ -85,6 +83,77 @@ object KnnJoin {
         }
       }
     }.toDF("pid", "nid", "dist", "rank")
+  }
+
+  /** Distributed exact kNN for build sides beyond broadcast budget: rounds
+   *  of tile equi-joins with a doubling search radius over the SHRINKING
+   *  unresolved-probe set. Round t tiles BOTH sides at cell = r_t (probes
+   *  expanded by r_t, so each probe covers ≤ ~16 tiles), joins on tile,
+   *  keeps pairs with dist ≤ r_t, and resolves every probe that has ≥
+   *  min(k, |build|) candidates — for those the k-th distance ≤ r_t, and
+   *  every geometry within that distance lies inside the searched
+   *  envelope, so the top-k is exact. Unresolved probes re-enter with
+   *  r *= 2 (× 8 when a round was globally empty — far-apart data sets).
+   *
+   *  Scale shape: never all-pairs — candidates are tile equi-join matches
+   *  only; the per-round shuffle is bounded by build + unresolved probes;
+   *  per-round outputs are localCheckpoint'ed so lineage stays flat. The
+   *  starting radius is density-derived (expected k-NN radius for a
+   *  uniform field) and floored by both sides' max geometry extent so the
+   *  per-geometry tile cap cannot blow up. Ties order by (distance, id) —
+   *  identical to the broadcast path, row for row. */
+  def knnTiled(spark: SparkSession, probe: DataFrame, build: DataFrame, k: Int,
+               startRadius: Option[Double] = None, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, "k must be positive")
+    graft.Graft.register(spark)
+    val p0 = probe.toDF("pid", "pg")
+      .selectExpr("CAST(pid AS BIGINT) AS pid", "pg")
+      .where("pg IS NOT NULL AND NOT st_isempty(pg)").localCheckpoint()
+    val b0 = build.toDF("nid", "ng")
+      .selectExpr("CAST(nid AS BIGINT) AS nid", "ng")
+      .where("ng IS NOT NULL AND NOT st_isempty(ng)").cache()
+    val empty = p0.limit(0).selectExpr(
+      "pid", "CAST(0 AS BIGINT) AS nid", "CAST(0.0 AS DOUBLE) AS dist", "CAST(1 AS INT) AS rank")
+    val bs = b0.selectExpr("count(*) AS n",
+      "min(st_xmin(ng)) AS x0", "max(st_xmax(ng)) AS x1",
+      "min(st_ymin(ng)) AS y0", "max(st_ymax(ng)) AS y1",
+      "max(greatest(st_xmax(ng) - st_xmin(ng), st_ymax(ng) - st_ymin(ng))) AS ext").head()
+    val n = bs.getLong(0)
+    if (n == 0 || p0.isEmpty) { b0.unpersist(); return empty }
+    val kEff = math.min(k.toLong, n).toInt
+    val area = math.max(0.0, (bs.getDouble(2) - bs.getDouble(1)) * (bs.getDouble(4) - bs.getDouble(3)))
+    val pExt = p0.selectExpr(
+      "max(greatest(st_xmax(pg) - st_xmin(pg), st_ymax(pg) - st_ymin(pg))) AS e").head().getDouble(0)
+    var r = startRadius.getOrElse(Seq(
+      if (area > 0) math.sqrt(area * k / n) else 0.0, bs.getDouble(5), pExt, 1e-9).max)
+    var unresolved = p0
+    var out: DataFrame = empty
+    var round = 0
+    while (round < maxRounds && !unresolved.isEmpty) {
+      val bt = b0.selectExpr("nid", "ng", s"explode(st_tile_ids(ng, ${r}d)) AS tile")
+      val pt = unresolved.selectExpr("pid", "pg", s"explode(st_tile_ids(pg, ${r}d, ${r}d)) AS tile")
+      val cand = pt.join(bt, "tile")
+        .selectExpr("pid", "nid", "st_distance(pg, ng) AS dist")
+        .where(s"dist <= ${r}d")
+        .groupBy("pid", "nid").agg(min("dist").as("dist")) // multi-tile pair dedupe
+      val byPid = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+      val ranked = cand
+        .withColumn("rank", row_number().over(byPid.orderBy(col("dist"), col("nid"))))
+        .withColumn("cnt", count(lit(1)).over(byPid))
+      val resolved = ranked.where(col("cnt") >= kEff && col("rank") <= kEff)
+        .select(col("pid"), col("nid"), col("dist"), col("rank").cast("int").as("rank"))
+        .localCheckpoint()
+      out = out.union(resolved)
+      unresolved = unresolved
+        .join(resolved.select("pid").distinct(), Seq("pid"), "left_anti").localCheckpoint()
+      r *= (if (resolved.isEmpty) 8 else 2)
+      round += 1
+    }
+    require(unresolved.isEmpty,
+      s"knnTiled did not converge in $maxRounds doubling rounds (degenerate extents?)")
+    b0.unpersist()
+    out
   }
 
   /** Expand the query envelope until the k-th (dist, id)-ordered candidate
