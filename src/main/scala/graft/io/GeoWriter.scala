@@ -81,6 +81,65 @@ object GeoWriter {
     } else lines.write.mode("overwrite").text(path)
   }
 
+  /** Hive-style partitioned geojsonl tree: rows land in
+    * `path/k1=v1/.../part-<task>.geojsonl` with the partition columns
+    * DROPPED from the feature properties (they live in the path — the same
+    * semantics as Spark's parquet `partitionBy`, and exactly the layout the
+    * geo reader's partition discovery + file-level pruning consumes).
+    * One shuffle on the partition keys; within a task one lazily-opened
+    * writer per distinct combo. Null values write the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel; everything else is %XX-escaped
+    * per UTF-8 byte (the reader's decode mirror). */
+  def geojsonlPartitioned(df: DataFrame, geomCol: String, path: String,
+                          partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "partitionBy must be non-empty")
+    require(!partitionBy.contains(geomCol), "cannot partition by the geometry column")
+    partitionBy.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    graft.Graft.register(df.sparkSession)
+    val hc = hconfOf(df)
+    val props = df.columns.filterNot(c => c == geomCol || partitionBy.contains(c))
+    val line = concat(
+      lit("""{"type":"Feature","geometry":"""),
+      expr(s"st_asgeojson(`$geomCol`)"),
+      lit(""","properties":"""),
+      to_json(struct(props.map(col).toIndexedSeq: _*)),
+      lit("}"))
+    df.select(struct(partitionBy.map(col).toIndexedSeq: _*).as("__part"), line.as("value"))
+      .repartition(col("__part"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val writers = scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+        try {
+          it.foreach { r =>
+            val part = r.getStruct(0)
+            val rel = partitionBy.indices.map { idx =>
+              val v = part.get(idx)
+              s"${partitionBy(idx)}=${escapePartValue(if (v == null) null else v.toString)}"
+            }.mkString("/")
+            val w = writers.getOrElseUpdate(rel, {
+              mkdirs(hc, s"$path/$rel")
+              new java.io.PrintWriter(hadoopOpen(hc)(f"$path/$rel/part-$pid%05d.geojsonl"))
+            })
+            w.println(r.getString(1))
+          }
+        } finally writers.values.foreach(_.close())
+        ()
+      }
+  }
+
+  /** Hive path escaping: %XX per UTF-8 byte outside [A-Za-z0-9._-] */
+  private def escapePartValue(v: String): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else {
+      val sb = new java.lang.StringBuilder
+      v.getBytes("UTF-8").foreach { b =>
+        val c = (b & 0xff).toChar
+        if (c.isLetterOrDigit && b >= 0 || c == '.' || c == '-' || c == '_') sb.append(c)
+        else sb.append(f"%%${b & 0xff}%02X")
+      }
+      sb.toString
+    }
+
   /** Write `df` as a single GeoJSON FeatureCollection document (the
    *  reference's GDAL 'GeoJSON' COPY driver semantics; 'GeoJSONSeq' maps to
    *  [[geojsonl]]). One file — inherently serial like any single-document

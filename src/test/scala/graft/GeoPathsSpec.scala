@@ -127,6 +127,42 @@ class GeoPathsSpec extends AnyFunSuite {
     assert(df.filter("k = 9").count() == 0)
   }
 
+  test("partitioned writer round-trips through the reader (escaping, nulls, pruning)") {
+    Graft.register(spark)
+    val d = Files.createTempDirectory("graft_pwrite").toString + "/tree"
+    val df = spark.sql("""
+      SELECT CAST(id AS BIGINT) AS k,
+             CASE WHEN id % 3 = 0 THEN 'common crawl' WHEN id % 3 = 1 THEN 'wiki' ELSE NULL END AS src,
+             CAST(2020 + id % 2 AS BIGINT) AS year,
+             st_aswkb(st_point(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE))) AS geom
+      FROM range(0, 60)""")
+    graft.io.GeoWriter.geojsonlPartitioned(df, "geom", d, Seq("src", "year"))
+    val back = spark.read.format("geo").load(d)
+    // partition columns come back typed; properties exclude them
+    assert(back.schema("year").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.count() == 60)
+    assert(back.filter("src = 'common crawl'").count() == 20)
+    assert(back.filter("src IS NULL").count() == 20)
+    assert(back.filter("year = 2021 AND src = 'wiki'").count() == 10)
+    // values survive: x == k, and src/year round-trip against k's arithmetic
+    val bad = back.selectExpr("cast(k AS BIGINT) AS k", "src", "year", "st_x(geom) AS x")
+      .collect().filter { r =>
+        val k = r.getLong(0)
+        val wantSrc = if (k % 3 == 0) "common crawl" else if (k % 3 == 1) "wiki" else null
+        r.getDouble(3) != k.toDouble || r.getAs[String]("src") != wantSrc ||
+          r.getLong(2) != 2020 + k % 2
+      }
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+    // file-level pruning fires on the graft-written tree
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scanned = back.filter("src = 'wiki' AND year = 2020").queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec =>
+        b.scan.toBatch.planInputPartitions()
+          .map(_.asInstanceOf[Product].productElement(0).toString).distinct
+    }.get
+    assert(scanned.forall(p => p.contains("src=wiki") && p.contains("year=2020")), scanned.mkString(","))
+  }
+
   test("streamed reads of a partitioned tree carry partition columns") {
     val d = Files.createTempDirectory("graft_stream_parts").toString
     val p = Paths.get(d, "year=2025", "f.geojsonl")
