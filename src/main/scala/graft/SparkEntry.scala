@@ -1527,28 +1527,24 @@ object SparkEntry {
     // the coordinate sums straight from customer. A reader that drops rows,
     // flips an axis, or mis-parses a coordinate fails the hash. Fixture
     // generation collects ≤2k driver rows — test plumbing, not a query path.
-    // Hive-style partitioned tree read (round 6): customer-derived points
-    // written as region=N/part-0.geojsonl, read back through the geo source's
-    // recursive listing + partition columns, with a partition-pruning filter
-    // (the file-level pruning itself is plan-asserted in GeoPathsSpec).
+    // Hive-style partitioned tree write + read (round 6): customer-derived
+    // points flow through GeoWriter.geojsonlPartitioned (distributed k=v
+    // tree write) and back through the geo source's recursive listing +
+    // partition columns, with a partition-pruning filter — BOTH ends of the
+    // partitioned-corpus story under the oracle (the file-level pruning
+    // itself is plan-asserted in GeoPathsSpec).
     "q_partitioned_read" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
-      val rows = q("customer")("""
-        SELECT c_custkey AS k,
-               cast(c_custkey % 360 - 180 AS DOUBLE) AS x,
-               cast(c_custkey % 170 - 85 AS DOUBLE) AS y
-        FROM customer WHERE c_custkey <= 3000 ORDER BY k""")(s, dir)
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-      val base = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_parts_demo")).toString
-      for (g <- 0 until 3) {
-        val pdir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base, s"region=$g"))
-        val sb = new StringBuilder
-        rows.filter(_._1 % 3 == g).foreach { case (k, x, y) =>
-          sb ++= s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$x,$y]},"properties":{"k":$k}}""" + "\n"
-        }
-        java.nio.file.Files.write(pdir.resolve("part-0.geojsonl"), sb.toString.getBytes("UTF-8"))
-      }
+      val src = q("customer")("""
+        SELECT c_custkey % 3 AS region,
+               st_aswkb(st_point(cast(c_custkey % 360 - 180 AS DOUBLE),
+                                 cast(c_custkey % 170 - 85 AS DOUBLE))) AS geom,
+               c_custkey AS k
+        FROM customer WHERE c_custkey <= 3000""")(s, dir)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_parts_demo").toString
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      graft.io.GeoWriter.geojsonlPartitioned(src, "geom", base, Seq("region"))
       s.read.format("geo").load(base)
         .filter("region IN (0, 2)")
         .selectExpr("cast(region AS BIGINT) AS region", "st_x(geom) AS x", "st_y(geom) AS y")
