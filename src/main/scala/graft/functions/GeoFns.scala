@@ -217,6 +217,15 @@ object GeoFns {
       throw new IllegalArgumentException(
         s"Unknown $what: '$arg', accepted inputs: ${opts.keys.mkString(", ")}"))
 
+  // Hoisted style tables: st_buffer evaluates per row, and building these
+  // Maps inside the eval showed up as the top frame in thread samples.
+  private val bufferCapStyles =
+    Map("CAP_ROUND" -> BufferParameters.CAP_ROUND, "CAP_FLAT" -> BufferParameters.CAP_FLAT,
+        "CAP_SQUARE" -> BufferParameters.CAP_SQUARE)
+  private val bufferJoinStyles =
+    Map("JOIN_ROUND" -> BufferParameters.JOIN_ROUND, "JOIN_MITRE" -> BufferParameters.JOIN_MITRE,
+        "JOIN_BEVEL" -> BufferParameters.JOIN_BEVEL)
+
   /** unit-circle vertex table per segment count (buffers in a query share segs) */
   private val circleTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
@@ -1354,12 +1363,8 @@ object GeoFns {
           case _ => memoBuffer(a(0), dist, segs, -1, -1, 0.0)(w(BufferOp.bufferOp(g, dist, segs)))
         }
       } else {
-        val cap = bufferEnum("cap style", str(a(3)),
-          Map("CAP_ROUND" -> BufferParameters.CAP_ROUND, "CAP_FLAT" -> BufferParameters.CAP_FLAT,
-              "CAP_SQUARE" -> BufferParameters.CAP_SQUARE))
-        val join = bufferEnum("join style", str(a(4)),
-          Map("JOIN_ROUND" -> BufferParameters.JOIN_ROUND, "JOIN_MITRE" -> BufferParameters.JOIN_MITRE,
-              "JOIN_BEVEL" -> BufferParameters.JOIN_BEVEL))
+        val cap = bufferEnum("cap style", str(a(3)), bufferCapStyles)
+        val join = bufferEnum("join style", str(a(4)), bufferJoinStyles)
         val segs = int(a(2)); val mitre = dbl(a(5))
         g match {
           // Styled caps on a point are closed forms (BufferFastPathSpec pins
