@@ -156,6 +156,11 @@ object TextFns {
    *  engines evaluate identically (character classes, bounded quantifiers,
    *  \b, non-capturing groups — no lookaround, no backrefs), so an external
    *  SQL engine can serve as an independent oracle for counts and redaction. */
+  // Hoisted per-row regexes (Pattern.compile inside an eval is per-row cost)
+  private val reBullet = java.util.regex.Pattern.compile("^[ \t]*[-*•]")
+  private val reEllipsis = java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \t]*$")
+  private val reBpePretok = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
   private val piiEmail = java.util.regex.Pattern.compile(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
   private val piiIpv4 = java.util.regex.Pattern.compile(
@@ -269,8 +274,8 @@ object TextFns {
     def cp(l: String): Int = l.codePointCount(0, l.length)
     val totalChars = lines.map(cp).sum
     val dupChars = counts.iterator.map { case (l, c) => (c - 1) * cp(l) }.sum
-    val bullet = java.util.regex.Pattern.compile("^[ \t]*[-*•]")
-    val ell = java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \t]*$")
+    val bullet = reBullet
+    val ell = reEllipsis
     val toks = wsTokens(s)
     val hashes = s.count(_ == '#')
     val dots = (s.length - s.replace("...", "").length) / 3
@@ -500,7 +505,7 @@ object TextFns {
     fn("token_count", I, Seq(S))(a => wsTokens(str(a(0))).length)
     fn("bpe_token_count", I, Seq(S)) { a =>
       // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
-      val m = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").matcher(str(a(0)))
+      val m = reBpePretok.matcher(str(a(0)))
       var c = 0
       while (m.find()) c += 1
       c
