@@ -27,17 +27,39 @@ object Geo {
   private final class Caches {
     val reader = new WKBReader(factory)
     val wktReader = new WKTReader(factory)
-    // two-slot reference-identity memo (binary predicates have two args)
-    var k0: AnyRef = _; var v0: Geometry = _
-    var k1: AnyRef = _; var v1: Geometry = _
+    // two-slot parse memo, content-keyed (binary predicates have two args)
+    var k0: Array[Byte] = _; var v0: Geometry = _
+    var k1: Array[Byte] = _; var v1: Geometry = _
     var pk: AnyRef = _; var pv: PreparedGeometry = _
   }
   private val tl = ThreadLocal.withInitial[Caches](() => new Caches)
 
+  /** Max WKB size eligible for the content-equality memo: bounds both the
+   *  memcmp cost on misses and the retained bytes per task thread. */
+  private val readMemoMaxBytes = 262144
+
+  /** Parse WKB with a two-slot per-thread memo. Keys match by CONTENT, not
+   *  just reference: column values surface as a fresh byte array per call
+   *  (UnsafeRow.getBinary copies), so an expression chain like
+   *  `st_x(g), st_y(g), st_npoints(g)` re-reads identical bytes every call —
+   *  a memcmp is ~20-50x cheaper than re-building the JTS object graph.
+   *  Callers must not mutate arrays passed in (the pre-existing contract of
+   *  the identity memo). Cached instances are safe to share because no graft
+   *  eval path mutates a parsed geometry in place (st_normalize copies;
+   *  every CoordinateSequenceFilter is read-only). */
   def read(wkb: Array[Byte]): Geometry = {
     val c = tl.get()
     if (wkb eq c.k0) return c.v0
     if (wkb eq c.k1) return c.v1
+    if (wkb.length <= readMemoMaxBytes) {
+      val b0 = c.k0
+      if (b0 != null && java.util.Arrays.equals(b0, wkb)) return c.v0
+      val b1 = c.k1
+      if (b1 != null && java.util.Arrays.equals(b1, wkb)) {
+        val tg = c.v1; c.k1 = c.k0; c.v1 = c.v0; c.k0 = b1; c.v0 = tg
+        return tg
+      }
+    }
     val g = c.reader.read(wkb)
     // JTS drops the Z/M type-code flags of EMPTY geometries (no coordinates
     // to carry them); recover them from the WKB header so e.g.
