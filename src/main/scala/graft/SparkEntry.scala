@@ -789,6 +789,85 @@ object SparkEntry {
       GROUP BY tf.doc_id
       ORDER BY tf.doc_id"""),
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    // fuse a lexical BM25 ranking (per query term, the q_bm25 formula) with a
+    // semantic embedding-cosine ranking (query vectors 0-3 against the whole
+    // corpus, doc_id = vec_id) by rrf = Σ 1/(60 + rank), over the union of
+    // both top-50 lists. Scores are rounded to 6dp BEFORE ranking so both
+    // engines derive identical integer ranks; rrf is then exact rank
+    // arithmetic. Scale shape: each ranking is one shuffle + window, the
+    // fusion is an equi-join on (term, doc) — no all-pairs, no driver state.
+    "q_hybrid_rrf" -> q("documents", "embeddings")("""
+      WITH qdef AS (SELECT * FROM VALUES ('spark', 0L), ('vector', 1L),
+                                         ('merge', 2L), ('stream', 3L) AS q(term, qid)),
+      tok AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
+        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term),
+      lex AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS lr
+        FROM (SELECT tf.term, tf.doc_id,
+                     round(ln(1.0d + (s.n - df.dfc + 0.5d) / (df.dfc + 0.5d)) *
+                           tf.f * 2.2d / (tf.f + 1.2d * (0.25d + 0.75d * dl.len / s.avgdl)), 6) AS score
+              FROM tf JOIN df ON tf.term = df.term
+                      JOIN dl ON dl.doc_id = tf.doc_id
+                      CROSS JOIN stats s)),
+      semr AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY sim DESC, doc_id) AS sr
+        FROM (SELECT q.term, e.vec_id AS doc_id,
+                     round(vec_cosine(cast(qe.embedding AS ARRAY<DOUBLE>),
+                                      cast(e.embedding AS ARRAY<DOUBLE>)), 6) AS sim
+              FROM qdef q
+              JOIN embeddings qe ON qe.vec_id = q.qid
+              CROSS JOIN embeddings e)),
+      fused AS (
+        SELECT coalesce(l.term, s.term) AS term,
+               coalesce(l.doc_id, s.doc_id) AS doc_id, l.lr, s.sr
+        FROM (SELECT * FROM lex WHERE lr <= 50) l
+        FULL OUTER JOIN (SELECT * FROM semr WHERE sr <= 50) s
+          ON l.term = s.term AND l.doc_id = s.doc_id),
+      scored AS (
+        SELECT term, doc_id,
+               round(coalesce(1.0d / (60 + lr), 0.0d) +
+                     coalesce(1.0d / (60 + sr), 0.0d), 6) AS rrf,
+               CAST(lr AS INT) AS lex_rank, CAST(sr AS INT) AS sem_rank
+        FROM fused)
+      SELECT term, doc_id, rrf, lex_rank, sem_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS rn
+            FROM scored)
+      WHERE rn <= 10 ORDER BY term, doc_id"""),
+
+    // C4-style corpus cleaning (Raffel et al. 2020 §2.2) over a
+    // deterministically line-structured rebuild of the corpus (the synthetic
+    // docs carry no newlines/punctuation, so lines + boilerplate are injected
+    // by arithmetic both engines reproduce): line keep = terminal punctuation
+    // + >= 5 words + no "javascript"; page keep = no lorem ipsum, no curly
+    // brace, >= 3 kept lines. Row-local TextFns.c4KeepLines/c4PageOk — scales.
+    "q_c4_clean" -> q("documents")("""
+      WITH pages AS (
+        SELECT doc_id,
+               concat(array_join(transform(sequence(0, 5), i ->
+                 concat(substr(text, 1 + i * 45, CASE WHEN (doc_id + i) % 4 = 0 THEN 18 ELSE 45 END),
+                        CASE WHEN (doc_id * 3 + i) % 7 = 0 THEN ' you need javascript enabled to view it.'
+                             WHEN (doc_id + i) % 3 = 0 THEN '.'
+                             WHEN (doc_id + i) % 3 = 1 THEN '?' ELSE '' END)), '\n'),
+                 CASE WHEN doc_id % 13 = 0 THEN '\n{ "layout": 1 }' ELSE '' END,
+                 CASE WHEN doc_id % 17 = 0 THEN '\nlorem ipsum dolor sit amet.' ELSE '' END) AS page
+        FROM documents WHERE doc_id < 400)
+      SELECT doc_id,
+             CAST(size(split(page, '\n', -1)) AS INT) AS n_lines,
+             CAST(size(c4_keep_lines(page)) AS INT) AS n_kept,
+             c4_page_ok(page) AS page_ok,
+             CAST(aggregate(c4_keep_lines(page), 0L, (acc, x) -> acc + length(x)) AS BIGINT) AS chars_kept
+      FROM pages ORDER BY doc_id"""),
+
     // Paragraph-level dedup (the CCNet preprocessing step): corpus-wide, a
     // duplicated paragraph survives only in its first (doc_id, position)
     // occurrence. The synthetic docs are single-line, so multi-paragraph
@@ -2212,6 +2291,85 @@ object SparkEntry {
               CROSS JOIN stats s
       GROUP BY tf.doc_id
       ORDER BY doc_id""",
+
+    "q_hybrid_rrf" -> """
+      WITH qdef AS (SELECT * FROM (VALUES ('spark', 0), ('vector', 1),
+                                          ('merge', 2), ('stream', 3)) q(term, qid)),
+      tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+              FROM documents)
+        WHERE t IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      dl AS (SELECT doc_id,
+                    CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS len
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term),
+      lex AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS lr
+        FROM (SELECT tf.term, tf.doc_id,
+                     round(ln(1.0 + (s.n - df.dfc + 0.5) / (df.dfc + 0.5)) *
+                           tf.f * 2.2 / (tf.f + 1.2 * (0.25 + 0.75 * dl.len / s.avgdl)), 6) AS score
+              FROM tf JOIN df ON tf.term = df.term
+                      JOIN dl ON dl.doc_id = tf.doc_id
+                      CROSS JOIN stats s)),
+      semr AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY sim DESC, doc_id) AS sr
+        FROM (SELECT q.term, e.vec_id AS doc_id,
+                     round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+              FROM qdef q
+              JOIN embeddings qe ON qe.vec_id = q.qid
+              CROSS JOIN embeddings e)),
+      fused AS (
+        SELECT coalesce(l.term, s.term) AS term,
+               coalesce(l.doc_id, s.doc_id) AS doc_id, l.lr, s.sr
+        FROM (SELECT * FROM lex WHERE lr <= 50) l
+        FULL OUTER JOIN (SELECT * FROM semr WHERE sr <= 50) s
+          ON l.term = s.term AND l.doc_id = s.doc_id),
+      scored AS (
+        SELECT term, doc_id,
+               round(coalesce(1.0 / (60 + lr), 0.0) +
+                     coalesce(1.0 / (60 + sr), 0.0), 6) AS rrf,
+               CAST(lr AS INT) AS lex_rank, CAST(sr AS INT) AS sem_rank
+        FROM fused)
+      SELECT term, CAST(doc_id AS BIGINT) AS doc_id, rrf, lex_rank, sem_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS rn
+            FROM scored)
+      WHERE rn <= 10 ORDER BY term, doc_id""",
+
+    "q_c4_clean" -> """
+      WITH pages AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 6), i ->
+                 substr(text, CAST(1 + i * 45 AS INT), CAST(CASE WHEN (doc_id + i) % 4 = 0 THEN 18 ELSE 45 END AS INT)) ||
+                 CASE WHEN (doc_id * 3 + i) % 7 = 0 THEN ' you need javascript enabled to view it.'
+                      WHEN (doc_id + i) % 3 = 0 THEN '.'
+                      WHEN (doc_id + i) % 3 = 1 THEN '?' ELSE '' END), chr(10))
+               || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ "layout": 1 }' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END AS page
+        FROM documents WHERE doc_id < 400),
+      kept AS (
+        SELECT doc_id, page,
+               list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+                           l -> l <> '' AND regexp_matches(l, '[.!?"]$')
+                                AND length(regexp_split_to_array(l, '\s+')) >= 5
+                                AND NOT contains(lower(l), 'javascript')) AS keeps
+        FROM pages)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(length(string_split(page, chr(10))) AS INT) AS n_lines,
+             CAST(length(keeps) AS INT) AS n_kept,
+             (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+              AND length(keeps) >= 3) AS page_ok,
+             CAST(coalesce(list_sum(list_transform(keeps, x -> length(x))), 0) AS BIGINT) AS chars_kept
+      FROM kept ORDER BY doc_id""",
 
     "q_paragraph_dedup" -> """
       WITH built AS (

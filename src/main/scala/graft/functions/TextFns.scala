@@ -585,5 +585,38 @@ object TextFns {
     }
     fn("jaccard_word_ngrams", D, Seq(S, S, I))(a =>
       jaccard(wordNgrams(str(a(0)), int(a(2))), wordNgrams(str(a(1)), int(a(2)))))
+    fn("c4_keep_lines", ArrayType(S), Seq(S))(a =>
+      new GenericArrayData(c4KeepLines(str(a(0))).map(utf): Array[Any]))
+    fn("c4_page_ok", BooleanType, Seq(S))(a => c4PageOk(str(a(0))))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2): a line survives iff it
+   *  ends in a terminal punctuation mark (period, exclamation, question mark,
+   *  end quote), contains at least 5 words, and does not mention "javascript".
+   *  Lines are trimmed before the checks, matching the paper's sentence
+   *  normalization. Row-local — parallelizes embarrassingly. */
+  def c4KeepLines(text: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var from = 0
+    while (from <= text.length) {
+      val nl = text.indexOf('\n', from)
+      val end = if (nl < 0) text.length else nl
+      val l = text.substring(from, end).trim
+      if (l.nonEmpty && ".!?\"".indexOf(l.charAt(l.length - 1)) >= 0 &&
+        l.split("\\s+").length >= 5 &&
+        !l.toLowerCase.contains("javascript")) out += l
+      from = end + 1
+    }
+    out.toArray
+  }
+
+  /** C4 page-level filter: drop pages mentioning "lorem ipsum", containing a
+   *  curly brace (code), or retaining fewer than 3 cleaned lines. The paper's
+   *  bad-word page filter needs its published word list (not available
+   *  offline); callers AND their own blocklist predicate on top. */
+  def c4PageOk(text: String): Boolean = {
+    val lower = text.toLowerCase
+    !lower.contains("lorem ipsum") && text.indexOf('{') < 0 &&
+      c4KeepLines(text).length >= 3
   }
 }
