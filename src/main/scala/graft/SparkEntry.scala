@@ -1284,6 +1284,47 @@ object SparkEntry {
                   WHERE e.vec_id != q.vec_id))
       WHERE rn <= 3 ORDER BY qid, nid"""),
 
+    // int8 scalar quantization of embeddings (the 32x-smaller codes a 100 TB
+    // ANN scan reads; exact rerank stays on the float column): per-vector
+    // symmetric scale = max|x|/127, code = floor(x/s + 0.5) — arithmetic the
+    // oracle replays verbatim. Checks BOTH fidelity (cosine of vector vs its
+    // dequantized self, dot-product-identity L2 error) and retrieval quality
+    // (top-3 exact vs quantized neighbor overlap for 10 query vectors).
+    "q_embed_quant" -> q("embeddings")("""
+      WITH corpus AS (
+        SELECT vec_id, cast(embedding AS array<double>) AS v
+        FROM embeddings WHERE vec_id < 200),
+      dq AS (
+        SELECT vec_id, v,
+               vec_i8_dequant(vec_i8_quant(v),
+                              array_max(transform(v, x -> abs(x))) / 127.0d) AS dv
+        FROM corpus),
+      exact_nn AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(vec_cosine(q.v, e.v), 6) DESC, e.vec_id) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q
+        JOIN corpus e ON e.vec_id != q.vec_id),
+      quant_nn AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(vec_cosine(q.dv, e.dv), 6) DESC, e.vec_id) AS rn
+        FROM (SELECT * FROM dq WHERE vec_id < 10) q
+        JOIN dq e ON e.vec_id != q.vec_id),
+      err AS (
+        SELECT vec_id,
+               round(vec_cosine(v, dv), 6) AS cos_fidelity,
+               round(sqrt(greatest(vec_dot(v, v) - 2.0d * vec_dot(v, dv) + vec_dot(dv, dv), 0.0d)), 6) AS l2_err
+        FROM dq)
+      SELECT e.qid, err.cos_fidelity, err.l2_err,
+             CAST(sum(CASE WHEN qn.nid IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS top3_overlap
+      FROM (SELECT * FROM exact_nn WHERE rn <= 3) e
+      LEFT JOIN (SELECT * FROM quant_nn WHERE rn <= 3) qn
+        ON e.qid = qn.qid AND e.nid = qn.nid
+      JOIN err ON err.vec_id = e.qid
+      GROUP BY e.qid, err.cos_fidelity, err.l2_err
+      ORDER BY qid"""),
+
     // embedding-cosine near-dup: LSH bucket candidates → exact cosine verify.
     // The synthetic embeddings are near-orthogonal (max pair cosine 0.51), so
     // near-dups are constructed: each vector + a perturbed copy at id+100000.
@@ -2879,6 +2920,46 @@ object SparkEntry {
              round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
                len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE) END, 6) AS alpha_word_frac
       FROM m ORDER BY doc_id""",
+
+    "q_embed_quant" -> """
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 200),
+      dq AS (
+        SELECT vec_id, v, list_transform(v, x -> floor(x / s + 0.5) * s) AS dv
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM corpus)),
+      exact_nn AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_dot_product(q.v, e.v)
+                                                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                                           e.vec_id) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q
+        JOIN corpus e ON e.vec_id != q.vec_id),
+      quant_nn AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_dot_product(q.dv, e.dv)
+                                                 / (sqrt(list_dot_product(q.dv, q.dv)) * sqrt(list_dot_product(e.dv, e.dv))), 6) DESC,
+                                           e.vec_id) AS rn
+        FROM (SELECT * FROM dq WHERE vec_id < 10) q
+        JOIN dq e ON e.vec_id != q.vec_id),
+      err AS (
+        SELECT vec_id,
+               round(list_dot_product(v, dv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))), 6) AS cos_fidelity,
+               round(sqrt(greatest(list_dot_product(v, v) - 2.0 * list_dot_product(v, dv) + list_dot_product(dv, dv), 0.0)), 6) AS l2_err
+        FROM dq)
+      SELECT CAST(e.qid AS BIGINT) AS qid, err.cos_fidelity, err.l2_err,
+             CAST(sum(CASE WHEN qn.nid IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS top3_overlap
+      FROM (SELECT * FROM exact_nn WHERE rn <= 3) e
+      LEFT JOIN (SELECT * FROM quant_nn WHERE rn <= 3) qn
+        ON e.qid = qn.qid AND e.nid = qn.nid
+      JOIN err ON err.vec_id = e.qid
+      GROUP BY e.qid, err.cos_fidelity, err.l2_err
+      ORDER BY qid""",
 
     "q_ann_bruteforce" -> """
       SELECT qid, nid

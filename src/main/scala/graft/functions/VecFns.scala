@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,7 +80,35 @@ object VecFns {
     bucket
   }
 
+  /** Symmetric int8 scalar quantization: scale = max|x| / 127, code =
+   *  floor(x/scale + 0.5). The 32x-smaller codes are what a 100 TB ANN scan
+   *  reads; exact re-rank on the float column only for the final candidates.
+   *  floor(x/s + 0.5) is used (not rint) because it is expressible verbatim
+   *  in plain SQL, so oracles can replay the arithmetic bit-for-bit. */
+  def quantI8(v: ArrayData): Array[Any] = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val x = math.abs(v.getDouble(i)); if (x > mx) mx = x; i += 1 }
+    val s = mx / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (s == 0.0) 0 else math.floor(v.getDouble(i) / s + 0.5).toInt
+      i += 1
+    }
+    out
+  }
+
   def load(): Unit = {
+    fn("vec_i8_quant", ArrayType(I), Seq(AD))(a => new GenericArrayData(quantI8(arr(a(0)))))
+    fn("vec_i8_dequant", AD, Seq(ArrayType(I), D)) { a =>
+      val q = arr(a(0)); val s = a(1).asInstanceOf[Double]
+      val out = new Array[Any](q.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = q.getInt(i) * s; i += 1 }
+      new GenericArrayData(out)
+    }
     fn("vec_dot", D, Seq(AD, AD))(a => dot(arr(a(0)), arr(a(1))))
     fn("vec_norm", D, Seq(AD))(a => norm(arr(a(0))))
     fn("vec_cosine", D, Seq(AD, AD))(a => cosine(arr(a(0)), arr(a(1))))
