@@ -229,6 +229,49 @@ object SparkEntry {
                  || ((l_suppkey % 30) + 1) || ', 0 0)'))) AS valid
       FROM lineitem ORDER BY k"""),
 
+    // Linear referencing (PostGIS surface beyond the reference): locate a
+    // point's fraction along a line, interpolate points at fractions, extract
+    // a substring, compute azimuth. Fixtures are axis-aligned two-segment
+    // lines LINESTRING(0 0, p 0, p q) with integer p,q — segment lengths are
+    // exact, so the oracle derives every expected value analytically; round 6
+    // absorbs the <=1-ulp divergence of (t/len)*len-style interpolation.
+    "q_linear_ref" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_linelocatepoint(ln, st_point(cast(p + 2 AS DOUBLE), cast(b + 1 AS DOUBLE))), 6) AS loc,
+             round(st_x(st_lineinterpolatepoint(ln, 0.25d)), 6) AS ix1,
+             round(st_y(st_lineinterpolatepoint(ln, 0.25d)), 6) AS iy1,
+             round(st_x(st_lineinterpolatepoint(ln, 0.5d)), 6) AS ix2,
+             round(st_y(st_lineinterpolatepoint(ln, 0.5d)), 6) AS iy2,
+             round(st_length(st_linesubstring(ln, 0.25d, 0.75d)), 6) AS sub_len,
+             st_npoints(st_linesubstring(ln, 0.25d, 0.75d)) AS sub_np,
+             round(st_x(st_endpoint(st_linesubstring(ln, 0.25d, 0.75d))), 6) AS sub_ex,
+             round(st_y(st_endpoint(st_linesubstring(ln, 0.25d, 0.75d))), 6) AS sub_ey,
+             round(st_azimuth(st_point(0.0d, 0.0d),
+                              st_point(cast(a - 10 AS DOUBLE), cast(b - 7 AS DOUBLE))), 6) AS az
+      FROM (SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+                   (l_partkey % 20) + 4 AS p,
+                   st_geomfromtext('LINESTRING (0 0, ' || ((l_partkey % 20) + 4) || ' 0, '
+                     || ((l_partkey % 20) + 4) || ' ' || ((l_suppkey % 20) + 4) || ')') AS ln
+            FROM lineitem)
+      ORDER BY k"""),
+
+    // Affine transforms (PostGIS surface beyond the reference): translate /
+    // scale / 6-param shear are integer-exact (WKT compared verbatim);
+    // rotate by pi/2 compares coordinates at 6dp (+ 0.0 normalizes the -0.0
+    // that cos(pi/2)*x ~ 6e-17 rounds into).
+    "q_affine" -> q("lineitem")(s"""
+      SELECT k,
+             st_astext(st_translate(ln, 3.0d, -2.0d)) AS w_translate,
+             st_astext(st_scale(ln, 2.0d, 3.0d)) AS w_scale,
+             st_astext(st_affine(ln, 1.0d, 2.0d, 0.0d, 1.0d, 5.0d, 7.0d)) AS w_shear,
+             round(st_x(st_rotate(st_point(cast(a - 10 AS DOUBLE), cast(b - 7 AS DOUBLE)), pi() / 2)), 6) + 0.0d AS rx,
+             round(st_y(st_rotate(st_point(cast(a - 10 AS DOUBLE), cast(b - 7 AS DOUBLE)), pi() / 2)), 6) + 0.0d AS ry
+      FROM (SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+                   st_geomfromtext('LINESTRING (0 0, ' || ((l_partkey % 20) + 4) || ' 0, '
+                     || ((l_partkey % 20) + 4) || ' ' || ((l_suppkey % 20) + 4) || ')') AS ln
+            FROM lineitem)
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- accessors / transforms
     "q_line_accessors" -> q("lineitem")(s"""
       SELECT k,
@@ -1877,6 +1920,48 @@ object SparkEntry {
              CAST(((l_partkey % 30) + 1) * ((l_suppkey % 30) + 1) AS DOUBLE) / 2 AS area,
              true AS valid
       FROM lineitem ORDER BY k""",
+
+    "q_linear_ref" -> s"""
+      WITH base AS (
+        SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+               (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+        FROM lineitem),
+      c AS (
+        SELECT k, a, b, p, qq,
+               CAST(p + qq AS DOUBLE) AS total,
+               0.25 * (p + qq) AS t1,
+               0.5 * (p + qq) AS t2,
+               0.75 * (p + qq) AS t3
+        FROM base)
+      SELECT k,
+             round((p + b + 1) / total, 6) AS loc,
+             round(CASE WHEN t1 <= p THEN t1 ELSE CAST(p AS DOUBLE) END, 6) AS ix1,
+             round(CASE WHEN t1 <= p THEN 0.0 ELSE t1 - p END, 6) AS iy1,
+             round(CASE WHEN t2 <= p THEN t2 ELSE CAST(p AS DOUBLE) END, 6) AS ix2,
+             round(CASE WHEN t2 <= p THEN 0.0 ELSE t2 - p END, 6) AS iy2,
+             round(t3 - t1, 6) AS sub_len,
+             CAST(CASE WHEN t1 < p AND p < t3 THEN 3 ELSE 2 END AS INT) AS sub_np,
+             round(CASE WHEN t3 <= p THEN t3 ELSE CAST(p AS DOUBLE) END, 6) AS sub_ex,
+             round(CASE WHEN t3 <= p THEN 0.0 ELSE t3 - p END, 6) AS sub_ey,
+             CASE WHEN a = 10 AND b = 7 THEN NULL
+                  ELSE round(CASE WHEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) < 0
+                                  THEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) + 2 * pi()
+                                  ELSE atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) END, 6)
+             END AS az
+      FROM c ORDER BY k""",
+
+    "q_affine" -> s"""
+      WITH base AS (
+        SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+               (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+        FROM lineitem)
+      SELECT k,
+             'LINESTRING (3 -2, ' || (p + 3) || ' -2, ' || (p + 3) || ' ' || (qq - 2) || ')' AS w_translate,
+             'LINESTRING (0 0, ' || (2 * p) || ' 0, ' || (2 * p) || ' ' || (3 * qq) || ')' AS w_scale,
+             'LINESTRING (5 7, ' || (p + 5) || ' 7, ' || (p + 2 * qq + 5) || ' ' || (qq + 7) || ')' AS w_shear,
+             CAST(7 - b AS DOUBLE) + 0.0 AS rx,
+             CAST(a - 10 AS DOUBLE) + 0.0 AS ry
+      FROM base ORDER BY k""",
 
     "q_line_accessors" -> s"""
       SELECT $K AS k,

@@ -34,6 +34,7 @@ object FnRegistry {
       GeoFns.load()
       TextFns.load()
       VecFns.load()
+      LinearFns.load()
       GeneratePoints.load()
       loaded = true
     }
