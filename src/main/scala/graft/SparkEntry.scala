@@ -272,6 +272,40 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Computational-geometry pack (PostGIS surface beyond the reference):
+    // segmentize (analytic point counts + interpolant), oriented envelope
+    // (min-area rect of a right triangle has area w*h for every caliper
+    // edge — analytic), minimum bounding circle (Thales: the L-line's MBC is
+    // the diagonal circle), Delaunay (4-point never-cocircular convex quad →
+    // 2 triangles, shoelace-exact area), concave hull (maxLen >= diameter
+    // degrades to the convex hull → exact area). Voronoi/snap are spec-golden
+    // (their outputs have no closed analytic form).
+    "q_compgeom" -> q("lineitem")(s"""
+      SELECT k,
+             st_npoints(seg) AS seg_np,
+             round(st_length(seg), 6) AS seg_len,
+             round(st_x(st_pointn(seg, 2)), 6) AS seg_x2,
+             round(st_area(st_orientedenvelope(tri)), 6) AS oe_area,
+             round(st_x(mbr.center), 6) AS mbc_x,
+             round(st_y(mbr.center), 6) AS mbc_y,
+             round(mbr.radius, 6) AS mbc_r,
+             st_ngeometries(dt) AS dt_n,
+             round(st_area(dt), 6) AS dt_area,
+             round(st_area(st_concavehull(pts, 100.0d)), 6) AS ch_area
+      FROM (SELECT k,
+                   st_segmentize(ln, 2.0d) AS seg,
+                   st_minimumboundingradius(ln) AS mbr,
+                   st_delaunaytriangles(quad) AS dt,
+                   tri, pts
+            FROM (SELECT k,
+                         st_geomfromtext('LINESTRING (0 0, ' || p || ' 0, ' || p || ' ' || qq || ')') AS ln,
+                         st_geomfromtext('POLYGON ((0 0, ' || p || ' 0, 0 ' || qq || ', 0 0))') AS tri,
+                         st_geomfromtext('MULTIPOINT (0 0, ' || p || ' 0, ' || p || ' ' || (qq + 1) || ', 0 ' || qq || ')') AS quad,
+                         st_geomfromtext('MULTIPOINT (0 0, ' || p || ' 0, 0 ' || qq || ', 1 1)') AS pts
+                  FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                        FROM lineitem)))
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- accessors / transforms
     "q_line_accessors" -> q("lineitem")(s"""
       SELECT k,
@@ -1961,6 +1995,22 @@ object SparkEntry {
              'LINESTRING (5 7, ' || (p + 5) || ' 7, ' || (p + 2 * qq + 5) || ' ' || (qq + 7) || ')' AS w_shear,
              CAST(7 - b AS DOUBLE) + 0.0 AS rx,
              CAST(a - 10 AS DOUBLE) + 0.0 AS ry
+      FROM base ORDER BY k""",
+
+    "q_compgeom" -> s"""
+      WITH base AS (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                    FROM lineitem)
+      SELECT k,
+             CAST(CAST(ceil(p / 2.0) AS INT) + CAST(ceil(qq / 2.0) AS INT) + 1 AS INT) AS seg_np,
+             round(CAST(p + qq AS DOUBLE), 6) AS seg_len,
+             round(p / ceil(p / 2.0), 6) AS seg_x2,
+             round(CAST(p * qq AS DOUBLE), 6) AS oe_area,
+             round(p / 2.0, 6) AS mbc_x,
+             round(qq / 2.0, 6) AS mbc_y,
+             round(sqrt(CAST(p * p + qq * qq AS DOUBLE)) / 2, 6) AS mbc_r,
+             CAST(2 AS INT) AS dt_n,
+             round(p * qq + p * 0.5, 6) AS dt_area,
+             round(p * qq / 2.0, 6) AS ch_area
       FROM base ORDER BY k""",
 
     "q_line_accessors" -> s"""

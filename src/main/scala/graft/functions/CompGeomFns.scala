@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.geom.{Geo, Wkb}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.GeometryEditor
+import org.locationtech.jts.algorithm.{MinimumBoundingCircle, MinimumDiameter}
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+import org.locationtech.jts.triangulate.{DelaunayTriangulationBuilder, VoronoiDiagramBuilder}
+
+/**
+ * Computational-geometry extensions (PostGIS-standard surface beyond the
+ * reference's docs/functions.md): segmentize, oriented envelope, minimum
+ * bounding circle, snapping, Delaunay / Voronoi, concave hull. Row-local
+ * kernels — no shuffle implications; the heavyweight ones (triangulations)
+ * cost what the geometry costs, independent of corpus size.
+ */
+object CompGeomFns {
+
+  private val B = BinaryType
+  private val D = DoubleType
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  private def rg(a: Any): Geometry = a match {
+    case b: Array[Byte] => Geo.read(b)
+    case s: UTF8String => Geo.fromWkt(s.toString)
+    case other => throw new IllegalArgumentException(s"not a geometry: ${other.getClass}")
+  }
+  private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+  private def dbl(a: Any): Double = a.asInstanceOf[Double]
+  private val f: GeometryFactory = Geo.factory
+
+  /** ST_Segmentize: split every segment longer than maxLen into equal parts.
+   *  Interpolates as x0 + (i*dx)/n — the operand order a plain-SQL oracle can
+   *  replay — and carries Z/M ordinates through the same interpolation. */
+  def segmentize(g: Geometry, maxLen: Double): Geometry = {
+    require(maxLen > 0, s"ST_Segmentize: max segment length must be > 0, got $maxLen")
+    val ed = new GeometryEditor(f)
+    ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+        if (cs.size < 2) return cs
+        val dim = cs.getDimension
+        val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        def row(i: Int): Array[Double] = Array.tabulate(dim)(d => cs.getOrdinate(i, d))
+        out += row(0)
+        var i = 0
+        while (i < cs.size - 1) {
+          val dx = cs.getX(i + 1) - cs.getX(i)
+          val dy = cs.getY(i + 1) - cs.getY(i)
+          val len = math.sqrt(dx * dx + dy * dy)
+          val n = math.max(math.ceil(len / maxLen).toInt, 1)
+          var k = 1
+          while (k < n) {
+            out += Array.tabulate(dim)(d =>
+              cs.getOrdinate(i, d) + (k * (cs.getOrdinate(i + 1, d) - cs.getOrdinate(i, d))) / n)
+            k += 1
+          }
+          out += row(i + 1)
+          i += 1
+        }
+        val seq = f.getCoordinateSequenceFactory.create(out.size, dim, cs.getMeasures)
+        var r = 0
+        while (r < out.size) {
+          var d = 0
+          while (d < dim) { seq.setOrdinate(r, d, out(r)(d)); d += 1 }
+          r += 1
+        }
+        seq
+      }
+    })
+  }
+
+  def load(): Unit = {
+    fn("st_segmentize", B, Seq(B, D))(a => w(segmentize(rg(a(0)), dbl(a(1)))))
+    fn("st_orientedenvelope", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))
+    fn("st_minimumrotatedrectangle", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))
+    fn("st_minimumboundingcircle", B, Seq(B))(a => w(new MinimumBoundingCircle(rg(a(0))).getCircle))
+    fn("st_minimumboundingradius",
+      StructType(Seq(StructField("center", B), StructField("radius", D))), Seq(B)) { a =>
+      val mbc = new MinimumBoundingCircle(rg(a(0)))
+      val c = mbc.getCentre
+      new GenericInternalRow(Array[Any](
+        if (c == null) null else w(f.createPoint(c)), mbc.getRadius))
+    }
+    fn("st_snap", B, Seq(B, B, D))(a =>
+      w(new GeometrySnapper(rg(a(0))).snapTo(rg(a(1)), dbl(a(2)))))
+    fn("st_delaunaytriangles", B, Seq(B)) { a =>
+      val b = new DelaunayTriangulationBuilder
+      b.setSites(rg(a(0)))
+      w(b.getTriangles(f))
+    }
+    fn("st_voronoipolygons", B, Seq(B)) { a =>
+      val b = new VoronoiDiagramBuilder
+      b.setSites(rg(a(0)))
+      w(b.getDiagram(f))
+    }
+    // JTS edge-length-threshold variant (ConcaveHull.concaveHullByLength):
+    // maxLen >= the diameter degrades to the convex hull
+    fn("st_concavehull", B, Seq(B, D))(a =>
+      w(ConcaveHull.concaveHullByLength(rg(a(0)), dbl(a(1)))))
+    // 1-indexed member accessor (PostGIS ST_GeometryN); null out of range
+    fn("st_geometryn", B, Seq(B, org.apache.spark.sql.types.IntegerType)) { a =>
+      val g = rg(a(0)); val n = a(1).asInstanceOf[Int]
+      if (n < 1 || n > g.getNumGeometries) null else w(g.getGeometryN(n - 1))
+    }
+  }
+}

@@ -35,6 +35,7 @@ object FnRegistry {
       TextFns.load()
       VecFns.load()
       LinearFns.load()
+      CompGeomFns.load()
       GeneratePoints.load()
       loaded = true
     }

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompGeomSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def sql1(q: String): Any = spark.sql(s"SELECT $q").collect()(0).get(0)
+
+  test("segmentize splits long segments and interpolates Z") {
+    assert(sql1("st_astext(st_segmentize(st_geomfromtext('LINESTRING (0 0, 8 0)'), 2))")
+      == "LINESTRING (0 0, 2 0, 4 0, 6 0, 8 0)")
+    // ceil(5/2)=3 parts on a 3-4-5 hypotenuse; Z rides the same interpolation
+    assert(sql1("st_astext(st_segmentize(st_geomfromtext('LINESTRING Z (0 0 0, 3 4 12)'), 2))")
+      == "LINESTRING Z (0 0 0, 1 1.3333333333333333 4, 2 2.6666666666666665 8, 3 4 12)")
+    // segments at or under the threshold are untouched
+    assert(sql1("st_astext(st_segmentize(st_geomfromtext('LINESTRING (0 0, 1 0, 2 0)'), 2))")
+      == "LINESTRING (0 0, 1 0, 2 0)")
+    // polygons densify per ring
+    assert(sql1("st_npoints(st_segmentize(st_makeenvelope(0, 0, 4, 4), 2))") == 9)
+  }
+
+  test("oriented envelope of a rotated rectangle recovers its area") {
+    // 45-degree 10x2 rectangle: axis-aligned envelope would be ~12x12
+    val area = sql1(
+      """round(st_area(st_orientedenvelope(st_geomfromtext(
+        |'POLYGON ((0 0, 5 5, 4 6, -1 1, 0 0))'))), 6)""".stripMargin).asInstanceOf[Double]
+    assert(math.abs(area - 10.0) < 1e-6, s"got $area")
+    assert(sql1("st_geometrytype(st_minimumrotatedrectangle(st_geomfromtext('MULTIPOINT (0 0, 4 0, 4 3)')))")
+      == "POLYGON")
+  }
+
+  test("minimum bounding circle covers the input") {
+    assert(sql1(
+      """st_covers(st_minimumboundingcircle(st_geomfromtext('MULTIPOINT (0 0, 8 0, 4 3)')),
+        |          st_geomfromtext('MULTIPOINT (0 0, 8 0, 4 3)'))""".stripMargin) == true)
+    val r = sql1("st_minimumboundingradius(st_geomfromtext('LINESTRING (0 0, 6 8)')).radius")
+    assert(math.abs(r.asInstanceOf[Double] - 5.0) < 1e-9)
+  }
+
+  test("snap moves vertices onto the reference within tolerance") {
+    assert(sql1(
+      """st_astext(st_snap(st_geomfromtext('LINESTRING (0.1 0, 9.9 0)'),
+        |                  st_geomfromtext('MULTIPOINT (0 0, 10 0)'), 0.5))""".stripMargin)
+      == "LINESTRING (0 0, 10 0)")
+    // beyond tolerance: unchanged
+    assert(sql1(
+      """st_astext(st_snap(st_geomfromtext('LINESTRING (0.1 0, 9.9 0)'),
+        |                  st_geomfromtext('MULTIPOINT (0 0, 10 0)'), 0.01))""".stripMargin)
+      == "LINESTRING (0.1 0, 9.9 0)")
+  }
+
+  test("voronoi cells partition around sites, delaunay triangulates") {
+    assert(sql1("st_ngeometries(st_voronoipolygons(st_geomfromtext('MULTIPOINT (0 0, 10 0, 5 8)')))") == 3)
+    // each site's cell contains its site
+    assert(sql1(
+      """st_intersects(st_geometryn(st_voronoipolygons(st_geomfromtext('MULTIPOINT (0 0, 10 0)')), 1),
+        |              st_point(0, 0))""".stripMargin) == true)
+    assert(sql1("st_ngeometries(st_delaunaytriangles(st_geomfromtext('MULTIPOINT (0 0, 4 0, 0 4, 4 5)')))") == 2)
+  }
+
+  test("concave hull tightens below the convex hull") {
+    // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
+    val convex = sql1(
+      "st_area(st_concavehull(st_geomfromtext('MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2)'), 100))")
+      .asInstanceOf[Double]
+    assert(convex == 16.0)
+  }
+}
