@@ -945,6 +945,33 @@ object SparkEntry {
              CAST(aggregate(c4_keep_lines(page), 0L, (acc, x) -> acc + length(x)) AS BIGINT) AS chars_kept
       FROM pages ORDER BY doc_id"""),
 
+    // Temperature-based source mixture sampling (the pretraining data-mixing
+    // step, e.g. LLaMA/Gopher): per-source sampling weight ∝ tokens^tau with
+    // tau = 0.5 (sqrt is correctly rounded IEEE — both engines agree bit-for-
+    // bit, unlike pow), integer token quotas via floor(round(.,6)) so ulp
+    // noise in the weight sum can't flip a boundary, then take docs in
+    // doc_id order until the source's quota is filled. One groupBy + one
+    // windowed cumsum per source partition — scales: no driver state, the
+    // quota table is #sources rows (broadcast join).
+    "q_mix_sample" -> q("documents")("""
+      WITH t AS (SELECT source, doc_id, token_count(text) AS tok FROM documents),
+      agg AS (SELECT source, CAST(sum(tok) AS DOUBLE) AS toks FROM t GROUP BY source),
+      wts AS (SELECT source, sqrt(toks) AS sw FROM agg),
+      quota AS (SELECT source,
+                       CAST(floor(round(8000.0d * sw / (SELECT sum(sw) FROM wts), 6)) AS BIGINT) AS q
+                FROM wts),
+      cum AS (SELECT source, doc_id, tok,
+                     sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+              FROM t),
+      sel AS (SELECT cum.source, doc_id, tok, c
+              FROM cum JOIN quota ON cum.source = quota.source WHERE c <= q)
+      SELECT source, CAST(count(*) AS INT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS toks_taken,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM sel GROUP BY source ORDER BY source"""),
+
     // Paragraph-level dedup (the CCNet preprocessing step): corpus-wide, a
     // duplicated paragraph survives only in its first (doc_id, position)
     // occurrence. The synthetic docs are single-line, so multi-paragraph
@@ -2546,6 +2573,28 @@ object SparkEntry {
               AND length(keeps) >= 3) AS page_ok,
              CAST(coalesce(list_sum(list_transform(keeps, x -> length(x))), 0) AS BIGINT) AS chars_kept
       FROM kept ORDER BY doc_id""",
+
+    "q_mix_sample" -> """
+      WITH t AS (SELECT source, doc_id,
+                        CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+                 FROM documents),
+      agg AS (SELECT source, CAST(sum(tok) AS DOUBLE) AS toks FROM t GROUP BY source),
+      wts AS (SELECT source, sqrt(toks) AS sw FROM agg),
+      quota AS (SELECT source,
+                       CAST(floor(round(8000.0 * sw / (SELECT sum(sw) FROM wts), 6)) AS BIGINT) AS q
+                FROM wts),
+      cum AS (SELECT source, doc_id, tok,
+                     sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+              FROM t),
+      sel AS (SELECT cum.source, doc_id, tok, c
+              FROM cum JOIN quota ON cum.source = quota.source WHERE c <= q)
+      SELECT source, CAST(count(*) AS INT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS toks_taken,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM sel GROUP BY source ORDER BY source""",
 
     "q_paragraph_dedup" -> """
       WITH built AS (
