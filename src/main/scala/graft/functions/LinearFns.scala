@@ -205,5 +205,20 @@ object LinearFns {
       val c = math.cos(dbl(a(1))); val s = math.sin(dbl(a(1)))
       w(affine(rg(a(0)), c, -s, s, c, 0.0, 0.0))
     }
+    // nearest point ON g1 to g2 (the first endpoint of st_shortestline)
+    fn("st_closestpoint", B, Seq(B, B)) { a =>
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(rg(a(0)), rg(a(1)))
+      w(f.createPoint(pts(0)))
+    }
+    // planar projection of a point by distance along a north-based azimuth
+    // (the planar analogue of PostGIS ST_Project)
+    fn("st_project", B, Seq(B, D, D)) { a =>
+      val p = rg(a(0)) match {
+        case pt: Point => pt
+        case g => throw new IllegalArgumentException(s"ST_Project expects a POINT, got ${g.getGeometryType}")
+      }
+      val d = dbl(a(1)); val az = dbl(a(2))
+      w(f.createPoint(new Coordinate(p.getX + d * math.sin(az), p.getY + d * math.cos(az))))
+    }
   }
 }

@@ -80,6 +80,21 @@ class LinearFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("closestpoint and project round-trip with azimuth") {
+    assert(sql1("st_astext(st_closestpoint(st_geomfromtext('LINESTRING (0 0, 10 0)'), st_point(3, 7)))")
+      == "POINT (3 0)")
+    // project east by 5: azimuth pi/2
+    val wkt = sql1("st_astext(st_project(st_point(1, 2), 5, pi() / 2))").toString
+    val re = """POINT \(([-\d.eE]+) ([-\d.eE]+)\)""".r
+    wkt match {
+      case re(x, y) => assert(math.abs(x.toDouble - 6) < 1e-12 && math.abs(y.toDouble - 2) < 1e-12)
+      case other => fail(s"unexpected WKT: $other")
+    }
+    // azimuth(p, project(p, d, az)) == az
+    val az = sql1("st_azimuth(st_point(0, 0), st_project(st_point(0, 0), 10, 0.7))").asInstanceOf[Double]
+    assert(math.abs(az - 0.7) < 1e-12)
+  }
+
   test("SQL surface: polygon scaling scales area quadratically, substring of ring") {
     assert(sql1("st_area(st_scale(st_makeenvelope(0, 0, 2, 3), 2, 2))") == 24.0)
     assert(sql1("round(st_linelocatepoint(st_geomfromtext('LINESTRING (0 0, 10 0)'), st_point(2.5, 7)), 6)") == 0.25)
