@@ -22,6 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_semdedup", "q_semdedup_op", // 8 broadcast centroid rows
     "q_ann_pq",     // 16 codebook vectors
     "q_ann_bruteforce", // 10 query rows vs corpus: intentional exact baseline
+    "q_hybrid_rrf",     // 4 query vectors vs corpus: the semantic ranker side
+    "q_embed_quant",    // 10 query rows vs corpus: exact + quantized rerank A/B
     "q_knn_join",   // probe side bounded in-query
     "q_dbscan", "q_kmeans", // k-bounded literals by construction
     "q_bm25", "q_dsir", "q_lm_quality" // 1-row corpus-stats side CROSS JOIN
