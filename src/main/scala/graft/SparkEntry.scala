@@ -306,6 +306,30 @@ object SparkEntry {
                         FROM lineitem)))
       ORDER BY k"""),
 
+    // DE-9IM relate (PostGIS ST_Relate / ST_RelateMatch, beyond the
+    // reference's boolean predicates): six axis-aligned rect-pair classes —
+    // equal / contains / within / overlap / edge-touch / corner-touch — whose
+    // intersection matrices are analytic constants; the pattern matcher is
+    // exercised with an equality mask and an interior-intersection mask.
+    "q_relate" -> q("lineitem")(s"""
+      SELECT k, c, st_relate(ga, gb) AS m,
+             st_relatematch(st_relate(ga, gb), 'T*F**FFF*') AS is_eq,
+             st_relatematch(st_relate(ga, gb), 'T********') AS is_int
+      FROM (SELECT k, c,
+                   st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE)) AS ga,
+                   CASE c
+                     WHEN 0 THEN st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE))
+                     WHEN 1 THEN st_makeenvelope(1.0d, 1.0d, cast(p - 1 AS DOUBLE), cast(qq - 1 AS DOUBLE))
+                     WHEN 2 THEN st_makeenvelope(-1.0d, -1.0d, cast(p + 1 AS DOUBLE), cast(qq + 1 AS DOUBLE))
+                     WHEN 3 THEN st_makeenvelope(2.0d, 2.0d, cast(p + 2 AS DOUBLE), cast(qq + 2 AS DOUBLE))
+                     WHEN 4 THEN st_makeenvelope(cast(p AS DOUBLE), 0.0d, cast(p + 3 AS DOUBLE), cast(qq AS DOUBLE))
+                     ELSE st_makeenvelope(cast(p AS DOUBLE), cast(qq AS DOUBLE), cast(p + 2 AS DOUBLE), cast(qq + 2 AS DOUBLE))
+                   END AS gb
+            FROM (SELECT $K AS k, CAST(($K) % 6 AS INT) AS c,
+                         (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                  FROM lineitem))
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- accessors / transforms
     "q_line_accessors" -> q("lineitem")(s"""
       SELECT k,
@@ -2039,6 +2063,20 @@ object SparkEntry {
              round(p * qq + p * 0.5, 6) AS dt_area,
              round(p * qq / 2.0, 6) AS ch_area
       FROM base ORDER BY k""",
+
+    "q_relate" -> s"""
+      SELECT $K AS k, CAST(($K) % 6 AS INT) AS c,
+             CASE CAST(($K) % 6 AS INT)
+               WHEN 0 THEN '2FFF1FFF2'
+               WHEN 1 THEN '212FF1FF2'
+               WHEN 2 THEN '2FF1FF212'
+               WHEN 3 THEN '212101212'
+               WHEN 4 THEN 'FF2F11212'
+               ELSE 'FF2F01212'
+             END AS m,
+             (($K) % 6 = 0) AS is_eq,
+             (($K) % 6 IN (0, 1, 2, 3)) AS is_int
+      FROM lineitem ORDER BY k""",
 
     "q_line_accessors" -> s"""
       SELECT $K AS k,

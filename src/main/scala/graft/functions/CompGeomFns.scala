@@ -108,5 +108,16 @@ object CompGeomFns {
       val g = rg(a(0)); val n = a(1).asInstanceOf[Int]
       if (n < 1 || n > g.getNumGeometries) null else w(g.getGeometryN(n - 1))
     }
+    // DE-9IM intersection matrix (PostGIS ST_Relate) + the matrix-vs-pattern
+    // test (PostGIS ST_RelateMatch; one FnSpec per name, so the 3-arg
+    // ST_Relate overload is spelled st_relatematch(st_relate(a,b), pattern))
+    fn("st_relate", org.apache.spark.sql.types.StringType, Seq(B, B))(a =>
+      UTF8String.fromString(rg(a(0)).relate(rg(a(1))).toString))
+    fn("st_relatematch",
+      org.apache.spark.sql.types.BooleanType,
+      Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)) { a =>
+      org.locationtech.jts.geom.IntersectionMatrix.matches(
+        a(0).asInstanceOf[UTF8String].toString, a(1).asInstanceOf[UTF8String].toString)
+    }
   }
 }

@@ -60,6 +60,14 @@ class CompGeomSpec extends AnyFunSuite {
     assert(sql1("st_ngeometries(st_delaunaytriangles(st_geomfromtext('MULTIPOINT (0 0, 4 0, 0 4, 4 5)')))") == 2)
   }
 
+  test("relate produces DE-9IM matrices and relatematch honors wildcards") {
+    assert(sql1("st_relate(st_makeenvelope(0, 0, 2, 2), st_makeenvelope(0, 0, 2, 2))") == "2FFF1FFF2")
+    assert(sql1("st_relate(st_makeenvelope(0, 0, 4, 4), st_makeenvelope(5, 5, 6, 6))") == "FF2FF1212")
+    assert(sql1("st_relatematch('2FFF1FFF2', 'T*F**FFF*')") == true) // equals mask
+    assert(sql1("st_relatematch('FF2FF1212', 'T********')") == false) // disjoint vs interior-int
+    assert(sql1("st_relatematch('212101212', '2********')") == true) // dim-specific cell
+  }
+
   test("concave hull tightens below the convex hull") {
     // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
     val convex = sql1(
