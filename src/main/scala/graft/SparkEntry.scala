@@ -330,6 +330,29 @@ object SparkEntry {
                   FROM lineitem))
       ORDER BY k"""),
 
+    // Ring orientation + 3-point angle (PostGIS ST_ForcePolygonCW/CCW,
+    // ST_IsPolygonCW/CCW, ST_Angle — beyond the reference): a holed polygon
+    // built CCW-exterior/CCW-hole gets normalized both ways (ring reversal is
+    // integer-exact WKT), and the angle at the origin between the +x ray and
+    // a quadrant-sweeping ray reduces to exact atan2 arithmetic at 6dp.
+    "q_orientation" -> q("lineitem")(s"""
+      SELECT k,
+             st_astext(st_forcepolygoncw(poly)) AS w_cw,
+             st_astext(st_forcepolygonccw(st_forcepolygoncw(poly))) AS w_ccw,
+             st_ispolygonccw(poly) AS pre_ccw,
+             st_ispolygoncw(st_forcepolygoncw(poly)) AS post_cw,
+             CASE WHEN a = 10 AND b = 7 THEN CAST(NULL AS DOUBLE)
+                  ELSE round(st_angle(st_point(cast(p AS DOUBLE), 0.0d), st_point(0.0d, 0.0d),
+                                      st_point(cast(a - 10 AS DOUBLE), cast(b - 7 AS DOUBLE))), 6)
+             END AS ang
+      FROM (SELECT k, a, b, p,
+                   st_geomfromtext('POLYGON ((0 0, ' || p || ' 0, ' || p || ' ' || qq || ', 0 ' || qq
+                     || ', 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))') AS poly
+            FROM (SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+                         (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                  FROM lineitem))
+      ORDER BY k"""),
+
     // ---------------------------------------------------------- accessors / transforms
     "q_line_accessors" -> q("lineitem")(s"""
       SELECT k,
@@ -2077,6 +2100,33 @@ object SparkEntry {
              (($K) % 6 = 0) AS is_eq,
              (($K) % 6 IN (0, 1, 2, 3)) AS is_int
       FROM lineitem ORDER BY k""",
+
+    "q_orientation" -> s"""
+      WITH base AS (SELECT $K AS k, l_partkey % 20 AS a, l_suppkey % 20 AS b,
+                           (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                    FROM lineitem)
+      SELECT k,
+             'POLYGON ((0 0, 0 ' || qq || ', ' || p || ' ' || qq || ', ' || p
+               || ' 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))' AS w_cw,
+             'POLYGON ((0 0, ' || p || ' 0, ' || p || ' ' || qq || ', 0 ' || qq
+               || ', 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))' AS w_ccw,
+             false AS pre_ccw,
+             true AS post_cw,
+             CASE WHEN a = 10 AND b = 7 THEN NULL
+                  ELSE round(CASE WHEN pi() / 2 -
+                                    (CASE WHEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) < 0
+                                          THEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) + 2 * pi()
+                                          ELSE atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) END) < 0
+                                  THEN pi() / 2 -
+                                    (CASE WHEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) < 0
+                                          THEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) + 2 * pi()
+                                          ELSE atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) END) + 2 * pi()
+                                  ELSE pi() / 2 -
+                                    (CASE WHEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) < 0
+                                          THEN atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) + 2 * pi()
+                                          ELSE atan2(CAST(a - 10 AS DOUBLE), CAST(b - 7 AS DOUBLE)) END) END, 6)
+             END AS ang
+      FROM base ORDER BY k""",
 
     "q_line_accessors" -> s"""
       SELECT $K AS k,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.unsafe.types.UTF8String
 import org.locationtech.jts.geom._
 import org.locationtech.jts.geom.util.GeometryEditor
-import org.locationtech.jts.algorithm.{MinimumBoundingCircle, MinimumDiameter}
+import org.locationtech.jts.algorithm.{MinimumBoundingCircle, MinimumDiameter, Orientation}
 import org.locationtech.jts.algorithm.hull.ConcaveHull
 import org.locationtech.jts.operation.overlay.snap.GeometrySnapper
 import org.locationtech.jts.triangulate.{DelaunayTriangulationBuilder, VoronoiDiagramBuilder}
@@ -75,7 +75,65 @@ object CompGeomFns {
     })
   }
 
+  /** Ring-orientation rewrite: exterior rings wound exteriorCW, holes the
+   *  opposite way (PostGIS ST_ForcePolygonCW/CCW). Non-polygonal members of
+   *  collections pass through untouched. */
+  private def forceOrient(g: Geometry, exteriorCW: Boolean): Geometry = {
+    def orientRing(r: LinearRing, wantCW: Boolean): LinearRing = {
+      val isCCW = Orientation.isCCW(r.getCoordinateSequence)
+      if (isCCW == wantCW) r.reverse().asInstanceOf[LinearRing] else r
+    }
+    def fix(geom: Geometry): Geometry = geom match {
+      case p: Polygon if !p.isEmpty =>
+        f.createPolygon(
+          orientRing(p.getExteriorRing, exteriorCW),
+          Array.tabulate(p.getNumInteriorRing)(i => orientRing(p.getInteriorRingN(i), !exteriorCW)))
+      case mp: MultiPolygon =>
+        f.createMultiPolygon(Array.tabulate(mp.getNumGeometries)(i =>
+          fix(mp.getGeometryN(i)).asInstanceOf[Polygon]))
+      case gc: GeometryCollection =>
+        f.createGeometryCollection(Array.tabulate(gc.getNumGeometries)(i => fix(gc.getGeometryN(i))))
+      case other => other
+    }
+    fix(g)
+  }
+
+  /** True iff every polygon is wound exterior-CW / holes-CCW (vacuously true
+   *  when no polygonal component exists, matching PostGIS). */
+  private def isOriented(g: Geometry, exteriorCW: Boolean): Boolean = {
+    def ok(geom: Geometry): Boolean = geom match {
+      case p: Polygon if !p.isEmpty =>
+        Orientation.isCCW(p.getExteriorRing.getCoordinateSequence) != exteriorCW &&
+          (0 until p.getNumInteriorRing).forall(i =>
+            Orientation.isCCW(p.getInteriorRingN(i).getCoordinateSequence) == exteriorCW)
+      case gc: GeometryCollection =>
+        (0 until gc.getNumGeometries).forall(i => ok(gc.getGeometryN(i)))
+      case _ => true
+    }
+    ok(g)
+  }
+
   def load(): Unit = {
+    fn("st_forcepolygoncw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = true)))
+    fn("st_forcepolygonccw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = false)))
+    fn("st_ispolygoncw", org.apache.spark.sql.types.BooleanType, Seq(B))(a =>
+      isOriented(rg(a(0)), exteriorCW = true))
+    fn("st_ispolygonccw", org.apache.spark.sql.types.BooleanType, Seq(B))(a =>
+      isOriented(rg(a(0)), exteriorCW = false))
+    // angle P1-P2-P3 at the P2 vertex, measured clockwise from P2->P1 to
+    // P2->P3 (PostGIS ST_Angle 3-point form); null on degenerate rays
+    fn("st_angle", D, Seq(B, B, B)) { a =>
+      (rg(a(0)), rg(a(1)), rg(a(2))) match {
+        case (p1: Point, p2: Point, p3: Point) =>
+          (LinearFns.azimuth(p2, p1), LinearFns.azimuth(p2, p3)) match {
+            case (a1: java.lang.Double, a2: java.lang.Double) =>
+              val d = a1 - a2
+              if (d < 0) d + 2 * math.Pi else d
+            case _ => null
+          }
+        case _ => throw new IllegalArgumentException("ST_Angle expects three POINTs")
+      }
+    }
     fn("st_segmentize", B, Seq(B, D))(a => w(segmentize(rg(a(0)), dbl(a(1)))))
     fn("st_orientedenvelope", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))
     fn("st_minimumrotatedrectangle", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))

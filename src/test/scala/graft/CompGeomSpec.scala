@@ -68,6 +68,32 @@ class CompGeomSpec extends AnyFunSuite {
     assert(sql1("st_relatematch('212101212', '2********')") == true) // dim-specific cell
   }
 
+  test("polygon orientation forcing and predicates, multipolygon recursion") {
+    // makeenvelope emits a CW shell
+    assert(sql1("st_ispolygoncw(st_makeenvelope(0, 0, 2, 2))") == true)
+    assert(sql1("st_astext(st_forcepolygonccw(st_makeenvelope(0, 0, 2, 3)))")
+      == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))")
+    // idempotent
+    assert(sql1("st_astext(st_forcepolygoncw(st_forcepolygoncw(st_makeenvelope(0, 0, 2, 3))))")
+      == sql1("st_astext(st_forcepolygoncw(st_makeenvelope(0, 0, 2, 3)))"))
+    // non-polygonal input unchanged; vacuous predicates true
+    assert(sql1("st_astext(st_forcepolygoncw(st_geomfromtext('LINESTRING (0 0, 1 1)')))")
+      == "LINESTRING (0 0, 1 1)")
+    assert(sql1("st_ispolygonccw(st_point(1, 1))") == true)
+    // multipolygon members all normalized
+    assert(sql1(
+      """st_ispolygoncw(st_forcepolygoncw(st_geomfromtext(
+        |'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))')))""".stripMargin) == true)
+  }
+
+  test("st_angle at a vertex: quadrants and degeneracy") {
+    val a = sql1("st_angle(st_point(1, 0), st_point(0, 0), st_point(0, 1))").asInstanceOf[Double]
+    assert(math.abs(a - math.Pi / 2) < 1e-12) // from +x ray clockwise to +y ray
+    val b = sql1("st_angle(st_point(1, 0), st_point(0, 0), st_point(0, -1))").asInstanceOf[Double]
+    assert(math.abs(b - 3 * math.Pi / 2) < 1e-12)
+    assert(sql1("st_angle(st_point(1, 0), st_point(0, 0), st_point(0, 0))") == null)
+  }
+
   test("concave hull tightens below the convex hull") {
     // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
     val convex = sql1(
