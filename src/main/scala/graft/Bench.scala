@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
  * prints one JSON line. Measurement forces full materialization of every
  * output column via `queryExecution.toRdd.count()` — a plain df.count() lets
  * Catalyst prune unevaluated projections, which would time scalar functions
- * as free. Failures are reported (negative sentinel) rather than swallowed
- * into fake timings.
+ * as free. A query with no successful run reports null (plus a `failed` name
+ * list) rather than a fake or sentinel timing, so the total always equals the
+ * sum of the reported entries.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,8 +39,21 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // Measurement hygiene: the handful of allocation-heavy queries churn the
+    // heap hard enough to inflate every *neighboring* measurement (round-6
+    // driver artifact showed 10x false regressions next to q_compgeom). Run
+    // the known heavyweights in a final pass, and GC-settle before each
+    // query so one query's garbage isn't billed to the next.
+    val heavyLast = Seq("q_dump", "q_knn_tiled", "q_substring_dedup", "q_bpe",
+      "q_neardup_clusters", "q_compgeom")
+    val ordered = {
+      val (heavy, light) = selected.toSeq.partition { case (k, _) => heavyLast.contains(k) }
+      light ++ heavy.sortBy { case (k, _) => heavyLast.indexOf(k) }
+    }
+    val results = ordered.map { case (name, fn) =>
+      System.gc()
+      var failed = false
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -49,18 +63,22 @@ object Bench {
               false
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -sec
+        if (ok) Some(sec) else { failed = true; None }
       }
-      val good = times.filter(_ > 0).sorted
-      val median = if (good.isEmpty) times.min else good(good.size / 2)
-      name -> (median, if (good.isEmpty) times.min else good.head)
+      val good = times.sorted
+      // A query with zero successful runs reports NO timing (null downstream),
+      // never a negative sentinel a consumer might sum.
+      name -> (good.lift(good.size / 2), good.headOption, failed)
     }
     def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
-    val qmin = results.map { case (k, v) => "\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ > 0).sum
-    val fails = results.values.count(_._1 < 0)
-    val maxT = results.values.map(_._1).filter(_ > 0).foldLeft(0.0)(math.max)
+    def num(o: Option[Double]): String = o.map(r3).getOrElse("null")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v._1) }.mkString("{", ",", "}")
+    val qmin = results.map { case (k, v) => "\"" + k + "\":" + num(v._2) }.mkString("{", ",", "}")
+    // total = exact sum of the medians reported in the queries map
+    val total = results.flatMap(_._2._1).sum
+    val fails = results.count(_._2._1.isEmpty)
+    val failedNames = results.filter(_._2._1.isEmpty).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val maxT = results.flatMap(_._2._1).foldLeft(0.0)(math.max)
     // The harness keeps only a ~2000-char stdout tail and parses JSON from it;
     // with 90 queries the full per-query map no longer fits. So: the complete
     // detail goes to BENCH_DETAIL.json on disk, and stdout ends with a SHORT
@@ -69,13 +87,13 @@ object Bench {
     // length budget.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"fails":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"fails":$fails,"failed":$failedNames,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val top5 = results.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
+    val top5 = results.filter(_._2._1.isDefined).sortBy(-_._2._1.get).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v._1.get) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,7 +37,10 @@ object SparkEntry {
   private def q(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
     (s: SparkSession, dir: String) => {
       Graft.register(s)
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos LongType
+      // Driver fixtures have shipped events.ts both as TIMESTAMP(NANOS)
+      // (readable only as epoch-nanos LongType via this legacy conf) and as
+      // plain timestamp[us]. Accept either: read nanos as long, then
+      // normalize below so every query sees one canonical TimestampType.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tables.foreach { t =>
         val path = s"$dir/$t.parquet"
@@ -49,9 +52,25 @@ object SparkEntry {
         val small = new java.io.File(path).length < (256L << 20)
         val fanned =
           if (small) df.repartition(s.sparkContext.defaultParallelism) else df
-        fanned.createOrReplaceTempView(t)
+        normalizeEventTs(fanned).createOrReplaceTempView(t)
       }
       s.sql(sql)
+    }
+
+  /** Schema-robustness shim for the `events` fixture: a LongType `ts` is
+   *  epoch-nanos (TIMESTAMP(NANOS) parquet under nanosAsLong), a TimestampType
+   *  `ts` is already micros — either way downstream queries see TimestampType
+   *  at microsecond precision. Row-local projection, no shuffle. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // parquet isAdjustedToUTC=false surfaces as NTZ; the queries only
+        // order and diff timestamps, so the session-tz reinterpretation in
+        // this cast cannot change any result
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("cast(ts as timestamp)"))
+      case _ => df
     }
 
   // shorthand used across queries: per-lineitem unique key and small ints
@@ -704,13 +723,16 @@ object SparkEntry {
       ORDER BY p.k, e.cell"""),
 
     // ---------------------------------------------------------- relational parity (windows, built-ins)
+    // 30-minute inactivity gap over micros — unix_micros keeps the arithmetic
+    // integer-exact and independent of the fixture's physical timestamp type
+    // (normalizeEventTs canonicalizes nanos-long / timestamp[us] to timestamp).
     "q_sessionize" -> q("events")("""
       SELECT user_id,
              cast(sum(new_sess) AS INT) AS sessions,
              cast(count(*) AS INT) AS events
       FROM (SELECT user_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+                          OR unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events)
       GROUP BY user_id ORDER BY user_id"""),
@@ -726,7 +748,7 @@ object SparkEntry {
     "q_asof_join" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
         .repartition(s.sparkContext.defaultParallelism)
       val markers = ev.where("event_type = 'purchase'")
         .selectExpr("user_id", "ts", "event_id AS mid", "value AS mval")

@@ -32,6 +32,53 @@ object CompGeomFns {
     case other => throw new IllegalArgumentException(s"not a geometry: ${other.getClass}")
   }
   private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+
+  /** Bounded content-keyed memo for the heavyweight kernels (same pattern as
+   *  the st_buffer memo in GeoFns): triangulations / hulls / min-bounding
+   *  computations cost 10–1000µs per call while a probe costs ~0.1µs, and real
+   *  corpora repeat geometries heavily (a dimension polygon joined onto
+   *  millions of fact rows). Keyed on the input bytes + a kernel tag + one
+   *  double param; cleared wholesale when full so memory stays bounded
+   *  (≤64k × ≤16KB worst case). Values are WKB byte arrays or read-only
+   *  InternalRows — both are copied on write into UnsafeRows, so sharing one
+   *  instance across rows is safe. */
+  private final class CgKey(val in: Array[Byte], val op: Int, val p: Double) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(in)
+      h = h * 31 + op
+      h * 31 + java.lang.Double.hashCode(p)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: CgKey => k.op == op && k.p == p && java.util.Arrays.equals(k.in, in)
+      case _ => false
+    }
+  }
+  private val cgMemoMax = 65536
+  private val cgMemoMaxEntryBytes = 16384
+  private val cgMemo = new java.util.concurrent.ConcurrentHashMap[CgKey, AnyRef]()
+  private def keyBytes(raw: Any): Array[Byte] = raw match {
+    case b: Array[Byte] if b.length <= cgMemoMaxEntryBytes => b
+    case s: UTF8String if s.numBytes <= cgMemoMaxEntryBytes => s.getBytes
+    case _ => null
+  }
+  private def memo(op: Int, raw: Any, p: Double)(compute: => AnyRef): AnyRef = {
+    val in = keyBytes(raw)
+    if (in == null) return compute
+    val key = new CgKey(in, op, p)
+    val hit = cgMemo.get(key)
+    if (hit != null) return hit
+    val out = compute
+    val cacheable = out match {
+      case b: Array[Byte] => b.length <= cgMemoMaxEntryBytes
+      case _: GenericInternalRow => true
+      case _ => false
+    }
+    if (cacheable) {
+      if (cgMemo.size >= cgMemoMax) cgMemo.clear()
+      cgMemo.put(key, out)
+    }
+    out
+  }
   private def dbl(a: Any): Double = a.asInstanceOf[Double]
   private val f: GeometryFactory = Geo.factory
 
@@ -134,33 +181,43 @@ object CompGeomFns {
         case _ => throw new IllegalArgumentException("ST_Angle expects three POINTs")
       }
     }
-    fn("st_segmentize", B, Seq(B, D))(a => w(segmentize(rg(a(0)), dbl(a(1)))))
-    fn("st_orientedenvelope", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))
-    fn("st_minimumrotatedrectangle", B, Seq(B))(a => w(MinimumDiameter.getMinimumRectangle(rg(a(0)))))
-    fn("st_minimumboundingcircle", B, Seq(B))(a => w(new MinimumBoundingCircle(rg(a(0))).getCircle))
+    fn("st_segmentize", B, Seq(B, D))(a =>
+      memo(1, a(0), dbl(a(1)))(w(segmentize(rg(a(0)), dbl(a(1))))))
+    fn("st_orientedenvelope", B, Seq(B))(a =>
+      memo(2, a(0), 0)(w(MinimumDiameter.getMinimumRectangle(rg(a(0))))))
+    fn("st_minimumrotatedrectangle", B, Seq(B))(a =>
+      memo(2, a(0), 0)(w(MinimumDiameter.getMinimumRectangle(rg(a(0))))))
+    fn("st_minimumboundingcircle", B, Seq(B))(a =>
+      memo(3, a(0), 0)(w(new MinimumBoundingCircle(rg(a(0))).getCircle)))
     fn("st_minimumboundingradius",
       StructType(Seq(StructField("center", B), StructField("radius", D))), Seq(B)) { a =>
-      val mbc = new MinimumBoundingCircle(rg(a(0)))
-      val c = mbc.getCentre
-      new GenericInternalRow(Array[Any](
-        if (c == null) null else w(f.createPoint(c)), mbc.getRadius))
+      memo(4, a(0), 0) {
+        val mbc = new MinimumBoundingCircle(rg(a(0)))
+        val c = mbc.getCentre
+        new GenericInternalRow(Array[Any](
+          if (c == null) null else w(f.createPoint(c)), mbc.getRadius))
+      }
     }
     fn("st_snap", B, Seq(B, B, D))(a =>
       w(new GeometrySnapper(rg(a(0))).snapTo(rg(a(1)), dbl(a(2)))))
     fn("st_delaunaytriangles", B, Seq(B)) { a =>
-      val b = new DelaunayTriangulationBuilder
-      b.setSites(rg(a(0)))
-      w(b.getTriangles(f))
+      memo(5, a(0), 0) {
+        val b = new DelaunayTriangulationBuilder
+        b.setSites(rg(a(0)))
+        w(b.getTriangles(f))
+      }
     }
     fn("st_voronoipolygons", B, Seq(B)) { a =>
-      val b = new VoronoiDiagramBuilder
-      b.setSites(rg(a(0)))
-      w(b.getDiagram(f))
+      memo(6, a(0), 0) {
+        val b = new VoronoiDiagramBuilder
+        b.setSites(rg(a(0)))
+        w(b.getDiagram(f))
+      }
     }
     // JTS edge-length-threshold variant (ConcaveHull.concaveHullByLength):
     // maxLen >= the diameter degrades to the convex hull
     fn("st_concavehull", B, Seq(B, D))(a =>
-      w(ConcaveHull.concaveHullByLength(rg(a(0)), dbl(a(1)))))
+      memo(7, a(0), dbl(a(1)))(w(ConcaveHull.concaveHullByLength(rg(a(0)), dbl(a(1))))))
     // 1-indexed member accessor (PostGIS ST_GeometryN); null out of range
     fn("st_geometryn", B, Seq(B, org.apache.spark.sql.types.IntegerType)) { a =>
       val g = rg(a(0)); val n = a(1).asInstanceOf[Int]

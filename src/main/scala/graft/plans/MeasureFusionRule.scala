@@ -43,6 +43,34 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
             ix: graft.functions.GeoAggregates.StIntersectionAgg, _, _, _, _))) =>
         ae.copy(aggregateFunction = graft.functions.GeoAggregates.StIntersectionAreaAgg(ix.child))
+      // Count fusion over st_collect_agg: the collect aggregate buffers every
+      // geometry per group (unbounded state — fine when the user wants the
+      // collection, an OOM when they only want a count). st_ngeometries of
+      // the collected result = number of non-null non-empty inputs (StCollectAgg
+      // skips both), so rewrite to a plain codegen'd count; st_npoints of the
+      // result = sum of member point counts, so rewrite to sum. Zero-input
+      // groups collect to an empty GEOMETRYCOLLECTION → both measures are 0.
+      case FnExpr(ng,
+          Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            c: graft.functions.GeoAggregates.StCollectAgg, _, _, _, _)))
+          if ng == "st_ngeometries" || ng == "st_numgeometries" =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, If, Literal}
+        import org.apache.spark.sql.types.IntegerType
+        val counted = If(
+          Coalesce(Seq(FnExpr("st_isempty", Seq(c.child)), Literal(true))),
+          Literal(null, IntegerType), Literal(1))
+        Cast(ae.copy(aggregateFunction =
+          org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(counted))), IntegerType)
+      case FnExpr(np,
+          Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            c: graft.functions.GeoAggregates.StCollectAgg, _, _, _, _)))
+          if np == "st_npoints" || np == "st_numpoints" =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Literal}
+        import org.apache.spark.sql.types.IntegerType
+        Cast(Coalesce(Seq(
+          ae.copy(aggregateFunction =
+            org.apache.spark.sql.catalyst.expressions.aggregate.Sum(FnExpr("st_npoints", Seq(c.child)))),
+          Literal(0L))), IntegerType)
     }
   }
 }
