@@ -68,9 +68,13 @@ object Graft {
 
   /** st_readshp / st_readosm: format-forced variants (reference registers the
    *  specialized readers as their own table functions, read_shapefile.cpp /
-   *  st_read_osm.cpp). */
+   *  st_read_osm.cpp). Optional second argument selects the layer of a
+   *  multi-layer container: `st_read('/x.gpkg', 'roads')` (reference:
+   *  st_read.cpp:623-631 `layer` named parameter). */
   def stReadAs(forced: Option[String])(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.nonEmpty && exprs.head.foldable, "st_read(path) needs a constant path")
+    require(exprs.length <= 2 && exprs.forall(_.foldable),
+      "st_read(path [, layer]) takes constant arguments")
     // honor the reference's sandbox switch (config.cpp enable_external_access)
     SparkSession.getActiveSession.foreach { s =>
       if (!s.conf.get("enable_external_access", "true").toBoolean)
@@ -78,10 +82,11 @@ object Graft {
           "st_read with VSI prefix: External access is disabled by configuration")
     }
     val path = exprs.head.eval(null).toString
+    val layer = exprs.lift(1).map(_.eval(null).toString)
     val paths = graft.io.GeoFiles.expand(path)
     val fmt = graft.io.GeoFiles.formatOf(paths, forced)
-    val schema = graft.io.GeoFiles.schemaFor(fmt, paths)
-    val table = new graft.io.GeoTable(schema, paths, fmt)
+    val schema = graft.io.GeoFiles.schemaFor(fmt, paths, layer)
+    val table = new graft.io.GeoTable(schema, paths, fmt, layer = layer)
     org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
       table, None, None)
   }

@@ -96,6 +96,25 @@ object SparkEntry {
     p.toString
   }
 
+  /** Deterministic NADCON .las/.los demo pair for q_transform_nadcon:
+    * 25x21 one-degree cells over east-lon [-110,-86] x lat [30,50], shifts
+    * sampling bilinear fields with exact binary-fraction coefficients in the
+    * EAST column index (see the oracle comment). Written once per JVM. */
+  private lazy val nadconDemoBase: String = {
+    val nc = 25; val nr = 21
+    val la = new Array[Float](nr * nc); val lo = new Array[Float](nr * nc)
+    for (r <- 0 until nr; c <- 0 until nc) {
+      la(r * nc + c) = (0.5 + 0.25 * c + 0.125 * r + 0.0625 * c * r).toFloat
+      lo(r * nc + c) = (1.0 + 0.125 * c + 0.25 * r - 0.03125 * c * r).toFloat
+    }
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_nadcon_demo")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base.toString + ".las"),
+      graft.geom.Nadcon.writePlane(nc, nr, -110f, 1f, 30f, 1f, la))
+    java.nio.file.Files.write(java.nio.file.Paths.get(base.toString + ".los"),
+      graft.geom.Nadcon.writePlane(nc, nr, -110f, 1f, 30f, 1f, lo))
+    base.toString
+  }
+
   // q_transform_wkt's CRS texts: the q_transform_projstr LCC as WKT1, the
   // Mercator variant B as PROJJSON (no SQL-quote characters — safe to inline)
   private val LccWkt1 =
@@ -678,6 +697,22 @@ object SparkEntry {
                round(st_y(st_transform(st_point(lon, lat), '+proj=longlat +ellps=clrk66 +nadgrids=$gsb', 'OGC:CRS84')) * 3600.0d, 6) + 0.0d AS gy
         FROM (SELECT $K AS k,
                      cast(l_partkey % 18 AS DOUBLE) - 109.25d AS lon,
+                     cast(l_suppkey % 18 AS DOUBLE) + 30.5d AS lat
+              FROM lineitem)
+        ORDER BY k""")(s, dir)
+    }),
+
+    // NADCON .las/.los grid-shift (round 7): same exact-bilinear design as
+    // q_transform_ntv2 but through the NOAA pair format and its east-positive
+    // header frame — a wrong column flip or record offset fails the hash.
+    "q_transform_nadcon" -> ((s: SparkSession, dir: String) => {
+      val base = nadconDemoBase
+      q("lineitem")(s"""
+        SELECT k,
+               round(st_x(st_transform(st_point(lon, lat), '+proj=longlat +ellps=clrk66 +nadgrids=$base.las', 'OGC:CRS84')) * 3600.0d, 6) + 0.0d AS gx,
+               round(st_y(st_transform(st_point(lon, lat), '+proj=longlat +ellps=clrk66 +nadgrids=$base.las', 'OGC:CRS84')) * 3600.0d, 6) + 0.0d AS gy
+        FROM (SELECT $K AS k,
+                     cast(l_partkey % 20 AS DOUBLE) - 109.25d AS lon,
                      cast(l_suppkey % 18 AS DOUBLE) + 30.5d AS lat
               FROM lineitem)
         ORDER BY k""")(s, dir)
@@ -2443,6 +2478,23 @@ object SparkEntry {
       FROM (SELECT k, lon, lat, -lon - 90.0 AS cc, lat - 30.0 AS rr
             FROM (SELECT $K AS k,
                          CAST(l_partkey % 18 AS DOUBLE) - 109.25 AS lon,
+                         CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
+                  FROM lineitem))
+      ORDER BY k""",
+
+    // NADCON analytic oracle: the .las/.los nodes sample these bilinear
+    // fields (arc-seconds; .los positive WEST) in the EAST column index:
+    //   dLat  = 0.5 + 0.25 cc + 0.125 rr + 0.0625 cc rr
+    //   dLonW = 1.0 + 0.125 cc + 0.25 rr - 0.03125 cc rr
+    // with cc = lon + 110 east-columns, rr = lat - 30 rows; forward shift is
+    // lon - dLonW/3600, lat + dLat/3600 (same sign stance as NTv2).
+    "q_transform_nadcon" -> s"""
+      SELECT k,
+             round((lon - (1.0 + 0.125*cc + 0.25*rr - 0.03125*cc*rr)/3600.0) * 3600.0, 6) + 0.0 AS gx,
+             round((lat + (0.5 + 0.25*cc + 0.125*rr + 0.0625*cc*rr)/3600.0) * 3600.0, 6) + 0.0 AS gy
+      FROM (SELECT k, lon, lat, lon + 110.0 AS cc, lat - 30.0 AS rr
+            FROM (SELECT $K AS k,
+                         CAST(l_partkey % 20 AS DOUBLE) - 109.25 AS lon,
                          CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
                   FROM lineitem))
       ORDER BY k""",

@@ -195,12 +195,17 @@ object NtV2 {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Grid]()
 
-  /** Load and cache a `.gsb` file. */
+  /** Load and cache a grid file: `.gsb` (NTv2) or a NOAA `.las`/`.los`
+    * NADCON pair (either member's path or the shared base). */
   def load(path: String): Grid = cache.computeIfAbsent(path, { p =>
-    val f = new java.io.File(p)
-    if (!f.isFile) throw new IllegalArgumentException(
-      s"ST_Transform: +nadgrids file not found: '$p'")
-    parse(java.nio.file.Files.readAllBytes(f.toPath), p)
+    val l = p.toLowerCase
+    if (l.endsWith(".las") || l.endsWith(".los")) Nadcon.load(p)
+    else {
+      val f = new java.io.File(p)
+      if (!f.isFile) throw new IllegalArgumentException(
+        s"ST_Transform: +nadgrids file not found: '$p'")
+      parse(java.nio.file.Files.readAllBytes(f.toPath), p)
+    }
   })
 
   /** Resolve a `+nadgrids=` list: comma-separated paths, `@` prefix =

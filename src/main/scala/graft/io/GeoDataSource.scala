@@ -43,7 +43,8 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = pathsOf(options)
-    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths)
+    val layer = Option(options.get("layer"))
+    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths, layer)
     // Hive-style partition columns appended after the data columns; a path
     // key shadowed by a data column of the same name is dropped (data wins)
     GeoFiles.partitionSpec(paths)
@@ -56,7 +57,7 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val paths = pathsOf(options)
     new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))),
-      rawPath = Option(options.get("path")))
+      rawPath = Option(options.get("path")), layer = Option(options.get("layer")))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -70,8 +71,33 @@ object GeoFiles {
     * driver; file CONTENT is only ever read on executors, one InputPartition
     * per file (or per intra-file split). */
   def expand(path: String): Seq[String] = {
+    val p0 = path.stripPrefix("file:")
+    // GDAL's /vsizip/ spelling → zip-virtual path `archive.zip!inner`
+    val vsz =
+      if (p0.startsWith("/vsizip/")) {
+        val rest = p0.stripPrefix("/vsizip")
+        val zi = rest.toLowerCase.indexOf(".zip")
+        require(zi > 0, s"/vsizip/ path must contain a .zip archive: $path")
+        val inner = rest.substring(zi + 4).stripPrefix("/")
+        if (inner.isEmpty) rest.substring(0, zi + 4) else rest.substring(0, zi + 4) + "!" + inner
+      } else p0
+    if (isZipVirtual(vsz)) { requireExternalAccess(vsz); return Seq(vsz) }
+    if (vsz.toLowerCase.endsWith(".zip") && Files.isRegularFile(Paths.get(vsz))) {
+      requireExternalAccess(vsz)
+      // a bare archive expands to every known-geo-extension entry, same
+      // stance as a directory tree
+      val zf = new java.util.zip.ZipFile(vsz)
+      try {
+        val entries = zf.entries().asScala
+          .filter(e => !e.isDirectory && known(e.getName))
+          .map(e => vsz + "!" + e.getName).toVector.sorted
+        if (entries.isEmpty) throw new IllegalArgumentException(
+          s"no known geo entries inside $vsz")
+        return entries
+      } finally zf.close()
+    }
     // accept GDAL's /vsigzip/ virtual-fs spelling; .gz is handled natively
-    val cleaned = path.stripPrefix("file:").replaceFirst("^/vsigzip/", "")
+    val cleaned = vsz.replaceFirst("^/vsigzip/", "")
     if (cleaned.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
       val sep = java.io.File.separatorChar
       val segs = cleaned.split(sep)
@@ -99,6 +125,76 @@ object GeoFiles {
         finally st.close()
       } else Seq(p.toString)
     }
+  }
+
+  // ----------------------------------------------------- zip virtual paths
+  /** `/vsizip/`-equivalent input (reference: test/sql/gdal/gdal_vsi.test reads
+    * zipped datasets through GDAL's virtual filesystem). A path INTO an
+    * archive is spelled `archive.zip!inner/file.ext` (GDAL's
+    * /vsizip/archive.zip/inner form is accepted and rewritten); a bare *.zip
+    * expands to every known-extension entry. Entries are extracted lazily to
+    * a per-JVM cache keyed by archive identity (path+size+mtime), so on a
+    * cluster each executor localizes its own partitions' entries — the same
+    * model as Spark's --archives distribution; nothing round-trips through
+    * the driver. */
+  def isZipVirtual(p: String): Boolean = {
+    val i = p.indexOf('!')
+    i > 0 && p.substring(0, i).toLowerCase.endsWith(".zip")
+  }
+
+  /** reference's sandbox switch (config.cpp enable_external_access): archive
+    * indirection counts as external access, checked where a session is
+    * visible (driver-side expand; executor threads have no active session) */
+  private def requireExternalAccess(what: String): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      if (!s.conf.get("enable_external_access", "true").toBoolean)
+        throw new SecurityException(
+          s"reading zip archive $what: External access is disabled by configuration")
+    }
+
+  private val zipCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Resolve a (possibly zip-virtual) path to a readable local file. */
+  def local(p: String): String =
+    if (!isZipVirtual(p)) p
+    else zipCache.computeIfAbsent(p, _ => extractEntry(p))
+
+  private def extractEntry(virtual: String): String = {
+    val bang = virtual.indexOf('!')
+    val archive = new java.io.File(virtual.substring(0, bang).stripPrefix("file:"))
+    val entry = virtual.substring(bang + 1)
+    // the driver-side gate in expand() has already run; re-check when a
+    // session is visible (extraction on the driver path)
+    requireExternalAccess(archive.toString)
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      archive.getAbsolutePath)) + "_" + archive.length() + "_" + archive.lastModified()
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_zip_$key")
+    // entry paths flatten ('/'→'_') so one cache dir holds a whole archive;
+    // sidecars keep their shared stem, which is what Shapefile.basePath needs
+    def flat(name: String) = name.replace('/', '_')
+    val zf = new java.util.zip.ZipFile(archive)
+    try {
+      // a shapefile is a file FAMILY: extract every same-stem sibling too
+      val stem =
+        if (entry.toLowerCase.endsWith(".shp")) Some(entry.dropRight(4) + ".") else None
+      val wanted = zf.entries().asScala.filter { e =>
+        !e.isDirectory && (e.getName == entry || stem.exists(e.getName.startsWith))
+      }.toSeq
+      require(wanted.exists(_.getName == entry), s"no entry '$entry' in $archive")
+      java.nio.file.Files.createDirectories(root)
+      wanted.foreach { e =>
+        val dest = root.resolve(flat(e.getName))
+        if (!Files.exists(dest)) {
+          val tmp = root.resolve(flat(e.getName) + "." + Thread.currentThread().getId + ".tmp")
+          val in = zf.getInputStream(e)
+          try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+        }
+      }
+      root.resolve(flat(entry)).toString
+    } finally zf.close()
   }
 
   // ------------------------------------------------- Hive-style partitions
@@ -359,18 +455,36 @@ object GeoFiles {
     else if (declared == "BLOB") BinaryType
     else StringType
 
-  def geopackageTable(path: String): GeoPackage.FeatureTable = {
+  /** Multi-layer dataset selection (reference: st_read.cpp:623-631 `layer`
+    * open option): a GeoPackage is a container of feature tables; `layer`
+    * names the one to read, default = the first registered table. */
+  def geopackageTable(path: String, layer: Option[String] = None): GeoPackage.FeatureTable = {
     val tables = GeoPackage.featureTables(path)
     require(tables.nonEmpty, s"no GeoPackage feature tables in $path")
-    tables.head
+    layer match {
+      case None => tables.head
+      case Some(name) => tables.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"layer '$name' not found in $path; available layers: ${tables.map(_.name).mkString(", ")}"))
+    }
   }
 
-  def geopackageSchema(path: String): StructType = {
-    val t = geopackageTable(path)
+  def geopackageSchema(path: String, layer: Option[String] = None): StructType = {
+    val t = geopackageTable(path, layer)
     StructType(t.columns.map { case (n, typ) =>
       StructField(n, sqliteToSpark(typ, n == t.geomColumn))
     })
   }
+
+  /** Formats with a real sub-dataset concept; anything else rejects `layer`
+    * loudly instead of silently reading the whole file. */
+  private val layeredFormats = Set("geopackage", "kml", "kmz", "dxf")
+  def requireLayerSupported(format: String, layer: Option[String]): Unit =
+    layer.foreach { l =>
+      require(layeredFormats.contains(format),
+        s"format '$format' has no layers (requested layer '$l'); " +
+          s"layer selection applies to ${layeredFormats.mkString("/")}")
+    }
 
   def xlsxSchema(path: String): StructType = {
     val hdr = Xlsx.rows(path).headOption.getOrElse(Array.empty[String])
@@ -393,23 +507,28 @@ object GeoFiles {
     } :+ StructField("geom", BinaryType))
   }
 
-  def schemaFor(format: String, paths: Seq[String]): StructType = format match {
-    case "shapefile" => shapefileSchema(paths.head)
-    case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-    case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" => geojsonSchema
-    case "mapinfo" => mifSchema(paths.head)
-    case "osmpbf" => osmSchema
-    case "flatgeobuf" => flatgeobufSchema(paths.head)
-    case "geopackage" => geopackageSchema(paths.head)
-    case "csvwkt" => csvSchema(paths.head)
-    case "xlsx" => xlsxSchema(paths.head)
-    case other => throw new IllegalArgumentException(s"unknown geo format $other")
+  def schemaFor(format: String, paths0: Seq[String], layer: Option[String] = None): StructType = {
+    requireLayerSupported(format, layer)
+    val paths = paths0.map(local)
+    format match {
+      case "shapefile" => shapefileSchema(paths.head)
+      case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
+      case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" => geojsonSchema
+      case "mapinfo" => mifSchema(paths.head)
+      case "osmpbf" => osmSchema
+      case "flatgeobuf" => flatgeobufSchema(paths.head)
+      case "geopackage" => geopackageSchema(paths.head, layer)
+      case "csvwkt" => csvSchema(paths.head)
+      case "xlsx" => xlsxSchema(paths.head)
+      case other => throw new IllegalArgumentException(s"unknown geo format $other")
+    }
   }
 }
 
 class GeoTable(schema: StructType, paths: Seq[String], val format: String,
                val bbox: Option[(Double, Double, Double, Double)] = None,
-               val rawPath: Option[String] = None)
+               val rawPath: Option[String] = None,
+               val layer: Option[String] = None)
     extends Table with SupportsRead {
   /** Hive-style partition columns carried by the path layout: keys present
     * in every file's path whose name made it into the schema as a NON-data
@@ -418,7 +537,7 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
     val spec = GeoFiles.partitionSpec(paths)
     if (spec.isEmpty) Seq.empty
     else {
-      val dataNames = GeoFiles.schemaFor(format, paths).fieldNames.toSet
+      val dataNames = GeoFiles.schemaFor(format, paths, layer).fieldNames.toSet
       spec.filter(p => !dataNames.contains(p._1) && schema.fieldNames.contains(p._1))
     }
   }
@@ -433,16 +552,17 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(schema, paths, format, bbox, rawPath, partCols)
+    new GeoScanBuilder(schema, paths, format, bbox, rawPath, partCols, layer)
   /** same table narrowed to a query window (index-backed formats prune) */
   def withBbox(b: (Double, Double, Double, Double)): GeoTable =
-    new GeoTable(schema, paths, format, Some(b), rawPath)
+    new GeoTable(schema, paths, format, Some(b), rawPath, layer)
 }
 
 class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
                      bbox: Option[(Double, Double, Double, Double)],
                      rawPath: Option[String] = None,
-                     partCols: Seq[(String, DataType)] = Seq.empty)
+                     partCols: Seq[(String, DataType)] = Seq.empty,
+                     layer: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -481,7 +601,7 @@ class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
 
   override def build(): Scan =
-    new GeoScan(fullSchema, required, prunedPaths, format, bbox, rawPath, partCols)
+    new GeoScan(fullSchema, required, prunedPaths, format, bbox, rawPath, partCols, layer)
 }
 
 /** Evaluates a source Filter against one file's partition values (raw
@@ -538,7 +658,8 @@ object GeoPartFilter {
 class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], format: String,
               bbox: Option[(Double, Double, Double, Double)] = None,
               rawPath: Option[String] = None,
-              partCols: Seq[(String, DataType)] = Seq.empty)
+              partCols: Seq[(String, DataType)] = Seq.empty,
+              layer: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -548,7 +669,8 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
     * DSv2 relation defaults to "unknown/huge" and a small .shp lookup table
     * shuffles instead of broadcasting. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = paths.map { p =>
+    private val localPaths = paths.map(GeoFiles.local)
+    private val bytes: Long = localPaths.map { p =>
       val f = new java.io.File(p.stripPrefix("file:"))
       // shapefile payloads live beside the .shp in .dbf; count the family
       if (format == "shapefile") {
@@ -558,11 +680,11 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
     }.sum
     private val rows: java.util.OptionalLong = format match {
       case "shapefile" =>
-        try java.util.OptionalLong.of(paths.map(p => Shapefile.readMeta(p).recordCount.toLong).sum)
+        try java.util.OptionalLong.of(localPaths.map(p => Shapefile.readMeta(p).recordCount.toLong).sum)
         catch { case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty() }
       case "flatgeobuf" =>
         try {
-          val counts = paths.map(p => FlatGeobuf.readHeader(p).featuresCount)
+          val counts = localPaths.map(p => FlatGeobuf.readHeader(p).featuresCount)
           if (counts.forall(_ > 0)) java.util.OptionalLong.of(counts.sum)
           else java.util.OptionalLong.empty()
         } catch { case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty() }
@@ -579,31 +701,36 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
         "geo streaming requires a directory path")), checkpointLocation, partCols)
 
   override def planInputPartitions(): Array[InputPartition] =
-    GeoScan.partitionsFor(format, paths)
+    GeoScan.partitionsFor(format, paths, layer)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format, bbox, partCols)
+    new GeoReaderFactory(fullSchema, required, format, bbox, partCols, layer)
 }
 
 object GeoScan {
   /** Partition planning shared by the batch Scan and the micro-batch stream:
     * every format splits intra-file where its container allows it. */
-  def partitionsFor(format: String, paths: Seq[String]): Array[InputPartition] = format match {
+  def partitionsFor(format: String, paths: Seq[String],
+                    layer: Option[String] = None): Array[InputPartition] = format match {
     case "osmpbf" =>
       // blob-parallel: runs of 16 blobs per partition (st_read_osm.cpp parallel model)
       paths.flatMap { p =>
-        OsmPbf.indexBlobs(p).grouped(16).map(g => OsmPartition(p, g.toArray): InputPartition)
+        OsmPbf.indexBlobs(GeoFiles.local(p)).grouped(16)
+          .map(g => OsmPartition(p, g.toArray): InputPartition)
       }.toArray
     case "shapefile" =>
       // intra-file splits from the .shx record index: one 20 GB .shp becomes
-      // ~300 range partitions instead of one task
+      // ~300 range partitions instead of one task. Partitions carry the
+      // VIRTUAL path (zip entries localize executor-side); split planning
+      // reads the localized copy.
       val targetBytes = 64L << 20
       paths.flatMap { p =>
-        val meta = Shapefile.readMeta(p)
+        val lp = GeoFiles.local(p)
+        val meta = Shapefile.readMeta(lp)
         val n = meta.recordCount
         if (n == 0) Seq(ShpRangePartition(p, 0, 0): InputPartition)
         else {
-          val totalBytes = new java.io.File(Shapefile.basePath(p) + ".shp").length()
+          val totalBytes = new java.io.File(Shapefile.basePath(lp) + ".shp").length()
           val chunks = math.max(1, math.min(n.toLong, totalBytes / targetBytes + 1)).toInt
           val per = (n + chunks - 1) / chunks
           (0 until n by per).map(s => ShpRangePartition(p, s, math.min(n, s + per)): InputPartition)
@@ -618,7 +745,7 @@ object GeoScan {
           .getConfString("spark.graft.fgb.splitBytes", (64L << 20).toString).toLong
         catch { case _: Exception => 64L << 20 }
       paths.flatMap { p =>
-        FlatGeobuf.splitOffsets(p, target).map { case (from, to) =>
+        FlatGeobuf.splitOffsets(GeoFiles.local(p), target).map { case (from, to) =>
           FgbRangePartition(p, from, to): InputPartition
         }
       }.toArray
@@ -628,9 +755,10 @@ object GeoScan {
       // balanced tree makes equal child counts ≈ equal bytes)
       val target = 64L << 20
       paths.flatMap { p =>
-        val table = GeoFiles.geopackageTable(p)
-        val roots = GeoPackage.subtreeRoots(p, table)
-        val bytes = new java.io.File(p.stripPrefix("file:")).length()
+        val lp = GeoFiles.local(p)
+        val table = GeoFiles.geopackageTable(lp, layer)
+        val roots = GeoPackage.subtreeRoots(lp, table)
+        val bytes = new java.io.File(lp.stripPrefix("file:")).length()
         val chunks = math.max(1, math.min(roots.size.toLong, bytes / target + 1)).toInt
         val per = (roots.size + chunks - 1) / chunks
         roots.grouped(per).map(g => GpkgPartition(p, g.toArray): InputPartition)
@@ -645,7 +773,7 @@ object GeoScan {
       paths.flatMap { p =>
         if (p.toLowerCase.endsWith(".gz")) Seq(FilePartition(p): InputPartition)
         else {
-          val len = new java.io.File(p).length()
+          val len = new java.io.File(GeoFiles.local(p)).length()
           if (len == 0) Seq(JsonlRangePartition(p, 0L, 0L): InputPartition)
           else (0L until len by target).map(s =>
             JsonlRangePartition(p, s, math.min(len, s + target)): InputPartition)
@@ -664,9 +792,24 @@ case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends Inpu
 
 class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: String,
                        bbox: Option[(Double, Double, Double, Double)] = None,
-                       partCols: Seq[(String, DataType)] = Seq.empty)
+                       partCols: Seq[(String, DataType)] = Seq.empty,
+                       layer: Option[String] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  override def createReader(partition0: InputPartition): PartitionReader[InternalRow] = {
+    // zip-virtual paths localize HERE — on the executor that owns the
+    // partition — so archive entries are extracted where they are read
+    val partition = partition0 match {
+      case FilePartition(p) if GeoFiles.isZipVirtual(p) => FilePartition(GeoFiles.local(p))
+      case JsonlRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+        JsonlRangePartition(GeoFiles.local(p), a, b)
+      case GpkgPartition(p, r) if GeoFiles.isZipVirtual(p) => GpkgPartition(GeoFiles.local(p), r)
+      case FgbRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+        FgbRangePartition(GeoFiles.local(p), a, b)
+      case ShpRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+        ShpRangePartition(GeoFiles.local(p), a, b)
+      case OsmPartition(p, blobs) if GeoFiles.isZipVirtual(p) => OsmPartition(GeoFiles.local(p), blobs)
+      case other => other
+    }
     // format readers see DATA columns only; Hive-style partition columns are
     // appended afterwards as per-file constants parsed from the path
     val partNames = partCols.map(_._1).toSet
@@ -708,21 +851,24 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         }
         feats.map(GeoRows.fgbRow(_, required))
       case ("geopackage", GpkgPartition(p, roots)) =>
-        GeoRows.gpkgRows(p, roots, required)
+        GeoRows.gpkgRows(p, roots, required, layer)
       case ("kml", FilePartition(p)) =>
-        XmlGeo.kmlFeatures(p).map(GeoRows.featureRow(_, required))
+        XmlGeo.kmlFeatures(p, layer).map(GeoRows.featureRow(_, required))
       case ("gpx", FilePartition(p)) =>
         XmlGeo.gpxFeatures(p).map(GeoRows.featureRow(_, required))
       case ("gml", FilePartition(p)) =>
         XmlGeo.gmlFeatures(p).map(GeoRows.featureRow(_, required))
       case ("kmz", FilePartition(p)) =>
-        XmlGeo.kmzFeatures(p).map(GeoRows.featureRow(_, required))
+        XmlGeo.kmzFeatures(p, layer).map(GeoRows.featureRow(_, required))
       case ("georss", FilePartition(p)) =>
         XmlGeo.georssFeatures(p).map(GeoRows.featureRow(_, required))
       case ("mapinfo", FilePartition(p)) =>
         MapInfoMif.features(p).map(GeoRows.featureRow(_, required))
       case ("dxf", FilePartition(p)) =>
-        Dxf.features(p).map(GeoRows.featureRow(_, required))
+        // DXF layers = entity layer codes; the `layer` property always carries it
+        val feats = Dxf.features(p)
+        layer.fold(feats)(l => feats.filter(_.properties.get("layer").contains(l)))
+          .map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required)
       case ("xlsx", FilePartition(p)) =>
@@ -732,8 +878,10 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
     val rows: Iterator[InternalRow] =
       if (required0.length == required.length) rows0
       else {
-        // every InputPartition's first element is its file path
-        val path = partition.asInstanceOf[Product].productElement(0).toString
+        // every InputPartition's first element is its file path; use the
+        // ORIGINAL (possibly zip-virtual) path — extracted copies flatten
+        // the k=v directory segments away
+        val path = partition0.asInstanceOf[Product].productElement(0).toString
         val kv = GeoFiles.partitionValuesOf(path).toMap
         val dataIdx = required.fieldNames.zipWithIndex.toMap
         val cells: Array[Either[Int, Any]] = required0.fields.map { f =>
@@ -809,8 +957,9 @@ object GeoRows {
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
   }
 
-  def gpkgRows(path: String, subtreeRoots: Array[Long], required: StructType): Iterator[InternalRow] = {
-    val t = GeoFiles.geopackageTable(path)
+  def gpkgRows(path: String, subtreeRoots: Array[Long], required: StructType,
+               layer: Option[String] = None): Iterator[InternalRow] = {
+    val t = GeoFiles.geopackageTable(path, layer)
     val colIdx = t.columns.map(_._1).zipWithIndex.toMap
     GeoPackage.scanPages(path, t, subtreeRoots.toSeq).map { case (_, cols, geom) =>
       val vals = required.fields.map { field =>

@@ -327,7 +327,8 @@ object GeoMeta {
           g.map(j => if (j.contains("\"crs\"")) null else "OGC:CRS84").orNull,
           projjson.map(fromProjjson).getOrElse(if (g.isDefined) Crs84Detail else CrsDetail()))
       } else {
-        val paths = GeoFiles.expand(path)
+        // zip-virtual entries localize so header/sidecar probes below work
+        val paths = GeoFiles.expand(path).map(GeoFiles.local)
         val f = GeoFiles.formatOf(paths, None)
         val (crs, detail) = f match {
           case "shapefile" =>
@@ -372,14 +373,32 @@ object GeoMeta {
         byCode.copy(proj4 = proj4FromWkt1(byCode.wkt))
       else byCode
     }
+    // Layer inventory (st_read_meta.cpp:26-65 reports a GDAL layer array):
+    // geopackage = feature tables, KML/KMZ = folders, DXF = entity layers;
+    // single-layer formats report an empty list.
+    val layers: Seq[String] =
+      try fmt match {
+        case "geopackage" => GeoPackage.featureTables(path.stripPrefix("file:")).map(_.name)
+        case "kml" => XmlGeo.kmlLayers(path)
+        case "kmz" =>
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          XmlGeo.kmzFeatures(path).foreach(_.properties.get("folder").foreach(seen += _))
+          seen.toSeq
+        case "dxf" =>
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          Dxf.features(path).foreach(_.properties.get("layer").foreach(seen += _))
+          seen.toSeq
+        case _ => Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val rows = Seq(Row(path, fmt, fileCount,
-      fields.map(f => Row(f.name, f.dataType.simpleString)), geo, crs, enriched.row))
+      fields.map(f => Row(f.name, f.dataType.simpleString)), layers, geo, crs, enriched.row))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("path", StringType),
       StructField("driver", StringType),
       StructField("file_count", IntegerType),
       StructField("fields", ArrayType(StructType(Seq(
         StructField("name", StringType), StructField("type", StringType))))),
+      StructField("layers", ArrayType(StringType)),
       StructField("geo_metadata", StringType),
       StructField("crs", StringType),
       StructField("crs_detail", StructType(Seq(

@@ -37,41 +37,60 @@ object GeoPackageWriter {
   def write(path: String, table: String, columns: Seq[(String, String)],
             rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326,
             open: String => java.io.OutputStream =
-              p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long = {
+              p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long =
+    writeMulti(path, Seq((table, columns, rows)), srsId, open)
+
+  /** Multi-layer GeoPackage: one feature table per entry (a GeoPackage is a
+   *  container of layers — reference reads them via st_read's `layer` option,
+   *  st_read.cpp:623-631). Returns total feature count. */
+  def writeMulti(path: String,
+                 tables: Seq[(String, Seq[(String, String)], Iterator[(Geometry, Array[Any])])],
+                 srsId: Int = 4326,
+                 open: String => java.io.OutputStream =
+                   p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long = {
     val db = new SqliteWriter.Db
-    var count = 0L
-    var minX = Double.MaxValue; var minY = Double.MaxValue
-    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
-    val recs = rows.map { case (g, attrs) =>
-      count += 1
-      if (g != null && !g.isEmpty) {
-        val e = g.getEnvelopeInternal
-        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
-        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+    var total = 0L
+    val perTable = tables.map { case (table, columns, rows) =>
+      var count = 0L
+      var minX = Double.MaxValue; var minY = Double.MaxValue
+      var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+      val recs = rows.map { case (g, attrs) =>
+        count += 1
+        if (g != null && !g.isEmpty) {
+          val e = g.getEnvelopeInternal
+          minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+          maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+        }
+        // fid = INTEGER PRIMARY KEY → stored as NULL, value is the rowid
+        val vals: Seq[Any] = null +: attrs.toSeq :+ (if (g == null) null else gpkgBlob(g, srsId))
+        (count, SqliteWriter.record(vals))
       }
-      // fid = INTEGER PRIMARY KEY → stored as NULL, value is the rowid
-      val vals: Seq[Any] = null +: attrs.toSeq :+ (if (g == null) null else gpkgBlob(g, srsId))
-      (count, SqliteWriter.record(vals))
+      // single streaming pass: rows spill to the page file as they arrive, and
+      // count/bounds are final once writeTable returns (consumed before the
+      // contents/srs tables below read them)
+      val featRoot = db.writeTable(recs)
+      total += count
+      val bounds =
+        if (count == 0 || minX > maxX) (0.0, 0.0, 0.0, 0.0) else (minX, minY, maxX, maxY)
+      (table, columns, featRoot, bounds)
     }
-    // single streaming pass: rows spill to the page file as they arrive, and
-    // count/bounds are final once writeTable returns (consumed before the
-    // contents/srs tables below read them)
-    val featRoot = db.writeTable(recs)
 
     val srsRoot = db.writeTable(Seq(
       1L -> SqliteWriter.record(Seq("WGS 84 geodetic", srsId.toLong, "EPSG", srsId.toLong,
         "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]", null))))
-    val (cminX, cminY, cmaxX, cmaxY) =
-      if (count == 0 || minX > maxX) (0.0, 0.0, 0.0, 0.0) else (minX, minY, maxX, maxY)
-    val contentsRoot = db.writeTable(Seq(
-      1L -> SqliteWriter.record(Seq(table, "features", table, "", "2026-01-01T00:00:00.000Z",
-        cminX, cminY, cmaxX, cmaxY, srsId.toLong))))
-    val geomColsRoot = db.writeTable(Seq(
-      1L -> SqliteWriter.record(Seq(table, "geom", "GEOMETRY", srsId.toLong, 0L, 0L))))
+    val contentsRoot = db.writeTable(perTable.zipWithIndex.map { case ((table, _, _, b), i) =>
+      (i + 1L) -> SqliteWriter.record(Seq(table, "features", table, "", "2026-01-01T00:00:00.000Z",
+        b._1, b._2, b._3, b._4, srsId.toLong))
+    })
+    val geomColsRoot = db.writeTable(perTable.zipWithIndex.map { case ((table, _, _, _), i) =>
+      (i + 1L) -> SqliteWriter.record(Seq(table, "geom", "GEOMETRY", srsId.toLong, 0L, 0L))
+    })
 
-    val colSql = columns.map { case (n, t) => s""""$n" $t""" }.mkString(", ")
-    val featSql =
-      s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)"""
+    val featMaster = perTable.map { case (table, columns, featRoot, _) =>
+      val colSql = columns.map { case (n, t) => s""""$n" $t""" }.mkString(", ")
+      (table, featRoot,
+        s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)""")
+    }
     db.finish(path, open = open, master = Seq(
       // NOTE: srs_id INTEGER PRIMARY KEY is the rowid alias (no autoindex
       // b-tree needed); a TEXT PRIMARY KEY would imply a sqlite_autoindex
@@ -81,9 +100,8 @@ object GeoPackageWriter {
       ("gpkg_contents", contentsRoot,
         "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT, identifier TEXT, description TEXT, last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"),
       ("gpkg_geometry_columns", geomColsRoot,
-        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"),
-      (table, featRoot, featSql)))
-    count
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)")) ++ featMaster)
+    total
   }
 
   def sqliteType(dt: org.apache.spark.sql.types.DataType): String = dt match {

@@ -829,4 +829,54 @@ object GeoWriter {
     if (!fs.rename(t, p))
       throw new java.io.IOException(s"appendAndRecluster: could not move $tmp into place")
   }
+
+  /** Delete story for the clustered layout (reference CRUD parity:
+   *  test/sql/index/rtree_crud.test — its R-tree absorbs DELETEs in place).
+   *  Partition-rewrite deletes: only the part files that actually CONTAIN
+   *  matching rows are rewritten (matched via input_file_name, a metadata-
+   *  sized driver list); every other file — and therefore its Hilbert order
+   *  and bbox stats — is untouched, so pruning quality survives without a
+   *  re-sort. Each rewritten file swaps in atomically (write sibling, rename
+   *  over). Rows where the predicate is NULL are KEPT (SQL DELETE semantics).
+   *  Returns the number of rows removed. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+                  predicate: String): Long = {
+    graft.Graft.register(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val affected = spark.read.parquet(path)
+      .where(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    // capture the geo footer up front; only REWRITTEN files get restamped —
+    // untouched files keep their bytes (and mtimes) exactly
+    val geoJson = GeoParquet.readGeo(conf, path.stripPrefix("file:"))
+    var removed = 0L
+    affected.foreach { fileUri =>
+      val one = spark.read.parquet(fileUri)
+      val kept = one.where(s"NOT ($predicate) OR ($predicate) IS NULL")
+      val total = one.count()
+      val keptN = kept.count()
+      removed += total - keptN
+      val orig = new org.apache.hadoop.fs.Path(new java.net.URI(fileUri).getPath)
+      if (keptN == 0) {
+        if (!fs.delete(orig, false))
+          throw new java.io.IOException(s"deleteWhere: could not remove $orig")
+      } else if (keptN < total) {
+        val tmpDir = new org.apache.hadoop.fs.Path(orig.getParent,
+          s".${orig.getName}__delete_tmp")
+        kept.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(s"deleteWhere: no output part in $tmpDir"))
+        if (!fs.delete(orig, false))
+          throw new java.io.IOException(s"deleteWhere: could not remove $orig")
+        if (!fs.rename(part, orig))
+          throw new java.io.IOException(s"deleteWhere: could not move $part into place")
+        fs.delete(tmpDir, true)
+        geoJson.foreach(g => GeoParquet.stampGeo(conf, orig, g))
+      }
+    }
+    removed
+  }
 }

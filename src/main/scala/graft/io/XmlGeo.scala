@@ -53,12 +53,22 @@ object XmlGeo {
   /** Placemarks → features: name/description as properties, geometry from
    *  Point/LineString/Polygon/MultiGeometry (KML coordinates are
    *  "lon,lat[,alt]" whitespace-separated tuples). */
-  def kmlFeatures(path: String): Iterator[Feature] = kmlFrom(reader(path), null)
+  def kmlFeatures(path: String, layer: Option[String] = None): Iterator[Feature] =
+    kmlFrom(reader(path), null, layer.orNull)
+
+  /** Distinct Folder names of a KML document, in first-seen order — the
+   *  layer list st_read_meta reports (KML's layer concept is the Folder;
+   *  GDAL's LIBKML driver surfaces folders as layers). */
+  def kmlLayers(path: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    kmlFeatures(path).foreach(_.properties.get("folder").foreach(seen += _))
+    seen.toSeq
+  }
 
   /** KMZ: a zip archive whose main document is `doc.kml` (OGC KML 2.2 §10.2).
    *  The root doc.kml wins; otherwise the first .kml entry. The archive stays
    *  open until the feature stream drains. */
-  def kmzFeatures(path: String): Iterator[Feature] = {
+  def kmzFeatures(path: String, layer: Option[String] = None): Iterator[Feature] = {
     val zf = new java.util.zip.ZipFile(path.stripPrefix("file:"))
     import scala.jdk.CollectionConverters._
     val kmls = zf.entries().asScala
@@ -67,10 +77,11 @@ object XmlGeo {
       .getOrElse { zf.close(); throw new IllegalArgumentException(s"no .kml entry inside $path") }
     val br = new java.io.BufferedReader(
       new java.io.InputStreamReader(zf.getInputStream(entry), "UTF-8"), 1 << 16)
-    kmlFrom(readerOf(br), () => zf.close())
+    kmlFrom(readerOf(br), () => zf.close(), layer.orNull)
   }
 
-  private def kmlFrom(r: XMLStreamReader, extraClose: () => Unit): Iterator[Feature] = {
+  private def kmlFrom(r: XMLStreamReader, extraClose: () => Unit,
+                      layerFilter: String = null): Iterator[Feature] = {
     val fac = Geo.factory
     var n = 0
 
@@ -165,10 +176,25 @@ object XmlGeo {
         else fac.createGeometryCollection(parts.toArray)
     }
 
+    // Folder stack: a Folder START pushes a yet-unnamed slot; the next <name>
+    // at container level names it; Folder END pops. The innermost named
+    // Folder becomes the feature's `folder` property (= its KML layer).
+    val folders = scala.collection.mutable.Stack.empty[Array[String]]
+    def currentFolder: String =
+      folders.collectFirst { case slot if slot(0) != null => slot(0) }.orNull
+
     lazily(r, extraClose) { () =>
       var result: Feature = null
       while (result == null && r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Placemark") {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "Folder" =>
+            folders.push(Array[String](null))
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "Folder" =>
+            if (folders.nonEmpty) folders.pop()
+          case XMLStreamConstants.START_ELEMENT
+              if r.getLocalName == "name" && folders.nonEmpty && folders.top(0) == null =>
+            folders.top(0) = text()
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "Placemark" =>
           var name: String = null; var desc: String = null
           var geom: Geometry = null
           var dataName: String = null
@@ -189,8 +215,13 @@ object XmlGeo {
             case _ =>
           }
           n += 1
-          val props = Seq("name" -> name, "description" -> desc).collect { case (k, v) if v != null => k -> v }
-          result = Feature(n.toString, geom, props.toMap ++ extData)
+          val folder = currentFolder
+          if (layerFilter == null || layerFilter == folder) {
+            val props = Seq("name" -> name, "description" -> desc, "folder" -> folder)
+              .collect { case (k, v) if v != null => k -> v }
+            result = Feature(n.toString, geom, props.toMap ++ extData)
+          }
+          case _ =>
         }
       }
       result

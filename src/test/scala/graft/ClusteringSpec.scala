@@ -115,6 +115,47 @@ class ClusteringSpec extends AnyFunSuite {
     assert(meta.getAs[String]("geo_metadata") != null, "GeoParquet footer missing after swap")
   }
 
+  test("deleteWhere: partition-rewrite deletes keep untouched files and pruning intact") {
+    val pts = spark.sql("""
+      SELECT id, st_generatepoint(17L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
+      FROM range(20000)""")
+    GeoWriter.clusteredParquet(pts, "geom", s"$dir/del", targetPartitions = 8)
+    val before = spark.read.parquet(s"$dir/del")
+    val total = before.count()
+    val inWindow = before
+      .where("st_within(geom, st_makeenvelope(0.0d, 0.0d, 120.0d, 120.0d))").count()
+    assert(inWindow > 0 && inWindow < total)
+    val files = new java.io.File(s"$dir/del").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+
+    val removed = GeoWriter.deleteWhere(spark, s"$dir/del",
+      "st_within(geom, st_makeenvelope(0.0d, 0.0d, 120.0d, 120.0d))")
+    assert(removed == inWindow, s"removed $removed, expected $inWindow")
+
+    val after = spark.read.parquet(s"$dir/del")
+    assert(after.count() == total - inWindow, "row count after delete")
+    assert(after.where("st_within(geom, st_makeenvelope(0.0d, 0.0d, 120.0d, 120.0d))")
+      .count() == 0, "deleted window still has rows")
+    // Hilbert clustering means the delete window touches FEW files; the rest
+    // must be byte-identical (same mtime) — that's the point of
+    // partition-rewrite over full re-cluster
+    val filesAfter = new java.io.File(s"$dir/del").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    val untouched = filesAfter.count { case (n, m) => files.get(n).contains(m) }
+    assert(untouched > 0, "every file was rewritten — partition pruning not applied")
+    // bbox skipping still consistent with rule off
+    after.createOrReplaceTempView("del_t")
+    val q = "SELECT count(*) FROM del_t WHERE st_within(geom, st_makeenvelope(200.0d, 200.0d, 400.0d, 400.0d))"
+    val n = spark.sql(q).collect()(0).getLong(0)
+    spark.conf.set("spark.graft.bboxSkipping.enabled", "false")
+    val m = try spark.sql(q).collect()(0).getLong(0)
+      finally spark.conf.set("spark.graft.bboxSkipping.enabled", "true")
+    assert(n == m && n > 0)
+    // GeoParquet footer survived the rewrite
+    val meta = GeoMeta.readMeta(spark, s"$dir/del").collect()(0)
+    assert(meta.getAs[String]("geo_metadata") != null, "geo footer lost by deleteWhere")
+  }
+
   test("geojsonl writer round-trips through the geo reader") {
     val df = spark.sql(
       "SELECT id, concat('n', id) AS name, st_point(cast(id AS DOUBLE), 1.0d) AS geom FROM range(5)")
@@ -142,14 +183,14 @@ class ClusteringSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT driver FROM st_read_meta('$dir/out_gj')")
       .collect()(0).getString(0) == "geojsonl")
     // geojson-family CRS is spec-fixed CRS84, reported in the detail struct
-    val d = meta.getStruct(6)
+    val d = meta.getAs[org.apache.spark.sql.Row]("crs_detail")
     assert(d.getString(1) == "OGC" && d.getString(2) == "CRS84" && d.getString(4) != null)
   }
 
   test("read_meta crs_detail: .prj authority + FGB header vs reference fixtures") {
     val shp = "/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp"
     assume(new java.io.File(shp).exists())
-    val d = GeoMeta.readMeta(spark, shp).collect()(0).getStruct(6)
+    val d = GeoMeta.readMeta(spark, shp).collect()(0).getAs[org.apache.spark.sql.Row]("crs_detail")
     // taxi_zones.prj: NAD83 / New York Long Island (ftUS), EPSG:2263
     assert(d.getString(0) != null && d.getString(0).contains("Long_Island"), d.toString)
     assert(d.getString(3) != null && d.getString(3).startsWith("PROJCS"), "wkt carried")
@@ -157,9 +198,10 @@ class ClusteringSpec extends AnyFunSuite {
     val fgb = "/root/reference/test/data/amsterdam_roads.fgb"
     assume(new java.io.File(fgb).exists())
     val f = GeoMeta.readMeta(spark, fgb).collect()(0)
-    val fd = f.getStruct(6)
+    val fd = f.getAs[org.apache.spark.sql.Row]("crs_detail")
     // the GDAL-written fixture stamps org:code in the FGB header Crs table
-    assert(f.getString(5) != null && f.getString(5).contains(":"), f.getString(5))
+    assert(f.getAs[String]("crs") != null && f.getAs[String]("crs").contains(":"),
+      String.valueOf(f.getAs[String]("crs")))
     assert(fd.getString(2) != null && fd.getString(2).forall(_.isDigit), fd.toString)
   }
 }
