@@ -71,6 +71,7 @@ object CompGeomFns {
     val cacheable = out match {
       case b: Array[Byte] => b.length <= cgMemoMaxEntryBytes
       case _: GenericInternalRow => true
+      case _: UTF8String => true
       case _ => false
     }
     if (cacheable) {
@@ -226,8 +227,19 @@ object CompGeomFns {
     // DE-9IM intersection matrix (PostGIS ST_Relate) + the matrix-vs-pattern
     // test (PostGIS ST_RelateMatch; one FnSpec per name, so the 3-arg
     // ST_Relate overload is spelled st_relatematch(st_relate(a,b), pattern))
-    fn("st_relate", org.apache.spark.sql.types.StringType, Seq(B, B))(a =>
-      UTF8String.fromString(rg(a(0)).relate(rg(a(1))).toString))
+    // DE-9IM matrix computation is among the costliest JTS ops per call;
+    // dimension-table patterns relate the same geometry pair across millions
+    // of rows, so the pair memo collapses them to one topology build each
+    fn("st_relate", org.apache.spark.sql.types.StringType, Seq(B, B)) { a =>
+      (a(0), a(1)) match {
+        // p = first operand's length disambiguates the concat boundary
+        case (x: Array[Byte], y: Array[Byte])
+            if x.length <= cgMemoMaxEntryBytes && y.length <= cgMemoMaxEntryBytes =>
+          memo(8, x ++ y, x.length.toDouble)(
+            UTF8String.fromString(rg(x).relate(rg(y)).toString))
+        case _ => UTF8String.fromString(rg(a(0)).relate(rg(a(1))).toString)
+      }
+    }
     fn("st_relatematch",
       org.apache.spark.sql.types.BooleanType,
       Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)) { a =>

@@ -31,6 +31,17 @@ object Geo {
     var k0: Array[Byte] = _; var v0: Geometry = _
     var k1: Array[Byte] = _; var v1: Geometry = _
     var pk: AnyRef = _; var pv: PreparedGeometry = _
+    // Bounded LRU memo for WKT parses: dimension-table patterns build the
+    // same few hundred literals across millions of rows (q_compgeom: 400
+    // distinct strings × 600 k rows). Per-thread (not global) so parsed
+    // geometries are never published across threads — JTS envelope/userData
+    // caching is not safely publishable. High-cardinality workloads just
+    // cycle the LRU: one string hash + miss per parse, noise next to the
+    // parse itself.
+    val wktMemo = new java.util.LinkedHashMap[String, Geometry](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Geometry]): Boolean =
+        size() > 2048
+    }
   }
   private val tl = ThreadLocal.withInitial[Caches](() => new Caches)
 
@@ -107,7 +118,21 @@ object Geo {
     "(?i)\\b(?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\\s+(ZM|Z|M)\\b".r
   private val TopEmptyTag = "(?i)^\\s*[A-Z]+\\s+(ZM|Z|M)\\s+EMPTY\\s*$".r
 
+  /** Strings longer than this skip the WKT memo (hash cost + retention). */
+  private val wktMemoMaxChars = 4096
+
   def fromWkt(wkt0: String): Geometry = {
+    if (wkt0.length <= wktMemoMaxChars) {
+      val memo = tl.get().wktMemo
+      val hit = memo.get(wkt0)
+      if (hit != null) return hit
+      val g = fromWktUncached(wkt0)
+      memo.put(wkt0, g)
+      g
+    } else fromWktUncached(wkt0)
+  }
+
+  private def fromWktUncached(wkt0: String): Geometry = {
     // accept EWKT "SRID=n;..." prefixes (reference strips them, wkt_reader.cpp)
     val wkt = {
       val t = wkt0.trim

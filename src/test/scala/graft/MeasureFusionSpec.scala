@@ -56,6 +56,32 @@ class MeasureFusionSpec extends AnyFunSuite {
     assert(got.toSeq == plain.toSeq, s"got=${got.toSeq} plain=${plain.toSeq}")
   }
 
+  test("collect fusion: st_ngeometries/st_npoints over st_collect_agg never buffer") {
+    Graft.register(spark)
+    val q = """
+      SELECT id % 3 AS grp,
+             st_ngeometries(st_collect_agg(g)) AS n,
+             st_npoints(st_collect_agg(g)) AS np
+      FROM (SELECT id,
+                   CASE WHEN id % 11 = 0 THEN NULL
+                        WHEN id % 7 = 0 THEN st_geomfromtext('POINT EMPTY')
+                        WHEN id % 2 = 0 THEN st_point(CAST(id AS DOUBLE), 1.0d)
+                        ELSE st_makeline(st_point(0.0d, 0.0d), st_point(CAST(id AS DOUBLE), 2.0d))
+                   END AS g
+            FROM range(0, 3000))
+      GROUP BY id % 3 ORDER BY grp"""
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("st_collect_agg"),
+      s"collect fusion did not fire — geometry buffering survives:\n${plan.take(2000)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    spark.conf.set("spark.graft.measureFusion.enabled", "false")
+    val plain =
+      try spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
+    assert(got.toSeq == plain.toSeq, s"got=${got.toSeq} plain=${plain.toSeq}")
+  }
+
   test("rectUnionArea sweep: randomized parity with JTS, fast at dedupCap scale") {
     import graft.functions.GeoAggregates
     import org.locationtech.jts.geom.GeometryFactory
