@@ -56,8 +56,17 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val paths = pathsOf(options)
+    // reference's st_read spatial_filter_box named param (st_read.cpp:623-631):
+    // a bind-time query window — index-backed formats (FlatGeobuf packed
+    // R-tree) prune features before they are materialized. The exact
+    // predicate still belongs in .where(); this is the coarse pre-filter.
+    val bbox = Option(options.get("bbox")).map { s =>
+      val p = s.split(",").map(_.trim.toDouble)
+      require(p.length == 4, s"bbox option expects 'minx,miny,maxx,maxy', got '$s'")
+      (p(0), p(1), p(2), p(3))
+    }
     new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))),
-      rawPath = Option(options.get("path")), layer = Option(options.get("layer")))
+      bbox = bbox, rawPath = Option(options.get("path")), layer = Option(options.get("layer")))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -816,9 +825,23 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
     val fullSchema =
       if (partNames.isEmpty) fullSchema0
       else StructType(fullSchema0.fields.filterNot(f => partNames.contains(f.name)))
-    val required =
+    val required1 =
       if (partNames.isEmpty) required0
       else StructType(required0.fields.filterNot(f => partNames.contains(f.name)))
+    // spatial_filter_box semantics: features whose envelope misses the window
+    // are excluded for EVERY format (fgb additionally prunes via its packed
+    // index before materializing). If projection pruned the geometry away
+    // (e.g. count(*)), read it internally and drop it after the filter.
+    val geomName = fullSchema.fields.find(f =>
+      f.dataType == BinaryType && (f.name == "geom" || f.name == "geometry"))
+      .map(_.name).orNull
+    val (required, bboxGeomIdx, dropBboxGeom) = bbox match {
+      case Some(_) if geomName != null =>
+        val gi = required1.fieldNames.indexOf(geomName)
+        if (gi >= 0) (required1, gi, false)
+        else (StructType(required1.fields :+ fullSchema(geomName)), required1.length, true)
+      case _ => (required1, -1, false)
+    }
     val rows0: Iterator[InternalRow] = (format, partition) match {
       case ("shapefile", ShpRangePartition(p, s, e)) => GeoRows.shapefileRows(p, s, e, fullSchema, required)
       case ("geojson", FilePartition(p)) =>
@@ -875,8 +898,19 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         GeoRows.xlsxRows(p, fullSchema, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
+    val rows0b: Iterator[InternalRow] =
+      if (bboxGeomIdx < 0) rows0
+      else {
+        val Some((x0, y0, x1, y1)) = bbox
+        rows0.filter { r =>
+          !r.isNullAt(bboxGeomIdx) && {
+            val e = graft.geom.Wkb.envelope(r.getBinary(bboxGeomIdx))
+            e != null && e(0) <= x1 && e(2) >= x0 && e(1) <= y1 && e(3) >= y0
+          }
+        }
+      }
     val rows: Iterator[InternalRow] =
-      if (required0.length == required.length) rows0
+      if (partNames.isEmpty && !dropBboxGeom) rows0b
       else {
         // every InputPartition's first element is its file path; use the
         // ORIGINAL (possibly zip-virtual) path — extracted copies flatten
@@ -893,7 +927,7 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
           }
         }
         val dataTypes = required.fields.map(_.dataType)
-        rows0.map { r =>
+        rows0b.map { r =>
           val out = new Array[Any](cells.length)
           var i = 0
           while (i < cells.length) {
