@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * Spatial write paths.
@@ -759,6 +760,45 @@ object GeoWriter {
       }
       ()
     }
+  }
+
+  /** Multi-layer GeoPackage export: one feature table per distinct value of
+   *  `layerCol` in a single `.gpkg` file — the write-side mirror of the
+   *  reader's `layer` option (reference: a GDAL multi-layer dataset,
+   *  st_read.cpp:623-631). Layers stream one at a time through
+   *  toLocalIterator (one small job per layer; driver memory stays
+   *  row-bounded) — an export/interchange utility, not a bulk path: for
+   *  bulk output use the per-partition `geopackage` writer. */
+  def geopackageLayers(df: DataFrame, geomCol: String, layerCol: String, path: String): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val layerIdx = schema.fieldIndex(layerCol)
+    val attrIdx = schema.fields.indices.filterNot(i => i == geomIdx || i == layerIdx)
+    val cols = attrIdx.map { i =>
+      val f = schema.fields(i)
+      (f.name, GeoPackageWriter.sqliteType(f.dataType))
+    }
+    val layers = df.select(layerCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).sorted
+    require(layers.nonEmpty, "geopackageLayers: no rows to write")
+    val tables = layers.toSeq.map { l =>
+      val rows = df.where(org.apache.spark.sql.functions.col(layerCol) === l)
+        .toLocalIterator().asScala.map { r =>
+          val g = r.get(geomIdx) match {
+            case b: Array[Byte] => graft.geom.Geo.read(b)
+            case _ => null
+          }
+          val attrs = attrIdx.map(i => r.get(i) match {
+            case b: Boolean => if (b) 1L else 0L
+            case x: Int => x.toLong
+            case x: Float => x.toDouble
+            case other => other
+          }).toArray[Any]
+          (g, attrs)
+        }
+      (l, cols, rows)
+    }
+    GeoPackageWriter.writeMulti(path, tables)
   }
 
   /** Hilbert-clustered parquet with bbox stats column and GeoParquet 1.1

@@ -95,6 +95,26 @@ class LayerSelectionSpec extends AnyFunSuite {
     assert(layers.toSet == Set("walls", "doors"), layers.mkString(","))
   }
 
+  test("geopackageLayers: layer column round-trips through the reader's layer option") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layers_w")
+    val p = dir.resolve("multi.gpkg").toString
+    Graft.register(spark)
+    val df = spark.sql("""
+      SELECT CASE WHEN id < 4 THEN 'roads' ELSE 'pois' END AS layer,
+             concat('f', id) AS name,
+             st_aswkb(st_point(cast(id AS DOUBLE), cast(id AS DOUBLE))) AS geom
+      FROM range(10)""")
+    graft.io.GeoWriter.geopackageLayers(df, "geom", "layer", p)
+    val meta = graft.io.GeoMeta.readMeta(spark, p)
+      .selectExpr("layers").collect()(0).getSeq[String](0)
+    assert(meta == Seq("pois", "roads"), meta.mkString(","))
+    assert(spark.read.format("geo").option("layer", "roads").load(p).count() == 4)
+    val pois = spark.read.format("geo").option("layer", "pois").load(p)
+    assert(pois.count() == 6)
+    val names = pois.selectExpr("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("f4", "f5", "f6", "f7", "f8", "f9"), names.mkString(","))
+  }
+
   test("layer option on a layerless format fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layers_gj")
     val p = dir.resolve("x.geojsonl")
