@@ -296,6 +296,24 @@ object GeoFns {
       case _ => false
     }
   }
+  private final class XformKey(val wkb: Array[Byte], val from: String, val to: String,
+      val xy: Boolean) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(wkb)
+      h = h * 31 + from.hashCode
+      h = h * 31 + to.hashCode
+      h * 31 + (if (xy) 1 else 0)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: XformKey => k.xy == xy && k.from == from && k.to == to &&
+        java.util.Arrays.equals(k.wkb, wkb)
+      case _ => false
+    }
+  }
+  private val xformMemoMax = 131072
+  private val xformMemoMaxEntryBytes = 16384
+  private val xformMemo = new java.util.concurrent.ConcurrentHashMap[XformKey, Array[Byte]]()
+
   private val bufferMemoMax = 131072
   private val bufferMemoMaxEntryBytes = 16384
   private val bufferMemo = new java.util.concurrent.ConcurrentHashMap[BufferKey, Array[Byte]]()
@@ -1552,9 +1570,29 @@ object GeoFns {
     gG("st_pointonsurface")(_.getInteriorPoint)
 
     // ---- CRS
+    // Content-keyed memo, same rationale as the buffer/compgeom memos:
+    // grid-snapped and dimension-joined corpora repeat coordinates heavily,
+    // and a projection kernel (trig + iteration + possibly a grid shift)
+    // costs orders of magnitude more than a probe. Bounded, cleared
+    // wholesale when full.
     fn("st_transform", B, Seq(B, S, S), Seq(B, S, S, BO)) { a =>
       val alwaysXy = a.length > 3 && a(3).asInstanceOf[Boolean]
-      w(transformGeom(rg(a(0)), str(a(1)), str(a(2)), alwaysXy))
+      val from = str(a(1)); val to = str(a(2))
+      a(0) match {
+        case in: Array[Byte] if in.length <= xformMemoMaxEntryBytes =>
+          val key = new XformKey(in, from, to, alwaysXy)
+          val hit = xformMemo.get(key)
+          if (hit != null) hit
+          else {
+            val out = w(transformGeom(rg(in), from, to, alwaysXy))
+            if (out.length <= xformMemoMaxEntryBytes) {
+              if (xformMemo.size >= xformMemoMax) xformMemo.clear()
+              xformMemo.put(key, out)
+            }
+            out
+          }
+        case other => w(transformGeom(rg(other), from, to, alwaysXy))
+      }
     }
 
     // ---- spatial keys (clustering / tiling — the R-tree replacement, SURVEY §4.3)
