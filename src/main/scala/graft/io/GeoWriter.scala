@@ -892,31 +892,81 @@ object GeoWriter {
     // untouched files keep their bytes (and mtimes) exactly
     val geoJson = GeoParquet.readGeo(conf, path.stripPrefix("file:"))
     var removed = 0L
+    rewriteAffected(spark, fs, affected, geoJson) { one =>
+      val kept = one.where(s"NOT ($predicate) OR ($predicate) IS NULL")
+      removed += one.count() - kept.count()
+      kept
+    }
+    removed
+  }
+
+  /** UPDATE for the clustered layout (reference CRUD parity:
+   *  test/sql/index/rtree_crud.test UPDATE rows). Same partition-rewrite
+   *  shape as [[deleteWhere]]: only files containing matching rows rewrite;
+   *  `assignments` maps column name → SQL expression applied WHERE the
+   *  predicate holds (other rows pass through unchanged). Geometry updates
+   *  that move rows far out of their file's Hilbert band degrade that file's
+   *  bbox tightness — run `appendAndRecluster` after bulk spatial updates,
+   *  exactly like the OPTIMIZE half of a table format. Returns rows updated. */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+                  predicate: String, assignments: Map[String, String]): Long = {
+    graft.Graft.register(spark)
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val cols = spark.read.parquet(path).columns
+    assignments.keys.foreach(k => require(cols.contains(k),
+      s"updateWhere: no column '$k' in $path (have ${cols.mkString(", ")})"))
+    val affected = spark.read.parquet(path)
+      .where(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    val geoJson = GeoParquet.readGeo(conf, path.stripPrefix("file:"))
+    var updated = 0L
+    rewriteAffected(spark, fs, affected, geoJson) { one =>
+      updated += one.where(predicate).count()
+      one.selectExpr(cols.map { c =>
+        assignments.get(c) match {
+          case Some(e) => s"CASE WHEN ($predicate) THEN ($e) ELSE `$c` END AS `$c`"
+          case None => s"`$c`"
+        }
+      }: _*)
+    }
+    updated
+  }
+
+  /** Shared per-file rewrite machinery: read each affected file, apply
+   *  `rewrite`, swap atomically (write sibling dir, rename over), restamp
+   *  the geo footer; a file whose rewrite is empty is deleted. */
+  private def rewriteAffected(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              affected: Seq[String], geoJson: Option[String])(
+                              rewrite: DataFrame => DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     affected.foreach { fileUri =>
       val one = spark.read.parquet(fileUri)
-      val kept = one.where(s"NOT ($predicate) OR ($predicate) IS NULL")
-      val total = one.count()
-      val keptN = kept.count()
-      removed += total - keptN
+      val out = rewrite(one)
+      val outN = out.count()
       val orig = new org.apache.hadoop.fs.Path(new java.net.URI(fileUri).getPath)
-      if (keptN == 0) {
+      if (outN == 0) {
         if (!fs.delete(orig, false))
-          throw new java.io.IOException(s"deleteWhere: could not remove $orig")
-      } else if (keptN < total) {
+          throw new java.io.IOException(s"rewriteAffected: could not remove $orig")
+      } else {
         val tmpDir = new org.apache.hadoop.fs.Path(orig.getParent,
-          s".${orig.getName}__delete_tmp")
-        kept.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+          s".${orig.getName}__rewrite_tmp")
+        // the rewrite job reads the original file while writing the sibling;
+        // only after a successful write does the swap touch the original
+        out.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
         val part = fs.listStatus(tmpDir).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new java.io.IOException(s"deleteWhere: no output part in $tmpDir"))
+          .getOrElse(throw new java.io.IOException(s"rewriteAffected: no output part in $tmpDir"))
         if (!fs.delete(orig, false))
-          throw new java.io.IOException(s"deleteWhere: could not remove $orig")
+          throw new java.io.IOException(s"rewriteAffected: could not remove $orig")
         if (!fs.rename(part, orig))
-          throw new java.io.IOException(s"deleteWhere: could not move $part into place")
+          throw new java.io.IOException(s"rewriteAffected: could not move $part into place")
         fs.delete(tmpDir, true)
         geoJson.foreach(g => GeoParquet.stampGeo(conf, orig, g))
       }
     }
-    removed
   }
 }

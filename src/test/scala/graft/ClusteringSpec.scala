@@ -156,6 +156,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(meta.getAs[String]("geo_metadata") != null, "geo footer lost by deleteWhere")
   }
 
+  test("updateWhere: partition-rewrite updates leave untouched files byte-identical") {
+    val pts = spark.sql("""
+      SELECT id, 0 AS flagged, st_generatepoint(19L, id, 0.0d, 0.0d, 1000.0d, 1000.0d) AS geom
+      FROM range(20000)""")
+    GeoWriter.clusteredParquet(pts, "geom", s"$dir/upd", targetPartitions = 8)
+    val pred = "st_within(geom, st_makeenvelope(0.0d, 0.0d, 150.0d, 150.0d))"
+    val expect = spark.read.parquet(s"$dir/upd").where(pred).count()
+    assert(expect > 0)
+    val files = new java.io.File(s"$dir/upd").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+
+    val n = GeoWriter.updateWhere(spark, s"$dir/upd", pred, Map("flagged" -> "1"))
+    assert(n == expect, s"updated $n, expected $expect")
+
+    val after = spark.read.parquet(s"$dir/upd")
+    assert(after.count() == 20000, "update changed row count")
+    assert(after.where("flagged = 1").count() == expect)
+    assert(after.where(s"flagged = 1 AND NOT ($pred)").count() == 0, "update leaked outside predicate")
+    val filesAfter = new java.io.File(s"$dir/upd").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    assert(filesAfter.count { case (nm, m) => files.get(nm).contains(m) } > 0,
+      "every file was rewritten — partition pruning not applied")
+    val meta = GeoMeta.readMeta(spark, s"$dir/upd").collect()(0)
+    assert(meta.getAs[String]("geo_metadata") != null, "geo footer lost by updateWhere")
+  }
+
   test("geojsonl writer round-trips through the geo reader") {
     val df = spark.sql(
       "SELECT id, concat('n', id) AS name, st_point(cast(id AS DOUBLE), 1.0d) AS geom FROM range(5)")
