@@ -1850,6 +1850,52 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // /vsizip/ round trip (round 7): a deterministic point set written as a
+    // geojsonl entry INSIDE a zip archive, read back through the zip-virtual
+    // path — lazy per-executor extraction under the oracle. Coordinates are
+    // id-derived integers, so the oracle is plain lineitem arithmetic;
+    // fixture generation collects ≤1k driver rows (test plumbing).
+    "q_vsizip_roundtrip" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism).createOrReplaceTempView("lineitem")
+      val ids = s.sql(s"SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0")
+        .collect().map(_.getLong(0)).sorted
+      val zipPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_vsizip_demo.zip")
+      val zo = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zipPath))
+      zo.putNextEntry(new java.util.zip.ZipEntry("pts.geojsonl"))
+      val sb = new StringBuilder
+      ids.foreach { id =>
+        sb.append(s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${(id * 3) % 997},${(id * 7) % 983}]},"properties":{"k":"$id"}}""").append('\n')
+      }
+      zo.write(sb.toString.getBytes("UTF-8")); zo.closeEntry(); zo.close()
+      s.read.format("geo").load(s"$zipPath!pts.geojsonl")
+        .selectExpr("CAST(properties['k'] AS BIGINT) AS k",
+          "st_x(st_geomfromwkb(geom)) AS x", "st_y(st_geomfromwkb(geom)) AS y")
+        .orderBy("k")
+    }),
+
+    // Multi-layer GeoPackage round trip (round 7): the layer column fans out
+    // into feature tables via geopackageLayers; st_read(path, layer) reads
+    // ONE of them back. Oracle = the odd-id half of the same arithmetic.
+    "q_gpkg_layers" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism).createOrReplaceTempView("lineitem")
+      val src = s.sql(s"""
+        SELECT CASE WHEN id % 2 = 0 THEN 'evens' ELSE 'odds' END AS layer,
+               id AS k,
+               st_aswkb(st_point(CAST((id * 3) % 997 AS DOUBLE), CAST((id * 7) % 983 AS DOUBLE))) AS geom
+        FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)""")
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_gpkg_layers_demo.gpkg").toString
+      graft.io.GeoWriter.geopackageLayers(src, "geom", "layer", p)
+      s.sql(s"""
+        SELECT k, st_x(st_geomfromwkb(geom)) AS x, st_y(st_geomfromwkb(geom)) AS y
+        FROM st_read('$p', 'odds') ORDER BY k""")
+    }),
+
     // Long-tail reader interop proof: the SAME deterministic point set flows
     // through the KMZ, GeoRSS, MIF/MID, and DXF readers; the oracle recomputes
     // the coordinate sums straight from customer. A reader that drops rows,
@@ -2510,6 +2556,22 @@ object SparkEntry {
                    CAST(min(l_suppkey % 100) AS DOUBLE) AS y
             FROM lineitem WHERE l_orderkey % 29 = 0 GROUP BY 1) l
         ON p.k = l.k
+      ORDER BY k""",
+
+    // zip-virtual + layered-gpkg round trips: pure lineitem arithmetic
+    "q_vsizip_roundtrip" -> s"""
+      SELECT id AS k,
+             CAST((id * 3) % 997 AS DOUBLE) AS x,
+             CAST((id * 7) % 983 AS DOUBLE) AS y
+      FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)
+      ORDER BY k""",
+
+    "q_gpkg_layers" -> s"""
+      SELECT id AS k,
+             CAST((id * 3) % 997 AS DOUBLE) AS x,
+             CAST((id * 7) % 983 AS DOUBLE) AS y
+      FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)
+      WHERE id % 2 = 1
       ORDER BY k""",
 
     // partitioned-tree read: per-region aggregates recomputed from customer

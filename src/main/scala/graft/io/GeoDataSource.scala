@@ -163,10 +163,16 @@ object GeoFiles {
 
   private val zipCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Resolve a (possibly zip-virtual) path to a readable local file. */
+  /** Resolve a (possibly zip-virtual) path to a readable local file. The
+    * cache key carries the archive's length+mtime so a rewritten archive at
+    * the same path is re-extracted, never served stale. */
   def local(p: String): String =
     if (!isZipVirtual(p)) p
-    else zipCache.computeIfAbsent(p, _ => extractEntry(p))
+    else {
+      val f = new java.io.File(p.substring(0, p.indexOf('!')).stripPrefix("file:"))
+      zipCache.computeIfAbsent(p + "@" + f.length() + ":" + f.lastModified(),
+        _ => extractEntry(p))
+    }
 
   private def extractEntry(virtual: String): String = {
     val bang = virtual.indexOf('!')
