@@ -97,12 +97,18 @@ object GeoFiles {
       // stance as a directory tree
       val zf = new java.util.zip.ZipFile(vsz)
       try {
-        val entries = zf.entries().asScala
+        val names = zf.entries().asScala
           .filter(e => !e.isDirectory && known(e.getName))
-          .map(e => vsz + "!" + e.getName).toVector.sorted
-        if (entries.isEmpty) throw new IllegalArgumentException(
+          .map(_.getName).toVector.sorted
+        if (names.isEmpty) throw new IllegalArgumentException(
           s"no known geo entries inside $vsz")
-        return entries
+        // one archive = one dataset: mixed formats can't share a schema —
+        // demand an explicit entry instead of misparsing the tail
+        val fmts = names.map(n => formatOf(Seq(n), None)).distinct
+        if (fmts.length > 1) throw new IllegalArgumentException(
+          s"mixed formats inside $vsz (${fmts.mkString(", ")}); " +
+            s"read one entry via '$vsz!<entry>' — entries: ${names.take(10).mkString(", ")}")
+        return names.map(vsz + "!" + _)
       } finally zf.close()
     }
     // accept GDAL's /vsigzip/ virtual-fs spelling; .gz is handled natively

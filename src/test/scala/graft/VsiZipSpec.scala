@@ -72,6 +72,18 @@ class VsiZipSpec extends AnyFunSuite {
     assert(xs.sorted.toSeq == Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0))
   }
 
+  test("bare zip with mixed formats demands an explicit entry") {
+    val zip = zipOf(
+      "a.geojsonl" -> """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{}}""".getBytes("UTF-8"),
+      "b.csv" -> "wkt\nPOINT (1 2)\n".getBytes("UTF-8"))
+    val err = intercept[Exception] {
+      spark.read.format("geo").load(zip).collect()
+    }
+    assert(err.getMessage.contains("mixed formats"), err.getMessage)
+    // explicit entry still reads
+    assert(spark.read.format("geo").load(s"$zip!b.csv").count() == 1)
+  }
+
   test("enable_external_access=false blocks archive extraction") {
     val zip = zipOf("x.geojsonl" ->
       """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{}}"""
