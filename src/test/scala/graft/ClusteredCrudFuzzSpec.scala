@@ -1,0 +1,81 @@
+package graft
+
+import graft.io.GeoWriter
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Randomized CRUD consistency over the clustered layout — the analogue of
+  * the reference's rtree fuzz harness (test/python/rtree_fuzz.py: randomized
+  * insert/delete/query rounds against its R-tree). Rounds of
+  * appendAndRecluster / deleteWhere / updateWhere are mirrored in an
+  * in-memory model; after every round the full table AND a window query must
+  * match the model exactly. */
+class ClusteredCrudFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("randomized append/delete/update rounds match an in-memory model") {
+    Graft.register(spark)
+    val dir = Files.createTempDirectory("graft_crud_fuzz").toString + "/t"
+    val rnd = new scala.util.Random(1234)
+
+    // id -> (x, y, flag); coordinates integral so window-boundary semantics
+    // (st_within excludes the boundary) mirror exactly in the model
+    var model = Map.empty[Long, (Double, Double, Long)]
+    def df(rows: Seq[(Long, Double, Double, Long)]) = {
+      import spark.implicits._
+      rows.toDF("id", "x", "y", "flag")
+        .selectExpr("id", "flag", "st_aswkb(st_point(x, y)) AS geom")
+    }
+    def inWin(x: Double, y: Double, x0: Int, y0: Int, x1: Int, y1: Int): Boolean =
+      x > x0 && x < x1 && y > y0 && y < y1
+
+    val init = (0L until 2000L).map(i =>
+      (i, rnd.nextInt(1000).toDouble, rnd.nextInt(1000).toDouble, 0L))
+    model = init.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    GeoWriter.clusteredParquet(df(init), "geom", dir, targetPartitions = 6)
+    var nextId = 2000L
+
+    for (round <- 1 to 4) {
+      // INSERT: a fresh batch, then re-cluster (the OPTIMIZE pairing)
+      val batch = (nextId until nextId + 500).map(i =>
+        (i, rnd.nextInt(1000).toDouble, rnd.nextInt(1000).toDouble, 0L))
+      nextId += 500
+      model ++= batch.map(r => r._1 -> ((r._2, r._3, r._4)))
+      GeoWriter.appendAndRecluster(df(batch), "geom", dir, targetPartitions = 6)
+
+      // DELETE: a random window
+      val dx = rnd.nextInt(800); val dy = rnd.nextInt(800)
+      val dPred = s"st_within(geom, st_makeenvelope($dx.0d, $dy.0d, ${dx + 120}.0d, ${dy + 120}.0d))"
+      val expectDel = model.values.count { case (x, y, _) => inWin(x, y, dx, dy, dx + 120, dy + 120) }
+      val removed = GeoWriter.deleteWhere(spark, dir, dPred)
+      assert(removed == expectDel, s"round $round delete: $removed vs model $expectDel")
+      model = model.filterNot { case (_, (x, y, _)) => inWin(x, y, dx, dy, dx + 120, dy + 120) }
+
+      // UPDATE: stamp the round number onto a random vertical band
+      val ux = rnd.nextInt(800)
+      val uPred = s"st_within(geom, st_makeenvelope($ux.0d, -1.0d, ${ux + 100}.0d, 1001.0d))"
+      val expectUpd = model.values.count { case (x, y, _) => inWin(x, y, ux, -1, ux + 100, 1001) }
+      val updated = GeoWriter.updateWhere(spark, dir, uPred, Map("flag" -> round.toString))
+      assert(updated == expectUpd, s"round $round update: $updated vs model $expectUpd")
+      model = model.map { case (id, (x, y, f)) =>
+        id -> ((x, y, if (inWin(x, y, ux, -1, ux + 100, 1001)) round.toLong else f))
+      }
+
+      // full-table and window-query consistency vs the model
+      val got = spark.read.parquet(dir)
+        .selectExpr("id", "flag", "st_x(st_geomfromwkb(geom)) AS x", "st_y(st_geomfromwkb(geom)) AS y")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getLong(1)))).toMap
+      assert(got.size == model.size, s"round $round size: ${got.size} vs ${model.size}")
+      assert(got == model, s"round $round full-table mismatch")
+      val qx = rnd.nextInt(700)
+      val winGot = spark.read.parquet(dir)
+        .where(s"st_within(geom, st_makeenvelope($qx.0d, 100.0d, ${qx + 200}.0d, 600.0d))")
+        .selectExpr("id").collect().map(_.getLong(0)).toSet
+      val winModel = model.collect {
+        case (id, (x, y, _)) if inWin(x, y, qx, 100, qx + 200, 600) => id
+      }.toSet
+      assert(winGot == winModel, s"round $round window query mismatch")
+    }
+  }
+}
