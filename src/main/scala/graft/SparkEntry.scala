@@ -344,6 +344,21 @@ object SparkEntry {
                         FROM lineitem)))
       ORDER BY k"""),
 
+    // ST_Subdivide (round 7, PostGIS-beyond): densified axis-aligned rects
+    // split into ≤12-vertex pieces; clips land on binary-fraction envelope
+    // midpoints so the piece-area sum and the recombined extent are EXACT —
+    // a lost sliver, duplicated piece, or wrong clip fails the hash. Piece
+    // counts/structure are spec-golden (CompGeomSpec), not oracle-able.
+    "q_subdivide" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_area(sub), 6) + 0.0d AS area,
+             st_xmax(sub) AS xmax, st_ymax(sub) AS ymax
+      FROM (SELECT k, st_subdivide(st_segmentize(poly, 1.0d), 12) AS sub
+            FROM (SELECT k, st_geomfromtext('POLYGON ((0 0, ' || p || ' 0, ' || p || ' ' || qq || ', 0 ' || qq || ', 0 0))') AS poly
+                  FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                        FROM lineitem)))
+      ORDER BY k"""),
+
     // DE-9IM relate (PostGIS ST_Relate / ST_RelateMatch, beyond the
     // reference's boolean predicates): six axis-aligned rect-pair classes —
     // equal / contains / within / overlap / edge-touch / corner-touch — whose
@@ -2526,6 +2541,15 @@ object SparkEntry {
                          CAST(l_partkey % 18 AS DOUBLE) - 109.25 AS lon,
                          CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
                   FROM lineitem))
+      ORDER BY k""",
+
+    // subdivide: piece-area sum and recombined extent are exact arithmetic
+    "q_subdivide" -> s"""
+      SELECT k,
+             round(CAST(p * qq AS DOUBLE), 6) + 0.0 AS area,
+             CAST(p AS DOUBLE) AS xmax, CAST(qq AS DOUBLE) AS ymax
+      FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+            FROM lineitem)
       ORDER BY k""",
 
     // NADCON analytic oracle: the .las/.los nodes sample these bilinear

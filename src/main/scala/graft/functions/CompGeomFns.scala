@@ -161,6 +161,60 @@ object CompGeomFns {
     ok(g)
   }
 
+  /** ST_Subdivide (PostGIS semantics, beyond the reference's surface): split
+   *  a geometry into pieces of at most `maxVertices` vertices by recursively
+   *  halving the envelope on its longer axis and clipping. THE pre-split
+   *  tool for planet-scale joins: a 100 k-vertex coastline polygon meeting
+   *  millions of points costs a 100 k-vertex point-in-polygon per row until
+   *  subdivided — afterwards each tile-local piece is small and the tile
+   *  join's per-row work is bounded. Returns a collection (pair with
+   *  st_dump to explode into rows, like PostGIS's set-returning form). */
+  def subdivide(g: Geometry, maxVertices: Int): Geometry = {
+    require(maxVertices >= 5, s"ST_Subdivide: max_vertices must be >= 5, got $maxVertices")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double): Geometry =
+      f.createPolygon(Array(
+        new Coordinate(x0, y0), new Coordinate(x1, y0),
+        new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
+    def rec(geom: Geometry, depth: Int): Unit = {
+      if (geom == null || geom.isEmpty) return
+      geom match {
+        case gc: GeometryCollection =>
+          // members divide independently (PostGIS flattens multi inputs)
+          (0 until gc.getNumGeometries).foreach(i => rec(gc.getGeometryN(i), depth))
+        case _ if geom.getNumPoints <= maxVertices || depth >= 24 =>
+          parts += geom
+        case _ =>
+          // outer edges padded by 1: only the split line matters, and the
+          // padding keeps the clip rect non-degenerate for flat inputs
+          // (a horizontal line's envelope has zero height)
+          val e = geom.getEnvelopeInternal
+          val (a, b) =
+            if (e.getWidth >= e.getHeight) {
+              val mx = (e.getMinX + e.getMaxX) / 2
+              (rect(e.getMinX - 1, e.getMinY - 1, mx, e.getMaxY + 1),
+                rect(mx, e.getMinY - 1, e.getMaxX + 1, e.getMaxY + 1))
+            } else {
+              val my = (e.getMinY + e.getMaxY) / 2
+              (rect(e.getMinX - 1, e.getMinY - 1, e.getMaxX + 1, my),
+                rect(e.getMinX - 1, my, e.getMaxX + 1, e.getMaxY + 1))
+            }
+          rec(geom.intersection(a), depth + 1)
+          rec(geom.intersection(b), depth + 1)
+      }
+    }
+    rec(g, 0)
+    val ps = parts.toArray
+    if (ps.isEmpty) f.createGeometryCollection()
+    else if (ps.forall(_.isInstanceOf[Polygon]))
+      f.createMultiPolygon(ps.map(_.asInstanceOf[Polygon]))
+    else if (ps.forall(_.isInstanceOf[LineString]))
+      f.createMultiLineString(ps.map(_.asInstanceOf[LineString]))
+    else if (ps.forall(_.isInstanceOf[Point]))
+      f.createMultiPoint(ps.map(_.asInstanceOf[Point]))
+    else f.createGeometryCollection(ps)
+  }
+
   def load(): Unit = {
     fn("st_forcepolygoncw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = true)))
     fn("st_forcepolygonccw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = false)))
@@ -219,6 +273,9 @@ object CompGeomFns {
     // maxLen >= the diameter degrades to the convex hull
     fn("st_concavehull", B, Seq(B, D))(a =>
       memo(7, a(0), dbl(a(1)))(w(ConcaveHull.concaveHullByLength(rg(a(0)), dbl(a(1))))))
+    fn("st_subdivide", B, Seq(B, org.apache.spark.sql.types.IntegerType))(a =>
+      memo(9, a(0), a(1).asInstanceOf[Int].toDouble)(
+        w(subdivide(rg(a(0)), a(1).asInstanceOf[Int]))))
     // 1-indexed member accessor (PostGIS ST_GeometryN); null out of range
     fn("st_geometryn", B, Seq(B, org.apache.spark.sql.types.IntegerType)) { a =>
       val g = rg(a(0)); val n = a(1).asInstanceOf[Int]

@@ -94,6 +94,29 @@ class CompGeomSpec extends AnyFunSuite {
     assert(sql1("st_angle(st_point(1, 0), st_point(0, 0), st_point(0, 0))") == null)
   }
 
+  test("st_subdivide: every piece bounded, lossless recombination, small inputs pass through") {
+    // a small rect (5 vertices ≤ maxVertices) passes through untouched
+    assert(sql1("st_astext(st_normalize(st_subdivide(st_makeenvelope(0, 0, 2, 3), 12)))")
+      == sql1("st_astext(st_normalize(st_multi(st_makeenvelope(0, 0, 2, 3))))"))
+    // densified 8x8 rect: 33 boundary vertices forces recursion
+    val parts = sql1("st_ngeometries(st_subdivide(st_segmentize(st_makeenvelope(0, 0, 8, 8), 1.0), 12))")
+      .asInstanceOf[Int]
+    assert(parts > 1, s"expected subdivision, got $parts piece(s)")
+    // lossless: area sum exact, extent recombines, every piece within bound
+    assert(sql1("st_area(st_subdivide(st_segmentize(st_makeenvelope(0, 0, 8, 8), 1.0), 12))") == 64.0)
+    val maxNp = SparkTestSession.spark.sql("""
+      SELECT max(st_npoints(d.geom))
+      FROM (SELECT explode(st_dump(
+              st_subdivide(st_segmentize(st_makeenvelope(0.0d, 0.0d, 8.0d, 8.0d), 1.0d), 12))) AS d)""")
+      .collect()(0).getInt(0)
+    assert(maxNp <= 12, s"a piece exceeds max_vertices: $maxNp")
+    // lines subdivide too; points pass through; bad bound rejected
+    assert(sql1("st_ngeometries(st_subdivide(st_segmentize(st_geomfromtext('LINESTRING (0 0, 16 0)'), 1.0), 6))")
+      .asInstanceOf[Int] > 1)
+    assert(sql1("st_astext(st_subdivide(st_point(1, 2), 12))") == "MULTIPOINT (1 2)")
+    intercept[Exception](sql1("st_subdivide(st_point(1, 2), 4)"))
+  }
+
   test("concave hull tightens below the convex hull") {
     // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
     val convex = sql1(
