@@ -359,6 +359,19 @@ object SparkEntry {
                         FROM lineitem)))
       ORDER BY k"""),
 
+    // ST_MaximumInscribedCircle (round 7): for an axis-aligned rect the MIC
+    // radius is exactly min(p,q)/2 — halves of integers, so a 3dp round of
+    // the tolerance-1e-6 construction is analytic; the center's distance to
+    // the nearest boundary point equals the radius (consistency column).
+    "q_inscribed_circle" -> q("lineitem")(s"""
+      SELECT k,
+             round(mic.radius, 3) + 0.0d AS r,
+             round(st_distance(mic.center, mic.nearest), 3) + 0.0d AS d
+      FROM (SELECT k, st_maximuminscribedcircle(st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE)), 0.000001d) AS mic
+            FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                  FROM lineitem))
+      ORDER BY k"""),
+
     // DE-9IM relate (PostGIS ST_Relate / ST_RelateMatch, beyond the
     // reference's boolean predicates): six axis-aligned rect-pair classes —
     // equal / contains / within / overlap / edge-touch / corner-touch — whose
@@ -2541,6 +2554,15 @@ object SparkEntry {
                          CAST(l_partkey % 18 AS DOUBLE) - 109.25 AS lon,
                          CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
                   FROM lineitem))
+      ORDER BY k""",
+
+    // inscribed circle: rect MIC radius = min(p,q)/2; nearest-distance == r
+    "q_inscribed_circle" -> s"""
+      SELECT k,
+             round(CAST(least(p, qq) AS DOUBLE) / 2, 3) + 0.0 AS r,
+             round(CAST(least(p, qq) AS DOUBLE) / 2, 3) + 0.0 AS d
+      FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+            FROM lineitem)
       ORDER BY k""",
 
     // subdivide: piece-area sum and recombined extent are exact arithmetic

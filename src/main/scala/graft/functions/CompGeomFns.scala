@@ -253,6 +253,32 @@ object CompGeomFns {
           if (c == null) null else w(f.createPoint(c)), mbc.getRadius))
       }
     }
+    // PostGIS ST_MaximumInscribedCircle: largest circle contained in a
+    // polygon (JTS iterative construction to the given tolerance; PostGIS
+    // defaults the tolerance from the extent — we take it explicitly)
+    fn("st_maximuminscribedcircle",
+      StructType(Seq(StructField("center", B), StructField("nearest", B),
+        StructField("radius", D))), Seq(B, D)) { a =>
+      memo(10, a(0), dbl(a(1))) {
+        val mic = new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(
+          rg(a(0)), dbl(a(1)))
+        new GenericInternalRow(Array[Any](
+          w(mic.getCenter), w(mic.getRadiusPoint), mic.getRadiusLine.getLength))
+      }
+    }
+    // PostGIS ST_LargestEmptyCircle: largest circle whose interior misses
+    // every input obstacle, centered within their convex hull
+    fn("st_largestemptycircle",
+      StructType(Seq(StructField("center", B), StructField("nearest", B),
+        StructField("radius", D))), Seq(B, D)) { a =>
+      memo(11, a(0), dbl(a(1))) {
+        // null boundary = obstacles' convex hull (the PostGIS default)
+        val lec = new org.locationtech.jts.algorithm.construct.LargestEmptyCircle(
+          rg(a(0)), null, dbl(a(1)))
+        new GenericInternalRow(Array[Any](
+          w(lec.getCenter), w(lec.getRadiusPoint), lec.getRadiusLine.getLength))
+      }
+    }
     fn("st_snap", B, Seq(B, B, D))(a =>
       w(new GeometrySnapper(rg(a(0))).snapTo(rg(a(1)), dbl(a(2)))))
     fn("st_delaunaytriangles", B, Seq(B)) { a =>

@@ -117,6 +117,22 @@ class CompGeomSpec extends AnyFunSuite {
     intercept[Exception](sql1("st_subdivide(st_point(1, 2), 4)"))
   }
 
+  test("maximum inscribed / largest empty circle") {
+    // 10x4 rect: MIC radius 2; center on the medial axis (y = 2)
+    val r = sql1("st_maximuminscribedcircle(st_makeenvelope(0, 0, 10, 4), 0.000001d).radius")
+      .asInstanceOf[Double]
+    assert(math.abs(r - 2.0) < 1e-4, s"radius $r")
+    val cy = sql1("st_y(st_maximuminscribedcircle(st_makeenvelope(0, 0, 10, 4), 0.000001d).center)")
+      .asInstanceOf[Double]
+    assert(math.abs(cy - 2.0) < 1e-4, s"center y $cy")
+    // 4 corner obstacles of a 10x10 square: LEC centers in the middle,
+    // radius = half diagonal = 5*sqrt(2)
+    val ler = sql1(
+      "st_largestemptycircle(st_geomfromtext('MULTIPOINT (0 0, 10 0, 10 10, 0 10)'), 0.000001d).radius")
+      .asInstanceOf[Double]
+    assert(math.abs(ler - 5 * math.sqrt(2)) < 1e-4, s"LEC radius $ler")
+  }
+
   test("concave hull tightens below the convex hull") {
     // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
     val convex = sql1(
