@@ -998,6 +998,28 @@ object SparkEntry {
       GROUP BY tf.doc_id
       ORDER BY tf.doc_id"""),
 
+    // tf-idf keyword extraction (round 7): top-2 whitelist terms per doc by
+    // tf·ln(N/df), scores rounded to 6dp BEFORE ranking (the q_hybrid_rrf
+    // determinism trick) with a lexicographic tie-break — both engines
+    // derive identical integer ranks. Keyed aggs + one window — scales.
+    "q_tfidf" -> q("documents")("""
+      WITH tok AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
+        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfc FROM tok GROUP BY term),
+      scored AS (SELECT tf.doc_id, tf.term, round(tf.f * ln(nd.n / df.dfc), 6) AS s
+                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+      SELECT doc_id, term, s + 0.0d AS tfidf
+      FROM (SELECT doc_id, term, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+            FROM scored)
+      WHERE rn <= 2
+      ORDER BY doc_id, term"""),
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
     // fuse a lexical BM25 ranking (per query term, the q_bm25 formula) with a
     // semantic embedding-cosine ranking (query vectors 0-3 against the whole
@@ -2764,6 +2786,26 @@ object SparkEntry {
               CROSS JOIN stats s
       GROUP BY tf.doc_id
       ORDER BY doc_id""",
+
+    "q_tfidf" -> """
+      WITH tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+              FROM documents)
+        WHERE t IN ('spark', 'vector', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+             FROM tok GROUP BY doc_id, term),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfc FROM tok GROUP BY term),
+      scored AS (SELECT tf.doc_id, tf.term, round(tf.f * ln(nd.n / df.dfc), 6) AS s
+                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, term, s + 0.0 AS tfidf
+      FROM (SELECT doc_id, term, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+            FROM scored)
+      WHERE rn <= 2
+      ORDER BY doc_id, term""",
 
     "q_hybrid_rrf" -> """
       WITH qdef AS (SELECT * FROM (VALUES ('spark', 0), ('vector', 1),

@@ -295,6 +295,22 @@ object CompGeomFns {
         w(b.getDiagram(f))
       }
     }
+    // PostGIS ST_VoronoiLines: the diagram's cell boundaries as linework
+    fn("st_voronoilines", B, Seq(B)) { a =>
+      memo(12, a(0), 0) {
+        val b = new VoronoiDiagramBuilder
+        b.setSites(rg(a(0)))
+        val d = b.getDiagram(f)
+        val lines = scala.collection.mutable.ArrayBuffer.empty[LineString]
+        (0 until d.getNumGeometries).foreach { i =>
+          d.getGeometryN(i) match {
+            case p: Polygon => lines += f.createLineString(p.getExteriorRing.getCoordinates)
+            case _ =>
+          }
+        }
+        w(f.createMultiLineString(lines.toArray))
+      }
+    }
     // JTS edge-length-threshold variant (ConcaveHull.concaveHullByLength):
     // maxLen >= the diameter degrades to the convex hull
     fn("st_concavehull", B, Seq(B, D))(a =>

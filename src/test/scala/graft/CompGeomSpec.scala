@@ -133,6 +133,17 @@ class CompGeomSpec extends AnyFunSuite {
     assert(math.abs(ler - 5 * math.sqrt(2)) < 1e-4, s"LEC radius $ler")
   }
 
+  test("voronoi lines: cell boundaries as linework") {
+    assert(sql1("st_geometrytype(st_voronoilines(st_geomfromtext('MULTIPOINT (0 0, 10 0, 5 10)')))")
+      == "MULTILINESTRING")
+    // the two-site diagram's boundary contains the perpendicular bisector:
+    // sites (0 0) and (10 0) → a vertical line at x = 5 crosses it
+    val crosses = sql1(
+      """st_intersects(st_voronoilines(st_geomfromtext('MULTIPOINT (0 0, 10 0)')),
+        |st_geomfromtext('LINESTRING (5 -1, 5 1)'))""".stripMargin)
+    assert(crosses == true)
+  }
+
   test("concave hull tightens below the convex hull") {
     // C-shaped point set: generous maxLen gives the convex hull; a tight one excludes the bay
     val convex = sql1(

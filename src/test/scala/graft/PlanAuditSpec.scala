@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_embed_quant",    // 10 query rows vs corpus: exact + quantized rerank A/B
     "q_knn_join",   // probe side bounded in-query
     "q_dbscan", "q_kmeans", // k-bounded literals by construction
-    "q_bm25", "q_dsir", "q_lm_quality" // 1-row corpus-stats side CROSS JOIN
+    "q_bm25", "q_dsir", "q_lm_quality", // 1-row corpus-stats side CROSS JOIN
+    "q_tfidf" // 1-row corpus-count side CROSS JOIN (same shape as q_bm25)
   )
 
   test("no unbounded cartesian/BNLJ in any query plan") {
