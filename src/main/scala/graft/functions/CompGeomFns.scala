@@ -295,6 +295,24 @@ object CompGeomFns {
         w(b.getDiagram(f))
       }
     }
+    // PostGIS ST_Node: fully node (and dissolve) a set of linestrings —
+    // crossings become endpoints. JTS's unary union over linework performs
+    // exactly this noding.
+    fn("st_node", B, Seq(B)) { a =>
+      memo(13, a(0), 0) {
+        val g = rg(a(0))
+        val lines = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+        g.apply(new GeometryComponentFilter {
+          override def filter(c: Geometry): Unit = c match {
+            case l: LineString if !l.isEmpty => lines += l
+            case _ =>
+          }
+        })
+        if (lines.isEmpty) w(f.createMultiLineString(Array.empty))
+        else w(org.locationtech.jts.operation.union.UnaryUnionOp.union(
+          java.util.Arrays.asList(lines.toSeq: _*)))
+      }
+    }
     // PostGIS ST_VoronoiLines: the diagram's cell boundaries as linework
     fn("st_voronoilines", B, Seq(B)) { a =>
       memo(12, a(0), 0) {

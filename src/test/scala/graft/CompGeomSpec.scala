@@ -133,6 +133,21 @@ class CompGeomSpec extends AnyFunSuite {
     assert(math.abs(ler - 5 * math.sqrt(2)) < 1e-4, s"LEC radius $ler")
   }
 
+  test("st_node: crossings become endpoints") {
+    // an X of two crossing diagonals nodes into 4 segments meeting at (1 1)
+    val n = sql1(
+      """st_ngeometries(st_node(st_geomfromtext(
+        |'MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))')))""".stripMargin).asInstanceOf[Int]
+    assert(n == 4, s"expected 4 noded segments, got $n")
+    // total length preserved through noding
+    val len = sql1(
+      """st_length(st_node(st_geomfromtext(
+        |'MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))')))""".stripMargin).asInstanceOf[Double]
+    assert(math.abs(len - 4 * math.sqrt(2)) < 1e-12)
+    // already-noded input unchanged in structure
+    assert(sql1("st_ngeometries(st_node(st_geomfromtext('LINESTRING (0 0, 1 0)')))") == 1)
+  }
+
   test("voronoi lines: cell boundaries as linework") {
     assert(sql1("st_geometrytype(st_voronoilines(st_geomfromtext('MULTIPOINT (0 0, 10 0, 5 10)')))")
       == "MULTILINESTRING")
