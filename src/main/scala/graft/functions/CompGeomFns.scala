@@ -176,6 +176,26 @@ object CompGeomFns {
       f.createPolygon(Array(
         new Coordinate(x0, y0), new Coordinate(x1, y0),
         new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
+    // Clip hygiene (PostGIS parity): a closed-rect clip of a line/polygon
+    // whose boundary touches the split line emits lower-dimension artifacts
+    // (boundary points/lines) on the far side — PostGIS drops them, and
+    // keeping them both pollutes the output and duplicates split-line
+    // geometry into both halves. Keep only components of the INPUT's
+    // dimension. (Puntal geometry never reaches the clip: multis flatten
+    // member-by-member above and a single point is always <= maxVertices.)
+    def sameDim(geom: Geometry, dim: Int): Geometry = {
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+      def walk(x: Geometry): Unit = x match {
+        case gc: GeometryCollection =>
+          (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+        case s if !s.isEmpty && s.getDimension == dim => keep += s
+        case _ =>
+      }
+      walk(geom)
+      if (keep.isEmpty) f.createGeometryCollection()
+      else if (keep.length == 1) keep(0)
+      else f.createGeometryCollection(keep.toArray)
+    }
     def rec(geom: Geometry, depth: Int): Unit = {
       if (geom == null || geom.isEmpty) return
       geom match {
@@ -199,8 +219,9 @@ object CompGeomFns {
               (rect(e.getMinX - 1, e.getMinY - 1, e.getMaxX + 1, my),
                 rect(e.getMinX - 1, my, e.getMaxX + 1, e.getMaxY + 1))
             }
-          rec(geom.intersection(a), depth + 1)
-          rec(geom.intersection(b), depth + 1)
+          val dim = geom.getDimension
+          rec(sameDim(geom.intersection(a), dim), depth + 1)
+          rec(sameDim(geom.intersection(b), dim), depth + 1)
       }
     }
     rec(g, 0)

@@ -32,6 +32,11 @@ object GeoPackageWriter {
     bb.array()
   }
 
+  /** SQL identifier body escaping: a `"` inside a double-quoted identifier
+   *  is written as `""` — without this a quote in a layer/column name would
+   *  corrupt the CREATE TABLE text in sqlite_master. */
+  private def qid(name: String): String = name.replace("\"", "\"\"")
+
   /** columns: (name, sqliteType) for the attribute columns (geometry and fid
    *  are added by the writer). `rows`: (geometry, attribute values). */
   def write(path: String, table: String, columns: Seq[(String, String)],
@@ -87,9 +92,9 @@ object GeoPackageWriter {
     })
 
     val featMaster = perTable.map { case (table, columns, featRoot, _) =>
-      val colSql = columns.map { case (n, t) => s""""$n" $t""" }.mkString(", ")
+      val colSql = columns.map { case (n, t) => s""""${qid(n)}" $t""" }.mkString(", ")
       (table, featRoot,
-        s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)""")
+        s"""CREATE TABLE "${qid(table)}" (fid INTEGER PRIMARY KEY${if (colSql.isEmpty) "" else ", " + colSql}, geom GEOMETRY)""")
     }
     db.finish(path, open = open, master = Seq(
       // NOTE: srs_id INTEGER PRIMARY KEY is the rowid alias (no autoindex

@@ -778,6 +778,21 @@ object GeoWriter {
       val f = schema.fields(i)
       (f.name, GeoPackageWriter.sqliteType(f.dataType))
     }
+    // NULL layer values have no table name to map to; String.valueOf would
+    // silently send them to a "null" table whose `=== "null"` filter never
+    // matches SQL NULL (rows dropped, empty table written) — fail fast.
+    val nullLayers = df.where(org.apache.spark.sql.functions.col(layerCol).isNull).count()
+    require(nullLayers == 0,
+      s"geopackageLayers: $nullLayers row(s) have NULL '$layerCol'; filter them out " +
+      "or coalesce to an explicit layer name first")
+    // Driver-streamed export path — bound the total row count so a misuse on
+    // a big table fails loudly instead of running a one-row-at-a-time export.
+    val maxRows = 5000000L
+    val totalRows = df.count()
+    require(totalRows <= maxRows,
+      s"geopackageLayers: $totalRows rows exceeds the $maxRows-row export bound; " +
+      "this is a driver-streamed interchange utility — use the per-partition " +
+      "`geopackage` writer for bulk output")
     val layers = df.select(layerCol).distinct().collect()
       .map(r => String.valueOf(r.get(0))).sorted
     require(layers.nonEmpty, "geopackageLayers: no rows to write")
@@ -917,6 +932,18 @@ object GeoWriter {
     val cols = spark.read.parquet(path).columns
     assignments.keys.foreach(k => require(cols.contains(k),
       s"updateWhere: no column '$k' in $path (have ${cols.mkString(", ")})"))
+    // An assignment that rewrites a geometry column must also rewrite its
+    // `<col>_bbox` sidecar in the same pass — BboxSkippingRule conjoins
+    // row-level range predicates on that struct, so a stale bbox is not
+    // merely loose pruning, it silently EXCLUDES rows whose geometry moved
+    // into a query window. (Explicit user assignments to the bbox win.)
+    val withBbox = assignments ++ assignments.collect {
+      case (g, _) if cols.contains(s"${g}_bbox") && !assignments.contains(s"${g}_bbox") =>
+        // evaluated only WHERE the predicate holds (the rewrite wraps every
+        // assignment in CASE WHEN predicate), against the ORIGINAL row — so
+        // the geom expression can be reused verbatim
+        s"${g}_bbox" -> s"st_extent(${assignments(g)})"
+    }
     val affected = spark.read.parquet(path)
       .where(predicate)
       .select(org.apache.spark.sql.functions.input_file_name())
@@ -926,7 +953,7 @@ object GeoWriter {
     rewriteAffected(spark, fs, affected, geoJson) { one =>
       updated += one.where(predicate).count()
       one.selectExpr(cols.map { c =>
-        assignments.get(c) match {
+        withBbox.get(c) match {
           case Some(e) => s"CASE WHEN ($predicate) THEN ($e) ELSE `$c` END AS `$c`"
           case None => s"`$c`"
         }

@@ -50,10 +50,15 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // skips both), so rewrite to a plain codegen'd count; st_npoints of the
       // result = sum of member point counts, so rewrite to sum. Zero-input
       // groups collect to an empty GEOMETRYCOLLECTION → both measures are 0.
+      // DISTINCT guard: st_ngeometries(st_collect_agg(DISTINCT g)) must count
+      // distinct geometries, but the rewritten Count(DISTINCT <1/null>) would
+      // always return 1 (and SUM(DISTINCT npoints) drops duplicate counts) —
+      // leave DISTINCT aggregates un-fused. Union/intersection area fusion
+      // above is DISTINCT-safe (both overlays are idempotent).
       case FnExpr(ng,
           Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
             c: graft.functions.GeoAggregates.StCollectAgg, _, _, _, _)))
-          if ng == "st_ngeometries" || ng == "st_numgeometries" =>
+          if (ng == "st_ngeometries" || ng == "st_numgeometries") && !ae.isDistinct =>
         import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, If, Literal}
         import org.apache.spark.sql.types.IntegerType
         val counted = If(
@@ -64,7 +69,7 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case FnExpr(np,
           Seq(ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
             c: graft.functions.GeoAggregates.StCollectAgg, _, _, _, _)))
-          if np == "st_npoints" || np == "st_numpoints" =>
+          if (np == "st_npoints" || np == "st_numpoints") && !ae.isDistinct =>
         import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Literal}
         import org.apache.spark.sql.types.IntegerType
         Cast(Coalesce(Seq(

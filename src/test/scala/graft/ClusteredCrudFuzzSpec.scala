@@ -78,4 +78,31 @@ class ClusteredCrudFuzzSpec extends AnyFunSuite {
       assert(winGot == winModel, s"round $round window query mismatch")
     }
   }
+
+  test("updateWhere on the geometry column recomputes the bbox sidecar " +
+       "(window queries see moved rows)") {
+    Graft.register(spark)
+    val dir = Files.createTempDirectory("graft_crud_geomupd").toString + "/t"
+    import spark.implicits._
+    // 200 points around (10,10); move ids 0..9 far away to (900+id, 900)
+    val init = (0L until 200L).map(i => (i, 10.0 + (i % 20), 10.0 + (i / 20)))
+      .toDF("id", "x", "y")
+      .selectExpr("id", "st_aswkb(st_point(x, y)) AS geom")
+    GeoWriter.clusteredParquet(init, "geom", dir, targetPartitions = 4)
+    assert(spark.read.parquet(dir).columns.contains("geom_bbox"))
+    val n = GeoWriter.updateWhere(spark, dir, "id < 10",
+      Map("geom" -> "st_aswkb(st_point(900.0d + CAST(id AS DOUBLE), 900.0d))"))
+    assert(n == 10)
+    // BboxSkippingRule conjoins geom_bbox range predicates: if the sidecar
+    // were stale (still near (10,10)) these rows would be silently excluded
+    val moved = spark.read.parquet(dir)
+      .where("st_within(geom, st_makeenvelope(899.0d, 899.0d, 911.0d, 901.0d))")
+      .selectExpr("id").collect().map(_.getLong(0)).toSet
+    assert(moved == (0L until 10L).toSet, s"stale bbox hid moved rows: $moved")
+    // and the bbox column itself matches the new geometry exactly
+    val bad = spark.read.parquet(dir)
+      .where("geom_bbox.min_x <> st_xmin(st_geomfromwkb(geom)) OR " +
+             "geom_bbox.max_y <> st_ymax(st_geomfromwkb(geom))").count()
+    assert(bad == 0, s"$bad rows have a bbox sidecar out of sync with the geometry")
+  }
 }

@@ -117,6 +117,27 @@ class CompGeomSpec extends AnyFunSuite {
     intercept[Exception](sql1("st_subdivide(st_point(1, 2), 4)"))
   }
 
+  test("st_subdivide drops lower-dimension clip artifacts (PostGIS parity)") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory, LineString, Point}
+    val f = new GeometryFactory()
+    // 7-vertex line whose envelope is [0,10]x[0,3]: first split falls at
+    // x=5, where the line TOUCHES without crossing at (5,0) and also
+    // genuinely crosses on the (2,3)->(10,2) segment. A closed-rect clip
+    // emits POINT (5 0) into the right half (and keeps it in the left) —
+    // PostGIS emits each piece once and never a point from a lineal input.
+    val line = f.createLineString(Array(
+      new Coordinate(0, 0), new Coordinate(5, 0), new Coordinate(0, 1),
+      new Coordinate(0, 2), new Coordinate(2, 3), new Coordinate(10, 2),
+      new Coordinate(9, 0)))
+    val out = graft.functions.CompGeomFns.subdivide(line, 5)
+    val comps = (0 until out.getNumGeometries).map(out.getGeometryN)
+    assert(comps.nonEmpty && comps.forall(_.isInstanceOf[LineString]),
+      s"non-lineal piece in ${out.toText.take(300)}")
+    assert(!comps.exists(_.isInstanceOf[Point]))
+    // total length is preserved (no duplicated or dropped lineal pieces)
+    assert(math.abs(comps.map(_.getLength).sum - line.getLength) < 1e-9)
+  }
+
   test("maximum inscribed / largest empty circle") {
     // 10x4 rect: MIC radius 2; center on the medial axis (y = 2)
     val r = sql1("st_maximuminscribedcircle(st_makeenvelope(0, 0, 10, 4), 0.000001d).radius")

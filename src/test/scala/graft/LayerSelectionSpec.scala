@@ -115,6 +115,37 @@ class LayerSelectionSpec extends AnyFunSuite {
     assert(names == Seq("f4", "f5", "f6", "f7", "f8", "f9"), names.mkString(","))
   }
 
+  test("geopackageLayers: NULL layer values fail fast; quoted layer names round-trip") {
+    Graft.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_layers_nq")
+    // NULL layer → loud failure, not a silently-empty 'null' table
+    val withNull = spark.sql("""
+      SELECT CASE WHEN id = 2 THEN NULL ELSE 'a' END AS layer,
+             st_aswkb(st_point(cast(id AS DOUBLE), 0.0d)) AS geom FROM range(4)""")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.GeoWriter.geopackageLayers(withNull, "geom", "layer",
+        dir.resolve("bad.gpkg").toString)
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // driver-streamed export is row-bounded: misuse on a big table fails
+    // loudly with a pointer to the bulk writer instead of crawling
+    val big = spark.sql(
+      "SELECT 'a' AS layer, st_aswkb(st_point(0.0d, 0.0d)) AS geom FROM range(5000001)")
+    val eb = intercept[IllegalArgumentException] {
+      graft.io.GeoWriter.geopackageLayers(big, "geom", "layer",
+        dir.resolve("big.gpkg").toString)
+    }
+    assert(eb.getMessage.contains("geopackage"), eb.getMessage)
+    // an embedded double-quote must not corrupt the CREATE TABLE DDL
+    val p = dir.resolve("quoted.gpkg").toString
+    val quoted = spark.sql("""
+      SELECT 'we"ird' AS layer,
+             st_aswkb(st_point(cast(id AS DOUBLE), 0.0d)) AS geom FROM range(3)""")
+    graft.io.GeoWriter.geopackageLayers(quoted, "geom", "layer", p)
+    val back = spark.read.format("geo").option("layer", "we\"ird").load(p)
+    assert(back.count() == 3)
+  }
+
   test("layer option on a layerless format fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layers_gj")
     val p = dir.resolve("x.geojsonl")

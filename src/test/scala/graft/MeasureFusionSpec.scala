@@ -82,6 +82,22 @@ class MeasureFusionSpec extends AnyFunSuite {
     assert(got.toSeq == plain.toSeq, s"got=${got.toSeq} plain=${plain.toSeq}")
   }
 
+  test("collect fusion skips DISTINCT aggregates (fused Count(DISTINCT 1) would be 1)") {
+    Graft.register(spark)
+    // 10 rows, 4 distinct points (ids 0..3) repeated — DISTINCT collect must
+    // report 4 geometries / 4 points, not Count(DISTINCT <literal 1>) = 1
+    val q = """
+      SELECT st_ngeometries(st_collect_agg(DISTINCT g)) AS n,
+             st_npoints(st_collect_agg(DISTINCT g)) AS np
+      FROM (SELECT st_point(CAST(id % 4 AS DOUBLE), 0.0d) AS g FROM range(0, 10))"""
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("st_collect_agg"),
+      s"DISTINCT collect was fused away — the rewrite is unsound for DISTINCT:\n${plan.take(2000)}")
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 4 && r.getInt(1) == 4, s"got ${r}")
+  }
+
   test("rectUnionArea sweep: randomized parity with JTS, fast at dedupCap scale") {
     import graft.functions.GeoAggregates
     import org.locationtech.jts.geom.GeometryFactory

@@ -74,6 +74,61 @@ class NadconSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 40.5 + dLat / 3600.0)
   }
 
+  test("hand-built byte fixture: layout, sign convention, and flip are not " +
+       "writer-circular") {
+    // Every other test round-trips through Nadcon.writePlane, so a wrong
+    // sign or column-flip assumption shared by writer and reader would
+    // cancel out. This fixture is built byte-by-byte from the PUBLISHED
+    // layout (NOAA TM NOS NGS-50; same layout GDAL's LOSLAS driver and
+    // PROJ's loslas reader implement): record length 4*(NC+1); record 0 =
+    // ident[56] + program[8] + NC,NR,NZ int32 + XMIN,DX,YMIN,DY,ANGLE
+    // float32 (east-positive degrees, SW corner); records 1..NR south→north,
+    // each a 4-byte row index then NC float32 west→east columns, arc-seconds;
+    // .los values POSITIVE WEST. NC=23 is the minimum (4*(23+1)=96-byte
+    // records) and a 23x2 grid gives distinct per-node values.
+    val nc = 23; val nr = 2
+    val recLen = 4 * (nc + 1)
+    def plane(valueAt: (Int, Int) => Float): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(recLen * (nr + 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(String.format("%-56s", "hand-built NGS-50 fixture").getBytes("US-ASCII"))
+      bb.put(String.format("%-8s", "NADCON").getBytes("US-ASCII"))
+      bb.putInt(nc).putInt(nr).putInt(1)
+      // SW corner lon -100 (east-positive), 0.5-degree columns; lat 35, 1-degree rows
+      bb.putFloat(-100f).putFloat(0.5f).putFloat(35f).putFloat(1f).putFloat(0f)
+      for (r <- 0 until nr) {
+        bb.position(recLen * (r + 1))
+        bb.putInt(r + 1)
+        for (c <- 0 until nc) bb.putFloat(valueAt(r, c))
+      }
+      bb.array()
+    }
+    // .las node (r,c) = 10r + 0.25c arc-sec; .los node = 2 + 5r + 0.5c
+    // arc-sec positive WEST (binary fractions → exact in float32)
+    val las = plane((r, c) => 10f * r + 0.25f * c)
+    val los = plane((r, c) => 2f + 5f * r + 0.5f * c)
+    val g = graft.geom.Nadcon.parsePair(las, los, "hand")
+    val sg = g.subGrids.head
+    // bounds in the NTv2 west-positive arc-second frame: columns span east
+    // lon [-100, -89], so wLonW = 100*3600, eLonW = 89*3600
+    assert(sg.wLonW == 100 * 3600.0 && sg.eLonW == 89 * 3600.0)
+    assert(sg.sLat == 35 * 3600.0 && sg.nLat == 36 * 3600.0)
+    // ON-NODE absolute results, no interpolation: east column c=4 is lon
+    // -98.0, row r=1 is lat 36.0 → Δlat = 10*1 + 0.25*4 = 11", Δlon_west =
+    // 2 + 5*1 + 0.5*4 = 9". Positive-west means the NAD83 longitude is
+    // FURTHER WEST (more negative): -98 − 9/3600.
+    val (flo, fla) = g.forward(-98.0, 36.0)
+    assert(fla == 36.0 + 11.0 / 3600.0, "lat shift must ADD .las seconds")
+    assert(flo == -98.0 - 9.0 / 3600.0,
+      "positive-west .los seconds must move longitude WESTWARD")
+    // westernmost column (c=0, lon -100) vs easternmost (c=22, lon -89):
+    // catches a missed or doubled column flip — the two would swap.
+    val (wLo, _) = g.forward(-100.0, 35.0)   // Δlon_west = 2
+    val (eLo, _) = g.forward(-89.0, 35.0)    // Δlon_west = 2 + 0.5*22 = 13
+    assert(wLo == -100.0 - 2.0 / 3600.0)
+    assert(eLo == -89.0 - 13.0 / 3600.0)
+  }
+
   test("malformed input fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nadcon_bad")
     val bad = dir.resolve("bad")
