@@ -1926,6 +1926,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Remote-input round trip (round 8): the same deterministic point set is
+    // SERVED over HTTP by an in-process fixture server (standing in for an
+    // object store) and read back through the /vsicurl/-equivalent remote
+    // path — URL partitioning, per-executor localization, and the geojsonl
+    // decode all under the oracle. Reference: test/sql/gdal/gdal_vsi.test.
+    "q_http_read" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism).createOrReplaceTempView("lineitem")
+      val ids = s.sql(s"SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 103 = 0")
+        .collect().map(_.getLong(0)).sorted
+      val sb = new StringBuilder
+      ids.foreach { id =>
+        sb.append(s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${(id * 5) % 991},${(id * 11) % 977}]},"properties":{"k":"$id"}}""").append('\n')
+      }
+      val url = HttpFixtureServer.serve("pts.geojsonl", sb.toString.getBytes("UTF-8"))
+      s.read.format("geo").load(url)
+        .selectExpr("CAST(properties['k'] AS BIGINT) AS k",
+          "st_x(st_geomfromwkb(geom)) AS x", "st_y(st_geomfromwkb(geom)) AS y")
+        .orderBy("k")
+    }),
+
     // Multi-layer GeoPackage round trip (round 7): the layer column fans out
     // into feature tables via geopackageLayers; st_read(path, layer) reads
     // ONE of them back. Oracle = the odd-id half of the same arithmetic.
@@ -2632,6 +2654,13 @@ object SparkEntry {
              CAST((id * 3) % 997 AS DOUBLE) AS x,
              CAST((id * 7) % 983 AS DOUBLE) AS y
       FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)
+      ORDER BY k""",
+
+    "q_http_read" -> s"""
+      SELECT id AS k,
+             CAST((id * 5) % 991 AS DOUBLE) AS x,
+             CAST((id * 11) % 977 AS DOUBLE) AS y
+      FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 103 = 0)
       ORDER BY k""",
 
     "q_gpkg_layers" -> s"""
@@ -3886,4 +3915,40 @@ $minhashPairPins) v(da, db, j)
         (9,256,4),(9,198,5)) v(qid, nid, rn)
       ORDER BY qid, rn"""
   )
+}
+
+/** Session-lifetime fixture HTTP server for the remote-input oracle query
+  * (q_http_read) — stands in for the object store a production deployment
+  * would read from. One lazily-started server per JVM; each served object's
+  * path carries a content hash so the reader-side download cache can never
+  * return stale bytes across scale factors. */
+object HttpFixtureServer {
+  @volatile private var server: com.sun.net.httpserver.HttpServer = _
+  private val files = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def serve(name: String, bytes: Array[Byte]): String = synchronized {
+    if (server == null) {
+      val s = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val p = ex.getRequestURI.getPath.stripPrefix("/")
+          files.get(p) match {
+            case null => ex.sendResponseHeaders(404, -1)
+            case b if ex.getRequestMethod == "HEAD" => ex.sendResponseHeaders(200, -1)
+            case b =>
+              ex.sendResponseHeaders(200, b.length.toLong)
+              ex.getResponseBody.write(b)
+          }
+          ex.close()
+        }
+      })
+      s.start()
+      server = s
+    }
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.bytesHash(bytes)) + "/" + name
+    files.put(key, bytes)
+    s"http://127.0.0.1:${server.getAddress.getPort}/$key"
+  }
 }

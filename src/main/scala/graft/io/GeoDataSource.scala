@@ -80,16 +80,39 @@ object GeoFiles {
     * driver; file CONTENT is only ever read on executors, one InputPartition
     * per file (or per intra-file split). */
   def expand(path: String): Seq[String] = {
-    val p0 = path.stripPrefix("file:")
-    // GDAL's /vsizip/ spelling → zip-virtual path `archive.zip!inner`
+    // GDAL's /vsicurl/ spelling is a no-op prefix on a plain URL
+    val p0 = {
+      val s = path.stripPrefix("file:")
+      if (s.startsWith("/vsicurl/")) s.stripPrefix("/vsicurl/") else s
+    }
+    // GDAL's /vsizip/ spelling → zip-virtual path `archive.zip!inner`;
+    // /vsizip//vsicurl/http://… chains to a REMOTE archive
     val vsz =
       if (p0.startsWith("/vsizip/")) {
-        val rest = p0.stripPrefix("/vsizip")
+        val rest0 = p0.stripPrefix("/vsizip")
+        val rest =
+          if (rest0.startsWith("//vsicurl/")) rest0.stripPrefix("//vsicurl/")
+          else if (rest0.startsWith("/vsicurl/")) rest0.stripPrefix("/vsicurl/")
+          else rest0
         val zi = rest.toLowerCase.indexOf(".zip")
         require(zi > 0, s"/vsizip/ path must contain a .zip archive: $path")
         val inner = rest.substring(zi + 4).stripPrefix("/")
         if (inner.isEmpty) rest.substring(0, zi + 4) else rest.substring(0, zi + 4) + "!" + inner
       } else p0
+    if (isRemote(vsz)) {
+      // remote inputs (reference: GDAL /vsicurl/, test/sql/gdal/gdal_vsi
+      // .test): the URL itself is the partition path — each executor
+      // localizes its own copy in [[local]]. No globbing over HTTP (there
+      // is no portable remote listing); a bare remote .zip enumerates its
+      // entries by localizing the archive once on the driver, and the
+      // partitions carry REMOTE-virtual `url!entry` paths so a cluster
+      // never depends on the driver's cache directory.
+      requireExternalAccess(vsz)
+      if (isZipVirtual(vsz)) return Seq(vsz)
+      if (stripQuery(vsz).toLowerCase.endsWith(".zip"))
+        return expand(local(vsz)).map(l => vsz + "!" + l.substring(l.indexOf('!') + 1))
+      return Seq(vsz)
+    }
     if (isZipVirtual(vsz)) { requireExternalAccess(vsz); return Seq(vsz) }
     if (vsz.toLowerCase.endsWith(".zip") && Files.isRegularFile(Paths.get(vsz))) {
       requireExternalAccess(vsz)
@@ -154,7 +177,83 @@ object GeoFiles {
     * the driver. */
   def isZipVirtual(p: String): Boolean = {
     val i = p.indexOf('!')
-    i > 0 && p.substring(0, i).toLowerCase.endsWith(".zip")
+    i > 0 && stripQuery(p.substring(0, i)).toLowerCase.endsWith(".zip")
+  }
+
+  // ------------------------------------------------------- remote (http) IO
+  /** `http(s)://` inputs (reference: GDAL's /vsicurl/ virtual filesystem,
+    * gdal_vsi.test): localized to a per-JVM cache on first open — on a
+    * cluster each EXECUTOR downloads the objects its partitions read, the
+    * same distribution model as the zip cache / Spark `--archives`; nothing
+    * round-trips through the driver. */
+  def isRemote(p: String): Boolean = {
+    val l = p.toLowerCase
+    l.startsWith("http://") || l.startsWith("https://")
+  }
+
+  /** a path that must resolve through [[local]] before it can be opened */
+  def needsLocal(p: String): Boolean = isZipVirtual(p) || isRemote(p)
+
+  /** query strings never participate in extension sniffing */
+  private def stripQuery(p: String): String = {
+    val i = p.indexOf('?')
+    if (i >= 0 && p.contains("://")) p.substring(0, i) else p
+  }
+
+  private val httpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def download(url: String): String = httpCache.computeIfAbsent(url, _ => {
+    requireExternalAccess(url)
+    val u = java.net.URI.create(url).toURL
+    // identity probe: object length + last-modified keyed into the cache
+    // directory so a republished object re-downloads; servers that reject
+    // HEAD degrade to a URL-only key (first fetch wins for the JVM's life)
+    val (len, lm) =
+      try {
+        val h = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        h.setRequestMethod("HEAD"); h.setConnectTimeout(15000); h.setReadTimeout(15000)
+        val r = (h.getContentLengthLong, h.getLastModified)
+        h.disconnect(); r
+      } catch { case scala.util.control.NonFatal(_) => (-1L, 0L) }
+    val urlPath = u.getPath
+    val name0 = urlPath.substring(urlPath.lastIndexOf('/') + 1)
+    val name = if (name0.isEmpty) "download" else name0
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(url)) + s"_${len}_$lm"
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_http_$key")
+    Files.createDirectories(root)
+    val dest = root.resolve(name)
+    if (!Files.exists(dest)) fetch(u, dest)
+    // a remote shapefile is a file FAMILY: localize the sidecars beside the
+    // .shp (required .dbf/.shx fail loudly; optional .cpg/.prj tolerated)
+    if (name.toLowerCase.endsWith(".shp")) {
+      for (ext <- Seq(".dbf", ".shx", ".cpg", ".prj")) {
+        val sDest = root.resolve(name.dropRight(4) + ext)
+        if (!Files.exists(sDest)) {
+          val sUrl = url.patch(url.toLowerCase.lastIndexOf(".shp"), ext, 4)
+          try fetch(java.net.URI.create(sUrl).toURL, sDest)
+          catch {
+            case scala.util.control.NonFatal(e) if ext == ".cpg" || ext == ".prj" => // optional
+            case scala.util.control.NonFatal(e) =>
+              throw new java.io.IOException(s"remote shapefile sidecar $sUrl: ${e.getMessage}", e)
+          }
+        }
+      }
+    }
+    dest.toString
+  })
+
+  private def fetch(u: java.net.URL, dest: java.nio.file.Path): Unit = {
+    val conn = u.openConnection()
+    conn.setConnectTimeout(15000); conn.setReadTimeout(120000)
+    val in = conn.getInputStream
+    val tmp = dest.resolveSibling(dest.getFileName.toString + "." +
+      Thread.currentThread().getId + ".tmp")
+    try {
+      Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    } finally { in.close(); Files.deleteIfExists(tmp) }
   }
 
   /** reference's sandbox switch (config.cpp enable_external_access): archive
@@ -164,7 +263,7 @@ object GeoFiles {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
       if (!s.conf.get("enable_external_access", "true").toBoolean)
         throw new SecurityException(
-          s"reading zip archive $what: External access is disabled by configuration")
+          s"reading $what: External access is disabled by configuration")
     }
 
   private val zipCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -173,7 +272,12 @@ object GeoFiles {
     * cache key carries the archive's length+mtime so a rewritten archive at
     * the same path is re-extracted, never served stale. */
   def local(p: String): String =
-    if (!isZipVirtual(p)) p
+    if (isRemote(p)) {
+      val bang = p.indexOf('!')
+      if (bang > 0 && stripQuery(p.substring(0, bang)).toLowerCase.endsWith(".zip"))
+        local(download(p.substring(0, bang)) + p.substring(bang)) // remote archive → local zip-virtual
+      else download(p)
+    } else if (!isZipVirtual(p)) p
     else {
       val f = new java.io.File(p.substring(0, p.indexOf('!')).stripPrefix("file:"))
       zipCache.computeIfAbsent(p + "@" + f.length() + ":" + f.lastModified(),
@@ -321,7 +425,7 @@ object GeoFiles {
   private def degz(l: String): String = if (l.endsWith(".gz")) l.dropRight(3) else l
 
   private def known(f: String): Boolean = {
-    val l = degz(f.toLowerCase)
+    val l = degz(stripQuery(f).toLowerCase)
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
       l.endsWith(".ndjson") || l.endsWith(".geojsonl") || l.endsWith(".osm.pbf") ||
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
@@ -331,7 +435,7 @@ object GeoFiles {
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
-    val l = degz(paths.head.toLowerCase)
+    val l = degz(stripQuery(paths.head).toLowerCase)
     if (l.endsWith(".shp")) "shapefile"
     else if (l.endsWith(".fgb")) "flatgeobuf"
     else if (l.endsWith(".gpkg")) "geopackage"
@@ -820,15 +924,15 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
     // zip-virtual paths localize HERE — on the executor that owns the
     // partition — so archive entries are extracted where they are read
     val partition = partition0 match {
-      case FilePartition(p) if GeoFiles.isZipVirtual(p) => FilePartition(GeoFiles.local(p))
-      case JsonlRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+      case FilePartition(p) if GeoFiles.needsLocal(p) => FilePartition(GeoFiles.local(p))
+      case JsonlRangePartition(p, a, b) if GeoFiles.needsLocal(p) =>
         JsonlRangePartition(GeoFiles.local(p), a, b)
-      case GpkgPartition(p, r) if GeoFiles.isZipVirtual(p) => GpkgPartition(GeoFiles.local(p), r)
-      case FgbRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+      case GpkgPartition(p, r) if GeoFiles.needsLocal(p) => GpkgPartition(GeoFiles.local(p), r)
+      case FgbRangePartition(p, a, b) if GeoFiles.needsLocal(p) =>
         FgbRangePartition(GeoFiles.local(p), a, b)
-      case ShpRangePartition(p, a, b) if GeoFiles.isZipVirtual(p) =>
+      case ShpRangePartition(p, a, b) if GeoFiles.needsLocal(p) =>
         ShpRangePartition(GeoFiles.local(p), a, b)
-      case OsmPartition(p, blobs) if GeoFiles.isZipVirtual(p) => OsmPartition(GeoFiles.local(p), blobs)
+      case OsmPartition(p, blobs) if GeoFiles.needsLocal(p) => OsmPartition(GeoFiles.local(p), blobs)
       case other => other
     }
     // format readers see DATA columns only; Hive-style partition columns are
