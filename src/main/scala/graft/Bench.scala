@@ -50,10 +50,33 @@ object Bench {
       val (heavy, light) = selected.toSeq.partition { case (k, _) => heavyLast.contains(k) }
       light ++ heavy.sortBy { case (k, _) => heavyLast.indexOf(k) }
     }
+    // --- host-contention self-defense -----------------------------------
+    // A shared host can inflate any sample 2-10x (the round-6/7 driver
+    // artifacts both overstated the worst query ~6x). Three defenses:
+    //  (1) record /proc/loadavg + active-CPU count per query, so a reader
+    //      can see WHEN the host was busy;
+    //  (2) auto-rerun queries whose median/min spread exceeds 3x (intra-run
+    //      contention) or whose min exceeds 2.5x its best-known history min
+    //      (cross-run contention) with extra GC-settled samples;
+    //  (3) emit the still-suspect names in a `contaminated` list so a
+    //      too-high number is never silently read as a regression.
+    // History = rolling per-query best mins, merged and rewritten each run.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val activeCpus = Runtime.getRuntime.availableProcessors
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY_MINS.json")
+    val history: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(historyPath)), "UTF-8")
+        "\"(q_\\w+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     val results = ordered.map { case (name, fn) =>
-      System.gc()
       var failed = false
-      val times = (1 to runs).flatMap { _ =>
+      def sample(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -65,15 +88,47 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) Some(sec) else { failed = true; None }
       }
-      val good = times.sorted
+      System.gc()
+      val load0 = loadavg()
+      var good = (1 to runs).flatMap(_ => sample()).sorted.toVector
+      def spreadSuspect = good.size >= 2 && good(good.size / 2) / good.head > 3.0
+      def historySuspect = good.nonEmpty && history.get(name).exists(h =>
+        good.head > 2.5 * h && good.head - h > 0.5)
+      if (good.nonEmpty && (spreadSuspect || historySuspect)) {
+        // two extra GC-settled samples; the merged set's median/min stand
+        System.err.println(f"[bench] $name suspect (med=${good(good.size / 2)}%.2f " +
+          f"min=${good.head}%.2f hist=${history.getOrElse(name, -1.0)}%.2f load=$load0%.1f) — re-running")
+        System.gc()
+        good = (good ++ (1 to 2).flatMap(_ => sample())).sorted.toVector
+      }
+      // still-suspect after reruns → contaminated. A min STABLY above
+      // history at idle load is a real regression, not contamination —
+      // only flag history excess when the host was demonstrably busy.
+      val loadHigh = load0 > activeCpus * 1.25
+      val contaminated = good.nonEmpty &&
+        (spreadSuspect || (historySuspect && loadHigh))
       // A query with zero successful runs reports NO timing (null downstream),
       // never a negative sentinel a consumer might sum.
-      name -> (good.lift(good.size / 2), good.headOption, failed)
+      name -> (good.lift(good.size / 2), good.headOption, failed, load0, contaminated)
     }
+    // rolling history: keep the best min ever observed per query
+    try {
+      val merged = (history.keySet ++ results.flatMap(r => r._2._2.map(_ => r._1)))
+        .toSeq.sorted.flatMap { k =>
+          val cur = results.find(_._1 == k).flatMap(_._2._2)
+          val best = (history.get(k).toSeq ++ cur.toSeq).minOption
+          best.map(b => "\"" + k + "\":" + BigDecimal(b).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+        }.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter(historyPath, "UTF-8")
+      try w.println(merged) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def num(o: Option[Double]): String = o.map(r3).getOrElse("null")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v._1) }.mkString("{", ",", "}")
     val qmin = results.map { case (k, v) => "\"" + k + "\":" + num(v._2) }.mkString("{", ",", "}")
+    val qload = results.map { case (k, v) => "\"" + k + "\":" + r3(v._4) }.mkString("{", ",", "}")
+    val contamNames = results.filter(_._2._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val contamCount = results.count(_._2._5)
     // total = exact sum of the medians reported in the queries map
     val total = results.flatMap(_._2._1).sum
     val fails = results.count(_._2._1.isEmpty)
@@ -87,14 +142,14 @@ object Bench {
     // length budget.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"fails":$fails,"failed":$failedNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_load":$qload,"cpus":$activeCpus,"runs":$runs,"fails":$fails,"failed":$failedNames,"contaminated":$contamNames,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val top5 = results.filter(_._2._1.isDefined).sortBy(-_._2._1.get).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v._1.get) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"contaminated":$contamCount,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

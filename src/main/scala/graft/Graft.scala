@@ -73,8 +73,8 @@ object Graft {
    *  st_read.cpp:623-631 `layer` named parameter). */
   def stReadAs(forced: Option[String])(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.nonEmpty && exprs.head.foldable, "st_read(path) needs a constant path")
-    require(exprs.length <= 2 && exprs.forall(_.foldable),
-      "st_read(path [, layer]) takes constant arguments")
+    require(exprs.length <= 3 && exprs.forall(_.foldable),
+      "st_read(path [, layer] [, options]) takes constant arguments")
     // honor the reference's sandbox switch (config.cpp enable_external_access)
     SparkSession.getActiveSession.foreach { s =>
       if (!s.conf.get("enable_external_access", "true").toBoolean)
@@ -82,11 +82,36 @@ object Graft {
           "st_read with VSI prefix: External access is disabled by configuration")
     }
     val path = exprs.head.eval(null).toString
-    val layer = exprs.lift(1).map(_.eval(null).toString)
+    // trailing string args: one containing '=' is an options string
+    // (`keep_wkb=true;geom_column=wkt;encoding=ISO-8859-1` — the reference's
+    // named parameters, st_read.cpp:623-631, flattened into one literal);
+    // otherwise it is the layer name
+    val tail = exprs.drop(1).map(_.eval(null).toString)
+    val (optStrs, layers) = tail.partition(_.contains("="))
+    require(layers.length <= 1, "st_read: at most one layer argument")
+    require(optStrs.length <= 1, "st_read: at most one options argument")
+    val layer = layers.headOption
+    val opts = optStrs.headOption.map { s =>
+      var keep = false
+      val open = scala.collection.mutable.Map.empty[String, String]
+      s.split(";").iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"st_read options entries are key=value, got '$kv'")
+        val (k, v) = (kv.substring(0, i).trim.toLowerCase, kv.substring(i + 1).trim)
+        k match {
+          case "keep_wkb" => keep = v.toBoolean
+          case "geom_column" => open("GEOM_COLUMN") = v
+          case "encoding" => open("ENCODING") = v
+          case other => throw new IllegalArgumentException(
+            s"st_read: unknown option '$other' (supported: keep_wkb, geom_column, encoding)")
+        }
+      }
+      graft.io.GeoReadOptions(keep, open.toMap)
+    }.getOrElse(graft.io.GeoReadOptions.default)
     val paths = graft.io.GeoFiles.expand(path)
     val fmt = graft.io.GeoFiles.formatOf(paths, forced)
-    val schema = graft.io.GeoFiles.schemaFor(fmt, paths, layer)
-    val table = new graft.io.GeoTable(schema, paths, fmt, layer = layer)
+    val schema = graft.io.GeoFiles.schemaFor(fmt, paths, layer, opts)
+    val table = new graft.io.GeoTable(schema, paths, fmt, layer = layer, opts = opts)
     org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
       table, None, None)
   }

@@ -72,12 +72,46 @@ object CompGeomFns {
       case b: Array[Byte] => b.length <= cgMemoMaxEntryBytes
       case _: GenericInternalRow => true
       case _: UTF8String => true
+      case _: java.lang.Boolean => true
       case _ => false
     }
     if (cacheable) {
       if (cgMemo.size >= cgMemoMax) cgMemo.clear()
       cgMemo.put(key, out)
     }
+    out
+  }
+
+  /** Pair-keyed memo for the binary kernels (st_relate): the key holds BOTH
+   *  operands' arrays — no `x ++ y` concat, so a cache HIT allocates nothing
+   *  beyond the thread-local probe mutation. Probe keys are per-thread
+   *  mutables used only for get(); stored keys are fresh immutable
+   *  instances. */
+  private final class CgKey2(var a: Array[Byte], var b: Array[Byte], var op: Int) {
+    var hash: Int = 0
+    def rehash(): this.type = {
+      hash = (java.util.Arrays.hashCode(a) * 31 + java.util.Arrays.hashCode(b)) * 31 + op
+      this
+    }
+    override def hashCode: Int = hash
+    override def equals(o: Any): Boolean = o match {
+      case k: CgKey2 => k.op == op && java.util.Arrays.equals(k.a, a) &&
+        java.util.Arrays.equals(k.b, b)
+      case _ => false
+    }
+  }
+  private val cgMemo2 = new java.util.concurrent.ConcurrentHashMap[CgKey2, AnyRef]()
+  private val probe2 = new ThreadLocal[CgKey2] {
+    override def initialValue(): CgKey2 = new CgKey2(null, null, 0)
+  }
+  private def memoPair(op: Int, x: Array[Byte], y: Array[Byte])(compute: => AnyRef): AnyRef = {
+    val pk = probe2.get()
+    pk.a = x; pk.b = y; pk.op = op; pk.rehash()
+    val hit = cgMemo2.get(pk)
+    if (hit != null) return hit
+    val out = compute
+    if (cgMemo2.size >= cgMemoMax) cgMemo2.clear()
+    cgMemo2.put(new CgKey2(x, y, op).rehash(), out)
     out
   }
   private def dbl(a: Any): Double = a.asInstanceOf[Double]
@@ -237,12 +271,17 @@ object CompGeomFns {
   }
 
   def load(): Unit = {
-    fn("st_forcepolygoncw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = true)))
-    fn("st_forcepolygonccw", B, Seq(B))(a => w(forceOrient(rg(a(0)), exteriorCW = false)))
+    // orientation family through the content memo: ring rewinds rebuild the
+    // whole geometry per call, and corpora repeat polygons heavily (the
+    // bench's 400-distinct-polygon column pays 400 rebuilds, not millions)
+    fn("st_forcepolygoncw", B, Seq(B))(a =>
+      memo(20, a(0), 0)(w(forceOrient(rg(a(0)), exteriorCW = true))))
+    fn("st_forcepolygonccw", B, Seq(B))(a =>
+      memo(21, a(0), 0)(w(forceOrient(rg(a(0)), exteriorCW = false))))
     fn("st_ispolygoncw", org.apache.spark.sql.types.BooleanType, Seq(B))(a =>
-      isOriented(rg(a(0)), exteriorCW = true))
+      memo(22, a(0), 0)(java.lang.Boolean.valueOf(isOriented(rg(a(0)), exteriorCW = true))))
     fn("st_ispolygonccw", org.apache.spark.sql.types.BooleanType, Seq(B))(a =>
-      isOriented(rg(a(0)), exteriorCW = false))
+      memo(23, a(0), 0)(java.lang.Boolean.valueOf(isOriented(rg(a(0)), exteriorCW = false))))
     // angle P1-P2-P3 at the P2 vertex, measured clockwise from P2->P1 to
     // P2->P3 (PostGIS ST_Angle 3-point form); null on degenerate rays
     fn("st_angle", D, Seq(B, B, B)) { a =>
@@ -370,10 +409,9 @@ object CompGeomFns {
     // of rows, so the pair memo collapses them to one topology build each
     fn("st_relate", org.apache.spark.sql.types.StringType, Seq(B, B)) { a =>
       (a(0), a(1)) match {
-        // p = first operand's length disambiguates the concat boundary
         case (x: Array[Byte], y: Array[Byte])
             if x.length <= cgMemoMaxEntryBytes && y.length <= cgMemoMaxEntryBytes =>
-          memo(8, x ++ y, x.length.toDouble)(
+          memoPair(8, x, y)(
             UTF8String.fromString(rg(x).relate(rg(y)).toString))
         case _ => UTF8String.fromString(rg(a(0)).relate(rg(a(1))).toString)
       }

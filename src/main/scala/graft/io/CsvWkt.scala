@@ -15,11 +15,19 @@ object CsvWkt {
 
   private val GeomNames = Set("wkt", "geometry", "geom", "the_geom", "wkb_geometry")
 
-  def geomColumn(header: Seq[String]): Int = {
-    val i = header.indexWhere(h => GeomNames.contains(h.trim.toLowerCase))
-    require(i >= 0, s"CSV has no geometry column (looked for ${GeomNames.mkString("/")}) in $header")
-    i
-  }
+  /** `overrideName` = the GEOM_COLUMN open_option: an explicit header name
+    * replaces the GEOM_POSSIBLE_NAMES-style sniff entirely. */
+  def geomColumn(header: Seq[String], overrideName: Option[String] = None): Int =
+    overrideName match {
+      case Some(n) =>
+        val i = header.indexWhere(_.trim.equalsIgnoreCase(n.trim))
+        require(i >= 0, s"open_options GEOM_COLUMN='$n' not in CSV header $header")
+        i
+      case None =>
+        val i = header.indexWhere(h => GeomNames.contains(h.trim.toLowerCase))
+        require(i >= 0, s"CSV has no geometry column (looked for ${GeomNames.mkString("/")}) in $header")
+        i
+    }
 
   /** split one logical CSV record (quotes already balanced) into fields */
   def splitLine(line: String): Array[String] = {
@@ -45,8 +53,8 @@ object CsvWkt {
   }
 
   /** read logical records (joining physical lines while quotes are open) */
-  private def records(path: String): Iterator[String] = {
-    val br = GeoFiles.textReader(path)
+  private def records(path: String, encoding: Option[String] = None): Iterator[String] = {
+    val br = GeoFiles.textReader(path, encoding.getOrElse("UTF-8"))
     new Iterator[String] {
       private var nextRec: String = advance()
       private def advance(): String = {
@@ -65,18 +73,19 @@ object CsvWkt {
     }
   }
 
-  def header(path: String): Array[String] = {
-    val it = records(path)
+  def header(path: String, encoding: Option[String] = None): Array[String] = {
+    val it = records(path, encoding)
     require(it.hasNext, s"empty CSV: $path")
     splitLine(it.next())
   }
 
   /** (attribute values in header order minus the geometry column, geometry) */
-  def rows(path: String): Iterator[(Array[String], Geometry)] = {
-    val it = records(path)
+  def rows(path: String, overrideName: Option[String] = None,
+           encoding: Option[String] = None): Iterator[(Array[String], Geometry)] = {
+    val it = records(path, encoding)
     if (!it.hasNext) return Iterator.empty
     val hdr = splitLine(it.next())
-    val gi = geomColumn(hdr.toSeq)
+    val gi = geomColumn(hdr.toSeq, overrideName)
     it.map { rec =>
       val fields = splitLine(rec)
       val geomText = if (gi < fields.length) fields(gi) else ""

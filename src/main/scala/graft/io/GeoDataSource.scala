@@ -44,7 +44,8 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = pathsOf(options)
     val layer = Option(options.get("layer"))
-    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths, layer)
+    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths, layer,
+      GeoReadOptions.from(options))
     // Hive-style partition columns appended after the data columns; a path
     // key shadowed by a data column of the same name is dropped (data wins)
     GeoFiles.partitionSpec(paths)
@@ -66,10 +67,49 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
       (p(0), p(1), p(2), p(3))
     }
     new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))),
-      bbox = bbox, rawPath = Option(options.get("path")), layer = Option(options.get("layer")))
+      bbox = bbox, rawPath = Option(options.get("path")), layer = Option(options.get("layer")),
+      opts = GeoReadOptions.from(options))
   }
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Reader-level options (reference: st_read's `keep_wkb` + GDAL
+  * `open_options`, st_read.cpp:623-631).
+  *
+  * - `keep_wkb=true`: skip the decode→validate→re-encode round trip on scan
+  *   for formats whose on-disk geometry already IS standard WKB (GeoPackage:
+  *   the GeoPackageBinary body is sliced out verbatim). Formats with native
+  *   encodings (shapefile, FlatGeobuf, GeoJSON, …) must decode regardless —
+  *   the option is accepted as a no-op there; the output column is WKB
+  *   either way, so the schema never changes.
+  * - `open_options=K=V,K2=V2`: per-driver knobs. Supported:
+  *   `GEOM_COLUMN` (csvwkt — override the wkt/geom/… header sniff, GDAL's
+  *   GEOM_POSSIBLE_NAMES) and `ENCODING` (csvwkt text charset; shapefile
+  *   DBF charset, overriding the .cpg sidecar). Unknown keys fail fast —
+  *   a typo'd option silently ignored is worse than an error. */
+final case class GeoReadOptions(keepWkb: Boolean = false,
+                                open: Map[String, String] = Map.empty) {
+  def geomColumn: Option[String] = open.get("GEOM_COLUMN")
+  def encoding: Option[String] = open.get("ENCODING")
+}
+object GeoReadOptions {
+  val default: GeoReadOptions = GeoReadOptions()
+  private val knownKeys = Set("GEOM_COLUMN", "ENCODING")
+  def from(options: CaseInsensitiveStringMap): GeoReadOptions = {
+    val keep = Option(options.get("keep_wkb")).exists(_.trim.toBoolean)
+    val oo = Option(options.get("open_options")).map { s =>
+      s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"open_options entries are KEY=VALUE, got '$kv'")
+        val k = kv.substring(0, i).trim.toUpperCase
+        require(knownKeys.contains(k),
+          s"unknown open_options key '$k' (supported: ${knownKeys.toSeq.sorted.mkString(", ")})")
+        k -> kv.substring(i + 1).trim
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    GeoReadOptions(keep, oo)
+  }
 }
 
 object GeoFiles {
@@ -501,12 +541,12 @@ object GeoFiles {
   }
 
   /** Reader for a possibly-gzipped text file. */
-  def textReader(path: String): java.io.BufferedReader = {
+  def textReader(path: String, charset: String = "UTF-8"): java.io.BufferedReader = {
     val in: java.io.InputStream = {
       val fis = Files.newInputStream(Paths.get(path))
       if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPInputStream(fis, 1 << 16) else fis
     }
-    new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, charset), 1 << 16)
   }
 
   val geojsonSchema: StructType = StructType(Seq(
@@ -624,15 +664,16 @@ object GeoFiles {
     StructType(m.columns.map(StructField(_, StringType)) :+ StructField("geom", BinaryType))
   }
 
-  def csvSchema(path: String): StructType = {
-    val hdr = CsvWkt.header(path)
-    val gi = CsvWkt.geomColumn(hdr.toSeq)
+  def csvSchema(path: String, opts: GeoReadOptions = GeoReadOptions.default): StructType = {
+    val hdr = CsvWkt.header(path, opts.encoding)
+    val gi = CsvWkt.geomColumn(hdr.toSeq, opts.geomColumn)
     StructType(hdr.zipWithIndex.collect {
       case (h, i) if i != gi => StructField(h.trim, StringType)
     } :+ StructField("geom", BinaryType))
   }
 
-  def schemaFor(format: String, paths0: Seq[String], layer: Option[String] = None): StructType = {
+  def schemaFor(format: String, paths0: Seq[String], layer: Option[String] = None,
+                opts: GeoReadOptions = GeoReadOptions.default): StructType = {
     requireLayerSupported(format, layer)
     val paths = paths0.map(local)
     format match {
@@ -643,7 +684,7 @@ object GeoFiles {
       case "osmpbf" => osmSchema
       case "flatgeobuf" => flatgeobufSchema(paths.head)
       case "geopackage" => geopackageSchema(paths.head, layer)
-      case "csvwkt" => csvSchema(paths.head)
+      case "csvwkt" => csvSchema(paths.head, opts)
       case "xlsx" => xlsxSchema(paths.head)
       case other => throw new IllegalArgumentException(s"unknown geo format $other")
     }
@@ -653,7 +694,8 @@ object GeoFiles {
 class GeoTable(schema: StructType, paths: Seq[String], val format: String,
                val bbox: Option[(Double, Double, Double, Double)] = None,
                val rawPath: Option[String] = None,
-               val layer: Option[String] = None)
+               val layer: Option[String] = None,
+               val opts: GeoReadOptions = GeoReadOptions.default)
     extends Table with SupportsRead {
   /** Hive-style partition columns carried by the path layout: keys present
     * in every file's path whose name made it into the schema as a NON-data
@@ -677,17 +719,18 @@ class GeoTable(schema: StructType, paths: Seq[String], val format: String,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(schema, paths, format, bbox, rawPath, partCols, layer)
+    new GeoScanBuilder(schema, paths, format, bbox, rawPath, partCols, layer, opts)
   /** same table narrowed to a query window (index-backed formats prune) */
   def withBbox(b: (Double, Double, Double, Double)): GeoTable =
-    new GeoTable(schema, paths, format, Some(b), rawPath, layer)
+    new GeoTable(schema, paths, format, Some(b), rawPath, layer, opts)
 }
 
 class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
                      bbox: Option[(Double, Double, Double, Double)],
                      rawPath: Option[String] = None,
                      partCols: Seq[(String, DataType)] = Seq.empty,
-                     layer: Option[String] = None)
+                     layer: Option[String] = None,
+                     opts: GeoReadOptions = GeoReadOptions.default)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -726,7 +769,7 @@ class GeoScanBuilder(fullSchema: StructType, paths: Seq[String], format: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
 
   override def build(): Scan =
-    new GeoScan(fullSchema, required, prunedPaths, format, bbox, rawPath, partCols, layer)
+    new GeoScan(fullSchema, required, prunedPaths, format, bbox, rawPath, partCols, layer, opts)
 }
 
 /** Evaluates a source Filter against one file's partition values (raw
@@ -784,7 +827,8 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
               bbox: Option[(Double, Double, Double, Double)] = None,
               rawPath: Option[String] = None,
               partCols: Seq[(String, DataType)] = Seq.empty,
-              layer: Option[String] = None)
+              layer: Option[String] = None,
+              opts: GeoReadOptions = GeoReadOptions.default)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -829,7 +873,7 @@ class GeoScan(fullSchema: StructType, required: StructType, paths: Seq[String], 
     GeoScan.partitionsFor(format, paths, layer)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory(fullSchema, required, format, bbox, partCols, layer)
+    new GeoReaderFactory(fullSchema, required, format, bbox, partCols, layer, opts)
 }
 
 object GeoScan {
@@ -918,7 +962,8 @@ case class OsmPartition(path: String, blobs: Array[OsmPbf.BlobRef]) extends Inpu
 class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: String,
                        bbox: Option[(Double, Double, Double, Double)] = None,
                        partCols: Seq[(String, DataType)] = Seq.empty,
-                       layer: Option[String] = None)
+                       layer: Option[String] = None,
+                       opts: GeoReadOptions = GeoReadOptions.default)
     extends PartitionReaderFactory {
   override def createReader(partition0: InputPartition): PartitionReader[InternalRow] = {
     // zip-virtual paths localize HERE — on the executor that owns the
@@ -959,7 +1004,8 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
       case _ => (required1, -1, false)
     }
     val rows0: Iterator[InternalRow] = (format, partition) match {
-      case ("shapefile", ShpRangePartition(p, s, e)) => GeoRows.shapefileRows(p, s, e, fullSchema, required)
+      case ("shapefile", ShpRangePartition(p, s, e)) =>
+        GeoRows.shapefileRows(p, s, e, fullSchema, required, opts.encoding)
       case ("geojson", FilePartition(p)) =>
         // stream the FeatureCollection: a multi-GB document must not be
         // materialized as one String/byte[]
@@ -990,7 +1036,7 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         }
         feats.map(GeoRows.fgbRow(_, required))
       case ("geopackage", GpkgPartition(p, roots)) =>
-        GeoRows.gpkgRows(p, roots, required, layer)
+        GeoRows.gpkgRows(p, roots, required, layer, keepWkb = opts.keepWkb)
       case ("kml", FilePartition(p)) =>
         XmlGeo.kmlFeatures(p, layer).map(GeoRows.featureRow(_, required))
       case ("gpx", FilePartition(p)) =>
@@ -1009,7 +1055,7 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         layer.fold(feats)(l => feats.filter(_.properties.get("layer").contains(l)))
           .map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
-        GeoRows.csvRows(p, fullSchema, required)
+        GeoRows.csvRows(p, fullSchema, required, opts)
       case ("xlsx", FilePartition(p)) =>
         GeoRows.xlsxRows(p, fullSchema, required)
       case other => throw new IllegalArgumentException(s"bad partition $other")
@@ -1108,13 +1154,21 @@ object GeoRows {
   }
 
   def gpkgRows(path: String, subtreeRoots: Array[Long], required: StructType,
-               layer: Option[String] = None): Iterator[InternalRow] = {
+               layer: Option[String] = None, keepWkb: Boolean = false): Iterator[InternalRow] = {
     val t = GeoFiles.geopackageTable(path, layer)
     val colIdx = t.columns.map(_._1).zipWithIndex.toMap
-    GeoPackage.scanPages(path, t, subtreeRoots.toSeq).map { case (_, cols, geom) =>
+    // keep_wkb: the GeoPackageBinary body is ALREADY standard WKB — slice it
+    // out verbatim instead of decode→validate→re-encode through JTS (the
+    // reference's st_read keep_wkb). Identical output bytes for well-formed
+    // data; malformed WKB surfaces at first use instead of at scan.
+    val scan =
+      if (keepWkb) GeoPackage.scanPagesWkb(path, t, subtreeRoots.toSeq)
+      else GeoPackage.scanPages(path, t, subtreeRoots.toSeq)
+        .map { case (rid, cols, g) => (rid, cols, if (g == null) null else Wkb.write(g)) }
+    scan.map { case (_, cols, wkb) =>
       val vals = required.fields.map { field =>
         (if (field.name == t.geomColumn) {
-          if (geom == null) null else Wkb.write(geom)
+          wkb
         } else {
           val v = colIdx.get(field.name).map(cols(_)).orNull
           (v, field.dataType) match {
@@ -1147,10 +1201,11 @@ object GeoRows {
     }
   }
 
-  def csvRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+  def csvRows(path: String, fullSchema: StructType, required: StructType,
+              opts: GeoReadOptions = GeoReadOptions.default): Iterator[InternalRow] = {
     // fullSchema = attribute columns in header order + trailing geom
     val attrIndex = fullSchema.fieldNames.zipWithIndex.toMap
-    CsvWkt.rows(path).map { case (attrs, geom) =>
+    CsvWkt.rows(path, opts.geomColumn, opts.encoding).map { case (attrs, geom) =>
       val vals = required.fields.map { field =>
         (if (field.name == "geom") {
           if (geom == null) null else Wkb.write(geom)
@@ -1164,11 +1219,12 @@ object GeoRows {
   }
 
   def shapefileRows(path: String, startRec: Int, endRec: Int,
-                    fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+                    fullSchema: StructType, required: StructType,
+                    encoding: Option[String] = None): Iterator[InternalRow] = {
     val meta = Shapefile.readMeta(path)
     // fullSchema order = dbf fields then geom; map required names to indices
     val attrIndex = fullSchema.fieldNames.zipWithIndex.toMap
-    Shapefile.readRecordRange(path, startRec, endRec).map { case (geom, attrs) =>
+    Shapefile.readRecordRange(path, startRec, endRec, encoding).map { case (geom, attrs) =>
       val vals = required.fields.map { field =>
         (if (field.name == "geom") {
           if (geom == null) null else Wkb.write(geom)

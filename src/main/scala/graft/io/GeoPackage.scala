@@ -122,8 +122,33 @@ object GeoPackage {
     }
   }
 
-  def decodeGpkgBlob(b: Array[Byte]): Geometry = {
-    if (b.length < 8 || b(0) != 'G' || b(1) != 'P') return null
+  /** keep_wkb scan: the GeoPackageBinary body sliced out verbatim as
+    * standard WKB — no JTS decode/validate/re-encode per feature (reference:
+    * st_read keep_wkb). Header flags are still checked (extended-type blobs
+    * cannot be passed through; they are not WKB). */
+  def scanPagesWkb(path: String, table: FeatureTable,
+                   pages: Seq[Long]): Iterator[(Long, Array[Any], Array[Byte])] = {
+    val geomIdx = table.columns.indexWhere(_._1 == table.geomColumn)
+    new Sqlite.Db(path).scanSubtrees(pages).map { case (rowid, cols) =>
+      if (table.pkIndex >= 0 && table.pkIndex < cols.length && cols(table.pkIndex) == null)
+        cols(table.pkIndex) = rowid
+      val wkb = if (geomIdx >= 0 && geomIdx < cols.length) cols(geomIdx) match {
+        case b: Array[Byte] => rawWkbBody(b)
+        case _ => null
+      } else null
+      (rowid, cols, wkb)
+    }
+  }
+
+  /** raw standard-WKB body of a GeoPackageBinary blob; null for non-GP bytes */
+  def rawWkbBody(b: Array[Byte]): Array[Byte] = {
+    val env = wkbOffset(b)
+    if (env < 0) null else java.util.Arrays.copyOfRange(b, env, b.length)
+  }
+
+  /** offset of the WKB body inside a GeoPackageBinary blob, -1 if invalid */
+  private def wkbOffset(b: Array[Byte]): Int = {
+    if (b.length < 8 || b(0) != 'G' || b(1) != 'P') return -1
     val flags = b(3) & 0xff
     // bit 0x20 = extended-type (X) GeoPackageBinary: body is not standard WKB
     if ((flags & 0x20) != 0)
@@ -133,9 +158,15 @@ object GeoPackage {
       case 1 => 32
       case 2 | 3 => 48
       case 4 => 64
-      case _ => return null
+      case _ => return -1
     }
-    val wkbStart = 8 + envSize
+    8 + envSize
+  }
+
+  def decodeGpkgBlob(b: Array[Byte]): Geometry = {
+    val wkbStart = wkbOffset(b)
+    if (wkbStart < 0) return null
+    val flags = b(3) & 0xff
     val body = java.util.Arrays.copyOfRange(b, wkbStart, b.length)
     // bit 0x10 = empty-geometry (E) flag; the spec still mandates a typed WKB
     // body, which decodes to the right EMPTY geometry — fall back if absent.

@@ -31,6 +31,13 @@ object GeoParquet {
       s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]$covering}}}"""
   }
 
+  /** bbox back out of a [[geoJson]] footer string (None if absent/odd) */
+  def parseBbox(geo: String): Option[(Double, Double, Double, Double)] = {
+    val m = """"bbox":\[([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+)\]""".r
+      .findFirstMatchIn(geo)
+    m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toDouble, x.group(4).toDouble))
+  }
+
   private val Magic = "PAR1".getBytes("ASCII")
 
   /** Add (or replace) the `geo` key-value entry in a parquet file's footer.

@@ -868,6 +868,104 @@ object GeoWriter {
       bounds: Option[(Double, Double, Double, Double)] = None,
       targetPartitions: Int = 0): Unit = {
     val spark = df.sparkSession
+    graft.Graft.register(spark)
+    val hasBboxSidecar = spark.read.parquet(path).columns.contains(s"${geomCol}_bbox")
+    if (!hasBboxSidecar) { fullRecluster(df, geomCol, path, bounds, targetPartitions); return }
+    // INCREMENTAL compaction (reference analogue: the R-tree insert path,
+    // rtree_index_create_physical.cpp, touches only the subtree an insert
+    // lands in): re-sort ONLY the clustered files whose bbox coverage
+    // intersects the append's extent, together with the new rows; every
+    // other file — its bytes, its Hilbert order, its bbox stats, even its
+    // mtime — is untouched. At 100 TB this is the difference between a
+    // bounded compaction job and re-sorting the world per batch.
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    import org.apache.spark.sql.functions.{col => c, input_file_name, min => mn, max => mx}
+    val existingCols = spark.read.parquet(path).drop(s"${geomCol}_bbox").columns
+    val incoming = df.selectExpr(existingCols.map(x => s"`$x`"): _*)
+    val extRow = incoming.selectExpr(
+      s"min(st_xmin($geomCol))", s"min(st_ymin($geomCol))",
+      s"max(st_xmax($geomCol))", s"max(st_ymax($geomCol))").collect()(0)
+    if (extRow.isNullAt(0)) return // empty append: nothing to do
+    val (ax0, ay0, ax1, ay1) =
+      (extRow.getDouble(0), extRow.getDouble(1), extRow.getDouble(2), extRow.getDouble(3))
+    // per-file coverage from the bbox sidecar (columnar scan of 4 doubles —
+    // metadata-scale next to the data), plus row counts for density
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(mn(c(s"${geomCol}_bbox.min_x")).as("x0"), mn(c(s"${geomCol}_bbox.min_y")).as("y0"),
+           mx(c(s"${geomCol}_bbox.max_x")).as("x1"), mx(c(s"${geomCol}_bbox.max_y")).as("y1"),
+           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    val overlapping = stats.filter(r => !r.isNullAt(1) &&
+      r.getDouble(1) <= ax1 && r.getDouble(3) >= ax0 &&
+      r.getDouble(2) <= ay1 && r.getDouble(4) >= ay0).map(_.getString(0))
+    // Hilbert key space: caller bounds; else the layout's own footer bbox
+    // (so in-bounds appends change NO untouched footer, preserving mtimes)
+    // unioned with the append extent; else derive from coverage stats
+    val oldGeo = GeoParquet.readGeo(conf, path.stripPrefix("file:"))
+    val gb = bounds.getOrElse {
+      val base = oldGeo.flatMap(GeoParquet.parseBbox).getOrElse {
+        val xs0 = stats.filter(!_.isNullAt(1)).map(_.getDouble(1)) :+ ax0
+        val ys0 = stats.filter(!_.isNullAt(2)).map(_.getDouble(2)) :+ ay0
+        val xs1 = stats.filter(!_.isNullAt(3)).map(_.getDouble(3)) :+ ax1
+        val ys1 = stats.filter(!_.isNullAt(4)).map(_.getDouble(4)) :+ ay1
+        (xs0.min, ys0.min, xs1.max, ys1.max)
+      }
+      (math.min(base._1, ax0), math.min(base._2, ay0),
+       math.max(base._3, ax1), math.max(base._4, ay1))
+    }
+    val subset =
+      if (overlapping.isEmpty) incoming
+      else spark.read.parquet(overlapping.toIndexedSeq: _*)
+        .drop(s"${geomCol}_bbox")
+        .selectExpr(existingCols.map(x => s"`$x`"): _*)
+        .unionByName(incoming)
+    // keep the layout's file density: rows-per-file from the untouched
+    // files' own stats (fallback: one file per overlapped file + 1)
+    val totalRows = stats.map(_.getLong(5)).sum
+    val rowsPerFile = if (stats.nonEmpty && totalRows > 0) math.max(1L, totalRows / stats.length)
+      else Long.MaxValue
+    val subsetRows = overlapping.length.toLong * rowsPerFile + incoming.count()
+    val nOut = math.max(1L, math.min(10000L, (subsetRows + rowsPerFile - 1) / rowsPerFile)).toInt
+    val tmp = path.stripSuffix("/") + "__recluster_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // the tmp write materializes the subset (reading the overlapped files)
+    // BEFORE any original is touched; only then swap
+    clusteredParquet(subset, geomCol, tmp, Some(gb), nOut)
+    overlapping.foreach { f =>
+      val orig = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      if (!fs.delete(orig, false))
+        throw new java.io.IOException(s"appendAndRecluster: could not remove $orig")
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (s0, i) =>
+        val to = new org.apache.hadoop.fs.Path(dest, f"part-inc$stamp-$i%05d.parquet")
+        if (!fs.rename(s0.getPath, to))
+          throw new java.io.IOException(s"appendAndRecluster: could not move ${s0.getPath}")
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // footer: the new files were already stamped by clusteredParquet with
+    // gb's bbox. Untouched files keep their original footer — UNLESS the
+    // global bbox grew past what those footers advertise, in which case a
+    // metadata-sized restamp of every file keeps interop readers honest
+    // (the one case where untouched-file mtimes legitimately move).
+    val wantGeo = GeoParquet.geoJson(geomCol, gb, Some(s"${geomCol}_bbox"))
+    if (!oldGeo.contains(wantGeo)) GeoParquet.stampGeoDir(conf, path, wantGeo)
+  }
+
+  /** The pre-round-8 whole-layout rewrite — still the right tool when the
+    * target has no bbox sidecar to plan an incremental pass from. */
+  private def fullRecluster(
+      df: DataFrame,
+      geomCol: String,
+      path: String,
+      bounds: Option[(Double, Double, Double, Double)],
+      targetPartitions: Int): Unit = {
+    val spark = df.sparkSession
     val existing = spark.read.parquet(path).drop(s"${geomCol}_bbox")
     val incoming = df.selectExpr(existing.columns.map(c => s"`$c`"): _*)
     val union = existing.unionByName(incoming)

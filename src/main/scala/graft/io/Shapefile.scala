@@ -91,9 +91,12 @@ object Shapefile {
    *  .shp and .dbf — the unit of intra-file parallelism for big shapefiles
    *  (the .shx record index is the natural split table; the reference reads
    *  the whole file through one GDAL stream, read_shapefile.cpp). */
-  def readRecordRange(path: String, startRec: Int, endRec: Int): Iterator[(Geometry, Array[String])] = {
+  def readRecordRange(path: String, startRec: Int, endRec: Int,
+                      encodingOverride: Option[String] = None): Iterator[(Geometry, Array[String])] = {
+    // ENCODING open_option outranks the .cpg sidecar (GDAL's SHAPE_ENCODING)
     val base = basePath(path)
     val meta = readMeta(path)
+    val enc = encodingOverride.getOrElse(meta.encoding)
     val end = math.min(endRec, meta.recordCount)
     if (startRec >= end) return Iterator.empty
     val (shpFrom, shpTo) = shxRange(path, startRec, end)
@@ -120,7 +123,7 @@ object Shapefile {
         var off = (rec - startRec) * dbfRecLen + 1
         var i = 0
         meta.fields.foreach { f =>
-          attrs(i) = new String(dbf, off, f.width, meta.encoding).trim
+          attrs(i) = new String(dbf, off, f.width, enc).trim
           off += f.width
           i += 1
         }

@@ -79,6 +79,57 @@ class ClusteredCrudFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental recluster: appends only touch overlapping files; " +
+       "content and pruning survive 10 cycles") {
+    Graft.register(spark)
+    val dir = Files.createTempDirectory("graft_inc_recluster").toString + "/t"
+    import spark.implicits._
+    def pts(ids: Seq[Long], cell: Long => (Double, Double)) =
+      ids.map { i => val (x, y) = cell(i); (i, x, y) }.toDF("id", "x", "y")
+        .selectExpr("id", "st_aswkb(st_point(x, y)) AS geom")
+    // initial layout: 4000 points over [0,1000]^2, explicit bounds so
+    // in-bounds appends never need a footer restamp
+    var model = (0L until 4000L).map(i => i -> ((i * 37 % 1000).toDouble, (i * 91 % 1000).toDouble)).toMap
+    GeoWriter.clusteredParquet(pts(model.keys.toSeq.sorted, i => model(i)),
+      "geom", dir, bounds = Some((0.0, 0.0, 1000.0, 1000.0)), targetPartitions = 8)
+    def fileStamps(): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    var nextId = 4000L
+    for (cycle <- 1 to 10) {
+      val before = fileStamps()
+      // append lands in ONE corner cell (50x50 at a cycle-dependent spot)
+      val cx = (cycle * 97) % 900; val cy = (cycle * 53) % 900
+      val batch = (nextId until nextId + 200).map(i =>
+        i -> ((cx + i % 50).toDouble, (cy + i % 47).toDouble))
+      nextId += 200
+      model ++= batch
+      GeoWriter.appendAndRecluster(pts(batch.map(_._1), batch.toMap.apply),
+        "geom", dir, targetPartitions = 8)
+      val after = fileStamps()
+      // incremental: at least one pre-existing file must be byte/mtime
+      // untouched (the 8-file layout always has files clear of a 50x50 cell)
+      val untouched = before.keySet.intersect(after.keySet)
+        .count(k => before(k) == after(k))
+      assert(untouched > 0, s"cycle $cycle rewrote the world (no untouched file)")
+      // full-content parity with the model
+      val got = spark.read.parquet(dir)
+        .selectExpr("id", "st_x(st_geomfromwkb(geom)) AS x", "st_y(st_geomfromwkb(geom)) AS y")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(got == model, s"cycle $cycle content diverged (${got.size} vs ${model.size})")
+      // pruning quality: a window query over the append cell finds the new
+      // rows (bbox sidecars + footers in sync), and one far away is correct
+      val winGot = spark.read.parquet(dir)
+        .where(s"st_within(geom, st_makeenvelope(${cx - 1}.0d, ${cy - 1}.0d, ${cx + 51}.0d, ${cy + 48}.0d))")
+        .selectExpr("id").collect().map(_.getLong(0)).toSet
+      val winModel = model.collect { case (id, (x, y))
+        if x > cx - 1 && x < cx + 51 && y > cy - 1 && y < cy + 48 => id }.toSet
+      assert(winGot == winModel, s"cycle $cycle window mismatch")
+    }
+  }
+
   test("updateWhere on the geometry column recomputes the bbox sidecar " +
        "(window queries see moved rows)") {
     Graft.register(spark)

@@ -117,6 +117,30 @@ class CompGeomSpec extends AnyFunSuite {
     intercept[Exception](sql1("st_subdivide(st_point(1, 2), 4)"))
   }
 
+  test("st_relate pair memo: a cache hit allocates nothing per row") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val eval = graft.functions.FnRegistry("st_relate").make(Seq(
+      Literal(null, BinaryType), Literal(null, BinaryType)))
+    val x = graft.geom.Wkb.write(graft.geom.Geo.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val y = graft.geom.Wkb.write(graft.geom.Geo.fromWkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    val args = Array[Any](x, y)
+    assert(String.valueOf(eval(args)) == "212101212") // miss → compute + store
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+    assume(tmx.isInstanceOf[com.sun.management.ThreadMXBean])
+    val tm = tmx.asInstanceOf[com.sun.management.ThreadMXBean]
+    assume(tm.isThreadAllocatedMemorySupported && tm.isThreadAllocatedMemoryEnabled)
+    val tid = Thread.currentThread().getId
+    (1 to 1000).foreach(_ => eval(args)) // warm JIT before measuring
+    val before = tm.getThreadAllocatedBytes(tid)
+    var i = 0
+    while (i < 100000) { eval(args); i += 1 }
+    val perHit = (tm.getThreadAllocatedBytes(tid) - before).toDouble / 100000
+    // the old `x ++ y` key concat allocated ~|x|+|y| (≈200B) per HIT; the
+    // thread-local probe key allocates zero — leave headroom for JIT noise
+    assert(perHit < 64.0, f"per-hit allocation $perHit%.1f bytes — memo key allocates on hit")
+  }
+
   test("st_subdivide drops lower-dimension clip artifacts (PostGIS parity)") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory, LineString, Point}
     val f = new GeometryFactory()
