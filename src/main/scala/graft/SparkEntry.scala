@@ -681,6 +681,22 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Hotine Oblique Mercator variant B (round 8, EPSG method 9815): the
+    // RSO Borneo parameterization on WGS84 through the +proj= surface, vs an
+    // independent plain-SQL transcription of the EPSG GN7-2 formula chain.
+    // (The kernel itself is pinned to GN7-2's published worked example in
+    // ProjRegistrySpec.)
+    "q_transform_om" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=omerc +lat_0=4 +lonc=115 +alpha=53.315820472222224 +gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS ox,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=omerc +lat_0=4 +lonc=115 +alpha=53.315820472222224 +gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS oy
+      FROM (SELECT $K AS k, cast(l_partkey % 40 AS DOUBLE) / 10.0d + 114.0d AS lon,
+                   cast(l_suppkey % 50 AS DOUBLE) / 10.0d + 3.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
     // EPSG registry, plus Mercator variant B (+lat_ts) — both against
     // independent plain-SQL Snyder oracles.
@@ -1926,6 +1942,40 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Spheroid family under the oracle (round 8): DuckDB cannot compute
+    // geodesics, so the oracle pins published / analytic constants and the
+    // Spark side must land on them after rounding chosen INSIDE each value's
+    // published tolerance. Sources: GeographicLib/Karney 2013 worked examples
+    // (meridian quadrant 10001965.72931258 m, Table 2 short line 4.944208 m,
+    // the Vincenty-divergent near-antipodal pair 19989832.827610 m),
+    // analytic equatorial arcs a*λ, the authalic-octant area πR²/2, and
+    // city pairs cross-validated against an independent Vincenty
+    // implementation in GeodesicSpec. Axis convention: st_point(lat, lon)
+    // (reference st_distance_spheroid.cpp:61 → AddPoint(x=lat, y=lon)).
+    "q_spheroid" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.sql("""
+        SELECT 'a_meridian_quadrant' AS tag, round(st_distance_spheroid(st_point(0.0d,0.0d), st_point(90.0d,0.0d)), 4) AS v
+        UNION ALL SELECT 'b_pole_to_pole', round(st_distance_spheroid(st_point(90.0d,0.0d), st_point(-90.0d,0.0d)), 4)
+        UNION ALL SELECT 'c_equator_90deg', round(st_distance_spheroid(st_point(0.0d,10.0d), st_point(0.0d,100.0d)), 4)
+        UNION ALL SELECT 'd_karney_short_line', round(st_distance_spheroid(st_point(-30.12345d,0.0d), st_point(-30.12344d,0.00005d)), 5)
+        UNION ALL SELECT 'e_near_antipodal', round(st_distance_spheroid(st_point(-30.0d,0.0d), st_point(29.9d,179.8d)), 3)
+        UNION ALL SELECT 'f_la_nyc', round(st_distance_spheroid(st_point(34.05d,-118.24d), st_point(40.71d,-74.0d)), 3)
+        UNION ALL SELECT 'g_london_tokyo', round(st_distance_spheroid(st_point(51.5d,-0.13d), st_point(35.68d,139.69d)), 3)
+        UNION ALL SELECT 'h_sydney_paris', round(st_distance_spheroid(st_point(-33.87d,151.21d), st_point(48.85d,2.35d)), 3)
+        UNION ALL SELECT 'i_sin_ams', round(st_distance_spheroid(st_point(1.35d,103.99d), st_point(52.31d,4.76d)), 3)
+        UNION ALL SELECT 'j_ushuaia_tromso', round(st_distance_spheroid(st_point(-54.8d,-68.3d), st_point(69.65d,18.96d)), 3)
+        UNION ALL SELECT 'k_short_diag', round(st_distance_spheroid(st_point(10.0d,10.0d), st_point(10.001d,10.001d)), 5)
+        UNION ALL SELECT 'l_length_equator_arc', round(st_length_spheroid(st_geomfromtext('LINESTRING (0 10, 0 100)')), 4)
+        UNION ALL SELECT 'm_length_meridian_q', round(st_length_spheroid(st_geomfromtext('LINESTRING (0 0, 90 0)')), 4)
+        UNION ALL SELECT 'n_perimeter_octant', round(st_perimeter_spheroid(st_geomfromtext('POLYGON ((0 0, 0 90, 90 90, 0 0))')), 3)
+        UNION ALL SELECT 'o_area_octant_km2', round(st_area_spheroid(st_geomfromtext('POLYGON ((0 0, 0 90, 90 90, 0 0))')) / 1000000.0d, 0)
+        UNION ALL SELECT 'p_area_1deg_cell', round(st_area_spheroid(st_geomfromtext('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')), 0)
+        UNION ALL SELECT 'q_dwithin_4000km', CAST(CASE WHEN st_dwithin_spheroid(st_point(34.05d,-118.24d), st_point(40.71d,-74.0d), 4000000.0d) THEN 1 ELSE 0 END AS DOUBLE)
+        UNION ALL SELECT 'r_dwithin_3900km', CAST(CASE WHEN st_dwithin_spheroid(st_point(34.05d,-118.24d), st_point(40.71d,-74.0d), 3900000.0d) THEN 1 ELSE 0 END AS DOUBLE)
+        ORDER BY tag""")
+    }),
+
     // Remote-input round trip (round 8): the same deterministic point set is
     // SERVED over HTTP by an in-process fixture server (standing in for an
     // object store) and read back through the /vsicurl/-equivalent remote
@@ -2539,6 +2589,57 @@ object SparkEntry {
 
     // Independent plain-SQL Polar Stereographic variant B (Snyder 21-33..21-34
     // ellipsoidal, lat_ts=71N lon0=0 on WGS84 — EPSG:3995).
+    // Hotine Oblique Mercator variant B — independent EPSG GN7-2 formula
+    // transcription (WGS84; atan2-based azimuth forms match the kernel)
+    "q_transform_om" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 40 AS DOUBLE) / 10.0 + 114.0 AS lon,
+               CAST(l_suppkey % 50 AS DOUBLE) / 10.0 + 3.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919084262157 AS e, 0.0066943799901413165 AS e2, 6378137.0 AS a,
+               radians(4.0) AS pc, radians(115.0) AS lc,
+               radians(53.315820472222224) AS alc, radians(53.13010236111111) AS gmc,
+               0.99984 AS kc, 590476.87 AS fe, 442857.65 AS fn),
+      c1 AS (
+        SELECT *, sqrt(1 + e2 * pow(cos(pc), 4) / (1 - e2)) AS bb FROM c0),
+      c2 AS (
+        SELECT *,
+               a * bb * kc * sqrt(1 - e2) / (1 - e2 * sin(pc) * sin(pc)) AS aa,
+               tan(pi()/4 - pc/2) / pow((1 - e*sin(pc)) / (1 + e*sin(pc)), e/2) AS t0,
+               greatest(1.0, bb * sqrt(1 - e2) / (cos(pc) * sqrt(1 - e2 * sin(pc) * sin(pc)))) AS dd
+        FROM c1),
+      c3 AS (
+        SELECT *, dd + sqrt(dd*dd - 1) AS ff FROM c2),
+      c4 AS (
+        SELECT *, ff * pow(t0, bb) AS hh, (ff - 1/ff) / 2 AS gg,
+               asin(sin(alc) / dd) AS g0
+        FROM c3),
+      c5 AS (
+        SELECT *, lc - asin(gg * tan(g0)) / bb AS l0,
+               (aa / bb) * atan2(sqrt(dd*dd - 1), cos(alc)) AS uc
+        FROM c4),
+      f1 AS (
+        SELECT k, lon, lat, c5.*,
+               tan(pi()/4 - radians(lat)/2) /
+                 pow((1 - e*sin(radians(lat))) / (1 + e*sin(radians(lat))), e/2) AS t
+        FROM pts, c5),
+      f2 AS (
+        SELECT *, hh / pow(t, bb) AS qq, sin(bb * (radians(lon) - l0)) AS vv FROM f1),
+      f3 AS (
+        SELECT *, (qq - 1/qq) / 2 AS s, (qq + 1/qq) / 2 AS tt FROM f2),
+      f4 AS (
+        SELECT *, (-vv * cos(g0) + s * sin(g0)) / tt AS uu FROM f3),
+      f5 AS (
+        SELECT *, aa * ln((1 - uu) / (1 + uu)) / (2 * bb) AS v,
+               aa * atan2(s * cos(g0) + vv * sin(g0), cos(bb * (radians(lon) - l0))) / bb - uc AS u
+        FROM f4)
+      SELECT k,
+             round((fe + v * cos(gmc) + u * sin(gmc)) / 10.0, 2) + 0.0 AS ox,
+             round((fn + u * cos(gmc) - v * sin(gmc)) / 10.0, 2) + 0.0 AS oy
+      FROM f5
+      ORDER BY k""",
+
     "q_transform_ps" -> s"""
       WITH pts AS (
         SELECT $K AS k, CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS lon, CAST(l_suppkey % 30 AS DOUBLE) + 60.0 AS lat
@@ -2655,6 +2756,30 @@ object SparkEntry {
              CAST((id * 7) % 983 AS DOUBLE) AS y
       FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 101 = 0)
       ORDER BY k""",
+
+    // pinned geodesic constants (GeographicLib/Karney published values,
+    // analytic arcs, authalic octant; city pairs Vincenty-cross-validated)
+    "q_spheroid" -> """
+      SELECT tag, v FROM (VALUES
+        ('a_meridian_quadrant', 10001965.7293),
+        ('b_pole_to_pole',      20003931.4586),
+        ('c_equator_90deg',     10018754.1714),
+        ('d_karney_short_line', 4.94421),
+        ('e_near_antipodal',    19989832.828),
+        ('f_la_nyc',            3944735.825),
+        ('g_london_tokyo',      9583993.428),
+        ('h_sydney_paris',      16958087.152),
+        ('i_sin_ams',           10517324.282),
+        ('j_ushuaia_tromso',    15450153.635),
+        ('k_short_diag',        155.73963),
+        ('l_length_equator_arc', 10018754.1714),
+        ('m_length_meridian_q', 10001965.7293),
+        ('n_perimeter_octant',  30022685.630),
+        ('o_area_octant_km2',   63758203.0),
+        ('p_area_1deg_cell',    12308776258.0),
+        ('q_dwithin_4000km',    1.0),
+        ('r_dwithin_3900km',    0.0)) t(tag, v)
+      ORDER BY tag""",
 
     "q_http_read" -> s"""
       SELECT id AS k,

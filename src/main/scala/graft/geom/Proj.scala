@@ -40,6 +40,7 @@ object Proj {
   val AiryModified = Ellipsoid(6377340.189, 299.3249646)
   val Intl1924 = Ellipsoid(6378388.0, 297.0)
   val Clarke1866 = Ellipsoid(6378206.4, 294.9786982)
+  val Everest1967 = Ellipsoid(6377298.556, 300.8017) // Everest 1830 (1967 Definition)
 
   // ------------------------------------------------------------------ datums
 
@@ -98,6 +99,8 @@ object Proj {
   val DatumTm75 = Datum(AiryModified, Some(Helmert(482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.150)))
   /** ED50 → WGS84 (mean-European 3-parameter shift) */
   val DatumEd50 = Datum(Intl1924, Some(Helmert(-87.0, -98.0, -121.0, 0, 0, 0, 0)))
+  /** Timbalai 1948 → WGS84 (published 3-parameter shift, ~10 m class) */
+  val DatumTimbalai = Datum(Everest1967, Some(Helmert(-679.0, 669.0, -48.0, 0, 0, 0, 0)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -425,6 +428,80 @@ object Proj {
     }
   }
 
+  /** Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815 variant B;
+   *  Snyder 9-1..9-47, EPSG Guidance Note 7-2 formulation). The projection
+   *  for grids whose area of use runs diagonally (Malaysian RSO, Alaska
+   *  zone 1, Swiss-style oblique belts). `variantA` (PROJ `+no_uoff`): grid
+   *  coordinates originate at the natural origin; variant B subtracts the
+   *  centre offset uc and anchors FE/FN at the projection centre. */
+  final class Omerc(el: Ellipsoid, latCDeg: Double, lonCDeg: Double,
+                    alphaCDeg: Double, gammaCDeg: Double, kC: Double,
+                    fe: Double, fn: Double, variantA: Boolean) extends Projection {
+    private val phiC = math.toRadians(latCDeg)
+    private val lamC = math.toRadians(lonCDeg)
+    private val alphaC = math.toRadians(alphaCDeg)
+    private val gammaC = math.toRadians(gammaCDeg)
+    private val e = el.e; private val e2 = el.e2
+    private val cosPhiC = math.cos(phiC); private val sinPhiC = math.sin(phiC)
+    private val bB = math.sqrt(1 + e2 * math.pow(cosPhiC, 4) / (1 - e2))
+    private val aA = el.a * bB * kC * math.sqrt(1 - e2) / (1 - e2 * sinPhiC * sinPhiC)
+    private val t0 = tFn(el, phiC)
+    private val dD = math.max(1.0,
+      bB * math.sqrt(1 - e2) / (cosPhiC * math.sqrt(1 - e2 * sinPhiC * sinPhiC)))
+    private val sgn = if (phiC >= 0) 1.0 else -1.0
+    private val fF = dD + math.sqrt(dD * dD - 1) * sgn
+    private val hH = fF * math.pow(t0, bB)
+    private val gG = (fF - 1 / fF) / 2
+    private val gamma0 = math.asin(math.sin(alphaC) / dD)
+    private val lam0 = lamC - math.asin(gG * math.tan(gamma0)) / bB
+    private val cosGamma0 = math.cos(gamma0); private val sinGamma0 = math.sin(gamma0)
+    private val uC =
+      if (variantA) 0.0
+      else if (math.abs(alphaCDeg - 90) < 1e-9) aA * (lamC - lam0)
+      else (aA / bB) * math.atan2(math.sqrt(dD * dD - 1), math.cos(alphaC)) * sgn
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = math.toRadians(lonDeg)
+      val t = tFn(el, math.toRadians(latDeg))
+      val q = hH / math.pow(t, bB)
+      val s = (q - 1 / q) / 2
+      val tt = (q + 1 / q) / 2
+      val bigV = math.sin(bB * (lam - lam0))
+      val bigU = (-bigV * cosGamma0 + s * sinGamma0) / tt
+      val v = aA * math.log((1 - bigU) / (1 + bigU)) / (2 * bB)
+      val u = aA * math.atan2(s * cosGamma0 + bigV * sinGamma0,
+        math.cos(bB * (lam - lam0))) / bB - math.abs(uC) * sgn
+      (fe + v * math.cos(gammaC) + u * math.sin(gammaC),
+       fn + u * math.cos(gammaC) - v * math.sin(gammaC))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val vP = (x - fe) * math.cos(gammaC) - (y - fn) * math.sin(gammaC)
+      val uP = (y - fn) * math.cos(gammaC) + (x - fe) * math.sin(gammaC) +
+        math.abs(uC) * sgn
+      val qP = math.exp(-bB * vP / aA)
+      val sP = (qP - 1 / qP) / 2
+      val tP = (qP + 1 / qP) / 2
+      val bigVP = math.sin(bB * uP / aA)
+      val bigUP = (bigVP * cosGamma0 + sP * sinGamma0) / tP
+      val t = math.pow(hH / math.sqrt((1 + bigUP) / (1 - bigUP)), 1 / bB)
+      val phi = phiFromT(el, t)
+      val lam = lam0 - math.atan2(sP * cosGamma0 - bigVP * sinGamma0,
+        math.cos(bB * uP / aA)) / bB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** South-oriented grid wrapper (EPSG method 9808, Transverse Mercator
+   *  South Orientated — the South African Hartebeesthoek94 Lo zones): axes
+   *  run westing/southing, so both projected ordinates negate. */
+  final class SouthOriented(inner: Projection) extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y) = inner.forward(lonDeg, latDeg)
+      (-x, -y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = inner.inverse(-x, -y)
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** A registered CRS: projection kernel + datum + a lon/lat probe point
@@ -586,7 +663,28 @@ object Proj {
       "EPSG:32117" -> tm("NAD83 / New York West", 40, dms(-78, 35), 0.9999375, 350000, 0, probe = (-78.88, 42.89)),
       // ------------------------------------- legacy datums (Helmert shift)
       "EPSG:27700" -> tm("OSGB36 / British National Grid", 49, -2, 0.9996012717, 400000, -100000, DatumOsgb36, probe = (-0.13, 51.5)),
-      "EPSG:29903" -> tm("TM75 / Irish Grid", 53.5, -8, 1.000035, 200000, 250000, DatumTm75, probe = (-6.26, 53.35)))
+      "EPSG:29903" -> tm("TM75 / Irish Grid", 53.5, -8, 1.000035, 200000, 250000, DatumTm75, probe = (-6.26, 53.35)),
+      // ---------------------------------------- oblique Mercator (Hotine)
+      // EPSG GN7-2's own worked example CRS (variant B), validated against
+      // its published test point in ProjRegistrySpec
+      "EPSG:29873" -> Crs("Timbalai 1948 / RSO Borneo (m)",
+        new Omerc(Everest1967, 4, 115, dms(53, 18, 56.9537), dms(53, 7, 48.3685),
+          0.99984, 590476.87, 442857.65, variantA = false),
+        DatumTimbalai, probe = (115.0, 5.0),
+        s"+proj=omerc +lat_0=4 +lonc=115 +alpha=${dms(53, 18, 56.9537)} " +
+          s"+gamma=${dms(53, 7, 48.3685)} +k=0.99984 +x_0=590476.87 +y_0=442857.65 " +
+          s"${datumTags(DatumTimbalai)} +units=m +no_defs"))
+
+    // Hartebeesthoek94 / Lo15..Lo33 (EPSG:2046-2055): South African survey
+    // grid — TM 1SP k=1 on odd central meridians, SOUTH-ORIENTED axes
+    // (EPSG method 9808; westing/southing)
+    val loZones = (0 to 9).map { i =>
+      val lon0 = 15 + 2 * i
+      s"EPSG:${2046 + i}" -> Crs(s"Hartebeesthoek94 / Lo$lon0",
+        new SouthOriented(new TransMerc(Grs80, 0, lon0, 1.0, 0, 0)),
+        DatumGrs80, probe = (lon0 + 0.4, -29.5),
+        s"+proj=tmerc +lat_0=0 +lon_0=$lon0 +k=1 +x_0=0 +y_0=0 +axis=wsu +ellps=GRS80 +units=m +no_defs")
+    }.toMap
 
     // JGD2000 (EPSG:2443-2461) and JGD2011 (EPSG:6669-6687) Japan Plane
     // Rectangular CS zones I-XIX: TM k0=0.9999, FE=FN=0, per-zone origins.
@@ -611,7 +709,7 @@ object Proj {
         lat0, 3, 1700000, 1200000 + i * 1000000, probe = (3.0, lat0 + 0.2))
     }.toMap
 
-    base ++ japan ++ franceCC
+    base ++ japan ++ franceCC ++ loZones
   }
 
   // UTM-style zone families resolved by pattern; instances cached (the Krüger
@@ -731,8 +829,26 @@ object Proj {
         (new Laea(el, lat0, p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0), math.max(-80, math.min(80, lat0 + 5))))
       case "tmerc" =>
-        (new TransMerc(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
-          (num("lon_0", 0) + 1, math.max(-80, math.min(80, num("lat_0", 30)))))
+        val base = new TransMerc(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0"))
+        // +axis=wsu = south-oriented grid (EPSG 9808; South African Lo)
+        val oriented: Projection = kv.get("axis") match {
+          case Some("wsu") => new SouthOriented(base)
+          case Some("enu") | None => base
+          case Some(a) => fail(s"unsupported +axis=$a (enu or wsu)")
+        }
+        (oriented,
+          (num("lon_0", 0) + 1,
+            if (kv.get("axis").contains("wsu")) -29.0
+            else math.max(-80, math.min(80, num("lat_0", 30)))))
+      case "omerc" =>
+        // PROJ spellings: +lonc (centre lon), +alpha, optional +gamma
+        // (defaults to alpha), +no_uoff selects variant A (EPSG 9812)
+        val lonC = num("lonc", p("lon_0"))
+        val alpha = kv.get("alpha").map(_.toDouble).getOrElse(fail("+proj=omerc needs +alpha"))
+        val gamma = num("gamma", alpha)
+        (new Omerc(el, p("lat_0"), lonC, alpha, gamma, num("k", num("k_0", 1.0)),
+          p("x_0"), p("y_0"), variantA = kv.contains("no_uoff")),
+          (lonC + 0.5, math.max(-80, math.min(80, num("lat_0", 10) + 0.5))))
       case "utm" =>
         val zone = kv.get("zone").map(_.toInt).getOrElse(fail("+proj=utm needs +zone"))
         if (zone < 1 || zone > 60) fail(s"+zone=$zone out of range 1-60")
@@ -759,7 +875,7 @@ object Proj {
       case "cea" =>
         (new Cea(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 10, 30.0))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea)")
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc)")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per

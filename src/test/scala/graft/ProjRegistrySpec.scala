@@ -193,6 +193,66 @@ class ProjRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("oblique Mercator: EPSG GN7-2 variant-B worked example reproduces") {
+    def dms(d: Int, m: Int, s: Double) = d + m / 60.0 + s / 3600.0
+    // Timbalai 1948 / RSO Borneo (m) — the EPSG Guidance Note 7-2 worked
+    // example for Hotine Oblique Mercator variant B (published input and
+    // output): φ=5°23'14.1129"N λ=115°48'19.8196"E → E=679245.73 N=596562.78
+    val crs = Proj.lookup("EPSG:29873").get
+    val (e, n) = crs.proj.forward(dms(115, 48, 19.8196), dms(5, 23, 14.1129))
+    assert(math.abs(e - 679245.73) < 0.05, s"E=$e")
+    assert(math.abs(n - 596562.78) < 0.05, s"N=$n")
+    val (lo, la) = crs.proj.inverse(679245.73, 596562.78)
+    assert(math.abs(lo - dms(115, 48, 19.8196)) < 1e-6 &&
+      math.abs(la - dms(5, 23, 14.1129)) < 1e-6, s"inverse ($lo,$la)")
+  }
+
+  test("oblique Mercator degenerates to the independent Krüger TM as alpha -> 0") {
+    // two separate implementations (Hotine closed form vs Krüger series)
+    // must agree where the projections coincide — a strong cross-check
+    // that needs no external golden
+    val om = new Proj.Omerc(Proj.Wgs84, 0, 7, 1e-7, 1e-7, 0.9996, 0, 0, variantA = true)
+    val tm = new Proj.TransMerc(Proj.Wgs84, 0, 7, 0.9996, 0, 0)
+    for ((lon, lat) <- Seq((7.5, 1.0), (8.5, -2.0), (6.0, 3.0), (7.0, 0.0))) {
+      val (x1, y1) = om.forward(lon, lat); val (x2, y2) = tm.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 0.005 && math.abs(y1 - y2) < 0.005,
+        s"($lon,$lat): omerc=($x1,$y1) tm=($x2,$y2)")
+    }
+  }
+
+  test("south-oriented Lo zones: westing/southing axes, registry + proj string") {
+    // Hartebeesthoek94 / Lo19: a point EAST of the 19°E meridian in the
+    // southern hemisphere has NEGATIVE westing and POSITIVE southing
+    val lo19 = Proj.lookup("EPSG:2048").get
+    val (w, s) = lo19.proj.forward(19.4, -33.9)
+    assert(w < 0 && s > 0, s"axes: ($w,$s)")
+    val (lo, la) = lo19.proj.inverse(w, s)
+    assert(math.abs(lo - 19.4) < 1e-9 && math.abs(la + 33.9) < 1e-9)
+    // same result through the +proj= string with +axis=wsu
+    val viaStr = Proj.lookup(
+      "+proj=tmerc +lat_0=0 +lon_0=19 +k=1 +x_0=0 +y_0=0 +axis=wsu +ellps=GRS80 +units=m").get
+    val (w2, s2) = viaStr.proj.forward(19.4, -33.9)
+    assert(math.abs(w - w2) < 1e-6 && math.abs(s - s2) < 1e-6)
+    // plain +axis=enu (or none) is the normal TM — southing flips sign
+    val enu = Proj.lookup(
+      "+proj=tmerc +lat_0=0 +lon_0=19 +k=1 +x_0=0 +y_0=0 +ellps=GRS80 +units=m").get
+    val (x3, y3) = enu.proj.forward(19.4, -33.9)
+    assert(math.abs(x3 + w) < 1e-6 && math.abs(y3 + s) < 1e-6)
+  }
+
+  test("omerc +proj= string: variants, gamma default, and failure modes") {
+    val b = Proj.lookup("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.315820472222224 " +
+      "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 " +
+      "+a=6377298.556 +rf=300.8017 +units=m").get
+    val reg = Proj.lookup("EPSG:29873").get
+    val (x1, y1) = b.proj.forward(115.5, 5.2)
+    val (x2, y2) = reg.proj.forward(115.5, 5.2)
+    assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6)
+    // missing +alpha fails loudly
+    val e = intercept[Exception](Proj.lookup("+proj=omerc +lat_0=4 +lonc=115 +k=1"))
+    assert(e.getMessage.contains("alpha"), e.getMessage)
+  }
+
   test("PROJ strings: equivalent parameterization matches the registry kernel") {
     // Lambert-93 written as a PROJ string must agree with EPSG:2154 exactly
     val viaStr = Proj.fromProjString(
