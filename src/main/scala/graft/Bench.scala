@@ -151,5 +151,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v._1.get) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"contaminated":$contamCount,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
+    // hard exit: q_http_read's fixture server thread must not keep the
+    // forked bench JVM alive after the JSON line is printed
+    sys.exit(0)
   }
 }

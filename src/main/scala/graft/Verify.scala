@@ -42,5 +42,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // hard exit: q_http_read's fixture HTTP server (and any other library
+    // that spins a non-daemon thread) must not keep the forked JVM — and
+    // therefore the driver's gate — alive after the dump is complete
+    sys.exit(0)
   }
 }

@@ -41,6 +41,7 @@ object Proj {
   val Intl1924 = Ellipsoid(6378388.0, 297.0)
   val Clarke1866 = Ellipsoid(6378206.4, 294.9786982)
   val Everest1967 = Ellipsoid(6377298.556, 300.8017) // Everest 1830 (1967 Definition)
+  val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
 
   // ------------------------------------------------------------------ datums
 
@@ -101,6 +102,10 @@ object Proj {
   val DatumEd50 = Datum(Intl1924, Some(Helmert(-87.0, -98.0, -121.0, 0, 0, 0, 0)))
   /** Timbalai 1948 → WGS84 (published 3-parameter shift, ~10 m class) */
   val DatumTimbalai = Datum(Everest1967, Some(Helmert(-679.0, 669.0, -48.0, 0, 0, 0, 0)))
+  /** CH1903/CH1903+ → WGS84 (published swisstopo 3-parameter shift) */
+  val DatumCh1903 = Datum(Bessel1841, Some(Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)))
+  /** S-JTSK → WGS84 (published 7-parameter transformation) */
+  val DatumSjtsk = Datum(Bessel1841, Some(Helmert(570.8, 85.7, 462.84, 4.998, 1.587, 5.261, 3.56)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -491,6 +496,127 @@ object Proj {
     }
   }
 
+  /** Swiss Oblique Mercator (EPSG method 9814 — CH1903/LV03 and
+   *  CH1903+/LV95; PROJ `+proj=somerc`): the official double projection —
+   *  ellipsoid → conformal sphere at the projection centre, then rotation
+   *  of the centre onto the pseudo-equator and a spherical Mercator.
+   *  Formulas from the published swisstopo projection document (also
+   *  Snyder's oblique conformal sphere development). */
+  final class Somerc(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                     k0: Double, fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e = el.e; private val e2 = el.e2
+    private val sinPhi0 = math.sin(phi0); private val cosPhi0 = math.cos(phi0)
+    private val rR = k0 * el.a * math.sqrt(1 - e2) / (1 - e2 * sinPhi0 * sinPhi0)
+    private val alpha = math.sqrt(1 + e2 / (1 - e2) * math.pow(cosPhi0, 4))
+    private val b0 = math.asin(sinPhi0 / alpha)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+      alpha * e / 2 * math.log((1 + e * sinPhi0) / (1 - e * sinPhi0))
+    private val sinB0 = math.sin(b0); private val cosB0 = math.cos(b0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val esin = e * math.sin(phi)
+      val sS = alpha * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        alpha * e / 2 * math.log((1 + esin) / (1 - esin)) + bigK
+      val b = 2 * (math.atan(math.exp(sS)) - math.Pi / 4)
+      val l = alpha * (math.toRadians(lonDeg) - lam0)
+      val sinB = math.sin(b); val cosB = math.cos(b)
+      val bBar = math.asin(cosB0 * sinB - sinB0 * cosB * math.cos(l))
+      val lBar = math.atan2(cosB * math.sin(l),
+        sinB0 * sinB + cosB0 * cosB * math.cos(l))
+      (fe + rR * lBar,
+       fn + rR / 2 * math.log((1 + math.sin(bBar)) / (1 - math.sin(bBar))))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lBar = (x - fe) / rR
+      val bBar = 2 * (math.atan(math.exp((y - fn) / rR)) - math.Pi / 4)
+      val sinBBar = math.sin(bBar); val cosBBar = math.cos(bBar)
+      val b = math.asin(cosB0 * sinBBar + sinB0 * cosBBar * math.cos(lBar))
+      val l = math.atan2(cosBBar * math.sin(lBar),
+        cosB0 * math.cos(lBar) * cosBBar - sinB0 * sinBBar)
+      // latitude back through the conformal-sphere relation by iteration
+      val sS = math.log(math.tan(math.Pi / 4 + b / 2))
+      var phi = b
+      var i = 0
+      while (i < 20) {
+        val esin = e * math.sin(phi)
+        val next = 2 * (math.atan(math.exp(
+          (sS - bigK) / alpha + e / 2 * math.log((1 + esin) / (1 - esin)))) - math.Pi / 4)
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 20 } else { phi = next; i += 1 }
+      }
+      (math.toDegrees(lam0 + l / alpha), math.toDegrees(phi))
+    }
+  }
+
+  /** Krovak (EPSG method 9819 — S-JTSK, Czechia/Slovakia): conformal sphere,
+   *  rotation to an oblique pole, then a conformal cone on the pseudo
+   *  standard parallel. Axes are SOUTH/WEST-oriented in EPSG:5514 (handled
+   *  by [[SouthOriented]]); this kernel emits the positive (southing,
+   *  westing) pair as (x=westing Y, y=southing X) negated for ENU use.
+   *  Formulas per EPSG Guidance Note 7-2. */
+  final class Krovak(el: Ellipsoid, latCDeg: Double, lonOriginDeg: Double,
+                     alphaCDeg: Double, latPDeg: Double, kP: Double,
+                     fe: Double, fn: Double) extends Projection {
+    private val phiC = math.toRadians(latCDeg)     // 49°30'
+    private val lam0 = math.toRadians(lonOriginDeg)
+    private val alphaC = math.toRadians(alphaCDeg) // 30°17'17.3031"
+    private val phiP = math.toRadians(latPDeg)     // 78°30'
+    private val e = el.e; private val e2 = el.e2
+    private val sinPhiC = math.sin(phiC); private val cosPhiC = math.cos(phiC)
+    private val bigA = el.a * math.sqrt(1 - e2) / (1 - e2 * sinPhiC * sinPhiC)
+    private val bigB = math.sqrt(1 + e2 * math.pow(cosPhiC, 4) / (1 - e2))
+    private val gamma0 = math.asin(sinPhiC / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * sinPhiC) / (1 - e * sinPhiC), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = kP * bigA / math.tan(phiP)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val esin = e * math.sin(phi)
+      val u = 2 * (math.atan(t0 * math.pow(math.tan(math.Pi / 4 + phi / 2), bigB) /
+        math.pow((1 + esin) / (1 - esin), e * bigB / 2)) - math.Pi / 4)
+      val v = bigB * (lam0 - math.toRadians(lonDeg))
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = n * d
+      val r = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), n) /
+        math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      // EPSG emits Southing X = r cosθ + FN, Westing Y = r sinθ + FE; the
+      // ENU-facing pair negates both (east = −westing, north = −southing)
+      (-(r * math.sin(theta) + fe), -(r * math.cos(theta) + fn))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yW = -x - fe   // westing
+      val xS = -y - fn   // southing
+      val r = math.sqrt(xS * xS + yW * yW)
+      val theta = math.atan2(yW, xS)
+      val d = theta / math.sin(phiP)
+      val t = 2 * (math.atan(math.pow(r0 / r, 1 / n) *
+        math.tan(math.Pi / 4 + phiP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      // latitude by iteration on the conformal relation
+      var phi = u
+      var i = 0
+      while (i < 20) {
+        val esin = e * math.sin(phi)
+        val next = 2 * (math.atan(
+          math.pow(t0, -1 / bigB) *
+            math.pow(math.tan(u / 2 + math.Pi / 4), 1 / bigB) *
+            math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 4)
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 20 } else { phi = next; i += 1 }
+      }
+      (math.toDegrees(lam0 - v / bigB), math.toDegrees(phi))
+    }
+  }
+
   /** South-oriented grid wrapper (EPSG method 9808, Transverse Mercator
    *  South Orientated — the South African Hartebeesthoek94 Lo zones): axes
    *  run westing/southing, so both projected ordinates negate. */
@@ -515,6 +641,7 @@ object Proj {
     if (el == Wgs84) "+ellps=WGS84" else if (el == Grs80) "+ellps=GRS80"
     else if (el == Airy1830) "+ellps=airy" else if (el == AiryModified) "+ellps=mod_airy"
     else if (el == Intl1924) "+ellps=intl" else if (el == Clarke1866) "+ellps=clrk66"
+    else if (el == Bessel1841) "+ellps=bessel" else if (el == Everest1967) "+ellps=evrst69"
     else s"+a=${el.a} +rf=${el.invF}"
 
   private def datumTags(d: Datum): String = d.grid match {
@@ -673,7 +800,27 @@ object Proj {
         DatumTimbalai, probe = (115.0, 5.0),
         s"+proj=omerc +lat_0=4 +lonc=115 +alpha=${dms(53, 18, 56.9537)} " +
           s"+gamma=${dms(53, 7, 48.3685)} +k=0.99984 +x_0=590476.87 +y_0=442857.65 " +
-          s"${datumTags(DatumTimbalai)} +units=m +no_defs"))
+          s"${datumTags(DatumTimbalai)} +units=m +no_defs"),
+      // ------------------------------------ Swiss double projection (9814)
+      "EPSG:2056" -> Crs("CH1903+ / LV95",
+        new Somerc(Bessel1841, dms(46, 57, 8.66), dms(7, 26, 22.5), 1.0, 2600000, 1200000),
+        DatumCh1903, probe = (8.54, 47.38),
+        s"+proj=somerc +lat_0=${dms(46, 57, 8.66)} +lon_0=${dms(7, 26, 22.5)} +k_0=1 " +
+          s"+x_0=2600000 +y_0=1200000 ${datumTags(DatumCh1903)} +units=m +no_defs"),
+      "EPSG:21781" -> Crs("CH1903 / LV03",
+        new Somerc(Bessel1841, dms(46, 57, 8.66), dms(7, 26, 22.5), 1.0, 600000, 200000),
+        DatumCh1903, probe = (8.54, 47.38),
+        s"+proj=somerc +lat_0=${dms(46, 57, 8.66)} +lon_0=${dms(7, 26, 22.5)} +k_0=1 " +
+          s"+x_0=600000 +y_0=200000 ${datumTags(DatumCh1903)} +units=m +no_defs"),
+      // ----------------------------------------------------- Krovak (9819)
+      // EPSG:5514 = S-JTSK / Krovak East North: the ENU-facing negation of
+      // the south/west grid (kernel emits it directly). λ0 = 42°30' east of
+      // Ferro = 24°50' east of Greenwich.
+      "EPSG:5514" -> Crs("S-JTSK / Krovak East North",
+        new Krovak(Bessel1841, 49.5, dms(24, 50), dms(30, 17, 17.3031), 78.5, 0.9999, 0, 0),
+        DatumSjtsk, probe = (16.85, 50.21),
+        s"+proj=krovak +lat_0=49.5 +lon_0=${dms(24, 50)} +alpha=${dms(30, 17, 17.3031)} " +
+          s"+k=0.9999 +x_0=0 +y_0=0 ${datumTags(DatumSjtsk)} +units=m +no_defs"))
 
     // Hartebeesthoek94 / Lo15..Lo33 (EPSG:2046-2055): South African survey
     // grid — TM 1SP k=1 on odd central meridians, SOUTH-ORIENTED axes
@@ -783,7 +930,9 @@ object Proj {
           case Some("mod_airy") => AiryModified
           case Some("intl") => Intl1924
           case Some("clrk66") => Clarke1866
-          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66; or +a with +rf)")
+          case Some("bessel") => Bessel1841
+          case Some("evrst69") => Everest1967
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
           case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") || kv.contains("R") =>
             fail("custom ellipsoids need exactly +a and +rf (spheres/+b unsupported)")
@@ -840,6 +989,15 @@ object Proj {
           (num("lon_0", 0) + 1,
             if (kv.get("axis").contains("wsu")) -29.0
             else math.max(-80, math.min(80, num("lat_0", 30)))))
+      case "somerc" =>
+        (new Somerc(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 0.5, math.max(-80, math.min(80, num("lat_0", 46) + 0.3))))
+      case "krovak" =>
+        // PROJ defaults mirror the S-JTSK definition
+        (new Krovak(el, num("lat_0", 49.5), num("lon_0", dms(24, 50)),
+          num("alpha", dms(30, 17, 17.3031)), num("lat_1", 78.5),
+          num("k", num("k_0", 0.9999)), p("x_0"), p("y_0")),
+          (num("lon_0", dms(24, 50)) - 8, 50.0))
       case "omerc" =>
         // PROJ spellings: +lonc (centre lon), +alpha, optional +gamma
         // (defaults to alpha), +no_uoff selects variant A (EPSG 9812)
@@ -875,7 +1033,7 @@ object Proj {
       case "cea" =>
         (new Cea(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 10, 30.0))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc)")
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak)")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per

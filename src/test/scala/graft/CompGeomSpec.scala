@@ -131,11 +131,16 @@ class CompGeomSpec extends AnyFunSuite {
     val tm = tmx.asInstanceOf[com.sun.management.ThreadMXBean]
     assume(tm.isThreadAllocatedMemorySupported && tm.isThreadAllocatedMemoryEnabled)
     val tid = Thread.currentThread().getId
-    (1 to 1000).foreach(_ => eval(args)) // warm JIT before measuring
-    val before = tm.getThreadAllocatedBytes(tid)
-    var i = 0
-    while (i < 100000) { eval(args); i += 1 }
-    val perHit = (tm.getThreadAllocatedBytes(tid) - before).toDouble / 100000
+    (1 to 20000).foreach(_ => eval(args)) // warm JIT before measuring
+    // JIT recompilation on a loaded JVM (full-suite runs) can bill compile-
+    // thread-adjacent allocations here; take the BEST of a few measurements
+    // — a zero-allocation hit path must produce at least one clean window
+    val perHit = (1 to 3).map { _ =>
+      val before = tm.getThreadAllocatedBytes(tid)
+      var i = 0
+      while (i < 100000) { eval(args); i += 1 }
+      (tm.getThreadAllocatedBytes(tid) - before).toDouble / 100000
+    }.min
     // the old `x ++ y` key concat allocated ~|x|+|y| (≈200B) per HIT; the
     // thread-local probe key allocates zero — leave headroom for JIT noise
     assert(perHit < 64.0, f"per-hit allocation $perHit%.1f bytes — memo key allocates on hit")

@@ -253,6 +253,48 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("alpha"), e.getMessage)
   }
 
+  test("Krovak: EPSG GN7-2 worked example reproduces (EPSG:5514 axes)") {
+    def dms(d: Int, m: Int, s: Double) = d + m / 60.0 + s / 3600.0
+    // S-JTSK worked example: φ=50°12'32.4416"N λ=16°50'59.1790"E (Greenwich)
+    // → Southing 1050538.64, Westing 568991.00; EPSG:5514 East-North = the
+    // negated pair
+    val kr = Proj.lookup("EPSG:5514").get
+    val (e, n) = kr.proj.forward(dms(16, 50, 59.1790), dms(50, 12, 32.4416))
+    assert(math.abs(e - -568991.00) < 0.05, s"E=$e")
+    assert(math.abs(n - -1050538.64) < 0.05, s"N=$n")
+    val (lo, la) = kr.proj.inverse(-568991.00, -1050538.64)
+    assert(math.abs(lo - dms(16, 50, 59.1790)) < 1e-6 &&
+      math.abs(la - dms(50, 12, 32.4416)) < 1e-6, s"($lo,$la)")
+  }
+
+  test("Swiss somerc: origin anchor, Zurich sanity, and omerc-90 equivalence") {
+    def dms(d: Int, m: Int, s: Double) = d + m / 60.0 + s / 3600.0
+    val lv95 = Proj.lookup("EPSG:2056").get
+    // the projection centre (Bern old observatory) maps EXACTLY to FE/FN
+    val (e0, n0) = lv95.proj.forward(dms(7, 26, 22.5), dms(46, 57, 8.66))
+    assert(math.abs(e0 - 2600000) < 1e-6 && math.abs(n0 - 1200000) < 1e-4, s"($e0,$n0)")
+    // Zurich lands in the right LV03 kilometre square (~683/248)
+    val lv03 = Proj.lookup("EPSG:21781").get
+    val (ez, nz) = lv03.proj.forward(8.540, 47.378)
+    assert(math.abs(ez - 683000) < 2000 && math.abs(nz - 248000) < 2000, s"($ez,$nz)")
+    // the Swiss double projection and Hotine variant B with α=γ=90° are the
+    // same map — two independent formula chains agreeing to sub-mm
+    val om = new Proj.Omerc(Proj.Bessel1841, dms(46, 57, 8.66), dms(7, 26, 22.5),
+      90, 90, 1.0, 2600000, 1200000, variantA = false)
+    for ((lon, lat) <- Seq((8.0, 47.0), (7.0, 46.5), (9.5, 46.0), (6.2, 46.2))) {
+      val (x1, y1) = lv95.proj.forward(lon, lat)
+      val (x2, y2) = om.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-3 && math.abs(y1 - y2) < 1e-3,
+        s"($lon,$lat): somerc=($x1,$y1) omerc=($x2,$y2)")
+    }
+    // +proj= strings for both methods
+    assert(Proj.lookup("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 " +
+      "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel +units=m").isDefined ||
+      Proj.lookup("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 " +
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +a=6377397.155 +rf=299.1528128 +units=m").isDefined)
+    assert(Proj.lookup("+proj=krovak +x_0=0 +y_0=0 +a=6377397.155 +rf=299.1528128 +units=m").isDefined)
+  }
+
   test("PROJ strings: equivalent parameterization matches the registry kernel") {
     // Lambert-93 written as a PROJ string must agree with EPSG:2154 exactly
     val viaStr = Proj.fromProjString(
@@ -285,7 +327,7 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(msg("+proj=lcc +lat_1=45 +lon_0=3").contains("1SP"))
     assert(msg("+proj=stere +lat_0=52 +lon_0=0").contains("polar aspect"))
     assert(msg("+proj=tmerc +datum=potsdam").contains("unsupported +datum"))
-    assert(msg("+proj=tmerc +ellps=bessel").contains("unsupported +ellps"))
+    assert(msg("+proj=tmerc +ellps=sphere").contains("unsupported +ellps"))
     assert(msg("+proj=utm +ellps=WGS84").contains("+zone"))
   }
 
