@@ -91,6 +91,8 @@ object Graft {
     require(layers.length <= 1, "st_read: at most one layer argument")
     require(optStrs.length <= 1, "st_read: at most one options argument")
     val layer = layers.headOption
+    var sf: Option[String] = None
+    var drivers: Seq[String] = Nil
     val opts = optStrs.headOption.map { s =>
       var keep = false
       val open = scala.collection.mutable.Map.empty[String, String]
@@ -102,16 +104,29 @@ object Graft {
           case "keep_wkb" => keep = v.toBoolean
           case "geom_column" => open("GEOM_COLUMN") = v
           case "encoding" => open("ENCODING") = v
+          case "spatial_filter" => sf = Some(v)
+          case "allowed_drivers" =>
+            drivers = v.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+          // GDAL scheduling hints with no meaning for partition-parallel
+          // executors — accepted so reference call sites port verbatim
+          case "sequential_layer_scan" | "max_batch_size" => ()
           case other => throw new IllegalArgumentException(
-            s"st_read: unknown option '$other' (supported: keep_wkb, geom_column, encoding)")
+            s"st_read: unknown option '$other' (supported: keep_wkb, geom_column, " +
+              "encoding, spatial_filter, allowed_drivers, sequential_layer_scan, max_batch_size)")
         }
       }
-      graft.io.GeoReadOptions(keep, open.toMap)
+      graft.io.GeoReadOptions(keep, open.toMap, sf, drivers)
     }.getOrElse(graft.io.GeoReadOptions.default)
     val paths = graft.io.GeoFiles.expand(path)
     val fmt = graft.io.GeoFiles.formatOf(paths, forced)
+    graft.io.GeoFiles.requireAllowedDriver(fmt, opts)
     val schema = graft.io.GeoFiles.schemaFor(fmt, paths, layer, opts)
-    val table = new graft.io.GeoTable(schema, paths, fmt, layer = layer, opts = opts)
+    val bbox = opts.spatialFilter.map { w =>
+      val e = graft.geom.Geo.fromWkt(w).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
+    val table = new graft.io.GeoTable(schema, paths, fmt, bbox = bbox,
+      layer = layer, opts = opts)
     org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
       table, None, None)
   }

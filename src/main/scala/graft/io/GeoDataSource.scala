@@ -44,8 +44,10 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = pathsOf(options)
     val layer = Option(options.get("layer"))
-    val base = GeoFiles.schemaFor(GeoFiles.formatOf(paths, Option(options.get("format"))), paths, layer,
-      GeoReadOptions.from(options))
+    val opts = GeoReadOptions.from(options)
+    val fmt = GeoFiles.formatOf(paths, Option(options.get("format")))
+    GeoFiles.requireAllowedDriver(fmt, opts)
+    val base = GeoFiles.schemaFor(fmt, paths, layer, opts)
     // Hive-style partition columns appended after the data columns; a path
     // key shadowed by a data column of the same name is dropped (data wins)
     GeoFiles.partitionSpec(paths)
@@ -66,9 +68,18 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
       require(p.length == 4, s"bbox option expects 'minx,miny,maxx,maxy', got '$s'")
       (p(0), p(1), p(2), p(3))
     }
-    new GeoTable(schema, paths, GeoFiles.formatOf(paths, Option(options.get("format"))),
-      bbox = bbox, rawPath = Option(options.get("path")), layer = Option(options.get("layer")),
-      opts = GeoReadOptions.from(options))
+    val opts = GeoReadOptions.from(options)
+    val fmt = GeoFiles.formatOf(paths, Option(options.get("format")))
+    GeoFiles.requireAllowedDriver(fmt, opts)
+    // an exact spatial_filter implies its envelope as the coarse bbox
+    // prefilter (index-backed formats prune on it before materializing)
+    val bboxEff = bbox.orElse(opts.spatialFilter.map { w =>
+      val e = graft.geom.Geo.fromWkt(w).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    })
+    new GeoTable(schema, paths, fmt,
+      bbox = bboxEff, rawPath = Option(options.get("path")), layer = Option(options.get("layer")),
+      opts = opts)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -89,7 +100,9 @@ class GeoDataSource extends TableProvider with DataSourceRegister {
   *   DBF charset, overriding the .cpg sidecar). Unknown keys fail fast —
   *   a typo'd option silently ignored is worse than an error. */
 final case class GeoReadOptions(keepWkb: Boolean = false,
-                                open: Map[String, String] = Map.empty) {
+                                open: Map[String, String] = Map.empty,
+                                spatialFilter: Option[String] = None,
+                                allowedDrivers: Seq[String] = Nil) {
   def geomColumn: Option[String] = open.get("GEOM_COLUMN")
   def encoding: Option[String] = open.get("ENCODING")
 }
@@ -108,7 +121,17 @@ object GeoReadOptions {
         k -> kv.substring(i + 1).trim
       }.toMap
     }.getOrElse(Map.empty[String, String])
-    GeoReadOptions(keep, oo)
+    // reference st_read named params beyond layer/bbox (st_read.cpp:623-631):
+    // spatial_filter = EXACT geometry window (WKT here; envelope prefilter +
+    // prepared-intersects per feature); allowed_drivers = restrict which
+    // format may resolve; sequential_layer_scan / max_batch_size are GDAL
+    // scheduling hints with no meaning for partition-parallel executors —
+    // accepted as documented no-ops so existing call sites port verbatim.
+    val sf = Option(options.get("spatial_filter")).map(_.trim).filter(_.nonEmpty)
+    sf.foreach(w => graft.geom.Geo.fromWkt(w)) // fail fast on bad WKT at bind
+    val drivers = Option(options.get("allowed_drivers")).toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    GeoReadOptions(keep, oo, sf, drivers)
   }
 }
 
@@ -233,6 +256,13 @@ object GeoFiles {
 
   /** a path that must resolve through [[local]] before it can be opened */
   def needsLocal(p: String): Boolean = isZipVirtual(p) || isRemote(p)
+
+  /** reference st_read `allowed_drivers`: the resolved format must be in
+    * the caller's allowlist (GDAL semantics: restrict which driver may
+    * open the path) */
+  def requireAllowedDriver(fmt: String, opts: GeoReadOptions): Unit =
+    require(opts.allowedDrivers.isEmpty || opts.allowedDrivers.contains(fmt),
+      s"allowed_drivers: resolved format '$fmt' is not in [${opts.allowedDrivers.mkString(", ")}]")
 
   /** query strings never participate in extension sniffing */
   private def stripQuery(p: String): String = {
@@ -1064,11 +1094,25 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
       if (bboxGeomIdx < 0) rows0
       else {
         val Some((x0, y0, x1, y1)) = bbox
-        rows0.filter { r =>
+        val envFiltered = rows0.filter { r =>
           !r.isNullAt(bboxGeomIdx) && {
             val e = graft.geom.Wkb.envelope(r.getBinary(bboxGeomIdx))
             e != null && e(0) <= x1 && e(2) >= x0 && e(1) <= y1 && e(3) >= y0
           }
+        }
+        // exact spatial_filter (reference st_read named param): features
+        // surviving the envelope prefilter are tested against the PREPARED
+        // filter geometry — one prepared build per partition reader
+        opts.spatialFilter match {
+          case Some(wkt) =>
+            val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+              .prepare(graft.geom.Geo.fromWkt(wkt))
+            envFiltered.filter { r =>
+              val g = try graft.geom.Geo.read(r.getBinary(bboxGeomIdx))
+                      catch { case scala.util.control.NonFatal(_) => null }
+              g != null && prepared.intersects(g)
+            }
+          case None => envFiltered
         }
       }
     val rows: Iterator[InternalRow] =

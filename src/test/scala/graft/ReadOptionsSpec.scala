@@ -70,6 +70,54 @@ class ReadOptionsSpec extends AnyFunSuite {
     assert(good == "München", good)
   }
 
+  test("spatial_filter: exact geometry window, not just its envelope") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf")
+    val p = dir.resolve("pts.geojsonl")
+    // 5 points on a diagonal; the triangle filter below COVERS the envelope
+    // corner points' bbox but only intersects 3 of them exactly
+    val gj = Seq((0, 0), (2, 2), (4, 4), (1, 3), (3, 1)).zipWithIndex.map { case ((x, y), i) =>
+      s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$x,$y]},"properties":{"n":"$i"}}"""
+    }.mkString("\n")
+    java.nio.file.Files.write(p, gj.getBytes("UTF-8"))
+    // triangle below the diagonal: contains (0,0),(2,2)?,(4,4)? — triangle
+    // (0,0)-(4,0)-(4,4): contains points with y<=x → (0,0),(2,2),(4,4),(3,1)
+    val tri = "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+    val got = spark.read.format("geo").option("spatial_filter", tri).load(p.toString)
+      .selectExpr("properties['n'] AS n").collect().map(_.getString(0)).toSet
+    assert(got == Set("0", "1", "2", "4"), got.mkString(","))
+    // envelope alone would have kept (1,3) too — prove the exact test ran
+    assert(!got.contains("3"))
+    // SQL surface
+    Graft.register(spark)
+    assert(spark.sql(
+      s"SELECT count(*) FROM st_read('${p.toString}', 'spatial_filter=$tri')")
+      .collect()(0).getLong(0) == 4)
+    // bad WKT fails at bind
+    intercept[Exception] {
+      spark.read.format("geo").option("spatial_filter", "NOT WKT").load(p.toString).collect()
+    }
+  }
+
+  test("allowed_drivers restricts format resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ad")
+    val p = dir.resolve("x.geojsonl")
+    java.nio.file.Files.write(p,
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{}}"""
+        .getBytes("UTF-8"))
+    assert(spark.read.format("geo").option("allowed_drivers", "geojsonl,shapefile")
+      .load(p.toString).count() == 1)
+    val err = intercept[Exception] {
+      spark.read.format("geo").option("allowed_drivers", "shapefile")
+        .load(p.toString).collect()
+    }
+    assert(err.getMessage.contains("allowed_drivers"), err.getMessage)
+    // advisory GDAL knobs are accepted (documented no-ops)
+    Graft.register(spark)
+    assert(spark.sql(
+      s"SELECT count(*) FROM st_read('${p.toString}', 'sequential_layer_scan=true;max_batch_size=100')")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("unknown open_options key fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_oo_bad")
     val p = dir.resolve("x.csv")
