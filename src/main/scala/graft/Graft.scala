@@ -107,9 +107,10 @@ object Graft {
           case "spatial_filter" => sf = Some(v)
           case "allowed_drivers" =>
             drivers = v.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
-          // GDAL scheduling hints with no meaning for partition-parallel
-          // executors — accepted so reference call sites port verbatim
-          case "sequential_layer_scan" | "max_batch_size" => ()
+          // GDAL scheduling/probing hints with no meaning for partition-
+          // parallel scans (sidecars are derived from the path family) —
+          // accepted so reference call sites port verbatim
+          case "sequential_layer_scan" | "max_batch_size" | "sibling_files" => ()
           case other => throw new IllegalArgumentException(
             s"st_read: unknown option '$other' (supported: keep_wkb, geom_column, " +
               "encoding, spatial_filter, allowed_drivers, sequential_layer_scan, max_batch_size)")

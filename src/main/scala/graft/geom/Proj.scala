@@ -42,6 +42,7 @@ object Proj {
   val Clarke1866 = Ellipsoid(6378206.4, 294.9786982)
   val Everest1967 = Ellipsoid(6377298.556, 300.8017) // Everest 1830 (1967 Definition)
   val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
+  val Grs67 = Ellipsoid(6378160.0, 298.247167427)
 
   // ------------------------------------------------------------------ datums
 
@@ -106,6 +107,8 @@ object Proj {
   val DatumCh1903 = Datum(Bessel1841, Some(Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)))
   /** S-JTSK → WGS84 (published 7-parameter transformation) */
   val DatumSjtsk = Datum(Bessel1841, Some(Helmert(570.8, 85.7, 462.84, 4.998, 1.587, 5.261, 3.56)))
+  /** HD72 → WGS84 (published 3-parameter shift) */
+  val DatumHd72 = Datum(Grs67, Some(Helmert(52.17, -71.82, -14.9, 0, 0, 0, 0)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -462,8 +465,20 @@ object Proj {
     private val cosGamma0 = math.cos(gamma0); private val sinGamma0 = math.sin(gamma0)
     private val uC =
       if (variantA) 0.0
-      else if (math.abs(alphaCDeg - 90) < 1e-9) aA * (lamC - lam0)
-      else (aA / bB) * math.atan2(math.sqrt(dD * dD - 1), math.cos(alphaC)) * sgn
+      else {
+        // variant B's centre offset is BY DEFINITION u_A evaluated at the
+        // projection centre (so the centre maps onto the false origin).
+        // Evaluating the same atan2 form used per-point keeps the two
+        // internally consistent for every αc INCLUDING the αc=90 EOV case,
+        // where the closed form (A/B)·atan(√(D²−1)/cos αc) degenerates.
+        // For αc≠90 this equals the closed form to machine precision.
+        val tC = tFn(el, phiC)
+        val qC = fF / math.pow(tC / t0, bB) // = F at the centre
+        val sC = (qC - 1 / qC) / 2
+        val vC = math.sin(bB * (lamC - lam0))
+        aA * math.atan2(sC * math.cos(gamma0) + vC * math.sin(gamma0),
+          math.cos(bB * (lamC - lam0))) / bB
+      }
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val lam = math.toRadians(lonDeg)
@@ -475,14 +490,13 @@ object Proj {
       val bigU = (-bigV * cosGamma0 + s * sinGamma0) / tt
       val v = aA * math.log((1 - bigU) / (1 + bigU)) / (2 * bB)
       val u = aA * math.atan2(s * cosGamma0 + bigV * sinGamma0,
-        math.cos(bB * (lam - lam0))) / bB - math.abs(uC) * sgn
+        math.cos(bB * (lam - lam0))) / bB - uC
       (fe + v * math.cos(gammaC) + u * math.sin(gammaC),
        fn + u * math.cos(gammaC) - v * math.sin(gammaC))
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val vP = (x - fe) * math.cos(gammaC) - (y - fn) * math.sin(gammaC)
-      val uP = (y - fn) * math.cos(gammaC) + (x - fe) * math.sin(gammaC) +
-        math.abs(uC) * sgn
+      val uP = (y - fn) * math.cos(gammaC) + (x - fe) * math.sin(gammaC) + uC
       val qP = math.exp(-bB * vP / aA)
       val sP = (qP - 1 / qP) / 2
       val tP = (qP + 1 / qP) / 2
@@ -812,6 +826,15 @@ object Proj {
         DatumCh1903, probe = (8.54, 47.38),
         s"+proj=somerc +lat_0=${dms(46, 57, 8.66)} +lon_0=${dms(7, 26, 22.5)} +k_0=1 " +
           s"+x_0=600000 +y_0=200000 ${datumTags(DatumCh1903)} +units=m +no_defs"),
+      // EOV (Hungary, EPSG method 9815 with α=γ=90° — the documented
+      // Hotine special case): HD72 datum on GRS 1967
+      "EPSG:23700" -> Crs("HD72 / EOV",
+        new Omerc(Grs67, dms(47, 8, 39.8174), dms(19, 2, 54.8584), 90, 90,
+          0.99993, 650000, 200000, variantA = false),
+        DatumHd72, probe = (19.05, 47.5),
+        s"+proj=omerc +lat_0=${dms(47, 8, 39.8174)} +lonc=${dms(19, 2, 54.8584)} " +
+          s"+alpha=90 +gamma=90 +k=0.99993 +x_0=650000 +y_0=200000 " +
+          s"${datumTags(DatumHd72)} +units=m +no_defs"),
       // ----------------------------------------------------- Krovak (9819)
       // EPSG:5514 = S-JTSK / Krovak East North: the ENU-facing negation of
       // the south/west grid (kernel emits it directly). λ0 = 42°30' east of

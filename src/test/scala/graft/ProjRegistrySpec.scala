@@ -295,6 +295,20 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(Proj.lookup("+proj=krovak +x_0=0 +y_0=0 +a=6377397.155 +rf=299.1528128 +units=m").isDefined)
   }
 
+  test("EOV (Hungary): Hotine alpha=90 special case, Budapest anchor") {
+    val eov = Proj.lookup("EPSG:23700").get
+    // the projection centre maps to FE/FN exactly
+    def dms(d: Int, m: Int, s: Double) = d + m / 60.0 + s / 3600.0
+    val (e0, n0) = eov.proj.forward(dms(19, 2, 54.8584), dms(47, 8, 39.8174))
+    assert(math.abs(e0 - 650000) < 1e-4 && math.abs(n0 - 200000) < 1e-4, s"($e0,$n0)")
+    // Budapest centre sits ~39 km north of the projection centre on nearly
+    // the same meridian → EOV ≈ (650, 240) km; coarse 3 km anchor
+    val (eb, nb) = eov.proj.forward(19.05, 47.50)
+    assert(math.abs(eb - 650000) < 3000 && math.abs(nb - 239000) < 3000, s"($eb,$nb)")
+    val (lo, la) = eov.proj.inverse(eb, nb)
+    assert(math.abs(lo - 19.05) < 1e-9 && math.abs(la - 47.50) < 1e-9)
+  }
+
   test("PROJ strings: equivalent parameterization matches the registry kernel") {
     // Lambert-93 written as a PROJ string must agree with EPSG:2154 exactly
     val viaStr = Proj.fromProjString(
