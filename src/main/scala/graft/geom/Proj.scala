@@ -109,6 +109,9 @@ object Proj {
   val DatumSjtsk = Datum(Bessel1841, Some(Helmert(570.8, 85.7, 462.84, 4.998, 1.587, 5.261, 3.56)))
   /** HD72 → WGS84 (published 3-parameter shift) */
   val DatumHd72 = Datum(Grs67, Some(Helmert(52.17, -71.82, -14.9, 0, 0, 0, 0)))
+  /** Amersfoort → WGS84 (published 7-parameter transformation) */
+  val DatumAmersfoort = Datum(Bessel1841,
+    Some(Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -631,6 +634,63 @@ object Proj {
     }
   }
 
+  /** Oblique Stereographic (EPSG method 9809 — the Dutch RD New grid;
+   *  PROJ `+proj=sterea`): the ellipsoid maps to a Gauss conformal sphere
+   *  first, then a spherical oblique stereographic projection — NOT the
+   *  same map as `+proj=stere`'s direct ellipsoidal development. Formulas
+   *  per EPSG Guidance Note 7-2. */
+  final class Sterea(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                     k0: Double, fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e = el.e; private val e2 = el.e2
+    private val sinPhi0 = math.sin(phi0)
+    private val rR = el.a * math.sqrt(1 - e2) / (1 - e2 * sinPhi0 * sinPhi0)
+    private val n = math.sqrt(1 + e2 * math.pow(math.cos(phi0), 4) / (1 - e2))
+    private val s1 = (1 + sinPhi0) / (1 - sinPhi0)
+    private val s2 = (1 - e * sinPhi0) / (1 + e * sinPhi0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi00 = (w1 - 1) / (w1 + 1)
+    private val c = (n + sinPhi0) * (1 - sinChi00) / ((n - sinPhi0) * (1 + sinChi00))
+    private val w2 = c * w1
+    private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+    private val sinChi0 = math.sin(chi0); private val cosChi0 = math.cos(chi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lamD = n * (math.toRadians(lonDeg) - lam0)
+      val sa = (1 + math.sin(phi)) / (1 - math.sin(phi))
+      val sb = (1 - e * math.sin(phi)) / (1 + e * math.sin(phi))
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin((w - 1) / (w + 1))
+      val b = 1 + math.sin(chi) * sinChi0 + math.cos(chi) * cosChi0 * math.cos(lamD)
+      (fe + 2 * rR * k0 * math.cos(chi) * math.sin(lamD) / b,
+       fn + 2 * rR * k0 * (math.sin(chi) * cosChi0 - math.cos(chi) * sinChi0 * math.cos(lamD)) / b)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dE = x - fe; val dN = y - fn
+      val g = 2 * rR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * rR * k0 * math.tan(chi0) + g
+      val i = math.atan2(dE, h + dN)
+      val j = math.atan2(dE, g - dN) - i
+      val chi = chi0 + 2 * math.atan((dN - dE * math.tan(j / 2)) / (2 * rR * k0))
+      val lamD = j + 2 * i
+      val lam = lam0 + lamD / n
+      // isometric-latitude iteration back to the ellipsoid (GN7-2)
+      val psi = 0.5 * math.log((1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+      var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var it = 0
+      while (it < 20) {
+        val esin = e * math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+          math.pow((1 - esin) / (1 + esin), e / 2))
+        val next = phi - (psiI - psi) * math.cos(phi) * (1 - esin * esin) / (1 - e2)
+        if (math.abs(next - phi) < 1e-14) { phi = next; it = 20 } else { phi = next; it += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** South-oriented grid wrapper (EPSG method 9808, Transverse Mercator
    *  South Orientated — the South African Hartebeesthoek94 Lo zones): axes
    *  run westing/southing, so both projected ordinates negate. */
@@ -826,6 +886,14 @@ object Proj {
         DatumCh1903, probe = (8.54, 47.38),
         s"+proj=somerc +lat_0=${dms(46, 57, 8.66)} +lon_0=${dms(7, 26, 22.5)} +k_0=1 " +
           s"+x_0=600000 +y_0=200000 ${datumTags(DatumCh1903)} +units=m +no_defs"),
+      // RD New (Netherlands, EPSG method 9809 Oblique Stereographic): the
+      // EPSG GN7-2 worked-example CRS, pinned in ProjRegistrySpec
+      "EPSG:28992" -> Crs("Amersfoort / RD New",
+        new Sterea(Bessel1841, dms(52, 9, 22.178), dms(5, 23, 15.5),
+          0.9999079, 155000, 463000),
+        DatumAmersfoort, probe = (5.38, 52.16),
+        s"+proj=sterea +lat_0=${dms(52, 9, 22.178)} +lon_0=${dms(5, 23, 15.5)} " +
+          s"+k=0.9999079 +x_0=155000 +y_0=463000 ${datumTags(DatumAmersfoort)} +units=m +no_defs"),
       // EOV (Hungary, EPSG method 9815 with α=γ=90° — the documented
       // Hotine special case): HD72 datum on GRS 1967
       "EPSG:23700" -> Crs("HD72 / EOV",
@@ -1012,6 +1080,9 @@ object Proj {
           (num("lon_0", 0) + 1,
             if (kv.get("axis").contains("wsu")) -29.0
             else math.max(-80, math.min(80, num("lat_0", 30)))))
+      case "sterea" =>
+        (new Sterea(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 0.3, math.max(-80, math.min(80, num("lat_0", 50) + 0.3))))
       case "somerc" =>
         (new Somerc(el, p("lat_0"), p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 0.5, math.max(-80, math.min(80, num("lat_0", 46) + 0.3))))
@@ -1056,7 +1127,7 @@ object Proj {
       case "cea" =>
         (new Cea(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 10, 30.0))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak)")
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea)")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per

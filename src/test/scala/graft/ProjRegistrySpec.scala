@@ -295,6 +295,24 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(Proj.lookup("+proj=krovak +x_0=0 +y_0=0 +a=6377397.155 +rf=299.1528128 +units=m").isDefined)
   }
 
+  test("RD New (oblique stereographic): EPSG GN7-2 worked example reproduces") {
+    // Amersfoort / RD New worked example: φ=53°N λ=6°E →
+    // E=196105.283 N=557057.739 (EPSG method 9809, Gauss sphere + oblique
+    // stereographic — a DIFFERENT map from +proj=stere's direct development)
+    val rd = Proj.lookup("EPSG:28992").get
+    val (e, n) = rd.proj.forward(6.0, 53.0)
+    assert(math.abs(e - 196105.283) < 0.005, s"E=$e")
+    assert(math.abs(n - 557057.739) < 0.005, s"N=$n")
+    val (lo, la) = rd.proj.inverse(196105.283, 557057.739)
+    assert(math.abs(lo - 6.0) < 1e-8 && math.abs(la - 53.0) < 1e-8, s"($lo,$la)")
+    // +proj=sterea string path matches the registry kernel
+    val viaStr = Proj.lookup("+proj=sterea +lat_0=52.156160555555556 " +
+      "+lon_0=5.387638888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
+      "+ellps=bessel +units=m").get
+    val (e2, n2) = viaStr.proj.forward(6.0, 53.0)
+    assert(math.abs(e - e2) < 1e-6 && math.abs(n - n2) < 1e-6)
+  }
+
   test("EOV (Hungary): Hotine alpha=90 special case, Budapest anchor") {
     val eov = Proj.lookup("EPSG:23700").get
     // the projection centre maps to FE/FN exactly
