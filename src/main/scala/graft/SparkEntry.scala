@@ -697,6 +697,22 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Oblique Stereographic (round 8, EPSG method 9809): the RD New
+    // parameterization through the +proj= surface vs an independent
+    // plain-SQL transcription of the GN7-2 Gauss-sphere chain. (The kernel
+    // is additionally pinned to GN7-2's published worked example in
+    // ProjRegistrySpec.) No +towgs84 → no datum step on either side.
+    "q_transform_sterea" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=sterea +lat_0=52.156160555555556 +lon_0=5.387638888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel')) / 10.0d, 2) + 0.0d AS sx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=sterea +lat_0=52.156160555555556 +lon_0=5.387638888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel')) / 10.0d, 2) + 0.0d AS sy
+      FROM (SELECT $K AS k, cast(l_partkey % 35 AS DOUBLE) / 10.0d + 3.5d AS lon,
+                   cast(l_suppkey % 25 AS DOUBLE) / 10.0d + 51.0d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
     // EPSG registry, plus Mercator variant B (+lat_ts) — both against
     // independent plain-SQL Snyder oracles.
@@ -2589,6 +2605,47 @@ object SparkEntry {
 
     // Independent plain-SQL Polar Stereographic variant B (Snyder 21-33..21-34
     // ellipsoidal, lat_ts=71N lon0=0 on WGS84 — EPSG:3995).
+    // Oblique Stereographic — independent GN7-2 Gauss-sphere transcription
+    // (Bessel 1841; e = sqrt(f(2-f)) with 1/f = 299.1528128)
+    "q_transform_sterea" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 35 AS DOUBLE) / 10.0 + 3.5 AS lon,
+               CAST(l_suppkey % 25 AS DOUBLE) / 10.0 + 51.0 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08169683122252751 AS e, 0.006674372231802145 AS e2, 6377397.155 AS a,
+               radians(52.156160555555556) AS p0, radians(5.387638888888889) AS l0,
+               0.9999079 AS k0, 155000.0 AS fe, 463000.0 AS fn),
+      c1 AS (
+        SELECT *, a * sqrt(1 - e2) / (1 - e2 * sin(p0) * sin(p0)) AS rr,
+               sqrt(1 + e2 * pow(cos(p0), 4) / (1 - e2)) AS n,
+               (1 + sin(p0)) / (1 - sin(p0)) AS s1,
+               (1 - e * sin(p0)) / (1 + e * sin(p0)) AS s2
+        FROM c0),
+      c2 AS (SELECT *, pow(s1 * pow(s2, e), n) AS w1 FROM c1),
+      c3 AS (SELECT *, (w1 - 1) / (w1 + 1) AS sc00 FROM c2),
+      c4 AS (
+        SELECT *, (n + sin(p0)) * (1 - sc00) / ((n - sin(p0)) * (1 + sc00)) AS c
+        FROM c3),
+      c5 AS (SELECT *, (c * w1 - 1) / (c * w1 + 1) AS sc0 FROM c4),
+      f1 AS (
+        SELECT k, lon, lat, c5.*,
+               n * (radians(lon) - l0) AS ld,
+               c * pow(((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) *
+                       pow((1 - e * sin(radians(lat))) / (1 + e * sin(radians(lat))), e), n) AS w
+        FROM pts, c5),
+      f2 AS (
+        SELECT *, (w - 1) / (w + 1) AS sc, sqrt(1 - ((w - 1) / (w + 1)) * ((w - 1) / (w + 1))) AS cc,
+               sqrt(1 - sc0 * sc0) AS cc0
+        FROM f1),
+      f3 AS (
+        SELECT *, 1 + sc * sc0 + cc * cc0 * cos(ld) AS b FROM f2)
+      SELECT k,
+             round((fe + 2 * rr * k0 * cc * sin(ld) / b) / 10.0, 2) + 0.0 AS sx,
+             round((fn + 2 * rr * k0 * (sc * cc0 - cc * sc0 * cos(ld)) / b) / 10.0, 2) + 0.0 AS sy
+      FROM f3
+      ORDER BY k""",
+
     // Hotine Oblique Mercator variant B — independent EPSG GN7-2 formula
     // transcription (WGS84; atan2-based azimuth forms match the kernel)
     "q_transform_om" -> s"""
