@@ -697,6 +697,22 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Krovak (round 8, EPSG method 9819): the S-JTSK parameterization
+    // (East-North axes) through the +proj= surface vs an independent
+    // plain-SQL transcription of the GN7-2 oblique-cone chain. No datum
+    // step on either side (+ellps=bessel only); the kernel is additionally
+    // pinned to GN7-2's published worked example in ProjRegistrySpec.
+    "q_transform_krovak" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=krovak +x_0=0 +y_0=0 +ellps=bessel')) / 10.0d, 2) + 0.0d AS kx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=krovak +x_0=0 +y_0=0 +ellps=bessel')) / 10.0d, 2) + 0.0d AS ky
+      FROM (SELECT $K AS k, cast(l_partkey % 60 AS DOUBLE) / 10.0d + 12.5d AS lon,
+                   cast(l_suppkey % 23 AS DOUBLE) / 10.0d + 48.7d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // Oblique Stereographic (round 8, EPSG method 9809): the RD New
     // parameterization through the +proj= surface vs an independent
     // plain-SQL transcription of the GN7-2 Gauss-sphere chain. (The kernel
@@ -2605,6 +2621,47 @@ object SparkEntry {
 
     // Independent plain-SQL Polar Stereographic variant B (Snyder 21-33..21-34
     // ellipsoidal, lat_ts=71N lon0=0 on WGS84 — EPSG:3995).
+    // Krovak — independent GN7-2 oblique-cone transcription (Bessel 1841;
+    // ENU = negated southing/westing; S-JTSK default parameters)
+    "q_transform_krovak" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 60 AS DOUBLE) / 10.0 + 12.5 AS lon,
+               CAST(l_suppkey % 23 AS DOUBLE) / 10.0 + 48.7 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08169683122252751 AS e, 0.006674372231802145 AS e2, 6377397.155 AS a,
+               radians(49.5) AS pc, radians(24.0 + 50.0/60.0) AS l0,
+               radians(30.0 + 17.0/60.0 + 17.3031/3600.0) AS alc,
+               radians(78.5) AS pp, 0.9999 AS kp),
+      c1 AS (
+        SELECT *, a * sqrt(1 - e2) / (1 - e2 * sin(pc) * sin(pc)) AS aa,
+               sqrt(1 + e2 * pow(cos(pc), 4) / (1 - e2)) AS bb
+        FROM c0),
+      c2 AS (SELECT *, asin(sin(pc) / bb) AS g0 FROM c1),
+      c3 AS (
+        SELECT *,
+               tan(pi()/4 + g0/2) * pow((1 + e*sin(pc)) / (1 - e*sin(pc)), e*bb/2) /
+                 pow(tan(pi()/4 + pc/2), bb) AS t0,
+               sin(pp) AS n, kp * aa / tan(pp) AS r0
+        FROM c2),
+      f1 AS (
+        SELECT k, lon, lat, c3.*,
+               2 * (atan(t0 * pow(tan(radians(lat)/2 + pi()/4), bb) /
+                     pow((1 + e*sin(radians(lat))) / (1 - e*sin(radians(lat))), e*bb/2)) - pi()/4) AS u,
+               bb * (l0 - radians(lon)) AS v
+        FROM pts, c3),
+      f2 AS (
+        SELECT *, asin(cos(alc) * sin(u) + sin(alc) * cos(u) * cos(v)) AS t FROM f1),
+      f3 AS (
+        SELECT *, sin(pp) * asin(cos(u) * sin(v) / cos(t)) AS theta,
+               r0 * pow(tan(pi()/4 + pp/2), n) / pow(tan(t/2 + pi()/4), n) AS r
+        FROM f2)
+      SELECT k,
+             round(-(r * sin(theta)) / 10.0, 2) + 0.0 AS kx,
+             round(-(r * cos(theta)) / 10.0, 2) + 0.0 AS ky
+      FROM f3
+      ORDER BY k""",
+
     // Oblique Stereographic — independent GN7-2 Gauss-sphere transcription
     // (Bessel 1841; e = sqrt(f(2-f)) with 1/f = 299.1528128)
     "q_transform_sterea" -> s"""
