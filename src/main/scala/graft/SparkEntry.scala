@@ -2030,6 +2030,57 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // keep_wkb pass-through under the oracle (round 8): the same GeoPackage
+    // read twice — validating decode vs raw WKB-body slice — must produce
+    // identical coordinates; the oracle recomputes the arithmetic. A
+    // keep_wkb slice that mangled byte order, header offsets, or envelope
+    // flags would hash-mismatch here.
+    "q_gpkg_keepwkb" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism).createOrReplaceTempView("lineitem")
+      val src = s.sql(s"""
+        SELECT id AS k,
+               st_aswkb(st_point(CAST((id * 13) % 983 AS DOUBLE), CAST((id * 17) % 991 AS DOUBLE))) AS geom
+        FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 107 = 0)""")
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_keepwkb_demo.gpkg").toString
+      graft.io.GeoWriter.geopackage(src, "geom", p, singleFile = true)
+      s.sql(s"""
+        SELECT a.k,
+               st_x(st_geomfromwkb(a.geom)) AS x, st_y(st_geomfromwkb(a.geom)) AS y,
+               CAST(st_equals(st_geomfromwkb(a.geom), st_geomfromwkb(b.geom)) AS INT) AS same
+        FROM st_read('$p', 'keep_wkb=true') a
+        JOIN st_read('$p') b ON a.k = b.k
+        ORDER BY a.k""")
+    }),
+
+    // spatial_filter under the oracle (round 8): an EXACT triangular window
+    // over a geojsonl read — the oracle replays the point-in-triangle test
+    // arithmetically (y <= x inside the (0,0)-(M,0)-(M,M) triangle), so an
+    // envelope-only implementation (which would keep y > x points inside
+    // the box) hash-mismatches.
+    "q_spatial_filter" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism).createOrReplaceTempView("lineitem")
+      val ids = s.sql(s"SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 109 = 0")
+        .collect().map(_.getLong(0)).sorted
+      val sb = new StringBuilder
+      ids.foreach { id =>
+        sb.append(s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${(id * 7) % 211},${(id * 19) % 223}]},"properties":{"k":"$id"}}""").append('\n')
+      }
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_spatial_filter_demo.geojsonl")
+      java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+      s.read.format("geo")
+        .option("spatial_filter", "POLYGON ((0 0, 223 0, 223 223, 0 0))")
+        .load(p.toString)
+        .selectExpr("CAST(properties['k'] AS BIGINT) AS k",
+          "st_x(st_geomfromwkb(geom)) AS x", "st_y(st_geomfromwkb(geom)) AS y")
+        .orderBy("k")
+    }),
+
     // Multi-layer GeoPackage round trip (round 7): the layer column fans out
     // into feature tables via geopackageLayers; st_read(path, layer) reads
     // ONE of them back. Oracle = the odd-id half of the same arithmetic.
@@ -2894,6 +2945,23 @@ object SparkEntry {
         ('q_dwithin_4000km',    1.0),
         ('r_dwithin_3900km',    0.0)) t(tag, v)
       ORDER BY tag""",
+
+    "q_gpkg_keepwkb" -> s"""
+      SELECT id AS k,
+             CAST((id * 13) % 983 AS DOUBLE) AS x,
+             CAST((id * 17) % 991 AS DOUBLE) AS y,
+             1 AS same
+      FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 107 = 0)
+      ORDER BY k""",
+
+    // exact window: only points with y <= x survive the triangle
+    "q_spatial_filter" -> s"""
+      SELECT id AS k,
+             CAST((id * 7) % 211 AS DOUBLE) AS x,
+             CAST((id * 19) % 223 AS DOUBLE) AS y
+      FROM (SELECT DISTINCT $K AS id FROM lineitem WHERE l_orderkey % 109 = 0)
+      WHERE (id * 19) % 223 <= (id * 7) % 211
+      ORDER BY k""",
 
     "q_http_read" -> s"""
       SELECT id AS k,
