@@ -697,6 +697,22 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Swiss double projection (round 8, EPSG method 9814): the LV95
+    // parameterization through the +proj= surface vs an independent
+    // plain-SQL transcription of the swisstopo conformal-sphere chain.
+    // The kernel is additionally cross-checked against Hotine omerc α=90
+    // (a second independent formula family) in ProjRegistrySpec.
+    "q_transform_somerc" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=somerc +lat_0=46.952405555555554 +lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel')) / 10.0d, 2) + 0.0d AS wx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=somerc +lat_0=46.952405555555554 +lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel')) / 10.0d, 2) + 0.0d AS wy
+      FROM (SELECT $K AS k, cast(l_partkey % 45 AS DOUBLE) / 10.0d + 5.9d AS lon,
+                   cast(l_suppkey % 25 AS DOUBLE) / 10.0d + 45.8d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // Krovak (round 8, EPSG method 9819): the S-JTSK parameterization
     // (East-North axes) through the +proj= surface vs an independent
     // plain-SQL transcription of the GN7-2 oblique-cone chain. No datum
@@ -2672,6 +2688,42 @@ object SparkEntry {
 
     // Independent plain-SQL Polar Stereographic variant B (Snyder 21-33..21-34
     // ellipsoidal, lat_ts=71N lon0=0 on WGS84 — EPSG:3995).
+    // Swiss somerc — independent conformal-sphere transcription (Bessel)
+    "q_transform_somerc" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 45 AS DOUBLE) / 10.0 + 5.9 AS lon,
+               CAST(l_suppkey % 25 AS DOUBLE) / 10.0 + 45.8 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08169683122252751 AS e, 0.006674372231802145 AS e2, 6377397.155 AS a,
+               radians(46.952405555555554) AS p0, radians(7.439583333333333) AS l0,
+               1.0 AS k0, 2600000.0 AS fe, 1200000.0 AS fn),
+      c1 AS (
+        SELECT *, k0 * a * sqrt(1 - e2) / (1 - e2 * sin(p0) * sin(p0)) AS rr,
+               sqrt(1 + e2 / (1 - e2) * pow(cos(p0), 4)) AS al
+        FROM c0),
+      c2 AS (SELECT *, asin(sin(p0) / al) AS b0 FROM c1),
+      c3 AS (
+        SELECT *, ln(tan(pi()/4 + b0/2)) - al * ln(tan(pi()/4 + p0/2)) +
+               al * e / 2 * ln((1 + e*sin(p0)) / (1 - e*sin(p0))) AS bk
+        FROM c2),
+      f1 AS (
+        SELECT k, lon, lat, c3.*,
+               al * ln(tan(pi()/4 + radians(lat)/2)) -
+                 al * e / 2 * ln((1 + e*sin(radians(lat))) / (1 - e*sin(radians(lat)))) + bk AS s,
+               al * (radians(lon) - l0) AS l
+        FROM pts, c3),
+      f2 AS (SELECT *, 2 * (atan(exp(s)) - pi()/4) AS b FROM f1),
+      f3 AS (
+        SELECT *, asin(cos(b0) * sin(b) - sin(b0) * cos(b) * cos(l)) AS bbar,
+               atan2(cos(b) * sin(l), sin(b0) * sin(b) + cos(b0) * cos(b) * cos(l)) AS lbar
+        FROM f2)
+      SELECT k,
+             round((fe + rr * lbar) / 10.0, 2) + 0.0 AS wx,
+             round((fn + rr / 2 * ln((1 + sin(bbar)) / (1 - sin(bbar)))) / 10.0, 2) + 0.0 AS wy
+      FROM f3
+      ORDER BY k""",
+
     // Krovak — independent GN7-2 oblique-cone transcription (Bessel 1841;
     // ENU = negated southing/westing; S-JTSK default parameters)
     "q_transform_krovak" -> s"""
