@@ -43,6 +43,12 @@ object Proj {
   val Everest1967 = Ellipsoid(6377298.556, 300.8017) // Everest 1830 (1967 Definition)
   val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
   val Grs67 = Ellipsoid(6378160.0, 298.247167427)
+  /** GRS 1967 Modified / Australian National (EPSG 7050/7003): 1/f truncated
+   *  to 298.25 — the SAD69 and AGD ellipsoid. */
+  val Grs67Mod = Ellipsoid(6378160.0, 298.25)
+  /** Clarke 1858 (EPSG 7007): defined in Clarke's feet — a = 20926348 ft,
+   *  b = 20855233 ft at 0.3047972654 m/ft (the Trinidad 1903 ellipsoid). */
+  val Clarke1858 = Ellipsoid(20926348 * 0.3047972654, 294.26067636926064)
 
   // ------------------------------------------------------------------ datums
 
@@ -112,6 +118,12 @@ object Proj {
   /** Amersfoort → WGS84 (published 7-parameter transformation) */
   val DatumAmersfoort = Datum(Bessel1841,
     Some(Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725)))
+  /** Trinidad 1903 → WGS84 (published 3-parameter shift) */
+  val DatumTrinidad = Datum(Clarke1858, Some(Helmert(-61.702, 284.488, 472.052, 0, 0, 0, 0)))
+  /** SAD69 → WGS84 (published mean 3-parameter shift for Brazil) */
+  val DatumSad69 = Datum(Grs67Mod, Some(Helmert(-57.0, 1.0, -41.0, 0, 0, 0, 0)))
+  /** Guam 1963 → WGS84 (published 3-parameter shift) */
+  val DatumGuam = Datum(Clarke1866, Some(Helmert(-100.0, -248.0, 259.0, 0, 0, 0, 0)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -423,6 +435,7 @@ object Proj {
       inner.inverse((x - feUnits) * metersPerUnit, (y - fnUnits) * metersPerUnit)
   }
   val UsFoot = 0.3048006096012192 // meters per US survey foot
+  val ClarkeLink = 0.201166195164 // meters per Clarke's link (EPSG 9039)
 
   /** Cylindrical Equal Area, normal aspect (EPSG method 9835 / Snyder
    *  10-1..10-2 ellipsoidal) — e.g. EPSG:6933 EASE-Grid 2.0 Global. */
@@ -436,6 +449,175 @@ object Proj {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val q = 2 * (y - fn) * k0 / el.a
       (math.toDegrees(lam0 + (x - fe) / (el.a * k0)), math.toDegrees(phiFromQ(el, q)))
+    }
+  }
+
+  // ------------------------------------------- meridian-arc based kernels
+
+  /** Meridian arc length from the equator (Snyder 3-21). */
+  private def meridianArc(el: Ellipsoid, phi: Double): Double = {
+    val e2 = el.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    el.a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+      - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+      + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+      - (35 * e6 / 3072) * math.sin(6 * phi))
+  }
+  /** dM/dphi / a (Snyder 18-17) — the meridian-arc derivative series. */
+  private def meridianArcPrime(el: Ellipsoid, phi: Double): Double = {
+    val e2 = el.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) -
+      2 * (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.cos(2 * phi) +
+      4 * (15 * e4 / 256 + 45 * e6 / 1024) * math.cos(4 * phi) -
+      6 * (35 * e6 / 3072) * math.cos(6 * phi)
+  }
+  /** Footpoint latitude from meridian arc (rectifying series, Snyder 3-26). */
+  private def phiFromM(el: Ellipsoid, m: Double): Double = {
+    val e2 = el.e2
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val mu = m / (el.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val e12 = e1 * e1; val e13 = e12 * e1; val e14 = e13 * e1
+    mu + (3 * e1 / 2 - 27 * e13 / 32) * math.sin(2 * mu) +
+      (21 * e12 / 16 - 55 * e14 / 32) * math.sin(4 * mu) +
+      (151 * e13 / 96) * math.sin(6 * mu) +
+      (1097 * e14 / 512) * math.sin(8 * mu)
+  }
+
+  /** Cassini-Soldner (EPSG method 9806 / Snyder ch. 13 ellipsoidal series) —
+   *  the classic cadastral grid projection (Trinidad 1903, Palestine Grid,
+   *  Malayan state grids). Equidistant along the central meridian and along
+   *  great circles perpendicular to it; series valid within the few-degree
+   *  band every published Cassini grid occupies. Validated against EPSG
+   *  GN7-2's Trinidad worked example in ProjRegistrySpec. */
+  final class CassiniSoldner(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                             fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e2 = el.e2
+    private val m0 = meridianArc(el, phi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val aTerm = (math.toRadians(lonDeg) - lam0) * math.cos(phi)
+      val t = math.tan(phi) * math.tan(phi)
+      val c = e2 * math.cos(phi) * math.cos(phi) / (1 - e2)
+      val nu = el.a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val a2 = aTerm * aTerm; val a3 = a2 * aTerm; val a4 = a3 * aTerm; val a5 = a4 * aTerm
+      val x = nu * (aTerm - t * a3 / 6 - (8 - t + 8 * c) * t * a5 / 120)
+      val yArc = meridianArc(el, phi) - m0 +
+        nu * math.tan(phi) * (a2 / 2 + (5 - t + 6 * c) * a4 / 24)
+      (fe + x, fn + yArc)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi1 = phiFromM(el, m0 + (y - fn))
+      if (math.abs(math.abs(phi1) - math.Pi / 2) < 1e-12)
+        return (math.toDegrees(lam0), math.toDegrees(phi1))
+      val t1 = math.tan(phi1) * math.tan(phi1)
+      val sin1 = math.sin(phi1)
+      val nu1 = el.a / math.sqrt(1 - e2 * sin1 * sin1)
+      val rho1 = el.a * (1 - e2) / math.pow(1 - e2 * sin1 * sin1, 1.5)
+      val d = (x - fe) / nu1
+      val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d; val d5 = d4 * d
+      val phi = phi1 - (nu1 * math.tan(phi1) / rho1) * (d2 / 2 - (1 + 3 * t1) * d4 / 24)
+      val lam = lam0 + (d - t1 * d3 / 3 + (1 + 3 * t1) * t1 * d5 / 15) / math.cos(phi1)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** American Polyconic (EPSG method 9818 / Snyder ch. 18 ellipsoidal) —
+   *  the historical USGS and Brazilian national-map projection (SAD69 /
+   *  SIRGAS Brazil Polyconic). Each parallel is a circular arc at its own
+   *  cone constant. Forward matches Snyder's published numerical example;
+   *  inverse is Snyder's 18-18..18-21 iteration. */
+  final class Polyconic(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                        fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e2 = el.e2
+    private val m0 = meridianArc(el, phi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = math.toRadians(lonDeg) - lam0
+      if (math.abs(phi) < 1e-12) (fe + el.a * dLam, fn - m0)
+      else {
+        val nu = el.a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+        val cot = 1.0 / math.tan(phi)
+        val l = dLam * math.sin(phi)
+        (fe + nu * cot * math.sin(l),
+         fn + meridianArc(el, phi) - m0 + nu * cot * (1 - math.cos(l)))
+      }
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val aTerm = (m0 + dy) / el.a
+      if (math.abs(aTerm) < 1e-12 && math.abs(dy + m0) < 1e-6)
+        return (math.toDegrees(lam0 + dx / el.a), 0.0)
+      val b = dx * dx / (el.a * el.a) + aTerm * aTerm
+      var phi = aTerm
+      var i = 0
+      while (i < 25) {
+        val c = math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi)) * math.tan(phi)
+        val ma = meridianArc(el, phi) / el.a
+        val mp = meridianArcPrime(el, phi)
+        val num = aTerm * (c * ma + 1) - ma - c * (ma * ma + b) / 2
+        val den = e2 * math.sin(2 * phi) * (ma * ma + b - 2 * aTerm * ma) / (4 * c) +
+          (aTerm - ma) * (c * mp - 2 / math.sin(2 * phi)) - mp
+        val next = phi - num / den
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 25 } else { phi = next; i += 1 }
+      }
+      val c = math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi)) * math.tan(phi)
+      val lam = lam0 + math.asin(math.max(-1, math.min(1, dx * c / el.a))) / math.sin(phi)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Equidistant Cylindrical (EPSG method 1028; Plate Carrée when the
+   *  standard parallel is the equator) — e.g. EPSG:4087 WGS 84 / World
+   *  Equidistant Cylindrical. True-to-scale meridians (meridian arc as
+   *  northing). GN7-2 worked example pinned in ProjRegistrySpec. */
+  final class EquidistantCyl(el: Ellipsoid, lat1Deg: Double, lon0Deg: Double,
+                             fe: Double, fn: Double) extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private val phi1 = math.toRadians(lat1Deg)
+    private val nu1CosPhi1 =
+      el.a * math.cos(phi1) / math.sqrt(1 - el.e2 * math.sin(phi1) * math.sin(phi1))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      (fe + nu1CosPhi1 * (math.toRadians(lonDeg) - lam0),
+       fn + meridianArc(el, math.toRadians(latDeg)))
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(lam0 + (x - fe) / nu1CosPhi1),
+       math.toDegrees(phiFromM(el, y - fn)))
+  }
+
+  /** Guam projection (EPSG method 9831) — the simplified azimuthal
+   *  equidistant used by the Guam 1963 survey grid (EPSG:3993). Forward is
+   *  closed-form; inverse iterates the meridian-arc relation (3 passes per
+   *  GN7-2; 5 here for slack). GN7-2 worked example pinned in
+   *  ProjRegistrySpec. */
+  final class GuamAzEq(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                       fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e2 = el.e2
+    private val m0 = meridianArc(el, phi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val w = math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val x = el.a * (math.toRadians(lonDeg) - lam0) * math.cos(phi) / w
+      (fe + x, fn + meridianArc(el, phi) - m0 + x * x * math.tan(phi) * w / (2 * el.a))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      var phi = phi0
+      var i = 0
+      while (i < 5) {
+        val w = math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+        phi = phiFromM(el, m0 + dy - dx * dx * math.tan(phi) * w / (2 * el.a))
+        i += 1
+      }
+      val w = math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      (math.toDegrees(lam0 + dx * w / (el.a * math.cos(phi))), math.toDegrees(phi))
     }
   }
 
@@ -716,6 +898,7 @@ object Proj {
     else if (el == Airy1830) "+ellps=airy" else if (el == AiryModified) "+ellps=mod_airy"
     else if (el == Intl1924) "+ellps=intl" else if (el == Clarke1866) "+ellps=clrk66"
     else if (el == Bessel1841) "+ellps=bessel" else if (el == Everest1967) "+ellps=evrst69"
+    else if (el == Grs67Mod) "+ellps=aust_SA" else if (el == Clarke1858) "+ellps=clrk58"
     else s"+a=${el.a} +rf=${el.invF}"
 
   private def datumTags(d: Datum): String = d.grid match {
@@ -911,7 +1094,38 @@ object Proj {
         new Krovak(Bessel1841, 49.5, dms(24, 50), dms(30, 17, 17.3031), 78.5, 0.9999, 0, 0),
         DatumSjtsk, probe = (16.85, 50.21),
         s"+proj=krovak +lat_0=49.5 +lon_0=${dms(24, 50)} +alpha=${dms(30, 17, 17.3031)} " +
-          s"+k=0.9999 +x_0=0 +y_0=0 ${datumTags(DatumSjtsk)} +units=m +no_defs"))
+          s"+k=0.9999 +x_0=0 +y_0=0 ${datumTags(DatumSjtsk)} +units=m +no_defs"),
+      // ------------------------------------------- Cassini-Soldner (9806)
+      // The EPSG GN7-2 worked-example CRS (Clarke's links; FE/FN in links),
+      // pinned in ProjRegistrySpec
+      "EPSG:30200" -> Crs("Trinidad 1903 / Trinidad Grid",
+        new InUnits(new CassiniSoldner(Clarke1858, dms(10, 26, 30), dms(-61, 20), 0, 0),
+          ClarkeLink, 430000, 325000),
+        DatumTrinidad, probe = (-61.4, 10.5),
+        s"+proj=cass +lat_0=${dms(10, 26, 30)} +lon_0=${dms(-61, 20)} +x_0=86501.46392052001 " +
+          s"+y_0=65379.0134283 ${datumTags(DatumTrinidad)} +to_meter=$ClarkeLink +no_defs"),
+      // --------------------------------------------- American Polyconic (9818)
+      "EPSG:5880" -> Crs("SIRGAS 2000 / Brazil Polyconic",
+        new Polyconic(Grs80, 0, -54, 5000000, 10000000),
+        DatumGrs80, probe = (-47.9, -15.8),
+        "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=GRS80 +units=m +no_defs"),
+      "EPSG:29101" -> Crs("SAD69 / Brazil Polyconic",
+        new Polyconic(Grs67Mod, 0, -54, 5000000, 10000000),
+        DatumSad69, probe = (-47.9, -15.8),
+        s"+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 " +
+          s"${datumTags(DatumSad69)} +units=m +no_defs"),
+      // ------------------------------------- Equidistant Cylindrical (1028)
+      // GN7-2's own worked-example CRS, pinned in ProjRegistrySpec
+      "EPSG:4087" -> Crs("WGS 84 / World Equidistant Cylindrical",
+        new EquidistantCyl(Wgs84, 0, 0, 0, 0), w, (10, 55),
+        "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+      // --------------------------------------------- Guam projection (9831)
+      // GN7-2's worked-example CRS, pinned in ProjRegistrySpec
+      "EPSG:3993" -> Crs("Guam 1963 / Guam SPCS",
+        new GuamAzEq(Clarke1866, dms(13, 28, 20.87887), dms(144, 44, 55.50254), 50000, 50000),
+        DatumGuam, probe = (144.75, 13.45),
+        s"+proj=aeqd +guam +lat_0=${dms(13, 28, 20.87887)} +lon_0=${dms(144, 44, 55.50254)} " +
+          s"+x_0=50000 +y_0=50000 ${datumTags(DatumGuam)} +units=m +no_defs"))
 
     // Hartebeesthoek94 / Lo15..Lo33 (EPSG:2046-2055): South African survey
     // grid — TM 1SP k=1 on odd central meridians, SOUTH-ORIENTED axes
@@ -1023,7 +1237,9 @@ object Proj {
           case Some("clrk66") => Clarke1866
           case Some("bessel") => Bessel1841
           case Some("evrst69") => Everest1967
-          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69; or +a with +rf)")
+          case Some("aust_SA") => Grs67Mod
+          case Some("clrk58") => Clarke1858 // graft extension; PROJ spells it +a/+rf
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, aust_SA, clrk58; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
           case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") || kv.contains("R") =>
             fail("custom ellipsoids need exactly +a and +rf (spheres/+b unsupported)")
@@ -1127,7 +1343,22 @@ object Proj {
       case "cea" =>
         (new Cea(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 10, 30.0))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea)")
+      case "cass" =>
+        (new CassiniSoldner(el, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 0.5, num("lat_0", 10) + 0.5))
+      case "poly" =>
+        (new Polyconic(el, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 3, math.max(-80, math.min(80, num("lat_0", 10) + 3))))
+      case "eqc" =>
+        // PROJ: +lat_ts is the standard parallel (method 1028's lat_1)
+        (new EquidistantCyl(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 10, 30.0))
+      case "aeqd" =>
+        if (!kv.contains("guam"))
+          fail("+proj=aeqd is implemented in the Guam variant only (+guam, EPSG method 9831)")
+        (new GuamAzEq(el, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 0.05, num("lat_0", 10) + 0.05))
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea, cass, poly, eqc, aeqd [+guam])")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per

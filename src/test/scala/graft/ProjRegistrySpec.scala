@@ -515,4 +515,101 @@ class ProjRegistrySpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("ST_Transform")))
   }
+
+  test("Cassini-Soldner: EPSG GN7-2 Trinidad worked example reproduces") {
+    // Trinidad 1903 / Trinidad Grid (Clarke 1858, Clarke's links):
+    // φ=10°00'00"N λ=62°00'00"W → E=66644.94 links, N=82536.22 links
+    val tr = Proj.lookup("EPSG:30200").get
+    val (e, n) = tr.proj.forward(-62.0, 10.0)
+    assert(math.abs(e - 66644.94) < 0.05, s"E=$e")
+    assert(math.abs(n - 82536.22) < 0.05, s"N=$n")
+    val (lo, la) = tr.proj.inverse(66644.94, 82536.22)
+    assert(math.abs(lo - -62.0) < 1e-6 && math.abs(la - 10.0) < 1e-6, s"($lo,$la)")
+    // the projection origin maps exactly to the false origin (in links)
+    def dms(d: Int, m: Int, s: Double = 0) = (if (d < 0) -1 else 1) * (math.abs(d) + m / 60.0 + s / 3600.0)
+    val (e0, n0) = tr.proj.forward(dms(-61, 20), dms(10, 26, 30))
+    assert(math.abs(e0 - 430000) < 1e-6 && math.abs(n0 - 325000) < 1e-6, s"($e0,$n0)")
+  }
+
+  test("Cassini-Soldner degenerates to the closed-form sphere as e -> 0") {
+    // independent spherical closed form (Snyder 13-1..13-5):
+    // x = R asin(cos φ sin Δλ), y = R (atan(tan φ / cos Δλ) − φ0)
+    val r = 6370000.0
+    val nearSphere = Proj.Ellipsoid(r, 1e9) // f → 0
+    val k = new Proj.CassiniSoldner(nearSphere, 10, -61.5, 0, 0)
+    for ((lon, lat) <- Seq((-62.0, 10.0), (-61.0, 11.2), (-60.8, 9.5))) {
+      val dLam = math.toRadians(lon + 61.5); val phi = math.toRadians(lat)
+      val xs = r * math.asin(math.cos(phi) * math.sin(dLam))
+      val ys = r * (math.atan(math.tan(phi) / math.cos(dLam)) - math.toRadians(10))
+      val (x, y) = k.forward(lon, lat)
+      assert(math.abs(x - xs) < 0.01 && math.abs(y - ys) < 0.01,
+        s"($lon,$lat): series=($x,$y) sphere=($xs,$ys)")
+    }
+  }
+
+  test("Equidistant Cylindrical: EPSG GN7-2 worked example reproduces") {
+    // WGS 84 / World Equidistant Cylindrical: φ=55°N λ=10°E →
+    // E=1113194.91 N=6097230.31
+    val crs = Proj.lookup("EPSG:4087").get
+    val (e, n) = crs.proj.forward(10.0, 55.0)
+    assert(math.abs(e - 1113194.91) < 0.02, s"E=$e")
+    assert(math.abs(n - 6097230.31) < 0.02, s"N=$n")
+    val (lo, la) = crs.proj.inverse(1113194.91, 6097230.31)
+    assert(math.abs(lo - 10.0) < 1e-7 && math.abs(la - 55.0) < 1e-7, s"($lo,$la)")
+  }
+
+  test("Polyconic: Snyder's published numerical example reproduces") {
+    // Snyder (1987), Polyconic ellipsoidal example: Clarke 1866,
+    // φ0=30°N λ0=96°W; φ=40°N λ=75°W → x=1776774.5 m, y=1319657.8 m
+    val k = new Proj.Polyconic(Proj.Clarke1866, 30, -96, 0, 0)
+    val (x, y) = k.forward(-75.0, 40.0)
+    assert(math.abs(x - 1776774.5) < 0.1, s"x=$x")
+    assert(math.abs(y - 1319657.8) < 0.1, s"y=$y")
+    val (lo, la) = k.inverse(1776774.5, 1319657.8)
+    assert(math.abs(lo - -75.0) < 1e-6 && math.abs(la - 40.0) < 1e-6, s"($lo,$la)")
+    // equator row: x = a·Δλ, y = −M0 exactly
+    val (xe, ye) = k.forward(-90.0, 0.0)
+    assert(math.abs(xe - Proj.Clarke1866.a * math.toRadians(6)) < 1e-6)
+    assert(ye < 0, s"equator y=$ye (must be -M0)")
+    // Brazil Polyconic registry entries agree with each other to the datum step
+    val sirgas = Proj.lookup("EPSG:5880").get
+    val sad = Proj.lookup("EPSG:29101").get
+    val (bx, by) = sirgas.proj.forward(-47.9, -15.8)
+    val (sx2, sy2) = sad.proj.forward(-47.9, -15.8)
+    assert(math.abs(bx - sx2) < 50 && math.abs(by - sy2) < 50, "GRS80 vs GRS67 kernels near Brasília")
+  }
+
+  test("Polyconic degenerates to the closed-form sphere as e -> 0") {
+    // independent spherical closed form (Snyder 18-1..18-3):
+    // E = (λ−λ0) sinφ; x = R cotφ sin E, y = R(φ − φ0 + cotφ (1 − cos E))
+    val r = 6370000.0
+    val k = new Proj.Polyconic(Proj.Ellipsoid(r, 1e9), 0, -54, 0, 0)
+    for ((lon, lat) <- Seq((-47.9, -15.8), (-60.0, -3.1), (-51.2, -30.0))) {
+      val ee = math.toRadians(lon + 54) * math.sin(math.toRadians(lat))
+      val cot = 1.0 / math.tan(math.toRadians(lat))
+      val xs = r * cot * math.sin(ee)
+      val ys = r * (math.toRadians(lat) + cot * (1 - math.cos(ee)))
+      val (x, y) = k.forward(lon, lat)
+      assert(math.abs(x - xs) < 0.01 && math.abs(y - ys) < 0.01,
+        s"($lon,$lat): series=($x,$y) sphere=($xs,$ys)")
+    }
+  }
+
+  test("Guam projection: EPSG GN7-2 worked example reproduces") {
+    def dms(d: Int, m: Int, s: Double) = d + m / 60.0 + s / 3600.0
+    // Guam 1963 / Guam SPCS: φ=13°20'20.53846"N λ=144°38'07.19265"E →
+    // E=37712.48 m, N=35242.00 m
+    val guam = Proj.lookup("EPSG:3993").get
+    val lon = dms(144, 38, 7.19265); val lat = dms(13, 20, 20.53846)
+    val (e, n) = guam.proj.forward(lon, lat)
+    assert(math.abs(e - 37712.48) < 0.05, s"E=$e")
+    assert(math.abs(n - 35242.00) < 0.05, s"N=$n")
+    val (lo, la) = guam.proj.inverse(37712.48, 35242.00)
+    assert(math.abs(lo - lon) < 1e-6 && math.abs(la - lat) < 1e-6, s"($lo,$la)")
+    // +proj=aeqd without +guam rejects loudly (general AzEq unimplemented)
+    val err = intercept[IllegalArgumentException] {
+      Proj.lookup("+proj=aeqd +lat_0=13.5 +lon_0=144.7 +ellps=clrk66")
+    }
+    assert(err.getMessage.contains("guam"))
+  }
 }
