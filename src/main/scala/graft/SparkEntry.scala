@@ -745,6 +745,54 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Cassini-Soldner (round 8, EPSG method 9806) + Equidistant Cylindrical
+    // (method 1028): the Trinidad 1903 parameterization (Clarke 1858 via
+    // +ellps=clrk58) and World Equidistant Cylindrical through the +proj=
+    // surface, vs independent plain-SQL transcriptions of the meridian-arc
+    // series chains. Kernels are additionally pinned to EPSG GN7-2's
+    // published worked examples in ProjRegistrySpec.
+    "q_transform_cassini" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=cass +lat_0=10.441666666666666 +lon_0=-61.333333333333336 +x_0=0 +y_0=0 +ellps=clrk58')) / 10.0d, 2) + 0.0d AS cx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=cass +lat_0=10.441666666666666 +lon_0=-61.333333333333336 +x_0=0 +y_0=0 +ellps=clrk58')) / 10.0d, 2) + 0.0d AS cy,
+             round(st_x(st_transform(st_point(elon, elat), 'OGC:CRS84',
+               '+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS ex,
+             round(st_y(st_transform(st_point(elon, elat), 'OGC:CRS84',
+               '+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS ey
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 15 AS DOUBLE) / 10.0d - 62.1d AS lon,
+                   cast(l_suppkey % 16 AS DOUBLE) / 10.0d + 9.6d AS lat,
+                   cast(l_partkey % 360 AS DOUBLE) - 180.0d AS elon,
+                   cast(l_suppkey % 140 AS DOUBLE) - 70.0d AS elat
+            FROM lineitem)
+      ORDER BY k"""),
+
+    // American Polyconic (round 8, EPSG method 9818) + Guam projection
+    // (method 9831): the Brazil Polyconic and Guam SPCS parameterizations
+    // through the +proj= surface, vs independent plain-SQL transcriptions
+    // of the Snyder/GN7-2 closed-form forwards. Kernels are pinned to
+    // Snyder's polyconic numerical example and GN7-2's Guam worked example
+    // in ProjRegistrySpec.
+    "q_transform_poly" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=GRS80')) / 10.0d, 2) + 0.0d AS px,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84',
+               '+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=GRS80')) / 10.0d, 2) + 0.0d AS py,
+             round(st_x(st_transform(st_point(glon, glat), 'OGC:CRS84',
+               '+proj=aeqd +guam +lat_0=13.472466352777777 +lon_0=144.74875070555555 +x_0=50000 +y_0=50000 +ellps=clrk66')) / 10.0d, 2) + 0.0d AS gx,
+             round(st_y(st_transform(st_point(glon, glat), 'OGC:CRS84',
+               '+proj=aeqd +guam +lat_0=13.472466352777777 +lon_0=144.74875070555555 +x_0=50000 +y_0=50000 +ellps=clrk66')) / 10.0d, 2) + 0.0d AS gy
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 200 AS DOUBLE) / 10.0d - 65.0d AS lon,
+                   cast(l_suppkey % 28 AS DOUBLE) * -1.0d - 2.0d AS lat,
+                   cast(l_partkey % 30 AS DOUBLE) / 100.0d + 144.6d AS glon,
+                   cast(l_suppkey % 40 AS DOUBLE) / 100.0d + 13.25d AS glat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
     // EPSG registry, plus Mercator variant B (+lat_ts) — both against
     // independent plain-SQL Snyder oracles.
@@ -2808,6 +2856,104 @@ object SparkEntry {
 
     // Hotine Oblique Mercator variant B — independent EPSG GN7-2 formula
     // transcription (WGS84; atan2-based azimuth forms match the kernel)
+    // Cassini-Soldner + Equidistant Cylindrical — independent meridian-arc
+    // series transcription (Snyder 3-21 + 13-7/13-8; Clarke 1858 via exact
+    // a/e2 of the feet-defined ellipsoid, WGS84 for the eqc columns)
+    "q_transform_cassini" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 15 AS DOUBLE) / 10.0 - 62.1 AS lon,
+               CAST(l_suppkey % 16 AS DOUBLE) / 10.0 + 9.6 AS lat,
+               CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS elon,
+               CAST(l_suppkey % 140 AS DOUBLE) - 70.0 AS elat
+        FROM lineitem),
+      c0 AS (
+        SELECT CAST(0.00678514600472703 AS DOUBLE) AS e2, 6378293.645208759 AS a,
+               radians(10.441666666666666) AS p0, radians(-61.333333333333336) AS l0,
+               CAST(0.0066943799901413165 AS DOUBLE) AS we2, 6378137.0 AS wa),
+      c1 AS (
+        SELECT *,
+               1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS k0c,
+               3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS k2c,
+               15*e2*e2/256 + 45*e2*e2*e2/1024 AS k4c,
+               35*e2*e2*e2/3072 AS k6c,
+               1 - we2/4 - 3*we2*we2/64 - 5*we2*we2*we2/256 AS wk0,
+               3*we2/8 + 3*we2*we2/32 + 45*we2*we2*we2/1024 AS wk2,
+               15*we2*we2/256 + 45*we2*we2*we2/1024 AS wk4,
+               35*we2*we2*we2/3072 AS wk6
+        FROM c0),
+      c2 AS (
+        SELECT *, a*(k0c*p0 - k2c*sin(2*p0) + k4c*sin(4*p0) - k6c*sin(6*p0)) AS m0 FROM c1),
+      f1 AS (
+        SELECT k, lon, lat, elon, elat, c2.*, radians(lat) AS p,
+               (radians(lon) - l0) * cos(radians(lat)) AS aa
+        FROM pts, c2),
+      f2 AS (
+        SELECT *,
+               tan(p)*tan(p) AS t, e2*cos(p)*cos(p)/(1-e2) AS c,
+               a/sqrt(1-e2*sin(p)*sin(p)) AS nu,
+               a*(k0c*p - k2c*sin(2*p) + k4c*sin(4*p) - k6c*sin(6*p)) AS m
+        FROM f1)
+      SELECT k,
+             round((nu*(aa - t*pow(aa,3)/6 - (8 - t + 8*c)*t*pow(aa,5)/120)) / 10.0, 2) + 0.0 AS cx,
+             round((m - m0 + nu*tan(p)*(aa*aa/2 + (5 - t + 6*c)*pow(aa,4)/24)) / 10.0, 2) + 0.0 AS cy,
+             round((wa*radians(elon)) / 10.0, 2) + 0.0 AS ex,
+             round((wa*(wk0*radians(elat) - wk2*sin(2*radians(elat)) +
+                        wk4*sin(4*radians(elat)) - wk6*sin(6*radians(elat)))) / 10.0, 2) + 0.0 AS ey
+      FROM f2
+      ORDER BY k""",
+
+    // American Polyconic + Guam — independent Snyder 18-12..18-14 /
+    // GN7-2 9831 closed-form transcription (GRS80 Brazil Polyconic with
+    // lat_0=0 so M0=0; Clarke 1866 Guam grid)
+    "q_transform_poly" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 200 AS DOUBLE) / 10.0 - 65.0 AS lon,
+               CAST(l_suppkey % 28 AS DOUBLE) * -1.0 - 2.0 AS lat,
+               CAST(l_partkey % 30 AS DOUBLE) / 100.0 + 144.6 AS glon,
+               CAST(l_suppkey % 40 AS DOUBLE) / 100.0 + 13.25 AS glat
+        FROM lineitem),
+      c0 AS (
+        SELECT CAST(0.006694380022900787 AS DOUBLE) AS e2, 6378137.0 AS a, radians(-54.0) AS l0,
+               5000000.0 AS fe, 10000000.0 AS fn,
+               CAST(0.006768657997609644 AS DOUBLE) AS ge2, 6378206.4 AS ga,
+               radians(13.472466352777777) AS gp0, radians(144.74875070555555) AS gl0,
+               50000.0 AS gfe, 50000.0 AS gfn),
+      c1 AS (
+        SELECT *,
+               1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS k0c,
+               3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS k2c,
+               15*e2*e2/256 + 45*e2*e2*e2/1024 AS k4c,
+               35*e2*e2*e2/3072 AS k6c,
+               1 - ge2/4 - 3*ge2*ge2/64 - 5*ge2*ge2*ge2/256 AS gk0,
+               3*ge2/8 + 3*ge2*ge2/32 + 45*ge2*ge2*ge2/1024 AS gk2,
+               15*ge2*ge2/256 + 45*ge2*ge2*ge2/1024 AS gk4,
+               35*ge2*ge2*ge2/3072 AS gk6
+        FROM c0),
+      c2 AS (
+        SELECT *, ga*(gk0*gp0 - gk2*sin(2*gp0) + gk4*sin(4*gp0) - gk6*sin(6*gp0)) AS gm0 FROM c1),
+      f1 AS (
+        SELECT k, lon, lat, glon, glat, c2.*, radians(lat) AS p, radians(glat) AS gp
+        FROM pts, c2),
+      f2 AS (
+        SELECT *,
+               a/sqrt(1-e2*sin(p)*sin(p)) AS nu,
+               (radians(lon) - l0) * sin(p) AS ll,
+               a*(k0c*p - k2c*sin(2*p) + k4c*sin(4*p) - k6c*sin(6*p)) AS m,
+               sqrt(1-ge2*sin(gp)*sin(gp)) AS gw,
+               ga*(gk0*gp - gk2*sin(2*gp) + gk4*sin(4*gp) - gk6*sin(6*gp)) AS gm
+        FROM f1),
+      f3 AS (
+        SELECT *, ga * (radians(glon) - gl0) * cos(gp) / gw AS gx0 FROM f2)
+      SELECT k,
+             round((fe + nu/tan(p)*sin(ll)) / 10.0, 2) + 0.0 AS px,
+             round((fn + m + nu/tan(p)*(1-cos(ll))) / 10.0, 2) + 0.0 AS py,
+             round((gfe + gx0) / 10.0, 2) + 0.0 AS gx,
+             round((gfn + gm - gm0 + gx0*gx0*tan(gp)*gw/(2*ga)) / 10.0, 2) + 0.0 AS gy
+      FROM f3
+      ORDER BY k""",
+
     "q_transform_om" -> s"""
       WITH pts AS (
         SELECT $K AS k, CAST(l_partkey % 40 AS DOUBLE) / 10.0 + 114.0 AS lon,
