@@ -182,6 +182,10 @@ class ProjRegistrySpec extends AnyFunSuite {
       "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=15 +ellps=WGS84",
       "+proj=merc +lat_ts=30 +lon_0=10 +ellps=WGS84",
       "+proj=cea +lat_ts=45 +ellps=WGS84",
+      "+proj=cass +lat_0=10 +lon_0=-61.5 +x_0=86000 +y_0=65000 +ellps=clrk58",
+      "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=aust_SA",
+      "+proj=eqc +lat_ts=30 +lon_0=15 +ellps=WGS84",
+      "+proj=aeqd +guam +lat_0=13.5 +lon_0=144.7 +x_0=50000 +y_0=50000 +ellps=clrk66",
       "+proj=longlat +datum=WGS84")
     strs.foreach { s =>
       val crs = Proj.fromProjString(s).getOrElse(fail(s"did not parse: $s"))
@@ -370,7 +374,7 @@ class ProjRegistrySpec extends AnyFunSuite {
       val lon0 = rnd.nextInt(340) - 170
       val fe = rnd.nextInt(2000000); val fn = rnd.nextInt(2000000)
       val el = Seq("WGS84", "GRS80", "intl")(rnd.nextInt(3))
-      val (str, probe) = rnd.nextInt(4) match {
+      val (str, probe) = rnd.nextInt(7) match {
         case 0 =>
           val l1 = lat0 - 2 - rnd.nextInt(5); val l2 = lat0 + 2 + rnd.nextInt(5)
           (s"+proj=lcc +lat_1=$l1 +lat_2=$l2 +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
@@ -382,9 +386,21 @@ class ProjRegistrySpec extends AnyFunSuite {
         case 2 =>
           (s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=0.999${rnd.nextInt(10)} +x_0=$fe +y_0=$fn +ellps=$el",
             (lon0 + 1.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
-        case _ =>
+        case 3 =>
           (s"+proj=laea +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
             (lon0 + 1.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
+        case 4 =>
+          // Cassini series are a narrow-band development: probe near λ0
+          (s"+proj=cass +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 0.5, math.max(-80, math.min(80, lat0 + 1)).toDouble))
+        case 5 =>
+          // keep polyconic probes off the equator row (its own exact branch)
+          val plat = if (lat0 >= -2 && lat0 <= 0) lat0 + 4.0 else lat0 + 1.0
+          (s"+proj=poly +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 2.0, math.max(-80, math.min(80, plat))))
+        case _ =>
+          (s"+proj=eqc +lat_ts=${math.abs(lat0)} +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
       }
       val crs = Proj.fromProjString(str).getOrElse(fail(s"no parse: $str"))
       val (x, y) = crs.proj.forward(probe._1, probe._2)
