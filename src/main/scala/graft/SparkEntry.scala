@@ -115,6 +115,23 @@ object SparkEntry {
     base.toString
   }
 
+  /** Deterministic GTX geoid grid for q_transform_vgrid: 21x21 one-degree
+    * cells, header in the VDatum east-longitude convention (lon0 = 250 =
+    * -110) so the 0..360 normalization is under the oracle too. Node
+    * undulations sample a bilinear field with exact binary-fraction
+    * coefficients (see the oracle comment); float32 storage, quarter-degree
+    * sample points, and bilinear weights are then all exact. */
+  private lazy val gtxDemoGrid: String = {
+    import graft.geom.Gtx
+    val nR = 21; val nC = 21
+    val v = new Array[Float](nR * nC)
+    for (r <- 0 until nR; c <- 0 until nC)
+      v(r * nC + c) = (40.0 + 0.25 * c + 0.125 * r + 0.0625 * c * r).toFloat
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_gtx_demo.gtx")
+    java.nio.file.Files.write(p, Gtx.write(Gtx.Grid(30.0, 250.0, 1.0, 1.0, nR, nC, v, "demo")))
+    p.toString
+  }
+
   // q_transform_wkt's CRS texts: the q_transform_projstr LCC as WKT1, the
   // Mercator variant B as PROJJSON (no SQL-quote characters — safe to inline)
   private val LccWkt1 =
@@ -793,6 +810,34 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // World projections (round 8): Sinusoidal (ESRI:54008, ellipsoidal),
+    // Miller cylindrical, oblique Orthographic, and Robinson (ESRI:54030,
+    // sampled at the published table's 5-degree nodes so the oracle needs
+    // no interpolation) — all vs independent plain-SQL transcriptions of
+    // the Snyder closed forms / the published Robinson table. Mollweide and
+    // Eckert IV (iterative theta, not SQL-expressible) are pinned to
+    // Snyder's worked examples and an equal-area integral in
+    // ProjRegistrySpec instead.
+    "q_transform_world" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(slon, slat), 'OGC:CRS84', 'ESRI:54008')) / 10.0d, 2) + 0.0d AS sx,
+             round(st_y(st_transform(st_point(slon, slat), 'OGC:CRS84', 'ESRI:54008')) / 10.0d, 2) + 0.0d AS sy,
+             round(st_x(st_transform(st_point(slon, slat), 'OGC:CRS84', '+proj=mill +ellps=WGS84')) / 10.0d, 2) + 0.0d AS mx,
+             round(st_y(st_transform(st_point(slon, slat), 'OGC:CRS84', '+proj=mill +ellps=WGS84')) / 10.0d, 2) + 0.0d AS my,
+             round(st_x(st_transform(st_point(olon, olat), 'OGC:CRS84', '+proj=ortho +lat_0=40 +lon_0=-100 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS ox,
+             round(st_y(st_transform(st_point(olon, olat), 'OGC:CRS84', '+proj=ortho +lat_0=40 +lon_0=-100 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS oy,
+             round(st_x(st_transform(st_point(rlon, rlat), 'OGC:CRS84', 'ESRI:54030')) / 10.0d, 2) + 0.0d AS rx,
+             round(st_y(st_transform(st_point(rlon, rlat), 'OGC:CRS84', 'ESRI:54030')) / 10.0d, 2) + 0.0d AS ry
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 360 AS DOUBLE) - 179.5d AS slon,
+                   cast(l_suppkey % 160 AS DOUBLE) - 79.5d AS slat,
+                   cast(l_partkey % 60 AS DOUBLE) / 2.0d - 115.0d AS olon,
+                   cast(l_suppkey % 60 AS DOUBLE) / 2.0d + 25.0d AS olat,
+                   cast(l_partkey % 360 AS DOUBLE) - 180.0d AS rlon,
+                   cast(l_suppkey % 37 AS DOUBLE) * 5.0d - 90.0d AS rlat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
     // EPSG registry, plus Mercator variant B (+lat_ts) — both against
     // independent plain-SQL Snyder oracles.
@@ -854,6 +899,31 @@ object SparkEntry {
         FROM (SELECT $K AS k,
                      cast(l_partkey % 20 AS DOUBLE) - 109.25d AS lon,
                      cast(l_suppkey % 18 AS DOUBLE) + 30.5d AS lat
+              FROM lineitem)
+        ORDER BY k""")(s, dir)
+    }),
+
+    // GTX vertical datum (round 8): a synthetic geoid grid in the VDatum
+    // east-longitude header frame; orthometric -> ellipsoidal adds the
+    // interpolated undulation, the reverse subtracts it, and the horizontal
+    // ordinates pass through the longlat identity untouched. Exact-bilinear
+    // design as q_transform_ntv2.
+    "q_transform_vgrid" -> ((s: SparkSession, dir: String) => {
+      val gtx = gtxDemoGrid
+      q("lineitem")(s"""
+        SELECT k,
+               round(st_z(st_transform(st_force3dz(st_point(lon, lat), z),
+                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS hz,
+               round(st_z(st_transform(st_force3dz(st_point(lon, lat), z),
+                 'OGC:CRS84', '+proj=longlat +datum=WGS84 +geoidgrids=$gtx')), 6) + 0.0d AS oz,
+               round(st_x(st_transform(st_force3dz(st_point(lon, lat), z),
+                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS gx,
+               round(st_y(st_transform(st_force3dz(st_point(lon, lat), z),
+                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS gy
+        FROM (SELECT $K AS k,
+                     cast(l_partkey % 80 AS DOUBLE) / 4.0d - 110.0d AS lon,
+                     cast(l_suppkey % 80 AS DOUBLE) / 4.0d + 30.0d AS lat,
+                     cast(l_orderkey % 500 AS DOUBLE) / 4.0d AS z
               FROM lineitem)
         ORDER BY k""")(s, dir)
     }),
@@ -2954,6 +3024,65 @@ object SparkEntry {
       FROM f3
       ORDER BY k""",
 
+    // World projections — independent transcription of the Snyder closed
+    // forms (sinusoidal 30-8/30-9 with the meridian-arc series, Miller
+    // ch. 11, orthographic 20-3..20-5) and the published Robinson table
+    // (Snyder Table 32) at its 5-degree nodes: x = 0.8487 R X(lat) dlam,
+    // y = 1.3523 R Y(lat) sign(lat).
+    "q_transform_world" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 360 AS DOUBLE) - 179.5 AS slon,
+               CAST(l_suppkey % 160 AS DOUBLE) - 79.5 AS slat,
+               CAST(l_partkey % 60 AS DOUBLE) / 2.0 - 115.0 AS olon,
+               CAST(l_suppkey % 60 AS DOUBLE) / 2.0 + 25.0 AS olat,
+               CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS rlon,
+               CAST(l_suppkey % 37 AS DOUBLE) * 5.0 - 90.0 AS rlat
+        FROM lineitem),
+      c0 AS (
+        SELECT CAST(0.0066943799901413165 AS DOUBLE) AS e2, 6378137.0 AS a,
+               radians(40.0) AS op0, radians(-100.0) AS ol0),
+      c1 AS (
+        SELECT *,
+               1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS k0c,
+               3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS k2c,
+               15*e2*e2/256 + 45*e2*e2*e2/1024 AS k4c,
+               35*e2*e2*e2/3072 AS k6c
+        FROM c0),
+      f1 AS (
+        SELECT k, slon, slat, olon, olat, rlon, rlat, c1.*,
+               radians(slat) AS sp, radians(olat) AS op, radians(olon) - ol0 AS odl,
+               CAST(round(abs(rlat) / 5.0) AS INTEGER) AS ri
+        FROM pts, c1),
+      f2 AS (
+        SELECT *,
+               CASE ri WHEN 0 THEN 1.0000 WHEN 1 THEN 0.9986 WHEN 2 THEN 0.9954
+                       WHEN 3 THEN 0.9900 WHEN 4 THEN 0.9822 WHEN 5 THEN 0.9730
+                       WHEN 6 THEN 0.9600 WHEN 7 THEN 0.9427 WHEN 8 THEN 0.9216
+                       WHEN 9 THEN 0.8962 WHEN 10 THEN 0.8679 WHEN 11 THEN 0.8350
+                       WHEN 12 THEN 0.7986 WHEN 13 THEN 0.7597 WHEN 14 THEN 0.7186
+                       WHEN 15 THEN 0.6732 WHEN 16 THEN 0.6213 WHEN 17 THEN 0.5722
+                       ELSE 0.5322 END AS rX,
+               CASE ri WHEN 0 THEN 0.0000 WHEN 1 THEN 0.0620 WHEN 2 THEN 0.1240
+                       WHEN 3 THEN 0.1860 WHEN 4 THEN 0.2480 WHEN 5 THEN 0.3100
+                       WHEN 6 THEN 0.3720 WHEN 7 THEN 0.4340 WHEN 8 THEN 0.4958
+                       WHEN 9 THEN 0.5571 WHEN 10 THEN 0.6176 WHEN 11 THEN 0.6769
+                       WHEN 12 THEN 0.7346 WHEN 13 THEN 0.7903 WHEN 14 THEN 0.8435
+                       WHEN 15 THEN 0.8936 WHEN 16 THEN 0.9394 WHEN 17 THEN 0.9761
+                       ELSE 1.0000 END AS rY
+        FROM f1)
+      SELECT k,
+             round((a * radians(slon) * cos(sp) / sqrt(1 - e2*sin(sp)*sin(sp))) / 10.0, 2) + 0.0 AS sx,
+             round((a * (k0c*sp - k2c*sin(2*sp) + k4c*sin(4*sp) - k6c*sin(6*sp))) / 10.0, 2) + 0.0 AS sy,
+             round((a * radians(slon)) / 10.0, 2) + 0.0 AS mx,
+             round((a * ln(tan(pi()/4 + 0.4*sp)) / 0.8) / 10.0, 2) + 0.0 AS my,
+             round((a * cos(op) * sin(odl)) / 10.0, 2) + 0.0 AS ox,
+             round((a * (cos(op0)*sin(op) - sin(op0)*cos(op)*cos(odl))) / 10.0, 2) + 0.0 AS oy,
+             round((0.8487 * a * rX * radians(rlon)) / 10.0, 2) + 0.0 AS rx,
+             round((1.3523 * a * rY * sign(rlat)) / 10.0, 2) + 0.0 AS ry
+      FROM f2
+      ORDER BY k""",
+
     "q_transform_om" -> s"""
       WITH pts AS (
         SELECT $K AS k, CAST(l_partkey % 40 AS DOUBLE) / 10.0 + 114.0 AS lon,
@@ -3061,6 +3190,24 @@ object SparkEntry {
             FROM (SELECT $K AS k,
                          CAST(l_partkey % 18 AS DOUBLE) - 109.25 AS lon,
                          CAST(l_suppkey % 18 AS DOUBLE) + 30.5 AS lat
+                  FROM lineitem))
+      ORDER BY k""",
+
+    // GTX vertical analytic oracle: the grid nodes sample
+    //   N = 40 + 0.25 cc + 0.125 rr + 0.0625 cc rr   (meters)
+    // with cc = lon+110 grid columns, rr = lat-30 grid rows, so bilinear
+    // interpolation == the field; horizontal is the longlat identity.
+    "q_transform_vgrid" -> s"""
+      SELECT k,
+             round(z + (40 + 0.25*cc + 0.125*rr + 0.0625*cc*rr), 6) + 0.0 AS hz,
+             round(z - (40 + 0.25*cc + 0.125*rr + 0.0625*cc*rr), 6) + 0.0 AS oz,
+             round(lon, 6) + 0.0 AS gx,
+             round(lat, 6) + 0.0 AS gy
+      FROM (SELECT k, lon, lat, z, lon + 110.0 AS cc, lat - 30.0 AS rr
+            FROM (SELECT $K AS k,
+                         CAST(l_partkey % 80 AS DOUBLE) / 4.0 - 110.0 AS lon,
+                         CAST(l_suppkey % 80 AS DOUBLE) / 4.0 + 30.0 AS lat,
+                         CAST(l_orderkey % 500 AS DOUBLE) / 4.0 AS z
                   FROM lineitem))
       ORDER BY k""",
 

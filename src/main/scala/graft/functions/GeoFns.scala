@@ -864,8 +864,12 @@ object GeoFns {
   }
 
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
-    // normalize input to lon/lat degrees
-    val (lon, lat) = from match {
+    val (lon, lat) = toWgs84LonLat(x, y, from, alwaysXy)
+    fromWgs84LonLat(lon, lat, to, alwaysXy)
+  }
+  /** first half of a transform: resolved-CRS coordinates → WGS84 lon/lat */
+  private def toWgs84LonLat(x: Double, y: Double, from: String, alwaysXy: Boolean): (Double, Double) =
+    from match {
       case "4326" => if (alwaysXy) (x, y) else (y, x)
       case "CRS84" => (x, y)
       case "3857" =>
@@ -882,6 +886,8 @@ object GeoFns {
         val (lo, la) = c.proj.inverse(x, y)
         c.datum.toWgs84(lo, la)
     }
+  /** second half of a transform: WGS84 lon/lat → resolved-CRS coordinates */
+  private def fromWgs84LonLat(lon: Double, lat: Double, to: String, alwaysXy: Boolean): (Double, Double) =
     to match {
       case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
       case "CRS84" => (lon, lat)
@@ -899,20 +905,41 @@ object GeoFns {
         val (lo, la) = c.datum.fromWgs84(lon, lat)
         c.proj.forward(lo, la)
     }
-  }
+  /** vertical datum of a resolved CRS id — only `+proj=` strings can carry
+    * `+geoidgrids` (registry codes are horizontal-only) */
+  private def vgridOf(id: String): Option[Seq[graft.geom.Gtx.Grid]] =
+    if (id.startsWith("+")) graft.geom.Proj.fromProjString(id).flatMap(_.vgrid) else None
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {
     val sf = crsId(from); val st = crsId(to)
     if (sf == st) return g
+    val vf = vgridOf(sf); val vt = vgridOf(st)
+    val vertical = vf.isDefined || vt.isDefined
     val ed = new GeometryEditor(f)
     ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
       override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
         val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+        val hasZ = cs.getDimension - cs.getMeasures >= 3
         var i = 0
         while (i < cs.size) {
-          val (nx, ny) = transformPoint(cs.getX(i), cs.getY(i), sf, st, alwaysXy)
-          out.setOrdinate(i, 0, nx); out.setOrdinate(i, 1, ny)
-          var d = 2
-          while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+          if (vertical && hasZ) {
+            // vertical-datum chain: interpolate the geoid undulation at the
+            // WGS84 geographic position; orthometric H + N = ellipsoidal h
+            val (lon, lat) = toWgs84LonLat(cs.getX(i), cs.getY(i), sf, alwaysXy)
+            var z = cs.getOrdinate(i, 2)
+            if (!z.isNaN) {
+              vf.foreach(gs => z += graft.geom.Gtx.undulationOf(gs, lon, lat))
+              vt.foreach(gs => z -= graft.geom.Gtx.undulationOf(gs, lon, lat))
+            }
+            val (nx, ny) = fromWgs84LonLat(lon, lat, st, alwaysXy)
+            out.setOrdinate(i, 0, nx); out.setOrdinate(i, 1, ny); out.setOrdinate(i, 2, z)
+            var d = 3
+            while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+          } else {
+            val (nx, ny) = transformPoint(cs.getX(i), cs.getY(i), sf, st, alwaysXy)
+            out.setOrdinate(i, 0, nx); out.setOrdinate(i, 1, ny)
+            var d = 2
+            while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+          }
           i += 1
         }
         out

@@ -884,6 +884,263 @@ object Proj {
     def inverse(x: Double, y: Double): (Double, Double) = inner.inverse(-x, -y)
   }
 
+  // ------------------------------------------- world / small-scale kernels
+  // The pseudocylindrical and azimuthal world projections are defined on the
+  // sphere (Snyder chs. 20, 22, 30-32; PROJ marks them "Sph"); following
+  // PROJ/ESRI practice for the World_* CRSes, an ellipsoidal datum supplies
+  // the sphere radius through its semimajor axis.
+
+  /** Mollweide (Snyder ch. 31; PROJ `moll`; ESRI:54009 World_Mollweide).
+   *  Equal-area pseudocylindrical: 2θ + sin 2θ = π sin φ by Newton, then
+   *  x = (2√2/π) R Δλ cos θ, y = √2 R sin θ. */
+  final class Mollweide(r: Double, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private val cx = 2 * math.sqrt(2) / math.Pi * r
+    private val cy = math.sqrt(2) * r
+    private def theta(phi: Double): Double = {
+      if (math.abs(phi) >= math.Pi / 2 - 1e-12) return math.signum(phi) * math.Pi / 2
+      val target = math.Pi * math.sin(phi)
+      var th = phi
+      var i = 0
+      while (i < 60) {
+        val d = 2 + 2 * math.cos(2 * th)
+        if (math.abs(d) < 1e-14) i = 60
+        else {
+          val next = th - (2 * th + math.sin(2 * th) - target) / d
+          if (math.abs(next - th) < 1e-14) { th = next; i = 60 } else { th = next; i += 1 }
+        }
+      }
+      th
+    }
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val th = theta(math.toRadians(latDeg))
+      (fe + cx * (math.toRadians(lonDeg) - lam0) * math.cos(th), fn + cy * math.sin(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val s = math.max(-1.0, math.min(1.0, (y - fn) / cy))
+      val th = math.asin(s)
+      val phi = math.asin(math.max(-1.0, math.min(1.0, (2 * th + math.sin(2 * th)) / math.Pi)))
+      val cosTh = math.cos(th)
+      val lam = if (cosTh < 1e-12) lam0 else lam0 + (x - fe) / (cx * cosTh)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Sinusoidal (Snyder 30-8/30-9; PROJ `sinu`; ESRI:54008, MODIS grid via
+   *  `+R=6371007.181`). Ellipsoidal: x = a Δλ cos φ / W, y = M(φ); the
+   *  spherical case falls out at e = 0. Equal-area, pseudocylindrical. */
+  final class Sinusoidal(el: Ellipsoid, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val w = math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi))
+      (fe + el.a * (math.toRadians(lonDeg) - lam0) * math.cos(phi) / w,
+        fn + meridianArc(el, phi))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = phiFromM(el, y - fn)
+      val cosPhi = math.cos(phi)
+      val lam =
+        if (math.abs(cosPhi) < 1e-12) lam0
+        else {
+          val w = math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi))
+          lam0 + (x - fe) * w / (el.a * cosPhi)
+        }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Miller cylindrical (Snyder ch. 11; PROJ `mill`): x = R Δλ,
+   *  y = R ln tan(π/4 + 0.4 φ) / 0.8. Neither equal-area nor conformal;
+   *  the classic compromise world wall map. */
+  final class MillerCyl(r: Double, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      (fe + r * (math.toRadians(lonDeg) - lam0),
+        fn + r * math.log(math.tan(math.Pi / 4 + 0.4 * phi)) / 0.8)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = 2.5 * (math.atan(math.exp(0.8 * (y - fn) / r)) - math.Pi / 4)
+      (math.toDegrees(lam0 + (x - fe) / r), math.toDegrees(phi))
+    }
+  }
+
+  /** Eckert IV (Snyder ch. 32; PROJ `eck4`; ESRI:54012 World_Eckert_IV).
+   *  Equal-area pseudocylindrical with elliptical meridians:
+   *  θ + sin θ cos θ + 2 sin θ = (2 + π/2) sin φ by Newton. */
+  final class EckertIv(r: Double, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private val cp = 2 + math.Pi / 2
+    private val cx = 2 / math.sqrt(math.Pi * (4 + math.Pi)) * r
+    private val cy = 2 * math.sqrt(math.Pi / (4 + math.Pi)) * r
+    private def theta(phi: Double): Double = {
+      // Newton's derivative 2 cos θ (1 + cos θ) vanishes at the poles, where
+      // convergence degrades to halving — take the exact branch there
+      if (math.abs(phi) >= math.Pi / 2 - 1e-12) return math.signum(phi) * math.Pi / 2
+      val target = cp * math.sin(phi)
+      var th = phi / 2
+      var i = 0
+      while (i < 60) {
+        val d = 2 * math.cos(th) * (1 + math.cos(th))
+        if (math.abs(d) < 1e-14) i = 60
+        else {
+          val next = th - (th + math.sin(th) * math.cos(th) + 2 * math.sin(th) - target) / d
+          if (math.abs(next - th) < 1e-14) { th = next; i = 60 } else { th = next; i += 1 }
+        }
+      }
+      th
+    }
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val th = theta(math.toRadians(latDeg))
+      (fe + cx * (math.toRadians(lonDeg) - lam0) * (1 + math.cos(th)), fn + cy * math.sin(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, (y - fn) / cy)))
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (th + math.sin(th) * math.cos(th) + 2 * math.sin(th)) / cp)))
+      val lam = lam0 + (x - fe) / (cx * (1 + math.cos(th)))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Orthographic, oblique spherical aspect (Snyder 20-3..20-6; PROJ
+   *  `ortho`): the view from infinity. Only the near hemisphere projects;
+   *  points with cos c < 0 are rejected loudly (PROJ errors the same way). */
+  final class Orthographic(r: Double, lat0Deg: Double, lon0Deg: Double,
+                           fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sinP0 = math.sin(phi0); private val cosP0 = math.cos(phi0)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg); val dLam = math.toRadians(lonDeg) - lam0
+      val cosC = sinP0 * math.sin(phi) + cosP0 * math.cos(phi) * math.cos(dLam)
+      if (cosC < -1e-10) throw new IllegalArgumentException(
+        s"ST_Transform: ($lonDeg,$latDeg) is on the far hemisphere of this orthographic projection")
+      (fe + r * math.cos(phi) * math.sin(dLam),
+        fn + r * (cosP0 * math.sin(phi) - sinP0 * math.cos(phi) * math.cos(dLam)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / r; val dy = (y - fn) / r
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho < 1e-12) return (math.toDegrees(lam0), math.toDegrees(phi0))
+      if (rho > 1 + 1e-9) throw new IllegalArgumentException(
+        s"ST_Transform: ($x,$y) lies outside the orthographic horizon circle")
+      val c = math.asin(math.min(1.0, rho))
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val phi = math.asin(cosC * sinP0 + dy * sinC * cosP0 / rho)
+      val lam = lam0 + math.atan2(dx * sinC, rho * cosP0 * cosC - dy * sinP0 * sinC)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Gnomonic, oblique spherical aspect (Snyder 22-4/22-5; PROJ `gnom`):
+   *  great circles map to straight lines. Defined strictly inside one
+   *  hemisphere (cos c > 0). */
+  final class Gnomonic(r: Double, lat0Deg: Double, lon0Deg: Double,
+                       fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sinP0 = math.sin(phi0); private val cosP0 = math.cos(phi0)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg); val dLam = math.toRadians(lonDeg) - lam0
+      val cosC = sinP0 * math.sin(phi) + cosP0 * math.cos(phi) * math.cos(dLam)
+      if (cosC < 1e-10) throw new IllegalArgumentException(
+        s"ST_Transform: ($lonDeg,$latDeg) is 90 degrees or more from this gnomonic projection centre")
+      (fe + r * math.cos(phi) * math.sin(dLam) / cosC,
+        fn + r * (cosP0 * math.sin(phi) - sinP0 * math.cos(phi) * math.cos(dLam)) / cosC)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / r; val dy = (y - fn) / r
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho < 1e-12) return (math.toDegrees(lam0), math.toDegrees(phi0))
+      val c = math.atan(rho)
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val phi = math.asin(cosC * sinP0 + dy * sinC * cosP0 / rho)
+      val lam = lam0 + math.atan2(dx * sinC, rho * cosP0 * cosC - dy * sinP0 * sinC)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Robinson (Robinson 1974; Snyder ch. 33 Table 32; PROJ `robin`;
+   *  ESRI:54030 World_Robinson). Defined by the published 5°-interval table
+   *  of length (X) and parallel-distance (Y) multipliers:
+   *  x = 0.8487 R X(φ) Δλ, y = 1.3523 R Y(φ) sgn(φ). Between nodes both
+   *  series interpolate with a natural cubic spline (smooth like PROJ's
+   *  precomputed Chebyshev-fitted coefficients; identical at the nodes,
+   *  which carry the projection's definition). */
+  final class Robinson(r: Double, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    import Robinson._
+    private val lam0 = math.toRadians(lon0Deg)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val aLat = math.abs(latDeg)
+      (fe + 0.8487 * r * splineAt(xs2, aLat) * (math.toRadians(lonDeg) - lam0),
+        fn + 1.3523 * r * splineAt(ys2, aLat) * math.signum(latDeg))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yy = math.min(1.0, math.abs(y - fn) / (1.3523 * r))
+      // Y is strictly increasing in |φ|: bisect the spline
+      var lo = 0.0; var hi = 90.0
+      var i = 0
+      while (i < 60) {
+        val mid = (lo + hi) / 2
+        if (splineAt(ys2, mid) < yy) lo = mid else hi = mid
+        i += 1
+      }
+      val aLat = (lo + hi) / 2
+      val lat = aLat * math.signum(y - fn)
+      val lam = lam0 + (x - fe) / (0.8487 * r * splineAt(xs2, aLat))
+      (math.toDegrees(lam), lat)
+    }
+  }
+
+  object Robinson {
+    // Robinson's published table, latitude 0..90 in 5° steps
+    // (Snyder Table 32: X = length multiplier, Y = distance multiplier).
+    private[geom] val tabX = Array(
+      1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427, 0.9216,
+      0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+    private[geom] val tabY = Array(
+      0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340, 0.4958,
+      0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+    /** Natural cubic spline second derivatives over the 5°-spaced nodes:
+     *  Thomas solve of y2(i-1) + 4 y2(i) + y2(i+1) = 6 (v(i+1) - 2 v(i) +
+     *  v(i-1)) / h², with natural ends y2(0) = y2(n-1) = 0. */
+    private def secondDerivs(v: Array[Double]): Array[Double] = {
+      val n = v.length
+      val cPrime = new Array[Double](n); val dPrime = new Array[Double](n)
+      var i = 1
+      while (i < n - 1) {
+        val rhs = (v(i + 1) - 2 * v(i) + v(i - 1)) * 6 / (5.0 * 5.0)
+        val denom = 4 - cPrime(i - 1)
+        cPrime(i) = 1 / denom
+        dPrime(i) = (rhs - dPrime(i - 1)) / denom
+        i += 1
+      }
+      val out = new Array[Double](n)
+      i = n - 2
+      while (i >= 1) { out(i) = dPrime(i) - cPrime(i) * out(i + 1); i -= 1 }
+      out
+    }
+    private[geom] val xs2 = (tabX, secondDerivs(tabX))
+    private[geom] val ys2 = (tabY, secondDerivs(tabY))
+    /** evaluate the spline at |lat| in degrees (clamped to [0, 90]) */
+    private[geom] def splineAt(t: (Array[Double], Array[Double]), aLat: Double): Double = {
+      val (v, y2) = t
+      val c = math.max(0.0, math.min(90.0 - 1e-12, aLat))
+      val i = (c / 5.0).toInt
+      val a = (5.0 * (i + 1) - c) / 5.0
+      val b = 1 - a
+      a * v(i) + b * v(i + 1) +
+        ((a * a * a - a) * y2(i) + (b * b * b - b) * y2(i + 1)) * 25.0 / 6.0
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** A registered CRS: projection kernel + datum + a lon/lat probe point
@@ -891,7 +1148,10 @@ object Proj {
    *  `+proj=` parameter string (surfaced by ST_Read_Meta; parseable back
    *  through [[fromProjString]]). */
   final case class Crs(name: String, proj: Projection, datum: Datum, probe: (Double, Double),
-                       proj4: String = null)
+                       proj4: String = null,
+                       /** vertical datum: geoid undulation grids (`+geoidgrids=`);
+                         * heights in this CRS are orthometric, h_ell = H + N */
+                       vgrid: Option[Seq[Gtx.Grid]] = None)
 
   private def ellpsTag(el: Ellipsoid): String =
     if (el == Wgs84) "+ellps=WGS84" else if (el == Grs80) "+ellps=GRS80"
@@ -1001,6 +1261,19 @@ object Proj {
       "EPSG:3574" -> laea("WGS 84 / North Pole LAEA Atlantic", 90, -40, 0, 0, w, probe = (-40, 70)),
       "EPSG:3575" -> laea("WGS 84 / North Pole LAEA Europe", 90, 10, 0, 0, w, probe = (10, 70)),
       "EPSG:3576" -> laea("WGS 84 / North Pole LAEA Russia", 90, 90, 0, 0, w, probe = (90, 70)),
+      // ----------------------------------------- world (small-scale) CRSes
+      // ESRI "World_*" codes on the WGS84 datum. Sinusoidal develops on the
+      // full ellipsoid (PROJ `sinu` is ellipsoid-capable); the spherical-only
+      // projections take the WGS84 semimajor as sphere radius (PROJ/ESRI
+      // convention for these codes).
+      "ESRI:54008" -> Crs("World Sinusoidal", new Sinusoidal(Wgs84, 0, 0, 0), w, (10, 30),
+        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      "ESRI:54009" -> Crs("World Mollweide", new Mollweide(Wgs84.a, 0, 0, 0), w, (10, 30),
+        "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      "ESRI:54012" -> Crs("World Eckert IV", new EckertIv(Wgs84.a, 0, 0, 0), w, (10, 30),
+        "+proj=eck4 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      "ESRI:54030" -> Crs("World Robinson", new Robinson(Wgs84.a, 0, 0, 0), w, (10, 32.6),
+        "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
       "EPSG:6931" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 North", 90, 0, 0, 0, w, probe = (0, 75)),
       "EPSG:6932" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 South", -90, 0, 0, 0, w, probe = (0, -75)),
       // ------------------------------------------------ polar stereographic
@@ -1241,8 +1514,12 @@ object Proj {
           case Some("clrk58") => Clarke1858 // graft extension; PROJ spells it +a/+rf
           case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, aust_SA, clrk58; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
-          case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") || kv.contains("R") =>
-            fail("custom ellipsoids need exactly +a and +rf (spheres/+b unsupported)")
+          case None if kv.contains("R") => Ellipsoid(num("R", 0), Double.PositiveInfinity)
+          case None if kv.contains("a") && kv.contains("b") =>
+            val a = num("a", 0); val b = num("b", 0)
+            if (a == b) Ellipsoid(a, Double.PositiveInfinity) else Ellipsoid(a, a / (a - b))
+          case None if kv.contains("a") || kv.contains("rf") || kv.contains("b") =>
+            fail("custom ellipsoids need +a with +rf (or +b), or a sphere via +R")
           case None => Wgs84 // PROJ.4's historic default ellipsoid
         }
         // +towgs84 is position-vector convention — the same EPSG 9606 Helmert
@@ -1358,7 +1635,27 @@ object Proj {
           fail("+proj=aeqd is implemented in the Guam variant only (+guam, EPSG method 9831)")
         (new GuamAzEq(el, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 0.05, num("lat_0", 10) + 0.05))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea, cass, poly, eqc, aeqd [+guam])")
+      // world / small-scale family (spherical per PROJ: radius = semimajor)
+      case "moll" =>
+        (new Mollweide(el.a, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 30.0))
+      case "sinu" =>
+        (new Sinusoidal(el, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 30.0))
+      case "mill" =>
+        (new MillerCyl(el.a, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 30.0))
+      case "eck4" =>
+        (new EckertIv(el.a, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 30.0))
+      case "robin" =>
+        // probe off the 5° nodes so round-trips exercise the spline segment
+        (new Robinson(el.a, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 32.6))
+      case "ortho" =>
+        val lat0 = p("lat_0")
+        (new Orthographic(el.a, lat0, p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 5, math.max(-85, math.min(85, lat0 + 5))))
+      case "gnom" =>
+        val lat0 = p("lat_0")
+        (new Gnomonic(el.a, lat0, p("lon_0"), p("x_0"), p("y_0")),
+          (num("lon_0", 0) + 5, math.max(-85, math.min(85, lat0 + 5))))
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea, cass, poly, eqc, aeqd [+guam], moll, sinu, robin, eck4, mill, ortho, gnom)")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per
@@ -1378,7 +1675,10 @@ object Proj {
         (-(sg.eLonW + sg.wLonW) / 2 / 3600.0, (sg.sLat + sg.nLat) / 2 / 3600.0)
       case None => probe
     }
-    Crs(s"PROJ:$method", proj, datumG, probeG)
+    // +geoidgrids: vertical datum — heights in this CRS are orthometric
+    // relative to the geoid surface the grids describe
+    val vgrid = kv.get("geoidgrids").flatMap(Gtx.fromGeoidgridsSpec)
+    Crs(s"PROJ:$method", proj, datumG, probeG, vgrid = vgrid)
   }
 
   /** Resolve an EPSG code or `+proj=` parameter string to a CRS (named

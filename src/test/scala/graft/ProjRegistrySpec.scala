@@ -186,6 +186,14 @@ class ProjRegistrySpec extends AnyFunSuite {
       "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=aust_SA",
       "+proj=eqc +lat_ts=30 +lon_0=15 +ellps=WGS84",
       "+proj=aeqd +guam +lat_0=13.5 +lon_0=144.7 +x_0=50000 +y_0=50000 +ellps=clrk66",
+      "+proj=moll +lon_0=0 +ellps=WGS84",
+      "+proj=sinu +lon_0=0 +ellps=WGS84",
+      "+proj=sinu +lon_0=0 +R=6371007.181", // the MODIS sinusoidal sphere
+      "+proj=robin +lon_0=0 +ellps=WGS84",
+      "+proj=eck4 +lon_0=10 +ellps=WGS84",
+      "+proj=mill +lon_0=-90 +ellps=WGS84",
+      "+proj=ortho +lat_0=40 +lon_0=-100 +ellps=WGS84",
+      "+proj=gnom +lat_0=40 +lon_0=-100 +ellps=WGS84",
       "+proj=longlat +datum=WGS84")
     strs.foreach { s =>
       val crs = Proj.fromProjString(s).getOrElse(fail(s"did not parse: $s"))
@@ -195,6 +203,93 @@ class ProjRegistrySpec extends AnyFunSuite {
       assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
         s"$s round-trip: ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
     }
+  }
+
+  test("world kernels: closed-form anchors and published values pin the formulas") {
+    val R = 6378137.0
+
+    // Mollweide — Snyder Appendix numerical example (sphere R=1, lam0=-90,
+    // lat=50, lon=-75 -> x=0.1788845, y=0.9208758) plus exact anchors:
+    // the pole maps to (0, sqrt(2) R) and the equator at lam=90 to (sqrt(2) R, 0).
+    val mollUnit = Proj.fromProjString("+proj=moll +lon_0=-90 +R=1").get.proj
+    val (mx, my) = mollUnit.forward(-75, 50)
+    assert(math.abs(mx - 0.1788845) < 1e-6 && math.abs(my - 0.9208758) < 1e-6, s"($mx,$my)")
+    val moll = Proj.lookup("ESRI:54009").get.proj
+    val (px, py) = moll.forward(0, 90)
+    assert(math.abs(px) < 1e-6 && math.abs(py - math.sqrt(2) * R) < 1e-6)
+    val (ex, ey) = moll.forward(90, 0)
+    assert(math.abs(ex - math.sqrt(2) * R) < 1e-6 && math.abs(ey) < 1e-6)
+
+    // Eckert IV — exact anchors: equator theta=0 (x = 2 Cx R lam), pole
+    // theta=pi/2 (x = Cx R lam, y = Cy R)
+    val cx4 = 2 / math.sqrt(math.Pi * (4 + math.Pi)) * R
+    val cy4 = 2 * math.sqrt(math.Pi / (4 + math.Pi)) * R
+    val eck = Proj.lookup("ESRI:54012").get.proj
+    val (e0x, e0y) = eck.forward(90, 0)
+    assert(math.abs(e0x - 2 * cx4 * math.Pi / 2) < 1e-6 && math.abs(e0y) < 1e-6)
+    val (e9x, e9y) = eck.forward(90, 90)
+    assert(math.abs(e9x - cx4 * math.Pi / 2) < 1e-6 && math.abs(e9y - cy4) < 1e-6)
+
+    // Orthographic — Snyder worked example (sphere R=1, lat_0=40,
+    // lon_0=-100; point lat=30, lon=-110 -> x=-0.1503837, y=-0.1651911)
+    val ortho = Proj.fromProjString("+proj=ortho +lat_0=40 +lon_0=-100 +R=1").get.proj
+    val (ox, oy) = ortho.forward(-110, 30)
+    assert(math.abs(ox - -0.1503837) < 1e-6 && math.abs(oy - -0.1651911) < 1e-6, s"($ox,$oy)")
+    // far hemisphere rejected loudly
+    val farMsg = intercept[IllegalArgumentException](ortho.forward(100, -40)).getMessage
+    assert(farMsg.contains("far hemisphere"))
+
+    // Gnomonic — Snyder worked example: same geometry divided by
+    // cos c = 0.9747294 -> x=-0.1542826, y=-0.1694739
+    val gnom = Proj.fromProjString("+proj=gnom +lat_0=40 +lon_0=-100 +R=1").get.proj
+    val (gx, gy) = gnom.forward(-110, 30)
+    assert(math.abs(gx - -0.1542826) < 1e-6 && math.abs(gy - -0.1694739) < 1e-6, s"($gx,$gy)")
+    assert(intercept[IllegalArgumentException](gnom.forward(-10, -40))
+      .getMessage.contains("90 degrees"))
+
+    // Robinson — the published table IS the definition at the 5-degree
+    // nodes: X(30)=0.9600, Y(30)=0.3720, X(90)=0.5322, Y(90)=1.0000
+    val rob = Proj.lookup("ESRI:54030").get.proj
+    val (rx, ry) = rob.forward(30, 30)
+    assert(math.abs(rx - 0.8487 * R * 0.9600 * math.Pi / 6) < 1e-5, s"$rx")
+    assert(math.abs(ry - 1.3523 * R * 0.3720) < 1e-5, s"$ry")
+    val (r9x, r9y) = rob.forward(30, -90)
+    assert(math.abs(r9x - 0.8487 * R * 0.5322 * math.Pi / 6) < 1e-5)
+    assert(math.abs(r9y - -1.3523 * R) < 1e-5)
+
+    // Miller — y(45) = R ln(tan 63 deg) / 0.8 = 0.84284439 R (Snyder ch. 11)
+    val mill = Proj.fromProjString("+proj=mill +R=1").get.proj
+    val (ix, iy) = mill.forward(60, 45)
+    assert(math.abs(ix - math.Pi / 3) < 1e-7 && math.abs(iy - 0.84284439) < 1e-7, s"($ix,$iy)")
+
+    // Sinusoidal (ellipsoidal) — equator is true-scale (x = a lam) and the
+    // central meridian carries the meridian arc: M(45) on GRS80 =
+    // 4984944.378 m (published geodesy constant; WGS84 differs < 0.1 mm)
+    val sinu = Proj.fromProjString("+proj=sinu +ellps=GRS80").get.proj
+    val (sx, sy) = sinu.forward(90, 0)
+    assert(math.abs(sx - 6378137.0 * math.Pi / 2) < 1e-6 && math.abs(sy) < 1e-6)
+    val (_, sy45) = sinu.forward(0, 45)
+    assert(math.abs(sy45 - 4984944.378) < 1e-3, s"$sy45")
+
+    // equal-area check: Mollweide and Eckert IV preserve the hemisphere
+    // area 2 pi R^2 — integrate x-width over y numerically
+    def mapArea(p: graft.geom.Proj.Projection): Double = {
+      val n = 20000
+      var area = 0.0
+      var i = 0
+      while (i < n) {
+        val lat = -90.0 + 180.0 * (i + 0.5) / n
+        val (x1, y1) = p.forward(180, lat)
+        val (_, yLo) = p.forward(0, -90.0 + 180.0 * i.toDouble / n)
+        val (_, yHi) = p.forward(0, -90.0 + 180.0 * (i + 1.0) / n)
+        area += 2 * (x1 - p.forward(0, lat)._1) * (yHi - yLo)
+        i += 1
+      }
+      area
+    }
+    val sphere = 4 * math.Pi * R * R
+    assert(math.abs(mapArea(moll) - sphere) / sphere < 1e-4, "Mollweide is equal-area")
+    assert(math.abs(mapArea(eck) - sphere) / sphere < 1e-4, "Eckert IV is equal-area")
   }
 
   test("oblique Mercator: EPSG GN7-2 variant-B worked example reproduces") {
@@ -359,7 +454,7 @@ class ProjRegistrySpec extends AnyFunSuite {
   test("PROJ strings: unsupported methods and parameters fail loudly") {
     def msg(s: String): String =
       intercept[IllegalArgumentException](Proj.fromProjString(s)).getMessage
-    assert(msg("+proj=robin +lon_0=0").contains("unsupported +proj=robin"))
+    assert(msg("+proj=wink2 +lon_0=0").contains("unsupported +proj=wink2"))
     assert(msg("+proj=lcc +lat_1=45 +lon_0=3").contains("1SP"))
     assert(msg("+proj=stere +lat_0=52 +lon_0=0").contains("polar aspect"))
     assert(msg("+proj=tmerc +datum=potsdam").contains("unsupported +datum"))
@@ -374,7 +469,7 @@ class ProjRegistrySpec extends AnyFunSuite {
       val lon0 = rnd.nextInt(340) - 170
       val fe = rnd.nextInt(2000000); val fn = rnd.nextInt(2000000)
       val el = Seq("WGS84", "GRS80", "intl")(rnd.nextInt(3))
-      val (str, probe) = rnd.nextInt(7) match {
+      val (str, probe) = rnd.nextInt(14) match {
         case 0 =>
           val l1 = lat0 - 2 - rnd.nextInt(5); val l2 = lat0 + 2 + rnd.nextInt(5)
           (s"+proj=lcc +lat_1=$l1 +lat_2=$l2 +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
@@ -398,9 +493,33 @@ class ProjRegistrySpec extends AnyFunSuite {
           val plat = if (lat0 >= -2 && lat0 <= 0) lat0 + 4.0 else lat0 + 1.0
           (s"+proj=poly +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
             (lon0 + 2.0, math.max(-80, math.min(80, plat))))
-        case _ =>
+        case 6 =>
           (s"+proj=eqc +lat_ts=${math.abs(lat0)} +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
             (lon0 + 5.0, math.max(-80, math.min(80, lat0 + 1)).toDouble))
+        case 7 =>
+          (s"+proj=moll +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-85, math.min(85, lat0 + 1)).toDouble))
+        case 8 =>
+          (s"+proj=sinu +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-85, math.min(85, lat0 + 1)).toDouble))
+        case 9 =>
+          // off-node latitudes exercise the spline interpolation path
+          (s"+proj=robin +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-87, math.min(87, lat0 + 1.3)).toDouble))
+        case 10 =>
+          (s"+proj=eck4 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-85, math.min(85, lat0 + 1)).toDouble))
+        case 11 =>
+          (s"+proj=mill +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 5.0, math.max(-85, math.min(85, lat0 + 1)).toDouble))
+        case 12 =>
+          // probes stay within a few degrees of centre: well inside the
+          // horizon circle / gnomonic hemisphere
+          (s"+proj=ortho +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 3.0, math.max(-85, math.min(85, lat0 + 3)).toDouble))
+        case _ =>
+          (s"+proj=gnom +lat_0=$lat0 +lon_0=$lon0 +x_0=$fe +y_0=$fn +ellps=$el",
+            (lon0 + 3.0, math.max(-85, math.min(85, lat0 + 3)).toDouble))
       }
       val crs = Proj.fromProjString(str).getOrElse(fail(s"no parse: $str"))
       val (x, y) = crs.proj.forward(probe._1, probe._2)
