@@ -2307,6 +2307,30 @@ object SparkEntry {
       rows.foreach { case (_, x, y) => dxf ++= s"0\nPOINT\n8\npts\n10\n$x\n20\n$y\n" }
       dxf ++= "0\nENDSEC\n0\nEOF\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(dxfPath), dxf.toString.getBytes("UTF-8"))
+      // TopoJSON: one unquantized topology object holding the points
+      val topoPath = s"$base/pts.topojson"
+      val topo = new StringBuilder("""{"type":"Topology","objects":{"pts":{"type":"GeometryCollection","geometries":[""")
+      topo ++= rows.map { case (k, x, y) =>
+        s"""{"type":"Point","id":$k,"coordinates":[$x,$y]}"""
+      }.mkString(",")
+      topo ++= """]}},"arcs":[]}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(topoPath), topo.toString.getBytes("UTF-8"))
+      // ESRIJSON: ArcGIS REST FeatureSet of point geometries
+      val esriPath = s"$base/pts.esrijson"
+      val esri = new StringBuilder("""{"geometryType":"esriGeometryPoint","features":[""")
+      esri ++= rows.map { case (k, x, y) =>
+        s"""{"attributes":{"k":$k},"geometry":{"x":$x,"y":$y}}"""
+      }.mkString(",")
+      esri ++= "]}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(esriPath), esri.toString.getBytes("UTF-8"))
+      // MVT: one raw-coordinate tile (integer coords, no z/x/y georeference)
+      val mvtPath = s"$base/pts.mvt"
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      java.nio.file.Files.write(java.nio.file.Paths.get(mvtPath),
+        graft.io.Mvt.writeTile("pts", 4096, rows.map { case (k, x, y) =>
+          (k, gf.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)):
+            org.locationtech.jts.geom.Geometry, Seq("k" -> k.toString))
+        }.toSeq))
 
       def read(fmt: String, p: String) =
         s.read.format("geo").load(p)
@@ -2316,6 +2340,9 @@ object SparkEntry {
         .union(read("georss", rssPath))
         .union(read("kmz", kmzPath))
         .union(read("mapinfo", mifPath))
+        .union(read("topojson", topoPath))
+        .union(read("esrijson", esriPath))
+        .union(read("mvt", mvtPath))
         .groupBy("fmt")
         .agg(count("*").as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
         .orderBy("fmt")
@@ -3339,7 +3366,8 @@ object SparkEntry {
                           CAST(c_custkey % 170 - 85 AS DOUBLE) AS y
                    FROM customer WHERE c_custkey <= 2000)
       SELECT fmt, count(*) AS n, sum(x) AS sx, sum(y) AS sy
-      FROM src CROSS JOIN (VALUES ('dxf'),('georss'),('kmz'),('mapinfo')) t(fmt)
+      FROM src CROSS JOIN (VALUES ('dxf'),('georss'),('kmz'),('mapinfo'),
+                                  ('topojson'),('esrijson'),('mvt')) t(fmt)
       GROUP BY fmt ORDER BY fmt""",
 
     "q_extent_agg" -> """

@@ -501,7 +501,8 @@ object GeoFiles {
       l.endsWith(".fgb") || l.endsWith(".gpkg") || l.endsWith(".kml") ||
       l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx") ||
       l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".atom") ||
-      l.endsWith(".georss") || l.endsWith(".dxf")
+      l.endsWith(".georss") || l.endsWith(".dxf") ||
+      l.endsWith(".topojson") || l.endsWith(".esrijson") || l.endsWith(".mvt")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -521,6 +522,9 @@ object GeoFiles {
     else if (l.endsWith(".mif")) "mapinfo"
     else if (l.endsWith(".rss") || l.endsWith(".atom") || l.endsWith(".georss")) "georss"
     else if (l.endsWith(".dxf")) "dxf"
+    else if (l.endsWith(".topojson")) "topojson"
+    else if (l.endsWith(".esrijson")) "esrijson"
+    else if (l.endsWith(".mvt")) "mvt"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -673,7 +677,7 @@ object GeoFiles {
 
   /** Formats with a real sub-dataset concept; anything else rejects `layer`
     * loudly instead of silently reading the whole file. */
-  private val layeredFormats = Set("geopackage", "kml", "kmz", "dxf")
+  private val layeredFormats = Set("geopackage", "kml", "kmz", "dxf", "topojson", "mvt")
   def requireLayerSupported(format: String, layer: Option[String]): Unit =
     layer.foreach { l =>
       require(layeredFormats.contains(format),
@@ -709,7 +713,7 @@ object GeoFiles {
     format match {
       case "shapefile" => shapefileSchema(paths.head)
       case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-      case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" => geojsonSchema
+      case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" | "topojson" | "esrijson" | "mvt" => geojsonSchema
       case "mapinfo" => mifSchema(paths.head)
       case "osmpbf" => osmSchema
       case "flatgeobuf" => flatgeobufSchema(paths.head)
@@ -1084,6 +1088,14 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         val feats = Dxf.features(p)
         layer.fold(feats)(l => feats.filter(_.properties.get("layer").contains(l)))
           .map(GeoRows.featureRow(_, required))
+      case ("topojson", FilePartition(p)) =>
+        // TopoJSON layers = named topology objects
+        TopoJson.features(p, layer).map(GeoRows.featureRow(_, required))
+      case ("esrijson", FilePartition(p)) =>
+        EsriJson.features(p).map(GeoRows.featureRow(_, required))
+      case ("mvt", FilePartition(p)) =>
+        // MVT layers = tile layers; z/x/y paths georeference to EPSG:3857
+        Mvt.features(p, layer).map(GeoRows.featureRow(_, required))
       case ("csvwkt", FilePartition(p)) =>
         GeoRows.csvRows(p, fullSchema, required, opts)
       case ("xlsx", FilePartition(p)) =>

@@ -31,6 +31,9 @@ object GeoMeta {
       Row("georss", "GeoRSS-Simple / W3C-geo over RSS 2.0 and Atom feeds; RSS item writer", true, true),
       Row("mapinfo", "MapInfo Interchange MIF/MID (points/plines/regions/rect/ellipse/arc/collection; MIF/MID writer)", true, true),
       Row("dxf", "AutoCAD DXF ASCII entities (point/line/lwpolyline/polyline/circle/arc/solid/text; entity writer)", true, true),
+      Row("topojson", "TopoJSON 1.0 topologies (shared delta-encoded arc table; objects as layers)", true, false),
+      Row("esrijson", "ESRIJSON / ArcGIS REST FeatureSet (point/multipoint/polyline/polygon ring conventions)", true, false),
+      Row("mvt", "Mapbox Vector Tiles 2.1 (protobuf command streams; z/x/y paths georeference to EPSG:3857; single-tile writer)", true, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),
@@ -388,6 +391,8 @@ object GeoMeta {
           val seen = scala.collection.mutable.LinkedHashSet.empty[String]
           Dxf.features(path).foreach(_.properties.get("layer").foreach(seen += _))
           seen.toSeq
+        case "topojson" => TopoJson.layers(path)
+        case "mvt" => Mvt.layers(path)
         case _ => Seq.empty
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val rows = Seq(Row(path, fmt, fileCount,

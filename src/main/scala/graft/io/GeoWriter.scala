@@ -769,6 +769,59 @@ object GeoWriter {
    *  toLocalIterator (one small job per layer; driver memory stays
    *  row-bounded) — an export/interchange utility, not a bulk path: for
    *  bulk output use the per-partition `geopackage` writer. */
+  /** Write one Mapbox Vector Tile (spec 2.1) containing `df` as a single
+    * layer. A tile is a bounded artifact by construction, so this is a
+    * driver-assembled export like [[geopackageLayers]], with the same hard
+    * row bound. Geometries are taken in EPSG:3857 when `tile` (z, x, y) is
+    * given — they are snapped onto the tile's integer grid — otherwise they
+    * must already be tile-local integers (0..extent, y down). Attribute
+    * columns become string-valued layer properties. */
+  def mvt(df: DataFrame, geomCol: String, path: String, layerName: String = "layer",
+          extent: Int = 4096, tile: Option[(Int, Int, Int)] = None): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filterNot(_ == geomIdx)
+    val attrNames = attrIdx.map(schema.fields(_).name)
+    val maxRows = 5000000L
+    val total = df.count()
+    require(total <= maxRows,
+      s"mvt: $total rows exceed the single-tile export bound ($maxRows); a vector tile " +
+      "holds one tile's worth of data — filter to the tile extent first")
+    val world = 2 * math.Pi * 6378137.0
+    val toLocal: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
+      tile match {
+        case Some((z, x, y)) =>
+          val t = world / (1 << z)
+          val x0 = -world / 2 + x * t
+          val y0 = world / 2 - y * t
+          g => {
+            val out = g.copy()
+            out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+              override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+                c.x = (c.x - x0) / t * extent
+                c.y = (y0 - c.y) / t * extent
+              }
+            })
+            out.geometryChanged()
+            out
+          }
+        case None => identity
+      }
+    val feats = df.toLocalIterator().asScala.zipWithIndex.flatMap { case (r, i) =>
+      r.get(geomIdx) match {
+        case b: Array[Byte] =>
+          val props = attrIdx.zip(attrNames).collect {
+            case (ai, n) if !r.isNullAt(ai) => n -> String.valueOf(r.get(ai))
+          }
+          Some((i + 1L, toLocal(graft.geom.Geo.read(b)), props.toSeq))
+        case _ => None
+      }
+    }.toSeq
+    val bytes = Mvt.writeTile(layerName, extent, feats)
+    val out = hadoopOpen(hconfOf(df))(path)
+    try out.write(bytes) finally out.close()
+  }
+
   def geopackageLayers(df: DataFrame, geomCol: String, layerCol: String, path: String): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)

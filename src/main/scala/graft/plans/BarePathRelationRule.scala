@@ -19,6 +19,7 @@ object BarePathRelationRule extends Rule[LogicalPlan] {
       l.endsWith(".geojsonl") || l.endsWith(".fgb") || l.endsWith(".gpkg") ||
       l.endsWith(".kml") || l.endsWith(".gpx") || l.endsWith(".gml") ||
       l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".dxf") ||
+      l.endsWith(".topojson") || l.endsWith(".esrijson") || l.endsWith(".mvt") ||
       l.endsWith(".osm.pbf")
   }
 
