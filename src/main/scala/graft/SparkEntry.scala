@@ -2323,6 +2323,11 @@ object SparkEntry {
       }.mkString(",")
       esri ++= "]}"
       java.nio.file.Files.write(java.nio.file.Paths.get(esriPath), esri.toString.getBytes("UTF-8"))
+      // GMT ASCII: one @D-carrying point segment per feature
+      val gmtPath = s"$base/pts.gmt"
+      val gmt = new StringBuilder("# @VGMT1.0 @GPOINT\n# @Nk\n# @Tinteger\n# FEATURE_DATA\n")
+      rows.foreach { case (k, x, y) => gmt ++= s">\n# @D$k\n$x $y\n" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(gmtPath), gmt.toString.getBytes("UTF-8"))
       // MVT: one raw-coordinate tile (integer coords, no z/x/y georeference)
       val mvtPath = s"$base/pts.mvt"
       val gf = new org.locationtech.jts.geom.GeometryFactory()
@@ -2343,6 +2348,7 @@ object SparkEntry {
         .union(read("topojson", topoPath))
         .union(read("esrijson", esriPath))
         .union(read("mvt", mvtPath))
+        .union(read("gmt", gmtPath))
         .groupBy("fmt")
         .agg(count("*").as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
         .orderBy("fmt")
@@ -3367,7 +3373,7 @@ object SparkEntry {
                    FROM customer WHERE c_custkey <= 2000)
       SELECT fmt, count(*) AS n, sum(x) AS sx, sum(y) AS sy
       FROM src CROSS JOIN (VALUES ('dxf'),('georss'),('kmz'),('mapinfo'),
-                                  ('topojson'),('esrijson'),('mvt')) t(fmt)
+                                  ('topojson'),('esrijson'),('mvt'),('gmt')) t(fmt)
       GROUP BY fmt ORDER BY fmt""",
 
     "q_extent_agg" -> """

@@ -494,6 +494,27 @@ object GeoFiles {
   /** trailing .gz is transparent for the text formats */
   private def degz(l: String): String = if (l.endsWith(".gz")) l.dropRight(3) else l
 
+  /** A bare `.json` can be GeoJSON, TopoJSON, or ESRIJSON — GDAL sniffs,
+    * and so do we: a bounded head read looking for the discriminating
+    * members (`"type": "Topology"` / ESRI's `geometryType`-or-`attributes`
+    * shape). GeoJSON remains the default on ambiguity. */
+  private def sniffJson(path: String): String = {
+    try {
+      val r = GeoFiles.textReader(path)
+      val head = try {
+        val buf = new Array[Char](8192)
+        val n = r.read(buf)
+        if (n <= 0) "" else new String(buf, 0, n)
+      } finally r.close()
+      val compact = head.replaceAll("\\s", "")
+      if (compact.contains("\"type\":\"Topology\"")) "topojson"
+      else if (compact.contains("\"geometryType\":\"esriGeometry") ||
+               (compact.contains("\"attributes\":") && !compact.contains("\"properties\":")))
+        "esrijson"
+      else "geojson"
+    } catch { case scala.util.control.NonFatal(_) => "geojson" }
+  }
+
   private def known(f: String): Boolean = {
     val l = degz(stripQuery(f).toLowerCase)
     l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
@@ -502,7 +523,8 @@ object GeoFiles {
       l.endsWith(".gpx") || l.endsWith(".gml") || l.endsWith(".csv") || l.endsWith(".xlsx") ||
       l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".atom") ||
       l.endsWith(".georss") || l.endsWith(".dxf") ||
-      l.endsWith(".topojson") || l.endsWith(".esrijson") || l.endsWith(".mvt")
+      l.endsWith(".topojson") || l.endsWith(".esrijson") || l.endsWith(".mvt") ||
+      l.endsWith(".gmt") || l.endsWith(".ods")
   }
 
   def formatOf(paths: Seq[String], forced: Option[String]): String = forced.map(_.toLowerCase).getOrElse {
@@ -512,7 +534,8 @@ object GeoFiles {
     else if (l.endsWith(".gpkg")) "geopackage"
     else if (l.endsWith(".osm.pbf")) "osmpbf"
     else if (l.endsWith(".ndjson") || l.endsWith(".geojsonl")) "geojsonl"
-    else if (l.endsWith(".geojson") || l.endsWith(".json")) "geojson"
+    else if (l.endsWith(".geojson")) "geojson"
+    else if (l.endsWith(".json")) sniffJson(paths.head)
     else if (l.endsWith(".kml")) "kml"
     else if (l.endsWith(".gpx")) "gpx"
     else if (l.endsWith(".gml")) "gml"
@@ -525,6 +548,8 @@ object GeoFiles {
     else if (l.endsWith(".topojson")) "topojson"
     else if (l.endsWith(".esrijson")) "esrijson"
     else if (l.endsWith(".mvt")) "mvt"
+    else if (l.endsWith(".gmt")) "gmt"
+    else if (l.endsWith(".ods")) "ods"
     else throw new IllegalArgumentException(s"cannot infer geo format from ${paths.head}")
   }
 
@@ -692,6 +717,13 @@ object GeoFiles {
     }.toIndexedSeq)
   }
 
+  def odsSchema(path: String): StructType = {
+    val hdr = Ods.rows(path).headOption.getOrElse(Array.empty[String])
+    StructType(hdr.zipWithIndex.map { case (h, i) =>
+      StructField(if (h == null || h.isEmpty) s"col$i" else h.trim, StringType)
+    }.toIndexedSeq)
+  }
+
   def mifSchema(path: String): StructType = {
     val m = MapInfoMif.meta(path)
     // attribute values surface as strings (same dynamic-schema stance as fgb)
@@ -713,13 +745,14 @@ object GeoFiles {
     format match {
       case "shapefile" => shapefileSchema(paths.head)
       case "geojson" | "geojsonl" => geojsonSchemaFor(format, paths)
-      case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" | "topojson" | "esrijson" | "mvt" => geojsonSchema
+      case "kml" | "gpx" | "gml" | "kmz" | "georss" | "dxf" | "topojson" | "esrijson" | "mvt" | "gmt" => geojsonSchema
       case "mapinfo" => mifSchema(paths.head)
       case "osmpbf" => osmSchema
       case "flatgeobuf" => flatgeobufSchema(paths.head)
       case "geopackage" => geopackageSchema(paths.head, layer)
       case "csvwkt" => csvSchema(paths.head, opts)
       case "xlsx" => xlsxSchema(paths.head)
+      case "ods" => odsSchema(paths.head)
       case other => throw new IllegalArgumentException(s"unknown geo format $other")
     }
   }
@@ -1100,6 +1133,10 @@ class GeoReaderFactory(fullSchema0: StructType, required0: StructType, format: S
         GeoRows.csvRows(p, fullSchema, required, opts)
       case ("xlsx", FilePartition(p)) =>
         GeoRows.xlsxRows(p, fullSchema, required)
+      case ("ods", FilePartition(p)) =>
+        GeoRows.odsRows(p, fullSchema, required)
+      case ("gmt", FilePartition(p)) =>
+        Gmt.features(p).map(GeoRows.featureRow(_, required))
       case other => throw new IllegalArgumentException(s"bad partition $other")
     }
     val rows0b: Iterator[InternalRow] =
@@ -1247,6 +1284,19 @@ object GeoRows {
   def xlsxRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
     val idx = fullSchema.fieldNames.zipWithIndex.toMap
     Xlsx.rows(path).iterator.drop(1).map { cells =>
+      val vals = required.fields.map { field =>
+        (idx.get(field.name) match {
+          case Some(i) if i < cells.length && cells(i) != null => utf(cells(i))
+          case _ => null
+        }): Any
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    }
+  }
+
+  def odsRows(path: String, fullSchema: StructType, required: StructType): Iterator[InternalRow] = {
+    val idx = fullSchema.fieldNames.zipWithIndex.toMap
+    Ods.rows(path).iterator.drop(1).map { cells =>
       val vals = required.fields.map { field =>
         (idx.get(field.name) match {
           case Some(i) if i < cells.length && cells(i) != null => utf(cells(i))

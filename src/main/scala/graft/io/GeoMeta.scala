@@ -34,6 +34,9 @@ object GeoMeta {
       Row("topojson", "TopoJSON 1.0 topologies (shared delta-encoded arc table; objects as layers)", true, false),
       Row("esrijson", "ESRIJSON / ArcGIS REST FeatureSet (point/multipoint/polyline/polygon ring conventions)", true, false),
       Row("mvt", "Mapbox Vector Tiles 2.1 (protobuf command streams; z/x/y paths georeference to EPSG:3857; single-tile writer)", true, true),
+      Row("gmt", "GMT ASCII vectors (@G/@N/@T headers, @D attribute rows, @P/@H polygon ring markers; reader + writer)", true, true),
+      Row("ods", "OpenDocument spreadsheet (attribute tables; pure-JVM zip+StAX; reader + writer)", true, true),
+      Row("pgdump", "PostgreSQL SQL dump (CREATE TABLE + COPY FROM STDIN with hex-WKB geometry; write-only, like GDAL)", false, true),
       Row("geoparquet", "Parquet + WKB geometry + bbox stats + GeoParquet 1.1 metadata (clustered writer)", true, true))
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("short_name", StringType),

@@ -655,6 +655,128 @@ object GeoWriter {
     }
   }
 
+  /** Write `df` (attribute table, no geometry column expected — stringify
+    * geometries upstream) as single-sheet ODS spreadsheets, mirroring the
+    * [[xlsx]] sink. */
+  def ods(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val hc = hconfOf(df)
+    val schema = df.schema
+    val target = if (singleFile) df.coalesce(1) else { mkdirs(hc, path); df }
+    target.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || singleFile) {
+        val dest = if (singleFile) path else f"$path/part-$pid%05d.ods"
+        val out = hadoopOpen(hc)(dest)
+        try Ods.write(out, "Sheet1",
+          Iterator.single(schema.fieldNames.toSeq) ++
+            it.map(r => schema.fields.indices.map(i =>
+              if (r.isNullAt(i)) null else String.valueOf(r.get(i)))))
+        finally out.close()
+      }
+      ()
+    }
+  }
+
+  /** Write `df` as GMT ASCII vector files (OGR GMT driver semantics:
+    * `# @VGMT1.0 @G<TYPE>` header, `# @N`/`# @T` field declarations,
+    * `# @D` per-feature values, `# @P`/`# @H` polygon ring markers). The
+    * geometry type is taken from the first row. */
+  def gmt(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrIdx = schema.fields.indices.filterNot(_ == geomIdx)
+    val names = attrIdx.map(schema.fields(_).name)
+    val types = attrIdx.map(i => schema.fields(i).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => "integer"
+      case _: org.apache.spark.sql.types.NumericType => "double"
+      case _ => "string"
+    })
+    writeTextFiles(df, path, "gmt", singleFile) { (it0, out) =>
+      val it = it0.buffered
+      val gtype = if (it.hasNext) it.head.get(geomIdx) match {
+        case b: Array[Byte] => graft.geom.Geo.read(b).getGeometryType.toUpperCase
+        case _ => "POINT"
+      } else "POINT"
+      Gmt.render(gtype, names, types,
+        it.flatMap { r =>
+          r.get(geomIdx) match {
+            case b: Array[Byte] =>
+              Some((graft.geom.Geo.read(b),
+                attrIdx.map(i => if (r.isNullAt(i)) null else String.valueOf(r.get(i)))))
+            case _ => None
+          }
+        }, out)
+    }
+  }
+
+  /** Write `df` as a PostgreSQL SQL dump (the reference's PGDUMP driver:
+    * a psql-runnable script — CREATE TABLE + COPY FROM STDIN with
+    * hex-WKB geometry, which PostGIS's geometry input accepts directly).
+    * COPY text-format escaping per the PostgreSQL documentation:
+    * backslash, tab, newline escaped; NULL spelled `\N`. */
+  def pgdump(df: DataFrame, geomCol: String, path: String,
+             table: String = "graft_export", singleFile: Boolean = true): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"pgdump: table name '$table' must be a plain SQL identifier")
+    def sqlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.FloatType => "REAL"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE PRECISION"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case _: org.apache.spark.sql.types.DecimalType => "NUMERIC"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case org.apache.spark.sql.types.DateType => "DATE"
+      case org.apache.spark.sql.types.BinaryType => "BYTEA"
+      case _ => "TEXT"
+    }
+    val cols = schema.fields.map { f0 =>
+      if (f0.name == geomCol) s""""${f0.name}" GEOMETRY""" else s""""${f0.name}" ${sqlType(f0.dataType)}"""
+    }
+    def copyEsc(s: String): String = {
+      val sb = new java.lang.StringBuilder
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    val hexDigits = "0123456789ABCDEF"
+    def hex(b: Array[Byte]): String = {
+      val out = new Array[Char](b.length * 2)
+      var i = 0
+      while (i < b.length) {
+        out(2 * i) = hexDigits((b(i) >> 4) & 0xF)
+        out(2 * i + 1) = hexDigits(b(i) & 0xF)
+        i += 1
+      }
+      new String(out)
+    }
+    writeTextFiles(df, path, "sql", singleFile) { (it, out) =>
+      out.println("SET standard_conforming_strings = ON;")
+      out.println("BEGIN;")
+      out.println(s"""CREATE TABLE "$table" (${cols.mkString(", ")});""")
+      out.println(s"""COPY "$table" (${schema.fieldNames.map(n => s""""$n"""").mkString(", ")}) FROM STDIN;""")
+      it.foreach { r =>
+        val vals = schema.fields.indices.map { i =>
+          if (r.isNullAt(i)) "\\N"
+          else r.get(i) match {
+            case b: Array[Byte] => hex(b)
+            case v => copyEsc(String.valueOf(v))
+          }
+        }
+        out.println(vals.mkString("\t"))
+      }
+      out.println("\\.")
+      out.println("COMMIT;")
+    }
+  }
+
   /** Write `df` as shapefiles: a directory of per-partition part-N.shp/.shx/
    *  .dbf/.cpg (default), or one `<path>`-rooted shapefile when
    *  `singleFile = true` (path may end in .shp). Geometry column must be WKB

@@ -20,7 +20,7 @@ object BarePathRelationRule extends Rule[LogicalPlan] {
       l.endsWith(".kml") || l.endsWith(".gpx") || l.endsWith(".gml") ||
       l.endsWith(".kmz") || l.endsWith(".mif") || l.endsWith(".rss") || l.endsWith(".dxf") ||
       l.endsWith(".topojson") || l.endsWith(".esrijson") || l.endsWith(".mvt") ||
-      l.endsWith(".osm.pbf")
+      l.endsWith(".gmt") || l.endsWith(".osm.pbf")
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {

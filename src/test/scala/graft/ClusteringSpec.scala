@@ -200,12 +200,12 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("meta helpers: drivers, read_meta") {
-    assert(GeoMeta.drivers(spark).count() == 19)
+    assert(GeoMeta.drivers(spark).count() == 22)
     val meta = GeoMeta.readMeta(spark, s"$dir/out_gj").collect()(0)
     assert(meta.getString(1) == "geojsonl" && meta.getInt(2) >= 1)
     // both are also SQL table functions, like the reference's surface
     Graft.register(spark)
-    assert(spark.sql("SELECT count(*) FROM st_drivers()").collect()(0).getLong(0) == 19L)
+    assert(spark.sql("SELECT count(*) FROM st_drivers()").collect()(0).getLong(0) == 22L)
     assert(spark.sql(s"SELECT driver FROM st_read_meta('$dir/out_gj')")
       .collect()(0).getString(0) == "geojsonl")
     // geojson-family CRS is spec-fixed CRS84, reported in the detail struct
