@@ -96,4 +96,57 @@ class FormatRoundTripPropSpec extends AnyFunSuite {
         s"case $i: wrote ${want.toText.take(120)} got ${back(i).toText.take(120)}")
     }
   }
+
+  test("gmt writer/reader round-trip per geometry family bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gmt_prop").toString
+    // GMT declares ONE @G type per file — round-trip each family separately
+    val families: Seq[(String, Seq[Geometry])] = Seq(
+      ("pt", cases(point, 40, 11)), ("ln", cases(line, 40, 12)),
+      ("pg", cases(polygon, 30, 13)), ("ml", cases(multiLine, 25, 14)),
+      ("mp", cases(multiPoint, 25, 15)))
+    families.foreach { case (tag, geoms) =>
+      roundTrip(geoms,
+        (df, out) => graft.io.GeoWriter.gmt(df, "geom", out, singleFile = true),
+        out => graft.io.Gmt.features(out)
+          .map(ft => ft.properties("i").toInt -> ft.geom).toSeq,
+        s"$dir/$tag.gmt")
+    }
+  }
+
+  test("mvt writer/reader round-trip integer geometries (normalized rings)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvt_prop").toString
+    // the MVT grid is integral: integer ordinates round-trip exactly; ring
+    // orientation is normalized by the spec's winding rule, so polygons
+    // compare after norm()
+    val iord: Gen[Double] = Gen.chooseNum(-2000, 2000).map(_.toDouble)
+    val icoord: Gen[Coordinate] = for { x <- iord; y <- iord } yield new Coordinate(x, y)
+    val ipoint = icoord.map(f.createPoint)
+    val iline = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, icoord))
+      .map(cs => f.createLineString(cs.toArray))
+    val ipoly = Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, icoord)).map { cs =>
+      f.createMultiPoint(cs.map(f.createPoint).toArray).convexHull() match {
+        case p: Polygon => p
+        case _ => f.createPolygon(Array(
+          new Coordinate(0, 0), new Coordinate(10, 0), new Coordinate(10, 10), new Coordinate(0, 0)))
+      }
+    }
+    val geoms: Seq[Geometry] =
+      cases(ipoint, 40, 21) ++ cases(iline, 40, 22) ++ cases(ipoly, 30, 23)
+    val p = s"$dir/t.mvt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      graft.io.Mvt.writeTile("g", 4096, geoms.zipWithIndex.map { case (g, i) =>
+        ((i + 1).toLong, g, Seq("i" -> i.toString))
+      }))
+    val back = graft.io.Mvt.features(p, None)
+      .map(ft => ft.properties("i").toInt -> ft.geom).toMap
+    assert(back.size == geoms.length)
+    geoms.zipWithIndex.foreach { case (want, i) =>
+      val got = back(i)
+      val ok = want match {
+        case _: Polygon => got.norm().equalsExact(want.norm())
+        case _ => got.equalsExact(want)
+      }
+      assert(ok, s"case $i: wrote ${want.toText.take(120)} got ${got.toText.take(120)}")
+    }
+  }
 }

@@ -133,6 +133,29 @@ class MvtSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(0) - w / 4) < 1.0 && math.abs(r2.getDouble(1) - -w / 4) < 1.0)
   }
 
+  test("a z/x/y pyramid directory reads as one georeferenced dataset") {
+    // two sibling tiles at z=1: each contributes its own georeferenced
+    // feature; the whole tree reads in a single load (one task per tile)
+    def tileBytes(localX: Long, localY: Long): Array[Byte] = {
+      def zzE(v: Long) = (v << 1) ^ (v >> 63)
+      val layer = varField(15, 2) ++ lenField(1, "t".getBytes("UTF-8")) ++
+        lenField(2, feature(1, Seq(9L, zzE(localX), zzE(localY)))) ++ varField(5, 4096)
+      lenField(3, layer)
+    }
+    Files.createDirectories(Paths.get(s"$dir/pyr/1/0"))
+    Files.createDirectories(Paths.get(s"$dir/pyr/1/1"))
+    Files.write(Paths.get(s"$dir/pyr/1/0/0.mvt"), tileBytes(2048, 2048))
+    Files.write(Paths.get(s"$dir/pyr/1/1/1.mvt"), tileBytes(2048, 2048))
+    val pts = spark.read.format("geo")
+      .load(s"$dir/pyr/1/0/0.mvt", s"$dir/pyr/1/1/1.mvt")
+      .selectExpr("st_x(geom) AS x", "st_y(geom) AS y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val w = 2 * math.Pi * 6378137.0
+    // tile (1,0,0) centre = NW quadrant centre; tile (1,1,1) = SE quadrant
+    assert(pts.exists(p => math.abs(p._1 - -w / 4) < 1e-6 && math.abs(p._2 - w / 4) < 1e-6))
+    assert(pts.exists(p => math.abs(p._1 - w / 4) < 1e-6 && math.abs(p._2 - -w / 4) < 1e-6))
+  }
+
   test("gzipped tiles and layer selection") {
     val layerA = varField(15, 2) ++ lenField(1, "roads".getBytes("UTF-8")) ++
       lenField(2, feature(1, Seq(9L, 2L, 2L))) ++ varField(5, 4096)
