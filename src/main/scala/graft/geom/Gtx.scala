@@ -65,8 +65,10 @@ object Gtx {
     val lat0 = b.getDouble(0); val lon0 = b.getDouble(8)
     val dLat = b.getDouble(16); val dLon = b.getDouble(24)
     val rows = b.getInt(32); val cols = b.getInt(36)
+    // the northernmost ROW sits at lat0 + dLat*(rows-1): a pole-to-pole
+    // grid (EGM96-style, lat0=-90, 721 rows at 0.25 deg) ends exactly at 90
     if (rows < 2 || cols < 2 || rows.toLong * cols > 500000000L ||
-        dLat <= 0 || dLon <= 0 || lat0 < -90.01 || lat0 + dLat * rows > 90.01)
+        dLat <= 0 || dLon <= 0 || lat0 < -90.01 || lat0 + dLat * (rows - 1) > 90.01)
       throw new IllegalArgumentException(
         s"ST_Transform: '$source' has an implausible GTX header " +
           s"(lat0=$lat0 lon0=$lon0 dLat=$dLat dLon=$dLon rows=$rows cols=$cols)")

@@ -14,17 +14,8 @@ object EsriJson {
 
   private val f = new GeometryFactory()
 
-  def features(path: String): Iterator[GeoJsonFile.Feature] = {
-    val r = GeoFiles.textReader(path)
-    val text = try {
-      val sb = new java.lang.StringBuilder
-      val buf = new Array[Char](1 << 16)
-      var n = r.read(buf)
-      while (n >= 0) { sb.append(buf, 0, n); n = r.read(buf) }
-      sb.toString
-    } finally r.close()
-    fromString(text, path)
-  }
+  def features(path: String): Iterator[GeoJsonFile.Feature] =
+    fromString(GeoFiles.readAllText(path), path)
 
   def fromString(text: String, src: String): Iterator[GeoJsonFile.Feature] = {
     val doc = JsonMini.parse(text) match {
@@ -101,14 +92,21 @@ object EsriJson {
     // clockwise in screen convention = negative shoelace area
     val (outers0, holes) = rings.partition(signedArea(_) < 0)
     val outers = if (outers0.nonEmpty) outers0 else rings
-    val holeSet = if (outers0.nonEmpty) holes else Vector.empty
-    val polys = outers.map { o =>
-      val shell = f.createPolygon(o)
-      val mine = holeSet.filter { h =>
-        shell.contains(f.createPoint(h.getCoordinateN(0))) ||
-          shell.getBoundary.distance(f.createPoint(h.getCoordinateN(0))) == 0.0
+    val holeSet = if (outers0.nonEmpty) holes else Vector.empty[LinearRing]
+    // each hole belongs to the SMALLEST outer ring containing it — an
+    // island-in-lake-in-state nesting must not attach the innermost hole
+    // to every enclosing shell
+    val shells = outers.map(o => (o, f.createPolygon(o)))
+    val assigned: Map[Int, Vector[LinearRing]] = holeSet.flatMap { h =>
+      val pt = f.createPoint(h.getCoordinateN(0))
+      val containing = shells.zipWithIndex.filter { case ((_, shell), _) =>
+        shell.contains(pt) || shell.getBoundary.distance(pt) == 0.0
       }
-      f.createPolygon(o, mine.toArray)
+      if (containing.isEmpty) None
+      else Some(containing.minBy(_._1._2.getArea)._2 -> h)
+    }.groupBy(_._1).map { case (i, hs) => i -> hs.map(_._2) }
+    val polys = outers.zipWithIndex.map { case (o, i) =>
+      f.createPolygon(o, assigned.getOrElse(i, Vector.empty).toArray)
     }
     if (polys.length == 1) polys.head else f.createMultiPolygon(polys.toArray[Polygon])
   }

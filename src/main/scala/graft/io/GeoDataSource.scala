@@ -608,6 +608,19 @@ object GeoFiles {
     new java.io.BufferedReader(new java.io.InputStreamReader(in, charset), 1 << 16)
   }
 
+  /** whole-document text read for the single-shared-structure formats
+    * (TopoJSON topologies, ESRIJSON feature sets) */
+  def readAllText(path: String): String = {
+    val r = textReader(path)
+    try {
+      val sb = new java.lang.StringBuilder
+      val buf = new Array[Char](1 << 16)
+      var n = r.read(buf)
+      while (n >= 0) { sb.append(buf, 0, n); n = r.read(buf) }
+      sb.toString
+    } finally r.close()
+  }
+
   val geojsonSchema: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("geom", BinaryType),

@@ -766,7 +766,11 @@ object GeoWriter {
         val vals = schema.fields.indices.map { i =>
           if (r.isNullAt(i)) "\\N"
           else r.get(i) match {
-            case b: Array[Byte] => hex(b)
+            // PostGIS GEOMETRY input accepts bare hex WKB; a plain BYTEA
+            // column needs PostgreSQL's \x hex form (backslash doubled in
+            // COPY text format)
+            case b: Array[Byte] if i == geomIdx => hex(b)
+            case b: Array[Byte] => "\\\\x" + hex(b)
             case v => copyEsc(String.valueOf(v))
           }
         }
@@ -905,10 +909,6 @@ object GeoWriter {
     val attrIdx = schema.fields.indices.filterNot(_ == geomIdx)
     val attrNames = attrIdx.map(schema.fields(_).name)
     val maxRows = 5000000L
-    val total = df.count()
-    require(total <= maxRows,
-      s"mvt: $total rows exceed the single-tile export bound ($maxRows); a vector tile " +
-      "holds one tile's worth of data — filter to the tile extent first")
     val world = 2 * math.Pi * 6378137.0
     val toLocal: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
       tile match {
@@ -929,7 +929,14 @@ object GeoWriter {
           }
         case None => identity
       }
-    val feats = df.toLocalIterator().asScala.zipWithIndex.flatMap { case (r, i) =>
+    // single pass: the row bound is enforced while draining the iterator
+    // (no extra count() job over the upstream query)
+    val feats = df.toLocalIterator().asScala.zipWithIndex.map { case (r, i) =>
+      require(i < maxRows,
+        s"mvt: more than $maxRows rows in a single-tile export; a vector tile " +
+        "holds one tile's worth of data — filter to the tile extent first")
+      (r, i)
+    }.flatMap { case (r, i) =>
       r.get(geomIdx) match {
         case b: Array[Byte] =>
           val props = attrIdx.zip(attrNames).collect {

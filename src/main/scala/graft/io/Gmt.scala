@@ -84,15 +84,25 @@ object Gmt {
         names.zip(vals.result()).toMap
     }
 
-    // group segments into features: a segment with @D opens a new feature;
-    // markerless/marked segments without @D continue the previous one
+    // group segments into features: a segment with @D always opens a new
+    // feature (the writer emits an empty "# @D" as delimiter even for
+    // attribute-less frames). Without @D, single-part types start a new
+    // feature at every non-@H segment — an attribute-less LINESTRING file
+    // is one feature per segment, and @P/@H still assemble holes — while
+    // MULTI* types accumulate segments into the open feature.
+    val multiType = gtype == "MULTILINESTRING" || gtype == "MULTIPOLYGON" ||
+      gtype == "MULTIPOINT"
     val groups = Vector.newBuilder[Vector[Seg]]
     var cur = Vector.newBuilder[Seg]
     var any = false
     segs.result().foreach { s =>
       if (s.coords.isEmpty && s.d.isEmpty) () // empty separator segment
-      else if (s.d.isDefined && any) { groups += cur.result(); cur = Vector.newBuilder; cur += s }
-      else { cur += s; any = true }
+      else {
+        val opensFeature = any &&
+          (s.d.isDefined || (!multiType && !s.marker.contains('H')))
+        if (opensFeature) { groups += cur.result(); cur = Vector.newBuilder }
+        cur += s; any = true
+      }
     }
     if (any) groups += cur.result()
 
@@ -152,8 +162,9 @@ object Gmt {
     def fmtV(v: String, t: String): String =
       if (v == null) "" else if (t == "string") "\"" + v.replace("\"", "\"\"") + "\"" else v
     feats.foreach { case (g, vals) =>
-      val d = if (names.isEmpty) None
-              else Some("# @D" + vals.zip(types).map { case (v, t) => fmtV(v, t) }.mkString("|"))
+      // always emitted — an empty "# @D" delimits features in
+      // attribute-less MULTI* files (the reader keys feature starts on it)
+      val d = Some("# @D" + vals.zip(types).map { case (v, t) => fmtV(v, t) }.mkString("|"))
       def seg(marker: Option[Char], cs: Array[Coordinate], withD: Boolean): Unit = {
         out.println(">")
         if (withD) d.foreach(out.println)

@@ -178,6 +178,8 @@ object Mvt {
             c += 1
           }
         case 2 => // LineTo
+          if (cur == null) throw new IllegalArgumentException(
+            "MVT: LineTo before any MoveTo in geometry command stream")
           var c = 0
           while (c < count) {
             cx += zigzag(geom(i)); cy += zigzag(geom(i + 1)); i += 2
@@ -185,6 +187,8 @@ object Mvt {
             c += 1
           }
         case 7 => // ClosePath (rings only; no params)
+          if (cur == null) throw new IllegalArgumentException(
+            "MVT: ClosePath before any MoveTo in geometry command stream")
           out += ((cur.toArray, true))
           cur = null
         case other => throw new IllegalArgumentException(s"MVT: unknown geometry command $other")
@@ -244,9 +248,17 @@ object Mvt {
 
   private val TileXyzRe = ".*?(\\d+)/(\\d+)/(\\d+)\\.(mvt|pbf)(\\.gz)?$".r
 
-  /** z/x/y from a conventional tile path, if present */
+  /** z/x/y from a conventional tile path, if present — with the tile-scheme
+    * sanity bounds (z <= 30, x/y inside the 2^z grid) so date-like paths
+    * ("2024/07/15.mvt") stay tile-local instead of silently rescaling */
   def tileAddress(path: String): Option[(Int, Int, Int)] = path match {
-    case TileXyzRe(z, x, y, _, _) => Some((z.toInt, x.toInt, y.toInt))
+    case TileXyzRe(zs, xs, ys, _, _) =>
+      try {
+        val z = zs.toInt; val x = xs.toInt; val y = ys.toInt
+        if (z >= 0 && z <= 30 && x >= 0 && y >= 0 && x < (1 << z) && y < (1 << z))
+          Some((z, x, y))
+        else None
+      } catch { case _: NumberFormatException => None }
     case _ => None
   }
 

@@ -38,6 +38,7 @@ object Ods {
           var tableSeen = false
           var inFirstTable = false
           var row: scala.collection.mutable.ArrayBuffer[String] = null
+          var rowRepeat = 1
           var cellRepeat = 1
           var cellValue: String = null
           var inCell = false
@@ -49,6 +50,13 @@ object Ods {
                 else { tableSeen = true; inFirstTable = true }
               case "table-row" if inFirstTable =>
                 row = scala.collection.mutable.ArrayBuffer.empty[String]
+                rowRepeat = 1
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "number-rows-repeated")
+                    rowRepeat = r.getAttributeValue(i).toInt
+                  i += 1
+                }
               case "table-cell" if inFirstTable && row != null =>
                 inCell = true; text.setLength(0); cellValue = null; cellRepeat = 1
                 var i = 0
@@ -62,6 +70,17 @@ object Ods {
                   }
                   i += 1
                 }
+              case "covered-table-cell" if inFirstTable && row != null =>
+                // merged-cell placeholders still occupy columns
+                var rep = 1
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "number-columns-repeated")
+                    rep = r.getAttributeValue(i).toInt
+                  i += 1
+                }
+                var k = 0
+                while (k < math.min(rep, 16384)) { row += null; k += 1 }
               case _ =>
             }
             case XMLStreamConstants.CHARACTERS if inCell => text.append(r.getText)
@@ -78,10 +97,16 @@ object Ods {
                 var k = 0
                 while (k < rep) { row += v0; k += 1 }
               case "table-row" if row != null =>
-                // trim trailing nulls; keep non-empty rows
+                // trim trailing nulls; keep non-empty rows, honoring
+                // number-rows-repeated run-length encoding (bounded —
+                // LibreOffice pads sheets with a million-row empty run)
                 var end = row.length
                 while (end > 0 && row(end - 1) == null) end -= 1
-                if (end > 0) out += row.take(end).toArray
+                if (end > 0) {
+                  val cells = row.take(end).toArray
+                  var k = 0
+                  while (k < math.min(rowRepeat, 65536)) { out += cells; k += 1 }
+                }
                 row = null
               case "table" if inFirstTable => inFirstTable = false
               case _ =>

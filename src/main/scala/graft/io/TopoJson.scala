@@ -15,31 +15,12 @@ object TopoJson {
 
   private val f = new GeometryFactory()
 
-  def features(path: String, layer: Option[String]): Iterator[GeoJsonFile.Feature] = {
-    val text = {
-      val r = GeoFiles.textReader(path)
-      try {
-        val sb = new java.lang.StringBuilder
-        val buf = new Array[Char](1 << 16)
-        var n = r.read(buf)
-        while (n >= 0) { sb.append(buf, 0, n); n = r.read(buf) }
-        sb.toString
-      } finally r.close()
-    }
-    fromString(text, layer, path)
-  }
+  def features(path: String, layer: Option[String]): Iterator[GeoJsonFile.Feature] =
+    fromString(GeoFiles.readAllText(path), layer, path)
 
-  def layers(path: String): Seq[String] = {
-    val r = GeoFiles.textReader(path)
-    val text = try {
-      val sb = new java.lang.StringBuilder
-      val buf = new Array[Char](1 << 16)
-      var n = r.read(buf)
-      while (n >= 0) { sb.append(buf, 0, n); n = r.read(buf) }
-      sb.toString
-    } finally r.close()
-    root(text, path)("objects").asInstanceOf[Map[String, Any]].keys.toSeq.sorted
-  }
+  def layers(path: String): Seq[String] =
+    root(GeoFiles.readAllText(path), path)("objects")
+      .asInstanceOf[Map[String, Any]].keys.toSeq.sorted
 
   private def root(text: String, src: String): Map[String, Any] = {
     val doc = JsonMini.parse(text) match {

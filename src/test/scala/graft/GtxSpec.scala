@@ -113,6 +113,16 @@ class GtxSpec extends AnyFunSuite {
     assert(r == "POINT (-109.5 31)", r)
   }
 
+  test("pole-to-pole global grids parse (northernmost row exactly at 90)") {
+    // EGM96-style coverage: lat0=-90, 181 one-degree rows end at +90
+    val bb = java.nio.ByteBuffer.allocate(40 + 4 * 181 * 4).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putDouble(-90.0).putDouble(0.0).putDouble(1.0).putDouble(90.0)
+    bb.putInt(181).putInt(4)
+    for (_ <- 0 until 181 * 4) bb.putFloat(10.0f)
+    val g = Gtx.parse(bb.array(), "global")
+    assert(g.rows == 181 && g.undulation(0.0, 90.0) == 10.0 && g.undulation(0.0, -90.0) == 10.0)
+  }
+
   test("geoidgrids spec grammar: optional-missing and null sentinel") {
     assert(Gtx.fromGeoidgridsSpec("@/nonexistent/x.gtx,null").isEmpty)
     assert(Gtx.fromGeoidgridsSpec(s"@/nonexistent/x.gtx,$gridPath").get.size == 1)

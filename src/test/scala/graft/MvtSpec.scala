@@ -133,6 +133,22 @@ class MvtSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(0) - w / 4) < 1.0 && math.abs(r2.getDouble(1) - -w / 4) < 1.0)
   }
 
+  test("malformed command streams and date-like paths fail safe") {
+    // LineTo before MoveTo: loud decoder error, not an NPE
+    val bad = varField(15, 2) ++ lenField(1, "b".getBytes("UTF-8")) ++
+      lenField(2, feature(2, Seq((1L << 3) | 2, 2L, 2L))) ++ varField(5, 4096)
+    val p = s"$dir/bad.mvt"
+    Files.write(Paths.get(p), lenField(3, bad))
+    val e = intercept[Exception](spark.read.format("geo").load(p).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("MVT")), msgs(e).mkString("; "))
+    // a date-organized path must NOT be mistaken for a z/x/y tile address
+    assert(Mvt.tileAddress("/exports/2024/07/15.mvt").isEmpty)
+    assert(Mvt.tileAddress("/tiles/1/0/1.mvt").contains((1, 0, 1)))
+    assert(Mvt.tileAddress("/tiles/1/2/0.mvt").isEmpty) // x outside 2^z
+  }
+
   test("a z/x/y pyramid directory reads as one georeferenced dataset") {
     // two sibling tiles at z=1: each contributes its own georeferenced
     // feature; the whole tree reads in a single load (one task per tile)

@@ -74,6 +74,28 @@ class TabularFormatsSpec extends AnyFunSuite {
     assert(lw == "LINESTRING (0 0, 1 1, 2 0)")
   }
 
+  test("gmt: attribute-less files keep one feature per segment") {
+    // no @N/@D anywhere: every '>' segment is its own linestring feature
+    val doc = "# @VGMT1.0 @GLINESTRING\n# FEATURE_DATA\n" +
+      ">\n0 0\n1 1\n>\n2 2\n3 3\n>\n4 4\n5 5\n"
+    val p = s"$dir/bare_lines.gmt"
+    Files.writeString(Paths.get(p), doc)
+    val wkts = spark.read.format("geo").load(p)
+      .selectExpr("st_astext(geom)").collect().map(_.getString(0)).toSet
+    assert(wkts == Set("LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)", "LINESTRING (4 4, 5 5)"))
+    // geometry-only frames round-trip through the writer's @D delimiters
+    import spark.implicits._
+    val df = Seq("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+                 "MULTILINESTRING ((5 5, 6 6), (7 7, 8 8, 9 9))")
+      .toDF("wkt").selectExpr("st_geomfromtext(wkt) AS geom")
+    val p2 = s"$dir/bare_multi.gmt"
+    graft.io.GeoWriter.gmt(df, "geom", p2, singleFile = true)
+    val back = spark.read.format("geo").load(p2)
+      .selectExpr("st_astext(geom)").collect().map(_.getString(0)).toSet
+    assert(back == Set("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+                       "MULTILINESTRING ((5 5, 6 6), (7 7, 8 8, 9 9))"))
+  }
+
   test("gmt: writer round-trips polygons with holes and attributes") {
     import spark.implicits._
     val df = Seq(
@@ -117,6 +139,25 @@ class TabularFormatsSpec extends AnyFunSuite {
     assert(rows(1).toSeq == Seq("42", "dup", "dup"))
   }
 
+  test("ods: number-rows-repeated and covered-table-cell keep alignment") {
+    val content =
+      """<?xml version="1.0"?><office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:spreadsheet><table:table table:name="S">""" +
+        // a run of 3 identical rows
+        """<table:table-row table:number-rows-repeated="3"><table:table-cell><text:p>x</text:p></table:table-cell></table:table-row>""" +
+        // merged cell: value, covered placeholder, then another value —
+        // the third value must stay in column 2
+        """<table:table-row><table:table-cell><text:p>m</text:p></table:table-cell><table:covered-table-cell/><table:table-cell><text:p>z</text:p></table:table-cell></table:table-row>""" +
+        """</table:table></office:spreadsheet></office:body></office:document-content>"""
+    val p = s"$dir/rle.ods"
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(p)))
+    zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    zos.write(content.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val rows = graft.io.Ods.rows(p)
+    assert(rows.length == 4)
+    assert(rows.take(3).forall(_.toSeq == Seq("x")))
+    assert(rows(3).toSeq == Seq("m", null, "z"))
+  }
+
   test("pgdump: exact COPY-format script for a known frame") {
     import spark.implicits._
     val df = Seq((1L, "tab\there", "POINT (1 2)"), (2L, null, "POINT (3 4)"))
@@ -138,5 +179,17 @@ class TabularFormatsSpec extends AnyFunSuite {
     // invalid table identifiers are rejected
     intercept[IllegalArgumentException](
       graft.io.GeoWriter.pgdump(df, "geom", s"$dir/x.sql", table = "bad\"name"))
+  }
+
+  test("pgdump: non-geometry binary columns use the bytea \\x hex form") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](0x0A, 0x1B), "POINT (0 0)")).toDF("blob", "wkt")
+      .selectExpr("blob", "st_geomfromtext(wkt) AS geom")
+    val p = s"$dir/bytea.sql"
+    graft.io.GeoWriter.pgdump(df.coalesce(1), "geom", p, table = "b")
+    val text = Files.readString(Paths.get(p))
+    assert(text.contains(""""blob" BYTEA"""))
+    // COPY text format: literal backslash doubled -> \\x0A1B in the file
+    assert(text.contains("\\\\x0A1B\t"), text.linesIterator.toSeq.mkString("|"))
   }
 }
