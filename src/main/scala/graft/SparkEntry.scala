@@ -392,6 +392,103 @@ object SparkEntry {
     // DE-9IM relate (PostGIS ST_Relate / ST_RelateMatch, beyond the
     // reference's boolean predicates): six axis-aligned rect-pair classes —
     // equal / contains / within / overlap / edge-touch / corner-touch — whose
+    // Topology construction (round 8, PostGIS surface beyond the reference):
+    // polygonize over a divided rectangle's linework (2 faces, exact areas),
+    // buildarea with a nested hole ring (even-odd nesting → area minus hole),
+    // unary union of two overlapping rects (inclusion-exclusion exact).
+    // Face ORDER from the polygonizer is not specified → least() over areas.
+    "q_polygonize" -> q("lineitem")(s"""
+      SELECT k,
+             st_ngeometries(pz) AS pz_n,
+             round(st_area(pz), 6) AS pz_area,
+             round(least(st_area(st_geometryn(pz, 1)), st_area(st_geometryn(pz, 2))), 6) AS pz_min,
+             round(st_area(ba), 6) AS ba_area,
+             st_numinteriorrings(ba) AS ba_holes,
+             round(st_area(uu), 6) AS uu_area,
+             st_ngeometries(uu) AS uu_n
+      FROM (SELECT k,
+                   st_polygonize(st_geomfromtext('MULTILINESTRING ((0 0, ' || p || ' 0), (0 ' || qq || ', ' || p || ' ' || qq || '), (0 0, 0 ' || qq || '), (' || p || ' 0, ' || p || ' ' || qq || '), (' || m || ' 0, ' || m || ' ' || qq || '))')) AS pz,
+                   st_buildarea(st_geomfromtext('MULTILINESTRING ((0 0, ' || p || ' 0, ' || p || ' ' || qq || ', 0 ' || qq || ', 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))')) AS ba,
+                   st_unaryunion(st_collect(array(
+                     st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE)),
+                     st_makeenvelope(cast(p - 1 AS DOUBLE), 0.0d, cast(p + 1 AS DOUBLE), 1.0d)))) AS uu
+            FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq,
+                         (l_suppkey % ((l_partkey % 20) + 3)) + 1 AS m
+                  FROM lineitem))
+      ORDER BY k"""),
+
+    // ST_Split / ST_SharedPaths / ST_OffsetCurve (round 8): line split at an
+    // interior point (pieces ordered along the line → exact lengths), polygon
+    // split by a vertical blade (face order unspecified → least of areas),
+    // shared paths same/opposite direction buckets (overlap length exact),
+    // offset of a straight segment (the exact parallel, WKT-verbatim).
+    "q_split_paths" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_length(st_geometryn(sp1, 1)), 6) AS sl1,
+             round(st_length(st_geometryn(sp1, 2)), 6) AS sl2,
+             st_ngeometries(sp2) AS sp2_n,
+             round(least(st_area(st_geometryn(sp2, 1)), st_area(st_geometryn(sp2, 2))), 6) AS sp2_min,
+             round(st_length(st_geometryn(sh_same, 1)), 6) AS shs,
+             round(st_length(st_geometryn(sh_same, 2)), 6) AS shs_opp,
+             round(st_length(st_geometryn(sh_opp, 2)), 6) AS sho,
+             st_astext(oc) AS oc_wkt
+      FROM (SELECT k,
+                   st_split(hline, st_point(cast(m AS DOUBLE), 0.0d)) AS sp1,
+                   st_split(st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE)),
+                            st_geomfromtext('LINESTRING (' || m || ' -1, ' || m || ' ' || (qq + 1) || ')')) AS sp2,
+                   st_sharedpaths(hline,
+                     st_geomfromtext('LINESTRING (' || m || ' 0, ' || (p + 2) || ' 0)')) AS sh_same,
+                   st_sharedpaths(hline,
+                     st_geomfromtext('LINESTRING (' || (p + 2) || ' 0, ' || m || ' 0)')) AS sh_opp,
+                   st_offsetcurve(hline, 2.0d) AS oc
+            FROM (SELECT k, p, qq, m,
+                         st_geomfromtext('LINESTRING (0 0, ' || p || ' 0)') AS hline
+                  FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq,
+                               (l_suppkey % ((l_partkey % 20) + 3)) + 1 AS m
+                        FROM lineitem)))
+      ORDER BY k"""),
+
+    // Shape measures (round 8): Hausdorff / Fréchet on parallel segments
+    // (= separation; reversed direction forces the Fréchet leash across the
+    // diagonal), minimum clearance of a rectangle (= short side), bounding
+    // diagonal (WKT-verbatim), geometric median of rectangle corners (= the
+    // center by symmetry), repeated line interpolation (exact fractions),
+    // constrained-Delaunay polygon triangulation (2 triangles, exact area),
+    // and collection clustering (intersecting chains A-B; the far C joins
+    // only within distance p).
+    "q_topo_measures" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_hausdorffdistance(la, lb), 6) AS hd,
+             round(st_frechetdistance(la, lb), 6) AS fd,
+             round(st_frechetdistance(la, lbr), 6) AS fdr,
+             round(st_minimumclearance(rect), 6) AS mc,
+             st_astext(st_boundingdiagonal(rect)) AS bd_wkt,
+             round(st_x(st_geometricmedian(corners)), 6) AS gm_x,
+             round(st_y(st_geometricmedian(corners)), 6) AS gm_y,
+             st_ngeometries(lip) AS lip_n,
+             round(st_x(st_geometryn(lip, 2)), 6) AS lip_x2,
+             st_ngeometries(tp) AS tp_n,
+             round(st_area(tp), 6) AS tp_area,
+             st_ngeometries(st_clusterintersecting(boxes)) AS ci_n,
+             st_ngeometries(st_clusterwithin(boxes, cast(p AS DOUBLE))) AS cw_n,
+             st_ngeometries(st_clusterwithin(boxes, cast(p AS DOUBLE) - 1.0d)) AS cw_n2
+      FROM (SELECT k, p, qq, la, lb, lbr, rect, corners,
+                   st_lineinterpolatepoints(la, 0.25d, true) AS lip,
+                   st_triangulatepolygon(rect) AS tp,
+                   st_collect(array(
+                     st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d),
+                     st_makeenvelope(2.0d, 0.0d, 4.0d, 2.0d),
+                     st_makeenvelope(cast(p + 4 AS DOUBLE), 0.0d, cast(p + 6 AS DOUBLE), 2.0d))) AS boxes
+            FROM (SELECT k, p, qq,
+                         st_geomfromtext('LINESTRING (0 0, ' || p || ' 0)') AS la,
+                         st_geomfromtext('LINESTRING (0 ' || qq || ', ' || p || ' ' || qq || ')') AS lb,
+                         st_geomfromtext('LINESTRING (' || p || ' ' || qq || ', 0 ' || qq || ')') AS lbr,
+                         st_makeenvelope(0.0d, 0.0d, cast(p AS DOUBLE), cast(qq AS DOUBLE)) AS rect,
+                         st_geomfromtext('MULTIPOINT (0 0, ' || p || ' 0, ' || p || ' ' || qq || ', 0 ' || qq || ')') AS corners
+                  FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+                        FROM lineitem)))
+      ORDER BY k"""),
+
     // intersection matrices are analytic constants; the pattern matcher is
     // exercised with an equality mask and an interior-intersection mask.
     "q_relate" -> q("lineitem")(s"""
@@ -2561,6 +2658,57 @@ object SparkEntry {
              round(p * qq + p * 0.5, 6) AS dt_area,
              round(p * qq / 2.0, 6) AS ch_area
       FROM base ORDER BY k""",
+
+    // polygonize / buildarea / unaryunion: face counts and inclusion-
+    // exclusion areas are exact arithmetic
+    "q_polygonize" -> s"""
+      SELECT k,
+             CAST(2 AS INT) AS pz_n,
+             round(CAST(p * qq AS DOUBLE), 6) AS pz_area,
+             round(CAST(least(m, p - m) * qq AS DOUBLE), 6) AS pz_min,
+             round(CAST(p * qq - 4 AS DOUBLE), 6) AS ba_area,
+             CAST(1 AS INT) AS ba_holes,
+             round(CAST(p * qq + 1 AS DOUBLE), 6) AS uu_area,
+             CAST(1 AS INT) AS uu_n
+      FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq,
+                   (l_suppkey % ((l_partkey % 20) + 3)) + 1 AS m
+            FROM lineitem)
+      ORDER BY k""",
+
+    "q_split_paths" -> s"""
+      SELECT k,
+             round(CAST(m AS DOUBLE), 6) AS sl1,
+             round(CAST(p - m AS DOUBLE), 6) AS sl2,
+             CAST(2 AS INT) AS sp2_n,
+             round(CAST(least(m, p - m) * qq AS DOUBLE), 6) AS sp2_min,
+             round(CAST(p - m AS DOUBLE), 6) AS shs,
+             round(0.0, 6) AS shs_opp,
+             round(CAST(p - m AS DOUBLE), 6) AS sho,
+             'LINESTRING (0 2, ' || p || ' 2)' AS oc_wkt
+      FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq,
+                   (l_suppkey % ((l_partkey % 20) + 3)) + 1 AS m
+            FROM lineitem)
+      ORDER BY k""",
+
+    "q_topo_measures" -> s"""
+      SELECT k,
+             round(CAST(qq AS DOUBLE), 6) AS hd,
+             round(CAST(qq AS DOUBLE), 6) AS fd,
+             round(sqrt(CAST(p * p + qq * qq AS DOUBLE)), 6) AS fdr,
+             round(CAST(least(p, qq) AS DOUBLE), 6) AS mc,
+             'LINESTRING (0 0, ' || p || ' ' || qq || ')' AS bd_wkt,
+             round(p / 2.0, 6) AS gm_x,
+             round(qq / 2.0, 6) AS gm_y,
+             CAST(4 AS INT) AS lip_n,
+             round(p / 2.0, 6) AS lip_x2,
+             CAST(2 AS INT) AS tp_n,
+             round(CAST(p * qq AS DOUBLE), 6) AS tp_area,
+             CAST(2 AS INT) AS ci_n,
+             CAST(1 AS INT) AS cw_n,
+             CAST(2 AS INT) AS cw_n2
+      FROM (SELECT $K AS k, (l_partkey % 20) + 4 AS p, (l_suppkey % 20) + 4 AS qq
+            FROM lineitem)
+      ORDER BY k""",
 
     "q_relate" -> s"""
       SELECT $K AS k, CAST(($K) % 6 AS INT) AS c,

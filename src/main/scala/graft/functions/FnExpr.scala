@@ -36,6 +36,7 @@ object FnRegistry {
       VecFns.load()
       LinearFns.load()
       CompGeomFns.load()
+      TopoFns.load()
       GeneratePoints.load()
       loaded = true
     }

@@ -1,0 +1,346 @@
+package graft.functions
+
+import graft.geom.{Geo, Wkb}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.algorithm.distance.{DiscreteFrechetDistance, DiscreteHausdorffDistance}
+import org.locationtech.jts.densify.Densifier
+import org.locationtech.jts.index.strtree.STRtree
+import org.locationtech.jts.linearref.{LengthIndexedLine, LocationIndexedLine}
+import org.locationtech.jts.operation.buffer.OffsetCurve
+import org.locationtech.jts.operation.polygonize.Polygonizer
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.precision.MinimumClearance
+import org.locationtech.jts.triangulate.polygon.ConstrainedDelaunayTriangulator
+
+/**
+ * Topology-construction and shape-measure long tail (PostGIS-standard surface
+ * beyond the reference's docs/functions.md): polygonize / build-area / unary
+ * union / split / shared paths / offset curve / polygon triangulation, the
+ * discrete Hausdorff and Fréchet distances, minimum clearance, geometric
+ * median, bounding diagonal, repeated line interpolation, and collection-level
+ * intersect/within clustering. All row-local kernels — no shuffle
+ * implications; the collection-level ones (st_polygonize,
+ * st_clusterintersecting/within) pair with st_collect_agg the way PostGIS's
+ * aggregate forms pair with its set-returning surface, and cost what the
+ * collected geometry costs, independent of corpus size.
+ */
+object TopoFns {
+
+  private val B = BinaryType
+  private val D = DoubleType
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  private def rg(a: Any): Geometry = a match {
+    case b: Array[Byte] => Geo.read(b)
+    case s: UTF8String => Geo.fromWkt(s.toString)
+    case other => throw new IllegalArgumentException(s"not a geometry: ${other.getClass}")
+  }
+  private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+  private def dbl(a: Any): Double = a.asInstanceOf[Double]
+  private val f: GeometryFactory = Geo.factory
+
+  /** Bounded content-keyed memo — the CompGeomFns/st_buffer pattern: the
+   *  topology kernels cost 10µs–1ms per call while a probe costs ~0.1µs, and
+   *  real corpora repeat geometries heavily. Cleared wholesale when full so
+   *  memory stays bounded. Op codes are local to this map. */
+  private final class TKey(val in: Array[Byte], val op: Int, val p: Double) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(in)
+      h = h * 31 + op
+      h * 31 + java.lang.Double.hashCode(p)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: TKey => k.op == op && k.p == p && java.util.Arrays.equals(k.in, in)
+      case _ => false
+    }
+  }
+  private val memoMax = 65536
+  private val memoMaxEntryBytes = 16384
+  private val tMemo = new java.util.concurrent.ConcurrentHashMap[TKey, AnyRef]()
+  private def memo(op: Int, raw: Any, p: Double)(compute: => AnyRef): AnyRef = {
+    val in = raw match {
+      case b: Array[Byte] if b.length <= memoMaxEntryBytes => b
+      case s: UTF8String if s.numBytes <= memoMaxEntryBytes => s.getBytes
+      case _ => null
+    }
+    if (in == null) return compute
+    val key = new TKey(in, op, p)
+    val hit = tMemo.get(key)
+    if (hit != null) return hit
+    val out = compute
+    val ok = out match {
+      case b: Array[Byte] => b.length <= memoMaxEntryBytes
+      case _: java.lang.Double => true
+      case _ => false
+    }
+    if (ok) {
+      if (tMemo.size >= memoMax) tMemo.clear()
+      tMemo.put(key, out)
+    }
+    out
+  }
+
+  /** Every LineString component of a geometry (polygon rings included). */
+  private def linework(g: Geometry): Seq[LineString] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    g.apply(new GeometryComponentFilter {
+      override def filter(c: Geometry): Unit = c match {
+        case l: LineString if !l.isEmpty => out += l
+        case _ =>
+      }
+    })
+    out.toSeq
+  }
+
+  private def members(g: Geometry): Seq[Geometry] =
+    (0 until g.getNumGeometries).map(g.getGeometryN)
+
+  /** Noded faces of a geometry's linework (polygonizer over the unary union,
+   *  which performs full noding — crossings become endpoints). */
+  private def faces(g: Geometry): Seq[Polygon] = {
+    val lines = linework(g)
+    if (lines.isEmpty) return Nil
+    val noded = UnaryUnionOp.union(java.util.Arrays.asList(lines: _*))
+    val pz = new Polygonizer()
+    pz.add(noded)
+    import scala.jdk.CollectionConverters._
+    pz.getPolygons.asScala.toSeq.asInstanceOf[Seq[Polygon]]
+  }
+
+  /** ST_Polygonize over a collected set of lines: the faces formed by fully
+   *  noded linework, as a GeometryCollection (PostGIS's aggregate form is
+   *  spelled st_polygonize(st_collect_agg(g))). */
+  def polygonize(g: Geometry): Geometry =
+    f.createGeometryCollection(faces(g).toArray)
+
+  /** ST_BuildArea: areal geometry from constituent linework — rings at odd
+   *  nesting depth become holes, even depth becomes land again
+   *  (PostGIS/GEOSBuildArea even-odd semantics). The polygonizer already
+   *  assigns immediate holes to each face, so depth is counted against the
+   *  other faces' SHELLS (a face one level down lies in its parent's hole,
+   *  not its parent) and the result is simply the union of even-depth
+   *  faces. */
+  def buildArea(g: Geometry): Geometry = {
+    val fs = faces(g)
+    if (fs.isEmpty) return f.createGeometryCollection()
+    val shells = fs.map(p => f.createPolygon(p.getExteriorRing.getCoordinateSequence))
+    val pts = fs.map(_.getInteriorPoint)
+    val even = fs.indices.filter { i =>
+      fs.indices.count(j => j != i && shells(j).contains(pts(i))) % 2 == 0
+    }.map(fs(_))
+    UnaryUnionOp.union(java.util.Arrays.asList(even: _*))
+  }
+
+  /** ST_Split: line by point(s)/line(s), polygon by line(s). Returns a
+   *  GeometryCollection of pieces; a blade that misses yields the input as
+   *  the single piece (PostGIS semantics). */
+  def split(g: Geometry, blade: Geometry): Geometry = {
+    val pieces: Seq[Geometry] = (g.getDimension, blade.getDimension) match {
+      case (1, 0) =>
+        // split each line component at every blade point lying on it
+        linework(g).flatMap { line =>
+          val lil = new LengthIndexedLine(line)
+          val cuts = members(blade).collect {
+            case p: Point if p.distance(line) < 1e-9 => lil.indexOf(p.getCoordinate)
+          }.filter(ix => ix > 1e-12 && ix < line.getLength - 1e-12).distinct.sorted
+          if (cuts.isEmpty) Seq(line)
+          else {
+            val bounds = 0.0 +: cuts :+ line.getLength
+            bounds.sliding(2).map(b => lil.extractLine(b(0), b(1))).toSeq
+          }
+        }
+      case (1, 1) =>
+        // overlay noding splits at crossings; collinear shared parts are
+        // removed, the PostGIS/GEOS difference-based behavior
+        val d = g.difference(blade)
+        val comps = members(d).filter(!_.isEmpty)
+        if (comps.isEmpty) Seq(g) else comps
+      case (2, 1) =>
+        // faces of (boundary ∪ blade) that lie inside the input polygon
+        val lines = linework(g) ++ linework(blade)
+        val noded = UnaryUnionOp.union(java.util.Arrays.asList(lines: _*))
+        val pz = new Polygonizer()
+        pz.add(noded)
+        import scala.jdk.CollectionConverters._
+        val inside = pz.getPolygons.asScala.toSeq.asInstanceOf[Seq[Polygon]]
+          .filter(face => g.contains(face.getInteriorPoint))
+        if (inside.isEmpty) Seq(g) else inside
+      case (dg, db) =>
+        throw new IllegalArgumentException(
+          s"ST_Split supports line-by-point, line-by-line, polygon-by-line; got dim $dg by dim $db")
+    }
+    f.createGeometryCollection(pieces.toArray)
+  }
+
+  /** Tangent direction of a lineal geometry at (the segment containing) a
+   *  coordinate on it. */
+  private def tangentAt(g: Geometry, c: Coordinate): Coordinate = {
+    val lil = new LocationIndexedLine(g)
+    val loc = lil.indexOf(c)
+    val seg = loc.getSegment(g)
+    new Coordinate(seg.p1.x - seg.p0.x, seg.p1.y - seg.p0.y)
+  }
+
+  /** ST_SharedPaths: GEOMETRYCOLLECTION(MULTILINESTRING same-direction,
+   *  MULTILINESTRING opposite-direction) of the paths shared by two lineal
+   *  inputs, each piece oriented along the FIRST input (PostGIS/GEOS
+   *  semantics). Direction agreement is judged at a segment midpoint of each
+   *  shared piece — after overlay noding a piece's interior lies within one
+   *  segment of each input. */
+  def sharedPaths(g1: Geometry, g2: Geometry): Geometry = {
+    require(g1.getDimension == 1 && g2.getDimension == 1,
+      "ST_SharedPaths expects two lineal geometries")
+    val shared = members(g1.intersection(g2)).collect {
+      case l: LineString if !l.isEmpty => l
+    }
+    val same = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    val opp = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    shared.foreach { piece =>
+      val c0 = piece.getCoordinateN(0)
+      val c1 = piece.getCoordinateN(1)
+      val mid = new Coordinate((c0.x + c1.x) / 2, (c0.y + c1.y) / 2)
+      val seg = new Coordinate(c1.x - c0.x, c1.y - c0.y)
+      val t1 = tangentAt(g1, mid)
+      val t2 = tangentAt(g2, mid)
+      val d1 = seg.x * t1.x + seg.y * t1.y
+      val d2 = seg.x * t2.x + seg.y * t2.y
+      val alongG1 = if (d1 < 0) piece.reverse().asInstanceOf[LineString] else piece
+      if (d1 * d2 > 0) same += alongG1 else opp += alongG1
+    }
+    f.createGeometryCollection(Array(
+      f.createMultiLineString(same.toArray),
+      f.createMultiLineString(opp.toArray)))
+  }
+
+  /** ST_GeometricMedian over [Multi]Point: Weiszfeld iteration from the
+   *  centroid; an iterate that lands on an input point is returned directly
+   *  (it is a local fixed point and PostGIS stops there too). */
+  def geometricMedian(g: Geometry, tol: Double): Point = {
+    val pts = members(g).collect { case p: Point if !p.isEmpty => p.getCoordinate }
+    require(pts.nonEmpty, "ST_GeometricMedian expects a non-empty [Multi]Point")
+    var x = pts.map(_.x).sum / pts.length
+    var y = pts.map(_.y).sum / pts.length
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < 1000 && moved > tol) {
+      var sw = 0.0; var sx = 0.0; var sy = 0.0; var onPoint = false
+      pts.foreach { p =>
+        val d = math.hypot(p.x - x, p.y - y)
+        if (d < 1e-30) onPoint = true
+        else { val inv = 1.0 / d; sw += inv; sx += p.x * inv; sy += p.y * inv }
+      }
+      if (onPoint || sw == 0.0) { moved = 0.0 }
+      else {
+        val nx = sx / sw; val ny = sy / sw
+        moved = math.hypot(nx - x, ny - y)
+        x = nx; y = ny
+      }
+      it += 1
+    }
+    f.createPoint(new Coordinate(x, y))
+  }
+
+  /** ST_LineInterpolatePoints: points at fraction, 2·fraction, … ≤ 1 when
+   *  `repeat`, else the single st_lineinterpolatepoint (PostGIS). */
+  def lineInterpolatePoints(g: Geometry, frac: Double, repeat: Boolean): Geometry = {
+    require(frac > 0 && frac <= 1, s"fraction must be in (0, 1], got $frac")
+    val lil = new LengthIndexedLine(g)
+    val len = g.getLength
+    val n = if (repeat) math.floor(1.0 / frac + 1e-9).toInt else 1
+    val pts = (1 to n).map(i => f.createPoint(lil.extractPoint(math.min(i * frac, 1.0) * len)))
+    if (pts.length == 1) pts.head else f.createMultiPoint(pts.toArray)
+  }
+
+  /** Union-find clustering of a collection's members: edges are
+   *  intersects (d = 0) or distance ≤ d, candidate pairs from an STRtree so
+   *  the work is near-linear for sparse layouts. Returns a
+   *  GeometryCollection of GeometryCollections (PostGIS's cluster arrays). */
+  def cluster(g: Geometry, d: Double): Geometry = {
+    val ms = members(g).filter(!_.isEmpty)
+    if (ms.isEmpty) return f.createGeometryCollection()
+    val parent = Array.tabulate(ms.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); parent(i) = r; r }
+    def unite(i: Int, j: Int): Unit = { val a = find(i); val b = find(j); if (a != b) parent(a) = b }
+    val tree = new STRtree()
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val e = new Envelope(m.getEnvelopeInternal); e.expandBy(d)
+      tree.insert(e, Integer.valueOf(i))
+    }
+    import scala.jdk.CollectionConverters._
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val e = new Envelope(m.getEnvelopeInternal); e.expandBy(d)
+      tree.query(e).asScala.foreach { o =>
+        val j = o.asInstanceOf[Integer].intValue()
+        if (j > i && find(i) != find(j)) {
+          val hit = if (d == 0.0) ms(i).intersects(ms(j)) else ms(i).isWithinDistance(ms(j), d)
+          if (hit) unite(i, j)
+        }
+      }
+    }
+    val groups = ms.indices.groupBy(find).values.toSeq
+      .map(ix => ix.map(ms(_)))
+      .sortBy(c => { val e = c.map(_.getEnvelopeInternal.getMinX).min; e })
+    f.createGeometryCollection(groups.map(c => f.createGeometryCollection(c.toArray): Geometry).toArray)
+  }
+
+  def load(): Unit = {
+    fn("st_unaryunion", B, Seq(B))(a => memo(30, a(0), 0)(w(UnaryUnionOp.union(rg(a(0))))))
+    fn("st_polygonize", B, Seq(B))(a => memo(31, a(0), 0)(w(polygonize(rg(a(0))))))
+    fn("st_buildarea", B, Seq(B))(a => memo(32, a(0), 0)(w(buildArea(rg(a(0))))))
+    fn("st_split", B, Seq(B, B))(a => w(split(rg(a(0)), rg(a(1)))))
+    fn("st_sharedpaths", B, Seq(B, B))(a => w(sharedPaths(rg(a(0)), rg(a(1)))))
+    // positive distance offsets left of the line direction (PostGIS/GEOS)
+    fn("st_offsetcurve", B, Seq(B, D))(a =>
+      memo(33, a(0), dbl(a(1)))(w(OffsetCurve.getCurve(rg(a(0)), dbl(a(1))))))
+    fn("st_triangulatepolygon", B, Seq(B))(a =>
+      memo(34, a(0), 0)(w(ConstrainedDelaunayTriangulator.triangulate(rg(a(0))))))
+    fn("st_minimumclearance", D, Seq(B))(a =>
+      memo(35, a(0), 0)(java.lang.Double.valueOf(MinimumClearance.getDistance(rg(a(0))))))
+    fn("st_minimumclearanceline", B, Seq(B))(a =>
+      memo(36, a(0), 0)(w(MinimumClearance.getLine(rg(a(0))))))
+    fn("st_hausdorffdistance", D, Seq(B, B), Seq(B, B, D)) { a =>
+      if (a.length == 3) DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)), dbl(a(2)))
+      else DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)))
+    }
+    // JTS's discrete Fréchet has no densify knob — densify the inputs to the
+    // requested fraction of the diagonal instead (same discretization intent)
+    fn("st_frechetdistance", D, Seq(B, B), Seq(B, B, D)) { a =>
+      if (a.length == 3) {
+        val g1 = rg(a(0)); val g2 = rg(a(1))
+        val frac = dbl(a(2))
+        require(frac > 0 && frac <= 1, s"densify fraction must be in (0, 1], got $frac")
+        def dens(g: Geometry): Geometry = {
+          val e = g.getEnvelopeInternal
+          val diag = math.hypot(e.getWidth, e.getHeight)
+          if (diag == 0) g else Densifier.densify(g, diag * frac)
+        }
+        DiscreteFrechetDistance.distance(dens(g1), dens(g2))
+      } else DiscreteFrechetDistance.distance(rg(a(0)), rg(a(1)))
+    }
+    fn("st_geometricmedian", B, Seq(B), Seq(B, D)) { a =>
+      val tol = if (a.length == 2) dbl(a(1)) else 1e-8
+      memo(37, a(0), tol)(w(geometricMedian(rg(a(0)), tol)))
+    }
+    fn("st_boundingdiagonal", B, Seq(B)) { a =>
+      val g = rg(a(0))
+      if (g.isEmpty) w(f.createLineString(Array.empty[Coordinate]))
+      else {
+        val e = g.getEnvelopeInternal
+        w(f.createLineString(Array(
+          new Coordinate(e.getMinX, e.getMinY), new Coordinate(e.getMaxX, e.getMaxY))))
+      }
+    }
+    fn("st_lineinterpolatepoints", B, Seq(B, D, BooleanType))(a =>
+      w(lineInterpolatePoints(rg(a(0)), dbl(a(1)), a(2).asInstanceOf[Boolean])))
+    // collection-level clustering: pairs with st_collect_agg the way the
+    // PostGIS aggregates pair with array_agg — the collected input is the
+    // scale bound, exactly as for st_collect_agg itself
+    fn("st_clusterintersecting", B, Seq(B))(a => memo(38, a(0), 0)(w(cluster(rg(a(0)), 0.0))))
+    fn("st_clusterwithin", B, Seq(B, D))(a =>
+      memo(39, a(0), dbl(a(1)))(w(cluster(rg(a(0)), dbl(a(1))))))
+  }
+}

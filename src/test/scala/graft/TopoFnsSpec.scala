@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopoFnsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def sql1(q: String): Any = spark.sql(s"SELECT $q").collect()(0).get(0)
+  private def d(q: String): Double = sql1(q).asInstanceOf[Double]
+
+  test("polygonize forms faces from fully noded linework") {
+    // square boundary + a vertical divider: two 2x4 faces
+    val g = "st_geomfromtext('MULTILINESTRING ((0 0, 4 0), (0 4, 4 4), (0 0, 0 4), (4 0, 4 4), (2 0, 2 4))')"
+    assert(sql1(s"st_ngeometries(st_polygonize($g))") == 2)
+    assert(math.abs(d(s"st_area(st_polygonize($g))") - 16.0) < 1e-9)
+    // dangling edges form no face
+    assert(sql1("st_ngeometries(st_polygonize(st_geomfromtext('LINESTRING (0 0, 1 1)')))") == 0)
+  }
+
+  test("buildarea nests odd-depth faces as holes") {
+    val rings = "st_geomfromtext('MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))')"
+    assert(math.abs(d(s"st_area(st_buildarea($rings))") - (100.0 - 36.0)) < 1e-9)
+    assert(sql1(s"st_numinteriorrings(st_buildarea($rings))") == 1)
+    // ring inside the hole becomes solid again (depth 2)
+    val rings3 = "st_geomfromtext('MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))')"
+    assert(math.abs(d(s"st_area(st_buildarea($rings3))") - (100.0 - 36.0 + 4.0)) < 1e-9)
+  }
+
+  test("unaryunion dissolves overlapping members") {
+    val two = "st_collect(array(st_makeenvelope(0, 0, 4, 4), st_makeenvelope(3, 0, 6, 2)))"
+    // 16 + 6 - overlap 1x2=2
+    assert(math.abs(d(s"st_area(st_unaryunion($two))") - 20.0) < 1e-9)
+    assert(sql1(s"st_ngeometries(st_unaryunion($two))") == 1)
+  }
+
+  test("split: line by point, line by line, polygon by line") {
+    assert(sql1(
+      "st_astext(st_split(st_geomfromtext('LINESTRING (0 0, 10 0)'), st_point(4.0d, 0.0d)))")
+      == "GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0), LINESTRING (4 0, 10 0))")
+    // blade off the line: input back as the single piece
+    assert(sql1(
+      "st_ngeometries(st_split(st_geomfromtext('LINESTRING (0 0, 10 0)'), st_point(4.0d, 1.0d)))") == 1)
+    assert(sql1(
+      """st_astext(st_split(st_geomfromtext('LINESTRING (0 0, 10 0)'),
+        |                   st_geomfromtext('LINESTRING (5 -1, 5 1)')))""".stripMargin)
+      == "GEOMETRYCOLLECTION (LINESTRING (0 0, 5 0), LINESTRING (5 0, 10 0))")
+    val sp = "st_split(st_makeenvelope(0, 0, 10, 4), st_geomfromtext('LINESTRING (3 -1, 3 5)'))"
+    assert(sql1(s"st_ngeometries($sp)") == 2)
+    assert(math.abs(d(s"st_area($sp)") - 40.0) < 1e-9)
+    assert(math.abs(d(s"least(st_area(st_geometryn($sp, 1)), st_area(st_geometryn($sp, 2)))") - 12.0) < 1e-9)
+  }
+
+  test("sharedpaths separates same- and opposite-direction overlap") {
+    // g2 runs the same way over [4,10], g3 runs backwards
+    val g1 = "st_geomfromtext('LINESTRING (0 0, 10 0)')"
+    val g2 = "st_geomfromtext('LINESTRING (4 0, 14 0)')"
+    val g3 = "st_geomfromtext('LINESTRING (14 0, 4 0)')"
+    assert(math.abs(d(s"st_length(st_geometryn(st_sharedpaths($g1, $g2), 1))") - 6.0) < 1e-9)
+    assert(math.abs(d(s"st_length(st_geometryn(st_sharedpaths($g1, $g2), 2))") - 0.0) < 1e-9)
+    assert(math.abs(d(s"st_length(st_geometryn(st_sharedpaths($g1, $g3), 1))") - 0.0) < 1e-9)
+    assert(math.abs(d(s"st_length(st_geometryn(st_sharedpaths($g1, $g3), 2))") - 6.0) < 1e-9)
+    // pieces are oriented along g1 regardless of bucket
+    assert(sql1(s"st_astext(st_geometryn(st_sharedpaths($g1, $g3), 2))")
+      == "MULTILINESTRING ((4 0, 10 0))")
+  }
+
+  test("offsetcurve of a straight segment is the exact parallel") {
+    assert(sql1("st_astext(st_offsetcurve(st_geomfromtext('LINESTRING (0 0, 8 0)'), 2.0d))")
+      == "LINESTRING (0 2, 8 2)")
+    // negative = right side
+    assert(sql1("st_astext(st_offsetcurve(st_geomfromtext('LINESTRING (0 0, 8 0)'), -2.0d))")
+      == "LINESTRING (0 -2, 8 -2)")
+  }
+
+  test("triangulatepolygon covers the polygon with triangles") {
+    val t = "st_triangulatepolygon(st_makeenvelope(0, 0, 6, 4))"
+    assert(sql1(s"st_ngeometries($t)") == 2)
+    assert(math.abs(d(s"st_area($t)") - 24.0) < 1e-9)
+    // with a hole: area preserved, more triangles
+    val hole = "st_triangulatepolygon(st_difference(st_makeenvelope(0, 0, 10, 10), st_makeenvelope(4, 4, 6, 6)))"
+    assert(math.abs(d(s"st_area($hole)") - 96.0) < 1e-9)
+  }
+
+  test("minimum clearance of a rectangle is its short side") {
+    assert(math.abs(d("st_minimumclearance(st_makeenvelope(0, 0, 7, 3))") - 3.0) < 1e-9)
+    assert(math.abs(d("st_length(st_minimumclearanceline(st_makeenvelope(0, 0, 7, 3)))") - 3.0) < 1e-9)
+  }
+
+  test("hausdorff and frechet distances on parallel segments") {
+    val a = "st_geomfromtext('LINESTRING (0 0, 10 0)')"
+    val b = "st_geomfromtext('LINESTRING (0 3, 10 3)')"
+    assert(math.abs(d(s"st_hausdorffdistance($a, $b)") - 3.0) < 1e-9)
+    assert(math.abs(d(s"st_frechetdistance($a, $b)") - 3.0) < 1e-9)
+    // reversed b forces the Fréchet leash across the diagonal
+    val br = "st_geomfromtext('LINESTRING (10 3, 0 3)')"
+    assert(math.abs(d(s"st_frechetdistance($a, $br)") - math.hypot(10, 3)) < 1e-9)
+    // densified hausdorff tightens the vertex-sampling bound: offset segment
+    // pair where the true distance needs an interior sample
+    val p = "st_geomfromtext('LINESTRING (0 0, 10 0, 10 10)')"
+    val q = "st_geomfromtext('LINESTRING (0 1, 10 1, 10 10)')"
+    assert(d(s"st_hausdorffdistance($p, $q, 0.1d)") <= d(s"st_hausdorffdistance($p, $q)") + 1e-9)
+  }
+
+  test("geometric median of rectangle corners is the center") {
+    val g = "st_geomfromtext('MULTIPOINT (0 0, 8 0, 8 6, 0 6)')"
+    assert(math.abs(d(s"st_x(st_geometricmedian($g))") - 4.0) < 1e-6)
+    assert(math.abs(d(s"st_y(st_geometricmedian($g))") - 3.0) < 1e-6)
+    // 3 collinear points: median is the middle point (Weiszfeld fixed point)
+    val c = "st_geomfromtext('MULTIPOINT (0 0, 1 0, 10 0)')"
+    assert(math.abs(d(s"st_x(st_geometricmedian($c))") - 1.0) < 1e-4)
+  }
+
+  test("bounding diagonal and repeated interpolation") {
+    assert(sql1("st_astext(st_boundingdiagonal(st_makeenvelope(1, 2, 5, 9)))")
+      == "LINESTRING (1 2, 5 9)")
+    assert(sql1(
+      "st_astext(st_lineinterpolatepoints(st_geomfromtext('LINESTRING (0 0, 8 0)'), 0.25d, true))")
+      == "MULTIPOINT (2 0, 4 0, 6 0, 8 0)")
+    assert(sql1(
+      "st_astext(st_lineinterpolatepoints(st_geomfromtext('LINESTRING (0 0, 8 0)'), 0.25d, false))")
+      == "POINT (2 0)")
+  }
+
+  test("clusterintersecting and clusterwithin over a collection") {
+    // A touches B; C is 3 away from them
+    val g = "st_collect(array(st_makeenvelope(0, 0, 2, 2), st_makeenvelope(2, 0, 4, 2), st_makeenvelope(7, 0, 9, 2)))"
+    assert(sql1(s"st_ngeometries(st_clusterintersecting($g))") == 2)
+    assert(sql1(s"st_ngeometries(st_geometryn(st_clusterintersecting($g), 1))") == 2)
+    // within 3: everything chains into one cluster
+    assert(sql1(s"st_ngeometries(st_clusterwithin($g, 3.0d))") == 1)
+    // within 2.9: still two
+    assert(sql1(s"st_ngeometries(st_clusterwithin($g, 2.9d))") == 2)
+  }
+}
