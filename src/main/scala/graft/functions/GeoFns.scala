@@ -777,11 +777,30 @@ object GeoFns {
       r
     }
   }
+  /** `CODE@epoch` — PROJ's coordinate-epoch spelling for dynamic frames:
+   *  `EPSG:9000@2025.5` means ITRF2014 coordinates observed at 2025.5.
+   *  The epoch feeds time-dependent datum shifts (plate-fixed frames like
+   *  GDA2020); static datums ignore it, matching PROJ. */
+  private val EpochRe = """(?s)^(.+)@(\d{4}(?:\.\d+)?)$""".r
+  private def splitEpoch(id: String): (String, Option[Double]) = {
+    val i = id.lastIndexOf('@')
+    if (i < 0) (id, None) else (id.substring(0, i), Some(id.substring(i + 1).toDouble))
+  }
   private def crsIdUncached(s: String): String = {
     val raw = s.trim
     // PROJ parameter strings are case-sensitive: resolve (and validate,
     // loudly) before the uppercase EPSG normalization below
     if (raw.startsWith("+")) { graft.geom.Proj.fromProjString(raw); raw }
+    else if (!raw.regionMatches(true, 0, "PROJC", 0, 5) &&
+             !raw.regionMatches(true, 0, "GEOGC", 0, 5) &&
+             !raw.startsWith("{") && EpochRe.matches(raw)) {
+      val EpochRe(code, ep) = raw: @unchecked
+      val base = crsId(code)
+      val t = ep.toDouble
+      if (t < 1900.0 || t > 2200.0) throw new IllegalArgumentException(
+        s"ST_Transform: coordinate epoch '$ep' out of range (decimal years, e.g. 2025.5)")
+      s"$base@$ep"
+    }
     // WKT CRS text (the contents of a .prj — WKT1 PROJCS/GEOGCS or WKT2
     // PROJCRS/GEOGCRS): the AUTHORITY/ID code wins when the registry knows
     // it; otherwise a +proj= string is synthesized from the WKT parameters
@@ -863,13 +882,22 @@ object GeoFns {
     }
   }
 
+  /** A coordinate epoch tagged on EITHER side is the epoch of the whole
+   *  operation (it describes when the dynamic-frame coordinates were
+   *  observed, wherever the tag was spelled) — so it is propagated to both
+   *  halves before the hub hop. Static datums ignore it. */
+  private def withEpoch(id: String, ep: Option[Double]): String =
+    if (ep.isEmpty || id.lastIndexOf('@') >= 0) id else s"$id@${ep.get}"
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
-    val (lon, lat) = toWgs84LonLat(x, y, from, alwaysXy)
-    fromWgs84LonLat(lon, lat, to, alwaysXy)
+    val ep = splitEpoch(from)._2.orElse(splitEpoch(to)._2)
+    val (lon, lat) = toWgs84LonLat(x, y, withEpoch(from, ep), alwaysXy)
+    fromWgs84LonLat(lon, lat, withEpoch(to, ep), alwaysXy)
   }
-  /** first half of a transform: resolved-CRS coordinates → WGS84 lon/lat */
-  private def toWgs84LonLat(x: Double, y: Double, from: String, alwaysXy: Boolean): (Double, Double) =
-    from match {
+  /** first half of a transform: resolved-CRS coordinates → WGS84 lon/lat.
+   *  A `@epoch` suffix on the id feeds time-dependent datum shifts. */
+  private def toWgs84LonLat(x: Double, y: Double, from: String, alwaysXy: Boolean): (Double, Double) = {
+    val (fromId, epoch) = splitEpoch(from)
+    fromId match {
       case "4326" => if (alwaysXy) (x, y) else (y, x)
       case "CRS84" => (x, y)
       case "3857" =>
@@ -880,15 +908,17 @@ object GeoFns {
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.inverse(x, y, zone.toInt, north = true)
       case p if graft.geom.Proj.geographic.contains(p) =>
-        graft.geom.Proj.geographic(p)._2.toWgs84(x, y) // lon/lat in, always_xy
+        graft.geom.Proj.geographic(p)._2.toWgs84(x, y, epoch) // lon/lat in, always_xy
       case p =>
         val c = graft.geom.Proj.lookup(p).get
         val (lo, la) = c.proj.inverse(x, y)
-        c.datum.toWgs84(lo, la)
+        c.datum.toWgs84(lo, la, epoch)
     }
+  }
   /** second half of a transform: WGS84 lon/lat → resolved-CRS coordinates */
-  private def fromWgs84LonLat(lon: Double, lat: Double, to: String, alwaysXy: Boolean): (Double, Double) =
-    to match {
+  private def fromWgs84LonLat(lon: Double, lat: Double, to: String, alwaysXy: Boolean): (Double, Double) = {
+    val (toId, epoch) = splitEpoch(to)
+    toId match {
       case "4326" => if (alwaysXy) (lon, lat) else (lat, lon)
       case "CRS84" => (lon, lat)
       case "3857" =>
@@ -899,20 +929,23 @@ object GeoFns {
       case EtrsUtmRe(zone) =>
         graft.geom.Tm.forward(lon, lat, zone.toInt, north = true)
       case p if graft.geom.Proj.geographic.contains(p) =>
-        graft.geom.Proj.geographic(p)._2.fromWgs84(lon, lat)
+        graft.geom.Proj.geographic(p)._2.fromWgs84(lon, lat, epoch)
       case p =>
         val c = graft.geom.Proj.lookup(p).get
-        val (lo, la) = c.datum.fromWgs84(lon, lat)
+        val (lo, la) = c.datum.fromWgs84(lon, lat, epoch)
         c.proj.forward(lo, la)
     }
+  }
   /** vertical datum of a resolved CRS id — only `+proj=` strings can carry
     * `+geoidgrids` (registry codes are horizontal-only) */
   private def vgridOf(id: String): Option[Seq[graft.geom.Gtx.Grid]] =
     if (id.startsWith("+")) graft.geom.Proj.fromProjString(id).flatMap(_.vgrid) else None
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {
-    val sf = crsId(from); val st = crsId(to)
-    if (sf == st) return g
-    val vf = vgridOf(sf); val vt = vgridOf(st)
+    val sf0 = crsId(from); val st0 = crsId(to)
+    if (sf0 == st0) return g
+    val ep = splitEpoch(sf0)._2.orElse(splitEpoch(st0)._2)
+    val sf = withEpoch(sf0, ep); val st = withEpoch(st0, ep)
+    val vf = vgridOf(sf0); val vt = vgridOf(st0)
     val vertical = vf.isDefined || vt.isDefined
     val ed = new GeometryEditor(f)
     ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {

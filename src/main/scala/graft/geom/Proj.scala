@@ -71,16 +71,49 @@ object Proj {
     }
   }
 
+  /** Time-dependent Helmert (EPSG methods 1053/1056 re-expressed in the
+   *  position-vector convention): 7 base parameters valid at the reference
+   *  epoch `t0` plus 7 per-year rates. `at(t)` materializes the static
+   *  Helmert for a coordinate epoch `t` (decimal years) — the form every
+   *  plate-fixed national frame (GDA2020, NAD83-era, ETRF) publishes its
+   *  relationship to the ITRF with. Rates are meters/yr, arc-seconds/yr,
+   *  ppm/yr. */
+  final case class TimeHelmert(base: Helmert, rates: Helmert, t0: Double) {
+    def at(t: Double): Helmert = {
+      val dt = t - t0
+      if (dt == 0.0) base
+      else Helmert(base.tx + rates.tx * dt, base.ty + rates.ty * dt, base.tz + rates.tz * dt,
+        base.rxAs + rates.rxAs * dt, base.ryAs + rates.ryAs * dt, base.rzAs + rates.rzAs * dt,
+        base.dsPpm + rates.dsPpm * dt)
+    }
+  }
+
   /** Geodetic datum: ellipsoid + optional Helmert to WGS84 (None = a modern
    *  WGS84-equivalent frame; no shift step). An NTv2 grid, when present,
    *  supersedes the Helmert (PROJ's `+nadgrids` > `+towgs84` precedence):
    *  the grid's target frame is taken as WGS84-equivalent (NAD83 ≈ WGS84),
-   *  and the shift applies directly in lon/lat. */
+   *  and the shift applies directly in lon/lat. A time-dependent shift
+   *  (`tshift`) supersedes the static one when present: the WGS84 hub is
+   *  read as ITRF2014 (they agree to ~cm, below this chain's resolution)
+   *  and the Helmert is evaluated at the coordinate epoch — callers without
+   *  an epoch get the frame's own reference epoch `t0`, i.e. the published
+   *  definition alignment (GDA2020 ≡ ITRF2014@2020.0 → identity). */
   final case class Datum(el: Ellipsoid, shift: Option[Helmert],
-                         grid: Option[NtV2.Grid] = None) {
-    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = grid match {
+                         grid: Option[NtV2.Grid] = None,
+                         tshift: Option[TimeHelmert] = None) {
+    private def shiftAt(epoch: Option[Double]): Option[Helmert] = tshift match {
+      case Some(th) =>
+        // an evaluated all-zero Helmert is the published identity (a frame at
+        // its own definition epoch): skip the ECEF round trip entirely so the
+        // alignment is exact, not merely sub-mm
+        Some(th.at(epoch.getOrElse(th.t0))).filter(_ != Helmert(0, 0, 0, 0, 0, 0, 0))
+      case None => shift
+    }
+    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) =
+      toWgs84(lonDeg, latDeg, None)
+    def toWgs84(lonDeg: Double, latDeg: Double, epoch: Option[Double]): (Double, Double) = grid match {
       case Some(g) => g.forward(lonDeg, latDeg)
-      case None => shift match {
+      case None => shiftAt(epoch) match {
         case None => (lonDeg, latDeg)
         case Some(h) =>
           val (x, y, z) = geodeticToEcef(el, lonDeg, latDeg)
@@ -88,9 +121,11 @@ object Proj {
           ecefToGeodetic(Wgs84, x2, y2, z2)
       }
     }
-    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = grid match {
+    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) =
+      fromWgs84(lonDeg, latDeg, None)
+    def fromWgs84(lonDeg: Double, latDeg: Double, epoch: Option[Double]): (Double, Double) = grid match {
       case Some(g) => g.inverse(lonDeg, latDeg)
-      case None => shift match {
+      case None => shiftAt(epoch) match {
         case None => (lonDeg, latDeg)
         case Some(h) =>
           val (x, y, z) = geodeticToEcef(Wgs84, lonDeg, latDeg)
@@ -101,6 +136,18 @@ object Proj {
   }
   val DatumWgs84 = Datum(Wgs84, None)
   val DatumGrs80 = Datum(Grs80, None)
+  /** GDA2020 ↔ ITRF2014(t): EPSG:8049 published with zero parameters at
+   *  epoch 2020.0 and pure rotation rates (1.50379, 1.18346, 1.20716) mas/yr
+   *  in the coordinate-frame convention — the Australian-plate Euler motion.
+   *  Stored here as the INVERSE direction (GDA2020 → ITRF2014) in the
+   *  position-vector convention, which flips the sign twice: CF→PV negates,
+   *  inverting negates again, so the arc-second/yr rates carry the published
+   *  sign. Without a coordinate epoch the shift evaluates at 2020.0 =
+   *  identity (GDA2020 ≡ ITRF2014@2020.0 by definition). */
+  val DatumGda2020 = Datum(Grs80, None, tshift = Some(TimeHelmert(
+    base = Helmert(0, 0, 0, 0, 0, 0, 0),
+    rates = Helmert(0, 0, 0, 0.00150379, 0.00118346, 0.00120716, 0),
+    t0 = 2020.0)))
   /** OSGB36 → WGS84 (published single-Helmert, ~2 m vs the OSTN15 grid) */
   val DatumOsgb36 = Datum(Airy1830, Some(Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)))
   /** Ireland 1965 / TM75 → WGS84 */
@@ -1689,7 +1736,7 @@ object Proj {
     else registry.get(code).orElse(code match {
     case Nad83Utm(z) => Some(utmCrs(code, s"NAD83 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumGrs80))
     case Mga94(z) => Some(utmCrs(code, s"GDA94 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))
-    case Mga2020(z) => Some(utmCrs(code, s"GDA2020 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGrs80))
+    case Mga2020(z) => Some(utmCrs(code, s"GDA2020 / MGA zone ${z.toInt}", z.toInt, south = true, DatumGda2020))
     case SirgasN(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 54}N", z.toInt - 54, south = false, DatumGrs80))
     case SirgasS(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 60}S", z.toInt - 60, south = true, DatumGrs80))
     case Ed50Utm(z) => Some(utmCrs(code, s"ED50 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumEd50))
@@ -1703,7 +1750,14 @@ object Proj {
     "EPSG:4258" -> (("ETRS89", DatumGrs80)),
     "EPSG:4269" -> (("NAD83", DatumGrs80)),
     "EPSG:4283" -> (("GDA94", DatumGrs80)),
-    "EPSG:7844" -> (("GDA2020", DatumGrs80)),
+    "EPSG:7844" -> (("GDA2020", DatumGda2020)),
+    // dynamic ITRF realizations = the hub itself (WGS84 ≈ ITRF2014 at ~cm,
+    // and successive ITRFs agree to ~mm — both below this chain's class);
+    // their value is as the epoch-tagged SOURCE/TARGET of a plate-fixed
+    // frame: st_transform(g, 'EPSG:9000@2025.5', 'EPSG:7844')
+    "EPSG:8999" -> (("ITRF2008", DatumGrs80)),
+    "EPSG:9000" -> (("ITRF2014", DatumGrs80)),
+    "EPSG:9990" -> (("ITRF2020", DatumGrs80)),
     "EPSG:4171" -> (("RGF93", DatumGrs80)),
     "EPSG:4167" -> (("NZGD2000", DatumGrs80)),
     "EPSG:4612" -> (("JGD2000", DatumGrs80)),
