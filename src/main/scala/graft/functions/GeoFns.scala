@@ -782,10 +782,16 @@ object GeoFns {
    *  The epoch feeds time-dependent datum shifts (plate-fixed frames like
    *  GDA2020); static datums ignore it, matching PROJ. */
   private val EpochRe = """(?s)^(.+)@(\d{4}(?:\.\d+)?)$""".r
-  private def splitEpoch(id: String): (String, Option[Double]) = {
-    val i = id.lastIndexOf('@')
-    if (i < 0) (id, None) else (id.substring(0, i), Some(id.substring(i + 1).toDouble))
-  }
+  /** Split a `CODE@epoch` tag off a resolved CRS id. Only a suffix matching
+   *  EpochRe is an epoch — `+proj=` strings legitimately contain '@' in grid
+   *  names (`+nadgrids=@null`, `@path` optional-grid entries), so anything
+   *  else passes through untouched. */
+  private def splitEpoch(id: String): (String, Option[Double]) =
+    if (id.startsWith("+")) (id, None)
+    else id match {
+      case EpochRe(code, ep) => (code, Some(ep.toDouble))
+      case _ => (id, None)
+    }
   private def crsIdUncached(s: String): String = {
     val raw = s.trim
     // PROJ parameter strings are case-sensitive: resolve (and validate,
@@ -887,9 +893,20 @@ object GeoFns {
    *  observed, wherever the tag was spelled) — so it is propagated to both
    *  halves before the hub hop. Static datums ignore it. */
   private def withEpoch(id: String, ep: Option[Double]): String =
-    if (ep.isEmpty || id.lastIndexOf('@') >= 0) id else s"$id@${ep.get}"
+    if (ep.isEmpty || id.startsWith("+") || EpochRe.matches(id)) id else s"$id@${ep.get}"
+  /** Coordinate epoch of the whole operation. PROJ treats mismatched
+   *  epochs on the two sides of one operation as an error — so do we. */
+  private def operationEpoch(from: String, to: String): Option[Double] = {
+    val ef = splitEpoch(from)._2; val et = splitEpoch(to)._2
+    (ef, et) match {
+      case (Some(a), Some(b)) if a != b => throw new IllegalArgumentException(
+        s"ST_Transform: mismatched coordinate epochs on source ($a) and target ($b) CRS — " +
+          "one operation has one epoch; tag only one side or use equal epochs")
+      case _ => ef.orElse(et)
+    }
+  }
   def transformPoint(x: Double, y: Double, from: String, to: String, alwaysXy: Boolean): (Double, Double) = {
-    val ep = splitEpoch(from)._2.orElse(splitEpoch(to)._2)
+    val ep = operationEpoch(from, to)
     val (lon, lat) = toWgs84LonLat(x, y, withEpoch(from, ep), alwaysXy)
     fromWgs84LonLat(lon, lat, withEpoch(to, ep), alwaysXy)
   }
@@ -943,7 +960,7 @@ object GeoFns {
   private def transformGeom(g: Geometry, from: String, to: String, alwaysXy: Boolean): Geometry = {
     val sf0 = crsId(from); val st0 = crsId(to)
     if (sf0 == st0) return g
-    val ep = splitEpoch(sf0)._2.orElse(splitEpoch(st0)._2)
+    val ep = operationEpoch(sf0, st0)
     val sf = withEpoch(sf0, ep); val st = withEpoch(st0, ep)
     val vf = vgridOf(sf0); val vt = vgridOf(st0)
     val vertical = vf.isDefined || vt.isDefined

@@ -84,6 +84,43 @@ object TopoFns {
     out
   }
 
+  /** Two-sided content key — the st_relate pattern (CompGeomFns): binary
+   *  topology kernels (st_split, st_sharedpaths) take a geometry PAIR, and
+   *  real corpora repeat pairs heavily (≤ ~8k distinct shapes over 60k rows
+   *  in the contract data). Same bounded-clear policy as the single memo. */
+  private final class TKey2(val a: Array[Byte], val b: Array[Byte], val op: Int) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(a)
+      h = h * 31 + java.util.Arrays.hashCode(b)
+      h * 31 + op
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: TKey2 => k.op == op && java.util.Arrays.equals(k.a, a) && java.util.Arrays.equals(k.b, b)
+      case _ => false
+    }
+  }
+  private val tMemo2 = new java.util.concurrent.ConcurrentHashMap[TKey2, AnyRef]()
+  private def memo2(op: Int, rawA: Any, rawB: Any)(compute: => AnyRef): AnyRef = {
+    def bytes(raw: Any): Array[Byte] = raw match {
+      case b: Array[Byte] if b.length <= memoMaxEntryBytes => b
+      case s: UTF8String if s.numBytes <= memoMaxEntryBytes => s.getBytes
+      case _ => null
+    }
+    val a = bytes(rawA); val b = bytes(rawB)
+    if (a == null || b == null) return compute
+    val key = new TKey2(a, b, op)
+    val hit = tMemo2.get(key)
+    if (hit != null) return hit
+    val out = compute
+    out match {
+      case bs: Array[Byte] if bs.length <= memoMaxEntryBytes =>
+        if (tMemo2.size >= memoMax) tMemo2.clear()
+        tMemo2.put(key, out)
+      case _ =>
+    }
+    out
+  }
+
   /** Every LineString component of a geometry (polygon rings included). */
   private def linework(g: Geometry): Seq[LineString] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[LineString]
@@ -154,8 +191,13 @@ object TopoFns {
           }
         }
       case (1, 1) =>
-        // overlay noding splits at crossings; collinear shared parts are
-        // removed, the PostGIS/GEOS difference-based behavior
+        // overlay noding splits at crossings. PostGIS raises when the blade
+        // has a linear (collinear) intersection with the input — difference()
+        // would silently delete the shared portion, so match the error.
+        if (g.intersection(blade).getDimension == 1)
+          throw new IllegalArgumentException(
+            "ST_Split: splitter has a linear intersection with the input " +
+              "(collinear overlap) — cannot split a line by an overlapping line")
         val d = g.difference(blade)
         val comps = members(d).filter(!_.isEmpty)
         if (comps.isEmpty) Seq(g) else comps
@@ -188,9 +230,10 @@ object TopoFns {
   /** ST_SharedPaths: GEOMETRYCOLLECTION(MULTILINESTRING same-direction,
    *  MULTILINESTRING opposite-direction) of the paths shared by two lineal
    *  inputs, each piece oriented along the FIRST input (PostGIS/GEOS
-   *  semantics). Direction agreement is judged at a segment midpoint of each
-   *  shared piece — after overlay noding a piece's interior lies within one
-   *  segment of each input. */
+   *  semantics). Direction agreement is judged per segment of each shared
+   *  piece (an input that doubles back over the shared path can flip
+   *  direction mid-piece); consistent pieces stay whole, mixed pieces split
+   *  into maximal same-class runs. */
   def sharedPaths(g1: Geometry, g2: Geometry): Geometry = {
     require(g1.getDimension == 1 && g2.getDimension == 1,
       "ST_SharedPaths expects two lineal geometries")
@@ -200,16 +243,33 @@ object TopoFns {
     val same = scala.collection.mutable.ArrayBuffer.empty[LineString]
     val opp = scala.collection.mutable.ArrayBuffer.empty[LineString]
     shared.foreach { piece =>
-      val c0 = piece.getCoordinateN(0)
-      val c1 = piece.getCoordinateN(1)
-      val mid = new Coordinate((c0.x + c1.x) / 2, (c0.y + c1.y) / 2)
-      val seg = new Coordinate(c1.x - c0.x, c1.y - c0.y)
-      val t1 = tangentAt(g1, mid)
-      val t2 = tangentAt(g2, mid)
-      val d1 = seg.x * t1.x + seg.y * t1.y
-      val d2 = seg.x * t2.x + seg.y * t2.y
-      val alongG1 = if (d1 < 0) piece.reverse().asInstanceOf[LineString] else piece
-      if (d1 * d2 > 0) same += alongG1 else opp += alongG1
+      // classify every segment of the piece (an input that doubles back over
+      // the path can flip direction mid-piece); the common all-agree case
+      // keeps the piece whole, a mixed piece splits into maximal runs
+      val n = piece.getNumPoints - 1
+      val cls: IndexedSeq[(Boolean, Boolean)] = (0 until n).map { i =>
+        val c0 = piece.getCoordinateN(i)
+        val c1 = piece.getCoordinateN(i + 1)
+        val mid = new Coordinate((c0.x + c1.x) / 2, (c0.y + c1.y) / 2)
+        val seg = new Coordinate(c1.x - c0.x, c1.y - c0.y)
+        val t1 = tangentAt(g1, mid)
+        val t2 = tangentAt(g2, mid)
+        val d1 = seg.x * t1.x + seg.y * t1.y
+        val d2 = seg.x * t2.x + seg.y * t2.y
+        (d1 < 0, d1 * d2 > 0) // (reverse-to-follow-g1, same-direction)
+      }
+      def emit(from: Int, to: Int): Unit = { // segments [from, to)
+        val (rev, sm) = cls(from)
+        val sub =
+          if (from == 0 && to == n) piece
+          else f.createLineString((from to to).map(piece.getCoordinateN).toArray)
+        val alongG1 = if (rev) sub.reverse().asInstanceOf[LineString] else sub
+        if (sm) same += alongG1 else opp += alongG1
+      }
+      var start = 0
+      var i = 1
+      while (i < n) { if (cls(i) != cls(start)) { emit(start, i); start = i }; i += 1 }
+      emit(start, n)
     }
     f.createGeometryCollection(Array(
       f.createMultiLineString(same.toArray),
@@ -291,8 +351,8 @@ object TopoFns {
     fn("st_unaryunion", B, Seq(B))(a => memo(30, a(0), 0)(w(UnaryUnionOp.union(rg(a(0))))))
     fn("st_polygonize", B, Seq(B))(a => memo(31, a(0), 0)(w(polygonize(rg(a(0))))))
     fn("st_buildarea", B, Seq(B))(a => memo(32, a(0), 0)(w(buildArea(rg(a(0))))))
-    fn("st_split", B, Seq(B, B))(a => w(split(rg(a(0)), rg(a(1)))))
-    fn("st_sharedpaths", B, Seq(B, B))(a => w(sharedPaths(rg(a(0)), rg(a(1)))))
+    fn("st_split", B, Seq(B, B))(a => memo2(40, a(0), a(1))(w(split(rg(a(0)), rg(a(1))))))
+    fn("st_sharedpaths", B, Seq(B, B))(a => memo2(41, a(0), a(1))(w(sharedPaths(rg(a(0)), rg(a(1))))))
     // positive distance offsets left of the line direction (PostGIS/GEOS)
     fn("st_offsetcurve", B, Seq(B, D))(a =>
       memo(33, a(0), dbl(a(1)))(w(OffsetCurve.getCurve(rg(a(0)), dbl(a(1))))))

@@ -80,6 +80,29 @@ class TimeHelmertSpec extends AnyFunSuite {
     assert(e2.getMessage != null)
   }
 
+  test("'@' in proj-string grid names is not an epoch (+nadgrids=@null)") {
+    // Proj.describe itself emits '+nadgrids=@null' for EPSG:3857, and '@path'
+    // is the optional-grid spelling — neither is a CODE@epoch tag
+    val merc = "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs"
+    val (x, y) = xy(s"st_transform(st_point(10.0d, 50.0d), 'EPSG:4326', '$merc', true)")
+    val (xr, yr) = xy("st_transform(st_point(10.0d, 50.0d), 'EPSG:4326', 'EPSG:3857', true)")
+    assert(math.abs(x - xr) < 1e-6 && math.abs(y - yr) < 1e-6)
+    // and with an epoch-tagged dynamic frame on the other side it still parses
+    val (x2, _) = xy(s"st_transform(st_point(133.885d, -23.67d), 'EPSG:9000@2030.0', '$merc', true)")
+    assert(x2.isFinite)
+  }
+
+  test("mismatched epochs on the two sides are an error (PROJ semantics)") {
+    val e = intercept[Exception](sql1(
+      "st_transform(st_point(133.885d, -23.67d), 'EPSG:9000@2020.0', 'EPSG:7844@2030.0', true)"))
+    assert(e.getMessage.contains("mismatched"), e.getMessage)
+    // equal epochs on both sides are fine
+    val (x, y) = xy(
+      "st_transform(st_point(133.885d, -23.67d), 'EPSG:9000@2020.0', 'EPSG:7844@2020.0', true)")
+    assert(math.abs(x - 133.885) < 1e-10 && math.abs(y - -23.67) < 1e-10)
+  }
+
   test("ITRF realizations resolve as hub aliases") {
     for (code <- Seq("EPSG:8999", "EPSG:9000", "EPSG:9990")) {
       val (x, y) = xy(s"st_transform(st_point(10.0d, 50.0d), '$code', 'EPSG:4326', true)")

@@ -66,6 +66,28 @@ class TopoFnsSpec extends AnyFunSuite {
       == "MULTILINESTRING ((4 0, 10 0))")
   }
 
+  test("split: collinear (linear-overlap) blade is an error, PostGIS-style") {
+    // difference() would silently delete the shared [4,6] stretch; PostGIS
+    // raises for a splitter with a linear intersection — so do we
+    val e = intercept[Exception](sql1(
+      """st_astext(st_split(st_geomfromtext('LINESTRING (0 0, 10 0)'),
+        |                   st_geomfromtext('LINESTRING (4 0, 6 0)')))""".stripMargin))
+    assert(e.getMessage.contains("linear intersection"), e.getMessage)
+  }
+
+  test("sharedpaths classifies per segment when an input doubles back") {
+    // g2 runs forward over [2,8], detours off-axis, then doubles back over
+    // [8.1,5]: the shared path is [2,8.1]. First-location tangents make
+    // [2,8] same-direction (first pass) and (8,8.1] opposite-only — a single
+    // first-segment probe would have bucketed the whole merged piece as same
+    val g1 = "st_geomfromtext('LINESTRING (0 0, 10 0)')"
+    val g2 = "st_geomfromtext('LINESTRING (2 0, 8 0, 8 1, 8.1 1, 8.1 0, 5 0)')"
+    val same = d(s"st_length(st_geometryn(st_sharedpaths($g1, $g2), 1))")
+    val opp = d(s"st_length(st_geometryn(st_sharedpaths($g1, $g2), 2))")
+    assert(math.abs(same - 6.0) < 1e-9 && math.abs(opp - 0.1) < 1e-9,
+      s"same=$same opp=$opp")
+  }
+
   test("offsetcurve of a straight segment is the exact parallel") {
     assert(sql1("st_astext(st_offsetcurve(st_geomfromtext('LINESTRING (0 0, 8 0)'), 2.0d))")
       == "LINESTRING (0 2, 8 2)")
