@@ -51,20 +51,56 @@ object Bench {
       light ++ heavy.sortBy { case (k, _) => heavyLast.indexOf(k) }
     }
     // --- host-contention self-defense -----------------------------------
-    // A shared host can inflate any sample 2-10x (the round-6/7 driver
-    // artifacts both overstated the worst query ~6x). Three defenses:
-    //  (1) record /proc/loadavg + active-CPU count per query, so a reader
-    //      can see WHEN the host was busy;
-    //  (2) auto-rerun queries whose median/min spread exceeds 3x (intra-run
-    //      contention) or whose min exceeds 2.5x its best-known history min
-    //      (cross-run contention) with extra GC-settled samples;
-    //  (3) emit the still-suspect names in a `contaminated` list so a
-    //      too-high number is never silently read as a regression.
-    // History = rolling per-query best mins, merged and rewritten each run.
+    // A shared host can inflate any sample 2-10x (the round-6/7/8 driver
+    // artifacts all overstated the worst query 3-6x). loadavg alone cannot
+    // separate the bench's OWN 32-thread load from a competing process, and
+    // med/min spread misses UNIFORM contention — so the primary signal is a
+    // direct foreign-CPU meter: /proc/stat busy jiffies minus this JVM's own
+    // CPU time, over each query's sampling window. >2 cores of someone
+    // else's work while we measure ⇒ the sample is contaminated, history or
+    // no history. Secondary defenses stay: per-query loadavg recording,
+    // spread/history-triggered GC-settled reruns, and a pre-bench spin-wait
+    // for the host to go quiet. History = rolling per-query best mins.
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val activeCpus = Runtime.getRuntime.availableProcessors
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b
+      case _ => null
+    }
+    // Linux USER_HZ is 100 on every mainstream build; jiffy arithmetic only
+    // feeds a ratio against wall-clock, so a nonstandard HZ skews the
+    // threshold, never correctness of the timings themselves.
+    def sysBusyJiffies(): Double =
+      try {
+        val p = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toDouble)
+        p.sum - p(3) - (if (p.length > 4) p(4) else 0.0) // minus idle + iowait
+      } catch { case _: Throwable => -1.0 }
+    def procCpuSec(): Double =
+      if (osBean == null) -1.0 else osBean.getProcessCpuTime / 1e9
+    /** cores of NON-bench CPU consumed between construction and foreignCores(). */
+    final class ForeignMeter {
+      private val j0 = sysBusyJiffies(); private val c0 = procCpuSec()
+      private val t0 = System.nanoTime()
+      def foreignCores(): Double = {
+        val j1 = sysBusyJiffies(); val c1 = procCpuSec()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (j0 < 0 || c0 < 0 || j1 < 0 || c1 < 0 || wall <= 0) -1.0
+        else math.max(0.0, (j1 - j0) / 100.0 - (c1 - c0)) / wall
+      }
+    }
+    // pre-bench spin-wait: give a transiently busy host up to 60s to go
+    // idle before the first measurement (we are idle here, so system busy
+    // ≈ foreign busy)
+    var settleWaited = 0.0
+    while (settleWaited < 60.0 && {
+      val m = new ForeignMeter; Thread.sleep(500); val fc = m.foreignCores()
+      if (fc > 1.0) { settleWaited += 0.5; true } else false
+    }) ()
+    if (settleWaited > 0)
+      System.err.println(f"[bench] waited $settleWaited%.1fs pre-bench for foreign load to settle")
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY_MINS.json")
     val history: Map[String, Double] =
       try {
@@ -90,26 +126,40 @@ object Bench {
       }
       System.gc()
       val load0 = loadavg()
+      val meter = new ForeignMeter
       var good = (1 to runs).flatMap(_ => sample()).sorted.toVector
+      var foreign = meter.foreignCores()
       def spreadSuspect = good.size >= 2 && good(good.size / 2) / good.head > 3.0
       def historySuspect = good.nonEmpty && history.get(name).exists(h =>
         good.head > 2.5 * h && good.head - h > 0.5)
-      if (good.nonEmpty && (spreadSuspect || historySuspect)) {
-        // two extra GC-settled samples; the merged set's median/min stand
+      def foreignBusy = foreign > 2.0 // >2 cores of non-bench work while sampling
+      if (good.nonEmpty && (spreadSuspect || historySuspect || foreignBusy)) {
+        // two extra GC-settled samples; the merged set's median/min stand.
+        // foreign is re-measured over the rerun window only — if the host
+        // went quiet the fresh samples clear the flag.
         System.err.println(f"[bench] $name suspect (med=${good(good.size / 2)}%.2f " +
-          f"min=${good.head}%.2f hist=${history.getOrElse(name, -1.0)}%.2f load=$load0%.1f) — re-running")
+          f"min=${good.head}%.2f hist=${history.getOrElse(name, -1.0)}%.2f " +
+          f"load=$load0%.1f foreign=$foreign%.1f) — re-running")
         System.gc()
+        val meter2 = new ForeignMeter
         good = (good ++ (1 to 2).flatMap(_ => sample())).sorted.toVector
+        foreign = meter2.foreignCores()
       }
       // still-suspect after reruns → contaminated. A min STABLY above
-      // history at idle load is a real regression, not contamination —
-      // only flag history excess when the host was demonstrably busy.
-      val loadHigh = load0 > activeCpus * 1.25
-      val contaminated = good.nonEmpty &&
-        (spreadSuspect || (historySuspect && loadHigh))
+      // history on a quiet host is a real regression, not contamination —
+      // history excess only counts when the host was demonstrably busy
+      // (foreign-CPU meter primary; loadavg fallback when /proc/stat is
+      // unreadable). foreignBusy flags on its own: it needs no history, so
+      // queries NEW this round are covered, and it sees uniform contention
+      // that med/min spread misses.
+      val loadHigh =
+        if (foreign >= 0) foreignBusy
+        else load0 > 4.0 // bench box should be idle; its own load is excluded by the meter
+      val contaminated = good.nonEmpty && (spreadSuspect || foreignBusy ||
+        (historySuspect && loadHigh) || (history.get(name).isEmpty && loadHigh))
       // A query with zero successful runs reports NO timing (null downstream),
       // never a negative sentinel a consumer might sum.
-      name -> (good.lift(good.size / 2), good.headOption, failed, load0, contaminated)
+      name -> (good.lift(good.size / 2), good.headOption, failed, load0, contaminated, foreign)
     }
     // rolling history: keep the best min ever observed per query
     try {
@@ -127,6 +177,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v._1) }.mkString("{", ",", "}")
     val qmin = results.map { case (k, v) => "\"" + k + "\":" + num(v._2) }.mkString("{", ",", "}")
     val qload = results.map { case (k, v) => "\"" + k + "\":" + r3(v._4) }.mkString("{", ",", "}")
+    val qforeign = results.map { case (k, v) => "\"" + k + "\":" + r3(v._6) }.mkString("{", ",", "}")
     val contamNames = results.filter(_._2._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val contamCount = results.count(_._2._5)
     // total = exact sum of the medians reported in the queries map
@@ -142,7 +193,7 @@ object Bench {
     // length budget.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_load":$qload,"cpus":$activeCpus,"runs":$runs,"fails":$fails,"failed":$failedNames,"contaminated":$contamNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_load":$qload,"queries_foreign":$qforeign,"cpus":$activeCpus,"runs":$runs,"fails":$fails,"failed":$failedNames,"contaminated":$contamNames,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
