@@ -46,6 +46,9 @@ object Proj {
   /** GRS 1967 Modified / Australian National (EPSG 7050/7003): 1/f truncated
    *  to 298.25 — the SAD69 and AGD ellipsoid. */
   val Grs67Mod = Ellipsoid(6378160.0, 298.25)
+  val Krass1940 = Ellipsoid(6378245.0, 298.3) // Krassowsky 1940 (Pulkovo systems)
+  /** Clarke 1880 (IGN): defined by a and b (6356515.0); rf = a/(a-b) */
+  val Clarke1880Ign = Ellipsoid(6378249.2, 6378249.2 / (6378249.2 - 6356515.0))
   /** Clarke 1858 (EPSG 7007): defined in Clarke's feet — a = 20926348 ft,
    *  b = 20855233 ft at 0.3047972654 m/ft (the Trinidad 1903 ellipsoid). */
   val Clarke1858 = Ellipsoid(20926348 * 0.3047972654, 294.26067636926064)
@@ -171,6 +174,21 @@ object Proj {
   val DatumSad69 = Datum(Grs67Mod, Some(Helmert(-57.0, 1.0, -41.0, 0, 0, 0, 0)))
   /** Guam 1963 → WGS84 (published 3-parameter shift) */
   val DatumGuam = Datum(Clarke1866, Some(Helmert(-100.0, -248.0, 259.0, 0, 0, 0, 0)))
+  /** DHDN (Rauenberg/Potsdam) → WGS84 — EPSG:1777 7-parameter (~3 m class) */
+  val DatumDhdn = Datum(Bessel1841, Some(Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)))
+  /** MGI (Austria) → WGS84 — EPSG:1618 7-parameter */
+  val DatumMgi = Datum(Bessel1841, Some(Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)))
+  /** GGRS87 → WGS84 — EPSG:1272 3-parameter */
+  val DatumGgrs87 = Datum(Grs80, Some(Helmert(-199.87, 74.79, 246.62, 0, 0, 0, 0)))
+  /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
+  val DatumBd72 = Datum(Intl1924,
+    Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
+  /** NTF (France) → WGS84 — published 3-parameter shift (-168,-60,320), ~2 m */
+  val DatumNtf = Datum(Clarke1880Ign, Some(Helmert(-168.0, -60.0, 320.0, 0, 0, 0, 0)))
+  /** Pulkovo 1942 → WGS84 — EPSG:1254 3-parameter mean shift; LOUD accuracy
+   *  note: regional realizations differ by up to ~10 m (the reference's
+   *  proj.db picks per-country variants; this is the documented mean) */
+  val DatumPulkovo42 = Datum(Krass1940, Some(Helmert(28.0, -130.0, -95.0, 0, 0, 0, 0)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -268,6 +286,31 @@ object Proj {
   }
 
   /** Albers Equal-Area Conic (EPSG method 9822 / Snyder 14-1..14-12). */
+  /** LCC with one standard parallel (EPSG 9801, Snyder 15-1..15-5):
+   *  n = sin φ0 (the 2SP limit as both parallels meet φ0), scale k0 at the
+   *  single parallel. Used by the NTF Lambert zones. */
+  final class Lcc1SP(el: Ellipsoid, phi0Deg: Double, lam0Deg: Double, k0: Double,
+                     fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(phi0Deg)
+    private val lam0 = math.toRadians(lam0Deg)
+    private val n = math.sin(phi0)
+    private val bigF = k0 * mFn(el, phi0) / (n * math.pow(tFn(el, phi0), n))
+    private val r0 = el.a * bigF * math.pow(tFn(el, phi0), n)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val r = el.a * bigF * math.pow(tFn(el, math.toRadians(latDeg)), n)
+      val theta = n * (math.toRadians(lonDeg) - lam0)
+      (fe + r * math.sin(theta), fn + r0 - r * math.cos(theta))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = r0 - (y - fn)
+      val r = math.signum(n) * math.sqrt(dx * dx + dy * dy)
+      val theta = if (n >= 0) math.atan2(dx, dy) else math.atan2(-dx, -dy)
+      val t = math.pow(r / (el.a * bigF), 1 / n)
+      (math.toDegrees(lam0 + theta / n), math.toDegrees(phiFromT(el, t)))
+    }
+  }
+
   final class Albers(el: Ellipsoid, phi1Deg: Double, phi2Deg: Double,
                      phi0Deg: Double, lam0Deg: Double, fe: Double, fn: Double)
       extends Projection {
@@ -374,6 +417,32 @@ object Proj {
       val theta = if (north) math.atan2(dx, -dy) else math.atan2(dx, dy)
       val lat = if (north) phiAbs else -phiAbs
       (math.toDegrees(lam0 + theta), math.toDegrees(lat))
+    }
+  }
+
+  /** Polar Stereographic variant A (EPSG 9810): scale factor k0 given AT the
+   *  pole rather than via a standard parallel (variant B, above). UPS is
+   *  this method with k0=0.994, FE=FN=2000000 (EPSG GN7-2 §3.2.3.1:
+   *  ρ = 2·a·k0·t / √((1+e)^(1+e)·(1-e)^(1-e))). */
+  final class PolarStereoA(el: Ellipsoid, k0: Double, lon0Deg: Double,
+                           fe: Double, fn: Double, north: Boolean) extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e = math.sqrt(el.e2)
+    private val cf = math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val t = tFn(el, math.toRadians(if (north) latDeg else -latDeg))
+      val rho = 2.0 * el.a * k0 * t / cf
+      val theta = math.toRadians(lonDeg) - lam0
+      if (north) (fe + rho * math.sin(theta), fn - rho * math.cos(theta))
+      else (fe + rho * math.sin(theta), fn + rho * math.cos(theta))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val rho = math.hypot(dx, dy)
+      val t = rho * cf / (2.0 * el.a * k0)
+      val phiAbs = phiFromT(el, t)
+      val theta = if (north) math.atan2(dx, -dy) else math.atan2(dx, dy)
+      (math.toDegrees(lam0 + theta), math.toDegrees(if (north) phiAbs else -phiAbs))
     }
   }
 
@@ -1206,6 +1275,7 @@ object Proj {
     else if (el == Intl1924) "+ellps=intl" else if (el == Clarke1866) "+ellps=clrk66"
     else if (el == Bessel1841) "+ellps=bessel" else if (el == Everest1967) "+ellps=evrst69"
     else if (el == Grs67Mod) "+ellps=aust_SA" else if (el == Clarke1858) "+ellps=clrk58"
+    else if (el == Krass1940) "+ellps=krass" else if (el == Clarke1880Ign) "+ellps=clrk80ign"
     else s"+a=${el.a} +rf=${el.invF}"
 
   private def datumTags(d: Datum): String = d.grid match {
@@ -1249,6 +1319,11 @@ object Proj {
            fe: Double, fn: Double, d: Datum = g, probe: (Double, Double)) =
       Crs(name, new TransMerc(d.el, lat0, lon0, k0, fe, fn), d, probe,
         s"+proj=tmerc +lat_0=${fmtP(lat0)} +lon_0=${fmtP(lon0)} +k=${fmtP(k0)} " +
+          s"+x_0=${fmtP(fe)} +y_0=${fmtP(fn)} ${datumTags(d)} +units=m +no_defs")
+    def lcc1(name: String, p0: Double, l0: Double, k0: Double, fe: Double, fn: Double,
+             d: Datum = g, probe: (Double, Double)) =
+      Crs(name, new Lcc1SP(d.el, p0, l0, k0, fe, fn), d, probe,
+        s"+proj=lcc +lat_1=${fmtP(p0)} +lat_0=${fmtP(p0)} +lon_0=${fmtP(l0)} +k_0=${fmtP(k0)} " +
           s"+x_0=${fmtP(fe)} +y_0=${fmtP(fn)} ${datumTags(d)} +units=m +no_defs")
 
     val base = Map(
@@ -1481,7 +1556,150 @@ object Proj {
         lat0, 3, 1700000, 1200000 + i * 1000000, probe = (3.0, lat0 + 0.2))
     }.toMap
 
-    base ++ japan ++ franceCC ++ loZones
+    // ------------- US State Plane (SPCS83, NAD83 meters) — set completion
+    // (round 9). Parameters from the public EPSG dataset / NGS SP 5-4; zone
+    // math is the TM/LCC kernel already validated on the earlier zones.
+    val usSpcsTm = Map(
+      "EPSG:26957" -> tm("NAD83 / Delaware", 38, dms(-75, 25), 1 - 1.0 / 200000, 200000, 0, probe = (-75.5, 39.1)),
+      "EPSG:26961" -> tm("NAD83 / Hawaii zone 1", dms(18, 50), dms(-155, 30), 1 - 1.0 / 30000, 500000, 0, probe = (-155.2, 19.6)),
+      "EPSG:26962" -> tm("NAD83 / Hawaii zone 2", dms(20, 20), dms(-156, 40), 1 - 1.0 / 30000, 500000, 0, probe = (-156.4, 20.8)),
+      "EPSG:26963" -> tm("NAD83 / Hawaii zone 3", dms(21, 10), -158, 1 - 1.0 / 100000, 500000, 0, probe = (-157.9, 21.4)),
+      "EPSG:26964" -> tm("NAD83 / Hawaii zone 4", dms(21, 50), dms(-159, 30), 1 - 1.0 / 100000, 500000, 0, probe = (-159.4, 22.05)),
+      "EPSG:26965" -> tm("NAD83 / Hawaii zone 5", dms(21, 40), dms(-160, 10), 1.0, 500000, 0, probe = (-160.1, 21.9)),
+      "EPSG:26968" -> tm("NAD83 / Idaho East", dms(41, 40), dms(-112, 10), 1 - 1.0 / 19000, 200000, 0, probe = (-112, 43)),
+      "EPSG:26969" -> tm("NAD83 / Idaho Central", dms(41, 40), -114, 1 - 1.0 / 19000, 500000, 0, probe = (-114.2, 43.6)),
+      "EPSG:26970" -> tm("NAD83 / Idaho West", dms(41, 40), dms(-115, 45), 1 - 1.0 / 15000, 800000, 0, probe = (-116.2, 43.6)),
+      "EPSG:26973" -> tm("NAD83 / Indiana East", 37.5, dms(-85, 40), 1 - 1.0 / 30000, 100000, 250000, probe = (-85.9, 39.8)),
+      "EPSG:26974" -> tm("NAD83 / Indiana West", 37.5, dms(-87, 5), 1 - 1.0 / 30000, 900000, 250000, probe = (-87.2, 39.5)),
+      "EPSG:26983" -> tm("NAD83 / Maine East", dms(43, 40), -68.5, 1 - 1.0 / 10000, 300000, 0, probe = (-68.8, 44.8)),
+      "EPSG:26984" -> tm("NAD83 / Maine West", dms(42, 50), dms(-70, 10), 1 - 1.0 / 30000, 900000, 0, probe = (-70.3, 43.7)),
+      "EPSG:26994" -> tm("NAD83 / Mississippi East", 29.5, dms(-88, 50), 1 - 1.0 / 20000, 300000, 0, probe = (-88.8, 32.3)),
+      "EPSG:26995" -> tm("NAD83 / Mississippi West", 29.5, dms(-90, 20), 1 - 1.0 / 20000, 700000, 0, probe = (-90.2, 32.3)),
+      "EPSG:26996" -> tm("NAD83 / Missouri East", dms(35, 50), -90.5, 1 - 1.0 / 15000, 250000, 0, probe = (-90.2, 38.6)),
+      "EPSG:26997" -> tm("NAD83 / Missouri Central", dms(35, 50), -92.5, 1 - 1.0 / 15000, 500000, 0, probe = (-92.2, 38.6)),
+      "EPSG:26998" -> tm("NAD83 / Missouri West", dms(36, 10), -94.5, 1 - 1.0 / 17000, 850000, 0, probe = (-94.6, 39.1)),
+      "EPSG:32107" -> tm("NAD83 / Nevada East", dms(34, 45), dms(-115, 35), 1 - 1.0 / 10000, 200000, 8000000, probe = (-115.1, 36.2)),
+      "EPSG:32108" -> tm("NAD83 / Nevada Central", dms(34, 45), dms(-116, 40), 1 - 1.0 / 10000, 500000, 6000000, probe = (-117.2, 38.1)),
+      "EPSG:32109" -> tm("NAD83 / Nevada West", dms(34, 45), dms(-118, 35), 1 - 1.0 / 10000, 800000, 4000000, probe = (-119.8, 39.5)),
+      "EPSG:32110" -> tm("NAD83 / New Hampshire", 42.5, dms(-71, 40), 1 - 1.0 / 30000, 300000, 0, probe = (-71.5, 43.2)),
+      "EPSG:32111" -> tm("NAD83 / New Jersey", dms(38, 50), -74.5, 0.9999, 150000, 0, probe = (-74.4, 40.2)),
+      "EPSG:32112" -> tm("NAD83 / New Mexico East", 31, dms(-104, 20), 1 - 1.0 / 11000, 165000, 0, probe = (-104.3, 32.9)),
+      "EPSG:32113" -> tm("NAD83 / New Mexico Central", 31, dms(-106, 15), 0.9999, 500000, 0, probe = (-106.6, 35.1)),
+      "EPSG:32114" -> tm("NAD83 / New Mexico West", 31, dms(-107, 50), 1 - 1.0 / 12000, 830000, 0, probe = (-108.2, 35.1)),
+      "EPSG:32130" -> tm("NAD83 / Rhode Island", dms(41, 5), -71.5, 1 - 1.0 / 160000, 100000, 0, probe = (-71.4, 41.8)),
+      "EPSG:32145" -> tm("NAD83 / Vermont", 42.5, -72.5, 1 - 1.0 / 28000, 500000, 0, probe = (-72.6, 44.3)),
+      "EPSG:32155" -> tm("NAD83 / Wyoming East", 40.5, dms(-105, 10), 1 - 1.0 / 16000, 200000, 0, probe = (-104.8, 41.1)),
+      "EPSG:32156" -> tm("NAD83 / Wyoming East Central", 40.5, dms(-107, 20), 1 - 1.0 / 16000, 400000, 100000, probe = (-107.3, 43.0)),
+      "EPSG:32157" -> tm("NAD83 / Wyoming West Central", 40.5, dms(-108, 45), 1 - 1.0 / 16000, 600000, 0, probe = (-108.7, 42.8)),
+      "EPSG:32158" -> tm("NAD83 / Wyoming West", 40.5, dms(-110, 5), 1 - 1.0 / 16000, 800000, 100000, probe = (-110.7, 41.3))
+    ) ++ (2 to 9).map { z =>
+      val lon0 = -142.0 - 4 * (z - 2)
+      s"EPSG:${26930 + z}" -> tm(s"NAD83 / Alaska zone $z", 54, lon0, 0.9999, 500000, 0,
+        probe = (lon0 + 0.5, 63.0))
+    }.toMap
+
+    val usSpcsLcc = Map(
+      "EPSG:26940" -> lcc("NAD83 / Alaska zone 10", dms(51, 50), dms(53, 50), 51, -176, 1000000, 0, probe = (-175.5, 52.5)),
+      "EPSG:26951" -> lcc("NAD83 / Arkansas North", dms(34, 56), dms(36, 14), dms(34, 20), -92, 400000, 0, probe = (-92.3, 35.5)),
+      "EPSG:26952" -> lcc("NAD83 / Arkansas South", dms(33, 18), dms(34, 46), dms(32, 40), -92, 400000, 400000, probe = (-92.2, 33.6)),
+      "EPSG:26956" -> lcc("NAD83 / Connecticut", dms(41, 12), dms(41, 52), dms(40, 50), dms(-72, 45), 304800.6096, 152400.3048, probe = (-72.7, 41.6)),
+      "EPSG:26975" -> lcc("NAD83 / Iowa North", dms(42, 4), dms(43, 16), 41.5, -93.5, 1500000, 1000000, probe = (-93.6, 42.5)),
+      "EPSG:26976" -> lcc("NAD83 / Iowa South", dms(40, 37), dms(41, 47), 40, -93.5, 500000, 0, probe = (-93.6, 41.0)),
+      "EPSG:26977" -> lcc("NAD83 / Kansas North", dms(38, 43), dms(39, 47), dms(38, 20), -98, 400000, 0, probe = (-97.6, 39.0)),
+      "EPSG:26978" -> lcc("NAD83 / Kansas South", dms(37, 16), dms(38, 34), dms(36, 40), -98.5, 400000, 400000, probe = (-97.3, 37.7)),
+      "EPSG:26979" -> lcc("NAD83 / Kentucky North", dms(37, 58), dms(38, 58), 37.5, -84.25, 500000, 0, probe = (-84.5, 38.2)),
+      "EPSG:2205" -> lcc("NAD83 / Kentucky North", dms(37, 58), dms(38, 58), 37.5, -84.25, 500000, 0, probe = (-84.5, 38.2)),
+      "EPSG:26980" -> lcc("NAD83 / Kentucky South", dms(36, 44), dms(37, 56), dms(36, 20), -85.75, 500000, 500000, probe = (-85.7, 37.1)),
+      "EPSG:3088" -> lcc("NAD83 / Kentucky Single Zone", dms(37, 5), dms(38, 40), dms(36, 20), -85.75, 1500000, 1000000, probe = (-85.7, 37.5)),
+      "EPSG:26981" -> lcc("NAD83 / Louisiana North", dms(31, 10), dms(32, 40), 30.5, -92.5, 1000000, 0, probe = (-92.5, 32.5)),
+      "EPSG:26982" -> lcc("NAD83 / Louisiana South", dms(29, 18), dms(30, 42), 28.5, dms(-91, 20), 1000000, 0, probe = (-90.1, 30.0)),
+      "EPSG:26986" -> lcc("NAD83 / Massachusetts Mainland", dms(41, 43), dms(42, 41), 41, -71.5, 200000, 750000, probe = (-71.06, 42.36)),
+      "EPSG:26987" -> lcc("NAD83 / Massachusetts Island", dms(41, 17), dms(41, 29), 41, -70.5, 500000, 0, probe = (-70.6, 41.4)),
+      "EPSG:26988" -> lcc("NAD83 / Michigan North", dms(45, 29), dms(47, 5), dms(44, 47), -87, 8000000, 0, probe = (-87.1, 46.3)),
+      "EPSG:26989" -> lcc("NAD83 / Michigan Central", dms(44, 11), dms(45, 42), dms(43, 19), dms(-84, 22), 6000000, 0, probe = (-84.6, 44.8)),
+      "EPSG:26990" -> lcc("NAD83 / Michigan South", dms(42, 6), dms(43, 40), 41.5, dms(-84, 22), 4000000, 0, probe = (-83.7, 42.7)),
+      "EPSG:26991" -> lcc("NAD83 / Minnesota North", dms(47, 2), dms(48, 38), 46.5, dms(-93, 6), 800000, 100000, probe = (-93.4, 47.8)),
+      "EPSG:26992" -> lcc("NAD83 / Minnesota Central", dms(45, 37), dms(47, 3), 45, dms(-94, 15), 800000, 100000, probe = (-94.2, 46.0)),
+      "EPSG:26993" -> lcc("NAD83 / Minnesota South", dms(43, 47), dms(45, 13), 43, -94, 800000, 100000, probe = (-93.1, 44.0)),
+      "EPSG:32104" -> lcc("NAD83 / Nebraska", 40, 43, dms(39, 50), -100, 500000, 0, probe = (-96.7, 41.25)),
+      "EPSG:32119" -> lcc("NAD83 / North Carolina", dms(34, 20), dms(36, 10), dms(33, 45), -79, 609601.22, 0, probe = (-78.6, 35.8)),
+      "EPSG:32120" -> lcc("NAD83 / North Dakota North", dms(47, 26), dms(48, 44), 47, -100.5, 600000, 0, probe = (-100.8, 48.2)),
+      "EPSG:32121" -> lcc("NAD83 / North Dakota South", dms(46, 11), dms(47, 29), dms(45, 40), -100.5, 600000, 0, probe = (-100.8, 46.8)),
+      "EPSG:32122" -> lcc("NAD83 / Ohio North", dms(40, 26), dms(41, 42), dms(39, 40), -82.5, 600000, 0, probe = (-81.7, 41.4)),
+      "EPSG:32123" -> lcc("NAD83 / Ohio South", dms(38, 44), dms(40, 2), 38, -82.5, 600000, 0, probe = (-83.0, 39.1)),
+      "EPSG:32124" -> lcc("NAD83 / Oklahoma North", dms(35, 34), dms(36, 46), 35, -98, 600000, 0, probe = (-97.5, 36.1)),
+      "EPSG:32125" -> lcc("NAD83 / Oklahoma South", dms(33, 56), dms(35, 14), dms(33, 20), -98, 600000, 0, probe = (-97.5, 34.6)),
+      "EPSG:32133" -> lcc("NAD83 / South Carolina", 32.5, dms(34, 50), dms(31, 50), -81, 609600, 0, probe = (-81.0, 34.0)),
+      "EPSG:32134" -> lcc("NAD83 / South Dakota North", dms(44, 25), dms(45, 41), dms(43, 50), -100, 600000, 0, probe = (-100.3, 44.9)),
+      "EPSG:32135" -> lcc("NAD83 / South Dakota South", dms(42, 50), dms(44, 24), dms(42, 20), dms(-100, 20), 600000, 0, probe = (-103.2, 43.5)),
+      "EPSG:32136" -> lcc("NAD83 / Tennessee", dms(35, 15), dms(36, 25), dms(34, 20), -86, 600000, 0, probe = (-86.8, 36.16)),
+      "EPSG:32142" -> lcc("NAD83 / Utah North", dms(40, 43), dms(41, 47), dms(40, 20), -111.5, 500000, 1000000, probe = (-111.9, 41.0)),
+      "EPSG:32143" -> lcc("NAD83 / Utah Central", dms(39, 1), dms(40, 39), dms(38, 20), -111.5, 500000, 2000000, probe = (-111.9, 39.5)),
+      "EPSG:32144" -> lcc("NAD83 / Utah South", dms(37, 13), dms(38, 21), dms(36, 40), -111.5, 500000, 3000000, probe = (-113.1, 37.7)),
+      "EPSG:32150" -> lcc("NAD83 / West Virginia North", 39, dms(40, 15), 38.5, -79.5, 600000, 0, probe = (-80.0, 39.5)),
+      "EPSG:32151" -> lcc("NAD83 / West Virginia South", dms(37, 29), dms(38, 53), 37, -81, 600000, 0, probe = (-81.6, 38.3)),
+      "EPSG:32152" -> lcc("NAD83 / Wisconsin North", dms(45, 34), dms(46, 46), dms(45, 10), -90, 600000, 0, probe = (-89.4, 45.9)),
+      "EPSG:32153" -> lcc("NAD83 / Wisconsin Central", dms(44, 15), dms(45, 30), dms(43, 50), -90, 600000, 0, probe = (-89.4, 44.8)),
+      "EPSG:32154" -> lcc("NAD83 / Wisconsin South", dms(42, 44), dms(44, 4), 42, -90, 600000, 0, probe = (-89.4, 43.1)),
+      "EPSG:32161" -> lcc("NAD83 / Puerto Rico & Virgin Is.", dms(18, 2), dms(18, 26), dms(17, 50), dms(-66, 26), 200000, 200000, probe = (-66.1, 18.4)),
+      // Alaska zone 1: Hotine oblique Mercator variant A (EPSG 9812) along
+      // the panhandle axis, azimuth 323°07'48.3685"
+      "EPSG:26931" -> Crs("NAD83 / Alaska zone 1",
+        new Omerc(Grs80, 57, dms(-133, 40), dms(323, 7, 48.3685), dms(323, 7, 48.3685),
+          0.9999, 5000000, -5000000, variantA = true),
+        g, (-134.4, 58.3),
+        s"+proj=omerc +no_uoff +lat_0=57 +lonc=${dms(-133, 40)} +alpha=${dms(323, 7, 48.3685)} " +
+          s"+gamma=${dms(323, 7, 48.3685)} +k=0.9999 +x_0=5000000 +y_0=-5000000 " +
+          "+ellps=GRS80 +units=m +no_defs"))
+
+    // ------------------------- European national grids (round 9)
+    // NTF Lambert zones: LCC 1SP on Clarke 1880 (IGN); the Paris prime
+    // meridian (2°20'14.025" east of Greenwich) is folded into lon_0
+    val parisLon = dms(2, 20, 14.025)
+    val europe = Map(
+      "EPSG:2100" -> tm("GGRS87 / Greek Grid", 0, 24, 0.9996, 500000, 0, DatumGgrs87, probe = (23.7, 38.0)),
+      "EPSG:3346" -> tm("LKS94 / Lithuania TM", 0, 24, 0.9998, 500000, 0, probe = (25.3, 54.7)),
+      "EPSG:3059" -> tm("LKS92 / Latvia TM", 0, 24, 0.9996, 500000, -6000000, probe = (24.1, 56.95)),
+      "EPSG:3301" -> lcc("Estonian Coordinate System of 1997", dms(59, 20), 58, dms(57, 31, 3.19415), 24, 500000, 6375000, probe = (24.75, 59.43)),
+      "EPSG:31370" -> lcc("BD72 / Belgian Lambert 72", dms(51, 10, 0.00204), dms(49, 50, 0.00204), 90, dms(4, 22, 2.952), 150000.013, 5400088.438, DatumBd72, probe = (4.35, 50.85)),
+      "EPSG:27561" -> lcc1("NTF (Paris) / Lambert Nord France", 49.5, parisLon, 0.999877341, 600000, 200000, DatumNtf, probe = (2.35, 49.5)),
+      "EPSG:27562" -> lcc1("NTF (Paris) / Lambert Centre France", 46.8, parisLon, 0.99987742, 600000, 200000, DatumNtf, probe = (2.35, 46.8)),
+      "EPSG:27563" -> lcc1("NTF (Paris) / Lambert Sud France", 44.1, parisLon, 0.999877499, 600000, 200000, DatumNtf, probe = (2.35, 44.1)),
+      "EPSG:27571" -> lcc1("NTF (Paris) / Lambert zone I", 49.5, parisLon, 0.999877341, 600000, 1200000, DatumNtf, probe = (2.35, 49.5)),
+      "EPSG:27572" -> lcc1("NTF (Paris) / Lambert zone II", 46.8, parisLon, 0.99987742, 600000, 2200000, DatumNtf, probe = (2.35, 46.8)),
+      "EPSG:27573" -> lcc1("NTF (Paris) / Lambert zone III", 44.1, parisLon, 0.999877499, 600000, 3200000, DatumNtf, probe = (2.35, 44.1))
+    ) ++ (2 to 5).map { z =>
+      // DHDN 3-degree Gauss-Krüger zones 2-5 (Germany West; Bessel)
+      s"EPSG:${31464 + z}" -> tm(s"DHDN / 3-degree Gauss-Kruger zone $z", 0, 3 * z, 1.0,
+        z * 1e6 + 500000, 0, DatumDhdn, probe = (3.0 * z + 0.7, 51.0))
+    }.toMap ++ (0 to 2).flatMap { i =>
+      // MGI / Austria Gauss-Krüger: plain (FN=-5e6) and M28/M31/M34 spellings
+      val l0 = Seq(dms(10, 20), dms(13, 20), dms(16, 20))(i)
+      val nm = Seq("West", "Central", "East")(i)
+      val probe = (l0 + 0.3, 47.5)
+      Seq(
+        s"EPSG:${31254 + i}" -> tm(s"MGI / Austria GK $nm", 0, l0, 1.0, 0, -5000000, DatumMgi, probe = probe),
+        s"EPSG:${31257 + i}" -> tm(s"MGI / Austria GK M${Seq(28, 31, 34)(i)}", 0, l0, 1.0,
+          150000 + 300000 * i, -5000000, DatumMgi, probe = probe))
+    }.toMap
+
+    // Universal Polar Stereographic (EPSG 9810 variant A, k0=0.994 at the
+    // pole): the (N,E) and (E,N) axis-order codes share one kernel —
+    // always_xy output is easting/northing either way
+    val ups = {
+      def upsCrs(name: String, north: Boolean) =
+        Crs(name, new PolarStereoA(Wgs84, 0.994, 0, 2000000, 2000000, north), w,
+          (30.0, if (north) 80.0 else -80.0),
+          s"+proj=stere +lat_0=${if (north) 90 else -90} +k=0.994 +x_0=2000000 +y_0=2000000 " +
+            "+ellps=WGS84 +units=m +no_defs")
+      Map(
+        "EPSG:32661" -> upsCrs("WGS 84 / UPS North (N,E)", north = true),
+        "EPSG:5041" -> upsCrs("WGS 84 / UPS North (E,N)", north = true),
+        "EPSG:32761" -> upsCrs("WGS 84 / UPS South (N,E)", north = false),
+        "EPSG:5042" -> upsCrs("WGS 84 / UPS South (E,N)", north = false))
+    }
+
+    base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++ ups
   }
 
   // UTM-style zone families resolved by pattern; instances cached (the Krüger
@@ -1493,6 +1711,35 @@ object Proj {
       d, ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0),
       s"+proj=utm +zone=$zone${if (south) " +south" else ""} ${datumTags(d)} +units=m +no_defs"))
 
+  /** Pulkovo 1942 / Gauss-Krüger 6° zones (EPSG:28402-28432, zone = code-28400):
+   *  tmerc k=1 on Krassowsky 1940, FE = zone·10⁶+500000. Datum accuracy note
+   *  on [[DatumPulkovo42]]. */
+  private def pulkovoGkCrs(code: String, zone: Int): Crs =
+    zoneCache.computeIfAbsent(code, _ => {
+      val lon0r = 6 * zone - 3
+      val lon0 = if (lon0r > 180) lon0r - 360.0 else lon0r.toDouble
+      Crs(s"Pulkovo 1942 / Gauss-Kruger zone $zone",
+        new TransMerc(Krass1940, 0, lon0, 1.0, zone * 1e6 + 500000, 0), DatumPulkovo42,
+        (lon0 + 0.5, 55.0),
+        s"+proj=tmerc +lat_0=0 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(zone * 1e6 + 500000)} " +
+          "+y_0=0 +ellps=krass +towgs84=28,-130,-95 +units=m +no_defs")
+    })
+  /** POSGAR Gauss-Krüger fajas 1-7 (Argentina): tmerc lat0=-90 k=1 on GRS80,
+   *  lon0 = 3·faja − 75, FE = faja·10⁶+500000. POSGAR 94 and 98 share GRS80
+   *  at this chain's accuracy class. */
+  private def posgarCrs(code: String, frame: String, faja: Int): Crs =
+    zoneCache.computeIfAbsent(code, _ => {
+      val lon0 = 3.0 * faja - 75.0
+      Crs(s"POSGAR $frame / Argentina $faja",
+        new TransMerc(Grs80, -90, lon0, 1.0, faja * 1e6 + 500000, 0), DatumGrs80,
+        (lon0 + 0.5, -35.0),
+        s"+proj=tmerc +lat_0=-90 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(faja * 1e6 + 500000)} " +
+          "+y_0=0 +ellps=GRS80 +units=m +no_defs")
+    })
+
+  private val PulkovoGk = "EPSG:284(0[2-9]|[12][0-9]|3[0-2])".r  // zones 2-32
+  private val Posgar98 = "EPSG:2217([1-7])".r                    // fajas 1-7
+  private val Posgar94 = "EPSG:2218([1-7])".r
   private val Nad83Utm = "EPSG:269(0[1-9]|1[0-9]|2[0-3])".r // NAD83 / UTM 1N-23N
   private val Mga94 = "EPSG:283(4[89]|5[0-8])".r            // GDA94 / MGA 48-58
   private val Mga2020 = "EPSG:78(4[6-9]|5[0-9])".r          // GDA2020 / MGA 46-59
@@ -1559,7 +1806,9 @@ object Proj {
           case Some("evrst69") => Everest1967
           case Some("aust_SA") => Grs67Mod
           case Some("clrk58") => Clarke1858 // graft extension; PROJ spells it +a/+rf
-          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, aust_SA, clrk58; or +a with +rf)")
+          case Some("krass") => Krass1940
+          case Some("clrk80ign") => Clarke1880Ign
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, aust_SA, clrk58, krass, clrk80ign; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
           case None if kv.contains("R") => Ellipsoid(num("R", 0), Double.PositiveInfinity)
           case None if kv.contains("a") && kv.contains("b") =>
@@ -1595,11 +1844,17 @@ object Proj {
     val (base: Projection, probe: (Double, Double)) = method match {
       case "longlat" | "latlong" | "lonlat" => (LonLatIdentity, (10.0, 45.0))
       case "lcc" =>
-        if (!kv.contains("lat_2"))
-          fail("LCC with a single standard parallel (1SP) is not implemented; give +lat_1 and +lat_2")
-        val lat1 = num("lat_1", p("lat_0")); val lat2 = p("lat_2")
-        (new Lcc2SP(el, lat1, lat2, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
-          (num("lon_0", 0), (lat1 + lat2) / 2))
+        if (!kv.contains("lat_2")) {
+          // 1SP (EPSG 9801): +lat_1 is the single standard parallel (= the
+          // latitude of origin in PROJ's spelling), scale via +k_0
+          val lat1 = num("lat_1", p("lat_0"))
+          (new Lcc1SP(el, lat1, p("lon_0"), num("k", num("k_0", 1.0)), p("x_0"), p("y_0")),
+            (num("lon_0", 0), lat1))
+        } else {
+          val lat1 = num("lat_1", p("lat_0")); val lat2 = p("lat_2")
+          (new Lcc2SP(el, lat1, lat2, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
+            (num("lon_0", 0), (lat1 + lat2) / 2))
+        }
       case "aea" =>
         val lat1 = num("lat_1", 29.5); val lat2 = num("lat_2", 45.5) // PROJ defaults
         (new Albers(el, lat1, lat2, p("lat_0"), p("lon_0"), p("x_0"), p("y_0")),
@@ -1651,8 +1906,14 @@ object Proj {
         val lat0 = num("lat_0", 90)
         if (math.abs(lat0) < 90 - 1e-9)
           fail("+proj=stere is implemented in polar aspect only (+lat_0=90 or -90)")
-        (new PolarStereo(el, num("lat_ts", lat0), p("lon_0"), p("x_0"), p("y_0"), north = lat0 > 0),
-          (num("lon_0", 0), if (lat0 > 0) 80.0 else -80.0))
+        // +lat_ts selects variant B (standard parallel); otherwise variant A
+        // with the pole-scale +k (UPS: +k=0.994) — lat_ts=±90 would be 0/0
+        val proj: Projection =
+          if (kv.contains("lat_ts"))
+            new PolarStereo(el, p("lat_ts"), p("lon_0"), p("x_0"), p("y_0"), north = lat0 > 0)
+          else
+            new PolarStereoA(el, num("k", num("k_0", 1.0)), p("lon_0"), p("x_0"), p("y_0"), north = lat0 > 0)
+        (proj, (num("lon_0", 0), if (lat0 > 0) 80.0 else -80.0))
       case "merc" =>
         // variant B via lat_ts (k0 = m(lat_ts), Snyder 7-2), else variant A
         val k0 =
@@ -1740,6 +2001,9 @@ object Proj {
     case SirgasN(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 54}N", z.toInt - 54, south = false, DatumGrs80))
     case SirgasS(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 60}S", z.toInt - 60, south = true, DatumGrs80))
     case Ed50Utm(z) => Some(utmCrs(code, s"ED50 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumEd50))
+    case PulkovoGk(nn) => Some(pulkovoGkCrs(code, nn.toInt))
+    case Posgar98(f) => Some(posgarCrs(code, "98", f.toInt))
+    case Posgar94(f) => Some(posgarCrs(code, "94", f.toInt))
     case _ => None
   })
 
@@ -1765,7 +2029,14 @@ object Proj {
     "EPSG:4674" -> (("SIRGAS 2000", DatumGrs80)),
     "EPSG:4277" -> (("OSGB36", DatumOsgb36)),
     "EPSG:4299" -> (("TM65 (Ireland)", DatumTm75)),
-    "EPSG:4230" -> (("ED50", DatumEd50)))
+    "EPSG:4230" -> (("ED50", DatumEd50)),
+    "EPSG:4314" -> (("DHDN", DatumDhdn)),
+    "EPSG:4312" -> (("MGI", DatumMgi)),
+    "EPSG:4121" -> (("GGRS87", DatumGgrs87)),
+    "EPSG:4275" -> (("NTF", DatumNtf)),
+    "EPSG:4313" -> (("BD72", DatumBd72)),
+    "EPSG:4284" -> (("Pulkovo 1942", DatumPulkovo42)),
+    "EPSG:4618" -> (("SAD69", DatumSad69)))
 
   /** ST_Read_Meta enrichment: human name + equivalent `+proj=` string for a
    *  recognized authority code ("EPSG:4326"-style), covering projected
@@ -1792,7 +2063,10 @@ object Proj {
       (28348 to 28358).map(c => s"EPSG:$c"),
       (7846 to 7859).map(c => s"EPSG:$c"),
       (31965 to 31985).map(c => s"EPSG:$c"),
-      (23028 to 23038).map(c => s"EPSG:$c")).flatten
+      (23028 to 23038).map(c => s"EPSG:$c"),
+      (28402 to 28432).map(c => s"EPSG:$c"),
+      (22171 to 22177).map(c => s"EPSG:$c"),
+      (22181 to 22187).map(c => s"EPSG:$c")).flatten
     (registry.keys.toSeq.map(c => c -> registry(c).name) ++
       families.flatMap(c => lookup(c).map(c -> _.name)) ++
       geographic.map { case (c, (n, _)) => c -> s"$n (geographic)" }).sortBy(_._1)

@@ -455,7 +455,12 @@ class ProjRegistrySpec extends AnyFunSuite {
     def msg(s: String): String =
       intercept[IllegalArgumentException](Proj.fromProjString(s)).getMessage
     assert(msg("+proj=wink2 +lon_0=0").contains("unsupported +proj=wink2"))
-    assert(msg("+proj=lcc +lat_1=45 +lon_0=3").contains("1SP"))
+    // LCC 1SP (no +lat_2) is implemented since round 9 — it parses and
+    // round-trips instead of failing
+    val lcc1 = Proj.fromProjString("+proj=lcc +lat_1=45 +lon_0=3 +k_0=0.9999").get
+    val (x1, y1) = lcc1.proj.forward(4.0, 46.0)
+    val (lo1, la1) = lcc1.proj.inverse(x1, y1)
+    assert(math.abs(lo1 - 4.0) < 1e-9 && math.abs(la1 - 46.0) < 1e-9)
     assert(msg("+proj=stere +lat_0=52 +lon_0=0").contains("polar aspect"))
     assert(msg("+proj=tmerc +datum=potsdam").contains("unsupported +datum"))
     assert(msg("+proj=tmerc +ellps=sphere").contains("unsupported +ellps"))
@@ -649,6 +654,39 @@ class ProjRegistrySpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("ST_Transform")))
+  }
+
+  test("UPS: EPSG GN7-2 Polar Stereographic variant A worked example reproduces") {
+    // GN7-2 §3.2.3: WGS84 / UPS North (k0=0.994, FE=FN=2000000),
+    // φ=73°N λ=44°E → E=3320416.75 m, N=632668.43 m
+    val ups = Proj.lookup("EPSG:32661").get
+    val (e, n) = ups.proj.forward(44.0, 73.0)
+    assert(math.abs(e - 3320416.75) < 0.02, s"E=$e")
+    assert(math.abs(n - 632668.43) < 0.02, s"N=$n")
+    val (lon, lat) = ups.proj.inverse(3320416.75, 632668.43)
+    assert(math.abs(lon - 44.0) < 1e-7 && math.abs(lat - 73.0) < 1e-7)
+    // south aspect: mirrored latitude, same radius from the pole
+    val upsS = Proj.lookup("EPSG:32761").get
+    val (es, ns) = upsS.proj.forward(44.0, -73.0)
+    assert(math.abs(es - e) < 1e-6 && math.abs(ns - (4000000 - n)) < 1e-6)
+  }
+
+  test("LCC 1SP: scale at the single standard parallel equals k0 (NTF Lambert II)") {
+    val crs = Proj.lookup("EPSG:27572").get
+    val el = graft.geom.Proj.Clarke1880Ign
+    val phi0 = math.toRadians(46.8)
+    // numeric scale along the parallel vs the ellipsoidal parallel radius
+    val lon0 = 2.0 + (20.0 + 14.025 / 60) / 60 // Paris meridian, Greenwich lon of origin
+    val d = 1e-6
+    val (x1, y1) = crs.proj.forward(lon0, 46.8)
+    val (x2, y2) = crs.proj.forward(lon0 + d, 46.8)
+    val planar = math.hypot(x2 - x1, y2 - y1)
+    val rParallel = el.a * math.cos(phi0) /
+      math.sqrt(1 - el.e2 * math.sin(phi0) * math.sin(phi0))
+    val k = planar / (math.toRadians(d) * rParallel)
+    assert(math.abs(k - 0.99987742) < 1e-7, s"k=$k")
+    // and the natural origin lands on the false offsets
+    assert(math.abs(x1 - 600000) < 1e-6 && math.abs(y1 - 2200000) < 1e-6)
   }
 
   test("Cassini-Soldner: EPSG GN7-2 Trinidad worked example reproduces") {
