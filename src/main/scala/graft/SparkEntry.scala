@@ -935,6 +935,29 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Round 9: Universal Polar Stereographic (EPSG:32661, Polar
+    // Stereographic variant A — pole scale k0=0.994, EPSG method 9810) and
+    // Lambert Conic Conformal 1SP (EPSG method 9801, the Jamaica-grid
+    // parameterization on WGS84 so no datum step) — both vs independent
+    // plain-SQL transcriptions of the GN7-2 formula chains. Kernels are
+    // additionally pinned to GN7-2's published UPS and Jamaica worked
+    // examples in ProjRegistrySpec.
+    "q_transform_ups" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:32661')) / 10.0d, 2) + 0.0d AS ux,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:32661')) / 10.0d, 2) + 0.0d AS uy,
+             round(st_x(st_transform(st_point(jlon, jlat), 'OGC:CRS84',
+               '+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 +y_0=150000 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS jx,
+             round(st_y(st_transform(st_point(jlon, jlat), 'OGC:CRS84',
+               '+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 +y_0=150000 +ellps=WGS84')) / 10.0d, 2) + 0.0d AS jy
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 360 AS DOUBLE) - 180.0d AS lon,
+                   cast(l_suppkey % 25 AS DOUBLE) + 65.0d AS lat,
+                   cast(l_partkey % 30 AS DOUBLE) / 10.0d - 78.5d AS jlon,
+                   cast(l_suppkey % 30 AS DOUBLE) / 10.0d + 16.5d AS jlat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // PROJ parameter-string input (round 6): a custom LCC-2SP not in the
     // EPSG registry, plus Mercator variant B (+lat_ts) — both against
     // independent plain-SQL Snyder oracles.
@@ -1007,21 +1030,23 @@ object SparkEntry {
     // design as q_transform_ntv2.
     "q_transform_vgrid" -> ((s: SparkSession, dir: String) => {
       val gtx = gtxDemoGrid
+      // each direction computed ONCE in the subquery — CollapseProject does
+      // not inline a non-cheap alias used 3×, so the plan keeps 2 transform
+      // kernel calls per row instead of 4
       q("lineitem")(s"""
         SELECT k,
-               round(st_z(st_transform(st_force3dz(st_point(lon, lat), z),
-                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS hz,
-               round(st_z(st_transform(st_force3dz(st_point(lon, lat), z),
-                 'OGC:CRS84', '+proj=longlat +datum=WGS84 +geoidgrids=$gtx')), 6) + 0.0d AS oz,
-               round(st_x(st_transform(st_force3dz(st_point(lon, lat), z),
-                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS gx,
-               round(st_y(st_transform(st_force3dz(st_point(lon, lat), z),
-                 '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84')), 6) + 0.0d AS gy
-        FROM (SELECT $K AS k,
-                     cast(l_partkey % 80 AS DOUBLE) / 4.0d - 110.0d AS lon,
-                     cast(l_suppkey % 80 AS DOUBLE) / 4.0d + 30.0d AS lat,
-                     cast(l_orderkey % 500 AS DOUBLE) / 4.0d AS z
-              FROM lineitem)
+               round(st_z(fw), 6) + 0.0d AS hz,
+               round(st_z(bw), 6) + 0.0d AS oz,
+               round(st_x(fw), 6) + 0.0d AS gx,
+               round(st_y(fw), 6) + 0.0d AS gy
+        FROM (SELECT k,
+                     st_transform(pt, '+proj=longlat +datum=WGS84 +geoidgrids=$gtx', 'OGC:CRS84') AS fw,
+                     st_transform(pt, 'OGC:CRS84', '+proj=longlat +datum=WGS84 +geoidgrids=$gtx') AS bw
+              FROM (SELECT $K AS k,
+                           st_force3dz(st_point(cast(l_partkey % 80 AS DOUBLE) / 4.0d - 110.0d,
+                                                cast(l_suppkey % 80 AS DOUBLE) / 4.0d + 30.0d),
+                                       cast(l_orderkey % 500 AS DOUBLE) / 4.0d) AS pt
+                    FROM lineitem))
         ORDER BY k""")(s, dir)
     }),
 
@@ -3329,6 +3354,41 @@ object SparkEntry {
              round((-rho*cos(radians(lon)))/10.0, 2) + 0.0 AS py
       FROM (SELECT k, lon,
                    a*mc*(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2))/tc AS rho
+            FROM pts CROSS JOIN c1)
+      ORDER BY k""",
+
+    // Independent plain-SQL UPS (Polar Stereographic variant A, GN7-2
+    // §3.2.3.1: rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))) and LCC 1SP
+    // (GN7-2 §3.1.1.2: r = a F t^n k0, theta = n(lon-lon0)), both WGS84.
+    "q_transform_ups" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 360 AS DOUBLE) - 180.0 AS lon,
+               CAST(l_suppkey % 25 AS DOUBLE) + 65.0 AS lat,
+               CAST(l_partkey % 30 AS DOUBLE) / 10.0 - 78.5 AS jlon,
+               CAST(l_suppkey % 30 AS DOUBLE) / 10.0 + 16.5 AS jlat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919084262149 AS e, 0.0066943799901413165 AS e2, 6378137.0 AS a),
+      c1 AS (
+        SELECT *,
+               sqrt(pow(1+e, 1+e) * pow(1-e, 1-e)) AS cf,
+               sin(radians(18.0)) AS n1,
+               cos(radians(18.0))/sqrt(1-e2*sin(radians(18.0))*sin(radians(18.0))) AS m1,
+               tan(pi()/4 - radians(18.0)/2)
+                 / pow((1-e*sin(radians(18.0)))/(1+e*sin(radians(18.0))), e/2) AS t1
+        FROM c0)
+      SELECT k,
+             round((2000000 + rho*sin(radians(lon)))/10.0, 2) + 0.0 AS ux,
+             round((2000000 - rho*cos(radians(lon)))/10.0, 2) + 0.0 AS uy,
+             round((250000 + r*sin(n1*radians(jlon + 77.0)))/10.0, 2) + 0.0 AS jx,
+             round((150000 + a*m1/n1 - r*cos(n1*radians(jlon + 77.0)))/10.0, 2) + 0.0 AS jy
+      FROM (SELECT k, lon, jlon, n1, a, m1,
+                   2*a*0.994*(tan(pi()/4 - radians(lat)/2)
+                     / pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2))/cf AS rho,
+                   a*(m1/(n1*pow(t1, n1)))
+                     * pow(tan(pi()/4 - radians(jlat)/2)
+                         / pow((1-e*sin(radians(jlat)))/(1+e*sin(radians(jlat))), e/2), n1) AS r
             FROM pts CROSS JOIN c1)
       ORDER BY k""",
 

@@ -762,7 +762,8 @@ object GeoFns {
   // EPSG:3857 web mercator. Axis-order semantics follow the reference
   // (proj/functions.cpp:440-474): with always_xy=true, 4326 coordinates are
   // treated as lon/lat regardless of authority order.
-  private val UtmRe = "EPSG:32([67])([0-9]{2})".r
+  // zone strictly 01-60: EPSG:32661/32761 are UPS, not "UTM zone 61"
+  private val UtmRe = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
   private val EtrsUtmRe = "EPSG:258([0-9]{2})".r // ETRS89 / UTM zone (GRS80 ≡ WGS84 here)
   // CRS text resolution is per-QUERY-constant but runs per ROW: WKT1/WKT2/
   // PROJJSON inputs cost a regex sweep + parameter synthesis each call, so

@@ -671,6 +671,22 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(math.abs(es - e) < 1e-6 && math.abs(ns - (4000000 - n)) < 1e-6)
   }
 
+  test("LCC 1SP: EPSG GN7-2 Jamaica worked example reproduces") {
+    // GN7-2 §3.1.1.2 (Lambert Conic Conformal 1SP), JAD69 / Jamaica National
+    // Grid on Clarke 1866: lat0=18N lon0=77W k0=1 FE=250000 FN=150000;
+    // φ=17°55'55.8"N λ=76°56'37.26"W → E=255966.58 m, N=142493.51 m
+    val crs = Proj.fromProjString(
+      "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 " +
+        "+y_0=150000 +a=6378206.4 +rf=294.9786982").get
+    val lon = -(76 + 56.0 / 60 + 37.26 / 3600)
+    val lat = 17 + 55.0 / 60 + 55.8 / 3600
+    val (x, y) = crs.proj.forward(lon, lat)
+    assert(math.abs(x - 255966.58) < 0.02, s"E=$x")
+    assert(math.abs(y - 142493.51) < 0.02, s"N=$y")
+    val (lo, la) = crs.proj.inverse(255966.58, 142493.51)
+    assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7)
+  }
+
   test("LCC 1SP: scale at the single standard parallel equals k0 (NTF Lambert II)") {
     val crs = Proj.lookup("EPSG:27572").get
     val el = graft.geom.Proj.Clarke1880Ign
