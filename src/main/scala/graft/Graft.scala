@@ -166,6 +166,20 @@ object Graft {
       .queryExecution.analyzed
   }
 
+  /** ST_Layout_Info(path[, geom_col]): per-row-group bbox statistics of a
+   *  Hilbert-clustered parquet layout straight from the Parquet footers —
+   *  the stats that drive BboxSkippingRule pruning, and the analogue of the
+   *  reference's pragma_rtree_index_info/_dump introspection pragmas
+   *  (rtree_index_pragmas.cpp:236). */
+  def stLayoutInfoPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.forall(_.foldable),
+      "st_layout_info(path[, geom_col]) needs constant arguments")
+    val path = exprs.head.eval(null).toString
+    val geomCol = if (exprs.length > 1) exprs(1).eval(null).toString else "geom"
+    graft.io.GeoMeta.clusterInfo(SparkSession.active, path, geomCol)
+      .queryExecution.analyzed
+  }
+
   /** Idempotent per-session function registration. Skips only names OUR
    *  injection already placed in the session registry (source == "graft") —
    *  a name-exists check alone would wrongly skip overriding Spark 4.1's own
@@ -196,6 +210,8 @@ object Graft {
     if (!oursT(drv)) tfr.registerFunction(drv, new ExpressionInfo("graft", "st_drivers"), stDriversPlan _)
     val rm = org.apache.spark.sql.catalyst.FunctionIdentifier("st_read_meta")
     if (!oursT(rm)) tfr.registerFunction(rm, new ExpressionInfo("graft", "st_read_meta"), stReadMetaPlan _)
+    val li = org.apache.spark.sql.catalyst.FunctionIdentifier("st_layout_info")
+    if (!oursT(li)) tfr.registerFunction(li, new ExpressionInfo("graft", "st_layout_info"), stLayoutInfoPlan _)
   }
 }
 
@@ -236,6 +252,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_read_meta"),
       new ExpressionInfo("graft", "st_read_meta"),
       Graft.stReadMetaPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_layout_info"),
+      new ExpressionInfo("graft", "st_layout_info"),
+      Graft.stLayoutInfoPlan))
     ext.injectOptimizerRule(spark => new graft.plans.MeasureFusionRule(spark))
     // broadcast-index rule must precede the tile rewrite: small-side joins
     // take the broadcast R-tree plan, everything else tiles

@@ -2485,7 +2485,39 @@ object SparkEntry {
              st_hilbert(cast(i AS DOUBLE) + 0.5d, cast(j AS DOUBLE) + 0.5d, 0.0d, 0.0d, 16.0d, 16.0d) AS h,
              st_quadkey(cast(i * 20 - 160 AS DOUBLE) + 0.5d, cast(j * 10 - 80 AS DOUBLE) + 0.5d, 8) AS qk
       FROM (SELECT DISTINCT cast(l_partkey % 16 AS INT) AS i, cast(l_suppkey % 16 AS INT) AS j FROM lineitem)
-      ORDER BY i, j""")
+      ORDER BY i, j"""),
+
+    // XYZ tile addressing (round 9): st_tileenvelope vs the plain-arithmetic
+    // web-mercator tile grid — companion surface of the MVT pyramid
+    // writer/reader.
+    "q_tileenvelope" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_xmin(env), 4) + 0.0d AS x0, round(st_ymin(env), 4) + 0.0d AS y0,
+             round(st_xmax(env), 4) + 0.0d AS x1, round(st_ymax(env), 4) + 0.0d AS y1
+      FROM (SELECT $K AS k,
+                   st_tileenvelope(cast(2 + l_partkey % 6 AS INT), cast(l_suppkey % 4 AS INT),
+                                   cast(l_orderkey % 4 AS INT), cast(l_linenumber % 3 AS DOUBLE) / 10.0d) AS env
+            FROM lineitem)
+      ORDER BY k"""),
+
+    // Layout introspection (round 9): write a Hilbert-clustered layout, read
+    // its per-row-group bbox stats back through the st_layout_info TVF, and
+    // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
+    // a true cross-engine check of the stats that drive BboxSkippingRule.
+    "q_layout_info" -> ((s: SparkSession, dir: String) => {
+      val pts = q("lineitem")(s"""
+        SELECT $K AS id,
+               st_point(cast(l_partkey % 997 AS DOUBLE), cast(l_suppkey % 991 AS DOUBLE)) AS geom
+        FROM lineitem""")(s, dir)
+      graft.io.GeoWriter.clusteredParquet(pts, "geom", "/tmp/graft_qlayout",
+        targetPartitions = 8)
+      s.sql("""
+        SELECT file, row_group, rows,
+               round(min_x, 6) + 0.0d AS min_x, round(min_y, 6) + 0.0d AS min_y,
+               round(max_x, 6) + 0.0d AS max_x, round(max_y, 6) + 0.0d AS max_y
+        FROM st_layout_info('/tmp/graft_qlayout')
+        ORDER BY file, row_group""")
+    })
   )
 
     /** q_minhash_neardup's verified pair pins — shared with the
@@ -4523,6 +4555,38 @@ object SparkEntry {
         (15,6,3274353322,'31102231'),(15,7,3229614080,'31100231'),(15,8,3212836864,'13322233'),(15,9,3190467242,'13322011'),(15,10,2977955840,'13320013'),(15,11,2961178624,'13302013'),
         (15,12,2938809002,'13300011'),(15,13,2894069760,'13120231'),(15,14,2877292544,'13102013'),(15,15,2854922922,'11322011')) v(i, j, h, qk) ON v.i = d.i AND v.j = d.j
       ORDER BY d.i, d.j""",
+
+    // XYZ tile grid: plain web-mercator arithmetic (same double op order as
+    // the kernel: t = world/2^z, margin m = mg*t, corners ±world/2 offset)
+    "q_tileenvelope" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, 2 + l_partkey % 6 AS z, l_suppkey % 4 AS x, l_orderkey % 4 AS y,
+               CAST(l_linenumber % 3 AS DOUBLE) / 10.0 AS mg
+        FROM lineitem),
+      c AS (SELECT 2*pi()*6378137.0 AS w)
+      SELECT k,
+             round(-w/2 + x*t - m, 4) + 0.0 AS x0,
+             round(w/2 - (y+1)*t - m, 4) + 0.0 AS y0,
+             round(-w/2 + (x+1)*t + m, 4) + 0.0 AS x1,
+             round(w/2 - y*t + m, 4) + 0.0 AS y1
+      FROM (SELECT k, x, y, w, w/pow(2.0, z) AS t, mg*(w/pow(2.0, z)) AS m
+            FROM pts CROSS JOIN c)
+      ORDER BY k""",
+
+    // DuckDB's parquet_metadata() reads the same footers st_layout_info
+    // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths
+    // spell as 'geom_bbox, min_x' in DuckDB)
+    "q_layout_info" -> """
+      SELECT parse_filename(file_name) AS file,
+             CAST(row_group_id AS INT) AS row_group,
+             row_group_num_rows AS rows,
+             round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_x' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_x,
+             round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_y' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_y,
+             round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_x' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_x,
+             round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_y' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_y
+      FROM parquet_metadata('/tmp/graft_qlayout/*.parquet')
+      GROUP BY file_name, row_group_id, row_group_num_rows
+      ORDER BY file, row_group""",
 
     "q_simhash" -> """
       SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sh AS BIGINT) AS sh, CAST(hamming_next AS INT) AS hamming_next

@@ -1011,6 +1011,25 @@ object GeoFns {
     fn("st_point4d", StructType(Seq(StructField("x", D), StructField("y", D), StructField("z", D), StructField("m", D))), Seq(D, D, D, D))(a =>
       new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))))
     fn("st_makeenvelope", B, Seq(D, D, D, D))(a => w(Geo.box(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))))
+    // XYZ tile → EPSG:3857 envelope (PostGIS ST_TileEnvelope signature sans
+    // custom bounds; optional margin is a fraction of tile size per side) —
+    // the SQL-side companion of GeoWriter.mvtPyramid/the MVT pyramid reader
+    fn("st_tileenvelope", B, Seq(I, I, I), Seq(I, I, I, D)) { a =>
+      val z = a(0).asInstanceOf[Int]
+      val x = a(1).asInstanceOf[Int]
+      val y = a(2).asInstanceOf[Int]
+      val margin = if (a.length > 3) dbl(a(3)) else 0.0
+      require(z >= 0 && z <= 30, s"st_tileenvelope: zoom $z out of [0, 30]")
+      val n = 1L << z
+      require(x >= 0 && x < n && y >= 0 && y < n,
+        s"st_tileenvelope: tile ($x, $y) outside 2^$z grid")
+      require(margin >= -0.5, s"st_tileenvelope: margin $margin < -0.5 leaves no tile")
+      val world = 2 * math.Pi * 6378137.0
+      val t = world / n
+      val m = margin * t
+      w(Geo.box(-world / 2 + x * t - m, world / 2 - (y + 1) * t - m,
+                -world / 2 + (x + 1) * t + m, world / 2 - y * t + m))
+    }
     fn("st_geomfromtext", B, Seq(S), Seq(S, BO)) { a =>
       if (a.length == 2 && a(1).asInstanceOf[Boolean]) {
         try w(Geo.fromWkt(str(a(0)))) catch { case _: Exception => null }

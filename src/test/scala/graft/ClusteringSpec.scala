@@ -51,6 +51,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(avgWidth < 900.0, s"clustering produced no locality (avg x-width $avgWidth)")
   }
 
+  test("st_layout_info TVF: per-row-group stats surface in SQL") {
+    // over the layout written by the first test (same dir/pts tree)
+    val info = spark.sql(s"SELECT * FROM st_layout_info('$dir/pts')")
+    assert(info.columns.toSeq ==
+      Seq("file", "row_group", "rows", "min_x", "min_y", "max_x", "max_y"))
+    val rows = info.collect()
+    assert(rows.nonEmpty)
+    // row counts reconcile with the table itself
+    val total = spark.read.parquet(s"$dir/pts").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    // every bbox is finite and inside the generated extent
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(5) <= 1000.0, r.toString)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(6) <= 1000.0, r.toString)
+    }
+    // explicit geometry-column spelling resolves the same layout
+    val named = spark.sql(
+      s"SELECT count(*) AS n FROM st_layout_info('$dir/pts', 'geom')").collect()
+    assert(named(0).getLong(0) == rows.length.toLong)
+  }
+
   test("ecosystem GeoParquet convention prunes too: bbox {xmin,ymin,xmax,ymax}") {
     // a file written by GeoPandas/GDAL carries a struct column literally
     // named `bbox` with xmin/... fields (GeoParquet 1.1 covering default) —

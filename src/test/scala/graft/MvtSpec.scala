@@ -172,6 +172,47 @@ class MvtSpec extends AnyFunSuite {
     assert(pts.exists(p => math.abs(p._1 - w / 4) < 1e-6 && math.abs(p._2 - -w / 4) < 1e-6))
   }
 
+  test("mvtPyramid: distributed z/x/y tree round-trips through the pyramid reader") {
+    val w = 2 * math.Pi * 6378137.0
+    // features in 3857: one point per quadrant + a cross-quadrant equator line
+    val df = spark.sql("""
+      SELECT st_geomfromtext(wkt) AS geom, id, tag FROM VALUES
+        (1, 'POINT (-10000000 10000000)', 'nw'),
+        (2, 'POINT (10000000 10000000)', 'ne'),
+        (3, 'POINT (-10000000 -10000000)', 'sw'),
+        (4, 'POINT (10000000 -10000000)', 'se'),
+        (5, 'LINESTRING (-12000000 0, 12000000 0)', 'line') AS t(id, wkt, tag)""")
+    val p = s"$dir/pyrw"
+    graft.io.GeoWriter.mvtPyramid(df, "geom", p, layerName = "t",
+      minZoom = 0, maxZoom = 2)
+    // z=0: one world tile; z=1: all four quadrant tiles materialize
+    assert(Files.exists(Paths.get(s"$p/0/0/0.mvt")))
+    val z1 = for { x <- 0 to 1; y <- 0 to 1
+                   if Files.exists(Paths.get(s"$p/1/$x/$y.mvt")) } yield (x, y)
+    assert(z1.size == 4, s"z1 tiles: $z1")
+    // the NW point reads back georeferenced within ~a tile-grid unit
+    val pts = spark.read.format("geo").load(s"$p/1/0/0.mvt")
+      .where("properties['tag'] = 'nw'")
+      .selectExpr("st_x(geom) AS x", "st_y(geom) AS y").collect()
+    assert(pts.length == 1)
+    val tol = (w / 2) / 4096 * 1.5
+    assert(math.abs(pts(0).getDouble(0) - -10000000.0) < tol)
+    assert(math.abs(pts(0).getDouble(1) - 10000000.0) < tol)
+    // the equator line is clipped into both z2 rows that touch y=0 (buffer
+    // margin straddles the seam), so ≥8 tiles exist at z=2
+    val z2 = for { x <- 0 to 3; y <- 0 to 3
+                   if Files.exists(Paths.get(s"$p/2/$x/$y.mvt")) } yield (x, y)
+    assert(z2.size >= 8, s"z2 tiles: $z2")
+    // clipped line: the z2 tile (0, 1) holds only the segment near its own
+    // extent (+buffer), not the whole 24000-km line
+    val seg = spark.read.format("geo").load(s"$p/2/0/1.mvt")
+      .where("properties['tag'] = 'line'")
+      .selectExpr("st_xmin(geom) AS x0", "st_xmax(geom) AS x1").collect()
+    assert(seg.length == 1)
+    val t2 = w / 4
+    assert(seg(0).getDouble(1) - seg(0).getDouble(0) <= t2 * 1.1)
+  }
+
   test("gzipped tiles and layer selection") {
     val layerA = varField(15, 2) ++ lenField(1, "roads".getBytes("UTF-8")) ++
       lenField(2, feature(1, Seq(9L, 2L, 2L))) ++ varField(5, 4096)
