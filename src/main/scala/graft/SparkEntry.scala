@@ -1108,6 +1108,52 @@ object SparkEntry {
       SELECT event_type, cast(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    // Classic TPC-H pricing summary / shipping priority / revenue-change
+    // queries (Q1/Q3/Q6 shapes) over the synthetic star schema — the
+    // relational-parity evidence for plain scan→join→agg plans. Money math
+    // goes through per-row CAST(double expr AS DECIMAL(p, s)): both engines
+    // see bit-identical doubles, and decimal SUM is exact and associative —
+    // so the hashes stay stable at ANY scale factor and partition count (a
+    // raw double SUM would drift in the low bits with aggregation order).
+    // The cast scale must equal the product's TRUE decimal scale (2-factor
+    // price×discount → 4, 3-factor charge → 6): rounding below that lands
+    // exactly on .5 ties where Spark (HALF_UP on the binary expansion) and
+    // DuckDB disagree per row.
+    "q_tpch_q1" -> q("lineitem")("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
+             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+
+    "q_tpch_q3" -> q("customer", "orders", "lineitem")("""
+      SELECT o.o_orderkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o.o_orderkey
+      LIMIT 10"""),
+
+    "q_tpch_q6" -> q("lineitem")("""
+      SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24"""),
+
     // As-of join (operators/AsofJoin): every event enriched with the most
     // recent purchase at or before it, per user — union-tag + running-window,
     // ONE shuffle, no range explosion. Oracle = DuckDB's native ASOF LEFT
@@ -3661,6 +3707,42 @@ object SparkEntry {
     "q_event_stats" -> """
       SELECT event_type, CAST(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Classic TPC-H shapes (Q1/Q3/Q6) — decimal money math on both sides
+    "q_tpch_q1" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
+             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_tpch_q3" -> """
+      SELECT o.o_orderkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o.o_orderkey
+      LIMIT 10""",
+
+    "q_tpch_q6" -> """
+      SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24""",
 
     // DuckDB's native ASOF LEFT JOIN — independent engine implementation of
     // the same inclusive most-recent-marker semantics

@@ -764,7 +764,9 @@ object GeoFns {
   // treated as lon/lat regardless of authority order.
   // zone strictly 01-60: EPSG:32661/32761 are UPS, not "UTM zone 61"
   private val UtmRe = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
-  private val EtrsUtmRe = "EPSG:258([0-9]{2})".r // ETRS89 / UTM zone (GRS80 ≡ WGS84 here)
+  // ETRS89 / UTM zones 28N-38N only (GRS80 ≡ WGS84 here); 258xx outside
+  // that band is NOT a UTM code and must fall through to the registry
+  private val EtrsUtmRe = "EPSG:258(2[89]|3[0-8])".r
   // CRS text resolution is per-QUERY-constant but runs per ROW: WKT1/WKT2/
   // PROJJSON inputs cost a regex sweep + parameter synthesis each call, so
   // memoize on the raw string (bounded: distinct CRS texts per JVM)

@@ -1443,6 +1443,8 @@ object Proj {
       // ------------------------------------- legacy datums (Helmert shift)
       "EPSG:27700" -> tm("OSGB36 / British National Grid", 49, -2, 0.9996012717, 400000, -100000, DatumOsgb36, probe = (-0.13, 51.5)),
       "EPSG:29903" -> tm("TM75 / Irish Grid", 53.5, -8, 1.000035, 200000, 250000, DatumTm75, probe = (-6.26, 53.35)),
+      // TM65 and TM75 share the 1965-adjustment grid at this chain's accuracy
+      "EPSG:29902" -> tm("TM65 / Irish Grid", 53.5, -8, 1.000035, 200000, 250000, DatumTm75, probe = (-6.26, 53.35)),
       // ---------------------------------------- oblique Mercator (Hotine)
       // EPSG GN7-2's own worked example CRS (variant B), validated against
       // its published test point in ProjRegistrySpec
