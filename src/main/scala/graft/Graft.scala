@@ -5,6 +5,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /**
  * Registration entry point — the Spark analogue of the reference's extension
@@ -28,7 +29,21 @@ object Graft {
       "st_envelope_agg" -> (exprs => GeoAggregates.StExtentAgg(exprs.head)),
       "st_union_agg" -> (exprs => GeoAggregates.StUnionAgg(exprs.head)),
       "st_intersection_agg" -> (exprs => GeoAggregates.StIntersectionAgg(exprs.head)),
-      "st_collect_agg" -> (exprs => GeoAggregates.StCollectAgg(exprs.head)))
+      "st_collect_agg" -> (exprs => GeoAggregates.StCollectAgg(exprs.head)),
+      "st_asmvt_agg" -> (exprs => {
+        require(exprs.nonEmpty && exprs.length <= 4,
+          "st_asmvt_agg(geom [, props MAP<STRING,STRING> [, layer [, extent]]])")
+        val props =
+          if (exprs.length > 1) exprs(1)
+          else Literal.create(null, MapType(StringType, StringType))
+        def const(i: Int, what: String): Any = {
+          require(exprs(i).foldable, s"st_asmvt_agg: $what must be a constant")
+          exprs(i).eval(null)
+        }
+        val layer = if (exprs.length > 2) const(2, "layer name").toString else "layer"
+        val extent = if (exprs.length > 3) const(3, "extent").asInstanceOf[Int] else 4096
+        GeoAggregates.StAsMvtAgg(exprs.head, props, layer, extent)
+      }))
     scalars ++ aggs
   }
 

@@ -241,6 +241,91 @@ object GeoAggregates {
     override def prettyName: String = "st_collect_agg"
   }
 
+  /** ST_AsMVT analogue: aggregate rows already in tile-local coordinates
+   *  (see st_asmvtgeom) into one Mapbox Vector Tile layer's protobuf bytes —
+   *  `st_asmvt_agg(geom [, props MAP<STRING,STRING> [, 'layer' [, extent]]])`
+   *  GROUP BY the tile address. Scale shape: one tile's features per group
+   *  (bounded by construction, like the pyramid writer's per-tile groups);
+   *  partial aggregation merges feature lists, the protobuf encode happens
+   *  once at finalize. */
+  case class StAsMvtAgg(
+      geom: Expression,
+      props: Expression,
+      layerName: String,
+      extent: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[ArrayBuffer[(Array[Byte], Seq[(String, String)])]] {
+
+    override def children: Seq[Expression] = Seq(geom, props)
+    override def createAggregationBuffer(): ArrayBuffer[(Array[Byte], Seq[(String, String)])] =
+      new ArrayBuffer[(Array[Byte], Seq[(String, String)])]()
+
+    override def update(
+        b: ArrayBuffer[(Array[Byte], Seq[(String, String)])],
+        input: InternalRow): ArrayBuffer[(Array[Byte], Seq[(String, String)])] = {
+      val v = geom.eval(input)
+      if (v != null) {
+        val kv = ArrayBuffer.empty[(String, String)]
+        props.eval(input) match {
+          case m: org.apache.spark.sql.catalyst.util.MapData =>
+            m.foreach(StringType, StringType, { (k, pv) =>
+              if (k != null && pv != null) kv += ((k.toString, pv.toString))
+            })
+          case _ =>
+        }
+        b += ((v.asInstanceOf[Array[Byte]].clone(), kv.toSeq))
+      }
+      b
+    }
+    override def merge(
+        b: ArrayBuffer[(Array[Byte], Seq[(String, String)])],
+        o: ArrayBuffer[(Array[Byte], Seq[(String, String)])]): ArrayBuffer[(Array[Byte], Seq[(String, String)])] = {
+      b ++= o; b
+    }
+
+    override def eval(b: ArrayBuffer[(Array[Byte], Seq[(String, String)])]): Any = {
+      val feats = b.iterator.zipWithIndex.map { case ((wkb, kv), i) =>
+        (i + 1L, Geo.read(wkb), kv)
+      }.toSeq
+      graft.io.Mvt.writeTile(layerName, extent, feats)
+    }
+
+    override def serialize(b: ArrayBuffer[(Array[Byte], Seq[(String, String)])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(b.length)
+      b.foreach { case (wkb, kv) =>
+        out.writeInt(wkb.length); out.write(wkb)
+        out.writeInt(kv.length)
+        kv.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
+      }
+      out.flush(); bos.toByteArray
+    }
+    override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Array[Byte], Seq[(String, String)])] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val b = new ArrayBuffer[(Array[Byte], Seq[(String, String)])](n)
+      var i = 0
+      while (i < n) {
+        val wkb = new Array[Byte](in.readInt()); in.readFully(wkb)
+        val np = in.readInt()
+        val kv = (0 until np).map(_ => (in.readUTF(), in.readUTF()))
+        b += ((wkb, kv))
+        i += 1
+      }
+      b
+    }
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): StAsMvtAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): StAsMvtAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): StAsMvtAgg =
+      copy(geom = newChildren(0), props = newChildren(1))
+    override def prettyName: String = "st_asmvt_agg"
+  }
+
   // ------------------------------------------------ fused measure aggregates
   // MeasureFusionRule rewrite targets: st_area(st_union_agg(g)) /
   // st_area(st_intersection_agg(g)) never materialize the overlay geometry.

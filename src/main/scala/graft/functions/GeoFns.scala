@@ -1032,6 +1032,46 @@ object GeoFns {
       w(Geo.box(-world / 2 + x * t - m, world / 2 - (y + 1) * t - m,
                 -world / 2 + (x + 1) * t + m, world / 2 - y * t + m))
     }
+    // PostGIS ST_AsMVTGeom: geometry → the tile-local integer grid of a
+    // bounds envelope (y down, origin top-left), clipped to the tile plus
+    // `buffer` grid units of margin, snapped to integers with a robust
+    // precision reduce. NULL when nothing survives — pair with
+    // st_asmvt_agg(...) GROUP BY tile (st_tileenvelope supplies bounds).
+    fn("st_asmvtgeom", B, Seq(B, B), Seq(B, B, I), Seq(B, B, I, I), Seq(B, B, I, I, BO)) { a =>
+      val g0 = rg(a(0))
+      val env = rg(a(1)).getEnvelopeInternal
+      val extent = if (a.length > 2) a(2).asInstanceOf[Int] else 4096
+      val buffer = if (a.length > 3) a(3).asInstanceOf[Int] else 256
+      val clip = if (a.length > 4) a(4).asInstanceOf[Boolean] else true
+      require(extent > 0, "st_asmvtgeom: extent must be > 0")
+      require(env.getWidth > 0 && env.getHeight > 0,
+        "st_asmvtgeom: bounds envelope has zero width or height")
+      val sx = extent / env.getWidth
+      val sy = extent / env.getHeight
+      val local = g0.copy()
+      local.apply(new org.locationtech.jts.geom.CoordinateFilter {
+        override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+          c.x = (c.x - env.getMinX) * sx
+          c.y = (env.getMaxY - c.y) * sy
+        }
+      })
+      local.geometryChanged()
+      val clipped =
+        if (!clip) local
+        else {
+          val ce = new org.locationtech.jts.geom.Envelope(
+            -buffer.toDouble, extent + buffer.toDouble,
+            -buffer.toDouble, extent + buffer.toDouble)
+          if (ce.covers(local.getEnvelopeInternal)) local
+          else try local.intersection(Geo.factory.toGeometry(ce))
+          catch { case _: org.locationtech.jts.geom.TopologyException =>
+            local.buffer(0).intersection(Geo.factory.toGeometry(ce))
+          }
+        }
+      val snapped = org.locationtech.jts.precision.GeometryPrecisionReducer
+        .reduce(clipped, new org.locationtech.jts.geom.PrecisionModel(1.0))
+      if (snapped.isEmpty) null else w(snapped)
+    }
     fn("st_geomfromtext", B, Seq(S), Seq(S, BO)) { a =>
       if (a.length == 2 && a(1).asInstanceOf[Boolean]) {
         try w(Geo.fromWkt(str(a(0)))) catch { case _: Exception => null }

@@ -213,6 +213,43 @@ class MvtSpec extends AnyFunSuite {
     assert(seg(0).getDouble(1) - seg(0).getDouble(0) <= t2 * 1.1)
   }
 
+  test("st_asmvtgeom + st_asmvt_agg: SQL-side tile encode round-trips") {
+    // four features in 3857, one per world-tile quadrant, encoded into the
+    // z0 tile entirely in SQL; decode with the reader and check coords/props
+    val tileBytes = spark.sql("""
+      SELECT st_asmvt_agg(
+               st_asmvtgeom(geom, st_tileenvelope(0, 0, 0), 4096, 256, true),
+               map('kind', kind), 'sqltile', 4096) AS tile
+      FROM (SELECT st_point(-10018754.17, 10018754.17) AS geom, 'nw' AS kind
+            UNION ALL SELECT st_point(10018754.17, 10018754.17), 'ne'
+            UNION ALL SELECT st_point(-10018754.17, -10018754.17), 'sw'
+            UNION ALL SELECT st_geomfromtext('LINESTRING (-12000000 0, 12000000 0)'), 'ln')
+    """).collect()(0).getAs[Array[Byte]](0)
+    val layers = Mvt.readTile(tileBytes)
+    assert(layers.map(_._1.name) == Seq("sqltile"))
+    val feats = layers.head._1.features
+    assert(feats.length == 4)
+    // nw quadrant centre in tile-local coords: x=1024, y=1024 (y down)
+    val (layer, keys, values) = layers.head
+    val byKind = layer.features.map { ft =>
+      val props = ft.tags.grouped(2).map(t => keys(t(0)) -> values(t(1))).toMap
+      props("kind") -> Mvt.geometry(ft)
+    }.toMap
+    val nw = byKind("nw").getCoordinate
+    assert(math.abs(nw.x - 1024) <= 1 && math.abs(nw.y - 1024) <= 1, s"nw=$nw")
+    val ne = byKind("ne").getCoordinate
+    assert(math.abs(ne.x - 3072) <= 1 && math.abs(ne.y - 1024) <= 1, s"ne=$ne")
+    // the line is clipped to the buffered tile: x within [-256, 4352]
+    val lnEnv = byKind("ln").getEnvelopeInternal
+    assert(lnEnv.getMinX >= -256 - 1 && lnEnv.getMaxX <= 4096 + 256 + 1, s"ln=$lnEnv")
+    // st_asmvtgeom returns NULL for geometry entirely outside the buffer
+    val outside = spark.sql("""
+      SELECT st_asmvtgeom(st_point(0.0d, 0.0d),
+                          st_makeenvelope(100.0d, 100.0d, 200.0d, 200.0d), 4096, 64, true) AS g
+    """).collect()(0)
+    assert(outside.isNullAt(0))
+  }
+
   test("gzipped tiles and layer selection") {
     val layerA = varField(15, 2) ++ lenField(1, "roads".getBytes("UTF-8")) ++
       lenField(2, feature(1, Seq(9L, 2L, 2L))) ++ varField(5, 4096)
