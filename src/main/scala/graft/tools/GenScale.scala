@@ -24,8 +24,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, copiesS) = args.take(3)
-    val copies = copiesS.toInt
-    require(copies >= 1, "copies must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,6 +33,14 @@ object GenScale {
       .appName("graft-genscale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    genscale(spark, baseDir, outDir, copiesS.toInt)
+    println(s"[genscale] wrote ${copiesS}x of $baseDir to $outDir")
+    spark.stop()
+    sys.exit(0)
+  }
+
+  def genscale(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    require(copies >= 1, "copies must be >= 1")
 
     def base(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")
 
@@ -103,9 +109,5 @@ object GenScale {
        else s"transform(embedding, (x, i) -> IF(i = ${c % 64}, " +
             s"CAST(x + ${c}e-3 AS FLOAT), x)) AS embedding"),
       "label")), "embeddings", 2)
-
-    println(s"[genscale] wrote ${copies}x of $baseDir to $outDir")
-    spark.stop()
-    sys.exit(0)
   }
 }

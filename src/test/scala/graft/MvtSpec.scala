@@ -213,6 +213,47 @@ class MvtSpec extends AnyFunSuite {
     assert(seg(0).getDouble(1) - seg(0).getDouble(0) <= t2 * 1.1)
   }
 
+  test("mvtPyramid fuzz: 300 seeded random mixed features, every tile decodes in bounds") {
+    // deterministic features across the mercator world: envelopes, lines,
+    // points (by id mod 3), sizes up to ~800 km
+    val df = spark.sql("""
+      SELECT id,
+             CASE CAST(id % 3 AS INT)
+               WHEN 0 THEN st_makeenvelope(st_x(p) - 400000.0d, st_y(p) - 400000.0d,
+                                           st_x(p) + 400000.0d, st_y(p) + 400000.0d)
+               WHEN 1 THEN st_makeline(p, st_point(st_x(p) + 800000.0d, st_y(p) - 600000.0d))
+               ELSE p
+             END AS geom
+      FROM (SELECT id, st_generatepoint(99L, id,
+                     -19000000.0d, -19000000.0d, 19000000.0d, 19000000.0d) AS p
+            FROM range(300))""")
+    val p = s"$dir/pyrfuzz"
+    graft.io.GeoWriter.mvtPyramid(df, "geom", p, layerName = "f",
+      minZoom = 0, maxZoom = 3, buffer = 64)
+    // walk the tree: every tile must decode, every coordinate inside the
+    // buffered extent, and each zoom level must carry >= the feature count
+    // (every feature lands in at least one tile)
+    var total = Map.empty[Int, Int].withDefaultValue(0)
+    val root = Paths.get(p)
+    assert(Files.exists(root.resolve("0/0/0.mvt")))
+    Files.walk(root).forEach { f =>
+      if (f.toString.endsWith(".mvt")) {
+        val Some((z, _, _)) = Mvt.tileAddress(f.toString)
+        val layers = Mvt.readTile(Files.readAllBytes(f))
+        assert(layers.map(_._1.name) == Seq("f"), f.toString)
+        layers.head._1.features.foreach { ft =>
+          val g = Mvt.geometry(ft)
+          val e = g.getEnvelopeInternal
+          assert(e.getMinX >= -64 - 1 && e.getMaxX <= 4096 + 64 + 1, s"$f: $e")
+          assert(e.getMinY >= -64 - 1 && e.getMaxY <= 4096 + 64 + 1, s"$f: $e")
+          total += z -> (total(z) + 1)
+        }
+      }
+    }
+    for (z <- 0 to 3)
+      assert(total(z) >= 300, s"z=$z carried only ${total(z)} features")
+  }
+
   test("st_asmvtgeom + st_asmvt_agg: SQL-side tile encode round-trips") {
     // four features in 3857, one per world-tile quadrant, encoded into the
     // z0 tile entirely in SQL; decode with the reader and check coords/props
