@@ -189,6 +189,25 @@ object Proj {
    *  note: regional realizations differ by up to ~10 m (the reference's
    *  proj.db picks per-country variants; this is the documented mean) */
   val DatumPulkovo42 = Datum(Krass1940, Some(Helmert(28.0, -130.0, -95.0, 0, 0, 0, 0)))
+  /** NAD27 → WGS84 — published CONUS-mean 3-parameter shift (EPSG:1173 class,
+   *  ~10 m). High-accuracy NAD27 work routes through the NADCON grids
+   *  instead (`+nadgrids=conus.las`, Nadcon.scala) — same stance as PROJ
+   *  when no grid is available. */
+  val DatumNad27 = Datum(Clarke1866, Some(Helmert(-8.0, 160.0, 176.0, 0, 0, 0, 0)))
+  /** AGD66 → GDA94 national 7-parameter sets (ICSM GDA Technical Manual,
+   *  ~1 m class; GDA94 ≡ WGS84 at this accuracy). Ellipsoid: Australian
+   *  National Spheroid. */
+  val DatumAgd66 = Datum(Grs67Mod, Some(Helmert(-117.808, -51.536, 137.784, 0.303, 0.446, 0.234, -0.290)))
+  val DatumAgd84 = Datum(Grs67Mod, Some(Helmert(-117.763, -51.510, 139.061, 0.292, 0.443, 0.277, -0.191)))
+  /** Hong Kong 1980 → WGS84 — the published 7-parameter set (EPSG tfm
+   *  class, sub-m over the territory) */
+  val DatumHk80 = Datum(Intl1924,
+    Some(Helmert(-162.619, -276.959, -161.764, 0.067753, -2.243649, -1.158827, -1.094246)))
+  /** Israel 1993 → WGS84 — published geocentric translations (~5 m class) */
+  val DatumIsrael93 = Datum(Grs80, Some(Helmert(-48.0, 55.0, 52.0, 0, 0, 0, 0)))
+  /** Luxembourg 1930 → WGS84 — published 7-parameter set */
+  val DatumLux30 = Datum(Intl1924,
+    Some(Helmert(-189.681, 18.3463, -42.7695, -0.33746, -3.09264, 2.53861, 0.4598)))
 
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
@@ -1701,7 +1720,59 @@ object Proj {
         "EPSG:5042" -> upsCrs("WGS 84 / UPS South (E,N)", north = false))
     }
 
-    base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++ ups
+    // --------------- round 9, batch 2: Asia-Pacific + Nordic + Canada grids
+    // (parameters from the public EPSG dataset; every kernel already
+    // validated by GN7-2/Snyder worked examples above)
+    val asiaPacific = Map(
+      "EPSG:2039" -> tm("Israel 1993 / Israeli TM Grid", dms(31, 44, 3.817), dms(35, 12, 16.261),
+        1.0000067, 219529.584, 626907.39, DatumIsrael93, probe = (34.78, 32.08)),
+      "EPSG:2326" -> tm("Hong Kong 1980 Grid System", dms(22, 18, 43.68), dms(114, 10, 42.8),
+        1.0, 836694.05, 819069.8, DatumHk80, probe = (114.17, 22.3)),
+      "EPSG:5185" -> tm("Korea 2000 / West Belt 2010", 38, 125, 1.0, 200000, 600000, probe = (125.7, 37.0)),
+      "EPSG:5186" -> tm("Korea 2000 / Central Belt 2010", 38, 127, 1.0, 200000, 600000, probe = (126.98, 37.57)),
+      "EPSG:5187" -> tm("Korea 2000 / East Belt 2010", 38, 129, 1.0, 200000, 600000, probe = (129.03, 35.18)),
+      "EPSG:5188" -> tm("Korea 2000 / East Sea Belt 2010", 38, 131, 1.0, 200000, 600000, probe = (130.9, 37.5)))
+
+    val europe2 = Map(
+      "EPSG:3765" -> tm("HTRS96 / Croatia TM", 0, 16.5, 0.9999, 500000, 0, probe = (15.98, 45.81)),
+      "EPSG:3794" -> tm("Slovenia 1996 / Slovene National Grid", 0, 15, 0.9999, 500000, -5000000, probe = (14.51, 46.06)),
+      "EPSG:2169" -> tm("Luxembourg 1930 / Gauss", dms(49, 50), dms(6, 10), 1.0, 80000, 100000, DatumLux30, probe = (6.13, 49.61)),
+      "EPSG:3057" -> lcc("ISN93 / Lambert 1993", 64.25, 65.75, 65, -19, 500000, 500000, probe = (-21.9, 64.15))) ++
+      // MGI / Balkans Gauss-Krüger zones 5-8 (k=0.9999, zone-prefixed FE)
+      (5 to 8).map { z =>
+        s"EPSG:${31270 + z}" -> tm(s"MGI 1901 / Balkans zone $z", 0, 3 * z, 0.9999,
+          z * 1e6 + 500000, 0, DatumMgi, probe = (3.0 * z + 0.5, 44.0))
+      }.toMap ++
+      // TUREF 3-degree TM zones (Turkey; GRS80, TM27..TM45)
+      (0 to 6).map { i =>
+        val l0 = 27 + 3 * i
+        s"EPSG:${5253 + i}" -> tm(s"TUREF / 3-degree Gauss-Kruger TM$l0", 0, l0, 1.0,
+          500000, 0, probe = (l0 + 0.4, 39.0))
+      }.toMap ++
+      // SWEREF99 local projection zones (tmerc k=1, FE=150000)
+      Vector(12.0, 13.5, 15.0, 16.5, 18.0, 14.25, 15.75, 17.25, 18.75, 20.25, 21.75, 23.25)
+        .zipWithIndex.map { case (l0, i) =>
+          val d = l0.toInt; val m = math.round((l0 - d) * 60).toInt
+          s"EPSG:${3007 + i}" -> tm(f"SWEREF99 $d%02d $m%02d", 0, l0, 1.0, 150000, 0,
+            probe = (l0 + 0.3, 60.0))
+        }.toMap ++
+      // ETRS89 / Finland Gauss-Krüger zones GK19FIN..GK31FIN (lon0-prefixed FE)
+      (19 to 31).map { l0 =>
+        s"EPSG:${3854 + l0}" -> tm(s"ETRS89 / GK${l0}FIN", 0, l0, 1.0, l0 * 1e6 + 500000, 0,
+          probe = (l0 + 0.3, 62.0))
+      }.toMap
+
+    // NAD83 / MTM (Canada 3° Modified Transverse Mercator, k=0.9999,
+    // FE=304800): zone central meridians from the EPSG dataset
+    val mtmLon0 = Vector(-53.0, -56.0, -58.5, -61.5, -64.5, -67.5, -70.5, -73.5,
+      -76.5, -79.5, -82.5, -81.0, -84.0, -87.0, -90.0, -93.0, -96.0)
+    val canadaMtm = (1 to 17).map { z =>
+      s"EPSG:${32180 + z}" -> tm(s"NAD83 / MTM zone $z", 0, mtmLon0(z - 1), 0.9999,
+        304800, 0, probe = (mtmLon0(z - 1) + 0.4, 46.5))
+    }.toMap
+
+    base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++ ups ++
+      asiaPacific ++ europe2 ++ canadaMtm
   }
 
   // UTM-style zone families resolved by pattern; instances cached (the Krüger
@@ -1739,6 +1810,23 @@ object Proj {
           "+y_0=0 +ellps=GRS80 +units=m +no_defs")
     })
 
+  /** CGCS2000 Gauss-Krüger families (EPSG:4491-4554): the CGCS2000
+   *  ellipsoid's 1/f=298.257222101 is GRS80 to the published precision, and
+   *  the frame aligns with WGS84 at this chain's accuracy (no shift).
+   *  Four sub-families: 6° zones 13-23 (zone-prefixed FE), 6° CM variants
+   *  (FE=500000), 3° zones 25-45, 3° CM variants. */
+  private def cgcsCrs(code: String, n: Int): Crs =
+    zoneCache.computeIfAbsent(code, _ => {
+      val (name, lon0, fe) =
+        if (n <= 4501) { val z = 13 + (n - 4491); (s"CGCS2000 / Gauss-Kruger zone $z", 6.0 * z - 3, z * 1e6 + 500000) }
+        else if (n <= 4512) { val cm = 75 + 6 * (n - 4502); (s"CGCS2000 / Gauss-Kruger CM ${cm}E", cm.toDouble, 500000.0) }
+        else if (n <= 4533) { val z = 25 + (n - 4513); (s"CGCS2000 / 3-degree Gauss-Kruger zone $z", 3.0 * z, z * 1e6 + 500000) }
+        else { val cm = 75 + 3 * (n - 4534); (s"CGCS2000 / 3-degree Gauss-Kruger CM ${cm}E", cm.toDouble, 500000.0) }
+      Crs(name, new TransMerc(Grs80, 0, lon0, 1.0, fe, 0), DatumGrs80, (lon0 + 0.4, 36.0),
+        s"+proj=tmerc +lat_0=0 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(fe)} +y_0=0 " +
+          "+ellps=GRS80 +units=m +no_defs")
+    })
+
   private val PulkovoGk = "EPSG:284(0[2-9]|[12][0-9]|3[0-2])".r  // zones 2-32
   private val Posgar98 = "EPSG:2217([1-7])".r                    // fajas 1-7
   private val Posgar94 = "EPSG:2218([1-7])".r
@@ -1748,6 +1836,10 @@ object Proj {
   private val SirgasN = "EPSG:319(6[5-9]|7[0-6])".r         // SIRGAS 2000 / UTM 11N-22N
   private val SirgasS = "EPSG:319(7[7-9]|8[0-5])".r         // SIRGAS 2000 / UTM 17S-25S
   private val Ed50Utm = "EPSG:230(2[89]|3[0-8])".r          // ED50 / UTM 28N-38N
+  private val Nad27Utm = "EPSG:267(0[3-9]|1[0-9]|2[0-2])".r // NAD27 / UTM 3N-22N
+  private val Agd66Amg = "EPSG:202(49|5[0-6])".r            // AGD66 / AMG 49-56
+  private val Agd84Amg = "EPSG:203(49|5[0-6])".r            // AGD84 / AMG 49-56
+  private val Cgcs2000 = "EPSG:(449[1-9]|45[0-4][0-9]|455[0-4])".r // 4491-4554
 
   // --------------------------------------------- PROJ parameter strings
   // `+proj=…` input turns the bounded EPSG registry into unbounded coverage
@@ -2003,6 +2095,10 @@ object Proj {
     case SirgasN(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 54}N", z.toInt - 54, south = false, DatumGrs80))
     case SirgasS(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 60}S", z.toInt - 60, south = true, DatumGrs80))
     case Ed50Utm(z) => Some(utmCrs(code, s"ED50 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumEd50))
+    case Nad27Utm(z) => Some(utmCrs(code, s"NAD27 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumNad27))
+    case Agd66Amg(z) => Some(utmCrs(code, s"AGD66 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd66))
+    case Agd84Amg(z) => Some(utmCrs(code, s"AGD84 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd84))
+    case Cgcs2000(n) => Some(cgcsCrs(code, n.toInt))
     case PulkovoGk(nn) => Some(pulkovoGkCrs(code, nn.toInt))
     case Posgar98(f) => Some(posgarCrs(code, "98", f.toInt))
     case Posgar94(f) => Some(posgarCrs(code, "94", f.toInt))
@@ -2068,7 +2164,11 @@ object Proj {
       (23028 to 23038).map(c => s"EPSG:$c"),
       (28402 to 28432).map(c => s"EPSG:$c"),
       (22171 to 22177).map(c => s"EPSG:$c"),
-      (22181 to 22187).map(c => s"EPSG:$c")).flatten
+      (22181 to 22187).map(c => s"EPSG:$c"),
+      (26703 to 26722).map(c => s"EPSG:$c"),
+      (20249 to 20256).map(c => s"EPSG:$c"),
+      (20349 to 20356).map(c => s"EPSG:$c"),
+      (4491 to 4554).map(c => s"EPSG:$c")).flatten
     (registry.keys.toSeq.map(c => c -> registry(c).name) ++
       families.flatMap(c => lookup(c).map(c -> _.name)) ++
       geographic.map { case (c, (n, _)) => c -> s"$n (geographic)" }).sortBy(_._1)

@@ -451,6 +451,71 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(math.abs(to1 - lo) < 1e-12 && math.abs(ta1 - la) < 1e-12)
   }
 
+  test("every registry proj4 string re-parses to the same kernel and datum") {
+    // cross-validation between the two resolution paths: each named entry's
+    // emitted `+proj=` string must parse back (fromProjString) to a kernel
+    // and datum that agree with the registry object at the probe point —
+    // a typo in either the entry or its proj4 spelling breaks the sweep
+    var checked = 0
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    Proj.allCodes.foreach { case (code, _) =>
+      Proj.lookup(code) match {
+        case Some(crs) if crs.proj4 != null =>
+          (try Some(Proj.fromProjString(crs.proj4).get)
+          catch { case e: Exception => skipped += s"$code: ${e.getMessage}"; None }).foreach { p =>
+            val (lon, lat) = crs.probe
+            val (x1, y1) = crs.proj.forward(lon, lat)
+            val (x2, y2) = p.proj.forward(lon, lat)
+            assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+              s"$code kernel: registry ($x1,$y1) vs proj4 ($x2,$y2)\n  ${crs.proj4}")
+            val (a1, b1) = crs.datum.fromWgs84(lon, lat)
+            val (a2, b2) = p.datum.fromWgs84(lon, lat)
+            assert(math.abs(a1 - a2) < 1e-12 && math.abs(b1 - b2) < 1e-12,
+              s"$code datum: registry ($a1,$b1) vs proj4 ($a2,$b2)\n  ${crs.proj4}")
+            checked += 1
+          }
+        case _ => () // geographic-only codes have no projected kernel
+      }
+    }
+    assert(checked >= 300, s"parity sweep only covered $checked codes")
+    // grid-shift datums legitimately skip when the grid file isn't present
+    // in the test environment; anything else is a regression
+    assert(skipped.forall(_.contains("grid")) || skipped.isEmpty, skipped.mkString("\n"))
+  }
+
+  test("round-9 batch-2 registry families resolve and land in-zone") {
+    // one spot probe per family: forward the probe, expect easting within
+    // the zone's FE±width and a plausible northing hemisphere
+    val cases = Seq(
+      ("EPSG:26715", 500000.0, 300000.0),   // NAD27 / UTM 15N
+      ("EPSG:20255", 500000.0, 300000.0),   // AGD66 / AMG 55
+      ("EPSG:20355", 500000.0, 300000.0),   // AGD84 / AMG 55
+      ("EPSG:4502", 500000.0, 300000.0),    // CGCS2000 GK CM 75E
+      ("EPSG:4547", 500000.0, 300000.0),    // CGCS2000 3° CM 114E
+      ("EPSG:32187", 304800.0, 200000.0),   // NAD83 / MTM zone 7
+      ("EPSG:3011", 150000.0, 100000.0),    // SWEREF99 18 00
+      ("EPSG:3877", 23500000.0, 600000.0),  // ETRS89 / GK23FIN
+      ("EPSG:5186", 200000.0, 150000.0),    // Korea 2000 Central
+      ("EPSG:2039", 219529.584, 200000.0),  // Israeli TM Grid
+      ("EPSG:2326", 836694.05, 200000.0),   // Hong Kong 1980
+      ("EPSG:31275", 5500000.0, 300000.0),  // MGI Balkans zone 5
+      ("EPSG:5254", 500000.0, 200000.0))    // TUREF TM30
+    cases.foreach { case (code, fe, tol) =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < tol, s"$code easting $x not within $tol of FE $fe")
+      // southern-hemisphere zones carry a false northing, so y stays positive
+      assert(y > 0, s"$code northing $y")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // CGCS2000 6°-zone 20 prefixed easting: FE = 20_500_000
+    val z20 = Proj.lookup("EPSG:4498").get // zone 20, lon0 117E
+    val (x20, _) = z20.proj.forward(117.4, 36.0)
+    assert(x20 > 20000000 && x20 < 21000000, s"zone-prefixed easting $x20")
+  }
+
   test("PROJ strings: unsupported methods and parameters fail loudly") {
     def msg(s: String): String =
       intercept[IllegalArgumentException](Proj.fromProjString(s)).getMessage
