@@ -2136,6 +2136,176 @@ object Proj {
     "EPSG:4284" -> (("Pulkovo 1942", DatumPulkovo42)),
     "EPSG:4618" -> (("SAD69", DatumSad69)))
 
+  // ------------------------------------------------- WKT1 synthesis (write)
+  /** Ellipsoid → (WKT1 spheroid name, datum name). Parsers read only the
+   *  numbers; the names are for human readers and external tools. */
+  private def wktNames(el: Ellipsoid): (String, String) =
+    if (el == Wgs84) ("WGS 84", "WGS_1984")
+    else if (el == Grs80) ("GRS 1980", "Unknown_based_on_GRS80")
+    else if (el == Airy1830) ("Airy 1830", "OSGB_1936")
+    else if (el == AiryModified) ("Airy Modified 1849", "Ireland_1965")
+    else if (el == Intl1924) ("International 1924", "Unknown_based_on_International_1924")
+    else if (el == Clarke1866) ("Clarke 1866", "North_American_Datum_1927")
+    else if (el == Bessel1841) ("Bessel 1841", "Unknown_based_on_Bessel_1841")
+    else if (el == Everest1967) ("Everest 1830 (1967 Definition)", "Timbalai_1948")
+    else if (el == Grs67Mod) ("GRS 1967 Modified", "Australian_Geodetic_Datum")
+    else if (el == Krass1940) ("Krassowsky 1940", "Pulkovo_1942")
+    else if (el == Clarke1880Ign) ("Clarke 1880 (IGN)", "Nouvelle_Triangulation_Francaise")
+    else ("unnamed", "unnamed")
+
+  private def wktNum(v: Double): String =
+    if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+
+  /** Synthesize WKT1 (the OGC/ESRI `.prj` dialect) for an authority code or
+   *  `+proj=` string — the write-side CRS stamp (COPY `SRS` option →
+   *  shapefile `.prj`, GeoPackage `gpkg_spatial_ref_sys.definition`).
+   *  Derived from the entry's canonical `+proj=` record so the two public
+   *  spellings cannot drift; GeoMeta.proj4FromWkt1 re-parses the result for
+   *  every kernel its WKT1 reader covers (ProjRegistrySpec round-trip).
+   *  None for CRSes with no proj4 record or grid-shift datums (WKT1 has no
+   *  standard grid node). */
+  def toWkt1(code: String): Option[String] = {
+    val c = code.trim
+    val up = c.toUpperCase
+    def auth: String = if (up.startsWith("EPSG:")) s",AUTHORITY[\"EPSG\",\"${up.drop(5)}\"]" else ""
+    def geogcs(name: String, d: Datum, trailer: String = ""): String = {
+      val (spn, dn) = wktNames(d.el)
+      val tow = d.shift match {
+        case Some(h) => s",TOWGS84[${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}]"
+        case None => ""
+      }
+      s"""GEOGCS["$name",DATUM["$dn",SPHEROID["$spn",${d.el.a},${d.el.invF}]$tow],""" +
+        s"""PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]$trailer]"""
+    }
+    if (geographic.contains(up))
+      return geographic.get(up).map { case (n, d) => geogcs(n, d, auth) }
+    if (up == "EPSG:4326" || up == "OGC:CRS84" || up == "CRS84")
+      return Some(geogcs("WGS 84", DatumWgs84, if (up == "EPSG:4326") ",AUTHORITY[\"EPSG\",\"4326\"]" else ""))
+    // WGS84 UTM zones resolve upstream of lookup (axis-order fast path) —
+    // synthesize them here the same way the zone families do
+    val Wgs84Utm = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
+    val crs = (up match {
+      case Wgs84Utm(ns, z) =>
+        Some(utmCrs(up, s"WGS 84 / UTM zone ${z.toInt}${if (ns == "6") "N" else "S"}",
+          z.toInt, south = ns == "7", DatumWgs84))
+      case _ => lookup(if (c.startsWith("+")) c else up)
+    }).getOrElse(return None)
+    if (crs.proj4 == null || crs.datum.grid.isDefined) return None
+    val kv: Map[String, String] = crs.proj4.split("\\s+").iterator
+      .filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
+        val i = tok.indexOf('=')
+        if (i < 0) (tok, "") else (tok.take(i), tok.drop(i + 1))
+      }.toMap
+    if (kv.contains("nadgrids") || kv.contains("geoidgrids")) return None
+    def n(k: String, dflt: Double = 0.0): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val unit = kv.get("to_meter").map(_.toDouble).getOrElse(kv.get("units") match {
+      case Some("us-ft") => UsFoot
+      case Some("ft") => 0.3048
+      case _ => 1.0
+    })
+    val unitNode =
+      if (unit == 1.0) """UNIT["metre",1]"""
+      else if (unit == UsFoot) s"""UNIT["US survey foot",$UsFoot]"""
+      else if (unit == 0.3048) """UNIT["foot",0.3048]"""
+      else s"""UNIT["unknown",$unit]"""
+    // false offsets in WKT1 are CRS-unit-denominated; +x_0/+y_0 are meters
+    def pp(pairs: (String, Double)*): String =
+      pairs.map { case (k, v) => s"""PARAMETER["$k",${wktNum(v)}]""" }.mkString(",")
+    val k0 = n("k", n("k_0", 1.0))
+    val method: Option[(String, String)] = kv("proj") match {
+      case "tmerc" => Some(("Transverse_Mercator", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "scale_factor" -> k0, "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "utm" =>
+        val z = n("zone").toInt
+        Some(("Transverse_Mercator", pp(
+          "latitude_of_origin" -> 0.0, "central_meridian" -> (z * 6 - 183).toDouble,
+          "scale_factor" -> 0.9996, "false_easting" -> 500000.0,
+          "false_northing" -> (if (kv.contains("south")) 10000000.0 else 0.0))))
+      case "lcc" if kv.contains("lat_2") => Some(("Lambert_Conformal_Conic_2SP", pp(
+        "standard_parallel_1" -> n("lat_1"), "standard_parallel_2" -> n("lat_2"),
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "lcc" => Some(("Lambert_Conformal_Conic_1SP", pp(
+        "latitude_of_origin" -> n("lat_1", n("lat_0")), "central_meridian" -> n("lon_0"),
+        "scale_factor" -> k0, "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "aea" => Some(("Albers_Conic_Equal_Area", pp(
+        "standard_parallel_1" -> n("lat_1"), "standard_parallel_2" -> n("lat_2"),
+        "latitude_of_center" -> n("lat_0"), "longitude_of_center" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "laea" => Some(("Lambert_Azimuthal_Equal_Area", pp(
+        "latitude_of_center" -> n("lat_0"), "longitude_of_center" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "stere" if kv.contains("lat_ts") => Some(("Polar_Stereographic", pp(
+        "latitude_of_origin" -> n("lat_0"), "standard_parallel_1" -> n("lat_ts"),
+        "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "stere" => Some(("Polar_Stereographic", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "scale_factor" -> k0,
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "merc" if kv.contains("lat_ts") => Some(("Mercator_2SP", pp(
+        "standard_parallel_1" -> n("lat_ts"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "merc" => Some(("Mercator_1SP", pp(
+        "central_meridian" -> n("lon_0"), "scale_factor" -> k0,
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "cea" => Some(("Cylindrical_Equal_Area", pp(
+        "standard_parallel_1" -> n("lat_ts"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "omerc" => Some((
+        if (kv.contains("no_uoff")) "Hotine_Oblique_Mercator" else "Hotine_Oblique_Mercator_Azimuth_Center",
+        pp("latitude_of_center" -> n("lat_0"), "longitude_of_center" -> n("lonc", n("lon_0")),
+          "azimuth" -> n("alpha"), "rectified_grid_angle" -> n("gamma", n("alpha")),
+          "scale_factor" -> k0,
+          "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "somerc" => Some(("Hotine_Oblique_Mercator_Azimuth_Center", pp(
+        "latitude_of_center" -> n("lat_0"), "longitude_of_center" -> n("lon_0"),
+        "azimuth" -> 90.0, "rectified_grid_angle" -> 90.0, "scale_factor" -> k0,
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "krovak" => Some(("Krovak", pp(
+        "latitude_of_center" -> n("lat_0"), "longitude_of_center" -> n("lon_0"),
+        "azimuth" -> n("alpha", 30.28813972222222),
+        "pseudo_standard_parallel_1" -> n("lat_1", 78.5), "scale_factor" -> k0,
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "sterea" => Some(("Oblique_Stereographic", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "scale_factor" -> k0, "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "cass" => Some(("Cassini_Soldner", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "poly" => Some(("Polyconic", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "eqc" => Some(("Equirectangular", pp(
+        "standard_parallel_1" -> n("lat_ts"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "moll" => Some(("Mollweide", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "sinu" => Some(("Sinusoidal", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "robin" => Some(("Robinson", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "eck4" => Some(("Eckert_IV", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "mill" => Some(("Miller_Cylindrical", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "ortho" => Some(("Orthographic", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "gnom" => Some(("Gnomonic", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case _ => None // longlat handled above; aeqd/guam has no WKT1 spelling here
+    }
+    method.map { case (projName, params) =>
+      val axes = if (kv.get("axis").contains("wsu"))
+        """,AXIS["Westing",WEST],AXIS["Southing",SOUTH]""" else ""
+      s"""PROJCS["${crs.name}",${geogcs("GCS_" + wktNames(crs.datum.el)._2, crs.datum)},""" +
+        s"""PROJECTION["$projName"],$params,$unitNode$axes$auth]"""
+    }
+  }
+
   /** ST_Read_Meta enrichment: human name + equivalent `+proj=` string for a
    *  recognized authority code ("EPSG:4326"-style), covering projected
    *  registry/zone-family codes AND geographic codes. */

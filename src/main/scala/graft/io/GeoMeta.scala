@@ -95,7 +95,9 @@ object GeoMeta {
     if (wkt == null || !wkt.contains("PROJCS")) {
       if (wkt != null && wkt.contains("GEOGCS")) {
         val el = ellpsFromWkt(wkt)
-        return if (el == null) null else s"+proj=longlat $el +no_defs"
+        val tow = "TOWGS84\\[([-0-9.eE,\\s]+)\\]".r.findFirstMatchIn(wkt)
+          .map(m => s" +towgs84=${m.group(1).replaceAll("\\s", "")}").getOrElse("")
+        return if (el == null) null else s"+proj=longlat $el$tow +no_defs"
       }
       return null
     }
@@ -126,7 +128,8 @@ object GeoMeta {
       else if (projName.contains("lambert_conformal_conic"))
         (p("standard_parallel_1"), p("standard_parallel_2")) match {
           case (Some(sp1), Some(sp2)) => Some(s"+proj=lcc +lat_1=$sp1 +lat_2=$sp2 +lat_0=$lat0 +lon_0=$lon0")
-          case _ => None // 1SP: kernel not implemented
+          case _ => // 1SP (EPSG 9801): latitude_of_origin IS the standard parallel
+            Some(s"+proj=lcc +lat_1=$lat0 +lat_0=$lat0 +k_0=${p("scale_factor").getOrElse(1.0)} +lon_0=$lon0")
         }
       else if (projName.contains("albers"))
         Some(s"+proj=aea +lat_1=${p("standard_parallel_1").getOrElse(29.5)} " +
@@ -134,12 +137,28 @@ object GeoMeta {
       else if (projName.contains("azimuthal_equal_area"))
         Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
       else if (projName.contains("polar_stereographic")) {
-        val ts = p("standard_parallel_1", "latitude_of_standard_parallel").getOrElse(lat0)
-        Some(s"+proj=stere +lat_0=${if (ts < 0) -90 else 90} +lat_ts=$ts +lon_0=$lon0")
-      } else if (projName.contains("mercator"))
+        // variant B carries a standard parallel; GDAL's variant-A spelling is
+        // latitude_of_origin=±90 + scale_factor (lat_ts=±90 would be 0/0)
+        p("standard_parallel_1", "latitude_of_standard_parallel") match {
+          case Some(ts) if math.abs(ts) < 90 - 1e-9 =>
+            Some(s"+proj=stere +lat_0=${if (ts < 0) -90 else 90} +lat_ts=$ts +lon_0=$lon0")
+          case _ =>
+            Some(s"+proj=stere +lat_0=${if (lat0 < 0) -90 else 90} " +
+              s"+k=${p("scale_factor").getOrElse(1.0)} +lon_0=$lon0")
+        }
+      } else if (projName.contains("cylindrical_equal_area"))
+        Some(s"+proj=cea +lat_ts=${p("standard_parallel_1").getOrElse(0.0)} +lon_0=$lon0")
+      else if (projName.contains("mercator_1sp"))
+        Some(s"+proj=merc +k=${p("scale_factor").getOrElse(1.0)} +lon_0=$lon0")
+      else if (projName.contains("mercator") && !projName.contains("oblique") &&
+               !projName.contains("hotine")) // omerc/somerc spellings are NOT plain merc
         Some(s"+proj=merc +lat_ts=${p("standard_parallel_1").getOrElse(0.0)} +lon_0=$lon0")
       else None
-    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el $unitsTag +no_defs").orNull
+    // TOWGS84 is the only datum-shift node WKT1 carries — thread it through
+    // so a synthesized/.prj CRS keeps its Helmert (position-vector) transform
+    val tow = "TOWGS84\\[([-0-9.eE,\\s]+)\\]".r.findFirstMatchIn(wkt)
+      .map(m => s" +towgs84=${m.group(1).replaceAll("\\s", "")}").getOrElse("")
+    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $el$tow $unitsTag +no_defs").orNull
   }
 
   /** Synthesize a `+proj=` string from WKT2 (ISO 19162) PROJCRS/GEOGCRS text.
@@ -198,7 +217,8 @@ object GeoMeta {
       else if (method.contains("lambert conic conformal"))
         (sp1, sp2) match {
           case (Some(a), Some(b)) => Some(s"+proj=lcc +lat_1=$a +lat_2=$b +lat_0=$lat0 +lon_0=$lon0")
-          case _ => None // 1SP variant: kernel not implemented
+          case _ => // 1SP (EPSG 9801): natural origin IS the standard parallel
+            Some(s"+proj=lcc +lat_1=$lat0 +lat_0=$lat0 +k_0=$k0 +lon_0=$lon0")
         }
       else if (method.contains("albers"))
         Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
@@ -371,7 +391,9 @@ object GeoMeta {
       val byCode = code.flatMap(graft.geom.Proj.describe).map { case (nm, p4) =>
         detail.copy(
           name = if (detail.name != null) detail.name else nm,
-          proj4 = if (detail.proj4 != null) detail.proj4 else p4)
+          proj4 = if (detail.proj4 != null) detail.proj4 else p4,
+          wkt = if (detail.wkt != null) detail.wkt
+                else code.flatMap(graft.geom.Proj.toWkt1).orNull)
       }.getOrElse(detail)
       // no authority (typical ESRI .prj): synthesize the proj4 from the WKT1
       // parameters directly

@@ -42,8 +42,9 @@ object GeoPackageWriter {
   def write(path: String, table: String, columns: Seq[(String, String)],
             rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326,
             open: String => java.io.OutputStream =
-              p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long =
-    writeMulti(path, Seq((table, columns, rows)), srsId, open)
+              p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16),
+            srsDef: Option[(String, String)] = None): Long =
+    writeMulti(path, Seq((table, columns, rows)), srsId, open, srsDef)
 
   /** Multi-layer GeoPackage: one feature table per entry (a GeoPackage is a
    *  container of layers — reference reads them via st_read's `layer` option,
@@ -52,7 +53,10 @@ object GeoPackageWriter {
                  tables: Seq[(String, Seq[(String, String)], Iterator[(Geometry, Array[Any])])],
                  srsId: Int = 4326,
                  open: String => java.io.OutputStream =
-                   p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16)): Long = {
+                   p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16),
+                 /** (srs_name, WKT definition) for gpkg_spatial_ref_sys when
+                   * srsId != 4326 (COPY `SRS` option; Proj.toWkt1 supplies it) */
+                 srsDef: Option[(String, String)] = None): Long = {
     val db = new SqliteWriter.Db
     var total = 0L
     val perTable = tables.map { case (table, columns, rows) =>
@@ -80,9 +84,11 @@ object GeoPackageWriter {
       (table, columns, featRoot, bounds)
     }
 
+    val (srsName, srsWkt) = srsDef.getOrElse(
+      ("WGS 84 geodetic",
+        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]"))
     val srsRoot = db.writeTable(Seq(
-      1L -> SqliteWriter.record(Seq("WGS 84 geodetic", srsId.toLong, "EPSG", srsId.toLong,
-        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]", null))))
+      1L -> SqliteWriter.record(Seq(srsName, srsId.toLong, "EPSG", srsId.toLong, srsWkt, null))))
     val contentsRoot = db.writeTable(perTable.zipWithIndex.map { case ((table, _, _, b), i) =>
       (i + 1L) -> SqliteWriter.record(Seq(table, "features", table, "", "2026-01-01T00:00:00.000Z",
         b._1, b._2, b._3, b._4, srsId.toLong))

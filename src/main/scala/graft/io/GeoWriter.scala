@@ -61,6 +61,144 @@ object GeoWriter {
     p.getFileSystem(hc.value).mkdirs(p)
   }
 
+  /** COPY-TO dispatch with the reference's option surface (st_write.cpp
+   *  Bind, :68-140): `DRIVER` (GDAL or short spelling; else sniffed from the
+   *  extension), `LAYER_NAME` (GeoPackage feature table), `GEOMETRY_TYPE`
+   *  (singles promote to a requested MULTI type; residual mismatches raise
+   *  per feature — OGR's stance), `SRS` (stamped where the format records a
+   *  CRS: shapefile `.prj` sidecars, GeoPackage srs table; WGS84-by-spec
+   *  formats reject anything else loudly), `SINGLE_FILE` (the reference's
+   *  one-file COPY semantics). Unknown options fail loudly like the
+   *  reference's BinderException. */
+  def copy(df: DataFrame, geomCol: String, path: String,
+           options: Map[String, String] = Map.empty): Unit = {
+    val opts = options.map { case (k, v) => k.toUpperCase(java.util.Locale.ROOT) -> v }
+    val known = Set("DRIVER", "LAYER_NAME", "GEOMETRY_TYPE", "SRS", "SINGLE_FILE")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty,
+      s"COPY: unknown option(s) ${unknown.mkString(", ")} (supported: ${known.toSeq.sorted.mkString(", ")})")
+
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    val driver = opts.get("DRIVER").map(_.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "esri shapefile" | "shapefile" | "shp" => "shp"
+      case "geojsonseq" | "geojsonl" | "ndjson" => "geojsonl"
+      case "geojson" => "geojson"
+      case "flatgeobuf" | "fgb" => "fgb"
+      case "gpkg" | "geopackage" => "gpkg"
+      case "kml" | "libkml" => "kml"
+      case "kmz" => "kmz"
+      case "gpx" => "gpx"
+      case "gml" => "gml"
+      case "georss" => "georss"
+      case "dxf" => "dxf"
+      case "mapinfo file" | "mapinfo" | "mif" => "mif"
+      case "gmt" => "gmt"
+      case "ods" => "ods"
+      case "pgdump" => "pgdump"
+      case "csv" => "csv"
+      case "xlsx" => "xlsx"
+      case "parquet" | "geoparquet" => "parquet"
+      case d => throw new IllegalArgumentException(
+        s"COPY: unsupported DRIVER '$d' — run st_drivers() for the writable set " +
+          "(MVT tiles go through GeoWriter.mvt/mvtPyramid: a tile needs an envelope)")
+    }).getOrElse {
+      val exts = Seq("geojsonl" -> "geojsonl", "ndjson" -> "geojsonl", "jsonl" -> "geojsonl",
+        "geojson" -> "geojson", "json" -> "geojson", "shp" -> "shp", "fgb" -> "fgb",
+        "gpkg" -> "gpkg", "kml" -> "kml", "kmz" -> "kmz", "gpx" -> "gpx", "gml" -> "gml",
+        "rss" -> "georss", "atom" -> "georss", "dxf" -> "dxf", "mif" -> "mif",
+        "gmt" -> "gmt", "ods" -> "ods", "sql" -> "pgdump", "csv" -> "csv",
+        "xlsx" -> "xlsx", "parquet" -> "parquet")
+      exts.collectFirst { case (e, d) if lower.endsWith("." + e) => d }.getOrElse(
+        throw new IllegalArgumentException(
+          s"COPY: cannot infer a driver from '$path' — pass DRIVER explicitly"))
+    }
+
+    val typed = opts.get("GEOMETRY_TYPE").map(_.trim.toUpperCase(java.util.Locale.ROOT)) match {
+      case None => df
+      case Some(t) =>
+        val allowed = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+          "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
+        require(allowed.contains(t),
+          s"COPY: unknown GEOMETRY_TYPE '$t', expected one of ${allowed.toSeq.sorted.mkString(", ")}")
+        graft.Graft.register(df.sparkSession)
+        val g = s"`$geomCol`"
+        val promoted = if (t.startsWith("MULTI")) s"st_multi($g)" else g
+        df.withColumn(geomCol, expr(
+          s"CASE WHEN $g IS NULL THEN $g WHEN st_geometrytype($promoted) = '$t' THEN $promoted " +
+            s"ELSE raise_error(concat('COPY: feature geometry type ', st_geometrytype($g), " +
+            s"' does not match GEOMETRY_TYPE $t')) END"))
+    }
+
+    val srsCode = opts.get("SRS").map(_.trim).map(s => if (s.forall(_.isDigit)) s"EPSG:$s" else s)
+    val wgs84Only = Set("geojsonl", "geojson", "kml", "kmz", "gpx", "georss")
+    val stampable = Set("shp", "gpkg")
+    srsCode.foreach { c =>
+      if (wgs84Only.contains(driver))
+        require(Set("EPSG:4326", "OGC:CRS84", "CRS84").contains(c.toUpperCase(java.util.Locale.ROOT)),
+          s"COPY: the $driver format is WGS 84 by specification — SRS '$c' cannot be " +
+            "stamped; st_transform the geometry first")
+      else require(stampable.contains(driver),
+        s"COPY: SRS stamping is supported for ${stampable.toSeq.sorted.mkString(", ")} " +
+          s"(and ${wgs84Only.toSeq.sorted.mkString(", ")} accept only WGS 84)")
+    }
+    // resolve eagerly so an unknown code fails before any data moves
+    val srsWkt = srsCode.filter(_ => stampable.contains(driver)).map { c =>
+      graft.geom.Proj.toWkt1(c).getOrElse(throw new IllegalArgumentException(
+        s"COPY: SRS '$c' is not resolvable in the EPSG registry (st_list_proj_crs()) " +
+          "or has no WKT1 form (grid-shift datums)"))
+    }
+
+    val layer = opts.get("LAYER_NAME")
+    require(layer.isEmpty || driver == "gpkg",
+      "COPY: LAYER_NAME applies to the GPKG driver (layer-bearing container)")
+    val single = opts.get("SINGLE_FILE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+    driver match {
+      case "geojsonl" => geojsonl(typed, geomCol, path, single)
+      case "geojson" => geojson(typed, geomCol, path)
+      case "shp" =>
+        shapefile(typed, geomCol, path, single)
+        srsWkt.foreach(w => writePrjSidecars(hconfOf(df), path, single, w))
+      case "fgb" => flatgeobuf(typed, geomCol, path, single)
+      case "gpkg" =>
+        val srsId = srsCode.flatMap(c => "\\d+$".r.findFirstIn(c)).map(_.toInt).getOrElse(4326)
+        val srsDef = srsWkt.map(w => (graft.geom.Proj.lookup(srsCode.get).map(_.name)
+          .getOrElse(srsCode.get), w))
+        geopackage(typed, geomCol, path, layer.getOrElse("features"), single, srsId, srsDef)
+      case "kml" => kml(typed, geomCol, path, single)
+      case "kmz" => kmz(typed, geomCol, path, single)
+      case "gpx" => gpx(typed, geomCol, path, single)
+      case "gml" => gml(typed, geomCol, path, single)
+      case "georss" => georss(typed, geomCol, path, single)
+      case "dxf" => dxf(typed, geomCol, path, single)
+      case "mif" => mif(typed, geomCol, path, single)
+      case "gmt" => gmt(typed, geomCol, path, single)
+      case "ods" => ods(typed, path, single)
+      case "pgdump" => pgdump(typed, geomCol, path)
+      case "csv" => csvWkt(typed, geomCol, path, single)
+      case "xlsx" => xlsx(typed, path, single)
+      case "parquet" => clusteredParquet(typed, geomCol, path)
+    }
+  }
+
+  /** `.prj` sidecars for every emitted `.shp` (COPY `SRS` stamping). */
+  private def writePrjSidecars(hc: SerializableHadoopConf, path: String,
+                               singleFile: Boolean, wkt: String): Unit = {
+    def put(prjPath: String): Unit = {
+      val os = hadoopOpen(hc)(prjPath)
+      try os.write(wkt.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally os.close()
+    }
+    if (singleFile) put(path.stripSuffix(".shp") + ".prj")
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hc.value)
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.toString
+        if (n.endsWith(".shp")) put(n.stripSuffix(".shp") + ".prj")
+      }
+    }
+  }
+
   /** Write `df` as newline-delimited GeoJSON features. All non-geometry
    *  columns become properties (JSON-typed via to_json). */
   def geojsonl(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
@@ -855,7 +993,8 @@ object GeoWriter {
    *  single feature table per file, hand-rolled sqlite pages — no sqlite
    *  dependency) or a single `<path>` file when `singleFile = true`. */
   def geopackage(df: DataFrame, geomCol: String, path: String, table: String = "features",
-                 singleFile: Boolean = false): Unit = {
+                 singleFile: Boolean = false, srsId: Int = 4326,
+                 srsDef: Option[(String, String)] = None): Unit = {
     val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
@@ -882,7 +1021,8 @@ object GeoWriter {
           (g, attrs)
         }
         val dest = if (singleFile) path else f"$path/part-$pid%05d.gpkg"
-        GeoPackageWriter.write(dest, table, cols, rows, open = hadoopOpen(hc))
+        GeoPackageWriter.write(dest, table, cols, rows, srsId, open = hadoopOpen(hc),
+          srsDef = srsDef)
       }
       ()
     }

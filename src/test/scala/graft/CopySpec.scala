@@ -1,0 +1,153 @@
+package graft
+
+import graft.geom.Proj
+import graft.io.{GeoMeta, GeoWriter}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The COPY-TO dispatcher (reference option surface: st_write.cpp Bind,
+  * DRIVER / LAYER_NAME / GEOMETRY_TYPE / SRS) and the write-side CRS stamp:
+  * Proj.toWkt1 synthesis, shapefile `.prj` sidecars, GeoPackage srs rows.
+  * The WKT1 synthesis is validated by a full registry sweep — every emitted
+  * WKT1 our own reader can parse must reproduce the registry kernel AND
+  * datum, so the two public spellings cannot drift. */
+class CopySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = Files.createTempDirectory("graft_copy").toString
+
+  private def pts = {
+    spark.sql(
+      """SELECT id, CONCAT('n', id) AS name,
+        |       st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE) + 0.5) AS geom
+        |FROM range(5)""".stripMargin)
+  }
+
+  test("toWkt1: registry-wide round trip through our own WKT1 reader") {
+    var checked = 0
+    Proj.allCodes.foreach { case (code, _) =>
+      Proj.lookup(code).foreach { crs =>
+        // orientation AXIS nodes are dropped by the WKT1 reader — the two
+        // paths legitimately disagree there (Lo zones); skip those
+        if (crs.proj4 != null && !crs.proj4.contains("+axis=")) {
+          Proj.toWkt1(code).foreach { wkt =>
+            val p4 = GeoMeta.proj4FromWkt1(wkt)
+            if (p4 != null) {
+              val parsed = Proj.fromProjString(p4).get
+              val (lon, lat) = crs.probe
+              val (x1, y1) = crs.proj.forward(lon, lat)
+              val (x2, y2) = parsed.proj.forward(lon, lat)
+              assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+                s"$code kernel drift: ($x1,$y1) vs ($x2,$y2)\n  $wkt\n  $p4")
+              val (a1, b1) = crs.datum.fromWgs84(lon, lat)
+              val (a2, b2) = parsed.datum.fromWgs84(lon, lat)
+              assert(math.abs(a1 - a2) < 1e-9 && math.abs(b1 - b2) < 1e-9,
+                s"$code datum drift (TOWGS84 lost?): ($a1,$b1) vs ($a2,$b2)\n  $wkt")
+              checked += 1
+            }
+          }
+        }
+      }
+    }
+    // tmerc/lcc/aea/laea/stere/merc/cea cover the vast majority of the table
+    assert(checked >= 350, s"WKT1 round trip only covered $checked codes")
+  }
+
+  test("toWkt1: geographic codes carry the datum TOWGS84") {
+    val osgb = Proj.toWkt1("EPSG:4277").get
+    assert(osgb.contains("TOWGS84[446.448,-125.157,542.06"))
+    val p4 = GeoMeta.proj4FromWkt1(osgb)
+    assert(p4 != null && p4.contains("+towgs84=446.448"))
+    assert(Proj.toWkt1("EPSG:4326").get.contains("AUTHORITY[\"EPSG\",\"4326\"]"))
+  }
+
+  test("copy: driver sniffed from extension, DRIVER option overrides") {
+    val p1 = s"$dir/sniff.geojsonl"
+    GeoWriter.copy(pts, "geom", p1, Map("SINGLE_FILE" -> "true"))
+    val lines = Files.readAllLines(Paths.get(p1))
+    assert(lines.size == 5 && lines.get(0).contains("\"Feature\""))
+    // GDAL spelling routed to the shapefile writer despite the odd path
+    val p2 = s"$dir/via_driver"
+    GeoWriter.copy(pts, "geom", s"$p2.shp",
+      Map("driver" -> "ESRI Shapefile", "single_file" -> "true"))
+    assert(Files.exists(Paths.get(s"$p2.shp")) && Files.exists(Paths.get(s"$p2.dbf")))
+  }
+
+  test("copy: unknown options and unknown drivers fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      GeoWriter.copy(pts, "geom", s"$dir/x.geojsonl", Map("COMPRESSION" -> "zstd"))
+    }
+    assert(e1.getMessage.contains("COMPRESSION"))
+    val e2 = intercept[IllegalArgumentException] {
+      GeoWriter.copy(pts, "geom", s"$dir/x.xyz", Map.empty)
+    }
+    assert(e2.getMessage.contains("cannot infer"))
+    val e3 = intercept[IllegalArgumentException] {
+      GeoWriter.copy(pts, "geom", s"$dir/x.xyz", Map("DRIVER" -> "FileGDB"))
+    }
+    assert(e3.getMessage.contains("unsupported DRIVER"))
+  }
+
+  test("copy: GEOMETRY_TYPE promotes singles to MULTI and rejects mismatches") {
+    val p = s"$dir/promoted.geojsonl"
+    GeoWriter.copy(pts, "geom", p,
+      Map("GEOMETRY_TYPE" -> "MULTIPOINT", "SINGLE_FILE" -> "true"))
+    val lines = Files.readAllLines(Paths.get(p))
+    assert(lines.size == 5 && lines.get(0).contains("MultiPoint"))
+    val err = intercept[Exception] {
+      GeoWriter.copy(pts, "geom", s"$dir/reject.geojsonl",
+        Map("GEOMETRY_TYPE" -> "POLYGON", "SINGLE_FILE" -> "true"))
+    }
+    assert(err.getMessage != null || err.getCause != null) // raise_error surfaces per feature
+  }
+
+  test("copy: SRS stamps a .prj sidecar the meta reader resolves back") {
+    val base = s"$dir/stamped"
+    GeoWriter.copy(pts, "geom", s"$base.shp",
+      Map("SRS" -> "EPSG:32633", "SINGLE_FILE" -> "true"))
+    val prj = Paths.get(s"$base.prj")
+    assert(Files.exists(prj))
+    val wkt = new String(Files.readAllBytes(prj), "UTF-8")
+    assert(wkt.contains("Transverse_Mercator") && wkt.contains("AUTHORITY[\"EPSG\",\"32633\"]"))
+    // our own .prj consumer round-trips it to the UTM kernel
+    val p4 = GeoMeta.proj4FromWkt1(wkt)
+    val parsed = Proj.fromProjString(p4).get
+    val reg = Proj.fromProjString("+proj=utm +zone=33 +datum=WGS84").get
+    val (x1, y1) = reg.proj.forward(15.4, 52.0)
+    val (x2, y2) = parsed.proj.forward(15.4, 52.0)
+    assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6)
+    // directory mode: every part file gets its sidecar
+    val d = s"$dir/stamped_dir"
+    GeoWriter.copy(pts.repartition(2), "geom", d,
+      Map("DRIVER" -> "shp", "SRS" -> "32633"))
+    val prjs = Files.list(Paths.get(d)).toArray.map(_.toString).filter(_.endsWith(".prj"))
+    val shps = Files.list(Paths.get(d)).toArray.map(_.toString).filter(_.endsWith(".shp"))
+    assert(shps.nonEmpty && prjs.length == shps.length)
+  }
+
+  test("copy: SRS lands in the GeoPackage srs table; LAYER_NAME names the table") {
+    val p = s"$dir/srs.gpkg"
+    GeoWriter.copy(pts, "geom", p,
+      Map("SRS" -> "EPSG:27700", "LAYER_NAME" -> "towns", "SINGLE_FILE" -> "true"))
+    val df = spark.read.format("geo").option("layer", "towns").load(p)
+    assert(df.count() == 5)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(txt.contains("OSGB36 / British National Grid"))
+    assert(txt.contains("Transverse_Mercator"))
+  }
+
+  test("copy: WGS84-by-spec formats reject a foreign SRS loudly, accept 4326") {
+    val err = intercept[IllegalArgumentException] {
+      GeoWriter.copy(pts, "geom", s"$dir/x.kml", Map("SRS" -> "EPSG:3857"))
+    }
+    assert(err.getMessage.contains("WGS 84 by specification"))
+    GeoWriter.copy(pts, "geom", s"$dir/ok.kml",
+      Map("SRS" -> "EPSG:4326", "SINGLE_FILE" -> "true"))
+    assert(Files.exists(Paths.get(s"$dir/ok.kml")))
+    val e2 = intercept[IllegalArgumentException] {
+      GeoWriter.copy(pts, "geom", s"$dir/x.dxf", Map("SRS" -> "EPSG:3857"))
+    }
+    assert(e2.getMessage.contains("SRS stamping is supported for"))
+  }
+}
