@@ -2306,6 +2306,127 @@ object Proj {
     }
   }
 
+  /** Synthesize PROJJSON (the PROJ project's published JSON CRS encoding —
+   *  GeoParquet 1.1's `crs` member) for an authority code: EPSG method and
+   *  parameter names over the entry's canonical `+proj=` record. A Helmert
+   *  datum wraps the result in a BoundCRS whose transformation carries the
+   *  EPSG 9606 position-vector parameters; GeoMeta.proj4FromProjjson reads
+   *  both shapes back (CopySpec sweep). None for methods with no EPSG
+   *  parameter mapping here, grid datums, and non-meter units. */
+  def toProjjson(code: String): Option[String] = {
+    val c = code.trim
+    val up = c.toUpperCase
+    def ident: String = if (up.startsWith("EPSG:")) s""","id":{"authority":"EPSG","code":${up.drop(5)}}""" else ""
+    def geogJson(name: String, d: Datum): String = {
+      val (spn, dn) = wktNames(d.el)
+      s"""{"type":"GeographicCRS","name":"$name","datum":{"type":"GeodeticReferenceFrame","name":"$dn",""" +
+        s""""ellipsoid":{"name":"$spn","semi_major_axis":${d.el.a},"inverse_flattening":${d.el.invF}}},""" +
+        """"coordinate_system":{"subtype":"ellipsoidal","axis":[""" +
+        """{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"},""" +
+        """{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"}]}"""
+    }
+    if (geographic.contains(up))
+      return geographic.get(up).map { case (n, d) => geogJson(n, d) + ident + "}" }
+    if (up == "EPSG:4326" || up == "OGC:CRS84" || up == "CRS84")
+      return Some(geogJson("WGS 84", DatumWgs84) +
+        (if (up == "EPSG:4326") ""","id":{"authority":"EPSG","code":4326}""" else "") + "}")
+    val Wgs84Utm = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
+    val crs = (up match {
+      case Wgs84Utm(ns, z) =>
+        Some(utmCrs(up, s"WGS 84 / UTM zone ${z.toInt}${if (ns == "6") "N" else "S"}",
+          z.toInt, south = ns == "7", DatumWgs84))
+      case _ => lookup(if (c.startsWith("+")) c else up)
+    }).getOrElse(return None)
+    if (crs.proj4 == null || crs.datum.grid.isDefined) return None
+    val kv: Map[String, String] = crs.proj4.split("\\s+").iterator
+      .filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
+        val i = tok.indexOf('=')
+        if (i < 0) (tok, "") else (tok.take(i), tok.drop(i + 1))
+      }.toMap
+    if (kv.contains("nadgrids") || kv.contains("geoidgrids")) return None
+    if (kv.get("units").exists(_ != "m") || kv.contains("to_meter")) return None
+    def n(k: String, dflt: Double = 0.0): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val k0 = n("k", n("k_0", 1.0))
+    def par(pairs: (String, Double, String)*): String = pairs.map { case (nm, v, u) =>
+      s"""{"name":"$nm","value":${wktNum(v)},"unit":"$u"}"""
+    }.mkString(",")
+    def natural(extra: (String, Double, String)*): String = par(Seq(
+      ("Latitude of natural origin", n("lat_0"), "degree"),
+      ("Longitude of natural origin", n("lon_0"), "degree")) ++ extra ++ Seq(
+      ("False easting", n("x_0"), "metre"),
+      ("False northing", n("y_0"), "metre")): _*)
+    val sf = ("Scale factor at natural origin", k0, "unity")
+    val method: Option[(String, Int, String)] = kv("proj") match {
+      case "tmerc" => Some(("Transverse Mercator", 9807, natural(sf)))
+      case "utm" =>
+        val z = n("zone").toInt
+        Some(("Transverse Mercator", 9807, par(
+          ("Latitude of natural origin", 0.0, "degree"),
+          ("Longitude of natural origin", (z * 6 - 183).toDouble, "degree"),
+          ("Scale factor at natural origin", 0.9996, "unity"),
+          ("False easting", 500000.0, "metre"),
+          ("False northing", if (kv.contains("south")) 10000000.0 else 0.0, "metre"))))
+      case "lcc" if kv.contains("lat_2") => Some(("Lambert Conic Conformal (2SP)", 9802, par(
+        ("Latitude of false origin", n("lat_0"), "degree"),
+        ("Longitude of false origin", n("lon_0"), "degree"),
+        ("Latitude of 1st standard parallel", n("lat_1"), "degree"),
+        ("Latitude of 2nd standard parallel", n("lat_2"), "degree"),
+        ("Easting at false origin", n("x_0"), "metre"),
+        ("Northing at false origin", n("y_0"), "metre"))))
+      case "lcc" => Some(("Lambert Conic Conformal (1SP)", 9801, par(
+        ("Latitude of natural origin", n("lat_1", n("lat_0")), "degree"),
+        ("Longitude of natural origin", n("lon_0"), "degree"), sf,
+        ("False easting", n("x_0"), "metre"),
+        ("False northing", n("y_0"), "metre"))))
+      case "aea" => Some(("Albers Equal Area", 9822, par(
+        ("Latitude of false origin", n("lat_0"), "degree"),
+        ("Longitude of false origin", n("lon_0"), "degree"),
+        ("Latitude of 1st standard parallel", n("lat_1"), "degree"),
+        ("Latitude of 2nd standard parallel", n("lat_2"), "degree"),
+        ("Easting at false origin", n("x_0"), "metre"),
+        ("Northing at false origin", n("y_0"), "metre"))))
+      case "laea" => Some(("Lambert Azimuthal Equal Area", 9820, natural()))
+      case "stere" if kv.contains("lat_ts") => Some(("Polar Stereographic (variant B)", 9829, par(
+        ("Latitude of standard parallel", n("lat_ts"), "degree"),
+        ("Longitude of origin", n("lon_0"), "degree"),
+        ("False easting", n("x_0"), "metre"),
+        ("False northing", n("y_0"), "metre"))))
+      case "stere" => Some(("Polar Stereographic (variant A)", 9810, natural(sf)))
+      case "merc" if kv.contains("lat_ts") => Some(("Mercator (variant B)", 9805, par(
+        ("Latitude of 1st standard parallel", n("lat_ts"), "degree"),
+        ("Longitude of natural origin", n("lon_0"), "degree"),
+        ("False easting", n("x_0"), "metre"),
+        ("False northing", n("y_0"), "metre"))))
+      case "merc" => Some(("Mercator (variant A)", 9804, natural(sf)))
+      case "cea" => Some(("Lambert Cylindrical Equal Area", 9835, par(
+        ("Latitude of 1st standard parallel", n("lat_ts"), "degree"),
+        ("Longitude of natural origin", n("lon_0"), "degree"),
+        ("False easting", n("x_0"), "metre"),
+        ("False northing", n("y_0"), "metre"))))
+      case _ => None // methods beyond the reader's PROJJSON ladder
+    }
+    method.map { case (mName, mCode, params) =>
+      val proj =
+        s"""{"type":"ProjectedCRS","name":"${crs.name}","base_crs":${geogJson("GCS_" + wktNames(crs.datum.el)._2, crs.datum)}},""" +
+          s""""conversion":{"name":"unnamed","method":{"name":"$mName","id":{"authority":"EPSG","code":$mCode}},""" +
+          s""""parameters":[$params]},"coordinate_system":{"subtype":"Cartesian","axis":[""" +
+          """{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},""" +
+          """{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]}""" + ident + "}"
+      crs.datum.shift match {
+        case Some(h) =>
+          s"""{"type":"BoundCRS","name":"${crs.name}","source_crs":$proj,""" +
+            s""""target_crs":${geogJson("WGS 84", DatumWgs84)}},""" +
+            s""""transformation":{"name":"to WGS 84","method":{"name":"Position Vector transformation (geog2D domain)","id":{"authority":"EPSG","code":9606}},""" +
+            s""""parameters":[${par(
+              ("X-axis translation", h.tx, "metre"), ("Y-axis translation", h.ty, "metre"),
+              ("Z-axis translation", h.tz, "metre"), ("X-axis rotation", h.rxAs, "arc-second"),
+              ("Y-axis rotation", h.ryAs, "arc-second"), ("Z-axis rotation", h.rzAs, "arc-second"),
+              ("Scale difference", h.dsPpm, "parts per million"))}]}$ident}"""
+        case None => proj
+      }
+    }
+  }
+
   /** ST_Read_Meta enrichment: human name + equivalent `+proj=` string for a
    *  recognized authority code ("EPSG:4326"-style), covering projected
    *  registry/zone-family codes AND geographic codes. */

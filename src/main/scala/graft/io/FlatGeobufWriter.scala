@@ -102,6 +102,8 @@ object FlatGeobufWriter {
       if (v != dflt) { putByte(v.toByte); vtable(id) = offset }
     def slotShort(id: Int, v: Int, dflt: Int, force: Boolean = false): Unit =
       if (force || v != dflt) { putShort(v.toShort); vtable(id) = offset }
+    def slotInt(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { putInt(v); vtable(id) = offset }
     def slotLong(id: Int, v: Long, dflt: Long): Unit =
       if (v != dflt) { putLong(v); vtable(id) = offset }
     def slotOffset(id: Int, off: Int): Unit =
@@ -148,7 +150,10 @@ object FlatGeobufWriter {
             rows: Iterator[(Geometry, Array[Any])],
             open: String => java.io.OutputStream =
               p => new BufferedOutputStream(new FileOutputStream(p), 1 << 16),
-            index: Boolean = true): Long = {
+            index: Boolean = true,
+            /** (org, code, name, wkt) for the header Crs table — the
+              * spec's org(0)/code(1)/name(2)/wkt(4) slots (COPY `SRS`) */
+            crs: Option[(String, Int, String, String)] = None): Long = {
     val out = open(path)
     var anyZ = false; var anyM = false
     // the header needs count/anyZ/anyM and the index needs a Hilbert sort,
@@ -206,8 +211,20 @@ object FlatGeobufWriter {
         hb.endTable()
       }.toArray
       val colsVec = if (colOffs.isEmpty) 0 else hb.offsetVector(colOffs)
+      // Crs sub-table (spec slots: org=0, code=1, name=2, wkt=4)
+      val crsOff = crs.map { case (org, code, name, wkt) =>
+        val orgOff = if (org != null) hb.string(org) else 0
+        val crsNameOff = if (name != null) hb.string(name) else 0
+        val wktOff = if (wkt != null) hb.string(wkt) else 0
+        hb.startTable(5)
+        hb.slotOffset(0, orgOff)
+        hb.slotInt(1, code, 0)
+        hb.slotOffset(2, crsNameOff)
+        hb.slotOffset(4, wktOff)
+        hb.endTable()
+      }.getOrElse(0)
       val nameOff = hb.string("graft")
-      hb.startTable(10)
+      hb.startTable(11)
       hb.slotOffset(0, nameOff)
       hb.slotByte(2, geomType, 0)
       hb.slotByte(3, if (anyZ) 1 else 0, 0)
@@ -215,6 +232,7 @@ object FlatGeobufWriter {
       hb.slotOffset(7, colsVec)
       hb.slotLong(8, count, 0)
       hb.slotShort(9, if (withIndex) NodeSize else 0, 16, force = true)
+      hb.slotOffset(10, crsOff)
       val ht = hb.endTable()
       val headerBytes = hb.finish(ht)
       out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))

@@ -225,13 +225,18 @@ object GeoMeta {
       else if (method.contains("azimuthal equal area"))
         Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("polar stereographic")) {
-        // variant B carries a standard parallel; variant A at k=1 is scale-true
-        // at the pole (ts = ±90); variant A with k≠1 is outside the kernel
-        val tsv = ts.orElse(if (math.abs(k0 - 1.0) < 1e-12) Some(lat0) else None)
-        tsv.map(t => s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+        // variant B carries a standard parallel; variant A carries the
+        // pole scale factor (lat_ts=±90 would be 0/0 in the B kernel)
+        ts match {
+          case Some(t) if math.abs(t) < 90 - 1e-9 =>
+            Some(s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+          case _ =>
+            Some(s"+proj=stere +lat_0=${if (lat0 < 0) -90 else 90} +k=$k0 +lon_0=$lon0")
+        }
       } else if (method.contains("cylindrical equal area"))
         Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
-      else if (method.contains("mercator")) {
+      else if (method.contains("mercator") && !method.contains("oblique") &&
+               !method.contains("hotine")) { // omerc spellings are NOT plain merc
         // +lat_ts wins over +k in the kernel — emit exactly one (variant B vs A)
         val t = ts.orElse(sp1)
         Some(t.map(v => s"+proj=merc +lat_ts=$v +lon_0=$lon0")
@@ -286,7 +291,8 @@ object GeoMeta {
       else if (method.contains("lambert conic conformal"))
         (sp1, sp2) match {
           case (Some(a), Some(b)) => Some(s"+proj=lcc +lat_1=$a +lat_2=$b +lat_0=$lat0 +lon_0=$lon0")
-          case _ => None
+          case _ => // 1SP (EPSG 9801): natural origin IS the standard parallel
+            Some(s"+proj=lcc +lat_1=$lat0 +lat_0=$lat0 +k_0=$k0 +lon_0=$lon0")
         }
       else if (method.contains("albers"))
         Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
@@ -294,15 +300,33 @@ object GeoMeta {
         Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("polar stereographic")) {
         val tsv = ts.orElse(if (math.abs(k0 - 1.0) < 1e-12) Some(lat0) else None)
-        tsv.map(t => s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+        tsv match {
+          case Some(t) if math.abs(t) < 90 - 1e-9 =>
+            Some(s"+proj=stere +lat_0=${if (t < 0) -90 else 90} +lat_ts=$t +lon_0=$lon0")
+          case _ => // variant A: pole-scale k (lat_ts=±90 would be 0/0)
+            Some(s"+proj=stere +lat_0=${if (lat0 < 0) -90 else 90} +k=$k0 +lon_0=$lon0")
+        }
       } else if (method.contains("cylindrical equal area"))
         Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
-      else if (method.contains("mercator")) {
+      else if (method.contains("mercator") && !method.contains("oblique") &&
+               !method.contains("hotine")) { // omerc spellings are NOT plain merc
         val t = ts.orElse(sp1)
         Some(t.map(v => s"+proj=merc +lat_ts=$v +lon_0=$lon0")
           .getOrElse(s"+proj=merc +k=$k0 +lon_0=$lon0"))
       } else None
-    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $ell +units=m +no_defs").orNull
+    // BoundCRS transformation (EPSG 9606 position vector) → +towgs84: the
+    // translation/rotation/scale parameters sit in the same flat name/value
+    // shape as the conversion's, under distinct EPSG names
+    val tow = p("x-axis translation").map { tx =>
+      val ty = p("y-axis translation").getOrElse(0.0)
+      val tz = p("z-axis translation").getOrElse(0.0)
+      val rx = p("x-axis rotation").getOrElse(0.0)
+      val ry = p("y-axis rotation").getOrElse(0.0)
+      val rz = p("z-axis rotation").getOrElse(0.0)
+      val ds = p("scale difference").getOrElse(0.0)
+      s" +towgs84=$tx,$ty,$tz,$rx,$ry,$rz,$ds"
+    }.getOrElse("")
+    core.map(c => s"$c +x_0=$x0 +y_0=$y0 $ell$tow +units=m +no_defs").orNull
   }
 
   private def ellpsFromWkt(wkt: String): String = {
@@ -321,10 +345,13 @@ object GeoMeta {
   private def fromProjjson(json: String): CrsDetail = {
     if (json == null) return CrsDetail()
     def f(re: String) = re.r.findFirstMatchIn(json)
+    // the CRS's own id is the LAST one in PROJJSON text — conversion-method
+    // and transformation ids come earlier inside their sub-objects
+    def last(re: String) = re.r.findAllMatchIn(json).toSeq.lastOption
     CrsDetail(
       name = f("\"name\"\\s*:\\s*\"([^\"]+)\"").map(_.group(1)).orNull,
-      authName = f("\"authority\"\\s*:\\s*\"([^\"]+)\"").map(_.group(1)).orNull,
-      authCode = f("\"code\"\\s*:\\s*\"?(\\d+)\"?").map(_.group(1)).orNull,
+      authName = last("\"authority\"\\s*:\\s*\"([^\"]+)\"").map(_.group(1)).orNull,
+      authCode = last("\"code\"\\s*:\\s*\"?(\\d+)\"?").map(_.group(1)).orNull,
       projjson = json)
   }
 

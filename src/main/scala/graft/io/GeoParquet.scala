@@ -22,13 +22,35 @@ object GeoParquet {
   /** The `geo` JSON for a single WKB geometry column with a bbox covering
    *  struct (GeoParquet 1.1.0). */
   def geoJson(geomCol: String, bbox: (Double, Double, Double, Double),
-              bboxCol: Option[String]): String = {
+              bboxCol: Option[String],
+              /** PROJJSON for the column's `crs` member (GeoParquet 1.1:
+                * absent means OGC:CRS84); Proj.toProjjson supplies it */
+              crs: Option[String] = None): String = {
     val covering = bboxCol.map { bc =>
       s""","covering":{"bbox":{"xmin":["$bc","min_x"],"ymin":["$bc","min_y"],"xmax":["$bc","max_x"],"ymax":["$bc","max_y"]}}"""
     }.getOrElse("")
+    val crsMember = crs.map(j => s""","crs":$j""").getOrElse("")
     s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{""" +
       s""""encoding":"WKB","geometry_types":[],""" +
-      s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]$covering}}}"""
+      s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]$covering$crsMember}}}"""
+  }
+
+  /** `crs` PROJJSON member back out of a footer string (balanced braces) */
+  def parseCrs(geo: String): Option[String] = {
+    val i = geo.indexOf("\"crs\":")
+    if (i < 0) None
+    else {
+      val start = geo.indexOf('{', i)
+      if (start < 0) None
+      else {
+        var depth = 0; var j = start
+        while (j < geo.length && (depth > 0 || j == start)) {
+          geo.charAt(j) match { case '{' => depth += 1; case '}' => depth -= 1; case _ => }
+          j += 1
+        }
+        if (depth == 0) Some(geo.substring(start, j)) else None
+      }
+    }
   }
 
   /** bbox back out of a [[geoJson]] footer string (None if absent/odd) */

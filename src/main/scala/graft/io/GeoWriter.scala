@@ -131,7 +131,7 @@ object GeoWriter {
 
     val srsCode = opts.get("SRS").map(_.trim).map(s => if (s.forall(_.isDigit)) s"EPSG:$s" else s)
     val wgs84Only = Set("geojsonl", "geojson", "kml", "kmz", "gpx", "georss")
-    val stampable = Set("shp", "gpkg")
+    val stampable = Set("shp", "gpkg", "fgb", "parquet")
     srsCode.foreach { c =>
       if (wgs84Only.contains(driver))
         require(Set("EPSG:4326", "OGC:CRS84", "CRS84").contains(c.toUpperCase(java.util.Locale.ROOT)),
@@ -141,11 +141,17 @@ object GeoWriter {
         s"COPY: SRS stamping is supported for ${stampable.toSeq.sorted.mkString(", ")} " +
           s"(and ${wgs84Only.toSeq.sorted.mkString(", ")} accept only WGS 84)")
     }
-    // resolve eagerly so an unknown code fails before any data moves
-    val srsWkt = srsCode.filter(_ => stampable.contains(driver)).map { c =>
+    // resolve eagerly so an unknown code fails before any data moves:
+    // WKT1 for .prj/gpkg/fgb stamps, PROJJSON for the GeoParquet footer
+    val srsWkt = srsCode.filter(_ => stampable.contains(driver) && driver != "parquet").map { c =>
       graft.geom.Proj.toWkt1(c).getOrElse(throw new IllegalArgumentException(
         s"COPY: SRS '$c' is not resolvable in the EPSG registry (st_list_proj_crs()) " +
           "or has no WKT1 form (grid-shift datums)"))
+    }
+    val srsProjjson = srsCode.filter(_ => driver == "parquet").map { c =>
+      graft.geom.Proj.toProjjson(c).getOrElse(throw new IllegalArgumentException(
+        s"COPY: SRS '$c' has no PROJJSON form here (unknown code, grid datum, " +
+          "or a method outside the PROJJSON mapping)"))
     }
 
     val layer = opts.get("LAYER_NAME")
@@ -159,7 +165,14 @@ object GeoWriter {
       case "shp" =>
         shapefile(typed, geomCol, path, single)
         srsWkt.foreach(w => writePrjSidecars(hconfOf(df), path, single, w))
-      case "fgb" => flatgeobuf(typed, geomCol, path, single)
+      case "fgb" =>
+        val fgbCrs = srsWkt.map { w =>
+          val code = srsCode.flatMap(c => "\\d+$".r.findFirstIn(c)).map(_.toInt).getOrElse(0)
+          val org = srsCode.map(_.takeWhile(_ != ':'))
+            .filter(o => o.nonEmpty && !o.forall(_.isDigit)).getOrElse("EPSG")
+          (org, code, graft.geom.Proj.lookup(srsCode.get).map(_.name).getOrElse(srsCode.get), w)
+        }
+        flatgeobuf(typed, geomCol, path, single, fgbCrs)
       case "gpkg" =>
         val srsId = srsCode.flatMap(c => "\\d+$".r.findFirstIn(c)).map(_.toInt).getOrElse(4326)
         val srsDef = srsWkt.map(w => (graft.geom.Proj.lookup(srsCode.get).map(_.name)
@@ -177,7 +190,7 @@ object GeoWriter {
       case "pgdump" => pgdump(typed, geomCol, path)
       case "csv" => csvWkt(typed, geomCol, path, single)
       case "xlsx" => xlsx(typed, path, single)
-      case "parquet" => clusteredParquet(typed, geomCol, path)
+      case "parquet" => clusteredParquet(typed, geomCol, path, crs = srsProjjson)
     }
   }
 
@@ -961,7 +974,8 @@ object GeoWriter {
 
   /** Write `df` as FlatGeobuf: per-partition part-N.fgb files (default) or a
    *  single `<path>` file when `singleFile = true`. */
-  def flatgeobuf(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false): Unit = {
+  def flatgeobuf(df: DataFrame, geomCol: String, path: String, singleFile: Boolean = false,
+                 crs: Option[(String, Int, String, String)] = None): Unit = {
     val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
@@ -983,7 +997,7 @@ object GeoWriter {
         }
         // geometry type 0 (Unknown) + per-feature type tags handles mixed input
         val dest = if (singleFile) path else f"$path/part-$pid%05d.fgb"
-        FlatGeobufWriter.write(dest, 0, fields, rows, hadoopOpen(hc))
+        FlatGeobufWriter.write(dest, 0, fields, rows, hadoopOpen(hc), crs = crs)
       }
       ()
     }
@@ -1273,7 +1287,10 @@ object GeoWriter {
       geomCol: String,
       path: String,
       bounds: Option[(Double, Double, Double, Double)] = None,
-      targetPartitions: Int = 0): Unit = {
+      targetPartitions: Int = 0,
+      /** PROJJSON for the footer's `crs` member (COPY `SRS`; GeoParquet 1.1
+        * reads absence as OGC:CRS84) */
+      crs: Option[String] = None): Unit = {
     graft.Graft.register(df.sparkSession)
     val (minX, minY, maxX, maxY) = bounds.getOrElse {
       val r = df.selectExpr(
@@ -1297,7 +1314,7 @@ object GeoWriter {
     // per part file; data pages untouched)
     GeoParquet.stampGeoDir(
       df.sparkSession.sessionState.newHadoopConf(), path,
-      GeoParquet.geoJson(geomCol, (minX, minY, maxX, maxY), Some(s"${geomCol}_bbox")))
+      GeoParquet.geoJson(geomCol, (minX, minY, maxX, maxY), Some(s"${geomCol}_bbox"), crs))
   }
 
   /** Compaction story for the R-tree replacement: the Hilbert-clustered
@@ -1381,7 +1398,8 @@ object GeoWriter {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // the tmp write materializes the subset (reading the overlapped files)
     // BEFORE any original is touched; only then swap
-    clusteredParquet(subset, geomCol, tmp, Some(gb), nOut)
+    clusteredParquet(subset, geomCol, tmp, Some(gb), nOut,
+      crs = oldGeo.flatMap(GeoParquet.parseCrs))
     overlapping.foreach { f =>
       val orig = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
       if (!fs.delete(orig, false))
@@ -1402,7 +1420,9 @@ object GeoWriter {
     // global bbox grew past what those footers advertise, in which case a
     // metadata-sized restamp of every file keeps interop readers honest
     // (the one case where untouched-file mtimes legitimately move).
-    val wantGeo = GeoParquet.geoJson(geomCol, gb, Some(s"${geomCol}_bbox"))
+    // a crs member stamped at create time survives the restamp
+    val wantGeo = GeoParquet.geoJson(geomCol, gb, Some(s"${geomCol}_bbox"),
+      oldGeo.flatMap(GeoParquet.parseCrs))
     if (!oldGeo.contains(wantGeo)) GeoParquet.stampGeoDir(conf, path, wantGeo)
   }
 
@@ -1419,9 +1439,11 @@ object GeoWriter {
     val incoming = df.selectExpr(existing.columns.map(c => s"`$c`"): _*)
     val union = existing.unionByName(incoming)
     val tmp = path.stripSuffix("/") + "__recluster_tmp"
+    val oldCrs = GeoParquet.readGeo(spark.sessionState.newHadoopConf(),
+      path.stripPrefix("file:")).flatMap(GeoParquet.parseCrs)
     // writing tmp materializes the union (reading the old files) BEFORE the
     // old directory is touched; only then swap
-    clusteredParquet(union, geomCol, tmp, bounds, targetPartitions)
+    clusteredParquet(union, geomCol, tmp, bounds, targetPartitions, crs = oldCrs)
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)

@@ -2,6 +2,7 @@ package graft
 
 import graft.geom.Proj
 import graft.io.{GeoMeta, GeoWriter}
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 
@@ -51,6 +52,35 @@ class CopySpec extends AnyFunSuite {
     }
     // tmerc/lcc/aea/laea/stere/merc/cea cover the vast majority of the table
     assert(checked >= 350, s"WKT1 round trip only covered $checked codes")
+  }
+
+  test("toProjjson: registry-wide round trip through our own PROJJSON reader") {
+    var checked = 0; var bound = 0
+    Proj.allCodes.foreach { case (code, _) =>
+      Proj.lookup(code).foreach { crs =>
+        if (crs.proj4 != null && !crs.proj4.contains("+axis=")) {
+          Proj.toProjjson(code).foreach { json =>
+            val p4 = GeoMeta.proj4FromProjjson(json)
+            if (p4 != null) {
+              val parsed = Proj.fromProjString(p4).get
+              val (lon, lat) = crs.probe
+              val (x1, y1) = crs.proj.forward(lon, lat)
+              val (x2, y2) = parsed.proj.forward(lon, lat)
+              assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+                s"$code kernel drift: ($x1,$y1) vs ($x2,$y2)\n  $json\n  $p4")
+              val (a1, b1) = crs.datum.fromWgs84(lon, lat)
+              val (a2, b2) = parsed.datum.fromWgs84(lon, lat)
+              assert(math.abs(a1 - a2) < 1e-9 && math.abs(b1 - b2) < 1e-9,
+                s"$code datum drift (BoundCRS transformation lost?): ($a1,$b1) vs ($a2,$b2)")
+              checked += 1
+              if (json.contains("BoundCRS")) bound += 1
+            }
+          }
+        }
+      }
+    }
+    assert(checked >= 350, s"PROJJSON round trip only covered $checked codes")
+    assert(bound >= 30, s"only $bound Helmert datums exercised the BoundCRS shape")
   }
 
   test("toWkt1: geographic codes carry the datum TOWGS84") {
@@ -135,6 +165,36 @@ class CopySpec extends AnyFunSuite {
     val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(txt.contains("OSGB36 / British National Grid"))
     assert(txt.contains("Transverse_Mercator"))
+  }
+
+  test("copy: SRS lands in the FlatGeobuf header Crs table") {
+    val p = s"$dir/srs.fgb"
+    GeoWriter.copy(pts, "geom", p,
+      Map("SRS" -> "EPSG:2154", "SINGLE_FILE" -> "true"))
+    val h = graft.io.FlatGeobuf.readHeader(p)
+    assert(h.crs == "EPSG:2154", s"header crs was ${h.crs}")
+    assert(h.crsName == "RGF93 v1 / Lambert-93")
+    assert(h.crsWkt != null && h.crsWkt.contains("Lambert_Conformal_Conic_2SP"))
+    // the data itself still reads (header growth didn't corrupt offsets)
+    val back = spark.read.format("geo").load(p)
+    assert(back.count() == 5)
+  }
+
+  test("copy: SRS lands in the GeoParquet footer as PROJJSON; meta reads it back") {
+    val p = s"$dir/srs_parquet"
+    GeoWriter.copy(pts, "geom", p, Map("DRIVER" -> "GeoParquet", "SRS" -> "EPSG:27700"))
+    val geo = graft.io.GeoParquet.readGeo(
+      spark.sessionState.newHadoopConf(), p).getOrElse(fail("no geo footer"))
+    assert(geo.contains("\"crs\""), geo)
+    assert(geo.contains("BoundCRS") && geo.contains("Transverse Mercator"), geo)
+    // st_read_meta resolves the authority code off the LAST id (the CRS's own)
+    val meta = graft.io.GeoMeta.readMeta(spark, p).collect()(0)
+    val crsRow = meta.getAs[Row]("crs_detail")
+    assert(crsRow.getAs[String]("auth_code") == "27700", crsRow)
+    // survives an incremental recluster (footer restamp keeps the member)
+    GeoWriter.appendAndRecluster(pts, "geom", p)
+    val geo2 = graft.io.GeoParquet.readGeo(spark.sessionState.newHadoopConf(), p).get
+    assert(geo2.contains("\"crs\"") && geo2.contains("27700"), geo2)
   }
 
   test("copy: WGS84-by-spec formats reject a foreign SRS loudly, accept 4326") {
