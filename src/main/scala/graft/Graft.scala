@@ -170,6 +170,37 @@ object Graft {
       rows)
   }
 
+  /** st_crs_info(code): spatial_ref_sys-style introspection for one
+   *  authority code — name, `+proj=` string, WKT1 and PROJJSON spellings
+   *  (null where a spelling has no form, e.g. grid-shift datums in WKT1;
+   *  zero rows for an unrecognized code). */
+  def stCrsInfoPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 && exprs.head.foldable,
+      "st_crs_info(code) needs one constant argument")
+    val code = exprs.head.eval(null).toString
+    def u(s: String) =
+      if (s == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val rows = graft.geom.Proj.describe(code).toSeq.map { case (name, p4) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        u(code.trim.toUpperCase(java.util.Locale.ROOT)), u(name), u(p4),
+        u(graft.geom.Proj.toWkt1(code).orNull),
+        u(graft.geom.Proj.toProjjson(code).orNull))): org.apache.spark.sql.catalyst.InternalRow
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      Seq(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("auth_code",
+          org.apache.spark.sql.types.StringType, nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("name",
+          org.apache.spark.sql.types.StringType, nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("proj4",
+          org.apache.spark.sql.types.StringType)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("wkt",
+          org.apache.spark.sql.types.StringType)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("projjson",
+          org.apache.spark.sql.types.StringType)()),
+      rows)
+  }
+
   /** ST_Drivers / ST_Read_Meta as SQL table functions (st_drivers.cpp,
    *  st_read_meta.cpp expose these in the reference's SQL surface). */
   def stDriversPlan(exprs: Seq[Expression]): LogicalPlan =
@@ -227,6 +258,8 @@ object Graft {
     if (!oursT(rm)) tfr.registerFunction(rm, new ExpressionInfo("graft", "st_read_meta"), stReadMetaPlan _)
     val li = org.apache.spark.sql.catalyst.FunctionIdentifier("st_layout_info")
     if (!oursT(li)) tfr.registerFunction(li, new ExpressionInfo("graft", "st_layout_info"), stLayoutInfoPlan _)
+    val ci = org.apache.spark.sql.catalyst.FunctionIdentifier("st_crs_info")
+    if (!oursT(ci)) tfr.registerFunction(ci, new ExpressionInfo("graft", "st_crs_info"), stCrsInfoPlan _)
   }
 }
 
@@ -271,6 +304,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_layout_info"),
       new ExpressionInfo("graft", "st_layout_info"),
       Graft.stLayoutInfoPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_crs_info"),
+      new ExpressionInfo("graft", "st_crs_info"),
+      Graft.stCrsInfoPlan))
     ext.injectOptimizerRule(spark => new graft.plans.MeasureFusionRule(spark))
     // broadcast-index rule must precede the tile rewrite: small-side joins
     // take the broadcast R-tree plan, everything else tiles

@@ -2563,6 +2563,32 @@ object SparkEntry {
                round(max_x, 6) + 0.0d AS max_x, round(max_y, 6) + 0.0d AS max_y
         FROM st_layout_info('/tmp/graft_qlayout')
         ORDER BY file, row_group""")
+    }),
+
+    // GeoParquet crs stamping (COPY SRS → PROJJSON footer member): the Spark
+    // side reads the stamp back through OUR meta reader (st_read_meta TVF,
+    // crs_detail comes from the PROJJSON parser); the oracle reads the SAME
+    // footer bytes through DuckDB's parquet_kv_metadata — a cross-engine
+    // check that the BoundCRS JSON this engine writes is what others read.
+    "q_geoparquet_crs" -> ((s: SparkSession, dir: String) => {
+      val pts = q("lineitem")(s"""
+        SELECT $K AS id,
+               st_point(cast(l_partkey % 997 AS DOUBLE), cast(l_suppkey % 991 AS DOUBLE)) AS geom
+        FROM lineitem""")(s, dir)
+      graft.io.GeoWriter.copy(pts, "geom", "/tmp/graft_qcrs",
+        Map("DRIVER" -> "GeoParquet", "SRS" -> "EPSG:27700"))
+      s.sql("""
+        SELECT DISTINCT
+               crs_detail.auth_code AS code,
+               crs_detail.name AS name,
+               regexp_extract(geo_metadata, '"method":\\{"name":"([^"]+)"', 1) AS method,
+               CAST(regexp_extract(geo_metadata, '"Latitude of natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS lat0,
+               CAST(regexp_extract(geo_metadata, '"Longitude of natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS lon0,
+               CAST(regexp_extract(geo_metadata, '"Scale factor at natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS k0,
+               CAST(regexp_extract(geo_metadata, '"False easting","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fe,
+               CAST(regexp_extract(geo_metadata, '"False northing","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fn,
+               CAST(regexp_extract(geo_metadata, '"X-axis translation","value":([-0-9.eE]+)', 1) AS DOUBLE) AS tx
+        FROM st_read_meta('/tmp/graft_qcrs')""")
     })
   )
 
@@ -4669,6 +4695,24 @@ object SparkEntry {
       FROM parquet_metadata('/tmp/graft_qlayout/*.parquet')
       GROUP BY file_name, row_group_id, row_group_num_rows
       ORDER BY file, row_group""",
+
+    // reads the SAME footer bytes the Spark side stamped, through DuckDB's
+    // own parquet_kv_metadata; the CRS's own id is the LAST "code" in
+    // PROJJSON text (greedy .* pins the last match in both regex engines)
+    "q_geoparquet_crs" -> """
+      SELECT DISTINCT
+             regexp_extract(v, '.*"code":([0-9]+)', 1) AS code,
+             regexp_extract(v, '"name":"([^"]+)"', 1) AS name,
+             regexp_extract(v, '"method":\{"name":"([^"]+)"', 1) AS method,
+             CAST(regexp_extract(v, '"Latitude of natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS lat0,
+             CAST(regexp_extract(v, '"Longitude of natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS lon0,
+             CAST(regexp_extract(v, '"Scale factor at natural origin","value":([-0-9.eE]+)', 1) AS DOUBLE) AS k0,
+             CAST(regexp_extract(v, '"False easting","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fe,
+             CAST(regexp_extract(v, '"False northing","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fn,
+             CAST(regexp_extract(v, '"X-axis translation","value":([-0-9.eE]+)', 1) AS DOUBLE) AS tx
+      FROM (SELECT CAST(decode(value) AS VARCHAR) AS v
+            FROM parquet_kv_metadata('/tmp/graft_qcrs/*.parquet')
+            WHERE decode(key) = 'geo')""",
 
     "q_simhash" -> """
       SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sh AS BIGINT) AS sh, CAST(hamming_next AS INT) AS hamming_next

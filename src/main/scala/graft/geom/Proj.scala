@@ -2136,6 +2136,17 @@ object Proj {
     "EPSG:4284" -> (("Pulkovo 1942", DatumPulkovo42)),
     "EPSG:4618" -> (("SAD69", DatumSad69)))
 
+  /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
+   *  synthesis/introspection surfaces resolve them here the same way the
+   *  zone families do. */
+  private val Wgs84UtmRe = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
+  private def lookupOrUtm(code: String): Option[Crs] = code match {
+    case Wgs84UtmRe(ns, z) =>
+      Some(utmCrs(code, s"WGS 84 / UTM zone ${z.toInt}${if (ns == "6") "N" else "S"}",
+        z.toInt, south = ns == "7", DatumWgs84))
+    case _ => lookup(code)
+  }
+
   // ------------------------------------------------- WKT1 synthesis (write)
   /** Ellipsoid → (WKT1 spheroid name, datum name). Parsers read only the
    *  numbers; the names are for human readers and external tools. */
@@ -2181,15 +2192,7 @@ object Proj {
       return geographic.get(up).map { case (n, d) => geogcs(n, d, auth) }
     if (up == "EPSG:4326" || up == "OGC:CRS84" || up == "CRS84")
       return Some(geogcs("WGS 84", DatumWgs84, if (up == "EPSG:4326") ",AUTHORITY[\"EPSG\",\"4326\"]" else ""))
-    // WGS84 UTM zones resolve upstream of lookup (axis-order fast path) —
-    // synthesize them here the same way the zone families do
-    val Wgs84Utm = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
-    val crs = (up match {
-      case Wgs84Utm(ns, z) =>
-        Some(utmCrs(up, s"WGS 84 / UTM zone ${z.toInt}${if (ns == "6") "N" else "S"}",
-          z.toInt, south = ns == "7", DatumWgs84))
-      case _ => lookup(if (c.startsWith("+")) c else up)
-    }).getOrElse(return None)
+    val crs = lookupOrUtm(if (c.startsWith("+")) c else up).getOrElse(return None)
     if (crs.proj4 == null || crs.datum.grid.isDefined) return None
     val kv: Map[String, String] = crs.proj4.split("\\s+").iterator
       .filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
@@ -2330,13 +2333,7 @@ object Proj {
     if (up == "EPSG:4326" || up == "OGC:CRS84" || up == "CRS84")
       return Some(geogJson("WGS 84", DatumWgs84) +
         (if (up == "EPSG:4326") ""","id":{"authority":"EPSG","code":4326}""" else "") + "}")
-    val Wgs84Utm = "EPSG:32([67])(0[1-9]|[1-5][0-9]|60)".r
-    val crs = (up match {
-      case Wgs84Utm(ns, z) =>
-        Some(utmCrs(up, s"WGS 84 / UTM zone ${z.toInt}${if (ns == "6") "N" else "S"}",
-          z.toInt, south = ns == "7", DatumWgs84))
-      case _ => lookup(if (c.startsWith("+")) c else up)
-    }).getOrElse(return None)
+    val crs = lookupOrUtm(if (c.startsWith("+")) c else up).getOrElse(return None)
     if (crs.proj4 == null || crs.datum.grid.isDefined) return None
     val kv: Map[String, String] = crs.proj4.split("\\s+").iterator
       .filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
@@ -2432,7 +2429,7 @@ object Proj {
    *  registry/zone-family codes AND geographic codes. */
   def describe(code: String): Option[(String, String)] = {
     val c = code.trim.toUpperCase
-    lookup(c).collect { case crs if crs.proj4 != null => (crs.name, crs.proj4) }
+    lookupOrUtm(c).collect { case crs if crs.proj4 != null => (crs.name, crs.proj4) }
       .orElse(geographic.get(c).map { case (name, d) =>
         (name, s"+proj=longlat ${datumTags(d)} +no_defs")
       })

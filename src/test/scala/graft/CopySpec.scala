@@ -197,6 +197,17 @@ class CopySpec extends AnyFunSuite {
     assert(geo2.contains("\"crs\"") && geo2.contains("27700"), geo2)
   }
 
+  test("st_crs_info TVF: all three spellings for a code; zero rows when unknown") {
+    val r = spark.sql("SELECT * FROM st_crs_info('EPSG:27700')").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("name").contains("British National Grid"))
+    assert(row.getAs[String]("proj4").contains("+proj=tmerc"))
+    assert(row.getAs[String]("wkt").contains("Transverse_Mercator"))
+    assert(row.getAs[String]("projjson").contains("BoundCRS"))
+    assert(spark.sql("SELECT * FROM st_crs_info('EPSG:999999')").count() == 0)
+  }
+
   test("copy: WGS84-by-spec formats reject a foreign SRS loudly, accept 4326") {
     val err = intercept[IllegalArgumentException] {
       GeoWriter.copy(pts, "geom", s"$dir/x.kml", Map("SRS" -> "EPSG:3857"))
