@@ -1119,12 +1119,26 @@ object SparkEntry {
     // price×discount → 4, 3-factor charge → 6): rounding below that lands
     // exactly on .5 ties where Spark (HALF_UP on the binary expansion) and
     // DuckDB disagree per row.
+    //
+    // The FINAL projection of each sum is CAST(round(..., 2) AS DOUBLE):
+    // the engines disagree on sum()'s result width (Spark DECIMAL(28,s) vs
+    // DuckDB DECIMAL(38,s)) and, worse, readers format a trailing-zero
+    // decimal differently depending on path (pyarrow keeps
+    // Decimal('212576.00'); duckdb.fetchdf gives float64 → '212576.0') —
+    // q1 is the only contract query whose money sums land on exact .00
+    // values, which is precisely why q3/q6 hash green and q1 did not.
+    // round() not CAST(... AS DECIMAL(38,2)) for the cents step: Spark's
+    // decimal scale-down cast rounds HALF_UP but DuckDB's TRUNCATES
+    // (.5786 → .57, measured), while round() is HALF_UP in BOTH engines on
+    // the exact decimal sum. The DOUBLE step is exact while the
+    // cents-unscaled value < 2^53 (true beyond sf10), giving bit-identical
+    // float64 on every reader path.
     "q_tpch_q1" -> q("lineitem")("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
-             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -3734,13 +3748,17 @@ object SparkEntry {
       SELECT event_type, CAST(count(*) AS INT) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type ORDER BY event_type""",
 
-    // Classic TPC-H shapes (Q1/Q3/Q6) — decimal money math on both sides
+    // Classic TPC-H shapes (Q1/Q3/Q6) — decimal money math on both sides;
+    // q1's final projection goes exact-cents round(...,2) → DOUBLE so both
+    // engines emit the same physical type on every reader path (trailing-zero
+    // decimals format differently between pyarrow and fetchdf; DuckDB's
+    // decimal scale-down CAST truncates where Spark's rounds, so round())
     "q_tpch_q1" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
-             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
