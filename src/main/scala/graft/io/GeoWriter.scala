@@ -1119,13 +1119,31 @@ object GeoWriter {
     * groups spread across the cluster. A feature overlapping more than
     * `maxTilesPerFeature` tiles at one zoom fails loudly (lower `maxZoom`
     * or pre-split with st_subdivide) instead of silently exploding the
-    * shuffle. */
+    * shuffle.
+    *
+    * Per-TILE budget: `maxFeaturesPerTile` (GDAL MVT's MAX_FEATURES
+    * dataset-creation option; default matches GDAL's 200000) bounds every
+    * tile with deterministic thinning — features rank by clipped size
+    * (area, then length) descending with a stable hash tiebreak, and only
+    * the top `maxFeaturesPerTile` survive, the same keep-the-biggest policy
+    * as tippecanoe's drop-smallest. Without it, the z0/0/0 group at planet
+    * scale holds every (simplified, clipped) feature in the dataset in one
+    * encode buffer. The rank is a `row_number` window on the same
+    * (z, x, y) key the write needs anyway, so the pyramid still costs ONE
+    * shuffle: the window's hash-partition + sort replaces the former
+    * repartition + sortWithinPartitions, rows stay contiguous per tile, and
+    * the executor-side encode buffer is bounded by the budget (the sort
+    * itself spills to disk under Spark's window operator rather than
+    * accumulating on the heap). */
   def mvtPyramid(df: DataFrame, geomCol: String, path: String,
                  layerName: String = "layer", extent: Int = 4096,
                  minZoom: Int = 0, maxZoom: Int = 5, buffer: Int = 64,
-                 maxTilesPerFeature: Long = 65536L): Unit = {
+                 maxTilesPerFeature: Long = 65536L,
+                 maxFeaturesPerTile: Int = 200000): Unit = {
     require(minZoom >= 0 && maxZoom <= 22 && minZoom <= maxZoom,
       s"mvtPyramid: zoom range [$minZoom, $maxZoom] out of [0, 22]")
+    require(maxFeaturesPerTile > 0,
+      s"mvtPyramid: maxFeaturesPerTile must be positive (got $maxFeaturesPerTile)")
     val sess = df.sparkSession
     import sess.implicits._
     val schema = df.schema
@@ -1186,7 +1204,8 @@ object GeoWriter {
                       }
                     if (c.isEmpty) None else Some(c)
                   }
-                } yield (z, tx.toInt, ty.toInt, graft.geom.Geo.write(clipped), pks, pvs)
+                } yield (z, tx.toInt, ty.toInt, graft.geom.Geo.write(clipped), pks, pvs,
+                         clipped.getArea + clipped.getLength)
               }
             }
           case _ => Iterator.empty
@@ -1194,9 +1213,17 @@ object GeoWriter {
       }
     }
 
-    exploded.toDF("z", "x", "y", "wkb", "pk", "pv")
-      .repartition(col("z"), col("x"), col("y"))
-      .sortWithinPartitions("z", "x", "y")
+    // ONE shuffle: the budget window hash-partitions on (z, x, y) and sorts
+    // within partitions on (z, x, y, prio desc, hash) — exactly the layout
+    // the streaming per-tile encode below needs, so no extra repartition.
+    // Thinning is deterministic: biggest clipped geometry first (tippecanoe
+    // drop-smallest), xxhash64 of the WKB then the WKB itself break ties.
+    val tileWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("z", "x", "y")
+      .orderBy(col("prio").desc, xxhash64(col("wkb")), col("wkb"))
+    exploded.toDF("z", "x", "y", "wkb", "pk", "pv", "prio")
+      .withColumn("rk", row_number().over(tileWindow))
+      .where(col("rk") <= maxFeaturesPerTile)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var cur: (Int, Int, Int) = null
         val feats = scala.collection.mutable.ArrayBuffer

@@ -254,6 +254,38 @@ class MvtSpec extends AnyFunSuite {
       assert(total(z) >= 300, s"z=$z carried only ${total(z)} features")
   }
 
+  test("mvtPyramid: maxFeaturesPerTile budget engages with deterministic keep-biggest thinning") {
+    // dense z0 fixture: 400 envelopes whose area grows with id — the budget
+    // must keep exactly the 50 BIGGEST (ids 350..399) and the pyramid must
+    // still round-trip through the reader
+    val df = spark.sql("""
+      SELECT id,
+             st_makeenvelope(st_x(p) - (1000.0d + id * 1000.0d),
+                             st_y(p) - (1000.0d + id * 1000.0d),
+                             st_x(p) + (1000.0d + id * 1000.0d),
+                             st_y(p) + (1000.0d + id * 1000.0d)) AS geom
+      FROM (SELECT id, st_generatepoint(7L, id,
+                     -15000000.0d, -15000000.0d, 15000000.0d, 15000000.0d) AS p
+            FROM range(400))""")
+    val p = s"$dir/pyrbudget"
+    graft.io.GeoWriter.mvtPyramid(df, "geom", p, layerName = "b",
+      minZoom = 0, maxZoom = 0, maxFeaturesPerTile = 50)
+    val tile = spark.read.format("geo").load(s"$p/0/0/0.mvt")
+      .selectExpr("CAST(properties['id'] AS BIGINT) AS id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tile.size == 50, s"budget kept ${tile.size} features")
+    // keep-biggest: survivors are exactly the 50 largest-area features
+    assert(tile == (350L until 400L).toSet, s"kept: ${tile.toSeq.sorted}")
+    // determinism: a second run writes the identical survivor set
+    val p2 = s"$dir/pyrbudget2"
+    graft.io.GeoWriter.mvtPyramid(df.repartition(7), "geom", p2, layerName = "b",
+      minZoom = 0, maxZoom = 0, maxFeaturesPerTile = 50)
+    val tile2 = spark.read.format("geo").load(s"$p2/0/0/0.mvt")
+      .selectExpr("CAST(properties['id'] AS BIGINT) AS id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tile2 == tile)
+  }
+
   test("st_asmvtgeom + st_asmvt_agg: SQL-side tile encode round-trips") {
     // four features in 3857, one per world-tile quadrant, encoded into the
     // z0 tile entirely in SQL; decode with the reader and check coords/props
