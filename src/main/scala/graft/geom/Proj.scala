@@ -178,6 +178,11 @@ object Proj {
   val DatumDhdn = Datum(Bessel1841, Some(Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)))
   /** MGI (Austria) → WGS84 — EPSG:1618 7-parameter */
   val DatumMgi = Datum(Bessel1841, Some(Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)))
+  /** MGI 1901 (former Yugoslavia / Balkans realization) → WGS84 — published
+   *  3-parameter shift (682, -203, 480), ~5 m class. A DIFFERENT datum
+   *  realization from Austrian MGI: the translation vectors differ by
+   *  ~300 m, so the Balkans Gauss-Krüger zones must not reuse DatumMgi. */
+  val DatumMgi1901 = Datum(Bessel1841, Some(Helmert(682.0, -203.0, 480.0, 0, 0, 0, 0)))
   /** GGRS87 → WGS84 — EPSG:1272 3-parameter */
   val DatumGgrs87 = Datum(Grs80, Some(Helmert(-199.87, 74.79, 246.62, 0, 0, 0, 0)))
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
@@ -1741,7 +1746,7 @@ object Proj {
       // MGI / Balkans Gauss-Krüger zones 5-8 (k=0.9999, zone-prefixed FE)
       (5 to 8).map { z =>
         s"EPSG:${31270 + z}" -> tm(s"MGI 1901 / Balkans zone $z", 0, 3 * z, 0.9999,
-          z * 1e6 + 500000, 0, DatumMgi, probe = (3.0 * z + 0.5, 44.0))
+          z * 1e6 + 500000, 0, DatumMgi1901, probe = (3.0 * z + 0.5, 44.0))
       }.toMap ++
       // TUREF 3-degree TM zones (Turkey; GRS80, TM27..TM45)
       (0 to 6).map { i =>
@@ -2080,7 +2085,10 @@ object Proj {
     // +geoidgrids: vertical datum — heights in this CRS are orthometric
     // relative to the geoid surface the grids describe
     val vgrid = kv.get("geoidgrids").flatMap(Gtx.fromGeoidgridsSpec)
-    Crs(s"PROJ:$method", proj, datumG, probeG, vgrid = vgrid)
+    // the input string IS this CRS's canonical +proj= record — keeping it
+    // lets the WKT1/PROJJSON synthesis (COPY SRS stamping) accept custom
+    // '+proj=' SRS spellings, not just registry codes
+    Crs(s"PROJ:$method", proj, datumG, probeG, proj4 = str, vgrid = vgrid)
   }
 
   /** Resolve an EPSG code or `+proj=` parameter string to a CRS (named
@@ -2130,6 +2138,7 @@ object Proj {
     "EPSG:4230" -> (("ED50", DatumEd50)),
     "EPSG:4314" -> (("DHDN", DatumDhdn)),
     "EPSG:4312" -> (("MGI", DatumMgi)),
+    "EPSG:3906" -> (("MGI 1901", DatumMgi1901)),
     "EPSG:4121" -> (("GGRS87", DatumGgrs87)),
     "EPSG:4275" -> (("NTF", DatumNtf)),
     "EPSG:4313" -> (("BD72", DatumBd72)),
@@ -2148,6 +2157,69 @@ object Proj {
   }
 
   // ------------------------------------------------- WKT1 synthesis (write)
+  /** Datum identity for WKT1/PROJJSON synthesis. Numbers alone are enough
+   *  for this repo's readers, but ArcGIS-style tools key datum
+   *  transformations off the DATUM name, so a .prj that says
+   *  "Unknown_based_on_GRS80" for NAD83 data loses real information.
+   *  Resolution order: unambiguous Datum instances map directly; frames
+   *  that share an ellipsoid-with-no-shift (GRS80 realizations) or an
+   *  ellipsoid-with-different-shifts disambiguate on the CRS/GEOGCS name;
+   *  fallback stays the ellipsoid-derived placeholder. */
+  private def datumNameFor(crsName: String, d: Datum): String = {
+    val byInstance: Option[String] =
+      if (d == DatumWgs84) Some("WGS_1984")
+      else if (d == DatumOsgb36) Some("OSGB_1936")
+      else if (d == DatumTm75) Some("TM65")
+      else if (d == DatumEd50) Some("European_Datum_1950")
+      else if (d == DatumDhdn) Some("Deutsches_Hauptdreiecksnetz")
+      else if (d == DatumMgi) Some("Militar_Geographische_Institut")
+      else if (d == DatumMgi1901) Some("MGI_1901")
+      else if (d == DatumGgrs87) Some("Greek_Geodetic_Reference_System_1987")
+      else if (d == DatumNtf) Some("Nouvelle_Triangulation_Francaise")
+      else if (d == DatumBd72) Some("Reseau_National_Belge_1972")
+      else if (d == DatumPulkovo42) Some("Pulkovo_1942")
+      else if (d == DatumNad27) Some("North_American_Datum_1927")
+      else if (d == DatumSad69) Some("South_American_Datum_1969")
+      else if (d == DatumAgd66) Some("Australian_Geodetic_Datum_1966")
+      else if (d == DatumAgd84) Some("Australian_Geodetic_Datum_1984")
+      else if (d == DatumHk80) Some("Hong_Kong_1980")
+      else if (d == DatumIsrael93) Some("Israel_1993")
+      else if (d == DatumLux30) Some("Luxembourg_1930")
+      else if (d == DatumTimbalai) Some("Timbalai_1948")
+      else if (d == DatumTrinidad) Some("Trinidad_1903")
+      else if (d == DatumGuam) Some("Guam_1963")
+      else if (d == DatumCh1903) Some("CH1903")
+      else if (d == DatumSjtsk) Some("System_Jednotne_Trigonometricke_Site_Katastralni")
+      else if (d == DatumHd72) Some("Hungarian_Datum_1972")
+      else if (d == DatumAmersfoort) Some("Amersfoort")
+      else if (d == DatumGda2020) Some("Geocentric_Datum_of_Australia_2020")
+      else None
+    byInstance.getOrElse {
+      val n = crsName.toUpperCase
+      val byFamily: Option[String] =
+        if (n.contains("NAD83(HARN)")) Some("NAD83_High_Accuracy_Reference_Network")
+        else if (n.contains("NAD83(2011)")) Some("NAD83_National_Spatial_Reference_System_2011")
+        else if (n.contains("NAD83(CSRS)")) Some("NAD83_Canadian_Spatial_Reference_System")
+        else if (n.contains("NAD83")) Some("North_American_Datum_1983")
+        else if (n.contains("ETRS89") || n.contains("ETRS 89")) Some("European_Terrestrial_Reference_System_1989")
+        else if (n.contains("GDA94") || n.contains("MGA")) Some("Geocentric_Datum_of_Australia_1994")
+        else if (n.contains("GDA2020")) Some("GDA2020")
+        else if (n.contains("NZGD2000") || n.contains("NZTM")) Some("New_Zealand_Geodetic_Datum_2000")
+        else if (n.contains("JGD2000")) Some("Japanese_Geodetic_Datum_2000")
+        else if (n.contains("JGD2011")) Some("Japanese_Geodetic_Datum_2011")
+        else if (n.contains("RGF93")) Some("Reseau_Geodesique_Francais_1993")
+        else if (n.contains("SIRGAS")) Some("SIRGAS_2000")
+        else if (n.contains("CGCS2000")) Some("China_2000")
+        else if (n.contains("SWEREF99")) Some("SWEREF99")
+        else if (n.contains("KOREA 2000")) Some("Geocentric_datum_of_Korea")
+        else if (n.contains("TUREF")) Some("Turkish_National_Reference_Frame")
+        else if (n.contains("HTRS96")) Some("Croatian_Terrestrial_Reference_System")
+        else if (n.contains("ITRF")) Some(n.takeWhile(_ != ' '))
+        else None
+      byFamily.getOrElse(wktNames(d.el)._2)
+    }
+  }
+
   /** Ellipsoid → (WKT1 spheroid name, datum name). Parsers read only the
    *  numbers; the names are for human readers and external tools. */
   private def wktNames(el: Ellipsoid): (String, String) =
@@ -2179,8 +2251,9 @@ object Proj {
     val c = code.trim
     val up = c.toUpperCase
     def auth: String = if (up.startsWith("EPSG:")) s",AUTHORITY[\"EPSG\",\"${up.drop(5)}\"]" else ""
-    def geogcs(name: String, d: Datum, trailer: String = ""): String = {
-      val (spn, dn) = wktNames(d.el)
+    def geogcs(name: String, d: Datum, trailer: String = "", family: String = ""): String = {
+      val spn = wktNames(d.el)._1
+      val dn = datumNameFor(if (family.nonEmpty) family else name, d)
       val tow = d.shift match {
         case Some(h) => s",TOWGS84[${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}]"
         case None => ""
@@ -2304,7 +2377,8 @@ object Proj {
     method.map { case (projName, params) =>
       val axes = if (kv.get("axis").contains("wsu"))
         """,AXIS["Westing",WEST],AXIS["Southing",SOUTH]""" else ""
-      s"""PROJCS["${crs.name}",${geogcs("GCS_" + wktNames(crs.datum.el)._2, crs.datum)},""" +
+      val gcsName = "GCS_" + datumNameFor(crs.name, crs.datum)
+      s"""PROJCS["${crs.name}",${geogcs(gcsName, crs.datum, family = crs.name)},""" +
         s"""PROJECTION["$projName"],$params,$unitNode$axes$auth]"""
     }
   }
@@ -2320,16 +2394,38 @@ object Proj {
     val c = code.trim
     val up = c.toUpperCase
     def ident: String = if (up.startsWith("EPSG:")) s""","id":{"authority":"EPSG","code":${up.drop(5)}}""" else ""
-    def geogJson(name: String, d: Datum): String = {
-      val (spn, dn) = wktNames(d.el)
+    def geogJson(name: String, d: Datum, family: String = ""): String = {
+      val spn = wktNames(d.el)._1
+      val dn = datumNameFor(if (family.nonEmpty) family else name, d)
       s"""{"type":"GeographicCRS","name":"$name","datum":{"type":"GeodeticReferenceFrame","name":"$dn",""" +
         s""""ellipsoid":{"name":"$spn","semi_major_axis":${d.el.a},"inverse_flattening":${d.el.invF}}},""" +
         """"coordinate_system":{"subtype":"ellipsoidal","axis":[""" +
         """{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"},""" +
         """{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"}]}"""
     }
+    def helmertParams(h: Helmert): String = Seq(
+      ("X-axis translation", h.tx, "metre"), ("Y-axis translation", h.ty, "metre"),
+      ("Z-axis translation", h.tz, "metre"), ("X-axis rotation", h.rxAs, "arc-second"),
+      ("Y-axis rotation", h.ryAs, "arc-second"), ("Z-axis rotation", h.rzAs, "arc-second"),
+      ("Scale difference", h.dsPpm, "parts per million")).map { case (nm, v, u) =>
+      s"""{"name":"$nm","value":${wktNum(v)},"unit":"$u"}"""
+    }.mkString(",")
+    def boundJson(name: String, src: String, h: Helmert): String =
+      s"""{"type":"BoundCRS","name":"$name","source_crs":$src,""" +
+        s""""target_crs":${geogJson("WGS 84", DatumWgs84)}},""" +
+        s""""transformation":{"name":"to WGS 84","method":{"name":"Position Vector transformation (geog2D domain)","id":{"authority":"EPSG","code":9606}},""" +
+        s""""parameters":[${helmertParams(h)}]}$ident}"""
+    // geographic codes with a Helmert datum wrap in the same BoundCRS shape
+    // as projected ones — a bare GeographicCRS would silently drop the datum
+    // shift on read-back (ADVICE r9)
     if (geographic.contains(up))
-      return geographic.get(up).map { case (n, d) => geogJson(n, d) + ident + "}" }
+      return geographic.get(up).map { case (n, d) =>
+        val src = geogJson(n, d) + ident + "}"
+        d.shift match {
+          case Some(h) => boundJson(n, src, h)
+          case None => src
+        }
+      }
     if (up == "EPSG:4326" || up == "OGC:CRS84" || up == "CRS84")
       return Some(geogJson("WGS 84", DatumWgs84) +
         (if (up == "EPSG:4326") ""","id":{"authority":"EPSG","code":4326}""" else "") + "}")
@@ -2404,21 +2500,13 @@ object Proj {
     }
     method.map { case (mName, mCode, params) =>
       val proj =
-        s"""{"type":"ProjectedCRS","name":"${crs.name}","base_crs":${geogJson("GCS_" + wktNames(crs.datum.el)._2, crs.datum)}},""" +
+        s"""{"type":"ProjectedCRS","name":"${crs.name}","base_crs":${geogJson("GCS_" + datumNameFor(crs.name, crs.datum), crs.datum, family = crs.name)}},""" +
           s""""conversion":{"name":"unnamed","method":{"name":"$mName","id":{"authority":"EPSG","code":$mCode}},""" +
           s""""parameters":[$params]},"coordinate_system":{"subtype":"Cartesian","axis":[""" +
           """{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},""" +
           """{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]}""" + ident + "}"
       crs.datum.shift match {
-        case Some(h) =>
-          s"""{"type":"BoundCRS","name":"${crs.name}","source_crs":$proj,""" +
-            s""""target_crs":${geogJson("WGS 84", DatumWgs84)}},""" +
-            s""""transformation":{"name":"to WGS 84","method":{"name":"Position Vector transformation (geog2D domain)","id":{"authority":"EPSG","code":9606}},""" +
-            s""""parameters":[${par(
-              ("X-axis translation", h.tx, "metre"), ("Y-axis translation", h.ty, "metre"),
-              ("Z-axis translation", h.tz, "metre"), ("X-axis rotation", h.rxAs, "arc-second"),
-              ("Y-axis rotation", h.ryAs, "arc-second"), ("Z-axis rotation", h.rzAs, "arc-second"),
-              ("Scale difference", h.dsPpm, "parts per million"))}]}$ident}"""
+        case Some(h) => boundJson(crs.name, proj, h)
         case None => proj
       }
     }

@@ -268,16 +268,28 @@ object GeoMeta {
       }
     }
     if (ell == null) return null
-    if (!isProjected) {
-      return if (json.contains("\"GeographicCRS\"")) s"+proj=longlat $ell +no_defs" else null
-    }
-    val method = "\"method\"\\s*:\\s*\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"".r
-      .findFirstMatchIn(json).map(_.group(1).toLowerCase).getOrElse(return null)
     // parameters: {"name": "...", "value": N, ...} pairs inside the conversion
+    // (and, for BoundCRS, the 9606 transformation — distinct EPSG names)
     val params = ("\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"value\"\\s*:\\s*([-0-9.eE]+)").r
       .findAllMatchIn(json).map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
     def p(sub: String*): Option[Double] =
       params.collectFirst { case (k, v) if sub.exists(k.contains) => v }
+    // BoundCRS transformation (EPSG 9606 position vector) → +towgs84
+    val tow = p("x-axis translation").map { tx =>
+      val ty = p("y-axis translation").getOrElse(0.0)
+      val tz = p("z-axis translation").getOrElse(0.0)
+      val rx = p("x-axis rotation").getOrElse(0.0)
+      val ry = p("y-axis rotation").getOrElse(0.0)
+      val rz = p("z-axis rotation").getOrElse(0.0)
+      val ds = p("scale difference").getOrElse(0.0)
+      s" +towgs84=$tx,$ty,$tz,$rx,$ry,$rz,$ds"
+    }.getOrElse("")
+    if (!isProjected) {
+      // a BoundCRS-wrapped GeographicCRS keeps its datum shift on read-back
+      return if (json.contains("\"GeographicCRS\"")) s"+proj=longlat $ell$tow +no_defs" else null
+    }
+    val method = "\"method\"\\s*:\\s*\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1).toLowerCase).getOrElse(return null)
     val lat0 = p("latitude of natural origin", "latitude of false origin").getOrElse(0.0)
     val lon0 = p("longitude of natural origin", "longitude of false origin", "longitude of origin").getOrElse(0.0)
     val k0 = p("scale factor").getOrElse(1.0)
@@ -314,18 +326,6 @@ object GeoMeta {
         Some(t.map(v => s"+proj=merc +lat_ts=$v +lon_0=$lon0")
           .getOrElse(s"+proj=merc +k=$k0 +lon_0=$lon0"))
       } else None
-    // BoundCRS transformation (EPSG 9606 position vector) → +towgs84: the
-    // translation/rotation/scale parameters sit in the same flat name/value
-    // shape as the conversion's, under distinct EPSG names
-    val tow = p("x-axis translation").map { tx =>
-      val ty = p("y-axis translation").getOrElse(0.0)
-      val tz = p("z-axis translation").getOrElse(0.0)
-      val rx = p("x-axis rotation").getOrElse(0.0)
-      val ry = p("y-axis rotation").getOrElse(0.0)
-      val rz = p("z-axis rotation").getOrElse(0.0)
-      val ds = p("scale difference").getOrElse(0.0)
-      s" +towgs84=$tx,$ty,$tz,$rx,$ry,$rz,$ds"
-    }.getOrElse("")
     core.map(c => s"$c +x_0=$x0 +y_0=$y0 $ell$tow +units=m +no_defs").orNull
   }
 

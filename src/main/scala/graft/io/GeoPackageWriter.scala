@@ -43,8 +43,9 @@ object GeoPackageWriter {
             rows: Iterator[(Geometry, Array[Any])], srsId: Int = 4326,
             open: String => java.io.OutputStream =
               p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16),
-            srsDef: Option[(String, String)] = None): Long =
-    writeMulti(path, Seq((table, columns, rows)), srsId, open, srsDef)
+            srsDef: Option[(String, String)] = None,
+            srsOrg: String = "EPSG"): Long =
+    writeMulti(path, Seq((table, columns, rows)), srsId, open, srsDef, srsOrg)
 
   /** Multi-layer GeoPackage: one feature table per entry (a GeoPackage is a
    *  container of layers — reference reads them via st_read's `layer` option,
@@ -56,7 +57,10 @@ object GeoPackageWriter {
                    p => new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 16),
                  /** (srs_name, WKT definition) for gpkg_spatial_ref_sys when
                    * srsId != 4326 (COPY `SRS` option; Proj.toWkt1 supplies it) */
-                 srsDef: Option[(String, String)] = None): Long = {
+                 srsDef: Option[(String, String)] = None,
+                 /** gpkg_spatial_ref_sys.organization — "EPSG" only when the
+                   * id really is an EPSG code; "NONE" for custom definitions */
+                 srsOrg: String = "EPSG"): Long = {
     val db = new SqliteWriter.Db
     var total = 0L
     val perTable = tables.map { case (table, columns, rows) =>
@@ -88,7 +92,7 @@ object GeoPackageWriter {
       ("WGS 84 geodetic",
         "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]"))
     val srsRoot = db.writeTable(Seq(
-      1L -> SqliteWriter.record(Seq(srsName, srsId.toLong, "EPSG", srsId.toLong, srsWkt, null))))
+      1L -> SqliteWriter.record(Seq(srsName, srsId.toLong, srsOrg, srsId.toLong, srsWkt, null))))
     val contentsRoot = db.writeTable(perTable.zipWithIndex.map { case ((table, _, _, b), i) =>
       (i + 1L) -> SqliteWriter.record(Seq(table, "features", table, "", "2026-01-01T00:00:00.000Z",
         b._1, b._2, b._3, b._4, srsId.toLong))

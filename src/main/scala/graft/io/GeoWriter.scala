@@ -61,6 +61,18 @@ object GeoWriter {
     p.getFileSystem(hc.value).mkdirs(p)
   }
 
+  /** (organization, numeric id) for an SRS spelling. Only a true
+   *  `AUTHORITY:nnnn` code keeps its organization and number; anything else
+   *  (a `+proj=` string, inline WKT, `OGC:CRS84`) gets organization "NONE"
+   *  with id 0 — GPKG/FGB catalog entries must not claim an EPSG identity
+   *  for a definition that is not the EPSG one (GPKG spec's undefined-SRS
+   *  convention). */
+  private[io] def srsOrgId(code: String): (String, Int) = {
+    val m = "^([A-Za-z_]+):(\\d+)$".r.findFirstMatchIn(code.trim)
+    m.map(g => (g.group(1).toUpperCase(java.util.Locale.ROOT), g.group(2).toInt))
+      .getOrElse(("NONE", 0))
+  }
+
   /** COPY-TO dispatch with the reference's option surface (st_write.cpp
    *  Bind, :68-140): `DRIVER` (GDAL or short spelling; else sniffed from the
    *  extension), `LAYER_NAME` (GeoPackage feature table), `GEOMETRY_TYPE`
@@ -167,17 +179,16 @@ object GeoWriter {
         srsWkt.foreach(w => writePrjSidecars(hconfOf(df), path, single, w))
       case "fgb" =>
         val fgbCrs = srsWkt.map { w =>
-          val code = srsCode.flatMap(c => "\\d+$".r.findFirstIn(c)).map(_.toInt).getOrElse(0)
-          val org = srsCode.map(_.takeWhile(_ != ':'))
-            .filter(o => o.nonEmpty && !o.forall(_.isDigit)).getOrElse("EPSG")
+          val (org, code) = srsOrgId(srsCode.get)
           (org, code, graft.geom.Proj.lookup(srsCode.get).map(_.name).getOrElse(srsCode.get), w)
         }
         flatgeobuf(typed, geomCol, path, single, fgbCrs)
       case "gpkg" =>
-        val srsId = srsCode.flatMap(c => "\\d+$".r.findFirstIn(c)).map(_.toInt).getOrElse(4326)
+        val (srsOrg, srsId) = srsCode.map(srsOrgId).getOrElse(("EPSG", 4326))
         val srsDef = srsWkt.map(w => (graft.geom.Proj.lookup(srsCode.get).map(_.name)
           .getOrElse(srsCode.get), w))
-        geopackage(typed, geomCol, path, layer.getOrElse("features"), single, srsId, srsDef)
+        geopackage(typed, geomCol, path, layer.getOrElse("features"), single, srsId, srsDef,
+          srsOrg)
       case "kml" => kml(typed, geomCol, path, single)
       case "kmz" => kmz(typed, geomCol, path, single)
       case "gpx" => gpx(typed, geomCol, path, single)
@@ -1008,7 +1019,8 @@ object GeoWriter {
    *  dependency) or a single `<path>` file when `singleFile = true`. */
   def geopackage(df: DataFrame, geomCol: String, path: String, table: String = "features",
                  singleFile: Boolean = false, srsId: Int = 4326,
-                 srsDef: Option[(String, String)] = None): Unit = {
+                 srsDef: Option[(String, String)] = None,
+                 srsOrg: String = "EPSG"): Unit = {
     val hc = hconfOf(df)
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
@@ -1036,7 +1048,7 @@ object GeoWriter {
         }
         val dest = if (singleFile) path else f"$path/part-$pid%05d.gpkg"
         GeoPackageWriter.write(dest, table, cols, rows, srsId, open = hadoopOpen(hc),
-          srsDef = srsDef)
+          srsDef = srsDef, srsOrg = srsOrg)
       }
       ()
     }

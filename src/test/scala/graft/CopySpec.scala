@@ -167,6 +167,51 @@ class CopySpec extends AnyFunSuite {
     assert(txt.contains("Transverse_Mercator"))
   }
 
+  test("copy: non-EPSG SRS spelling gets organization NONE, not a fake EPSG id") {
+    val p = s"$dir/srs_custom.gpkg"
+    GeoWriter.copy(pts, "geom", p,
+      Map("SRS" -> "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=500000 +y_0=0 +ellps=GRS80 +units=m +no_defs",
+          "SINGLE_FILE" -> "true"))
+    val txt = new String(Files.readAllBytes(Paths.get(p)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the srs row must not claim an EPSG identity for a custom definition
+    assert(txt.contains("NONE"), "expected organization NONE for a +proj= SRS")
+    assert(!txt.contains("\"EPSG\""))
+  }
+
+  test("toWkt1: well-known datums get real DATUM names, not ellipsoid placeholders") {
+    // NAD83 State Plane: the .prj must carry the NAD83 datum identity —
+    // ArcGIS-style tools key datum transformations off the DATUM name
+    val sp = Proj.toWkt1("EPSG:26957").get
+    assert(sp.contains("DATUM[\"North_American_Datum_1983\""), sp)
+    assert(!sp.contains("Unknown_based_on"))
+    val etrs = Proj.toWkt1("EPSG:3034").get
+    assert(etrs.contains("European_Terrestrial_Reference_System_1989"), etrs)
+    val mgi = Proj.toWkt1("EPSG:31256").get
+    assert(mgi.contains("Militar_Geographische_Institut"), mgi)
+    // MGI 1901 (Balkans) is a DIFFERENT realization from Austrian MGI
+    val mgi1901 = Proj.toWkt1("EPSG:31277").get
+    assert(mgi1901.contains("MGI_1901") && mgi1901.contains("TOWGS84[682.0,-203.0,480.0"), mgi1901)
+  }
+
+  test("toProjjson: geographic codes with a Helmert datum wrap in BoundCRS") {
+    for (code <- Seq("EPSG:4314", "EPSG:4275", "EPSG:3906")) {
+      val json = Proj.toProjjson(code).get
+      assert(json.contains("\"BoundCRS\""), s"$code: $json")
+      val p4 = GeoMeta.proj4FromProjjson(json)
+      assert(p4 != null && p4.startsWith("+proj=longlat") && p4.contains("+towgs84="),
+        s"$code read back as $p4")
+      // the shift survives the round trip numerically
+      val d = Proj.geographic(code)._2
+      val parsed = Proj.fromProjString(p4).get
+      val (a1, b1) = d.fromWgs84(10.0, 47.0)
+      val (a2, b2) = parsed.datum.fromWgs84(10.0, 47.0)
+      assert(math.abs(a1 - a2) < 1e-9 && math.abs(b1 - b2) < 1e-9, s"$code shift drift")
+    }
+    // shift-free modern frames stay plain GeographicCRS
+    assert(!Proj.toProjjson("EPSG:4258").get.contains("BoundCRS"))
+  }
+
   test("copy: SRS lands in the FlatGeobuf header Crs table") {
     val p = s"$dir/srs.fgb"
     GeoWriter.copy(pts, "geom", p,

@@ -866,4 +866,27 @@ class ProjRegistrySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("guam"))
   }
+
+  test("MGI 1901 (Balkans) carries its own datum realization, not Austrian MGI") {
+    // published MGI 1901 → WGS84 3-parameter shift (682, -203, 480); the
+    // Austrian MGI vectors differ by ~300 m, so reusing DatumMgi would put
+    // st_transform hundreds of meters off PROJ-based engines
+    for (z <- 5 to 8) {
+      val crs = Proj.lookup(s"EPSG:${31270 + z}").get
+      val h = crs.datum.shift.get
+      assert(h.tx == 682.0 && h.ty == -203.0 && h.tz == 480.0,
+        s"zone $z shift: (${h.tx}, ${h.ty}, ${h.tz})")
+    }
+    // the two realizations visibly disagree on the ground (~meters of easting
+    // at zone scale maps to ~100s of m geocentric difference)
+    val balkans = Proj.lookup("EPSG:31277").get
+    val (lonA, latA) = Proj.DatumMgi.fromWgs84(21.0, 44.0)
+    val (lonB, latB) = balkans.datum.fromWgs84(21.0, 44.0)
+    val (xa, ya) = balkans.proj.forward(lonA, latA)
+    val (xb, yb) = balkans.proj.forward(lonB, latB)
+    val d = math.hypot(xa - xb, ya - yb)
+    assert(d > 100 && d < 600, s"datum displacement $d m")
+    // geographic companion code resolves to the same datum
+    assert(Proj.geographic("EPSG:3906")._2 == balkans.datum)
+  }
 }
