@@ -1776,8 +1776,96 @@ object Proj {
         304800, 0, probe = (mtmLon0(z - 1) + 0.4, 46.5))
     }.toMap
 
-    base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++ ups ++
-      asiaPacific ++ europe2 ++ canadaMtm
+    // ------------------------- EPSG batch 3 (round 10): ETRS89 national
+    // LCC/conic + zoned TM grids — parameters from the public EPSG dataset
+    val europe3 = Map(
+      "EPSG:3416" -> lcc("ETRS89 / Austria Lambert", 49, 46, 47.5, dms(13, 20),
+        400000, 400000, probe = (13.5, 47.6)),
+      "EPSG:4839" -> lcc("ETRS89 / LCC Germany (N-E)", dms(48, 40), dms(53, 40), 51, 10.5,
+        0, 0, probe = (10.5, 51.2))
+    ) ++ (5 to 8).map { z =>
+      // ETRS89 / Poland CS2000 zones 5-8 (tmerc k=0.999923, zone-prefixed FE)
+      s"EPSG:${2171 + z}" -> tm(s"ETRS89 / Poland CS2000 zone $z", 0, 3 * z, 0.999923,
+        z * 1e6 + 500000, 0, probe = (3.0 * z + 0.3, 52.0))
+    }.toMap ++ (5 to 30).map { z =>
+      // ETRS89 / NTM zones 5-30 (Norway 1° Transverse Mercator: lat0=58,
+      // lon0 = zone + 0°30', k=1, FE=100000, FN=1000000)
+      s"EPSG:${5100 + z}" -> tm(s"ETRS89 / NTM zone $z", 58, z + 0.5, 1.0,
+        100000, 1000000, probe = (z + 0.5, 62.0))
+    }.toMap
+
+    val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm
+
+    // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
+    // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
+    // conversion verbatim for every NAD83 realization — only the datum
+    // name changes, and HARN/2011 agree with NAD83 (and WGS84) within this
+    // chain's accuracy class — so the entries DERIVE from the registered
+    // NAD83 base zones: same kernel object, renamed. HARN meter codes are
+    // the published contiguous 2759-2866 alphabetical block (zones HARN'd
+    // later sit outside it: NC 3358, SC 3360, PA 3362/3363); the 2011
+    // entries cover the anchors whose meter codes are unambiguous in the
+    // interleaved 6355+ block (AL, AK 1-10, CA 1-6, CO, CT, DE, FL North).
+    def realized(tag: String)(pairs: (Int, Int)*): Map[String, Crs] =
+      pairs.flatMap { case (code, baseCode) =>
+        merged.get(s"EPSG:$baseCode").map { c =>
+          s"EPSG:$code" -> c.copy(name = c.name.replace("NAD83 /", s"NAD83($tag) /"))
+        }
+      }.toMap
+    val harn = realized("HARN")(
+      2759 -> 26929, 2760 -> 26930,                                   // Alabama E/W
+      2764 -> 26951, 2765 -> 26952,                                   // Arkansas N/S
+      2766 -> 26941, 2767 -> 26942, 2768 -> 26943,                    // California 1-6
+      2769 -> 26944, 2770 -> 26945, 2771 -> 26946,
+      2772 -> 26953, 2773 -> 26954, 2774 -> 26955,                    // Colorado N/C/S
+      2775 -> 26956, 2776 -> 26957, 2779 -> 26960,                    // CT, DE, FL North
+      2782 -> 26961, 2783 -> 26962, 2784 -> 26963,                    // Hawaii 1-5
+      2785 -> 26964, 2786 -> 26965,
+      2787 -> 26968, 2788 -> 26969, 2789 -> 26970,                    // Idaho E/C/W
+      2792 -> 26973, 2793 -> 26974,                                   // Indiana E/W
+      2794 -> 26975, 2795 -> 26976,                                   // Iowa N/S
+      2796 -> 26977, 2797 -> 26978,                                   // Kansas N/S
+      2798 -> 26979, 2799 -> 26980,                                   // Kentucky N/S
+      2800 -> 26981, 2801 -> 26982,                                   // Louisiana N/S
+      2802 -> 26983, 2803 -> 26984, 2804 -> 26985,                    // Maine E/W, MD
+      2805 -> 26986, 2806 -> 26987,                                   // Massachusetts
+      2807 -> 26988, 2808 -> 26989, 2809 -> 26990,                    // Michigan N/C/S
+      2810 -> 26991, 2811 -> 26992, 2812 -> 26993,                    // Minnesota N/C/S
+      2813 -> 26994, 2814 -> 26995,                                   // Mississippi E/W
+      2815 -> 26996, 2816 -> 26997, 2817 -> 26998,                    // Missouri E/C/W
+      2818 -> 32100, 2819 -> 32104,                                   // Montana, Nebraska
+      2820 -> 32107, 2821 -> 32108, 2822 -> 32109,                    // Nevada E/C/W
+      2823 -> 32110, 2824 -> 32111,                                   // NH, NJ
+      2825 -> 32112, 2826 -> 32113, 2827 -> 32114,                    // New Mexico E/C/W
+      2831 -> 32118,                                                  // NY Long Island
+      2832 -> 32120, 2833 -> 32121,                                   // North Dakota N/S
+      2834 -> 32122, 2835 -> 32123,                                   // Ohio N/S
+      2836 -> 32124, 2837 -> 32125,                                   // Oklahoma N/S
+      2838 -> 32126, 2839 -> 32127,                                   // Oregon N/S
+      2840 -> 32130,                                                  // Rhode Island
+      2841 -> 32134, 2842 -> 32135, 2843 -> 32136,                    // SD N/S, Tennessee
+      2844 -> 32137, 2845 -> 32138, 2846 -> 32139,                    // Texas N/NC/C/SC/S
+      2847 -> 32140, 2848 -> 32141,
+      2849 -> 32142, 2850 -> 32143, 2851 -> 32144, 2852 -> 32145,     // Utah N/C/S, VT
+      2853 -> 32146, 2854 -> 32147,                                   // Virginia N/S
+      2855 -> 32148, 2856 -> 32149,                                   // Washington N/S
+      2857 -> 32150, 2858 -> 32151,                                   // West Virginia N/S
+      2859 -> 32152, 2860 -> 32153, 2861 -> 32154,                    // Wisconsin N/C/S
+      2862 -> 32155, 2863 -> 32156, 2864 -> 32157, 2865 -> 32158,     // Wyoming E/EC/WC/W
+      2866 -> 32161,                                                  // Puerto Rico & VI
+      3358 -> 32119, 3360 -> 32133,                                   // NC, SC (late HARN)
+      3362 -> 32128, 3363 -> 32129)                                   // Pennsylvania N/S
+    val n2011 = realized("2011")(
+      6355 -> 26929, 6356 -> 26930,                                   // Alabama E/W
+      6394 -> 26931, 6395 -> 26932, 6396 -> 26933, 6397 -> 26934,     // Alaska 1-10
+      6398 -> 26935, 6399 -> 26936, 6400 -> 26937, 6401 -> 26938,
+      6402 -> 26939, 6403 -> 26940,
+      6415 -> 26941, 6417 -> 26942, 6419 -> 26943,                    // California 1-6
+      6421 -> 26944, 6423 -> 26945, 6425 -> 26946,                    // (ftUS interleave)
+      6427 -> 26954, 6429 -> 26953, 6431 -> 26955,                    // Colorado C/N/S
+      6433 -> 26956, 6435 -> 26957, 6440 -> 26960)                    // CT, DE, FL North
+    merged ++ harn ++ n2011
   }
 
   // UTM-style zone families resolved by pattern; instances cached (the Krüger
@@ -1841,6 +1929,8 @@ object Proj {
   private val SirgasN = "EPSG:319(6[5-9]|7[0-6])".r         // SIRGAS 2000 / UTM 11N-22N
   private val SirgasS = "EPSG:319(7[7-9]|8[0-5])".r         // SIRGAS 2000 / UTM 17S-25S
   private val Ed50Utm = "EPSG:230(2[89]|3[0-8])".r          // ED50 / UTM 28N-38N
+  private val Etrs89Utm = "EPSG:258(2[89]|3[0-8])".r        // ETRS89 / UTM 28N-38N
+  private val Nad2011Utm = "EPSG:63(3[0-9]|4[0-8])".r       // NAD83(2011) / UTM 1N-19N (6330-6348)
   private val Nad27Utm = "EPSG:267(0[3-9]|1[0-9]|2[0-2])".r // NAD27 / UTM 3N-22N
   private val Agd66Amg = "EPSG:202(49|5[0-6])".r            // AGD66 / AMG 49-56
   private val Agd84Amg = "EPSG:203(49|5[0-6])".r            // AGD84 / AMG 49-56
@@ -2103,6 +2193,8 @@ object Proj {
     case SirgasN(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 54}N", z.toInt - 54, south = false, DatumGrs80))
     case SirgasS(z) => Some(utmCrs(code, s"SIRGAS 2000 / UTM zone ${z.toInt - 60}S", z.toInt - 60, south = true, DatumGrs80))
     case Ed50Utm(z) => Some(utmCrs(code, s"ED50 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumEd50))
+    case Etrs89Utm(z) => Some(utmCrs(code, s"ETRS89 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumGrs80))
+    case Nad2011Utm(z) => Some(utmCrs(code, s"NAD83(2011) / UTM zone ${z.toInt - 29}N", z.toInt - 29, south = false, DatumGrs80))
     case Nad27Utm(z) => Some(utmCrs(code, s"NAD27 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumNad27))
     case Agd66Amg(z) => Some(utmCrs(code, s"AGD66 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd66))
     case Agd84Amg(z) => Some(utmCrs(code, s"AGD84 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd84))
@@ -2538,6 +2630,8 @@ object Proj {
       (7846 to 7859).map(c => s"EPSG:$c"),
       (31965 to 31985).map(c => s"EPSG:$c"),
       (23028 to 23038).map(c => s"EPSG:$c"),
+      (25828 to 25838).map(c => s"EPSG:$c"),
+      (6330 to 6348).map(c => s"EPSG:$c"),
       (28402 to 28432).map(c => s"EPSG:$c"),
       (22171 to 22177).map(c => s"EPSG:$c"),
       (22181 to 22187).map(c => s"EPSG:$c"),

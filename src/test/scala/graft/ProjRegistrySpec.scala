@@ -867,6 +867,33 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(err.getMessage.contains("guam"))
   }
 
+  test("EPSG batch 3: HARN/2011 realizations share the SPCS83 kernel; new families anchor") {
+    // NAD83(HARN)/NAD83(2011) zones are the SAME conversion as the NAD83
+    // base zone (EPSG reuses it; realizations agree at this accuracy class)
+    for ((realized, base) <- Seq("EPSG:2766" -> "EPSG:26941", "EPSG:2804" -> "EPSG:26985",
+                                 "EPSG:2843" -> "EPSG:32136", "EPSG:3362" -> "EPSG:32128",
+                                 "EPSG:6415" -> "EPSG:26941", "EPSG:6433" -> "EPSG:26956",
+                                 "EPSG:6403" -> "EPSG:26940")) {
+      val r = Proj.lookup(realized).get; val b = Proj.lookup(base).get
+      val (lon, lat) = b.probe
+      val (x1, y1) = r.proj.forward(lon, lat); val (x2, y2) = b.proj.forward(lon, lat)
+      assert(x1 == x2 && y1 == y2, s"$realized != $base at ($lon,$lat)")
+      assert(r.name.contains("NAD83(HARN)") || r.name.contains("NAD83(2011)"), r.name)
+    }
+    // natural-origin anchors for the new families
+    def anchor(code: String, lon: Double, lat: Double, fe: Double, fn: Double): Unit = {
+      val (x, y) = Proj.lookup(code).get.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$code -> ($x,$y)")
+    }
+    anchor("EPSG:25832", 9, 0, 500000, 0)        // ETRS89 / UTM 32N
+    anchor("EPSG:6339", -123, 0, 500000, 0)      // NAD83(2011) / UTM 10N
+    anchor("EPSG:2178", 21, 0, 7500000, 0)       // ETRS89 / Poland CS2000 zone 7
+    anchor("EPSG:5110", 10.5, 58, 100000, 1000000) // ETRS89 / NTM zone 10
+    anchor("EPSG:3416", 13.0 + 20.0 / 60, 47.5, 400000, 400000) // Austria Lambert
+    assert(Proj.lookup("EPSG:25832").get.name == "ETRS89 / UTM zone 32N")
+    assert(Proj.lookup("EPSG:6339").get.name == "NAD83(2011) / UTM zone 10N")
+  }
+
   test("MGI 1901 (Balkans) carries its own datum realization, not Austrian MGI") {
     // published MGI 1901 → WGS84 3-parameter shift (682, -203, 480); the
     // Austrian MGI vectors differ by ~300 m, so reusing DatumMgi would put
