@@ -776,6 +776,20 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Round-10 batch-3 registry surface, end-to-end: NAD83(HARN) /
+    // California zone 1 (EPSG:2766, the derived HARN realization) against
+    // an independent plain-SQL EPSG 9802 transcription with the CA-1
+    // parameters — proves the HARN code block resolves to the real SPCS83
+    // conversion, not just that the code exists.
+    "q_transform_harn" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:2766')) / 10.0d, 2) + 0.0d AS hx,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:2766')) / 10.0d, 2) + 0.0d AS hy
+      FROM (SELECT $K AS k, cast(l_partkey % 10 AS DOUBLE) / 2.0d - 124.0d AS lon,
+                   cast(l_suppkey % 7 AS DOUBLE) / 2.0d + 39.5d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // Round-4 registry additions, each against an independent plain-SQL
     // Snyder implementation: Arctic Polar Stereographic (EPSG:3995, method
     // 9829) and North Pole LAEA Europe (EPSG:3575, method 9820 polar aspect).
@@ -3100,6 +3114,38 @@ object SparkEntry {
       SELECT k,
              round((700000.0 + r*sin(th))/10.0, 2) + 0.0 AS lx,
              round((6600000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS ly
+      FROM (SELECT k, rf,
+                   a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
+                   n*(radians(lon)-lf) AS th
+            FROM pts CROSS JOIN c4)
+      ORDER BY k""",
+
+    // Same EPSG 9802 transcription shape with the SPCS83 California zone 1
+    // parameters (41°40'/40°, origin 39°20'/-122°, FE 2000000, FN 500000)
+    // — the NAD83(HARN) realization reuses the conversion verbatim.
+    "q_transform_harn" -> s"""
+      WITH pts AS (
+        SELECT $K AS k, CAST(l_partkey % 10 AS DOUBLE) / 2.0 - 124.0 AS lon,
+               CAST(l_suppkey % 7 AS DOUBLE) / 2.0 + 39.5 AS lat
+        FROM lineitem),
+      c0 AS (
+        SELECT 0.08181919104281579 AS e, 0.006694380022903416 AS e2, 6378137.0 AS a,
+               radians(41.0 + 40.0/60.0) AS p1, radians(40.0) AS p2,
+               radians(39.0 + 20.0/60.0) AS pf, radians(-122.0) AS lf),
+      c1 AS (
+        SELECT *,
+               cos(p1)/sqrt(1-e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1-e2*sin(p2)*sin(p2)) AS m2,
+               tan(pi()/4-p1/2)/pow((1-e*sin(p1))/(1+e*sin(p1)), e/2) AS t1,
+               tan(pi()/4-p2/2)/pow((1-e*sin(p2))/(1+e*sin(p2)), e/2) AS t2,
+               tan(pi()/4-pf/2)/pow((1-e*sin(pf))/(1+e*sin(pf)), e/2) AS tf
+        FROM c0),
+      c2 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM c1),
+      c3 AS (SELECT *, m1/(n*pow(t1,n)) AS bigf FROM c2),
+      c4 AS (SELECT *, a*bigf*pow(tf,n) AS rf FROM c3)
+      SELECT k,
+             round((2000000.0 + r*sin(th))/10.0, 2) + 0.0 AS hx,
+             round((500000.0 + rf - r*cos(th))/10.0, 2) + 0.0 AS hy
       FROM (SELECT k, rf,
                    a*bigf*pow(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2), n) AS r,
                    n*(radians(lon)-lf) AS th
