@@ -1865,7 +1865,55 @@ object Proj {
       6421 -> 26944, 6423 -> 26945, 6425 -> 26946,                    // (ftUS interleave)
       6427 -> 26954, 6429 -> 26953, 6431 -> 26955,                    // Colorado C/N/S
       6433 -> 26956, 6435 -> 26957, 6440 -> 26960)                    // CT, DE, FL North
-    merged ++ harn ++ n2011
+
+    // NAD83 State Plane foot variants, the published 2225-2289 alphabetical
+    // block (EPSG:2263 NY Long Island, registered independently from the
+    // reference's taxi_zones.prj fixture, sits exactly where this ordering
+    // predicts — the block's consistency anchor). SPCS83 is legally metric;
+    // EPSG's foot-variant grids are the EXACT unit conversion of the meter
+    // conversion (ftUS = m × 3937/1200: 300000 m = 984250 ftUS, 600000 m =
+    // 1968500 ftUS — exact), so each entry is the meter kernel viewed
+    // through InUnits. MI/MT/ND/OR/SC/UT legislated the international foot.
+    def inFeet(foot: Double)(pairs: (Int, Int)*): Map[String, Crs] = {
+      val (tag, units) = if (foot == UsFoot) ("ftUS", "us-ft") else ("ft", "ft")
+      pairs.flatMap { case (code, baseCode) =>
+        merged.get(s"EPSG:$baseCode").map { c =>
+          s"EPSG:$code" -> c.copy(
+            name = s"${c.name} ($tag)",
+            proj = new InUnits(c.proj, foot, 0, 0),
+            proj4 = if (c.proj4 == null) null
+                    else c.proj4.replace("+units=m", s"+units=$units"))
+        }
+      }.toMap
+    }
+    val spcsFtUs = inFeet(UsFoot)(
+      2225 -> 26941, 2226 -> 26942, 2227 -> 26943,                    // California 1-6
+      2228 -> 26944, 2229 -> 26945, 2230 -> 26946,
+      2231 -> 26953, 2232 -> 26954, 2233 -> 26955,                    // Colorado N/C/S
+      2234 -> 26956, 2235 -> 26957, 2238 -> 26960,                    // CT, DE, FL North
+      2241 -> 26968, 2242 -> 26969, 2243 -> 26970,                    // Idaho E/C/W
+      2244 -> 26973, 2245 -> 26974,                                   // Indiana E/W
+      2246 -> 26979, 2247 -> 26980,                                   // Kentucky N/S
+      2248 -> 26985, 2249 -> 26986, 2250 -> 26987,                    // MD, MA Mainland/Island
+      2254 -> 26994, 2255 -> 26995,                                   // Mississippi E/W
+      2257 -> 32112, 2258 -> 32113, 2259 -> 32114,                    // New Mexico E/C/W
+      2264 -> 32119,                                                  // North Carolina
+      2267 -> 32124, 2268 -> 32125,                                   // Oklahoma N/S
+      2271 -> 32128, 2272 -> 32129,                                   // Pennsylvania N/S
+      2274 -> 32136,                                                  // Tennessee
+      2275 -> 32137, 2276 -> 32138, 2277 -> 32139,                    // Texas N/NC/C/SC/S
+      2278 -> 32140, 2279 -> 32141,
+      2283 -> 32146, 2284 -> 32147,                                   // Virginia N/S
+      2285 -> 32148, 2286 -> 32149,                                   // Washington N/S
+      2287 -> 32152, 2288 -> 32153, 2289 -> 32154)                    // Wisconsin N/C/S
+    val spcsFtIntl = inFeet(0.3048)(
+      2251 -> 26988, 2252 -> 26989, 2253 -> 26990,                    // Michigan N/C/S
+      2256 -> 32100,                                                  // Montana
+      2265 -> 32120, 2266 -> 32121,                                   // North Dakota N/S
+      2269 -> 32126, 2270 -> 32127,                                   // Oregon N/S
+      2273 -> 32133,                                                  // South Carolina
+      2280 -> 32142, 2281 -> 32143, 2282 -> 32144)                    // Utah N/C/S
+    merged ++ harn ++ n2011 ++ spcsFtUs ++ spcsFtIntl
   }
 
   // UTM-style zone families resolved by pattern; instances cached (the Krüger

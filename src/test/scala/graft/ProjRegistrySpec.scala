@@ -894,6 +894,30 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(Proj.lookup("EPSG:6339").get.name == "NAD83(2011) / UTM zone 10N")
   }
 
+  test("State Plane foot variants are the exact unit view of the meter zone") {
+    // ftUS = m × 3937/1200 exactly: Colorado North's odd meter FE is
+    // exactly 3,000,000 ftUS at the projection origin offsets
+    val co = Proj.lookup("EPSG:2231").get
+    val com = Proj.lookup("EPSG:26953").get
+    val (lon, lat) = com.probe
+    val (xf, yf) = co.proj.forward(lon, lat)
+    val (xm, ym) = com.proj.forward(lon, lat)
+    assert(math.abs(xf - xm / Proj.UsFoot) < 1e-9 && math.abs(yf - ym / Proj.UsFoot) < 1e-9)
+    assert(co.name == "NAD83 / Colorado North (ftUS)")
+    // exact-conversion pin: 600000 m = 1,968,500 ftUS (3937/1200 is exact)
+    assert(math.abs(600000.0 / Proj.UsFoot - 1968500.0) < 1e-6)
+    // international-foot states use 0.3048
+    val mi = Proj.lookup("EPSG:2251").get
+    val mim = Proj.lookup("EPSG:26988").get
+    val (a, b) = mi.proj.forward(mim.probe._1, mim.probe._2)
+    val (c, d) = mim.proj.forward(mim.probe._1, mim.probe._2)
+    assert(math.abs(a - c / 0.3048) < 1e-9 && math.abs(b - d / 0.3048) < 1e-9)
+    assert(mi.name == "NAD83 / Michigan North (ft)")
+    // the pre-existing independently-sourced NY Long Island ftUS entry
+    // (reference taxi_zones.prj) anchors the same block ordering
+    assert(Proj.lookup("EPSG:2263").get.name.contains("New York Long Island"))
+  }
+
   test("MGI 1901 (Balkans) carries its own datum realization, not Austrian MGI") {
     // published MGI 1901 → WGS84 3-parameter shift (682, -203, 480); the
     // Austrian MGI vectors differ by ~300 m, so reusing DatumMgi would put
