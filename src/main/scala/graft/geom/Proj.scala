@@ -1435,6 +1435,9 @@ object Proj {
       "EPSG:3996" -> Crs("WGS 84 / IBCAO Polar Stereographic",
         new PolarStereo(Wgs84, 75, 0, 0, 0, north = true), w, (0, 80),
         "+proj=stere +lat_0=90 +lat_ts=75 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+      "EPSG:3976" -> Crs("WGS 84 / NSIDC Sea Ice Polar Stereographic South",
+        new PolarStereo(Wgs84, -70, 0, 0, 0, north = false), w, (0, -75),
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       // --------------------------------------------- mercator / equal-area
       "EPSG:3395" -> Crs("WGS 84 / World Mercator", new MercatorEll(Wgs84, 0, 0, 0), w, (10, 50),
         "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
@@ -1538,6 +1541,11 @@ object Proj {
       // ------------------------------------- Equidistant Cylindrical (1028)
       // GN7-2's own worked-example CRS, pinned in ProjRegistrySpec
       "EPSG:4087" -> Crs("WGS 84 / World Equidistant Cylindrical",
+        new EquidistantCyl(Wgs84, 0, 0, 0, 0), w, (10, 55),
+        "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+      // the superseded Plate Carree spelling of the same grid (still the
+      // code a lot of legacy data carries)
+      "EPSG:32662" -> Crs("WGS 84 / Plate Carree",
         new EquidistantCyl(Wgs84, 0, 0, 0, 0), w, (10, 55),
         "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
       // --------------------------------------------- Guam projection (9831)
