@@ -824,7 +824,7 @@ object GeoFns {
     else raw.toUpperCase match {
       case "EPSG:4326" => "4326"
       case "OGC:CRS84" | "CRS84" => "CRS84"
-      case "EPSG:3857" | "EPSG:900913" => "3857"
+      case "EPSG:3857" | "EPSG:900913" | "ESRI:102100" | "EPSG:102100" => "3857"
       case u @ UtmRe(_, _) => u
       case u @ EtrsUtmRe(_) => u
       case p if graft.geom.Proj.lookup(p).isDefined => p
@@ -838,6 +838,7 @@ object GeoFns {
   }
   private def knownCrsCode(c: String): Boolean =
     c == "EPSG:4326" || c == "OGC:CRS84" || c == "EPSG:3857" || c == "EPSG:900913" ||
+      c == "ESRI:102100" || c == "EPSG:102100" ||
       UtmRe.matches(c) || EtrsUtmRe.matches(c) ||
       graft.geom.Proj.lookup(c).isDefined || graft.geom.Proj.geographic.contains(c)
   private def geographicCode(c: String): Boolean =

@@ -185,6 +185,10 @@ object Proj {
   val DatumMgi1901 = Datum(Bessel1841, Some(Helmert(682.0, -203.0, 480.0, 0, 0, 0, 0)))
   /** GGRS87 → WGS84 — EPSG:1272 3-parameter */
   val DatumGgrs87 = Datum(Grs80, Some(Helmert(-199.87, 74.79, 246.62, 0, 0, 0, 0)))
+  /** Tokyo → WGS84 — the published 3-parameter shift (PROJ datum catalog;
+   *  EPSG Japan-area geocentric translations). JGD2000 replaced Tokyo in
+   *  2002; legacy Japanese data still carries it. */
+  val DatumTokyo = Datum(Bessel1841, Some(Helmert(-146.414, 507.337, 680.507, 0, 0, 0, 0)))
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
   val DatumBd72 = Datum(Intl1924,
     Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
@@ -1148,6 +1152,68 @@ object Proj {
     }
   }
 
+  /** Equal Earth (Šavrič, Patterson & Jenny 2018; EPSG method 1078; PROJ
+   *  `eqearth`; EPSG:8857-8859). Equal-area pseudocylindrical defined by a
+   *  published degree-9 polynomial in the parametric latitude θ, where
+   *  sin θ = (√3/2) sin β and β is the authalic latitude (so the ellipsoidal
+   *  form is exact, like LAEA/CEA):
+   *    x = Rq · (2√3/3) Δλ cos θ / P'(θ),   y = Rq · P(θ)
+   *    P(θ)  = A1 θ + A2 θ³ + A3 θ⁷ + A4 θ⁹
+   *    P'(θ) = A1 + 3 A2 θ² + 7 A3 θ⁶ + 9 A4 θ⁸
+   *  with the published coefficients below and Rq = a √(qp/2) the authalic
+   *  radius. Inverse: Newton on θ from y, then β from sin θ, then Snyder
+   *  3-16 for φ. */
+  final class EqualEarth(el: Ellipsoid, lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection {
+    import EqualEarth._
+    private val lam0 = math.toRadians(lon0Deg)
+    private val qp = qFn(el, math.Pi / 2)
+    private val rq = el.a * math.sqrt(qp / 2)
+    private def pTheta(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2))
+    }
+    private def pThetaD(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      A1 + 3 * A2 * t2 + t6 * (7 * A3 + 9 * A4 * t2)
+    }
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sinBeta =
+        if (el.e2 == 0) math.sin(phi)
+        else math.max(-1.0, math.min(1.0, qFn(el, phi) / qp))
+      val th = math.asin(math.max(-1.0, math.min(1.0, M * sinBeta)))
+      (fe + rq * (2 * math.sqrt(3) / 3) * (math.toRadians(lonDeg) - lam0) *
+        math.cos(th) / pThetaD(th),
+        fn + rq * pTheta(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val target = (y - fn) / rq
+      // Newton from the linear term; P' >= ~0.88 over θ ∈ [-π/3, π/3], so
+      // the iteration is uniformly well-conditioned
+      var th = target / A1
+      var i = 0
+      while (i < 30) {
+        val next = th - (pTheta(th) - target) / pThetaD(th)
+        if (math.abs(next - th) < 1e-14) { th = next; i = 30 } else { th = next; i += 1 }
+      }
+      val sinBeta = math.max(-1.0, math.min(1.0, math.sin(th) / M))
+      val phi =
+        if (el.e2 == 0) math.asin(sinBeta)
+        else phiFromQ(el, qp * sinBeta)
+      val cosTh = math.cos(th)
+      val lam =
+        if (cosTh < 1e-12) lam0
+        else lam0 + (x - fe) * pThetaD(th) / (rq * (2 * math.sqrt(3) / 3) * cosTh)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+  object EqualEarth {
+    // published polynomial coefficients (Šavrič et al. 2018, eq. 1-3)
+    val A1 = 1.340264; val A2 = -0.081106; val A3 = 0.000893; val A4 = 0.003796
+    val M = math.sqrt(3) / 2
+  }
+
   /** Orthographic, oblique spherical aspect (Snyder 20-3..20-6; PROJ
    *  `ortho`): the view from infinity. Only the near hemisphere projects;
    *  points with cos c < 0 are rejected loudly (PROJ errors the same way). */
@@ -1420,6 +1486,13 @@ object Proj {
         "+proj=eck4 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
       "ESRI:54030" -> Crs("World Robinson", new Robinson(Wgs84.a, 0, 0, 0), w, (10, 32.6),
         "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      // Equal Earth (EPSG method 1078) — the three published aspects
+      "EPSG:8857" -> Crs("WGS 84 / Equal Earth Greenwich", new EqualEarth(Wgs84, 0, 0, 0), w, (10, 30),
+        "+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      "EPSG:8858" -> Crs("WGS 84 / Equal Earth Americas", new EqualEarth(Wgs84, -90, 0, 0), w, (-80, 30),
+        "+proj=eqearth +lon_0=-90 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
+      "EPSG:8859" -> Crs("WGS 84 / Equal Earth Asia-Pacific", new EqualEarth(Wgs84, 150, 0, 0), w, (140, 30),
+        "+proj=eqearth +lon_0=150 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"),
       "EPSG:6931" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 North", 90, 0, 0, 0, w, probe = (0, 75)),
       "EPSG:6932" -> laea("WGS 84 / NSIDC EASE-Grid 2.0 South", -90, 0, 0, 0, w, probe = (0, -75)),
       // ------------------------------------------------ polar stereographic
@@ -1802,8 +1875,55 @@ object Proj {
         100000, 1000000, probe = (z + 0.5, 62.0))
     }.toMap
 
+    // ------------------------- EPSG batch 4 (round 10): Tokyo-datum Japan
+    // zones + JGD UTM, NAD83(CSRS) Canada blocks, Australian state Lamberts
+    // on GDA94/GDA2020, Mexico INEGI Lambert, ESRI continental Albers.
+    // Parameters from the public EPSG dataset / ESRI projection catalog.
+    // Tokyo / Japan Plane Rectangular CS zones reuse the JGD zone origins
+    // (EPSG keeps the conversion; only the datum changes)
+    val tokyoJapan = jpOrigins.zipWithIndex.map { case ((lat0, lon0), i) =>
+      s"EPSG:${30161 + i}" -> tm(s"Tokyo / Japan Plane Rectangular CS ${i + 1}",
+        lat0, lon0, 0.9999, 0, 0, DatumTokyo, probe = (lon0 + 0.3, lat0 + 0.3))
+    }.toMap
+    val jgdUtm = (51 to 55).flatMap { z =>
+      Seq(s"EPSG:${3097 + z - 51}" -> utmCrs(s"EPSG:${3097 + z - 51}", s"JGD2000 / UTM zone ${z}N", z, south = false, g),
+        s"EPSG:${6688 + z - 51}" -> utmCrs(s"EPSG:${6688 + z - 51}", s"JGD2011 / UTM zone ${z}N", z, south = false, g))
+    }.toMap
+    // NAD83(CSRS) UTM: the published non-contiguous code blocks (CSRS ≈
+    // NAD83 ≈ WGS84 at this chain's accuracy class, like the other modern
+    // GRS80 realizations)
+    val csrsUtm = Map(
+      3154 -> 7, 3155 -> 8, 3156 -> 9, 3157 -> 10, 3158 -> 14, 3159 -> 15, 3160 -> 16,
+      2955 -> 11, 2956 -> 12, 2957 -> 13, 2958 -> 17, 2959 -> 18, 2960 -> 19,
+      2961 -> 20, 2962 -> 21
+    ).map { case (code, z) =>
+      s"EPSG:$code" -> utmCrs(s"EPSG:$code", s"NAD83(CSRS) / UTM zone ${z}N", z, south = false, g)
+    }
+    val canada4 = Map(
+      "EPSG:32198" -> lcc("NAD83 / Quebec Lambert", 60, 46, 44, -68.5, 0, 0, probe = (-71.2, 46.8)),
+      "EPSG:6622" -> lcc("NAD83(CSRS) / Quebec Lambert", 60, 46, 44, -68.5, 0, 0, probe = (-71.2, 46.8)),
+      "EPSG:3005" -> alb("NAD83 / BC Albers", 50, 58.5, 45, -126, 1000000, 0, probe = (-123.1, 49.3)),
+      "EPSG:3153" -> alb("NAD83(CSRS) / BC Albers", 50, 58.5, 45, -126, 1000000, 0, probe = (-123.1, 49.3)))
+    val gda2020 = DatumGda2020
+    val gdaLamberts = Map(
+      "EPSG:3111" -> lcc("GDA94 / Vicgrid", -36, -38, -37, 145, 2500000, 2500000, probe = (144.96, -37.81)),
+      "EPSG:7899" -> lcc("GDA2020 / Vicgrid", -36, -38, -37, 145, 2500000, 2500000, gda2020, probe = (144.96, -37.81)),
+      "EPSG:3112" -> lcc("GDA94 / Geoscience Australia Lambert", -18, -36, 0, 134, 0, 0, probe = (134, -25)),
+      "EPSG:7845" -> lcc("GDA2020 / GA LCC", -18, -36, 0, 134, 0, 0, gda2020, probe = (134, -25)),
+      "EPSG:3308" -> lcc("GDA94 / NSW Lambert", -30.75, -35.75, -33.25, 147, 9300000, 4500000, probe = (151.2, -33.87)),
+      "EPSG:8058" -> lcc("GDA2020 / NSW Lambert", -30.75, -35.75, -33.25, 147, 9300000, 4500000, gda2020, probe = (151.2, -33.87)),
+      "EPSG:3107" -> lcc("GDA94 / SA Lambert", -28, -36, -32, 135, 1000000, 2000000, probe = (138.6, -34.93)),
+      "EPSG:8059" -> lcc("GDA2020 / SA Lambert", -28, -36, -32, 135, 1000000, 2000000, gda2020, probe = (138.6, -34.93)))
+    val mexico = Map(
+      "EPSG:6362" -> lcc("Mexico ITRF92 / LCC", 17.5, 29.5, 12, -102, 2500000, 0, probe = (-99.1, 19.4)),
+      "EPSG:6372" -> lcc("Mexico ITRF2008 / LCC", 17.5, 29.5, 12, -102, 2500000, 0, probe = (-99.1, 19.4)))
+    val esriAlbers = Map(
+      "ESRI:102003" -> alb("USA Contiguous Albers Equal Area Conic", 29.5, 45.5, 37.5, -96, 0, 0, probe = (-98, 38)),
+      "ESRI:102008" -> alb("North America Albers Equal Area Conic", 20, 60, 40, -96, 0, 0, probe = (-98, 45)))
+    val batch4 = tokyoJapan ++ jgdUtm ++ csrsUtm ++ canada4 ++ gdaLamberts ++ mexico ++ esriAlbers
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2200,6 +2320,9 @@ object Proj {
       case "robin" =>
         // probe off the 5° nodes so round-trips exercise the spline segment
         (new Robinson(el.a, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 32.6))
+      case "eqearth" =>
+        // ellipsoid-exact via authalic latitude (like PROJ; sphere at e = 0)
+        (new EqualEarth(el, p("lon_0"), p("x_0"), p("y_0")), (num("lon_0", 0) + 10, 30.0))
       case "ortho" =>
         val lat0 = p("lat_0")
         (new Orthographic(el.a, lat0, p("lon_0"), p("x_0"), p("y_0")),
@@ -2208,7 +2331,7 @@ object Proj {
         val lat0 = p("lat_0")
         (new Gnomonic(el.a, lat0, p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 5, math.max(-85, math.min(85, lat0 + 5))))
-      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea, cass, poly, eqc, aeqd [+guam], moll, sinu, robin, eck4, mill, ortho, gnom)")
+      case m => fail(s"unsupported +proj=$m (implemented: longlat, lcc, aea, laea, tmerc, utm, stere [polar], merc, cea, omerc, somerc, krovak, sterea, cass, poly, eqc, aeqd [+guam], moll, sinu, robin, eck4, mill, eqearth, ortho, gnom)")
     }
 
     // +units/+to_meter: kernel computes meters (x_0/y_0 included, meters per
@@ -2291,7 +2414,14 @@ object Proj {
     "EPSG:4275" -> (("NTF", DatumNtf)),
     "EPSG:4313" -> (("BD72", DatumBd72)),
     "EPSG:4284" -> (("Pulkovo 1942", DatumPulkovo42)),
-    "EPSG:4618" -> (("SAD69", DatumSad69)))
+    "EPSG:4618" -> (("SAD69", DatumSad69)),
+    // batch 4 (round 10)
+    "EPSG:4301" -> (("Tokyo", DatumTokyo)),
+    "EPSG:4617" -> (("NAD83(CSRS)", DatumGrs80)),
+    "EPSG:4490" -> (("China Geodetic Coordinate System 2000", DatumGrs80)),
+    "EPSG:4148" -> (("Hartebeesthoek94", DatumGrs80)),
+    "EPSG:4483" -> (("Mexico ITRF92", DatumGrs80)),
+    "EPSG:6365" -> (("Mexico ITRF2008", DatumGrs80)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the
@@ -2510,6 +2640,8 @@ object Proj {
         "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
       case "robin" => Some(("Robinson", pp("central_meridian" -> n("lon_0"),
         "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "eqearth" => Some(("Equal_Earth", pp("central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
       case "eck4" => Some(("Eckert_IV", pp("central_meridian" -> n("lon_0"),
         "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
       case "mill" => Some(("Miller_Cylindrical", pp("central_meridian" -> n("lon_0"),
@@ -2644,6 +2776,10 @@ object Proj {
         ("Longitude of natural origin", n("lon_0"), "degree"),
         ("False easting", n("x_0"), "metre"),
         ("False northing", n("y_0"), "metre"))))
+      case "eqearth" => Some(("Equal Earth", 1078, par(
+        ("Longitude of natural origin", n("lon_0"), "degree"),
+        ("False easting", n("x_0"), "metre"),
+        ("False northing", n("y_0"), "metre"))))
       case _ => None // methods beyond the reader's PROJJSON ladder
     }
     method.map { case (mName, mCode, params) =>
@@ -2672,7 +2808,7 @@ object Proj {
       .orElse(c match {
         case "EPSG:4326" => Some(("WGS 84", "+proj=longlat +datum=WGS84 +no_defs"))
         case "OGC:CRS84" | "CRS84" => Some(("WGS 84 longitude-latitude", "+proj=longlat +datum=WGS84 +no_defs"))
-        case "EPSG:3857" | "EPSG:900913" => Some(("WGS 84 / Pseudo-Mercator",
+        case "EPSG:3857" | "EPSG:900913" | "ESRI:102100" | "EPSG:102100" => Some(("WGS 84 / Pseudo-Mercator",
           "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs"))
         case _ => None
       })

@@ -148,6 +148,8 @@ object GeoMeta {
         }
       } else if (projName.contains("cylindrical_equal_area"))
         Some(s"+proj=cea +lat_ts=${p("standard_parallel_1").getOrElse(0.0)} +lon_0=$lon0")
+      else if (projName.contains("equal_earth"))
+        Some(s"+proj=eqearth +lon_0=$lon0")
       else if (projName.contains("mercator_1sp"))
         Some(s"+proj=merc +k=${p("scale_factor").getOrElse(1.0)} +lon_0=$lon0")
       else if (projName.contains("mercator") && !projName.contains("oblique") &&
@@ -235,6 +237,8 @@ object GeoMeta {
         }
       } else if (method.contains("cylindrical equal area"))
         Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
+      else if (method.contains("equal earth"))
+        Some(s"+proj=eqearth +lon_0=$lon0")
       else if (method.contains("mercator") && !method.contains("oblique") &&
                !method.contains("hotine")) { // omerc spellings are NOT plain merc
         // +lat_ts wins over +k in the kernel — emit exactly one (variant B vs A)
@@ -320,6 +324,8 @@ object GeoMeta {
         }
       } else if (method.contains("cylindrical equal area"))
         Some(s"+proj=cea +lat_ts=${ts.orElse(sp1).getOrElse(0.0)} +lon_0=$lon0")
+      else if (method.contains("equal earth"))
+        Some(s"+proj=eqearth +lon_0=$lon0")
       else if (method.contains("mercator") && !method.contains("oblique") &&
                !method.contains("hotine")) { // omerc spellings are NOT plain merc
         val t = ts.orElse(sp1)

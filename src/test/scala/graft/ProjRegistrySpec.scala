@@ -36,10 +36,14 @@ class ProjRegistrySpec extends AnyFunSuite {
   }
 
   test("every registered datum round-trips WGS84 lon/lat through its Helmert") {
+    // geographic-only codes probe inside their area of use — the 2D
+    // height-drop drift grows with distance from the datum's home region
+    // (Tokyo's ~860 m shift drifts ~4 cm when round-tripped at 0°E)
+    val geoProbes = Map("EPSG:4301" -> ((139.7, 35.7)))
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
-        case None => (Proj.geographic(code)._2, (0.0, 45.0))
+        case None => (Proj.geographic(code)._2, geoProbes.getOrElse(code, (0.0, 45.0)))
       }
       val (lon, lat) = probe
       val (lo1, la1) = datum.fromWgs84(lon, lat)
@@ -939,5 +943,109 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(d > 100 && d < 600, s"datum displacement $d m")
     // geographic companion code resolves to the same datum
     assert(Proj.geographic("EPSG:3906")._2 == balkans.datum)
+  }
+
+  test("round-10 batch-4 registry codes resolve and land in-zone") {
+    val cases = Seq(
+      ("EPSG:30169", 0.0, 60000.0),        // Tokyo / Japan Plane CS IX (FE=0)
+      ("EPSG:3099", 500000.0, 120000.0),   // JGD2000 / UTM 53N
+      ("EPSG:6690", 500000.0, 120000.0),   // JGD2011 / UTM 53N
+      ("EPSG:2958", 500000.0, 120000.0),   // NAD83(CSRS) / UTM 17N
+      ("EPSG:3157", 500000.0, 120000.0),   // NAD83(CSRS) / UTM 10N
+      ("EPSG:6622", 0.0, 300000.0),        // NAD83(CSRS) / Quebec Lambert
+      ("EPSG:3005", 1000000.0, 300000.0),  // NAD83 / BC Albers
+      ("EPSG:3111", 2500000.0, 300000.0),  // GDA94 / Vicgrid
+      ("EPSG:7899", 2500000.0, 300000.0),  // GDA2020 / Vicgrid
+      ("EPSG:7845", 0.0, 300000.0),        // GDA2020 / GA LCC
+      ("EPSG:8058", 9300000.0, 500000.0),  // GDA2020 / NSW Lambert
+      ("EPSG:8059", 1000000.0, 500000.0),  // GDA2020 / SA Lambert
+      ("EPSG:6372", 2500000.0, 400000.0),  // Mexico ITRF2008 / LCC
+      ("ESRI:102003", 0.0, 300000.0),      // USA Contiguous Albers
+      ("ESRI:102008", 0.0, 300000.0))      // North America Albers
+    cases.foreach { case (code, fe, tol) =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < tol, s"$code easting $x not within $tol of FE $fe")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // Tokyo datum vs JGD2000: the legacy Tokyo frame sits ~400-450 m from
+    // the modern one in central Japan — the textbook Japan datum-shift
+    // magnitude, an external anchor for the DatumTokyo Helmert
+    val tokyoIx = Proj.lookup("EPSG:30169").get  // Tokyo / zone IX
+    val jgdIx = Proj.lookup("EPSG:2451").get     // JGD2000 / zone IX
+    val (lonT, latT) = tokyoIx.datum.fromWgs84(139.74, 35.66)
+    val (xT, yT) = tokyoIx.proj.forward(lonT, latT)
+    val (xJ, yJ) = jgdIx.proj.forward(139.74, 35.66)
+    val dTokyo = math.hypot(xT - xJ, yT - yJ)
+    assert(dTokyo > 350 && dTokyo < 500, s"Tokyo-JGD2000 displacement $dTokyo m")
+    // NAD83(CSRS) UTM 17N is grid-identical to NAD83 UTM 17N (same GRS80
+    // realization class) — consistency across the two resolution paths
+    val csrs17 = Proj.lookup("EPSG:2958").get
+    val nad17 = Proj.lookup("EPSG:26917").get
+    val (xa, ya) = csrs17.proj.forward(-79.4, 43.65)
+    val (xb, yb) = nad17.proj.forward(-79.4, 43.65)
+    assert(math.abs(xa - xb) < 1e-9 && math.abs(ya - yb) < 1e-9)
+    // GDA2020 is time-dependent: without an epoch the Vicgrid twins are
+    // grid-identical by design (GDA2020 ≡ ITRF2014@2020.0; GDA94 is read as
+    // WGS84-equivalent at this chain's class). At an explicit earlier epoch
+    // the Australian plate's ~7 cm/yr motion must appear: ~0.7 m over 10 yr.
+    val vic94 = Proj.lookup("EPSG:3111").get; val vic20 = Proj.lookup("EPSG:7899").get
+    val (lonA, latA) = vic20.datum.fromWgs84(144.96, -37.81)
+    val (x20v, y20v) = vic20.proj.forward(lonA, latA)
+    val (x94, y94) = vic94.proj.forward(144.96, -37.81)
+    assert(math.abs(x20v - x94) < 1e-9 && math.abs(y20v - y94) < 1e-9,
+      "epoch-less Vicgrid twins must agree exactly")
+    val (lonB, latB) = vic20.datum.fromWgs84(144.96, -37.81, Some(2010.0))
+    val (x10, y10) = vic20.proj.forward(lonB, latB)
+    val dGda = math.hypot(x20v - x10, y20v - y10)
+    assert(dGda > 0.4 && dGda < 1.2, s"GDA2020 2010-epoch displacement $dGda m")
+    // web-mercator ESRI alias resolves through describe
+    assert(Proj.describe("ESRI:102100").exists(_._1.contains("Pseudo-Mercator")))
+  }
+
+  test("Equal Earth (EPSG:8857-8859) matches its published shape and is exactly equal-area") {
+    val p = Proj.lookup("EPSG:8857").get.proj
+    // published properties (Šavrič, Patterson & Jenny 2018): the pole line
+    // is 0.59× the equator; the map is 2.05× wider than tall. With the
+    // published coefficients these ratios are determined to 4 decimals.
+    val (xe, _) = p.forward(180, 0)
+    val (xp, yp) = p.forward(180, 90)
+    assert(math.abs(xp / xe - 0.5925) < 5e-4, s"pole/equator ${xp / xe}")
+    assert(math.abs(xe / yp - 2.0546) < 5e-4, s"width/height ${xe / yp}")
+    // exactly equal-area on the authalic sphere: the quad area of a small
+    // cell equals Rq² dλ Δ(sin β) with β the authalic latitude (Jacobian
+    // J(λ,β) = Rq² cos β — the defining property of EPSG method 1078)
+    val rq = 6371007.1809 // WGS84 authalic-sphere radius (published constant)
+    def beta(latDeg: Double): Double = {
+      // authalic latitude via the projection itself: y = Rq P(θ), sin θ = M sin β
+      val (_, y) = p.forward(0, latDeg)
+      // invert P numerically (same polynomial the kernel uses)
+      import Proj.EqualEarth._
+      var th = y / rq / A1
+      for (_ <- 0 until 40) {
+        val t2 = th * th; val t6 = t2 * t2 * t2
+        val f = th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2)) - y / rq
+        val d = A1 + 3 * A2 * t2 + t6 * (7 * A3 + 9 * A4 * t2)
+        th -= f / d
+      }
+      math.asin(math.sin(th) / M)
+    }
+    for (lat <- Seq(0.0, 30.0, 60.0, 80.0)) {
+      val d = 0.05
+      val (x00, y00) = p.forward(20, lat); val (x10, y10) = p.forward(20 + d, lat)
+      val (x01, y01) = p.forward(20, lat + d); val (x11, y11) = p.forward(20 + d, lat + d)
+      val quad = 0.5 * math.abs((x10 - x00) * (y01 - y00) - (x01 - x00) * (y10 - y00)) +
+        0.5 * math.abs((x10 - x11) * (y01 - y11) - (x01 - x11) * (y10 - y11))
+      val cell = rq * rq * math.toRadians(d) * (math.sin(beta(lat + d)) - math.sin(beta(lat)))
+      assert(math.abs(quad / cell - 1.0) < 1e-5, s"lat $lat area ratio ${quad / cell}")
+    }
+    // the three published aspects differ only in central meridian
+    val am = Proj.lookup("EPSG:8858").get; val ap = Proj.lookup("EPSG:8859").get
+    assert(am.proj4.contains("+lon_0=-90") && ap.proj4.contains("+lon_0=150"))
+    // PROJJSON synthesis carries EPSG method 1078 and survives our reader
+    val json = Proj.toProjjson("EPSG:8857").get
+    assert(json.contains("\"Equal Earth\"") && json.contains("1078"))
   }
 }
