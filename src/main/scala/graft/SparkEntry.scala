@@ -949,6 +949,23 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Equal Earth (round 10, EPSG method 1078): unlike Mollweide/Eckert the
+    // forward is fully closed-form — the authalic-latitude q is a log
+    // expression and θ = asin(M sin β) needs no iteration — so the oracle
+    // is an independent plain-SQL transcription of the published Šavrič/
+    // Patterson/Jenny polynomial. EPSG:8858 (Americas, lon_0=-90) also
+    // exercises the antimeridian Δλ wrap.
+    "q_transform_eqearth" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:8857')) / 10.0d, 2) + 0.0d AS ex,
+             round(st_y(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:8857')) / 10.0d, 2) + 0.0d AS ey,
+             round(st_x(st_transform(st_point(lon, lat), 'OGC:CRS84', 'EPSG:8858')) / 10.0d, 2) + 0.0d AS ax
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 360 AS DOUBLE) - 179.5d AS lon,
+                   cast(l_suppkey % 170 AS DOUBLE) - 84.5d AS lat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // Round 9: Universal Polar Stereographic (EPSG:32661, Polar
     // Stereographic variant A — pole scale k0=0.994, EPSG method 9810) and
     // Lambert Conic Conformal 1SP (EPSG method 9801, the Jamaica-grid
@@ -3526,6 +3543,48 @@ object SparkEntry {
       FROM (SELECT k, lon,
                    a*mc*(tan(pi()/4-radians(lat)/2)/pow((1-e*sin(radians(lat)))/(1+e*sin(radians(lat))), e/2))/tc AS rho
             FROM pts CROSS JOIN c1)
+      ORDER BY k""",
+
+    // Independent plain-SQL Equal Earth (Šavrič et al. 2018 / EPSG method
+    // 1078): q(φ) authalic function, β = asin(q/qp), θ = asin(M sin β),
+    // x = Rq (2√3/3) Δλ cosθ / P'(θ), y = Rq P(θ) — all closed-form.
+    // Δλ for the Americas aspect wraps with the same floor expression the
+    // kernel uses.
+    "q_transform_eqearth" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 360 AS DOUBLE) - 179.5 AS lon,
+               CAST(l_suppkey % 170 AS DOUBLE) - 84.5 AS lat
+        FROM lineitem),
+      c AS (
+        SELECT CAST(0.0066943799901413165 AS DOUBLE) AS e2, 6378137.0 AS a,
+               sqrt(CAST(0.0066943799901413165 AS DOUBLE)) AS e,
+               1.340264 AS a1, -0.081106 AS a2, 0.000893 AS a3, 0.003796 AS a4,
+               sqrt(3.0)/2.0 AS m),
+      f1 AS (
+        SELECT k, lon, lat, c.*, sin(radians(lat)) AS s FROM pts, c),
+      f2 AS (
+        SELECT *,
+               (1-e2)*(s/(1 - e2*s*s) - (1/(2*e))*ln((1 - e*s)/(1 + e*s))) AS qq,
+               (1-e2)*(1/(1 - e2) - (1/(2*e))*ln((1 - e)/(1 + e))) AS qp
+        FROM f1),
+      f3 AS (
+        SELECT *, a*sqrt(qp/2) AS rq, asin(m*(qq/qp)) AS th FROM f2),
+      f4 AS (
+        SELECT *, th*th AS t2, th*th*th*th*th*th AS t6,
+               radians(lon) AS dl0, radians(lon) + pi()/2 AS dlr
+        FROM f3),
+      f5 AS (
+        SELECT *,
+               dlr - 2*pi()*floor((dlr + pi())/(2*pi())) AS dl8858,
+               a1 + 3*a2*t2 + t6*(7*a3 + 9*a4*t2) AS pd,
+               th*(a1 + a2*t2 + t6*(a3 + a4*t2)) AS pt
+        FROM f4)
+      SELECT k,
+             round((rq*(2*sqrt(3.0)/3)*dl0*cos(th)/pd)/10.0, 2) + 0.0 AS ex,
+             round((rq*pt)/10.0, 2) + 0.0 AS ey,
+             round((rq*(2*sqrt(3.0)/3)*dl8858*cos(th)/pd)/10.0, 2) + 0.0 AS ax
+      FROM f5
       ORDER BY k""",
 
     // Independent plain-SQL UPS (Polar Stereographic variant A, GN7-2

@@ -1183,8 +1183,11 @@ object Proj {
         if (el.e2 == 0) math.sin(phi)
         else math.max(-1.0, math.min(1.0, qFn(el, phi) / qp))
       val th = math.asin(math.max(-1.0, math.min(1.0, M * sinBeta)))
-      (fe + rq * (2 * math.sqrt(3) / 3) * (math.toRadians(lonDeg) - lam0) *
-        math.cos(th) / pThetaD(th),
+      // Δλ wraps to [-π, π) so non-Greenwich aspects (8858/8859) stay on
+      // the single world sheet, like PROJ's adjlon
+      val dRaw = math.toRadians(lonDeg) - lam0
+      val dl = dRaw - 2 * math.Pi * math.floor((dRaw + math.Pi) / (2 * math.Pi))
+      (fe + rq * (2 * math.sqrt(3) / 3) * dl * math.cos(th) / pThetaD(th),
         fn + rq * pTheta(th))
     }
     def inverse(x: Double, y: Double): (Double, Double) = {

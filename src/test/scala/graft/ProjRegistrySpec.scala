@@ -1010,8 +1010,10 @@ class ProjRegistrySpec extends AnyFunSuite {
     // published properties (Šavrič, Patterson & Jenny 2018): the pole line
     // is 0.59× the equator; the map is 2.05× wider than tall. With the
     // published coefficients these ratios are determined to 4 decimals.
-    val (xe, _) = p.forward(180, 0)
-    val (xp, yp) = p.forward(180, 90)
+    // lon=180 wraps to Δλ=-π (single world sheet) — ratios use magnitudes
+    val xe = math.abs(p.forward(180, 0)._1)
+    val (xpr, yp) = p.forward(180, 90)
+    val xp = math.abs(xpr)
     assert(math.abs(xp / xe - 0.5925) < 5e-4, s"pole/equator ${xp / xe}")
     assert(math.abs(xe / yp - 2.0546) < 5e-4, s"width/height ${xe / yp}")
     // exactly equal-area on the authalic sphere: the quad area of a small
