@@ -189,6 +189,15 @@ object Proj {
    *  EPSG Japan-area geocentric translations). JGD2000 replaced Tokyo in
    *  2002; legacy Japanese data still carries it. */
   val DatumTokyo = Datum(Bessel1841, Some(Helmert(-146.414, 507.337, 680.507, 0, 0, 0, 0)))
+  /** PSAD56 (Provisional South American 1956) → WGS84 — the published
+   *  continent-mean 3-parameter shift (same ~accuracy class as the NAD27
+   *  CONUS mean: country-specific vectors differ by tens of meters). */
+  val DatumPsad56 = Datum(Intl1924, Some(Helmert(-288.0, 175.0, -376.0, 0, 0, 0, 0)))
+  /** Dealul Piscului 1970 (Romania, S-42-derived) → WGS84 — the published
+   *  3-parameter shift. EPSG:3844's Pulkovo 1942(58) realization differs
+   *  from this by meters; both codes route here at this chain's accuracy
+   *  class (noted like the NAD27 mean). */
+  val DatumDealul70 = Datum(Krass1940, Some(Helmert(28.0, -121.0, -77.0, 0, 0, 0, 0)))
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
   val DatumBd72 = Datum(Intl1924,
     Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
@@ -1925,8 +1934,57 @@ object Proj {
       "ESRI:102008" -> alb("North America Albers Equal Area Conic", 20, 60, 40, -96, 0, 0, probe = (-98, 45)))
     val batch4 = tokyoJapan ++ jgdUtm ++ csrsUtm ++ canada4 ++ gdaLamberts ++ mexico ++ esriAlbers
 
+    // ------------------------- EPSG batch 5 (round 10): Romania Stereo 70,
+    // Pacific/NZ/Brazil Mercator aspects, PSAD56 UTM family, Central/South
+    // America TM grids, ETRS89 zE-N + LCC(E-N) spellings.
+    val stereo70 = {
+      val proj = new Sterea(Krass1940, 46, 25, 0.99975, 500000, 500000)
+      val p4 = s"+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 +x_0=500000 +y_0=500000 " +
+        s"${datumTags(DatumDealul70)} +units=m +no_defs"
+      Map(
+        "EPSG:31700" -> Crs("Dealul Piscului 1970/ Stereo 70", proj, DatumDealul70, (26.1, 44.43), p4),
+        "EPSG:3844" -> Crs("Pulkovo 1942(58) / Stereo70", proj, DatumDealul70, (26.1, 44.43), p4))
+    }
+    def mercTs(name: String, latTs: Double, lon0: Double, fe: Double, fn: Double,
+               d: Datum, probe: (Double, Double)) = {
+      // Mercator variant B: k0 = m(lat_ts) (Snyder 7-2), applied as a unit
+      // view over the variant-A kernel — same construction as the +proj=
+      // parse path, so the parity sweep is exact
+      val ts = math.toRadians(latTs)
+      val k0 = math.cos(ts) / math.sqrt(1 - d.el.e2 * math.sin(ts) * math.sin(ts))
+      Crs(name, new InUnits(new MercatorEll(d.el, lon0, 0, 0), 1.0 / k0, fe, fn), d, probe,
+        s"+proj=merc +lat_ts=${fmtP(latTs)} +lon_0=${fmtP(lon0)} +x_0=${fmtP(fe)} +y_0=${fmtP(fn)} " +
+          s"${datumTags(d)} +units=m +no_defs")
+    }
+    val worldMerc = Map(
+      "EPSG:3832" -> Crs("WGS 84 / PDC Mercator", new MercatorEll(Wgs84, 150, 0, 0), w, (160, 20),
+        "+proj=merc +lon_0=150 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+      "EPSG:3994" -> mercTs("WGS 84 / Mercator 41", -41, 100, 0, 0, w, probe = (170, -41)),
+      "EPSG:5641" -> mercTs("SIRGAS 2000 / Brazil Mercator", -2, -43, 5000000, 10000000, g, probe = (-40, -20)))
+    // probes pinned inside actual PSAD56 coverage (Venezuela/Colombia ~5°N,
+    // Peru ~8°S) — the default ±30° UTM probes land in open ocean AND push
+    // the 2D height-drop Helmert round-trip drift past the 1 cm spec bound
+    val psad56Utm = ((17 to 21).map { z =>
+      s"EPSG:${24800 + z}" -> utmCrs(s"EPSG:${24800 + z}", s"PSAD56 / UTM zone ${z}N", z,
+        south = false, DatumPsad56, probeLat = 5.0)
+    } ++ (17 to 20).map { z =>
+      s"EPSG:${24860 + z}" -> utmCrs(s"EPSG:${24860 + z}", s"PSAD56 / UTM zone ${z}S", z,
+        south = true, DatumPsad56, probeLat = -8.0)
+    }).toMap
+    val latam = Map(
+      "EPSG:3116" -> tm("MAGNA-SIRGAS / Colombia Bogota zone", dms(4, 35, 46.3215),
+        dms(-74, 4, 39.0285), 1, 1000000, 1000000, probe = (-74.1, 4.6)),
+      "EPSG:5367" -> tm("CR05 / CRTM05", 0, -84, 0.9999, 500000, 0, probe = (-84.1, 9.9)),
+      "EPSG:5361" -> utmCrs("EPSG:5361", "SIRGAS-Chile 2002 / UTM zone 19S", 19, south = true, g),
+      "EPSG:9155" -> utmCrs("EPSG:9155", "SIRGAS-Chile 2016 / UTM zone 19S", 19, south = true, g))
+    val etrsExtra = Map(
+      "EPSG:4647" -> tm("ETRS89 / UTM zone 32N (zE-N)", 0, 9, 0.9996, 32500000, 0, probe = (9.5, 51.0)),
+      "EPSG:5243" -> lcc("ETRS89 / LCC Germany (E-N)", dms(48, 40), dms(53, 40), 51, 10.5,
+        0, 0, probe = (10.5, 51.2)))
+    val batch5 = stereo70 ++ worldMerc ++ psad56Utm ++ latam ++ etrsExtra
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2050,10 +2108,12 @@ object Proj {
   // UTM-style zone families resolved by pattern; instances cached (the Krüger
   // series construction is ~100 flops — fine once, wasteful per point).
   private val zoneCache = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
-  private def utmCrs(code: String, name: String, zone: Int, south: Boolean, d: Datum): Crs =
+  private def utmCrs(code: String, name: String, zone: Int, south: Boolean, d: Datum,
+                     probeLat: Double = Double.NaN): Crs =
     zoneCache.computeIfAbsent(code, _ => Crs(name,
       new TransMerc(d.el, 0, zone * 6 - 183, 0.9996, 500000, if (south) 10000000 else 0),
-      d, ((zone * 6 - 183).toDouble, if (south) -30.0 else 30.0),
+      d, ((zone * 6 - 183).toDouble,
+        if (!probeLat.isNaN) probeLat else if (south) -30.0 else 30.0),
       s"+proj=utm +zone=$zone${if (south) " +south" else ""} ${datumTags(d)} +units=m +no_defs"))
 
   /** Pulkovo 1942 / Gauss-Krüger 6° zones (EPSG:28402-28432, zone = code-28400):
@@ -2424,7 +2484,9 @@ object Proj {
     "EPSG:4490" -> (("China Geodetic Coordinate System 2000", DatumGrs80)),
     "EPSG:4148" -> (("Hartebeesthoek94", DatumGrs80)),
     "EPSG:4483" -> (("Mexico ITRF92", DatumGrs80)),
-    "EPSG:6365" -> (("Mexico ITRF2008", DatumGrs80)))
+    "EPSG:6365" -> (("Mexico ITRF2008", DatumGrs80)),
+    "EPSG:4248" -> (("PSAD56", DatumPsad56)),
+    "EPSG:4317" -> (("Dealul Piscului 1970", DatumDealul70)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the

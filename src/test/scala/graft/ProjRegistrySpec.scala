@@ -39,7 +39,10 @@ class ProjRegistrySpec extends AnyFunSuite {
     // geographic-only codes probe inside their area of use — the 2D
     // height-drop drift grows with distance from the datum's home region
     // (Tokyo's ~860 m shift drifts ~4 cm when round-tripped at 0°E)
-    val geoProbes = Map("EPSG:4301" -> ((139.7, 35.7)))
+    val geoProbes = Map(
+      "EPSG:4301" -> ((139.7, 35.7)),   // Tokyo
+      "EPSG:4248" -> ((-75.0, -10.0)),  // PSAD56: Peru
+      "EPSG:4317" -> ((26.1, 44.43)))   // Dealul Piscului 1970: Romania
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -1003,6 +1006,102 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(dGda > 0.4 && dGda < 1.2, s"GDA2020 2010-epoch displacement $dGda m")
     // web-mercator ESRI alias resolves through describe
     assert(Proj.describe("ESRI:102100").exists(_._1.contains("Pseudo-Mercator")))
+  }
+
+  test("round-10 batch-5 registry codes resolve with exact anchors and twin checks") {
+    // Romania Stereo 70: natural origin (25E, 46N) maps to FE/FN exactly;
+    // Bucharest lands ~87 km E / ~174 km S of the origin; the Pulkovo
+    // 1942(58) spelling (EPSG:3844) is grid-identical at this accuracy class
+    val st70 = Proj.lookup("EPSG:31700").getOrElse(fail("EPSG:31700 missing"))
+    val (ox, oy) = st70.proj.forward(25, 46)
+    assert(math.abs(ox - 500000) < 1e-6 && math.abs(oy - 500000) < 1e-6)
+    val (bx, by) = st70.proj.forward(26.1, 44.43)
+    assert(bx > 580000 && bx < 595000 && by > 320000 && by < 335000,
+      s"Bucharest Stereo70 ($bx,$by)")
+    val st3844 = Proj.lookup("EPSG:3844").get
+    assert(st3844.proj.forward(26.1, 44.43) == ((bx, by)))
+
+    // PDC Mercator (variant A, k=1): origin anchor + exact equator arc
+    val pdc = Proj.lookup("EPSG:3832").get
+    val (p0x, p0y) = pdc.proj.forward(150, 0)
+    assert(math.abs(p0x) < 1e-9 && math.abs(p0y) < 1e-6)
+    val (px, _) = pdc.proj.forward(151, 0)
+    assert(math.abs(px - 6378137.0 * math.Pi / 180) < 1e-6)
+
+    // Mercator 41 (variant B): equator arc scales by k0 = m(lat_ts),
+    // computed here independently (Snyder 7-2 with GRS80/WGS84 e2)
+    val m41 = Proj.lookup("EPSG:3994").get
+    val e2 = 0.00669437999014
+    val ts = math.toRadians(-41)
+    val k0 = math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) * math.sin(ts))
+    val (mx, my) = m41.proj.forward(101, 0)
+    assert(math.abs(mx - 6378137.0 * math.toRadians(1) * k0) < 1e-6 && math.abs(my) < 1e-9)
+    // true scale at the standard parallel: local E-W stretch at 41S == 1
+    val (xa, ya) = m41.proj.forward(170, -41)
+    val (xb, _) = m41.proj.forward(170.001, -41)
+    val cosTs = math.cos(ts)
+    val nu = 6378137.0 / math.sqrt(1 - e2 * math.sin(ts) * math.sin(ts))
+    val ewMeters = nu * cosTs * math.toRadians(0.001)
+    assert(math.abs((xb - xa) / ewMeters - 1.0) < 1e-9, "unit scale at lat_ts")
+
+    // Brazil Mercator: lat_ts=-2, origin (-43, 0) lands on FE/FN exactly
+    val bz = Proj.lookup("EPSG:5641").get
+    val (zx, zy) = bz.proj.forward(-43, 0)
+    assert(math.abs(zx - 5000000) < 1e-6 && math.abs(zy - 10000000) < 1e-6)
+
+    // Colombia Bogota zone + CRTM05: natural origins map to false offsets
+    val col = Proj.lookup("EPSG:3116").get
+    val (cx, cy) = col.proj.forward(-(74 + 4 / 60.0 + 39.0285 / 3600), 4 + 35 / 60.0 + 46.3215 / 3600)
+    assert(math.abs(cx - 1000000) < 1e-6 && math.abs(cy - 1000000) < 1e-6)
+    val cr = Proj.lookup("EPSG:5367").get
+    val (rx, ry) = cr.proj.forward(-84, 0)
+    assert(math.abs(rx - 500000) < 1e-6 && math.abs(ry) < 1e-6)
+
+    // ETRS89 zE-N: the zone-prefixed easting is EXACTLY UTM 32N + 32e6
+    val zen = Proj.lookup("EPSG:4647").get
+    val utm32 = Proj.lookup("EPSG:25832").get
+    val (ux, uy) = utm32.proj.forward(9.5, 51.0)
+    val (zex, zey) = zen.proj.forward(9.5, 51.0)
+    assert(math.abs(zex - (ux + 32000000)) < 1e-6 && math.abs(zey - uy) < 1e-9)
+
+    // LCC Germany (E-N) is grid-identical to the (N-E) code (same conversion)
+    val lccEN = Proj.lookup("EPSG:5243").get
+    val lccNE = Proj.lookup("EPSG:4839").get
+    assert(lccEN.proj.forward(10.5, 51.2) == lccNE.proj.forward(10.5, 51.2))
+
+    // SIRGAS-Chile realizations are grid-identical to WGS84 UTM 19S
+    val cl02 = Proj.lookup("EPSG:5361").get
+    val w19s = Proj.lookup("+proj=utm +zone=19 +south +ellps=WGS84 +units=m +no_defs").get
+    // sub-mm: the +proj=utm parse path runs a different (equivalent) TM series
+    val (c1x, c1y) = cl02.proj.forward(-70.65, -33.45)
+    val (w9x, w9y) = w19s.proj.forward(-70.65, -33.45)
+    assert(math.abs(c1x - w9x) < 5e-4 && math.abs(c1y - w9y) < 5e-4)
+    val (c2x, c2y) = Proj.lookup("EPSG:9155").get.proj.forward(-70.65, -33.45)
+    assert(math.abs(c2x - w9x) < 5e-4 && math.abs(c2y - w9y) < 5e-4)
+
+    // PSAD56 / UTM 18S vs WGS84 / UTM 18S at Lima: the continent-mean
+    // Helmert must surface as the textbook few-hundred-meter displacement
+    val psad18s = Proj.lookup("EPSG:24878").getOrElse(fail("EPSG:24878 missing"))
+    val (lonP, latP) = psad18s.datum.fromWgs84(-77.03, -12.05)
+    val (psx, psy) = psad18s.proj.forward(lonP, latP)
+    val w18s = Proj.lookup("+proj=utm +zone=18 +south +ellps=WGS84 +units=m +no_defs").get
+    val (wx, wy) = w18s.proj.forward(-77.03, -12.05)
+    val dPsad = math.hypot(psx - wx, psy - wy)
+    assert(dPsad > 250 && dPsad < 600, s"PSAD56 displacement at Lima: $dPsad m")
+
+    // Dealul Piscului 1970 (S-42-derived): ~100-250 m from the modern frame
+    val (lonD, latD) = st70.datum.fromWgs84(26.1, 44.43)
+    val (dx, dy) = st70.proj.forward(lonD, latD)
+    val dDealul = math.hypot(dx - bx, dy - by)
+    assert(dDealul > 80 && dDealul < 250, s"Dealul displacement at Bucharest: $dDealul m")
+
+    // every batch-5 projected code resolves through describe
+    Seq("EPSG:31700", "EPSG:3844", "EPSG:3832", "EPSG:3994", "EPSG:5641",
+      "EPSG:24817", "EPSG:24821", "EPSG:24877", "EPSG:24880", "EPSG:3116",
+      "EPSG:5367", "EPSG:5361", "EPSG:9155", "EPSG:4647", "EPSG:5243",
+      "EPSG:4248", "EPSG:4317").foreach { c =>
+      assert(Proj.describe(c).isDefined, s"$c does not describe")
+    }
   }
 
   test("Equal Earth (EPSG:8857-8859) matches its published shape and is exactly equal-area") {
