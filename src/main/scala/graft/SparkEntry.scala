@@ -966,6 +966,25 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Round 10: spherical LAEA (US National Atlas EPSG:2163, the ellipsoidal
+    // kernel's exact e→0 limit via the qFn guard) and ellipsoidal CEA
+    // (ESRI:54034 World Cylindrical Equal Area) — both fully closed-form,
+    // so the oracle is an independent plain-SQL transcription (Snyder
+    // 24-2..24-4 spherical LAEA; 10-1 with the 3-12 authalic q for CEA).
+    "q_transform_sphere" -> q("lineitem")(s"""
+      SELECT k,
+             round(st_x(st_transform(st_point(alon, alat), 'OGC:CRS84', 'EPSG:2163')) / 10.0d, 2) + 0.0d AS ax,
+             round(st_y(st_transform(st_point(alon, alat), 'OGC:CRS84', 'EPSG:2163')) / 10.0d, 2) + 0.0d AS ay,
+             round(st_x(st_transform(st_point(clon, clat), 'OGC:CRS84', 'ESRI:54034')) / 10.0d, 2) + 0.0d AS cx,
+             round(st_y(st_transform(st_point(clon, clat), 'OGC:CRS84', 'ESRI:54034')) / 10.0d, 2) + 0.0d AS cy
+      FROM (SELECT $K AS k,
+                   cast(l_partkey % 100 AS DOUBLE) / 2.0d - 125.0d AS alon,
+                   cast(l_suppkey % 60 AS DOUBLE) / 2.0d + 20.0d AS alat,
+                   cast(l_partkey % 360 AS DOUBLE) - 179.5d AS clon,
+                   cast(l_suppkey % 160 AS DOUBLE) - 79.5d AS clat
+            FROM lineitem)
+      ORDER BY k"""),
+
     // Round 9: Universal Polar Stereographic (EPSG:32661, Polar
     // Stereographic variant A — pole scale k0=0.994, EPSG method 9810) and
     // Lambert Conic Conformal 1SP (EPSG method 9801, the Jamaica-grid
@@ -3585,6 +3604,40 @@ object SparkEntry {
              round((rq*pt)/10.0, 2) + 0.0 AS ey,
              round((rq*(2*sqrt(3.0)/3)*dl8858*cos(th)/pd)/10.0, 2) + 0.0 AS ax
       FROM f5
+      ORDER BY k""",
+
+    // Independent plain-SQL spherical LAEA (Snyder 24-2..24-4: k' =
+    // sqrt(2/(1+sinφ1 sinφ + cosφ1 cosφ cosΔλ)) on R=6370997) and
+    // ellipsoidal CEA at lat_ts=0 (x = aΔλ, y = a q(φ)/2 with the 3-12
+    // authalic q) — the engine side runs the same grids through the
+    // EPSG:2163 / ESRI:54034 registry entries.
+    "q_transform_sphere" -> s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 100 AS DOUBLE) / 2.0 - 125.0 AS alon,
+               CAST(l_suppkey % 60 AS DOUBLE) / 2.0 + 20.0 AS alat,
+               CAST(l_partkey % 360 AS DOUBLE) - 179.5 AS clon,
+               CAST(l_suppkey % 160 AS DOUBLE) - 79.5 AS clat
+        FROM lineitem),
+      c AS (
+        SELECT 6370997.0 AS r, radians(45.0) AS p1, radians(-100.0) AS l0,
+               6378137.0 AS a, CAST(0.0066943799901413165 AS DOUBLE) AS e2,
+               sqrt(CAST(0.0066943799901413165 AS DOUBLE)) AS e),
+      f1 AS (
+        SELECT k, c.*, radians(alat) AS ph, radians(alon) AS lm,
+               sin(radians(clat)) AS s, radians(clon) AS cl
+        FROM pts, c),
+      f2 AS (
+        SELECT *,
+               sqrt(2/(1 + sin(p1)*sin(ph) + cos(p1)*cos(ph)*cos(lm - l0))) AS kp,
+               (1-e2)*(s/(1 - e2*s*s) - (1/(2*e))*ln((1 - e*s)/(1 + e*s))) AS qq
+        FROM f1)
+      SELECT k,
+             round((r*kp*cos(ph)*sin(lm - l0))/10.0, 2) + 0.0 AS ax,
+             round((r*kp*(cos(p1)*sin(ph) - sin(p1)*cos(ph)*cos(lm - l0)))/10.0, 2) + 0.0 AS ay,
+             round((a*cl)/10.0, 2) + 0.0 AS cx,
+             round((a*qq/2)/10.0, 2) + 0.0 AS cy
+      FROM f2
       ORDER BY k""",
 
     // Independent plain-SQL UPS (Polar Stereographic variant A, GN7-2

@@ -43,6 +43,10 @@ object Proj {
   val Everest1967 = Ellipsoid(6377298.556, 300.8017) // Everest 1830 (1967 Definition)
   val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
   val Grs67 = Ellipsoid(6378160.0, 298.247167427)
+  /** Clarke 1866 Authalic Sphere (EPSG:7052) — the US National Atlas grids. */
+  val Sphere6370997 = Ellipsoid(6370997.0, Double.PositiveInfinity)
+  /** WGS 72 (EPSG:7043) — the pre-1984 satellite datum's ellipsoid. */
+  val Wgs72El = Ellipsoid(6378135.0, 298.26)
   /** GRS 1967 Modified / Australian National (EPSG 7050/7003): 1/f truncated
    *  to 298.25 — the SAD69 and AGD ellipsoid. */
   val Grs67Mod = Ellipsoid(6378160.0, 298.25)
@@ -198,6 +202,25 @@ object Proj {
    *  from this by meters; both codes route here at this chain's accuracy
    *  class (noted like the NAD27 mean). */
   val DatumDealul70 = Datum(Krass1940, Some(Helmert(28.0, -121.0, -77.0, 0, 0, 0, 0)))
+  /** WGS 72 → WGS 84 — the published defining transformation (EPSG:1237):
+   *  dz +4.5 m, rz +0.554", ds +0.2263 ppm. */
+  val DatumWgs72 = Datum(Wgs72El, Some(Helmert(0, 0, 4.5, 0, 0, 0.554, 0.2263)))
+  /** KKJ (Finland) → WGS84 — the published national 7-parameter set. */
+  val DatumKkj = Datum(Intl1924,
+    Some(Helmert(-96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496)))
+  /** RT90 (Sweden) → WGS84 — the Lantmäteriet-published 7-parameter set. */
+  val DatumRt90 = Datum(Bessel1841,
+    Some(Helmert(414.1, 41.3, 603.1, -0.855, 2.141, -7.023, 0)))
+  /** NZGD49 → WGS84 — the LINZ-published 7-parameter set. */
+  val DatumNzgd49 = Datum(Intl1924,
+    Some(Helmert(59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)))
+  /** Datum 73 (Portugal) → WGS84 — published 3-parameter shift. */
+  val DatumD73 = Datum(Intl1924, Some(Helmert(-223.237, 110.193, 36.649, 0, 0, 0, 0)))
+  /** Ain el Abd 1970 (Saudi Arabia vector) → WGS84 — published 3-parameter. */
+  val DatumAinElAbd = Datum(Intl1924, Some(Helmert(-143, -236, 7, 0, 0, 0, 0)))
+  /** The US National Atlas authalic sphere carries no shift (the sphere
+   *  itself is the approximation — PROJ publishes towgs84=0,0,0 for it). */
+  val DatumAtlasSphere = Datum(Sphere6370997, None)
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
   val DatumBd72 = Datum(Intl1924,
     Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
@@ -257,6 +280,7 @@ object Proj {
   }
   private def qFn(el: Ellipsoid, phi: Double): Double = {
     val sinPhi = math.sin(phi)
+    if (el.e2 < 1e-12) return 2 * sinPhi // spherical limit (q → 2 sin φ)
     val esin = el.e * sinPhi
     (1 - el.e2) * (sinPhi / (1 - esin * esin) - (1 / (2 * el.e)) * math.log((1 - esin) / (1 + esin)))
   }
@@ -276,6 +300,8 @@ object Proj {
   private def phiFromQ(el: Ellipsoid, q: Double): Double = {
     val qp = qFn(el, math.Pi / 2)
     if (math.abs(math.abs(q) - qp) < 1e-12) return math.signum(q) * math.Pi / 2
+    // spherical limit: q = 2 sin φ exactly, no iteration (and 3-16 divides by e)
+    if (el.e2 < 1e-12) return math.asin(math.max(-1, math.min(1, q / 2)))
     var phi = math.asin(q / 2)
     var i = 0
     while (i < 15) {
@@ -1378,6 +1404,7 @@ object Proj {
     else if (el == Bessel1841) "+ellps=bessel" else if (el == Everest1967) "+ellps=evrst69"
     else if (el == Grs67Mod) "+ellps=aust_SA" else if (el == Clarke1858) "+ellps=clrk58"
     else if (el == Krass1940) "+ellps=krass" else if (el == Clarke1880Ign) "+ellps=clrk80ign"
+    else if (el.invF.isInfinite) s"+R=${fmtP(el.a)}"
     else s"+a=${el.a} +rf=${el.invF}"
 
   private def datumTags(d: Datum): String = d.grid match {
@@ -1983,8 +2010,47 @@ object Proj {
         0, 0, probe = (10.5, 51.2)))
     val batch5 = stereo70 ++ worldMerc ++ psad56Utm ++ latam ++ etrsExtra
 
+    // ------------------------- EPSG batch 6 (round 10): Nordic legacy grids,
+    // Portugal Datum 73, US National Atlas sphere LAEA, Gulf singles.
+    // KKJ zones 1-4: tmerc k=1 on International 1924, zone n at lon0=18+3n
+    // with the zone-prefixed FE — zone 3 is the Finland Uniform grid (YKJ)
+    val kkj = (1 to 4).map { z =>
+      s"EPSG:${2390 + z}" -> tm(
+        if (z == 3) "KKJ / Finland Uniform Coordinate System" else s"KKJ / Finland zone $z",
+        0, 18 + 3 * z, 1, z * 1e6 + 500000, 0, DatumKkj, probe = (18 + 3 * z + 0.5, 62.0))
+    }.toMap
+    val nordic2 = Map(
+      // Sweden's pre-SWEREF national grid: Bessel TM at 15°48'29.8"E
+      "EPSG:3021" -> tm("RT90 2.5 gon V", 0, dms(15, 48, 29.8), 1, 1500000, 0,
+        DatumRt90, probe = (15.8, 59.33)),
+      "EPSG:5048" -> tm("ETRS89 / TM35FIN(N,E)", 0, 27, 0.9996, 500000, 0,
+        probe = (24.94, 60.17)))
+    val d73 = Map(
+      // Modified Portuguese Grid: the published fractional false origin
+      "EPSG:27493" -> tm("Datum 73 / Modified Portuguese Grid", dms(39, 40),
+        dms(-8, 7, 54.862), 1, 180.598, -86.99, DatumD73, probe = (-8.5, 39.9)))
+    // US National Atlas Equal Area: LAEA on the Clarke 1866 authalic SPHERE —
+    // the ellipsoidal kernel's e→0 limit (qFn guard) makes it exact
+    val atlasLaea = {
+      val proj = new Laea(Sphere6370997, 45, -100, 0, 0)
+      val p4 = "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +R=6370997 +units=m +no_defs"
+      Map(
+        "EPSG:9311" -> Crs("NAD27 / US National Atlas Equal Area", proj, DatumAtlasSphere, (-90, 40), p4),
+        "EPSG:2163" -> Crs("US National Atlas Equal Area", proj, DatumAtlasSphere, (-90, 40), p4))
+    }
+    val gulf = ((36 to 38).map { z =>
+      s"EPSG:${20400 + z}" -> utmCrs(s"EPSG:${20400 + z}", s"Ain el Abd / UTM zone ${z}N", z,
+        south = false, DatumAinElAbd, probeLat = 24.0)
+    }).toMap ++ Map(
+      "EPSG:3997" -> tm("WGS 84 / Dubai Local TM", 0, dms(55, 20), 1, 500000, 0, w,
+        probe = (55.3, 25.2)))
+    val esriWorld = Map(
+      "ESRI:54034" -> Crs("World_Cylindrical_Equal_Area", new Cea(Wgs84, 0, 0, 0, 0), w, (10, 30),
+        "+proj=cea +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"))
+    val batch6 = kkj ++ nordic2 ++ d73 ++ atlasLaea ++ gulf ++ esriWorld
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2174,6 +2240,10 @@ object Proj {
   private val Agd66Amg = "EPSG:202(49|5[0-6])".r            // AGD66 / AMG 49-56
   private val Agd84Amg = "EPSG:203(49|5[0-6])".r            // AGD84 / AMG 49-56
   private val Cgcs2000 = "EPSG:(449[1-9]|45[0-4][0-9]|455[0-4])".r // 4491-4554
+  private val Wgs72UtmN = "EPSG:322(0[1-9]|[1-5][0-9]|60)".r // WGS 72 / UTM 1N-60N
+  private val Wgs72UtmS = "EPSG:323(0[1-9]|[1-5][0-9]|60)".r // WGS 72 / UTM 1S-60S
+  private val EtrsTm = "EPSG:30(3[89]|4[0-9]|5[01])".r       // ETRS89 / ETRS-TM26..39 (3038-3051)
+  private val Posgar07 = "EPSG:534([3-9])".r                 // POSGAR 2007 fajas 1-7
 
   // --------------------------------------------- PROJ parameter strings
   // `+proj=…` input turns the bounded EPSG registry into unbounded coverage
@@ -2444,6 +2514,12 @@ object Proj {
     case PulkovoGk(nn) => Some(pulkovoGkCrs(code, nn.toInt))
     case Posgar98(f) => Some(posgarCrs(code, "98", f.toInt))
     case Posgar94(f) => Some(posgarCrs(code, "94", f.toInt))
+    case Posgar07(f) => Some(posgarCrs(code, "2007", f.toInt - 2))
+    case Wgs72UtmN(z) => Some(utmCrs(code, s"WGS 72 / UTM zone ${z.toInt}N", z.toInt, south = false, DatumWgs72))
+    case Wgs72UtmS(z) => Some(utmCrs(code, s"WGS 72 / UTM zone ${z.toInt}S", z.toInt, south = true, DatumWgs72))
+    case EtrsTm(_) => // code = zone + 3012
+      val z = code.drop(5).toInt - 3012
+      Some(utmCrs(code, s"ETRS89 / ETRS-TM$z", z, south = false, DatumGrs80))
     case _ => None
   })
 
@@ -2486,7 +2562,14 @@ object Proj {
     "EPSG:4483" -> (("Mexico ITRF92", DatumGrs80)),
     "EPSG:6365" -> (("Mexico ITRF2008", DatumGrs80)),
     "EPSG:4248" -> (("PSAD56", DatumPsad56)),
-    "EPSG:4317" -> (("Dealul Piscului 1970", DatumDealul70)))
+    "EPSG:4317" -> (("Dealul Piscului 1970", DatumDealul70)),
+    // batch 6 (round 10)
+    "EPSG:4322" -> (("WGS 72", DatumWgs72)),
+    "EPSG:4123" -> (("KKJ", DatumKkj)),
+    "EPSG:4124" -> (("RT90", DatumRt90)),
+    "EPSG:4272" -> (("NZGD49", DatumNzgd49)),
+    "EPSG:4274" -> (("Datum 73", DatumD73)),
+    "EPSG:4204" -> (("Ain el Abd", DatumAinElAbd)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the
@@ -2577,10 +2660,16 @@ object Proj {
     else if (el == Grs67Mod) ("GRS 1967 Modified", "Australian_Geodetic_Datum")
     else if (el == Krass1940) ("Krassowsky 1940", "Pulkovo_1942")
     else if (el == Clarke1880Ign) ("Clarke 1880 (IGN)", "Nouvelle_Triangulation_Francaise")
+    else if (el == Sphere6370997)
+      ("Clarke 1866 Authalic Sphere", "Not_specified_based_on_Clarke_1866_Authalic_Sphere")
+    else if (el.invF.isInfinite) ("Sphere", "unnamed")
     else ("unnamed", "unnamed")
 
   private def wktNum(v: Double): String =
     if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+  /** WKT1/PROJJSON spell a sphere as inverse flattening 0. */
+  private def wktInvF(el: Ellipsoid): String =
+    if (el.invF.isInfinite) "0" else el.invF.toString
 
   /** Synthesize WKT1 (the OGC/ESRI `.prj` dialect) for an authority code or
    *  `+proj=` string — the write-side CRS stamp (COPY `SRS` option →
@@ -2601,7 +2690,8 @@ object Proj {
         case Some(h) => s",TOWGS84[${h.tx},${h.ty},${h.tz},${h.rxAs},${h.ryAs},${h.rzAs},${h.dsPpm}]"
         case None => ""
       }
-      s"""GEOGCS["$name",DATUM["$dn",SPHEROID["$spn",${d.el.a},${d.el.invF}]$tow],""" +
+      // WKT1 convention: inverse flattening 0 denotes a sphere
+      s"""GEOGCS["$name",DATUM["$dn",SPHEROID["$spn",${d.el.a},${wktInvF(d.el)}]$tow],""" +
         s"""PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]$trailer]"""
     }
     if (geographic.contains(up))
@@ -2743,7 +2833,10 @@ object Proj {
       val spn = wktNames(d.el)._1
       val dn = datumNameFor(if (family.nonEmpty) family else name, d)
       s"""{"type":"GeographicCRS","name":"$name","datum":{"type":"GeodeticReferenceFrame","name":"$dn",""" +
-        s""""ellipsoid":{"name":"$spn","semi_major_axis":${d.el.a},"inverse_flattening":${d.el.invF}}},""" +
+        (if (d.el.invF.isInfinite) // PROJJSON spells a sphere via "radius"
+           s""""ellipsoid":{"name":"$spn","radius":${d.el.a}}},"""
+         else
+           s""""ellipsoid":{"name":"$spn","semi_major_axis":${d.el.a},"inverse_flattening":${d.el.invF}}},""") +
         """"coordinate_system":{"subtype":"ellipsoidal","axis":[""" +
         """{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"},""" +
         """{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"}]}"""
@@ -2895,7 +2988,11 @@ object Proj {
       (26703 to 26722).map(c => s"EPSG:$c"),
       (20249 to 20256).map(c => s"EPSG:$c"),
       (20349 to 20356).map(c => s"EPSG:$c"),
-      (4491 to 4554).map(c => s"EPSG:$c")).flatten
+      (4491 to 4554).map(c => s"EPSG:$c"),
+      (32201 to 32260).map(c => s"EPSG:$c"),
+      (32301 to 32360).map(c => s"EPSG:$c"),
+      (3038 to 3051).map(c => s"EPSG:$c"),
+      (5343 to 5349).map(c => s"EPSG:$c")).flatten
     (registry.keys.toSeq.map(c => c -> registry(c).name) ++
       families.flatMap(c => lookup(c).map(c -> _.name)) ++
       geographic.map { case (c, (n, _)) => c -> s"$n (geographic)" }).sortBy(_._1)

@@ -260,13 +260,16 @@ object GeoMeta {
     val ell = {
       val a = fm("\"semi_major_axis\"\\s*:\\s*([-0-9.eE]+)").map(_.toDouble)
       val rf = fm("\"inverse_flattening\"\\s*:\\s*([-0-9.eE]+)").map(_.toDouble)
+      val radius = fm("\"radius\"\\s*:\\s*([-0-9.eE]+)").map(_.toDouble)
       (a, rf) match {
         case (Some(av), Some(rfv)) =>
           def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
-          if (near(av, 6378137.0) && near(rfv, 298.257223563)) "+ellps=WGS84"
+          if (rfv == 0.0) s"+R=$av" // inverse flattening 0 = sphere
+          else if (near(av, 6378137.0) && near(rfv, 298.257223563)) "+ellps=WGS84"
           else if (near(av, 6378137.0) && near(rfv, 298.257222101)) "+ellps=GRS80"
           else if (near(av, 6378388.0) && near(rfv, 297.0)) "+ellps=intl"
           else s"+a=$av +rf=$rfv"
+        case _ if radius.isDefined => s"+R=${radius.get}" // PROJJSON sphere
         case _ if json.contains("World Geodetic System 1984") => "+ellps=WGS84"
         case _ => null
       }
@@ -340,7 +343,8 @@ object GeoMeta {
       .findFirstMatchIn(wkt).getOrElse(return null)
     val a = sp.group(1).toDouble; val rf = sp.group(2).toDouble
     def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
-    if (near(a, 6378137.0) && near(rf, 298.257223563)) "+ellps=WGS84"
+    if (rf == 0.0) s"+R=$a" // WKT1 convention: inverse flattening 0 = sphere
+    else if (near(a, 6378137.0) && near(rf, 298.257223563)) "+ellps=WGS84"
     else if (near(a, 6378137.0) && near(rf, 298.257222101)) "+ellps=GRS80"
     else if (near(a, 6377563.396) && near(rf, 299.3249646)) "+ellps=airy"
     else if (near(a, 6377340.189) && near(rf, 299.3249646)) "+ellps=mod_airy"

@@ -42,7 +42,12 @@ class ProjRegistrySpec extends AnyFunSuite {
     val geoProbes = Map(
       "EPSG:4301" -> ((139.7, 35.7)),   // Tokyo
       "EPSG:4248" -> ((-75.0, -10.0)),  // PSAD56: Peru
-      "EPSG:4317" -> ((26.1, 44.43)))   // Dealul Piscului 1970: Romania
+      "EPSG:4317" -> ((26.1, 44.43)),   // Dealul Piscului 1970: Romania
+      "EPSG:4123" -> ((25.0, 62.0)),    // KKJ: Finland
+      "EPSG:4124" -> ((15.8, 59.3)),    // RT90: Sweden
+      "EPSG:4272" -> ((173.0, -41.0)),  // NZGD49: New Zealand
+      "EPSG:4274" -> ((-8.1, 39.7)),    // Datum 73: Portugal
+      "EPSG:4204" -> ((45.0, 24.0)))    // Ain el Abd: Arabian peninsula
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -1102,6 +1107,112 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4248", "EPSG:4317").foreach { c =>
       assert(Proj.describe(c).isDefined, s"$c does not describe")
     }
+  }
+
+  test("round-10 batch-6: Nordic/Portugal/Gulf grids, WGS72 UTM, sphere LAEA") {
+    // KKJ YKJ (zone 3): Helsinki lands in the right 3.5M-prefixed band
+    val ykj = Proj.lookup("EPSG:2393").getOrElse(fail("EPSG:2393 missing"))
+    val (hlon, hlat) = (24.94, 60.17)
+    val (klo, kla) = ykj.datum.fromWgs84(hlon, hlat)
+    val (kx, ky) = ykj.proj.forward(klo, kla)
+    assert(kx > 3370000 && kx < 3400000 && ky > 6660000 && ky < 6690000,
+      s"Helsinki YKJ ($kx,$ky)")
+    // zone codes and FE prefixes line up (zone n FE = n*1e6+500000 exactly)
+    (1 to 4).foreach { z =>
+      val crs = Proj.lookup(s"EPSG:${2390 + z}").get
+      val (fx, _) = crs.proj.forward(18 + 3 * z, 0)
+      assert(math.abs(fx - (z * 1e6 + 500000)) < 1e-6, s"KKJ zone $z FE")
+    }
+
+    // RT90 2.5 gon V: Stockholm band + the textbook ~200 m datum offset
+    val rt90 = Proj.lookup("EPSG:3021").get
+    val (slo, sla) = rt90.datum.fromWgs84(18.07, 59.33)
+    val (sx, sy) = rt90.proj.forward(slo, sla)
+    assert(sx > 1615000 && sx < 1640000 && sy > 6570000 && sy < 6590000,
+      s"Stockholm RT90 ($sx,$sy)")
+    val (swx, swy) = rt90.proj.forward(18.07, 59.33) // same grid, WGS84 coords
+    val dRt90 = math.hypot(sx - swx, sy - swy)
+    assert(dRt90 > 100 && dRt90 < 400, s"RT90 datum displacement $dRt90 m")
+
+    // WGS 72 / UTM: the defining transformation is small but real (meters)
+    val w72 = Proj.lookup("EPSG:32231").getOrElse(fail("EPSG:32231 missing"))
+    val (wlo, wla) = w72.datum.fromWgs84(-93.3, 45.0)
+    val (w7x, w7y) = w72.proj.forward(wlo, wla)
+    val (w8x, w8y) = w72.proj.forward(-93.3, 45.0)
+    val dW72 = math.hypot(w7x - w8x, w7y - w8y)
+    assert(dW72 > 2 && dW72 < 30, s"WGS72-WGS84 displacement $dW72 m")
+    assert(Proj.lookup("EPSG:32330").get.name == "WGS 72 / UTM zone 30S")
+
+    // ETRS-TM32 (3044) is grid-identical to ETRS89 / UTM 32N (25832)
+    assert(Proj.lookup("EPSG:3044").get.proj.forward(9.5, 51.0) ==
+      Proj.lookup("EPSG:25832").get.proj.forward(9.5, 51.0))
+    // POSGAR 2007 faja 4 ≡ POSGAR 98 faja 4 (GRS80, same conversion)
+    assert(Proj.lookup("EPSG:5346").get.proj.forward(-64.2, -35.0) ==
+      Proj.lookup("EPSG:22184").get.proj.forward(-64.2, -35.0))
+
+    // Datum 73 / Modified Portuguese Grid: the published fractional false
+    // origin is hit exactly at the projection center
+    val mpg = Proj.lookup("EPSG:27493").get
+    val (mx, my) = mpg.proj.forward(-(8 + 7 / 60.0 + 54.862 / 3600), 39 + 40 / 60.0)
+    assert(math.abs(mx - 180.598) < 1e-6 && math.abs(my - (-86.99)) < 1e-6)
+
+    // Ain el Abd / UTM 38N: ~275 m continent vector at Riyadh
+    val aea38 = Proj.lookup("EPSG:20438").get
+    val (alo, ala) = aea38.datum.fromWgs84(46.7, 24.6)
+    val (ax, ay) = aea38.proj.forward(alo, ala)
+    val (bx2, by2) = aea38.proj.forward(46.7, 24.6)
+    val dAea = math.hypot(ax - bx2, ay - by2)
+    // the 276 m geocentric vector is mostly radial at Riyadh's latitude —
+    // the horizontal (grid-visible) component is tens of meters
+    assert(dAea > 40 && dAea < 400, s"Ain el Abd displacement $dAea m")
+    // Dubai Local TM: natural origin at 55°20'E
+    val dub = Proj.lookup("EPSG:3997").get
+    val (dx, dy) = dub.proj.forward(55 + 20 / 60.0, 0)
+    assert(math.abs(dx - 500000) < 1e-6 && math.abs(dy) < 1e-6)
+
+    // US National Atlas (sphere LAEA): kernel must equal the closed-form
+    // SPHERICAL Snyder 24-2..24-4 formulas exactly (independent transcription)
+    val atlas = Proj.lookup("EPSG:2163").get
+    val (o1, o2) = atlas.proj.forward(-100, 45)
+    assert(math.abs(o1) < 1e-6 && math.abs(o2) < 1e-6)
+    val R = 6370997.0
+    val phi1 = math.toRadians(45); val lam0 = math.toRadians(-100)
+    val phi = math.toRadians(40); val lam = math.toRadians(-90)
+    val kp = math.sqrt(2 / (1 + math.sin(phi1) * math.sin(phi) +
+      math.cos(phi1) * math.cos(phi) * math.cos(lam - lam0)))
+    val ex = R * kp * math.cos(phi) * math.sin(lam - lam0)
+    val ey = R * kp * (math.cos(phi1) * math.sin(phi) -
+      math.sin(phi1) * math.cos(phi) * math.cos(lam - lam0))
+    val (gx, gy) = atlas.proj.forward(-90, 40)
+    assert(math.abs(gx - ex) < 1e-6 && math.abs(gy - ey) < 1e-6,
+      s"sphere LAEA vs Snyder: ($gx,$gy) vs ($ex,$ey)")
+    assert(Proj.lookup("EPSG:9311").get.proj.forward(-90, 40) == ((gx, gy)))
+
+    // sphere CRS text synthesis: WKT1 spells invF 0, PROJJSON spells radius,
+    // and both round-trip through our own readers onto the same kernel
+    val wkt = Proj.toWkt1("EPSG:2163").getOrElse(fail("no WKT1 for 2163"))
+    assert(wkt.contains("SPHEROID[\"Clarke 1866 Authalic Sphere\",6370997.0,0]") ||
+      wkt.contains("SPHEROID[\"Clarke 1866 Authalic Sphere\",6370997,0]"), wkt)
+    val p4w = graft.io.GeoMeta.proj4FromWkt1(wkt)
+    assert(p4w != null && p4w.contains("+R=6370997"), s"wkt1 reader: $p4w")
+    val (rx2, ry2) = Proj.fromProjString(p4w).get.proj.forward(-90, 40)
+    assert(math.abs(rx2 - gx) < 1e-6 && math.abs(ry2 - gy) < 1e-6)
+    val pj = Proj.toProjjson("EPSG:2163").getOrElse(fail("no PROJJSON for 2163"))
+    assert(pj.contains("\"radius\":6370997") && !pj.contains("inverse_flattening"), pj)
+    val p4j = graft.io.GeoMeta.proj4FromProjjson(pj)
+    assert(p4j != null && p4j.contains("+R=6370997"), s"projjson reader: $p4j")
+
+    // World Cylindrical Equal Area: exact equator arc (k0 = 1 at lat_ts = 0)
+    val wcea = Proj.lookup("ESRI:54034").get
+    val (cx, _) = wcea.proj.forward(1, 0)
+    assert(math.abs(cx - 6378137.0 * math.Pi / 180) < 1e-6)
+
+    // NZGD49: the published ~200 m offset from NZGD2000 at Wellington
+    val nz = Proj.geographic("EPSG:4272")._2
+    val (nlo, nla) = nz.fromWgs84(174.78, -41.29)
+    val dNz = math.hypot((nlo - 174.78) * 111320 * math.cos(math.toRadians(-41.29)),
+      (nla - -41.29) * 111320)
+    assert(dNz > 120 && dNz < 300, s"NZGD49 offset $dNz m")
   }
 
   test("Equal Earth (EPSG:8857-8859) matches its published shape and is exactly equal-area") {
