@@ -56,6 +56,22 @@ object Proj {
   /** Clarke 1858 (EPSG 7007): defined in Clarke's feet — a = 20926348 ft,
    *  b = 20855233 ft at 0.3047972654 m/ft (the Trinidad 1903 ellipsoid). */
   val Clarke1858 = Ellipsoid(20926348 * 0.3047972654, 294.26067636926064)
+  /** Everest 1830 (1937 Adjustment) (EPSG:7015) — India/Burma/Thailand/Ceylon
+   *  legacy surveys (Indian 1954/1975, Kandawala). PROJ tag `evrst30`. */
+  val Everest1937 = Ellipsoid(6377276.345, 300.8017)
+  /** Everest 1830 Modified (EPSG:7018) — the Kertau 1968 ellipsoid (West
+   *  Malaysia & Singapore). PROJ tag `evrst48`. */
+  val Everest1948 = Ellipsoid(6377304.063, 300.8017)
+  /** Everest 1830 (1975 Definition) (EPSG:7045) — Kalianpur 1975 (India). */
+  val Everest1975 = Ellipsoid(6377299.151, 300.8017255)
+  /** Helmert 1906 (EPSG:7020) — the Egypt 1907 ellipsoid. PROJ tag `helmert`. */
+  val Helmert1906 = Ellipsoid(6378200.0, 298.3)
+  /** Clarke 1880 (RGS) (EPSG:7012) — common across Middle East/Africa legacy
+   *  datums (Arc 1960, Adindan, Minna, Nahrwan, PSD93). PROJ tag `clrk80`. */
+  val Clarke1880Rgs = Ellipsoid(6378249.145, 293.465)
+  /** Clarke 1880 (Arc) (EPSG:7013) — southern-Africa Arc datums (Cape,
+   *  Arc 1950); 1/f differs from RGS in the 5th decimal. */
+  val Clarke1880Arc = Ellipsoid(6378249.145, 293.4663077)
 
   // ------------------------------------------------------------------ datums
 
@@ -218,6 +234,60 @@ object Proj {
   val DatumD73 = Datum(Intl1924, Some(Helmert(-223.237, 110.193, 36.649, 0, 0, 0, 0)))
   /** Ain el Abd 1970 (Saudi Arabia vector) → WGS84 — published 3-parameter. */
   val DatumAinElAbd = Datum(Intl1924, Some(Helmert(-143, -236, 7, 0, 0, 0, 0)))
+  // ----- batch-7 datums (round 11): SE/South Asia, Middle East, Africa, Italy.
+  // All towgs84 sets are the published EPSG/PROJ country-mean parameters;
+  // 3-parameter sets are ~5-25 m class by construction (like NAD27/PSAD56
+  // above), 7-parameter sets are the national adopted transformations.
+  /** Indian 1954 (Myanmar/Thailand) → WGS84 — published 3-parameter. */
+  val DatumIndian1954 = Datum(Everest1937, Some(Helmert(217, 823, 299, 0, 0, 0, 0)))
+  /** Indian 1975 (Thailand) → WGS84 — published 3-parameter. */
+  val DatumIndian1975 = Datum(Everest1937, Some(Helmert(210, 814, 289, 0, 0, 0, 0)))
+  /** Kalianpur 1975 (India) → WGS84 — published 3-parameter. */
+  val DatumKalianpur75 = Datum(Everest1975, Some(Helmert(295, 736, 257, 0, 0, 0, 0)))
+  /** Kandawala (Sri Lanka) → WGS84 — published 3-parameter. */
+  val DatumKandawala = Datum(Everest1937, Some(Helmert(-97, 787, 86, 0, 0, 0, 0)))
+  /** VN-2000 (Vietnam) → WGS84 — the national decree 7-parameter set
+   *  (position-vector), sub-meter class. */
+  val DatumVn2000 = Datum(Wgs84, Some(Helmert(-191.90441429, -39.30318279, -111.45032835,
+    -0.00928836, 0.01975479, -0.00427372, 0.252906278)))
+  /** Kertau 1968 (West Malaysia & Singapore) → WGS84 — published 3-parameter. */
+  val DatumKertau = Datum(Everest1948, Some(Helmert(-11, 851, 5, 0, 0, 0, 0)))
+  /** Batavia / Genuk (Java) → WGS84 — published 3-parameter. */
+  val DatumBatavia = Datum(Bessel1841, Some(Helmert(-377, 681, -50, 0, 0, 0, 0)))
+  /** DGN95 (Indonesia) — an ITRF realization, WGS84-equivalent at this
+   *  chain's class (like SIRGAS/NZGD2000). */
+  val DatumDgn95 = Datum(Grs80, None)
+  /** PRS92 (Philippines) → WGS84 — the published national 7-parameter set. */
+  val DatumPrs92 = Datum(Clarke1866,
+    Some(Helmert(-127.62, -67.24, -47.04, -3.068, 4.903, 1.578, -1.06)))
+  /** PSD93 (Oman) → WGS84 — the published national 7-parameter set. */
+  val DatumPsd93 = Datum(Clarke1880Rgs,
+    Some(Helmert(-180.624, -225.516, 173.919, -0.81, -1.898, 8.336, 16.71006)))
+  /** Qatar 1974 → WGS84 — published 3-parameter. */
+  val DatumQatar74 = Datum(Intl1924, Some(Helmert(-128.16, -282.42, 21.93, 0, 0, 0, 0)))
+  /** Nahrwan 1967 (UAE / Qatar offshore) → WGS84 — published 3-parameter. */
+  val DatumNahrwan67 = Datum(Clarke1880Rgs, Some(Helmert(-243, -192, 477, 0, 0, 0, 0)))
+  /** Arc 1950 (Botswana/Zimbabwe/Zambia…) → WGS84 — published mean 3-parameter. */
+  val DatumArc1950 = Datum(Clarke1880Arc, Some(Helmert(-143, -90, -294, 0, 0, 0, 0)))
+  /** Arc 1960 (Kenya/Tanzania/Uganda) → WGS84 — published mean 3-parameter. */
+  val DatumArc1960 = Datum(Clarke1880Rgs, Some(Helmert(-160, -6, -302, 0, 0, 0, 0)))
+  /** Adindan (Sudan/Ethiopia) → WGS84 — published mean 3-parameter. */
+  val DatumAdindan = Datum(Clarke1880Rgs, Some(Helmert(-166, -15, 204, 0, 0, 0, 0)))
+  /** Egypt 1907 → WGS84 — published 3-parameter. */
+  val DatumEgypt1907 = Datum(Helmert1906, Some(Helmert(-130, 110, -13, 0, 0, 0, 0)))
+  /** Minna (Nigeria) → WGS84 — published mean 3-parameter. */
+  val DatumMinna = Datum(Clarke1880Rgs, Some(Helmert(-92, -93, 122, 0, 0, 0, 0)))
+  /** Cape (South Africa pre-Hartebeesthoek) → WGS84 — published 3-parameter. */
+  val DatumCape = Datum(Clarke1880Arc, Some(Helmert(-136, -108, -292, 0, 0, 0, 0)))
+  /** Nord Sahara 1959 (Algeria) → WGS84 — published mean 3-parameter. */
+  val DatumNordSahara = Datum(Clarke1880Rgs, Some(Helmert(-186, -93, 310, 0, 0, 0, 0)))
+  /** Carthage (Tunisia) → WGS84 — published 3-parameter. */
+  val DatumCarthage = Datum(Clarke1880Ign, Some(Helmert(-263, 6, 431, 0, 0, 0, 0)))
+  /** Merchich (Morocco) → WGS84 — published 3-parameter. */
+  val DatumMerchich = Datum(Clarke1880Ign, Some(Helmert(31, 146, 47, 0, 0, 0, 0)))
+  /** Monte Mario / Rome 1940 (Italy) → WGS84 — the IGM 7-parameter set. */
+  val DatumMonteMario = Datum(Intl1924,
+    Some(Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)))
   /** The US National Atlas authalic sphere carries no shift (the sphere
    *  itself is the approximation — PROJ publishes towgs84=0,0,0 for it). */
   val DatumAtlasSphere = Datum(Sphere6370997, None)
@@ -1404,6 +1474,8 @@ object Proj {
     else if (el == Bessel1841) "+ellps=bessel" else if (el == Everest1967) "+ellps=evrst69"
     else if (el == Grs67Mod) "+ellps=aust_SA" else if (el == Clarke1858) "+ellps=clrk58"
     else if (el == Krass1940) "+ellps=krass" else if (el == Clarke1880Ign) "+ellps=clrk80ign"
+    else if (el == Everest1937) "+ellps=evrst30" else if (el == Everest1948) "+ellps=evrst48"
+    else if (el == Helmert1906) "+ellps=helmert" else if (el == Clarke1880Rgs) "+ellps=clrk80"
     else if (el.invF.isInfinite) s"+R=${fmtP(el.a)}"
     else s"+a=${el.a} +rf=${el.invF}"
 
@@ -2049,8 +2121,154 @@ object Proj {
         "+proj=cea +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"))
     val batch6 = kkj ++ nordic2 ++ d73 ++ atlasLaea ++ gulf ++ esriWorld
 
+    // ------------------------- EPSG batch 7 (round 11): SE/South Asia legacy
+    // grids (VN-2000, Thailand, Malaysia/Singapore, Indonesia, Philippines,
+    // India, Sri Lanka), Middle East (Oman, Qatar, UAE, Aramco), Africa
+    // (Arc datums, Adindan, Egypt belts, Nigeria belts, Cape Lo, Maghreb),
+    // and Italy Gauss-Boaga. Parameter values from the public EPSG dataset;
+    // datum accuracy classes documented on the batch-7 Datum* vals.
+    val seAsia = Map(
+      "EPSG:3405" -> utmCrs("EPSG:3405", "VN-2000 / UTM zone 48N", 48, south = false, DatumVn2000, probeLat = 16.0),
+      "EPSG:3406" -> utmCrs("EPSG:3406", "VN-2000 / UTM zone 49N", 49, south = false, DatumVn2000, probeLat = 12.5),
+      // Kertau 1968 / Singapore Grid — Cassini-Soldner on Everest Modified
+      "EPSG:24500" -> Crs("Kertau 1968 / Singapore Grid",
+        new CassiniSoldner(Everest1948, dms(1, 17, 15.522), dms(103, 51, 7.925), 30000, 30000),
+        DatumKertau, probe = (103.85, 1.3),
+        s"+proj=cass +lat_0=${dms(1, 17, 15.522)} +lon_0=${dms(103, 51, 7.925)} " +
+          s"+x_0=30000 +y_0=30000 ${datumTags(DatumKertau)} +units=m +no_defs")) ++
+      (46 to 48).map { z =>
+        s"EPSG:${23900 + z}" -> utmCrs(s"EPSG:${23900 + z}", s"Indian 1954 / UTM zone ${z}N", z,
+          south = false, DatumIndian1954, probeLat = 18.0)
+      } ++ (47 to 48).map { z =>
+        s"EPSG:${24000 + z}" -> utmCrs(s"EPSG:${24000 + z}", s"Indian 1975 / UTM zone ${z}N", z,
+          south = false, DatumIndian1975, probeLat = 15.0)
+      } ++ (47 to 48).map { z =>
+        s"EPSG:${24500 + z}" -> utmCrs(s"EPSG:${24500 + z}", s"Kertau 1968 / UTM zone ${z}N", z,
+          south = false, DatumKertau, probeLat = 4.0)
+      } ++ (46 to 52).map { z =>
+        s"EPSG:${23820 + z}" -> utmCrs(s"EPSG:${23820 + z}", s"DGN95 / UTM zone ${z}N", z,
+          south = false, DatumDgn95, probeLat = 2.0)
+      } ++ (47 to 54).map { z =>
+        s"EPSG:${23830 + z}" -> utmCrs(s"EPSG:${23830 + z}", s"DGN95 / UTM zone ${z}S", z,
+          south = true, DatumDgn95, probeLat = -5.0)
+      } ++ (48 to 50).map { z =>
+        s"EPSG:${21100 + z}" -> utmCrs(s"EPSG:${21100 + z}", s"Batavia / UTM zone ${z}S", z,
+          south = true, DatumBatavia, probeLat = -7.0)
+      }
+    // Indonesia TM-3 cadastral zones 46.2–54.1 (EPSG:23830-23845): tmerc
+    // k=0.9999, FE=200000, FN=1500000, lon0 = 94.5 + 3·i — NOTE these codes
+    // collide with nothing: the DGN95 UTM families above sit at 23866+/23877+.
+    val tm3 = (0 to 15).map { i =>
+      val lon0 = 94.5 + 3 * i
+      val zone = s"${46 + (i + 1) / 2}.${if (i % 2 == 0) 2 else 1}"
+      s"EPSG:${23830 + i}" -> tm(s"DGN95 / Indonesia TM-3 zone $zone", 0, lon0, 0.9999,
+        200000, 1500000, DatumDgn95, probe = (lon0 + 0.5, -3.0))
+    }.toMap
+    // Philippines PRS92 PTM zones 1-5: tmerc k=0.99995 at odd meridians
+    val prs92 = (1 to 5).map { z =>
+      val lon0 = 115 + 2 * z
+      s"EPSG:${3120 + z}" -> tm(s"PRS92 / Philippines zone $z", 0, lon0, 0.99995,
+        500000, 0, DatumPrs92, probe = (lon0 + 0.3, 12.0))
+    }.toMap
+    // India: Kalianpur 1975 polyconic-era Lambert zones (EPSG 9801 1SP) +
+    // the UTM block. Zone parameters are the 1975 metric adjustment.
+    val india = Map(
+      "EPSG:24378" -> lcc1("Kalianpur 1975 / India zone I", 32.5, 68, 0.99878641,
+        2743195.5, 914398.5, DatumKalianpur75, probe = (71.0, 33.0)),
+      "EPSG:24379" -> lcc1("Kalianpur 1975 / India zone IIa", 26, 74, 0.99878641,
+        2743195.5, 914398.5, DatumKalianpur75, probe = (74.0, 25.0)),
+      "EPSG:24380" -> lcc1("Kalianpur 1975 / India zone IIb", 26, 90, 0.99878641,
+        2743195.5, 914398.5, DatumKalianpur75, probe = (88.0, 24.0)),
+      "EPSG:24381" -> lcc1("Kalianpur 1975 / India zone III", 19, 80, 0.99878641,
+        2743195.5, 914398.5, DatumKalianpur75, probe = (78.0, 18.0)),
+      "EPSG:24382" -> lcc1("Kalianpur 1975 / India zone IV", 12, 80, 0.99878641,
+        2743195.5, 914398.5, DatumKalianpur75, probe = (78.0, 12.0)),
+      "EPSG:5234" -> tm("Kandawala / Sri Lanka Grid", dms(7, 0, 1.6975), dms(80, 46, 18.16),
+        0.9999238418, 200000, 200000, DatumKandawala, probe = (80.6, 7.3))) ++
+      (42 to 47).map { z =>
+        s"EPSG:${24300 + z}" -> utmCrs(s"EPSG:${24300 + z}", s"Kalianpur 1975 / UTM zone ${z}N", z,
+          south = false, DatumKalianpur75, probeLat = 20.0)
+      }
+    val midEast = Map(
+      "EPSG:3439" -> utmCrs("EPSG:3439", "PSD93 / UTM zone 39N", 39, south = false, DatumPsd93, probeLat = 21.0),
+      "EPSG:3440" -> utmCrs("EPSG:3440", "PSD93 / UTM zone 40N", 40, south = false, DatumPsd93, probeLat = 22.0),
+      "EPSG:28600" -> tm("Qatar 1974 / Qatar National Grid", dms(24, 27), dms(51, 13),
+        0.99999, 200000, 300000, DatumQatar74, probe = (51.5, 25.3)),
+      "EPSG:2318" -> lcc("Ain el Abd / Aramco Lambert", 17, 33, 25.08951, 48, 0, 0,
+        DatumAinElAbd, probe = (48.0, 25.0))) ++
+      (38 to 40).map { z =>
+        s"EPSG:${27000 + z}" -> utmCrs(s"EPSG:${27000 + z}", s"Nahrwan 1967 / UTM zone ${z}N", z,
+          south = false, DatumNahrwan67, probeLat = 24.0)
+      }
+    val africa = Map(
+      // Egypt 1907 survey belts (TM k=1 on Helmert 1906)
+      "EPSG:22991" -> tm("Egypt 1907 / Blue Belt", 30, 35, 1, 300000, 1100000,
+        DatumEgypt1907, probe = (34.0, 28.5)),
+      "EPSG:22992" -> tm("Egypt 1907 / Red Belt", 30, 31, 1, 615000, 810000,
+        DatumEgypt1907, probe = (31.2, 30.0)),
+      "EPSG:22993" -> tm("Egypt 1907 / Purple Belt", 30, 27, 1, 700000, 200000,
+        DatumEgypt1907, probe = (27.5, 29.5)),
+      "EPSG:22994" -> tm("Egypt 1907 / Extended Purple Belt", 30, 27, 1, 700000, 1200000,
+        DatumEgypt1907, probe = (27.5, 23.0)),
+      // Nigeria Minna belts (TM k=0.99975, legislated false eastings)
+      "EPSG:26391" -> tm("Minna / Nigeria West Belt", 4, 4.5, 0.99975, 230738.26, 0,
+        DatumMinna, probe = (5.0, 7.0)),
+      "EPSG:26392" -> tm("Minna / Nigeria Mid Belt", 4, 8.5, 0.99975, 670553.98, 0,
+        DatumMinna, probe = (8.7, 9.1)),
+      "EPSG:26393" -> tm("Minna / Nigeria East Belt", 4, 12.5, 0.99975, 1110369.7, 0,
+        DatumMinna, probe = (13.0, 10.0)),
+      // Tunisia: Carthage LCC 1SP belts (+ UTM 32N below)
+      "EPSG:22391" -> lcc1("Carthage / Nord Tunisie", 36, 9.9, 0.999625544,
+        500000, 300000, DatumCarthage, probe = (10.0, 36.5)),
+      "EPSG:22392" -> lcc1("Carthage / Sud Tunisie", 33.3, 9.9, 0.999625769,
+        500000, 300000, DatumCarthage, probe = (9.5, 33.8)),
+      "EPSG:22332" -> utmCrs("EPSG:22332", "Carthage / UTM zone 32N", 32, south = false,
+        DatumCarthage, probeLat = 35.0),
+      // Morocco: Merchich LCC 1SP belts
+      "EPSG:26191" -> lcc1("Merchich / Nord Maroc", 33.3, -5.4, 0.999625769,
+        500000, 300000, DatumMerchich, probe = (-6.5, 33.8)),
+      "EPSG:26192" -> lcc1("Merchich / Sud Maroc", 29.7, -5.4, 0.999615596,
+        500000, 300000, DatumMerchich, probe = (-7.5, 30.2)),
+      "EPSG:26193" -> lcc1("Merchich / Sahara", 26.1, -5.4, 0.999616304,
+        1200000, 400000, DatumMerchich, probe = (-9.5, 26.5))) ++
+      (34 to 36).map { z =>
+        s"EPSG:${20900 + z}" -> utmCrs(s"EPSG:${20900 + z}", s"Arc 1950 / UTM zone ${z}S", z,
+          south = true, DatumArc1950, probeLat = -15.0)
+      } ++ (35 to 37).map { z =>
+        s"EPSG:${21000 + z}" -> utmCrs(s"EPSG:${21000 + z}", s"Arc 1960 / UTM zone ${z}S", z,
+          south = true, DatumArc1960, probeLat = -5.0)
+      } ++ (35 to 37).map { z =>
+        s"EPSG:${21060 + z}" -> utmCrs(s"EPSG:${21060 + z}", s"Arc 1960 / UTM zone ${z}N", z,
+          south = false, DatumArc1960, probeLat = 1.5)
+      } ++ (35 to 38).map { z =>
+        s"EPSG:${20100 + z}" -> utmCrs(s"EPSG:${20100 + z}", s"Adindan / UTM zone ${z}N", z,
+          south = false, DatumAdindan, probeLat = 15.0)
+      } ++ (31 to 32).map { z =>
+        s"EPSG:${26300 + z}" -> utmCrs(s"EPSG:${26300 + z}", s"Minna / UTM zone ${z}N", z,
+          south = false, DatumMinna, probeLat = 8.0)
+      } ++ (29 to 32).map { z =>
+        s"EPSG:${30700 + z}" -> utmCrs(s"EPSG:${30700 + z}", s"Nord Sahara 1959 / UTM zone ${z}N", z,
+          south = false, DatumNordSahara, probeLat = 28.0)
+      }
+    // Cape / Lo survey grid (odd meridians 15..33, EPSG:22275+2i) —
+    // south-oriented TM k=1 like the Hartebeesthoek Lo successors
+    val capeLo = (0 to 9).map { i =>
+      val lon0 = 15 + 2 * i
+      s"EPSG:${22275 + 2 * i}" -> Crs(s"Cape / Lo$lon0",
+        new SouthOriented(new TransMerc(Clarke1880Arc, 0, lon0, 1.0, 0, 0)),
+        DatumCape, probe = (lon0 + 0.4, -30.0),
+        s"+proj=tmerc +lat_0=0 +lon_0=$lon0 +k=1 +x_0=0 +y_0=0 +axis=wsu " +
+          s"${datumTags(DatumCape)} +units=m +no_defs")
+    }.toMap
+    val italy = Map(
+      "EPSG:3003" -> tm("Monte Mario / Italy zone 1", 0, 9, 0.9996, 1500000, 0,
+        DatumMonteMario, probe = (9.2, 45.4)),
+      "EPSG:3004" -> tm("Monte Mario / Italy zone 2", 0, 15, 0.9996, 2520000, 0,
+        DatumMonteMario, probe = (15.2, 41.9)))
+    val batch7 = seAsia ++ tm3 ++ prs92 ++ india ++ midEast ++ africa ++ capeLo ++ italy
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2306,7 +2524,11 @@ object Proj {
           case Some("clrk58") => Clarke1858 // graft extension; PROJ spells it +a/+rf
           case Some("krass") => Krass1940
           case Some("clrk80ign") => Clarke1880Ign
-          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, aust_SA, clrk58, krass, clrk80ign; or +a with +rf)")
+          case Some("evrst30") => Everest1937
+          case Some("evrst48") => Everest1948
+          case Some("helmert") => Helmert1906
+          case Some("clrk80") => Clarke1880Rgs
+          case Some(e) => fail(s"unsupported +ellps=$e (supported: WGS84, GRS80, airy, mod_airy, intl, clrk66, bessel, evrst69, evrst30, evrst48, aust_SA, clrk58, krass, clrk80, clrk80ign, helmert; or +a with +rf)")
           case None if kv.contains("a") && kv.contains("rf") => Ellipsoid(num("a", 0), num("rf", 0))
           case None if kv.contains("R") => Ellipsoid(num("R", 0), Double.PositiveInfinity)
           case None if kv.contains("a") && kv.contains("b") =>
@@ -2569,7 +2791,31 @@ object Proj {
     "EPSG:4124" -> (("RT90", DatumRt90)),
     "EPSG:4272" -> (("NZGD49", DatumNzgd49)),
     "EPSG:4274" -> (("Datum 73", DatumD73)),
-    "EPSG:4204" -> (("Ain el Abd", DatumAinElAbd)))
+    "EPSG:4204" -> (("Ain el Abd", DatumAinElAbd)),
+    // batch 7 (round 11)
+    "EPSG:4239" -> (("Indian 1954", DatumIndian1954)),
+    "EPSG:4240" -> (("Indian 1975", DatumIndian1975)),
+    "EPSG:4146" -> (("Kalianpur 1975", DatumKalianpur75)),
+    "EPSG:4244" -> (("Kandawala", DatumKandawala)),
+    "EPSG:4756" -> (("VN-2000", DatumVn2000)),
+    "EPSG:4245" -> (("Kertau 1968", DatumKertau)),
+    "EPSG:4211" -> (("Batavia", DatumBatavia)),
+    "EPSG:4755" -> (("DGN95", DatumDgn95)),
+    "EPSG:4742" -> (("GDM2000", DatumGrs80)),
+    "EPSG:4683" -> (("PRS92", DatumPrs92)),
+    "EPSG:4134" -> (("PSD93", DatumPsd93)),
+    "EPSG:4285" -> (("Qatar 1974", DatumQatar74)),
+    "EPSG:4270" -> (("Nahrwan 1967", DatumNahrwan67)),
+    "EPSG:4209" -> (("Arc 1950", DatumArc1950)),
+    "EPSG:4210" -> (("Arc 1960", DatumArc1960)),
+    "EPSG:4201" -> (("Adindan", DatumAdindan)),
+    "EPSG:4229" -> (("Egypt 1907", DatumEgypt1907)),
+    "EPSG:4263" -> (("Minna", DatumMinna)),
+    "EPSG:4222" -> (("Cape", DatumCape)),
+    "EPSG:4307" -> (("Nord Sahara 1959", DatumNordSahara)),
+    "EPSG:4223" -> (("Carthage", DatumCarthage)),
+    "EPSG:4261" -> (("Merchich", DatumMerchich)),
+    "EPSG:4265" -> (("Monte Mario", DatumMonteMario)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the
@@ -2619,6 +2865,27 @@ object Proj {
       else if (d == DatumHd72) Some("Hungarian_Datum_1972")
       else if (d == DatumAmersfoort) Some("Amersfoort")
       else if (d == DatumGda2020) Some("Geocentric_Datum_of_Australia_2020")
+      else if (d == DatumIndian1954) Some("Indian_1954")
+      else if (d == DatumIndian1975) Some("Indian_1975")
+      else if (d == DatumKalianpur75) Some("Kalianpur_1975")
+      else if (d == DatumKandawala) Some("Kandawala")
+      else if (d == DatumVn2000) Some("Vietnam_2000")
+      else if (d == DatumKertau) Some("Kertau_1968")
+      else if (d == DatumBatavia) Some("Batavia")
+      else if (d == DatumPrs92) Some("Philippine_Reference_System_1992")
+      else if (d == DatumPsd93) Some("PDO_Survey_Datum_1993")
+      else if (d == DatumQatar74) Some("Qatar_1974")
+      else if (d == DatumNahrwan67) Some("Nahrwan_1967")
+      else if (d == DatumArc1950) Some("Arc_1950")
+      else if (d == DatumArc1960) Some("Arc_1960")
+      else if (d == DatumAdindan) Some("Adindan")
+      else if (d == DatumEgypt1907) Some("Egypt_1907")
+      else if (d == DatumMinna) Some("Minna")
+      else if (d == DatumCape) Some("Cape")
+      else if (d == DatumNordSahara) Some("Nord_Sahara_1959")
+      else if (d == DatumCarthage) Some("Carthage")
+      else if (d == DatumMerchich) Some("Merchich")
+      else if (d == DatumMonteMario) Some("Monte_Mario")
       else None
     byInstance.getOrElse {
       val n = crsName.toUpperCase
@@ -2660,6 +2927,12 @@ object Proj {
     else if (el == Grs67Mod) ("GRS 1967 Modified", "Australian_Geodetic_Datum")
     else if (el == Krass1940) ("Krassowsky 1940", "Pulkovo_1942")
     else if (el == Clarke1880Ign) ("Clarke 1880 (IGN)", "Nouvelle_Triangulation_Francaise")
+    else if (el == Everest1937) ("Everest 1830 (1937 Adjustment)", "Indian_1954")
+    else if (el == Everest1948) ("Everest 1830 Modified", "Kertau_1968")
+    else if (el == Everest1975) ("Everest 1830 (1975 Definition)", "Kalianpur_1975")
+    else if (el == Helmert1906) ("Helmert 1906", "Egypt_1907")
+    else if (el == Clarke1880Rgs) ("Clarke 1880 (RGS)", "Unknown_based_on_Clarke_1880_RGS")
+    else if (el == Clarke1880Arc) ("Clarke 1880 (Arc)", "Cape")
     else if (el == Sphere6370997)
       ("Clarke 1866 Authalic Sphere", "Not_specified_based_on_Clarke_1866_Authalic_Sphere")
     else if (el.invF.isInfinite) ("Sphere", "unnamed")

@@ -47,7 +47,31 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4124" -> ((15.8, 59.3)),    // RT90: Sweden
       "EPSG:4272" -> ((173.0, -41.0)),  // NZGD49: New Zealand
       "EPSG:4274" -> ((-8.1, 39.7)),    // Datum 73: Portugal
-      "EPSG:4204" -> ((45.0, 24.0)))    // Ain el Abd: Arabian peninsula
+      "EPSG:4204" -> ((45.0, 24.0)),    // Ain el Abd: Arabian peninsula
+      // batch 7 (round 11): each legacy datum probed in its home region —
+      // the 2D height-drop drift of a ~900 m shift at a far probe would
+      // otherwise exceed the 1 cm bound
+      "EPSG:4239" -> ((100.0, 17.0)),   // Indian 1954: Thailand
+      "EPSG:4240" -> ((100.0, 15.0)),   // Indian 1975: Thailand
+      "EPSG:4146" -> ((78.0, 22.0)),    // Kalianpur 1975: India
+      "EPSG:4244" -> ((80.6, 7.3)),     // Kandawala: Sri Lanka
+      "EPSG:4756" -> ((106.0, 16.0)),   // VN-2000: Vietnam
+      "EPSG:4245" -> ((102.0, 4.0)),    // Kertau 1968: West Malaysia
+      "EPSG:4211" -> ((107.0, -7.0)),   // Batavia: Java
+      "EPSG:4683" -> ((121.0, 13.0)),   // PRS92: Philippines
+      "EPSG:4134" -> ((57.0, 21.0)),    // PSD93: Oman
+      "EPSG:4285" -> ((51.3, 25.3)),    // Qatar 1974
+      "EPSG:4270" -> ((54.0, 24.0)),    // Nahrwan 1967: UAE
+      "EPSG:4209" -> ((28.0, -15.0)),   // Arc 1950: Zambia
+      "EPSG:4210" -> ((36.0, -3.0)),    // Arc 1960: Kenya/Tanzania
+      "EPSG:4201" -> ((33.0, 15.0)),    // Adindan: Sudan
+      "EPSG:4229" -> ((31.0, 30.0)),    // Egypt 1907
+      "EPSG:4263" -> ((8.0, 9.0)),      // Minna: Nigeria
+      "EPSG:4222" -> ((24.0, -30.0)),   // Cape: South Africa
+      "EPSG:4307" -> ((3.0, 28.0)),     // Nord Sahara 1959: Algeria
+      "EPSG:4223" -> ((10.0, 36.0)),    // Carthage: Tunisia
+      "EPSG:4261" -> ((-6.0, 33.0)),    // Merchich: Morocco
+      "EPSG:4265" -> ((12.5, 42.0)))    // Monte Mario: Italy
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -1107,6 +1131,74 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4248", "EPSG:4317").foreach { c =>
       assert(Proj.describe(c).isDefined, s"$c does not describe")
     }
+  }
+
+  test("round-11 batch-7: SE/South Asia, Middle East, Africa, Italy grids") {
+    def fwd(code: String, lon: Double, lat: Double): (Double, Double) = {
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code missing"))
+      crs.proj.forward(lon, lat)
+    }
+    // exact natural-origin anchors: TM/LCC-1SP maps its origin to the false
+    // offsets with no residual
+    val (qx, qy) = fwd("EPSG:28600", 51 + 13 / 60.0, 24 + 27 / 60.0)
+    assert(math.abs(qx - 200000) < 1e-6 && math.abs(qy - 300000) < 1e-6, s"Qatar NG ($qx,$qy)")
+    val (ex, ey) = fwd("EPSG:22992", 31, 30)
+    assert(math.abs(ex - 615000) < 1e-6 && math.abs(ey - 810000) < 1e-6, s"Red Belt ($ex,$ey)")
+    val (ix, iy) = fwd("EPSG:3003", 9, 0)
+    assert(math.abs(ix - 1500000) < 1e-6 && math.abs(iy) < 1e-6, s"Gauss-Boaga ($ix,$iy)")
+    val (kx, ky) = fwd("EPSG:24379", 74, 26)
+    assert(math.abs(kx - 2743195.5) < 1e-6 && math.abs(ky - 914398.5) < 1e-6,
+      s"Kalianpur IIa ($kx,$ky)")
+    val (sx, sy) = fwd("EPSG:24500", 103 + 51 / 60.0 + 7.925 / 3600, 1 + 17 / 60.0 + 15.522 / 3600)
+    assert(math.abs(sx - 30000) < 1e-6 && math.abs(sy - 30000) < 1e-6, s"Singapore ($sx,$sy)")
+    val (tx, ty) = fwd("EPSG:23836", 112.5, 0) // TM-3 zone 49.2
+    assert(math.abs(tx - 200000) < 1e-6 && math.abs(ty - 1500000) < 1e-6, s"TM-3 ($tx,$ty)")
+    val (nx, ny) = fwd("EPSG:26392", 8.5, 4)
+    assert(math.abs(nx - 670553.98) < 1e-6 && math.abs(ny) < 1e-6, s"Nigeria Mid ($nx,$ny)")
+
+    // textbook datum displacements (grid coords, legacy datum vs WGS84 input):
+    // the horizontal component of each published geocentric vector at a city
+    // in the datum's home region
+    def displacement(code: String, lon: Double, lat: Double): Double = {
+      val crs = Proj.lookup(code).get
+      val (lo, la) = crs.datum.fromWgs84(lon, lat)
+      val (x1, y1) = crs.proj.forward(lo, la)
+      val (x2, y2) = crs.proj.forward(lon, lat)
+      math.hypot(x1 - x2, y1 - y2)
+    }
+    val dThai = displacement("EPSG:24047", 100.5, 13.75) // Bangkok, Indian 1975
+    assert(dThai > 200 && dThai < 900, s"Indian 1975 displacement $dThai m")
+    val dHanoi = displacement("EPSG:3405", 105.85, 21.03) // VN-2000 national offset
+    assert(dHanoi > 50 && dHanoi < 400, s"VN-2000 displacement $dHanoi m")
+    val dOman = displacement("EPSG:3440", 58.4, 23.6) // Muscat, PSD93
+    assert(dOman > 50 && dOman < 500, s"PSD93 displacement $dOman m")
+    val dRome = displacement("EPSG:3003", 12.5, 41.9) // Rome, Monte Mario
+    assert(dRome > 20 && dRome < 300, s"Monte Mario displacement $dRome m")
+    val dManila = displacement("EPSG:3123", 121.0, 14.6) // Manila, PRS92 zone 3
+    assert(dManila > 50 && dManila < 400, s"PRS92 displacement $dManila m")
+
+    // Cape / Lo21 is the Hartebeesthoek94 / Lo21 grid on the legacy datum:
+    // same south-oriented convention, a few hundred meters of datum offset
+    val cape = Proj.lookup("EPSG:22281").get
+    val hart = Proj.lookup("EPSG:2049").get
+    val (clo, cla) = cape.datum.fromWgs84(21.4, -30.0)
+    val (cwx, cwy) = cape.proj.forward(clo, cla)
+    val (hwx, hwy) = hart.proj.forward(21.4, -30.0)
+    val dCape = math.hypot(cwx - hwx, cwy - hwy)
+    assert(dCape > 50 && dCape < 600, s"Cape vs Hartebeesthoek Lo21 $dCape m")
+    // south-oriented sanity: west of the CM, the westing INCREASES
+    assert(cape.proj.forward(21.0, -30.0)._1 < cape.proj.forward(20.6, -30.0)._1)
+
+    // DGN95 is a modern no-shift frame: its UTM 49S equals WGS84 / UTM 49S
+    // to the GRS80-vs-WGS84 flattening residual (sub-mm)
+    val (gx, gy) = fwd("EPSG:23879", 110.4, -7.8)
+    val w49s = Proj.fromProjString("+proj=utm +zone=49 +south +ellps=WGS84 +units=m")
+      .getOrElse(fail("WGS84 UTM 49S proj string"))
+    val (wx, wy) = w49s.proj.forward(110.4, -7.8)
+    assert(math.hypot(gx - wx, gy - wy) < 1e-3, "DGN95 vs WGS84 UTM 49S")
+
+    // registry grew to >= 1020 resolvable codes with batch 7
+    assert(Proj.allCodes.size >= 1020, s"allCodes = ${Proj.allCodes.size}")
   }
 
   test("round-10 batch-6: Nordic/Portugal/Gulf grids, WGS72 UTM, sphere LAEA") {
