@@ -1322,6 +1322,117 @@ object Proj {
     val M = math.sqrt(3) / 2
   }
 
+  /** New Zealand Map Grid (EPSG method 9811; Reilly 1973, the LINZ
+   *  LINZG25700 standard) — the sixth-order complex-polynomial conformal
+   *  projection behind EPSG:27200, fixed to the International 1924
+   *  ellipsoid and the (-41°, 173°E) origin. Forward: a real series turns
+   *  Δφ into an isometric-latitude-like Δψ, then one complex polynomial
+   *  ζ = ΣB_k z^k maps z = Δψ + iΔλ conformally to grid space. Inverse:
+   *  the published C-series gives a first approximation, refined by two
+   *  Newton steps on the B polynomial (PROJ `nzmg` does the same).
+   *  Coefficients are the published LINZ/Reilly values. */
+  final class Nzmg(fe: Double, fn: Double) extends Projection {
+    import Nzmg._
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // Δφ in units of 1e5 arc-seconds (the series' published scaling)
+      val th = (latDeg - Lat0) * 3600e-5
+      var psi = 0.0
+      var p = 1.0
+      var i = 0
+      while (i < A.length) { p *= th; psi += A(i) * p; i += 1 }
+      val dLam = math.toRadians(lonDeg - Lon0)
+      // ζ = Σ B_k z^k, z = Δψ + iΔλ (Horner on the complex polynomial)
+      var zr = 0.0; var zi = 0.0
+      var k = B.length - 1
+      while (k >= 0) {
+        val nr = zr * psi - zi * dLam + B(k)._1
+        val ni = zr * dLam + zi * psi + B(k)._2
+        zr = nr; zi = ni
+        k -= 1
+      }
+      // multiply the Horner accumulation by z once more (series starts at k=1)
+      val er = zr * psi - zi * dLam
+      val ei = zr * dLam + zi * psi
+      (fe + A0 * ei, fn + A0 * er)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val wr = (y - fn) / A0; val wi = (x - fe) / A0
+      // first approximation from the published inverse series C
+      var zr = 0.0; var zi = 0.0
+      var k = C.length - 1
+      while (k >= 0) {
+        val nr = zr * wr - zi * wi + C(k)._1
+        val ni = zr * wi + zi * wr + C(k)._2
+        zr = nr; zi = ni
+        k -= 1
+      }
+      var pr = zr * wr - zi * wi
+      var pi = zr * wi + zi * wr
+      // two Newton refinements: solve ΣB_k z^k = w for z
+      var it = 0
+      while (it < 2) {
+        // num = w + Σ_{k>=2} (k-1) B_k z^k ; den = Σ k B_k z^{k-1}
+        var nr = 0.0; var ni = 0.0; var dr = 0.0; var di = 0.0
+        var tr = 1.0; var ti = 0.0 // z^{k-1}
+        var j = 0
+        while (j < B.length) {
+          val kk = j + 1
+          dr += kk * (B(j)._1 * tr - B(j)._2 * ti)
+          di += kk * (B(j)._1 * ti + B(j)._2 * tr)
+          val ur = tr * pr - ti * pi // z^k
+          val ui = tr * pi + ti * pr
+          if (kk >= 2) {
+            nr += (kk - 1) * (B(j)._1 * ur - B(j)._2 * ui)
+            ni += (kk - 1) * (B(j)._1 * ui + B(j)._2 * ur)
+          }
+          tr = ur; ti = ui
+          j += 1
+        }
+        nr += wr; ni += wi
+        val dd = dr * dr + di * di
+        pr = (nr * dr + ni * di) / dd
+        pi = (ni * dr - nr * di) / dd
+        it += 1
+      }
+      val psi = pr; val dLam = pi
+      // latitude from Δψ via the published D series + one Newton step on A
+      var th = 0.0
+      var q = 1.0
+      var j = 0
+      while (j < D.length) { q *= psi; th += D(j) * q; j += 1 }
+      // Newton: find th with ΣA_i th^i = psi
+      var fv = 0.0; var fd = 0.0
+      var t = 1.0
+      j = 0
+      while (j < A.length) {
+        fd += (j + 1) * A(j) * t
+        t *= th
+        fv += A(j) * t
+        j += 1
+      }
+      th -= (fv - psi) / fd
+      (Lon0 + math.toDegrees(dLam), Lat0 + th * 1e5 / 3600)
+    }
+  }
+  object Nzmg {
+    val Lat0 = -41.0; val Lon0 = 173.0
+    val A0 = 6378388.0 // International 1924 semi-major (the method fixes it)
+    // Δφ→Δψ series (LINZ LINZG25700 table; Reilly 1973)
+    val A = Array(0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+      0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+    // complex forward polynomial B_1..B_6
+    val B = Array(
+      (0.7557853228, 0.0), (0.249204646, 0.003371507), (-0.001541739, 0.041058560),
+      (-0.10162907, 0.01727609), (-0.26623489, -0.36249218), (-0.6870983, -1.1651967))
+    // complex inverse first-approximation polynomial C_1..C_6
+    val C = Array(
+      (1.3231270439, 0.0), (-0.577245789, -0.007809598), (0.508307513, -0.112208952),
+      (-0.15094762, 0.18200602), (1.01418179, 1.64497696), (1.9660549, 2.5127645))
+    // Δψ→Δφ inverse series D_1..D_9
+    val D = Array(1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+      -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+  }
+
   /** Orthographic, oblique spherical aspect (Snyder 20-3..20-6; PROJ
    *  `ortho`): the view from infinity. Only the near hemisphere projects;
    *  points with cos c < 0 are rejected loudly (PROJ errors the same way). */
@@ -1631,6 +1742,12 @@ object Proj {
       "EPSG:2157" -> tm("IRENET95 / Irish Transverse Mercator", 53.5, -8, 0.99982, 600000, 750000, probe = (-6.26, 53.35)),
       "EPSG:2180" -> tm("ETRS89 / Poland CS92", 0, 19, 0.9993, 500000, -5300000, probe = (21, 52.2)),
       "EPSG:2193" -> tm("NZGD2000 / New Zealand Transverse Mercator 2000", 0, 173, 0.9996, 1600000, 10000000, probe = (174.78, -41.29)),
+      // legacy NZ national grid: the Reilly complex-polynomial conformal
+      // projection (method 9811) on NZGD49
+      "EPSG:27200" -> Crs("NZGD49 / New Zealand Map Grid",
+        new Nzmg(2510000, 6023150), DatumNzgd49, probe = (174.78, -41.29),
+        s"+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 " +
+          s"${datumTags(DatumNzgd49)} +units=m +no_defs"),
       "EPSG:3006" -> tm("SWEREF99 TM", 0, 15, 0.9996, 500000, 0, probe = (18.07, 59.33)),
       "EPSG:3067" -> tm("ETRS89 / TM35FIN(E,N)", 0, 27, 0.9996, 500000, 0, probe = (24.94, 60.17)),
       "EPSG:3763" -> tm("ETRS89 / Portugal TM06", dms(39, 40, 5.73), dms(-8, 7, 59.19), 1, 0, 0, probe = (-9.14, 38.71)),
@@ -2658,6 +2775,13 @@ object Proj {
         // PROJ: +lat_ts is the standard parallel (method 1028's lat_1)
         (new EquidistantCyl(el, num("lat_ts", 0), p("lon_0"), p("x_0"), p("y_0")),
           (num("lon_0", 0) + 10, 30.0))
+      case "nzmg" =>
+        // the method is DEFINED on International 1924 at (-41, 173); PROJ
+        // hardcodes the same — reject contradictory parameters loudly
+        if (el != Intl1924) fail("+proj=nzmg is defined on the International 1924 ellipsoid (+ellps=intl)")
+        if (num("lat_0", -41) != -41.0 || num("lon_0", 173) != 173.0)
+          fail("+proj=nzmg fixes lat_0=-41 lon_0=173 (EPSG method 9811)")
+        (new Nzmg(num("x_0", 2510000), num("y_0", 6023150)), (174.78, -41.29))
       case "aeqd" =>
         if (!kv.contains("guam"))
           fail("+proj=aeqd is implemented in the Guam variant only (+guam, EPSG method 9831)")
@@ -3056,6 +3180,9 @@ object Proj {
       case "cass" => Some(("Cassini_Soldner", pp(
         "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
         "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
+      case "nzmg" => Some(("New_Zealand_Map_Grid", pp(
+        "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
+        "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
       case "poly" => Some(("Polyconic", pp(
         "latitude_of_origin" -> n("lat_0"), "central_meridian" -> n("lon_0"),
         "false_easting" -> n("x_0") / unit, "false_northing" -> n("y_0") / unit)))
@@ -3207,6 +3334,7 @@ object Proj {
         ("Longitude of natural origin", n("lon_0"), "degree"),
         ("False easting", n("x_0"), "metre"),
         ("False northing", n("y_0"), "metre"))))
+      case "nzmg" => Some(("New Zealand Map Grid", 9811, natural()))
       case "eqearth" => Some(("Equal Earth", 1078, par(
         ("Longitude of natural origin", n("lon_0"), "degree"),
         ("False easting", n("x_0"), "metre"),

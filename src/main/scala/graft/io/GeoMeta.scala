@@ -146,7 +146,9 @@ object GeoMeta {
             Some(s"+proj=stere +lat_0=${if (lat0 < 0) -90 else 90} " +
               s"+k=${p("scale_factor").getOrElse(1.0)} +lon_0=$lon0")
         }
-      } else if (projName.contains("cylindrical_equal_area"))
+      } else if (projName.contains("new_zealand_map_grid"))
+        Some(s"+proj=nzmg +lat_0=$lat0 +lon_0=$lon0")
+      else if (projName.contains("cylindrical_equal_area"))
         Some(s"+proj=cea +lat_ts=${p("standard_parallel_1").getOrElse(0.0)} +lon_0=$lon0")
       else if (projName.contains("equal_earth"))
         Some(s"+proj=eqearth +lon_0=$lon0")
@@ -224,6 +226,8 @@ object GeoMeta {
         }
       else if (method.contains("albers"))
         Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("new zealand map grid"))
+        Some(s"+proj=nzmg +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("azimuthal equal area"))
         Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("polar stereographic")) {
@@ -315,6 +319,8 @@ object GeoMeta {
         }
       else if (method.contains("albers"))
         Some(s"+proj=aea +lat_1=${sp1.getOrElse(29.5)} +lat_2=${sp2.getOrElse(45.5)} +lat_0=$lat0 +lon_0=$lon0")
+      else if (method.contains("new zealand map grid"))
+        Some(s"+proj=nzmg +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("azimuthal equal area"))
         Some(s"+proj=laea +lat_0=$lat0 +lon_0=$lon0")
       else if (method.contains("polar stereographic")) {

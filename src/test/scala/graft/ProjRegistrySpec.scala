@@ -1133,6 +1133,100 @@ class ProjRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("NZMG (EPSG:27200): LINZ worked example, origin anchor, conformality") {
+    val crs = Proj.lookup("EPSG:27200").getOrElse(fail("EPSG:27200 missing"))
+    // projection origin maps to the false origin exactly (z = 0)
+    val (ox, oy) = crs.proj.forward(173, -41)
+    assert(math.abs(ox - 2510000) < 1e-9 && math.abs(oy - 6023150) < 1e-9, s"origin ($ox,$oy)")
+    // the LINZ standard's published worked example (NZGD49 geographic in,
+    // NZMG out) — an external pin of all three coefficient sets. The
+    // available inputs are 6-dp decimal roundings of the published DMS
+    // (1e-6 deg ~ 0.09 m on the ground), so the bound is set at the input
+    // quantization, not the cm the grid values are printed to.
+    val (wx, wy) = crs.proj.forward(172.739194, -34.444066)
+    assert(math.abs(wx - 2487100.638) < 0.1 && math.abs(wy - 6751049.719) < 0.1,
+      s"LINZ worked example ($wx,$wy)")
+    // cross-consistency of the independently published series tables:
+    // D is the published inverse of A — D(A(th)) must return th to the
+    // series' own truncation error across the domain of use (|dphi|<7 deg)
+    locally {
+      var th = -0.25
+      while (th <= 0.25) {
+        var psi = 0.0; var p = 1.0
+        Proj.Nzmg.A.foreach { a => p *= th; psi += a * p }
+        var back = 0.0; var q = 1.0
+        Proj.Nzmg.D.foreach { d => q *= psi; back += d * q }
+        assert(math.abs(back - th) < 2e-5, s"A/D series disagree at th=$th: $back")
+        th += 0.01
+      }
+    }
+    // C is the published first-approximation inverse of B: C(B(z)) ~ z
+    locally {
+      def bpoly(zr: Double, zi: Double): (Double, Double) = {
+        var r = 0.0; var i = 0.0
+        var k = Proj.Nzmg.B.length - 1
+        while (k >= 0) {
+          val nr = r * zr - i * zi + Proj.Nzmg.B(k)._1
+          val ni = r * zi + i * zr + Proj.Nzmg.B(k)._2
+          r = nr; i = ni; k -= 1
+        }
+        (r * zr - i * zi, r * zi + i * zr)
+      }
+      def cpoly(zr: Double, zi: Double): (Double, Double) = {
+        var r = 0.0; var i = 0.0
+        var k = Proj.Nzmg.C.length - 1
+        while (k >= 0) {
+          val nr = r * zr - i * zi + Proj.Nzmg.C(k)._1
+          val ni = r * zi + i * zr + Proj.Nzmg.C(k)._2
+          r = nr; i = ni; k -= 1
+        }
+        (r * zr - i * zi, r * zi + i * zr)
+      }
+      var s = -0.1
+      while (s <= 0.1) {
+        val (br, bi) = bpoly(s, s / 2)
+        val (cr, ci) = cpoly(br, bi)
+        assert(math.hypot(cr - s, ci - s / 2) < 5e-4, s"B/C polynomials disagree at $s")
+        s += 0.02
+      }
+    }
+    // inverse of the worked example recovers the input to its quantization
+    val (il, ip) = crs.proj.inverse(2487100.638, 6751049.719)
+    assert(math.abs(il - 172.739194) < 1e-6 && math.abs(ip - (-34.444066)) < 1e-6,
+      s"inverse ($il,$ip)")
+    // round-trip fuzz across the NZMG domain of use
+    val rnd = new scala.util.Random(27200)
+    (1 to 200).foreach { _ =>
+      val lon = 166 + rnd.nextDouble() * 13 // 166E..179E
+      val lat = -47.5 + rnd.nextDouble() * 13 // 47.5S..34.5S
+      val (x, y) = crs.proj.forward(lon, lat)
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"round trip ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+    // conformality: the complex polynomial is analytic, so the local scale
+    // must be direction-independent ON THE ELLIPSOID (numeric Cauchy-
+    // Riemann at Wellington, ground distances via ρ and ν·cosφ)
+    val eps = 1e-6
+    val phi = math.toRadians(-41.29)
+    val e2 = 0.006722670022333322 // International 1924 (1/f = 297)
+    val w2 = 1 - e2 * math.sin(phi) * math.sin(phi)
+    val rho = Proj.Nzmg.A0 * (1 - e2) / (w2 * math.sqrt(w2))
+    val nu = Proj.Nzmg.A0 / math.sqrt(w2)
+    val (x0, y0) = crs.proj.forward(174.78, -41.29)
+    val (xe, ye) = crs.proj.forward(174.78 + eps, -41.29)
+    val (xn, yn) = crs.proj.forward(174.78, -41.29 + eps)
+    val dE = math.hypot(xe - x0, ye - y0) / (nu * math.cos(phi))
+    val dN = math.hypot(xn - x0, yn - y0) / rho
+    assert(math.abs(dE / dN - 1) < 1e-4, s"anisotropy ${dE / dN}")
+    // the WKT1/PROJJSON synthesis paths carry method 9811 round-trip
+    val wkt = Proj.toWkt1("EPSG:27200").getOrElse(fail("no WKT1"))
+    assert(wkt.contains("New_Zealand_Map_Grid"))
+    val reparsed = Proj.fromProjString(graft.io.GeoMeta.proj4FromWkt1(wkt)).get
+    val (rx, ry) = reparsed.proj.forward(172.739194, -34.444066)
+    assert(math.abs(rx - wx) < 1e-6 && math.abs(ry - wy) < 1e-6)
+  }
+
   test("round-11 batch-7: SE/South Asia, Middle East, Africa, Italy grids") {
     def fwd(code: String, lon: Double, lat: Double): (Double, Double) = {
       val crs = Proj.lookup(code).getOrElse(fail(s"$code missing"))
