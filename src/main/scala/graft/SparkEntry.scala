@@ -2610,6 +2610,24 @@ object SparkEntry {
             FROM lineitem)
       ORDER BY k"""),
 
+    // Geohash spatial keys (round 11): encode via interval bisection in the
+    // kernel; the oracle recomputes the same 40 bits with closed-form
+    // floor/shift arithmetic (bit-equality argued + spec'd in GeoHashSpec).
+    // The 1-decimal lon/lat grid keeps every value ≥ 1.5e-6 degrees from any
+    // cell boundary (or exactly dyadic), so both derivations agree exactly.
+    "q_geohash" -> q("lineitem")(s"""
+      SELECT k, gh, substring(gh, 1, 4) AS gh4,
+             b.min_x + 0.0d AS west, b.min_y + 0.0d AS south,
+             b.max_x + 0.0d AS east, b.max_y + 0.0d AS north,
+             st_x(st_pointfromgeohash(gh)) + 0.0d AS cx,
+             st_y(st_pointfromgeohash(gh)) + 0.0d AS cy
+      FROM (SELECT k, gh, st_box2dfromgeohash(gh) AS b
+            FROM (SELECT $K AS k,
+                         st_geohash(cast(l_partkey % 3600 AS DOUBLE) / 10.0d - 180.0d,
+                                    cast(l_suppkey % 1800 AS DOUBLE) / 10.0d - 90.0d, 8) AS gh
+                  FROM lineitem))
+      ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -4863,6 +4881,39 @@ object SparkEntry {
       FROM (SELECT k, x, y, w, w/pow(2.0, z) AS t, mg*(w/pow(2.0, z)) AS m
             FROM pts CROSS JOIN c)
       ORDER BY k""",
+
+    // Closed-form geohash: 20+20 bits by floor-scaling, interleaved with
+    // shifts (lon bit j -> position 2j+1, lat bit j -> 2j), then 8 base-32
+    // chars; cell bounds/center by exact dyadic arithmetic. The bit-level
+    // equivalence to the kernel's bisection is proved in GeoHashSpec.
+    "q_geohash" -> {
+      val iv = (0 until 20).map(j =>
+        s"(((lonb >> $j) & 1) << ${2 * j + 1}) | (((latb >> $j) & 1) << ${2 * j})").mkString(" | ")
+      val gh = (0 until 8).map(c =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((iv >> ${35 - 5 * c}) & 31) AS INT) + 1, 1)")
+        .mkString(" || ")
+      s"""
+      WITH pts AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+               CAST(l_suppkey % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat
+        FROM lineitem),
+      bb AS (SELECT k,
+                    CAST(floor((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT) AS lonb,
+                    CAST(floor((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT) AS latb
+             FROM pts),
+      ii AS (SELECT k, lonb, latb, ($iv) AS iv FROM bb),
+      gg AS (SELECT k, lonb, latb, ($gh) AS gh FROM ii)
+      SELECT k, gh, substr(gh, 1, 4) AS gh4,
+             lonb / 1048576.0 * 360.0 - 180.0 + 0.0 AS west,
+             latb / 1048576.0 * 180.0 - 90.0 + 0.0 AS south,
+             (lonb + 1) / 1048576.0 * 360.0 - 180.0 + 0.0 AS east,
+             (latb + 1) / 1048576.0 * 180.0 - 90.0 + 0.0 AS north,
+             (lonb + 0.5) / 1048576.0 * 360.0 - 180.0 + 0.0 AS cx,
+             (latb + 0.5) / 1048576.0 * 180.0 - 90.0 + 0.0 AS cy
+      FROM gg
+      ORDER BY k"""
+    },
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.geom.{Curves, Geo, GeoJson, Wkb, Wkt}
+import graft.geom.{Curves, Geo, GeoHash, GeoJson, Wkb, Wkt}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -1750,6 +1750,42 @@ object GeoFns {
         val e = rg(a(0)).getEnvelopeInternal
         utf(Curves.quadKey((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2, int(a(1))))
       }
+    }
+
+    // Geohash family (PostGIS ST_GeoHash surface; geom/GeoHash.scala).
+    // A geohash prefix doubles as a spatial bucket key — GROUP BY
+    // st_geohash(geom, k) is a shuffle-friendly coarse spatial partitioner.
+    fn("st_geohash", S, Seq(B), Seq(B, I), Seq(D, D, I)) { a =>
+      if (a.length == 3) utf(GeoHash.encode(dbl(a(0)), dbl(a(1)), int(a(2))))
+      else {
+        val g = rg(a(0))
+        if (g.isEmpty) null
+        else {
+          val e = g.getEnvelopeInternal
+          val n = if (a.length > 1) int(a(1)) else 0
+          utf(GeoHash.encodeEnvelope(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, n))
+        }
+      }
+    }
+    fn("st_geomfromgeohash", B, Seq(S), Seq(S, I)) { a =>
+      val h0 = str(a(0))
+      val h = if (a.length > 1 && int(a(1)) > 0 && int(a(1)) < h0.length) h0.substring(0, int(a(1))) else h0
+      val (x0, y0, x1, y1) = GeoHash.bbox(h)
+      w(Geo.box(x0, y0, x1, y1))
+    }
+    fn("st_pointfromgeohash", B, Seq(S), Seq(S, I)) { a =>
+      val h0 = str(a(0))
+      val h = if (a.length > 1 && int(a(1)) > 0 && int(a(1)) < h0.length) h0.substring(0, int(a(1))) else h0
+      val (cx, cy) = GeoHash.center(h)
+      w(Geo.point(cx, cy))
+    }
+    fn("st_box2dfromgeohash",
+      StructType(Seq(StructField("min_x", D), StructField("min_y", D),
+        StructField("max_x", D), StructField("max_y", D))), Seq(S), Seq(S, I)) { a =>
+      val h0 = str(a(0))
+      val h = if (a.length > 1 && int(a(1)) > 0 && int(a(1)) < h0.length) h0.substring(0, int(a(1))) else h0
+      val (x0, y0, x1, y1) = GeoHash.bbox(h)
+      new GenericInternalRow(Array[Any](x0, y0, x1, y1))
     }
 
     // Grid tiling for the distributed spatial join (graft.plans.SpatialJoinRule):
