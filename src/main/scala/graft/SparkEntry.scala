@@ -2628,6 +2628,35 @@ object SparkEntry {
                   FROM lineitem))
       ORDER BY k"""),
 
+    // M-measure linear referencing (round 11): addmeasure over an L-shaped
+    // line (segment lengths a then b, measures 0..100), then locatealong /
+    // locatebetween / interpolatepoint. All interpolation arithmetic mirrors
+    // the kernel op-for-op; every interpolant is a 3-decimal rational
+    // (73j(a+b)/1000 family), so round(5/6) can never straddle a tie.
+    // m never equals the vertex measure m1 = 100a/(a+b) (proved by prime
+    // factor counting over the parameter grid), so branch choices agree.
+    "q_locate_measure" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(1 + l_partkey % 20 AS DOUBLE) AS a,
+               cast(1 + l_suppkey % 20 AS DOUBLE) AS b,
+               7.3d * cast(1 + l_linenumber % 7 AS DOUBLE) AS m,
+               cast(l_partkey % 25 AS DOUBLE) AS c
+        FROM lineitem),
+      g AS (
+        SELECT k, a, b, m, c,
+               st_addmeasure(st_makeline(array(st_point(0.0d, 0.0d), st_point(a, 0.0d), st_point(a, b))),
+                             0.0d, 100.0d) AS ml
+        FROM src)
+      SELECT k,
+             round(st_x(st_geometryn(st_locatealong(ml, m), 1)), 6) + 0.0d AS lx,
+             round(st_y(st_geometryn(st_locatealong(ml, m), 1)), 6) + 0.0d AS ly,
+             st_m(st_geometryn(st_locatealong(ml, m), 1)) AS lm,
+             st_npoints(st_locatebetween(ml, m, m + 30.0d)) AS nb,
+             round(st_length(st_locatebetween(ml, m, m + 30.0d)), 5) + 0.0d AS blen,
+             round(st_interpolatepoint(ml, st_point(c, -3.0d)), 6) + 0.0d AS ip
+      FROM g ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -4914,6 +4943,30 @@ object SparkEntry {
       FROM gg
       ORDER BY k"""
     },
+
+    // Closed-form linear referencing on the L-shaped measured line: the
+    // vertex measure m1 = 100*(a/(a+b)); locate/clip/interpolate reduce to
+    // the same per-segment linear expressions the kernel evaluates.
+    "q_locate_measure" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(1 + l_partkey % 20 AS DOUBLE) AS a,
+               CAST(1 + l_suppkey % 20 AS DOUBLE) AS b,
+               7.3 * CAST(1 + l_linenumber % 7 AS DOUBLE) AS m,
+               CAST(l_partkey % 25 AS DOUBLE) AS c
+        FROM lineitem),
+      d AS (SELECT k, a, b, m, c, m + 30.0 AS w1, 100.0 * (a / (a + b)) AS m1 FROM src)
+      SELECT k,
+             round(CASE WHEN m <= m1 THEN (m / m1) * a ELSE a END, 6) + 0.0 AS lx,
+             round(CASE WHEN m <= m1 THEN 0.0 ELSE ((m - m1) / (100.0 - m1)) * b END, 6) + 0.0 AS ly,
+             m AS lm,
+             CASE WHEN m1 > m AND m1 < w1 THEN 3 ELSE 2 END AS nb,
+             round(CASE WHEN m1 > m AND m1 < w1
+                          THEN (a - (m / m1) * a) + ((w1 - m1) / (100.0 - m1)) * b
+                        WHEN m1 >= w1 THEN (w1 / m1) * a - (m / m1) * a
+                        ELSE ((w1 - m1) / (100.0 - m1)) * b - ((m - m1) / (100.0 - m1)) * b END, 5) + 0.0 AS blen,
+             round(least(c / a, 1.0) * m1, 6) + 0.0 AS ip
+      FROM d ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths

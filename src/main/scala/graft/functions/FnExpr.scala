@@ -35,6 +35,7 @@ object FnRegistry {
       TextFns.load()
       VecFns.load()
       LinearFns.load()
+      MeasureFns.load()
       CompGeomFns.load()
       TopoFns.load()
       GeneratePoints.load()
