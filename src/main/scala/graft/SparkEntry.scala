@@ -2657,6 +2657,30 @@ object SparkEntry {
              round(st_interpolatepoint(ml, st_point(c, -3.0d)), 6) + 0.0d AS ip
       FROM g ORDER BY k"""),
 
+    // 3D measures + coordinate editing (round 11). st_3dlength/perimeter
+    // accumulate sqrt(dx*dx+dy*dy+dz*dz) per edge in vertex order — the
+    // oracle spells the identical expression chain over the same integer
+    // coordinates, so those columns are bit-exact with NO rounding;
+    // st_3ddistance goes through JTS Distance3DOp, pinned at round(6).
+    "q_3d" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(1 + l_partkey % 15 AS INT) AS ai,
+               cast(1 + l_suppkey % 15 AS INT) AS bi,
+               cast(l_orderkey % 9 AS INT) AS zi,
+               cast(l_partkey % 360 AS INT) - 180 AS loni
+        FROM lineitem)
+      SELECT k,
+             round(st_3ddistance(st_point3d(0.0d, 0.0d, 0.0d),
+                                 st_point3d(cast(ai AS DOUBLE), cast(bi AS DOUBLE), cast(zi AS DOUBLE))), 6) + 0.0d AS d3,
+             st_3dlength(st_geomfromtext(
+               'LINESTRING Z (0 0 0, ' || ai || ' 0 ' || zi || ', ' || ai || ' ' || bi || ' ' || zi || ')')) + 0.0d AS len3,
+             st_3dperimeter(st_geomfromtext(
+               'POLYGON Z ((0 0 0, ' || ai || ' 0 ' || zi || ', ' || ai || ' ' || bi || ' ' || zi || ', 0 ' || bi || ' 0, 0 0 0))')) + 0.0d AS per3,
+             st_x(st_shiftlongitude(st_point(cast(loni AS DOUBLE), 10.0d))) + 0.0d AS shx,
+             st_x(st_swapordinates(st_point(cast(ai AS DOUBLE), cast(bi AS DOUBLE)), 'xy')) + 0.0d AS swx
+      FROM src ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -4967,6 +4991,24 @@ object SparkEntry {
                         ELSE ((w1 - m1) / (100.0 - m1)) * b - ((m - m1) / (100.0 - m1)) * b END, 5) + 0.0 AS blen,
              round(least(c / a, 1.0) * m1, 6) + 0.0 AS ip
       FROM d ORDER BY k""",
+
+    // 3D measures in closed form over the same integer grid; len3/per3
+    // mirror the kernel's per-edge sqrt accumulation order exactly.
+    "q_3d" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(1 + l_partkey % 15 AS INT) AS ai,
+               CAST(1 + l_suppkey % 15 AS INT) AS bi,
+               CAST(l_orderkey % 9 AS INT) AS zi,
+               CAST(l_partkey % 360 AS INT) - 180 AS loni
+        FROM lineitem)
+      SELECT k,
+             round(sqrt(CAST(ai*ai + bi*bi + zi*zi AS DOUBLE)), 6) + 0.0 AS d3,
+             (sqrt(CAST(ai*ai + zi*zi AS DOUBLE)) + bi) + 0.0 AS len3,
+             (((sqrt(CAST(ai*ai + zi*zi AS DOUBLE)) + bi) + sqrt(CAST(ai*ai + zi*zi AS DOUBLE))) + bi) + 0.0 AS per3,
+             CAST(CASE WHEN loni < 0 THEN loni + 360 ELSE loni END AS DOUBLE) + 0.0 AS shx,
+             CAST(bi AS DOUBLE) + 0.0 AS swx
+      FROM src ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths

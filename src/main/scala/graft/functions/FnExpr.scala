@@ -36,6 +36,7 @@ object FnRegistry {
       VecFns.load()
       LinearFns.load()
       MeasureFns.load()
+      ThreeDFns.load()
       CompGeomFns.load()
       TopoFns.load()
       GeneratePoints.load()

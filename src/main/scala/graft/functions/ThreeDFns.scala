@@ -1,0 +1,146 @@
+package graft.functions
+
+import graft.geom.{Geo, Wkb}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.GeometryEditor
+import org.locationtech.jts.operation.distance3d.Distance3DOp
+
+/**
+ * 3D measures + coordinate-editing utilities — PostGIS parity the reference
+ * lacks (its measures are planar-only). All row-local kernels.
+ *
+ *  - ST_3DDistance: minimum euclidean XYZ distance (JTS Distance3DOp;
+ *    missing Z treated as 0, PostGIS behavior).
+ *  - ST_3DLength / ST_3DPerimeter: arc length / ring perimeter summed with
+ *    the Z deltas included; Z-less input degrades to the 2D value.
+ *  - ST_ShiftLongitude: x < 0 -> x + 360 (the -180..180 <-> 0..360 toggle).
+ *  - ST_SwapOrdinates(geom, 'xy'|'xz'|'xm'|'yz'|'ym'|'zm'): exchanges the
+ *    named ordinate pair; referencing Z or M the geometry lacks is a loud
+ *    error (PostGIS lwgeom_swap_ordinates).
+ */
+object ThreeDFns {
+
+  private val B = BinaryType
+  private val D = DoubleType
+  private val S = StringType
+
+  private def fn(name: String, out: DataType, in: Seq[DataType]*)(eval: Array[Any] => Any): Unit =
+    FnRegistry.add(FnSpec(name, in.map(s => s.length -> s).toMap, out, _ => eval))
+
+  private def rg(a: Any): Geometry = a match {
+    case b: Array[Byte] => Geo.read(b)
+    case g: Geometry => g
+  }
+  private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+  private val f: GeometryFactory = Geo.factory
+
+  private def z(cs: CoordinateSequence, i: Int): Double = {
+    if (!cs.hasZ) return 0.0
+    val v = cs.getZ(i)
+    if (java.lang.Double.isNaN(v)) 0.0 else v
+  }
+
+  private def length3(cs: CoordinateSequence): Double = {
+    var total = 0.0
+    var i = 0
+    while (i < cs.size - 1) {
+      val dx = cs.getX(i + 1) - cs.getX(i)
+      val dy = cs.getY(i + 1) - cs.getY(i)
+      val dz = z(cs, i + 1) - z(cs, i)
+      total += math.sqrt(dx * dx + dy * dy + dz * dz)
+      i += 1
+    }
+    total
+  }
+
+  /** Sum of 3D lengths of every linear component. */
+  def length3d(g: Geometry): Double = g match {
+    case l: LineString => length3(l.getCoordinateSequence)
+    case c: GeometryCollection =>
+      var t = 0.0
+      (0 until c.getNumGeometries).foreach(i => t += length3d(c.getGeometryN(i)))
+      t
+    case _ => 0.0 // points and polygons have zero length (PostGIS)
+  }
+
+  /** Sum of 3D ring perimeters of every polygonal component. */
+  def perimeter3d(g: Geometry): Double = g match {
+    case p: Polygon =>
+      var t = length3(p.getExteriorRing.getCoordinateSequence)
+      (0 until p.getNumInteriorRing).foreach(i => t += length3(p.getInteriorRingN(i).getCoordinateSequence))
+      t
+    case c: GeometryCollection =>
+      var t = 0.0
+      (0 until c.getNumGeometries).foreach(i => t += perimeter3d(c.getGeometryN(i)))
+      t
+    case _ => 0.0
+  }
+
+  /** Swap the named ordinate pair; loud when the geometry lacks one. */
+  def swapOrdinates(g: Geometry, spec: String): Geometry = {
+    val s = spec.toLowerCase
+    if (s.length != 2 || s.exists(c => "xyzm".indexOf(c) < 0) || s(0) == s(1))
+      throw new IllegalArgumentException(
+        s"ST_SwapOrdinates: spec must name two distinct ordinates from x,y,z,m — got '$spec'")
+    val ed = new GeometryEditor(f)
+    ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+        def idx(c: Char): Int = c match {
+          case 'x' => 0
+          case 'y' => 1
+          case 'z' =>
+            if (!cs.hasZ) throw new IllegalArgumentException(
+              "ST_SwapOrdinates: geometry has no Z ordinate")
+            2
+          case 'm' =>
+            if (!cs.hasM) throw new IllegalArgumentException(
+              "ST_SwapOrdinates: geometry has no M ordinate")
+            if (cs.hasZ) 3 else 2
+        }
+        val i0 = idx(s(0)); val i1 = idx(s(1))
+        val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+        var i = 0
+        while (i < cs.size) {
+          var d = 0
+          while (d < cs.getDimension) {
+            val src = if (d == i0) i1 else if (d == i1) i0 else d
+            out.setOrdinate(i, d, cs.getOrdinate(i, src))
+            d += 1
+          }
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
+  /** x < 0 -> x + 360 on every coordinate (PostGIS ST_ShiftLongitude). */
+  def shiftLongitude(g: Geometry): Geometry = {
+    val ed = new GeometryEditor(f)
+    ed.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, geom: Geometry): CoordinateSequence = {
+        val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+        var i = 0
+        while (i < cs.size) {
+          val x = cs.getX(i)
+          out.setOrdinate(i, 0, if (x < 0) x + 360.0 else x)
+          var d = 1
+          while (d < cs.getDimension) { out.setOrdinate(i, d, cs.getOrdinate(i, d)); d += 1 }
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
+  def load(): Unit = {
+    fn("st_3ddistance", D, Seq(B, B))(a => Distance3DOp.distance(rg(a(0)), rg(a(1))))
+    fn("st_3dlength", D, Seq(B))(a => length3d(rg(a(0))))
+    fn("st_3dperimeter", D, Seq(B))(a => perimeter3d(rg(a(0))))
+    fn("st_shiftlongitude", B, Seq(B))(a => w(shiftLongitude(rg(a(0)))))
+    fn("st_swapordinates", B, Seq(B, S))(a =>
+      w(swapOrdinates(rg(a(0)), a(1).asInstanceOf[UTF8String].toString)))
+  }
+}

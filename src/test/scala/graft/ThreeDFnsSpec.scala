@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, LineString}
+import graft.functions.ThreeDFns
+import graft.geom.Geo
+
+class ThreeDFnsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val f: GeometryFactory = Geo.factory
+
+  private def sql1(q: String): Any = spark.sql(s"SELECT $q").collect()(0).get(0)
+
+  private def lineZ(pts: (Double, Double, Double)*): LineString =
+    f.createLineString(pts.map { case (x, y, zz) => new Coordinate(x, y, zz) }.toArray)
+
+  test("3D length and perimeter include the Z deltas; 2D input degrades") {
+    // 3-4-12 box: sqrt(3^2+4^2+12^2) = 13
+    assert(ThreeDFns.length3d(lineZ((0, 0, 0), (3, 4, 12))) == 13.0)
+    // 2D line has Z = NaN -> treated as 0
+    val flat = f.createLineString(Array(new Coordinate(0, 0), new Coordinate(3, 4)))
+    assert(ThreeDFns.length3d(flat) == 5.0)
+    // perimeter of a tilted unit square in the x=z plane: each side sqrt(2) or 1
+    val p = f.createPolygon(Array(
+      new Coordinate(0, 0, 0), new Coordinate(1, 0, 1),
+      new Coordinate(1, 1, 1), new Coordinate(0, 1, 0), new Coordinate(0, 0, 0)))
+    assert(math.abs(ThreeDFns.perimeter3d(p) - (2 + 2 * math.sqrt(2))) < 1e-12)
+    assert(ThreeDFns.perimeter3d(lineZ((0, 0, 0), (1, 1, 1))) == 0.0)
+    assert(ThreeDFns.length3d(p) == 0.0)
+  }
+
+  test("SQL surface: st_3ddistance / st_3dlength / st_3dperimeter") {
+    // vertical offset between two points: pure-Z distance
+    assert(sql1("st_3ddistance(st_point3d(0d,0d,0d), st_point3d(0d,0d,7d))") == 7.0)
+    // 2D distance ignores Z; 3D includes it
+    assert(sql1("st_distance(st_point3d(0d,0d,0d), st_point3d(3d,4d,12d))") == 5.0)
+    assert(sql1("st_3ddistance(st_point3d(0d,0d,0d), st_point3d(3d,4d,12d))") == 13.0)
+    assert(sql1("st_3dlength(st_geomfromtext('LINESTRING Z (0 0 0, 3 4 12)'))") == 13.0)
+    assert(sql1("st_3dperimeter(st_geomfromtext('POLYGON Z ((0 0 0, 1 0 1, 1 1 1, 0 1 0, 0 0 0))'))")
+      .asInstanceOf[Double] - (2 + 2 * math.sqrt(2)) < 1e-12)
+  }
+
+  test("shiftLongitude toggles negative longitudes by +360") {
+    assert(sql1("st_astext(st_shiftlongitude(st_point(-170.0d, 10.0d)))").toString == "POINT (190 10)")
+    assert(sql1("st_astext(st_shiftlongitude(st_point(170.0d, 10.0d)))").toString == "POINT (170 10)")
+    // Z carried through
+    assert(sql1("st_z(st_shiftlongitude(st_point3d(-10d, 0d, 5d)))") == 5.0)
+  }
+
+  test("swapOrdinates exchanges named pairs and is loud on missing ordinates") {
+    assert(sql1("st_astext(st_swapordinates(st_point(1.0d, 2.0d), 'xy'))").toString == "POINT (2 1)")
+    assert(sql1("st_astext(st_swapordinates(st_geomfromtext('LINESTRING Z (1 2 3, 4 5 6)'), 'yz'))").toString
+      == "LINESTRING Z (1 3 2, 4 6 5)")
+    // M-swap through the WKB path
+    assert(sql1("st_m(st_swapordinates(st_force4d(st_point(1.0d, 2.0d), 0.0d, 9.0d), 'xm'))") == 1.0)
+    val e = intercept[Exception](sql1("st_swapordinates(st_point(1.0d, 2.0d), 'xz')"))
+    assert(e.getMessage.contains("no Z") || e.getCause != null)
+    intercept[Exception](sql1("st_swapordinates(st_point(1.0d, 2.0d), 'xx')"))
+  }
+}
