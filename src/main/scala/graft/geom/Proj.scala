@@ -288,6 +288,22 @@ object Proj {
   /** Monte Mario / Rome 1940 (Italy) → WGS84 — the IGM 7-parameter set. */
   val DatumMonteMario = Datum(Intl1924,
     Some(Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)))
+
+  // ----- batch-8 datums (round 11): South America, Indonesia, Levant.
+  /** Indonesian National Spheroid (EPSG:7021). */
+  val IndonesianNs = Ellipsoid(6378160.0, 298.247)
+  /** ID74 (Indonesia 1974) → WGS84 — published 3-parameter. */
+  val DatumId74 = Datum(IndonesianNs, Some(Helmert(-24, -15, 5, 0, 0, 0, 0)))
+  /** Bogota 1975 (Colombia) → WGS84 — published 3-parameter. */
+  val DatumBogota = Datum(Intl1924, Some(Helmert(307, 304, -318, 0, 0, 0, 0)))
+  /** Clarke 1880 (Benoit) (EPSG:7010) — defined by a and b. */
+  val Clarke1880Benoit = Ellipsoid(6378300.789, 6378300.789 / (6378300.789 - 6356566.435))
+  /** Palestine 1923 → WGS84 — published 3-parameter. */
+  val DatumPalestine = Datum(Clarke1880Benoit, Some(Helmert(-275.722, 94.7824, 340.8944, 0, 0, 0, 0)))
+  /** GRS 1980 Authalic Sphere (EPSG:7048); like the US National Atlas
+   *  sphere, the sphere itself is the approximation — no shift. */
+  val SphereGrs80Authalic = Ellipsoid(6371007.0, Double.PositiveInfinity)
+  val DatumGrs80Sphere = Datum(SphereGrs80Authalic, None)
   /** The US National Atlas authalic sphere carries no shift (the sphere
    *  itself is the approximation — PROJ publishes towgs84=0,0,0 for it). */
   val DatumAtlasSphere = Datum(Sphere6370997, None)
@@ -2384,8 +2400,68 @@ object Proj {
         DatumMonteMario, probe = (15.2, 41.9)))
     val batch7 = seAsia ++ tm3 ++ prs92 ++ india ++ midEast ++ africa ++ capeLo ++ italy
 
+    // ------------------------- EPSG batch 8 (round 11): Antarctic science
+    // grids, Conus Albers realizations, SAD69/ID74/Bogota legacy zones,
+    // NTF Corse, ED50 offshore TM, Palestine grids. Parameters from the
+    // public EPSG dataset; datum accuracy classes on the batch-8 Datum*.
+    val batch8 = Map(
+      // WGS 84 Antarctic pair (AAD standard grids)
+      "EPSG:3032" -> Crs("WGS 84 / Australian Antarctic Polar Stereographic",
+        new PolarStereo(Wgs84, -71, 70, 6000000, 6000000, north = false), w, (70, -68),
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 +x_0=6000000 +y_0=6000000 +ellps=WGS84 +units=m +no_defs"),
+      "EPSG:3033" -> lcc("WGS 84 / Australian Antarctic Lambert", -68.5, -74.5, -50, 70,
+        6000000, 6000000, w, probe = (70, -68)),
+      // Conus Albers on the later NAD83 realizations (EPSG reuses the
+      // conversion verbatim; realizations agree at this chain's class)
+      "EPSG:5071" -> alb("NAD83(HARN) / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
+      "EPSG:5072" -> alb("NAD83(NSRS2007) / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
+      // the deprecated spelling of the 29902 grid (legacy Irish data)
+      "EPSG:29900" -> tm("TM65 / Irish National Grid", 53.5, -8, 1.000035, 200000, 250000,
+        DatumTm75, probe = (-6.26, 53.35)),
+      // eqc on the GRS80 authalic sphere (4087's sphere sibling)
+      "EPSG:4088" -> Crs("World Equidistant Cylindrical (Sphere)",
+        new EquidistantCyl(SphereGrs80Authalic, 0, 0, 0, 0), DatumGrs80Sphere, (10, 55),
+        "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +R=6371007 +units=m +no_defs"),
+      // NTF (Paris) Lambert Corse: the fourth conic the 27561-63 family left
+      // out, plus its carto (zone IV) false-northing spelling
+      "EPSG:27564" -> lcc1("NTF (Paris) / Lambert Corse", 42.165, parisLon, 0.99994471,
+        234.358, 185861.369, DatumNtf, probe = (9.1, 42.2)),
+      "EPSG:27574" -> lcc1("NTF (Paris) / Lambert zone IV", 42.165, parisLon, 0.99994471,
+        234.358, 4185861.369, DatumNtf, probe = (9.1, 42.2)),
+      // ED50 offshore TM belts (North Sea exploration grids)
+      "EPSG:23090" -> tm("ED50 / TM 0 N", 0, 0, 0.9996, 500000, 0, DatumEd50, probe = (1.5, 57)),
+      "EPSG:23095" -> tm("ED50 / TM 5 NE", 0, 5, 0.9996, 500000, 0, DatumEd50, probe = (6.0, 55)),
+      // EST92: the same national Lambert conversion as 3301 on the earlier
+      // ETRS89-aligned realization (grid-identical at this chain's class)
+      "EPSG:3300" -> lcc("Estonian Coordinate System of 1992", dms(59, 20), 58,
+        dms(57, 31, 3.19415), 24, 500000, 6375000, probe = (24.75, 59.43)),
+      // Palestine 1923: the Cassini-Soldner survey grid and its TM belt twin
+      "EPSG:28191" -> Crs("Palestine 1923 / Palestine Grid",
+        new CassiniSoldner(Clarke1880Benoit, dms(31, 44, 2.749), dms(35, 12, 43.49),
+          170251.555, 126867.909), DatumPalestine, (35.2, 31.8),
+        s"+proj=cass +lat_0=${fmtP(dms(31, 44, 2.749))} +lon_0=${fmtP(dms(35, 12, 43.49))} " +
+          s"+x_0=170251.555 +y_0=126867.909 ${datumTags(DatumPalestine)} +units=m +no_defs"),
+      "EPSG:28192" -> tm("Palestine 1923 / Palestine Belt", dms(31, 44, 2.749),
+        dms(35, 12, 43.49), 1.0, 170251.555, 1126867.909, DatumPalestine, probe = (35.2, 31.8))
+    ) ++ (0 to 3).map { i =>
+      // Bogota 1975 TM zones: 3-degree belts off the Bogota origin meridian
+      val names = Seq("Colombia West zone", "Colombia Bogota zone", "Colombia East Central zone", "Colombia East zone")
+      val lon0 = dms(-74, 4, 51.3) + 3.0 * (i - 1)
+      s"EPSG:${21896 + i}" -> tm(s"Bogota 1975 / ${names(i)}", dms(4, 35, 56.57), lon0,
+        1.0, 1000000, 1000000, DatumBogota, probe = (lon0 + 0.3, 5.0))
+    }.toMap ++ (18 to 22).map { z =>
+      s"EPSG:${29150 + z}" -> utmCrs(s"EPSG:${29150 + z}", s"SAD69 / UTM zone ${z}N", z,
+        south = false, DatumSad69, probeLat = 3.0)
+    } ++ (17 to 25).map { z =>
+      s"EPSG:${29170 + z}" -> utmCrs(s"EPSG:${29170 + z}", s"SAD69 / UTM zone ${z}S", z,
+        south = true, DatumSad69, probeLat = -10.0)
+    } ++ (46 to 53).map { z =>
+      s"EPSG:${23800 + z}" -> utmCrs(s"EPSG:${23800 + z}", s"ID74 / UTM zone ${z}N", z,
+        south = false, DatumId74, probeLat = 2.0)
+    }
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2939,7 +3015,11 @@ object Proj {
     "EPSG:4307" -> (("Nord Sahara 1959", DatumNordSahara)),
     "EPSG:4223" -> (("Carthage", DatumCarthage)),
     "EPSG:4261" -> (("Merchich", DatumMerchich)),
-    "EPSG:4265" -> (("Monte Mario", DatumMonteMario)))
+    "EPSG:4265" -> (("Monte Mario", DatumMonteMario)),
+    // batch 8 (round 11)
+    "EPSG:4238" -> (("ID74", DatumId74)),
+    "EPSG:4218" -> (("Bogota 1975", DatumBogota)),
+    "EPSG:4281" -> (("Palestine 1923", DatumPalestine)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the

@@ -71,7 +71,10 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4307" -> ((3.0, 28.0)),     // Nord Sahara 1959: Algeria
       "EPSG:4223" -> ((10.0, 36.0)),    // Carthage: Tunisia
       "EPSG:4261" -> ((-6.0, 33.0)),    // Merchich: Morocco
-      "EPSG:4265" -> ((12.5, 42.0)))    // Monte Mario: Italy
+      "EPSG:4265" -> ((12.5, 42.0)),    // Monte Mario: Italy
+      "EPSG:4238" -> ((110.0, -7.0)),   // ID74: Indonesia
+      "EPSG:4218" -> ((-74.0, 4.6)),    // Bogota 1975: Colombia
+      "EPSG:4281" -> ((35.2, 31.8)))    // Palestine 1923: Levant
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -1225,6 +1228,66 @@ class ProjRegistrySpec extends AnyFunSuite {
     val reparsed = Proj.fromProjString(graft.io.GeoMeta.proj4FromWkt1(wkt)).get
     val (rx, ry) = reparsed.proj.forward(172.739194, -34.444066)
     assert(math.abs(rx - wx) < 1e-6 && math.abs(ry - wy) < 1e-6)
+  }
+
+  test("round-11 batch-8: Antarctic, Conus Albers realizations, SAD69/ID74/Bogota, Corse, Palestine") {
+    def fwd(code: String, lon: Double, lat: Double): (Double, Double) = {
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code missing"))
+      crs.proj.forward(lon, lat)
+    }
+    // exact anchors at each projection's natural origin
+    val (px, py) = fwd("EPSG:3032", 70, -90) // the pole maps to the false origin
+    assert(math.abs(px - 6000000) < 1e-6 && math.abs(py - 6000000) < 1e-6, s"AAD PS ($px,$py)")
+    val (lx, ly) = fwd("EPSG:3033", 70, -50)
+    assert(math.abs(lx - 6000000) < 1e-6 && math.abs(ly - 6000000) < 1e-6, s"AAD LCC ($lx,$ly)")
+    // on the central meridian x stays pinned to the false easting
+    val (cx, _) = fwd("EPSG:3032", 70, -68)
+    assert(math.abs(cx - 6000000) < 1e-6, s"AAD PS central meridian $cx")
+    val paris = 2 + 20 / 60.0 + 14.025 / 3600
+    val (ox, oy) = fwd("EPSG:27564", paris, 42.165)
+    assert(math.abs(ox - 234.358) < 1e-6 && math.abs(oy - 185861.369) < 1e-6, s"Corse ($ox,$oy)")
+    val (zx, zy) = fwd("EPSG:27574", paris, 42.165)
+    assert(math.abs(zx - 234.358) < 1e-6 && math.abs(zy - 4185861.369) < 1e-6, s"zone IV ($zx,$zy)")
+    val (tx, ty) = fwd("EPSG:23090", 0, 0)
+    assert(math.abs(tx - 500000) < 1e-6 && math.abs(ty) < 1e-6, s"ED50 TM 0 N ($tx,$ty)")
+    val (gx, gy) = fwd("EPSG:28191", 35 + 12 / 60.0 + 43.49 / 3600, 31 + 44 / 60.0 + 2.749 / 3600)
+    assert(math.abs(gx - 170251.555) < 1e-6 && math.abs(gy - 126867.909) < 1e-6, s"Palestine Grid ($gx,$gy)")
+    val (bx, by) = fwd("EPSG:28192", 35 + 12 / 60.0 + 43.49 / 3600, 31 + 44 / 60.0 + 2.749 / 3600)
+    assert(math.abs(bx - 170251.555) < 1e-6 && math.abs(by - 1126867.909) < 1e-6, s"Palestine Belt ($bx,$by)")
+    val (mx, my) = fwd("EPSG:21897", -(74 + 4 / 60.0 + 51.3 / 3600), 4 + 35 / 60.0 + 56.57 / 3600)
+    assert(math.abs(mx - 1000000) < 1e-6 && math.abs(my - 1000000) < 1e-6, s"Bogota zone ($mx,$my)")
+    val (ux, uy) = fwd("EPSG:29193", -45, 0) // SAD69 / UTM 23S equator on the CM
+    assert(math.abs(ux - 500000) < 1e-6 && math.abs(uy - 10000000) < 1e-6, s"SAD69 23S ($ux,$uy)")
+    val (ix, iy) = fwd("EPSG:23847", 99, 0) // ID74 / UTM 47N
+    assert(math.abs(ix - 500000) < 1e-6 && math.abs(iy) < 1e-6, s"ID74 47N ($ix,$iy)")
+    // eqc on the authalic sphere: x = R * lambda exactly
+    val (sx2, sy2) = fwd("EPSG:4088", 90, 0)
+    assert(math.abs(sx2 - 6371007.0 * math.Pi / 2) < 1e-6 && math.abs(sy2) < 1e-6, s"4088 ($sx2,$sy2)")
+
+    // grid-identical twins (same conversion, different datum realization tag)
+    for ((a, b) <- Seq(("EPSG:5071", "EPSG:5070"), ("EPSG:5072", "EPSG:5070"),
+                       ("EPSG:29900", "EPSG:29902"), ("EPSG:3300", "EPSG:3301"))) {
+      val (ax, ay) = fwd(a, Proj.lookup(a).get.probe._1, Proj.lookup(a).get.probe._2)
+      val (bx2, by2) = fwd(b, Proj.lookup(a).get.probe._1, Proj.lookup(a).get.probe._2)
+      assert(math.abs(ax - bx2) < 1e-9 && math.abs(ay - by2) < 1e-9, s"$a != $b grid")
+    }
+
+    // textbook datum displacements at home-region cities
+    def displacement(code: String, lon: Double, lat: Double): Double = {
+      val crs = Proj.lookup(code).get
+      val (lo, la) = crs.datum.fromWgs84(lon, lat)
+      val (x1, y1) = crs.proj.forward(lo, la)
+      val (x2, y2) = crs.proj.forward(lon, lat)
+      math.hypot(x1 - x2, y1 - y2)
+    }
+    val dBogota = displacement("EPSG:21897", -74.08, 4.61) // Bogota
+    assert(dBogota > 200 && dBogota < 700, s"Bogota 1975 displacement $dBogota m")
+    val dJakarta = displacement("EPSG:23848", 106.85, -6.2) // Jakarta, ID74
+    assert(dJakarta > 5 && dJakarta < 80, s"ID74 displacement $dJakarta m")
+    val dJerusalem = displacement("EPSG:28191", 35.21, 31.78) // Palestine 1923
+    assert(dJerusalem > 150 && dJerusalem < 700, s"Palestine displacement $dJerusalem m")
+    val dSaoPaulo = displacement("EPSG:29193", -46.6, -23.5) // SAD69
+    assert(dSaoPaulo > 20 && dSaoPaulo < 150, s"SAD69 displacement $dSaoPaulo m")
   }
 
   test("round-11 batch-7: SE/South Asia, Middle East, Africa, Italy grids") {
