@@ -2681,6 +2681,29 @@ object SparkEntry {
              st_x(st_swapordinates(st_point(cast(ai AS DOUBLE), cast(bi AS DOUBLE)), 'xy')) + 0.0d AS swx
       FROM src ORDER BY k"""),
 
+    // Vertex editors + envelope expand (round 11): integer-coordinate WKT
+    // round-trips are exact strings on both engines (q_wkt_roundtrip
+    // precedent), so every edited line compares hash-exact as text.
+    "q_vertex_edit" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(l_partkey % 50 AS INT) AS a,
+               cast(l_suppkey % 50 AS INT) AS b,
+               cast(l_linenumber AS INT) AS c
+        FROM lineitem),
+      g AS (SELECT k, a, b, c,
+                   st_geomfromtext('LINESTRING (0 0, ' || a || ' ' || b || ', 50 0)') AS l
+            FROM src)
+      SELECT k,
+             st_astext(st_addpoint(l, st_point(cast(a + 1 AS DOUBLE), cast(b + 2 AS DOUBLE)))) AS added,
+             st_astext(st_addpoint(l, st_point(9.0d, 9.0d), 1)) AS inserted,
+             st_astext(st_setpoint(l, -2, st_point(cast(c AS DOUBLE), cast(c AS DOUBLE)))) AS setp,
+             st_astext(st_removepoint(l, 1)) AS removed,
+             st_xmin(st_expand(st_point(cast(a AS DOUBLE), cast(b AS DOUBLE)), cast(c AS DOUBLE))) + 0.0d AS ex0,
+             st_ymax(st_expand(st_point(cast(a AS DOUBLE), cast(b AS DOUBLE)),
+                               cast(c AS DOUBLE), cast(c + 2 AS DOUBLE))) + 0.0d AS ey1
+      FROM g ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -5008,6 +5031,24 @@ object SparkEntry {
              (((sqrt(CAST(ai*ai + zi*zi AS DOUBLE)) + bi) + sqrt(CAST(ai*ai + zi*zi AS DOUBLE))) + bi) + 0.0 AS per3,
              CAST(CASE WHEN loni < 0 THEN loni + 360 ELSE loni END AS DOUBLE) + 0.0 AS shx,
              CAST(bi AS DOUBLE) + 0.0 AS swx
+      FROM src ORDER BY k""",
+
+    // Vertex edits in closed form: the edited lines are integer-coordinate
+    // WKT strings assembled directly.
+    "q_vertex_edit" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 50 AS INT) AS a,
+               CAST(l_suppkey % 50 AS INT) AS b,
+               CAST(l_linenumber AS INT) AS c
+        FROM lineitem)
+      SELECT k,
+             'LINESTRING (0 0, ' || a || ' ' || b || ', 50 0, ' || (a + 1) || ' ' || (b + 2) || ')' AS added,
+             'LINESTRING (0 0, 9 9, ' || a || ' ' || b || ', 50 0)' AS inserted,
+             'LINESTRING (0 0, ' || c || ' ' || c || ', 50 0)' AS setp,
+             'LINESTRING (0 0, 50 0)' AS removed,
+             CAST(a - c AS DOUBLE) + 0.0 AS ex0,
+             CAST(b + c + 2 AS DOUBLE) + 0.0 AS ey1
       FROM src ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info

@@ -1628,6 +1628,59 @@ object GeoFns {
     }
     gG("st_normalize")(g => { val c = g.copy(); c.normalize(); c })
     gG("st_reverse")(_.reverse())
+
+    // ---- vertex editors (PostGIS ST_AddPoint/ST_SetPoint/ST_RemovePoint).
+    // LINESTRING only, like PostGIS; ST_SetPoint accepts negative indexes
+    // counted from the end; all out-of-range indexes fail loudly.
+    def lineCoords(g: Geometry, who: String): Array[Coordinate] = g match {
+      case l: LineString => l.getCoordinates
+      case other => throw new IllegalArgumentException(
+        s"$who expects a LINESTRING, got ${other.getGeometryType}")
+    }
+    def pointCoord(g: Geometry, who: String): Coordinate = g match {
+      case p: Point => p.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"$who expects a POINT, got ${other.getGeometryType}")
+    }
+    fn("st_addpoint", B, Seq(B, B), Seq(B, B, I)) { a =>
+      val cs = lineCoords(rg(a(0)), "ST_AddPoint")
+      val pt = pointCoord(rg(a(1)), "ST_AddPoint")
+      val pos = if (a.length > 2) int(a(2)) else -1
+      val at = if (pos == -1) cs.length else pos
+      if (at < 0 || at > cs.length)
+        throw new IllegalArgumentException(s"ST_AddPoint: index $pos outside [0, ${cs.length}] (-1 appends)")
+      w(f.createLineString(cs.take(at) ++ Array(pt) ++ cs.drop(at)))
+    }
+    fn("st_setpoint", B, Seq(B, I, B)) { a =>
+      val cs = lineCoords(rg(a(0)), "ST_SetPoint")
+      val pt = pointCoord(rg(a(2)), "ST_SetPoint")
+      val pos0 = int(a(1))
+      val pos = if (pos0 < 0) cs.length + pos0 else pos0
+      if (pos < 0 || pos >= cs.length)
+        throw new IllegalArgumentException(s"ST_SetPoint: index $pos0 outside the line's ${cs.length} points")
+      w(f.createLineString(cs.updated(pos, pt)))
+    }
+    fn("st_removepoint", B, Seq(B, I)) { a =>
+      val cs = lineCoords(rg(a(0)), "ST_RemovePoint")
+      val pos = int(a(1))
+      if (pos < 0 || pos >= cs.length)
+        throw new IllegalArgumentException(s"ST_RemovePoint: index $pos outside the line's ${cs.length} points")
+      if (cs.length <= 2)
+        throw new IllegalArgumentException("ST_RemovePoint: cannot remove a point from a 2-point line")
+      w(f.createLineString(cs.take(pos) ++ cs.drop(pos + 1)))
+    }
+    // envelope grown by dx/dy (PostGIS ST_Expand — the cheap radius-join
+    // prefilter: expand one side's box instead of buffering the geometry)
+    fn("st_expand", B, Seq(B, D), Seq(B, D, D)) { a =>
+      val g = rg(a(0))
+      if (g.isEmpty) w(g)
+      else {
+        val e = g.getEnvelopeInternal
+        val dx = dbl(a(1))
+        val dy = if (a.length > 2) dbl(a(2)) else dbl(a(1))
+        w(Geo.box(e.getMinX - dx, e.getMinY - dy, e.getMaxX + dx, e.getMaxY + dy))
+      }
+    }
     fn("st_reduceprecision", B, Seq(B, D)) { a =>
       val grid = dbl(a(1))
       require(grid > 0, "ST_ReducePrecision: grid size must be > 0")

@@ -437,6 +437,26 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 5)
   }
 
+  test("vertex editors: st_addpoint / st_setpoint / st_removepoint / st_expand") {
+    assert(sql1("st_astext(st_addpoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_point(4.0d, 4.0d)))")
+      .toString == "LINESTRING (0 0, 2 2, 4 4)")
+    assert(sql1("st_astext(st_addpoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_point(1.0d, 1.0d), 1))")
+      .toString == "LINESTRING (0 0, 1 1, 2 2)")
+    assert(sql1("st_astext(st_setpoint(st_geomfromtext('LINESTRING (0 0, 2 2, 4 4)'), -1, st_point(9.0d, 9.0d)))")
+      .toString == "LINESTRING (0 0, 2 2, 9 9)")
+    assert(sql1("st_astext(st_removepoint(st_geomfromtext('LINESTRING (0 0, 2 2, 4 4)'), 1))")
+      .toString == "LINESTRING (0 0, 4 4)")
+    // expand grows the envelope; the asymmetric form takes dx/dy
+    assert(sql1("st_astext(st_expand(st_point(1.0d, 2.0d), 3.0d))").toString ==
+      "POLYGON ((-2 -1, -2 5, 4 5, 4 -1, -2 -1))")
+    assert(sql1("st_xmax(st_expand(st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d), 1.0d, 5.0d))") == 3.0)
+    assert(sql1("st_ymax(st_expand(st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d), 1.0d, 5.0d))") == 7.0)
+    // loud failures
+    intercept[Exception](sql1("st_removepoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), 0)"))
+    intercept[Exception](sql1("st_setpoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), 5, st_point(0.0d, 0.0d))"))
+    intercept[Exception](sql1("st_addpoint(st_point(0.0d, 0.0d), st_point(1.0d, 1.0d))"))
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
