@@ -2704,6 +2704,26 @@ object SparkEntry {
                                cast(c AS DOUBLE), cast(c + 2 AS DOUBLE))) + 0.0d AS ey1
       FROM g ORDER BY k"""),
 
+    // Collection-level DBSCAN (round 11): a fixed cluster topology over
+    // data-dependent coordinates — spacing e and gap position vary per row,
+    // but the trio/pair/noise structure is invariant by construction, and
+    // minpts toggles whether the sparse pair survives (eps = e + 0.5 keeps
+    // every decision margin >= 0.5 so float noise cannot flip an edge).
+    "q_dbscan_fn" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(1 + l_partkey % 3 AS DOUBLE) AS e,
+               cast(20 + l_suppkey % 20 AS DOUBLE) AS gp,
+               cast(2 + l_linenumber % 2 AS INT) AS mp
+        FROM lineitem)
+      SELECT k, mp,
+             array_join(st_clusterdbscan(
+               st_collect(array(st_point(0.0d, 0.0d), st_point(e, 0.0d), st_point(2.0d * e, 0.0d),
+                                st_point(gp, 0.0d), st_point(gp + e, 0.0d),
+                                st_point(gp + 3.0d * e + 10.0d, 0.0d))),
+               e + 0.5d, mp), ',', 'n') AS ids
+      FROM src ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -5050,6 +5070,14 @@ object SparkEntry {
              CAST(a - c AS DOUBLE) + 0.0 AS ex0,
              CAST(b + c + 2 AS DOUBLE) + 0.0 AS ey1
       FROM src ORDER BY k""",
+
+    // The invariant DBSCAN topology: minpts=2 keeps the pair as cluster 1,
+    // minpts=3 demotes it to noise (each pair member sees only 2 within eps).
+    "q_dbscan_fn" -> s"""
+      SELECT $K AS k,
+             CAST(2 + l_linenumber % 2 AS INT) AS mp,
+             CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,1,1,n' ELSE '0,0,0,n,n,n' END AS ids
+      FROM lineitem ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths

@@ -1,7 +1,8 @@
 package graft.functions
 
 import graft.geom.{Geo, Wkb}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.locationtech.jts.geom._
 import org.locationtech.jts.algorithm.distance.{DiscreteFrechetDistance, DiscreteHausdorffDistance}
@@ -347,6 +348,60 @@ object TopoFns {
     f.createGeometryCollection(groups.map(c => f.createGeometryCollection(c.toArray): Geometry).toArray)
   }
 
+  /** DBSCAN over a collection's members (the collection-level analogue of
+   *  PostGIS's ST_ClusterDBSCAN window function): returns one cluster id
+   *  per member IN MEMBER ORDER, null for noise. A member is core when at
+   *  least `minPts` members (itself included, PostGIS convention) lie
+   *  within `eps` (geometry distance); border members join their
+   *  lowest-index core neighbor; ids number clusters by first appearance.
+   *  Candidate pairs come from an STRtree, so sparse layouts stay
+   *  near-linear; the collected input is the scale bound, exactly as for
+   *  st_clusterwithin. */
+  def clusterDbscan(g: Geometry, eps: Double, minPts: Int): Array[Integer] = {
+    require(eps >= 0, s"ST_ClusterDBSCAN: eps must be >= 0, got $eps")
+    require(minPts >= 1, s"ST_ClusterDBSCAN: minpoints must be >= 1, got $minPts")
+    val ms = members(g)
+    val n = ms.length
+    val neigh = Array.fill(n)(List.empty[Int])
+    val tree = new STRtree()
+    ms.zipWithIndex.foreach { case (m, i) =>
+      if (!m.isEmpty) {
+        val e = new Envelope(m.getEnvelopeInternal); e.expandBy(eps)
+        tree.insert(e, Integer.valueOf(i))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    ms.zipWithIndex.foreach { case (m, i) =>
+      if (!m.isEmpty) {
+        val e = new Envelope(m.getEnvelopeInternal); e.expandBy(eps)
+        tree.query(e).asScala.foreach { o =>
+          val j = o.asInstanceOf[Integer].intValue()
+          if (j > i && m.isWithinDistance(ms(j), eps)) {
+            neigh(i) ::= j; neigh(j) ::= i
+          }
+        }
+      }
+    }
+    val core = Array.tabulate(n)(i => !ms(i).isEmpty && neigh(i).length + 1 >= minPts)
+    // union cores that are neighbors; border members attach afterwards
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); parent(i) = r; r }
+    def unite(i: Int, j: Int): Unit = { val a = find(i); val b = find(j); if (a != b) parent(math.max(a, b)) = math.min(a, b) }
+    for (i <- 0 until n if core(i); j <- neigh(i) if j > i && core(j)) unite(i, j)
+    val attach = Array.fill(n)(-1)
+    for (i <- 0 until n if !core(i)) {
+      val c = neigh(i).filter(core).sorted
+      if (c.nonEmpty) attach(i) = c.head
+    }
+    val idOf = scala.collection.mutable.Map.empty[Int, Int]
+    val out = new Array[Integer](n)
+    for (i <- 0 until n) {
+      val root = if (core(i)) find(i) else if (attach(i) >= 0) find(attach(i)) else -1
+      out(i) = if (root < 0) null else Integer.valueOf(idOf.getOrElseUpdate(root, idOf.size))
+    }
+    out
+  }
+
   def load(): Unit = {
     fn("st_unaryunion", B, Seq(B))(a => memo(30, a(0), 0)(w(UnaryUnionOp.union(rg(a(0))))))
     fn("st_polygonize", B, Seq(B))(a => memo(31, a(0), 0)(w(polygonize(rg(a(0))))))
@@ -402,5 +457,9 @@ object TopoFns {
     fn("st_clusterintersecting", B, Seq(B))(a => memo(38, a(0), 0)(w(cluster(rg(a(0)), 0.0))))
     fn("st_clusterwithin", B, Seq(B, D))(a =>
       memo(39, a(0), dbl(a(1)))(w(cluster(rg(a(0)), dbl(a(1))))))
+    fn("st_clusterdbscan", ArrayType(IntegerType), Seq(B, D, IntegerType)) { a =>
+      new GenericArrayData(clusterDbscan(rg(a(0)), dbl(a(1)),
+        a(2).asInstanceOf[Int]).asInstanceOf[Array[AnyRef]])
+    }
   }
 }

@@ -155,4 +155,26 @@ class TopoFnsSpec extends AnyFunSuite {
     // within 2.9: still two
     assert(sql1(s"st_ngeometries(st_clusterwithin($g, 2.9d))") == 2)
   }
+
+  test("clusterdbscan: member-order ids, border attachment, noise as null") {
+    def ids(pts: String, eps: Double, minPts: Int): Seq[Any] =
+      spark.sql(s"SELECT st_clusterdbscan(st_geomfromtext('MULTIPOINT ($pts)'), ${eps}d, $minPts)")
+        .collect()(0).getSeq[Any](0)
+    // two dense groups and one isolated point
+    assert(ids("0 0, 1 0, 2 0, 10 0, 11 0, 30 0", 1.5, 2) == Seq(0, 0, 0, 1, 1, null))
+    // minpts=4: the trio is all border-reachable? no — nobody has 4 within
+    // eps, so everything is noise
+    assert(ids("0 0, 1 0, 2 0, 10 0, 11 0, 30 0", 1.5, 4) == Seq(null, null, null, null, null, null))
+    // minpts=3: center of the trio is core (self + 2), edges are border and
+    // attach to it; the pair has only 2 within eps -> noise
+    assert(ids("0 0, 1 0, 2 0, 10 0, 11 0, 30 0", 1.5, 3) == Seq(0, 0, 0, null, null, null))
+    // chain-linked cores merge into one cluster
+    assert(ids("0 0, 1 0, 2 0, 3 0, 4 0", 1.0, 2) == Seq(0, 0, 0, 0, 0))
+    // ids number clusters by first appearance in member order
+    assert(ids("10 0, 11 0, 0 0, 1 0", 1.5, 2) == Seq(0, 0, 1, 1))
+    // minpts=1: every member is its own core; singletons get their own ids
+    assert(ids("0 0, 5 0", 1.0, 1) == Seq(0, 1))
+    intercept[Exception](sql1("st_clusterdbscan(st_point(0.0d, 0.0d), -1.0d, 2)"))
+    intercept[Exception](sql1("st_clusterdbscan(st_point(0.0d, 0.0d), 1.0d, 0)"))
+  }
 }
