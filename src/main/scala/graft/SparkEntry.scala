@@ -2724,6 +2724,27 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // Dump-family completion (round 11): rings of a holed polygon and
+    // segments of a 2-segment line — integer-WKT text compare.
+    "q_dump_parts" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(4 + l_partkey % 20 AS INT) AS a,
+               cast(4 + l_suppkey % 20 AS INT) AS b
+        FROM lineitem),
+      g AS (SELECT k, a, b,
+                   st_geomfromtext('POLYGON ((0 0, ' || a || ' 0, ' || a || ' ' || b || ', 0 ' || b ||
+                                   ', 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))') AS p,
+                   st_geomfromtext('LINESTRING (0 0, ' || a || ' 0, ' || a || ' ' || b || ')') AS l
+            FROM src)
+      SELECT k,
+             size(st_dumprings(p)) AS nr,
+             st_astext(st_dumprings(p)[0]) AS ring0,
+             st_astext(st_dumprings(p)[1]) AS ring1,
+             size(st_dumpsegments(l)) AS ns,
+             st_astext(st_dumpsegments(l)[1]) AS seg1
+      FROM g ORDER BY k"""),
+
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
     // its per-row-group bbox stats back through the st_layout_info TVF, and
     // let DuckDB's own parquet_metadata() confirm the SAME footer bytes —
@@ -5078,6 +5099,21 @@ object SparkEntry {
              CAST(2 + l_linenumber % 2 AS INT) AS mp,
              CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,1,1,n' ELSE '0,0,0,n,n,n' END AS ids
       FROM lineitem ORDER BY k""",
+
+    // Ring/segment dumps assembled directly as integer-WKT strings.
+    "q_dump_parts" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(4 + l_partkey % 20 AS INT) AS a,
+               CAST(4 + l_suppkey % 20 AS INT) AS b
+        FROM lineitem)
+      SELECT k,
+             2 AS nr,
+             'POLYGON ((0 0, ' || a || ' 0, ' || a || ' ' || b || ', 0 ' || b || ', 0 0))' AS ring0,
+             'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))' AS ring1,
+             2 AS ns,
+             'LINESTRING (' || a || ' 0, ' || a || ' ' || b || ')' AS seg1
+      FROM src ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths

@@ -1317,6 +1317,44 @@ object GeoFns {
         new GenericInternalRow(Array[Any](w(g), new GenericArrayData(path.map(x => x: Any))))
       }.toArray[Any])
     }
+    // PostGIS 3.2 dump-family completion. st_dumprings: exterior ring first,
+    // then interiors, each as a POLYGON (PostGIS shape); polygon inputs only.
+    // st_dumpsegments: every 2-point LINESTRING of every linear component
+    // and ring, in traversal order.
+    fn("st_dumprings", ArrayType(B), Seq(B)) { a =>
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      def walk(g: Geometry): Unit = g match {
+        case p: Polygon =>
+          out += w(f.createPolygon(p.getExteriorRing.getCoordinates))
+          (0 until p.getNumInteriorRing).foreach(i =>
+            out += w(f.createPolygon(p.getInteriorRingN(i).getCoordinates)))
+        case c: GeometryCollection => (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+        case other => throw new IllegalArgumentException(
+          s"ST_DumpRings expects polygonal input, got ${other.getGeometryType}")
+      }
+      walk(rg(a(0)))
+      new GenericArrayData(out.toArray)
+    }
+    fn("st_dumpsegments", ArrayType(B), Seq(B)) { a =>
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      def emit(cs: CoordinateSequence): Unit = {
+        var i = 0
+        while (i < cs.size - 1) {
+          out += w(f.createLineString(Array(cs.getCoordinate(i).copy(), cs.getCoordinate(i + 1).copy())))
+          i += 1
+        }
+      }
+      def walk(g: Geometry): Unit = g match {
+        case l: LineString => emit(l.getCoordinateSequence)
+        case p: Polygon =>
+          emit(p.getExteriorRing.getCoordinateSequence)
+          (0 until p.getNumInteriorRing).foreach(i => emit(p.getInteriorRingN(i).getCoordinateSequence))
+        case c: GeometryCollection => (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+        case _ => // points contribute no segments
+      }
+      walk(rg(a(0)))
+      new GenericArrayData(out.toArray)
+    }
     fn("st_collectionextract", B, Seq(B), Seq(B, I)) { a =>
       val g = rg(a(0))
       // reference semantics: a non-collection input passes through when the

@@ -457,6 +457,20 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](sql1("st_addpoint(st_point(0.0d, 0.0d), st_point(1.0d, 1.0d))"))
   }
 
+  test("dump family: st_dumprings / st_dumpsegments") {
+    val holed = "st_geomfromtext('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')"
+    assert(sql1(s"size(st_dumprings($holed))") == 2)
+    assert(sql1(s"st_astext(st_dumprings($holed)[0])").toString == "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))")
+    assert(sql1(s"st_astext(st_dumprings($holed)[1])").toString == "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    // segments walk rings too: 4 + 4 for the holed polygon
+    assert(sql1(s"size(st_dumpsegments($holed))") == 8)
+    assert(sql1("st_astext(st_dumpsegments(st_geomfromtext('LINESTRING (0 0, 3 0, 3 4)'))[1])")
+      .toString == "LINESTRING (3 0, 3 4)")
+    // multipolygon recursion; points contribute no segments
+    assert(sql1("size(st_dumpsegments(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))')))") == 1)
+    intercept[Exception](sql1("st_dumprings(st_point(0.0d, 0.0d))"))
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
