@@ -1514,6 +1514,22 @@ object GeoFns {
       val p1 = rg(a(0)).asInstanceOf[Point]; val p2 = rg(a(1)).asInstanceOf[Point]
       vincenty(p1.getX, p1.getY, p2.getX, p2.getY) <= dbl(a(2))
     }
+    // geodesic point projection (PostGIS geography ST_Project): travel
+    // `distance` meters from the point along the WGS84 geodesic at
+    // `azimuth` (radians clockwise from north, matching planar st_project).
+    // Axis order matches the rest of the *_spheroid family — x is LATITUDE
+    // (the reference feeds x straight into GeographicLib's lat slot,
+    // st_distance_spheroid.cpp:30) — so the result is POINT(lat2 lon2).
+    fn("st_project_spheroid", B, Seq(B, D, D)) { a =>
+      val p = rg(a(0)) match {
+        case pt: Point => pt
+        case g => throw new IllegalArgumentException(
+          s"ST_Project_Spheroid expects a POINT, got ${g.getGeometryType}")
+      }
+      val (lat2, lon2, _) =
+        graft.geom.Geodesic.Wgs84.direct(p.getX, p.getY, math.toDegrees(dbl(a(2))), dbl(a(1)))
+      w(Geo.point(lat2, lon2))
+    }
 
     // ---- predicates
     predicate("st_intersects", "intersects")

@@ -163,6 +163,33 @@ object LinearFns {
     })
   }
 
+  /** 3D affine (PostGIS 12-argument ST_Affine): x' = a x + b y + c z + xoff,
+   *  y' = d x + e y + f z + yoff, z' = g x + h y + i z + zoff. Z-less input
+   *  uses z = 0 and stays 2D (the z row is ignored); M carried through. */
+  def affine3d(geom: Geometry, a: Double, b: Double, c: Double,
+               d: Double, e: Double, f0: Double, g0: Double, h: Double, i0: Double,
+               xoff: Double, yoff: Double, zoff: Double): Geometry = {
+    val ed = new GeometryEditor(f)
+    ed.edit(geom, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: CoordinateSequence, gg: Geometry): CoordinateSequence = {
+        val out = f.getCoordinateSequenceFactory.create(cs.size, cs.getDimension, cs.getMeasures)
+        val zIdx = if (cs.hasZ) 2 else -1
+        var i = 0
+        while (i < cs.size) {
+          val x = cs.getX(i); val y = cs.getY(i)
+          val z = if (zIdx >= 0) { val v = cs.getZ(i); if (java.lang.Double.isNaN(v)) 0.0 else v } else 0.0
+          out.setOrdinate(i, 0, a * x + b * y + c * z + xoff)
+          out.setOrdinate(i, 1, d * x + e * y + f0 * z + yoff)
+          if (zIdx >= 0) out.setOrdinate(i, 2, g0 * x + h * y + i0 * z + zoff)
+          var dim = if (zIdx >= 0) 3 else 2
+          while (dim < cs.getDimension) { out.setOrdinate(i, dim, cs.getOrdinate(i, dim)); dim += 1 }
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
   def load(): Unit = {
     fn("st_lineinterpolatepoint", B, Seq(B, D))(a =>
       w(interpolate(lineOf(rg(a(0)), "ST_LineInterpolatePoint"), dbl(a(1)))))
@@ -194,8 +221,27 @@ object LinearFns {
             s"ST_Azimuth expects two POINTs, got ${g1.getGeometryType}, ${g2.getGeometryType}")
       }
     }
-    fn("st_affine", B, Seq(B, D, D, D, D, D, D))(a =>
-      w(affine(rg(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)))))
+    fn("st_affine", B, Seq(B, D, D, D, D, D, D),
+       Seq(B, D, D, D, D, D, D, D, D, D, D, D, D)) { a =>
+      if (a.length == 7)
+        w(affine(rg(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6))))
+      else
+        w(affine3d(rg(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)),
+          dbl(a(7)), dbl(a(8)), dbl(a(9)), dbl(a(10)), dbl(a(11)), dbl(a(12))))
+    }
+    // axis rotations (PostGIS ST_RotateX/Y/Z; angles in radians, CCW)
+    fn("st_rotatex", B, Seq(B, D)) { a =>
+      val c = math.cos(dbl(a(1))); val s = math.sin(dbl(a(1)))
+      w(affine3d(rg(a(0)), 1, 0, 0, 0, c, -s, 0, s, c, 0, 0, 0))
+    }
+    fn("st_rotatey", B, Seq(B, D)) { a =>
+      val c = math.cos(dbl(a(1))); val s = math.sin(dbl(a(1)))
+      w(affine3d(rg(a(0)), c, 0, s, 0, 1, 0, -s, 0, c, 0, 0, 0))
+    }
+    fn("st_rotatez", B, Seq(B, D)) { a =>
+      val c = math.cos(dbl(a(1))); val s = math.sin(dbl(a(1)))
+      w(affine(rg(a(0)), c, -s, s, c, 0.0, 0.0))
+    }
     fn("st_translate", B, Seq(B, D, D))(a =>
       w(affine(rg(a(0)), 1.0, 0.0, 0.0, 1.0, dbl(a(1)), dbl(a(2)))))
     fn("st_scale", B, Seq(B, D, D))(a =>

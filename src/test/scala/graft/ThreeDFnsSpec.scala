@@ -48,6 +48,52 @@ class ThreeDFnsSpec extends AnyFunSuite {
     assert(sql1("st_z(st_shiftlongitude(st_point3d(-10d, 0d, 5d)))") == 5.0)
   }
 
+  test("3D affine and axis rotations") {
+    // 12-arg affine: project onto z=0 then translate
+    assert(sql1(
+      """st_astext(st_affine(st_geomfromtext('POINT Z (1 2 3)'),
+           1d,0d,0d, 0d,1d,0d, 0d,0d,0d, 10d,20d,30d))""").toString == "POINT Z (11 22 30)")
+    // rotateX by pi/2: (y,z) -> (-z, y)
+    val p = spark.sql(
+      """SELECT st_x(g) AS x, st_y(g) AS y, st_z(g) AS z FROM
+         (SELECT st_rotatex(st_geomfromtext('POINT Z (5 1 2)'), acos(-1d) / 2) AS g)""").collect()(0)
+    assert(math.abs(p.getDouble(0) - 5) < 1e-12 && math.abs(p.getDouble(1) + 2) < 1e-12
+      && math.abs(p.getDouble(2) - 1) < 1e-12)
+    // rotateY by pi/2: (x,z) -> (z, -x)
+    val q = spark.sql(
+      """SELECT st_x(g) AS x, st_z(g) AS z FROM
+         (SELECT st_rotatey(st_geomfromtext('POINT Z (1 7 0)'), acos(-1d) / 2) AS g)""").collect()(0)
+    assert(math.abs(q.getDouble(0)) < 1e-12 && math.abs(q.getDouble(1) + 1) < 1e-12)
+    // rotatez == st_rotate
+    assert(sql1("st_astext(st_rotatez(st_point(1.0d, 0.0d), acos(-1d)))").toString ==
+      sql1("st_astext(st_rotate(st_point(1.0d, 0.0d), acos(-1d)))").toString)
+    // 2D input through the 12-arg form stays 2D
+    assert(sql1("st_astext(st_affine(st_point(1.0d, 2.0d), 2d,0d,0d, 0d,2d,0d, 0d,0d,1d, 0d,0d,0d))")
+      .toString == "POINT (2 4)")
+  }
+
+  test("st_project_spheroid travels the WGS84 geodesic (family x=lat order)") {
+    // east along the equator: the equator is a geodesic, one equatorial
+    // degree = a * pi/180 meters. Spheroid-family axis order: POINT(lat lon).
+    val r = spark.sql(
+      """SELECT st_x(g) AS lat, st_y(g) AS lon FROM
+         (SELECT st_project_spheroid(st_point(0.0d, 10.0d), 6378137.0d * acos(-1d) / 180.0d,
+                                     acos(-1d) / 2) AS g)""").collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9 && math.abs(r.getDouble(1) - 11.0) < 1e-9, r.toString)
+    // due north along a meridian: a quarter meridian lands on the pole
+    // (GeographicLib published quadrant 10001965.72931258 m)
+    val n = spark.sql(
+      """SELECT st_x(st_project_spheroid(st_point(0.0d, 7.0d), 10001965.72931258d, 0.0d)) AS lat""")
+      .collect()(0).getDouble(0)
+    assert(math.abs(n - 90.0) < 1e-7, s"quadrant lat $n")
+    // round trip: the family's own inverse distance recovers the input
+    val d = spark.sql(
+      """SELECT st_distance_spheroid(st_point(48.0d, 2.0d), g) AS d FROM
+         (SELECT st_project_spheroid(st_point(48.0d, 2.0d), 123456.0d, 0.7d) AS g)""")
+      .collect()(0).getDouble(0)
+    assert(math.abs(d - 123456.0) < 1e-3, s"round-trip distance $d")
+  }
+
   test("swapOrdinates exchanges named pairs and is loud on missing ordinates") {
     assert(sql1("st_astext(st_swapordinates(st_point(1.0d, 2.0d), 'xy'))").toString == "POINT (2 1)")
     assert(sql1("st_astext(st_swapordinates(st_geomfromtext('LINESTRING Z (1 2 3, 4 5 6)'), 'yz'))").toString
