@@ -76,6 +76,8 @@ object TopoFns {
     val ok = out match {
       case b: Array[Byte] => b.length <= memoMaxEntryBytes
       case _: java.lang.Double => true
+      // small immutable id arrays (st_clusterdbscan); bounded like bytes
+      case g: GenericArrayData => g.numElements <= 4096
       case _ => false
     }
     if (ok) {
@@ -458,8 +460,13 @@ object TopoFns {
     fn("st_clusterwithin", B, Seq(B, D))(a =>
       memo(39, a(0), dbl(a(1)))(w(cluster(rg(a(0)), dbl(a(1))))))
     fn("st_clusterdbscan", ArrayType(IntegerType), Seq(B, D, IntegerType)) { a =>
-      new GenericArrayData(clusterDbscan(rg(a(0)), dbl(a(1)),
-        a(2).asInstanceOf[Int]).asInstanceOf[Array[AnyRef]])
+      // content memo like the other collection kernels; eps and minpoints
+      // fold into one key dimension (minpoints is a small positive int, so
+      // the 2^20 stride can't collide with a real eps delta)
+      memo(43, a(0), dbl(a(1)) + a(2).asInstanceOf[Int] * 1048576.0) {
+        new GenericArrayData(clusterDbscan(rg(a(0)), dbl(a(1)),
+          a(2).asInstanceOf[Int]).asInstanceOf[Array[AnyRef]])
+      }
     }
   }
 }
