@@ -2442,7 +2442,19 @@ object Proj {
         s"+proj=cass +lat_0=${fmtP(dms(31, 44, 2.749))} +lon_0=${fmtP(dms(35, 12, 43.49))} " +
           s"+x_0=170251.555 +y_0=126867.909 ${datumTags(DatumPalestine)} +units=m +no_defs"),
       "EPSG:28192" -> tm("Palestine 1923 / Palestine Belt", dms(31, 44, 2.749),
-        dms(35, 12, 43.49), 1.0, 170251.555, 1126867.909, DatumPalestine, probe = (35.2, 31.8))
+        dms(35, 12, 43.49), 1.0, 170251.555, 1126867.909, DatumPalestine, probe = (35.2, 31.8)),
+      // Borneo UTM on the Timbalai datum already registered for RSO
+      "EPSG:29849" -> utmCrs("EPSG:29849", "Timbalai 1948 / UTM zone 49N", 49,
+        south = false, DatumTimbalai, probeLat = 4.0),
+      "EPSG:29850" -> utmCrs("EPSG:29850", "Timbalai 1948 / UTM zone 50N", 50,
+        south = false, DatumTimbalai, probeLat = 4.0),
+      // Iceland's current national Lambert (ISN93's ITRF2004 successor —
+      // same kernel family as 3057, different parallels/offsets)
+      "EPSG:5325" -> lcc("ISN2004 / Lambert 2004", 64.25, 65.75, 65, -19,
+        1700000, 300000, probe = (-19, 65)),
+      // the ESRI spelling of ellipsoidal world Mercator (= EPSG:3395 grid)
+      "ESRI:54004" -> Crs("World Mercator", new MercatorEll(Wgs84, 0, 0, 0), w, (10, 50),
+        "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs")
     ) ++ (0 to 3).map { i =>
       // Bogota 1975 TM zones: 3-degree belts off the Bogota origin meridian
       val names = Seq("Colombia West zone", "Colombia Bogota zone", "Colombia East Central zone", "Colombia East zone")
