@@ -3,7 +3,7 @@ package graft
 import graft.functions.{FnExpr, FnRegistry, GeoAggregates}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExpressionInfo, GetStructField, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
 import org.apache.spark.sql.types.{MapType, StringType}
 
@@ -74,6 +74,42 @@ object Graft {
       FnExpr("st_generatepoint", Seq(
         Literal(seed), range.output.head,
         Literal(minX), Literal(minY), Literal(maxX), Literal(maxY))), "point")()), range)
+  }
+
+  /** ST_SquareGrid table function (PostGIS ST_SquareGrid semantics:
+   *  origin-aligned cells covering the given bounds): one row per cell,
+   *  columns (i, j, geom). Distributed exactly like st_generatepoints —
+   *  a Range over the cell count + a per-index scalar kernel, so a
+   *  planet-scale grid materializes in parallel with no driver loop.
+   *  SQL: `SELECT i, j, geom FROM st_squaregrid(size, minx, miny, maxx, maxy)`. */
+  def squareGridPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5, "st_squaregrid(size, minx, miny, maxx, maxy)")
+    require(exprs.forall(_.foldable), "st_squaregrid arguments must be constants")
+    def d(e: Expression): Double = e.eval(null) match {
+      case x: Double => x
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+      case x: java.math.BigDecimal => x.doubleValue()
+      case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    }
+    val size = d(exprs.head)
+    val Seq(minX, minY, maxX, maxY) = exprs.drop(1).map(d)
+    require(size > 0, s"st_squaregrid: size must be > 0, got $size")
+    require(minX <= maxX && minY <= maxY, "st_squaregrid: inverted bounds")
+    val iMin = math.floor(minX / size).toLong
+    val iMax = math.floor(maxX / size).toLong
+    val jMin = math.floor(minY / size).toLong
+    val jMax = math.floor(maxY / size).toLong
+    val nx = iMax - iMin + 1
+    val count = nx * (jMax - jMin + 1)
+    require(count <= (1L << 40), s"st_squaregrid: $count cells — shrink the bounds or raise size")
+    val range = LRange(0, count, 1, None)
+    val cell = FnExpr("st_square_cell", Seq(
+      range.output.head, Literal(size), Literal(iMin), Literal(nx), Literal(jMin)))
+    Project(Seq(
+      Alias(GetStructField(cell, 0, Some("i")), "i")(),
+      Alias(GetStructField(cell, 1, Some("j")), "j")(),
+      Alias(GetStructField(cell, 2, Some("geom")), "geom")()), range)
   }
 
   /** ST_Read table function — the reference's replacement-scan UX
@@ -258,6 +294,8 @@ object Graft {
     if (!oursT(rm)) tfr.registerFunction(rm, new ExpressionInfo("graft", "st_read_meta"), stReadMetaPlan _)
     val li = org.apache.spark.sql.catalyst.FunctionIdentifier("st_layout_info")
     if (!oursT(li)) tfr.registerFunction(li, new ExpressionInfo("graft", "st_layout_info"), stLayoutInfoPlan _)
+    val sg = org.apache.spark.sql.catalyst.FunctionIdentifier("st_squaregrid")
+    if (!oursT(sg)) tfr.registerFunction(sg, new ExpressionInfo("graft", "st_squaregrid"), squareGridPlan _)
     val ci = org.apache.spark.sql.catalyst.FunctionIdentifier("st_crs_info")
     if (!oursT(ci)) tfr.registerFunction(ci, new ExpressionInfo("graft", "st_crs_info"), stCrsInfoPlan _)
   }
@@ -276,6 +314,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_generatepoints"),
       new ExpressionInfo("graft", "st_generatepoints"),
       Graft.generatePointsPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_squaregrid"),
+      new ExpressionInfo("graft", "st_squaregrid"),
+      Graft.squareGridPlan))
     ext.injectTableFunction((
       FunctionIdentifier("st_read"),
       new ExpressionInfo("graft", "st_read"),

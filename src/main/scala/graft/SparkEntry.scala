@@ -2724,6 +2724,13 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // Grid generator TVF (round 11): origin-aligned square cover of a fixed
+    // bbox; cells are integer-coordinate WKT so the compare is exact text.
+    "q_grid" -> q("lineitem")(s"""
+      SELECT i, j, st_astext(geom) AS cell
+      FROM st_squaregrid(7.0d, 3.0d, -5.0d, 100.0d, 40.0d)
+      ORDER BY i, j"""),
+
     // Dump-family completion (round 11): rings of a holed polygon and
     // segments of a 2-segment line — integer-WKT text compare.
     "q_dump_parts" -> q("lineitem")(s"""
@@ -5099,6 +5106,15 @@ object SparkEntry {
              CAST(2 + l_linenumber % 2 AS INT) AS mp,
              CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,1,1,n' ELSE '0,0,0,n,n,n' END AS ids
       FROM lineitem ORDER BY k""",
+
+    // The same origin-aligned cover via generate_series arithmetic.
+    "q_grid" -> """
+      SELECT i, j,
+             'POLYGON ((' || x0 || ' ' || y0 || ', ' || x0 || ' ' || y1 || ', ' ||
+               x1 || ' ' || y1 || ', ' || x1 || ' ' || y0 || ', ' || x0 || ' ' || y0 || '))' AS cell
+      FROM (SELECT i, j, i*7 AS x0, j*7 AS y0, (i+1)*7 AS x1, (j+1)*7 AS y1
+            FROM generate_series(0, 14) t(i) CROSS JOIN generate_series(-1, 5) u(j))
+      ORDER BY i, j""",
 
     // Ring/segment dumps assembled directly as integer-WKT strings.
     "q_dump_parts" -> s"""

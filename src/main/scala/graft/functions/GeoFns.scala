@@ -1921,6 +1921,44 @@ object GeoFns {
       val cy = size * 1.5 * r
       new GenericInternalRow(Array[Any](q, r, cx, cy))
     }
+    // Grid-cell constructors (PostGIS ST_Square / ST_Hexagon): the render
+    // half of the binning pair — GROUP BY st_tile_id / st_hexbin assigns,
+    // st_square / st_hexagon reconstruct the cell polygon from the id.
+    // Grids are origin-aligned (cell i spans [i*size, (i+1)*size)).
+    fn("st_square", B, Seq(D, L, L)) { a =>
+      val size = dbl(a(0)); val i = a(1).asInstanceOf[Long]; val j = a(2).asInstanceOf[Long]
+      require(size > 0, s"st_square: size must be > 0, got $size")
+      w(Geo.box(i * size, j * size, (i + 1) * size, (j + 1) * size))
+    }
+    // pointy-top axial hexagon matching st_hexbin's (q, r) addressing, so
+    // st_hexagon(size, q, r) is the polygon of st_hexbin's cell
+    fn("st_hexagon", B, Seq(D, L, L)) { a =>
+      val size = dbl(a(0)); val q = a(1).asInstanceOf[Long]; val r = a(2).asInstanceOf[Long]
+      require(size > 0, s"st_hexagon: size must be > 0, got $size")
+      val cx = size * math.sqrt(3.0) * (q + r / 2.0)
+      val cy = size * 1.5 * r
+      val pts = (0 to 6).map { k =>
+        val th = math.Pi / 6 + k * math.Pi / 3 // pointy-top: first vertex at 30°
+        new Coordinate(cx + size * math.cos(th), cy + size * math.sin(th))
+      }
+      w(f.createPolygon(pts.toArray))
+    }
+    // per-index cell of an origin-aligned square grid covering a bbox
+    // (the st_squaregrid TVF's row kernel; iMin/nx/jMin precomputed at plan
+    // time from the foldable bounds)
+    fn("st_square_cell",
+      StructType(Seq(StructField("i", L), StructField("j", L), StructField("geom", B))),
+      Seq(L, D, L, L, L)) { a =>
+      val idx = a(0).asInstanceOf[Long]
+      val size = dbl(a(1))
+      val iMin = a(2).asInstanceOf[Long]; val nx = a(3).asInstanceOf[Long]
+      val jMin = a(4).asInstanceOf[Long]
+      val i = iMin + idx % nx
+      val j = jMin + idx / nx
+      new GenericInternalRow(Array[Any](i, j,
+        w(Geo.box(i * size, j * size, (i + 1) * size, (j + 1) * size))))
+    }
+
     // optional 3rd arg: expand the envelope by a distance before tiling —
     // the st_dwithin tile-join shape (one side's tiles grow by d, the other
     // side's stay exact, so bbox-within-d pairs always share a tile)

@@ -471,6 +471,30 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](sql1("st_dumprings(st_point(0.0d, 0.0d))"))
   }
 
+  test("grid constructors: st_square / st_hexagon / st_squaregrid TVF") {
+    assert(sql1("st_astext(st_square(2.0d, 3, -1))").toString ==
+      "POLYGON ((6 -2, 6 0, 8 0, 8 -2, 6 -2))")
+    // st_hexagon renders the cell st_hexbin assigns: the cell center must be
+    // inside its own hexagon, and the probe point inside the cell it maps to
+    val r = spark.sql(
+      """SELECT st_contains(st_hexagon(3.0d, h.q, h.r), st_point(h.cx, h.cy)) AS c,
+                st_contains(st_hexagon(3.0d, h.q, h.r), st_point(10.0d, 7.0d)) AS p
+         FROM (SELECT st_hexbin(10.0d, 7.0d, 3.0d) AS h)""").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    // TVF: origin-aligned cover of the bounds
+    val g = spark.sql(
+      "SELECT count(*) AS n, min(i) AS i0, max(i) AS i1, min(j) AS j0, max(j) AS j1 " +
+      "FROM st_squaregrid(7.0d, 3.0d, -5.0d, 100.0d, 40.0d)").collect()(0)
+    assert(g.getLong(0) == 105 && g.getLong(1) == 0 && g.getLong(2) == 14
+      && g.getLong(3) == -1 && g.getLong(4) == 5, g.toString)
+    // every generated cell really is the st_square of its (i, j)
+    val bad = spark.sql(
+      """SELECT count(*) AS bad FROM st_squaregrid(2.5d, -10.0d, -10.0d, 10.0d, 10.0d)
+         WHERE st_astext(geom) != st_astext(st_square(2.5d, i, j))""").collect()(0).getLong(0)
+    assert(bad == 0)
+    intercept[Exception](spark.sql("SELECT * FROM st_squaregrid(0.0d, 0d, 0d, 1d, 1d)").collect())
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
