@@ -2724,6 +2724,26 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // Grid snapping (round 11): coordinates land on n + {.125,.375,.625,.875}
+    // only — never a .5 tie — so the kernel's rint equals DuckDB's half-up
+    // round() exactly, and the snapped coordinates are exact integers.
+    // The middle vertex collapses into the first iff a%4 != 1 (fraction
+    // pairs (.125,.375), (.625,.875), (.875,1.125) round together;
+    // (.375,.625) split).
+    "q_snap_grid" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(l_partkey % 40 AS DOUBLE) / 4.0d + 0.125d AS x,
+               cast(l_suppkey % 40 AS DOUBLE) / 4.0d + 0.375d AS y,
+               cast(l_partkey % 4 AS INT) AS fr
+        FROM lineitem)
+      SELECT k,
+             st_astext(st_snaptogrid(st_point(x, y), 1.0d)) AS sp,
+             st_npoints(st_snaptogrid(
+               st_makeline(array(st_point(x, y), st_point(x + 0.25d, y), st_point(x + 10.0d, y))),
+               1.0d)) AS nl
+      FROM src ORDER BY k"""),
+
     // Grid generator TVF (round 11): origin-aligned square cover of a fixed
     // bbox; cells are integer-coordinate WKT so the compare is exact text.
     "q_grid" -> q("lineitem")(s"""
@@ -5106,6 +5126,19 @@ object SparkEntry {
              CAST(2 + l_linenumber % 2 AS INT) AS mp,
              CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,1,1,n' ELSE '0,0,0,n,n,n' END AS ids
       FROM lineitem ORDER BY k""",
+
+    // Snapped coordinates in closed form (no .5 ties by construction).
+    "q_snap_grid" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(l_partkey % 40 AS DOUBLE) / 4.0 + 0.125 AS x,
+               CAST(l_suppkey % 40 AS DOUBLE) / 4.0 + 0.375 AS y,
+               CAST(l_partkey % 4 AS INT) AS fr
+        FROM lineitem)
+      SELECT k,
+             'POINT (' || CAST(round(x, 0) AS BIGINT) || ' ' || CAST(round(y, 0) AS BIGINT) || ')' AS sp,
+             CASE WHEN fr = 1 THEN 3 ELSE 2 END AS nl
+      FROM src ORDER BY k""",
 
     // The same origin-aligned cover via generate_series arithmetic.
     "q_grid" -> """

@@ -34,6 +34,7 @@ object ThreeDFns {
     case g: Geometry => g
   }
   private def w(g: Geometry): Array[Byte] = Wkb.write(g)
+  private def dbl(a: Any): Double = a.asInstanceOf[Double]
   private val f: GeometryFactory = Geo.factory
 
   private def z(cs: CoordinateSequence, i: Int): Double = {
@@ -116,6 +117,65 @@ object ThreeDFns {
     })
   }
 
+  /** PostGIS ST_SnapToGrid(geom, [originX, originY,] sizeX, sizeY): every
+   *  coordinate moves to the nearest grid node (rint — round-half-even,
+   *  the C library convention PostGIS uses); consecutive duplicate points
+   *  collapse; components degenerating below their minimum vertex count
+   *  (2 for lines, 4 for rings) drop to EMPTY / are removed, matching
+   *  PostGIS's collapse behavior. Z/M pass through untouched. */
+  def snapToGrid(g: Geometry, ox: Double, oy: Double, sx: Double, sy: Double): Geometry = {
+    if (sx < 0 || sy < 0)
+      throw new IllegalArgumentException(s"ST_SnapToGrid: sizes must be >= 0, got ($sx, $sy)")
+    def snap(v: Double, o: Double, s: Double): Double =
+      if (s == 0) v else math.rint((v - o) / s) * s + o
+    def snapSeq(cs: CoordinateSequence): Array[Coordinate] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Coordinate]()
+      var i = 0
+      while (i < cs.size) {
+        val c = cs.getCoordinate(i).copy()
+        c.setX(snap(c.getX, ox, sx)); c.setY(snap(c.getY, oy, sy))
+        if (out.isEmpty || out.last.getX != c.getX || out.last.getY != c.getY) out += c
+        i += 1
+      }
+      out.toArray
+    }
+    def walk(gg: Geometry): Geometry = gg match {
+      case p: Point =>
+        if (p.isEmpty) p
+        else {
+          val c = p.getCoordinate.copy()
+          c.setX(snap(c.getX, ox, sx)); c.setY(snap(c.getY, oy, sy))
+          f.createPoint(c)
+        }
+      case l: LineString =>
+        val pts = snapSeq(l.getCoordinateSequence)
+        if (pts.length < 2) f.createLineString(Array.empty[Coordinate])
+        else f.createLineString(pts)
+      case p: Polygon =>
+        def ring(r: LineString): Option[LinearRing] = {
+          var pts = snapSeq(r.getCoordinateSequence)
+          if (pts.length > 1 && (pts.head.getX != pts.last.getX || pts.head.getY != pts.last.getY))
+            pts = pts :+ pts.head.copy()
+          if (pts.length < 4) None else Some(f.createLinearRing(pts))
+        }
+        ring(p.getExteriorRing) match {
+          case None => f.createPolygon()
+          case Some(shell) =>
+            val holes = (0 until p.getNumInteriorRing).flatMap(i => ring(p.getInteriorRingN(i)))
+            f.createPolygon(shell, holes.toArray)
+        }
+      case c: GeometryCollection =>
+        val parts = (0 until c.getNumGeometries).map(i => walk(c.getGeometryN(i))).filter(!_.isEmpty)
+        c match {
+          case _: MultiPoint => f.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+          case _: MultiLineString => f.createMultiLineString(parts.map(_.asInstanceOf[LineString]).toArray)
+          case _: MultiPolygon => f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
+          case _ => f.createGeometryCollection(parts.toArray)
+        }
+    }
+    walk(g)
+  }
+
   /** x < 0 -> x + 360 on every coordinate (PostGIS ST_ShiftLongitude). */
   def shiftLongitude(g: Geometry): Geometry = {
     val ed = new GeometryEditor(f)
@@ -140,6 +200,14 @@ object ThreeDFns {
     fn("st_3dlength", D, Seq(B))(a => length3d(rg(a(0))))
     fn("st_3dperimeter", D, Seq(B))(a => perimeter3d(rg(a(0))))
     fn("st_shiftlongitude", B, Seq(B))(a => w(shiftLongitude(rg(a(0)))))
+    fn("st_snaptogrid", B, Seq(B, D), Seq(B, D, D), Seq(B, D, D, D, D)) { a =>
+      val g = rg(a(0))
+      a.length match {
+        case 2 => w(snapToGrid(g, 0, 0, dbl(a(1)), dbl(a(1))))
+        case 3 => w(snapToGrid(g, 0, 0, dbl(a(1)), dbl(a(2))))
+        case _ => w(snapToGrid(g, dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))
+      }
+    }
     fn("st_swapordinates", B, Seq(B, S))(a =>
       w(swapOrdinates(rg(a(0)), a(1).asInstanceOf[UTF8String].toString)))
   }

@@ -94,6 +94,28 @@ class ThreeDFnsSpec extends AnyFunSuite {
     assert(math.abs(d - 123456.0) < 1e-3, s"round-trip distance $d")
   }
 
+  test("snapToGrid: rint snapping, duplicate collapse, degenerate components") {
+    assert(sql1("st_astext(st_snaptogrid(st_point(1.4d, 2.6d), 1.0d))").toString == "POINT (1 3)")
+    // rint is half-even: 2.5 -> 2, 3.5 -> 4
+    assert(sql1("st_astext(st_snaptogrid(st_point(2.5d, 3.5d), 1.0d))").toString == "POINT (2 4)")
+    // consecutive duplicates collapse; a fully-collapsed line is EMPTY
+    assert(sql1("st_npoints(st_snaptogrid(st_geomfromtext('LINESTRING (0 0, 0.2 0.1, 5 5)'), 1.0d))") == 2)
+    assert(sql1("st_isempty(st_snaptogrid(st_geomfromtext('LINESTRING (0 0, 0.2 0.2)'), 1.0d))") == true)
+    // a hole smaller than the grid vanishes; the shell survives
+    assert(sql1(
+      """st_ninteriorrings(st_snaptogrid(st_geomfromtext(
+           'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4.1 4.1, 4.2 4.1, 4.2 4.2, 4.1 4.2, 4.1 4.1))'), 1.0d))""") == 0)
+    // a shell smaller than the grid collapses the polygon to EMPTY
+    assert(sql1(
+      "st_isempty(st_snaptogrid(st_geomfromtext('POLYGON ((0 0, 0.2 0, 0.2 0.2, 0 0.2, 0 0))'), 1.0d))") == true)
+    // explicit origin shifts the lattice
+    assert(sql1("st_astext(st_snaptogrid(st_point(1.1d, 0.0d), 0.5d, 0.0d, 1.0d, 1.0d))").toString
+      == "POINT (1.5 0)")
+    // asymmetric sizes
+    assert(sql1("st_astext(st_snaptogrid(st_point(1.4d, 1.4d), 1.0d, 0.25d))").toString == "POINT (1 1.5)")
+    intercept[Exception](sql1("st_snaptogrid(st_point(0.0d, 0.0d), -1.0d)"))
+  }
+
   test("swapOrdinates exchanges named pairs and is loud on missing ordinates") {
     assert(sql1("st_astext(st_swapordinates(st_point(1.0d, 2.0d), 'xy'))").toString == "POINT (2 1)")
     assert(sql1("st_astext(st_swapordinates(st_geomfromtext('LINESTRING Z (1 2 3, 4 5 6)'), 'yz'))").toString
