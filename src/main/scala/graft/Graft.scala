@@ -112,6 +112,50 @@ object Graft {
       Alias(GetStructField(cell, 2, Some("geom")), "geom")()), range)
   }
 
+  /** ST_HexagonGrid table function (PostGIS semantics: pointy-top hexagons
+   *  overlapping the bounds, addressed with the same axial (q, r) ids as
+   *  st_hexbin / st_hexagon). A rectangular offset-layout superset generates
+   *  distributed (Range + per-index kernel), then an envelope-overlap filter
+   *  keeps cells touching the bounds — the filter arithmetic is plain and
+   *  SQL-replayable. SQL: `SELECT q, r, geom FROM st_hexagongrid(size, minx,
+   *  miny, maxx, maxy)`. */
+  def hexagonGridPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5, "st_hexagongrid(size, minx, miny, maxx, maxy)")
+    require(exprs.forall(_.foldable), "st_hexagongrid arguments must be constants")
+    def d(e: Expression): Double = e.eval(null) match {
+      case x: Double => x
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+      case x: java.math.BigDecimal => x.doubleValue()
+      case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    }
+    val size = d(exprs.head)
+    val Seq(minX, minY, maxX, maxY) = exprs.drop(1).map(d)
+    require(size > 0, s"st_hexagongrid: size must be > 0, got $size")
+    require(minX <= maxX && minY <= maxY, "st_hexagongrid: inverted bounds")
+    val colW = size * math.sqrt(3.0) // center spacing along x
+    val rowH = 1.5 * size            // center spacing along y
+    val nMin = math.floor(minX / colW).toLong - 1
+    val nMax = math.floor(maxX / colW).toLong + 1
+    val rMin = math.floor(minY / rowH).toLong - 1
+    val rMax = math.floor(maxY / rowH).toLong + 1
+    val nCols = nMax - nMin + 1
+    val count = nCols * (rMax - rMin + 1)
+    require(count <= (1L << 40), s"st_hexagongrid: $count cells — shrink the bounds or raise size")
+    val range = LRange(0, count, 1, None)
+    val cell = FnExpr("st_hexagon_cell", Seq(
+      range.output.head, Literal(size), Literal(rMin), Literal(nCols), Literal(nMin)))
+    val proj = Project(Seq(
+      Alias(GetStructField(cell, 0, Some("q")), "q")(),
+      Alias(GetStructField(cell, 1, Some("r")), "r")(),
+      Alias(GetStructField(cell, 2, Some("geom")), "geom")()), range)
+    org.apache.spark.sql.catalyst.plans.logical.Filter(
+      FnExpr("st_intersects_extent", Seq(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("geom"),
+        FnExpr("st_makeenvelope", Seq(Literal(minX), Literal(minY), Literal(maxX), Literal(maxY))))),
+      proj)
+  }
+
   /** ST_Read table function — the reference's replacement-scan UX
    *  (st_read.cpp:538-553): `SELECT * FROM st_read('/path/file.shp')` resolves
    *  to a DataSourceV2 relation over the geo source. */
@@ -296,6 +340,8 @@ object Graft {
     if (!oursT(li)) tfr.registerFunction(li, new ExpressionInfo("graft", "st_layout_info"), stLayoutInfoPlan _)
     val sg = org.apache.spark.sql.catalyst.FunctionIdentifier("st_squaregrid")
     if (!oursT(sg)) tfr.registerFunction(sg, new ExpressionInfo("graft", "st_squaregrid"), squareGridPlan _)
+    val hg = org.apache.spark.sql.catalyst.FunctionIdentifier("st_hexagongrid")
+    if (!oursT(hg)) tfr.registerFunction(hg, new ExpressionInfo("graft", "st_hexagongrid"), hexagonGridPlan _)
     val ci = org.apache.spark.sql.catalyst.FunctionIdentifier("st_crs_info")
     if (!oursT(ci)) tfr.registerFunction(ci, new ExpressionInfo("graft", "st_crs_info"), stCrsInfoPlan _)
   }
@@ -318,6 +364,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_squaregrid"),
       new ExpressionInfo("graft", "st_squaregrid"),
       Graft.squareGridPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("st_hexagongrid"),
+      new ExpressionInfo("graft", "st_hexagongrid"),
+      Graft.hexagonGridPlan))
     ext.injectTableFunction((
       FunctionIdentifier("st_read"),
       new ExpressionInfo("graft", "st_read"),

@@ -2751,6 +2751,15 @@ object SparkEntry {
       FROM st_squaregrid(7.0d, 3.0d, -5.0d, 100.0d, 40.0d)
       ORDER BY i, j"""),
 
+    // Hexagon cover (round 11): the envelope-overlap filter's arithmetic is
+    // deliberately plain (cx/cy from the axial addressing, half-width
+    // 3*sqrt(3)/2), so DuckDB replays every keep/drop decision; the bounds
+    // sit >= 0.6 units from any cell envelope edge, so the 1-ulp cos-vs-sqrt
+    // difference in the x half-width cannot flip a cell.
+    "q_hexgrid" -> q("lineitem")(s"""
+      SELECT q, r FROM st_hexagongrid(3.0d, 1.0d, 2.0d, 50.0d, 40.0d)
+      ORDER BY q, r"""),
+
     // Dump-family completion (round 11): rings of a holed polygon and
     // segments of a 2-segment line — integer-WKT text compare.
     "q_dump_parts" -> q("lineitem")(s"""
@@ -5126,6 +5135,23 @@ object SparkEntry {
              CAST(2 + l_linenumber % 2 AS INT) AS mp,
              CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,1,1,n' ELSE '0,0,0,n,n,n' END AS ids
       FROM lineitem ORDER BY k""",
+
+    // The hexagon cover replayed: offset layout rows r in [-1,9], columns n
+    // in [-1,10] (the plan's derived ranges for size 3 over (1,2,50,40)),
+    // axial q = n - floor(r/2), envelope-overlap filter mirrored op-for-op.
+    "q_hexgrid" -> """
+      WITH rn AS (SELECT r, n FROM generate_series(-1, 9) t(r) CROSS JOIN generate_series(-1, 10) u(n)),
+      c AS (SELECT CAST(n - CAST(floor(r / 2.0) AS BIGINT) AS BIGINT) AS q,
+                   CAST(r AS BIGINT) AS r
+            FROM rn),
+      e AS (SELECT q, r,
+                   (3.0 * sqrt(3.0)) * (q + r / 2.0) AS cx,
+                   (3.0 * 1.5) * r AS cy
+            FROM c)
+      SELECT q, r FROM e
+      WHERE cx - (3.0 * sqrt(3.0)) / 2 <= 50.0 AND cx + (3.0 * sqrt(3.0)) / 2 >= 1.0
+        AND cy - 3.0 <= 40.0 AND cy + 3.0 >= 2.0
+      ORDER BY q, r""",
 
     // Snapped coordinates in closed form (no .5 ties by construction).
     "q_snap_grid" -> s"""

@@ -1937,11 +1937,11 @@ object GeoFns {
       require(size > 0, s"st_hexagon: size must be > 0, got $size")
       val cx = size * math.sqrt(3.0) * (q + r / 2.0)
       val cy = size * 1.5 * r
-      val pts = (0 to 6).map { k =>
+      val pts = (0 until 6).map { k =>
         val th = math.Pi / 6 + k * math.Pi / 3 // pointy-top: first vertex at 30°
         new Coordinate(cx + size * math.cos(th), cy + size * math.sin(th))
       }
-      w(f.createPolygon(pts.toArray))
+      w(f.createPolygon((pts :+ pts.head.copy()).toArray))
     }
     // per-index cell of an origin-aligned square grid covering a bbox
     // (the st_squaregrid TVF's row kernel; iMin/nx/jMin precomputed at plan
@@ -1957,6 +1957,30 @@ object GeoFns {
       val j = jMin + idx / nx
       new GenericInternalRow(Array[Any](i, j,
         w(Geo.box(i * size, j * size, (i + 1) * size, (j + 1) * size))))
+    }
+
+    // per-index cell of the rectangular offset layout behind st_hexagongrid:
+    // row r, column n; axial q = n - floor(r/2) so centers land at
+    // cx = size*sqrt(3)*(n + 0.5*odd(r)), cy = 1.5*size*r — identical to
+    // st_hexbin's addressing
+    fn("st_hexagon_cell",
+      StructType(Seq(StructField("q", L), StructField("r", L), StructField("geom", B))),
+      Seq(L, D, L, L, L)) { a =>
+      val idx = a(0).asInstanceOf[Long]
+      val size = dbl(a(1))
+      val rMin = a(2).asInstanceOf[Long]; val nCols = a(3).asInstanceOf[Long]
+      val nMin = a(4).asInstanceOf[Long]
+      val r = rMin + idx / nCols
+      val n = nMin + idx % nCols
+      val q = n - Math.floorDiv(r, 2L)
+      val cx = size * math.sqrt(3.0) * (q + r / 2.0)
+      val cy = size * 1.5 * r
+      val pts = (0 until 6).map { k =>
+        val th = math.Pi / 6 + k * math.Pi / 3
+        new Coordinate(cx + size * math.cos(th), cy + size * math.sin(th))
+      }
+      new GenericInternalRow(Array[Any](q, r,
+        w(f.createPolygon((pts :+ pts.head.copy()).toArray))))
     }
 
     // optional 3rd arg: expand the envelope by a distance before tiling —

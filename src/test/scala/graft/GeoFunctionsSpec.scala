@@ -493,6 +493,21 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
          WHERE st_astext(geom) != st_astext(st_square(2.5d, i, j))""").collect()(0).getLong(0)
     assert(bad == 0)
     intercept[Exception](spark.sql("SELECT * FROM st_squaregrid(0.0d, 0d, 0d, 1d, 1d)").collect())
+    // hexagon grid: every cell equals st_hexagon of its (q, r); every probe
+    // point's st_hexbin cell is present in the cover
+    val hbad = spark.sql(
+      """SELECT count(*) AS bad FROM st_hexagongrid(3.0d, 1.0d, 2.0d, 50.0d, 40.0d)
+         WHERE st_astext(geom) != st_astext(st_hexagon(3.0d, q, r))""").collect()(0).getLong(0)
+    assert(hbad == 0)
+    val missing = spark.sql(
+      """WITH probes AS (
+           SELECT st_hexbin(cast(3 + id * 7 % 47 AS DOUBLE), cast(2 + id * 11 % 38 AS DOUBLE), 3.0d) AS h
+           FROM range(40))
+         SELECT count(*) AS missing FROM probes p
+         LEFT JOIN (SELECT q, r FROM st_hexagongrid(3.0d, 1.0d, 2.0d, 50.0d, 40.0d)) g
+           ON p.h.q = g.q AND p.h.r = g.r
+         WHERE g.q IS NULL""").collect()(0).getLong(0)
+    assert(missing == 0)
   }
 
   test("multimodal batch pipeline via mapPartitions") {
