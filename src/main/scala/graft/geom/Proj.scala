@@ -2415,6 +2415,12 @@ object Proj {
       // conversion verbatim; realizations agree at this chain's class)
       "EPSG:5071" -> alb("NAD83(HARN) / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
       "EPSG:5072" -> alb("NAD83(NSRS2007) / Conus Albers", 29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
+      // ... and the NAD27 ancestor (CONUS-mean Helmert, same NADCON note
+      // as the NAD27 UTM family) + the USGS ESRI spelling
+      "EPSG:5069" -> alb("NAD27 / Conus Albers", 29.5, 45.5, 23, -96, 0, 0,
+        DatumNad27, probe = (-96, 38)),
+      "ESRI:102039" -> alb("USA Contiguous Albers Equal Area Conic USGS version",
+        29.5, 45.5, 23, -96, 0, 0, probe = (-96, 38)),
       // the deprecated spelling of the 29902 grid (legacy Irish data)
       "EPSG:29900" -> tm("TM65 / Irish National Grid", 53.5, -8, 1.000035, 200000, 250000,
         DatumTm75, probe = (-6.26, 53.35)),
