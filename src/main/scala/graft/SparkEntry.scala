@@ -2724,6 +2724,45 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // XOR overlay (round 11): rect pairs in closed form — symdiff area =
+    // areaA + areaB - 2*intersection, exact on integer coordinates through
+    // the rectilinear overlay fast path.
+    "q_symdiff" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(2 + l_partkey % 20 AS DOUBLE) AS a,
+               cast(2 + l_suppkey % 20 AS DOUBLE) AS b,
+               cast(l_orderkey % 30 AS DOUBLE) AS o
+        FROM lineitem)
+      SELECT k,
+             st_area(st_symdifference(st_makeenvelope(0.0d, 0.0d, a, b),
+                                      st_makeenvelope(o, 1.0d, o + a, 1.0d + b))) + 0.0d AS sd,
+             st_isempty(st_symdifference(st_makeenvelope(0.0d, 0.0d, a, b),
+                                         st_makeenvelope(0.0d, 0.0d, a, b))) AS z
+      FROM src ORDER BY k"""),
+
+    // M-vertex filtering + ring scroll (round 11): the L-line's vertex
+    // measures are 0 / 100a/(a+b) / 100, so a [0, 90] window keeps exactly
+    // 2 vertices iff the middle measure <= 90 (the m1 = 90 boundary case
+    // lands on exactly 90.0 in both engines — same double expression).
+    "q_m_edit" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(1 + l_partkey % 20 AS INT) AS ai,
+               cast(1 + l_suppkey % 20 AS INT) AS bi
+        FROM lineitem),
+      g AS (SELECT k, ai, bi,
+                   st_addmeasure(st_makeline(array(st_point(0.0d, 0.0d),
+                     st_point(cast(ai AS DOUBLE), 0.0d),
+                     st_point(cast(ai AS DOUBLE), cast(bi AS DOUBLE)))), 0.0d, 100.0d) AS ml,
+                   st_geomfromtext('LINESTRING (0 0, ' || ai || ' 0, ' || ai || ' ' || bi ||
+                                   ', 0 ' || bi || ', 0 0)') AS ring
+            FROM src)
+      SELECT k,
+             st_npoints(st_filterbym(ml, 0.0d, 90.0d)) AS nf,
+             st_astext(st_scroll(ring, st_point(cast(ai AS DOUBLE), 0.0d))) AS sc
+      FROM g ORDER BY k"""),
+
     // Grid snapping (round 11): coordinates land on n + {.125,.375,.625,.875}
     // only — never a .5 tie — so the kernel's rint equals DuckDB's half-up
     // round() exactly, and the snapped coordinates are exact integers.
@@ -5152,6 +5191,31 @@ object SparkEntry {
       WHERE cx - (3.0 * sqrt(3.0)) / 2 <= 50.0 AND cx + (3.0 * sqrt(3.0)) / 2 >= 1.0
         AND cy - 3.0 <= 40.0 AND cy + 3.0 >= 2.0
       ORDER BY q, r""",
+
+    // XOR overlay closed form: inclusion-exclusion over the rect pair.
+    "q_symdiff" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(2 + l_partkey % 20 AS DOUBLE) AS a,
+               CAST(2 + l_suppkey % 20 AS DOUBLE) AS b,
+               CAST(l_orderkey % 30 AS DOUBLE) AS o
+        FROM lineitem)
+      SELECT k,
+             2*a*b - 2*greatest(a - o, 0.0)*(b - 1.0) + 0.0 AS sd,
+             true AS z
+      FROM src ORDER BY k""",
+
+    // M-filter count + scrolled ring assembled directly.
+    "q_m_edit" -> s"""
+      WITH src AS (
+        SELECT $K AS k,
+               CAST(1 + l_partkey % 20 AS INT) AS ai,
+               CAST(1 + l_suppkey % 20 AS INT) AS bi
+        FROM lineitem)
+      SELECT k,
+             CASE WHEN 100.0 * (CAST(ai AS DOUBLE) / (ai + bi)) <= 90.0 THEN 2 ELSE 0 END AS nf,
+             'LINESTRING (' || ai || ' 0, ' || ai || ' ' || bi || ', 0 ' || bi || ', 0 0, ' || ai || ' 0)' AS sc
+      FROM src ORDER BY k""",
 
     // Snapped coordinates in closed form (no .5 ties by construction).
     "q_snap_grid" -> s"""

@@ -1621,6 +1621,14 @@ object GeoFns {
         rectilinearOverlay(a.getEnvelopeInternal, b.getEnvelopeInternal, (ia, ib) => ia && !ib)
       else a.difference(b)
     }
+    // PostGIS ST_SymDifference (absent from the reference's overlay set):
+    // the same rect×rect closed form applies (XOR of membership)
+    ggG("st_symdifference") { (a, b) =>
+      if (!a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)) a.union(b)
+      else if (properOverlap(a, b))
+        rectilinearOverlay(a.getEnvelopeInternal, b.getEnvelopeInternal, (ia, ib) => ia != ib)
+      else a.symDifference(b)
+    }
     ggG("st_intersection") { (a, b) =>
       if (a.isRectangle && b.isRectangle) {
         val ea = a.getEnvelopeInternal

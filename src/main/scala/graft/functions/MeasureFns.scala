@@ -263,6 +263,67 @@ object MeasureFns {
     bestM
   }
 
+  /** PostGIS ST_FilterByM: keep vertices whose M lies in [mMin, mMax];
+   *  points/lines only (PostGIS errors on polygons — dropping ring
+   *  vertices breaks topology); lines left with < 2 vertices go EMPTY.
+   *  M drops from the output unless returnM (PostGIS default false). */
+  def filterByM(g: Geometry, mMin: Double, mMax: Double, returnM: Boolean): Geometry = {
+    requireM(g, "ST_FilterByM")
+    def keepPt(x: Double, y: Double, m: Double): Point =
+      if (returnM) pointM(x, y, m) else f.createPoint(new Coordinate(x, y))
+    def line(l: LineString): LineString = {
+      val cs = l.getCoordinateSequence
+      val kept = (0 until cs.size).filter(i => { val m = mOf(cs, i); m >= mMin && m <= mMax })
+      if (kept.length < 2) f.createLineString(Array.empty[Coordinate])
+      else {
+        val out = f.getCoordinateSequenceFactory.create(kept.length, if (returnM) 3 else 2,
+          if (returnM) 1 else 0)
+        kept.zipWithIndex.foreach { case (src, dst) =>
+          out.setOrdinate(dst, 0, cs.getX(src)); out.setOrdinate(dst, 1, cs.getY(src))
+          if (returnM) out.setOrdinate(dst, 2, mOf(cs, src))
+        }
+        f.createLineString(out)
+      }
+    }
+    g match {
+      case p: Point =>
+        val m = mOf(p.getCoordinateSequence, 0)
+        if (m >= mMin && m <= mMax) keepPt(p.getX, p.getY, m) else f.createPoint()
+      case mp: MultiPoint =>
+        val kept = (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Point])
+          .filter(p => { val m = mOf(p.getCoordinateSequence, 0); m >= mMin && m <= mMax })
+        f.createMultiPoint(kept.map(p => keepPt(p.getX, p.getY, mOf(p.getCoordinateSequence, 0))).toArray)
+      case l: LineString => line(l)
+      case ml: MultiLineString =>
+        f.createMultiLineString((0 until ml.getNumGeometries)
+          .map(i => line(ml.getGeometryN(i).asInstanceOf[LineString])).filter(!_.isEmpty).toArray)
+      case other => throw new IllegalArgumentException(
+        s"ST_FilterByM supports POINT and LINESTRING families, got ${other.getGeometryType}")
+    }
+  }
+
+  /** PostGIS ST_Scroll: rotate a CLOSED linestring's start to the given
+   *  vertex (which must be an existing vertex of the ring). */
+  def scroll(g: Geometry, pt: Geometry): Geometry = {
+    val l = g match {
+      case ls: LineString if ls.isClosed && ls.getNumPoints >= 4 => ls
+      case _ => throw new IllegalArgumentException(
+        "ST_Scroll expects a closed LINESTRING with at least 4 points")
+    }
+    val p = pt match {
+      case pp: Point => pp.getCoordinate
+      case other => throw new IllegalArgumentException(
+        s"ST_Scroll expects a POINT, got ${other.getGeometryType}")
+    }
+    val cs = l.getCoordinates // closing vertex duplicated at the end
+    val n = cs.length - 1
+    val at = (0 until n).indexWhere(i => cs(i).getX == p.getX && cs(i).getY == p.getY)
+    if (at < 0)
+      throw new IllegalArgumentException("ST_Scroll: the point is not a vertex of the line")
+    val rotated = ((at until n) ++ (0 until at)).map(i => cs(i).copy()).toArray
+    f.createLineString(rotated :+ rotated.head.copy())
+  }
+
   def load(): Unit = {
     fn("st_addmeasure", B, Seq(B, D, D))(a => w(addMeasure(rg(a(0)), dbl(a(1)), dbl(a(2)))))
     fn("st_locatealong", B, Seq(B, D), Seq(B, D, D))(a =>
@@ -270,5 +331,12 @@ object MeasureFns {
     fn("st_locatebetween", B, Seq(B, D, D), Seq(B, D, D, D))(a =>
       w(locateBetween(rg(a(0)), dbl(a(1)), dbl(a(2)), if (a.length > 3) dbl(a(3)) else 0.0)))
     fn("st_interpolatepoint", D, Seq(B, B))(a => interpolatePoint(rg(a(0)), rg(a(1))))
+    fn("st_filterbym", B, Seq(B, D), Seq(B, D, D), Seq(B, D, D, org.apache.spark.sql.types.BooleanType)) { a =>
+      val mMin = dbl(a(1))
+      val mMax = if (a.length > 2) dbl(a(2)) else Double.MaxValue
+      val retM = if (a.length > 3) a(3).asInstanceOf[Boolean] else false
+      w(filterByM(rg(a(0)), mMin, mMax, retM))
+    }
+    fn("st_scroll", B, Seq(B, B))(a => w(scroll(rg(a(0)), rg(a(1)))))
   }
 }

@@ -457,6 +457,28 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](sql1("st_addpoint(st_point(0.0d, 0.0d), st_point(1.0d, 1.0d))"))
   }
 
+  test("st_symdifference: XOR overlay with the rect closed form") {
+    // overlapping unit-offset squares: each contributes area 3, overlap 1
+    assert(sql1(
+      """st_area(st_symdifference(st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d),
+                                  st_makeenvelope(1.0d, 1.0d, 3.0d, 3.0d)))""") == 6.0)
+    // disjoint -> union of both
+    assert(sql1(
+      """st_area(st_symdifference(st_makeenvelope(0.0d, 0.0d, 1.0d, 1.0d),
+                                  st_makeenvelope(5.0d, 5.0d, 6.0d, 6.0d)))""") == 2.0)
+    // identical inputs cancel
+    assert(sql1(
+      """st_isempty(st_symdifference(st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d),
+                                     st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d)))""") == true)
+    // agrees with JTS on a non-rect pair
+    assert(sql1(
+      """abs(st_area(st_symdifference(st_buffer(st_point(0.0d, 0.0d), 2.0d),
+                                      st_makeenvelope(0.0d, 0.0d, 3.0d, 3.0d)))
+           - (st_area(st_buffer(st_point(0.0d, 0.0d), 2.0d)) + 9.0d
+              - 2 * st_area(st_intersection(st_buffer(st_point(0.0d, 0.0d), 2.0d),
+                                            st_makeenvelope(0.0d, 0.0d, 3.0d, 3.0d))))) < 1e-9""") == true)
+  }
+
   test("dump family: st_dumprings / st_dumpsegments") {
     val holed = "st_geomfromtext('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')"
     assert(sql1(s"size(st_dumprings($holed))") == 2)

@@ -94,6 +94,30 @@ class MeasureFnsSpec extends AnyFunSuite {
       MeasureFns.interpolatePoint(line((0, 0), (1, 0)), f.createPoint(new Coordinate(0, 0))))
   }
 
+  test("filterByM keeps in-window vertices; scroll rotates ring start") {
+    val l = lineM((0, 0, 0), (1, 0, 5), (2, 0, 10))
+    val kept = MeasureFns.filterByM(l, 3, 20, returnM = false).asInstanceOf[LineString]
+    assert(kept.getNumPoints == 2 && kept.getCoordinateN(0).getX == 1.0)
+    assert(!kept.getCoordinateSequence.hasM) // M dropped by default
+    assert(MeasureFns.filterByM(l, 3, 20, returnM = true)
+      .asInstanceOf[LineString].getCoordinateSequence.hasM)
+    // fewer than 2 surviving vertices -> EMPTY
+    assert(MeasureFns.filterByM(l, 4, 6, returnM = false).isEmpty)
+    // point filter
+    assert(sql1("st_isempty(st_filterbym(st_locatealong(st_addmeasure(" +
+      "st_geomfromtext('LINESTRING (0 0, 10 0)'), 0d, 100d), 25d), 50d, 99d))") == true)
+    intercept[Exception](MeasureFns.filterByM(
+      f.createPolygon(Array(new Coordinate(0, 0), new Coordinate(1, 0),
+        new Coordinate(1, 1), new Coordinate(0, 0))), 0, 1, returnM = false))
+    // scroll
+    assert(sql1("st_astext(st_scroll(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)'), st_point(1.0d, 1.0d)))")
+      .toString == "LINESTRING (1 1, 0 1, 0 0, 1 0, 1 1)")
+    intercept[Exception](sql1(
+      "st_scroll(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)'), st_point(5.0d, 5.0d))"))
+    intercept[Exception](sql1(
+      "st_scroll(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1)'), st_point(1.0d, 0.0d))"))
+  }
+
   test("SQL surface: addmeasure -> locatealong/between/interpolatepoint round-trip") {
     assert(sql1(
       """st_astext(st_locatealong(
