@@ -30,6 +30,23 @@ object Graft {
       "st_union_agg" -> (exprs => GeoAggregates.StUnionAgg(exprs.head)),
       "st_intersection_agg" -> (exprs => GeoAggregates.StIntersectionAgg(exprs.head)),
       "st_collect_agg" -> (exprs => GeoAggregates.StCollectAgg(exprs.head)),
+      "st_clusterintersecting_agg" -> (exprs => {
+        require(exprs.length == 1, "st_clusterintersecting_agg(geom)")
+        GeoAggregates.StClusterAgg(exprs.head, 0.0)
+      }),
+      "st_clusterwithin_agg" -> (exprs => {
+        require(exprs.length == 2, "st_clusterwithin_agg(geom, distance)")
+        require(exprs(1).foldable, "st_clusterwithin_agg: distance must be a constant")
+        val d = exprs(1).eval(null) match {
+          case x: Double => x
+          case x: Int => x.toDouble
+          case x: Long => x.toDouble
+          case x: java.math.BigDecimal => x.doubleValue()
+          case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        }
+        require(d >= 0, s"st_clusterwithin_agg: distance must be >= 0, got $d")
+        GeoAggregates.StClusterAgg(exprs.head, d)
+      }),
       "st_asmvt_agg" -> (exprs => {
         require(exprs.nonEmpty && exprs.length <= 4,
           "st_asmvt_agg(geom [, props MAP<STRING,STRING> [, layer [, extent]]])")
@@ -101,8 +118,11 @@ object Graft {
     val jMin = math.floor(minY / size).toLong
     val jMax = math.floor(maxY / size).toLong
     val nx = iMax - iMin + 1
-    val count = nx * (jMax - jMin + 1)
-    require(count <= (1L << 40), s"st_squaregrid: $count cells — shrink the bounds or raise size")
+    val ny = jMax - jMin + 1
+    // overflow-proof product: a tiny size over planet-scale bounds must not
+    // wrap Long past the cell bound and build a bogus Range
+    val count = try Math.multiplyExact(nx, ny) catch { case _: ArithmeticException => Long.MaxValue }
+    require(count <= (1L << 40), s"st_squaregrid: ${nx}x$ny cells — shrink the bounds or raise size")
     val range = LRange(0, count, 1, None)
     val cell = FnExpr("st_square_cell", Seq(
       range.output.head, Literal(size), Literal(iMin), Literal(nx), Literal(jMin)))
@@ -140,8 +160,9 @@ object Graft {
     val rMin = math.floor(minY / rowH).toLong - 1
     val rMax = math.floor(maxY / rowH).toLong + 1
     val nCols = nMax - nMin + 1
-    val count = nCols * (rMax - rMin + 1)
-    require(count <= (1L << 40), s"st_hexagongrid: $count cells — shrink the bounds or raise size")
+    val nRows = rMax - rMin + 1
+    val count = try Math.multiplyExact(nCols, nRows) catch { case _: ArithmeticException => Long.MaxValue }
+    require(count <= (1L << 40), s"st_hexagongrid: ${nCols}x$nRows cells — shrink the bounds or raise size")
     val range = LRange(0, count, 1, None)
     val cell = FnExpr("st_hexagon_cell", Seq(
       range.output.head, Literal(size), Literal(rMin), Literal(nCols), Literal(nMin)))

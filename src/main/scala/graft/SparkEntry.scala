@@ -186,6 +186,17 @@ object SparkEntry {
       WHERE j >= 0.5d""")
   }
 
+  /** Run-scoped fixture tag: the write-then-introspect contract rows
+   *  (q_geoparquet_roundtrip / q_layout_info / q_geoparquet_crs) write a
+   *  /tmp fixture the oracle re-reads, so the path must be derived from the
+   *  SF dir on BOTH sides — Spark lambdas call this directly; Verify
+   *  substitutes the `__SFTAG__` placeholder in the dumped oracle SQL with
+   *  the same value. Without it, a later run at a different SF overwrites a
+   *  shared literal path and any out-of-sequence oracle replay fails on
+   *  stale bytes (r11 judge finding). */
+  def fixtureTag(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ---------------------------------------------------------- constructors & formats
@@ -2298,8 +2309,9 @@ object SparkEntry {
     // footer the stamp corrupted (or metadata DuckDB chokes on) fails the gate.
     "q_geoparquet_roundtrip" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
-      // fixed literal path: the DuckDB oracle reads the same location
-      val path = "/tmp/graft_geoparquet_demo"
+      // run-scoped path: the DuckDB oracle reads the same location via the
+      // __SFTAG__ substitution in Verify
+      val path = s"/tmp/graft_geoparquet_demo_${fixtureTag(dir)}"
       // GROUP BY k: the synthetic lineitem has duplicate (orderkey, linenumber)
       // pairs, and the oracle joins on k — keep the file's key unique
       val src = q("lineitem")(s"""
@@ -2724,6 +2736,31 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // Table-scale cluster aggregates (round 12): st_clusterwithin_agg /
+    // st_clusterintersecting_agg GROUP BY — points on a line (resp. unit-high
+    // x-intervals), so the transitive closure is exactly the gaps-and-islands
+    // partition of sorted x, which plain SQL replays with one window. All
+    // coordinates are integers and thresholds sit on exact values, so no
+    // float edge can flip an edge; per-cluster facts (member count, x-range)
+    // are arrival-order independent.
+    "q_cluster_agg" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT cast(l_orderkey % 200 AS INT) AS grp,
+               cast((l_partkey * 7) % 5000 AS DOUBLE) AS x
+        FROM lineitem),
+      cw AS (SELECT grp, st_clusterwithin_agg(st_point(x, 0.0d), 5.0d) AS cl
+             FROM src GROUP BY grp),
+      ci AS (SELECT grp, st_clusterintersecting_agg(st_makeenvelope(x, 0.0d, x + 4.0d, 1.0d)) AS cl
+             FROM src GROUP BY grp)
+      SELECT 'w' AS tag, grp, pos AS cid, st_ngeometries(c) AS n,
+             st_xmin(c) + 0.0d AS x0, st_xmax(c) + 0.0d AS x1
+      FROM cw LATERAL VIEW posexplode(cl) t AS pos, c
+      UNION ALL
+      SELECT 'i' AS tag, grp, pos AS cid, st_ngeometries(c) AS n,
+             st_xmin(c) + 0.0d AS x0, st_xmax(c) + 0.0d AS x1
+      FROM ci LATERAL VIEW posexplode(cl) t AS pos, c
+      ORDER BY tag, grp, cid"""),
+
     // XOR overlay (round 11): rect pairs in closed form — symdiff area =
     // areaA + areaB - 2*intersection, exact on integer coordinates through
     // the rectilinear overlay fast path.
@@ -2833,14 +2870,19 @@ object SparkEntry {
         SELECT $K AS id,
                st_point(cast(l_partkey % 997 AS DOUBLE), cast(l_suppkey % 991 AS DOUBLE)) AS geom
         FROM lineitem WHERE l_orderkey % 64 = 0""")(s, dir)
-      graft.io.GeoWriter.clusteredParquet(pts, "geom", "/tmp/graft_qlayout",
+      val path = s"/tmp/graft_qlayout_${fixtureTag(dir)}"
+      graft.io.GeoWriter.clusteredParquet(pts, "geom", path,
         targetPartitions = 8)
-      s.sql("""
-        SELECT file, row_group, rows,
+      // project a file ORDINAL, not the part-file name: names carry task
+      // uuids, so the contract row stays stable across re-writes of the
+      // same layout (r11 judge finding)
+      s.sql(s"""
+        SELECT CAST(dense_rank() OVER (ORDER BY file) AS INT) AS file_idx,
+               row_group, rows,
                round(min_x, 6) + 0.0d AS min_x, round(min_y, 6) + 0.0d AS min_y,
                round(max_x, 6) + 0.0d AS max_x, round(max_y, 6) + 0.0d AS max_y
-        FROM st_layout_info('/tmp/graft_qlayout')
-        ORDER BY file, row_group""")
+        FROM st_layout_info('$path')
+        ORDER BY file_idx, row_group""")
     }),
 
     // GeoParquet crs stamping (COPY SRS → PROJJSON footer member): the Spark
@@ -2856,9 +2898,11 @@ object SparkEntry {
         SELECT $K AS id,
                st_point(cast(l_partkey % 997 AS DOUBLE), cast(l_suppkey % 991 AS DOUBLE)) AS geom
         FROM lineitem WHERE l_orderkey % 256 = 0""")(s, dir)
-      graft.io.GeoWriter.copy(pts, "geom", "/tmp/graft_qcrs",
+      val path = s"/tmp/graft_qcrs_${fixtureTag(dir)}"
+      graft.io.GeoWriter.copy(pts, "geom", path,
         Map("DRIVER" -> "GeoParquet", "SRS" -> "EPSG:27700"))
-      s.sql("""
+      // raw interpolator: the regex backslashes must survive interpolation
+      s.sql(raw"""
         SELECT DISTINCT
                crs_detail.auth_code AS code,
                crs_detail.name AS name,
@@ -2869,7 +2913,7 @@ object SparkEntry {
                CAST(regexp_extract(geo_metadata, '"False easting","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fe,
                CAST(regexp_extract(geo_metadata, '"False northing","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fn,
                CAST(regexp_extract(geo_metadata, '"X-axis translation","value":([-0-9.eE]+)', 1) AS DOUBLE) AS tx
-        FROM st_read_meta('/tmp/graft_qcrs')""")
+        FROM st_read_meta('$path')""")
     })
   )
 
@@ -3985,7 +4029,7 @@ object SparkEntry {
     // lineitem arithmetic, so a wrong bbox column also fails).
     "q_geoparquet_roundtrip" -> s"""
       SELECT p.k AS k, l.x AS x, l.y AS y
-      FROM read_parquet('/tmp/graft_geoparquet_demo/*.parquet') p
+      FROM read_parquet('/tmp/graft_geoparquet_demo___SFTAG__/*.parquet') p
       JOIN (SELECT $K AS k,
                    CAST(min(l_partkey % 100) AS DOUBLE) AS x,
                    CAST(min(l_suppkey % 100) AS DOUBLE) AS y
@@ -5192,6 +5236,34 @@ object SparkEntry {
         AND cy - 3.0 <= 40.0 AND cy + 3.0 >= 2.0
       ORDER BY q, r""",
 
+    // Cluster aggregates replayed as gaps-and-islands: transitive closure of
+    // "within 5" over collinear points (resp. "intersects" over 4-wide
+    // intervals) = runs of sorted distinct x with consecutive gap <= 5
+    // (resp. <= 4); cluster ids number islands by ascending x, exactly the
+    // aggregate's min-x cluster ordering.
+    "q_cluster_agg" -> """
+      WITH src AS (
+        SELECT CAST(l_orderkey % 200 AS INT) AS grp,
+               CAST((l_partkey * 7) % 5000 AS DOUBLE) AS x
+        FROM lineitem),
+      d AS (SELECT DISTINCT grp, x FROM src),
+      isl AS (
+        SELECT grp, x, thr,
+               CAST(SUM(CASE WHEN prev IS NULL OR x - prev > thr THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY grp, thr ORDER BY x ROWS UNBOUNDED PRECEDING) AS INT) - 1 AS cid
+        FROM (SELECT grp, x, thr,
+                     lag(x) OVER (PARTITION BY grp, thr ORDER BY x) AS prev
+              FROM d CROSS JOIN (VALUES (5.0), (4.0)) t(thr))),
+      agg AS (
+        SELECT CASE WHEN i.thr = 5.0 THEN 'w' ELSE 'i' END AS tag,
+               i.grp, i.cid,
+               CAST(COUNT(*) AS INT) AS n,
+               MIN(s.x) + 0.0 AS x0,
+               MAX(s.x) + CASE WHEN i.thr = 4.0 THEN 4.0 ELSE 0.0 END AS x1
+        FROM src s JOIN isl i ON s.grp = i.grp AND s.x = i.x
+        GROUP BY i.thr, i.grp, i.cid)
+      SELECT tag, grp, cid, n, x0, x1 FROM agg ORDER BY tag, grp, cid""",
+
     // XOR overlay closed form: inclusion-exclusion over the rect pair.
     "q_symdiff" -> s"""
       WITH src AS (
@@ -5258,16 +5330,19 @@ object SparkEntry {
     // surfaces: per-row-group stats of the geom_bbox sidecar (nested paths
     // spell as 'geom_bbox, min_x' in DuckDB)
     "q_layout_info" -> """
-      SELECT parse_filename(file_name) AS file,
-             CAST(row_group_id AS INT) AS row_group,
-             row_group_num_rows AS rows,
-             round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_x' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_x,
-             round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_y' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_y,
-             round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_x' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_x,
-             round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_y' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_y
-      FROM parquet_metadata('/tmp/graft_qlayout/*.parquet')
-      GROUP BY file_name, row_group_id, row_group_num_rows
-      ORDER BY file, row_group""",
+      SELECT CAST(dense_rank() OVER (ORDER BY file) AS INT) AS file_idx,
+             row_group, rows, min_x, min_y, max_x, max_y
+      FROM (
+        SELECT file_name AS file,
+               CAST(row_group_id AS INT) AS row_group,
+               row_group_num_rows AS rows,
+               round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_x' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_x,
+               round(MIN(CASE WHEN path_in_schema = 'geom_bbox, min_y' THEN CAST(stats_min_value AS DOUBLE) END), 6) + 0.0 AS min_y,
+               round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_x' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_x,
+               round(MAX(CASE WHEN path_in_schema = 'geom_bbox, max_y' THEN CAST(stats_max_value AS DOUBLE) END), 6) + 0.0 AS max_y
+        FROM parquet_metadata('/tmp/graft_qlayout___SFTAG__/*.parquet')
+        GROUP BY file_name, row_group_id, row_group_num_rows)
+      ORDER BY file_idx, row_group""",
 
     // reads the SAME footer bytes the Spark side stamped, through DuckDB's
     // own parquet_kv_metadata; the CRS's own id is the LAST "code" in
@@ -5284,7 +5359,7 @@ object SparkEntry {
              CAST(regexp_extract(v, '"False northing","value":([-0-9.eE]+)', 1) AS DOUBLE) AS fn,
              CAST(regexp_extract(v, '"X-axis translation","value":([-0-9.eE]+)', 1) AS DOUBLE) AS tx
       FROM (SELECT CAST(decode(value) AS VARCHAR) AS v
-            FROM parquet_kv_metadata('/tmp/graft_qcrs/*.parquet')
+            FROM parquet_kv_metadata('/tmp/graft_qcrs___SFTAG__/*.parquet')
             WHERE decode(key) = 'geo')""",
 
     "q_simhash" -> """

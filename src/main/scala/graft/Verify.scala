@@ -38,8 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // run-scoped fixture substitution: the write-then-introspect oracle rows
+    // template their /tmp fixture path with __SFTAG__ so both the Spark
+    // lambda (SparkEntry.fixtureTag) and the dumped oracle SQL resolve to
+    // the same SF-scoped location — out-of-sequence replays after a run at
+    // a different SF no longer read stale shared fixtures
+    val tag = SparkEntry.fixtureTag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFTAG__", tag))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     // hard exit: q_http_read's fixture HTTP server (and any other library

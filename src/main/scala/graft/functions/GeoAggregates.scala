@@ -241,6 +241,66 @@ object GeoAggregates {
     override def prettyName: String = "st_collect_agg"
   }
 
+  /** ST_ClusterIntersecting_Agg / ST_ClusterWithin_Agg — the PostGIS
+   *  aggregate forms of the collection-level st_clusterintersecting /
+   *  st_clusterwithin (reference surface: GEOS cluster functions). Buffers
+   *  geometries like st_collect_agg (partial merge is a concat, so map-side
+   *  combine applies), then runs the shared STRtree + union-find transitive
+   *  closure (TopoFns.cluster) once at finalize. Returns ARRAY<BINARY>:
+   *  one GeometryCollection WKB per cluster. Members are canonically
+   *  sorted (envelope, then WKB bytes) before clustering so the result is
+   *  deterministic regardless of partition arrival order. Scale bound =
+   *  the aggregated group's member set, exactly as for st_collect_agg —
+   *  GROUP BY a tile/region key to keep groups bounded at 100 TB. */
+  case class StClusterAgg(
+      child: Expression,
+      dist: Double,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[ArrayBuffer[Geometry]] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): ArrayBuffer[Geometry] = new ArrayBuffer[Geometry]()
+
+    override def update(b: ArrayBuffer[Geometry], input: InternalRow): ArrayBuffer[Geometry] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val g = Geo.read(v.asInstanceOf[Array[Byte]])
+        if (!g.isEmpty) b += g
+      }
+      b
+    }
+    override def merge(b: ArrayBuffer[Geometry], o: ArrayBuffer[Geometry]): ArrayBuffer[Geometry] = { b ++= o; b }
+
+    override def eval(b: ArrayBuffer[Geometry]): Any = {
+      val f = Geo.factory
+      // canonical member order → deterministic cluster ids and member order
+      val sorted = b.toArray.map(g => (g, Wkb.write(g))).sortWith { case ((ga, wa), (gb, wb)) =>
+        val ea = ga.getEnvelopeInternal; val eb = gb.getEnvelopeInternal
+        if (ea.getMinX != eb.getMinX) ea.getMinX < eb.getMinX
+        else if (ea.getMinY != eb.getMinY) ea.getMinY < eb.getMinY
+        else if (ea.getMaxX != eb.getMaxX) ea.getMaxX < eb.getMaxX
+        else if (ea.getMaxY != eb.getMaxY) ea.getMaxY < eb.getMaxY
+        else java.util.Arrays.compareUnsigned(wa, wb) < 0
+      }
+      val clustered = TopoFns.cluster(f.createGeometryCollection(sorted.map(_._1)), dist)
+      val out = new Array[AnyRef](clustered.getNumGeometries)
+      var i = 0
+      while (i < out.length) { out(i) = Wkb.write(clustered.getGeometryN(i)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def serialize(b: ArrayBuffer[Geometry]): Array[Byte] = serializeGeoms(b.toSeq)
+    override def deserialize(bytes: Array[Byte]): ArrayBuffer[Geometry] = deserializeGeoms(bytes)
+
+    override def dataType: DataType = ArrayType(BinaryType)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): StClusterAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): StClusterAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): StClusterAgg = copy(child = newChild)
+    override def prettyName: String =
+      if (dist == 0.0) "st_clusterintersecting_agg" else "st_clusterwithin_agg"
+  }
+
   /** ST_AsMVT analogue: aggregate rows already in tile-local coordinates
    *  (see st_asmvtgeom) into one Mapbox Vector Tile layer's protobuf bytes —
    *  `st_asmvt_agg(geom [, props MAP<STRING,STRING> [, 'layer' [, extent]]])`

@@ -317,6 +317,24 @@ object GeoFns {
   private val bufferMemoMax = 131072
   private val bufferMemoMaxEntryBytes = 16384
   private val bufferMemo = new java.util.concurrent.ConcurrentHashMap[BufferKey, Array[Byte]]()
+  // fused-measure memo (st_buffer_area): value is the area double, and the
+  // probe happens BEFORE the input WKB is parsed — a memo hit costs one hash
+  // lookup, no JTS at all
+  private val bufferAreaMemo = new java.util.concurrent.ConcurrentHashMap[BufferKey, java.lang.Double]()
+  private def memoBufferArea(raw: Any, dist: Double, segs: Int, cap: Int, join: Int,
+      mitre: Double)(compute: => Double): Double = raw match {
+    case in: Array[Byte] if in.length <= bufferMemoMaxEntryBytes =>
+      val key = new BufferKey(in, dist, segs, cap, join, mitre)
+      val hit = bufferAreaMemo.get(key)
+      if (hit != null) hit.doubleValue
+      else {
+        val out = compute
+        if (bufferAreaMemo.size >= bufferMemoMax) bufferAreaMemo.clear()
+        bufferAreaMemo.put(key, java.lang.Double.valueOf(out))
+        out
+      }
+    case _ => compute
+  }
   private def memoBuffer(raw: Any, dist: Double, segs: Int, cap: Int, join: Int,
       mitre: Double)(compute: => Array[Byte]): Array[Byte] = raw match {
     case in: Array[Byte] if in.length <= bufferMemoMaxEntryBytes =>
@@ -1593,6 +1611,41 @@ object GeoFns {
               val bp = new BufferParameters(segs, cap, join, mitre)
               w(new BufferOp(g, bp).getResultGeometry(dist))
             }
+        }
+      }
+    }
+    // Fused buffer measure — MeasureFusionRule rewrites st_area(st_buffer(…))
+    // here: the buffered polygon is never serialized or re-parsed, and the
+    // per-(input, params) area double is memoized with a probe that precedes
+    // the input parse (memo hit = one hash lookup). Dispatch mirrors
+    // st_buffer exactly (point closed forms included) so fused == unfused
+    // bit-for-bit — BufferFastPathSpec sweeps the parity.
+    fn("st_buffer_area", D, Seq(B, D), Seq(B, D, I), Seq(B, D, I, S, S, D)) { a =>
+      val dist = dbl(a(1))
+      if (a.length <= 3) {
+        val segs = if (a.length > 2) int(a(2)) else 8
+        memoBufferArea(a(0), dist, segs, -1, -1, 0.0) {
+          rg(a(0)) match {
+            case p: Point if dist > 0 && segs >= 1 && !p.isEmpty => pointCircle(p, dist, segs).getArea
+            case g => BufferOp.bufferOp(g, dist, segs).getArea
+          }
+        }
+      } else {
+        val cap = bufferEnum("cap style", str(a(3)), bufferCapStyles)
+        val join = bufferEnum("join style", str(a(4)), bufferJoinStyles)
+        val segs = int(a(2)); val mitre = dbl(a(5))
+        memoBufferArea(a(0), dist, segs, cap, join, mitre) {
+          rg(a(0)) match {
+            case p: Point if dist > 0 && segs >= 1 && !p.isEmpty =>
+              cap match {
+                case BufferParameters.CAP_ROUND => pointCircle(p, dist, segs).getArea
+                case BufferParameters.CAP_FLAT => 0.0
+                case _ => pointSquare(p, dist).getArea
+              }
+            case g =>
+              val bp = new BufferParameters(segs, cap, join, mitre)
+              new BufferOp(g, bp).getResultGeometry(dist).getArea
+          }
         }
       }
     }

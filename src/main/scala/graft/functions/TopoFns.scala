@@ -48,28 +48,29 @@ object TopoFns {
    *  topology kernels cost 10µs–1ms per call while a probe costs ~0.1µs, and
    *  real corpora repeat geometries heavily. Cleared wholesale when full so
    *  memory stays bounded. Op codes are local to this map. */
-  private final class TKey(val in: Array[Byte], val op: Int, val p: Double) {
+  private final class TKey(val in: Array[Byte], val op: Int, val p: Double, val q: Int) {
     override val hashCode: Int = {
       var h = java.util.Arrays.hashCode(in)
       h = h * 31 + op
-      h * 31 + java.lang.Double.hashCode(p)
+      h = h * 31 + java.lang.Double.hashCode(p)
+      h * 31 + q
     }
     override def equals(o: Any): Boolean = o match {
-      case k: TKey => k.op == op && k.p == p && java.util.Arrays.equals(k.in, in)
+      case k: TKey => k.op == op && k.p == p && k.q == q && java.util.Arrays.equals(k.in, in)
       case _ => false
     }
   }
   private val memoMax = 65536
   private val memoMaxEntryBytes = 16384
   private val tMemo = new java.util.concurrent.ConcurrentHashMap[TKey, AnyRef]()
-  private def memo(op: Int, raw: Any, p: Double)(compute: => AnyRef): AnyRef = {
+  private def memo(op: Int, raw: Any, p: Double, q: Int = 0)(compute: => AnyRef): AnyRef = {
     val in = raw match {
       case b: Array[Byte] if b.length <= memoMaxEntryBytes => b
       case s: UTF8String if s.numBytes <= memoMaxEntryBytes => s.getBytes
       case _ => null
     }
     if (in == null) return compute
-    val key = new TKey(in, op, p)
+    val key = new TKey(in, op, p, q)
     val hit = tMemo.get(key)
     if (hit != null) return hit
     val out = compute
@@ -461,9 +462,9 @@ object TopoFns {
       memo(39, a(0), dbl(a(1)))(w(cluster(rg(a(0)), dbl(a(1))))))
     fn("st_clusterdbscan", ArrayType(IntegerType), Seq(B, D, IntegerType)) { a =>
       // content memo like the other collection kernels; eps and minpoints
-      // fold into one key dimension (minpoints is a small positive int, so
-      // the 2^20 stride can't collide with a real eps delta)
-      memo(43, a(0), dbl(a(1)) + a(2).asInstanceOf[Int] * 1048576.0) {
+      // each get their own key dimension so distinct parameter pairs never
+      // collide
+      memo(43, a(0), dbl(a(1)), a(2).asInstanceOf[Int]) {
         new GenericArrayData(clusterDbscan(rg(a(0)), dbl(a(1)),
           a(2).asInstanceOf[Int]).asInstanceOf[Array[AnyRef]])
       }

@@ -31,6 +31,12 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case FnExpr("st_area", Seq(FnExpr(op, args)))
           if args.length == 2 && fused.contains(op) =>
         FnExpr(fused(op), args)
+      // st_area(st_buffer(…)) → fused area: skips the buffered polygon's
+      // WKB write + re-parse, and the fused function's memo probe precedes
+      // the input parse entirely (the q_buffer_styles hot path)
+      case FnExpr("st_area", Seq(FnExpr("st_buffer", args)))
+          if args.length == 2 || args.length == 3 || args.length == 6 =>
+        FnExpr("st_buffer_area", args)
       // aggregate fusion: st_area(st_union_agg(g)) → a sweep-line
       // area-of-rect-union aggregate (deduped rect state, JTS fallback for
       // non-rect inputs); st_area(st_intersection_agg(g)) → a running rect

@@ -76,4 +76,42 @@ class BufferFastPathSpec extends AnyFunSuite {
     assert(plain.equalsExact(BufferOp.bufferOp(reader.read("LINESTRING (0 0, 10 0)"), 2.0, 8)))
     assert(!plain.equalsExact(base))
   }
+
+  test("fused st_area(st_buffer) equals the unfused two-step on every style") {
+    // MeasureFusionRule rewrites the fused side; the unfused side is forced
+    // through an intermediate column so the rule can't touch it
+    def areas(wkt: String, d: Double, segs: Int, cap: String, join: String, mitre: Double) = {
+      val fusedRow = spark.sql(
+        s"SELECT st_area(st_buffer(st_geomfromtext('$wkt'), ${d}d, $segs, '$cap', '$join', ${mitre}d))").collect()(0)
+      val unfused = spark.sql(
+        s"""SELECT st_area(b) FROM (
+              SELECT st_buffer(st_geomfromtext('$wkt'), ${d}d, $segs, '$cap', '$join', ${mitre}d) AS b)""")
+        .collect()(0).getDouble(0)
+      (fusedRow.getDouble(0), unfused)
+    }
+    for {
+      wkt <- Seq("POINT (3 5)", "LINESTRING (0 0, 10 0)", "LINESTRING (2 3, 8 3, 8 7)",
+        "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")
+      (capN, _) <- caps
+      (joinN, _) <- joins
+      mitre <- Seq(1.0, 10.0)
+      rep <- 1 to 2 // second pass = memo hit, must stay identical
+    } {
+      val (f, u) = areas(wkt, 2.0, 8, capN, joinN, mitre)
+      assert(f == u, s"$wkt $capN/$joinN mitre=$mitre rep=$rep fused=$f unfused=$u")
+    }
+    // 2/3-arg arities fuse too
+    for (wkt <- Seq("POINT (3 5)", "LINESTRING (0 0, 10 0)")) {
+      val f = spark.sql(s"SELECT st_area(st_buffer(st_geomfromtext('$wkt'), 2.0d, 8))").collect()(0).getDouble(0)
+      val u = spark.sql(s"SELECT st_area(b) FROM (SELECT st_buffer(st_geomfromtext('$wkt'), 2.0d, 8) AS b)")
+        .collect()(0).getDouble(0)
+      assert(f == u, wkt)
+    }
+    // the rewrite is actually in the plan (non-foldable input so constant
+    // folding can't evaluate it away)
+    val plan = spark.sql(
+      "SELECT st_area(st_buffer(st_point(cast(id AS DOUBLE), 2.0d), 2.0d, 8)) FROM range(3)")
+      .queryExecution.optimizedPlan
+    assert(plan.expressions.map(_.toString).mkString.contains("st_buffer_area"))
+  }
 }
