@@ -117,8 +117,15 @@ class BboxSkippingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def envelopeOf(constGeom: Expression): Option[(Double, Double, Double, Double)] =
     scala.util.Try {
-      val bytes = constGeom.eval(null).asInstanceOf[Array[Byte]]
-      val e = graft.geom.Geo.read(bytes).getEnvelopeInternal
+      // accept WKT string constants too — the eval layer's implicit
+      // VARCHAR→GEOMETRY coercion applies to predicates like
+      // st_within(geom, 'POINT (1 2)'), so the pruning rule must see the
+      // same envelope the kernel will
+      val g = constGeom.eval(null) match {
+        case b: Array[Byte] => graft.geom.Geo.read(b)
+        case s: org.apache.spark.unsafe.types.UTF8String => graft.geom.Geo.fromWkt(s.toString)
+      }
+      val e = g.getEnvelopeInternal
       (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
     }.toOption
 

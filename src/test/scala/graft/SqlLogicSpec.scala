@@ -46,5 +46,9 @@ class SqlLogicSpec extends AnyFunSuite {
     // supported-construct queries must be overwhelmingly correct
     assert(p > 100, s"too few passing queries: $p")
     assert(fl.toDouble / math.max(p + fl, 1) < 0.5, s"failure rate too high: $fl vs $p")
+    // round 12: the R-tree DDL/CRUD suite executes for real (clustered-layout
+    // index handlers + runner DELETE + packed-tree dump + pushdown probes);
+    // only genuinely engine-specific residue may skip
+    assert(u < 25, s"dialect-skips regressed: $u")
   }
 }

