@@ -2736,6 +2736,26 @@ object SparkEntry {
                e + 0.5d, mp), ',', 'n') AS ids
       FROM src ORDER BY k"""),
 
+    // Collection-level k-means (round 12): three blobs at 0 / G / 2G with
+    // intra-blob spread <= 8 and G >= 1000, so Lloyd provably converges to
+    // the blob partition under the deterministic farthest-first seeding —
+    // membership is structure-invariant while every coordinate is
+    // data-dependent. k=1 exercises the trivial path.
+    "q_kmeans_fn" -> q("lineitem")(s"""
+      WITH src AS (
+        SELECT $K AS k,
+               cast(1 + l_partkey % 4 AS DOUBLE) AS d,
+               cast(1000 + (l_suppkey % 50) * 10 AS DOUBLE) AS gbig,
+               cast(1 + 2 * (l_linenumber % 2) AS INT) AS kk
+        FROM lineitem)
+      SELECT k, kk,
+             array_join(st_clusterkmeans(
+               st_collect(array(st_point(0.0d, 0.0d), st_point(d, 0.0d), st_point(2.0d * d, 0.0d),
+                                st_point(gbig, 0.0d), st_point(gbig + d, 0.0d),
+                                st_point(2.0d * gbig, 0.0d))),
+               kk), ',', 'n') AS ids
+      FROM src ORDER BY k"""),
+
     // Table-scale cluster aggregates (round 12): st_clusterwithin_agg /
     // st_clusterintersecting_agg GROUP BY — points on a line (resp. unit-high
     // x-intervals), so the transitive closure is exactly the gaps-and-islands
@@ -5235,6 +5255,14 @@ object SparkEntry {
       WHERE cx - (3.0 * sqrt(3.0)) / 2 <= 50.0 AND cx + (3.0 * sqrt(3.0)) / 2 >= 1.0
         AND cy - 3.0 <= 40.0 AND cy + 3.0 >= 2.0
       ORDER BY q, r""",
+
+    // The invariant k-means blob partition: k=1 trivially single-cluster,
+    // k=3 resolves the three separated blobs in member order.
+    "q_kmeans_fn" -> s"""
+      SELECT $K AS k,
+             CAST(1 + 2 * (l_linenumber % 2) AS INT) AS kk,
+             CASE WHEN l_linenumber % 2 = 0 THEN '0,0,0,0,0,0' ELSE '0,0,0,1,1,2' END AS ids
+      FROM lineitem ORDER BY k""",
 
     // Cluster aggregates replayed as gaps-and-islands: transitive closure of
     // "within 5" over collinear points (resp. "intersects" over 4-wide

@@ -241,40 +241,67 @@ object GeoAggregates {
     override def prettyName: String = "st_collect_agg"
   }
 
+  final class WkbKey(val w: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(w)
+    override def equals(o: Any): Boolean = o match {
+      case k: WkbKey => java.util.Arrays.equals(k.w, w)
+      case _ => false
+    }
+  }
+
   /** ST_ClusterIntersecting_Agg / ST_ClusterWithin_Agg — the PostGIS
    *  aggregate forms of the collection-level st_clusterintersecting /
-   *  st_clusterwithin (reference surface: GEOS cluster functions). Buffers
-   *  geometries like st_collect_agg (partial merge is a concat, so map-side
-   *  combine applies), then runs the shared STRtree + union-find transitive
-   *  closure (TopoFns.cluster) once at finalize. Returns ARRAY<BINARY>:
-   *  one GeometryCollection WKB per cluster. Members are canonically
-   *  sorted (envelope, then WKB bytes) before clustering so the result is
-   *  deterministic regardless of partition arrival order. Scale bound =
-   *  the aggregated group's member set, exactly as for st_collect_agg —
-   *  GROUP BY a tile/region key to keep groups bounded at 100 TB. */
+   *  st_clusterwithin (reference surface: GEOS cluster functions).
+   *
+   *  Scale shape: the buffer is a WKB→count multiset, NOT a geometry list —
+   *  real corpora repeat geometries heavily, so update is one hash insert
+   *  with zero parsing, partial merge sums counts, and the shuffle carries
+   *  each distinct geometry once per partition per group. JTS parsing and
+   *  the STRtree + union-find transitive closure (TopoFns.clusterIds) run
+   *  once per DISTINCT member at finalize (duplicates are at distance 0
+   *  from their twin, so they always share its cluster — the expanded
+   *  output is identical to clustering the full multiset).
+   *
+   *  Returns ARRAY<BINARY>: one GeometryCollection WKB per cluster, empties
+   *  skipped (st_collect semantics), members canonically sorted (envelope,
+   *  then WKB bytes) so the result is deterministic regardless of partition
+   *  arrival order; clusters ordered by min member minX, ids by that order.
+   *  Scale bound = the group's DISTINCT member set — GROUP BY a tile/region
+   *  key to keep groups bounded at 100 TB. */
   case class StClusterAgg(
       child: Expression,
       dist: Double,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[ArrayBuffer[Geometry]] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[scala.collection.mutable.LinkedHashMap[WkbKey, Long]]
+      with UnaryLike[Expression] {
 
-    override def createAggregationBuffer(): ArrayBuffer[Geometry] = new ArrayBuffer[Geometry]()
+    private type Buf = scala.collection.mutable.LinkedHashMap[WkbKey, Long]
+    override def createAggregationBuffer(): Buf = scala.collection.mutable.LinkedHashMap.empty
 
-    override def update(b: ArrayBuffer[Geometry], input: InternalRow): ArrayBuffer[Geometry] = {
+    override def update(b: Buf, input: InternalRow): Buf = {
       val v = child.eval(input)
       if (v != null) {
-        val g = Geo.read(v.asInstanceOf[Array[Byte]])
-        if (!g.isEmpty) b += g
+        val k = new WkbKey(v.asInstanceOf[Array[Byte]].clone())
+        b.updateWith(k) { case Some(c) => Some(c + 1L); case None => Some(1L) }
       }
       b
     }
-    override def merge(b: ArrayBuffer[Geometry], o: ArrayBuffer[Geometry]): ArrayBuffer[Geometry] = { b ++= o; b }
+    override def merge(b: Buf, o: Buf): Buf = {
+      o.foreach { case (k, c) =>
+        b.updateWith(k) { case Some(c0) => Some(c0 + c); case None => Some(c) }
+      }
+      b
+    }
 
-    override def eval(b: ArrayBuffer[Geometry]): Any = {
+    override def eval(b: Buf): Any = {
       val f = Geo.factory
-      // canonical member order → deterministic cluster ids and member order
-      val sorted = b.toArray.map(g => (g, Wkb.write(g))).sortWith { case ((ga, wa), (gb, wb)) =>
+      // parse each distinct once; skip empties (st_collect semantics)
+      val parsed = b.iterator.map { case (k, c) => (Geo.read(k.w), k.w, c) }
+        .filter(!_._1.isEmpty).toArray
+      // canonical distinct order → deterministic cluster ids + member order
+      // (duplicates expand adjacent to their twin)
+      val sorted = parsed.sortWith { case ((ga, wa, _), (gb, wb, _)) =>
         val ea = ga.getEnvelopeInternal; val eb = gb.getEnvelopeInternal
         if (ea.getMinX != eb.getMinX) ea.getMinX < eb.getMinX
         else if (ea.getMinY != eb.getMinY) ea.getMinY < eb.getMinY
@@ -282,15 +309,52 @@ object GeoAggregates {
         else if (ea.getMaxY != eb.getMaxY) ea.getMaxY < eb.getMaxY
         else java.util.Arrays.compareUnsigned(wa, wb) < 0
       }
-      val clustered = TopoFns.cluster(f.createGeometryCollection(sorted.map(_._1)), dist)
-      val out = new Array[AnyRef](clustered.getNumGeometries)
+      val ids = TopoFns.clusterIds(sorted.map(_._1), dist)
+      val nClusters = if (ids.isEmpty) 0 else ids.max + 1
+      // cluster order: by min member env minX, exactly TopoFns.cluster's sort
+      val minX = Array.fill(nClusters)(Double.PositiveInfinity)
+      sorted.indices.foreach { i =>
+        val x = sorted(i)._1.getEnvelopeInternal.getMinX
+        if (x < minX(ids(i))) minX(ids(i)) = x
+      }
+      val rank = new Array[Int](nClusters)
+      (0 until nClusters).sortBy(minX(_)).zipWithIndex.foreach { case (c, r) => rank(c) = r }
+      val groups = Array.fill(nClusters)(new ArrayBuffer[Geometry]())
+      sorted.indices.foreach { i =>
+        val g = groups(rank(ids(i)))
+        var c = sorted(i)._3
+        while (c > 0) { g += sorted(i)._1; c -= 1 }
+      }
+      val out = new Array[AnyRef](nClusters)
       var i = 0
-      while (i < out.length) { out(i) = Wkb.write(clustered.getGeometryN(i)); i += 1 }
+      while (i < nClusters) {
+        out(i) = Wkb.write(f.createGeometryCollection(groups(i).toArray))
+        i += 1
+      }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
 
-    override def serialize(b: ArrayBuffer[Geometry]): Array[Byte] = serializeGeoms(b.toSeq)
-    override def deserialize(bytes: Array[Byte]): ArrayBuffer[Geometry] = deserializeGeoms(bytes)
+    override def serialize(b: Buf): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(b.size)
+      b.foreach { case (k, c) =>
+        out.writeInt(k.w.length); out.write(k.w); out.writeLong(c)
+      }
+      out.flush(); bos.toByteArray
+    }
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val b = scala.collection.mutable.LinkedHashMap.empty[WkbKey, Long]
+      var i = 0
+      while (i < n) {
+        val w = new Array[Byte](in.readInt()); in.readFully(w)
+        b.put(new WkbKey(w), in.readLong())
+        i += 1
+      }
+      b
+    }
 
     override def dataType: DataType = ArrayType(BinaryType)
     override def nullable: Boolean = false

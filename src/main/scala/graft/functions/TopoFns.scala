@@ -323,9 +323,13 @@ object TopoFns {
    *  intersects (d = 0) or distance ≤ d, candidate pairs from an STRtree so
    *  the work is near-linear for sparse layouts. Returns a
    *  GeometryCollection of GeometryCollections (PostGIS's cluster arrays). */
-  def cluster(g: Geometry, d: Double): Geometry = {
-    val ms = members(g).filter(!_.isEmpty)
-    if (ms.isEmpty) return f.createGeometryCollection()
+  /** Union-find transitive-closure cluster ids over an ordered member array:
+   *  edges are intersects (d = 0) or distance ≤ d, candidate pairs from an
+   *  STRtree. Returns one dense id per member, numbered by first appearance
+   *  in member order. Shared by the collection functions and the
+   *  st_cluster*_agg aggregates (which call it on DISTINCT members only). */
+  def clusterIds(ms: Array[Geometry], d: Double): Array[Int] = {
+    if (ms.isEmpty) return Array.empty
     val parent = Array.tabulate(ms.length)(identity)
     def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); parent(i) = r; r }
     def unite(i: Int, j: Int): Unit = { val a = find(i); val b = find(j); if (a != b) parent(a) = b }
@@ -345,7 +349,15 @@ object TopoFns {
         }
       }
     }
-    val groups = ms.indices.groupBy(find).values.toSeq
+    val idOf = scala.collection.mutable.Map.empty[Int, Int]
+    ms.indices.map(i => idOf.getOrElseUpdate(find(i), idOf.size)).toArray
+  }
+
+  def cluster(g: Geometry, d: Double): Geometry = {
+    val ms = members(g).filter(!_.isEmpty).toArray
+    if (ms.isEmpty) return f.createGeometryCollection()
+    val ids = clusterIds(ms, d)
+    val groups = ms.indices.groupBy(ids(_)).values.toSeq
       .map(ix => ix.map(ms(_)))
       .sortBy(c => { val e = c.map(_.getEnvelopeInternal.getMinX).min; e })
     f.createGeometryCollection(groups.map(c => f.createGeometryCollection(c.toArray): Geometry).toArray)
@@ -405,6 +417,61 @@ object TopoFns {
     out
   }
 
+  /** K-means over a collection's members (the collection-level analogue of
+   *  PostGIS's ST_ClusterKMeans window function; like lwkmeans, each member
+   *  is represented by its 2D centroid). Deterministic where PostGIS's is
+   *  ordering-dependent: seeding is farthest-first traversal (first seed =
+   *  member closest to the collection's mean, then repeatedly the member
+   *  farthest from its nearest seed, lowest index on ties), Lloyd iterates
+   *  to an assignment fixpoint, and ids number clusters by first appearance
+   *  in member order. Empty members get null (they carry no location). */
+  def clusterKMeans(g: Geometry, k: Int): Array[Integer] = {
+    require(k >= 1, s"ST_ClusterKMeans: k must be >= 1, got $k")
+    val ms = members(g)
+    val n = ms.length
+    val pts = ms.map(m => if (m.isEmpty) null else {
+      val c = org.locationtech.jts.algorithm.Centroid.getCentroid(m)
+      (c.x, c.y)
+    })
+    val live = pts.indices.filter(pts(_) != null)
+    val out = new Array[Integer](n)
+    if (live.isEmpty) return out
+    val kk = math.min(k, live.length)
+    def d2(a: (Double, Double), b: (Double, Double)): Double = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; dx * dx + dy * dy
+    }
+    // farthest-first seeding from the member nearest the mean
+    val mx = live.map(pts(_)._1).sum / live.length
+    val my = live.map(pts(_)._2).sum / live.length
+    var seeds = List(live.minBy(i => d2(pts(i), (mx, my))))
+    while (seeds.length < kk) {
+      val next = live.maxBy { i =>
+        // negative index as secondary key => lowest index wins ties
+        (seeds.map(s => d2(pts(i), pts(s))).min, -i)
+      }
+      seeds ::= next
+    }
+    var centers = seeds.reverse.map(pts(_)).toArray
+    val assign = Array.fill(n)(-1)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 100) {
+      changed = false
+      live.foreach { i =>
+        val best = centers.indices.minBy(c => (d2(pts(i), centers(c)), c))
+        if (assign(i) != best) { assign(i) = best; changed = true }
+      }
+      val sx = new Array[Double](kk); val sy = new Array[Double](kk); val cnt = new Array[Int](kk)
+      live.foreach { i => sx(assign(i)) += pts(i)._1; sy(assign(i)) += pts(i)._2; cnt(assign(i)) += 1 }
+      centers = Array.tabulate(kk)(c => if (cnt(c) == 0) centers(c) else (sx(c) / cnt(c), sy(c) / cnt(c)))
+      iter += 1
+    }
+    val idOf = scala.collection.mutable.Map.empty[Int, Int]
+    for (i <- 0 until n)
+      out(i) = if (pts(i) == null) null else Integer.valueOf(idOf.getOrElseUpdate(assign(i), idOf.size))
+    out
+  }
+
   def load(): Unit = {
     fn("st_unaryunion", B, Seq(B))(a => memo(30, a(0), 0)(w(UnaryUnionOp.union(rg(a(0))))))
     fn("st_polygonize", B, Seq(B))(a => memo(31, a(0), 0)(w(polygonize(rg(a(0))))))
@@ -460,6 +527,12 @@ object TopoFns {
     fn("st_clusterintersecting", B, Seq(B))(a => memo(38, a(0), 0)(w(cluster(rg(a(0)), 0.0))))
     fn("st_clusterwithin", B, Seq(B, D))(a =>
       memo(39, a(0), dbl(a(1)))(w(cluster(rg(a(0)), dbl(a(1))))))
+    fn("st_clusterkmeans", ArrayType(IntegerType), Seq(B, IntegerType)) { a =>
+      memo(44, a(0), 0, a(1).asInstanceOf[Int]) {
+        new GenericArrayData(clusterKMeans(rg(a(0)),
+          a(1).asInstanceOf[Int]).asInstanceOf[Array[AnyRef]])
+      }
+    }
     fn("st_clusterdbscan", ArrayType(IntegerType), Seq(B, D, IntegerType)) { a =>
       // content memo like the other collection kernels; eps and minpoints
       // each get their own key dimension so distinct parameter pairs never

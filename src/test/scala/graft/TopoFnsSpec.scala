@@ -177,4 +177,28 @@ class TopoFnsSpec extends AnyFunSuite {
     intercept[Exception](sql1("st_clusterdbscan(st_point(0.0d, 0.0d), -1.0d, 2)"))
     intercept[Exception](sql1("st_clusterdbscan(st_point(0.0d, 0.0d), 1.0d, 0)"))
   }
+
+  test("clusterkmeans: blob partition, first-appearance ids, k edge cases") {
+    def ids(pts: String, k: Int): Seq[Any] =
+      spark.sql(s"SELECT st_clusterkmeans(st_geomfromtext('MULTIPOINT ($pts)'), $k)")
+        .collect()(0).getSeq[Any](0)
+    // three well-separated blobs resolve exactly
+    assert(ids("0 0, 1 0, 2 0, 100 0, 101 0, 200 0", 3) == Seq(0, 0, 0, 1, 1, 2))
+    // ids number by first appearance even when blobs arrive interleaved
+    assert(ids("100 0, 0 0, 101 0, 1 0", 2) == Seq(0, 1, 0, 1))
+    // k = 1: everything in one cluster
+    assert(ids("0 0, 5 0, 100 3", 1) == Seq(0, 0, 0))
+    // k >= members: every member its own cluster
+    assert(ids("0 0, 50 0", 5) == Seq(0, 1))
+    // empty members carry no location -> null, others still cluster
+    // (st_collect drops empties, so build the collection from WKT)
+    assert(spark.sql(
+      "SELECT st_clusterkmeans(st_geomfromtext('GEOMETRYCOLLECTION (POINT (0 0), POINT EMPTY, POINT (100 0))'), 2)")
+      .collect()(0).getSeq[Any](0) == Seq(0, null, 1))
+    // non-point members cluster by centroid
+    assert(spark.sql(
+      "SELECT st_clusterkmeans(st_collect(array(st_makeenvelope(0.0d,0.0d,2.0d,2.0d), st_makeenvelope(100.0d,0.0d,102.0d,2.0d))), 2)")
+      .collect()(0).getSeq[Any](0) == Seq(0, 1))
+    intercept[Exception](sql1("st_clusterkmeans(st_point(0.0d, 0.0d), 0)"))
+  }
 }
