@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable.ArrayBuffer
+import scala.util.chaining._
 
 /**
  * Mini sqllogictest runner over Spark SQL (SURVEY §5: "the .test files are
@@ -110,7 +111,8 @@ object SqlLogicTest {
         .replaceAll("(?i)::(LINESTRING_2D|POINT_2D|POLYGON_2D)", "")
         // DuckDB digit-group underscores (100_00) and the BOX_2D struct-literal
         // form of st_generatepoints flatten to plain Spark syntax
-        .replaceAll("(?<=\\d)_(?=\\d)", "")
+        // (outside string literals only — 'duckdb_v1_0_0.db' must survive)
+        .pipe(stripDigitUnderscores)
         .replaceAll(
           "(?is)st_generatepoints\\(\\s*\\{\\s*min_x\\s*:\\s*([^,]+),\\s*min_y\\s*:\\s*([^,]+),\\s*max_x\\s*:\\s*([^,]+),\\s*max_y\\s*:\\s*([^}]+)\\}\\s*::BOX_2D\\s*,",
           "st_generatepoints($1, $2, $3, $4,")
@@ -208,6 +210,29 @@ object SqlLogicTest {
       }
     }
     sql
+  }
+
+  /** DuckDB digit-group underscores (100_000 → 100000) — outside string
+    * literals only, so quoted paths like 'duckdb_v1_0_0.db' survive. */
+  private def stripDigitUnderscores(sql: String): String = {
+    if (!sql.contains('_')) return sql
+    val sb = new java.lang.StringBuilder(sql.length)
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; sb.append(c)
+        case '_' if i > 0 && i + 1 < sql.length &&
+            sql.charAt(i - 1).isDigit && sql.charAt(i + 1).isDigit => // drop
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** DuckDB `[a, b]` list literals → Spark `array(a, b)` — outside string
@@ -511,10 +536,26 @@ object SqlLogicTest {
           // ignore entirely
         } else try {
           stmts.foreach { one =>
-            // R-tree DDL and DELETE execute through the runner's handlers
-            // (clustered side layout / managed-table rewrite), not spark.sql
+            // R-tree DDL, DELETE, and EXPORT DATABASE execute through the
+            // runner's handlers (clustered side layout / managed-table
+            // rewrite / per-table CSV export), not spark.sql
             if (createRtree(one) || dropRtree(one)) ()
             else if ("(?is)^\\s*DELETE\\s+FROM\\b.*".r.matches(one)) runDelete(one)
+            else if ("(?is)^\\s*EXPORT\\s+DATABASE\\b.*".r.matches(one)) {
+              // DuckDB's EXPORT DATABASE writes every table as CSV; mirror
+              // it through the engine's own CSV-WKT writer
+              val dir = "(?is)'([^']+)'".r.findFirstMatchIn(one).get.group(1)
+              new java.io.File(dir).mkdirs()
+              spark.catalog.listTables().collect().foreach { t =>
+                val df = spark.table(t.name)
+                val geomCol = df.schema.fields
+                  .find(_.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
+                geomCol match {
+                  case Some(g) => graft.io.GeoWriter.csvWkt(df, g, s"$dir/${t.name}.csv", singleFile = true)
+                  case None => df.write.mode("overwrite").option("header", "true").csv(s"$dir/${t.name}.csv")
+                }
+              }
+            }
             else {
             // the corpus re-creates tables across files; make CREATE idempotent
             val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
