@@ -1665,6 +1665,11 @@ object GeoFns {
       val ga = rg(a(0)); val gb = rg(a(1))
       ga.getArea - fusedInterArea(ga, gb)
     }
+    // XOR by inclusion-exclusion: |A Δ B| = |A| + |B| - 2|A ∩ B|
+    fn("st_symdifference_area", D, Seq(B, B)) { a =>
+      val ga = rg(a(0)); val gb = rg(a(1))
+      ga.getArea + gb.getArea - 2.0 * fusedInterArea(ga, gb)
+    }
     // Overlay ops with bbox short-circuits (the reference's cached-bbox checks,
     // geometry_type.hpp:100-146, applied at the function level): rectangle ∩
     // rectangle clips directly; envelope-disjoint polygons skip OverlayNG.

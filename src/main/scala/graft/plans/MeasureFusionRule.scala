@@ -23,7 +23,8 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private val fused = Map(
     "st_intersection" -> "st_intersection_area",
     "st_union" -> "st_union_area",
-    "st_difference" -> "st_difference_area")
+    "st_difference" -> "st_difference_area",
+    "st_symdifference" -> "st_symdifference_area")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get("spark.graft.measureFusion.enabled", "true").toBoolean) return plan
@@ -31,6 +32,17 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case FnExpr("st_area", Seq(FnExpr(op, args)))
           if args.length == 2 && fused.contains(op) =>
         FnExpr(fused(op), args)
+      // the symmetric difference is empty exactly when the two point sets
+      // are equal — st_equals has prepared/rectangle fast paths, so the
+      // overlay geometry is never built just to test emptiness. The
+      // empty∆empty case needs its own disjunct: relate-based equals is
+      // false on two empties while their symdifference IS empty.
+      case FnExpr("st_isempty", Seq(FnExpr("st_symdifference", args)))
+          if args.length == 2 =>
+        org.apache.spark.sql.catalyst.expressions.Or(
+          org.apache.spark.sql.catalyst.expressions.And(
+            FnExpr("st_isempty", Seq(args(0))), FnExpr("st_isempty", Seq(args(1)))),
+          FnExpr("st_equals", args))
       // st_area(st_buffer(…)) → fused area: skips the buffered polygon's
       // WKB write + re-parse, and the fused function's memo probe precedes
       // the input parse entirely (the q_buffer_styles hot path)

@@ -162,4 +162,45 @@ class MeasureFusionSpec extends AnyFunSuite {
         st_geomfromtext('POLYGON ((4 4, 20 4, 20 20, 4 20, 4 4))')))""").collect()(0).getDouble(0)
     assert(r.getDouble(1) == 32.0 + 256.0 - inter)
   }
+
+  test("symdifference fusion: area by inclusion-exclusion, emptiness via st_equals") {
+    Graft.register(spark)
+    val q = """
+      SELECT st_area(st_symdifference(st_makeenvelope(0.0d, 0.0d, x + 4.0d, 6.0d),
+                                      st_makeenvelope(x, 1.0d, x + 8.0d, 7.0d))) AS sd,
+             st_isempty(st_symdifference(st_makeenvelope(0.0d, 0.0d, x + 4.0d, 6.0d),
+                                         st_makeenvelope(0.0d, 0.0d, x + 4.0d, 6.0d))) AS same,
+             st_isempty(st_symdifference(st_makeenvelope(0.0d, 0.0d, x + 4.0d, 6.0d),
+                                         st_makeenvelope(x, 1.0d, x + 8.0d, 7.0d))) AS diff
+      FROM (SELECT cast(id AS DOUBLE) AS x FROM range(0, 6))"""
+    val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_symdifference_area"), s"area fusion did not fire:\n$plan")
+    assert(plan.contains("st_equals"), s"emptiness fusion did not fire:\n$plan")
+    val fused = spark.sql(q).collect().map(r => (r.getDouble(0), r.getBoolean(1), r.getBoolean(2)))
+    spark.conf.set("spark.graft.measureFusion.enabled", "false")
+    try {
+      val plain = spark.sql(q).collect().map(r => (r.getDouble(0), r.getBoolean(1), r.getBoolean(2)))
+      assert(fused.toSeq == plain.toSeq)
+    } finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
+    assert(fused.forall { case (_, same, diff) => same && !diff })
+    // empty Δ empty IS empty — the rewrite's extra disjunct
+    val ee = spark.sql("""
+      SELECT st_isempty(st_symdifference(g, g))
+      FROM (SELECT st_geomfromtext(concat('POLYGON EMPT', 'Y')) AS g FROM range(1))""")
+      .collect()(0).getBoolean(0)
+    assert(ee)
+    // non-rect inputs fall through to the general JTS path, still equal
+    val tri = spark.sql("""
+      SELECT st_area(st_symdifference(st_geomfromtext('POLYGON ((0 0, 8 0, 0 8, 0 0))'),
+                                      st_geomfromtext('POLYGON ((4 4, 20 4, 20 20, 4 20, 4 4))'))) AS f
+      FROM range(1)""").collect()(0).getDouble(0)
+    spark.conf.set("spark.graft.measureFusion.enabled", "false")
+    try {
+      val u = spark.sql("""
+        SELECT st_area(st_symdifference(st_geomfromtext('POLYGON ((0 0, 8 0, 0 8, 0 0))'),
+                                        st_geomfromtext('POLYGON ((4 4, 20 4, 20 20, 4 20, 4 4))'))) AS u
+        FROM range(1)""").collect()(0).getDouble(0)
+      assert(math.abs(tri - u) < 1e-9)
+    } finally spark.conf.set("spark.graft.measureFusion.enabled", "true")
+  }
 }
