@@ -324,6 +324,10 @@ object Proj {
    *  EASE-Grid sphere; like the other authalic spheres, no shift. */
   val SphereIntl1924Authalic = Ellipsoid(6371228.0, Double.PositiveInfinity)
   val DatumIntl1924Sphere = Datum(SphereIntl1924Authalic, None)
+  /** New Beijing (the 1954 network readjustment, EPSG:1045): like Xian 1980,
+   *  the EPSG dataset publishes no national Helmert to WGS84 and PROJ ships
+   *  a null transform without grids — mirrored here. */
+  val DatumNewBeijing = Datum(Krass1940, None)
   /** Belgian Datum 72 → WGS84 — EPSG:15929 7-parameter */
   val DatumBd72 = Datum(Intl1924,
     Some(Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)))
@@ -2521,7 +2525,21 @@ object Proj {
         "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +R=6371228 +units=m +no_defs"),
       // NAD83(CSRS98) / SCoPQ zone 2 (Québec; MTM parameters, its own CM)
       "EPSG:2944" -> tm("NAD83(CSRS98) / SCoPQ zone 2", 0, -55.5, 0.9999, 304800, 0,
-        probe = (-55.1, 47.2))
+        probe = (-55.1, 47.2)),
+      // ESRI continental conic completions (WGS 84 frame, meters) — the
+      // remaining high-traffic members of the 102xxx family
+      "ESRI:102012" -> lcc("Asia Lambert Conformal Conic", 30, 62, 0, 105, 0, 0, w,
+        probe = (105, 40)),
+      "ESRI:102013" -> alb("Europe Albers Equal Area Conic", 43, 62, 30, 10, 0, 0, w,
+        probe = (10, 50)),
+      "ESRI:102014" -> lcc("Europe Lambert Conformal Conic", 43, 62, 30, 10, 0, 0, w,
+        probe = (10, 50)),
+      "ESRI:102024" -> lcc("Africa Lambert Conformal Conic", 20, -23, 0, 25, 0, 0, w,
+        probe = (25, 5)),
+      "ESRI:102027" -> lcc("Asia North Lambert Conformal Conic", 15, 65, 30, 95, 0, 0, w,
+        probe = (95, 50)),
+      "ESRI:102030" -> lcc("Asia South Lambert Conformal Conic", 7, -32, -15, 125, 0, 0, w,
+        probe = (125, -10))
     ) ++ (3 to 10).map { z =>
       // NAD83(CSRS98) / MTM zones 3-10 — the CSRS realization of the 32183+
       // family (EPSG reuses the zone conversions; frames agree at this
@@ -2724,6 +2742,10 @@ object Proj {
   private def gk3Zone(z: Int) = (s"3-degree Gauss-Kruger zone $z", 3.0 * z, z * 1e6 + 500000)
   private def gk3Cm(cm: Int) = (s"3-degree Gauss-Kruger CM ${cm}E", cm.toDouble, 500000.0)
 
+  private val NewBeijingGk6 = "EPSG:45(6[8-9]|7[0-8])".r   // 6° zones 13-23
+  private val NewBeijingGk6Cm = "EPSG:45(79|8[0-9])".r     // 6° CM 75E-135E
+  private val NewBeijingGk3 = "EPSG:46(5[2-9]|6[0-9]|7[0-2])".r  // 3° zones 25-45
+  private val NewBeijingGk3Cm = "EPSG:46(7[3-9]|8[0-9]|9[0-3])".r // 3° CM 75E-135E
   private val BeijingGk6 = "EPSG:214(1[3-9]|2[0-3])".r     // 6° zones 13-23
   private val BeijingGk6Cm = "EPSG:214(5[3-9]|6[0-3])".r   // 6° CM 75E-135E
   private val BeijingGk3 = "EPSG:24(0[1-9]|1[0-9]|2[01])".r  // 3° zones 25-45
@@ -3027,6 +3049,18 @@ object Proj {
     case Agd66Amg(z) => Some(utmCrs(code, s"AGD66 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd66))
     case Agd84Amg(z) => Some(utmCrs(code, s"AGD84 / AMG zone ${z.toInt}", z.toInt, south = true, DatumAgd84))
     case Cgcs2000(n) => Some(cgcsCrs(code, n.toInt))
+    case NewBeijingGk6(_) =>
+      val (nm, l0, fe) = gk6Zone(code.drop(5).toInt - 4568 + 13)
+      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
+    case NewBeijingGk6Cm(_) =>
+      val (nm, l0, fe) = gk6Cm(code.drop(5).toInt - 4579 + 13)
+      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
+    case NewBeijingGk3(_) =>
+      val (nm, l0, fe) = gk3Zone(code.drop(5).toInt - 4652 + 25)
+      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
+    case NewBeijingGk3Cm(_) =>
+      val (nm, l0, fe) = gk3Cm(75 + 3 * (code.drop(5).toInt - 4673))
+      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
     case BeijingGk6(_) =>
       val (nm, l0, fe) = gk6Zone(code.drop(5).toInt - 21400)
       Some(chinaGkCrs(code, "Beijing 1954", DatumBeijing54, l0, fe, nm))
@@ -3092,6 +3126,7 @@ object Proj {
     // batch 9 (round 12)
     "EPSG:4214" -> (("Beijing 1954", DatumBeijing54)),
     "EPSG:4610" -> (("Xian 1980", DatumXian80)),
+    "EPSG:4555" -> (("New Beijing", DatumNewBeijing)),
     "EPSG:4618" -> (("SAD69", DatumSad69)),
     // batch 4 (round 10)
     "EPSG:4301" -> (("Tokyo", DatumTokyo)),

@@ -1565,5 +1565,29 @@ class ProjRegistrySpec extends AnyFunSuite {
       true) // (datum plumbing is covered by the 4214/4610 WKT test below)
     assert(Proj.toWkt1("EPSG:4214").get.contains("Krassowsky"))
     assert(Proj.toWkt1("EPSG:4610").get.contains("6378140"))
+    // batch 10: New Beijing GK families share Beijing 1954's grids exactly
+    // (same ellipsoid + conversion; the readjustment is a datum-level change)
+    for ((nb, bj) <- Seq(("EPSG:4572", "EPSG:21417"), ("EPSG:4583", "EPSG:21457"),
+      ("EPSG:4663", "EPSG:2412"), ("EPSG:4684", "EPSG:2433"))) {
+      val a = Proj.lookup(nb).getOrElse(fail(s"$nb did not resolve"))
+      val b = Proj.lookup(bj).get
+      val (ax, ay) = a.proj.forward(99.5, 36.0)
+      val (bx, by) = b.proj.forward(99.5, 36.0)
+      assert(ax == bx && ay == by, s"$nb vs $bj grid mismatch")
+    }
+    assert(Proj.toWkt1("EPSG:4555").get.contains("Krassowsky"))
+    // ESRI continental conics resolve and round-trip their probes
+    for (code <- Seq("ESRI:102012", "ESRI:102013", "ESRI:102014", "ESRI:102024",
+      "ESRI:102027", "ESRI:102030")) {
+      val c = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = c.probe
+      val (x, y) = c.proj.forward(lon, lat)
+      val (lon2, lat2) = c.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // the Africa cone opens southward across the equator: Lagos north of
+    // Johannesburg in grid y despite the lat0=0 origin
+    val af = Proj.lookup("ESRI:102024").get.proj
+    assert(af.forward(3.4, 6.5)._2 > af.forward(28.0, -26.2)._2)
   }
 }
