@@ -57,6 +57,45 @@ class ClusterAggSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("aggregate partition equals the collection function's on random members") {
+    // seeded random mixed geometries: the aggregate's distinct-only closure
+    // + count expansion must reproduce st_clusterwithin(st_collect(...))
+    val rnd = new scala.util.Random(20260815)
+    val wkts = Seq.fill(120) {
+      val x = rnd.nextInt(60); val y = rnd.nextInt(60)
+      rnd.nextInt(3) match {
+        case 0 => s"POINT ($x $y)"
+        case 1 => s"LINESTRING ($x $y, ${x + 2} ${y + 1})"
+        case _ => s"POLYGON (($x $y, ${x + 3} $y, ${x + 3} ${y + 3}, $x $y))"
+      }
+    } ++ Seq.fill(40)("POINT (7 7)") // heavy duplicates exercise the multiset buffer
+    spark.createDataFrame(wkts.map(Tuple1(_))).toDF("wkt").createOrReplaceTempView("cap_src")
+    for (d <- Seq(0.0, 1.5, 4.0)) {
+      val agg = rows(s"""
+        SELECT pos, st_ngeometries(c) AS n, st_xmin(c) AS x0, st_ymin(c) AS y0
+        FROM (SELECT ${if (d == 0.0) "st_clusterintersecting_agg(st_geomfromtext(wkt))"
+                      else s"st_clusterwithin_agg(st_geomfromtext(wkt), ${d}d)"} AS cl
+              FROM cap_src)
+        LATERAL VIEW posexplode(cl) t AS pos, c ORDER BY pos""")
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val coll = rows(s"""
+        SELECT cast(i - 1 AS INT) AS pos,
+               st_ngeometries(st_geometryn(cl, cast(i AS INT))) AS n,
+               st_xmin(st_geometryn(cl, cast(i AS INT))) AS x0,
+               st_ymin(st_geometryn(cl, cast(i AS INT))) AS y0
+        FROM (SELECT ${if (d == 0.0) "st_clusterintersecting(g)" else s"st_clusterwithin(g, ${d}d)"} AS cl
+              FROM (SELECT st_collect(collect_list(st_geomfromtext(wkt))) AS g FROM cap_src))
+        LATERAL VIEW explode(sequence(1, st_ngeometries(cl))) t AS i ORDER BY pos""")
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
+      // same partition: same cluster count, and per-cluster (size, min x/y)
+      // multisets agree (member order differs — the aggregate sorts
+      // canonically, the collection function keeps arrival order)
+      assert(agg.map(_._1) == coll.map(_._1), s"d=$d cluster count")
+      assert(agg.map(t => (t._2, t._3, t._4)).sorted == coll.map(t => (t._2, t._3, t._4)).sorted,
+        s"d=$d cluster contents")
+    }
+  }
+
   test("duplicate and empty members: duplicates counted, empties skipped") {
     val r = rows("""
       SELECT st_ngeometries(cl[0]) AS n, size(cl) AS nc
