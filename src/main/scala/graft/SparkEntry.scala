@@ -2874,7 +2874,12 @@ object SparkEntry {
              st_astext(st_dumprings(p)[0]) AS ring0,
              st_astext(st_dumprings(p)[1]) AS ring1,
              size(st_dumpsegments(l)) AS ns,
-             st_astext(st_dumpsegments(l)[1]) AS seg1
+             st_astext(st_dumpsegments(l)[1]) AS seg1,
+             size(st_dumppoints(p)) AS npt,
+             array_join(st_dumppoints(p)[6].path, ',') AS ppath,
+             st_astext(st_dumppoints(p)[6].geom) AS pgeom,
+             array_join(st_dumppoints(l)[2].path, ',') AS lpath,
+             st_astext(st_dumppoints(l)[2].geom) AS lgeom
       FROM g ORDER BY k"""),
 
     // Layout introspection (round 9): write a Hilbert-clustered layout, read
@@ -5351,7 +5356,12 @@ object SparkEntry {
              'POLYGON ((0 0, ' || a || ' 0, ' || a || ' ' || b || ', 0 ' || b || ', 0 0))' AS ring0,
              'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))' AS ring1,
              2 AS ns,
-             'LINESTRING (' || a || ' 0, ' || a || ' ' || b || ')' AS seg1
+             'LINESTRING (' || a || ' 0, ' || a || ' ' || b || ')' AS seg1,
+             10 AS npt,
+             '2,2' AS ppath,
+             'POINT (2 1)' AS pgeom,
+             '3' AS lpath,
+             'POINT (' || a || ' ' || b || ')' AS lgeom
       FROM src ORDER BY k""",
 
     // DuckDB's parquet_metadata() reads the same footers st_layout_info

@@ -1339,6 +1339,36 @@ object GeoFns {
     // then interiors, each as a POLYGON (PostGIS shape); polygon inputs only.
     // st_dumpsegments: every 2-point LINESTRING of every linear component
     // and ring, in traversal order.
+    // st_dumppoints (PostGIS): every vertex as a POINT with its full path —
+    // 1-based element indexes for collection levels (exactly st_dump's),
+    // a 1-based ring index for polygons (exterior = 1), and a 1-based
+    // vertex index, always last.
+    fn("st_dumppoints", ArrayType(StructType(Seq(StructField("geom", B), StructField("path", ArrayType(I))))), Seq(B)) { a =>
+      val out = new scala.collection.mutable.ArrayBuffer[(Geometry, Array[Int])]()
+      def emit(cs: CoordinateSequence, prefix: List[Int]): Unit = {
+        var i = 0
+        while (i < cs.size) {
+          out += ((f.createPoint(cs.getCoordinate(i).copy()), ((i + 1) :: prefix).reverse.toArray))
+          i += 1
+        }
+      }
+      def walk(g: Geometry, path: List[Int]): Unit = g match {
+        case c: GeometryCollection =>
+          var i = 0
+          while (i < c.getNumGeometries) { walk(c.getGeometryN(i), (i + 1) :: path); i += 1 }
+        case p: Point if !p.isEmpty => emit(p.getCoordinateSequence, path)
+        case l: LineString => emit(l.getCoordinateSequence, path)
+        case p: Polygon if !p.isEmpty =>
+          emit(p.getExteriorRing.getCoordinateSequence, 1 :: path)
+          (0 until p.getNumInteriorRing).foreach(i =>
+            emit(p.getInteriorRingN(i).getCoordinateSequence, (i + 2) :: path))
+        case _ => // empty members contribute no vertices
+      }
+      walk(rg(a(0)), Nil)
+      new GenericArrayData(out.map { case (g, path) =>
+        new GenericInternalRow(Array[Any](w(g), new GenericArrayData(path.map(x => x: Any))))
+      }.toArray[Any])
+    }
     fn("st_dumprings", ArrayType(B), Seq(B)) { a =>
       val out = new scala.collection.mutable.ArrayBuffer[Any]()
       def walk(g: Geometry): Unit = g match {

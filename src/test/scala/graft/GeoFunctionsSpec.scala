@@ -532,6 +532,27 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing == 0)
   }
 
+  test("st_dumppoints: PostGIS paths through collections, rings, vertices") {
+    def dump(wkt: String): Seq[(String, String)] =
+      spark.sql(s"""
+        SELECT array_join(d.path, ','), st_astext(d.geom)
+        FROM (SELECT explode(st_dumppoints(st_geomfromtext('$wkt'))) AS d)""")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // bare point: just the vertex index
+    assert(dump("POINT (3 4)") == Seq(("1", "POINT (3 4)")))
+    // linestring: 1-based vertex indexes
+    assert(dump("LINESTRING (0 0, 1 1, 2 2)").map(_._1) == Seq("1", "2", "3"))
+    // polygon: {ring, vertex}, exterior ring = 1
+    val poly = dump("POLYGON ((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 1 2, 1 1))")
+    assert(poly.map(_._1) == Seq("1,1", "1,2", "1,3", "1,4", "2,1", "2,2", "2,3", "2,4"))
+    assert(poly(4)._2 == "POINT (1 1)")
+    // nested collection: element prefix from st_dump's convention
+    val gc = dump("GEOMETRYCOLLECTION (POINT (9 9), MULTILINESTRING ((0 0, 1 0), (5 5, 6 5)))")
+    assert(gc.map(_._1) == Seq("1,1", "2,1,1", "2,1,2", "2,2,1", "2,2,2"))
+    // empties contribute nothing
+    assert(dump("GEOMETRYCOLLECTION (POINT EMPTY, POINT (1 2))") == Seq(("2,1", "POINT (1 2)")))
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
