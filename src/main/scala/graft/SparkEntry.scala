@@ -249,7 +249,9 @@ object SparkEntry {
              st_distance(st_point(0.0d, 0.0d),
                          st_point(cast(l_partkey % 13 AS DOUBLE), cast(l_suppkey % 17 AS DOUBLE))) AS dist,
              st_dwithin(st_point(0.0d, 0.0d),
-                        st_point(cast(l_partkey % 13 AS DOUBLE), cast(l_suppkey % 17 AS DOUBLE)), 10.0d) AS near
+                        st_point(cast(l_partkey % 13 AS DOUBLE), cast(l_suppkey % 17 AS DOUBLE)), 10.0d) AS near,
+             st_astext(st_longestline(st_makeenvelope(0.0d, 0.0d, 2.0d, 2.0d),
+                         st_point(cast(3 + l_partkey % 13 AS DOUBLE), cast(3 + l_suppkey % 17 AS DOUBLE)))) AS ll
       FROM lineitem ORDER BY k"""),
 
     "q_centroid" -> q("lineitem")(s"""
@@ -3042,7 +3044,8 @@ object SparkEntry {
       SELECT $K AS k,
              sqrt(CAST((l_partkey % 13) * (l_partkey % 13) + (l_suppkey % 17) * (l_suppkey % 17) AS DOUBLE)) AS len,
              sqrt(CAST((l_partkey % 13) * (l_partkey % 13) + (l_suppkey % 17) * (l_suppkey % 17) AS DOUBLE)) AS dist,
-             (l_partkey % 13) * (l_partkey % 13) + (l_suppkey % 17) * (l_suppkey % 17) <= 100 AS near
+             (l_partkey % 13) * (l_partkey % 13) + (l_suppkey % 17) * (l_suppkey % 17) <= 100 AS near,
+             'LINESTRING (0 0, ' || (3 + l_partkey % 13) || ' ' || (3 + l_suppkey % 17) || ')' AS ll
       FROM lineitem ORDER BY k""",
 
     "q_centroid" -> s"""

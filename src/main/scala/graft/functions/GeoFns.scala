@@ -1539,6 +1539,24 @@ object GeoFns {
       ca.foreach(p => cb.foreach(q => { val d = p.distance(q); if (d > mx) mx = d }))
       mx
     }
+    // PostGIS ST_LongestLine: the st_shortestline dual — the 2-point line
+    // realizing st_maxdistance, endpoints in (a, b) order, first maximal
+    // pair in hull traversal order (strict > keeps the choice deterministic)
+    fn("st_longestline", B, Seq(B, B)) { a =>
+      val ga = rg(a(0)); val gb = rg(a(1))
+      if (ga.isEmpty || gb.isEmpty) null
+      else {
+        val ca = ga.convexHull().getCoordinates
+        val cb = gb.convexHull().getCoordinates
+        var mx = -1.0
+        var pa: Coordinate = null; var pb: Coordinate = null
+        ca.foreach(p => cb.foreach(q => {
+          val d = p.distance(q)
+          if (d > mx) { mx = d; pa = p; pb = q }
+        }))
+        w(f.createLineString(Array(pa.copy(), pb.copy())))
+      }
+    }
     gG("st_centroid")(_.getCentroid)
     fn("st_haversine", D, Seq(D, D, D, D), Seq(B, B)) { a =>
       if (a.length == 4) haversine(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))
