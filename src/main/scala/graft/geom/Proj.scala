@@ -2742,10 +2742,11 @@ object Proj {
   private def gk3Zone(z: Int) = (s"3-degree Gauss-Kruger zone $z", 3.0 * z, z * 1e6 + 500000)
   private def gk3Cm(cm: Int) = (s"3-degree Gauss-Kruger CM ${cm}E", cm.toDouble, 500000.0)
 
+  // New Beijing ships only the 6° families in the 4555-4589 block (the 3°
+  // families have no EPSG codes there — the 46xx range holds geographic
+  // CRSes like 4674 SIRGAS 2000, which the registry round-trip sweep guards)
   private val NewBeijingGk6 = "EPSG:45(6[8-9]|7[0-8])".r   // 6° zones 13-23
   private val NewBeijingGk6Cm = "EPSG:45(79|8[0-9])".r     // 6° CM 75E-135E
-  private val NewBeijingGk3 = "EPSG:46(5[2-9]|6[0-9]|7[0-2])".r  // 3° zones 25-45
-  private val NewBeijingGk3Cm = "EPSG:46(7[3-9]|8[0-9]|9[0-3])".r // 3° CM 75E-135E
   private val BeijingGk6 = "EPSG:214(1[3-9]|2[0-3])".r     // 6° zones 13-23
   private val BeijingGk6Cm = "EPSG:214(5[3-9]|6[0-3])".r   // 6° CM 75E-135E
   private val BeijingGk3 = "EPSG:24(0[1-9]|1[0-9]|2[01])".r  // 3° zones 25-45
@@ -3054,12 +3055,6 @@ object Proj {
       Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
     case NewBeijingGk6Cm(_) =>
       val (nm, l0, fe) = gk6Cm(code.drop(5).toInt - 4579 + 13)
-      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
-    case NewBeijingGk3(_) =>
-      val (nm, l0, fe) = gk3Zone(code.drop(5).toInt - 4652 + 25)
-      Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
-    case NewBeijingGk3Cm(_) =>
-      val (nm, l0, fe) = gk3Cm(75 + 3 * (code.drop(5).toInt - 4673))
       Some(chinaGkCrs(code, "New Beijing", DatumNewBeijing, l0, fe, nm))
     case BeijingGk6(_) =>
       val (nm, l0, fe) = gk6Zone(code.drop(5).toInt - 21400)

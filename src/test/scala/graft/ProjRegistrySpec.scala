@@ -1567,8 +1567,7 @@ class ProjRegistrySpec extends AnyFunSuite {
     assert(Proj.toWkt1("EPSG:4610").get.contains("6378140"))
     // batch 10: New Beijing GK families share Beijing 1954's grids exactly
     // (same ellipsoid + conversion; the readjustment is a datum-level change)
-    for ((nb, bj) <- Seq(("EPSG:4572", "EPSG:21417"), ("EPSG:4583", "EPSG:21457"),
-      ("EPSG:4663", "EPSG:2412"), ("EPSG:4684", "EPSG:2433"))) {
+    for ((nb, bj) <- Seq(("EPSG:4572", "EPSG:21417"), ("EPSG:4583", "EPSG:21457"))) {
       val a = Proj.lookup(nb).getOrElse(fail(s"$nb did not resolve"))
       val b = Proj.lookup(bj).get
       val (ax, ay) = a.proj.forward(99.5, 36.0)
