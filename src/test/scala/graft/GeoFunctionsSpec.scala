@@ -553,6 +553,31 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump("GEOMETRYCOLLECTION (POINT EMPTY, POINT (1 2))") == Seq(("2,1", "POINT (1 2)")))
   }
 
+  test("dumppoints/longestline invariants on randomized geometries") {
+    val rnd = new scala.util.Random(12012026)
+    def wkt(): String = rnd.nextInt(4) match {
+      case 0 => s"POINT (${rnd.nextInt(50)} ${rnd.nextInt(50)})"
+      case 1 =>
+        val pts = Seq.fill(2 + rnd.nextInt(4))(s"${rnd.nextInt(50)} ${rnd.nextInt(50)}")
+        s"LINESTRING (${pts.mkString(", ")})"
+      case 2 =>
+        val x = rnd.nextInt(40); val y = rnd.nextInt(40)
+        s"POLYGON (($x $y, ${x + 5} $y, ${x + 5} ${y + 5}, $x ${y + 5}, $x $y))"
+      case _ =>
+        s"MULTIPOINT (${rnd.nextInt(50)} ${rnd.nextInt(50)}, ${rnd.nextInt(50)} ${rnd.nextInt(50)})"
+    }
+    val pairs = Seq.fill(60)((wkt(), wkt()))
+    spark.createDataFrame(pairs).toDF("a", "b").createOrReplaceTempView("dpll_src")
+    val bad = spark.sql("""
+      SELECT count(*) FROM dpll_src
+      WHERE size(st_dumppoints(st_geomfromtext(a))) != st_npoints(st_geomfromtext(a))
+         OR abs(st_length(st_longestline(st_geomfromtext(a), st_geomfromtext(b)))
+                - st_maxdistance(st_geomfromtext(a), st_geomfromtext(b))) > 1e-9
+         OR NOT st_intersects(st_startpoint(st_longestline(st_geomfromtext(a), st_geomfromtext(b))),
+                              st_geomfromtext(a))""").collect()(0).getLong(0)
+    assert(bad == 0)
+  }
+
   test("multimodal batch pipeline via mapPartitions") {
     val df = spark.sql("SELECT id, cast(concat('media', id) AS BINARY) AS media FROM range(100)")
     val decoded = graft.mm.MultiModal.decodeBatch(df, "id", "media")
