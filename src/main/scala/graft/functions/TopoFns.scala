@@ -445,7 +445,12 @@ object TopoFns {
     val my = live.map(pts(_)._2).sum / live.length
     var seeds = List(live.minBy(i => d2(pts(i), (mx, my))))
     while (seeds.length < kk) {
-      val next = live.maxBy { i =>
+      // exclude already-chosen indexes: when several members share a
+      // location and k approaches the distinct-location count, maxBy over
+      // ALL live members can re-pick a seed (every remaining min-distance
+      // is 0) and silently produce duplicate centers
+      val chosen = seeds.toSet
+      val next = live.filterNot(chosen).maxBy { i =>
         // negative index as secondary key => lowest index wins ties
         (seeds.map(s => d2(pts(i), pts(s))).min, -i)
       }

@@ -37,8 +37,11 @@ class MeasureFusionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // overlay geometry is never built just to test emptiness. The
       // empty∆empty case needs its own disjunct: relate-based equals is
       // false on two empties while their symdifference IS empty.
+      // determinism guard: the rewrite duplicates each argument (isempty
+      // disjunct + st_equals), so a non-deterministic arg would be evaluated
+      // twice with different values
       case FnExpr("st_isempty", Seq(FnExpr("st_symdifference", args)))
-          if args.length == 2 =>
+          if args.length == 2 && args.forall(_.deterministic) =>
         org.apache.spark.sql.catalyst.expressions.Or(
           org.apache.spark.sql.catalyst.expressions.And(
             FnExpr("st_isempty", Seq(args(0))), FnExpr("st_isempty", Seq(args(1)))),

@@ -316,6 +316,11 @@ object SqlLogicTest {
     // labeled-query results ("query I rowsort res"): queries sharing a label
     // must produce identical output within the file
     val labelResults = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // tables CREATEd by THIS .test file: EXPORT DATABASE must export exactly
+    // these — the SparkTestSession catalog is shared across suites, and a
+    // sibling suite's leftover table with a CSV-incompatible column (struct/
+    // map) would otherwise poison the export depending on suite ordering
+    val createdTables = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def rebuildLayout(name: String): Option[String] = rtreeIndexes.get(name).flatMap { ix =>
       val df = spark.table(ix.table)
@@ -358,7 +363,9 @@ object SqlLogicTest {
           if (!ifNotExists)
             throw new IllegalStateException(s"""Catalog Error: Index with name "$name" already exists""")
         } else {
-          rtreeIndexes(name) = RtIdx(m.group(3), m.group(4), maxCap, minCapOpt.getOrElse(maxCap * 2 / 5))
+          // reference default is ceil(0.4 * max) (rtree_index.cpp:58): 52 at max=128
+          rtreeIndexes(name) = RtIdx(m.group(3), m.group(4), maxCap,
+            minCapOpt.getOrElse(math.ceil(maxCap * 0.4).toInt))
           rebuildLayout(name) // real clustering pass at create time
         }
         true
@@ -546,13 +553,15 @@ object SqlLogicTest {
               // it through the engine's own CSV-WKT writer
               val dir = "(?is)'([^']+)'".r.findFirstMatchIn(one).get.group(1)
               new java.io.File(dir).mkdirs()
-              spark.catalog.listTables().collect().foreach { t =>
-                val df = spark.table(t.name)
+              // export only tables this .test file created (never the
+              // runner's own temp views or another suite's leftovers)
+              createdTables.filter(spark.catalog.tableExists).foreach { name =>
+                val df = spark.table(name)
                 val geomCol = df.schema.fields
                   .find(_.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
                 geomCol match {
-                  case Some(g) => graft.io.GeoWriter.csvWkt(df, g, s"$dir/${t.name}.csv", singleFile = true)
-                  case None => df.write.mode("overwrite").option("header", "true").csv(s"$dir/${t.name}.csv")
+                  case Some(g) => graft.io.GeoWriter.csvWkt(df, g, s"$dir/$name.csv", singleFile = true)
+                  case None => df.write.mode("overwrite").option("header", "true").csv(s"$dir/$name.csv")
                 }
               }
             }
@@ -560,6 +569,7 @@ object SqlLogicTest {
             // the corpus re-creates tables across files; make CREATE idempotent
             val create = "(?is)CREATE\\s+TABLE\\s+(\\w+)".r
             create.findFirstMatchIn(one).foreach { m =>
+              createdTables += m.group(1).toLowerCase
               spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
               val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
               val dir = new java.io.File(wh, m.group(1).toLowerCase)

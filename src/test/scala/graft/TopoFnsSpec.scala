@@ -200,5 +200,10 @@ class TopoFnsSpec extends AnyFunSuite {
       "SELECT st_clusterkmeans(st_collect(array(st_makeenvelope(0.0d,0.0d,2.0d,2.0d), st_makeenvelope(100.0d,0.0d,102.0d,2.0d))), 2)")
       .collect()(0).getSeq[Any](0) == Seq(0, 1))
     intercept[Exception](sql1("st_clusterkmeans(st_point(0.0d, 0.0d), 0)"))
+    // duplicate locations with k = distinct-location count: seeding must not
+    // re-pick an already-chosen seed (all remaining min-distances are 0), so
+    // the three distinct sites still get three distinct cluster ids
+    assert(ids("0 0, 0 0, 50 0, 50 0, 100 0, 100 0", 3) == Seq(0, 0, 1, 1, 2, 2))
+    assert(ids("0 0, 0 0, 0 0, 9 0", 2) == Seq(0, 0, 0, 1))
   }
 }
