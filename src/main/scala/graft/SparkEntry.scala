@@ -959,8 +959,12 @@ object SparkEntry {
                    cast(l_suppkey % 60 AS DOUBLE) / 2.0d + 25.0d AS olat,
                    cast(l_partkey % 360 AS DOUBLE) - 180.0d AS rlon,
                    cast(l_suppkey % 37 AS DOUBLE) * 5.0d - 90.0d AS rlat
-            FROM lineitem)
-      ORDER BY k"""),
+            FROM lineitem)"""),
+      // no ORDER BY: the gate compares sorted multisets, and a global sort
+      // of this full-table per-row projection is the one operation that
+      // cannot scale — at sf100 (600M rows x 9 doubles) the range-sort
+      // spill exceeded this host's disk (SPILL_OUT_OF_MEMORY / ENOSPC,
+      // round-13 diagnosis of the r12 sf100 failure)
 
     // Equal Earth (round 10, EPSG method 1078): unlike Mollweide/Eckert the
     // forward is fully closed-form — the authalic-latitude q is a log

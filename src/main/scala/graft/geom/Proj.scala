@@ -296,6 +296,8 @@ object Proj {
   val DatumId74 = Datum(IndonesianNs, Some(Helmert(-24, -15, 5, 0, 0, 0, 0)))
   /** Bogota 1975 (Colombia) → WGS84 — published 3-parameter. */
   val DatumBogota = Datum(Intl1924, Some(Helmert(307, 304, -318, 0, 0, 0, 0)))
+  /** Campo Inchauspe (Argentina pre-POSGAR) → WGS84 — published mean 3-parameter. */
+  val DatumCampo = Datum(Intl1924, Some(Helmert(-148, 136, 90, 0, 0, 0, 0)))
   /** Clarke 1880 (Benoit) (EPSG:7010) — defined by a and b. */
   val Clarke1880Benoit = Ellipsoid(6378300.789, 6378300.789 / (6378300.789 - 6356566.435))
   /** Palestine 1923 → WGS84 — published 3-parameter. */
@@ -2548,8 +2550,50 @@ object Proj {
         304800, 0, probe = (mtmLon0(z - 1) + 0.4, 46.5))
     }
 
+    // ------------------------- EPSG batch 11 (round 13): the South American
+    // gaps around the already-registered POSGAR/SIRGAS-2000/PSAD56/SAD69
+    // families. Parameters from the public EPSG dataset; every kernel below
+    // (tm/utm) is already registry-sweep-validated.
+    val batch11 = Map(
+      // MAGNA-SIRGAS Colombia zones besides the registered Bogota zone
+      // (3116): same origin latitude/FE/FN, CM at Bogota ±3°/±6°
+      "EPSG:3114" -> tm("MAGNA-SIRGAS / Colombia Far West zone", dms(4, 35, 46.3215),
+        dms(-80, 4, 39.0285), 1, 1000000, 1000000, probe = (-80.0, 4.7)),
+      "EPSG:3115" -> tm("MAGNA-SIRGAS / Colombia West zone", dms(4, 35, 46.3215),
+        dms(-77, 4, 39.0285), 1, 1000000, 1000000, probe = (-77.0, 4.7)),
+      "EPSG:3117" -> tm("MAGNA-SIRGAS / Colombia East Central zone", dms(4, 35, 46.3215),
+        dms(-71, 4, 39.0285), 1, 1000000, 1000000, probe = (-71.0, 4.7)),
+      "EPSG:3118" -> tm("MAGNA-SIRGAS / Colombia East zone", dms(4, 35, 46.3215),
+        dms(-68, 4, 39.0285), 1, 1000000, 1000000, probe = (-68.0, 4.7)),
+      // Venezuela REGVEN (SIRGAS-aligned, GRS80 null transform)
+      "EPSG:2201" -> utmCrs("EPSG:2201", "REGVEN / UTM zone 18N", 18, south = false, g, probeLat = 8.5),
+      "EPSG:2202" -> utmCrs("EPSG:2202", "REGVEN / UTM zone 19N", 19, south = false, g, probeLat = 8.5),
+      "EPSG:2203" -> utmCrs("EPSG:2203", "REGVEN / UTM zone 20N", 20, south = false, g, probeLat = 8.5),
+      // Peru96 (SIRGAS-aligned)
+      "EPSG:5387" -> utmCrs("EPSG:5387", "Peru96 / UTM zone 18S", 18, south = true, g, probeLat = -10.0),
+      "EPSG:5389" -> utmCrs("EPSG:5389", "Peru96 / UTM zone 19S", 19, south = true, g, probeLat = -13.0),
+      // Uruguay SIRGAS-ROU98 (SIRGAS-aligned)
+      "EPSG:5382" -> utmCrs("EPSG:5382", "SIRGAS-ROU98 / UTM zone 21S", 21, south = true, g, probeLat = -33.0),
+      "EPSG:5383" -> utmCrs("EPSG:5383", "SIRGAS-ROU98 / UTM zone 22S", 22, south = true, g, probeLat = -33.5)
+    ) ++ (1 to 7).map { faja =>
+      // Campo Inchauspe / Argentina fajas 1-7 (the pre-POSGAR grids): the
+      // POSGAR GK layout (lat_0=-90, k=1, FE=faja*1e6+500000) on
+      // International 1924 with the published mean shift
+      s"EPSG:${22190 + faja}" -> tm(s"Campo Inchauspe / Argentina $faja", -90,
+        3.0 * faja - 75.0, 1, faja * 1e6 + 500000, 0, DatumCampo,
+        probe = (3.0 * faja - 75.0 + 0.5, -35.0))
+    } ++ (17 to 21).map { z =>
+      // SIRGAS 1995 / UTM (the pre-2000 SIRGAS realization; GRS80,
+      // WGS84-aligned at this chain's class like SIRGAS 2000)
+      s"EPSG:${31969 + z}" -> utmCrs(s"EPSG:${31969 + z}", s"SIRGAS 1995 / UTM zone ${z}N", z,
+        south = false, g, probeLat = 5.0)
+    } ++ (17 to 22).map { z =>
+      s"EPSG:${31975 + z}" -> utmCrs(s"EPSG:${31975 + z}", s"SIRGAS 1995 / UTM zone ${z}S", z,
+        south = true, g, probeLat = -12.0)
+    }
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -3126,6 +3170,22 @@ object Proj {
     // batch 4 (round 10)
     "EPSG:4301" -> (("Tokyo", DatumTokyo)),
     "EPSG:4617" -> (("NAD83(CSRS)", DatumGrs80)),
+    // batch 11 (round 13): the NAD83(CSRS) epoch ladder (all GRS80; the
+    // realizations differ at the cm level — below this chain's class) and
+    // the South American SIRGAS-aligned frames
+    "EPSG:8232" -> (("NAD83(CSRS96)", DatumGrs80)),
+    "EPSG:8237" -> (("NAD83(CSRS)v2", DatumGrs80)),
+    "EPSG:8240" -> (("NAD83(CSRS)v3", DatumGrs80)),
+    "EPSG:8246" -> (("NAD83(CSRS)v4", DatumGrs80)),
+    "EPSG:8249" -> (("NAD83(CSRS)v5", DatumGrs80)),
+    "EPSG:8252" -> (("NAD83(CSRS)v6", DatumGrs80)),
+    "EPSG:8255" -> (("NAD83(CSRS)v7", DatumGrs80)),
+    "EPSG:4170" -> (("SIRGAS 1995", DatumGrs80)),
+    "EPSG:4686" -> (("MAGNA-SIRGAS", DatumGrs80)),
+    "EPSG:4189" -> (("REGVEN", DatumGrs80)),
+    "EPSG:5373" -> (("Peru96", DatumGrs80)),
+    "EPSG:5381" -> (("SIRGAS-ROU98", DatumGrs80)),
+    "EPSG:4221" -> (("Campo Inchauspe", DatumCampo)),
     "EPSG:4490" -> (("China Geodetic Coordinate System 2000", DatumGrs80)),
     "EPSG:4148" -> (("Hartebeesthoek94", DatumGrs80)),
     "EPSG:4483" -> (("Mexico ITRF92", DatumGrs80)),

