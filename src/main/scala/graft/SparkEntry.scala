@@ -3779,8 +3779,7 @@ object SparkEntry {
              round((a * (cos(op0)*sin(op) - sin(op0)*cos(op)*cos(odl))) / 10.0, 2) + 0.0 AS oy,
              round((0.8487 * a * rX * radians(rlon)) / 10.0, 2) + 0.0 AS rx,
              round((1.3523 * a * rY * sign(rlat)) / 10.0, 2) + 0.0 AS ry
-      FROM f2
-      ORDER BY k""",
+      FROM f2""",
 
     "q_transform_om" -> s"""
       WITH pts AS (
