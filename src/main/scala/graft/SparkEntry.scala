@@ -45,13 +45,35 @@ object SparkEntry {
       tables.foreach { t =>
         val path = s"$dir/$t.parquet"
         val df = s.read.parquet(path)
-        // The testdata files are single-row-group parquet, so the scan yields
-        // one task no matter the split config — a local-bench artifact. Fan
-        // small inputs out to the cores; at production scale inputs have
-        // thousands of row groups and this branch never fires.
-        val small = new java.io.File(path).length < (256L << 20)
+        // Fan out under-split inputs to the cores: the driver's testdata is
+        // single-row-group parquet (one scan task no matter the split
+        // config) and GenScale scale points ship ~80 MB single-row-group
+        // part files (one task per file — 16 tasks on 32 cores at sf10).
+        // Parquet can't split inside a row group, so estimate the EFFECTIVE
+        // task count as sum(ceil(file/128MB)) over leaf files and shuffle
+        // only when it undershoots the core count. At real scale inputs
+        // carry plenty of row groups and this never fires — e.g. sf100's
+        // ~870 MB parts yield ~112 splits, and the earlier total-bytes
+        // check (which read File.length on a DIRECTORY — the ~4 KB inode
+        // size) made every sf100 query pay a useless 13 GB shuffle first.
+        def leaves(f: java.io.File): Seq[Long] = {
+          val kids = f.listFiles()
+          if (kids == null) Seq(f.length)
+          else kids.toSeq.filterNot(_.getName.startsWith("_")).flatMap(leaves)
+        }
+        // Fan below 3 waves: barely-above-core split counts are the worst
+        // case (33 single-row-group parts on 32 cores = one task straggling
+        // alone in wave 2 — measured 1.6-2x on kernel-bound queries), so
+        // require enough splits that waves amortize stragglers before
+        // trusting the source layout. At real scale splits >> 3x cores and
+        // this never fires.
+        val rowGroup = 128L << 20
+        val effSplits = leaves(new java.io.File(path))
+          .map(sz => math.max(1L, (sz + rowGroup - 1) / rowGroup)).sum
         val fanned =
-          if (small) df.repartition(s.sparkContext.defaultParallelism) else df
+          if (effSplits < 3L * s.sparkContext.defaultParallelism)
+            df.repartition(s.sparkContext.defaultParallelism)
+          else df
         normalizeEventTs(fanned).createOrReplaceTempView(t)
       }
       s.sql(sql)
