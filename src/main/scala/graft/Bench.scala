@@ -201,14 +201,14 @@ object Bench {
     // length budget.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_median":$qmedian,"queries_load":$qload,"queries_foreign":$qforeign,"cpus":$activeCpus,"runs":$runs,"fails":$fails,"failed":$failedNames,"contaminated":$contamNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_median":$qmedian,"queries_load":$qload,"queries_foreign":$qforeign,"cpus":$activeCpus,"runs":$runs,"fails":$fails,"failed":$failedNames,"contaminated":$contamNames,"sf":"$sfDir","commit":"${RunStamp.commit}"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val top5 = results.filter(_._2._1.isDefined).sortBy(-_._2._1.get).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v._1.get) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"contaminated":$contamCount,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"max":${r3(maxT)},"fails":$fails,"contaminated":$contamCount,"queries":$top5,"detail":"$detailPath","sf":"$sfDir","commit":"${RunStamp.commit}"}""")
     spark.stop()
     // hard exit: q_http_read's fixture server thread must not keep the
     // forked bench JVM alive after the JSON line is printed

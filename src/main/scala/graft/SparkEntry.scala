@@ -59,7 +59,12 @@ object SparkEntry {
         def leaves(f: java.io.File): Seq[Long] = {
           val kids = f.listFiles()
           if (kids == null) Seq(f.length)
-          else kids.toSeq.filterNot(_.getName.startsWith("_")).flatMap(leaves)
+          // Hadoop's default PathFilter: skip both '_' (committer markers)
+          // and '.' (hidden + local-FS .crc checksum shadows — each would
+          // otherwise count as >=1 effective split via the max(1,...) below,
+          // doubling effSplits and suppressing a beneficial fan-out)
+          else kids.toSeq.filterNot(k => k.getName.startsWith("_") ||
+            k.getName.startsWith(".")).flatMap(leaves)
         }
         // Fan below 3 waves: barely-above-core split counts are the worst
         // case (33 single-row-group parts on 32 cores = one task straggling

@@ -341,11 +341,12 @@ object SqlLogicTest {
         val ifNotExists = m.group(1) != null
         val name = m.group(2).toLowerCase
         var maxCap = 128
+        var maxCapExplicit = false
         var minCapOpt: Option[Int] = None
         Option(m.group(5)).foreach { params =>
           "(?i)(\\w+)\\s*=\\s*(-?\\d+)".r.findAllMatchIn(params).foreach { p =>
             p.group(1).toLowerCase match {
-              case "max_node_capacity" => maxCap = p.group(2).toInt
+              case "max_node_capacity" => maxCap = p.group(2).toInt; maxCapExplicit = true
               case "min_node_capacity" => minCapOpt = Some(p.group(2).toInt)
               case _ =>
             }
@@ -363,9 +364,12 @@ object SqlLogicTest {
           if (!ifNotExists)
             throw new IllegalStateException(s"""Catalog Error: Index with name "$name" already exists""")
         } else {
-          // reference default is ceil(0.4 * max) (rtree_index.cpp:58): 52 at max=128
+          // reference default: ceil(0.4 * max) ONLY when max_node_capacity was
+          // explicitly given (rtree_index.cpp:56-58); otherwise RTreeConfig's
+          // field default min=50 stands (rtree.hpp:16)
           rtreeIndexes(name) = RtIdx(m.group(3), m.group(4), maxCap,
-            minCapOpt.getOrElse(math.ceil(maxCap * 0.4).toInt))
+            minCapOpt.getOrElse(
+              if (maxCapExplicit) math.ceil(maxCap * 0.4).toInt else 50))
           rebuildLayout(name) // real clustering pass at create time
         }
         true

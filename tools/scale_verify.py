@@ -87,6 +87,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"FAIL {name}: MULTISET_DIFF rows_differing={ndiff} spark_example={ex}")
         n_fail += 1
 
+meta = {}
+try:
+    meta = json.load(open(f"{outdir}/run_meta.json"))
+except Exception:
+    pass
 print(f"\n{n_pass} exact-match PASS, {n_rows_only} rows-only, {n_fail} FAIL "
-      f"of {n_pass + n_rows_only + n_fail}")
+      f"of {n_pass + n_rows_only + n_fail} "
+      f"(commit={meta.get('commit', 'unknown')}, sf={sfdir})")
 sys.exit(1 if n_fail else 0)
