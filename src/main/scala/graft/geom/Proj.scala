@@ -359,6 +359,36 @@ object Proj {
   val DatumLux30 = Datum(Intl1924,
     Some(Helmert(-189.681, 18.3463, -42.7695, -0.33746, -3.09264, 2.53861, 0.4598)))
 
+  // ----- batch-12 datums (round 14): Levant/Madagascar/West Africa residue,
+  // British West Indies island datums, Jamaica, Pacific SIRGAS-class frames.
+  /** Tananarive 1925 (Madagascar) → WGS84 — published 3-parameter. */
+  val DatumTananarive = Datum(Intl1924, Some(Helmert(-189, -242, -91, 0, 0, 0, 0)))
+  /** Leigon (Ghana) → WGS84 — published 3-parameter. */
+  val DatumLeigon = Datum(Clarke1880Rgs, Some(Helmert(-130, 29, 364, 0, 0, 0, 0)))
+  /** Locodjo 1965 (Côte d'Ivoire, IGN) → WGS84 — published 3-parameter. */
+  val DatumLocodjo = Datum(Clarke1880Rgs, Some(Helmert(-125, 53, 467, 0, 0, 0, 0)))
+  /** Abidjan 1987 (Côte d'Ivoire readjustment) → WGS84 — published 3-parameter. */
+  val DatumAbidjan = Datum(Clarke1880Rgs, Some(Helmert(-124.76, 53.0, 466.79, 0, 0, 0, 0)))
+  /** Deir ez Zor (Syria/Lebanon Levant grids) → WGS84 — published 3-parameter. */
+  val DatumDeirEzZor = Datum(Clarke1880Ign, Some(Helmert(-190.421, 8.532, 238.69, 0, 0, 0, 0)))
+  /** British West Indies island datums → WGS84 — the published per-island
+   *  3-parameter shifts (single-station class, ~10-25 m). All on
+   *  Clarke 1880 (RGS); all carry the shared BWI Grid TM conversion. */
+  val DatumAntigua43 = Datum(Clarke1880Rgs, Some(Helmert(-270, 13, 62, 0, 0, 0, 0)))
+  val DatumDominica45 = Datum(Clarke1880Rgs, Some(Helmert(725, 685, 536, 0, 0, 0, 0)))
+  val DatumGrenada53 = Datum(Clarke1880Rgs, Some(Helmert(72, 213.7, 93, 0, 0, 0, 0)))
+  val DatumMontserrat58 = Datum(Clarke1880Rgs, Some(Helmert(174, 359, 365, 0, 0, 0, 0)))
+  val DatumStKitts55 = Datum(Clarke1880Rgs, Some(Helmert(9, 183, 236, 0, 0, 0, 0)))
+  val DatumStLucia55 = Datum(Clarke1880Rgs, Some(Helmert(-149, 128, 296, 0, 0, 0, 0)))
+  val DatumStVincent45 = Datum(Clarke1880Rgs, Some(Helmert(195.671, 332.268, 274.465, 0, 0, 0, 0)))
+  /** JAD69 (Jamaica 1969) → WGS84 — published 3-parameter. */
+  val DatumJad69 = Datum(Clarke1866, Some(Helmert(70, 207, 389.5, 0, 0, 0, 0)))
+  /** Fiji Geodetic Datum 1986: defined on the WGS 72 ellipsoid; treated as
+   *  WGS84-aligned at this chain's class (the WGS72→WGS84 frame offset is
+   *  ~5 m — below the island datums' single-station accuracy class; the
+   *  ellipsoid difference IS carried exactly). */
+  val DatumFiji86 = Datum(Wgs72El, None)
+
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
     val sinLat = math.sin(lat); val cosLat = math.cos(lat)
@@ -2592,8 +2622,75 @@ object Proj {
         south = true, g, probeLat = -12.0)
     }
 
+    // ------------------------- EPSG batch 12 (round 14): Levant/Madagascar/
+    // West Africa residue, the British West Indies Grid family, Jamaica,
+    // PNG94, Fiji Map Grid. Parameters from the public EPSG dataset; every
+    // kernel (tm/utm/lcc1/cass) is already registry-sweep-validated.
+    val batch12 = Map(
+      // Ain el Abd zone 39N (36-38N registered in batch 6) + the Bahrain
+      // national grid (the UTM 39N conversion under its own code)
+      "EPSG:20439" -> utmCrs("EPSG:20439", "Ain el Abd / UTM zone 39N", 39,
+        south = false, DatumAinElAbd, probeLat = 25.0),
+      "EPSG:20499" -> utmCrs("EPSG:20499", "Ain el Abd / Bahrain Grid", 39,
+        south = false, DatumAinElAbd, probeLat = 26.1),
+      // Syria: the Levant Lambert zone (lcc 1SP)
+      "EPSG:22770" -> lcc1("Deir ez Zor / Syria Lambert", dms(34, 39), dms(37, 21),
+        0.9996256, 300000, 300000, DatumDeirEzZor, probe = (36.3, 33.5)),
+      // Israeli CS Grid: the Palestine 1923 Cassini survey origin with the
+      // +1,000,000 false-northing offset (28191's CS twin)
+      "EPSG:28193" -> Crs("Palestine 1923 / Israeli CS Grid",
+        new CassiniSoldner(Clarke1880Benoit, dms(31, 44, 2.749), dms(35, 12, 43.49),
+          170251.555, 1126867.909), DatumPalestine, (35.2, 31.8),
+        s"+proj=cass +lat_0=${fmtP(dms(31, 44, 2.749))} +lon_0=${fmtP(dms(35, 12, 43.49))} " +
+          s"+x_0=170251.555 +y_0=1126867.909 ${datumTags(DatumPalestine)} +units=m +no_defs"),
+      // Madagascar: Tananarive UTM belt pair
+      "EPSG:29738" -> utmCrs("EPSG:29738", "Tananarive / UTM zone 38S", 38,
+        south = true, DatumTananarive, probeLat = -19.0),
+      "EPSG:29739" -> utmCrs("EPSG:29739", "Tananarive / UTM zone 39S", 39,
+        south = true, DatumTananarive, probeLat = -16.0),
+      // Ghana Metre Grid (TM, legislated metric false easting)
+      "EPSG:25000" -> tm("Leigon / Ghana Metre Grid", dms(4, 40), -1, 0.99975,
+        274319.51, 0, DatumLeigon, probe = (-0.2, 5.6)),
+      // Côte d'Ivoire UTM pairs: the IGN 1965 triangulation and its 1987
+      // readjustment (EPSG interleaves the codes by zone)
+      "EPSG:2040" -> utmCrs("EPSG:2040", "Locodjo 1965 / UTM zone 30N", 30,
+        south = false, DatumLocodjo, probeLat = 6.0),
+      "EPSG:2041" -> utmCrs("EPSG:2041", "Abidjan 1987 / UTM zone 30N", 30,
+        south = false, DatumAbidjan, probeLat = 6.0),
+      "EPSG:2042" -> utmCrs("EPSG:2042", "Locodjo 1965 / UTM zone 29N", 29,
+        south = false, DatumLocodjo, probeLat = 6.5),
+      "EPSG:2043" -> utmCrs("EPSG:2043", "Abidjan 1987 / UTM zone 29N", 29,
+        south = false, DatumAbidjan, probeLat = 6.5),
+      // Jamaica: the 1969 national Lambert and its metric JAD2001 successor
+      "EPSG:24200" -> lcc1("JAD69 / Jamaica National Grid", 18, -77, 1.0,
+        250000, 150000, DatumJad69, probe = (-76.8, 18.0)),
+      "EPSG:3448" -> lcc1("JAD2001 / Jamaica Metric Grid", 18, -77, 1.0,
+        750000, 650000, w, probe = (-76.8, 18.0)),
+      // Fiji Map Grid (TM on the WGS 72 ellipsoid, 2M/4M false origin)
+      "EPSG:3460" -> tm("Fiji 1986 / Fiji Map Grid", -17, 178.75, 0.99985,
+        2000000, 4000000, DatumFiji86, probe = (178.0, -17.8))
+    ) ++ (1 to 7).map { i =>
+      // British West Indies Grid: one shared TM conversion (lat_0=0,
+      // lon_0=-62, k=0.9995, FE=400000) under seven island datums
+      val islands = Seq(
+        ("Antigua 1943", DatumAntigua43, (-61.8, 17.1)),
+        ("Dominica 1945", DatumDominica45, (-61.35, 15.4)),
+        ("Grenada 1953", DatumGrenada53, (-61.67, 12.1)),
+        ("Montserrat 1958", DatumMontserrat58, (-62.2, 16.75)),
+        ("St. Kitts 1955", DatumStKitts55, (-62.7, 17.3)),
+        ("St. Lucia 1955", DatumStLucia55, (-61.0, 13.9)),
+        ("St. Vincent 45", DatumStVincent45, (-61.2, 13.25)))
+      val (nm, d, probe) = islands(i - 1)
+      s"EPSG:${2000 + i}" -> tm(s"$nm / British West Indies Grid", 0, -62, 0.9995,
+        400000, 0, d, probe = probe)
+    } ++ (54 to 56).map { z =>
+      // PNG94 / PNGMG94 zones (GRS80, WGS84-aligned like the SIRGAS class)
+      s"EPSG:${5496 + z}" -> utmCrs(s"EPSG:${5496 + z}", s"PNG94 / PNGMG94 zone $z", z,
+        south = true, g, probeLat = -6.0)
+    }
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11 ++ batch12
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -3226,7 +3323,25 @@ object Proj {
     // batch 8 (round 11)
     "EPSG:4238" -> (("ID74", DatumId74)),
     "EPSG:4218" -> (("Bogota 1975", DatumBogota)),
-    "EPSG:4281" -> (("Palestine 1923", DatumPalestine)))
+    "EPSG:4281" -> (("Palestine 1923", DatumPalestine)),
+    // batch 12 (round 14)
+    "EPSG:4141" -> (("Israel 1993", DatumIsrael93)),
+    "EPSG:4227" -> (("Deir ez Zor", DatumDeirEzZor)),
+    "EPSG:4297" -> (("Tananarive", DatumTananarive)),
+    "EPSG:4250" -> (("Leigon", DatumLeigon)),
+    "EPSG:4142" -> (("Locodjo 1965", DatumLocodjo)),
+    "EPSG:4143" -> (("Abidjan 1987", DatumAbidjan)),
+    "EPSG:4601" -> (("Antigua 1943", DatumAntigua43)),
+    "EPSG:4602" -> (("Dominica 1945", DatumDominica45)),
+    "EPSG:4603" -> (("Grenada 1953", DatumGrenada53)),
+    "EPSG:4604" -> (("Montserrat 1958", DatumMontserrat58)),
+    "EPSG:4605" -> (("St. Kitts 1955", DatumStKitts55)),
+    "EPSG:4606" -> (("St. Lucia 1955", DatumStLucia55)),
+    "EPSG:4607" -> (("St. Vincent 1945", DatumStVincent45)),
+    "EPSG:4242" -> (("JAD69", DatumJad69)),
+    "EPSG:4758" -> (("JAD2001", DatumWgs84)),
+    "EPSG:5546" -> (("PNG94", DatumGrs80)),
+    "EPSG:4721" -> (("Fiji 1986", DatumFiji86)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the
@@ -3297,6 +3412,20 @@ object Proj {
       else if (d == DatumCarthage) Some("Carthage")
       else if (d == DatumMerchich) Some("Merchich")
       else if (d == DatumMonteMario) Some("Monte_Mario")
+      else if (d == DatumTananarive) Some("Tananarive_1925")
+      else if (d == DatumLeigon) Some("Leigon")
+      else if (d == DatumLocodjo) Some("Locodjo_1965")
+      else if (d == DatumAbidjan) Some("Abidjan_1987")
+      else if (d == DatumDeirEzZor) Some("Deir_ez_Zor")
+      else if (d == DatumAntigua43) Some("Antigua_1943")
+      else if (d == DatumDominica45) Some("Dominica_1945")
+      else if (d == DatumGrenada53) Some("Grenada_1953")
+      else if (d == DatumMontserrat58) Some("Montserrat_1958")
+      else if (d == DatumStKitts55) Some("St_Kitts_1955")
+      else if (d == DatumStLucia55) Some("St_Lucia_1955")
+      else if (d == DatumStVincent45) Some("St_Vincent_1945")
+      else if (d == DatumJad69) Some("Jamaica_1969")
+      else if (d == DatumFiji86) Some("Fiji_Geodetic_Datum_1986")
       else None
     byInstance.getOrElse {
       val n = crsName.toUpperCase

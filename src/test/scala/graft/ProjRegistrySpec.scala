@@ -74,7 +74,25 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4265" -> ((12.5, 42.0)),    // Monte Mario: Italy
       "EPSG:4238" -> ((110.0, -7.0)),   // ID74: Indonesia
       "EPSG:4218" -> ((-74.0, 4.6)),    // Bogota 1975: Colombia
-      "EPSG:4281" -> ((35.2, 31.8)))    // Palestine 1923: Levant
+      "EPSG:4281" -> ((35.2, 31.8)),    // Palestine 1923: Levant
+      // batch 12 (round 14): probe each frame inside its own validity area
+      // (the default mid-Atlantic probe amplifies h-projection drift on the
+      // larger island shifts)
+      "EPSG:4141" -> ((34.8, 31.0)),    // Israel 1993
+      "EPSG:4227" -> ((38.0, 35.0)),    // Deir ez Zor: Syria
+      "EPSG:4297" -> ((47.5, -19.0)),   // Tananarive: Madagascar
+      "EPSG:4250" -> ((-0.2, 5.6)),     // Leigon: Ghana
+      "EPSG:4142" -> ((-5.5, 7.5)),     // Locodjo 1965: Côte d'Ivoire
+      "EPSG:4143" -> ((-5.5, 7.5)),     // Abidjan 1987: Côte d'Ivoire
+      "EPSG:4601" -> ((-61.8, 17.1)),   // Antigua 1943
+      "EPSG:4602" -> ((-61.35, 15.4)),  // Dominica 1945
+      "EPSG:4603" -> ((-61.67, 12.1)),  // Grenada 1953
+      "EPSG:4604" -> ((-62.2, 16.75)),  // Montserrat 1958
+      "EPSG:4605" -> ((-62.7, 17.3)),   // St. Kitts 1955
+      "EPSG:4606" -> ((-61.0, 13.9)),   // St. Lucia 1955
+      "EPSG:4607" -> ((-61.2, 13.25)),  // St. Vincent 1945
+      "EPSG:4242" -> ((-77.3, 18.1)),   // JAD69: Jamaica
+      "EPSG:4721" -> ((178.0, -17.8)))  // Fiji 1986
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -1588,6 +1606,97 @@ class ProjRegistrySpec extends AnyFunSuite {
     // Johannesburg in grid y despite the lat0=0 origin
     val af = Proj.lookup("ESRI:102024").get.proj
     assert(af.forward(3.4, 6.5)._2 > af.forward(28.0, -26.2)._2)
+  }
+
+  test("round-14 batch-12: Levant/West Africa residue, BWI island grids, Jamaica, PNG94, Fiji") {
+    // British West Indies Grid: ONE shared TM conversion under seven island
+    // datums — identical grid coordinates everywhere; FE exact at the CM
+    val bwi = (1 to 7).map(i => Proj.lookup(s"EPSG:${2000 + i}")
+      .getOrElse(fail(s"EPSG:${2000 + i} did not resolve")))
+    val (e0, n0) = bwi.head.proj.forward(-62.0, 0.0)
+    assert(math.abs(e0 - 400000) < 1e-6 && math.abs(n0) < 1e-6, "BWI CM anchor")
+    val ref = bwi.head.proj.forward(-61.5, 15.0)
+    bwi.tail.foreach { c =>
+      val p = c.proj.forward(-61.5, 15.0)
+      assert(p == ref, s"${c.name} shares the BWI conversion")
+    }
+    // ... while the island DATUMS genuinely differ (Dominica's 725 m shift
+    // vs Antigua's -270 m must separate geocentric positions by ~1 km)
+    val shifts = Seq("EPSG:4601", "EPSG:4602", "EPSG:4607").map(c =>
+      Proj.geographic.getOrElse(c, fail(c))._2.shift.getOrElse(fail(s"$c shift")))
+    assert(shifts(0).tx == -270 && shifts(1).tx == 725 && shifts(2).tx == 195.671)
+    // Bahrain Grid IS the Ain el Abd UTM 39N conversion under its own code
+    val bah = Proj.lookup("EPSG:20499").get.proj
+    val utm39 = Proj.lookup("EPSG:20439").get.proj
+    val (bx, by) = bah.forward(50.55, 26.1)
+    val (ux, uy) = utm39.forward(50.55, 26.1)
+    assert(bx == ux && by == uy)
+    // Jamaica lcc1 grids: the projection origin maps exactly to FE/FN, and
+    // JAD2001 reuses the conversion with the 750k/650k metric false origin
+    val jad69 = Proj.lookup("EPSG:24200").get.proj
+    val (jx, jy) = jad69.forward(-77.0, 18.0)
+    assert(math.abs(jx - 250000) < 1e-6 && math.abs(jy - 150000) < 1e-6)
+    val jad01 = Proj.lookup("EPSG:3448").get.proj
+    val (mx, my) = jad01.forward(-77.0, 18.0)
+    assert(math.abs(mx - 750000) < 1e-6 && math.abs(my - 650000) < 1e-6)
+    // Clarke 1866 (JAD69) vs WGS84 (JAD2001): same conversion shape, but the
+    // ellipsoid difference must be visible away from the origin
+    val (ax69, ay69) = jad69.forward(-76.5, 18.3)
+    val (ax01, ay01) = jad01.forward(-76.5, 18.3)
+    assert(math.abs((ax69 - 250000) - (ax01 - 750000)) > 1 ||
+      math.abs((ay69 - 150000) - (ay01 - 650000)) > 1, "ellipsoid difference visible")
+    // Ghana Metre Grid: legislated FE exact at the CM, k=0.99975 belt shape
+    val ghana = Proj.lookup("EPSG:25000").get.proj
+    val (gx, gy) = ghana.forward(-1.0, 4.0 + 40.0 / 60)
+    assert(math.abs(gx - 274319.51) < 1e-6 && math.abs(gy) < 1e-6)
+    // Syria Lambert: lcc1 origin maps exactly to (300000, 300000)
+    val syr = Proj.lookup("EPSG:22770").get.proj
+    val (sx, sy) = syr.forward(37.0 + 21.0 / 60, 34.0 + 39.0 / 60)
+    assert(math.abs(sx - 300000) < 1e-6 && math.abs(sy - 300000) < 1e-6)
+    // Israeli CS Grid = Palestine Grid + exactly 1,000,000 m false northing
+    val pal = Proj.lookup("EPSG:28191").get.proj
+    val ics = Proj.lookup("EPSG:28193").get.proj
+    val (px, py) = pal.forward(35.0, 32.5)
+    val (ix, iy) = ics.forward(35.0, 32.5)
+    assert(px == ix && math.abs((iy - py) - 1000000) < 1e-9)
+    // Côte d'Ivoire: Locodjo/Abidjan share each zone's conversion (the datums
+    // differ only in shift); zones 29/30 differ
+    val loc30 = Proj.lookup("EPSG:2040").get.proj
+    val abi30 = Proj.lookup("EPSG:2041").get.proj
+    val loc29 = Proj.lookup("EPSG:2042").get.proj
+    val cvp = loc30.forward(-5.0, 6.0)
+    assert(cvp == abi30.forward(-5.0, 6.0))
+    assert(cvp != loc29.forward(-5.0, 6.0))
+    assert(Proj.geographic("EPSG:4143")._2.shift.get.tx == -124.76)
+    // PNGMG94 zones ride GRS80: identical grid to the registered MGA twin
+    val png54 = Proj.lookup("EPSG:5550").getOrElse(fail("5550")).proj
+    val mga54 = Proj.lookup("EPSG:28354").getOrElse(fail("28354 (MGA 54)")).proj
+    val (nx, ny) = png54.forward(141.5, -6.5)
+    val (gx54, gy54) = mga54.forward(141.5, -6.5)
+    assert(nx == gx54 && ny == gy54)
+    // Fiji Map Grid: false origin exact at (178.75E, 17S); the WGS 72
+    // ellipsoid (a=6378135) is carried exactly — the grid must differ from a
+    // WGS84-ellipsoid TM by meters at the probe
+    val fiji = Proj.lookup("EPSG:3460").get
+    val (fx, fy) = fiji.proj.forward(178.75, -17.0)
+    assert(math.abs(fx - 2000000) < 1e-6 && math.abs(fy - 4000000) < 1e-6)
+    assert(fiji.datum.el.a == 6378135.0)
+    // round-trip every batch-12 code at its probe
+    for (code <- Seq("EPSG:20439", "EPSG:20499", "EPSG:22770", "EPSG:28193",
+      "EPSG:29738", "EPSG:29739", "EPSG:25000", "EPSG:2040", "EPSG:2041",
+      "EPSG:2042", "EPSG:2043", "EPSG:2001", "EPSG:2002", "EPSG:2003",
+      "EPSG:2004", "EPSG:2005", "EPSG:2006", "EPSG:2007", "EPSG:24200",
+      "EPSG:3448", "EPSG:5550", "EPSG:5551", "EPSG:5552", "EPSG:3460")) {
+      val c = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = c.probe
+      val (x, y) = c.proj.forward(lon, lat)
+      val (lon2, lat2) = c.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // WKT1 synthesis names the new datums for external tools
+    assert(Proj.toWkt1("EPSG:24200").exists(_.contains("Jamaica_1969")))
+    assert(Proj.toWkt1("EPSG:2002").exists(_.contains("Dominica_1945")))
+    assert(Proj.toWkt1("EPSG:3460").exists(_.contains("Fiji")))
   }
 
   test("round-13 batch-11: South American SIRGAS-aligned frames and Campo Inchauspe") {

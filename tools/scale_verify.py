@@ -61,11 +61,33 @@ for name in sorted(os.listdir(outdir)):
     # align both sides to the oracle's type, then VARCHAR for the multiset op
     sel = ", ".join(
         f'CAST(CAST("{c}" AS {otypes[c]}) AS VARCHAR) AS "{c}"' for c in cols)
+    # EXCEPT ALL hashes both full result sets — fine to ~100M rows, but a
+    # 600M-row per-row kernel output would need more spill disk than this
+    # host has. Above the threshold switch to an order-independent content
+    # checksum: count(*) + sum(hash(row)::HUGEINT) over the same
+    # type-aligned projection on both sides. Equality is a multiset match
+    # up to 64-bit-hash collisions summed in 128 bits — streaming, O(1)
+    # memory, and still covers EVERY row's full content.
+    cksum_rows = int(os.environ.get("SCALE_VERIFY_CHECKSUM_ROWS", "150000000"))
+    hash_args = ", ".join(f'CAST(CAST("{c}" AS {otypes[c]}) AS VARCHAR)'
+                          for c in cols)
     try:
         onrows = con.execute("SELECT count(*) FROM _o").fetchone()[0]
         if nrows != onrows:
             print(f"FAIL {name}: ROWCOUNT spark={nrows} oracle={onrows}")
             n_fail += 1
+            continue
+        if nrows > cksum_rows:
+            s_ck = con.execute(
+                f"SELECT sum(hash({hash_args})::HUGEINT) FROM _s").fetchone()[0]
+            o_ck = con.execute(
+                f"SELECT sum(hash({hash_args})::HUGEINT) FROM _o").fetchone()[0]
+            if s_ck == o_ck:
+                print(f"PASS {name}: CHECKSUM rows={nrows}")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: CHECKSUM_DIFF spark={s_ck} oracle={o_ck}")
+                n_fail += 1
             continue
         ndiff = con.execute(
             f"SELECT count(*) FROM ("
