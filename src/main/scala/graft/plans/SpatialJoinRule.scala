@@ -35,10 +35,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * extent; too small explodes tiles, too large degrades pruning; "auto"
  * samples up to 1000 rows per side at planning time and uses the median
  * bbox extent, so the tile size tracks the data at any scale), and
- * spark.graft.spatialJoin.salt (default 1 — set >1 for hot tiles: left rows
- * spread across `salt` sub-keys by geometry hash, right rows replicated per
- * sub-key, so a city-sized tile no longer lands on one task; AQE skew-join
- * handles residual imbalance).
+ * spark.graft.spatialJoin.salt (default 1 — set >1 for hot tiles: a
+ * plan-time sample finds the tiles hot enough to serialize a task, and ONLY
+ * those are sub-split — left rows across `salt` sub-keys by geometry hash,
+ * right rows replicated per sub-key — so a city-sized tile no longer lands
+ * on one task while the rest of the data pays no replication tax. Skipped
+ * entirely when a join side is broadcast-sized: a broadcast hash join never
+ * shuffles by tile, so it has no tile skew to split).
  */
 class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -85,6 +88,63 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (med <= 0) 1.0 else med // degenerate (all points): any cell works; keep 1
       }
     cellCache.put(key, result)
+    result
+  }
+
+  // hot-tile sets sampled per (plan, geom, cell) — same re-fire rationale as
+  // cellCache
+  private val hotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Boolean)]()
+
+  /** Tiles hot enough to serialize a task, detected from a bounded sample of
+    * each side's ANCHOR tile (st_tile_id of the bbox min corner — exact for
+    * point clouds, the common skew shape; a bbox-spanning geometry counts
+    * toward one of its tiles, which under-counts but never invents skew).
+    * A tile is hot when its sampled share exceeds 1/(2·parallelism) — the
+    * level where one tile's pairs start to dominate one task. Also returns
+    * WHICH side to sub-split: the side whose sample is denser in the hot
+    * tiles (the point cloud in the city-polygons-vs-points shape) — the
+    * other side replicates, which is cheap precisely because it is sparse
+    * there. The sample is Limit-based (first rows): a false positive only
+    * salts a tile that didn't need it (bounded s× replication of that
+    * tile's rows on the sparse side); a false negative equals the unsalted
+    * status quo. Capped at 64 tiles so the IN-literal stays
+    * codegen-friendly. */
+  private def hotTiles(left: LogicalPlan, lGeom: Expression,
+                       right: LogicalPlan, rGeom: Expression,
+                       cell: Double, expand: Double): (Seq[Long], Boolean) = {
+    val key = s"${left.canonicalized.hashCode()}:${lGeom.canonicalized.hashCode()}:" +
+      s"${right.canonicalized.hashCode()}:${rGeom.canonicalized.hashCode()}:$cell"
+    val hit = hotCache.get(key)
+    if (hit != null) return hit
+    def sampleAnchors(plan: LogicalPlan, geom: Expression): Seq[Long] = try {
+      val anchor = Alias(FnExpr("st_tile_id", Seq(
+        FnExpr("st_xmin", Seq(geom)), FnExpr("st_ymin", Seq(geom)),
+        Literal(cell))), "__anchor")()
+      val probe = Limit(Literal(10000), Project(Seq(anchor), plan))
+      spark.sessionState.executePlan(probe).executedPlan.executeCollect()
+        .map(_.getLong(0)).toSeq
+    } catch {
+      case e: Exception =>
+        logWarning(s"spatial-join hot-tile sampling failed (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); salting nothing for this side")
+        Seq.empty
+    }
+    def hotOf(anchors: Seq[Long]): Seq[Long] =
+      if (anchors.isEmpty) Nil
+      else {
+        val threshold = math.max(16.0,
+          anchors.size.toDouble / (2.0 * spark.sparkContext.defaultParallelism))
+        anchors.groupBy(identity).collect { case (t, hits) if hits.size >= threshold => t }.toSeq
+      }
+    val aL = sampleAnchors(left, lGeom)
+    val aR = sampleAnchors(right, rGeom)
+    val hot = (hotOf(aL) ++ hotOf(aR)).distinct.take(64)
+    val hotSet = hot.toSet
+    val densL = if (aL.isEmpty) 0.0 else aL.count(hotSet).toDouble / aL.size
+    val densR = if (aR.isEmpty) 0.0 else aR.count(hotSet).toDouble / aR.size
+    val result = (hot, densR >= densL)
+    hotCache.put(key, result)
     result
   }
 
@@ -166,7 +226,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def fld(env: Attribute, i: Int, name: String): Expression =
       GetStructField(env, i, Some(name))
 
-    val genLeft = Generate(
+    var genLeft: LogicalPlan = Generate(
       Explode(FnExpr("st_tile_ids_env", Seq(envL, cell, Literal(expand)))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileL),
@@ -188,15 +248,69 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     var equi: Expression = EqualTo(tileL, tileR)
     val s = salt
-    if (s > 1) {
-      // skew salting: left keys sub-split by geometry hash, right replicated
-      val saltR = AttributeReference("__graft_tile_salt", IntegerType, nullable = false)()
-      genRight = Generate(
-        Explode(Literal.create(0 until s, org.apache.spark.sql.types.ArrayType(IntegerType))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(saltR), child = genRight)
-      val saltL = Pmod(new Murmur3Hash(Seq(lGeom)), Literal(s))
-      equi = And(equi, EqualTo(saltL, saltR))
+    // Salt is a SHUFFLE-skew mitigation: it only helps when the equi-join
+    // hash-partitions by tile and a hot tile would serialize onto one task.
+    // When either original side fits the session broadcast threshold,
+    // Catalyst picks a broadcast hash join for the rewritten equi-join — the
+    // probe work then distributes with the big side's partitions and no tile
+    // ever owns a task, so salting is pure overhead (s× candidate
+    // replication plus a murmur per candidate: measured 6× wall at salt=8 on
+    // a 20M-point hot-tile fixture, graft.tools.SkewBench). Skip it there.
+    val abt = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val broadcastShaped = abt > 0 &&
+      (j.left.stats.sizeInBytes <= abt || j.right.stats.sizeInBytes <= abt)
+    if (s > 1 && broadcastShaped)
+      logInfo(s"spatial-join salt=$s skipped: a join side fits the broadcast " +
+        s"threshold ($abt b), so the tile join will not shuffle and has no skew to split")
+    if (s > 1 && !broadcastShaped) {
+      // TARGETED skew salting: only tiles the plan-time sample flags as hot
+      // are sub-split (left keys by geometry hash) and replicated (right
+      // rows, s-fold). Global salting replicated EVERY right row s× — on a
+      // 20M-row hot-tile fixture that quadrupled total task time for a
+      // straggler it didn't even level (SkewBench round-14 measurements);
+      // targeting confines the replication tax to the hot tiles' own rows,
+      // and a skew-free dataset pays nothing at all.
+      val (hot, splitRight) = hotTiles(j.left, lGeom, j.right, rGeom,
+        cell.value.asInstanceOf[Double], expand)
+      if (hot.isEmpty)
+        logInfo(s"spatial-join salt=$s requested but the tile sample found no hot " +
+          s"tiles — salting nothing (a skew-free join pays no replication tax)")
+      else {
+        logInfo(s"spatial-join salt=$s targeting ${hot.size} hot tile(s), " +
+          s"splitting the ${if (splitRight) "right" else "left"} side")
+        val hotL = In(tileL, hot.map(Literal(_)))
+        val hotR = In(tileR, hot.map(Literal(_)))
+        val one = Literal.create(Seq(0), org.apache.spark.sql.types.ArrayType(IntegerType))
+        val all = Literal.create(0 until s, org.apache.spark.sql.types.ArrayType(IntegerType))
+        // The DENSE side's hot rows sub-split by a hash of the FULL row (a
+        // geometry-only hash collapses identical geometries — a stack of
+        // copies of the same city polygon would all land in one bucket);
+        // the sparse side replicates s-fold for hot tiles only. Fully
+        // identical rows still co-bucket — that duplication factor is the
+        // one skew this scheme cannot split.
+        val saltGen = AttributeReference("__graft_tile_salt", IntegerType, nullable = false)()
+        if (splitRight) {
+          val split = Alias(If(hotR,
+            Pmod(new Murmur3Hash(j.right.output), Literal(s)), Literal(0)),
+            "__graft_tile_salt_v")()
+          genRight = Project(genRight.output :+ split, genRight)
+          genLeft = Generate(
+            Explode(If(hotL, all, one)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(saltGen), child = genLeft)
+          equi = And(equi, EqualTo(saltGen, split.toAttribute))
+        } else {
+          val split = Alias(If(hotL,
+            Pmod(new Murmur3Hash(j.left.output), Literal(s)), Literal(0)),
+            "__graft_tile_salt_v")()
+          genLeft = Project(genLeft.output :+ split, genLeft)
+          genRight = Generate(
+            Explode(If(hotR, all, one)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(saltGen), child = genRight)
+          equi = And(equi, EqualTo(split.toAttribute, saltGen))
+        }
+      }
     }
 
     val newCond = And(And(equi, dedupe), cond)

@@ -81,9 +81,18 @@ object SkewBench {
       """SELECT count(*) AS pairs FROM polys JOIN pts
          ON st_intersects(polys.poly, pts.pt)"""
 
-    def run(label: String, salt: Int, aqeSkew: Boolean): (Long, String) = {
+    def run(label: String, salt: Int, aqeSkew: Boolean,
+            allowBroadcast: Boolean): (Long, String) = {
       spark.conf.set("spark.graft.spatialJoin.salt", salt.toString)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
+      // The poly side is small, so by default Catalyst BROADCASTS the
+      // rewritten equi-join — the hot tile's probe work then distributes
+      // with the point partitions and no skew exists (the moot case,
+      // measured by the first config). The shuffled tile join — the shape
+      // salt exists for, and the shape both sides being huge forces at
+      // 100 TB — is measured with the broadcast threshold off.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        if (allowBroadcast) "10485760" else "-1")
       taskMs.clear()
       val t0 = System.nanoTime()
       val pairs = spark.sql(query).head().getLong(0)
@@ -107,11 +116,12 @@ object SkewBench {
          ON st_intersects(polys.poly, w.pt)""").head()
 
     val results = Seq(
-      run("baseline_no_mitigation", salt = 1, aqeSkew = false),
-      run("aqe_skew_only", salt = 1, aqeSkew = true),
-      run("salt8", salt = 8, aqeSkew = false),
-      run("salt8_aqe", salt = 8, aqeSkew = true),
-      run("salt32", salt = 32, aqeSkew = true))
+      run("broadcast_moot_case", salt = 1, aqeSkew = false, allowBroadcast = true),
+      run("shuffle_no_mitigation", salt = 1, aqeSkew = false, allowBroadcast = false),
+      run("shuffle_aqe_skew_only", salt = 1, aqeSkew = true, allowBroadcast = false),
+      run("shuffle_salt8", salt = 8, aqeSkew = false, allowBroadcast = false),
+      run("shuffle_salt8_aqe", salt = 8, aqeSkew = true, allowBroadcast = false),
+      run("shuffle_salt32_aqe", salt = 32, aqeSkew = true, allowBroadcast = false))
     val counts = results.map(_._1).distinct
     require(counts.size == 1, s"configs disagree on pair count: $counts")
     println(s"""{"skew_summary":"ok","pairs":${counts.head},"n_points":$nPts,"n_polys":$nPolys,"configs":${results.size}}""")

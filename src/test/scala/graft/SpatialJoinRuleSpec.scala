@@ -46,15 +46,68 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
-  test("skew salting preserves results") {
+  test("skew salting preserves results (shuffle-shaped join)") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
     val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
-    spark.conf.set("spark.graft.spatialJoin.salt", "4")
-    val salted = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    spark.conf.set("spark.graft.spatialJoin.salt", "1")
-    val plain = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(salted == plain && salted.nonEmpty)
+    // salt only applies when the join will actually shuffle AND the sample
+    // finds a hot tile: force the shuffle shape, and give the fixture a
+    // genuinely hot tile (half the points in one cell)
+    spark.sql("""
+      SELECT id AS pid,
+             CASE WHEN id % 2 = 0
+               THEN st_point(55.0d + cast(id % 9 AS DOUBLE) / 10.0d,
+                             55.0d + cast(id % 7 AS DOUBLE) / 10.0d)
+               ELSE st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) END AS pt
+      FROM range(0, 2000)""").createOrReplaceTempView("pts")
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "4")
+      val saltedDf = spark.sql(joinSql)
+      assert(saltedDf.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "salt must fire on a shuffle-shaped join")
+      val salted = saltedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      val plain = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted == plain && salted.nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("salt is skipped on a skew-free shuffle join (no hot tile, no replication tax)") {
+    setup() // uniform fixture: no tile's sampled share reaches the hot bar
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "8")
+      val df = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "uniform data must not pay the salt replication tax")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("salt is skipped when a join side is broadcast-sized (no shuffle, no skew)") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // default broadcast threshold: these tiny views hash-join via broadcast,
+    // so the hot-tile problem cannot exist and salt must be a no-op (salting
+    // a broadcast join multiplies candidates s× for nothing — SkewBench
+    // measured 6× wall at salt=8)
+    try {
+      spark.conf.set("spark.graft.spatialJoin.salt", "8")
+      val df = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "salt must not fire on a broadcast-shaped join")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.graft.spatialJoin.salt", "1")
   }
 
   test("rewrite fires for geometry-geometry joins with extra conjuncts") {
