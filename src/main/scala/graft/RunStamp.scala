@@ -20,8 +20,12 @@ object RunStamp {
     val sha = exec(Seq("git", "rev-parse", "--short=12", "HEAD")).getOrElse("unknown")
     // dirtiness scoped to the code that determines results — the bench
     // itself rewrites artifact files (BENCH_HISTORY_MINS.json) mid-run, and
-    // those must not mark a clean-source run dirty
-    val dirty = exec(Seq("git", "status", "--porcelain", "--", "src", "build.sbt", "project"))
+    // those must not mark a clean-source run dirty. tools/ IS included: the
+    // oracle compare (scale_verify.py) and data-gen scripts live there and
+    // their state determines verdicts, while the bench only rewrites
+    // root-level *.json artifacts, so tools/ cannot self-dirty a run.
+    val dirty = exec(Seq("git", "status", "--porcelain", "--",
+      "src", "build.sbt", "project", "tools"))
       .exists(_.nonEmpty)
     if (sha != "unknown" && dirty) s"$sha-dirty" else sha
   }

@@ -1183,6 +1183,32 @@ object SparkEntry {
       ON st_contains(e.env, p.pt)
       ORDER BY p.k, e.cell"""),
 
+    // SELECTIVE dwithin tile join: output stays O(rows) at ANY scale by
+    // construction — coordinates spread over a domain that grows with the
+    // key range (x = orderkey/4, shared by both sides), so point density per
+    // tile is scale-invariant and each left point matches ~5/256 of a row on
+    // average. q_spatial_join/q_radius_join grow their pair count 100× per
+    // decade (fixed extent, growing rows), which is why the sf100 set could
+    // never include a tile join; this shape runs the SAME shuffled tile plan
+    // (both sides far above the broadcast threshold at sf100) with bounded
+    // output, giving the join plan a third-decade data point. All
+    // coordinates are /4.0 of integers (exact in binary), so the dwithin
+    // boundary decision dx²+dy² ≤ 1 is integer-exact and the DuckDB oracle
+    // reproduces it with plain arithmetic.
+    "q_dwithin_selective" -> q("lineitem", "orders")(s"""
+      WITH lpts AS (
+        SELECT $K AS k,
+               st_point(cast(l_orderkey AS DOUBLE) / 4.0d,
+                        cast(l_partkey % 256 AS DOUBLE) / 4.0d) AS pt
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      opts AS (
+        SELECT o_orderkey AS o,
+               st_point(cast(o_orderkey AS DOUBLE) / 4.0d,
+                        cast(o_custkey % 256 AS DOUBLE) / 4.0d) AS opt
+        FROM orders)
+      SELECT k, o FROM lpts JOIN opts ON st_dwithin(pt, opt, 0.25d)
+      ORDER BY k, o"""),
+
     // ---------------------------------------------------------- relational parity (windows, built-ins)
     // 30-minute inactivity gap over micros — unix_micros keeps the arithmetic
     // integer-exact and independent of the fixture's physical timestamp type
@@ -4209,6 +4235,24 @@ object SparkEntry {
             FROM supplier) e
       ON p.px > e.ex AND p.px < e.ex + 10 AND p.py > e.ey AND p.py < e.ey + 10
       ORDER BY p.k, e.cell""",
+
+    // band conjunct first so DuckDB plans an IEJoin; the squared-distance
+    // residual is exact (all coordinates are integers / 4.0)
+    "q_dwithin_selective" -> s"""
+      WITH lpts AS (
+        SELECT $K AS k,
+               CAST(l_orderkey AS DOUBLE) / 4.0 AS x,
+               CAST(l_partkey % 256 AS DOUBLE) / 4.0 AS y
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      opts AS (
+        SELECT o_orderkey AS o,
+               CAST(o_orderkey AS DOUBLE) / 4.0 AS ox,
+               CAST(o_custkey % 256 AS DOUBLE) / 4.0 AS oy
+        FROM orders)
+      SELECT k, o FROM lpts JOIN opts
+        ON ox BETWEEN x - 0.25 AND x + 0.25
+       AND (x - ox) * (x - ox) + (y - oy) * (y - oy) <= 0.0625
+      ORDER BY k, o""",
 
     "q_sessionize" -> """
       SELECT user_id,

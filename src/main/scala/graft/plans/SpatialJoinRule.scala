@@ -33,14 +33,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * Tuning: spark.graft.spatialJoin.enabled (default true),
  * spark.graft.spatialJoin.cellSize (default 1.0 — set to ~the median geometry
  * extent; too small explodes tiles, too large degrades pruning; "auto"
- * samples up to 1000 rows per side at planning time and uses the median
+ * samples ~1000 rows per side at planning time and uses the median
  * bbox extent, so the tile size tracks the data at any scale), and
- * spark.graft.spatialJoin.salt (default 1 — set >1 for hot tiles: a
- * plan-time sample finds the tiles hot enough to serialize a task, and ONLY
- * those are sub-split — left rows across `salt` sub-keys by geometry hash,
- * right rows replicated per sub-key — so a city-sized tile no longer lands
- * on one task while the rest of the data pays no replication tax. Skipped
- * entirely when a join side is broadcast-sized: a broadcast hash join never
+ * spark.graft.spatialJoin.salt (default "auto" — self-enabling skew
+ * mitigation: a plan-time sample finds the tiles hot enough to serialize a
+ * task, derives the split factor from the hottest tile's sampled share
+ * (ceil(share × parallelism), clamped to [2,32] — the factor that levels
+ * that tile's pairs back to one fair task share), and ONLY those tiles are
+ * sub-split — dense-side rows across `s` sub-keys by full-row hash, sparse
+ * side replicated per sub-key — so a city-sized tile no longer lands on one
+ * task while the rest of the data pays no replication tax. An integer value
+ * pins the factor manually (0/1 = off); a NEGATIVE integer forces salting
+ * at |salt| even when a join side looks broadcast-sized — the escape hatch
+ * for unreliable size stats. Otherwise salting is skipped entirely when a
+ * join side fits the broadcast threshold: a broadcast hash join never
  * shuffles by tile, so it has no tile skew to split).
  */
 class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -52,17 +58,71 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean
 
-  // auto-sampled cell sizes, keyed by the canonicalized (plan, geom) pair —
-  // optimizer rules re-fire on every re-optimization of the same query, and
-  // without the cache each firing would launch two fresh sampling jobs
-  private val cellCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  // ---- plan-time sampling ---------------------------------------------------
+  // Both samplers draw the first rows of up to `maxParts` RANDOM partitions
+  // (seeded, so plans stay deterministic) instead of a global first-rows
+  // Limit. A global Limit executes partitions front-to-back and stops at N —
+  // on Hilbert-clustered input (exactly the layout §4.3 recommends) the first
+  // partitions are one corner of the extent, so a first-rows sample can miss
+  // a hot tile entirely and pick a locally-unrepresentative cell size. Random
+  // partitions spread the draw across the whole file order at a bounded cost:
+  // ≤ maxParts short first-page tasks no matter how large the table is.
+  private def pickPartitions(n: Int, maxParts: Int): Seq[Int] =
+    if (n <= maxParts) 0 until n
+    else new scala.util.Random(42).shuffle((0 until n).toVector).take(maxParts)
+
+  private def sampleDoubles(plan: LogicalPlan, col: NamedExpression,
+                            perPart: Int, maxParts: Int): Seq[Double] = {
+    val rdd = spark.sessionState.executePlan(Project(Seq(col), plan))
+      .executedPlan.execute()
+    val k = perPart
+    spark.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.take(k).filter(!_.isNullAt(0)).map(_.getDouble(0)).toArray,
+      pickPartitions(rdd.getNumPartitions, maxParts)).toSeq.flatten
+  }
+
+  private def sampleLongs(plan: LogicalPlan, col: NamedExpression,
+                          perPart: Int, maxParts: Int): Seq[Long] = {
+    val rdd = spark.sessionState.executePlan(Project(Seq(col), plan))
+      .executedPlan.execute()
+    val k = perPart
+    spark.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.take(k).filter(!_.isNullAt(0)).map(_.getLong(0)).toArray,
+      pickPartitions(rdd.getNumPartitions, maxParts)).toSeq.flatten
+  }
+
+  // ---- plan-keyed sample caches ---------------------------------------------
+  // Optimizer rules re-fire on every re-optimization of the same query;
+  // without a cache each firing would launch fresh sampling jobs. Keys
+  // combine the canonicalized plan's semantic hash, its structural string
+  // hash (two independent 32-bit hashes — a single hashCode collision
+  // silently reusing another join's sample was an r14 advisory), and the
+  // plan's stats.sizeInBytes as a DATA signature: overwriting a path with
+  // different data changes the scan size, so the stale sample is not reused.
+  // Both maps are LRU-bounded so a long-lived session cannot grow them
+  // without bound.
+  private def lruMap[V](max: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+          size() > max
+      })
+
+  private def sideKey(p: LogicalPlan, g: Expression): String = {
+    val c = p.canonicalized
+    s"${c.hashCode()}:${c.toString.hashCode}:${p.stats.sizeInBytes}:" +
+      s"${g.canonicalized.hashCode()}"
+  }
+
+  private val cellCache = lruMap[java.lang.Double](128)
 
   private def cellSize(left: LogicalPlan, lGeom: Expression,
                        right: LogicalPlan, rGeom: Expression): Double = {
     val conf = spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0")
     if (!conf.equalsIgnoreCase("auto")) return conf.toDouble
-    val key = s"${left.canonicalized.hashCode()}:${lGeom.canonicalized.hashCode()}:" +
-      s"${right.canonicalized.hashCode()}:${rGeom.canonicalized.hashCode()}"
+    val key = s"${sideKey(left, lGeom)}|${sideKey(right, rGeom)}"
     val hit = cellCache.get(key)
     if (hit != null) return hit.doubleValue()
     // auto: median bbox extent over a bounded sample of each side — a fixed
@@ -71,9 +131,8 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val ext = Alias(Greatest(Seq(
         Subtract(FnExpr("st_xmax", Seq(geom)), FnExpr("st_xmin", Seq(geom))),
         Subtract(FnExpr("st_ymax", Seq(geom)), FnExpr("st_ymin", Seq(geom))))), "__ext")()
-      val probe = Limit(Literal(1000), Project(Seq(ext), plan))
-      spark.sessionState.executePlan(probe).executedPlan.executeCollect()
-        .map(_.getDouble(0)).filter(d => !d.isNaN && !d.isInfinite).toSeq
+      sampleDoubles(plan, ext, perPart = 32, maxParts = 64)
+        .filter(d => !d.isNaN && !d.isInfinite)
     } catch {
       case e: Exception =>
         logWarning(s"spatial-join cellSize=auto sampling failed (${e.getClass.getSimpleName}: " +
@@ -91,39 +150,39 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     result
   }
 
-  // hot-tile sets sampled per (plan, geom, cell) — same re-fire rationale as
-  // cellCache
-  private val hotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Boolean)]()
+  // hot-tile sets sampled per (plan, geom, cell, expand) — same re-fire
+  // rationale (and the same keying/bounding) as cellCache
+  private val hotCache = lruMap[(Seq[Long], Boolean, Double)](128)
 
   /** Tiles hot enough to serialize a task, detected from a bounded sample of
-    * each side's ANCHOR tile (st_tile_id of the bbox min corner — exact for
-    * point clouds, the common skew shape; a bbox-spanning geometry counts
-    * toward one of its tiles, which under-counts but never invents skew).
-    * A tile is hot when its sampled share exceeds 1/(2·parallelism) — the
-    * level where one tile's pairs start to dominate one task. Also returns
-    * WHICH side to sub-split: the side whose sample is denser in the hot
-    * tiles (the point cloud in the city-polygons-vs-points shape) — the
-    * other side replicates, which is cheap precisely because it is sparse
-    * there. The sample is Limit-based (first rows): a false positive only
-    * salts a tile that didn't need it (bounded s× replication of that
-    * tile's rows on the sparse side); a false negative equals the unsalted
-    * status quo. Capped at 64 tiles so the IN-literal stays
-    * codegen-friendly. */
+    * each side's ANCHOR tile (st_tile_id of the bbox min corner, expanded on
+    * the left for st_dwithin so a tile that is only hot AFTER expansion is
+    * still seen — exact for point clouds, the common skew shape; a
+    * bbox-spanning geometry counts toward one of its tiles, which
+    * under-counts but never invents skew). A tile is hot when its sampled
+    * share exceeds 1/(2·parallelism) — the level where one tile's pairs
+    * start to dominate one task. Also returns WHICH side to sub-split (the
+    * side whose sample is denser in the hot tiles — the point cloud in the
+    * city-polygons-vs-points shape; the other side replicates, which is
+    * cheap precisely because it is sparse there) and the hottest tile's
+    * sampled share on that side, which salt=auto turns into the split
+    * factor. A false positive only salts a tile that didn't need it
+    * (bounded s× replication of that tile's rows on the sparse side); a
+    * false negative equals the unsalted status quo. Capped at 64 tiles so
+    * the IN-literal stays codegen-friendly. */
   private def hotTiles(left: LogicalPlan, lGeom: Expression,
                        right: LogicalPlan, rGeom: Expression,
-                       cell: Double, expand: Double): (Seq[Long], Boolean) = {
-    val key = s"${left.canonicalized.hashCode()}:${lGeom.canonicalized.hashCode()}:" +
-      s"${right.canonicalized.hashCode()}:${rGeom.canonicalized.hashCode()}:$cell"
+                       cell: Double, expand: Double): (Seq[Long], Boolean, Double) = {
+    val key = s"${sideKey(left, lGeom)}|${sideKey(right, rGeom)}:$cell:$expand"
     val hit = hotCache.get(key)
     if (hit != null) return hit
-    def sampleAnchors(plan: LogicalPlan, geom: Expression): Seq[Long] = try {
+    def sampleAnchors(plan: LogicalPlan, geom: Expression, exp: Double): Seq[Long] = try {
+      def corner(fn: String): Expression =
+        if (exp == 0.0) FnExpr(fn, Seq(geom))
+        else Subtract(FnExpr(fn, Seq(geom)), Literal(exp))
       val anchor = Alias(FnExpr("st_tile_id", Seq(
-        FnExpr("st_xmin", Seq(geom)), FnExpr("st_ymin", Seq(geom)),
-        Literal(cell))), "__anchor")()
-      val probe = Limit(Literal(10000), Project(Seq(anchor), plan))
-      spark.sessionState.executePlan(probe).executedPlan.executeCollect()
-        .map(_.getLong(0)).toSeq
+        corner("st_xmin"), corner("st_ymin"), Literal(cell))), "__anchor")()
+      sampleLongs(plan, anchor, perPart = 256, maxParts = 64)
     } catch {
       case e: Exception =>
         logWarning(s"spatial-join hot-tile sampling failed (${e.getClass.getSimpleName}: " +
@@ -137,13 +196,18 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           anchors.size.toDouble / (2.0 * spark.sparkContext.defaultParallelism))
         anchors.groupBy(identity).collect { case (t, hits) if hits.size >= threshold => t }.toSeq
       }
-    val aL = sampleAnchors(left, lGeom)
-    val aR = sampleAnchors(right, rGeom)
+    val aL = sampleAnchors(left, lGeom, expand)
+    val aR = sampleAnchors(right, rGeom, 0.0)
     val hot = (hotOf(aL) ++ hotOf(aR)).distinct.take(64)
     val hotSet = hot.toSet
     val densL = if (aL.isEmpty) 0.0 else aL.count(hotSet).toDouble / aL.size
     val densR = if (aR.isEmpty) 0.0 else aR.count(hotSet).toDouble / aR.size
-    val result = (hot, densR >= densL)
+    val splitRight = densR >= densL
+    val splitSample = if (splitRight) aR else aL
+    val hottestShare =
+      if (splitSample.isEmpty || hot.isEmpty) 0.0
+      else hot.map(t => splitSample.count(_ == t).toDouble / splitSample.size).max
+    val result = (hot, splitRight, hottestShare)
     hotCache.put(key, result)
     result
   }
@@ -200,8 +264,11 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def salt: Int =
-    spark.conf.get("spark.graft.spatialJoin.salt", "1").toInt
+  /** Raw salt setting: "auto" (default — self-enabling from the hot-tile
+    * sample), 0/1 = off, N>1 = manual factor, N<0 = FORCE factor |N| even on
+    * a broadcast-shaped join (escape hatch for unreliable size stats). */
+  private def saltSetting: String =
+    spark.conf.get("spark.graft.spatialJoin.salt", "auto")
 
   private def rewrite(
       j: Join,
@@ -247,7 +314,11 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val dedupe = EqualTo(FnExpr("st_tile_id", Seq(refX, refY, cell)), tileL)
 
     var equi: Expression = EqualTo(tileL, tileR)
-    val s = salt
+    val setting = saltSetting
+    val auto = setting.equalsIgnoreCase("auto")
+    val manual = if (auto) 0 else setting.toInt
+    val force = manual < 0
+    val wantSalt = auto || manual > 1 || force
     // Salt is a SHUFFLE-skew mitigation: it only helps when the equi-join
     // hash-partitions by tile and a hot tile would serialize onto one task.
     // When either original side fits the session broadcast threshold,
@@ -255,29 +326,43 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // probe work then distributes with the big side's partitions and no tile
     // ever owns a task, so salting is pure overhead (s× candidate
     // replication plus a murmur per candidate: measured 6× wall at salt=8 on
-    // a 20M-point hot-tile fixture, graft.tools.SkewBench). Skip it there.
+    // a 20M-point hot-tile fixture, graft.tools.SkewBench). Skip it there —
+    // unless a negative setting FORCES it (size stats can under-estimate; a
+    // side Catalyst ultimately refuses to broadcast would then be left
+    // unprotected with no recourse).
     val abt = spark.sessionState.conf.autoBroadcastJoinThreshold
     val broadcastShaped = abt > 0 &&
       (j.left.stats.sizeInBytes <= abt || j.right.stats.sizeInBytes <= abt)
-    if (s > 1 && broadcastShaped)
-      logInfo(s"spatial-join salt=$s skipped: a join side fits the broadcast " +
+    if (wantSalt && broadcastShaped && !force && !auto)
+      logInfo(s"spatial-join salt=$setting skipped: a join side fits the broadcast " +
         s"threshold ($abt b), so the tile join will not shuffle and has no skew to split")
-    if (s > 1 && !broadcastShaped) {
+    if (wantSalt && (!broadcastShaped || force)) {
       // TARGETED skew salting: only tiles the plan-time sample flags as hot
-      // are sub-split (left keys by geometry hash) and replicated (right
-      // rows, s-fold). Global salting replicated EVERY right row s× — on a
-      // 20M-row hot-tile fixture that quadrupled total task time for a
-      // straggler it didn't even level (SkewBench round-14 measurements);
-      // targeting confines the replication tax to the hot tiles' own rows,
-      // and a skew-free dataset pays nothing at all.
-      val (hot, splitRight) = hotTiles(j.left, lGeom, j.right, rGeom,
+      // are sub-split (dense-side keys by full-row hash) and replicated
+      // (sparse-side rows, s-fold). Global salting replicated EVERY right
+      // row s× — on a 20M-row hot-tile fixture that quadrupled total task
+      // time for a straggler it didn't even level (SkewBench round-14
+      // measurements); targeting confines the replication tax to the hot
+      // tiles' own rows, and a skew-free dataset pays nothing at all.
+      val (hot, splitRight, hottestShare) = hotTiles(j.left, lGeom, j.right, rGeom,
         cell.value.asInstanceOf[Double], expand)
-      if (hot.isEmpty)
-        logInfo(s"spatial-join salt=$s requested but the tile sample found no hot " +
-          s"tiles — salting nothing (a skew-free join pays no replication tax)")
-      else {
-        logInfo(s"spatial-join salt=$s targeting ${hot.size} hot tile(s), " +
-          s"splitting the ${if (splitRight) "right" else "left"} side")
+      // auto derives the factor from the measurement it already has: a tile
+      // holding share p of the split side owns ~p of the join's pairs, so
+      // splitting it p×parallelism ways levels it back to one fair task
+      // share. Clamped to [2,32]: below 2 is a no-op, above 32 the
+      // replication tax outgrows the straggler it removes (SkewBench salt=32
+      // was no better than salt=8 at both 20M and 50M points).
+      val s =
+        if (!auto) math.abs(manual)
+        else math.min(32, math.max(2,
+          math.ceil(hottestShare * spark.sparkContext.defaultParallelism).toInt))
+      if (hot.isEmpty) {
+        if (!auto)
+          logInfo(s"spatial-join salt=$s requested but the tile sample found no hot " +
+            s"tiles — salting nothing (a skew-free join pays no replication tax)")
+      } else {
+        logInfo(s"spatial-join salt=$s${if (auto) " (auto)" else ""} targeting " +
+          s"${hot.size} hot tile(s), splitting the ${if (splitRight) "right" else "left"} side")
         val hotL = In(tileL, hot.map(Literal(_)))
         val hotR = In(tileR, hot.map(Literal(_)))
         val one = Literal.create(Seq(0), org.apache.spark.sql.types.ArrayType(IntegerType))

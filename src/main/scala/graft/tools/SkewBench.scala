@@ -81,9 +81,9 @@ object SkewBench {
       """SELECT count(*) AS pairs FROM polys JOIN pts
          ON st_intersects(polys.poly, pts.pt)"""
 
-    def run(label: String, salt: Int, aqeSkew: Boolean,
+    def run(label: String, salt: String, aqeSkew: Boolean,
             allowBroadcast: Boolean): (Long, String) = {
-      spark.conf.set("spark.graft.spatialJoin.salt", salt.toString)
+      spark.conf.set("spark.graft.spatialJoin.salt", salt)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
       // The poly side is small, so by default Catalyst BROADCASTS the
       // rewritten equi-join — the hot tile's probe work then distributes
@@ -101,7 +101,7 @@ object SkewBench {
       val (stage, tasks) = taskMs.maxBy(_._2.sum)
       val v = tasks.sorted
       val line =
-        f"""{"config":"$label","salt":$salt,"aqe_skew":$aqeSkew,"pairs":$pairs,""" +
+        f"""{"config":"$label","salt":"$salt","aqe_skew":$aqeSkew,"pairs":$pairs,""" +
         f""""wall_sec":${wall}%.2f,"join_stage":$stage,"tasks":${v.size},""" +
         f""""task_max_sec":${v.last / 1e3}%.2f,"task_p95_sec":${pct(v, 0.95) / 1e3}%.2f,""" +
         f""""task_p50_sec":${pct(v, 0.50) / 1e3}%.2f,""" +
@@ -116,12 +116,14 @@ object SkewBench {
          ON st_intersects(polys.poly, w.pt)""").head()
 
     val results = Seq(
-      run("broadcast_moot_case", salt = 1, aqeSkew = false, allowBroadcast = true),
-      run("shuffle_no_mitigation", salt = 1, aqeSkew = false, allowBroadcast = false),
-      run("shuffle_aqe_skew_only", salt = 1, aqeSkew = true, allowBroadcast = false),
-      run("shuffle_salt8", salt = 8, aqeSkew = false, allowBroadcast = false),
-      run("shuffle_salt8_aqe", salt = 8, aqeSkew = true, allowBroadcast = false),
-      run("shuffle_salt32_aqe", salt = 32, aqeSkew = true, allowBroadcast = false))
+      run("broadcast_moot_case", salt = "1", aqeSkew = false, allowBroadcast = true),
+      run("broadcast_salt_auto", salt = "auto", aqeSkew = false, allowBroadcast = true),
+      run("shuffle_no_mitigation", salt = "1", aqeSkew = false, allowBroadcast = false),
+      run("shuffle_aqe_skew_only", salt = "1", aqeSkew = true, allowBroadcast = false),
+      run("shuffle_salt8", salt = "8", aqeSkew = false, allowBroadcast = false),
+      run("shuffle_salt8_aqe", salt = "8", aqeSkew = true, allowBroadcast = false),
+      run("shuffle_salt32_aqe", salt = "32", aqeSkew = true, allowBroadcast = false),
+      run("shuffle_salt_auto", salt = "auto", aqeSkew = false, allowBroadcast = false))
     val counts = results.map(_._1).distinct
     require(counts.size == 1, s"configs disagree on pair count: $counts")
     println(s"""{"skew_summary":"ok","pairs":${counts.head},"n_points":$nPts,"n_polys":$nPolys,"configs":${results.size}}""")

@@ -153,6 +153,149 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       s"dedupe still scans WKB per candidate pair:\n$plan")
   }
 
+  test("salt=auto self-enables on a hot shuffle join and preserves results") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // the r14 skew fixture: half the points in one 10x10 cell
+    spark.sql("""
+      SELECT id AS pid,
+             CASE WHEN id % 2 = 0
+               THEN st_point(55.0d + cast(id % 9 AS DOUBLE) / 10.0d,
+                             55.0d + cast(id % 7 AS DOUBLE) / 10.0d)
+               ELSE st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) END AS pt
+      FROM range(0, 2000)""").createOrReplaceTempView("pts")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "auto")
+      val autoDf = spark.sql(joinSql)
+      assert(autoDf.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "salt=auto must self-enable when the sample finds a hot tile on a shuffle join")
+      val auto = autoDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      val plain = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto == plain && auto.nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("salt=auto stays off on skew-free shuffle joins and broadcast-shaped joins") {
+    setup() // uniform fixture
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.graft.spatialJoin.salt", "auto")
+      // broadcast-shaped (default threshold): no salt, and no sampling cost
+      assert(!spark.sql(joinSql).queryExecution.optimizedPlan.toString
+        .contains("__graft_tile_salt"), "auto must not salt a broadcast-shaped join")
+      // shuffle-shaped but uniform: the sample finds nothing hot
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!spark.sql(joinSql).queryExecution.optimizedPlan.toString
+        .contains("__graft_tile_salt"), "auto must not salt a skew-free join")
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("spatially-sorted input with the hot region in the LAST partition is still detected") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // Hilbert-style layout: rows ordered by location, hot cell at the END of
+    // the file order (ids >= 45000 of 60000; range() gives contiguous-id
+    // partitions, so the hot rows live entirely in the last partition). A
+    // global first-rows Limit(10000) sample reads only ids 0..9999 — one
+    // corner — and provably misses this; the per-partition draw sees every
+    // partition and must catch it.
+    spark.sql("""
+      SELECT id AS pid,
+             CASE WHEN id >= 45000
+               THEN st_point(55.0d + cast(id % 9 AS DOUBLE) / 10.0d,
+                             55.0d + cast(id % 7 AS DOUBLE) / 10.0d)
+               ELSE st_point(cast(id % 43 AS DOUBLE), cast((id * 7) % 41 AS DOUBLE)) END AS pt
+      FROM range(0, 60000)""").createOrReplaceTempView("pts")
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "auto")
+      val df = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)")
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "tail-of-file hot region must be visible to the de-biased sampler")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("negative salt forces the mitigation on a broadcast-shaped join") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // hot fixture again, but broadcast-sized sides and the DEFAULT threshold:
+    // the gate would normally skip salting; salt=-4 overrides it for the
+    // operator whose size stats are unreliable
+    spark.sql("""
+      SELECT id AS pid,
+             CASE WHEN id % 2 = 0
+               THEN st_point(55.0d + cast(id % 9 AS DOUBLE) / 10.0d,
+                             55.0d + cast(id % 7 AS DOUBLE) / 10.0d)
+               ELSE st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) END AS pt
+      FROM range(0, 2000)""").createOrReplaceTempView("pts")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)"
+    try {
+      spark.conf.set("spark.graft.spatialJoin.salt", "-4")
+      val forcedDf = spark.sql(joinSql)
+      assert(forcedDf.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "salt<0 must force the mitigation past the broadcast-shape gate")
+      val forced = forcedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      val plain = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(forced == plain && forced.nonEmpty)
+    } finally spark.conf.set("spark.graft.spatialJoin.salt", "1")
+  }
+
+  test("rewriting a path with different data invalidates the plan-time sample cache") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_salt_cache").toString
+    val path = s"$dir/pts.parquet"
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "auto")
+      // generation 1: hot fixture → sampled, salted
+      spark.sql("""
+        SELECT id AS pid,
+               CASE WHEN id % 2 = 0
+                 THEN st_point(55.0d + cast(id % 9 AS DOUBLE) / 10.0d,
+                               55.0d + cast(id % 7 AS DOUBLE) / 10.0d)
+                 ELSE st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) END AS pt
+        FROM range(0, 2000)""").write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).createOrReplaceTempView("fpts")
+      val joinSql = "SELECT pid, cell FROM fpts JOIN cells ON st_contains(env, pt)"
+      assert(spark.sql(joinSql).queryExecution.optimizedPlan.toString
+        .contains("__graft_tile_salt"), "generation 1 (hot) must be salted")
+      // generation 2: same path, DIFFERENT data (uniform, different size) —
+      // the cached hot set must not be reused
+      spark.sql("""
+        SELECT id AS pid, st_point(cast(id % 97 AS DOUBLE), cast((id * 7) % 89 AS DOUBLE)) AS pt
+        FROM range(0, 700)""").write.mode("overwrite").parquet(path)
+      spark.catalog.refreshByPath(path)
+      spark.read.parquet(path).createOrReplaceTempView("fpts")
+      assert(!spark.sql(joinSql).queryExecution.optimizedPlan.toString
+        .contains("__graft_tile_salt"),
+        "generation 2 (uniform, new size) must get a fresh sample, not the stale hot set")
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+      scala.reflect.io.Path(dir).deleteRecursively()
+    }
+  }
+
   test("auto cellSize samples the data and preserves results") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")

@@ -27,7 +27,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-n_pass = n_fail = n_rows_only = 0
+# n_pass = bidirectional EXCEPT ALL exact-multiset matches; n_cksum = the
+# weaker order-independent 64-bit content-checksum tier used above the row
+# threshold. Reported separately so artifacts state the verification grade
+# accurately instead of folding both into one "exact" count.
+n_pass = n_cksum = n_fail = n_rows_only = 0
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
@@ -84,7 +88,7 @@ for name in sorted(os.listdir(outdir)):
                 f"SELECT sum(hash({hash_args})::HUGEINT) FROM _o").fetchone()[0]
             if s_ck == o_ck:
                 print(f"PASS {name}: CHECKSUM rows={nrows}")
-                n_pass += 1
+                n_cksum += 1
             else:
                 print(f"FAIL {name}: CHECKSUM_DIFF spark={s_ck} oracle={o_ck}")
                 n_fail += 1
@@ -114,7 +118,8 @@ try:
     meta = json.load(open(f"{outdir}/run_meta.json"))
 except Exception:
     pass
-print(f"\n{n_pass} exact-match PASS, {n_rows_only} rows-only, {n_fail} FAIL "
-      f"of {n_pass + n_rows_only + n_fail} "
+print(f"\n{n_pass} exact-match PASS, {n_cksum} checksum PASS, "
+      f"{n_rows_only} rows-only, {n_fail} FAIL "
+      f"of {n_pass + n_cksum + n_rows_only + n_fail} "
       f"(commit={meta.get('commit', 'unknown')}, sf={sfdir})")
 sys.exit(1 if n_fail else 0)
