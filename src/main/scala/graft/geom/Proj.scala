@@ -389,6 +389,23 @@ object Proj {
    *  ellipsoid difference IS carried exactly). */
   val DatumFiji86 = Datum(Wgs72El, None)
 
+  // ----- batch-13 datums (round 15): NE/Equatorial-Africa residue, Barbados,
+  // the Ocotepeque 1935 Central-America family, Bermuda. All published
+  // 3-parameter shifts from the public EPSG dataset (single-network class,
+  // ~5-25 m — the same accuracy tier PROJ ships for these frames).
+  /** Massawa (Eritrea) → WGS84 — published 3-parameter. */
+  val DatumMassawa = Datum(Bessel1841, Some(Helmert(639, 405, 60, 0, 0, 0, 0)))
+  /** Pointe Noire 1948 (Congo) → WGS84 — published 3-parameter. */
+  val DatumPointeNoire = Datum(Clarke1880Ign, Some(Helmert(-148, 51, -291, 0, 0, 0, 0)))
+  /** M'poraloko (Gabon) → WGS84 — published 3-parameter. */
+  val DatumMporaloko = Datum(Clarke1880Ign, Some(Helmert(-74, -130, 42, 0, 0, 0, 0)))
+  /** Barbados 1938 → WGS84 — published 3-parameter. */
+  val DatumBarbados38 = Datum(Clarke1880Rgs, Some(Helmert(31.95, 300.99, 419.19, 0, 0, 0, 0)))
+  /** Ocotepeque 1935 (Central America) → WGS84 — published 3-parameter. */
+  val DatumOcotepeque = Datum(Clarke1866, Some(Helmert(205, 96, -98, 0, 0, 0, 0)))
+  /** Bermuda 1957 → WGS84 — published 3-parameter. */
+  val DatumBermuda57 = Datum(Clarke1866, Some(Helmert(-73, 213, 296, 0, 0, 0, 0)))
+
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
     val sinLat = math.sin(lat); val cosLat = math.cos(lat)
@@ -2689,8 +2706,67 @@ object Proj {
         south = true, g, probeLat = -6.0)
     }
 
+    // ------------------------- EPSG batch 13 (round 15): the Pacific modern
+    // frames (NZGD2000 UTM, RGPF, RGNC91-93), NZGD49 UTM, NE/Equatorial
+    // Africa residue (Massawa, Pointe Noire, M'poraloko), Barbados, the
+    // Ocotepeque 1935 Central-America Lamberts, Bermuda. Parameters from the
+    // public EPSG dataset; every kernel (tm/utm/lcc1/lcc2SP) is already
+    // registry-sweep-validated.
+    val batch13 = Map(
+      // New Caledonia: RGNC91-93 national Lambert (GRS80, null transform)
+      "EPSG:3163" -> lcc("RGNC91-93 / Lambert New Caledonia", dms(-20, 40), dms(-22, 20),
+        dms(-21, 30), 166, 400000, 300000, g, probe = (166.5, -22.0)),
+      // NE Africa: Massawa (Eritrea)
+      "EPSG:26237" -> utmCrs("EPSG:26237", "Massawa / UTM zone 37N", 37,
+        south = false, DatumMassawa, probeLat = 15.5),
+      // Equatorial Africa: Congo and Gabon UTM
+      "EPSG:28232" -> utmCrs("EPSG:28232", "Pointe Noire / UTM zone 32S", 32,
+        south = true, DatumPointeNoire, probeLat = -4.5),
+      "EPSG:26632" -> utmCrs("EPSG:26632", "M'poraloko / UTM zone 32N", 32,
+        south = false, DatumMporaloko, probeLat = 0.8),
+      "EPSG:26692" -> utmCrs("EPSG:26692", "M'poraloko / UTM zone 32S", 32,
+        south = true, DatumMporaloko, probeLat = -1.5),
+      // Barbados: the shared BWI TM conversion + the national grid
+      "EPSG:21291" -> tm("Barbados 1938 / British West Indies Grid", 0, -62, 0.9995,
+        400000, 0, DatumBarbados38, probe = (-59.55, 13.2)),
+      "EPSG:21292" -> tm("Barbados 1938 / Barbados National Grid", dms(13, 10, 35),
+        dms(-59, 33, 35), 0.9999986, 30000, 75000, DatumBarbados38, probe = (-59.55, 13.2)),
+      // Central America: the Ocotepeque 1935 national Lamberts (lcc 1SP)
+      "EPSG:5456" -> lcc1("Ocotepeque 1935 / Costa Rica Norte", dms(10, 28), dms(-84, 20),
+        0.99995696, 500000, 271820.522, DatumOcotepeque, probe = (-84.2, 10.2)),
+      "EPSG:5457" -> lcc1("Ocotepeque 1935 / Costa Rica Sur", 9, dms(-83, 40),
+        0.99995696, 500000, 327987.436, DatumOcotepeque, probe = (-83.5, 8.8)),
+      "EPSG:5459" -> lcc1("Ocotepeque 1935 / Guatemala Sur", dms(14, 54), dms(-90, 20),
+        0.99989906, 500000, 292209.579, DatumOcotepeque, probe = (-90.5, 14.5)),
+      "EPSG:5460" -> lcc1("Ocotepeque 1935 / El Salvador Lambert", dms(13, 47), -89,
+        0.99996704, 500000, 295809.184, DatumOcotepeque, probe = (-89.2, 13.7)),
+      "EPSG:5461" -> lcc1("Ocotepeque 1935 / Nicaragua Norte", dms(13, 52), dms(-85, 30),
+        0.99990314, 500000, 359891.816, DatumOcotepeque, probe = (-85.7, 13.9)),
+      "EPSG:5462" -> lcc1("Ocotepeque 1935 / Nicaragua Sur", dms(11, 44), dms(-85, 30),
+        0.99992228, 500000, 288876.327, DatumOcotepeque, probe = (-85.6, 11.9)),
+      // Bermuda 1957 (Clarke 1866 island survey)
+      "EPSG:3769" -> utmCrs("EPSG:3769", "Bermuda 1957 / UTM zone 20N", 20,
+        south = false, DatumBermuda57, probeLat = 32.3)
+    ) ++ (58 to 60).map { z =>
+      // NZGD2000 / UTM (GRS80, null transform; NZTM 2193 already registered)
+      s"EPSG:${2075 + z}" -> utmCrs(s"EPSG:${2075 + z}", s"NZGD2000 / UTM zone ${z}S", z,
+        south = true, g, probeLat = -41.0)
+    } ++ (58 to 60).map { z =>
+      // NZGD49 / UTM (the pre-2000 frame; LINZ 7-parameter)
+      s"EPSG:${27200 + z}" -> utmCrs(s"EPSG:${27200 + z}", s"NZGD49 / UTM zone ${z}S", z,
+        south = true, DatumNzgd49, probeLat = -41.0)
+    } ++ (5 to 8).map { z =>
+      // French Polynesia: RGPF / UTM 5S-8S (GRS80, null transform)
+      s"EPSG:${3291 + z}" -> utmCrs(s"EPSG:${3291 + z}", s"RGPF / UTM zone ${z}S", z,
+        south = true, g, probeLat = -17.5)
+    } ++ (57 to 59).map { z =>
+      // New Caledonia: RGNC91-93 / UTM (GRS80, null transform)
+      s"EPSG:${3112 + z}" -> utmCrs(s"EPSG:${3112 + z}", s"RGNC91-93 / UTM zone ${z}S", z,
+        south = true, g, probeLat = -21.5)
+    }
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11 ++ batch12
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11 ++ batch12 ++ batch13
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -3338,6 +3414,15 @@ object Proj {
     "EPSG:4605" -> (("St. Kitts 1955", DatumStKitts55)),
     "EPSG:4606" -> (("St. Lucia 1955", DatumStLucia55)),
     "EPSG:4607" -> (("St. Vincent 1945", DatumStVincent45)),
+    // batch 13 (round 15)
+    "EPSG:4262" -> (("Massawa", DatumMassawa)),
+    "EPSG:4282" -> (("Pointe Noire", DatumPointeNoire)),
+    "EPSG:4266" -> (("M'poraloko", DatumMporaloko)),
+    "EPSG:4212" -> (("Barbados 1938", DatumBarbados38)),
+    "EPSG:5451" -> (("Ocotepeque 1935", DatumOcotepeque)),
+    "EPSG:4216" -> (("Bermuda 1957", DatumBermuda57)),
+    "EPSG:4687" -> (("RGPF", DatumGrs80)),
+    "EPSG:4749" -> (("RGNC91-93", DatumGrs80)),
     "EPSG:4242" -> (("JAD69", DatumJad69)),
     "EPSG:4758" -> (("JAD2001", DatumWgs84)),
     "EPSG:5546" -> (("PNG94", DatumGrs80)),
@@ -3426,6 +3511,12 @@ object Proj {
       else if (d == DatumStVincent45) Some("St_Vincent_1945")
       else if (d == DatumJad69) Some("Jamaica_1969")
       else if (d == DatumFiji86) Some("Fiji_Geodetic_Datum_1986")
+      else if (d == DatumMassawa) Some("Massawa")
+      else if (d == DatumPointeNoire) Some("Pointe_Noire")
+      else if (d == DatumMporaloko) Some("Mporaloko")
+      else if (d == DatumBarbados38) Some("Barbados_1938")
+      else if (d == DatumOcotepeque) Some("Ocotepeque_1935")
+      else if (d == DatumBermuda57) Some("Bermuda_1957")
       else None
     byInstance.getOrElse {
       val n = crsName.toUpperCase

@@ -37,9 +37,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * bbox extent, so the tile size tracks the data at any scale), and
  * spark.graft.spatialJoin.salt (default "auto" — self-enabling skew
  * mitigation: a plan-time sample finds the tiles hot enough to serialize a
- * task, derives the split factor from the hottest tile's sampled share
- * (ceil(share × parallelism), clamped to [2,32] — the factor that levels
- * that tile's pairs back to one fair task share), and ONLY those tiles are
+ * task, derives the split factor from the hottest tile's estimated PAIR-MASS
+ * share — the product of both sides' sampled densities there, which is what
+ * actually serializes a task — as ceil(share × parallelism) clamped to
+ * [2,32], the factor that levels that tile back to one fair task share, and
+ * ONLY those tiles are
  * sub-split — dense-side rows across `s` sub-keys by full-row hash, sparse
  * side replicated per sub-key — so a city-sized tile no longer lands on one
  * task while the rest of the data pays no replication tax. An integer value
@@ -203,11 +205,31 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val densL = if (aL.isEmpty) 0.0 else aL.count(hotSet).toDouble / aL.size
     val densR = if (aR.isEmpty) 0.0 else aR.count(hotSet).toDouble / aR.size
     val splitRight = densR >= densL
+    // Severity for salt=auto: the hottest tile's share of the join's PAIR
+    // mass, not its row share. A tile's pairs are the product of both sides'
+    // densities there — 20% of the points meeting a stack of polygons can be
+    // >90% of all pairs (SkewBench: row-share-derived s=7 left a 6.7 s
+    // straggler that the pair-share-derived factor levels). Estimated from
+    // the two anchor samples already in hand: m(t) = shareL(t)·shareR(t),
+    // severity = max over hot tiles of m(t)/Σm. The split side's row share
+    // is kept as a floor for when the sparse side's sample misses the hot
+    // tile entirely (then the pair estimate degenerates to 0 while a real,
+    // milder skew remains).
+    def shares(a: Seq[Long]): Map[Long, Double] =
+      if (a.isEmpty) Map.empty
+      else a.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    val sL = shares(aL); val sR = shares(aR)
+    val mass = (sL.keySet ++ sR.keySet).iterator
+      .map(t => t -> sL.getOrElse(t, 0.0) * sR.getOrElse(t, 0.0)).toMap
+    val totalMass = mass.values.sum
+    val pairShare =
+      if (totalMass <= 0 || hot.isEmpty) 0.0
+      else hot.map(t => mass.getOrElse(t, 0.0)).max / totalMass
     val splitSample = if (splitRight) aR else aL
-    val hottestShare =
+    val rowShare =
       if (splitSample.isEmpty || hot.isEmpty) 0.0
       else hot.map(t => splitSample.count(_ == t).toDouble / splitSample.size).max
-    val result = (hot, splitRight, hottestShare)
+    val result = (hot, splitRight, math.max(pairShare, rowShare))
     hotCache.put(key, result)
     result
   }
@@ -347,11 +369,11 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val (hot, splitRight, hottestShare) = hotTiles(j.left, lGeom, j.right, rGeom,
         cell.value.asInstanceOf[Double], expand)
       // auto derives the factor from the measurement it already has: a tile
-      // holding share p of the split side owns ~p of the join's pairs, so
-      // splitting it p×parallelism ways levels it back to one fair task
-      // share. Clamped to [2,32]: below 2 is a no-op, above 32 the
-      // replication tax outgrows the straggler it removes (SkewBench salt=32
-      // was no better than salt=8 at both 20M and 50M points).
+      // owning pair-mass share p needs an s with p/s ≤ 1/parallelism to
+      // level back to one fair task share, so s = ceil(p × parallelism).
+      // Clamped to [2,32]: below 2 is a no-op, and the split side of a
+      // 32-way shuffle has nothing to gain beyond its own task count while
+      // the sparse side's replication tax keeps growing linearly.
       val s =
         if (!auto) math.abs(manual)
         else math.min(32, math.max(2,

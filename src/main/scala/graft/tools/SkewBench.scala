@@ -123,7 +123,8 @@ object SkewBench {
       run("shuffle_salt8", salt = "8", aqeSkew = false, allowBroadcast = false),
       run("shuffle_salt8_aqe", salt = "8", aqeSkew = true, allowBroadcast = false),
       run("shuffle_salt32_aqe", salt = "32", aqeSkew = true, allowBroadcast = false),
-      run("shuffle_salt_auto", salt = "auto", aqeSkew = false, allowBroadcast = false))
+      run("shuffle_salt_auto", salt = "auto", aqeSkew = false, allowBroadcast = false),
+      run("shuffle_salt_auto_aqe", salt = "auto", aqeSkew = true, allowBroadcast = false))
     val counts = results.map(_._1).distinct
     require(counts.size == 1, s"configs disagree on pair count: $counts")
     println(s"""{"skew_summary":"ok","pairs":${counts.head},"n_points":$nPts,"n_polys":$nPolys,"configs":${results.size}}""")

@@ -92,7 +92,14 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4606" -> ((-61.0, 13.9)),   // St. Lucia 1955
       "EPSG:4607" -> ((-61.2, 13.25)),  // St. Vincent 1945
       "EPSG:4242" -> ((-77.3, 18.1)),   // JAD69: Jamaica
-      "EPSG:4721" -> ((178.0, -17.8)))  // Fiji 1986
+      "EPSG:4721" -> ((178.0, -17.8)),  // Fiji 1986
+      // batch 13 (round 15)
+      "EPSG:4262" -> ((39.5, 15.5)),    // Massawa: Eritrea
+      "EPSG:4282" -> ((12.0, -4.5)),    // Pointe Noire: Congo
+      "EPSG:4266" -> ((11.5, -0.5)),    // M'poraloko: Gabon
+      "EPSG:4212" -> ((-59.55, 13.2)),  // Barbados 1938
+      "EPSG:5451" -> ((-84.0, 10.0)),   // Ocotepeque 1935: Central America
+      "EPSG:4216" -> ((-64.75, 32.3)))  // Bermuda 1957
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -571,6 +578,40 @@ class ProjRegistrySpec extends AnyFunSuite {
     val z20 = Proj.lookup("EPSG:4498").get // zone 20, lon0 117E
     val (x20, _) = z20.proj.forward(117.4, 36.0)
     assert(x20 > 20000000 && x20 < 21000000, s"zone-prefixed easting $x20")
+  }
+
+  test("batch-13 registry families resolve and land in-zone") {
+    // one spot probe per family: forward the probe, expect easting within
+    // the family's FE±width, positive northing, and an exact round-trip
+    val cases = Seq(
+      ("EPSG:2133", 500000.0, 300000.0),   // NZGD2000 / UTM 58S
+      ("EPSG:27259", 500000.0, 300000.0),  // NZGD49 / UTM 59S
+      ("EPSG:3298", 500000.0, 300000.0),   // RGPF / UTM 7S
+      ("EPSG:3163", 400000.0, 300000.0),   // RGNC91-93 / Lambert New Caledonia
+      ("EPSG:3170", 500000.0, 300000.0),   // RGNC91-93 / UTM 58S
+      ("EPSG:26237", 500000.0, 300000.0),  // Massawa / UTM 37N
+      ("EPSG:28232", 500000.0, 300000.0),  // Pointe Noire / UTM 32S
+      ("EPSG:26632", 500000.0, 300000.0),  // M'poraloko / UTM 32N
+      ("EPSG:21291", 400000.0, 300000.0),  // Barbados 1938 / BWI Grid
+      ("EPSG:21292", 30000.0, 30000.0),    // Barbados National Grid
+      ("EPSG:5456", 500000.0, 100000.0),   // Ocotepeque / Costa Rica Norte
+      ("EPSG:5460", 500000.0, 100000.0),   // Ocotepeque / El Salvador Lambert
+      ("EPSG:5462", 500000.0, 100000.0),   // Ocotepeque / Nicaragua Sur
+      ("EPSG:3769", 500000.0, 300000.0))   // Bermuda 1957 / UTM 20N
+    cases.foreach { case (code, fe, tol) =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      assert(math.abs(x - fe) < tol, s"$code easting $x not within $tol of FE $fe")
+      assert(y > 0, s"$code northing $y")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+    }
+    // the Lambert NC false origin anchors exactly at (lat_0, lon_0)
+    val nc = Proj.lookup("EPSG:3163").get
+    val (fx, fy) = nc.proj.forward(166.0, -21.5)
+    assert(math.abs(fx - 400000) < 1e-6 && math.abs(fy - 300000) < 1e-6,
+      s"Lambert NC false origin ($fx,$fy)")
   }
 
   test("PROJ strings: unsupported methods and parameters fail loudly") {
