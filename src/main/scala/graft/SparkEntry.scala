@@ -75,14 +75,33 @@ object SparkEntry {
         val rowGroup = 128L << 20
         val effSplits = leaves(new java.io.File(path))
           .map(sz => math.max(1L, (sz + rowGroup - 1) / rowGroup)).sum
+        val small = effSplits < 3L * s.sparkContext.defaultParallelism
         val fanned =
-          if (effSplits < 3L * s.sparkContext.defaultParallelism)
-            df.repartition(s.sparkContext.defaultParallelism)
+          if (small) df.repartition(s.sparkContext.defaultParallelism)
           else df
-        normalizeEventTs(fanned).createOrReplaceTempView(t)
+        // Optional per-session fixture cache (spark.graft.fixtureCache
+        // .enabled, default false): persist the fanned table once so the
+        // 150+ bench queries stop re-paying the same parquet scan + fan-out
+        // shuffle — pure Spark job-floor amortization, identical results.
+        // Gated on the SAME under-split condition as the fan-out, which is
+        // a size gate by construction (< 3 waves of 128 MB row groups):
+        // scale-point giants (sf100 lineitem) never persist, so the cache
+        // cannot blow the heap or spill disk at scale. Bench turns it on;
+        // Verify and the driver gate keep the default read-every-time path.
+        val view = normalizeEventTs(fanned)
+        val cached =
+          if (small && s.conf.get("spark.graft.fixtureCache.enabled", "false").toBoolean)
+            fixtureCache.computeIfAbsent((s, dir, t), _ =>
+              view.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          else view
+        cached.createOrReplaceTempView(t)
       }
       s.sql(sql)
     }
+
+  // per-(session, sfdir, table) persisted fixtures — see q() above
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** Schema-robustness shim for the `events` fixture: a LongType `ts` is
    *  epoch-nanos (TIMESTAMP(NANOS) parquet under nanosAsLong), a TimestampType
