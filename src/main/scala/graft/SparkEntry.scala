@@ -73,24 +73,31 @@ object SparkEntry {
         // trusting the source layout. At real scale splits >> 3x cores and
         // this never fires.
         val rowGroup = 128L << 20
-        val effSplits = leaves(new java.io.File(path))
+        val sizes = leaves(new java.io.File(path))
+        val effSplits = sizes
           .map(sz => math.max(1L, (sz + rowGroup - 1) / rowGroup)).sum
-        val small = effSplits < 3L * s.sparkContext.defaultParallelism
         val fanned =
-          if (small) df.repartition(s.sparkContext.defaultParallelism)
+          if (effSplits < 3L * s.sparkContext.defaultParallelism)
+            df.repartition(s.sparkContext.defaultParallelism)
           else df
         // Optional per-session fixture cache (spark.graft.fixtureCache
         // .enabled, default false): persist the fanned table once so the
         // 150+ bench queries stop re-paying the same parquet scan + fan-out
         // shuffle — pure Spark job-floor amortization, identical results.
-        // Gated on the SAME under-split condition as the fan-out, which is
-        // a size gate by construction (< 3 waves of 128 MB row groups):
-        // scale-point giants (sf100 lineitem) never persist, so the cache
-        // cannot blow the heap or spill disk at scale. Bench turns it on;
-        // Verify and the driver gate keep the default read-every-time path.
+        // HARD byte budget (fixtureCache.maxBytes, default 256 MB on-disk
+        // per table): cached blocks live inside the protected
+        // storageFraction half of unified memory, so an over-eager persist
+        // does not spill harmlessly — it starves execution memory for the
+        // buffer-heavy queries (measured: sf100's 2.6 GB orders cached
+        // "because it was under-split" OOMed q_cluster_agg's aggregation
+        // 40 queries later). Bench turns the cache on; Verify and the
+        // driver gate keep the default read-every-time path.
         val view = normalizeEventTs(fanned)
+        val maxCacheBytes =
+          s.conf.get("spark.graft.fixtureCache.maxBytes", (256L << 20).toString).toLong
         val cached =
-          if (small && s.conf.get("spark.graft.fixtureCache.enabled", "false").toBoolean)
+          if (sizes.sum <= maxCacheBytes &&
+              s.conf.get("spark.graft.fixtureCache.enabled", "false").toBoolean)
             fixtureCache.computeIfAbsent((s, dir, t), _ =>
               view.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           else view
