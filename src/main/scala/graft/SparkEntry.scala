@@ -95,9 +95,13 @@ object SparkEntry {
         val view = normalizeEventTs(fanned)
         val maxCacheBytes =
           s.conf.get("spark.graft.fixtureCache.maxBytes", (256L << 20).toString).toLong
+        // lenient flag parse: accept 1/0 alongside true/false (the env
+        // override documents SPARK_GRAFT_CACHE_FIXTURES=0; "0".toBoolean
+        // throws)
+        val cacheFlag = s.conf.get("spark.graft.fixtureCache.enabled", "false")
         val cached =
           if (sizes.sum <= maxCacheBytes &&
-              s.conf.get("spark.graft.fixtureCache.enabled", "false").toBoolean)
+              (cacheFlag.equalsIgnoreCase("true") || cacheFlag == "1"))
             fixtureCache.computeIfAbsent((s, dir, t), _ =>
               view.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           else view
