@@ -40,8 +40,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * task, derives the split factor from the hottest tile's estimated PAIR-MASS
  * share — the product of both sides' sampled densities there, which is what
  * actually serializes a task — as ceil(share × parallelism) clamped to
- * [2,32], the factor that levels that tile back to one fair task share, and
- * ONLY those tiles are
+ * [2, min(parallelism, 256)], the factor that levels that tile back to one
+ * fair task share, and ONLY those tiles are
  * sub-split — dense-side rows across `s` sub-keys by full-row hash, sparse
  * side replicated per sub-key — so a city-sized tile no longer lands on one
  * task while the rest of the data pays no replication tax. An integer value
@@ -370,14 +370,18 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         cell.value.asInstanceOf[Double], expand)
       // auto derives the factor from the measurement it already has: a tile
       // owning pair-mass share p needs an s with p/s ≤ 1/parallelism to
-      // level back to one fair task share, so s = ceil(p × parallelism).
-      // Clamped to [2,32]: below 2 is a no-op, and the split side of a
-      // 32-way shuffle has nothing to gain beyond its own task count while
-      // the sparse side's replication tax keeps growing linearly.
+      // level back to one fair task share, so s = ceil(p × parallelism),
+      // clamped to [2, min(parallelism, 256)]. The upper clamp tracks the
+      // cluster: splitting past the task count buys nothing on this
+      // shuffle, and SkewBench measured monotone improvement right up to
+      // s = parallelism at 20M/50M/100M points (straggler = hot-pairs/s is
+      // the binding floor once the rest is level). 256 bounds the sparse
+      // side's replication tax (hot-tile rows × s) on very large clusters.
+      val par = spark.sparkContext.defaultParallelism
       val s =
         if (!auto) math.abs(manual)
-        else math.min(32, math.max(2,
-          math.ceil(hottestShare * spark.sparkContext.defaultParallelism).toInt))
+        else math.min(math.max(2, math.min(par, 256)),
+          math.max(2, math.ceil(hottestShare * par).toInt))
       if (hot.isEmpty) {
         if (!auto)
           logInfo(s"spatial-join salt=$s requested but the tile sample found no hot " +
