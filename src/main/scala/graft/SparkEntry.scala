@@ -110,9 +110,16 @@ object SparkEntry {
       s.sql(sql)
     }
 
-  // per-(session, sfdir, table) persisted fixtures — see q() above
-  private val fixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // per-(session, sfdir, table) persisted fixtures — see q() above. LRU-
+  // bounded (same hygiene as SpatialJoinRule's sample caches): a long-lived
+  // JVM cycling sessions/dirs must not pin stale DataFrames (and their
+  // sessions) forever. 32 covers 3 SF dirs × 10 tables with room.
+  private val fixtureCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > 32
+    })
 
   /** Schema-robustness shim for the `events` fixture: a LongType `ts` is
    *  epoch-nanos (TIMESTAMP(NANOS) parquet under nanosAsLong), a TimestampType
