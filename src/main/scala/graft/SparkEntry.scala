@@ -84,17 +84,23 @@ object SparkEntry {
         // .enabled, default false): persist the fanned table once so the
         // 150+ bench queries stop re-paying the same parquet scan + fan-out
         // shuffle — pure Spark job-floor amortization, identical results.
-        // HARD byte budget (fixtureCache.maxBytes, default 256 MB on-disk
-        // per table): cached blocks live inside the protected
-        // storageFraction half of unified memory, so an over-eager persist
-        // does not spill harmlessly — it starves execution memory for the
-        // buffer-heavy queries (measured: sf100's 2.6 GB orders cached
-        // "because it was under-split" OOMed q_cluster_agg's aggregation
-        // 40 queries later). Bench turns the cache on; Verify and the
-        // driver gate keep the default read-every-time path.
+        // HARD byte budget (fixtureCache.maxBytes, default 32 MB on-disk
+        // per table), for two measured reasons. (1) Memory: cached blocks
+        // live inside the protected storageFraction half of unified memory,
+        // so an over-eager persist does not spill harmlessly — it starves
+        // execution memory for the buffer-heavy queries (sf100's 2.6 GB
+        // orders cached "because it was under-split" OOMed q_cluster_agg's
+        // aggregation 40 queries later). (2) Decode crossover: the columnar
+        // cache re-decodes strings/float-arrays per scan, and above tens of
+        // MB that costs more than parquet's vectorized reader — sf10's
+        // 51-57 MB embeddings/documents cached made q_semdedup 5× slower.
+        // At 32 MB every sf0.1 table still caches (the job-floor win the
+        // cache exists for) and the sf10+ mid-size tables scan parquet.
+        // Bench turns the cache on; Verify and the driver gate keep the
+        // default read-every-time path.
         val view = normalizeEventTs(fanned)
         val maxCacheBytes =
-          s.conf.get("spark.graft.fixtureCache.maxBytes", (256L << 20).toString).toLong
+          s.conf.get("spark.graft.fixtureCache.maxBytes", (32L << 20).toString).toLong
         // lenient flag parse: accept 1/0 alongside true/false (the env
         // override documents SPARK_GRAFT_CACHE_FIXTURES=0; "0".toBoolean
         // throws)
