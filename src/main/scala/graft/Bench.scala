@@ -27,7 +27,9 @@ object Bench {
     // ten small parquet fixtures; persisting the fanned tables once amortizes
     // the identical scan+shuffle job floor out of every measurement without
     // touching results. Scale-point giants bypass the cache by construction
-    // (see SparkEntry.q — the persist shares the under-split size gate).
+    // (see SparkEntry.q — the independent fixtureCache.maxBytes 32 MB byte
+    // budget over the table's leaf-file sizes; NOT the under-split fan-out
+    // gate, which only decides repartitioning).
     spark.conf.set("spark.graft.fixtureCache.enabled",
       sys.env.getOrElse("SPARK_GRAFT_CACHE_FIXTURES", "true"))
     // warmup: absorb JVM/codegen/scan-planning startup so the first timed

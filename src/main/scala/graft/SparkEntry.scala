@@ -35,6 +35,20 @@ object SparkEntry {
   }
 
   private def q(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
+    qImpl(useCache = true)(tables: _*)(sql)
+
+  /** q() with the fixture cache bypassed for THIS query's views: a query that
+    * scans the same array-heavy table several times loses with the columnar
+    * cache — InMemoryRelation re-decodes array<double> cells per scan while
+    * parquet's vectorized reader amortizes, so q_ann_pq's triple scan of
+    * `embeddings` measured 0.65→1.05 s cached (BENCH_NOTES r15). Per-query
+    * opt-out keeps the table cached for the single-scan embeddings queries
+    * that win from it. */
+  private def qUncached(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
+    qImpl(useCache = false)(tables: _*)(sql)
+
+  private def qImpl(useCache: Boolean)(tables: String*)(
+      sql: String): (SparkSession, String) => DataFrame =
     (s: SparkSession, dir: String) => {
       Graft.register(s)
       // Driver fixtures have shipped events.ts both as TIMESTAMP(NANOS)
@@ -56,9 +70,9 @@ object SparkEntry {
         // ~870 MB parts yield ~112 splits, and the earlier total-bytes
         // check (which read File.length on a DIRECTORY — the ~4 KB inode
         // size) made every sf100 query pay a useless 13 GB shuffle first.
-        def leaves(f: java.io.File): Seq[Long] = {
+        def leaves(f: java.io.File): Seq[java.io.File] = {
           val kids = f.listFiles()
-          if (kids == null) Seq(f.length)
+          if (kids == null) Seq(f)
           // Hadoop's default PathFilter: skip both '_' (committer markers)
           // and '.' (hidden + local-FS .crc checksum shadows — each would
           // otherwise count as >=1 effective split via the max(1,...) below,
@@ -73,7 +87,8 @@ object SparkEntry {
         // trusting the source layout. At real scale splits >> 3x cores and
         // this never fires.
         val rowGroup = 128L << 20
-        val sizes = leaves(new java.io.File(path))
+        val files = leaves(new java.io.File(path))
+        val sizes = files.map(_.length)
         val effSplits = sizes
           .map(sz => math.max(1L, (sz + rowGroup - 1) / rowGroup)).sum
         val fanned =
@@ -105,10 +120,17 @@ object SparkEntry {
         // override documents SPARK_GRAFT_CACHE_FIXTURES=0; "0".toBoolean
         // throws)
         val cacheFlag = s.conf.get("spark.graft.fixtureCache.enabled", "false")
+        // Data signature folded into the cache key: the sample caches in
+        // SpatialJoinRule learned this lesson via stats.sizeInBytes — a path
+        // rewritten mid-session must not silently serve the stale persisted
+        // rows. Lengths + mtimes of the leaf files catch any rewrite
+        // (same-size same-mtime replacement is below filesystem resolution).
+        val dataSig = files.foldLeft(17L)((h, f) =>
+          h * 1000003L + f.length * 31L + f.lastModified)
         val cached =
-          if (sizes.sum <= maxCacheBytes &&
+          if (useCache && sizes.sum <= maxCacheBytes &&
               (cacheFlag.equalsIgnoreCase("true") || cacheFlag == "1"))
-            fixtureCache.computeIfAbsent((s, dir, t), _ =>
+            fixtureCache.computeIfAbsent((s, dir, t, dataSig), _ =>
               view.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           else view
         cached.createOrReplaceTempView(t)
@@ -116,15 +138,24 @@ object SparkEntry {
       s.sql(sql)
     }
 
-  // per-(session, sfdir, table) persisted fixtures — see q() above. LRU-
-  // bounded (same hygiene as SpatialJoinRule's sample caches): a long-lived
-  // JVM cycling sessions/dirs must not pin stale DataFrames (and their
-  // sessions) forever. 32 covers 3 SF dirs × 10 tables with room.
+  // per-(session, sfdir, table, data-signature) persisted fixtures — see q()
+  // above. LRU-bounded (same hygiene as SpatialJoinRule's sample caches): a
+  // long-lived JVM cycling sessions/dirs must not pin stale DataFrames (and
+  // their sessions) forever. 32 covers 3 SF dirs × 10 tables with room.
+  // Eviction UNPERSISTS the dropped entry: removing only the map reference
+  // leaves the blocks pinned in the live session's CacheManager, so the
+  // bound would not actually cap storage memory.
   private val fixtureCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, String, Long), DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
-        size() > 32
+          e: java.util.Map.Entry[(SparkSession, String, String, Long), DataFrame]): Boolean = {
+        val evict = size() > 32
+        if (evict) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => } // dead session: blocks already gone
+        }
+        evict
+      }
     })
 
   /** Schema-robustness shim for the `events` fixture: a LongType `ts` is
@@ -2200,8 +2231,10 @@ object SparkEntry {
     // ints per vector, queries score candidates via ADC table lookups. This
     // query is the ADC full-scan baseline; the IVF-composed pruned path is
     // PqSpec. Ranking compares ROUNDED distances so cross-engine last-ulp
-    // float-sum noise can't reorder near-ties.
-    "q_ann_pq" -> q("embeddings")("""
+    // float-sum noise can't reorder near-ties. Uncached: three scans of the
+    // array-heavy embeddings table lose to the columnar cache's per-scan
+    // array decode (see qUncached).
+    "q_ann_pq" -> qUncached("embeddings")("""
       WITH cb AS (
         SELECT transform(sequence(0, 7), mi ->
                  transform(cws, c -> slice(c, mi * 8 + 1, 8))) AS cbs

@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * sub-split — dense-side rows across `s` sub-keys by full-row hash, sparse
  * side replicated per sub-key — so a city-sized tile no longer lands on one
  * task while the rest of the data pays no replication tax. An integer value
- * pins the factor manually (0/1 = off); a NEGATIVE integer forces salting
+ * pins the factor manually (|salt| <= 1 = off in either sign); an integer
+ * below -1 forces salting
  * at |salt| even when a join side looks broadcast-sized — the escape hatch
  * for unreliable size stats. Otherwise salting is skipped entirely when a
  * join side fits the broadcast threshold: a broadcast hash join never
@@ -287,8 +288,8 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Raw salt setting: "auto" (default — self-enabling from the hot-tile
-    * sample), 0/1 = off, N>1 = manual factor, N<0 = FORCE factor |N| even on
-    * a broadcast-shaped join (escape hatch for unreliable size stats). */
+    * sample), |N|<=1 = off, N>1 = manual factor, N<-1 = FORCE factor |N| even
+    * on a broadcast-shaped join (escape hatch for unreliable size stats). */
   private def saltSetting: String =
     spark.conf.get("spark.graft.spatialJoin.salt", "auto")
 
@@ -339,7 +340,10 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val setting = saltSetting
     val auto = setting.equalsIgnoreCase("auto")
     val manual = if (auto) 0 else setting.toInt
-    val force = manual < 0
+    // |manual| <= 1 is OFF in either sign: -1 would pass a naive `< 0` force
+    // gate and then salt with s = |−1| = 1 — the full explode + murmur
+    // machinery with a single bucket, pure per-row overhead, zero splitting
+    val force = manual < -1
     val wantSalt = auto || manual > 1 || force
     // Salt is a SHUFFLE-skew mitigation: it only helps when the equi-join
     // hash-partitions by tile and a hot tile would serialize onto one task.

@@ -32,4 +32,37 @@ class EntrySpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.graft.fixtureCache.enabled", "false")
   }
+
+  test("fixture cache is keyed by data signature: a rewritten fixture is re-read") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixture_sig").toString
+    def write(hi: Int): Unit = {
+      (0 until hi).map(i => (i.toLong * 10 + 1, 1L, 1.0, "N"))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .withColumn("l_extendedprice", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("l_discount", org.apache.spark.sql.functions.lit(0.0))
+        .withColumn("l_tax", org.apache.spark.sql.functions.lit(0.0))
+        .withColumn("l_linestatus", org.apache.spark.sql.functions.lit("O"))
+        .withColumn("l_shipdate", org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1995-01-01")))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      spark.catalog.refreshByPath(s"$dir/lineitem.parquet")
+    }
+    spark.conf.set("spark.graft.fixtureCache.enabled", "true")
+    try {
+      write(100)
+      val n1 = SparkEntry.queries("q_tpch_q1")(spark, dir).agg(
+        org.apache.spark.sql.functions.sum("sum_qty")).collect()(0).getDouble(0)
+      assert(n1 == 100.0, s"generation 1 should sum 100 rows, got $n1")
+      // rewrite the SAME path with different data: the cached persist must
+      // not be served (key folds leaf-file lengths + mtimes)
+      write(40)
+      val n2 = SparkEntry.queries("q_tpch_q1")(spark, dir).agg(
+        org.apache.spark.sql.functions.sum("sum_qty")).collect()(0).getDouble(0)
+      assert(n2 == 40.0, s"rewritten fixture must be re-read (stale cache served: $n2)")
+    } finally {
+      spark.conf.set("spark.graft.fixtureCache.enabled", "false")
+      scala.reflect.io.Path(dir).deleteRecursively()
+    }
+  }
 }

@@ -258,6 +258,26 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.spatialJoin.salt", "1")
   }
 
+  test("salt=-1 is off, not a forced single-bucket salt") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // |salt| = 1 means one bucket: forcing it would add the explode + murmur
+    // machinery with zero splitting — pure per-row overhead. -1 must behave
+    // exactly like 1 (off), even though it is negative.
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.spatialJoin.salt", "-1")
+      val df = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_contains(env, pt)")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_tile_salt"),
+        "salt=-1 must not add salt machinery (single bucket splits nothing)")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.salt", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
   test("rewriting a path with different data invalidates the plan-time sample cache") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
