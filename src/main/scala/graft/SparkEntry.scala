@@ -58,7 +58,17 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tables.foreach { t =>
         val path = s"$dir/$t.parquet"
-        val df = s.read.parquet(path)
+        // An uncached read must not only skip persist() — CacheManager
+        // substitutes ANY analyzed subtree that canonically matches a
+        // persisted plan, so a plain re-read of the same path would still be
+        // served from another query's cached InMemoryRelation. A marker
+        // option lands in HadoopFsRelation's options map (part of relation
+        // equality), so the canonical match fails and the scan really hits
+        // parquet. The option itself is inert: the parquet source ignores
+        // unrecognized keys.
+        val df =
+          if (useCache) s.read.parquet(path)
+          else s.read.option("graft.fixtureCache.bypass", "true").parquet(path)
         // Fan out under-split inputs to the cores: the driver's testdata is
         // single-row-group parquet (one scan task no matter the split
         // config) and GenScale scale points ship ~80 MB single-row-group
