@@ -44,18 +44,32 @@ import org.apache.spark.sql.types._
  * spark.graft.rangeJoin.binWidth (default "auto": sample up to 1000 interval
  * rows at planning time, use max(median length, tiny) so a typical interval
  * spans 1–2 bins; cached per canonicalized plan like the spatial cell size),
- * and spark.graft.rangeJoin.salt (default 1 — set >1 for hot bins: point
- * rows spread across `salt` sub-keys by value hash, interval rows replicated
- * per sub-key, so a dense value band no longer lands on one task; AQE
- * skew-join handles residual imbalance). Degenerate/reversed intervals
- * (hi < lo) explode to zero bins.
+ * and spark.graft.rangeJoin.salt (default "auto" — the same self-enabling
+ * TARGETED skew mitigation as the spatial tile join, via the shared
+ * [[SkewSampler]]: a plan-time sample of both sides' bins finds the bins hot
+ * enough to serialize a task — a popular value band, a spike of events at
+ * one timestamp — derives the split factor from the hottest bin's PAIR-MASS
+ * share, and sub-splits ONLY those bins: the denser side's hot rows spread
+ * across s sub-keys by full-row hash, the sparser side's hot rows replicate
+ * s-fold; skew-free data pays nothing and its plan is unchanged. An integer
+ * pins the factor manually (|salt| <= 1 = off in either sign); an integer
+ * below -1 forces salting past the broadcast-shape gate — when a side fits
+ * the broadcast threshold the bin join never shuffles, so salting is pure
+ * overhead and is skipped otherwise. Applies to the point-in-interval path;
+ * the interval-overlap path's per-pair dedupe anchor makes per-bin salting
+ * interact with the anchor condition and is left to AQE skew handling.
+ * Degenerate/reversed intervals (hi < lo) explode to zero bins.
  */
 class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.rangeJoin.enabled", "true").toBoolean
 
-  private val widthCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  // plan-keyed sample caches — keying (dual plan hash + stats.sizeInBytes
+  // data signature) and LRU bounding via SkewSampler, same discipline as the
+  // spatial rule's cellCache/hotCache
+  private val widthCache = SkewSampler.lruMap[java.lang.Double](128)
+  private val hotCache = SkewSampler.lruMap[(Seq[Long], Boolean, Double)](128)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -186,8 +200,7 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
                        hi: Expression): Option[Double] = {
     val conf = spark.conf.get("spark.graft.rangeJoin.binWidth", "auto")
     if (!conf.equalsIgnoreCase("auto")) return Some(conf.toDouble)
-    val key = s"${intervalPlan.canonicalized.hashCode()}:${lo.canonicalized.hashCode()}:" +
-      s"${hi.canonicalized.hashCode()}"
+    val key = s"${SkewSampler.sideKey(intervalPlan, lo)}:${hi.canonicalized.hashCode()}"
     val hit = widthCache.get(key)
     if (hit != null) return if (hit.isNaN) None else Some(hit.doubleValue())
     val maxBins = spark.conf.get("spark.graft.rangeJoin.maxBinsPerInterval", "100000").toLong
@@ -249,25 +262,106 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       outer = false, qualifier = None, generatorOutput = Seq(binI), child = intvPlan)
 
     var equi: Expression = EqualTo(binP.toAttribute, binI)
+    var pointSalted: LogicalPlan = pointSide
     var intvSalted: LogicalPlan = intvSide
-    val s = salt
-    if (s > 1) {
-      // skew salting: point rows sub-split by value hash, intervals replicated
-      val saltI = AttributeReference("__graft_bin_salt", IntegerType, nullable = false)()
-      intvSalted = Generate(
-        Explode(Literal.create(0 until s, ArrayType(IntegerType))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(saltI), child = intvSide)
-      equi = And(equi, EqualTo(Pmod(new Murmur3Hash(Seq(iv.x)), Literal(s)), saltI))
+
+    val setting = spark.conf.get("spark.graft.rangeJoin.salt", "auto")
+    val auto = setting.equalsIgnoreCase("auto")
+    val manual = if (auto) 0 else setting.toInt
+    // |manual| <= 1 is OFF in either sign (a single bucket splits nothing);
+    // N < -1 forces past the broadcast-shape gate — same contract as
+    // spark.graft.spatialJoin.salt
+    val force = manual < -1
+    val wantSalt = auto || manual > 1 || force
+    // Salt is a SHUFFLE-skew mitigation: when a side fits the broadcast
+    // threshold the rewritten bin equi-join broadcasts and no bin ever owns
+    // a task, so salting is pure replication overhead (same gate + rationale
+    // as SpatialJoinRule).
+    val abt = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val broadcastShaped = abt > 0 &&
+      (j.left.stats.sizeInBytes <= abt || j.right.stats.sizeInBytes <= abt)
+    if (wantSalt && broadcastShaped && !force && !auto)
+      logInfo(s"range-join salt=$setting skipped: a join side fits the broadcast " +
+        s"threshold ($abt b), so the bin join will not shuffle and has no skew to split")
+    if (wantSalt && (!broadcastShaped || force)) {
+      // TARGETED skew salting (shared detection with the spatial tile join):
+      // only bins the plan-time sample flags as hot are sub-split (dense
+      // side, by full-row hash — a value-only hash would co-bucket identical
+      // values, exactly the skew being split) and replicated (sparse side,
+      // s-fold). Skew-free data pays nothing and keeps today's plan.
+      val (hot, splitIntervals, hottestShare) =
+        hotBins(pointPlan, iv.x, intvPlan, iv.lo, w)
+      val par = spark.sparkContext.defaultParallelism
+      val s =
+        if (!auto) math.abs(manual)
+        else SkewSampler.autoFactor(hottestShare, par)
+      if (hot.isEmpty) {
+        if (!auto)
+          logInfo(s"range-join salt=$s requested but the bin sample found no hot " +
+            s"bins — salting nothing (a skew-free join pays no replication tax)")
+      } else {
+        logInfo(s"range-join salt=$s${if (auto) " (auto)" else ""} targeting " +
+          s"${hot.size} hot bin(s), splitting the " +
+          s"${if (splitIntervals) "interval" else "point"} side")
+        val hotP = In(binP.toAttribute, hot.map(Literal(_)))
+        val hotI = In(binI, hot.map(Literal(_)))
+        val one = Literal.create(Seq(0), ArrayType(IntegerType))
+        val all = Literal.create(0 until s, ArrayType(IntegerType))
+        val saltGen = AttributeReference("__graft_bin_salt", IntegerType, nullable = false)()
+        if (splitIntervals) {
+          val split = Alias(If(hotI,
+            Pmod(new Murmur3Hash(intvPlan.output), Literal(s)), Literal(0)),
+            "__graft_bin_salt_v")()
+          intvSalted = Project(intvSide.output :+ split, intvSide)
+          pointSalted = Generate(
+            Explode(If(hotP, all, one)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(saltGen), child = pointSide)
+          equi = And(equi, EqualTo(saltGen, split.toAttribute))
+        } else {
+          val split = Alias(If(hotP,
+            Pmod(new Murmur3Hash(pointPlan.output), Literal(s)), Literal(0)),
+            "__graft_bin_salt_v")()
+          pointSalted = Project(pointSide.output :+ split, pointSide)
+          intvSalted = Generate(
+            Explode(If(hotI, all, one)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(saltGen), child = intvSide)
+          equi = And(equi, EqualTo(split.toAttribute, saltGen))
+        }
+      }
     }
     val newCond = And(equi, cond)
     val (newL, newR) =
-      if (iv.pointOnLeft) (pointSide, intvSalted) else (intvSalted, pointSide)
+      if (iv.pointOnLeft) (pointSalted, intvSalted) else (intvSalted, pointSalted)
     Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
   }
 
-  private def salt: Int =
-    spark.conf.get("spark.graft.rangeJoin.salt", "1").toInt
+  /** Hot bins sampled per (point plan, x, interval plan, lo, width) — the
+    * point side's bin is exact (one bin per row); an interval counts toward
+    * its LOW bin, which under-counts a bin-spanning interval's contribution
+    * but never invents skew (same anchor convention as the tile sampler's
+    * bbox min corner). */
+  private def hotBins(pointPlan: LogicalPlan, x: Expression,
+                      intvPlan: LogicalPlan, lo: Expression,
+                      w: Double): (Seq[Long], Boolean, Double) = {
+    val key = s"${SkewSampler.sideKey(pointPlan, x)}|${SkewSampler.sideKey(intvPlan, lo)}:$w"
+    val hit = hotCache.get(key)
+    if (hit != null) return hit
+    def sample(plan: LogicalPlan, e: Expression): Seq[Long] = try {
+      val col = Alias(bin(e, w), "__graft_bin_probe")()
+      SkewSampler.sampleLongs(spark, plan, col, perPart = 256, maxParts = 64)
+    } catch {
+      case ex: Exception =>
+        logWarning(s"range-join hot-bin sampling failed (${ex.getClass.getSimpleName}: " +
+          s"${ex.getMessage}); salting nothing for this side")
+        Seq.empty
+    }
+    val result = SkewSampler.detectSkew(sample(pointPlan, x), sample(intvPlan, lo),
+      spark.sparkContext.defaultParallelism)
+    hotCache.put(key, result)
+    result
+  }
 
   /** Both sides explode to their bin ranges; a matching pair meets in every
    *  shared bin, so keep only the bin holding max(lLo, rLo) — present in both

@@ -62,64 +62,21 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean
 
   // ---- plan-time sampling ---------------------------------------------------
-  // Both samplers draw the first rows of up to `maxParts` RANDOM partitions
-  // (seeded, so plans stay deterministic) instead of a global first-rows
-  // Limit. A global Limit executes partitions front-to-back and stops at N —
-  // on Hilbert-clustered input (exactly the layout §4.3 recommends) the first
-  // partitions are one corner of the extent, so a first-rows sample can miss
-  // a hot tile entirely and pick a locally-unrepresentative cell size. Random
-  // partitions spread the draw across the whole file order at a bounded cost:
-  // ≤ maxParts short first-page tasks no matter how large the table is.
-  private def pickPartitions(n: Int, maxParts: Int): Seq[Int] =
-    if (n <= maxParts) 0 until n
-    else new scala.util.Random(42).shuffle((0 until n).toVector).take(maxParts)
-
+  // Sampling discipline, cache keying, and skew detection live in
+  // [[SkewSampler]] (shared with RangeJoinRule — the 1-D bin join has the
+  // identical hot-key failure shape and mitigation).
   private def sampleDoubles(plan: LogicalPlan, col: NamedExpression,
-                            perPart: Int, maxParts: Int): Seq[Double] = {
-    val rdd = spark.sessionState.executePlan(Project(Seq(col), plan))
-      .executedPlan.execute()
-    val k = perPart
-    spark.sparkContext.runJob(rdd,
-      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
-        it.take(k).filter(!_.isNullAt(0)).map(_.getDouble(0)).toArray,
-      pickPartitions(rdd.getNumPartitions, maxParts)).toSeq.flatten
-  }
+                            perPart: Int, maxParts: Int): Seq[Double] =
+    SkewSampler.sampleDoubles(spark, plan, col, perPart, maxParts)
 
   private def sampleLongs(plan: LogicalPlan, col: NamedExpression,
-                          perPart: Int, maxParts: Int): Seq[Long] = {
-    val rdd = spark.sessionState.executePlan(Project(Seq(col), plan))
-      .executedPlan.execute()
-    val k = perPart
-    spark.sparkContext.runJob(rdd,
-      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
-        it.take(k).filter(!_.isNullAt(0)).map(_.getLong(0)).toArray,
-      pickPartitions(rdd.getNumPartitions, maxParts)).toSeq.flatten
-  }
+                          perPart: Int, maxParts: Int): Seq[Long] =
+    SkewSampler.sampleLongs(spark, plan, col, perPart, maxParts)
 
-  // ---- plan-keyed sample caches ---------------------------------------------
-  // Optimizer rules re-fire on every re-optimization of the same query;
-  // without a cache each firing would launch fresh sampling jobs. Keys
-  // combine the canonicalized plan's semantic hash, its structural string
-  // hash (two independent 32-bit hashes — a single hashCode collision
-  // silently reusing another join's sample was an r14 advisory), and the
-  // plan's stats.sizeInBytes as a DATA signature: overwriting a path with
-  // different data changes the scan size, so the stale sample is not reused.
-  // Both maps are LRU-bounded so a long-lived session cannot grow them
-  // without bound.
-  private def lruMap[V](max: Int): java.util.Map[String, V] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
-          size() > max
-      })
+  private def sideKey(p: LogicalPlan, g: Expression): String =
+    SkewSampler.sideKey(p, g)
 
-  private def sideKey(p: LogicalPlan, g: Expression): String = {
-    val c = p.canonicalized
-    s"${c.hashCode()}:${c.toString.hashCode}:${p.stats.sizeInBytes}:" +
-      s"${g.canonicalized.hashCode()}"
-  }
-
-  private val cellCache = lruMap[java.lang.Double](128)
+  private val cellCache = SkewSampler.lruMap[java.lang.Double](128)
 
   private def cellSize(left: LogicalPlan, lGeom: Expression,
                        right: LogicalPlan, rGeom: Expression): Double = {
@@ -155,7 +112,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // hot-tile sets sampled per (plan, geom, cell, expand) — same re-fire
   // rationale (and the same keying/bounding) as cellCache
-  private val hotCache = lruMap[(Seq[Long], Boolean, Double)](128)
+  private val hotCache = SkewSampler.lruMap[(Seq[Long], Boolean, Double)](128)
 
   /** Tiles hot enough to serialize a task, detected from a bounded sample of
     * each side's ANCHOR tile (st_tile_id of the bbox min corner, expanded on
@@ -192,45 +149,13 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"${e.getMessage}); salting nothing for this side")
         Seq.empty
     }
-    def hotOf(anchors: Seq[Long]): Seq[Long] =
-      if (anchors.isEmpty) Nil
-      else {
-        val threshold = math.max(16.0,
-          anchors.size.toDouble / (2.0 * spark.sparkContext.defaultParallelism))
-        anchors.groupBy(identity).collect { case (t, hits) if hits.size >= threshold => t }.toSeq
-      }
     val aL = sampleAnchors(left, lGeom, expand)
     val aR = sampleAnchors(right, rGeom, 0.0)
-    val hot = (hotOf(aL) ++ hotOf(aR)).distinct.take(64)
-    val hotSet = hot.toSet
-    val densL = if (aL.isEmpty) 0.0 else aL.count(hotSet).toDouble / aL.size
-    val densR = if (aR.isEmpty) 0.0 else aR.count(hotSet).toDouble / aR.size
-    val splitRight = densR >= densL
-    // Severity for salt=auto: the hottest tile's share of the join's PAIR
-    // mass, not its row share. A tile's pairs are the product of both sides'
-    // densities there — 20% of the points meeting a stack of polygons can be
-    // >90% of all pairs (SkewBench: row-share-derived s=7 left a 6.7 s
-    // straggler that the pair-share-derived factor levels). Estimated from
-    // the two anchor samples already in hand: m(t) = shareL(t)·shareR(t),
-    // severity = max over hot tiles of m(t)/Σm. The split side's row share
-    // is kept as a floor for when the sparse side's sample misses the hot
-    // tile entirely (then the pair estimate degenerates to 0 while a real,
-    // milder skew remains).
-    def shares(a: Seq[Long]): Map[Long, Double] =
-      if (a.isEmpty) Map.empty
-      else a.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
-    val sL = shares(aL); val sR = shares(aR)
-    val mass = (sL.keySet ++ sR.keySet).iterator
-      .map(t => t -> sL.getOrElse(t, 0.0) * sR.getOrElse(t, 0.0)).toMap
-    val totalMass = mass.values.sum
-    val pairShare =
-      if (totalMass <= 0 || hot.isEmpty) 0.0
-      else hot.map(t => mass.getOrElse(t, 0.0)).max / totalMass
-    val splitSample = if (splitRight) aR else aL
-    val rowShare =
-      if (splitSample.isEmpty || hot.isEmpty) 0.0
-      else hot.map(t => splitSample.count(_ == t).toDouble / splitSample.size).max
-    val result = (hot, splitRight, math.max(pairShare, rowShare))
+    // Hot-key + severity math is shared with RangeJoinRule: pair-mass share
+    // (product of both sides' sampled densities — the quantity that actually
+    // serializes a task), row-share floor, dense-side selection. See
+    // SkewSampler.detectSkew for the full rationale and SkewBench numbers.
+    val result = SkewSampler.detectSkew(aL, aR, spark.sparkContext.defaultParallelism)
     hotCache.put(key, result)
     result
   }
@@ -372,20 +297,15 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // tiles' own rows, and a skew-free dataset pays nothing at all.
       val (hot, splitRight, hottestShare) = hotTiles(j.left, lGeom, j.right, rGeom,
         cell.value.asInstanceOf[Double], expand)
-      // auto derives the factor from the measurement it already has: a tile
-      // owning pair-mass share p needs an s with p/s ≤ 1/parallelism to
-      // level back to one fair task share, so s = ceil(p × parallelism),
-      // clamped to [2, min(parallelism, 256)]. The upper clamp tracks the
-      // cluster: splitting past the task count buys nothing on this
-      // shuffle, and SkewBench measured monotone improvement right up to
-      // s = parallelism at 20M/50M/100M points (straggler = hot-pairs/s is
-      // the binding floor once the rest is level). 256 bounds the sparse
-      // side's replication tax (hot-tile rows × s) on very large clusters.
+      // auto derives the factor from the measurement it already has:
+      // s = ceil(pairShare × parallelism) clamped to [2, min(par, 256)]
+      // (SkewSampler.autoFactor — SkewBench measured monotone improvement
+      // right up to s = parallelism at 20M/50M/100M points; 256 bounds the
+      // sparse side's replication tax on very large clusters).
       val par = spark.sparkContext.defaultParallelism
       val s =
         if (!auto) math.abs(manual)
-        else math.min(math.max(2, math.min(par, 256)),
-          math.max(2, math.ceil(hottestShare * par).toInt))
+        else SkewSampler.autoFactor(hottestShare, par)
       if (hot.isEmpty) {
         if (!auto)
           logInfo(s"spatial-join salt=$s requested but the tile sample found no hot " +

@@ -161,15 +161,91 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
-  test("salted point-in-interval join keeps exact results") {
+  /** Skewed fixture: half the points stacked on one value (a spike at one
+    * timestamp / one price band — the hot-bin shape), the rest uniform;
+    * intervals cover the whole domain so the hot bin really joins. */
+  private def setupSkewed(): Unit = {
     setup()
+    spark.sql("""
+      SELECT id AS pid,
+             CASE WHEN id % 2 = 0 THEN 500.0d
+                  ELSE CAST((id * 13) % 9973 AS DOUBLE) END AS x
+      FROM range(0, 20000)""").createOrReplaceTempView("rj_skewp")
+  }
+
+  test("salt=auto self-enables on a hot bin and keeps exact results") {
+    setupSkewed()
+    val sql = "SELECT pid, iid FROM rj_skewp p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle-shaped
+      spark.conf.set("spark.graft.rangeJoin.salt", "auto")
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin_salt"),
+        "salt=auto must fire on a hot bin in a shuffle-shaped join")
+      val salted = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      assert(salted == naive && salted.nonEmpty,
+        s"salting changed results: only-salted=${(salted -- naive).take(5)} " +
+          s"only-naive=${(naive -- salted).take(5)}")
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.salt", "auto")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("salt=auto leaves a skew-free bin join's plan unchanged (no replication tax)") {
+    setup() // uniform: ~2 points per value, no bin near the hot bar
     val sql = "SELECT pid, iid FROM rj_points p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
-    spark.conf.set("spark.graft.rangeJoin.salt", "4")
-    val fast =
-      try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.salt", "1")
-    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
-    val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
-    assert(fast == naive && fast.nonEmpty)
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.rangeJoin.salt", "auto")
+      val auto = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!auto.contains("__graft_bin_salt"),
+        "uniform data must not pay the salt machinery")
+      spark.conf.set("spark.graft.rangeJoin.salt", "1")
+      val off = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(auto.replaceAll("#\\d+", "#") == off.replaceAll("#\\d+", "#"),
+        "salt=auto on skew-free data must produce the identical plan to salt=1")
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.salt", "auto")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("manual salt targets hot bins and keeps exact results") {
+    setupSkewed()
+    val sql = "SELECT pid, iid FROM rj_skewp p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi"
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.rangeJoin.salt", "4")
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin_salt"))
+      val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val naive = try pairs(sql) finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      assert(fast == naive && fast.nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.salt", "auto")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+    }
+  }
+
+  test("salt is skipped when a join side is broadcast-sized (no shuffle, no skew)") {
+    setupSkewed()
+    // default broadcast threshold: these small views broadcast, so even a
+    // hot bin cannot serialize a task and salting would be pure overhead
+    spark.conf.set("spark.graft.rangeJoin.salt", "8")
+    try {
+      val df = spark.sql(
+        "SELECT pid, iid FROM rj_skewp p JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_bin_salt"),
+        "salt must not fire on a broadcast-shaped bin join")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.graft.rangeJoin.salt", "auto")
   }
 
   test("randomized parity: 30 generated interval tables match the naive plan") {
