@@ -406,6 +406,13 @@ object Proj {
   /** Bermuda 1957 → WGS84 — published 3-parameter. */
   val DatumBermuda57 = Datum(Clarke1866, Some(Helmert(-73, 213, 296, 0, 0, 0, 0)))
 
+  // ----- batch-14 datums (round 16): Indochina + Brazil legacy residue for
+  // the systematic UTM-block expansion. Published 3-parameter shifts.
+  /** Indian 1960 (Vietnam, Con Son) → WGS84 — published 3-parameter. */
+  val DatumIndian1960 = Datum(Everest1937, Some(Helmert(198, 881, 317, 0, 0, 0, 0)))
+  /** Corrego Alegre 1970-72 (Brazil pre-SAD69) → WGS84 — published 3-parameter. */
+  val DatumCorrego = Datum(Intl1924, Some(Helmert(-205.57, 168.77, -4.12, 0, 0, 0, 0)))
+
   private def geodeticToEcef(el: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
     val sinLat = math.sin(lat); val cosLat = math.cos(lat)
@@ -2765,8 +2772,85 @@ object Proj {
         south = true, g, probeLat = -21.5)
     }
 
+    // ------------------------- EPSG batch 14 (round 16): systematic bulk
+    // expansion of the FORMULAIC zone-family blocks. This zero-egress
+    // environment ships no machine-readable EPSG dataset to import (no
+    // proj.db, no pyproj, no DuckDB spatial extension — the oracle is plain
+    // SQL), so a one-shot whole-catalog import is not possible; what IS
+    // possible without a dataset is the code blocks whose code→parameter
+    // mapping is pure published arithmetic. Two families: (1) the Pulkovo
+    // 1942 Gauss-Krüger CM/3-degree blocks — 146 codes, the largest
+    // formulaic block the registry was missing (6° CM 2492-2522, 3° zones
+    // 7-64 at 2523-2580, 3° CM 2581-2637; lon_0 and FE derive from the
+    // zone/CM number exactly like the validated 6° family at 28402-28432) —
+    // and (2) the legacy national UTM blocks of datums ALREADY validated by
+    // the datum round-trip sweep (code = published base + zone). Every entry
+    // lands in the proj4 re-parse parity sweep like any hand-written row.
+    val pulkovo42Bulk = {
+      def cmName(cmRaw: Int) = {
+        val cm = if (cmRaw > 180) cmRaw - 360 else cmRaw
+        if (cm < 0) s"${-cm}W" else s"${cm}E"
+      }
+      def gk(code: Int, name: String, lon0Raw: Int, fe: Double) = {
+        val lon0 = if (lon0Raw > 180) lon0Raw - 360.0 else lon0Raw.toDouble
+        // lon0 = 180 (3° zone 60): probe west of the CM so the probe stays a
+        // valid longitude (180.5 would wrap to -179.5 and fail the sweep)
+        val probeLon = if (lon0 >= 179.5) lon0 - 0.5 else lon0 + 0.5
+        s"EPSG:$code" -> Crs(s"Pulkovo 1942 / $name",
+          new TransMerc(Krass1940, 0, lon0, 1.0, fe, 0), DatumPulkovo42,
+          (probeLon, 55.0),
+          s"+proj=tmerc +lat_0=0 +lon_0=${fmtP(lon0)} +k=1 +x_0=${fmtP(fe)} " +
+            "+y_0=0 +ellps=krass +towgs84=28,-130,-95 +units=m +no_defs")
+      }
+      val cm6 = (0 to 30).map(i =>
+        gk(2492 + i, s"Gauss-Kruger CM ${cmName(9 + 6 * i)}", 9 + 6 * i, 500000))
+      val z3 = (7 to 64).map(z =>
+        gk(2523 + (z - 7), s"3-degree Gauss-Kruger zone $z", 3 * z, z * 1e6 + 500000))
+      val cm3 = (0 to 56).map(i =>
+        gk(2581 + i, s"3-degree Gauss-Kruger CM ${cmName(21 + 3 * i)}", 21 + 3 * i, 500000))
+      (cm6 ++ z3 ++ cm3).toMap
+    }
+    val legacyUtm = {
+      def block(nm: String, d: Datum, codeBase: Int, zones: Range,
+                south: Boolean, probeLat: Double) =
+        zones.map { z =>
+          val code = s"EPSG:${codeBase + z}"
+          code -> utmCrs(code, s"$nm / UTM zone $z${if (south) "S" else "N"}",
+            z, south, d, probeLat)
+        }
+      (block("Adindan", DatumAdindan, 20100, 35 to 38, south = false, 15.0) ++
+        block("Ain el Abd", DatumAinElAbd, 20400, 36 to 40, south = false, 24.0) ++
+        block("Arc 1950", DatumArc1950, 20900, 34 to 36, south = true, -18.0) ++
+        block("Arc 1960", DatumArc1960, 21000, 35 to 37, south = true, -3.5) ++
+        block("Arc 1960", DatumArc1960, 21060, 35 to 37, south = false, 1.5) ++
+        block("Batavia", DatumBatavia, 21100, 48 to 50, south = true, -7.0) ++
+        block("Corrego Alegre 1970-72", DatumCorrego, 22500, 21 to 25, south = true, -20.0) ++
+        block("Indian 1954", DatumIndian1954, 23900, 46 to 48, south = false, 18.0) ++
+        block("Indian 1975", DatumIndian1975, 24000, 47 to 48, south = false, 15.0) ++
+        block("Indian 1960", DatumIndian1960, 3100, 48 to 49, south = false, 10.5) ++
+        block("Kertau 1968", DatumKertau, 24500, 47 to 48, south = false, 4.0) ++
+        block("Minna", DatumMinna, 26300, 31 to 32, south = false, 9.0) ++
+        block("Nahrwan 1967", DatumNahrwan67, 27000, 38 to 40, south = false, 25.0) ++
+        block("Nord Sahara 1959", DatumNordSahara, 30700, 29 to 32, south = false, 30.0) ++
+        block("Tokyo", DatumTokyo, 3041, 51 to 55, south = false, 35.0) ++
+        block("Cape", DatumCape, 22200, 34 to 35, south = true, -30.0) ++
+        block("SAD69", DatumSad69, 29150, 18 to 22, south = false, 5.0) ++
+        block("SAD69", DatumSad69, 29170, 17 to 25, south = true, -15.0)).toMap
+    }
+    // PRS92 / Philippines TM zones 1-5 (3121-3125): lon_0 = 117 + 2·(zone−1)
+    val prs92Tm = (1 to 5).map { z =>
+      val lon0 = 117.0 + 2 * (z - 1)
+      s"EPSG:${3120 + z}" -> tm(s"PRS92 / Philippines zone $z", 0, lon0, 0.99995,
+        500000, 0, DatumPrs92, probe = (lon0 + 0.4, 12.0))
+    }.toMap
+    // TWD97 (Taiwan, GRS80 null transform): the two TM2 belts
+    val twd97 = Map(
+      "EPSG:3826" -> tm("TWD97 / TM2 zone 121", 0, 121, 0.9999, 250000, 0, g, probe = (121.5, 24.0)),
+      "EPSG:3825" -> tm("TWD97 / TM2 zone 119", 0, 119, 0.9999, 250000, 0, g, probe = (119.5, 23.5)))
+    val batch14 = pulkovo42Bulk ++ legacyUtm ++ prs92Tm ++ twd97
+
     val merged = base ++ japan ++ franceCC ++ loZones ++ usSpcsTm ++ usSpcsLcc ++ europe ++
-      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11 ++ batch12 ++ batch13
+      ups ++ asiaPacific ++ europe2 ++ europe3 ++ canadaMtm ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8 ++ batch9 ++ batch11 ++ batch12 ++ batch13 ++ batch14
 
     // ------------------------- NAD83(HARN) / NAD83(2011) State Plane
     // realizations (round 10). The EPSG dataset reuses the SPCS83 zone
@@ -3426,7 +3510,15 @@ object Proj {
     "EPSG:4242" -> (("JAD69", DatumJad69)),
     "EPSG:4758" -> (("JAD2001", DatumWgs84)),
     "EPSG:5546" -> (("PNG94", DatumGrs80)),
-    "EPSG:4721" -> (("Fiji 1986", DatumFiji86)))
+    "EPSG:4721" -> (("Fiji 1986", DatumFiji86)),
+    // batch 14 (round 16): modern-GRS80 NAD83 realization aliases (HARN/
+    // NSRS2007/2011 agree with NAD83 and WGS84 within this chain's class),
+    // TWD97, and the Indian 1960 legacy frame for the new UTM block
+    "EPSG:4152" -> (("NAD83(HARN)", DatumGrs80)),
+    "EPSG:4759" -> (("NAD83(NSRS2007)", DatumGrs80)),
+    "EPSG:6318" -> (("NAD83(2011)", DatumGrs80)),
+    "EPSG:3824" -> (("TWD97", DatumGrs80)),
+    "EPSG:4131" -> (("Indian 1960", DatumIndian1960)))
 
   /** WGS84 UTM zones resolve upstream of [[lookup]] (axis-order fast path);
    *  synthesis/introspection surfaces resolve them here the same way the

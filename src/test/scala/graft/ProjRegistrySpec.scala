@@ -99,7 +99,9 @@ class ProjRegistrySpec extends AnyFunSuite {
       "EPSG:4266" -> ((11.5, -0.5)),    // M'poraloko: Gabon
       "EPSG:4212" -> ((-59.55, 13.2)),  // Barbados 1938
       "EPSG:5451" -> ((-84.0, 10.0)),   // Ocotepeque 1935: Central America
-      "EPSG:4216" -> ((-64.75, 32.3)))  // Bermuda 1957
+      "EPSG:4216" -> ((-64.75, 32.3)),  // Bermuda 1957
+      // batch 14 (round 16)
+      "EPSG:4131" -> ((106.7, 10.8)))   // Indian 1960: Vietnam
     Proj.allCodes.foreach { case (code, _) =>
       val (datum, probe) = Proj.lookup(code) match {
         case Some(crs) => (crs.datum, crs.probe)
@@ -612,6 +614,66 @@ class ProjRegistrySpec extends AnyFunSuite {
     val (fx, fy) = nc.proj.forward(166.0, -21.5)
     assert(math.abs(fx - 400000) < 1e-6 && math.abs(fy - 300000) < 1e-6,
       s"Lambert NC false origin ($fx,$fy)")
+  }
+
+  test("batch-14 bulk zone families resolve, anchor exactly, and round-trip") {
+    // Pulkovo 1942 Gauss-Krüger bulk: the natural-origin anchor is exact —
+    // (lon_0, 0) must land at (FE, 0) to machine precision per sub-family
+    def anchor(code: String, lon0: Double, fe: Double): Unit = {
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (x, y) = crs.proj.forward(lon0, 0.0)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y) < 1e-6,
+        s"$code anchor ($x,$y) expected ($fe,0)")
+    }
+    anchor("EPSG:2492", 9.0, 500000)          // 6° CM 9E
+    anchor("EPSG:2522", -171.0, 500000)       // 6° CM 171W (antimeridian wrap)
+    anchor("EPSG:2523", 21.0, 7500000)        // 3° zone 7 (zone-prefixed FE)
+    anchor("EPSG:2536", 60.0, 20500000)       // 3° zone 20
+    anchor("EPSG:2580", -168.0, 64500000)     // 3° zone 64 (wraps past 180E)
+    anchor("EPSG:2581", 21.0, 500000)         // 3° CM 21E
+    anchor("EPSG:2637", -171.0, 500000)       // 3° CM 171W
+    // zone-count arithmetic: the three Pulkovo sub-families are contiguous
+    assert((2492 to 2637).forall(c => Proj.lookup(s"EPSG:$c").isDefined),
+      "a code inside the Pulkovo bulk block failed to resolve")
+    // legacy UTM blocks: spot probe per datum family — in-zone easting,
+    // exact round-trip through the datum shift
+    val utm = Seq(
+      "EPSG:20136",  // Adindan / UTM 36N
+      "EPSG:20438",  // Ain el Abd / UTM 38N
+      "EPSG:20935",  // Arc 1950 / UTM 35S
+      "EPSG:21036",  // Arc 1960 / UTM 36S
+      "EPSG:21096",  // Arc 1960 / UTM 36N
+      "EPSG:21149",  // Batavia / UTM 49S
+      "EPSG:22523",  // Corrego Alegre / UTM 23S
+      "EPSG:23947",  // Indian 1954 / UTM 47N
+      "EPSG:24048",  // Indian 1975 / UTM 48N
+      "EPSG:3148",   // Indian 1960 / UTM 48N
+      "EPSG:24547",  // Kertau / UTM 47N
+      "EPSG:26331",  // Minna / UTM 31N
+      "EPSG:27039",  // Nahrwan 1967 / UTM 39N
+      "EPSG:30731",  // Nord Sahara / UTM 31N
+      "EPSG:3094",   // Tokyo / UTM 53N
+      "EPSG:22234",  // Cape / UTM 34S
+      "EPSG:29170",  // SAD69 / UTM 20N
+      "EPSG:29193",  // SAD69 / UTM 23S (Sao Paulo)
+      "EPSG:3123",   // PRS92 / Philippines zone 3
+      "EPSG:3826")   // TWD97 / TM2 121
+    utm.foreach { code =>
+      val crs = Proj.lookup(code).getOrElse(fail(s"$code did not resolve"))
+      val (lon, lat) = crs.probe
+      val (x, y) = crs.proj.forward(lon, lat)
+      assert(x > 100000 && x < 900000, s"$code easting $x out of zone band")
+      val (lon2, lat2) = crs.proj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$code round-trip")
+      // the WGS84 chain through the datum shift round-trips too
+      val (wLon, wLat) = crs.datum.toWgs84(lon, lat, None)
+      val (bLon, bLat) = crs.datum.fromWgs84(wLon, wLat, None)
+      assert(math.abs(bLon - lon) < 1e-7 && math.abs(bLat - lat) < 1e-7, s"$code datum chain")
+    }
+    // geographic aliases added with the batch
+    Seq("EPSG:4152", "EPSG:4759", "EPSG:6318", "EPSG:3824", "EPSG:4131").foreach { c =>
+      assert(Proj.geographic.contains(c), s"$c missing from geographic map")
+    }
   }
 
   test("PROJ strings: unsupported methods and parameters fail loudly") {
