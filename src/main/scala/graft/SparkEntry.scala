@@ -1293,6 +1293,36 @@ object SparkEntry {
       SELECT k, o FROM lpts JOIN opts ON st_dwithin(pt, opt, 0.25d)
       ORDER BY k, o"""),
 
+    // SELECTIVE polygon×point tile join: the POLYGON-FAN-OUT path of the
+    // rewrite at O(rows) output. q_dwithin_selective proved the expand path
+    // (one tile per row + dwithin expansion); this one exercises the
+    // multi-tile st_tile_ids explosion + anchor-corner dedupe under real
+    // polygon bboxes — each 1.5×1.5 box spans 4-9 unit tiles (cellSize
+    // default 1.0), so the orders side fans out ~6× into the shuffle and
+    // every surviving pair must be emitted exactly once by the dedupe
+    // condition. Output stays O(rows) at ANY scale: the x-domain grows with
+    // the key range (x = orderkey/4 on both sides), so a point matches only
+    // the ~7 orders within |Δorderkey| ≤ 3, further thinned by the fixed
+    // 64-wide y band (P ≈ 1.5/64). All coordinates are quarter-integers and
+    // the box offset is 0.75 (exact in binary), so the closed-boundary
+    // containment decision is integer-exact and the DuckDB oracle reproduces
+    // it with plain BETWEEN arithmetic.
+    "q_polyjoin_selective" -> q("lineitem", "orders")(s"""
+      WITH lpts AS (
+        SELECT $K AS k,
+               st_point(cast(l_orderkey AS DOUBLE) / 4.0d,
+                        cast(l_partkey % 256 AS DOUBLE) / 4.0d) AS pt
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      boxes AS (
+        SELECT o_orderkey AS o,
+               st_makeenvelope(cast(o_orderkey AS DOUBLE) / 4.0d - 0.75d,
+                               cast(o_custkey % 256 AS DOUBLE) / 4.0d - 0.75d,
+                               cast(o_orderkey AS DOUBLE) / 4.0d + 0.75d,
+                               cast(o_custkey % 256 AS DOUBLE) / 4.0d + 0.75d) AS env
+        FROM orders)
+      SELECT k, o FROM lpts JOIN boxes ON st_intersects(env, pt)
+      ORDER BY k, o"""),
+
     // ---------------------------------------------------------- relational parity (windows, built-ins)
     // 30-minute inactivity gap over micros — unix_micros keeps the arithmetic
     // integer-exact and independent of the fixture's physical timestamp type
@@ -4338,6 +4368,24 @@ object SparkEntry {
       SELECT k, o FROM lpts JOIN opts
         ON ox BETWEEN x - 0.25 AND x + 0.25
        AND (x - ox) * (x - ox) + (y - oy) * (y - oy) <= 0.0625
+      ORDER BY k, o""",
+
+    // closed-boundary box containment in plain arithmetic (see the Spark-side
+    // comment: quarter-integer coordinates + 0.75 offsets are exact doubles)
+    "q_polyjoin_selective" -> s"""
+      WITH lpts AS (
+        SELECT $K AS k,
+               CAST(l_orderkey AS DOUBLE) / 4.0 AS x,
+               CAST(l_partkey % 256 AS DOUBLE) / 4.0 AS y
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      boxes AS (
+        SELECT o_orderkey AS o,
+               CAST(o_orderkey AS DOUBLE) / 4.0 AS xc,
+               CAST(o_custkey % 256 AS DOUBLE) / 4.0 AS yc
+        FROM orders)
+      SELECT k, o FROM lpts JOIN boxes
+        ON x BETWEEN xc - 0.75 AND xc + 0.75
+       AND y BETWEEN yc - 0.75 AND yc + 0.75
       ORDER BY k, o""",
 
     "q_sessionize" -> """

@@ -258,6 +258,39 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.spatialJoin.salt", "1")
   }
 
+  test("q_polyjoin_selective takes the shuffled multi-tile fan-out plan at scale shape") {
+    // the sf100 contract query for the polygon-fan-out path: with the
+    // broadcast threshold off (the shape two huge sides force at scale) the
+    // plan must be the tile rewrite (explode + anchor dedupe) over a
+    // SHUFFLED join — no BNLJ, no broadcast — and results must match the
+    // naive plan exactly (the dedupe emits each pair once)
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_polyjoin_selective")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_tile"), s"tile rewrite did not fire:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "scale-killer join shape")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join keyed by tile")
+      // MULTISET equality with the naive plan is the dedupe correctness
+      // criterion: the fixture legitimately contains duplicate
+      // (orderkey, linenumber) pairs, so identical output pairs can appear
+      // from distinct input rows — the anchor dedupe must emit each
+      // CANDIDATE exactly once, i.e. the multisets must match exactly
+      val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+      val naive = try {
+        SparkEntry.queries("q_polyjoin_selective")(spark, "/root/testdata/sf0.001")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      } finally spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+      assert(fast == naive && fast.nonEmpty,
+        s"tile plan changed results: fast=${fast.size} naive=${naive.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+  }
+
   test("salt=-1 is off, not a forced single-bucket salt") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
