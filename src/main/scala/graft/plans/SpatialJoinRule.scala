@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
 
 /**
  * Spatial-join acceleration (reference: RangeJoinSpatialPredicateRewriter,
@@ -51,6 +51,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * for unreliable size stats. Otherwise salting is skipped entirely when a
  * join side fits the broadcast threshold: a broadcast hash join never
  * shuffles by tile, so it has no tile skew to split).
+ *
+ * Two further scale moves (round 16), both free of semantic drift:
+ *   - spark.graft.spatialJoin.preferHashJoin (default true): a forced-shuffle
+ *     tile join is hinted SHUFFLE_HASH (build = smaller side by stats). The
+ *     tile equi-join derives no benefit from sort order, and SMJ fully sorts
+ *     BOTH fanned sides — at 600M×150M rows those two external sorts spilled
+ *     more disk than the shuffle itself (measured: the sf100 polygon fan-out
+ *     filled a 47 GB volume through SMJ sort spills).
+ *   - envelope-exact residuals + WKB payload narrowing: when a geometry arg
+ *     traces to a rect/point constructor, boundary-inclusive predicates
+ *     evaluate as closed-form arithmetic on the st_extent sidecar and the
+ *     WKB column is dropped from the shuffle entirely (rebuilt exactly from
+ *     the sidecar where the output needs it) — see traceConstructor below.
  */
 class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -166,7 +179,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !alreadyRewritten(cond) =>
         findSpatialPredicate(cond, left, right) match {
-          case Some((lGeom, rGeom, expand)) => rewrite(j, cond, lGeom, rGeom, expand)
+          case Some(m) => rewrite(j, cond, m)
           case None => j
         }
     }
@@ -178,33 +191,101 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** One matched spatial-join predicate: the conjunct itself, its function
+   *  name AS WRITTEN (before any side-swap), the left/right-side geometry
+   *  args after side normalization, whether the args were swapped to get
+   *  there, and the tile expansion (st_dwithin's constant distance). */
+  private case class Matched(pred: Expression, fn: String, lGeom: Expression,
+                             rGeom: Expression, swapped: Boolean, expand: Double)
+
   /** Locate a rewritable predicate whose two geometry args resolve to opposite
-   *  join sides; returns (leftSideGeom, rightSideGeom, tileExpansion).
-   *  Plain bbox-implying predicates expand by 0; st_dwithin with a CONSTANT
-   *  distance expands the LEFT side's tiles by it (bbox-within-d pairs then
-   *  always share a tile; the exact predicate runs as residual). */
+   *  join sides. Plain bbox-implying predicates expand by 0; st_dwithin with a
+   *  CONSTANT distance expands the LEFT side's tiles by it (bbox-within-d
+   *  pairs then always share a tile; the exact predicate runs as residual). */
   private def findSpatialPredicate(
       cond: Expression,
       left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
-    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      right: LogicalPlan): Option[Matched] = {
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression, Boolean)] =
       if (a.references.nonEmpty && b.references.nonEmpty &&
-          a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) Some((a, b))
+          a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) Some((a, b, false))
       else if (a.references.nonEmpty && b.references.nonEmpty &&
-          b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)) Some((b, a))
+          b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)) Some((b, a, true))
       else None
     splitConjuncts(cond).iterator.flatMap {
-      case FnExpr(fn, Seq(a, b)) if rewritable(fn) =>
-        sides(a, b).map { case (l, r) => (l, r, 0.0) }
-      case FnExpr("st_dwithin", Seq(a, b, d)) if d.foldable =>
+      case p @ FnExpr(fn, Seq(a, b)) if rewritable(fn) =>
+        sides(a, b).map { case (l, r, sw) => Matched(p, fn, l, r, sw, 0.0) }
+      case p @ FnExpr("st_dwithin", Seq(a, b, d)) if d.foldable =>
         val dist = d.eval() match {
           case n: java.lang.Number => n.doubleValue()
           case _ => Double.NaN
         }
         if (dist.isNaN || dist < 0) None
-        else sides(a, b).map { case (l, r) => (l, r, dist) }
+        else sides(a, b).map { case (l, r, sw) => Matched(p, "st_dwithin", l, r, sw, dist) }
       case _ => None
     }.nextOption()
+  }
+
+  // ---- envelope-exact shapes ------------------------------------------------
+  // A geometry expression is a KNOWN RECT ('R') or KNOWN POINT ('P') when it
+  // is (or traces through Project/Filter/SubqueryAlias chains to) a
+  // constructor whose shape is syntactically certain. For those shapes the
+  // st_extent sidecar struct carries ALL the information the geometry does
+  // (a rect IS its envelope; a 2-arity point IS its min corner), which
+  // unlocks two scale optimizations in rewrite():
+  //   1. envelope-exact predicates (st_intersects / st_covers / st_coveredby
+  //      between rect-or-point shapes) evaluate as closed-form arithmetic on
+  //      the sidecar doubles — no WKB deserialization, no JTS, per candidate
+  //      pair. (st_contains / st_within stay on the exact kernel: they are
+  //      boundary-EXCLUSIVE, so a point on the rect edge makes bbox
+  //      arithmetic disagree.)
+  //   2. the WKB column itself stops traveling through the tile shuffle:
+  //      residual references are substituted with a constructor over the
+  //      sidecar fields, and the join's output column is reconstructed the
+  //      same way AFTER the join (only rows that passed the predicate reach
+  //      it, so null/empty inputs — which the predicate filters — never need
+  //      reconstructing). At 940M fanned rows × ~120 B of polygon WKB this
+  //      is the difference between a 150 GB shuffle and a 50 GB one.
+  // Reconstruction is byte-exact for st_point (the env IS the point) and for
+  // st_envelope (routed back through getEnvelope's canonical ring). For
+  // st_makeenvelope with INVERTED min/max arguments the reconstructed ring
+  // is the normalized winding of the same rectangle — identical point set,
+  // so every downstream predicate/measure agrees; only WKT/WKB vertex order
+  // of that pathological input would differ.
+  private def traceConstructor(plan: LogicalPlan, e: Expression, depth: Int = 0): Option[String] =
+    e match {
+      case FnExpr("st_point", args) if args.length == 2 => Some("st_point")
+      case FnExpr("st_makeenvelope", args) if args.length == 4 => Some("st_makeenvelope")
+      case FnExpr("st_envelope", Seq(_)) => Some("st_envelope")
+      case Alias(child, _) => traceConstructor(plan, child, depth)
+      case a: AttributeReference if depth < 8 =>
+        def findDef(p: LogicalPlan): Option[(Expression, LogicalPlan)] = p match {
+          case proj: Project =>
+            proj.projectList.collectFirst {
+              case al @ Alias(child, _) if al.exprId == a.exprId => (child, proj.child)
+            }.orElse(if (proj.child.outputSet.contains(a)) findDef(proj.child) else None)
+          case f: Filter => findDef(f.child)
+          case s: SubqueryAlias => findDef(s.child)
+          case g: Generate => if (g.child.outputSet.contains(a)) findDef(g.child) else None
+          case _ => None
+        }
+        findDef(plan).flatMap { case (expr, child) => traceConstructor(child, expr, depth + 1) }
+      case _ => None
+    }
+
+  /** Rebuild a classified geometry from its st_extent sidecar struct —
+   *  evaluated only where needed (residual substitution / post-join output). */
+  private def reconstruct(origin: String, env: Attribute): Expression = {
+    def f(i: Int, n: String): Expression = GetStructField(env, i, Some(n))
+    origin match {
+      case "st_point" => FnExpr("st_point", Seq(f(0, "min_x"), f(1, "min_y")))
+      case "st_makeenvelope" =>
+        FnExpr("st_makeenvelope", Seq(f(0, "min_x"), f(1, "min_y"), f(2, "max_x"), f(3, "max_y")))
+      case "st_envelope" =>
+        // getEnvelope's canonical ring, byte-equal to the original
+        FnExpr("st_envelope", Seq(FnExpr("st_makeenvelope",
+          Seq(f(0, "min_x"), f(1, "min_y"), f(2, "max_x"), f(3, "max_y")))))
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -221,9 +302,10 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(
       j: Join,
       cond: Expression,
-      lGeom: Expression,
-      rGeom: Expression,
-      expand: Double): LogicalPlan = {
+      m: Matched): LogicalPlan = {
+    val lGeom = m.lGeom
+    val rGeom = m.rGeom
+    val expand = m.expand
     val cell = Literal(cellSize(j.left, lGeom, j.right, rGeom))
     val tileL = AttributeReference("__graft_tile_l", LongType, nullable = false)()
     val tileR = AttributeReference("__graft_tile_r", LongType, nullable = false)()
@@ -241,16 +323,65 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def fld(env: Attribute, i: Int, name: String): Expression =
       GetStructField(env, i, Some(name))
 
+    // ---- envelope-exact residual + shuffle-payload narrowing --------------
+    // (see the traceConstructor block comment above for the full rationale)
+    val shapeL = traceConstructor(j.left, lGeom)
+    val shapeR = traceConstructor(j.right, rGeom)
+    def dropInfo(g: Expression, shape: Option[String],
+                 env: Attribute): Option[(AttributeReference, Expression)] = (g, shape) match {
+      case (a: AttributeReference, Some(origin)) if a.dataType == BinaryType =>
+        Some((a, reconstruct(origin, env)))
+      case _ => None
+    }
+    val dropL = dropInfo(lGeom, shapeL, envL)
+    val dropR = dropInfo(rGeom, shapeR, envR)
+    val subst: Map[ExprId, Expression] =
+      (dropL.map(d => d._1.exprId -> d._2) ++ dropR.map(d => d._1.exprId -> d._2)).toMap
+    def substituted(e: Expression): Expression =
+      if (subst.isEmpty) e
+      else e.transformUp { case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId) }
+
+    def fldOf(env: Attribute, i: Int, n: String): Expression = GetStructField(env, i, Some(n))
+    // closed-set bbox tests — boundary-INCLUSIVE, matching st_intersects /
+    // st_covers semantics on rect/point shapes exactly (NULL env → NULL →
+    // the join filter drops the row, same as the JTS kernel on NULL/EMPTY)
+    def envOverlap: Expression = And(And(
+      LessThanOrEqual(fldOf(envL, 0, "min_x"), fldOf(envR, 2, "max_x")),
+      LessThanOrEqual(fldOf(envR, 0, "min_x"), fldOf(envL, 2, "max_x"))), And(
+      LessThanOrEqual(fldOf(envL, 1, "min_y"), fldOf(envR, 3, "max_y")),
+      LessThanOrEqual(fldOf(envR, 1, "min_y"), fldOf(envL, 3, "max_y"))))
+    def envCovers(a: Attribute, b: Attribute): Expression = And(And(
+      LessThanOrEqual(fldOf(a, 0, "min_x"), fldOf(b, 0, "min_x")),
+      LessThanOrEqual(fldOf(b, 2, "max_x"), fldOf(a, 2, "max_x"))), And(
+      LessThanOrEqual(fldOf(a, 1, "min_y"), fldOf(b, 1, "min_y")),
+      LessThanOrEqual(fldOf(b, 3, "max_y"), fldOf(a, 3, "max_y"))))
+    val envExact: Option[Expression] =
+      if (shapeL.isEmpty || shapeR.isEmpty) None
+      else m.fn match {
+        case "st_intersects" => Some(envOverlap)
+        case "st_covers" => Some(if (m.swapped) envCovers(envR, envL) else envCovers(envL, envR))
+        case "st_coveredby" => Some(if (m.swapped) envCovers(envL, envR) else envCovers(envR, envL))
+        case _ => None // boundary-exclusive predicates keep the exact kernel
+      }
+    // the residual: the matched conjunct becomes sidecar arithmetic when
+    // envelope-exact; every other reference to a classified geometry column
+    // is rebuilt from the sidecar so the WKB itself need not travel
+    val residual: Expression = splitConjuncts(cond).map { c =>
+      if ((c eq m.pred) && envExact.isDefined) envExact.get else substituted(c)
+    }.reduce(And)
+    val keepL: Seq[Attribute] = j.left.output.filterNot(a => dropL.exists(_._1.exprId == a.exprId))
+    val keepR: Seq[Attribute] = j.right.output.filterNot(a => dropR.exists(_._1.exprId == a.exprId))
+
     var genLeft: LogicalPlan = Generate(
       Explode(FnExpr("st_tile_ids_env", Seq(envL, cell, Literal(expand)))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileL),
-      child = Project(j.left.output :+ envLA, j.left))
+      child = Project(keepL :+ envLA, j.left))
     var genRight: LogicalPlan = Generate(
       Explode(FnExpr("st_tile_ids_env", Seq(envR, cell))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(tileR),
-      child = Project(j.right.output :+ envRA, j.right))
+      child = Project(keepR :+ envRA, j.right))
 
     // dedupe: keep only the tile holding the anchor corner of the
     // (expanded-left bbox) ∩ (right bbox) intersection — that tile is in both
@@ -326,7 +457,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val saltGen = AttributeReference("__graft_tile_salt", IntegerType, nullable = false)()
         if (splitRight) {
           val split = Alias(If(hotR,
-            Pmod(new Murmur3Hash(j.right.output), Literal(s)), Literal(0)),
+            Pmod(new Murmur3Hash(keepR :+ envR), Literal(s)), Literal(0)),
             "__graft_tile_salt_v")()
           genRight = Project(genRight.output :+ split, genRight)
           genLeft = Generate(
@@ -336,7 +467,7 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           equi = And(equi, EqualTo(saltGen, split.toAttribute))
         } else {
           val split = Alias(If(hotL,
-            Pmod(new Murmur3Hash(j.left.output), Literal(s)), Literal(0)),
+            Pmod(new Murmur3Hash(keepL :+ envL), Literal(s)), Literal(0)),
             "__graft_tile_salt_v")()
           genLeft = Project(genLeft.output :+ split, genLeft)
           genRight = Generate(
@@ -348,8 +479,35 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-    val newCond = And(And(equi, dedupe), cond)
-    val newJoin = Join(genLeft, genRight, Inner, Some(newCond), j.hint)
-    Project(j.output, newJoin)
+    val newCond = And(And(equi, dedupe), residual)
+    // The tile equi-join never benefits from sort order, and on a forced
+    // shuffle SMJ sorts BOTH (fanned) sides — at 600M×150M rows that is two
+    // full external sorts whose spills can exceed the shuffle itself. Hint
+    // the smaller side as a shuffled-hash build instead (per-tile-partition
+    // hash maps, no sorts); broadcast-shaped joins keep their hint untouched
+    // so Catalyst still picks the broadcast plan.
+    val preferHash =
+      spark.conf.get("spark.graft.spatialJoin.preferHashJoin", "true").toBoolean
+    val newHint =
+      if (preferHash && !broadcastShaped) {
+        def sh(h: Option[HintInfo]): Option[HintInfo] =
+          Some(h.getOrElse(HintInfo()).copy(strategy = Some(SHUFFLE_HASH)))
+        if (j.right.stats.sizeInBytes <= j.left.stats.sizeInBytes)
+          j.hint.copy(rightHint = sh(j.hint.rightHint))
+        else j.hint.copy(leftHint = sh(j.hint.leftHint))
+      } else j.hint
+    val newJoin = Join(genLeft, genRight, Inner, Some(newCond), newHint)
+    // restore the original output contract: narrowed geometry columns are
+    // rebuilt from the sidecar (evaluated only on rows that PASSED the
+    // spatial predicate — NULL/EMPTY inputs never reach this projection)
+    val outProj: Seq[NamedExpression] = j.output.map { a =>
+      subst.get(a.exprId) match {
+        case Some(recon) =>
+          Alias(recon, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
+        case None => a
+      }
+    }
+    Project(outProj, newJoin)
   }
 }

@@ -360,4 +360,126 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       assert(auto == fixed && auto.nonEmpty, s"auto cell changed results")
     } finally spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
   }
+
+  // ---- envelope-exact residual + payload narrowing (round 16) -------------
+
+  /** BinaryType (WKB) attrs flowing out of the rewritten join's children —
+    * zero when the narrowing pruned the geometry from the shuffle. */
+  private def joinBinaryCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    df.queryExecution.optimizedPlan.collect {
+      case jn: LJoin => jn.children.flatMap(_.output)
+        .filter(_.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
+    }.flatten
+  }
+
+  test("envelope-exact st_intersects: WKB pruned from the shuffle, results preserved") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_intersects(env, pt)"
+    val df = spark.sql(joinSql)
+    assert(joinBinaryCols(df).isEmpty,
+      s"geometry WKB still travels through the tile join: ${joinBinaryCols(df)}")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == slow && fast.nonEmpty,
+      s"env-exact intersects changed results: only-fast=${(fast -- slow).take(5)} only-slow=${(slow -- fast).take(5)}")
+  }
+
+  test("envelope-exact arithmetic is boundary-INCLUSIVE exactly like st_intersects") {
+    setup()
+    // points ON cell edges/corners (multiples of 10) — the case where a
+    // boundary-sloppy bbox test would diverge from the JTS kernel
+    spark.sql("""
+      SELECT id AS pid, st_point(cast((id % 11) * 10 AS DOUBLE),
+                                 cast((id DIV 11) * 10 AS DOUBLE)) AS pt
+      FROM range(0, 121)""").createOrReplaceTempView("edgepts")
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM edgepts JOIN cells ON st_intersects(env, pt)"
+    val fast = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == slow && fast.nonEmpty, s"boundary divergence: ${(fast -- slow) ++ (slow -- fast)}")
+  }
+
+  test("st_contains stays on the exact kernel (boundary-exclusive) yet still narrows WKB") {
+    setup()
+    spark.sql("""
+      SELECT id AS pid, st_point(cast((id % 11) * 10 AS DOUBLE),
+                                 cast((id DIV 11) * 10 AS DOUBLE)) AS pt
+      FROM range(0, 121)""").createOrReplaceTempView("edgepts")
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = "SELECT pid, cell FROM edgepts JOIN cells ON st_contains(env, pt)"
+    val df = spark.sql(joinSql)
+    // narrowing substitutes the residual's WKB refs with sidecar rebuilds
+    assert(joinBinaryCols(df).isEmpty, s"contains residual still ships WKB: ${joinBinaryCols(df)}")
+    val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    // every edge point lies on some cell's boundary: contains must exclude it
+    assert(fast == slow, s"contains boundary divergence: ${(fast -- slow) ++ (slow -- fast)}")
+  }
+
+  test("geometry selected THROUGH the join reconstructs byte-identical WKB") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    // both the rect (st_makeenvelope origin) and the point survive to the
+    // output list; the narrowed plan must rebuild them bit-for-bit
+    val joinSql = """
+      SELECT pid, cell, st_aswkb(env) AS ewkb, st_astext(pt) AS ptxt
+      FROM pts JOIN cells ON st_intersects(env, pt)"""
+    val fast = spark.sql(joinSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq, r.getString(3))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq, r.getString(3))).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == slow && fast.nonEmpty, "reconstructed geometry differs from the original bytes")
+  }
+
+  test("st_envelope-derived rects reconstruct through getEnvelope's canonical ring") {
+    setup()
+    spark.sql("""
+      SELECT id AS cell2, st_envelope(st_makeline(
+        st_point(cast((id % 10) * 10 AS DOUBLE), cast((id DIV 10) * 10 AS DOUBLE)),
+        st_point(cast((id % 10) * 10 + 10 AS DOUBLE), cast((id DIV 10) * 10 + 10 AS DOUBLE)))) AS env2
+      FROM range(0, 100)""").createOrReplaceTempView("cells2")
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val joinSql = """
+      SELECT pid, cell2, st_aswkb(env2) AS ewkb
+      FROM pts JOIN cells2 ON st_intersects(env2, pt)"""
+    val fast = spark.sql(joinSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+    val slow = spark.sql(joinSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+    assert(fast == slow && fast.nonEmpty, "st_envelope reconstruction differs from original bytes")
+  }
+
+  test("forced-shuffle tile join plans a shuffled HASH join, not sort-merge") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val prevABT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_intersects(env, pt)")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$phys")
+      assert(!phys.contains("SortMergeJoin"), s"tile join still sort-merges:\n$phys")
+      assert(df.collect().nonEmpty)
+      // escape hatch: preferHashJoin=false restores Spark's default pick
+      spark.conf.set("spark.graft.spatialJoin.preferHashJoin", "false")
+      val smj = spark.sql("SELECT pid, cell FROM pts JOIN cells ON st_intersects(env, pt)")
+        .queryExecution.executedPlan.toString
+      assert(smj.contains("SortMergeJoin"), s"preferHashJoin=false ignored:\n$smj")
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.preferHashJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevABT)
+    }
+  }
 }
