@@ -480,16 +480,54 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val newCond = And(And(equi, dedupe), residual)
+
+    // ---- self-scaling join parallelism ------------------------------------
+    // A fixed spark.sql.shuffle.partitions cannot serve a join whose shuffle
+    // grows with the data (at sf100 the fanned side is ~50 GB over 32
+    // session partitions = 1.5 GB/task: SMJ fills the disk with sort spills,
+    // SHJ cannot even build its hash map). Size the tile exchange from the
+    // byte stats the planner already has: both sides repartition BY THE JOIN
+    // KEYS to ceil(margin × totalBytes / targetPartitionBytes) partitions —
+    // the join then reuses that partitioning (HashPartitioning on the keys
+    // satisfies the join's ClusteredDistribution, so no second exchange).
+    // Only ever scales UP from the session setting: joins the session config
+    // already serves keep byte-identical plans, and AQE keeps its usual
+    // freedom below the floor. The ×4 margin covers the tile fan-out that
+    // plan-time stats cannot see (a bbox spanning k tiles ships k copies).
+    val tgtBytes = spark.conf
+      .get("spark.graft.spatialJoin.targetPartitionBytes", (128L << 20).toString).toLong
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val estBytes = (j.left.stats.sizeInBytes + j.right.stats.sizeInBytes) * 4
+    val targetParts = math.min(4096L,
+      math.max(sessionParts.toLong, (estBytes / tgtBytes).toLong + 1)).toInt
+    val (lKeys, rKeys) = equi match {
+      case And(EqualTo(tl, tr), EqualTo(sl, sr)) => (Seq(tl, sl), Seq(tr, sr))
+      case EqualTo(tl, tr) => (Seq(tl), Seq(tr))
+      case _ => (Seq(tileL: Expression), Seq(tileR: Expression))
+    }
+    if (targetParts > sessionParts && !broadcastShaped) {
+      logInfo(s"spatial-join exchange sized to $targetParts partitions " +
+        s"(~${estBytes >> 20} MB est. incl. fan-out margin, session=$sessionParts)")
+      genLeft = RepartitionByExpression(lKeys, genLeft, Some(targetParts))
+      genRight = RepartitionByExpression(rKeys, genRight, Some(targetParts))
+    }
+
     // The tile equi-join never benefits from sort order, and on a forced
     // shuffle SMJ sorts BOTH (fanned) sides — at 600M×150M rows that is two
     // full external sorts whose spills can exceed the shuffle itself. Hint
     // the smaller side as a shuffled-hash build instead (per-tile-partition
     // hash maps, no sorts); broadcast-shaped joins keep their hint untouched
-    // so Catalyst still picks the broadcast plan.
+    // so Catalyst still picks the broadcast plan. With the exchange sized
+    // above, the per-partition build is bounded by targetPartitionBytes-ish;
+    // the extra gate skips the hint when the SMALLER side alone would still
+    // exceed a safe per-partition build (stats can miss filters).
     val preferHash =
       spark.conf.get("spark.graft.spatialJoin.preferHashJoin", "true").toBoolean
+    val minSideBytes =
+      j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
+    val buildFits = minSideBytes / targetParts <= (tgtBytes * 2)
     val newHint =
-      if (preferHash && !broadcastShaped) {
+      if (preferHash && !broadcastShaped && buildFits) {
         def sh(h: Option[HintInfo]): Option[HintInfo] =
           Some(h.getOrElse(HintInfo()).copy(strategy = Some(SHUFFLE_HASH)))
         if (j.right.stats.sizeInBytes <= j.left.stats.sizeInBytes)

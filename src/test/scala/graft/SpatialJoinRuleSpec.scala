@@ -461,6 +461,46 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(fast == slow && fast.nonEmpty, "st_envelope reconstruction differs from original bytes")
   }
 
+  test("exchange self-scales with data size and only ever scales UP") {
+    setup()
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val prevABT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joinSql = "SELECT pid, cell FROM pts JOIN cells ON st_intersects(env, pt)"
+    try {
+      // at the default 128 MB target, this KB-scale fixture must keep the
+      // session partitioning — no RepartitionByExpression in the plan
+      val small = spark.sql(joinSql).queryExecution.optimizedPlan.toString
+      assert(!small.contains("RepartitionByExpression"),
+        s"small join was repartitioned:\n$small")
+      // a tiny target makes the same stats demand more partitions than the
+      // session default — the rule must size the exchange itself
+      spark.conf.set("spark.graft.spatialJoin.targetPartitionBytes", "1024")
+      val df = spark.sql(joinSql)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("RepartitionByExpression"), s"exchange not scaled:\n$opt")
+      val fast = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the join reuses the sized exchange: exactly the two key shuffles,
+      // both above the session partition count (AQE folds the plan, so read
+      // the partition counts from the final adaptive plan text)
+      val planTxt = df.queryExecution.executedPlan.toString
+      val parts = """hashpartitioning\([^)]*, (\d+)\)""".r
+        .findAllMatchIn(planTxt).map(_.group(1).toInt).toSeq
+      // (the adaptive plan text repeats each exchange in its Initial Plan
+      // section — assert on the partition counts, not the match count)
+      assert(parts.size >= 2, s"expected the 2 key exchanges, got $parts:\n$planTxt")
+      assert(parts.forall(_ > spark.sessionState.conf.numShufflePartitions),
+        s"exchange not scaled up: $parts")
+      spark.conf.set("spark.graft.spatialJoin.enabled", "false")
+      val slow = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.spatialJoin.enabled", "true")
+      assert(fast == slow && fast.nonEmpty, "scaled exchange changed results")
+    } finally {
+      spark.conf.unset("spark.graft.spatialJoin.targetPartitionBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevABT)
+    }
+  }
+
   test("forced-shuffle tile join plans a shuffled HASH join, not sort-merge") {
     setup()
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
