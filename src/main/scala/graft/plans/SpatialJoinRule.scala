@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
  * not imply it).
  *
  * Tuning: spark.graft.spatialJoin.enabled (default true),
- * spark.graft.spatialJoin.cellSize (default 1.0 — set to ~the median geometry
- * extent; too small explodes tiles, too large degrades pruning; "auto"
- * samples ~1000 rows per side at planning time and uses the median
- * bbox extent, so the tile size tracks the data at any scale), and
+ * spark.graft.spatialJoin.cellSize (default "auto" — samples bbox extents at
+ * planning time and uses 2 × the median POSITIVE extent, so the tile size
+ * tracks the data at any scale while halving the (1 + e/c)² fan-out term;
+ * a numeric value pins the cell: too small explodes tiles, too large
+ * degrades pruning), and
  * spark.graft.spatialJoin.salt (default "auto" — self-enabling skew
  * mitigation: a plan-time sample finds the tiles hot enough to serialize a
  * task, derives the split factor from the hottest tile's estimated PAIR-MASS
@@ -93,13 +94,21 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def cellSize(left: LogicalPlan, lGeom: Expression,
                        right: LogicalPlan, rGeom: Expression): Double = {
-    val conf = spark.conf.get("spark.graft.spatialJoin.cellSize", "1.0")
+    val conf = spark.conf.get("spark.graft.spatialJoin.cellSize", "auto")
     if (!conf.equalsIgnoreCase("auto")) return conf.toDouble
     val key = s"${sideKey(left, lGeom)}|${sideKey(right, rGeom)}"
     val hit = cellCache.get(key)
     if (hit != null) return hit.doubleValue()
-    // auto: median bbox extent over a bounded sample of each side — a fixed
-    // cell is data-dependent and silently degrades at the wrong scale
+    // auto: a fixed cell is data-dependent and silently degrades at the
+    // wrong scale. Cell = 2 × the median POSITIVE bbox extent over a bounded
+    // sample of each side: zero-extent (point) rows don't constrain the cell
+    // (a pure point cloud is happy with any tiling — they would only drag
+    // the median to 0), and the ×2 factor halves the dominant shuffle term —
+    // a bbox of extent e fans into ~(1 + e/c)² tile copies, so c = 2e costs
+    // 2.25 copies where c = e costs 4 — while the residual's candidate
+    // window (e + c)² stays within ~2× of the tight cell's. Measured on the
+    // sf100 polygon fan-out: the difference between a shuffle that fits the
+    // volume and one that doesn't.
     def sampleExtents(plan: LogicalPlan, geom: Expression): Seq[Double] = try {
       val ext = Alias(Greatest(Seq(
         Subtract(FnExpr("st_xmax", Seq(geom)), FnExpr("st_xmin", Seq(geom))),
@@ -112,13 +121,10 @@ class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"${e.getMessage}); falling back to cellSize=1.0 for this side")
         Seq.empty
     }
-    val all = (sampleExtents(left, lGeom) ++ sampleExtents(right, rGeom)).filter(_ >= 0).sorted
+    val all = (sampleExtents(left, lGeom) ++ sampleExtents(right, rGeom)).filter(_ > 0).sorted
     val result =
-      if (all.isEmpty) 1.0
-      else {
-        val med = all(all.length / 2)
-        if (med <= 0) 1.0 else med // degenerate (all points): any cell works; keep 1
-      }
+      if (all.isEmpty) 1.0 // pure point clouds: any cell works; keep 1
+      else 2.0 * all(all.length / 2)
     cellCache.put(key, result)
     result
   }
