@@ -57,7 +57,16 @@ object BpeTrainer {
     import spark.implicits._
     graft.Graft.register(spark)
     require(rounds >= 1 && batch >= 1 && checkpointEvery >= 1)
-    var words = docs
+    // `base` is the materialized symbol table; merges applied since the last
+    // materialization live in `pending` as an expression chain over it. Rounds
+    // between checkpoints therefore schedule exactly ONE job (the pair-count
+    // collect) instead of also re-persisting a new table per round — round t
+    // re-evaluates at most checkpointEvery string replaces over the cached
+    // base, which is noise next to the groupBy it feeds. (The previous shape
+    // cached a fresh table every round and unpersisted the old one: one extra
+    // materialization pass + storage churn per merge, pure overhead at any
+    // scale since the replace chain is bounded by checkpointEvery anyway.)
+    var base = docs
       .select(F.explode(F.expr(s"norm_tokens($textCol)")).as("w"))
       .where(!F.col("w").contains(Sep))
       .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
@@ -67,6 +76,14 @@ object BpeTrainer {
           F.lit(Sep)).as("sym"),
         F.col("cnt"))
       .cache()
+    var pending: List[(String, String)] = Nil
+    def words: DataFrame = {
+      val sym = pending.reverse.foldLeft(F.col("sym")) { case (c, (p1, p2)) =>
+        val (pat, rep) = mergePattern(p1, p2)
+        F.replace(c, pat, rep)
+      }
+      base.select(sym.as("sym"), F.col("cnt"))
+    }
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var sinceCkpt = 0
@@ -86,7 +103,7 @@ object BpeTrainer {
         .orderBy(F.col("n").desc, F.col("p1"), F.col("p2"))
         .limit(math.max(want * 8, 16)).collect()
       if (top.isEmpty) {
-        words.unpersist()
+        base.unpersist()
         return learned.toSeq.toDF("round", "p1", "p2", "cnt")
       }
       // greedy symbol-disjoint selection in (count desc, lex) order
@@ -101,22 +118,21 @@ object BpeTrainer {
         i += 1
       }
       sel.foreach { case (p1, p2, n) => learned += ((learned.size + 1, p1, p2, n)) }
-      val newSym = sel.foldLeft(F.col("sym")) { case (c, (p1, p2, _)) =>
-        val (pat, rep) = mergePattern(p1, p2)
-        F.replace(c, pat, rep)
-      }
-      val applied = words.select(newSym.as("sym"), F.col("cnt"))
+      sel.foreach { case (p1, p2, _) => pending = (p1, p2) :: pending }
       sinceCkpt += sel.size
-      // localCheckpoint is EAGER: it materializes `applied` while `words` is
-      // still persisted, so the subsequent unpersist can never force a
-      // recompute through truncated lineage
-      val next =
-        if (sinceCkpt >= checkpointEvery) { sinceCkpt = 0; applied.localCheckpoint() }
-        else applied.cache()
-      words.unpersist()
-      words = next
+      // Lineage truncation cadence: materialize the accumulated replace chain
+      // every `checkpointEvery` merges. localCheckpoint is EAGER: it runs
+      // while `base` is still persisted, so the subsequent unpersist can
+      // never force a recompute through truncated lineage.
+      if (sinceCkpt >= checkpointEvery) {
+        sinceCkpt = 0
+        val next = words.localCheckpoint()
+        base.unpersist()
+        base = next
+        pending = Nil
+      }
     }
-    words.unpersist()
+    base.unpersist()
     learned.toSeq.toDF("round", "p1", "p2", "cnt")
   }
 

@@ -120,17 +120,30 @@ object KnnJoin {
       "min(st_ymin(ng)) AS y0", "max(st_ymax(ng)) AS y1",
       "max(greatest(st_xmax(ng) - st_xmin(ng), st_ymax(ng) - st_ymin(ng))) AS ext").head()
     val n = bs.getLong(0)
-    if (n == 0 || p0.isEmpty) { b0.unpersist(); return empty }
+    // probe count + max extent in ONE aggregate job (was a separate isEmpty
+    // scan plus a head()): every driver action here is a scheduled Spark job,
+    // and this loop's wall-clock floor is job count × scheduling latency.
+    val ps = p0.selectExpr("count(*) AS n",
+      "max(greatest(st_xmax(pg) - st_xmin(pg), st_ymax(pg) - st_ymin(pg))) AS e").head()
+    val pCount = ps.getLong(0)
+    if (n == 0 || pCount == 0) { b0.unpersist(); return empty }
     val kEff = math.min(k.toLong, n).toInt
     val area = math.max(0.0, (bs.getDouble(2) - bs.getDouble(1)) * (bs.getDouble(4) - bs.getDouble(3)))
-    val pExt = p0.selectExpr(
-      "max(greatest(st_xmax(pg) - st_xmin(pg), st_ymax(pg) - st_ymin(pg))) AS e").head().getDouble(0)
+    val pExt = ps.getDouble(1)
     var r = startRadius.getOrElse(Seq(
       if (area > 0) math.sqrt(area * k / n) else 0.0, bs.getDouble(5), pExt, 1e-9).max)
     var unresolved = p0
+    // Track the unresolved count arithmetically instead of probing with
+    // isEmpty actions: `resolved` holds EXACTLY kEff rows per resolved probe
+    // (rank <= kEff under cnt >= kEff), so resolved.count()/kEff is the
+    // number of probes retired this round. One count on a checkpointed
+    // (materialized) frame replaces two isEmpty jobs per round, and an
+    // all-empty round skips the anti-join + checkpoint entirely — the
+    // unresolved set is provably unchanged.
+    var unresolvedCount = pCount
     var out: DataFrame = empty
     var round = 0
-    while (round < maxRounds && !unresolved.isEmpty) {
+    while (round < maxRounds && unresolvedCount > 0) {
       val bt = b0.selectExpr("nid", "ng", s"explode(st_tile_ids(ng, ${r}d)) AS tile")
       val pt = unresolved.selectExpr("pid", "pg", s"explode(st_tile_ids(pg, ${r}d, ${r}d)) AS tile")
       val cand = pt.join(bt, "tile")
@@ -144,13 +157,18 @@ object KnnJoin {
       val resolved = ranked.where(col("cnt") >= kEff && col("rank") <= kEff)
         .select(col("pid"), col("nid"), col("dist"), col("rank").cast("int").as("rank"))
         .localCheckpoint()
-      out = out.union(resolved)
-      unresolved = unresolved
-        .join(resolved.select("pid").distinct(), Seq("pid"), "left_anti").localCheckpoint()
-      r *= (if (resolved.isEmpty) 8 else 2)
+      val resolvedCount = resolved.count()
+      if (resolvedCount > 0) {
+        out = out.union(resolved)
+        unresolvedCount -= resolvedCount / kEff
+        if (unresolvedCount > 0)
+          unresolved = unresolved
+            .join(resolved.select("pid").distinct(), Seq("pid"), "left_anti").localCheckpoint()
+      }
+      r *= (if (resolvedCount == 0) 8 else 2)
       round += 1
     }
-    require(unresolved.isEmpty,
+    require(unresolvedCount == 0,
       s"knnTiled did not converge in $maxRounds doubling rounds (degenerate extents?)")
     b0.unpersist()
     out
