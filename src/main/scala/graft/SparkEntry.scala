@@ -47,9 +47,40 @@ object SparkEntry {
   private def qUncached(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
     qImpl(useCache = false)(tables: _*)(sql)
 
+  /** q() with named intermediate stages materialized ONCE per invocation.
+    *
+    * Spark's optimizer inlines a CTE referenced N times into N copies of its
+    * subtree (plan dumps: q_dsir re-ran the hashed_ngrams explode 4x — 8
+    * parquet scans; q_semdedup re-ran the 8-centroid scoring window 3x), so a
+    * heavy shared stage is re-executed per reference. Each (view, sql) pair
+    * here is evaluated in order (later defs may reference earlier views) and
+    * registered as a temp view backed by an EAGER `localCheckpoint`: the
+    * stage runs exactly once, inside the timed region, producing a NEW RDD on
+    * every invocation — unlike `.cache()`, nothing is registered with
+    * CacheManager, so a later run of the same query cannot be served from a
+    * previous run's result (that would be cross-run result reuse, which the
+    * bench methodology forbids). This is the in-engine analogue of the
+    * checkpointed intermediate table a 100 TB pipeline writes between stages
+    * (on a cluster, `Dataset.checkpoint` to reliable storage). */
+  private def qShared(tables: String*)(shared: (String, String)*)(
+      sql: String): (SparkSession, String) => DataFrame =
+    (s: SparkSession, dir: String) => {
+      registerFixtures(s, dir, useCache = true, tables)
+      shared.foreach { case (view, defSql) =>
+        s.sql(defSql).localCheckpoint(eager = true).createOrReplaceTempView(view)
+      }
+      s.sql(sql)
+    }
+
   private def qImpl(useCache: Boolean)(tables: String*)(
       sql: String): (SparkSession, String) => DataFrame =
     (s: SparkSession, dir: String) => {
+      registerFixtures(s, dir, useCache, tables)
+      s.sql(sql)
+    }
+
+  private def registerFixtures(s: SparkSession, dir: String, useCache: Boolean,
+      tables: Seq[String]): Unit = {
       Graft.register(s)
       // Driver fixtures have shipped events.ts both as TIMESTAMP(NANOS)
       // (readable only as epoch-nanos LongType via this legacy conf) and as
@@ -145,7 +176,6 @@ object SparkEntry {
           else view
         cached.createOrReplaceTempView(t)
       }
-      s.sql(sql)
     }
 
   // per-(session, sfdir, table, data-signature) persisted fixtures — see q()
@@ -262,11 +292,15 @@ object SparkEntry {
       """{"name":"Longitude of natural origin","value":0}]}}"""
 
   /** Near-dup candidate pairs shared by q_minhash_neardup and
-   *  q_neardup_clusters. Signatures are computed ONCE and cached: the LSH
-   *  self-join would otherwise re-evaluate the minhash on both join sides.
-   *  At 100 TB this is a checkpointed intermediate table; locally, .cache()
-   *  models it. doc_id < 150 keeps the pair set small enough to pin in the
-   *  oracle. Bucketed equi-join — never all-pairs. */
+   *  q_neardup_clusters. Signatures are computed ONCE per invocation and
+   *  materialized via eager localCheckpoint: the LSH self-join would
+   *  otherwise re-evaluate the minhash on both join sides — and a `.cache()`
+   *  here (the pre-r16 shape) registered the plan with CacheManager, which
+   *  then served every LATER invocation's canonically-equal sigs subtree
+   *  from the first run's blocks: cross-run result reuse the bench must not
+   *  have. At 100 TB this is a checkpointed intermediate table. doc_id < 150
+   *  keeps the pair set small enough to pin in the oracle. Bucketed
+   *  equi-join — never all-pairs. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     Graft.register(s)
     s.read.parquet(s"$dir/documents.parquet")
@@ -279,7 +313,7 @@ object SparkEntry {
             UNION ALL
             SELECT doc_id + 100000 AS doc_id,
                    substr(text, 1, greatest(length(text) - 5, 10)) AS text
-            FROM documents WHERE doc_id < 150)""").cache()
+            FROM documents WHERE doc_id < 150)""").localCheckpoint(eager = true)
     sigs.createOrReplaceTempView("sigs")
     s.sql("""
       WITH buckets AS (
@@ -2085,17 +2119,21 @@ object SparkEntry {
     // the weight is a map-side sum — no per-doc joins against big state.
     // The hash is engine-portable (polynomial mod 2^31-1), so the oracle
     // rebuilds features from scratch.
-    "q_dsir" -> q("documents")("""
-      WITH feats AS (
+    // The ngram explode (the expensive stage — hashed_ngrams over every doc)
+    // is a qShared stage: as a CTE it was inlined into all four consumers
+    // (8 parquet scans in the plan dump); materialized once it feeds tgt /
+    // corp / tot / the final join from memory.
+    "q_dsir" -> qShared("documents")(
+      "dsir_feats" -> """
         SELECT doc_id, lang, explode(hashed_ngrams(text, 2, 256)) AS b
-        FROM documents WHERE doc_id < 300),
-      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
-      corp AS (SELECT b, count(*) AS cc FROM feats GROUP BY b),
-      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt, count(*) AS nc FROM feats)
+        FROM documents WHERE doc_id < 300""")("""
+      WITH tgt AS (SELECT b, count(*) AS ct FROM dsir_feats WHERE lang = 'en' GROUP BY b),
+      corp AS (SELECT b, count(*) AS cc FROM dsir_feats GROUP BY b),
+      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt, count(*) AS nc FROM dsir_feats)
       SELECT f.doc_id,
              round(sum(ln(((coalesce(t.ct, 0) + 1.0d) / (tot.nt + 256))
                           / ((c.cc + 1.0d) / (tot.nc + 256)))), 6) AS w
-      FROM feats f LEFT JOIN tgt t ON f.b = t.b JOIN corp c ON f.b = c.b CROSS JOIN tot
+      FROM dsir_feats f LEFT JOIN tgt t ON f.b = t.b JOIN corp c ON f.b = c.b CROSS JOIN tot
       GROUP BY f.doc_id ORDER BY f.doc_id"""),
 
     // stopword vote over the synthetic docs + fixed snippets exercising the
@@ -2146,15 +2184,20 @@ object SparkEntry {
     // oracle replays verbatim. Checks BOTH fidelity (cosine of vector vs its
     // dequantized self, dot-product-identity L2 error) and retrieval quality
     // (top-3 exact vs quantized neighbor overlap for 10 query vectors).
-    "q_embed_quant" -> q("embeddings")("""
-      WITH corpus AS (
-        SELECT vec_id, cast(embedding AS array<double>) AS v
-        FROM embeddings WHERE vec_id < 200),
-      dq AS (
+    // quant_dq (quantize+dequantize of every corpus vector) is a qShared
+    // stage: as a CTE, dq was inlined into quant_nn twice + err once and the
+    // corpus scan into exact_nn twice more (10 parquet scans in the plan
+    // dump); materialized once, all five consumers read the checkpointed
+    // rows — `corpus` below projects v from it rather than re-scanning.
+    "q_embed_quant" -> qShared("embeddings")(
+      "quant_dq" -> """
         SELECT vec_id, v,
                vec_i8_dequant(vec_i8_quant(v),
                               array_max(transform(v, x -> abs(x))) / 127.0d) AS dv
-        FROM corpus),
+        FROM (SELECT vec_id, cast(embedding AS array<double>) AS v
+              FROM embeddings WHERE vec_id < 200)""")("""
+      WITH corpus AS (SELECT vec_id, v FROM quant_dq),
+      dq AS (SELECT vec_id, v, dv FROM quant_dq),
       exact_nn AS (
         SELECT q.vec_id AS qid, e.vec_id AS nid,
                row_number() OVER (PARTITION BY q.vec_id
@@ -2209,26 +2252,32 @@ object SparkEntry {
     // scale use operators/SemDeDup.dedup, which additionally enforces a HARD
     // per-cluster pair bound (oversized clusters sub-split deterministically)
     // and documents the k-vs-N sizing guidance.
-    "q_semdedup" -> q("embeddings")("""
-      WITH corpus AS (
-        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 200
-        UNION ALL
-        SELECT vec_id + 100000 AS vec_id,
-               transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
-        FROM embeddings WHERE vec_id < 200),
-      cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
-      scored AS (
-        SELECT c.vec_id, c.v, t.cid,
-               row_number() OVER (PARTITION BY c.vec_id
-                                  ORDER BY vec_cosine(c.v, t.cv) DESC, t.cid) AS rn
-        FROM corpus c CROSS JOIN cents t),
-      assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
-      dropped AS (
+    // The centroid-scoring window (8-way cross score + row_number over every
+    // corpus vector) is a qShared stage: as a CTE, `assigned` was inlined
+    // into both sides of the dropped self-join plus the survivor side (24
+    // parquet scans in the plan dump); materialized once, the quadratic
+    // in-cluster step and the anti-join read the checkpointed assignment.
+    "q_semdedup" -> qShared("embeddings")(
+      "semdedup_assigned" -> """
+        WITH corpus AS (
+          SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 200
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
+          FROM embeddings WHERE vec_id < 200),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+        scored AS (
+          SELECT c.vec_id, c.v, t.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                                    ORDER BY vec_cosine(c.v, t.cv) DESC, t.cid) AS rn
+          FROM corpus c CROSS JOIN cents t)
+        SELECT vec_id, v, cid FROM scored WHERE rn = 1""")("""
+      WITH dropped AS (
         SELECT DISTINCT b.vec_id
-        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        FROM semdedup_assigned a JOIN semdedup_assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
         WHERE vec_cosine(a.v, b.v) >= 0.9d)
       SELECT s.vec_id, s.cid
-      FROM assigned s LEFT ANTI JOIN dropped d ON s.vec_id = d.vec_id
+      FROM semdedup_assigned s LEFT ANTI JOIN dropped d ON s.vec_id = d.vec_id
       ORDER BY s.vec_id"""),
 
     // The SemDeDup OPERATOR under the same oracle as the SQL formulation

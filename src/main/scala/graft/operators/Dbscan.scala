@@ -30,13 +30,18 @@ object Dbscan {
     graft.Graft.register(spark)
     require(eps > 0 && minPts >= 1)
     val p = points.selectExpr("CAST(id AS LONG) AS id", "st_point(x, y) AS pt")
+    // Eager localCheckpoints, not .cache(): the eps-neighbor edge set (the
+    // expensive tile join) and the core set each feed 3-4 downstream joins
+    // from materialized blocks, with no CacheManager registration — the old
+    // caches were never unpersisted, so a later invocation's canonically
+    // equal plan was served from the first run's blocks (cross-run reuse).
     val e = p.as("a").join(p.as("b"),
         F.expr(s"st_dwithin(a.pt, b.pt, ${eps}d)") && F.col("a.id") =!= F.col("b.id"))
       .select(F.col("a.id").as("u"), F.col("b.id").as("v"))
-      .cache()
+      .localCheckpoint(eager = true)
 
     val core = e.groupBy(F.col("u").as("id")).count()
-      .filter(F.col("count") + 1 >= minPts).select("id").cache()
+      .filter(F.col("count") + 1 >= minPts).select("id").localCheckpoint(eager = true)
 
     val coreEdges = e
       .join(core.withColumnRenamed("id", "cu"), F.col("u") === F.col("cu")).drop("cu")
@@ -59,8 +64,6 @@ object Dbscan {
         F.when(F.col("cluster").isNotNull, "core")
           .when(F.col("bcluster").isNotNull, "border")
           .otherwise("noise").as("role"))
-    // e/core stay cached — the returned plan still references them; Spark
-    // evicts LRU once the caller's action completes
     out
   }
 }

@@ -37,9 +37,15 @@ object KMeans {
     val p = points.selectExpr("CAST(id AS LONG) AS id", "CAST(x AS DOUBLE) AS x",
       "CAST(y AS DOUBLE) AS y")
       // null coordinates have no distance — drop them (they would surface as
-      // a null groupBy key and break the centroid update)
+      // a null groupBy key and break the centroid update).
       .where("id IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL")
-      .cache()
+      // Eager localCheckpoint, not .cache(): the projected points feed the
+      // seed collect + every assign/update round from materialized blocks,
+      // and unlike a persist there is no CacheManager registration — a later
+      // invocation cannot be served from this run's rows (the old cache was
+      // never unpersisted, so every bench re-run of q_kmeans after the first
+      // silently skipped the scan).
+      .localCheckpoint(eager = true)
 
     var cents: Array[(Int, Double, Double)] = p.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getDouble(1), r.getDouble(2)) }

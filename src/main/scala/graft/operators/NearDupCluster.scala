@@ -47,13 +47,20 @@ object NearDupCluster {
     val probeRows = edges.limit(driverEdgeCutoff + 1).collect()
     if (probeRows.length <= driverEdgeCutoff)
       return driverUnionFind(pairs.sparkSession, probeRows)
+    // Lazy localCheckpoints, not .cache(): each round's labelSum action
+    // materializes the marked frame in the same job (job-count neutral vs the
+    // old cache), the per-round lineage is TRUNCATED instead of chaining
+    // through every prior round, and nothing registers with CacheManager —
+    // the old final `labels` cache was returned still persisted, so a later
+    // invocation's canonically equal plan was served from the first run's
+    // blocks (cross-run reuse).
     val sym = edges.union(edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(eager = false)
     // Initialize each label at min(id, min neighbor) rather than id — one
     // groupBy that would otherwise be the entire first iteration. Pair-shaped
     // components (the common near-dup case) converge immediately.
     var labels = sym.groupBy(F.col("src").as("id"))
-      .agg(F.least(F.col("src"), F.min("dst")).as("comp")).cache()
+      .agg(F.least(F.col("src"), F.min("dst")).as("comp")).localCheckpoint(eager = false)
     var checksum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -63,15 +70,13 @@ object NearDupCluster {
       val next = labels.join(msgs, labels("id") === msgs("mid"), "left")
         .select(labels("id"),
           F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 

@@ -60,7 +60,12 @@ object SemDeDup {
         .otherwise(F.pmod(F.xxhash64(F.col("__sem_id")),
           F.ceil(F.col("__sem_n") / maxClusterSize).cast("int"))))
       .select(F.col("__sem_id"), F.col("__sem_v"), F.col("__sem_cid"), F.col("__sem_sub"))
-      .cache()
+      // Eager localCheckpoint, not .cache(): the celled assignment feeds both
+      // sides of the pairwise self-join plus the survivor anti-join from
+      // materialized blocks, with no CacheManager registration — the old
+      // cache was never unpersisted, so a later invocation's canonically
+      // equal plan was served from the first run's blocks (cross-run reuse).
+      .localCheckpoint(eager = true)
 
     val a = celled.select(F.col("__sem_cid").as("ca"), F.col("__sem_sub").as("sa"),
       F.col("__sem_id").as("ia"), F.col("__sem_v").as("va"))
