@@ -1610,14 +1610,20 @@ object SparkEntry {
     // broadcasts back. No all-pairs, no driver state. Token counts are
     // integer-valued doubles (exact under any summation order); the only
     // transcendental is ln(), masked by round(,6) like q_quality2's entropy.
-    "q_bm25" -> q("documents")("""
-      WITH tok AS (
-        SELECT doc_id, term
-        FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
-        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
-             FROM tok GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents),
+    // tf (tokenize+filter+group) and dl (token_count) are qShared stages:
+    // as CTEs each was inlined twice (tf into df + the final join, dl into
+    // stats + the final join), re-running the tokenizer over every doc.
+    "q_bm25" -> qShared("documents")(
+      "bm25_tf" -> """
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+        FROM (SELECT doc_id, term
+              FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
+              WHERE term IN ('spark', 'vector', 'merge', 'stream'))
+        GROUP BY doc_id, term""",
+      "bm25_dl" -> """
+        SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents""")("""
+      WITH tf AS (SELECT * FROM bm25_tf),
+      dl AS (SELECT * FROM bm25_dl),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
       df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term)
       SELECT tf.doc_id,
@@ -1634,11 +1640,14 @@ object SparkEntry {
     // tf·ln(N/df), scores rounded to 6dp BEFORE ranking (the q_hybrid_rrf
     // determinism trick) with a lexicographic tie-break — both engines
     // derive identical integer ranks. Keyed aggs + one window — scales.
-    "q_tfidf" -> q("documents")("""
-      WITH tok AS (
+    // tok (tokenize+filter) is a qShared stage: as a CTE it was inlined into
+    // tf and df, re-running the tokenizer explode over every doc twice.
+    "q_tfidf" -> qShared("documents")(
+      "tfidf_tok" -> """
         SELECT doc_id, term
         FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
-        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
+        WHERE term IN ('spark', 'vector', 'merge', 'stream')""")("""
+      WITH tok AS (SELECT * FROM tfidf_tok),
       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
              FROM tok GROUP BY doc_id, term),
       nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
@@ -1660,16 +1669,22 @@ object SparkEntry {
     // engines derive identical integer ranks; rrf is then exact rank
     // arithmetic. Scale shape: each ranking is one shuffle + window, the
     // fusion is an equi-join on (term, doc) — no all-pairs, no driver state.
-    "q_hybrid_rrf" -> q("documents", "embeddings")("""
+    // tf and dl are qShared stages (same duplication as q_bm25: tf inlined
+    // into df + lex, dl into stats + lex — the tokenizer ran twice over
+    // every doc and the plan carried 21 Exchanges before the change).
+    "q_hybrid_rrf" -> qShared("documents", "embeddings")(
+      "hyb_tf" -> """
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+        FROM (SELECT doc_id, term
+              FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
+              WHERE term IN ('spark', 'vector', 'merge', 'stream'))
+        GROUP BY doc_id, term""",
+      "hyb_dl" -> """
+        SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents""")("""
       WITH qdef AS (SELECT * FROM VALUES ('spark', 0L), ('vector', 1L),
                                          ('merge', 2L), ('stream', 3L) AS q(term, qid)),
-      tok AS (
-        SELECT doc_id, term
-        FROM (SELECT doc_id, explode(norm_tokens(text)) AS term FROM documents)
-        WHERE term IN ('spark', 'vector', 'merge', 'stream')),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
-             FROM tok GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, CAST(token_count(text) AS DOUBLE) AS len FROM documents),
+      tf AS (SELECT * FROM hyb_tf),
+      dl AS (SELECT * FROM hyb_dl),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl FROM dl),
       df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term),
       lex AS (
@@ -1739,8 +1754,13 @@ object SparkEntry {
     // doc_id order until the source's quota is filled. One groupBy + one
     // windowed cumsum per source partition — scales: no driver state, the
     // quota table is #sources rows (broadcast join).
-    "q_mix_sample" -> q("documents")("""
-      WITH t AS (SELECT source, doc_id, token_count(text) AS tok FROM documents),
+    // t (token_count per doc) is a qShared stage: as a CTE it was inlined
+    // into agg, the quota scalar-subquery chain, AND cum — the tokenizer ran
+    // three times over every doc.
+    "q_mix_sample" -> qShared("documents")(
+      "mix_t" -> """
+        SELECT source, doc_id, token_count(text) AS tok FROM documents""")("""
+      WITH t AS (SELECT * FROM mix_t),
       agg AS (SELECT source, CAST(sum(tok) AS DOUBLE) AS toks FROM t GROUP BY source),
       wts AS (SELECT source, sqrt(toks) AS sw FROM agg),
       quota AS (SELECT source,
@@ -1792,13 +1812,16 @@ object SparkEntry {
     // content, one shuffle-by-window groupBy, never all-pairs (any repeated
     // span ≥ 59 chars is guaranteed to contain a full aligned window on
     // both sides). ASCII-projected so both engines count identical chars.
-    "q_substring_dedup" -> q("documents")("""
-      WITH src AS (
-        SELECT doc_id, regexp_replace(substr(text, 1, 400), '[^ -~]', '') AS t
-        FROM documents WHERE doc_id < 300),
-      w AS (
+    // w (the stride-window explode) is a qShared stage: as a CTE it was
+    // inlined into d and the final join — the regex projection + window
+    // explode ran twice over every doc.
+    "q_substring_dedup" -> qShared("documents")(
+      "ssd_w" -> """
         SELECT doc_id, substring(t, s, 40) AS win
-        FROM (SELECT doc_id, t, explode(sequence(1, greatest(length(t) - 39, 1), 20)) AS s FROM src)),
+        FROM (SELECT doc_id, t, explode(sequence(1, greatest(length(t) - 39, 1), 20)) AS s
+              FROM (SELECT doc_id, regexp_replace(substr(text, 1, 400), '[^ -~]', '') AS t
+                    FROM documents WHERE doc_id < 300))""")("""
+      WITH w AS (SELECT * FROM ssd_w),
       d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
       SELECT w.doc_id,
              CAST(count(*) AS INT) AS total_windows,
@@ -1813,10 +1836,14 @@ object SparkEntry {
     // integer sum — immune to float summation order across engines. Scale
     // shape: one groupBy for the frequency table, a shuffle-by-token join to
     // score, map-side-combined per-doc sum.
-    "q_lm_quality" -> q("documents")("""
-      WITH toks AS (
+    // toks (the tokenizer explode) is a qShared stage: as a CTE it was
+    // inlined into the freq chain and the scoring join — the tokenizer ran
+    // twice over every doc.
+    "q_lm_quality" -> qShared("documents")(
+      "lmq_toks" -> """
         SELECT doc_id, explode(norm_tokens(text)) AS t
-        FROM documents WHERE doc_id < 300),
+        FROM documents WHERE doc_id < 300""")("""
+      WITH toks AS (SELECT * FROM lmq_toks),
       freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
       tot AS (SELECT sum(c) AS n FROM freq)
       SELECT doc_id,
@@ -2227,15 +2254,19 @@ object SparkEntry {
     // embedding-cosine near-dup: LSH bucket candidates → exact cosine verify.
     // The synthetic embeddings are near-orthogonal (max pair cosine 0.51), so
     // near-dups are constructed: each vector + a perturbed copy at id+100000.
-    "q_embed_neardup" -> q("embeddings")("""
-      WITH corpus AS (
-        SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id < 100
-        UNION ALL
-        SELECT vec_id + 100000 AS vec_id,
-               transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
-        FROM embeddings WHERE vec_id < 100
-      ),
-      bucketed AS (SELECT vec_id, v, rhp_lsh_bucket(v, 6, 11) AS bk FROM corpus)
+    // bucketed (corpus build + LSH bucket) is a qShared stage: as a CTE it
+    // was inlined into both sides of the bucket self-join — the perturbed
+    // union + rhp_lsh_bucket hash ran twice over every vector.
+    "q_embed_neardup" -> qShared("embeddings")(
+      "emb_nd_bucketed" -> """
+        SELECT vec_id, v, rhp_lsh_bucket(v, 6, 11) AS bk
+        FROM (SELECT vec_id, cast(embedding AS array<double>) AS v
+              FROM embeddings WHERE vec_id < 100
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     transform(cast(embedding AS array<double>), x -> x + 0.05d) AS v
+              FROM embeddings WHERE vec_id < 100)""")("""
+      WITH bucketed AS (SELECT * FROM emb_nd_bucketed)
       SELECT va, vb, round(sim, 6) AS sim
       FROM (SELECT a.vec_id AS va, b.vec_id AS vb, vec_cosine(a.v, b.v) AS sim
             FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
