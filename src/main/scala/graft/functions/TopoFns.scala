@@ -92,19 +92,23 @@ object TopoFns {
    *  topology kernels (st_split, st_sharedpaths) take a geometry PAIR, and
    *  real corpora repeat pairs heavily (≤ ~8k distinct shapes over 60k rows
    *  in the contract data). Same bounded-clear policy as the single memo. */
-  private final class TKey2(val a: Array[Byte], val b: Array[Byte], val op: Int) {
+  private final class TKey2(val a: Array[Byte], val b: Array[Byte], val op: Int,
+      val p: Double) {
     override val hashCode: Int = {
       var h = java.util.Arrays.hashCode(a)
       h = h * 31 + java.util.Arrays.hashCode(b)
-      h * 31 + op
+      h = h * 31 + op
+      h * 31 + java.lang.Double.hashCode(p)
     }
     override def equals(o: Any): Boolean = o match {
-      case k: TKey2 => k.op == op && java.util.Arrays.equals(k.a, a) && java.util.Arrays.equals(k.b, b)
+      case k: TKey2 => k.op == op && k.p == p &&
+        java.util.Arrays.equals(k.a, a) && java.util.Arrays.equals(k.b, b)
       case _ => false
     }
   }
   private val tMemo2 = new java.util.concurrent.ConcurrentHashMap[TKey2, AnyRef]()
-  private def memo2(op: Int, rawA: Any, rawB: Any)(compute: => AnyRef): AnyRef = {
+  private def memo2(op: Int, rawA: Any, rawB: Any, p: Double = 0.0)(
+      compute: => AnyRef): AnyRef = {
     def bytes(raw: Any): Array[Byte] = raw match {
       case b: Array[Byte] if b.length <= memoMaxEntryBytes => b
       case s: UTF8String if s.numBytes <= memoMaxEntryBytes => s.getBytes
@@ -112,15 +116,18 @@ object TopoFns {
     }
     val a = bytes(rawA); val b = bytes(rawB)
     if (a == null || b == null) return compute
-    val key = new TKey2(a, b, op)
+    val key = new TKey2(a, b, op, p)
     val hit = tMemo2.get(key)
     if (hit != null) return hit
     val out = compute
-    out match {
-      case bs: Array[Byte] if bs.length <= memoMaxEntryBytes =>
-        if (tMemo2.size >= memoMax) tMemo2.clear()
-        tMemo2.put(key, out)
-      case _ =>
+    val ok = out match {
+      case bs: Array[Byte] => bs.length <= memoMaxEntryBytes
+      case _: java.lang.Double => true // measure kernels (hausdorff/fréchet)
+      case _ => false
+    }
+    if (ok) {
+      if (tMemo2.size >= memoMax) tMemo2.clear()
+      tMemo2.put(key, out)
     }
     out
   }
@@ -492,24 +499,32 @@ object TopoFns {
       memo(35, a(0), 0)(java.lang.Double.valueOf(MinimumClearance.getDistance(rg(a(0))))))
     fn("st_minimumclearanceline", B, Seq(B))(a =>
       memo(36, a(0), 0)(w(MinimumClearance.getLine(rg(a(0))))))
+    // the discrete measure kernels are O(n·m) over the densified vertex sets
+    // — memoized two-sided like st_split/st_sharedpaths (the optional
+    // densify fraction is a key dimension so variants never collide)
     fn("st_hausdorffdistance", D, Seq(B, B), Seq(B, B, D)) { a =>
-      if (a.length == 3) DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)), dbl(a(2)))
-      else DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)))
+      if (a.length == 3) memo2(45, a(0), a(1), dbl(a(2)))(java.lang.Double.valueOf(
+        DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)), dbl(a(2)))))
+      else memo2(46, a(0), a(1))(java.lang.Double.valueOf(
+        DiscreteHausdorffDistance.distance(rg(a(0)), rg(a(1)))))
     }
     // JTS's discrete Fréchet has no densify knob — densify the inputs to the
     // requested fraction of the diagonal instead (same discretization intent)
     fn("st_frechetdistance", D, Seq(B, B), Seq(B, B, D)) { a =>
       if (a.length == 3) {
-        val g1 = rg(a(0)); val g2 = rg(a(1))
         val frac = dbl(a(2))
         require(frac > 0 && frac <= 1, s"densify fraction must be in (0, 1], got $frac")
-        def dens(g: Geometry): Geometry = {
-          val e = g.getEnvelopeInternal
-          val diag = math.hypot(e.getWidth, e.getHeight)
-          if (diag == 0) g else Densifier.densify(g, diag * frac)
+        memo2(47, a(0), a(1), frac) {
+          def dens(g: Geometry): Geometry = {
+            val e = g.getEnvelopeInternal
+            val diag = math.hypot(e.getWidth, e.getHeight)
+            if (diag == 0) g else Densifier.densify(g, diag * frac)
+          }
+          java.lang.Double.valueOf(
+            DiscreteFrechetDistance.distance(dens(rg(a(0))), dens(rg(a(1)))))
         }
-        DiscreteFrechetDistance.distance(dens(g1), dens(g2))
-      } else DiscreteFrechetDistance.distance(rg(a(0)), rg(a(1)))
+      } else memo2(48, a(0), a(1))(java.lang.Double.valueOf(
+        DiscreteFrechetDistance.distance(rg(a(0)), rg(a(1)))))
     }
     fn("st_geometricmedian", B, Seq(B), Seq(B, D)) { a =>
       val tol = if (a.length == 2) dbl(a(1)) else 1e-8
@@ -525,7 +540,8 @@ object TopoFns {
       }
     }
     fn("st_lineinterpolatepoints", B, Seq(B, D, BooleanType))(a =>
-      w(lineInterpolatePoints(rg(a(0)), dbl(a(1)), a(2).asInstanceOf[Boolean])))
+      memo(42, a(0), dbl(a(1)), if (a(2).asInstanceOf[Boolean]) 1 else 0)(
+        w(lineInterpolatePoints(rg(a(0)), dbl(a(1)), a(2).asInstanceOf[Boolean]))))
     // collection-level clustering: pairs with st_collect_agg the way the
     // PostGIS aggregates pair with array_agg — the collected input is the
     // scale bound, exactly as for st_collect_agg itself
