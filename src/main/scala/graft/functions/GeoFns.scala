@@ -317,6 +317,41 @@ object GeoFns {
   private val bufferMemoMax = 131072
   private val bufferMemoMaxEntryBytes = 16384
   private val bufferMemo = new java.util.concurrent.ConcurrentHashMap[BufferKey, Array[Byte]]()
+
+  /** Generic single-input kernel memo — the TopoFns pattern brought to the
+   *  GeoFns kernels that still ran per row (IsValidOp, GeometryFixer,
+   *  simplifiers, convex hull): content-keyed, bounded, cleared wholesale
+   *  when full. Op codes are local to this map. */
+  private final class GKey(val in: Array[Byte], val op: Int, val p: Double) {
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(in)
+      h = h * 31 + op
+      h * 31 + java.lang.Double.hashCode(p)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: GKey => k.op == op && k.p == p && java.util.Arrays.equals(k.in, in)
+      case _ => false
+    }
+  }
+  private val gMemo = new java.util.concurrent.ConcurrentHashMap[GKey, AnyRef]()
+  private def gMemo1(op: Int, raw: Any, p: Double = 0.0)(compute: => AnyRef): AnyRef = raw match {
+    case in: Array[Byte] if in.length <= bufferMemoMaxEntryBytes =>
+      val key = new GKey(in, op, p)
+      val hit = gMemo.get(key)
+      if (hit != null) return hit
+      val out = compute
+      val ok = out match {
+        case b: Array[Byte] => b.length <= bufferMemoMaxEntryBytes
+        case _: java.lang.Boolean | _: java.lang.Double => true
+        case _ => false
+      }
+      if (ok) {
+        if (gMemo.size >= bufferMemoMax) gMemo.clear()
+        gMemo.put(key, out)
+      }
+      out
+    case _ => compute
+  }
   // fused-measure memo (st_buffer_area): value is the area double, and the
   // probe happens BEFORE the input WKB is parsed — a memo hit costs one hash
   // lookup, no JTS at all
@@ -1093,8 +1128,8 @@ object GeoFns {
     }
     fn("st_geomfromtext", B, Seq(S), Seq(S, BO)) { a =>
       if (a.length == 2 && a(1).asInstanceOf[Boolean]) {
-        try w(Geo.fromWkt(str(a(0)))) catch { case _: Exception => null }
-      } else w(Geo.fromWkt(str(a(0))))
+        try Geo.wkbFromWkt(str(a(0))) catch { case _: Exception => null }
+      } else Geo.wkbFromWkt(str(a(0)))
     }
     fn("st_geomfromwkb", B, Seq(B))(a => w(rg(a(0)))) // validates + canonicalizes
     // HEXEWKB variant: JTS WKBReader consumes both ISO and EWKB (SRID-flag)
@@ -1308,7 +1343,10 @@ object GeoFns {
     }
     gB("st_isring")(g => g match { case l: LineString => l.isClosed && l.isSimple; case _ => false })
     gB("st_issimple")(_.isSimple)
-    gB("st_isvalid")(g => new IsValidOp(g).isValid)
+    // IsValidOp is a full topology check — memoized (repeated constructed
+    // shapes dominate real corpora; see gMemo1)
+    fn("st_isvalid", BO, Seq(B))(a => gMemo1(1, a(0))(
+      java.lang.Boolean.valueOf(new IsValidOp(rg(a(0))).isValid)))
     gG("st_startpoint")(g => g match { case l: LineString if !l.isEmpty => l.getStartPoint; case _ => null })
     gG("st_endpoint")(g => g match { case l: LineString if !l.isEmpty => l.getEndPoint; case _ => null })
     fn("st_pointn", B, Seq(B, I)) { a =>
@@ -1697,7 +1735,7 @@ object GeoFns {
         }
       }
     }
-    gG("st_convexhull")(_.convexHull())
+    fn("st_convexhull", B, Seq(B))(a => gMemo1(5, a(0))(w(rg(a(0)).convexHull())))
     // Fused overlay measures — MeasureFusionRule rewrites
     // st_area(st_intersection/union/difference(a, b)) to these, skipping the
     // overlay-geometry construction + serialization entirely. Rect×rect
@@ -1852,7 +1890,8 @@ object GeoFns {
     fn("st_reduceprecision", B, Seq(B, D)) { a =>
       val grid = dbl(a(1))
       require(grid > 0, "ST_ReducePrecision: grid size must be > 0")
-      w(GeometryPrecisionReducer.reduce(rg(a(0)), new PrecisionModel(1.0 / grid)))
+      gMemo1(6, a(0), grid)(
+        w(GeometryPrecisionReducer.reduce(rg(a(0)), new PrecisionModel(1.0 / grid))))
     }
     fn("st_removerepeatedpoints", B, Seq(B), Seq(B, D)) { a =>
       val hasTol = a.length > 1
@@ -1912,9 +1951,12 @@ object GeoFns {
         }
       }))
     }
-    fn("st_simplify", B, Seq(B, D))(a => w(DouglasPeuckerSimplifier.simplify(rg(a(0)), dbl(a(1)))))
-    fn("st_simplifypreservetopology", B, Seq(B, D))(a => w(TopologyPreservingSimplifier.simplify(rg(a(0)), dbl(a(1)))))
-    gG("st_makevalid")(g => if (g.isValid) g else GeometryFixer.fix(g))
+    fn("st_simplify", B, Seq(B, D))(a => gMemo1(2, a(0), dbl(a(1)))(
+      w(DouglasPeuckerSimplifier.simplify(rg(a(0)), dbl(a(1))))))
+    fn("st_simplifypreservetopology", B, Seq(B, D))(a => gMemo1(3, a(0), dbl(a(1)))(
+      w(TopologyPreservingSimplifier.simplify(rg(a(0)), dbl(a(1))))))
+    fn("st_makevalid", B, Seq(B))(a => gMemo1(4, a(0))(
+      w { val g = rg(a(0)); if (g.isValid) g else GeometryFixer.fix(g) }))
     fn("st_linemerge", B, Seq(B), Seq(B, BO)) { a =>
       val g = rg(a(0))
       val directed = a.length > 1 && a(1).asInstanceOf[Boolean]

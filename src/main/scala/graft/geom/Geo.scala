@@ -42,6 +42,15 @@ object Geo {
       override def removeEldestEntry(e: java.util.Map.Entry[String, Geometry]): Boolean =
         size() > 2048
     }
+    // WKT → WKB bytes, one level above wktMemo: st_geomfromtext returns WKB,
+    // so a hit here skips BOTH the parse and the per-call serialization
+    // (Wkb.write allocated a fresh array every row even when the parse memo
+    // hit). Sharing one byte array across rows is safe — BinaryType values
+    // are copied into UnsafeRows on write (the bufferMemo precedent).
+    val wktWkbMemo = new java.util.LinkedHashMap[String, Array[Byte]](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > 2048
+    }
   }
   private val tl = ThreadLocal.withInitial[Caches](() => new Caches)
 
@@ -120,6 +129,20 @@ object Geo {
 
   /** Strings longer than this skip the WKT memo (hash cost + retention). */
   private val wktMemoMaxChars = 4096
+
+  /** WKT straight to WKB with a bounded per-thread memo — the
+   *  st_geomfromtext hot path (dimension-table WKT literals repeat across
+   *  millions of rows; see wktMemo). Exceptions propagate uncached. */
+  def wkbFromWkt(wkt: String): Array[Byte] = {
+    if (wkt.length <= wktMemoMaxChars) {
+      val memo = tl.get().wktWkbMemo
+      val hit = memo.get(wkt)
+      if (hit != null) return hit
+      val out = Wkb.write(fromWkt(wkt))
+      memo.put(wkt, out)
+      out
+    } else Wkb.write(fromWkt(wkt))
+  }
 
   def fromWkt(wkt0: String): Geometry = {
     if (wkt0.length <= wktMemoMaxChars) {
